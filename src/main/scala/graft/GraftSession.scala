@@ -1,0 +1,29 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Session factory with the confs this engine assumes everywhere.
+  *
+  * Local runs use `local[N]` with `shuffle.partitions = N`; on a real
+  * cluster the same builder is used with a higher parallelism. AQE is on
+  * so skewed shuffles re-plan at runtime.
+  */
+object GraftSession {
+  def local(cores: Int = Runtime.getRuntime.availableProcessors()): SparkSession =
+    configure(SparkSession.builder().master(s"local[$cores]"), cores).getOrCreate()
+
+  def configure(b: SparkSession.Builder, parallelism: Int): SparkSession.Builder =
+    b.appName("graft")
+      .config("spark.sql.shuffle.partitions", parallelism.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      // events.parquet carries TIMESTAMP(NANOS) which the vectorized
+      // reader rejects; read as long and convert (Tables.events).
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // duplicate span-tag keys: last wins, like the reference's
+      // taglist_to_dict (events.py:17-22)
+      .config("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
+      .config("spark.ui.enabled", "false")
+}

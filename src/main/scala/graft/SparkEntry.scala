@@ -1,13 +1,299 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.operators._
+
+/** Driver contract — see /root/repo/SURVEY.md §2/§6.
+  *
+  * Every oracle-checked capability has a `queries` entry and a matching
+  * `oracleSql` entry with identical column names and value semantics
+  * (doubles rounded, ints sized consistently: see Relational's
+  * conventions). Non-SQL-expressible operators (LSH/ANN/PageRank/
+  * fingerprints) appear in `queries` only → rows-only check, with
+  * ScalaTest specs carrying their correctness story.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    Relational.q3Join(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // C. relational core
+    "q1_agg"       -> (Relational.q1Agg _),
+    "q2_pushdown"  -> (Relational.q2Pushdown _),
+    "q3_join"      -> (Relational.q3Join _),
+    "q4_semi"      -> (Relational.q4Semi _),
+    "q4_anti"      -> (Relational.q4Anti _),
+    "q5_window"    -> (Relational.q5Window _),
+    "q6_rollup"    -> (Relational.q6Rollup _),
+    "q7_topk"      -> (Relational.q7Topk _),
+    "q8_distinct"  -> (Relational.q8Distinct _),
+    "q9_sort"      -> (Relational.q9Sort _),
+    "q10_union"    -> (Relational.q10Union _),
+    "q11_asof"     -> (Relational.q11Asof _),
+    "q12_pctl"     -> (Relational.q12Pctl _),
+    "q13_pivot"    -> (Relational.q13Pivot _),
+    "q14_timeagg"  -> (Relational.q14Timeagg _),
+    "q15_skew"     -> (Relational.q15Skew _),
+    // B. graph
+    "g_lookup"     -> (GraphQueries.gLookup _),
+    "g_motif"      -> (GraphQueries.gMotif _),
+    "g_tree"       -> (GraphQueries.gTree _),
+    "g_reach"      -> (GraphQueries.gReach _),
+    "g_cc"         -> (GraphQueries.gCc _),
+    "g_degree"     -> (GraphQueries.gDegree _),
+    "g_topdeg"     -> (GraphQueries.gTopdeg _),
+    "n1_nodemerge" -> (GraphQueries.n1NodeMerge _),
+    "n2_edgemerge" -> (GraphQueries.n2EdgeMerge _),
+    // D. dedup
+    "d1_exact"     -> (Dedup.d1Exact _),
+    "d2_minhash"   -> ((s, d) => Dedup.d2MinhashLsh(s, d)),
+    "d3_simhash"   -> ((s, d) => Dedup.d3Simhash(s, d)),
+    "d4_jaccard"   -> ((s, d) => Dedup.d4Jaccard(s, d)),
+    "d5_embdup"    -> ((s, d) => Dedup.d5EmbDup(s, d)),
+    // E. similarity search
+    "e1_topk"      -> ((s, d) => Similarity.e1TopK(s, d)),
+    "e2_ann"       -> ((s, d) => Similarity.e2AnnTopK(s, d)),
+    // F. text analysis
+    "f1_tokens"    -> (TextAnalysis.f1Tokens _),
+    "f2_quality"   -> (TextAnalysis.f2Quality _),
+    "f3_langid"    -> (TextAnalysis.f3LangId _),
+    "f4_fingerprint" -> ((s, d) => TextAnalysis.f4Fingerprint(s, d)),
+    "f5_corpus"    -> (TextAnalysis.f5Corpus _),
+  )
+
+  /** DuckDB twins of the SQL-expressible queries above. */
+  def oracleSql: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        | round(sum(l_quantity),2) AS sum_qty,
+        | round(sum(l_extendedprice),2) AS sum_base_price,
+        | round(sum(l_extendedprice*(1-l_discount)),2) AS sum_disc_price,
+        | round(avg(l_quantity),2) AS avg_qty,
+        | round(avg(l_discount),2) AS avg_disc,
+        | count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1997-09-01'
+        |GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+    "q2_pushdown" ->
+      """SELECT l_partkey, round(sum(l_quantity),2) AS qty, count(*) AS n
+        |FROM lineitem WHERE l_returnflag='R' AND l_quantity>25
+        |GROUP BY 1 HAVING count(*)>1 ORDER BY 1""".stripMargin,
+    "q3_join" ->
+      """SELECT r_name, n_name, round(sum(o_totalprice),2) AS revenue, count(*) AS n_orders
+        |FROM orders JOIN customer ON o_custkey=c_custkey
+        |JOIN nation ON c_nationkey=n_nationkey JOIN region ON n_regionkey=r_regionkey
+        |GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+    "q4_semi" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey=c_custkey AND o_totalprice>400000)
+        |ORDER BY 1""".stripMargin,
+    "q4_anti" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey=c_custkey)
+        |ORDER BY 1""".stripMargin,
+    "q5_window" ->
+      """SELECT o_custkey, rn, o_orderkey, price, prev_price, running_spend FROM (
+        | SELECT o_custkey,
+        |  CAST(row_number() OVER w AS INT) AS rn,
+        |  o_orderkey,
+        |  round(o_totalprice,2) AS price,
+        |  round(coalesce(lag(o_totalprice) OVER w, 0),2) AS prev_price,
+        |  round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |    ROWS UNBOUNDED PRECEDING),2) AS running_spend
+        | FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |) t WHERE rn<=3 ORDER BY o_custkey, rn""".stripMargin,
+    "q6_rollup" ->
+      """SELECT coalesce(l_returnflag,'ALL') AS flag, coalesce(l_linestatus,'ALL') AS status,
+        | round(sum(l_extendedprice),2) AS rev, count(*) AS n,
+        | CAST(grouping(l_returnflag)*2+grouping(l_linestatus) AS INT) AS gid
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY gid, flag, status""".stripMargin,
+    "q7_topk" ->
+      """SELECT o_custkey, rk, o_orderkey, price FROM (
+        | SELECT o_custkey,
+        |  CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rk,
+        |  o_orderkey, round(o_totalprice,2) AS price FROM orders
+        |) t WHERE rk<=2 ORDER BY o_custkey, rk""".stripMargin,
+    "q8_distinct" ->
+      """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
+        | count(DISTINCT l_suppkey) AS n_supps, count(*) AS n_rows
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q9_sort" ->
+      """SELECT o_orderkey, round(o_totalprice,2) AS price, o_orderpriority
+        |FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""".stripMargin,
+    "q10_union" ->
+      """SELECT nationkey, side, round(sum(bal),2) AS total_bal, count(*) AS n FROM (
+        | SELECT c_nationkey AS nationkey, c_acctbal AS bal, 'customer' AS side FROM customer
+        | UNION ALL
+        | SELECT s_nationkey, s_acctbal, 'supplier' FROM supplier
+        |) t GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+    "q11_asof" ->
+      """WITH od AS (
+        | SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey
+        | FROM orders GROUP BY 1,2)
+        |SELECT e.event_id, e.user_id, o.o_orderkey AS asof_order
+        |FROM events e ASOF LEFT JOIN od o
+        |  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+        |ORDER BY e.event_id""".stripMargin,
+    "q12_pctl" ->
+      """WITH g AS (SELECT l_returnflag, list_sort(list(l_extendedprice)) AS vs, count(*) AS n
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l_returnflag,
+        | vs[(n*50+99)//100] AS p50,
+        | vs[(n*90+99)//100] AS p90,
+        | vs[(n*99+99)//100] AS p99
+        |FROM g ORDER BY 1""".stripMargin,
+    "q13_pivot" ->
+      """SELECT user_id,
+        | count(*) FILTER (event_type='click') AS click,
+        | count(*) FILTER (event_type='error') AS error,
+        | count(*) FILTER (event_type='purchase') AS purchase,
+        | count(*) FILTER (event_type='signup') AS signup,
+        | count(*) FILTER (event_type='view') AS view
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q14_timeagg" ->
+      """SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, event_type,
+        | count(*) AS n, round(sum(value),2) AS total_value
+        |FROM events GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+    "q15_skew" ->
+      """SELECT c_mktsegment, count(*) AS n_events, round(sum(value),2) AS total_value
+        |FROM events JOIN customer ON user_id=c_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "g_lookup" ->
+      """SELECT 'c:'||c_custkey AS id, c_name AS name, round(c_acctbal,2) AS acctbal
+        |FROM customer WHERE c_nationkey=3 AND c_acctbal>1000 ORDER BY 1""".stripMargin,
+    "g_motif" ->
+      """SELECT c_custkey, count(*) AS n_paths, count(DISTINCT p_partkey) AS n_parts
+        |FROM customer JOIN orders ON c_custkey=o_custkey
+        |JOIN lineitem ON o_orderkey=l_orderkey JOIN part ON l_partkey=p_partkey
+        |WHERE c_mktsegment='BUILDING' AND p_size>40
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "g_tree" ->
+      """WITH RECURSIVE edges AS (
+        |  SELECT 'r:'||n_regionkey AS src, 'n:'||n_nationkey AS dst FROM nation
+        |  UNION ALL SELECT 'n:'||c_nationkey, 'c:'||c_custkey FROM customer
+        |  UNION ALL SELECT 'c:'||o_custkey, 'o:'||o_orderkey FROM orders
+        |), bfs AS (
+        |  SELECT 'r:0' AS id, 0 AS dist
+        |  UNION
+        |  SELECT e.dst, b.dist+1 FROM bfs b JOIN edges e ON b.id=e.src WHERE b.dist<10
+        |)
+        |SELECT dist, count(*) AS n FROM (SELECT id, min(dist) AS dist FROM bfs GROUP BY 1) t
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "g_reach" ->
+      """WITH RECURSIVE base AS (
+        |  SELECT DISTINCT 'p:'||l_partkey AS a, 's:'||l_suppkey AS b
+        |  FROM lineitem WHERE l_partkey%20=0
+        |), edges AS (SELECT a AS src, b AS dst FROM base UNION SELECT b, a FROM base
+        |), bfs AS (
+        |  SELECT 's:1' AS id, 0 AS dist
+        |  UNION
+        |  SELECT e.dst, b.dist+1 FROM bfs b JOIN edges e ON b.id=e.src WHERE b.dist<8
+        |)
+        |SELECT dist, count(*) AS n FROM (SELECT id, min(dist) AS dist FROM bfs GROUP BY 1) t
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "g_cc" ->
+      """WITH RECURSIVE base AS (
+        |  SELECT DISTINCT 'p:'||l_partkey AS a, 's:'||l_suppkey AS b
+        |  FROM lineitem WHERE l_partkey%20=0
+        |), edges AS (SELECT a AS src, b AS dst FROM base UNION SELECT b, a FROM base
+        |), reach AS (
+        |  SELECT src AS id, src AS r FROM edges
+        |  UNION
+        |  SELECT e.dst, r.r FROM reach r JOIN edges e ON r.id=e.src
+        |)
+        |SELECT component, count(*) AS size FROM
+        | (SELECT id, min(r) AS component FROM reach GROUP BY 1) t
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "g_degree" ->
+      """WITH base AS (SELECT DISTINCT 'p:'||l_partkey AS src, 's:'||l_suppkey AS dst
+        |  FROM lineitem WHERE l_partkey%20=0),
+        |o AS (SELECT src AS id, count(*) AS out_deg FROM base GROUP BY 1),
+        |i AS (SELECT dst AS id, count(*) AS in_deg FROM base GROUP BY 1)
+        |SELECT coalesce(o.id, i.id) AS id, coalesce(out_deg,0) AS out_deg,
+        | coalesce(in_deg,0) AS in_deg, coalesce(out_deg,0)+coalesce(in_deg,0) AS deg
+        |FROM o FULL OUTER JOIN i ON o.id=i.id ORDER BY 1""".stripMargin,
+    "g_topdeg" ->
+      """SELECT l_partkey, count(DISTINCT l_suppkey) AS n_supp FROM lineitem
+        |GROUP BY 1 ORDER BY n_supp DESC, l_partkey LIMIT 10""".stripMargin,
+    "n1_nodemerge" ->
+      """SELECT user_id, arg_min(event_type, event_id) AS first_type,
+        | arg_min(props, event_id) AS first_props, count(*) AS n_events
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "n2_edgemerge" ->
+      """SELECT user_id, event_type, round(arg_max(value, event_id),2) AS last_value,
+        | count(*) AS n
+        |FROM events GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+    "d1_exact" ->
+      """SELECT md5(lower(trim(text))) AS text_hash, min(doc_id) AS keeper,
+        | count(*) AS n_copies
+        |FROM documents GROUP BY 1 ORDER BY keeper""".stripMargin,
+    "d4_jaccard" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+        |  FROM documents WHERE doc_id%10=0),
+        |s AS (SELECT doc_id,
+        |  list_distinct([w[i]||' '||w[i+1]||' '||w[i+2] FOR i IN generate_series(1, len(w)-2)]) AS sh
+        |  FROM t),
+        |e AS (SELECT doc_id, unnest(sh) AS g FROM s),
+        |sz AS (SELECT doc_id, len(sh) AS n FROM s),
+        |inter AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS i
+        |  FROM e a JOIN e b ON a.g=b.g AND a.doc_id<b.doc_id GROUP BY 1,2)
+        |SELECT id1, id2, round(CAST(i AS DOUBLE)/(x.n+y.n-i),4) AS jaccard
+        |FROM inter JOIN sz x ON inter.id1=x.doc_id JOIN sz y ON inter.id2=y.doc_id
+        |WHERE CAST(i AS DOUBLE)/(x.n+y.n-i) >= 0.5 ORDER BY 1,2""".stripMargin,
+    "d5_embdup" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding
+        |  FROM embeddings WHERE vec_id%10=0)
+        |SELECT a.vec_id AS id1, b.vec_id AS id2,
+        | round(list_cosine_similarity(a.embedding, b.embedding),4) AS cos_sim
+        |FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.95
+        |ORDER BY 1,2""".stripMargin,
+    "e1_topk" ->
+      """WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding FROM embeddings),
+        |q AS (SELECT vec_id AS q_id, embedding AS qv FROM c WHERE vec_id < 8)
+        |SELECT q_id, rank, neighbor, cos_sim FROM (
+        | SELECT q_id,
+        |  CAST(row_number() OVER (PARTITION BY q_id
+        |    ORDER BY list_cosine_similarity(qv, embedding) DESC, vec_id) AS INT) AS rank,
+        |  vec_id AS neighbor, round(list_cosine_similarity(qv, embedding),4) AS cos_sim
+        | FROM q JOIN c ON vec_id <> q_id
+        |) t WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
+    "f1_tokens" ->
+      """SELECT doc_id,
+        | CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS BIGINT) AS ws_tokens,
+        | CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS re_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "f2_quality" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(lower(trim(text)),'\s+') AS w,
+        |  lower(trim(text)) AS lt FROM documents)
+        |SELECT doc_id, CAST(len(w) AS BIGINT) AS n_words,
+        | round(CAST(len(list_distinct(w)) AS DOUBLE)/len(w),4) AS diversity,
+        | round(CAST(len(list_filter(w, x -> x='the' OR x='a')) AS DOUBLE)/len(w),4) AS stop_ratio,
+        | round(CAST(length(regexp_replace(lt, '\s+', '', 'g')) AS DOUBLE)/len(w),4) AS mean_word_len,
+        | floor(((4*least(len(w),100)*len(w) + 400*len(list_distinct(w))
+        |          + 200*len(list_filter(w, x -> x='the' OR x='a')))*20000
+        |         + 1000*len(w)) / (1000*len(w)*2)) / 10000.0 AS quality
+        |FROM t ORDER BY doc_id""".stripMargin,
+    "f3_langid" ->
+      """WITH t AS (SELECT doc_id, lang, string_split_regex(lower(trim(text)),'\s+') AS w FROM documents),
+        |sc AS (SELECT doc_id, lang,
+        |  len(list_filter(w, x->x='the')) AS en, len(list_filter(w, x->x='data')) AS de,
+        |  len(list_filter(w, x->x='spark')) AS es, len(list_filter(w, x->x='query')) AS fr,
+        |  len(list_filter(w, x->x='vector')) AS zh FROM t),
+        |p AS (SELECT lang AS labeled,
+        |  CASE WHEN en=greatest(en,de,es,fr,zh) THEN 'en'
+        |       WHEN de=greatest(en,de,es,fr,zh) THEN 'de'
+        |       WHEN es=greatest(en,de,es,fr,zh) THEN 'es'
+        |       WHEN fr=greatest(en,de,es,fr,zh) THEN 'fr'
+        |       ELSE 'zh' END AS predicted FROM sc)
+        |SELECT labeled, predicted, count(*) AS n FROM p GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+    "f5_corpus" ->
+      """SELECT source, lang, count(*) AS n_docs,
+        | CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        | round(avg(len(string_split_regex(lower(trim(text)),'\s+'))),2) AS avg_words
+        |FROM documents GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+  )
 }

@@ -1,0 +1,129 @@
+package graft.graph
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Generic distributed graph operators over edge DataFrames.
+  *
+  * Conventions: an edge frame has columns `src` and `dst` (any orderable
+  * type); a vertex frame has column `id`. All operators are pure
+  * DataFrame programs — no driver-side adjacency, no `collect()` of
+  * vertex sets — so they scale with the cluster, not the driver.
+  *
+  * Capability analog: variable-length Cypher traversal
+  * (`MATCH (a)-[:T*]->(b)`) and the Neo4j GDS algorithms users run on
+  * graphs like the reference's (degree, WCC, PageRank).
+  */
+object GraphOps {
+
+  /** Symmetrize a directed edge frame (for undirected algorithms). */
+  def undirected(edges: DataFrame): DataFrame = {
+    val e = edges.select(col("src"), col("dst"))
+    e.unionByName(e.select(col("dst").as("src"), col("src").as("dst"))).distinct()
+  }
+
+  /** BFS from `sources` (a frame with column `id`) following `src`→`dst`.
+    *
+    * Returns (id, dist) with the minimal hop count. Frontier-based:
+    * each round joins only the new frontier against the edge frame,
+    * anti-joins already-visited vertices, and stops as soon as the
+    * frontier empties (or `maxIter`). Frontiers are persisted and
+    * lineage is truncated with `localCheckpoint` so round k doesn't
+    * replay rounds 1..k-1.
+    */
+  def bfs(edges: DataFrame, sources: DataFrame, maxIter: Int = 20): DataFrame = {
+    val e = edges.select(col("src"), col("dst"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var visited = sources.select(col("id"), lit(0).as("dist"))
+      .distinct().localCheckpoint()
+    var frontier = visited
+    var depth = 0
+    while (depth < maxIter && !frontier.isEmpty) {
+      depth += 1
+      val next = frontier.join(e, frontier("id") === e("src"))
+        .select(e("dst").as("id"))
+        .distinct()
+        .join(visited, Seq("id"), "left_anti")
+        .withColumn("dist", lit(depth))
+        .localCheckpoint()
+      visited = visited.unionByName(next).localCheckpoint()
+      frontier = next
+    }
+    e.unpersist()
+    visited
+  }
+
+  /** Connected components by iterative min-label propagation.
+    *
+    * Returns (id, component) where component is the minimum vertex id
+    * in the component. Converges in O(diameter) rounds with one shuffle
+    * per round; early-stops when no label changes. (For adversarially
+    * deep graphs the O(log n) star-contraction variant drops in behind
+    * the same signature — diameter on real telemetry/co-occurrence
+    * graphs is small, so label propagation is the cheaper default.)
+    */
+  def connectedComponents(edges: DataFrame, maxIter: Int = 30): DataFrame = {
+    val sym = undirected(edges).persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = sym.select(col("src").as("id"))
+      .union(sym.select(col("dst").as("id")))
+      .distinct()
+      .select(col("id"), col("id").as("component"))
+      .localCheckpoint()
+    var changed = 1L
+    var iter = 0
+    while (iter < maxIter && changed > 0) {
+      iter += 1
+      val msgs = sym.join(labels, sym("src") === labels("id"))
+        .select(sym("dst").as("id"), col("component"))
+      val next = labels.unionByName(msgs)
+        .groupBy(col("id"))
+        .agg(min(col("component")).as("component"))
+        .localCheckpoint()
+      changed = next.alias("n")
+        .join(labels.alias("o"), col("n.id") === col("o.id"))
+        .filter(col("n.component") =!= col("o.component"))
+        .count()
+      labels = next
+    }
+    sym.unpersist()
+    labels
+  }
+
+  /** PageRank by power iteration (standard damping formulation).
+    * Returns (id, rank). Out-degrees are computed once; each round is
+    * one join + one aggregation. */
+  def pageRank(edges: DataFrame, iters: Int = 10, damping: Double = 0.85): DataFrame = {
+    val e = edges.select(col("src"), col("dst")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val vertices = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id")))
+      .distinct().persist(StorageLevel.MEMORY_AND_DISK)
+    val outDeg = e.groupBy(col("src")).count().withColumnRenamed("count", "deg")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var ranks = vertices.withColumn("rank", lit(1.0)).localCheckpoint()
+    for (_ <- 1 to iters) {
+      val contribs = e.join(ranks, e("src") === ranks("id"))
+        .join(outDeg, Seq("src"))
+        .select(col("dst").as("id"), (col("rank") / col("deg")).as("contrib"))
+      val sums = contribs.groupBy(col("id")).agg(sum(col("contrib")).as("msum"))
+      ranks = vertices.join(sums, Seq("id"), "left")
+        .select(col("id"),
+          (lit(1 - damping) + lit(damping) * coalesce(col("msum"), lit(0.0))).as("rank"))
+        .localCheckpoint()
+    }
+    e.unpersist(); vertices.unpersist(); outDeg.unpersist()
+    ranks
+  }
+
+  /** In/out/total degree per vertex. */
+  def degrees(edges: DataFrame): DataFrame = {
+    val out = edges.groupBy(col("src").as("id")).agg(count(lit(1)).as("out_deg"))
+    val in = edges.groupBy(col("dst").as("id")).agg(count(lit(1)).as("in_deg"))
+    out.join(in, Seq("id"), "full_outer")
+      .select(col("id"),
+        coalesce(col("out_deg"), lit(0L)).as("out_deg"),
+        coalesce(col("in_deg"), lit(0L)).as("in_deg"))
+      .withColumn("deg", col("out_deg") + col("in_deg"))
+  }
+}

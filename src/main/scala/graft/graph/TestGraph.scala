@@ -1,0 +1,42 @@
+package graft.graph
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Deterministic graphs derived from the testdata star schema, used to
+  * exercise the graph operators against a DuckDB oracle (the driver can
+  * recompute the same edges with plain SQL).
+  *
+  * - `hierarchy`: the region→nation→customer→order forest (directed,
+  *   arbitrary-depth traversals are BFS over it).
+  * - `partSupplier`: the bipartite part—supplier co-occurrence graph from
+  *   lineitem, sparsified deterministically (`l_partkey % 20 == 0`) so
+  *   closure-style oracles stay bounded.
+  *
+  * Vertex ids are namespaced strings ("r:0", "n:3", "c:42", "o:17",
+  * "p:20", "s:5") — ASCII, so Spark and DuckDB order them identically.
+  */
+object TestGraph {
+
+  def hierarchyEdges(s: SparkSession, dir: String): DataFrame = {
+    val rn = Tables.nation(s, dir).select(
+      concat(lit("r:"), col("n_regionkey")).as("src"),
+      concat(lit("n:"), col("n_nationkey")).as("dst"))
+    val nc = Tables.customer(s, dir).select(
+      concat(lit("n:"), col("c_nationkey")).as("src"),
+      concat(lit("c:"), col("c_custkey")).as("dst"))
+    val co = Tables.orders(s, dir).select(
+      concat(lit("c:"), col("o_custkey")).as("src"),
+      concat(lit("o:"), col("o_orderkey")).as("dst"))
+    rn.unionByName(nc).unionByName(co)
+  }
+
+  def partSupplierEdges(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .filter(col("l_partkey") % 20 === 0)
+      .select(concat(lit("p:"), col("l_partkey")).as("src"),
+              concat(lit("s:"), col("l_suppkey")).as("dst"))
+      .distinct()
+}

@@ -1,0 +1,164 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Deduplication suite for large text corpora (SURVEY §2 D1-D5).
+  *
+  * Everything here is shuffle-bounded: exact dedup is one hash groupBy;
+  * near-dup never materializes the O(n²) pair space — candidates come
+  * from LSH band buckets or a shingle inverted index, then get exactly
+  * verified.
+  */
+object Dedup {
+
+  /** Normalized text used as the dedup identity everywhere. */
+  private def norm(c: org.apache.spark.sql.Column) = lower(trim(c))
+
+  /** D1 — exact dedup: group by md5(normalized text), keep min doc_id.
+    * Map-side partial aggregation makes the shuffle |distinct texts|. */
+  def d1Exact(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .groupBy(md5(norm(col("text"))).as("text_hash"))
+      .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_copies"))
+      .orderBy(col("keeper"))
+
+  /** Word 3-gram shingle set per document (distinct). */
+  def shingles(docs: DataFrame, n: Int = 3): DataFrame = {
+    val words = split(norm(col("text")), "\\s+")
+    docs.select(col("doc_id"),
+        array_distinct(
+          filter(
+            transform(sequence(lit(0), greatest(size(words) - n, lit(0))),
+              i => when(i + n <= size(words),
+                concat_ws(" ", slice(words, i + 1, lit(n))))),
+            x => x.isNotNull)).as("shingles"))
+  }
+
+  /** D4 — exact pairwise n-gram Jaccard over a deterministic document
+    * subset (doc_id % 10 == 0): shingle inverted-index join (only pairs
+    * that share ≥1 shingle are scored — never a cross join). */
+  def d4Jaccard(s: SparkSession, dir: String, threshold: Double = 0.5): DataFrame = {
+    val docs = Tables.documents(s, dir).filter(col("doc_id") % 10 === 0)
+    val sh = shingles(docs).persist()
+    val sizes = sh.select(col("doc_id"), size(col("shingles")).as("n"))
+    val ex = sh.select(col("doc_id"), explode(col("shingles")).as("g"))
+    val inter = ex.alias("x").join(ex.alias("y"),
+        col("x.g") === col("y.g") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("id1"), col("y.doc_id").as("id2"))
+      .agg(count(lit(1)).as("i"))
+    val out = inter
+      .join(sizes.select(col("doc_id").as("id1"), col("n").as("n1")), Seq("id1"))
+      .join(sizes.select(col("doc_id").as("id2"), col("n").as("n2")), Seq("id2"))
+      .withColumn("jaccard",
+        round(col("i").cast("double") / (col("n1") + col("n2") - col("i")), 4))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id1"), col("id2"), col("jaccard"))
+      .orderBy(col("id1"), col("id2"))
+    out
+  }
+
+  /** MinHash signatures: k independent hash functions realized as
+    * xxhash64 with per-function salts; one explode + one groupBy. */
+  def minhashSignatures(docs: DataFrame, k: Int = 64): DataFrame = {
+    val ex = shingles(docs).select(col("doc_id"), explode(col("shingles")).as("g"))
+    val aggs = (0 until k).map(i => min(xxhash64(lit(i), col("g"))).as(s"h$i"))
+    ex.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+      .select(col("doc_id"), array((0 until k).map(i => col(s"h$i")): _*).as("sig"))
+  }
+
+  /** D2 — MinHash + LSH near-dup pairs.
+    *
+    * bands × rows = k; docs landing in the same (band, band-hash) bucket
+    * become candidates; candidates are exactly verified with true
+    * Jaccard, so precision is 1.0 and recall is the standard LSH
+    * S-curve for (bands, rows).
+    */
+  def d2MinhashLsh(s: SparkSession, dir: String,
+                   k: Int = 64, bands: Int = 16,
+                   threshold: Double = 0.5): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val rows = k / bands
+    val sigs = minhashSignatures(docs, k)
+    val banded = sigs.select(col("doc_id"),
+        explode(array((0 until bands).map(b =>
+          struct(lit(b).as("band"),
+            xxhash64(slice(col("sig"), b * rows + 1, rows)).as("bh"))): _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band"), col("bb.bh"))
+    val cand = banded.alias("x").join(banded.alias("y"),
+        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("id1"), col("y.doc_id").as("id2"))
+      .distinct()
+    verifyJaccard(docs, cand, threshold)
+  }
+
+  /** Exact-Jaccard verification of candidate pairs. */
+  def verifyJaccard(docs: DataFrame, cand: DataFrame, threshold: Double): DataFrame = {
+    val sh = shingles(docs)
+    cand
+      .join(sh.select(col("doc_id").as("id1"), col("shingles").as("s1")), Seq("id1"))
+      .join(sh.select(col("doc_id").as("id2"), col("shingles").as("s2")), Seq("id2"))
+      .withColumn("jaccard", round(
+        size(array_intersect(col("s1"), col("s2"))).cast("double") /
+          size(array_union(col("s1"), col("s2"))), 4))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id1"), col("id2"), col("jaccard"))
+      .orderBy(col("id1"), col("id2"))
+  }
+
+  /** SimHash-64 per document: sign-aggregate of per-token hash bits
+    * (computed with bit arithmetic over xxhash64 — no UDF). */
+  def simhash(docs: DataFrame): DataFrame = {
+    val tok = docs.select(col("doc_id"),
+      explode(split(norm(col("text")), "\\s+")).as("w"))
+      .withColumn("h", xxhash64(col("w")))
+    // per bit i: +1 if bit set else -1; simhash bit i = majority
+    val bitCols = (0 until 64).map { i =>
+      sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$i")
+    }
+    tok.groupBy(col("doc_id")).agg(bitCols.head, bitCols.tail: _*)
+      .select(col("doc_id"),
+        (0 until 64).map(i => when(col(s"b$i") > 0, expr(s"CAST(1 AS BIGINT) << $i"))
+          .otherwise(lit(0L))).reduce(_.bitwiseOR(_)).as("simhash"))
+  }
+
+  /** D3 — SimHash near-dup: candidates share one of four 16-bit chunks
+    * (guarantees recall for Hamming distance ≤ 3), then exact Hamming
+    * filter. */
+  def d3Simhash(s: SparkSession, dir: String, maxHamming: Int = 3): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val sigs = simhash(docs).persist()
+    val chunked = sigs.select(col("doc_id"), col("simhash"),
+        explode(array((0 until 4).map(c =>
+          struct(lit(c).as("chunk"),
+            shiftrightunsigned(col("simhash"), c * 16).bitwiseAND(0xFFFF).as("cv"))): _*)).as("cc"))
+      .select(col("doc_id"), col("simhash"), col("cc.chunk"), col("cc.cv"))
+    val popcount = (x: org.apache.spark.sql.Column) => bit_count(x)
+    chunked.alias("x").join(chunked.alias("y"),
+        col("x.chunk") === col("y.chunk") && col("x.cv") === col("y.cv") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("id1"), col("y.doc_id").as("id2"),
+        popcount(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+      .orderBy(col("id1"), col("id2"))
+  }
+
+  /** D5 — embedding-cosine near-dup pairs over the deterministic
+    * vec_id % 10 == 0 subset (exact, oracle-checkable; the LSH/IVF
+    * scale path lives in [[Similarity]]). */
+  def d5EmbDup(s: SparkSession, dir: String, threshold: Double = 0.95): DataFrame = {
+    val e = Tables.embeddings(s, dir).filter(col("vec_id") % 10 === 0)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val a = e.select(col("vec_id").as("id1"), col("v").as("v1"))
+    val b = e.select(col("vec_id").as("id2"), col("v").as("v2"))
+    a.join(b, col("id1") < col("id2"))
+      .withColumn("cos", Similarity.cosine(col("v1"), col("v2")))
+      .filter(col("cos") >= threshold)
+      .select(col("id1"), col("id2"), round(col("cos"), 4).as("cos_sim"))
+      .orderBy(col("id1"), col("id2"))
+  }
+}

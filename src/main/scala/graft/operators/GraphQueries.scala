@@ -1,0 +1,104 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.graph.{GraphOps, TestGraph}
+
+/** Oracle-checkable graph queries (SURVEY §2 B1-B8) over the testdata-
+  * derived graphs, plus the node/edge MERGE-semantics analogs (A3/A4).
+  *
+  * These exercise the same operator implementations
+  * ([[graft.graph.GraphOps]]) that [[graft.graph.SysmonGraph]] queries
+  * use on the reference's trace graphs.
+  */
+object GraphQueries {
+
+  /** B1 — node lookup + property filter (Cypher `MATCH (c:Customer) WHERE …`). */
+  def gLookup(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .filter(col("c_nationkey") === 3 && col("c_acctbal") > 1000)
+      .select(concat(lit("c:"), col("c_custkey")).as("id"),
+        col("c_name").as("name"), round(col("c_acctbal"), 2).as("acctbal"))
+      .orderBy(col("id"))
+
+  /** B2 — fixed-length motif: (customer)-[:PLACED]->(order)-[:HAS]->
+    * (lineitem)-[:OF_PART]->(part {p_size>40}); counts per customer. */
+  def gMotif(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    val l = Tables.lineitem(s, dir)
+    val p = broadcast(Tables.part(s, dir).filter(col("p_size") > 40))
+    val c = broadcast(Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING"))
+    c.join(o, c("c_custkey") === o("o_custkey"))
+      .join(l, o("o_orderkey") === l("l_orderkey"))
+      .join(p, l("l_partkey") === p("p_partkey"))
+      .groupBy(col("c_custkey"))
+      .agg(count(lit(1)).as("n_paths"), countDistinct(col("p_partkey")).as("n_parts"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** B3 — variable-length traversal: BFS down the region→nation→customer
+    * →order forest from region r:0; node count per depth. */
+  def gTree(s: SparkSession, dir: String): DataFrame = {
+    val src = s.range(1).select(lit("r:0").as("id"))
+    GraphOps.bfs(TestGraph.hierarchyEdges(s, dir), src, maxIter = 10)
+      .groupBy(col("dist")).agg(count(lit(1)).as("n"))
+      .orderBy(col("dist"))
+  }
+
+  /** B4 — reachability with minimal hop count on the undirected
+    * part—supplier graph from s:1. */
+  def gReach(s: SparkSession, dir: String): DataFrame = {
+    val src = s.range(1).select(lit("s:1").as("id"))
+    val edges = GraphOps.undirected(TestGraph.partSupplierEdges(s, dir))
+    GraphOps.bfs(edges, src, maxIter = 8)
+      .groupBy(col("dist")).agg(count(lit(1)).as("n"))
+      .orderBy(col("dist"))
+  }
+
+  /** B5 — connected components of the part—supplier graph: component
+    * representative (min id) + size, largest first. */
+  def gCc(s: SparkSession, dir: String): DataFrame =
+    GraphOps.connectedComponents(TestGraph.partSupplierEdges(s, dir))
+      .groupBy(col("component")).agg(count(lit(1)).as("size"))
+      .orderBy(col("component"))
+
+  /** B7 — degree per vertex of the part—supplier graph. */
+  def gDegree(s: SparkSession, dir: String): DataFrame =
+    GraphOps.degrees(TestGraph.partSupplierEdges(s, dir))
+      .select(col("id"), col("out_deg"), col("in_deg"), col("deg"))
+      .orderBy(col("id"))
+
+  /** B8 — top-10 parts by distinct supplier count (graph aggregation +
+    * top-k; ties broken by part id). */
+  def gTopdeg(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_partkey"))
+      .agg(countDistinct(col("l_suppkey")).as("n_supp"))
+      .orderBy(col("n_supp").desc, col("l_partkey"))
+      .limit(10)
+
+  /** A3 analog (N1) — MERGE first-non-null node semantics: one node per
+    * user carrying the properties of its earliest event (`min_by`,
+    * map-side partial agg — shuffle is |users|, not |events|). */
+  def n1NodeMerge(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(col("user_id"))
+      .agg(
+        min_by(col("event_type"), col("event_id")).as("first_type"),
+        min_by(col("props"), col("event_id")).as("first_props"),
+        count(lit(1)).as("n_events"))
+      .orderBy(col("user_id"))
+
+  /** A4 analog (N2) — last-write-wins edge property semantics: one edge
+    * per (user, event_type) carrying the latest value. */
+  def n2EdgeMerge(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(
+        round(max_by(col("value"), col("event_id")), 2).as("last_value"),
+        count(lit(1)).as("n"))
+      .orderBy(col("user_id"), col("event_type"))
+}

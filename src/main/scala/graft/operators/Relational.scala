@@ -1,0 +1,240 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Relational query surface (SURVEY §2 C1-C15).
+  *
+  * Conventions shared with the DuckDB oracles in [[graft.SparkEntry]]:
+  * double aggregates are `round(_, 2)`; dates/timestamps are formatted
+  * as strings; counts are bigint. Every output column is aliased
+  * identically on both sides.
+  *
+  * Scale notes: dimension tables (region/nation/customer/supplier/part)
+  * are always broadcast; the fact tables (lineitem/orders/events) are
+  * shuffled at most once per query on their natural key; aggregations
+  * rely on map-side partial aggregation.
+  */
+object Relational {
+
+  /** C1 — TPC-H Q1-style pricing summary. One shuffle on the grouping key. */
+  def q1Agg(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") <= lit("1997-09-01"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+        round(avg(col("l_quantity")), 2).as("avg_qty"),
+        round(avg(col("l_discount")), 2).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  /** C2 — filter + narrow projection; both reach the parquet scan
+    * (`PushedFilters`, 3-column `ReadSchema`). */
+  def q2Pushdown(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .select(col("l_partkey"), col("l_quantity"), col("l_returnflag"))
+      .filter(col("l_returnflag") === "R" && col("l_quantity") > 25)
+      .groupBy(col("l_partkey")).agg(
+        round(sum(col("l_quantity")), 2).as("qty"),
+        count(lit(1)).as("n"))
+      .filter(col("n") > 1)
+      .orderBy(col("l_partkey"))
+
+  /** C3 — star join: fact shuffled once, all dims broadcast. */
+  def q3Join(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    val c = broadcast(Tables.customer(s, dir))
+    val n = broadcast(Tables.nation(s, dir))
+    val r = broadcast(Tables.region(s, dir))
+    o.join(c, o("o_custkey") === c("c_custkey"))
+      .join(n, c("c_nationkey") === n("n_nationkey"))
+      .join(r, n("n_regionkey") === r("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(
+        round(sum(col("o_totalprice")), 2).as("revenue"),
+        count(lit(1)).as("n_orders"))
+      .orderBy(col("r_name"), col("n_name"))
+  }
+
+  /** C4a — EXISTS via left_semi (no row multiplication, no distinct). */
+  def q4Semi(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir)
+    val big = Tables.orders(s, dir).filter(col("o_totalprice") > 400000)
+    c.join(big, c("c_custkey") === big("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** C4b — NOT EXISTS via left_anti. */
+  def q4Anti(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir)
+    val o = Tables.orders(s, dir)
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** C5 — window functions: rank / lag / running sum per customer.
+    * Single shuffle on the partition key serves all three. */
+  def q5Window(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+    Tables.orders(s, dir)
+      .withColumn("rn", row_number().over(w))
+      .withColumn("prev_price", round(coalesce(lag(col("o_totalprice"), 1).over(w), lit(0.0)), 2))
+      .withColumn("running_spend",
+        round(sum(col("o_totalprice")).over(w.rowsBetween(Window.unboundedPreceding, 0)), 2))
+      .filter(col("rn") <= 3)
+      .select(col("o_custkey"), col("rn"), col("o_orderkey"),
+        round(col("o_totalprice"), 2).as("price"), col("prev_price"), col("running_spend"))
+      .orderBy(col("o_custkey"), col("rn"))
+  }
+
+  /** C6 — rollup with grouping_id (grouping-sets family). */
+  def q6Rollup(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(round(sum(col("l_extendedprice")), 2).as("rev"),
+           count(lit(1)).as("n"),
+           grouping_id().cast("int").as("gid"))
+      .select(coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
+              coalesce(col("l_linestatus"), lit("ALL")).as("status"),
+              col("rev"), col("n"), col("gid"))
+      .orderBy(col("gid"), col("flag"), col("status"))
+
+  /** C7 — top-k per group via row_number (ties broken by unique key). */
+  def q7Topk(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(s, dir)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 2)
+      .select(col("o_custkey"), col("rk"), col("o_orderkey"),
+        round(col("o_totalprice"), 2).as("price"))
+      .orderBy(col("o_custkey"), col("rk"))
+  }
+
+  /** C8 — exact distinct counts (the oracle-checkable twin of the
+    * approx_count_distinct / HLL path used at scale). */
+  def q8Distinct(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_partkey")).as("n_parts"),
+           countDistinct(col("l_suppkey")).as("n_supps"),
+           count(lit(1)).as("n_rows"))
+      .orderBy(col("l_returnflag"))
+
+  /** C9 — global sort + limit: planned as TakeOrderedAndProject (per-
+    * partition top-N + merge on driver), never a full sort at scale. */
+  def q9Sort(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(20)
+      .select(col("o_orderkey"), round(col("o_totalprice"), 2).as("price"),
+        col("o_orderpriority"))
+
+  /** C10 — union + composition: per-nation customer vs supplier balances. */
+  def q10Union(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir)
+      .select(col("c_nationkey").as("nationkey"), col("c_acctbal").as("bal"),
+        lit("customer").as("side"))
+    val su = Tables.supplier(s, dir)
+      .select(col("s_nationkey").as("nationkey"), col("s_acctbal").as("bal"),
+        lit("supplier").as("side"))
+    c.unionByName(su)
+      .groupBy(col("nationkey"), col("side"))
+      .agg(round(sum(col("bal")), 2).as("total_bal"), count(lit(1)).as("n"))
+      .orderBy(col("nationkey"), col("side"))
+  }
+
+  /** C11 — as-of join: for each event, the latest order of the matching
+    * customer with orderdate <= event time.
+    *
+    * Implemented by union + window carry-forward (sort-merge friendly,
+    * one shuffle on the key, no range cross-join) — the pattern that
+    * survives 100 TB, unlike a theta-join. */
+  def q11Asof(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("user_id").as("k"), col("ts").cast("timestamp").as("t"),
+        col("event_id"), lit(null).cast("long").as("o_key"), lit(1).as("is_probe"))
+    val od = Tables.orders(s, dir)
+      // one order state per (customer, date): ties collapse to max orderkey
+      .groupBy(col("o_custkey"), col("o_orderdate"))
+      .agg(max(col("o_orderkey")).as("o_key"))
+      .select(col("o_custkey").as("k"), col("o_orderdate").cast("timestamp").as("t"),
+        lit(null).cast("long").as("event_id"), col("o_key"),
+        lit(0).as("is_probe"))
+    // order-rows sort before probe-rows at identical timestamps (is_probe asc)
+    val w = Window.partitionBy(col("k"))
+      .orderBy(col("t"), col("is_probe"), col("o_key"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    od.unionByName(ev)
+      .withColumn("asof_order", last(col("o_key"), ignoreNulls = true).over(w))
+      .filter(col("is_probe") === 1)
+      .select(col("event_id"), col("k").as("user_id"), col("asof_order"))
+      .orderBy(col("event_id"))
+  }
+
+  /** C12 — exact discrete percentiles per group (value at rank
+    * ceil(p·n), computed distributively via row_number — no per-group
+    * array materialization, no float interpolation: the result is an
+    * actual data value, so it compares exactly across engines).
+    * `approx_percentile` is the sketch-based scale path; this is its
+    * oracle-checkable exact twin. */
+  def q12Pctl(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("l_returnflag")).orderBy(col("l_extendedprice"))
+    val wAll = Window.partitionBy(col("l_returnflag"))
+    Tables.lineitem(s, dir)
+      .select(col("l_returnflag"), col("l_extendedprice"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .withColumn("i50", expr("(n*50+99) DIV 100"))
+      .withColumn("i90", expr("(n*90+99) DIV 100"))
+      .withColumn("i99", expr("(n*99+99) DIV 100"))
+      .filter(col("rn") === col("i50") || col("rn") === col("i90") || col("rn") === col("i99"))
+      .groupBy(col("l_returnflag"))
+      .agg(
+        max(when(col("rn") === col("i50"), col("l_extendedprice"))).as("p50"),
+        max(when(col("rn") === col("i90"), col("l_extendedprice"))).as("p90"),
+        max(when(col("rn") === col("i99"), col("l_extendedprice"))).as("p99"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** C13 — pivot with an explicit value list (single pass, no value-
+    * discovery job). */
+  def q13Pivot(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(col("user_id"))
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy(col("user_id"))
+
+  /** C14 — event-time bucketing (daily activity rollup). */
+  def q14Timeagg(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+      .orderBy(col("day"), col("event_type"))
+
+  /** C15 — skew-safe join: the build side is replicated over SALT
+    * deterministic buckets so one hot user_id cannot pin a single task.
+    * Result is identical to the plain join (the oracle checks that). */
+  def q15Skew(s: SparkSession, dir: String): DataFrame = {
+    val salts = 8
+    val ev = Tables.events(s, dir)
+      .withColumn("salt", pmod(col("event_id"), lit(salts)).cast("int"))
+    val cust = Tables.customer(s, dir)
+      .withColumn("salt", explode(array((0 until salts).map(lit): _*)))
+    ev.join(cust, ev("user_id") === cust("c_custkey") && ev("salt") === cust("salt"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("total_value"))
+      .orderBy(col("c_mktsegment"))
+  }
+}

@@ -1,0 +1,140 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Similarity search over embedding columns (SURVEY §2 E1-E3).
+  *
+  * The embeddings table is (vec_id, embedding: array<float>, label).
+  * Dot products run through `zip_with`/`aggregate` higher-order
+  * functions — codegen'd columnar arithmetic, no UDF.
+  */
+object Similarity {
+
+  /** Cosine similarity of two array<double> columns. Sequential left
+    * fold — the same evaluation order DuckDB's list_cosine_similarity
+    * uses, so oracle comparisons match bit-for-bit. */
+  def cosine(a: Column, b: Column): Column = {
+    val dot = aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    val na = sqrt(aggregate(transform(a, x => x * x), lit(0.0), (acc, x) => acc + x))
+    val nb = sqrt(aggregate(transform(b, x => x * x), lit(0.0), (acc, x) => acc + x))
+    dot / (na * nb)
+  }
+
+  /** E1 — brute-force exact cosine top-k for a query set (vec_id < 8).
+    * The query side is broadcast; every partition scores its slice of
+    * the corpus and a window keeps top-k — at cluster scale this is one
+    * pass over the data with no shuffle of the corpus itself. */
+  def e1TopK(s: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val all = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val queries = broadcast(all.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("q_id"), col("v").as("qv")))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
+    queries.join(all, col("q_id") =!= col("vec_id"))
+      .withColumn("cos", cosine(col("qv"), col("v")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("vec_id").as("neighbor"),
+        round(col("cos"), 4).as("cos_sim"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  /** Deterministic pseudo-random hyperplane component for (plane, dim):
+    * ±1 from xxhash64 parity. */
+  private def planeSign(plane: Int, dim: Column): Column =
+    when(xxhash64(lit(plane), dim).bitwiseAND(1) === 1, lit(1.0)).otherwise(lit(-1.0))
+
+  /** Random-hyperplane LSH bucket id (nbits sign bits packed into a
+    * long); `planeSeed` offsets the plane ids so multiple independent
+    * tables can be derived. */
+  def lshBucket(v: Column, nbits: Int, planeSeed: Int = 0): Column =
+    (0 until nbits).map { p =>
+      val dot = aggregate(
+        zip_with(v, transform(v, (_, i) => planeSign(planeSeed + p, i)), (x, sgn) => x * sgn),
+        lit(0.0), (acc, x) => acc + x)
+      when(dot >= 0, expr(s"CAST(1 AS BIGINT) << $p")).otherwise(lit(0L))
+    }.reduce(_.bitwiseOR(_))
+
+  /** E2 — ANN top-k with multi-table random-hyperplane LSH: `ntables`
+    * independent sign-bit sketches; candidates are vectors sharing a
+    * bucket with the query in ANY table (union via the exploded
+    * (table, bucket) inverted index), then exact re-rank. Recall vs E1
+    * is measured in the spec; at scale the bucket join replaces the
+    * full corpus scan. */
+  def e2AnnTopK(s: SparkSession, dir: String, k: Int = 5,
+                nbits: Int = 6, ntables: Int = 8): DataFrame = {
+    val all = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("tb", explode(array((0 until ntables).map(t =>
+        struct(lit(t).as("tbl"),
+          lshBucket(col("v"), nbits, planeSeed = t * 1000).as("bucket"))): _*)))
+      .select(col("vec_id"), col("v"), col("tb.tbl"), col("tb.bucket"))
+    val queries = broadcast(all.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("tbl"), col("bucket")))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
+    queries.join(all, Seq("tbl", "bucket"))
+      .filter(col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("qv"), col("vec_id"), col("v")).distinct()
+      .withColumn("cos", cosine(col("qv"), col("v")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("vec_id").as("neighbor"),
+        round(col("cos"), 4).as("cos_sim"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  /** E3 — IVF-style search: a deterministic coarse quantizer (centroids
+    * = every (n/nlist)-th vector, refined by `lloydIters` distributed
+    * k-means steps), probe the nearest `nprobe` lists only. */
+  def e3IvfTopK(s: SparkSession, dir: String, k: Int = 5,
+                nlist: Int = 16, nprobe: Int = 4, lloydIters: Int = 2): DataFrame = {
+    val all = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .persist()
+    val n = all.count()
+    val stride = math.max(n / nlist, 1L)
+    var centroids = all.filter(col("vec_id") % stride === 0)
+      .limit(nlist)
+      .select((col("vec_id") / stride).cast("int").as("cid"), col("v").as("cv"))
+    for (_ <- 1 to lloydIters) {
+      val assigned = all.crossJoin(broadcast(centroids))
+        .withColumn("cos", cosine(col("v"), col("cv")))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("vec_id")).orderBy(col("cos").desc, col("cid"))))
+        .filter(col("rn") === 1)
+      centroids = assigned.groupBy(col("cid"))
+        .agg(collect_list(col("v")).as("vs"))
+        .select(col("cid"),
+          expr("transform(vs[0], (x, i) -> aggregate(vs, 0D, (acc, v) -> acc + v[i]) / size(vs))").as("cv"))
+    }
+    val cb = broadcast(centroids)
+    val assigned = all.crossJoin(cb)
+      .withColumn("cos", cosine(col("v"), col("cv")))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("vec_id")).orderBy(col("cos").desc, col("cid"))))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("v"), col("cid"))
+    val queries = broadcast(assigned.filter(col("vec_id") < 8)
+      .select(col("vec_id"), col("v")).crossJoin(cb)
+      .withColumn("qccos", cosine(col("v"), col("cv")))
+      .withColumn("prn", row_number().over(
+        Window.partitionBy(col("vec_id")).orderBy(col("qccos").desc, col("cid"))))
+      .filter(col("prn") <= nprobe)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("cid")))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
+    val out = queries.join(assigned, Seq("cid"))
+      .filter(col("q_id") =!= col("vec_id"))
+      .withColumn("cos", cosine(col("qv"), col("v")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("vec_id").as("neighbor"),
+        round(col("cos"), 4).as("cos_sim"))
+      .orderBy(col("q_id"), col("rank"))
+    all.unpersist()
+    out
+  }
+}

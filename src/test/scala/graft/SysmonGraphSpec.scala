@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.graph.SysmonGraph
+import graft.sources.TraceJson
+
+/** Expected values pinned from tools/sysmon_oracle.py — an independent
+  * in-memory replay of the reference loader's semantics
+  * (/root/reference/events.py) over the reference's own trace files. */
+class SysmonGraphSpec extends SparkSpec {
+
+  private val ref = "/root/reference/malware"
+
+  private def counts(path: String): (Map[String, Long], Map[String, Long]) = {
+    val (nodes, edges) = SysmonGraph.build(spark, path)
+    val n = nodes.groupBy(col("label")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val e = edges.groupBy(col("etype")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    (n, e)
+  }
+
+  test("single trace: simple process/file graph (T1001+T1001.002)") {
+    val (n, e) = counts(s"$ref/T1001+T1001.002.json")
+    assert(n == Map("File" -> 4L, "Process" -> 12L, "Trace" -> 1L))
+    assert(e == Map("CREATED_FILE" -> 4L, "HAS_PROCESS" -> 12L, "SPAWNS" -> 16L))
+  }
+
+  test("single trace: registry + network events (T1031+T1050-2)") {
+    val (n, e) = counts(s"$ref/T1031+T1050-2.json")
+    assert(n == Map("File" -> 4L, "Ip" -> 4L, "Process" -> 64L,
+      "RegistryKey" -> 13L, "RegistryValue" -> 14L, "Trace" -> 1L))
+    assert(e == Map("CONNECTED_TO" -> 4L, "CREATED_FILE" -> 4L,
+      "HAS_PROCESS" -> 64L, "SET_REG_VALUE" -> 14L, "SPAWNS" -> 58L,
+      "UNDER_KEY" -> 14L))
+  }
+
+  test("multi-file load merges nodes across traces") {
+    val (n, e) = counts(
+      s"$ref/{T1001+T1001.002,T1003+T1003.003,T1031+T1050-2}.json")
+    // single-file sums: Process 12+29+64=105; one guid collides → 104
+    assert(n("Process") == 104L)
+    assert(n("Trace") == 3L)
+    assert(e("SPAWNS") == 112L)
+    assert(e("HAS_PROCESS") == 105L)
+  }
+
+  test("process node props follow reference MERGE semantics") {
+    val (nodes, _) = SysmonGraph.build(spark, s"$ref/T1031+T1050-2.json")
+    val procs = nodes.filter(col("label") === "Process")
+    // every main process carries an image prop (possibly ""), and
+    // image values are path basenames by POSIX rules (no '/' inside)
+    val imgs = procs.select(element_at(col("props"), "image"))
+      .collect().flatMap(r => Option(r.getString(0)))
+    assert(imgs.nonEmpty)
+    assert(imgs.forall(i => !i.contains("/")))
+  }
+
+  test("tag falsiness: numeric zero and empty tags are skipped like the reference") {
+    import spark.implicits._
+    val df = Seq(("int64", "0"), ("int64", "5"), ("string", ""),
+      ("string", "0"), ("bool", "false"), ("float64", "0.0")).toDF("t", "v")
+    val out = df.select(TraceJson.isFalsy(col("v"), col("t")).as("f"))
+      .collect().map(_.getBoolean(0))
+    assert(out.sameElements(Array(true, false, true, false, true, true)))
+  }
+
+  test("registry target split matches reference parse_reg_target") {
+    import spark.implicits._
+    val df = Seq(
+      "HKLM\\Software\\Microsoft\\Run\\Updater",
+      "NoSeparator",
+      "HKLM\\Key\\").toDF("t")
+    val out = df.select(
+      TraceJson.regParent(col("t")).as("p"),
+      TraceJson.regValueName(col("t")).as("v")).collect()
+    assert(out(0).getString(0) == "HKLM\\Software\\Microsoft\\Run")
+    assert(out(0).getString(1) == "Updater")
+    assert(out(1).getString(0) == "NoSeparator" && out(1).isNullAt(1))
+    assert(out(2).getString(0) == "HKLM" && out(2).getString(1) == "Key")
+  }
+}
