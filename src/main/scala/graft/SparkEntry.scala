@@ -45,6 +45,7 @@ object SparkEntry {
     "g_cc"         -> (GraphQueries.gCc _),
     "g_degree"     -> (GraphQueries.gDegree _),
     "g_topdeg"     -> (GraphQueries.gTopdeg _),
+    "g_pagerank"   -> (GraphQueries.gPagerank _),
     "n1_nodemerge" -> (GraphQueries.n1NodeMerge _),
     "n2_edgemerge" -> (GraphQueries.n2EdgeMerge _),
     // D. dedup

@@ -1,0 +1,59 @@
+package graft.graph
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Graph persistence (SURVEY §2 A6): nodes/edges as bucketed, sorted
+  * managed tables so traversal joins are shuffle-free.
+  *
+  * At cluster scale the payoff is structural: BFS/CC/motif queries
+  * join edges.src ↔ frontier.id every round — with both sides bucketed
+  * by the join key into the same bucket count, Spark plans a
+  * SortMergeJoin with NO Exchange (verified in GraphStoreSpec by
+  * asserting the physical plan has no shuffle).
+  */
+object GraphStore {
+
+  /** Save nodes/edges as bucketed tables (`<prefix>_nodes`,
+    * `<prefix>_edges`). Buckets on the id/src join keys. */
+  def save(nodes: DataFrame, edges: DataFrame, prefix: String, buckets: Int = 8): Unit = {
+    val spark = nodes.sparkSession
+    // a stale managed-table location (e.g. from a killed run) blocks
+    // CREATE TABLE even with mode=overwrite — drop table AND location
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val warehouse = spark.conf.get("spark.sql.warehouse.dir")
+    Seq(s"${prefix}_nodes", s"${prefix}_edges", s"${prefix}_edges_rev").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      fs.delete(new org.apache.hadoop.fs.Path(s"$warehouse/$t"), true)
+    }
+    nodes.write.mode("overwrite")
+      .bucketBy(buckets, "id").sortBy("id")
+      .saveAsTable(s"${prefix}_nodes")
+    // forward + reverse adjacency: traversals key alternately on src
+    // and dst, so keep one copy bucketed on each
+    edges.write.mode("overwrite")
+      .bucketBy(buckets, "src").sortBy("src")
+      .saveAsTable(s"${prefix}_edges")
+    edges.write.mode("overwrite")
+      .bucketBy(buckets, "dst").sortBy("dst")
+      .saveAsTable(s"${prefix}_edges_rev")
+  }
+
+  def nodes(spark: SparkSession, prefix: String): DataFrame =
+    spark.table(s"${prefix}_nodes")
+
+  def edges(spark: SparkSession, prefix: String): DataFrame =
+    spark.table(s"${prefix}_edges")
+
+  def edgesRev(spark: SparkSession, prefix: String): DataFrame =
+    spark.table(s"${prefix}_edges_rev")
+
+  /** Bucket-aligned 2-hop expansion: reverse copy (bucketed on dst)
+    * joined to the forward copy (bucketed on src) — same bucket count
+    * on both join keys, so the SortMergeJoin needs no Exchange. */
+  def twoHop(spark: SparkSession, prefix: String): DataFrame =
+    edgesRev(spark, prefix).select(col("src").as("a"), col("dst").as("b"))
+      .join(edges(spark, prefix).select(col("src").as("b2"), col("dst").as("c")),
+        col("b") === col("b2"))
+      .select(col("a"), col("b"), col("c"))
+}

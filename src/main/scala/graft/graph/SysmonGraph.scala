@@ -79,36 +79,69 @@ object SysmonGraph {
     when(cond && src.isNotNull && dst.isNotNull,
       struct(lit(etype).as("etype"), src.as("src"), dst.as("dst"), p.as("props")))
 
+  /** Per-event routed fields, computed once: every downstream branch
+    * references a plain column instead of re-expanding the coalesce
+    * chains (this also keeps the generated code for the emission
+    * projection under Janino's 64KB method limit). */
+  def routed(norm: DataFrame): DataFrame = {
+    val tags = col("tags")
+    val kpath = tag(tags, "TargetObject")
+    norm.select(col("*"),
+      tag(tags, "TargetFilename", "Path").as("target_file"),
+      tag(tags, "ImageLoaded", "Image").as("img_loaded"),
+      tag(tags, "DestinationIp", "dst_ip").as("dip"),
+      tag(tags, "DestinationPort", "dst_port").as("dport"),
+      tag(tags, "Protocol").as("proto"),
+      lower(tag(tags, "DestinationHostname")).as("dhost"),
+      tag(tags, "Device").as("device"),
+      lower(tag(tags, "EventType")).as("reg_etype"),
+      kpath.as("kpath"),
+      regValueName(kpath).as("vname"),
+      regParent(kpath).as("kparent"),
+      tag(tags, "NewName", "NewDetails").as("rename_new"),
+      tag(tags, "StreamName", "Stream").as("stream"),
+      tag(tags, "Hash", "Hashes").as("hashv"),
+      tag(tags, "PipeName", "Pipe").as("pipe_name"),
+      tag(tags, "FilterName", "Name", "EventFilterName").as("wmi_fname"),
+      tag(tags, "Query", "QueryName").as("wmi_fquery"),
+      tag(tags, "ConsumerName", "Name", "Consumer").as("wmi_cname"),
+      tag(tags, "CommandLine", "Command").as("wmi_ccmd"),
+      tag(tags, "FilterName", "Filter").as("bind_f"),
+      tag(tags, "ConsumerName", "Consumer").as("bind_c"),
+      tag(tags, "GrantedAccess").as("granted"),
+      tag(tags, "Details", "Info").as("details"))
+  }
+
   /** All raw node/edge emissions per span (before MERGE aggregation),
     * mirroring the per-EventID router (events.py:321-505). */
-  def rawGraph(norm: DataFrame): (DataFrame, DataFrame) = {
-    val tags = col("tags")
+  def rawGraph(normIn: DataFrame): (DataFrame, DataFrame) = {
+    val norm = routed(normIn)
     val ev = col("ev")
     val pk = col("pkey")
     val hasP = pk.isNotNull
-    val targetFile = tag(tags, "TargetFilename", "Path")
-    val imgLoaded = tag(tags, "ImageLoaded", "Image")
-    val dip = tag(tags, "DestinationIp", "dst_ip")
-    val dport = tag(tags, "DestinationPort", "dst_port")
-    val proto = tag(tags, "Protocol")
-    val dhost = lower(tag(tags, "DestinationHostname"))
-    val device = tag(tags, "Device")
-    val regEtype = lower(tag(tags, "EventType"))
-    val kpath = tag(tags, "TargetObject")
-    val vname = regValueName(kpath)
-    val kparent = regParent(kpath)
-    val renameNew = tag(tags, "NewName", "NewDetails")
-    val stream = tag(tags, "StreamName", "Stream")
-    val hashv = tag(tags, "Hash", "Hashes")
-    val pipeName = tag(tags, "PipeName", "Pipe")
-    val wmiFName = tag(tags, "FilterName", "Name", "EventFilterName")
-    val wmiFQuery = tag(tags, "Query", "QueryName")
-    val wmiCName = tag(tags, "ConsumerName", "Name", "Consumer")
-    val wmiCCmd = tag(tags, "CommandLine", "Command")
-    val bindF = tag(tags, "FilterName", "Filter")
-    val bindC = tag(tags, "ConsumerName", "Consumer")
-    val granted = tag(tags, "GrantedAccess")
-    val details = tag(tags, "Details", "Info")
+    val targetFile = col("target_file")
+    val imgLoaded = col("img_loaded")
+    val dip = col("dip")
+    val dport = col("dport")
+    val proto = col("proto")
+    val dhost = col("dhost")
+    val device = col("device")
+    val regEtype = col("reg_etype")
+    val kpath = col("kpath")
+    val vname = col("vname")
+    val kparent = col("kparent")
+    val renameNew = col("rename_new")
+    val stream = col("stream")
+    val hashv = col("hashv")
+    val pipeName = col("pipe_name")
+    val wmiFName = col("wmi_fname")
+    val wmiFQuery = col("wmi_fquery")
+    val wmiCName = col("wmi_cname")
+    val wmiCCmd = col("wmi_ccmd")
+    val bindF = col("bind_f")
+    val bindC = col("bind_c")
+    val granted = col("granted")
+    val details = col("details")
     val dk = col("dst_key")
 
     val nodes = norm.select(col("trace_id"), col("span_ord"), col("ev"), explode_outer(array(

@@ -156,7 +156,7 @@ object Dedup {
     val a = e.select(col("vec_id").as("id1"), col("v").as("v1"))
     val b = e.select(col("vec_id").as("id2"), col("v").as("v2"))
     a.join(b, col("id1") < col("id2"))
-      .withColumn("cos", Similarity.cosine(col("v1"), col("v2")))
+      .withColumn("cos", graft.functions.VectorFunctions.cosine_sim(s, col("v1"), col("v2")))
       .filter(col("cos") >= threshold)
       .select(col("id1"), col("id2"), round(col("cos"), 4).as("cos_sim"))
       .orderBy(col("id1"), col("id2"))

@@ -80,6 +80,14 @@ object GraphQueries {
       .orderBy(col("n_supp").desc, col("l_partkey"))
       .limit(10)
 
+  /** B6 — PageRank over the part—supplier graph: top-20 by rank
+    * (rows-only check; the rank math is spec-verified on fixtures). */
+  def gPagerank(s: SparkSession, dir: String): DataFrame =
+    GraphOps.pageRank(GraphOps.undirected(TestGraph.partSupplierEdges(s, dir)), iters = 10)
+      .select(col("id"), round(col("rank"), 4).as("rank"))
+      .orderBy(col("rank").desc, col("id"))
+      .limit(20)
+
   /** A3 analog (N1) — MERGE first-non-null node semantics: one node per
     * user carrying the properties of its earliest event (`min_by`,
     * map-side partial agg — shuffle is |users|, not |events|). */

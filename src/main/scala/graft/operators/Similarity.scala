@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.functions.VectorFunctions
 
 /** Similarity search over embedding columns (SURVEY §2 E1-E3).
   *
@@ -24,6 +25,12 @@ object Similarity {
     dot / (na * nb)
   }
 
+  /** Session-registered native codegen cosine (graft.functions.
+    * CosineSimilarity); bit-identical to [[cosine]] but stays in
+    * WholeStageCodegen. */
+  private def cos(s: SparkSession, a: Column, b: Column): Column =
+    VectorFunctions.cosine_sim(s, a, b)
+
   /** E1 — brute-force exact cosine top-k for a query set (vec_id < 8).
     * The query side is broadcast; every partition scores its slice of
     * the corpus and a window keeps top-k — at cluster scale this is one
@@ -35,7 +42,7 @@ object Similarity {
       .select(col("vec_id").as("q_id"), col("v").as("qv")))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
     queries.join(all, col("q_id") =!= col("vec_id"))
-      .withColumn("cos", cosine(col("qv"), col("v")))
+      .withColumn("cos", cos(s, col("qv"), col("v")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("q_id"), col("rank"), col("vec_id").as("neighbor"),
@@ -79,7 +86,7 @@ object Similarity {
     queries.join(all, Seq("tbl", "bucket"))
       .filter(col("q_id") =!= col("vec_id"))
       .select(col("q_id"), col("qv"), col("vec_id"), col("v")).distinct()
-      .withColumn("cos", cosine(col("qv"), col("v")))
+      .withColumn("cos", cos(s, col("qv"), col("v")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("q_id"), col("rank"), col("vec_id").as("neighbor"),
@@ -102,7 +109,7 @@ object Similarity {
       .select((col("vec_id") / stride).cast("int").as("cid"), col("v").as("cv"))
     for (_ <- 1 to lloydIters) {
       val assigned = all.crossJoin(broadcast(centroids))
-        .withColumn("cos", cosine(col("v"), col("cv")))
+        .withColumn("cos", cos(s, col("v"), col("cv")))
         .withColumn("rn", row_number().over(
           Window.partitionBy(col("vec_id")).orderBy(col("cos").desc, col("cid"))))
         .filter(col("rn") === 1)
@@ -113,14 +120,14 @@ object Similarity {
     }
     val cb = broadcast(centroids)
     val assigned = all.crossJoin(cb)
-      .withColumn("cos", cosine(col("v"), col("cv")))
+      .withColumn("cos", cos(s, col("v"), col("cv")))
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("vec_id")).orderBy(col("cos").desc, col("cid"))))
       .filter(col("rn") === 1)
       .select(col("vec_id"), col("v"), col("cid"))
     val queries = broadcast(assigned.filter(col("vec_id") < 8)
       .select(col("vec_id"), col("v")).crossJoin(cb)
-      .withColumn("qccos", cosine(col("v"), col("cv")))
+      .withColumn("qccos", cos(s, col("v"), col("cv")))
       .withColumn("prn", row_number().over(
         Window.partitionBy(col("vec_id")).orderBy(col("qccos").desc, col("cid"))))
       .filter(col("prn") <= nprobe)
@@ -128,7 +135,7 @@ object Similarity {
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
     val out = queries.join(assigned, Seq("cid"))
       .filter(col("q_id") =!= col("vec_id"))
-      .withColumn("cos", cosine(col("qv"), col("v")))
+      .withColumn("cos", cos(s, col("qv"), col("v")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("q_id"), col("rank"), col("vec_id").as("neighbor"),

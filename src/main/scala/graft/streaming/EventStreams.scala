@@ -1,0 +1,105 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming operators over the events schema (SURVEY §2 H).
+  *
+  * Each operator is a pure streaming-DataFrame transform — the caller
+  * owns the source (Kafka/files/MemoryStream) and sink, so the same
+  * code runs in tests (MemoryStream) and production (readStream).
+  */
+object EventStreams {
+
+  /** H1 — per-hour, per-type event counts with a watermark: late events
+    * beyond 10 minutes are dropped and state is bounded. */
+  def windowedCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+      .select(col("window.start").as("hour_start"), col("event_type"),
+        col("n"), col("total_value"))
+
+  case class Ev(user_id: Long, ts: Timestamp, event_type: String, value: Double)
+  case class SessionState(start: Long, last: Long, nEvents: Int, total: Double)
+  case class Session(user_id: Long, start: Timestamp, end: Timestamp,
+                     n_events: Int, total_value: Double)
+
+  /** H2 — stateful sessionization: a session closes after `gapMs` of
+    * user inactivity (event-time timeout via watermark). One state
+    * object per live user — bounded by the watermark, not the stream. */
+  def sessionize(events: Dataset[Ev], gapMs: Long = 30 * 60 * 1000): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (userId: Long, evs: Iterator[Ev], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(Session(userId, new Timestamp(s.start),
+              new Timestamp(s.last), s.nEvents, s.total))
+          } else {
+            val sorted = evs.toSeq.sortBy(_.ts.getTime)
+            var closed = List.empty[Session]
+            var cur = state.getOption
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.last <= gapMs =>
+                  cur = Some(SessionState(s.start, math.max(s.last, t),
+                    s.nEvents + 1, s.total + e.value))
+                case Some(s) =>
+                  closed ::= Session(userId, new Timestamp(s.start),
+                    new Timestamp(s.last), s.nEvents, s.total)
+                  cur = Some(SessionState(t, t, 1, e.value))
+                case None =>
+                  cur = Some(SessionState(t, t, 1, e.value))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.last + gapMs)
+            }
+            closed.reverseIterator
+          }
+      }
+  }
+
+  /** H3 — streaming dedup: drop events with a duplicate event_id seen
+    * within the watermark window (state stays bounded). */
+  def dedupStream(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+
+  /** H4 — incremental micro-batch upsert: aggregate each micro-batch
+    * and merge it into an accumulating per-key state table via
+    * foreachBatch (the parquet-backed analog of MERGE INTO).
+    * Returns the batch-merge function for a writeStream.foreachBatch. */
+  def upsertCountsBatch(stateDir: String)(batch: DataFrame, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val inc = batch.groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val merged = try {
+      val prev = spark.read.parquet(stateDir)
+      prev.unionByName(inc)
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(sum(col("n")).as("n"))
+    } catch { case _: Throwable => inc }
+    // write-then-swap keeps readers of stateDir consistent
+    val tmp = stateDir + "_tmp"
+    merged.coalesce(1).write.mode("overwrite").parquet(tmp)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val dst = new org.apache.hadoop.fs.Path(stateDir)
+    fs.delete(dst, true)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
+  }
+}

@@ -1,0 +1,95 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.streaming.EventStreams
+import graft.streaming.EventStreams.Ev
+
+class StreamingSpec extends SparkSpec {
+
+  private def ts(minute: Int) = new Timestamp(3600_000L * 10 + minute * 60_000L)
+
+  test("H1 windowed counts with watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, String, Double)]
+    val df = mem.toDF().toDF("user_id", "ts", "event_type", "value")
+    val q = EventStreams.windowedCounts(df).writeStream
+      .format("memory").queryName("h1_counts").outputMode("complete").start()
+    try {
+      mem.addData((1L, ts(0), "click", 1.0), (1L, ts(5), "click", 2.0),
+        (2L, ts(65), "view", 3.0))
+      q.processAllAvailable()
+      val rows = spark.table("h1_counts").collect()
+        .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("n"))).toSet
+      assert(rows == Set(("click", 2L), ("view", 1L)))
+    } finally q.stop()
+  }
+
+  test("H2 sessionization closes sessions after the gap") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = EventStreams.sessionize(mem.toDS(), gapMs = 10 * 60_000)
+      .writeStream.format("memory").queryName("h2_sessions")
+      .outputMode("append").start()
+    try {
+      // user 1: two events 5min apart (one session), then 30min gap, one more
+      mem.addData(Ev(1L, ts(0), "click", 1.0), Ev(1L, ts(5), "click", 2.0))
+      q.processAllAvailable()
+      mem.addData(Ev(1L, ts(35), "view", 5.0))
+      q.processAllAvailable()
+      // advance watermark far so the timeout fires
+      mem.addData(Ev(9L, ts(300), "click", 0.0))
+      q.processAllAvailable()
+      val sessions = spark.table("h2_sessions").as[EventStreams.Session]
+        .collect().filter(_.user_id == 1L).sortBy(_.start.getTime)
+      assert(sessions.length == 2)
+      assert(sessions(0).n_events == 2 && sessions(0).total_value == 3.0)
+      assert(sessions(1).n_events == 1 && sessions(1).total_value == 5.0)
+    } finally q.stop()
+  }
+
+  test("H3 streaming dedup drops duplicate ids within the watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, String)]
+    val df = mem.toDF().toDF("event_id", "ts", "event_type")
+    val q = EventStreams.dedupStream(df).writeStream
+      .format("memory").queryName("h3_dedup").outputMode("append").start()
+    try {
+      mem.addData((1L, ts(0), "a"), (1L, ts(1), "a"), (2L, ts(2), "b"))
+      q.processAllAvailable()
+      mem.addData((2L, ts(3), "b"), (3L, ts(4), "c"))
+      q.processAllAvailable()
+      assert(spark.table("h3_dedup").count() == 3)
+    } finally q.stop()
+  }
+
+  test("H4 foreachBatch upsert accumulates counts across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("h4_state").toString + "/state"
+    val mem = MemoryStream[(Long, Timestamp, String)]
+    val df = mem.toDF().toDF("user_id", "ts", "event_type")
+    val q = df.writeStream
+      .foreachBatch(EventStreams.upsertCountsBatch(dir) _)
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
+    try {
+      mem.addData((1L, ts(0), "click"), (1L, ts(1), "click"), (2L, ts(2), "view"))
+      q.processAllAvailable()
+      mem.addData((1L, ts(3), "click"), (2L, ts(4), "click"))
+      q.processAllAvailable()
+      val state = spark.read.parquet(dir).collect()
+        .map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+      assert(state((1L, "click")) == 3L)
+      assert(state((2L, "view")) == 1L)
+      assert(state((2L, "click")) == 1L)
+    } finally q.stop()
+  }
+}

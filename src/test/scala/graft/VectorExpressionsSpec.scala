@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions
+import graft.operators.Similarity
+
+class VectorExpressionsSpec extends SparkSpec {
+
+  test("native cosine_sim is bit-identical to the HOF formulation") {
+    val e = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val pairs = e.alias("a").join(e.alias("b"),
+        col("a.vec_id") + 1 === col("b.vec_id"))
+      .select(col("a.v").as("v1"), col("b.v").as("v2"))
+    val diff = pairs
+      .withColumn("hof", Similarity.cosine(col("v1"), col("v2")))
+      .withColumn("native", VectorFunctions.cosine_sim(spark, col("v1"), col("v2")))
+      .filter(col("hof") =!= col("native"))
+      .count()
+    assert(diff == 0)
+  }
+
+  test("cosine_sim handles orthogonal, parallel and opposite vectors") {
+    import spark.implicits._
+    val df = Seq(
+      (Array(1.0, 0.0), Array(0.0, 1.0), 0.0),
+      (Array(1.0, 2.0), Array(2.0, 4.0), 1.0),
+      (Array(1.0, 0.0), Array(-1.0, 0.0), -1.0)
+    ).toDF("a", "b", "expected")
+    val bad = df.withColumn("got", VectorFunctions.cosine_sim(spark, col("a"), col("b")))
+      .filter(abs(col("got") - col("expected")) > 1e-12).count()
+    assert(bad == 0)
+  }
+
+  test("cosine_sim is codegen'd (appears inside WholeStageCodegen)") {
+    val e = Tables.embeddings(spark, sf)
+      .select(col("embedding").cast("array<double>").as("v"))
+    val q = e.select(VectorFunctions.cosine_sim(spark, col("v"), col("v")).as("c"))
+    // '*(n)' marks operators inside a WholeStageCodegen stage
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.linesIterator.exists(l => l.contains("*(") && l.contains("cosinesimilarity")), plan)
+  }
+}
