@@ -38,8 +38,12 @@ object GraphOps {
     var visited = sources.select(col("id"), lit(0).as("dist"))
       .distinct().localCheckpoint()
     var frontier = visited
+    // localCheckpoint is eager (truncates lineage, which iterative
+    // self-joins need); count() on the checkpointed frame doubles as
+    // the emptiness check
+    var frontierCount = frontier.count()
     var depth = 0
-    while (depth < maxIter && !frontier.isEmpty) {
+    while (depth < maxIter && frontierCount > 0) {
       depth += 1
       val next = frontier.join(e, frontier("id") === e("src"))
         .select(e("dst").as("id"))
@@ -47,7 +51,8 @@ object GraphOps {
         .join(visited, Seq("id"), "left_anti")
         .withColumn("dist", lit(depth))
         .localCheckpoint()
-      visited = visited.unionByName(next).localCheckpoint()
+      frontierCount = next.count()
+      if (frontierCount > 0) visited = visited.unionByName(next).localCheckpoint()
       frontier = next
     }
     e.unpersist()
@@ -70,9 +75,18 @@ object GraphOps {
       .distinct()
       .select(col("id"), col("id").as("component"))
       .localCheckpoint()
-    var changed = 1L
+    // convergence proxy: labels only ever decrease under min-label
+    // propagation, so the hash-sum over all labels changes whenever any
+    // label changes (one cheap aggregation instead of a self-join).
+    // Decimal accumulator: a long sum of random 64-bit hashes would
+    // overflow under ANSI mode.
+    def sig(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(xxhash64(col("id"), col("component")).cast("decimal(20,0)")))
+        .collect()(0).getDecimal(0)
+    var prevSig = sig(labels)
+    var converged = false
     var iter = 0
-    while (iter < maxIter && changed > 0) {
+    while (iter < maxIter && !converged) {
       iter += 1
       val msgs = sym.join(labels, sym("src") === labels("id"))
         .select(sym("dst").as("id"), col("component"))
@@ -80,10 +94,9 @@ object GraphOps {
         .groupBy(col("id"))
         .agg(min(col("component")).as("component"))
         .localCheckpoint()
-      changed = next.alias("n")
-        .join(labels.alias("o"), col("n.id") === col("o.id"))
-        .filter(col("n.component") =!= col("o.component"))
-        .count()
+      val s = sig(next)
+      converged = s.compareTo(prevSig) == 0
+      prevSig = s
       labels = next
     }
     sym.unpersist()

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -25,27 +26,68 @@ object Dedup {
       .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_copies"))
       .orderBy(col("keeper"))
 
-  /** Word 3-gram shingle set per document (distinct). */
+  /** Word 3-gram shingle set per document (distinct).
+    *
+    * The word array is materialized as a projection column FIRST: a
+    * lambda body that references the `split(...)` expression tree
+    * re-evaluates the split once per array element (O(len²) in text
+    * length); referencing the bound attribute reads the already-
+    * computed array. */
   def shingles(docs: DataFrame, n: Int = 3): DataFrame = {
-    val words = split(norm(col("text")), "\\s+")
-    docs.select(col("doc_id"),
+    val w = col("w")
+    docs.select(col("doc_id"), split(norm(col("text")), "\\s+").as("w"))
+      .select(col("doc_id"),
         array_distinct(
           filter(
-            transform(sequence(lit(0), greatest(size(words) - n, lit(0))),
-              i => when(i + n <= size(words),
-                concat_ws(" ", slice(words, i + 1, lit(n))))),
+            transform(sequence(lit(0), greatest(size(w) - n, lit(0))),
+              i => when(i + n <= size(w),
+                concat_ws(" ", slice(w, i + 1, lit(n))))),
             x => x.isNotNull)).as("shingles"))
   }
+
+  /** Distinct word n-gram shingles as ROWS (doc_id, g) — the fully
+    * codegen'd formulation: posexplode + window lead, no higher-order
+    * functions (Spark HOFs are CodegenFallback and re-evaluate captured
+    * expression trees per element — interpreter-bound at corpus scale).
+    * One shuffle on doc_id. */
+  def shingleRows(docs: DataFrame, n: Int = 3): DataFrame = {
+    require(n == 3, "shingleRows is specialized for 3-grams")
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    docs
+      .select(col("doc_id"), posexplode(split(norm(col("text")), "\\s+")).as(Seq("pos", "w0")))
+      .select(col("doc_id"), col("w0"),
+        lead(col("w0"), 1).over(w).as("w1"), lead(col("w0"), 2).over(w).as("w2"))
+      .filter(col("w2").isNotNull)
+      .select(col("doc_id"), concat_ws(" ", col("w0"), col("w1"), col("w2")).as("g"))
+      .distinct()
+  }
+
+  /** Exact Jaccard for candidate pairs from shingle rows:
+    * |A∩B| via pair-wise equi-join, |A∪B| = n1 + n2 - |A∩B|. */
+  private def jaccardOf(cand: DataFrame, sh: DataFrame, sizes: DataFrame,
+                        threshold: Double): DataFrame =
+    cand
+      .join(sh.select(col("doc_id").as("id1"), col("g")), Seq("id1"))
+      .join(sh.select(col("doc_id").as("id2"), col("g").as("g2")), Seq("id2"))
+      .filter(col("g") === col("g2"))
+      .groupBy(col("id1"), col("id2"))
+      .agg(count(lit(1)).as("i"))
+      .join(sizes.select(col("doc_id").as("id1"), col("n").as("n1")), Seq("id1"))
+      .join(sizes.select(col("doc_id").as("id2"), col("n").as("n2")), Seq("id2"))
+      .withColumn("jaccard",
+        round(col("i").cast("double") / (col("n1") + col("n2") - col("i")), 4))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id1"), col("id2"), col("jaccard"))
+      .orderBy(col("id1"), col("id2"))
 
   /** D4 — exact pairwise n-gram Jaccard over a deterministic document
     * subset (doc_id % 10 == 0): shingle inverted-index join (only pairs
     * that share ≥1 shingle are scored — never a cross join). */
   def d4Jaccard(s: SparkSession, dir: String, threshold: Double = 0.5): DataFrame = {
     val docs = Tables.documents(s, dir).filter(col("doc_id") % 10 === 0)
-    val sh = shingles(docs).persist()
-    val sizes = sh.select(col("doc_id"), size(col("shingles")).as("n"))
-    val ex = sh.select(col("doc_id"), explode(col("shingles")).as("g"))
-    val inter = ex.alias("x").join(ex.alias("y"),
+    val sh = shingleRows(docs).persist()
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = sh.alias("x").join(sh.alias("y"),
         col("x.g") === col("y.g") && col("x.doc_id") < col("y.doc_id"))
       .groupBy(col("x.doc_id").as("id1"), col("y.doc_id").as("id2"))
       .agg(count(lit(1)).as("i"))
@@ -60,11 +102,35 @@ object Dedup {
     out
   }
 
-  /** MinHash signatures: k independent hash functions realized as
-    * xxhash64 with per-function salts; one explode + one groupBy. */
+  /** Prime modulus and deterministic (a, b) coefficients for the
+    * minhash family — all values < 2³¹ so aᵢ·h+bᵢ stays within a long
+    * (no ANSI overflow), the classic MOD-prime universal hash family. */
+  private val MinhashPrime = 2147483647L // 2^31 - 1
+  private lazy val minhashParams: IndexedSeq[(Long, Long)] = {
+    var x = 0x9E3779B97F4A7C15L
+    def next(): Long = {
+      x += 0x9E3779B97F4A7C15L
+      var z = x
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^ (z >>> 31)
+    }
+    (0 until 256).map(_ => ((next() & 0x7FFFFFFFL) | 1L, next() & 0x7FFFFFFFL))
+  }
+
+  /** MinHash signatures: each shingle is string-hashed ONCE (xxhash64,
+    * folded into [0, 2³¹)); the k functions are (aᵢ·h+bᵢ) mod p —
+    * the standard one-hash universal family. Per-row cost is one
+    * string hash + k codegen'd long mult-add-mods instead of k string
+    * hashes (~10× cheaper at corpus scale). One explode + one groupBy
+    * with map-side partial min. */
   def minhashSignatures(docs: DataFrame, k: Int = 64): DataFrame = {
-    val ex = shingles(docs).select(col("doc_id"), explode(col("shingles")).as("g"))
-    val aggs = (0 until k).map(i => min(xxhash64(lit(i), col("g"))).as(s"h$i"))
+    val ex = shingleRows(docs)
+      .select(col("doc_id"), pmod(xxhash64(col("g")), lit(MinhashPrime)).as("h"))
+    val aggs = (0 until k).map { i =>
+      val (a, b) = minhashParams(i)
+      min(pmod(col("h") * lit(a) + lit(b), lit(MinhashPrime))).as(s"h$i")
+    }
     ex.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
       .select(col("doc_id"), array((0 until k).map(i => col(s"h$i")): _*).as("sig"))
   }
@@ -87,26 +153,26 @@ object Dedup {
           struct(lit(b).as("band"),
             xxhash64(slice(col("sig"), b * rows + 1, rows)).as("bh"))): _*)).as("bb"))
       .select(col("doc_id"), col("bb.band"), col("bb.bh"))
+    // persist: verifyJaccard references the candidate frame three
+    // times (both id sides + the pair join) — without this the whole
+    // minhash pipeline re-executes per reference
     val cand = banded.alias("x").join(banded.alias("y"),
         col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("id1"), col("y.doc_id").as("id2"))
       .distinct()
+      .persist()
     verifyJaccard(docs, cand, threshold)
   }
 
-  /** Exact-Jaccard verification of candidate pairs. */
+  /** Exact-Jaccard verification of candidate pairs (set counts via
+    * shingle rows — identical math to array intersect/union). */
   def verifyJaccard(docs: DataFrame, cand: DataFrame, threshold: Double): DataFrame = {
-    val sh = shingles(docs)
-    cand
-      .join(sh.select(col("doc_id").as("id1"), col("shingles").as("s1")), Seq("id1"))
-      .join(sh.select(col("doc_id").as("id2"), col("shingles").as("s2")), Seq("id2"))
-      .withColumn("jaccard", round(
-        size(array_intersect(col("s1"), col("s2"))).cast("double") /
-          size(array_union(col("s1"), col("s2"))), 4))
-      .filter(col("jaccard") >= threshold)
-      .select(col("id1"), col("id2"), col("jaccard"))
-      .orderBy(col("id1"), col("id2"))
+    val ids = cand.select(col("id1").as("doc_id"))
+      .union(cand.select(col("id2").as("doc_id"))).distinct()
+    val sh = shingleRows(docs.join(ids, Seq("doc_id"), "left_semi")).persist()
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    jaccardOf(cand, sh, sizes, threshold)
   }
 
   /** SimHash-64 per document: sign-aggregate of per-token hash bits

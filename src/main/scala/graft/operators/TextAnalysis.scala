@@ -76,16 +76,19 @@ object TextAnalysis {
     * char 8-gram hashes in each window of 16, deduplicated — a compact,
     * shift-robust signature (Schleimer et al., MOSS). */
   def f4Fingerprint(s: SparkSession, dir: String, gram: Int = 8, window: Int = 16): DataFrame = {
-    val t = lower(trim(col("text")))
-    // char k-gram hashes via substr over an index sequence
-    val hashes = transform(
-      sequence(lit(1), greatest(length(t) - (gram - 1), lit(1))),
-      i => xxhash64(t.substr(i, lit(gram))))
-    val mins = transform(
-      sequence(lit(1), greatest(size(hashes) - (window - 1), lit(1))),
-      i => array_min(slice(hashes, i, lit(window))))
+    // each intermediate (normalized text, k-gram hash array) is bound
+    // as a projection column before a lambda uses it — referencing the
+    // expression inside the lambda would recompute it per element
     Tables.documents(s, dir)
-      .select(col("doc_id"), array_distinct(mins).as("fp"))
+      .select(col("doc_id"), lower(trim(col("text"))).as("t"))
+      .select(col("doc_id"),
+        transform(
+          sequence(lit(1), greatest(length(col("t")) - (gram - 1), lit(1))),
+          i => xxhash64(col("t").substr(i, lit(gram)))).as("hashes"))
+      .select(col("doc_id"),
+        array_distinct(transform(
+          sequence(lit(1), greatest(size(col("hashes")) - (window - 1), lit(1))),
+          i => array_min(slice(col("hashes"), i, lit(window))))).as("fp"))
       .select(col("doc_id"), size(col("fp")).as("n_fp"),
         xxhash64(to_json(struct(col("fp")))).as("fp_hash"))
       .orderBy(col("doc_id"))

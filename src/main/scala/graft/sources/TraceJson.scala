@@ -110,4 +110,34 @@ object TraceJson {
     val parts = split(trimmed, "\\\\")
     when(size(parts) >= 2, element_at(parts, -1))
   }
+
+  /** UTC-normalized ISO timestamp from a free-form tag (events.py:9-15
+    * to_utc): parses the common Sysmon formats, null on failure. */
+  def toUtc(c: Column): Column =
+    date_format(coalesce(
+      try_to_timestamp(c, lit("yyyy-MM-dd HH:mm:ss.SSS")),
+      try_to_timestamp(c, lit("MM/dd/yyyy HH:mm:ss")),
+      try_to_timestamp(c, lit("yyyy-MM-dd'T'HH:mm:ss")),
+      try_to_timestamp(c)), "yyyy-MM-dd'T'HH:mm:ssXXX")
+
+  /** JSON array or delimited token list → array<string>
+    * (events.py:38-49 json_or_list): tries a JSON string array first,
+    * else splits on whitespace/comma/semicolon/pipe, dropping empty
+    * tokens and bare "-" placeholders. */
+  def jsonOrList(c: Column): Column = {
+    val parsed = from_json(trim(c), org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.StringType))
+    val tokens = filter(split(trim(c), "[\\s,;|]+"), t => t =!= "" && t =!= "-")
+    when(c.isNull, array().cast("array<string>"))
+      .when(parsed.isNotNull, filter(parsed, t => t.isNotNull && t =!= ""))
+      .otherwise(tokens)
+  }
+
+  /** Last path segment handling both separators (events.py:51-57
+    * last_segment): backslash preferred, else POSIX basename. */
+  def lastSegment(c: Column): Column = {
+    val s = regexp_replace(c, "[/\\\\]+$", "")
+    when(s.contains("\\"), element_at(split(s, "\\\\"), -1))
+      .otherwise(element_at(split(s, "/"), -1))
+  }
 }

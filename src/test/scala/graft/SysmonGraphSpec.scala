@@ -66,6 +66,25 @@ class SysmonGraphSpec extends SparkSpec {
     assert(out.sameElements(Array(true, false, true, false, true, true)))
   }
 
+  test("A2 utils: toUtc, jsonOrList, lastSegment mirror the reference helpers") {
+    import spark.implicits._
+    val df = Seq("2025-09-20 09:00:09.888").toDF("t")
+    val ts = df.select(TraceJson.toUtc(col("t"))).collect().head.getString(0)
+    assert(ts == "2025-09-20T09:00:09Z")
+
+    val lists = Seq(
+      """["a","b"]""", "x, y; z", "-", "tok").toDF("v")
+      .select(TraceJson.jsonOrList(col("v"))).collect().map(_.getSeq[String](0))
+    assert(lists(0) == Seq("a", "b"))
+    assert(lists(1) == Seq("x", "y", "z"))
+    assert(lists(2).isEmpty)
+    assert(lists(3) == Seq("tok"))
+
+    val segs = Seq("C:\\Win\\foo.exe", "/usr/bin/ls", "plain").toDF("p")
+      .select(TraceJson.lastSegment(col("p"))).collect().map(_.getString(0))
+    assert(segs.sameElements(Array("foo.exe", "ls", "plain")))
+  }
+
   test("registry target split matches reference parse_reg_target") {
     import spark.implicits._
     val df = Seq(
