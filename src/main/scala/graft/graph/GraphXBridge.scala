@@ -1,0 +1,63 @@
+package graft.graph
+
+import org.apache.spark.graphx.{Edge, Graph}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** GraphX adapters for the same edge-frame convention GraphOps uses.
+  *
+  * GraphX wants Long vertex ids; string ids are mapped through a
+  * deterministic (id → dense long) dictionary (zipWithIndex) and mapped
+  * back on output. Useful when an algorithm benefits from GraphX's
+  * Pregel machinery; the DataFrame implementations in [[GraphOps]]
+  * remain the default (they survive AQE, DataFrame caching, and don't
+  * require the id densification pass).
+  */
+object GraphXBridge {
+
+  /** (vertexDict, graphx Graph) from an edge frame with string src/dst. */
+  def toGraphX(edges: DataFrame): (DataFrame, Graph[Unit, Unit]) = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val verts = edges.select(col("src").as("id"))
+      .union(edges.select(col("dst").as("id")))
+      .distinct()
+    val dict = verts.rdd.map(_.getString(0)).zipWithIndex()
+      .toDF("id", "vid").cache()
+    val e = edges
+      .join(dict.withColumnRenamed("vid", "src_vid"), col("src") === dict("id"))
+      .drop("id")
+      .join(dict.withColumnRenamed("vid", "dst_vid").withColumnRenamed("id", "id2"),
+        col("dst") === col("id2"))
+      .select(col("src_vid"), col("dst_vid"))
+      .rdd.map(r => Edge(r.getLong(0), r.getLong(1), ()))
+    (dict, Graph.fromEdges(e, ()))
+  }
+
+  /** Connected components via GraphX Pregel; returns (id, component)
+    * with the component labelled by its minimum member id (same
+    * contract as GraphOps.connectedComponents). */
+  def connectedComponents(edges: DataFrame): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val (dict, g) = toGraphX(edges)
+    val cc = g.connectedComponents().vertices.toDF("vid", "cvid")
+    val byVid = cc
+      .join(dict, Seq("vid"))
+      .join(dict.select(col("vid").as("cvid"), col("id").as("c_id")), Seq("cvid"))
+    // GraphX labels by min vid; translate to min string id per component
+    byVid.groupBy(col("cvid"))
+      .agg(min(col("id")).as("component"), collect_list(col("id")).as("members"))
+      .select(explode(col("members")).as("id"), col("component"))
+  }
+
+  /** PageRank via GraphX; returns (id, rank). */
+  def pageRank(edges: DataFrame, iters: Int = 10, damping: Double = 0.85): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val (dict, g) = toGraphX(edges)
+    g.staticPageRank(iters, 1 - damping).vertices.toDF("vid", "rank")
+      .join(dict, Seq("vid"))
+      .select(col("id"), col("rank"))
+  }
+}

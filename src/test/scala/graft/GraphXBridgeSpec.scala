@@ -1,0 +1,27 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.graph.{GraphOps, GraphXBridge, TestGraph}
+
+class GraphXBridgeSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("GraphX connected components agree with the DataFrame implementation") {
+    val edges = TestGraph.partSupplierEdges(spark, sf)
+    val df = GraphOps.connectedComponents(edges)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val gx = GraphXBridge.connectedComponents(GraphOps.undirected(edges))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(df == gx)
+  }
+
+  test("GraphX pagerank ranks the same top vertex as the DataFrame implementation") {
+    val edges = Seq(("a", "z"), ("b", "z"), ("c", "z"), ("z", "a")).toDF("src", "dst")
+    val df = GraphOps.pageRank(edges, iters = 15)
+      .orderBy(col("rank").desc).limit(1).collect().head.getString(0)
+    val gx = GraphXBridge.pageRank(edges, iters = 15)
+      .orderBy(col("rank").desc).limit(1).collect().head.getString(0)
+    assert(df == gx && df == "z")
+  }
+}

@@ -1,0 +1,52 @@
+package graft
+
+import graft.operators.Relational
+
+/** Physical-plan audits: the scale claims in SURVEY §2/§5 pinned as
+  * assertions, so a regression in pushdown/broadcast/partial-agg shows
+  * up as a test failure, not a slow cluster job. */
+class PlanAuditSpec extends SparkSpec {
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("C2: filter and projection reach the parquet scan") {
+    val p = plan(Relational.q2Pushdown(spark, sf))
+    assert(p.contains("PushedFilters: [IsNotNull(l_returnflag), IsNotNull(l_quantity)"), p)
+    assert(p.contains("EqualTo(l_returnflag,R)"), p)
+    assert(p.contains("GreaterThan(l_quantity,"), p) // value truncated in plan toString
+    // narrow ReadSchema: exactly the three needed columns
+    val rs = p.linesIterator.find(_.contains("ReadSchema")).get
+    assert(rs.contains("l_partkey") && rs.contains("l_quantity") &&
+      rs.contains("l_returnflag") && !rs.contains("l_extendedprice"), rs)
+  }
+
+  test("C3: all dimension joins broadcast; fact scanned once") {
+    val p = plan(Relational.q3Join(spark, sf))
+    val nBroadcast = p.linesIterator.count(_.contains("BroadcastHashJoin"))
+    assert(nBroadcast == 3, s"expected 3 broadcast joins:\n$p")
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("C1: aggregation is partial (map-side combine before the shuffle)") {
+    val p = plan(Relational.q1Agg(spark, sf))
+    val aggs = p.linesIterator.count(_.contains("HashAggregate"))
+    assert(aggs >= 2, s"expected partial+final HashAggregate:\n$p")
+  }
+
+  test("C9: global sort+limit plans as TakeOrderedAndProject (no full sort)") {
+    val p = plan(Relational.q9Sort(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("C4: EXISTS / NOT EXISTS plan as semi/anti joins (no row multiplication)") {
+    assert(plan(Relational.q4Semi(spark, sf)).contains("LeftSemi"))
+    assert(plan(Relational.q4Anti(spark, sf)).contains("LeftAnti"))
+  }
+
+  test("C11: as-of join is a single shuffle + window, no range cross join") {
+    val p = plan(Relational.q11Asof(spark, sf))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("Window"), p)
+  }
+}
