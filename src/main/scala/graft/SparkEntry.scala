@@ -48,6 +48,18 @@ object SparkEntry {
     "g_pagerank"   -> (GraphQueries.gPagerank _),
     "n1_nodemerge" -> (GraphQueries.n1NodeMerge _),
     "n2_edgemerge" -> (GraphQueries.n2EdgeMerge _),
+    // reference-corpus graph queries (rows-only: the trace corpus is
+    // fixed input, not derivable from sfDir, so no SQL oracle)
+    "sg_summary"   -> ((s, _) => {
+      val (n, e) = graft.graph.SysmonGraph.build(s, "/root/reference/malware/*.json")
+      graft.graph.Detections.summary(n, e)
+    }),
+    "sg_spawntree" -> ((s, _) => {
+      val (_, e) = graft.graph.SysmonGraph.build(s, "/root/reference/malware/*.json")
+      graft.graph.Detections.deepSpawnChains(e, minDepth = 1)
+        .groupBy(org.apache.spark.sql.functions.col("dist"))
+        .count().orderBy(org.apache.spark.sql.functions.col("dist"))
+    }),
     // D. dedup
     "d1_exact"     -> (Dedup.d1Exact _),
     "d2_minhash"   -> ((s, d) => Dedup.d2MinhashLsh(s, d)),
