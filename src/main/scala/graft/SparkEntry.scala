@@ -37,6 +37,8 @@ object SparkEntry {
     "q13_pivot"    -> (Relational.q13Pivot _),
     "q14_timeagg"  -> (Relational.q14Timeagg _),
     "q15_skew"     -> (Relational.q15Skew _),
+    "q16_setops"   -> (Relational.q16Setops _),
+    "q17_scalar"   -> (Relational.q17Scalar _),
     // B. graph
     "g_lookup"     -> (GraphQueries.gLookup _),
     "g_motif"      -> (GraphQueries.gMotif _),
@@ -173,6 +175,21 @@ object SparkEntry {
     "q15_skew" ->
       """SELECT c_mktsegment, count(*) AS n_events, round(sum(value),2) AS total_value
         |FROM events JOIN customer ON user_id=c_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q16_setops" ->
+      """WITH high AS (SELECT o_custkey FROM orders WHERE o_totalprice > 200000),
+        |low AS (SELECT o_custkey FROM orders WHERE o_totalprice < 50000),
+        |u AS (
+        | SELECT o_custkey, 'both' AS segment FROM (SELECT * FROM high INTERSECT SELECT * FROM low) t1
+        | UNION ALL
+        | SELECT o_custkey, 'high_only' AS segment FROM (SELECT * FROM high EXCEPT SELECT * FROM low) t2
+        |)
+        |SELECT segment, count(*) AS n_customers FROM u GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q17_scalar" ->
+      """SELECT o_custkey, count(*) AS n_above, round(max(o_totalprice),2) AS max_price
+        |FROM orders o
+        |WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders i
+        |                      WHERE i.o_custkey = o.o_custkey)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "g_lookup" ->
       """SELECT 'c:'||c_custkey AS id, c_name AS name, round(c_acctbal,2) AS acctbal

@@ -223,6 +223,32 @@ object Relational {
       .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
       .orderBy(col("day"), col("event_type"))
 
+  /** C16 — set operations: customers appearing in both high- and
+    * low-value order populations (INTERSECT) and only in high
+    * (EXCEPT). */
+  def q16Setops(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    val high = o.filter(col("o_totalprice") > 200000).select(col("o_custkey"))
+    val low = o.filter(col("o_totalprice") < 50000).select(col("o_custkey"))
+    val both = high.intersect(low).withColumn("segment", lit("both"))
+    val onlyHigh = high.except(low).withColumn("segment", lit("high_only"))
+    both.unionByName(onlyHigh)
+      .groupBy(col("segment")).agg(count(lit(1)).as("n_customers"))
+      .orderBy(col("segment"))
+  }
+
+  /** C17 — correlated scalar subquery: orders priced above their
+    * customer's average order value. */
+  def q17Scalar(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    val avgs = o.groupBy(col("o_custkey").as("k")).agg(avg(col("o_totalprice")).as("cavg"))
+    o.join(avgs, o("o_custkey") === avgs("k"))
+      .filter(col("o_totalprice") > col("cavg"))
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_above"), round(max(col("o_totalprice")), 2).as("max_price"))
+      .orderBy(col("o_custkey"))
+  }
+
   /** C15 — skew-safe join: the build side is replicated over SALT
     * deterministic buckets so one hot user_id cannot pin a single task.
     * Result is identical to the plain join (the oracle checks that). */

@@ -76,21 +76,29 @@ object TextAnalysis {
     * char 8-gram hashes in each window of 16, deduplicated — a compact,
     * shift-robust signature (Schleimer et al., MOSS). */
   def f4Fingerprint(s: SparkSession, dir: String, gram: Int = 8, window: Int = 16): DataFrame = {
-    // each intermediate (normalized text, k-gram hash array) is bound
-    // as a projection column before a lambda uses it — referencing the
-    // expression inside the lambda would recompute it per element
+    // winnowing as codegen'd window functions: explode char-k-gram
+    // positions to rows, take the min hash over each sliding window of
+    // 16 via min().over(rowsBetween), dedup, aggregate back per doc.
+    // (The array/HOF formulation interprets O(len × window) lambda
+    // calls per document — see SURVEY §5 on HOF traps.)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(0, window - 1)
     Tables.documents(s, dir)
       .select(col("doc_id"), lower(trim(col("text"))).as("t"))
-      .select(col("doc_id"),
-        transform(
-          sequence(lit(1), greatest(length(col("t")) - (gram - 1), lit(1))),
-          i => xxhash64(col("t").substr(i, lit(gram)))).as("hashes"))
-      .select(col("doc_id"),
-        array_distinct(transform(
-          sequence(lit(1), greatest(size(col("hashes")) - (window - 1), lit(1))),
-          i => array_min(slice(col("hashes"), i, lit(window))))).as("fp"))
-      .select(col("doc_id"), size(col("fp")).as("n_fp"),
-        xxhash64(to_json(struct(col("fp")))).as("fp_hash"))
+      .filter(length(col("t")) >= gram)
+      .select(col("doc_id"), col("t"),
+        explode(sequence(lit(0), length(col("t")) - gram)).as("pos"))
+      .select(col("doc_id"), col("pos"),
+        xxhash64(col("t").substr(col("pos") + 1, lit(gram))).as("h"),
+        (length(col("t")) - gram).as("last_start"))
+      .withColumn("wmin",
+        when(col("pos") <= col("last_start") - (window - 1), min(col("h")).over(w)))
+      .filter(col("wmin").isNotNull)
+      .select(col("doc_id"), col("wmin")).distinct()
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("int").as("n_fp"),
+        xxhash64(to_json(struct(sort_array(collect_list(col("wmin")))))).as("fp_hash"))
       .orderBy(col("doc_id"))
   }
 
