@@ -33,6 +33,26 @@ class GraphOpsSpec extends SparkSpec {
     assert(Set("x", "y").map(out) == Set("x"))
   }
 
+  test("star-contraction CC matches label propagation on fixtures and testdata") {
+    // deep chain (the case star-contraction exists for) + clique + isolated pair
+    val chain = (0 until 30).map(i => (f"n$i%02d", f"n${i + 1}%02d"))
+    val extra = Seq("x1" -> "x2", "x1" -> "x3", "y1" -> "y2")
+    val edges = edgeDf((chain ++ extra): _*)
+    val star = GraphOps.connectedComponentsStar(edges)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val prop = GraphOps.connectedComponents(edges, maxIter = 50)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(star == prop)
+    assert(star("n30") == "n00" && star("x3") == "x1" && star("y2") == "y1")
+
+    val td = graph.TestGraph.partSupplierEdges(spark, sf)
+    val a = GraphOps.connectedComponentsStar(td)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val b = GraphOps.connectedComponents(td)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(a == b)
+  }
+
   test("pagerank: ranks sum to vertex count and sinks rank lowest") {
     // star: everyone points at z
     val edges = edgeDf("a" -> "z", "b" -> "z", "c" -> "z")
