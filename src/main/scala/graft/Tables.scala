@@ -22,12 +22,20 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame     = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = load(s, d, "lineitem")
-  /** events.ts is parquet TIMESTAMP(NANOS): read as long nanos (see
-    * GraftSession) and convert with integer division — a double cast
-    * would lose sub-microsecond precision at epoch-ns magnitude. */
-  def events(s: SparkSession, d: String): DataFrame =
-    load(s, d, "events").withColumn("ts",
-      org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+  /** events.ts is parquet TIMESTAMP(NANOS) in the driver testdata:
+    * read as long nanos (see GraftSession) and convert with integer
+    * division — a double cast would lose sub-microsecond precision at
+    * epoch-ns magnitude. Files written with µs timestamps come back as
+    * TimestampType already and pass through. */
+  def events(s: SparkSession, d: String): DataFrame = {
+    val df = load(s, d, "events")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts",
+          org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+      case _ => df
+    }
+  }
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 }

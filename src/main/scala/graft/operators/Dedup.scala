@@ -68,8 +68,10 @@ object Dedup {
                         threshold: Double): DataFrame =
     cand
       .join(sh.select(col("doc_id").as("id1"), col("g")), Seq("id1"))
-      .join(sh.select(col("doc_id").as("id2"), col("g").as("g2")), Seq("id2"))
-      .filter(col("g") === col("g2"))
+      // explicit two-key equi-join: joining on id2 alone would blow up
+      // to |pair|×|shingles| rows before any g filter could apply
+      .join(sh.select(col("doc_id").as("rid"), col("g").as("g2")),
+        col("id2") === col("rid") && col("g") === col("g2"))
       .groupBy(col("id1"), col("id2"))
       .agg(count(lit(1)).as("i"))
       .join(sizes.select(col("doc_id").as("id1"), col("n").as("n1")), Seq("id1"))
@@ -145,7 +147,18 @@ object Dedup {
   def d2MinhashLsh(s: SparkSession, dir: String,
                    k: Int = 64, bands: Int = 16,
                    threshold: Double = 0.5): DataFrame = {
+    // exact duplicates collapse to one representative per distinct
+    // normalized text BEFORE the near-dup pass: a duplicate-heavy
+    // corpus (the common case at scale) would otherwise spend its time
+    // pairwise-verifying identical documents that D1 already groups.
+    // Output pairs are therefore between representatives.
+    val w = Window.partitionBy(col("text_hash")).orderBy(col("doc_id"))
     val docs = Tables.documents(s, dir)
+      .withColumn("text_hash", md5(norm(col("text"))))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .drop("text_hash", "rn")
+      .persist() // referenced by signatures AND verification
     val rows = k / bands
     val sigs = minhashSignatures(docs, k)
     val banded = sigs.select(col("doc_id"),
