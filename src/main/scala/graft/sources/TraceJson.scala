@@ -62,7 +62,13 @@ object TraceJson {
         col("sp.spanID").as("span_id"),
         filter(col("sp.references"), r => r.getField("refType") === "CHILD_OF")
           .getItem(0).getField("spanID").as("parent_span_id"),
-        struct(col("sp.startTime").as("t"), col("idx").as("i")).as("span_ord"),
+        // file-major ordering: the reference loader processes files in
+        // sorted-path order and sorts spans by startTime within a file
+        // (main.py INPUT_FILES sorted glob; events.py:513). Identical
+        // spans duplicated across trace files MUST order by file, or
+        // both copies look like the node-creating event.
+        struct(input_file_name().as("f"), col("sp.startTime").as("t"),
+          col("idx").as("i")).as("span_ord"),
         col("sp.startTime").as("start_time"),
         col("sp.duration").as("duration"),
         col("sp.operationName").as("op_name"),
