@@ -208,7 +208,14 @@ object Dedup {
     * (guarantees recall for Hamming distance ≤ 3), then exact Hamming
     * filter. */
   def d3Simhash(s: SparkSession, dir: String, maxHamming: Int = 3): DataFrame = {
+    // same representative collapse as D2: exact duplicates share a
+    // simhash by construction and would explode the chunk buckets
+    val w = Window.partitionBy(col("text_hash")).orderBy(col("doc_id"))
     val docs = Tables.documents(s, dir)
+      .withColumn("text_hash", md5(norm(col("text"))))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .drop("text_hash", "rn")
     val sigs = simhash(docs).persist()
     val chunked = sigs.select(col("doc_id"), col("simhash"),
         explode(array((0 until 4).map(c =>
