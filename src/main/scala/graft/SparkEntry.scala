@@ -39,6 +39,7 @@ object SparkEntry {
     "q15_skew"     -> (Relational.q15Skew _),
     "q16_setops"   -> (Relational.q16Setops _),
     "q17_scalar"   -> (Relational.q17Scalar _),
+    "q18_json"     -> (Relational.q18Json _),
     // B. graph
     "g_lookup"     -> (GraphQueries.gLookup _),
     "g_motif"      -> (GraphQueries.gMotif _),
@@ -191,6 +192,11 @@ object SparkEntry {
         |WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders i
         |                      WHERE i.o_custkey = o.o_custkey)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q18_json" ->
+      """SELECT event_type,
+        | CAST(CAST(json_extract(props, '$.k') AS INT) // 10 AS INT) AS k_bucket,
+        | count(*) AS n, round(sum(value),2) AS total_value
+        |FROM events GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
     "g_lookup" ->
       """SELECT 'c:'||c_custkey AS id, c_name AS name, round(c_acctbal,2) AS acctbal
         |FROM customer WHERE c_nationkey=3 AND c_acctbal>1000 ORDER BY 1""".stripMargin,

@@ -249,6 +249,23 @@ object Relational {
       .orderBy(col("o_custkey"))
   }
 
+  /** C18 — JSON column processing: parse events.props, bucket the
+    * embedded k value, aggregate. `from_json` with an explicit schema
+    * (single codegen'd parse, no schema inference). */
+  def q18Json(s: SparkSession, dir: String): DataFrame = {
+    val props = from_json(col("props"),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("k",
+          org.apache.spark.sql.types.IntegerType))))
+    Tables.events(s, dir)
+      .select(col("event_type"), props.getField("k").as("k"), col("value"))
+      // integer division on both sides: a double-divide + cast would
+      // truncate here but round in DuckDB
+      .groupBy(col("event_type"), expr("CAST(k DIV 10 AS INT)").as("k_bucket"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+      .orderBy(col("event_type"), col("k_bucket"))
+  }
+
   /** C15 — skew-safe join: the build side is replicated over SALT
     * deterministic buckets so one hot user_id cannot pin a single task.
     * Result is identical to the plain join (the oracle checks that). */
