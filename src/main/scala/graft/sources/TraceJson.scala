@@ -47,8 +47,13 @@ object TraceJson {
     * the (startTime, original index) pair packed in a struct, usable
     * as an ordering key for first/last-write-wins aggregation.
     */
-  def spans(spark: SparkSession, path: String): DataFrame = {
-    val raw = spark.read.schema(schema).option("multiLine", "true").json(path)
+  def spans(spark: SparkSession, path: String): DataFrame =
+    spansFromRaw(spark.read.schema(schema).option("multiLine", "true").json(path))
+
+  /** The same projection over an already-read raw frame (streaming
+    * micro-batches arrive pre-read — see streaming.TraceStream). */
+  def spansFromRaw(rawIn: DataFrame): DataFrame = {
+    val raw = rawIn
       // files without a traceID get a synthetic one, like the
       // reference's FILE::<basename> fallback (events.py:510)
       .withColumn("trace_id",
