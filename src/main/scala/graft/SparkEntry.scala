@@ -40,6 +40,8 @@ object SparkEntry {
     "q16_setops"   -> (Relational.q16Setops _),
     "q17_scalar"   -> (Relational.q17Scalar _),
     "q18_json"     -> (Relational.q18Json _),
+    "q19_approx"   -> (Relational.q19Approx _),
+    "p1_curate"    -> ((s, d) => Curation.curate(s, d)),
     // B. graph
     "g_lookup"     -> (GraphQueries.gLookup _),
     "g_motif"      -> (GraphQueries.gMotif _),

@@ -1,0 +1,84 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** End-to-end training-data curation: the composed pipeline a corpus
+  * actually goes through before tokenization —
+  *
+  *   quality gate → exact dedup → near-dedup (MinHash-LSH) → language
+  *   routing — emitting one decision row per document with the reason
+  *   it was kept or dropped.
+  *
+  * Every stage is one of the §2 operators; the composition is itself
+  * shuffle-bounded (no stage re-reads the corpus more than once).
+  */
+object Curation {
+
+  /** Decision frame: (doc_id, lang, keep, reason). Reasons:
+    * kept | low_quality | exact_dup | near_dup. */
+  def curate(s: SparkSession, dir: String,
+             minQuality: Double = 0.3,
+             nearDupThreshold: Double = 0.8): DataFrame = {
+    val docs = Tables.documents(s, dir)
+
+    // 1. quality gate (same integer-exact score as F2)
+    val w = split(lower(trim(col("text"))), "\\s+")
+    val n = size(w).cast("long")
+    val d = size(array_distinct(w)).cast("long")
+    val st = size(filter(w, x => x === "the" || x === "a")).cast("long")
+    val qNum = lit(4L) * least(n, lit(100L)) * n + lit(400L) * d + lit(200L) * st
+    val qDen = lit(1000L) * n
+    val quality = floor((qNum * lit(20000L) + qDen) / (qDen * lit(2L))) / lit(10000.0)
+    val scored = docs.select(col("doc_id"), col("lang"), col("text"),
+      quality.as("quality")).persist()
+
+    val lowQ = scored.filter(col("quality") < minQuality)
+      .select(col("doc_id"), col("lang"), lit(false).as("keep"), lit("low_quality").as("reason"))
+    val qualified = scored.filter(col("quality") >= minQuality)
+
+    // 2. exact dedup: keep min doc_id per normalized text
+    val wh = Window.partitionBy(col("text_hash")).orderBy(col("doc_id"))
+    val hashed = qualified
+      .withColumn("text_hash", md5(lower(trim(col("text")))))
+      .withColumn("rn", row_number().over(wh)).persist()
+    val exactDups = hashed.filter(col("rn") > 1)
+      .select(col("doc_id"), col("lang"), lit(false).as("keep"), lit("exact_dup").as("reason"))
+    val reps = hashed.filter(col("rn") === 1)
+
+    // 3. near-dedup among representatives: drop the larger id of each
+    // verified near-dup pair (transitive chains collapse to the smallest id)
+    val pairs = Dedup.verifyJaccard(
+      reps.select(col("doc_id"), col("text")),
+      lshCandidates(reps.select(col("doc_id"), col("text"))), nearDupThreshold)
+    val nearDupIds = pairs.select(col("id2").as("doc_id")).distinct()
+    val nearDups = reps.join(nearDupIds, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), col("lang"), lit(false).as("keep"), lit("near_dup").as("reason"))
+    val kept = reps.join(nearDupIds, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("lang"), lit(true).as("keep"), lit("kept").as("reason"))
+
+    lowQ.unionByName(exactDups).unionByName(nearDups).unionByName(kept)
+      .orderBy(col("doc_id"))
+  }
+
+  /** LSH candidate pairs for an arbitrary (doc_id, text) frame —
+    * the D2 banding stage exposed for pipeline composition. */
+  def lshCandidates(docs: DataFrame, k: Int = 64, bands: Int = 16): DataFrame = {
+    val rows = k / bands
+    val sigs = Dedup.minhashSignatures(docs, k)
+    val banded = sigs.select(col("doc_id"),
+        explode(array((0 until bands).map(b =>
+          struct(lit(b).as("band"),
+            xxhash64(slice(col("sig"), b * rows + 1, rows)).as("bh"))): _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band"), col("bb.bh"))
+    banded.alias("x").join(banded.alias("y"),
+        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("id1"), col("y.doc_id").as("id2"))
+      .distinct()
+      .persist()
+  }
+}

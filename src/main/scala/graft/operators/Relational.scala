@@ -266,6 +266,20 @@ object Relational {
       .orderBy(col("event_type"), col("k_bucket"))
   }
 
+  /** C19 — sketch-based approximate aggregates (the 100 TB path where
+    * exact distinct/percentile shuffles are unaffordable): HLL++
+    * distinct counts and t-digest-style percentiles. Rows-only checked;
+    * RelationalSpec bounds the relative error against the exact twins
+    * (q8/q12). */
+  def q19Approx(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        approx_count_distinct(col("l_partkey"), rsd = 0.02).as("approx_parts"),
+        round(expr("approx_percentile(l_extendedprice, 0.5, 10000)"), 2).as("ap50"),
+        round(expr("approx_percentile(l_extendedprice, 0.99, 10000)"), 2).as("ap99"))
+      .orderBy(col("l_returnflag"))
+
   /** C15 — skew-safe join: the build side is replicated over SALT
     * deterministic buckets so one hot user_id cannot pin a single task.
     * Result is identical to the plain join (the oracle checks that). */

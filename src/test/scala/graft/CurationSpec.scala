@@ -1,0 +1,37 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Curation
+
+class CurationSpec extends SparkSpec {
+
+  test("curation decisions partition the corpus and respect stage order") {
+    val out = Curation.curate(spark, sf).persist()
+    val total = Tables.documents(spark, sf).count()
+    assert(out.count() == total)
+    assert(out.select(col("doc_id")).distinct().count() == total)
+    val byReason = out.groupBy(col("reason")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byReason.keySet.subsetOf(Set("kept", "low_quality", "exact_dup", "near_dup")))
+    assert(byReason.getOrElse("kept", 0L) > 0)
+    // kept rows are exactly the keep==true rows
+    assert(out.filter(col("keep")).count() == byReason.getOrElse("kept", 0L))
+  }
+
+  test("a planted exact duplicate and near duplicate are both dropped") {
+    import spark.implicits._
+    val base = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val near = (1 to 60).map(i => if (i == 30) "CHANGED" else s"tok$i").mkString(" ")
+    val docs = Seq((1L, base, "en"), (2L, base, "en"), (3L, near, "en"),
+      (4L, (100 to 160).map(i => s"z$i").mkString(" "), "en"))
+      .toDF("doc_id", "text", "lang")
+    docs.createOrReplaceTempView("_cur_docs")
+    // run the pipeline stages directly over this tiny frame
+    val cand = Curation.lshCandidates(docs.select(col("doc_id"), col("text")))
+    val pairs = graft.operators.Dedup.verifyJaccard(
+      docs.select(col("doc_id"), col("text")), cand, 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)) || pairs.contains((1L, 3L)))
+  }
+}

@@ -70,6 +70,20 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("q19 sketches are within tolerance of the exact twins") {
+    val approx = Relational.q19Approx(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    val exactD = Relational.q8Distinct(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exactP = Relational.q12Pctl(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(3)))).toMap
+    approx.foreach { case (flag, (parts, p50, p99)) =>
+      assert(math.abs(parts - exactD(flag)).toDouble / exactD(flag) < 0.05)
+      assert(math.abs(p50 - exactP(flag)._1) / exactP(flag)._1 < 0.02)
+      assert(math.abs(p99 - exactP(flag)._2) / exactP(flag)._2 < 0.02)
+    }
+  }
+
   test("q15 salted join equals plain join") {
     val salted = Relational.q15Skew(spark, sf).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
