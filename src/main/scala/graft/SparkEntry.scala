@@ -56,11 +56,11 @@ object SparkEntry {
     // reference-corpus graph queries (rows-only: the trace corpus is
     // fixed input, not derivable from sfDir, so no SQL oracle)
     "sg_summary"   -> ((s, _) => {
-      val (n, e) = graft.graph.SysmonGraph.build(s, "/root/reference/malware/*.json")
+      val (n, e) = graft.graph.SysmonGraph.buildCached(s, "/root/reference/malware/*.json")
       graft.graph.Detections.summary(n, e)
     }),
     "sg_spawntree" -> ((s, _) => {
-      val (_, e) = graft.graph.SysmonGraph.build(s, "/root/reference/malware/*.json")
+      val (_, e) = graft.graph.SysmonGraph.buildCached(s, "/root/reference/malware/*.json")
       graft.graph.Detections.deepSpawnChains(e, minDepth = 1)
         .groupBy(org.apache.spark.sql.functions.col("dist"))
         .count().orderBy(org.apache.spark.sql.functions.col("dist"))

@@ -292,4 +292,15 @@ object SysmonGraph {
     val (n, e) = rawGraph(norm)
     (mergeNodes(n), mergeEdges(e))
   }
+
+  private val memo =
+    new java.util.concurrent.ConcurrentHashMap[String, (DataFrame, DataFrame)]()
+
+  /** Session-memoized build: several queries over the same corpus share
+    * one persisted graph instead of re-running the ETL each. */
+  def buildCached(spark: SparkSession, path: String): (DataFrame, DataFrame) =
+    memo.computeIfAbsent(System.identityHashCode(spark) + "|" + path, { _ =>
+      val (n, e) = build(spark, path)
+      (n.persist(), e.persist())
+    })
 }
