@@ -42,11 +42,9 @@ object GraphXBridge {
     import spark.implicits._
     val (dict, g) = toGraphX(edges)
     val cc = g.connectedComponents().vertices.toDF("vid", "cvid")
-    val byVid = cc
-      .join(dict, Seq("vid"))
-      .join(dict.select(col("vid").as("cvid"), col("id").as("c_id")), Seq("cvid"))
     // GraphX labels by min vid; translate to min string id per component
-    byVid.groupBy(col("cvid"))
+    cc.join(dict, Seq("vid"))
+      .groupBy(col("cvid"))
       .agg(min(col("id")).as("component"), collect_list(col("id")).as("members"))
       .select(explode(col("members")).as("id"), col("component"))
   }
