@@ -41,6 +41,8 @@ object SparkEntry {
     "q17_scalar"   -> (Relational.q17Scalar _),
     "q18_json"     -> (Relational.q18Json _),
     "q19_approx"   -> (Relational.q19Approx _),
+    "q20_strings"  -> (Relational.q20Strings _),
+    "q21_dates"    -> (Relational.q21Dates _),
     "p1_curate"    -> ((s, d) => Curation.curate(s, d)),
     // B. graph
     "g_lookup"     -> (GraphQueries.gLookup _),
@@ -199,6 +201,24 @@ object SparkEntry {
         | CAST(CAST(json_extract(props, '$.k') AS INT) // 10 AS INT) AS k_bucket,
         | count(*) AS n, round(sum(value),2) AS total_value
         |FROM events GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+    "q20_strings" ->
+      """SELECT p_partkey,
+        | upper(substring(p_name, 1, 5)) AS head5,
+        | CAST(length(p_name) AS BIGINT) AS name_len,
+        | CAST(instr(p_name, 'a') AS BIGINT) AS first_a,
+        | regexp_replace(p_name, '[aeiou]', '_', 'g') AS devoweled,
+        | concat_ws('|', p_brand, p_type) AS brand_type,
+        | lpad(CAST(p_partkey AS VARCHAR), 8, '0') AS padded_key
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "q21_dates" ->
+      """SELECT o_orderkey,
+        | CAST(year(o_orderdate) AS INT) AS y,
+        | CAST(month(o_orderdate) AS INT) AS m,
+        | CAST(day(o_orderdate) AS INT) AS d,
+        | CAST(quarter(o_orderdate) AS INT) AS q,
+        | strftime(o_orderdate + INTERVAL 3 MONTH, '%Y-%m-%d') AS plus3m,
+        | strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
     "g_lookup" ->
       """SELECT 'c:'||c_custkey AS id, c_name AS name, round(c_acctbal,2) AS acctbal
         |FROM customer WHERE c_nationkey=3 AND c_acctbal>1000 ORDER BY 1""".stripMargin,

@@ -69,6 +69,43 @@ object Detections {
     GraphOps.bfs(spawns, roots, maxIter).filter(col("dist") >= minDepth)
   }
 
+  /** Cross-process named-pipe rendezvous: one process CREATED_PIPE a
+    * pipe another process CONNECTED_PIPE to — classic C2/lateral-
+    * movement channel (e.g., Cobalt Strike `\postex_*`, `\MSSE-*`). */
+  def pipeRendezvous(edges: DataFrame): DataFrame =
+    et(edges, "CREATED_PIPE").select(col("src").as("creator"), col("dst").as("pipe"))
+      .join(et(edges, "CONNECTED_PIPE").select(col("src").as("connector"), col("dst").as("pipe")),
+        Seq("pipe"))
+      .filter(col("creator") =!= col("connector"))
+      .distinct()
+
+  /** Raw device access (credential dumping / disk wiping prep):
+    * RAW_READ edges with the reading process's image. */
+  def rawDiskAccess(nodes: DataFrame, edges: DataFrame): DataFrame =
+    et(edges, "RAW_READ").select(col("src").as("process"), col("dst").as("device"))
+      .join(nodes.filter(col("label") === "Process")
+        .select(col("id").as("process"), element_at(col("props"), "image").as("image")),
+        Seq("process"), "left")
+
+  /** Script-host spawn chains: a scripting LOLBin (powershell/wscript/
+    * cscript/mshta/rundll32) spawning a process that then connects out. */
+  def scriptHostBeacon(nodes: DataFrame, edges: DataFrame): DataFrame = {
+    val hosts = Seq("powershell.exe", "wscript.exe", "cscript.exe",
+      "mshta.exe", "rundll32.exe", "cmd.exe")
+    val base = (c: org.apache.spark.sql.Column) =>
+      lower(element_at(split(c, "\\\\"), -1))
+    val procs = nodes.filter(col("label") === "Process")
+      .select(col("id"), element_at(col("props"), "image").as("image"))
+    val scriptProcs = procs.filter(base(col("image")).isin(hosts: _*))
+      .select(col("id"))
+    Traverse.from(edges, scriptProcs)
+      .out("SPAWNS", 1 to 3)
+      .pairs.select(col("start").as("script_host"), col("cur").as("descendant"))
+      .join(et(edges, "CONNECTED_TO").select(col("src").as("descendant"), col("dst").as("ip")),
+        Seq("descendant"))
+      .distinct()
+  }
+
   /** Per-trace detection summary: counts of each motif, joined to the
     * trace via HAS_PROCESS. */
   def summary(nodes: DataFrame, edges: DataFrame): DataFrame = {

@@ -266,6 +266,32 @@ object Relational {
       .orderBy(col("event_type"), col("k_bucket"))
   }
 
+  /** C20 — string function suite over part names: substring, position,
+    * replace, concat, padding, case — one row per transformation mix. */
+  def q20Strings(s: SparkSession, dir: String): DataFrame =
+    Tables.part(s, dir)
+      .select(col("p_partkey"),
+        upper(substring(col("p_name"), 1, 5)).as("head5"),
+        length(col("p_name")).cast("long").as("name_len"),
+        instr(col("p_name"), "a").cast("long").as("first_a"),
+        regexp_replace(col("p_name"), "[aeiou]", "_").as("devoweled"),
+        concat_ws("|", col("p_brand"), col("p_type")).as("brand_type"),
+        lpad(col("p_partkey").cast("string"), 8, "0").as("padded_key"))
+      .orderBy(col("p_partkey"))
+
+  /** C21 — date/time function suite over orders: truncation, parts,
+    * arithmetic, formatting. */
+  def q21Dates(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .select(col("o_orderkey"),
+        year(col("o_orderdate")).as("y"),
+        month(col("o_orderdate")).as("m"),
+        dayofmonth(col("o_orderdate")).as("d"),
+        quarter(col("o_orderdate")).as("q"),
+        date_format(add_months(col("o_orderdate"), 3), "yyyy-MM-dd").as("plus3m"),
+        date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM-dd").as("month_start"))
+      .orderBy(col("o_orderkey"))
+
   /** C19 — sketch-based approximate aggregates (the 100 TB path where
     * exact distinct/percentile shuffles are unaffordable): HLL++
     * distinct counts and t-digest-style percentiles. Rows-only checked;

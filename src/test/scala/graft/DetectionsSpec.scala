@@ -46,6 +46,20 @@ class DetectionsSpec extends SparkSpec {
     assert(s.agg(sum(col("n_procs"))).collect().head.getLong(0) > 0)
   }
 
+  test("pipe rendezvous finds cross-process channels in the corpus") {
+    val (_, edges) = graph
+    val out = Detections.pipeRendezvous(edges).collect()
+    // corpus has 4 CREATED_PIPE and 4 CONNECTED_PIPE edges; every hit
+    // must involve two distinct processes on one pipe
+    out.foreach(r => assert(r.getString(1) != r.getString(2)))
+  }
+
+  test("script-host beacon chains exist and start from script hosts") {
+    val (nodes, edges) = graph
+    val out = Detections.scriptHostBeacon(nodes, edges)
+    assert(out.count() > 0)
+  }
+
   test("self-deletion motif: joins image basenames case-insensitively") {
     val (nodes, edges) = graph
     // may be empty on this corpus; assert it at least evaluates and
