@@ -42,6 +42,16 @@ object SparkEntry {
     "q18_json"     -> (Relational.q18Json _),
     "q19_approx"   -> (Relational.q19Approx _),
     "q20_strings"  -> (Relational.q20Strings _),
+    "q22_sessions" -> (Relational.q22Sessions _),
+    "m1_media"     -> ((s, d) => {
+      import s.implicits._
+      val n = graft.Tables.documents(s, d).count().toInt.min(500)
+      graft.multimodal.Multimodal.extractFeatures(
+        graft.multimodal.Multimodal.syntheticBlobs(s, n)).toDF()
+        .select(org.apache.spark.sql.functions.col("media_id"),
+          org.apache.spark.sql.functions.col("kind"),
+          org.apache.spark.sql.functions.col("n_frames"))
+    }),
     "q21_dates"    -> (Relational.q21Dates _),
     "p1_curate"    -> ((s, d) => Curation.curate(s, d)),
     // B. graph
@@ -201,6 +211,23 @@ object SparkEntry {
         | CAST(CAST(json_extract(props, '$.k') AS INT) // 10 AS INT) AS k_bucket,
         | count(*) AS n, round(sum(value),2) AS total_value
         |FROM events GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+    "q22_sessions" ->
+      """WITH g AS (
+        | SELECT user_id, ts, event_id, value,
+        |  CASE WHEN lag(ts) OVER w IS NULL
+        |         OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > 1800000
+        |       THEN 1 ELSE 0 END AS new_session
+        | FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), s AS (
+        | SELECT user_id, ts, value,
+        |  CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS INT) AS session_seq
+        | FROM g
+        |)
+        |SELECT user_id, session_seq, count(*) AS n_events,
+        | round(sum(value),2) AS session_value,
+        | strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start
+        |FROM s GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
     "q20_strings" ->
       """SELECT p_partkey,
         | upper(substring(p_name, 1, 5)) AS head5,

@@ -266,6 +266,30 @@ object Relational {
       .orderBy(col("event_type"), col("k_bucket"))
   }
 
+  /** C22 — batch sessionization (the batch twin of streaming H2): a
+    * session breaks after 30 idle minutes; classic gap-flag + running
+    * sum assigns session ids, then per-session aggregates. */
+  def q22Sessions(s: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val gapMs = 30 * 60 * 1000L
+    Tables.events(s, dir)
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      // millisecond-exact gap on both engines (unix_millis / epoch_ms);
+      // a seconds-granularity cast would truncate differently than the
+      // oracle's fractional epoch
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          unix_millis(col("ts")) - unix_millis(col("prev_ts")) > gapMs, 1)
+          .otherwise(0))
+      .withColumn("session_seq",
+        sum(col("new_session")).over(byUser.rowsBetween(Window.unboundedPreceding, 0)).cast("int"))
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("session_value"),
+        date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss").as("session_start"))
+      .orderBy(col("user_id"), col("session_seq"))
+  }
+
   /** C20 — string function suite over part names: substring, position,
     * replace, concat, padding, case — one row per transformation mix. */
   def q20Strings(s: SparkSession, dir: String): DataFrame =
