@@ -43,6 +43,7 @@ object SparkEntry {
     "q19_approx"   -> (Relational.q19Approx _),
     "q20_strings"  -> (Relational.q20Strings _),
     "q22_sessions" -> (Relational.q22Sessions _),
+    "q23_range"    -> (Relational.q23Range _),
     "m1_media"     -> ((s, d) => {
       import s.implicits._
       val n = graft.Tables.documents(s, d).count().toInt.min(500)
@@ -211,6 +212,13 @@ object SparkEntry {
         | CAST(CAST(json_extract(props, '$.k') AS INT) // 10 AS INT) AS k_bucket,
         | count(*) AS n, round(sum(value),2) AS total_value
         |FROM events GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+    "q23_range" ->
+      """SELECT o_orderkey, count(*) AS n_events_24h
+        |FROM orders JOIN events
+        |  ON user_id = o_custkey
+        | AND epoch_ms(ts) >= epoch_ms(o_orderdate)
+        | AND epoch_ms(ts) <  epoch_ms(o_orderdate) + 86400000
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q22_sessions" ->
       """WITH g AS (
         | SELECT user_id, ts, event_id, value,

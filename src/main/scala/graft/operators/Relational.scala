@@ -290,6 +290,31 @@ object Relational {
       .orderBy(col("user_id"), col("session_seq"))
   }
 
+  /** C23 — range (interval) join: events within 24h after an order by
+    * the same customer.
+    *
+    * Scale pattern: a naive theta join is a nested-loop; instead both
+    * sides are bucketed by day and equi-joined on (customer, bucket)
+    * with the order side exploded into the two buckets its window can
+    * touch, then the exact range filter applies — shuffle-bounded at
+    * any scale. */
+  def q23Range(s: SparkSession, dir: String): DataFrame = {
+    val windowMs = 86400000L
+    val od = Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_custkey"),
+        unix_millis(col("o_orderdate").cast("timestamp")).as("t0"))
+      .withColumn("bucket",
+        explode(array(expr(s"t0 div $windowMs"), expr(s"t0 div $windowMs + 1"))))
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), unix_millis(col("ts")).as("t"))
+      .withColumn("bucket", expr(s"t div $windowMs"))
+    od.join(ev, od("o_custkey") === ev("user_id") && od("bucket") === ev("bucket"))
+      .filter(col("t") >= col("t0") && col("t") < col("t0") + windowMs)
+      .groupBy(col("o_orderkey"))
+      .agg(count(lit(1)).as("n_events_24h"))
+      .orderBy(col("o_orderkey"))
+  }
+
   /** C20 — string function suite over part names: substring, position,
     * replace, concat, padding, case — one row per transformation mix. */
   def q20Strings(s: SparkSession, dir: String): DataFrame =
