@@ -49,4 +49,9 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
     assert(p.contains("Window"), p)
   }
+
+  test("C23: range join is an equi-join on buckets, never a nested loop") {
+    val p = plan(Relational.q23Range(spark, sf))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
 }
