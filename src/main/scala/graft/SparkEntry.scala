@@ -44,6 +44,7 @@ object SparkEntry {
     "q20_strings"  -> (Relational.q20Strings _),
     "q22_sessions" -> (Relational.q22Sessions _),
     "q23_range"    -> (Relational.q23Range _),
+    "q24_rank"     -> (Relational.q24Rank _),
     "m1_media"     -> ((s, d) => {
       import s.implicits._
       val n = graft.Tables.documents(s, d).count().toInt.min(500)
@@ -212,6 +213,14 @@ object SparkEntry {
         | CAST(CAST(json_extract(props, '$.k') AS INT) // 10 AS INT) AS k_bucket,
         | count(*) AS n, round(sum(value),2) AS total_value
         |FROM events GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+    "q24_rank" ->
+      """SELECT c_custkey, c_nationkey, round(c_acctbal,2) AS bal,
+        | CAST(ntile(4) OVER w AS INT) AS quartile,
+        | round(percent_rank() OVER w, 6) AS pr,
+        | round(cume_dist() OVER w, 6) AS cd,
+        | CAST(dense_rank() OVER w AS INT) AS dr
+        |FROM customer WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
     "q23_range" ->
       """SELECT o_orderkey, count(*) AS n_events_24h
         |FROM orders JOIN events

@@ -290,6 +290,20 @@ object Relational {
       .orderBy(col("user_id"), col("session_seq"))
   }
 
+  /** C24 — ranking window family: ntile deciles, percent_rank,
+    * cume_dist, dense_rank over customer balances per nation. */
+  def q24Rank(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("c_nationkey")).orderBy(col("c_acctbal"), col("c_custkey"))
+    Tables.customer(s, dir)
+      .select(col("c_custkey"), col("c_nationkey"),
+        round(col("c_acctbal"), 2).as("bal"),
+        ntile(4).over(w).as("quartile"),
+        round(percent_rank().over(w), 6).as("pr"),
+        round(cume_dist().over(w), 6).as("cd"),
+        dense_rank().over(w).as("dr"))
+      .orderBy(col("c_custkey"))
+  }
+
   /** C23 — range (interval) join: events within 24h after an order by
     * the same customer.
     *
