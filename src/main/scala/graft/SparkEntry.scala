@@ -222,11 +222,12 @@ object SparkEntry {
         |FROM customer WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
         |ORDER BY c_custkey""".stripMargin,
     "q23_range" ->
-      """SELECT o_orderkey, count(*) AS n_events_24h
-        |FROM orders JOIN events
-        |  ON user_id = o_custkey
-        | AND epoch_ms(ts) >= epoch_ms(o_orderdate)
-        | AND epoch_ms(ts) <  epoch_ms(o_orderdate) + 86400000
+      """SELECT p.event_id AS purchase_id, count(*) AS n_prior_24h
+        |FROM events p JOIN events x
+        |  ON x.user_id = p.user_id
+        | AND epoch_ms(x.ts) >= epoch_ms(p.ts) - 86400000
+        | AND epoch_ms(x.ts) <  epoch_ms(p.ts)
+        |WHERE p.event_type = 'purchase'
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q22_sessions" ->
       """WITH g AS (
@@ -334,7 +335,7 @@ object SparkEntry {
         |FROM documents GROUP BY 1 ORDER BY keeper""".stripMargin,
     "d4_jaccard" ->
       """WITH t AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
-        |  FROM documents WHERE doc_id%10=0),
+        |  FROM documents),
         |s AS (SELECT doc_id,
         |  list_distinct([w[i]||' '||w[i+1]||' '||w[i+2] FOR i IN generate_series(1, len(w)-2)]) AS sh
         |  FROM t),
@@ -347,11 +348,11 @@ object SparkEntry {
         |WHERE CAST(i AS DOUBLE)/(x.n+y.n-i) >= 0.5 ORDER BY 1,2""".stripMargin,
     "d5_embdup" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding
-        |  FROM embeddings WHERE vec_id%10=0)
+        |  FROM embeddings)
         |SELECT a.vec_id AS id1, b.vec_id AS id2,
         | round(list_cosine_similarity(a.embedding, b.embedding),4) AS cos_sim
         |FROM e a JOIN e b ON a.vec_id < b.vec_id
-        |WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.95
+        |WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4
         |ORDER BY 1,2""".stripMargin,
     "e1_topk" ->
       """WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding FROM embeddings),

@@ -36,6 +36,11 @@ case class CosineSimilarity(left: Expression, right: Expression)
       s"left must be array<double>, got ${left.dataType}")
   }
 
+  // a null ELEMENT nulls the whole result (matching the HOF formulation,
+  // where null propagates through the aggregate fold), so the result is
+  // nullable even over non-null array columns
+  override def nullable: Boolean = true
+
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
@@ -43,15 +48,22 @@ case class CosineSimilarity(left: Expression, right: Expression)
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
       val x = a.getDouble(i); val y = b.getDouble(i)
       dot += x * y; na += x * x; nb += y * y
       i += 1
     }
     // norms must cover the full arrays even on length mismatch
     var j = n
-    while (j < a.numElements()) { val x = a.getDouble(j); na += x * x; j += 1 }
+    while (j < a.numElements()) {
+      if (a.isNullAt(j)) return null
+      val x = a.getDouble(j); na += x * x; j += 1
+    }
     var k = n
-    while (k < b.numElements()) { val y = b.getDouble(k); nb += y * y; k += 1 }
+    while (k < b.numElements()) {
+      if (b.isNullAt(k)) return null
+      val y = b.getDouble(k); nb += y * y; k += 1
+    }
     dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
@@ -59,22 +71,30 @@ case class CosineSimilarity(left: Expression, right: Expression)
     nullSafeCodeGen(ctx, ev, (a, b) => {
       val n = ctx.freshName("n"); val i = ctx.freshName("i")
       val dot = ctx.freshName("dot"); val na = ctx.freshName("na")
-      val nb = ctx.freshName("nb")
+      val nb = ctx.freshName("nb"); val bad = ctx.freshName("bad")
       val x = ctx.freshName("x"); val y = ctx.freshName("y")
       s"""
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
+         |boolean $bad = false;
          |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.isNullAt($i) || $b.isNullAt($i)) { $bad = true; break; }
          |  double $x = $a.getDouble($i); double $y = $b.getDouble($i);
          |  $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
          |}
-         |for (int $i = $n; $i < $a.numElements(); $i++) {
+         |for (int $i = $n; !$bad && $i < $a.numElements(); $i++) {
+         |  if ($a.isNullAt($i)) { $bad = true; break; }
          |  double $x = $a.getDouble($i); $na += $x * $x;
          |}
-         |for (int $i = $n; $i < $b.numElements(); $i++) {
+         |for (int $i = $n; !$bad && $i < $b.numElements(); $i++) {
+         |  if ($b.isNullAt($i)) { $bad = true; break; }
          |  double $y = $b.getDouble($i); $nb += $y * $y;
          |}
-         |${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+         |if ($bad) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+         |}
        """.stripMargin
     })
 

@@ -144,7 +144,7 @@ object SysmonGraph {
     val details = col("details")
     val dk = col("dst_key")
 
-    val nodes = norm.select(col("trace_id"), col("span_ord"), col("ev"), explode_outer(array(
+    val nodes = norm.select(col("trace_id"), col("span_ord"), col("ev"), posexplode_outer(array(
       nodeW(lit(true), "Trace", col("trace_id")),
       // process + parent stub + target stub: props aggregated in mergeNodes
       nodeW(hasP, "Process", pk, props(
@@ -170,12 +170,12 @@ object SysmonGraph {
       nodeW(ev.isin(17, 18) && hasP, "Pipe", pipeName),
       nodeW(ev === 19 && hasP, "WmiFilter", wmiFName, props("query" -> wmiFQuery)),
       nodeW(ev === 20 && hasP, "WmiConsumer", wmiCName, props("command" -> wmiCCmd)),
-      nodeW(ev.isin(23, 26) && hasP, "File", targetFile))).as("n"))
+      nodeW(ev.isin(23, 26) && hasP, "File", targetFile))).as(Seq("emit_pos", "n")))
       .filter(col("n").isNotNull)
-      .select(col("trace_id"), col("span_ord"), col("ev"),
+      .select(col("trace_id"), col("span_ord"), col("emit_pos"), col("ev"),
         col("n.label"), col("n.id"), col("n.props"))
 
-    val edges = norm.select(col("trace_id"), col("span_ord"), col("ev"), explode_outer(array(
+    val edges = norm.select(col("trace_id"), col("span_ord"), col("ev"), posexplode_outer(array(
       edgeW(hasP, "HAS_PROCESS", col("trace_id"), pk),
       edgeW(hasP && col("parent_key").isNotNull, "HAS_PROCESS", col("trace_id"), col("parent_key")),
       edgeW(ev.isin(8, 10, 25) && hasP, "HAS_PROCESS", col("trace_id"), dk),
@@ -211,12 +211,30 @@ object SysmonGraph {
       edgeW(ev === 27 && hasP, "CREATED_EXECUTABLE", pk, targetFile,
         props("mode" -> lit("blocked"))),
       edgeW(ev === 29 && hasP, "CREATED_EXECUTABLE", pk, targetFile,
-        props("mode" -> lit("detected"))))).as("e"))
+        props("mode" -> lit("detected"))))).as(Seq("emit_pos", "e")))
       .filter(col("e").isNotNull)
-      .select(col("span_ord"), col("ev"),
+      .select(col("span_ord"), col("emit_pos"), col("ev"),
         col("e.etype"), col("e.src"), col("e.dst"), col("e.props"))
 
-    (nodes, edges)
+    // BIND_TO (event 21) is MATCH-only in the reference (events.py:155-160):
+    // the edge exists only if BOTH the WmiFilter and WmiConsumer nodes were
+    // already created by an earlier event 19/20 at the time the bind event
+    // is processed. Gate on the first-creation span_ord of each name —
+    // the name frames are tiny (WMI events are rare), so both joins
+    // broadcast at any corpus scale.
+    val filterFirst = norm
+      .filter(ev === 19 && hasP && wmiFName.isNotNull)
+      .groupBy(wmiFName.as("wmi_name")).agg(min(col("span_ord")).as("created_ord"))
+    val consumerFirst = norm
+      .filter(ev === 20 && hasP && wmiCName.isNotNull)
+      .groupBy(wmiCName.as("wmi_name")).agg(min(col("span_ord")).as("created_ord"))
+    val gatedBinds = edges.filter(col("etype") === "BIND_TO")
+      .join(broadcast(filterFirst),
+        col("src") === col("wmi_name") && col("created_ord") < col("span_ord"), "left_semi")
+      .join(broadcast(consumerFirst),
+        col("dst") === col("wmi_name") && col("created_ord") < col("span_ord"), "left_semi")
+
+    (nodes, edges.filter(col("etype") =!= "BIND_TO").unionByName(gatedBinds))
   }
 
   /** MERGE node rows → one row per (label, id).
@@ -231,18 +249,26 @@ object SysmonGraph {
     * unconditional SET — last row wins (events.py:117-120).
     */
   def mergeNodes(nodes: DataFrame): DataFrame = {
-    val minOrd = min(col("span_ord")).over(Window.partitionBy(col("label"), col("id")))
+    // emission order = statement execution order in the reference loader:
+    // span processing order, then the per-span emission-array index (a span
+    // can emit the same Process key twice — e.g. dst_key == pkey on events
+    // 8/10/25 or a self-parent — and only the FIRST emission is the
+    // node-creating MERGE; the second already runs ON MATCH).
+    val ord = struct(col("span_ord"), col("emit_pos"))
+    val minOrd = min(ord).over(Window.partitionBy(col("label"), col("id")))
     def lastNonNull(key: String): Column =
       max(when(element_at(col("props"), key).isNotNull,
-        struct(col("span_ord"), element_at(col("props"), key).as("v")))).getField("v")
+        struct(col("span_ord"), col("emit_pos"),
+          element_at(col("props"), key).as("v")))).getField("v")
     def lastNonNullAfterCreate(key: String): Column =
       max(when(element_at(col("props"), key).isNotNull && !col("is_create"),
-        struct(col("span_ord"), element_at(col("props"), key).as("v")))).getField("v")
+        struct(col("span_ord"), col("emit_pos"),
+          element_at(col("props"), key).as("v")))).getField("v")
     def last(key: String): Column =
-      max(struct(col("span_ord"),
+      max(struct(col("span_ord"), col("emit_pos"),
         element_at(col("props"), key).as("v"))).getField("v")
     nodes
-      .withColumn("is_create", col("span_ord") === minOrd)
+      .withColumn("is_create", ord === minOrd)
       .groupBy(col("label"), col("id"))
       .agg(
         lastNonNullAfterCreate("ProcessGuid").as("ProcessGuid"),
@@ -271,9 +297,11 @@ object SysmonGraph {
     * last event's values (unconditional SET), except TAMPERED.details
     * which is last-non-null (events.py:169-174). */
   def mergeEdges(edges: DataFrame): DataFrame = {
-    val lastStruct = max_by(struct(col("ev").as("ev"), col("props").as("p")), col("span_ord"))
+    val lastStruct = max_by(struct(col("ev").as("ev"), col("props").as("p")),
+      struct(col("span_ord"), col("emit_pos")))
     val lastDetails = max(when(element_at(col("props"), "details").isNotNull,
-      struct(col("span_ord"), element_at(col("props"), "details").as("v")))).getField("v")
+      struct(col("span_ord"), col("emit_pos"),
+        element_at(col("props"), "details").as("v")))).getField("v")
     edges.groupBy(col("etype"), col("src"), col("dst"))
       .agg(lastStruct.as("l"), lastDetails.as("details_nn"), count(lit(1)).as("n_events"))
       .select(col("etype"), col("src"), col("dst"),

@@ -76,17 +76,22 @@ object Dedup {
       .agg(count(lit(1)).as("i"))
       .join(sizes.select(col("doc_id").as("id1"), col("n").as("n1")), Seq("id1"))
       .join(sizes.select(col("doc_id").as("id2"), col("n").as("n2")), Seq("id2"))
+      // threshold on the UNROUNDED value (rounding is display-only, and
+      // the oracle filters unrounded too)
+      .filter(col("i").cast("double") / (col("n1") + col("n2") - col("i")) >= threshold)
       .withColumn("jaccard",
         round(col("i").cast("double") / (col("n1") + col("n2") - col("i")), 4))
-      .filter(col("jaccard") >= threshold)
       .select(col("id1"), col("id2"), col("jaccard"))
       .orderBy(col("id1"), col("id2"))
 
-  /** D4 — exact pairwise n-gram Jaccard over a deterministic document
-    * subset (doc_id % 10 == 0): shingle inverted-index join (only pairs
-    * that share ≥1 shingle are scored — never a cross join). */
+  /** D4 — exact pairwise n-gram Jaccard over the full corpus: shingle
+    * inverted-index join (only pairs that share ≥1 shingle are scored —
+    * never a cross join; the candidate space is Σ_g |docs(g)|², bounded
+    * in practice by shingle rarity). This is the exact-SQL twin of D2:
+    * every pair it reports at θ is a pair MinHash-LSH is trying to
+    * recall. */
   def d4Jaccard(s: SparkSession, dir: String, threshold: Double = 0.5): DataFrame = {
-    val docs = Tables.documents(s, dir).filter(col("doc_id") % 10 === 0)
+    val docs = Tables.documents(s, dir)
     val sh = shingleRows(docs).persist()
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val inter = sh.alias("x").join(sh.alias("y"),
@@ -96,9 +101,9 @@ object Dedup {
     val out = inter
       .join(sizes.select(col("doc_id").as("id1"), col("n").as("n1")), Seq("id1"))
       .join(sizes.select(col("doc_id").as("id2"), col("n").as("n2")), Seq("id2"))
+      .filter(col("i").cast("double") / (col("n1") + col("n2") - col("i")) >= threshold)
       .withColumn("jaccard",
         round(col("i").cast("double") / (col("n1") + col("n2") - col("i")), 4))
-      .filter(col("jaccard") >= threshold)
       .select(col("id1"), col("id2"), col("jaccard"))
       .orderBy(col("id1"), col("id2"))
     out
@@ -233,11 +238,13 @@ object Dedup {
       .orderBy(col("id1"), col("id2"))
   }
 
-  /** D5 — embedding-cosine near-dup pairs over the deterministic
-    * vec_id % 10 == 0 subset (exact, oracle-checkable; the LSH/IVF
-    * scale path lives in [[Similarity]]). */
-  def d5EmbDup(s: SparkSession, dir: String, threshold: Double = 0.95): DataFrame = {
-    val e = Tables.embeddings(s, dir).filter(col("vec_id") % 10 === 0)
+  /** D5 — embedding-cosine similar pairs over the full corpus (exact
+    * pairwise, oracle-checkable; the LSH/IVF scale path lives in
+    * [[Similarity]]). The default threshold is tuned to the synthetic
+    * corpus's similarity ceiling (max pairwise cos ≈ 0.5) so the check
+    * exercises real pairs rather than vacuously matching on zero rows. */
+  def d5EmbDup(s: SparkSession, dir: String, threshold: Double = 0.4): DataFrame = {
+    val e = Tables.embeddings(s, dir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
     val a = e.select(col("vec_id").as("id1"), col("v").as("v1"))
     val b = e.select(col("vec_id").as("id2"), col("v").as("v2"))

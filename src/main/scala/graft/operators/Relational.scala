@@ -304,29 +304,32 @@ object Relational {
       .orderBy(col("c_custkey"))
   }
 
-  /** C23 — range (interval) join: events within 24h after an order by
-    * the same customer.
+  /** C23 — range (interval) join: per purchase event, the count of
+    * same-user events in the preceding 24 hours.
     *
     * Scale pattern: a naive theta join is a nested-loop; instead both
-    * sides are bucketed by day and equi-joined on (customer, bucket)
-    * with the order side exploded into the two buckets its window can
-    * touch, then the exact range filter applies — shuffle-bounded at
+    * sides are bucketed by day and equi-joined on (user, bucket) with
+    * the purchase side exploded into the two buckets its window can
+    * touch (each candidate has ONE bucket, so no pair is matched
+    * twice), then the exact range filter applies — shuffle-bounded at
     * any scale. */
   def q23Range(s: SparkSession, dir: String): DataFrame = {
     val windowMs = 86400000L
-    val od = Tables.orders(s, dir)
-      .select(col("o_orderkey"), col("o_custkey"),
-        unix_millis(col("o_orderdate").cast("timestamp")).as("t0"))
-      .withColumn("bucket",
-        explode(array(expr(s"t0 div $windowMs"), expr(s"t0 div $windowMs + 1"))))
     val ev = Tables.events(s, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+        unix_millis(col("ts")).as("t0"))
+      .withColumn("bucket",
+        explode(array(expr(s"t0 div $windowMs"), expr(s"t0 div $windowMs - 1"))))
+    val prior = ev
       .select(col("user_id"), unix_millis(col("ts")).as("t"))
       .withColumn("bucket", expr(s"t div $windowMs"))
-    od.join(ev, od("o_custkey") === ev("user_id") && od("bucket") === ev("bucket"))
-      .filter(col("t") >= col("t0") && col("t") < col("t0") + windowMs)
-      .groupBy(col("o_orderkey"))
-      .agg(count(lit(1)).as("n_events_24h"))
-      .orderBy(col("o_orderkey"))
+    purchases.join(prior,
+        col("p_user") === prior("user_id") && purchases("bucket") === prior("bucket"))
+      .filter(col("t") >= col("t0") - windowMs && col("t") < col("t0"))
+      .groupBy(col("purchase_id"))
+      .agg(count(lit(1)).as("n_prior_24h"))
+      .orderBy(col("purchase_id"))
   }
 
   /** C20 — string function suite over part names: substring, position,

@@ -104,8 +104,11 @@ object Similarity {
       .persist()
     val n = all.count()
     val stride = math.max(n / nlist, 1L)
+    // ordered selection: an unordered limit() is nondeterministic across
+    // partition arrival order on a cluster — the quantizer must seed the
+    // same centroids on every run
     var centroids = all.filter(col("vec_id") % stride === 0)
-      .limit(nlist)
+      .orderBy(col("vec_id")).limit(nlist)
       .select((col("vec_id") / stride).cast("int").as("cid"), col("v").as("cv"))
     for (_ <- 1 to lloydIters) {
       val assigned = all.crossJoin(broadcast(centroids))
@@ -141,6 +144,11 @@ object Similarity {
       .select(col("q_id"), col("rank"), col("vec_id").as("neighbor"),
         round(col("cos"), 4).as("cos_sim"))
       .orderBy(col("q_id"), col("rank"))
+      // materialize the (tiny, ≤ |queries|·k rows) result while `all` is
+      // still cached — unpersisting first would recompute the scan once
+      // per downstream self-reference
+      .persist()
+    out.count()
     all.unpersist()
     out
   }

@@ -84,6 +84,31 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("q23 range join: window boundaries and bucket edges are exact") {
+    import spark.implicits._
+    val W = 86400000L
+    val t0 = 2 * W + 1000 // purchase just after a day-bucket boundary
+    // (event_id, tMillis, user, type): the window is [t0-W, t0), and the
+    // candidates deliberately straddle the two day buckets the exploded
+    // purchase row covers
+    val rows = Seq(
+      (100L, t0, 7L, "purchase"),        // the probe (self must not count)
+      (1L, t0 - W, 7L, "click"),         // exactly 24h before → IN (>=)
+      (2L, t0 - W - 1, 7L, "click"),     // 24h+1ms before → OUT
+      (3L, 2 * W, 7L, "view"),           // same bucket as purchase → IN
+      (4L, t0 - 1, 7L, "error"),         // 1ms before → IN
+      (5L, t0 + 1, 7L, "click"),         // after → OUT
+      (6L, t0 - 10, 8L, "click"),        // other user → OUT
+      (200L, 5 * W, 9L, "purchase"))     // no prior events → absent row
+    val dir = java.nio.file.Files.createTempDirectory("q23fix").toString
+    rows.toDF("event_id", "t", "user_id", "event_type")
+      .select(col("event_id"), expr("timestamp_micros(t * 1000)").as("ts"),
+        col("user_id"), col("event_type"))
+      .write.parquet(s"$dir/events.parquet")
+    val out = Relational.q23Range(spark, dir).collect()
+    assert(out.map(r => r.getLong(0) -> r.getLong(1)).toMap == Map(100L -> 3L))
+  }
+
   test("q15 salted join equals plain join") {
     val salted = Relational.q15Skew(spark, sf).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap

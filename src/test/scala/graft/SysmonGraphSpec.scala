@@ -85,6 +85,67 @@ class SysmonGraphSpec extends SparkSpec {
     assert(segs.sameElements(Array("foo.exe", "ls", "plain")))
   }
 
+  // ---- synthetic-fixture tests for corner semantics the reference
+  // corpus does not exercise (tools/sysmon_oracle.py replays these too;
+  // expectations below were cross-checked against it) ----
+
+  private def span(t: Long, kvs: (String, String)*): String = {
+    val tags = kvs.map { case (k, v) =>
+      s"""{"key":"$k","type":"string","value":"$v"}""" }.mkString(",")
+    s"""{"spanID":"s$t","startTime":$t,"duration":1,"operationName":"op","tags":[$tags]}"""
+  }
+
+  private def writeTrace(name: String, traceId: String, spans: Seq[String]): String = {
+    val dir = java.nio.file.Files.createTempDirectory(name).toString
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/$name.json"),
+      s"""{"traceID":"$traceId","spans":[${spans.mkString(",")}]}""")
+    s"$dir/$name.json"
+  }
+
+  test("BIND_TO requires pre-existing WmiFilter AND WmiConsumer nodes (MATCH, not MERGE)") {
+    // events.py:155-160 wmi_bind MATCHes both endpoints: binds seen
+    // before their filter/consumer creation events produce no edge
+    val path = writeTrace("bindgate", "TB", Seq(
+      span(1, "EventID" -> "21", "ProcessGuid" -> "G1",
+        "FilterName" -> "F1", "ConsumerName" -> "C1"), // dangling: neither exists
+      span(2, "EventID" -> "19", "ProcessGuid" -> "G1",
+        "FilterName" -> "F1", "Query" -> "Q1"),
+      span(3, "EventID" -> "21", "ProcessGuid" -> "G1",
+        "FilterName" -> "F1", "ConsumerName" -> "C1"), // consumer still missing
+      span(4, "EventID" -> "20", "ProcessGuid" -> "G1",
+        "ConsumerName" -> "C1", "Command" -> "CMD"),
+      span(5, "EventID" -> "21", "ProcessGuid" -> "G1",
+        "FilterName" -> "F1", "ConsumerName" -> "C1"))) // both exist now
+    val (nodes, edges) = SysmonGraph.build(spark, path)
+    val binds = edges.filter(col("etype") === "BIND_TO")
+      .select(col("src"), col("dst"), col("n_events")).collect()
+    assert(binds.length == 1)
+    assert(binds.head.getString(0) == "F1" && binds.head.getString(1) == "C1")
+    // only the span-5 bind survives the gate (spans 1 and 3 matched nothing)
+    assert(binds.head.getLong(2) == 1L)
+    assert(nodes.filter(col("label").isin("WmiFilter", "WmiConsumer")).count() == 2)
+  }
+
+  test("same-span double MERGE of one process key: second emission runs ON MATCH") {
+    // event 10 with TargetProcessGuid == ProcessGuid: the main-process
+    // MERGE creates the node (ON CREATE does not set ProcessGuid), the
+    // target-process MERGE matches it and sets ProcessGuid — the Guid
+    // must survive even though both emissions share one span
+    val path = writeTrace("selfaccess", "TS", Seq(
+      span(1, "EventID" -> "10", "ProcessGuid" -> "GSELF",
+        "TargetProcessGuid" -> "GSELF", "GrantedAccess" -> "0x1fffff",
+        "Image" -> "self.exe")))
+    val (nodes, edges) = SysmonGraph.build(spark, path)
+    val p = nodes.filter(col("label") === "Process").collect()
+    assert(p.length == 1)
+    val props = p.head.getMap[String, String](p.head.fieldIndex("props"))
+    assert(props.get("ProcessGuid").contains("GSELF"))
+    assert(props.get("image").contains("self.exe"))
+    val acc = edges.filter(col("etype") === "ACCESSED_PROCESS").collect()
+    assert(acc.length == 1 && acc.head.getAs[String]("src") == "GSELF"
+      && acc.head.getAs[String]("dst") == "GSELF")
+  }
+
   test("registry target split matches reference parse_reg_target") {
     import spark.implicits._
     val df = Seq(

@@ -33,6 +33,23 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(bad == 0)
   }
 
+  test("cosine_sim yields null on null elements, matching the HOF semantics") {
+    import spark.implicits._
+    val df = Seq(
+      (Array[java.lang.Double](1.0, null), Array[java.lang.Double](1.0, 2.0)),
+      (Array[java.lang.Double](1.0, 2.0), Array[java.lang.Double](null, 2.0)),
+      (Array[java.lang.Double](1.0, 2.0), Array[java.lang.Double](1.0, 2.0))
+    ).toDF("a", "b")
+    // interpreted path
+    val got = df.select(VectorFunctions.cosine_sim(spark, col("a"), col("b")).as("c"))
+      .collect().map(r => if (r.isNullAt(0)) None else Some(r.getDouble(0)))
+    assert(got(0).isEmpty && got(1).isEmpty && got(2).exists(v => math.abs(v - 1.0) < 1e-12))
+    // HOF twin agrees on the null-element rows
+    val hof = df.select(Similarity.cosine(col("a"), col("b")).as("c"))
+      .collect().map(_.isNullAt(0))
+    assert(hof(0) && hof(1) && !hof(2))
+  }
+
   test("cosine_sim is codegen'd (appears inside WholeStageCodegen)") {
     val e = Tables.embeddings(spark, sf)
       .select(col("embedding").cast("array<double>").as("v"))

@@ -232,7 +232,10 @@ def load(paths):
             if sev == "21" and pkey:
                 f = co(tags, "FilterName", "Filter")
                 c = co(tags, "ConsumerName", "Consumer")
-                if f and c:
+                # reference wmi_bind MATCHes (never MERGEs) both endpoint
+                # nodes (events.py:155-160): the edge only exists if a
+                # prior event 19/20 already created them
+                if f and c and ("WmiFilter", f) in nodes and ("WmiConsumer", c) in nodes:
                     set_edge("BIND_TO", f, c)
             if sev in ("23", "26") and pkey:
                 t = co(tags, "TargetFilename", "Path")
