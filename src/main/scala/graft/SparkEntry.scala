@@ -65,6 +65,8 @@ object SparkEntry {
     "g_degree"     -> (GraphQueries.gDegree _),
     "g_topdeg"     -> (GraphQueries.gTopdeg _),
     "g_pagerank"   -> (GraphQueries.gPagerank _),
+    "g_triangles"  -> (GraphQueries.gTriangles _),
+    "g_sssp"       -> (GraphQueries.gSssp _),
     "n1_nodemerge" -> (GraphQueries.n1NodeMerge _),
     "n2_edgemerge" -> (GraphQueries.n2EdgeMerge _),
     // reference-corpus graph queries (rows-only: the trace corpus is
@@ -318,6 +320,28 @@ object SparkEntry {
         |SELECT coalesce(o.id, i.id) AS id, coalesce(out_deg,0) AS out_deg,
         | coalesce(in_deg,0) AS in_deg, coalesce(out_deg,0)+coalesce(in_deg,0) AS deg
         |FROM o FULL OUTER JOIN i ON o.id=i.id ORDER BY 1""".stripMargin,
+    "g_triangles" ->
+      """WITH lp AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |e AS (SELECT DISTINCT a.p AS u, b.p AS v FROM lp a JOIN lp b ON a.o=b.o AND a.p<b.p),
+        |tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        |        FROM e e1 JOIN e e2 ON e2.u = e1.v
+        |                  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+        |x AS (SELECT a AS id FROM tri UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri)
+        |SELECT id AS l_partkey, count(*) AS n_tri FROM x GROUP BY 1 ORDER BY 1""".stripMargin,
+    "g_sssp" ->
+      """WITH RECURSIVE base AS (
+        |  SELECT DISTINCT 'p:'||l_partkey AS a, 's:'||l_suppkey AS b,
+        |    CAST((l_partkey + l_suppkey) % 5 + 1 AS BIGINT) AS w
+        |  FROM lineitem WHERE l_partkey%20=0
+        |), edges AS (SELECT a AS src, b AS dst, w FROM base
+        |             UNION SELECT b, a, w FROM base
+        |), walk AS (
+        |  SELECT 's:1' AS id, CAST(0 AS BIGINT) AS d, 0 AS hops
+        |  UNION
+        |  SELECT e.dst, wk.d + e.w, wk.hops + 1
+        |  FROM walk wk JOIN edges e ON wk.id = e.src WHERE wk.hops < 8
+        |)
+        |SELECT id, min(d) AS dist FROM walk GROUP BY 1 ORDER BY 1""".stripMargin,
     "g_topdeg" ->
       """SELECT l_partkey, count(DISTINCT l_suppkey) AS n_supp FROM lineitem
         |GROUP BY 1 ORDER BY n_supp DESC, l_partkey LIMIT 10""".stripMargin,

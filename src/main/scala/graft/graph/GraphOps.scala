@@ -190,6 +190,84 @@ object GraphOps {
     ranks
   }
 
+  /** Per-vertex triangle count over the undirected simple graph.
+    *
+    * Degree-ordered orientation (every edge points from its lower-
+    * (degree, id) endpoint to the higher one) makes each triangle
+    * produce EXACTLY one wedge — at its lowest-ordered vertex — and
+    * bounds total wedge generation by O(m^{3/2}) regardless of degree
+    * skew (the node-iterator++ / compact-forward scheme): a star hub
+    * with degree d would otherwise generate d² wedges, the classic
+    * triangle-count blowup on power-law graphs.
+    */
+  def triangles(edges: DataFrame): DataFrame = {
+    val sym = undirected(edges).filter(col("src") =!= col("dst"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val deg = sym.groupBy(col("src").as("id")).agg(count(lit(1)).as("d"))
+    val orient = sym
+      .join(deg.select(col("id").as("src"), col("d").as("ds")), Seq("src"))
+      .join(deg.select(col("id").as("dst"), col("d").as("dd")), Seq("dst"))
+      .filter(col("ds") < col("dd") ||
+        (col("ds") === col("dd") && col("src") < col("dst")))
+      .select(col("src").as("u"), col("dst").as("v"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // wedges at the lowest-ordered vertex (b, c ordered by id to avoid
+    // emitting each wedge twice); the closing edge may carry either
+    // orientation, so close against the id-canonical edge set
+    val wedges = orient.alias("e1").join(orient.alias("e2"),
+        col("e1.u") === col("e2.u") && col("e1.v") < col("e2.v"))
+      .select(col("e1.u").as("a"), col("e1.v").as("b"), col("e2.v").as("c"))
+    val closure = orient.select(
+      least(col("u"), col("v")).as("b"), greatest(col("u"), col("v")).as("c"))
+    val tris = wedges.join(closure, Seq("b", "c"), "left_semi")
+    val out = tris
+      .select(explode(array(col("a"), col("b"), col("c"))).as("id"))
+      .groupBy(col("id")).agg(count(lit(1)).as("n_tri"))
+    sym.unpersist()
+    out
+  }
+
+  /** Single-source shortest paths over weighted edges (src, dst, w),
+    * hop-bounded Bellman-Ford: after `maxIter` rounds, dist(id) is the
+    * minimum total weight over paths of at most `maxIter` edges (exact
+    * SSSP once maxIter ≥ the weighted-shortest-path hop diameter).
+    *
+    * Frontier-based like [[bfs]]: only vertices whose distance improved
+    * in round k propagate in round k+1, so settled regions of the graph
+    * drop out of the join; early-stops when nothing improves.
+    */
+  def sssp(edges: DataFrame, sources: DataFrame, maxIter: Int = 10): DataFrame = {
+    val e = edges.select(col("src"), col("dst"), col("w"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var dist = sources.select(col("id"), lit(0L).as("dist"))
+      .distinct().localCheckpoint()
+    var frontier = dist
+    var frontierCount = frontier.count()
+    var iter = 0
+    while (iter < maxIter && frontierCount > 0) {
+      iter += 1
+      val cand = frontier.join(e, frontier("id") === e("src"))
+        .select(e("dst").as("id"), (col("dist") + col("w")).as("nd"))
+        .groupBy(col("id")).agg(min(col("nd")).as("nd"))
+      val improved = cand
+        .join(dist.select(col("id").as("oid"), col("dist").as("od")),
+          cand("id") === col("oid"), "left")
+        .filter(col("od").isNull || col("nd") < col("od"))
+        .select(col("id"), col("nd").as("dist"))
+        .localCheckpoint()
+      frontierCount = improved.count()
+      if (frontierCount > 0) {
+        dist = dist
+          .join(improved.select(col("id").as("iid")),
+            dist("id") === col("iid"), "left_anti")
+          .unionByName(improved).localCheckpoint()
+      }
+      frontier = improved
+    }
+    e.unpersist()
+    dist
+  }
+
   /** In/out/total degree per vertex. */
   def degrees(edges: DataFrame): DataFrame = {
     val out = edges.groupBy(col("src").as("id")).agg(count(lit(1)).as("out_deg"))

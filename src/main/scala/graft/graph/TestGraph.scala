@@ -39,4 +39,29 @@ object TestGraph {
       .select(concat(lit("p:"), col("l_partkey")).as("src"),
               concat(lit("s:"), col("l_suppkey")).as("dst"))
       .distinct()
+
+  /** Part co-purchase graph: an (undirected, id-canonical src < dst)
+    * edge between two parts whenever they appear in the same order.
+    * Unlike the bipartite part—supplier graph this one has triangles,
+    * so it exercises closure-style analytics. */
+  def coPurchaseEdges(s: SparkSession, dir: String): DataFrame = {
+    val lp = Tables.lineitem(s, dir)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+    lp.alias("a").join(lp.alias("b"),
+        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+      .select(col("a.p").as("src"), col("b.p").as("dst"))
+      .distinct()
+  }
+
+  /** Weighted part—supplier edges: weight is a deterministic small
+    * integer derived from the endpoint keys (1..5), so hop-bounded
+    * shortest-path oracles stay enumerable. */
+  def weightedPartSupplierEdges(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .filter(col("l_partkey") % 20 === 0)
+      .select(concat(lit("p:"), col("l_partkey")).as("src"),
+              concat(lit("s:"), col("l_suppkey")).as("dst"),
+              (pmod(col("l_partkey") + col("l_suppkey"), lit(5)) + 1)
+                .cast("bigint").as("w"))
+      .distinct()
 }

@@ -88,6 +88,26 @@ object GraphQueries {
       .orderBy(col("rank").desc, col("id"))
       .limit(20)
 
+  /** B10 — per-part triangle count on the co-purchase graph (two parts
+    * are adjacent when they share an order). Degree-ordered wedge
+    * generation — see [[GraphOps.triangles]]. */
+  def gTriangles(s: SparkSession, dir: String): DataFrame =
+    GraphOps.triangles(TestGraph.coPurchaseEdges(s, dir))
+      .select(col("id").as("l_partkey"), col("n_tri"))
+      .orderBy(col("l_partkey"))
+
+  /** B11 — weighted single-source shortest paths from s:1 over the
+    * part—supplier graph (undirected, deterministic integer weights),
+    * hop-bounded at 8 so the recursive-CTE oracle is enumerable. */
+  def gSssp(s: SparkSession, dir: String): DataFrame = {
+    val src = s.range(1).select(lit("s:1").as("id"))
+    val we = TestGraph.weightedPartSupplierEdges(s, dir)
+    val sym = we.unionByName(
+      we.select(col("dst").as("src"), col("src").as("dst"), col("w"))).distinct()
+    GraphOps.sssp(sym, src, maxIter = 8)
+      .orderBy(col("id"))
+  }
+
   /** A3 analog (N1) — MERGE first-non-null node semantics: one node per
     * user carrying the properties of its earliest event (`min_by`,
     * map-side partial agg — shuffle is |users|, not |events|). */

@@ -70,4 +70,39 @@ class GraphOpsSpec extends SparkSpec {
     assert(m("a") == ((2L, 0L, 2L)))
     assert(m("c") == ((0L, 2L, 2L)))
   }
+
+  test("triangles: K4 + pendant + triangle-free square") {
+    // K4 on a,b,c,d: each vertex is in C(3,2)=3 triangles. A pendant
+    // vertex p and a 4-cycle w-x-y-z (no chord) contribute none.
+    val edges = edgeDf(
+      "a" -> "b", "a" -> "c", "a" -> "d", "b" -> "c", "b" -> "d", "c" -> "d",
+      "d" -> "p",
+      "w" -> "x", "x" -> "y", "y" -> "z", "z" -> "w")
+    val out = GraphOps.triangles(edges)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out == Map("a" -> 3L, "b" -> 3L, "c" -> 3L, "d" -> 3L))
+  }
+
+  test("triangles: counts are orientation-independent (duplicate + reversed edges)") {
+    // same K3 fed redundantly in both directions and with duplicates
+    val edges = edgeDf("a" -> "b", "b" -> "a", "b" -> "c", "c" -> "b", "a" -> "c",
+      "a" -> "b", "c" -> "a")
+    val out = GraphOps.triangles(edges)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out == Map("a" -> 1L, "b" -> 1L, "c" -> 1L))
+  }
+
+  test("sssp: cheaper multi-hop path beats the direct edge; hop bound respected") {
+    val weighted = Seq(
+      ("s", "t", 10L), // direct but expensive
+      ("s", "m", 2L), ("m", "t", 3L), // cheaper 2-hop: dist(t)=5
+      ("t", "u", 1L)).toDF("src", "dst", "w")
+    val out = GraphOps.sssp(weighted, Seq("s").toDF("id"), maxIter = 8)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out == Map("s" -> 0L, "m" -> 2L, "t" -> 5L, "u" -> 6L))
+    // with maxIter=1 only direct relaxations apply
+    val one = GraphOps.sssp(weighted, Seq("s").toDF("id"), maxIter = 1)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(one == Map("s" -> 0L, "m" -> 2L, "t" -> 10L))
+  }
 }
