@@ -84,29 +84,41 @@ object Dedup {
       .select(col("id1"), col("id2"), col("jaccard"))
       .orderBy(col("id1"), col("id2"))
 
-  /** D4 — exact pairwise n-gram Jaccard over the full corpus: shingle
-    * inverted-index join (only pairs that share ≥1 shingle are scored —
-    * never a cross join; the candidate space is Σ_g |docs(g)|², bounded
-    * in practice by shingle rarity). This is the exact-SQL twin of D2:
-    * every pair it reports at θ is a pair MinHash-LSH is trying to
-    * recall. */
+  /** D4 — exact pairwise n-gram Jaccard over the full corpus, via
+    * PREFIX FILTERING (SSJoin/PPJoin-style, as in Vernica et al.'s
+    * MapReduce set-similarity join): shingles are globally ordered by
+    * document frequency (rarest first) and each document only indexes
+    * its first |d| − ⌈θ·|d|⌉ + 1 shingles. Any pair with J ≥ θ is
+    * guaranteed to collide on at least one indexed (prefix) shingle, so
+    * candidate generation is EXACT on recall while the frequent-shingle
+    * blowup (a stop-word 3-gram with df = 10⁶ contributing 10¹² pairs
+    * to a naive inverted-index join) never materializes — frequent
+    * shingles sort into the un-indexed suffixes. Candidates are then
+    * verified with true Jaccard, so precision is exact too. */
   def d4Jaccard(s: SparkSession, dir: String, threshold: Double = 0.5): DataFrame = {
     val docs = Tables.documents(s, dir)
     val sh = shingleRows(docs).persist()
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val inter = sh.alias("x").join(sh.alias("y"),
+    val cand = prefixCandidates(sh, sizes, threshold)
+    jaccardOf(cand, sh, sizes, threshold)
+  }
+
+  /** Prefix-filtered candidate pairs (id1 < id2) from shingle rows:
+    * every pair with Jaccard ≥ threshold is included (the prefix-
+    * filtering guarantee); frequent shingles never join. */
+  def prefixCandidates(sh: DataFrame, sizes: DataFrame, threshold: Double): DataFrame = {
+    val freq = sh.groupBy(col("g")).agg(count(lit(1)).as("df"))
+    val pref = sh
+      .join(freq, Seq("g"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("df"), col("g"))))
+      .join(sizes, Seq("doc_id"))
+      .filter(col("rk") <= col("n") - ceil(lit(threshold) * col("n")) + 1)
+      .select(col("doc_id"), col("g"))
+    pref.alias("x").join(pref.alias("y"),
         col("x.g") === col("y.g") && col("x.doc_id") < col("y.doc_id"))
-      .groupBy(col("x.doc_id").as("id1"), col("y.doc_id").as("id2"))
-      .agg(count(lit(1)).as("i"))
-    val out = inter
-      .join(sizes.select(col("doc_id").as("id1"), col("n").as("n1")), Seq("id1"))
-      .join(sizes.select(col("doc_id").as("id2"), col("n").as("n2")), Seq("id2"))
-      .filter(col("i").cast("double") / (col("n1") + col("n2") - col("i")) >= threshold)
-      .withColumn("jaccard",
-        round(col("i").cast("double") / (col("n1") + col("n2") - col("i")), 4))
-      .select(col("id1"), col("id2"), col("jaccard"))
-      .orderBy(col("id1"), col("id2"))
-    out
+      .select(col("x.doc_id").as("id1"), col("y.doc_id").as("id2"))
+      .distinct()
   }
 
   /** Prime modulus and deterministic (a, b) coefficients for the

@@ -21,6 +21,46 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.shingles(tiny).collect().head.getSeq[String](1).isEmpty)
   }
 
+  test("d4 prefix filtering loses no pairs vs the naive inverted-index join") {
+    // ground truth: ALL pairs sharing >=1 shingle, exactly verified
+    val docs = Tables.documents(spark, sf)
+    val sh = Dedup.shingleRows(docs).persist()
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val naive = sh.alias("x").join(sh.alias("y"),
+        col("x.g") === col("y.g") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("id1"), col("y.doc_id").as("id2"))
+      .agg(count(lit(1)).as("i"))
+      .join(sizes.select(col("doc_id").as("id1"), col("n").as("n1")), Seq("id1"))
+      .join(sizes.select(col("doc_id").as("id2"), col("n").as("n2")), Seq("id2"))
+      .filter(col("i").cast("double") / (col("n1") + col("n2") - col("i")) >= 0.5)
+      .select(col("id1"), col("id2"))
+    val filtered = Dedup.d4Jaccard(spark, sf).select(col("id1"), col("id2"))
+    assert(naive.exceptAll(filtered).isEmpty, "prefix filter dropped qualifying pairs")
+    assert(filtered.exceptAll(naive).isEmpty, "prefix filter admitted wrong pairs")
+    sh.unpersist()
+  }
+
+  test("prefix candidate set shrinks vs full inverted index but keeps planted near-dups") {
+    // every doc ends with the same boilerplate tail, so a naive inverted
+    // index joins all C(20,2) pairs on the "the of and"-style shingles;
+    // with prefix filtering those frequent shingles sort into the
+    // suffix and never join. The planted near-dup pair (100, 101)
+    // shares a long RARE run, which lands in the prefix and survives.
+    val run = (1 to 40).map(i => s"rare$i").mkString(" ")
+    val docs = ((1 to 20).map(i =>
+      (i.toLong, (1 to 40).map(j => s"u${i}w$j").mkString(" ") + " the of and end")) ++
+      Seq((100L, s"$run a"), (101L, s"$run b"))).toDF("doc_id", "text")
+    val sh = Dedup.shingleRows(docs).persist()
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val cand = Dedup.prefixCandidates(sh, sizes, 0.5)
+    assert(cand.filter(col("id1") === 100L && col("id2") === 101L).count() == 1)
+    val naiveCand = sh.alias("x").join(sh.alias("y"),
+        col("x.g") === col("y.g") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id"), col("y.doc_id")).distinct().count()
+    assert(cand.count() < naiveCand)
+    sh.unpersist()
+  }
+
   test("minhash LSH finds a planted near-duplicate with precision 1.0") {
     val base = (1 to 40).map(i => s"w$i").mkString(" ")
     val nearDup = (1 to 40).map(i => if (i == 20) "CHANGED" else s"w$i").mkString(" ")
