@@ -56,6 +56,7 @@ object SparkEntry {
     }),
     "q21_dates"    -> (Relational.q21Dates _),
     "p1_curate"    -> ((s, d) => Curation.curate(s, d)),
+    "p2_split"     -> (Curation.hashSplit _),
     // B. graph
     "g_lookup"     -> (GraphQueries.gLookup _),
     "g_motif"      -> (GraphQueries.gMotif _),
@@ -353,6 +354,14 @@ object SparkEntry {
       """SELECT user_id, event_type, round(arg_max(value, event_id),2) AS last_value,
         | count(*) AS n
         |FROM events GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+    "p2_split" ->
+      """WITH t AS (SELECT lang, n_chars,
+        |  CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)),1,1) IN ('c','d') THEN 'val'
+        |       WHEN substring(md5(CAST(doc_id AS VARCHAR)),1,1) IN ('e','f') THEN 'test'
+        |       ELSE 'train' END AS split
+        |  FROM documents)
+        |SELECT lang, split, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
+        |FROM t GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
     "d1_exact" ->
       """SELECT md5(lower(trim(text))) AS text_hash, min(doc_id) AS keeper,
         | count(*) AS n_copies

@@ -49,6 +49,25 @@ object GraphXBridge {
       .select(explode(col("members")).as("id"), col("component"))
   }
 
+  /** Per-vertex triangle count via GraphX TriangleCount; returns
+    * (id, n_tri) for vertices in ≥1 triangle (same contract as
+    * GraphOps.triangles). GraphX requires canonical (src < dst)
+    * deduplicated edges — the dense vid mapping preserves order only
+    * within the dictionary, so canonicalize on the vids. */
+  def triangleCount(edges: DataFrame): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val (dict, g0) = toGraphX(edges)
+    val canon = Graph.fromEdges(
+      g0.edges.map(e =>
+        Edge(math.min(e.srcId, e.dstId), math.max(e.srcId, e.dstId), ()))
+        .filter(e => e.srcId != e.dstId).distinct(), ())
+    val tc = canon.triangleCount().vertices
+      .filter(_._2 > 0).toDF("vid", "n_tri")
+    tc.join(dict, Seq("vid"))
+      .select(col("id"), col("n_tri").cast("long").as("n_tri"))
+  }
+
   /** PageRank via GraphX; returns (id, rank). */
   def pageRank(edges: DataFrame, iters: Int = 10, damping: Double = 0.85): DataFrame = {
     val spark = edges.sparkSession

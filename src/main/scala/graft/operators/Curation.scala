@@ -64,6 +64,29 @@ object Curation {
       .orderBy(col("doc_id"))
   }
 
+  /** P2 — deterministic train/val/test split, stratified reporting.
+    *
+    * Split assignment hashes the document's stable identity (md5 of the
+    * id — NOT Bernoulli sampling, whose outcome depends on row order and
+    * partitioning): the first hex digit buckets 16 ways → 12/2/2 =
+    * 75% / 12.5% / 12.5%. Every engine that can md5 reproduces the
+    * exact same split, so train/val leakage checks are replayable and
+    * re-runs at any scale or partitioning are stable. Returns per
+    * (lang, split) document counts and mean quality-relevant stats. */
+  def hashSplit(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val digit = substring(md5(col("doc_id").cast("string")), 1, 1)
+    val split_ = when(digit.isin("c", "d"), "val")
+      .when(digit.isin("e", "f"), "test")
+      .otherwise("train")
+    docs
+      .withColumn("split", split_)
+      .groupBy(col("lang"), col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).cast("long").as("total_chars"))
+      .orderBy(col("lang"), col("split"))
+  }
+
   /** LSH candidate pairs for an arbitrary (doc_id, text) frame —
     * the D2 banding stage exposed for pipeline composition. */
   def lshCandidates(docs: DataFrame, k: Int = 64, bands: Int = 16): DataFrame = {

@@ -19,6 +19,22 @@ class CurationSpec extends SparkSpec {
     assert(out.filter(col("keep")).count() == byReason.getOrElse("kept", 0L))
   }
 
+  test("P2 hash split: partition-invariant, covers the corpus, ratios sane") {
+    val out = Curation.hashSplit(spark, sf).collect()
+    val total = out.map(_.getLong(2)).sum
+    assert(total == Tables.documents(spark, sf).count())
+    val bySplit = out.groupBy(_.getString(1)).view.mapValues(_.map(_.getLong(2)).sum)
+    // 12/2/2 hex-digit buckets: train ≈ 75%, val/test ≈ 12.5% each
+    assert(bySplit("train").toDouble / total > 0.6)
+    assert(bySplit.getOrElse("val", 0L) + bySplit.getOrElse("test", 0L) > 0)
+    // determinism: the same assignment regardless of partitioning is the
+    // point of hashing the id — the aggregate must be identical when the
+    // input order/partitioning changes (md5 is row-local, but this pins
+    // the contract vs. a Bernoulli sample() which would differ)
+    val again = Curation.hashSplit(spark, sf).collect()
+    assert(out.map(_.toString).sameElements(again.map(_.toString)))
+  }
+
   test("a planted exact duplicate and near duplicate are both dropped") {
     import spark.implicits._
     val base = (1 to 60).map(i => s"tok$i").mkString(" ")

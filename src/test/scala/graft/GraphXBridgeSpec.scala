@@ -16,6 +16,27 @@ class GraphXBridgeSpec extends SparkSpec {
     assert(df == gx)
   }
 
+  test("GraphX triangle count agrees with the DataFrame implementation") {
+    // K4 + pendant + square fixture (same as GraphOpsSpec) plus the
+    // testdata co-purchase graph at spec scale
+    val fix = Seq(
+      "a" -> "b", "a" -> "c", "a" -> "d", "b" -> "c", "b" -> "d", "c" -> "d",
+      "d" -> "p", "w" -> "x", "x" -> "y", "y" -> "z", "z" -> "w").toDF("src", "dst")
+    val dfFix = GraphOps.triangles(fix)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val gxFix = GraphXBridge.triangleCount(fix)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(dfFix == gxFix)
+
+    val co = TestGraph.coPurchaseEdges(spark, sf)
+      .select(col("src").cast("string").as("src"), col("dst").cast("string").as("dst"))
+    val df = GraphOps.triangles(co)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val gx = GraphXBridge.triangleCount(co)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(df == gx)
+  }
+
   test("GraphX pagerank ranks the same top vertex as the DataFrame implementation") {
     val edges = Seq(("a", "z"), ("b", "z"), ("c", "z"), ("z", "a")).toDF("src", "dst")
     val df = GraphOps.pageRank(edges, iters = 15)
