@@ -10,8 +10,8 @@ object Bench {
   // cost at scale (not every correctness query).
   val headline: Seq[String] = Seq(
     "q1_agg", "q3_join", "q5_window", "q9_sort", "q11_asof", "q13_pivot",
-    "q15_skew", "g_tree", "g_cc", "g_degree", "d1_exact", "d2_minhash",
-    "d4_jaccard", "e1_topk", "f1_tokens", "f2_quality")
+    "q15_skew", "g_tree", "g_cc", "g_degree", "g_triangles", "d1_exact",
+    "d2_minhash", "d4_jaccard", "e1_topk", "f1_tokens", "f2_quality")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

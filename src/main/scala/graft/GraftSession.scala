@@ -25,5 +25,9 @@ object GraftSession {
       // duplicate span-tag keys: last wins, like the reference's
       // taglist_to_dict (events.py:17-22)
       .config("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
+      // mid-size build sides (graph closure sets, prefix indexes) are
+      // worth broadcasting on a 128 GiB single node; SURVEY §5 covers
+      // sizing this per executor memory at cluster scale
+      .config("spark.sql.autoBroadcastJoinThreshold", (64 * 1024 * 1024).toString)
       .config("spark.ui.enabled", "false")
 }

@@ -84,30 +84,67 @@ object Dedup {
       .select(col("id1"), col("id2"), col("jaccard"))
       .orderBy(col("id1"), col("id2"))
 
-  /** D4 — exact pairwise n-gram Jaccard over the full corpus, via
-    * PREFIX FILTERING (SSJoin/PPJoin-style, as in Vernica et al.'s
-    * MapReduce set-similarity join): shingles are globally ordered by
-    * document frequency (rarest first) and each document only indexes
-    * its first |d| − ⌈θ·|d|⌉ + 1 shingles. Any pair with J ≥ θ is
-    * guaranteed to collide on at least one indexed (prefix) shingle, so
-    * candidate generation is EXACT on recall while the frequent-shingle
-    * blowup (a stop-word 3-gram with df = 10⁶ contributing 10¹² pairs
-    * to a naive inverted-index join) never materializes — frequent
-    * shingles sort into the un-indexed suffixes. Candidates are then
-    * verified with true Jaccard, so precision is exact too. */
-  def d4Jaccard(s: SparkSession, dir: String, threshold: Double = 0.5): DataFrame = {
+  /** D4 — exact pairwise n-gram Jaccard over the full corpus, scale-
+    * safe in two cooperating pieces (the Vernica et al. MapReduce
+    * set-similarity-join recipe):
+    *
+    *  1. Intersection counts for shingles with df ≤ dfCap come from the
+    *     direct inverted-index co-occurrence join — its size is
+    *     Σ_{df≤cap} df² ≤ dfCap · |shingle rows|, i.e. LINEAR in the
+    *     corpus for a fixed cap, never quadratic.
+    *  2. Shingles with df > dfCap (boilerplate — the quadratic-blowup
+    *     case) are excluded from that join; pairs whose shared shingles
+    *     include such frequent shingles are still found because
+    *     candidate membership comes from PREFIX FILTERING (globally
+    *     ordering shingles by df, each doc indexes its rarest
+    *     |d| − ⌈θ·|d|⌉ + 1 — any pair with J ≥ θ must collide there),
+    *     and their frequent-shingle intersections are counted by a
+    *     candidate-bounded join against only the df > dfCap rows.
+    *
+    * Every pair with J ≥ θ is reported with its exact Jaccard. */
+  def d4Jaccard(s: SparkSession, dir: String, threshold: Double = 0.5,
+                dfCap: Long = 1000L): DataFrame = {
     val docs = Tables.documents(s, dir)
     val sh = shingleRows(docs).persist()
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val cand = prefixCandidates(sh, sizes, threshold)
-    jaccardOf(cand, sh, sizes, threshold)
+    val freq = sh.groupBy(col("g")).agg(count(lit(1)).as("df")).persist()
+    val cand = prefixCandidates(sh, sizes, freq, threshold).persist()
+
+    val shF = sh.join(freq, Seq("g"))
+    val low = shF.filter(col("df") <= dfCap).select(col("doc_id"), col("g"))
+    val iLow = low.alias("x").join(low.alias("y"),
+        col("x.g") === col("y.g") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("id1"), col("y.doc_id").as("id2"))
+      .agg(count(lit(1)).as("i_low"))
+    val high = shF.filter(col("df") > dfCap).select(col("doc_id"), col("g"))
+    val iHigh = cand
+      .join(high.select(col("doc_id").as("id1"), col("g")), Seq("id1"))
+      .join(high.select(col("doc_id").as("rid2"), col("g").as("g2")),
+        col("id2") === col("rid2") && col("g") === col("g2"))
+      .groupBy(col("id1"), col("id2"))
+      .agg(count(lit(1)).as("i_high"))
+
+    val out = cand
+      .join(iLow, Seq("id1", "id2"), "left")
+      .join(iHigh, Seq("id1", "id2"), "left")
+      .withColumn("i", coalesce(col("i_low"), lit(0L)) + coalesce(col("i_high"), lit(0L)))
+      .filter(col("i") > 0)
+      .join(sizes.select(col("doc_id").as("id1"), col("n").as("n1")), Seq("id1"))
+      .join(sizes.select(col("doc_id").as("id2"), col("n").as("n2")), Seq("id2"))
+      .filter(col("i").cast("double") / (col("n1") + col("n2") - col("i")) >= threshold)
+      .withColumn("jaccard",
+        round(col("i").cast("double") / (col("n1") + col("n2") - col("i")), 4))
+      .select(col("id1"), col("id2"), col("jaccard"))
+      .orderBy(col("id1"), col("id2"))
+    out
   }
 
   /** Prefix-filtered candidate pairs (id1 < id2) from shingle rows:
     * every pair with Jaccard ≥ threshold is included (the prefix-
-    * filtering guarantee); frequent shingles never join. */
-  def prefixCandidates(sh: DataFrame, sizes: DataFrame, threshold: Double): DataFrame = {
-    val freq = sh.groupBy(col("g")).agg(count(lit(1)).as("df"))
+    * filtering guarantee); frequent shingles rank into the un-indexed
+    * suffix and never join. */
+  def prefixCandidates(sh: DataFrame, sizes: DataFrame, freq: DataFrame,
+                       threshold: Double): DataFrame = {
     val pref = sh
       .join(freq, Seq("g"))
       .withColumn("rk", row_number().over(

@@ -52,13 +52,32 @@ class DedupSpec extends SparkSpec {
       Seq((100L, s"$run a"), (101L, s"$run b"))).toDF("doc_id", "text")
     val sh = Dedup.shingleRows(docs).persist()
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val cand = Dedup.prefixCandidates(sh, sizes, 0.5)
+    val freq = sh.groupBy(col("g")).agg(count(lit(1)).as("df"))
+    val cand = Dedup.prefixCandidates(sh, sizes, freq, 0.5)
     assert(cand.filter(col("id1") === 100L && col("id2") === 101L).count() == 1)
     val naiveCand = sh.alias("x").join(sh.alias("y"),
         col("x.g") === col("y.g") && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id"), col("y.doc_id")).distinct().count()
     assert(cand.count() < naiveCand)
     sh.unpersist()
+  }
+
+  test("d4 df-cap split: high-df shingle intersections counted via candidates") {
+    import spark.implicits._
+    // three near-identical docs (every shared shingle has df=3) plus
+    // distinct background docs; dfCap=2 forces ALL their shared
+    // shingles through the candidate-bounded high-df path
+    val run = (1 to 30).map(i => s"tok$i").mkString(" ")
+    val docs = (Seq((1L, s"$run alpha"), (2L, s"$run beta"), (3L, s"$run gamma")) ++
+      (10 to 20).map(i => (i.toLong, (1 to 30).map(j => s"bg${i}x$j").mkString(" "))))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("d4cap").toString
+    docs.write.parquet(s"$dir/documents.parquet")
+    for (cap <- Seq(1L, 1000L)) {
+      val out = Dedup.d4Jaccard(spark, dir, threshold = 0.5, dfCap = cap)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(out == Set((1L, 2L), (1L, 3L), (2L, 3L)), s"dfCap=$cap → $out")
+    }
   }
 
   test("minhash LSH finds a planted near-duplicate with precision 1.0") {

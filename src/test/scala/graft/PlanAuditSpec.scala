@@ -54,4 +54,15 @@ class PlanAuditSpec extends SparkSpec {
     val p = plan(Relational.q23Range(spark, sf))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
+
+  test("B10: triangle wedge/closure joins are equi-joins, never a nested loop") {
+    val p = plan(graft.graph.GraphOps.triangles(
+      graft.graph.TestGraph.coPurchaseEdges(spark, sf)))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("D4: prefix-filtered candidate generation joins only on shingles (equi)") {
+    val p = plan(graft.operators.Dedup.d4Jaccard(spark, sf))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
 }
