@@ -68,6 +68,8 @@ object SparkEntry {
     "g_pagerank"   -> (GraphQueries.gPagerank _),
     "g_triangles"  -> (GraphQueries.gTriangles _),
     "g_sssp"       -> (GraphQueries.gSssp _),
+    "g_nodesim"    -> (GraphQueries.gNodesim _),
+    "g_paths"      -> (GraphQueries.gPaths _),
     "n1_nodemerge" -> (GraphQueries.n1NodeMerge _),
     "n2_edgemerge" -> (GraphQueries.n2EdgeMerge _),
     // reference-corpus graph queries (rows-only: the trace corpus is
@@ -343,6 +345,30 @@ object SparkEntry {
         |  FROM walk wk JOIN edges e ON wk.id = e.src WHERE wk.hops < 8
         |)
         |SELECT id, min(d) AS dist FROM walk GROUP BY 1 ORDER BY 1""".stripMargin,
+    "g_nodesim" ->
+      """WITH e AS (SELECT DISTINCT 'p:'||l_partkey AS p, 's:'||l_suppkey AS s
+        |  FROM lineitem WHERE l_partkey%20=0),
+        |sz AS (SELECT p, count(*) AS n FROM e GROUP BY 1),
+        |i AS (SELECT a.p AS id1, b.p AS id2, count(*) AS i
+        |  FROM e a JOIN e b ON a.s=b.s AND a.p<b.p GROUP BY 1,2)
+        |SELECT id1, id2, round(CAST(i AS DOUBLE)/(x.n+y.n-i),4) AS sim
+        |FROM i JOIN sz x ON id1=x.p JOIN sz y ON id2=y.p
+        |WHERE CAST(i AS DOUBLE)/(x.n+y.n-i) >= 0.2 ORDER BY 1,2""".stripMargin,
+    "g_paths" ->
+      """WITH RECURSIVE edges AS (
+        |  SELECT 'r:'||n_regionkey AS src, 'n:'||n_nationkey AS dst FROM nation
+        |  UNION ALL SELECT 'n:'||c_nationkey, 'c:'||c_custkey FROM customer
+        |  UNION ALL SELECT 'c:'||o_custkey, 'o:'||o_orderkey FROM orders
+        |), walk AS (
+        |  SELECT 'r:0' AS id, 0 AS dist, 'r:0' AS path
+        |  UNION
+        |  SELECT e.dst, w.dist+1, w.path || '>' || e.dst
+        |  FROM walk w JOIN edges e ON w.id = e.src WHERE w.dist < 3
+        |), best AS (
+        |  SELECT id, dist, path,
+        |    row_number() OVER (PARTITION BY id ORDER BY dist, path) AS rn
+        |  FROM walk)
+        |SELECT id, CAST(dist AS INT) AS dist, path FROM best WHERE rn = 1 ORDER BY id""".stripMargin,
     "g_topdeg" ->
       """SELECT l_partkey, count(DISTINCT l_suppkey) AS n_supp FROM lineitem
         |GROUP BY 1 ORDER BY n_supp DESC, l_partkey LIMIT 10""".stripMargin,

@@ -190,6 +190,60 @@ object GraphOps {
     ranks
   }
 
+  /** Neo4j-GDS-style node similarity: Jaccard over out-neighbor sets
+    * for every source pair sharing at least one neighbor (never a cross
+    * join — candidates come from the inverted neighbor index). At
+    * corpus scale, hub destinations are the blowup risk — cap/split
+    * exactly as in Dedup.d4Jaccard if the degree distribution needs it.
+    * Returns (id1, id2, sim) with id1 < id2 and sim ≥ threshold. */
+  def nodeSimilarity(edges: DataFrame, threshold: Double): DataFrame = {
+    val e = edges.select(col("src"), col("dst")).distinct().persist(StorageLevel.MEMORY_AND_DISK)
+    val sizes = e.groupBy(col("src").as("id")).agg(count(lit(1)).as("n"))
+    val inter = e.alias("x").join(e.alias("y"),
+        col("x.dst") === col("y.dst") && col("x.src") < col("y.src"))
+      .groupBy(col("x.src").as("id1"), col("y.src").as("id2"))
+      .agg(count(lit(1)).as("i"))
+    inter
+      .join(sizes.select(col("id").as("id1"), col("n").as("n1")), Seq("id1"))
+      .join(sizes.select(col("id").as("id2"), col("n").as("n2")), Seq("id2"))
+      .filter(col("i").cast("double") / (col("n1") + col("n2") - col("i")) >= threshold)
+      .withColumn("sim",
+        round(col("i").cast("double") / (col("n1") + col("n2") - col("i")), 4))
+      .select(col("id1"), col("id2"), col("sim"))
+  }
+
+  /** BFS that also MATERIALIZES one shortest path per reached vertex —
+    * the Cypher `MATCH p = shortestPath((a)-[*]->(b)) RETURN p`
+    * capability, not just distances. Among equal-length paths the
+    * lexicographically smallest '>'-joined id string wins, which makes
+    * the output deterministic and reproducible by any engine with the
+    * same rule. Same frontier/checkpoint scheme as [[bfs]]. */
+  def bfsPaths(edges: DataFrame, sources: DataFrame, maxIter: Int = 20): DataFrame = {
+    val e = edges.select(col("src"), col("dst"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var visited = sources.select(col("id"), lit(0).as("dist"),
+      col("id").cast("string").as("path")).distinct().localCheckpoint()
+    var frontier = visited
+    var frontierCount = frontier.count()
+    var depth = 0
+    while (depth < maxIter && frontierCount > 0) {
+      depth += 1
+      val next = frontier.join(e, frontier("id") === e("src"))
+        .select(e("dst").as("id"),
+          concat(col("path"), lit(">"), e("dst")).as("path"))
+        .groupBy(col("id")).agg(min(col("path")).as("path"))
+        .join(visited, Seq("id"), "left_anti")
+        .withColumn("dist", lit(depth))
+        .select(col("id"), col("dist"), col("path"))
+        .localCheckpoint()
+      frontierCount = next.count()
+      if (frontierCount > 0) visited = visited.unionByName(next).localCheckpoint()
+      frontier = next
+    }
+    e.unpersist()
+    visited
+  }
+
   /** Per-vertex triangle count over the undirected simple graph.
     *
     * Degree-ordered orientation (every edge points from its lower-

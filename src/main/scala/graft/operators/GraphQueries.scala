@@ -108,6 +108,21 @@ object GraphQueries {
       .orderBy(col("id"))
   }
 
+  /** B12 — GDS-style node similarity: Jaccard over supplier neighbor
+    * sets of the (sparsified) part—supplier graph. */
+  def gNodesim(s: SparkSession, dir: String): DataFrame =
+    GraphOps.nodeSimilarity(TestGraph.partSupplierEdges(s, dir), threshold = 0.2)
+      .orderBy(col("id1"), col("id2"))
+
+  /** B13 — shortest-path EXTRACTION (Cypher `shortestPath` parity):
+    * one materialized path per vertex reachable from r:0 down the
+    * hierarchy forest, lexicographic tie-break. */
+  def gPaths(s: SparkSession, dir: String): DataFrame = {
+    val src = s.range(1).select(lit("r:0").as("id"))
+    GraphOps.bfsPaths(TestGraph.hierarchyEdges(s, dir), src, maxIter = 3)
+      .orderBy(col("id"))
+  }
+
   /** A3 analog (N1) — MERGE first-non-null node semantics: one node per
     * user carrying the properties of its earliest event (`min_by`,
     * map-side partial agg — shuffle is |users|, not |events|). */

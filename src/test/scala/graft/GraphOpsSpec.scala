@@ -71,6 +71,28 @@ class GraphOpsSpec extends SparkSpec {
     assert(m("c") == ((0L, 2L, 2L)))
   }
 
+  test("bfsPaths: shortest paths materialized, lexicographic tie-break on diamonds") {
+    // two shortest s->t paths: s>a>t and s>b>t — the lex-min (s>a>t) must
+    // win deterministically; d hangs off t, inheriting the choice
+    val edges = edgeDf("s" -> "a", "s" -> "b", "a" -> "t", "b" -> "t", "t" -> "d",
+      "b" -> "z") // z only reachable via b
+    val out = GraphOps.bfsPaths(edges, Seq("s").toDF("id"), maxIter = 5)
+      .collect().map(r => r.getString(0) -> ((r.getInt(1), r.getString(2)))).toMap
+    assert(out("t") == ((2, "s>a>t")))
+    assert(out("d") == ((3, "s>a>t>d")))
+    assert(out("z") == ((2, "s>b>z")))
+    assert(out("s") == ((0, "s")))
+  }
+
+  test("nodeSimilarity: neighbor-set Jaccard with inverted-index candidates") {
+    // p1={x,y,z}, p2={x,y,w} → J=2/4=0.5; p3={q} shares nothing
+    val edges = edgeDf("p1" -> "x", "p1" -> "y", "p1" -> "z",
+      "p2" -> "x", "p2" -> "y", "p2" -> "w", "p3" -> "q")
+    val out = GraphOps.nodeSimilarity(edges, 0.1)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
+    assert(out.toSeq == Seq(("p1", "p2", 0.5)))
+  }
+
   test("triangles: K4 + pendant + triangle-free square") {
     // K4 on a,b,c,d: each vertex is in C(3,2)=3 triangles. A pendant
     // vertex p and a 4-cycle w-x-y-z (no chord) contribute none.
