@@ -79,6 +79,22 @@ object EventStreams {
       .withWatermark("ts", "10 minutes")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** H5 — stream-stream interval join (purchase attribution): each
+    * purchase joins the same user's clicks from the preceding hour.
+    * Watermarks on BOTH inputs plus the two-sided time-range predicate
+    * let Spark bound the buffered state on each side — without them a
+    * stream-stream join would buffer forever. */
+  def attributionJoin(purchases: DataFrame, clicks: DataFrame): DataFrame = {
+    val p = purchases.withWatermark("ts", "10 minutes")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"), col("value"))
+    val c = clicks.withWatermark("ts", "70 minutes")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+    p.join(c, col("p_user") === col("c_user") &&
+      col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+      col("c_ts") < col("p_ts"))
+      .select(col("p_user").as("user_id"), col("p_ts"), col("value"), col("c_ts"))
+  }
+
   /** H4 — incremental micro-batch upsert: aggregate each micro-batch
     * and merge it into an accumulating per-key state table via
     * foreachBatch (the parquet-backed analog of MERGE INTO).

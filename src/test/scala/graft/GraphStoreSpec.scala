@@ -51,5 +51,11 @@ class GraphStoreSpec extends SparkSpec {
 
     df.write.json(s"$base/j")
     assert(spark.read.json(s"$base/j").count() == 100)
+
+    // ORC with predicate pushdown intact
+    df.write.orc(s"$base/o")
+    val orc = spark.read.orc(s"$base/o").filter(col("n_chars") > 200)
+    assert(orc.count() == df.filter(col("n_chars") > 200).count())
+    assert(orc.queryExecution.executedPlan.toString.contains("PushedFilters"), "orc pushdown")
   }
 }

@@ -70,6 +70,29 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("H5 stream-stream interval join attributes clicks to purchases") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val purchases = MemoryStream[(Long, Timestamp, Double)]
+    val clicks = MemoryStream[(Long, Timestamp)]
+    val out = EventStreams.attributionJoin(
+      purchases.toDF().toDF("user_id", "ts", "value"),
+      clicks.toDF().toDF("user_id", "ts"))
+    val q = out.writeStream.format("memory").queryName("h5_attr")
+      .outputMode("append").start()
+    try {
+      clicks.addData((1L, ts(15)), (1L, ts(5)), (2L, ts(30)))
+      // purchase at minute 70: user 1's clicks at 15 (within the hour)
+      // and 5 (outside) — only minute-15 attributes; user 2's click is
+      // for another user
+      purchases.addData((1L, ts(70), 9.99))
+      q.processAllAvailable()
+      val rows = spark.table("h5_attr").collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[Timestamp]("c_ts")))
+      assert(rows.toSet == Set((1L, ts(15))))
+    } finally q.stop()
+  }
+
   test("H4 foreachBatch upsert accumulates counts across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
