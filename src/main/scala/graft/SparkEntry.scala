@@ -70,6 +70,7 @@ object SparkEntry {
     "g_sssp"       -> (GraphQueries.gSssp _),
     "g_nodesim"    -> (GraphQueries.gNodesim _),
     "g_paths"      -> (GraphQueries.gPaths _),
+    "g_lpa"        -> (GraphQueries.gLpa _),
     "n1_nodemerge" -> (GraphQueries.n1NodeMerge _),
     "n2_edgemerge" -> (GraphQueries.n2EdgeMerge _),
     // reference-corpus graph queries (rows-only: the trace corpus is

@@ -190,6 +190,40 @@ object GraphOps {
     ranks
   }
 
+  /** Synchronous label-propagation community detection (Neo4j GDS LPA),
+    * made DETERMINISTIC: each round every vertex adopts its neighbors'
+    * most frequent label, ties broken by the smaller label — so runs
+    * are reproducible (async LPA, the textbook version, is not). Fixed
+    * round count; one join + two aggregations per round. Returns
+    * (id, community). */
+  def labelPropagation(edges: DataFrame, iters: Int = 5): DataFrame = {
+    val sym = undirected(edges).persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = sym.select(col("src").as("id")).union(sym.select(col("dst").as("id")))
+      .distinct()
+      .select(col("id"), col("id").as("community"))
+      .localCheckpoint()
+    for (_ <- 1 to iters) {
+      val counted = sym.join(labels, sym("src") === labels("id"))
+        .groupBy(sym("dst").as("v"), col("community"))
+        .agg(count(lit(1)).as("cnt"))
+      // max count, then min label: max_by on (cnt, negated-order label)
+      // isn't expressible generically for strings, so use min_by over
+      // (-cnt, label) lexicographic struct ordering
+      val next = counted
+        .groupBy(col("v").as("id"))
+        .agg(min_by(col("community"),
+          struct((-col("cnt")).as("nc"), col("community").as("l"))).as("community"))
+      // isolated vertices (no in-messages under symmetrized edges can't
+      // happen, but keep the contract total) retain their own label
+      labels = labels.select(col("id"))
+        .join(next, Seq("id"), "left")
+        .select(col("id"), coalesce(col("community"), col("id")).as("community"))
+        .localCheckpoint()
+    }
+    sym.unpersist()
+    labels
+  }
+
   /** Neo4j-GDS-style node similarity: Jaccard over out-neighbor sets
     * for every source pair sharing at least one neighbor (never a cross
     * join — candidates come from the inverted neighbor index). At

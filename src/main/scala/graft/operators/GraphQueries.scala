@@ -123,6 +123,15 @@ object GraphQueries {
       .orderBy(col("id"))
   }
 
+  /** B14 — deterministic label-propagation communities on the
+    * part—supplier graph: community sizes, largest first (rows-only:
+    * iterative mode-of-neighbors has no tractable SQL twin; the
+    * algorithm's behavior is pinned by the two-clique fixture spec). */
+  def gLpa(s: SparkSession, dir: String): DataFrame =
+    GraphOps.labelPropagation(TestGraph.partSupplierEdges(s, dir), iters = 5)
+      .groupBy(col("community")).agg(count(lit(1)).as("size"))
+      .orderBy(col("size").desc, col("community"))
+
   /** A3 analog (N1) — MERGE first-non-null node semantics: one node per
     * user carrying the properties of its earliest event (`min_by`,
     * map-side partial agg — shuffle is |users|, not |events|). */

@@ -93,6 +93,23 @@ class GraphOpsSpec extends SparkSpec {
     assert(out.toSeq == Seq(("p1", "p2", 0.5)))
   }
 
+  test("label propagation: two cliques with one bridge settle into two communities") {
+    def clique(pfx: String, n: Int) =
+      for (i <- 0 until n; j <- i + 1 until n) yield (s"$pfx$i", s"$pfx$j")
+    val edges = edgeDf((clique("a", 5) ++ clique("b", 5) :+ ("a0" -> "b0")): _*)
+    val out = GraphOps.labelPropagation(edges, iters = 5)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val aComm = (0 until 5).map(i => out(s"a$i")).toSet
+    val bComm = (1 until 5).map(i => out(s"b$i")).toSet
+    assert(aComm.size == 1, s"a-clique split: $out")
+    assert(bComm.size == 1, s"b-clique split: $out")
+    assert(aComm != bComm, s"cliques merged: $out")
+    // determinism: identical re-run
+    val again = GraphOps.labelPropagation(edges, iters = 5)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(out == again)
+  }
+
   test("triangles: K4 + pendant + triangle-free square") {
     // K4 on a,b,c,d: each vertex is in C(3,2)=3 triangles. A pendant
     // vertex p and a 4-cycle w-x-y-z (no chord) contribute none.
