@@ -106,6 +106,44 @@ object Detections {
       .distinct()
   }
 
+  /** Registry persistence beyond Run keys: SET_REG_VALUE / CREATED_REG_KEY
+    * under Services, Image File Execution Options, or Winlogon paths
+    * (T1543.003 / T1546.012 / T1547.004). */
+  def persistenceRegistry(edges: DataFrame): DataFrame = {
+    val needles = Seq("\\SERVICES\\", "\\IMAGE FILE EXECUTION OPTIONS\\", "\\WINLOGON\\")
+    edges.filter(col("etype").isin("SET_REG_VALUE", "CREATED_REG_KEY"))
+      .filter(needles.map(n => upper(col("dst")).contains(n)).reduce(_ || _))
+      .select(col("src").as("process"), col("etype"), col("dst").as("reg_path"))
+      .distinct()
+  }
+
+  /** Tampered process that then connects out (process hollowing /
+    * herpaderping followed by C2): `()-[:TAMPERED]->(p)-[:CONNECTED_TO]->(ip)`. */
+  def tamperAndBeacon(edges: DataFrame): DataFrame =
+    et(edges, "TAMPERED").select(col("src").as("tamperer"), col("dst").as("process"))
+      .join(et(edges, "CONNECTED_TO").select(col("src").as("process"), col("dst").as("ip")),
+        Seq("process"))
+      .distinct()
+
+  /** Timestomping (T1070.006): a process that BOTH creates a file and
+    * modifies its creation time — `(p)-[:CREATED_FILE]->(f)` and
+    * `(p)-[:MODIFIED_FILE_TIME]->(f)`. */
+  def timestomp(edges: DataFrame): DataFrame =
+    et(edges, "CREATED_FILE").select(col("src").as("process"), col("dst").as("file"))
+      .join(et(edges, "MODIFIED_FILE_TIME")
+        .select(col("src").as("process"), col("dst").as("file")), Seq("process", "file"))
+      .distinct()
+
+  /** Alternate-data-stream drops (T1564.4 defense evasion): files
+    * written with a named NTFS stream, excluding the browser-standard
+    * Zone.Identifier mark-of-the-web. */
+  def adsDrops(edges: DataFrame): DataFrame =
+    et(edges, "CREATED_STREAM")
+      .select(col("src").as("process"), col("dst").as("file"),
+        element_at(col("props"), "stream").as("stream"),
+        element_at(col("props"), "hash").as("hash"))
+      .filter(col("stream").isNull || !upper(col("stream")).contains("ZONE.IDENTIFIER"))
+
   /** Per-trace detection summary: counts of each motif, joined to the
     * trace via HAS_PROCESS. */
   def summary(nodes: DataFrame, edges: DataFrame): DataFrame = {

@@ -37,6 +37,40 @@ class DetectionsSpec extends SparkSpec {
     assert(deep.count() > 0)
   }
 
+  test("registry persistence and timestomp motifs match corpus replay counts") {
+    // counts pinned from tools/sysmon_oracle.py replay over the corpus
+    val (_, edges) = graph
+    assert(Detections.persistenceRegistry(edges).count() == 51L)
+    assert(Detections.timestomp(edges).count() == 4L)
+  }
+
+  test("tamper-and-beacon and ADS motifs fire on synthetic traces (corpus has none)") {
+    val dir = java.nio.file.Files.createTempDirectory("motifs").toString
+    def tag(k: String, v: String) = s"""{"key":"$k","type":"string","value":"$v"}"""
+    def span(t: Long, tags: String*) =
+      s"""{"spanID":"s$t","startTime":$t,"duration":1,"operationName":"op","tags":[${tags.mkString(",")}]}"""
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/t.json"),
+      s"""{"traceID":"TM","spans":[
+         |${span(1, tag("EventID", "25"), tag("ProcessGuid", "GA"),
+               tag("TargetProcessGuid", "GB"), tag("Details", "herpaderp"))},
+         |${span(2, tag("EventID", "3"), tag("ProcessGuid", "GB"),
+               tag("DestinationIp", "10.0.0.9"), tag("DestinationPort", "443"))},
+         |${span(3, tag("EventID", "15"), tag("ProcessGuid", "GA"),
+               tag("TargetFilename", "C:\\\\tmp\\\\payload.docx"),
+               tag("StreamName", "evil.ps1"), tag("Hash", "MD5=AB"))},
+         |${span(4, tag("EventID", "15"), tag("ProcessGuid", "GA"),
+               tag("TargetFilename", "C:\\\\tmp\\\\dl.docx"),
+               tag("StreamName", "Zone.Identifier"))}]}""".stripMargin)
+    val (_, edges) = SysmonGraph.build(spark, s"$dir/t.json")
+    val tb = Detections.tamperAndBeacon(edges)
+      .select(col("tamperer"), col("process"), col("ip")).collect()
+    assert(tb.length == 1)
+    val row = tb.head
+    assert(row.getString(0) == "GA" && row.getString(1) == "GB" && row.getString(2) == "10.0.0.9")
+    val ads = Detections.adsDrops(edges).collect()
+    assert(ads.length == 1 && ads.head.getAs[String]("stream") == "evil.ps1")
+  }
+
   test("summary covers every trace with processes") {
     val (nodes, edges) = graph
     val s = Detections.summary(nodes, edges)
