@@ -100,6 +100,7 @@ object SparkEntry {
     "f3_langid"    -> (TextAnalysis.f3LangId _),
     "f4_fingerprint" -> ((s, d) => TextAnalysis.f4Fingerprint(s, d)),
     "f5_corpus"    -> (TextAnalysis.f5Corpus _),
+    "f6_ngrams"    -> ((s, d) => TextAnalysis.f6TopNgrams(s, d)),
   )
 
   /** DuckDB twins of the SQL-expressible queries above. */
@@ -453,6 +454,16 @@ object SparkEntry {
         |       WHEN fr=greatest(en,de,es,fr,zh) THEN 'fr'
         |       ELSE 'zh' END AS predicted FROM sc)
         |SELECT labeled, predicted, count(*) AS n FROM p GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+    "f6_ngrams" ->
+      """WITH t AS (SELECT doc_id, lang, string_split_regex(lower(trim(text)),'\s+') AS w FROM documents),
+        |words AS (SELECT doc_id, lang, unnest(w) AS word, generate_subscripts(w,1) AS pos FROM t),
+        |b AS (SELECT a.lang, a.word || ' ' || x.word AS bigram
+        |      FROM words a JOIN words x ON a.doc_id=x.doc_id AND x.pos=a.pos+1),
+        |c AS (SELECT lang, bigram, count(*) AS n FROM b GROUP BY 1,2),
+        |r AS (SELECT lang, bigram, n,
+        |        CAST(row_number() OVER (PARTITION BY lang ORDER BY n DESC, bigram) AS INT) AS rk
+        |      FROM c)
+        |SELECT lang, rk, bigram, n FROM r WHERE rk <= 10 ORDER BY lang, rk""".stripMargin,
     "f5_corpus" ->
       """SELECT source, lang, count(*) AS n_docs,
         | CAST(sum(n_chars) AS BIGINT) AS total_chars,

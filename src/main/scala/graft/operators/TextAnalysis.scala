@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -112,4 +113,23 @@ object TextAnalysis {
         sum(col("n_chars")).as("total_chars"),
         round(avg(col("n_words")), 2).as("avg_words"))
       .orderBy(col("source"), col("lang"))
+
+  /** F6 — per-language top-k word bigrams (corpus n-gram statistics for
+    * training-data analysis). Fully distributed: explode → count is one
+    * map-side-combined shuffle on (lang, bigram); top-k is a bounded
+    * per-language window. Deterministic ties: count desc, bigram asc. */
+  def f6TopNgrams(s: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    val w = Window.partitionBy(col("lang")).orderBy(col("n").desc, col("bigram"))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), posexplode(words(col("text"))).as(Seq("pos", "w0")))
+      .withColumn("w1", lead(col("w0"), 1).over(
+        Window.partitionBy(col("doc_id")).orderBy(col("pos"))))
+      .filter(col("w1").isNotNull)
+      .select(col("lang"), concat_ws(" ", col("w0"), col("w1")).as("bigram"))
+      .groupBy(col("lang"), col("bigram")).agg(count(lit(1)).as("n"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("lang"), col("rk").cast("int").as("rk"), col("bigram"), col("n"))
+      .orderBy(col("lang"), col("rk"))
+  }
 }
