@@ -68,6 +68,22 @@ object GraphXBridge {
       .select(col("id"), col("n_tri").cast("long").as("n_tri"))
   }
 
+  /** Strongly connected components (directed) via GraphX's Pregel SCC —
+    * the one analytics algorithm kept exclusively on the GraphX path: a
+    * DataFrame SCC needs nested reachability fixpoints (forward ∩
+    * backward per round), which Pregel expresses directly. Returns
+    * (id, component) labelled by the component's minimum member id. */
+  def stronglyConnectedComponents(edges: DataFrame, maxIter: Int = 10): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val (dict, g) = toGraphX(edges)
+    val scc = g.stronglyConnectedComponents(maxIter).vertices.toDF("vid", "cvid")
+    scc.join(dict, Seq("vid"))
+      .groupBy(col("cvid"))
+      .agg(min(col("id")).as("component"), collect_list(col("id")).as("members"))
+      .select(explode(col("members")).as("id"), col("component"))
+  }
+
   /** PageRank via GraphX; returns (id, rank). */
   def pageRank(edges: DataFrame, iters: Int = 10, damping: Double = 0.85): DataFrame = {
     val spark = edges.sparkSession

@@ -37,6 +37,18 @@ class GraphXBridgeSpec extends SparkSpec {
     assert(df == gx)
   }
 
+  test("GraphX SCC separates cycles from DAG tails") {
+    // cycle a->b->c->a is one SCC; d,e hang off it as singletons;
+    // second cycle x<->y independent
+    val edges = Seq("a" -> "b", "b" -> "c", "c" -> "a", "c" -> "d", "d" -> "e",
+      "x" -> "y", "y" -> "x").toDF("src", "dst")
+    val out = GraphXBridge.stronglyConnectedComponents(edges)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(out("a") == "a" && out("b") == "a" && out("c") == "a")
+    assert(out("d") == "d" && out("e") == "e")
+    assert(out("x") == "x" && out("y") == "x")
+  }
+
   test("GraphX pagerank ranks the same top vertex as the DataFrame implementation") {
     val edges = Seq(("a", "z"), ("b", "z"), ("c", "z"), ("z", "a")).toDF("src", "dst")
     val df = GraphOps.pageRank(edges, iters = 15)
