@@ -79,6 +79,14 @@ object SparkEntry {
       val (n, e) = graft.graph.SysmonGraph.buildCached(s, "/root/reference/malware/*.json")
       graft.graph.Detections.summary(n, e)
     }),
+    "sg_cypher"    -> ((s, _) => {
+      val (n, e) = graft.graph.SysmonGraph.buildCached(s, "/root/reference/malware/*.json")
+      graft.graph.CypherLite.run(n, e,
+        "MATCH (t:Trace)-[:HAS_PROCESS]->(p:Process)-[:CONNECTED_TO]->(ip:Ip) " +
+          "WHERE p.image ENDS WITH '.exe' RETURN DISTINCT t, ip")
+        .orderBy(org.apache.spark.sql.functions.col("t"),
+          org.apache.spark.sql.functions.col("ip"))
+    }),
     "sg_spawntree" -> ((s, _) => {
       val (_, e) = graft.graph.SysmonGraph.buildCached(s, "/root/reference/malware/*.json")
       graft.graph.Detections.deepSpawnChains(e, minDepth = 1)

@@ -1,0 +1,176 @@
+package graft.graph
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** A small Cypher front-end over the (nodes, edges) property-graph
+  * frames — the textual query surface a user of the reference's Neo4j
+  * deployment already writes, compiled to DataFrame joins (so Catalyst
+  * plans/broadcasts/prunes it like any other query).
+  *
+  * Supported subset (the patterns the reference's analysts actually
+  * run — see events.py's schema):
+  *
+  * {{{
+  * MATCH (p:Process)-[:CREATED_FILE]->(f:File)
+  * WHERE f.id CONTAINS '.exe' AND p.image ENDS WITH 'cmd.exe'
+  * RETURN DISTINCT p, f.id LIMIT 10
+  * }}}
+  *
+  *  - linear patterns of any length, forward `-[:T]->` and reverse
+  *    `<-[:T]-` hops, variable-length `-[:T*1..3]->`
+  *  - node labels optional; `v.id` is the node key, any other
+  *    `v.prop` reads the property map
+  *  - WHERE: `=`, `<>`, `CONTAINS`, `STARTS WITH`, `ENDS WITH`
+  *    over string literals, AND-combined
+  *  - RETURN [DISTINCT] var | var.prop, ...; optional LIMIT n
+  *
+  * Each single hop is one equi-join on the edge frame; a
+  * variable-length hop materializes the bounded (from, to) hop-pair
+  * set via iterated joins (distinct per depth) — the same shapes the
+  * hand-written operators use, so the 100 TB story is unchanged.
+  */
+object CypherLite {
+
+  final case class NodePat(v: String, label: Option[String])
+  final case class EdgePat(etype: String, min: Int, max: Int, reverse: Boolean)
+  final case class Cond(v: String, prop: String, op: String, value: String)
+  final case class Query(nodes: Seq[NodePat], hops: Seq[EdgePat], where: Seq[Cond],
+                         ret: Seq[(String, Option[String])], distinct: Boolean,
+                         limit: Option[Int])
+
+  private val NodeRe = """\(\s*(\w+)\s*(?::\s*(\w+))?\s*\)""".r
+  private val FwdRe = """-\[\s*:(\w+)\s*(?:\*(\d+)\.\.(\d+))?\s*\]->""".r
+  private val RevRe = """<-\[\s*:(\w+)\s*(?:\*(\d+)\.\.(\d+))?\s*\]-""".r
+  private val CondRe =
+    """(\w+)\.(\w+)\s*(=|<>|CONTAINS|STARTS WITH|ENDS WITH)\s*'([^']*)'""".r
+
+  def parse(q: String): Query = {
+    val text = q.trim.replaceAll("\\s+", " ")
+    val mMatch = """(?i)MATCH (.+?)(?: WHERE (.+?))? RETURN (DISTINCT )?(.+?)(?: LIMIT (\d+))?\s*$""".r
+    text match {
+      case mMatch(pattern, whereOrNull, distinctOrNull, retPart, limitOrNull) =>
+        val nodes = NodeRe.findAllMatchIn(pattern).map(m =>
+          NodePat(m.group(1), Option(m.group(2)))).toSeq
+        // hops in textual order: scan the pattern for edge tokens
+        val hops = ("""-\[[^\]]*\]->|<-\[[^\]]*\]-""".r)
+          .findAllIn(pattern).map {
+            case FwdRe(t, lo, hi) =>
+              EdgePat(t, Option(lo).map(_.toInt).getOrElse(1),
+                Option(hi).map(_.toInt).getOrElse(1), reverse = false)
+            case RevRe(t, lo, hi) =>
+              EdgePat(t, Option(lo).map(_.toInt).getOrElse(1),
+                Option(hi).map(_.toInt).getOrElse(1), reverse = true)
+            case other => throw new IllegalArgumentException(s"bad edge pattern: $other")
+          }.toSeq
+        require(nodes.nonEmpty && nodes.size == hops.size + 1,
+          s"pattern must be a linear node chain: ${nodes.size} nodes, ${hops.size} hops")
+        val where = Option(whereOrNull).toSeq.flatMap(_.split("(?i) AND ").toSeq).map {
+          case CondRe(v, p, op, value) => Cond(v, p, op.toUpperCase, value)
+          case other => throw new IllegalArgumentException(s"bad condition: $other")
+        }
+        val ret = retPart.split(",").toSeq.map(_.trim).map { r =>
+          r.split("\\.") match {
+            case Array(v) => (v, None)
+            case Array(v, p) => (v, Some(p))
+            case _ => throw new IllegalArgumentException(s"bad return item: $r")
+          }
+        }
+        Query(nodes, hops, where, ret, distinctOrNull != null,
+          Option(limitOrNull).map(_.toInt))
+      case _ => throw new IllegalArgumentException(s"unsupported query: $q")
+    }
+  }
+
+  /** Bounded (from, to) pair set for a variable-length hop. */
+  private def hopPairs(edges: DataFrame, h: EdgePat): DataFrame = {
+    val e0 = edges.filter(col("etype") === h.etype)
+    val e = (if (h.reverse) e0.select(col("dst").as("_from"), col("src").as("_to"))
+             else e0.select(col("src").as("_from"), col("dst").as("_to")))
+      .distinct()
+    if (h.min == 1 && h.max == 1) e
+    else {
+      require(h.min >= 1 && h.max >= h.min && h.max <= 10,
+        s"variable-length bounds out of range: *${h.min}..${h.max}")
+      val base = e.persist()
+      var cur = base
+      var acc: DataFrame = if (h.min <= 1) base else null
+      for (k <- 2 to h.max) {
+        cur = cur.join(base.select(col("_from").as("_mid"), col("_to").as("_nxt")),
+            cur("_to") === col("_mid"))
+          .select(col("_from"), col("_nxt").as("_to"))
+          .distinct()
+          .localCheckpoint()
+        if (k >= h.min) acc = if (acc == null) cur else acc.unionByName(cur).distinct()
+      }
+      base.unpersist()
+      acc
+    }
+  }
+
+  /** Compile + run a query against (nodes, edges) frames from
+    * [[SysmonGraph.build]]. Returned columns are the RETURN items:
+    * bare vars yield the node id (column named after the var),
+    * `v.prop` yields column `v_prop`. */
+  def run(nodes: DataFrame, edges: DataFrame, cypher: String): DataFrame = {
+    val q = parse(cypher)
+
+    def labelIds(label: String): DataFrame =
+      nodes.filter(col("label") === label).select(col("id"))
+
+    // seed bindings with the first node variable
+    val first = q.nodes.head
+    var bound = first.label match {
+      case Some(l) => labelIds(l).select(col("id").as(first.v))
+      case None => nodes.select(col("id").as(first.v)).distinct()
+    }
+    // walk the chain: one join per hop, label semi-joins as we bind
+    q.hops.zipWithIndex.foreach { case (h, i) =>
+      val from = q.nodes(i).v
+      val to = q.nodes(i + 1).v
+      val pairs = hopPairs(edges, h)
+      bound = bound.join(pairs, bound(from) === pairs("_from"))
+        .drop("_from").withColumnRenamed("_to", to)
+      q.nodes(i + 1).label.foreach { l =>
+        bound = bound.join(labelIds(l).select(col("id").as(to)), Seq(to), "left_semi")
+      }
+    }
+    // WHERE: property access via the nodes frame
+    def propCol(v: String, prop: String): (DataFrame, String) = {
+      if (prop == "id") (bound, v)
+      else {
+        val cn = s"${v}_$prop"
+        val pn = nodes.select(col("id").as(v), element_at(col("props"), prop).as(cn))
+        (bound.join(pn, Seq(v), "left"), cn)
+      }
+    }
+    q.where.foreach { c =>
+      val (df, cn) = propCol(c.v, c.prop)
+      bound = df
+      val lhs = col(cn)
+      val pred: Column = c.op match {
+        case "=" => lhs === c.value
+        case "<>" => lhs =!= c.value
+        case "CONTAINS" => lhs.contains(c.value)
+        case "STARTS WITH" => lhs.startsWith(c.value)
+        case "ENDS WITH" => lhs.endsWith(c.value)
+      }
+      bound = bound.filter(pred)
+    }
+    // RETURN
+    val outCols = q.ret.map {
+      case (v, None) => col(v)
+      case (v, Some(p)) =>
+        val cn = s"${v}_$p"
+        if (!bound.columns.contains(cn)) {
+          val (df, _) = propCol(v, p)
+          bound = df
+        }
+        col(cn)
+    }
+    var out = bound.select(outCols: _*)
+    if (q.distinct) out = out.distinct()
+    q.limit.foreach(n => out = out.limit(n))
+    out
+  }
+}

@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.graph.{CypherLite, SysmonGraph, Traverse}
+
+/** CypherLite compiled output vs hand-written DataFrame equivalents on
+  * the full reference corpus. */
+class CypherLiteSpec extends SparkSpec {
+
+  private lazy val graph = {
+    val (n, e) = SysmonGraph.build(spark, "/root/reference/malware/*.json")
+    (n.cache(), e.cache())
+  }
+
+  private def et(t: String) = graph._2.filter(col("etype") === t)
+
+  test("single-hop pattern with labels equals the direct join") {
+    val (nodes, edges) = graph
+    val got = CypherLite.run(nodes, edges,
+      "MATCH (p:Process)-[:CREATED_FILE]->(f:File) RETURN DISTINCT p, f")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    val want = et("CREATED_FILE").select(col("src"), col("dst")).distinct()
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got == want && got.nonEmpty)
+  }
+
+  test("two-hop pattern with WHERE on a property") {
+    val (nodes, edges) = graph
+    val got = CypherLite.run(nodes, edges,
+      "MATCH (t:Trace)-[:HAS_PROCESS]->(p:Process)-[:CONNECTED_TO]->(ip:Ip) " +
+        "WHERE p.image ENDS WITH '.exe' RETURN DISTINCT t, ip")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    val procs = nodes.filter(col("label") === "Process")
+      .filter(element_at(col("props"), "image").endsWith(".exe"))
+      .select(col("id").as("p"))
+    val want = et("HAS_PROCESS").select(col("src").as("t"), col("dst").as("p"))
+      .join(procs, Seq("p"))
+      .join(et("CONNECTED_TO").select(col("src").as("p"), col("dst").as("ip")), Seq("p"))
+      .select(col("t"), col("ip")).distinct()
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got == want && got.nonEmpty)
+  }
+
+  test("variable-length SPAWNS pattern equals the Traverse DSL") {
+    val (nodes, edges) = graph
+    val got = CypherLite.run(nodes, edges,
+      "MATCH (a:Process)-[:SPAWNS*1..3]->(b:Process) RETURN DISTINCT a, b")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    val starts = nodes.filter(col("label") === "Process").select(col("id"))
+    val want = Traverse.from(edges, starts).out("SPAWNS", 1 to 3).pairs
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got == want && got.nonEmpty)
+  }
+
+  test("reverse hop, id predicate, prop return and LIMIT") {
+    val (nodes, edges) = graph
+    val out = CypherLite.run(nodes, edges,
+      "MATCH (f:File)<-[:CREATED_FILE]-(p:Process) " +
+        "WHERE f.id CONTAINS '.exe' RETURN DISTINCT f, p.image LIMIT 5")
+    assert(out.columns.toSeq == Seq("f", "p_image"))
+    val rows = out.collect()
+    assert(rows.length == 5)
+    assert(rows.forall(_.getString(0).toLowerCase.contains(".exe")))
+  }
+
+  test("parser rejects unsupported shapes") {
+    intercept[IllegalArgumentException](CypherLite.parse("FOO BAR"))
+    intercept[IllegalArgumentException](
+      CypherLite.parse("MATCH (a)-[:X]->(b), (c)-[:Y]->(d) RETURN a"))
+  }
+}
