@@ -24,6 +24,8 @@ import org.apache.spark.sql.functions._
   *  - WHERE: `=`, `<>`, `CONTAINS`, `STARTS WITH`, `ENDS WITH`
   *    over string literals, AND-combined
   *  - RETURN [DISTINCT] var | var.prop, ...; optional LIMIT n
+  *  - aggregation: `RETURN v, count(*)` groups by the non-aggregate
+  *    items (Cypher's implicit grouping rule)
   *
   * Each single hop is one equi-join on the edge frame; a
   * variable-length hop materializes the bounded (from, to) hop-pair
@@ -69,8 +71,9 @@ object CypherLite {
           case CondRe(v, p, op, value) => Cond(v, p, op.toUpperCase, value)
           case other => throw new IllegalArgumentException(s"bad condition: $other")
         }
-        val ret = retPart.split(",").toSeq.map(_.trim).map { r =>
-          r.split("\\.") match {
+        val ret = retPart.split(",").toSeq.map(_.trim).map {
+          case c if c.equalsIgnoreCase("count(*)") => ("count(*)", None)
+          case r => r.split("\\.") match {
             case Array(v) => (v, None)
             case Array(v, p) => (v, Some(p))
             case _ => throw new IllegalArgumentException(s"bad return item: $r")
@@ -157,8 +160,9 @@ object CypherLite {
       }
       bound = bound.filter(pred)
     }
-    // RETURN
-    val outCols = q.ret.map {
+    // RETURN — with Cypher's implicit grouping when count(*) appears
+    val (aggItems, plainItems) = q.ret.partition(_._1 == "count(*)")
+    val outCols = plainItems.map {
       case (v, None) => col(v)
       case (v, Some(p)) =>
         val cn = s"${v}_$p"
@@ -168,8 +172,12 @@ object CypherLite {
         }
         col(cn)
     }
-    var out = bound.select(outCols: _*)
-    if (q.distinct) out = out.distinct()
+    var out =
+      if (aggItems.nonEmpty) {
+        require(plainItems.nonEmpty, "count(*) needs at least one grouping item")
+        bound.groupBy(outCols: _*).agg(count(lit(1)).as("count"))
+      } else bound.select(outCols: _*)
+    if (q.distinct && aggItems.isEmpty) out = out.distinct()
     q.limit.foreach(n => out = out.limit(n))
     out
   }

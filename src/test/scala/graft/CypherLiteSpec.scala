@@ -64,6 +64,16 @@ class CypherLiteSpec extends SparkSpec {
     assert(rows.forall(_.getString(0).toLowerCase.contains(".exe")))
   }
 
+  test("count(*) aggregates with Cypher's implicit grouping") {
+    val (nodes, edges) = graph
+    val got = CypherLite.run(nodes, edges,
+      "MATCH (t:Trace)-[:HAS_PROCESS]->(p:Process) RETURN t, count(*)")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val want = et("HAS_PROCESS").groupBy(col("src")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == want && got.nonEmpty)
+  }
+
   test("parser rejects unsupported shapes") {
     intercept[IllegalArgumentException](CypherLite.parse("FOO BAR"))
     intercept[IllegalArgumentException](
