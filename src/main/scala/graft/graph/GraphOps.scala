@@ -35,9 +35,15 @@ object GraphOps {
   def bfs(edges: DataFrame, sources: DataFrame, maxIter: Int = 20): DataFrame = {
     val e = edges.select(col("src"), col("dst"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    var visited = sources.select(col("id"), lit(0).as("dist"))
+    val seed = sources.select(col("id"), lit(0).as("dist"))
       .distinct().localCheckpoint()
-    var frontier = visited
+    // visited = union of per-depth frontier frames, each already
+    // checkpointed: anti-joining against the union of cached leaves
+    // avoids re-materializing a growing visited frame every round
+    // (one fewer Spark job per depth; the union plan is depth-deep but
+    // every leaf is cached, so nothing recomputes)
+    var frontiers = List(seed)
+    var frontier = seed
     // localCheckpoint is eager (truncates lineage, which iterative
     // self-joins need); count() on the checkpointed frame doubles as
     // the emptiness check
@@ -45,6 +51,7 @@ object GraphOps {
     var depth = 0
     while (depth < maxIter && frontierCount > 0) {
       depth += 1
+      val visited = frontiers.map(_.select(col("id"))).reduce(_ unionByName _)
       val next = frontier.join(e, frontier("id") === e("src"))
         .select(e("dst").as("id"))
         .distinct()
@@ -52,11 +59,11 @@ object GraphOps {
         .withColumn("dist", lit(depth))
         .localCheckpoint()
       frontierCount = next.count()
-      if (frontierCount > 0) visited = visited.unionByName(next).localCheckpoint()
+      if (frontierCount > 0) frontiers ::= next
       frontier = next
     }
     e.unpersist()
-    visited
+    frontiers.map(_.select(col("id"), col("dist"))).reduce(_ unionByName _)
   }
 
   /** Connected components by iterative min-label propagation.
