@@ -45,6 +45,7 @@ object SparkEntry {
     "q22_sessions" -> (Relational.q22Sessions _),
     "q23_range"    -> (Relational.q23Range _),
     "q24_rank"     -> (Relational.q24Rank _),
+    "q25_rangeframe" -> (Relational.q25RangeFrame _),
     "m1_media"     -> ((s, d) => {
       import s.implicits._
       val n = graft.Tables.documents(s, d).count().toInt.min(500)
@@ -55,6 +56,11 @@ object SparkEntry {
           org.apache.spark.sql.functions.col("n_frames"))
     }),
     "q21_dates"    -> (Relational.q21Dates _),
+    "m2_mediasim"  -> ((s, d) => {
+      val n = graft.Tables.documents(s, d).count().toInt.min(500)
+      graft.multimodal.Multimodal.mediaTopK(
+        graft.multimodal.Multimodal.syntheticBlobs(s, n), queryIds = Seq(0L, 1L, 2L))
+    }),
     "p1_curate"    -> ((s, d) => Curation.curate(s, d)),
     "p2_split"     -> (Curation.hashSplit _),
     // B. graph
@@ -236,6 +242,14 @@ object SparkEntry {
         | CAST(dense_rank() OVER w AS INT) AS dr
         |FROM customer WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
         |ORDER BY c_custkey""".stripMargin,
+    "q25_rangeframe" ->
+      """SELECT o_custkey, o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS od,
+        | round(sum(o_totalprice) OVER w, 2) AS spend_90d,
+        | count(*) OVER w AS n_orders_90d
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY date_diff('day', DATE '1990-01-01', o_orderdate)
+        |  RANGE BETWEEN 89 PRECEDING AND CURRENT ROW)
+        |ORDER BY o_custkey, od, o_orderkey""".stripMargin,
     "q23_range" ->
       """SELECT p.event_id AS purchase_id, count(*) AS n_prior_24h
         |FROM events p JOIN events x

@@ -55,6 +55,33 @@ object Multimodal {
     blobs.mapPartitions(it => codec.decodeBatch(it))
   }
 
+  /** G4 — multimodal retrieval composition: decode (G2) → feature
+    * vectors → brute-force cosine top-k against a broadcast query set.
+    * The media-specific part is only the codec; everything after is the
+    * same similarity machinery as E1, which is the point — media
+    * retrieval at scale is the embedding pipeline with a decode stage
+    * in front. */
+  def mediaTopK(blobs: Dataset[MediaBlob], queryIds: Seq[Long], k: Int = 5,
+                codec: Codec = FakeCodec): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val s = blobs.sparkSession
+    val feats = extractFeatures(blobs, codec).toDF()
+      .select(col("media_id"), col("features").cast("array<double>").as("v"))
+    val queries = broadcast(
+      feats.filter(col("media_id").isin(queryIds: _*))
+        .select(col("media_id").as("q_id"), col("v").as("qv")))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("media_id"))
+    queries.join(feats, col("q_id") =!= col("media_id"))
+      .withColumn("cos",
+        graft.functions.VectorFunctions.cosine_sim(s, col("qv"), col("v")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank").cast("int").as("rank"),
+        col("media_id").as("neighbor"), round(col("cos"), 4).as("cos_sim"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
   /** G3 — frame sampling plumbing: pick every `stride`-th frame index
     * up to the frame count (kernel stubbed — indices are what a real
     * sampler would pass to the decoder). */

@@ -332,6 +332,22 @@ object Relational {
       .orderBy(col("purchase_id"))
   }
 
+  /** C25 — value-RANGE window frame: per customer, each order's
+    * trailing-90-day spend (RANGE BETWEEN, not ROWS — frames are bound
+    * by orderdate VALUES, so gaps and same-day orders behave like the
+    * SQL standard says, unlike a row-count frame). */
+  def q25RangeFrame(s: SparkSession, dir: String): DataFrame = {
+    val days = datediff(col("o_orderdate"), lit("1990-01-01")).cast("long")
+    val w = Window.partitionBy(col("o_custkey")).orderBy(days)
+      .rangeBetween(-89, Window.currentRow)
+    Tables.orders(s, dir)
+      .select(col("o_custkey"), col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("od"),
+        round(sum(col("o_totalprice")).over(w), 2).as("spend_90d"),
+        count(lit(1)).over(w).as("n_orders_90d"))
+      .orderBy(col("o_custkey"), col("od"), col("o_orderkey"))
+  }
+
   /** C20 — string function suite over part names: substring, position,
     * replace, concat, padding, case — one row per transformation mix. */
   def q20Strings(s: SparkSession, dir: String): DataFrame =

@@ -31,6 +31,16 @@ class MultimodalSpec extends SparkSpec {
     assert(a.filter(_.kind != "image").forall(_.n_frames >= 5))
   }
 
+  test("G4 media retrieval: deterministic top-k per query, self excluded") {
+    val blobs = Multimodal.syntheticBlobs(spark, 60)
+    val out = Multimodal.mediaTopK(blobs, queryIds = Seq(0L, 1L), k = 3)
+    val rows = out.collect()
+    assert(rows.length == 6) // 2 queries × k
+    assert(rows.forall(r => r.getLong(0) != r.getLong(2)))
+    val again = Multimodal.mediaTopK(blobs, queryIds = Seq(0L, 1L), k = 3).collect()
+    assert(rows.map(_.toString).sameElements(again.map(_.toString)))
+  }
+
   test("G3 frame sampling strides over the frame count") {
     val feats = Multimodal.extractFeatures(Multimodal.syntheticBlobs(spark, 12))
     val sampled = Multimodal.sampleFrames(feats, stride = 3).collect().toMap
