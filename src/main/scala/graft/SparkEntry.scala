@@ -77,6 +77,7 @@ object SparkEntry {
     "g_nodesim"    -> (GraphQueries.gNodesim _),
     "g_paths"      -> (GraphQueries.gPaths _),
     "g_lpa"        -> (GraphQueries.gLpa _),
+    "g_clustercoef" -> (GraphQueries.gClusterCoef _),
     "n1_nodemerge" -> (GraphQueries.n1NodeMerge _),
     "n2_edgemerge" -> (GraphQueries.n2EdgeMerge _),
     // reference-corpus graph queries (rows-only: the trace corpus is
@@ -355,6 +356,19 @@ object SparkEntry {
         |                  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
         |x AS (SELECT a AS id FROM tri UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri)
         |SELECT id AS l_partkey, count(*) AS n_tri FROM x GROUP BY 1 ORDER BY 1""".stripMargin,
+    "g_clustercoef" ->
+      """WITH lp AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |e AS (SELECT DISTINCT a.p AS u, b.p AS v FROM lp a JOIN lp b ON a.o=b.o AND a.p<b.p),
+        |sym AS (SELECT u, v FROM e UNION SELECT v, u FROM e),
+        |deg AS (SELECT u AS id, count(*) AS deg FROM sym GROUP BY 1),
+        |tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        |        FROM e e1 JOIN e e2 ON e2.u = e1.v
+        |                  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+        |x AS (SELECT a AS id FROM tri UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri),
+        |nt AS (SELECT id, count(*) AS n_tri FROM x GROUP BY 1)
+        |SELECT nt.id AS l_partkey, n_tri, deg,
+        | round(2.0*n_tri/(deg*(deg-1)), 4) AS coef
+        |FROM nt JOIN deg ON nt.id = deg.id ORDER BY 1""".stripMargin,
     "g_sssp" ->
       """WITH RECURSIVE base AS (
         |  SELECT DISTINCT 'p:'||l_partkey AS a, 's:'||l_suppkey AS b,

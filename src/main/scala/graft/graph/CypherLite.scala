@@ -39,7 +39,7 @@ object CypherLite {
   final case class Cond(v: String, prop: String, op: String, value: String)
   final case class Query(nodes: Seq[NodePat], hops: Seq[EdgePat], where: Seq[Cond],
                          ret: Seq[(String, Option[String])], distinct: Boolean,
-                         limit: Option[Int])
+                         orderBy: Seq[(String, Boolean)], limit: Option[Int])
 
   private val NodeRe = """\(\s*(\w+)\s*(?::\s*(\w+))?\s*\)""".r
   private val FwdRe = """-\[\s*:(\w+)\s*(?:\*(\d+)\.\.(\d+))?\s*\]->""".r
@@ -49,9 +49,9 @@ object CypherLite {
 
   def parse(q: String): Query = {
     val text = q.trim.replaceAll("\\s+", " ")
-    val mMatch = """(?i)MATCH (.+?)(?: WHERE (.+?))? RETURN (DISTINCT )?(.+?)(?: LIMIT (\d+))?\s*$""".r
+    val mMatch = """(?i)MATCH (.+?)(?: WHERE (.+?))? RETURN (DISTINCT )?(.+?)(?: ORDER BY (.+?))?(?: LIMIT (\d+))?\s*$""".r
     text match {
-      case mMatch(pattern, whereOrNull, distinctOrNull, retPart, limitOrNull) =>
+      case mMatch(pattern, whereOrNull, distinctOrNull, retPart, orderOrNull, limitOrNull) =>
         val nodes = NodeRe.findAllMatchIn(pattern).map(m =>
           NodePat(m.group(1), Option(m.group(2)))).toSeq
         // hops in textual order: scan the pattern for edge tokens
@@ -79,7 +79,14 @@ object CypherLite {
             case _ => throw new IllegalArgumentException(s"bad return item: $r")
           }
         }
-        Query(nodes, hops, where, ret, distinctOrNull != null,
+        val orderBy = Option(orderOrNull).toSeq.flatMap(_.split(",").toSeq).map { o =>
+          val parts = o.trim.split("\\s+")
+          val desc = parts.length > 1 && parts(1).equalsIgnoreCase("DESC")
+          val cn = if (parts(0).equalsIgnoreCase("count(*)")) "count"
+                   else parts(0).replace(".", "_")
+          (cn, desc)
+        }
+        Query(nodes, hops, where, ret, distinctOrNull != null, orderBy,
           Option(limitOrNull).map(_.toInt))
       case _ => throw new IllegalArgumentException(s"unsupported query: $q")
     }
@@ -178,6 +185,9 @@ object CypherLite {
         bound.groupBy(outCols: _*).agg(count(lit(1)).as("count"))
       } else bound.select(outCols: _*)
     if (q.distinct && aggItems.isEmpty) out = out.distinct()
+    if (q.orderBy.nonEmpty)
+      out = out.orderBy(q.orderBy.map { case (c, desc) =>
+        if (desc) col(c).desc else col(c).asc }: _*)
     q.limit.foreach(n => out = out.limit(n))
     out
   }

@@ -108,6 +108,21 @@ object GraphQueries {
       .orderBy(col("id"))
   }
 
+  /** B10b — local clustering coefficient on the co-purchase graph:
+    * 2·Δ(v) / (deg(v)·(deg(v)−1)) with deg = distinct-neighbor count;
+    * only vertices in ≥1 triangle (coef > 0) are reported. */
+  def gClusterCoef(s: SparkSession, dir: String): DataFrame = {
+    val co = TestGraph.coPurchaseEdges(s, dir)
+    val sym = GraphOps.undirected(co)
+    val deg = sym.groupBy(col("src").as("l_partkey")).agg(count(lit(1)).as("deg"))
+    GraphOps.triangles(co)
+      .select(col("id").as("l_partkey"), col("n_tri"))
+      .join(deg, Seq("l_partkey"))
+      .select(col("l_partkey"), col("n_tri"), col("deg"),
+        round(lit(2.0) * col("n_tri") / (col("deg") * (col("deg") - 1)), 4).as("coef"))
+      .orderBy(col("l_partkey"))
+  }
+
   /** B12 — GDS-style node similarity: Jaccard over supplier neighbor
     * sets of the (sparsified) part—supplier graph. */
   def gNodesim(s: SparkSession, dir: String): DataFrame =

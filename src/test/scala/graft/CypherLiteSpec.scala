@@ -74,6 +74,18 @@ class CypherLiteSpec extends SparkSpec {
     assert(got == want && got.nonEmpty)
   }
 
+  test("ORDER BY with count(*) returns the busiest traces first") {
+    val (nodes, edges) = graph
+    val got = CypherLite.run(nodes, edges,
+      "MATCH (t:Trace)-[:HAS_PROCESS]->(p:Process) " +
+        "RETURN t, count(*) ORDER BY count(*) DESC, t LIMIT 3")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val want = et("HAS_PROCESS").groupBy(col("src")).count()
+      .orderBy(col("count").desc, col("src")).limit(3)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(got.sameElements(want))
+  }
+
   test("parser rejects unsupported shapes") {
     intercept[IllegalArgumentException](CypherLite.parse("FOO BAR"))
     intercept[IllegalArgumentException](
