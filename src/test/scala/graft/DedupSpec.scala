@@ -80,6 +80,18 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("d2 LSH output is a subset of exact d4 with high recall on the corpus") {
+    // both verify exactly at θ=0.5, so d2 (LSH candidates) ⊆ d4 (all
+    // pairs); recall below the S-curve expectation would mean banding
+    // is broken. (Corpus texts are all distinct, so D2's exact-dup
+    // representative collapse is the identity here.)
+    val d2 = Dedup.d2MinhashLsh(spark, sf).select(col("id1"), col("id2"))
+    val d4 = Dedup.d4Jaccard(spark, sf).select(col("id1"), col("id2"))
+    assert(d2.exceptAll(d4).isEmpty, "LSH reported a pair exact Jaccard rejects")
+    val (n2, n4) = (d2.count(), d4.count())
+    assert(n4 > 0 && n2.toDouble / n4 >= 0.8, s"recall $n2/$n4")
+  }
+
   test("minhash LSH finds a planted near-duplicate with precision 1.0") {
     val base = (1 to 40).map(i => s"w$i").mkString(" ")
     val nearDup = (1 to 40).map(i => if (i == 20) "CHANGED" else s"w$i").mkString(" ")
