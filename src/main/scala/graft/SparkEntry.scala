@@ -63,6 +63,8 @@ object SparkEntry {
     }),
     "p1_curate"    -> ((s, d) => Curation.curate(s, d)),
     "p2_split"     -> (Curation.hashSplit _),
+    "p3_sample"    -> ((s, d) => Curation.stratifiedSample(s, d)),
+    "p4_shards"    -> ((s, d) => Curation.packShards(s, d)),
     // B. graph
     "g_lookup"     -> (GraphQueries.gLookup _),
     "g_motif"      -> (GraphQueries.gMotif _),
@@ -426,6 +428,24 @@ object SparkEntry {
         |  FROM documents)
         |SELECT lang, split, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
         |FROM t GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+    "p3_sample" ->
+      """SELECT lang, rk, doc_id FROM (
+        | SELECT lang, doc_id,
+        |  CAST(row_number() OVER (PARTITION BY lang
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS INT) AS rk
+        | FROM documents) t
+        |WHERE rk <= 20 ORDER BY lang, rk""".stripMargin,
+    "p4_shards" ->
+      """WITH t AS (SELECT doc_id,
+        |  CAST(len(string_split_regex(lower(trim(text)),'\s+')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (SELECT doc_id, n_tokens,
+        |  coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 2000 AS shard
+        |  FROM t)
+        |SELECT shard, count(*) AS n_docs, sum(n_tokens) AS shard_tokens,
+        | min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
     "d1_exact" ->
       """SELECT md5(lower(trim(text))) AS text_hash, min(doc_id) AS keeper,
         | count(*) AS n_copies

@@ -87,6 +87,41 @@ object Curation {
       .orderBy(col("lang"), col("split"))
   }
 
+  /** P3 — deterministic per-stratum sampling: the k documents per
+    * language with the smallest md5(doc_id) — a uniform-at-random
+    * sample under the hash, but reproducible on any engine, any
+    * partitioning, any run (a `sample()` call is none of those).
+    * The balanced-subsampling primitive for mixing corpora. */
+  def stratifiedSample(s: SparkSession, dir: String, k: Int = 20): DataFrame = {
+    val h = md5(col("doc_id").cast("string"))
+    val w = Window.partitionBy(col("lang")).orderBy(h, col("doc_id"))
+    Tables.documents(s, dir)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("lang"), col("rk").cast("int").as("rk"), col("doc_id"))
+      .orderBy(col("lang"), col("rk"))
+  }
+
+  /** P4 — token-budget shard packing: documents in doc_id order are
+    * packed greedily into shards of ~`budget` whitespace tokens
+    * (shard = exclusive-prefix-sum div budget — a document starting
+    * before a boundary stays in the earlier shard, the standard
+    * streaming-pack rule). Deterministic, one window pass; at cluster
+    * scale the ordered cumsum is a range-partitioned sort, which is
+    * how sharded dataset writers lay out training data anyway. */
+  def packShards(s: SparkSession, dir: String, budget: Long = 2000L): DataFrame = {
+    val toks = size(split(lower(trim(col("text"))), "\\s+")).cast("long")
+    val w = Window.orderBy(col("doc_id")).rowsBetween(Window.unboundedPreceding, -1)
+    Tables.documents(s, dir)
+      .select(col("doc_id"), toks.as("n_tokens"))
+      .withColumn("shard",
+        (coalesce(sum(col("n_tokens")).over(w), lit(0L)) / budget).cast("long"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("shard_tokens"),
+        min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+      .orderBy(col("shard"))
+  }
+
   /** LSH candidate pairs for an arbitrary (doc_id, text) frame —
     * the D2 banding stage exposed for pipeline composition. */
   def lshCandidates(docs: DataFrame, k: Int = 64, bands: Int = 16): DataFrame = {

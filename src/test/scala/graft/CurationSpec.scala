@@ -35,6 +35,18 @@ class CurationSpec extends SparkSpec {
     assert(out.map(_.toString).sameElements(again.map(_.toString)))
   }
 
+  test("P4 shard packing: every doc assigned once, shards near budget, deterministic") {
+    val out = Curation.packShards(spark, sf, budget = 2000L).collect()
+    val totalDocs = out.map(_.getAs[Long]("n_docs")).sum
+    assert(totalDocs == Tables.documents(spark, sf).count())
+    // every shard except possibly the last crosses the budget boundary
+    // only via its final straddling doc: tokens >= budget - (max doc len)
+    val tokens = out.map(_.getAs[Long]("shard_tokens"))
+    assert(tokens.init.forall(_ >= 1000L), tokens.mkString(","))
+    val again = Curation.packShards(spark, sf, budget = 2000L).collect()
+    assert(out.map(_.toString).sameElements(again.map(_.toString)))
+  }
+
   test("a planted exact duplicate and near duplicate are both dropped") {
     import spark.implicits._
     val base = (1 to 60).map(i => s"tok$i").mkString(" ")
