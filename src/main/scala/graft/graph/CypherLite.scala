@@ -35,15 +35,16 @@ import org.apache.spark.sql.functions._
 object CypherLite {
 
   final case class NodePat(v: String, label: Option[String])
-  final case class EdgePat(etype: String, min: Int, max: Int, reverse: Boolean)
+  final case class EdgePat(etype: String, min: Int, max: Int, reverse: Boolean,
+                           v: Option[String] = None)
   final case class Cond(v: String, prop: String, op: String, value: String)
   final case class Query(nodes: Seq[NodePat], hops: Seq[EdgePat], where: Seq[Cond],
                          ret: Seq[(String, Option[String])], distinct: Boolean,
                          orderBy: Seq[(String, Boolean)], limit: Option[Int])
 
   private val NodeRe = """\(\s*(\w+)\s*(?::\s*(\w+))?\s*\)""".r
-  private val FwdRe = """-\[\s*:(\w+)\s*(?:\*(\d+)\.\.(\d+))?\s*\]->""".r
-  private val RevRe = """<-\[\s*:(\w+)\s*(?:\*(\d+)\.\.(\d+))?\s*\]-""".r
+  private val FwdRe = """-\[\s*(\w+)?\s*:(\w+)\s*(?:\*(\d+)\.\.(\d+))?\s*\]->""".r
+  private val RevRe = """<-\[\s*(\w+)?\s*:(\w+)\s*(?:\*(\d+)\.\.(\d+))?\s*\]-""".r
   private val CondRe =
     """(\w+)\.(\w+)\s*(=|<>|CONTAINS|STARTS WITH|ENDS WITH)\s*'([^']*)'""".r
 
@@ -57,14 +58,18 @@ object CypherLite {
         // hops in textual order: scan the pattern for edge tokens
         val hops = ("""-\[[^\]]*\]->|<-\[[^\]]*\]-""".r)
           .findAllIn(pattern).map {
-            case FwdRe(t, lo, hi) =>
+            case FwdRe(ev, t, lo, hi) =>
               EdgePat(t, Option(lo).map(_.toInt).getOrElse(1),
-                Option(hi).map(_.toInt).getOrElse(1), reverse = false)
-            case RevRe(t, lo, hi) =>
+                Option(hi).map(_.toInt).getOrElse(1), reverse = false, Option(ev))
+            case RevRe(ev, t, lo, hi) =>
               EdgePat(t, Option(lo).map(_.toInt).getOrElse(1),
-                Option(hi).map(_.toInt).getOrElse(1), reverse = true)
+                Option(hi).map(_.toInt).getOrElse(1), reverse = true, Option(ev))
             case other => throw new IllegalArgumentException(s"bad edge pattern: $other")
           }.toSeq
+        hops.filter(h => h.v.isDefined && (h.min != 1 || h.max != 1)).foreach { h =>
+          throw new IllegalArgumentException(
+            s"edge variable '${h.v.get}' not supported on variable-length hops")
+        }
         require(nodes.nonEmpty && nodes.size == hops.size + 1,
           s"pattern must be a linear node chain: ${nodes.size} nodes, ${hops.size} hops")
         val where = Option(whereOrNull).toSeq.flatMap(_.split("(?i) AND ").toSeq).map {
@@ -92,9 +97,21 @@ object CypherLite {
     }
   }
 
-  /** Bounded (from, to) pair set for a variable-length hop. */
+  /** Bounded (from, to) pair set for a hop; a named single hop also
+    * carries the edge's property map and event_id for WHERE/RETURN. */
   private def hopPairs(edges: DataFrame, h: EdgePat): DataFrame = {
     val e0 = edges.filter(col("etype") === h.etype)
+    h.v match {
+      case Some(ev) =>
+        // merged edges are unique per (etype, src, dst) — no distinct
+        return if (h.reverse)
+          e0.select(col("dst").as("_from"), col("src").as("_to"),
+            col("props").as(s"${ev}__props"), col("event_id").as(s"${ev}__event_id"))
+        else
+          e0.select(col("src").as("_from"), col("dst").as("_to"),
+            col("props").as(s"${ev}__props"), col("event_id").as(s"${ev}__event_id"))
+      case None => ()
+    }
     val e = (if (h.reverse) e0.select(col("dst").as("_from"), col("src").as("_to"))
              else e0.select(col("src").as("_from"), col("dst").as("_to")))
       .distinct()
@@ -145,11 +162,17 @@ object CypherLite {
         bound = bound.join(labelIds(l).select(col("id").as(to)), Seq(to), "left_semi")
       }
     }
-    // WHERE: property access via the nodes frame
+    // WHERE: property access — edge vars read the carried props map,
+    // node vars join the nodes frame
     def propCol(v: String, prop: String): (DataFrame, String) = {
-      if (prop == "id") (bound, v)
+      val cn = s"${v}_$prop"
+      if (bound.columns.contains(cn)) (bound, cn)
+      else if (bound.columns.contains(s"${v}__props")) {
+        val c = if (prop == "event_id") col(s"${v}__event_id").cast("string")
+                else element_at(col(s"${v}__props"), prop)
+        (bound.withColumn(cn, c), cn)
+      } else if (prop == "id") (bound, v)
       else {
-        val cn = s"${v}_$prop"
         val pn = nodes.select(col("id").as(v), element_at(col("props"), prop).as(cn))
         (bound.join(pn, Seq(v), "left"), cn)
       }

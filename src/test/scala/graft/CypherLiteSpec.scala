@@ -86,9 +86,25 @@ class CypherLiteSpec extends SparkSpec {
     assert(got.sameElements(want))
   }
 
+  test("edge variable: WHERE and RETURN over edge properties") {
+    val (nodes, edges) = graph
+    val got = CypherLite.run(nodes, edges,
+      "MATCH (p:Process)-[r:CONNECTED_TO]->(ip:Ip) " +
+        "WHERE r.dport = '443' RETURN DISTINCT p, ip, r.dport")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    val want = et("CONNECTED_TO")
+      .filter(element_at(col("props"), "dport") === "443")
+      .select(col("src"), col("dst"), element_at(col("props"), "dport"))
+      .distinct()
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(got == want && got.nonEmpty)
+  }
+
   test("parser rejects unsupported shapes") {
     intercept[IllegalArgumentException](CypherLite.parse("FOO BAR"))
     intercept[IllegalArgumentException](
       CypherLite.parse("MATCH (a)-[:X]->(b), (c)-[:Y]->(d) RETURN a"))
+    intercept[IllegalArgumentException](
+      CypherLite.parse("MATCH (a)-[r:X*1..3]->(b) RETURN a"))
   }
 }
