@@ -106,20 +106,44 @@ object Curation {
     * packed greedily into shards of ~`budget` whitespace tokens
     * (shard = exclusive-prefix-sum div budget — a document starting
     * before a boundary stays in the earlier shard, the standard
-    * streaming-pack rule). Deterministic, one window pass; at cluster
-    * scale the ordered cumsum is a range-partitioned sort, which is
-    * how sharded dataset writers lay out training data anyway. */
+    * streaming-pack rule).
+    *
+    * The prefix sum is the TWO-PASS distributed formulation, not a
+    * global-order window (`Window.orderBy` without partitionBy funnels
+    * the whole corpus through ONE task — the classic cumsum scale
+    * trap): range-partition by doc_id, per-partition token totals
+    * (a few hundred rows) hop to the driver to become cumulative
+    * offsets, then each partition computes its local window cumsum +
+    * its offset. The exclusive prefix sum — hence the shard layout —
+    * is a pure function of doc_id order, so results are identical for
+    * ANY partitioning (range boundaries may vary run to run; the
+    * output cannot). */
   def packShards(s: SparkSession, dir: String, budget: Long = 2000L): DataFrame = {
     val toks = size(split(lower(trim(col("text"))), "\\s+")).cast("long")
-    val w = Window.orderBy(col("doc_id")).rowsBetween(Window.unboundedPreceding, -1)
-    Tables.documents(s, dir)
+    val sorted = Tables.documents(s, dir)
       .select(col("doc_id"), toks.as("n_tokens"))
-      .withColumn("shard",
-        (coalesce(sum(col("n_tokens")).over(w), lit(0L)) / budget).cast("long"))
+      .repartitionByRange(col("doc_id"))
+      .withColumn("pid", spark_partition_id())
+      .persist()
+    val partials = sorted.groupBy(col("pid")).agg(sum(col("n_tokens")).as("t"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val offsets = partials.scanLeft((0, 0L)) { case ((_, acc), (pid, t)) => (pid, acc + t) }
+      .tail.zip(partials).map { case ((pid, cumIncl), (_, t)) => (pid, cumIncl - t) }
+    val offDf = broadcast(s.createDataFrame(offsets.toSeq).toDF("pid", "offset"))
+    val w = Window.partitionBy(col("pid")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val out = sorted.join(offDf, Seq("pid"))
+      .withColumn("cum_excl",
+        col("offset") + coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .withColumn("shard", (col("cum_excl") / budget).cast("long"))
       .groupBy(col("shard"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("shard_tokens"),
         min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
       .orderBy(col("shard"))
+      .persist()
+    out.count()
+    sorted.unpersist()
+    out
   }
 
   /** LSH candidate pairs for an arbitrary (doc_id, text) frame —
