@@ -88,6 +88,19 @@ object SparkEntry {
       val (n, e) = graft.graph.SysmonGraph.buildCached(s, "/root/reference/malware/*.json")
       graft.graph.Detections.summary(n, e)
     }),
+    "sg_ppr"       -> ((s, _) => {
+      import org.apache.spark.sql.functions._
+      val (_, e) = graft.graph.SysmonGraph.buildCached(s, "/root/reference/malware/*.json")
+      val hp = e.filter(col("etype") === "HAS_PROCESS")
+      // seeds: processes of the lexicographically-first trace (deterministic)
+      val seeds = hp.join(hp.agg(min(col("src")).as("src")), Seq("src"))
+        .select(col("dst").as("id"))
+      graft.graph.GraphOps.personalizedPageRank(
+          e.select(col("src"), col("dst")), seeds, iters = 10)
+        .filter(col("rank") > 0)
+        .select(col("id"), round(col("rank"), 6).as("rank"))
+        .orderBy(col("rank").desc, col("id")).limit(25)
+    }),
     "sg_cypher"    -> ((s, _) => {
       val (n, e) = graft.graph.SysmonGraph.buildCached(s, "/root/reference/malware/*.json")
       graft.graph.CypherLite.run(n, e,

@@ -363,6 +363,47 @@ object GraphOps {
     dist
   }
 
+  /** Personalized PageRank: the random walk teleports back to the
+    * `sources` set (uniformly) instead of to all vertices — rank
+    * becomes relevance TO THE SEEDS, the GDS-style primitive for
+    * "what matters around this trace/account/incident". Same
+    * power-iteration shape as [[pageRank]]; sources are a broadcast
+    * semi/anti side, so the per-round cost is unchanged. */
+  def personalizedPageRank(edges: DataFrame, sources: DataFrame,
+                           iters: Int = 10, damping: Double = 0.85): DataFrame = {
+    val e = edges.select(col("src"), col("dst")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val vertices = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id")))
+      .distinct().persist(StorageLevel.MEMORY_AND_DISK)
+    val seeds = broadcast(sources.select(col("id")).distinct()).persist()
+    val nSeeds = seeds.count().toDouble
+    require(nSeeds > 0, "personalizedPageRank needs a non-empty source set")
+    val outDeg = e.groupBy(col("src")).count().withColumnRenamed("count", "deg")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val teleport = (1 - damping) / nSeeds
+    var ranks = vertices
+      .join(seeds.select(col("id"), lit(true).as("is_seed")), Seq("id"), "left")
+      .select(col("id"),
+        when(col("is_seed"), lit(1.0 / nSeeds)).otherwise(lit(0.0)).as("rank"))
+      .localCheckpoint()
+    for (_ <- 1 to iters) {
+      val contribs = e.join(ranks, e("src") === ranks("id"))
+        .join(outDeg, Seq("src"))
+        .select(col("dst").as("id"), (col("rank") / col("deg")).as("contrib"))
+      val sums = contribs.groupBy(col("id")).agg(sum(col("contrib")).as("msum"))
+      ranks = vertices
+        .join(seeds.select(col("id"), lit(true).as("is_seed")), Seq("id"), "left")
+        .join(sums, Seq("id"), "left")
+        .select(col("id"),
+          (when(col("is_seed"), lit(teleport)).otherwise(lit(0.0)) +
+            lit(damping) * coalesce(col("msum"), lit(0.0))).as("rank"))
+        .localCheckpoint()
+    }
+    e.unpersist(); vertices.unpersist(); outDeg.unpersist(); seeds.unpersist()
+    ranks
+  }
+
   /** In/out/total degree per vertex. */
   def degrees(edges: DataFrame): DataFrame = {
     val out = edges.groupBy(col("src").as("id")).agg(count(lit(1)).as("out_deg"))

@@ -110,6 +110,23 @@ class GraphOpsSpec extends SparkSpec {
     assert(out == again)
   }
 
+  test("personalized pagerank: zero mass outside the seeds' component") {
+    // two disconnected identical cycles; seeding in A gives B exactly
+    // zero rank (plain pagerank ranks both identically)
+    val edges = edgeDf(
+      "a1" -> "a2", "a2" -> "a3", "a3" -> "a1",
+      "b1" -> "b2", "b2" -> "b3", "b3" -> "b1")
+    val ppr = GraphOps.personalizedPageRank(edges, Seq("a1").toDF("id"), iters = 15)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(ppr("a1") > 0 && ppr("a2") > 0 && ppr("a3") > 0, ppr.toString)
+    assert(ppr("b1") == 0.0 && ppr("b2") == 0.0 && ppr("b3") == 0.0, ppr.toString)
+    // seed gets the teleport mass on top of walk mass
+    assert(ppr("a1") > ppr("a2"), ppr.toString)
+    val plain = GraphOps.pageRank(edges, iters = 15)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(math.abs(plain("a1") - plain("b1")) < 1e-9)
+  }
+
   test("triangles: K4 + pendant + triangle-free square") {
     // K4 on a,b,c,d: each vertex is in C(3,2)=3 triangles. A pendant
     // vertex p and a 4-cycle w-x-y-z (no chord) contribute none.
