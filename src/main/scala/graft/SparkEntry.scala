@@ -80,6 +80,7 @@ object SparkEntry {
     "g_paths"      -> (GraphQueries.gPaths _),
     "g_lpa"        -> (GraphQueries.gLpa _),
     "g_clustercoef" -> (GraphQueries.gClusterCoef _),
+    "g_kcore"      -> ((s, d) => GraphQueries.gKcore(s, d)),
     "n1_nodemerge" -> (GraphQueries.n1NodeMerge _),
     "n2_edgemerge" -> (GraphQueries.n2EdgeMerge _),
     // reference-corpus graph queries (rows-only: the trace corpus is

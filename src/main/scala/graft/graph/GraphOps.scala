@@ -363,6 +363,34 @@ object GraphOps {
     dist
   }
 
+  /** k-core: the maximal subgraph where every vertex has degree ≥ k
+    * (Neo4j GDS kCore's fixed-k building block), by iterative peeling —
+    * each round drops vertices below k and recomputes degrees on the
+    * induced subgraph; stops when no vertex is dropped. Returns the
+    * surviving (id, deg) frame (empty when no k-core exists). Peeling
+    * rounds are bounded by the longest degeneracy chain; each round is
+    * one aggregation + two semi-joins. */
+  def kCore(edges: DataFrame, k: Int, maxIter: Int = 30): DataFrame = {
+    var e = undirected(edges).filter(col("src") =!= col("dst")).localCheckpoint()
+    var dropped = 1L
+    var iter = 0
+    var deg = e.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
+      .localCheckpoint()
+    while (iter < maxIter && dropped > 0) {
+      iter += 1
+      val keep = deg.filter(col("deg") >= k).select(col("id"))
+      val e2 = e
+        .join(keep.select(col("id").as("src")), Seq("src"), "left_semi")
+        .join(keep.select(col("id").as("dst")), Seq("dst"), "left_semi")
+        .localCheckpoint()
+      val deg2 = e2.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
+        .localCheckpoint()
+      dropped = deg.count() - deg2.count()
+      e = e2; deg = deg2
+    }
+    deg.filter(col("deg") >= k)
+  }
+
   /** Personalized PageRank: the random walk teleports back to the
     * `sources` set (uniformly) instead of to all vertices — rank
     * becomes relevance TO THE SEEDS, the GDS-style primitive for

@@ -123,6 +123,13 @@ object GraphQueries {
       .orderBy(col("l_partkey"))
   }
 
+  /** B17 — k-core of the part—supplier graph: the mutually-dense
+    * subgraph after peeling (rows-only: iterative peeling has no
+    * tractable SQL twin; semantics pinned by the clique/tail spec). */
+  def gKcore(s: SparkSession, dir: String, k: Int = 3): DataFrame =
+    GraphOps.kCore(TestGraph.partSupplierEdges(s, dir), k)
+      .orderBy(col("id"))
+
   /** B12 — GDS-style node similarity: Jaccard over supplier neighbor
     * sets of the (sparsified) part—supplier graph. */
   def gNodesim(s: SparkSession, dir: String): DataFrame =

@@ -136,4 +136,16 @@ class DedupSpec extends SparkSpec {
     assert(byQ.forall(_._2.length <= 5))
     assert(out.forall(r => r.getLong(0) != r.getLong(2)))
   }
+
+  test("e3 IVF recall vs exact top-k is reasonable and runs are identical") {
+    def pairs(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getLong(0), r.getLong(2))).toSet
+    val exact = pairs(Similarity.e1TopK(spark, sf).collect())
+    val ivf1 = Similarity.e3IvfTopK(spark, sf).collect()
+    val ivf2 = Similarity.e3IvfTopK(spark, sf).collect()
+    // determinism (ordered centroid seeding): identical output across runs
+    assert(ivf1.map(_.toString).sorted.sameElements(ivf2.map(_.toString).sorted))
+    val recall = (pairs(ivf1) & exact).size.toDouble / exact.size
+    assert(recall >= 0.5, s"IVF recall $recall (nprobe=4/nlist=16)")
+  }
 }

@@ -127,6 +127,20 @@ class GraphOpsSpec extends SparkSpec {
     assert(math.abs(plain("a1") - plain("b1")) < 1e-9)
   }
 
+  test("kCore: peeling strips tails and keeps the clique") {
+    // K4 (degrees 3) with a chain hanging off it; 3-core = exactly the K4
+    val edges = edgeDf(
+      "a" -> "b", "a" -> "c", "a" -> "d", "b" -> "c", "b" -> "d", "c" -> "d",
+      "d" -> "t1", "t1" -> "t2", "t2" -> "t3")
+    val core3 = GraphOps.kCore(edges, 3)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(core3 == Map("a" -> 3L, "b" -> 3L, "c" -> 3L, "d" -> 3L))
+    // 4-core doesn't exist
+    assert(GraphOps.kCore(edges, 4).isEmpty)
+    // 1-core keeps everything (no isolated vertices in an edge list)
+    assert(GraphOps.kCore(edges, 1).count() == 7)
+  }
+
   test("triangles: K4 + pendant + triangle-free square") {
     // K4 on a,b,c,d: each vertex is in C(3,2)=3 triangles. A pendant
     // vertex p and a 4-cycle w-x-y-z (no chord) contribute none.
