@@ -35,43 +35,57 @@ import org.apache.spark.sql.functions._
 object CypherLite {
 
   final case class NodePat(v: String, label: Option[String])
-  final case class EdgePat(etype: String, min: Int, max: Int, reverse: Boolean,
+  final case class EdgePat(etype: Option[String], min: Int, max: Int, reverse: Boolean,
                            v: Option[String] = None)
   final case class Cond(v: String, prop: String, op: String, value: String)
-  final case class Query(nodes: Seq[NodePat], hops: Seq[EdgePat], where: Seq[Cond],
+  final case class Query(nodes: Seq[NodePat], hops: Seq[EdgePat],
+                         optNodes: Seq[NodePat], optHops: Seq[EdgePat],
+                         where: Seq[Cond],
                          ret: Seq[(String, Option[String])], distinct: Boolean,
                          orderBy: Seq[(String, Boolean)], limit: Option[Int])
 
   private val NodeRe = """\(\s*(\w+)\s*(?::\s*(\w+))?\s*\)""".r
-  private val FwdRe = """-\[\s*(\w+)?\s*:(\w+)\s*(?:\*(\d+)\.\.(\d+))?\s*\]->""".r
-  private val RevRe = """<-\[\s*(\w+)?\s*:(\w+)\s*(?:\*(\d+)\.\.(\d+))?\s*\]-""".r
+  private val FwdRe = """-\[\s*(\w+)?\s*(?::(\w+))?\s*(?:\*(\d+)\.\.(\d+))?\s*\]->""".r
+  private val RevRe = """<-\[\s*(\w+)?\s*(?::(\w+))?\s*(?:\*(\d+)\.\.(\d+))?\s*\]-""".r
   private val CondRe =
     """(\w+)\.(\w+)\s*(=|<>|CONTAINS|STARTS WITH|ENDS WITH)\s*'([^']*)'""".r
 
   def parse(q: String): Query = {
     val text = q.trim.replaceAll("\\s+", " ")
-    val mMatch = """(?i)MATCH (.+?)(?: WHERE (.+?))? RETURN (DISTINCT )?(.+?)(?: ORDER BY (.+?))?(?: LIMIT (\d+))?\s*$""".r
+    val mMatch = """(?i)MATCH (.+?)(?: OPTIONAL MATCH (.+?))?(?: WHERE (.+?))? RETURN (DISTINCT )?(.+?)(?: ORDER BY (.+?))?(?: LIMIT (\d+))?\s*$""".r
+    def parsePattern(pattern: String): (Seq[NodePat], Seq[EdgePat]) = {
+      val nodes = NodeRe.findAllMatchIn(pattern).map(m =>
+        NodePat(m.group(1), Option(m.group(2)))).toSeq
+      // hops in textual order: scan the pattern for edge tokens
+      val hops = ("""-\[[^\]]*\]->|<-\[[^\]]*\]-""".r)
+        .findAllIn(pattern).map {
+          case FwdRe(ev, t, lo, hi) =>
+            EdgePat(Option(t), Option(lo).map(_.toInt).getOrElse(1),
+              Option(hi).map(_.toInt).getOrElse(1), reverse = false, Option(ev))
+          case RevRe(ev, t, lo, hi) =>
+            EdgePat(Option(t), Option(lo).map(_.toInt).getOrElse(1),
+              Option(hi).map(_.toInt).getOrElse(1), reverse = true, Option(ev))
+          case other => throw new IllegalArgumentException(s"bad edge pattern: $other")
+        }.toSeq
+      hops.filter(h => h.v.isDefined && (h.min != 1 || h.max != 1)).foreach { h =>
+        throw new IllegalArgumentException(
+          s"edge variable '${h.v.get}' not supported on variable-length hops")
+      }
+      require(nodes.nonEmpty && nodes.size == hops.size + 1,
+        s"pattern must be a linear node chain: ${nodes.size} nodes, ${hops.size} hops")
+      (nodes, hops)
+    }
     text match {
-      case mMatch(pattern, whereOrNull, distinctOrNull, retPart, orderOrNull, limitOrNull) =>
-        val nodes = NodeRe.findAllMatchIn(pattern).map(m =>
-          NodePat(m.group(1), Option(m.group(2)))).toSeq
-        // hops in textual order: scan the pattern for edge tokens
-        val hops = ("""-\[[^\]]*\]->|<-\[[^\]]*\]-""".r)
-          .findAllIn(pattern).map {
-            case FwdRe(ev, t, lo, hi) =>
-              EdgePat(t, Option(lo).map(_.toInt).getOrElse(1),
-                Option(hi).map(_.toInt).getOrElse(1), reverse = false, Option(ev))
-            case RevRe(ev, t, lo, hi) =>
-              EdgePat(t, Option(lo).map(_.toInt).getOrElse(1),
-                Option(hi).map(_.toInt).getOrElse(1), reverse = true, Option(ev))
-            case other => throw new IllegalArgumentException(s"bad edge pattern: $other")
-          }.toSeq
-        hops.filter(h => h.v.isDefined && (h.min != 1 || h.max != 1)).foreach { h =>
-          throw new IllegalArgumentException(
-            s"edge variable '${h.v.get}' not supported on variable-length hops")
+      case mMatch(pattern, optOrNull, whereOrNull, distinctOrNull, retPart, orderOrNull, limitOrNull) =>
+        val (nodes, hops) = parsePattern(pattern)
+        val (optNodes, optHops) = Option(optOrNull) match {
+          case Some(op) =>
+            val (on, oh) = parsePattern(op)
+            require(nodes.exists(_.v == on.head.v),
+              s"OPTIONAL MATCH must start at a bound variable, got '${on.head.v}'")
+            (on, oh)
+          case None => (Seq.empty[NodePat], Seq.empty[EdgePat])
         }
-        require(nodes.nonEmpty && nodes.size == hops.size + 1,
-          s"pattern must be a linear node chain: ${nodes.size} nodes, ${hops.size} hops")
         val where = Option(whereOrNull).toSeq.flatMap(_.split("(?i) AND ").toSeq).map {
           case CondRe(v, p, op, value) => Cond(v, p, op.toUpperCase, value)
           case other => throw new IllegalArgumentException(s"bad condition: $other")
@@ -91,7 +105,7 @@ object CypherLite {
                    else parts(0).replace(".", "_")
           (cn, desc)
         }
-        Query(nodes, hops, where, ret, distinctOrNull != null, orderBy,
+        Query(nodes, hops, optNodes, optHops, where, ret, distinctOrNull != null, orderBy,
           Option(limitOrNull).map(_.toInt))
       case _ => throw new IllegalArgumentException(s"unsupported query: $q")
     }
@@ -100,7 +114,7 @@ object CypherLite {
   /** Bounded (from, to) pair set for a hop; a named single hop also
     * carries the edge's property map and event_id for WHERE/RETURN. */
   private def hopPairs(edges: DataFrame, h: EdgePat): DataFrame = {
-    val e0 = edges.filter(col("etype") === h.etype)
+    val e0 = h.etype.map(t => edges.filter(col("etype") === t)).getOrElse(edges)
     h.v match {
       case Some(ev) =>
         // merged edges are unique per (etype, src, dst) — no distinct
@@ -151,16 +165,30 @@ object CypherLite {
       case Some(l) => labelIds(l).select(col("id").as(first.v))
       case None => nodes.select(col("id").as(first.v)).distinct()
     }
-    // walk the chain: one join per hop, label semi-joins as we bind
-    q.hops.zipWithIndex.foreach { case (h, i) =>
-      val from = q.nodes(i).v
-      val to = q.nodes(i + 1).v
-      val pairs = hopPairs(edges, h)
-      bound = bound.join(pairs, bound(from) === pairs("_from"))
-        .drop("_from").withColumnRenamed("_to", to)
-      q.nodes(i + 1).label.foreach { l =>
-        bound = bound.join(labelIds(l).select(col("id").as(to)), Seq(to), "left_semi")
+    // walk a chain: one join per hop, label semi-joins as we bind
+    def walk(seed: DataFrame, pats: Seq[NodePat], hops: Seq[EdgePat]): DataFrame = {
+      var b = seed
+      hops.zipWithIndex.foreach { case (h, i) =>
+        val from = pats(i).v
+        val to = pats(i + 1).v
+        val pairs = hopPairs(edges, h)
+        b = b.join(pairs, b(from) === pairs("_from"))
+          .drop("_from").withColumnRenamed("_to", to)
+        pats(i + 1).label.foreach { l =>
+          b = b.join(labelIds(l).select(col("id").as(to)), Seq(to), "left_semi")
+        }
       }
+      b
+    }
+    bound = walk(bound, q.nodes, q.hops)
+    // OPTIONAL MATCH: walk its chain from the shared variable's bound
+    // values, then left-join — non-matching rows keep nulls for the
+    // optional variables (WHERE applies to the joined rows, SQL-style)
+    if (q.optHops.nonEmpty) {
+      val shared = q.optNodes.head.v
+      val optSeed = bound.select(col(shared)).distinct()
+      val opt = walk(optSeed, q.optNodes, q.optHops)
+      bound = bound.join(opt, Seq(shared), "left")
     }
     // WHERE: property access — edge vars read the carried props map,
     // node vars join the nodes frame

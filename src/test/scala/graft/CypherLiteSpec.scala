@@ -100,6 +100,33 @@ class CypherLiteSpec extends SparkSpec {
     assert(got == want && got.nonEmpty)
   }
 
+  test("OPTIONAL MATCH keeps non-matching rows with nulls") {
+    val (nodes, edges) = graph
+    val got = CypherLite.run(nodes, edges,
+      "MATCH (t:Trace)-[:HAS_PROCESS]->(p:Process) " +
+        "OPTIONAL MATCH (p)-[:CONNECTED_TO]->(ip:Ip) RETURN DISTINCT p, ip")
+    val rows = got.collect().map(r => (r.getString(0), Option(r.getString(1))))
+    val talkers = et("CONNECTED_TO").select(col("src")).distinct().count()
+    assert(rows.exists(_._2.isEmpty), "non-connecting processes must appear with null ip")
+    assert(rows.count(_._2.isDefined) ==
+      et("CONNECTED_TO").select(col("src"), col("dst")).distinct()
+        .join(nodes.filter(col("label") === "Process").select(col("id").as("src")), Seq("src"), "left_semi")
+        .count())
+    assert(rows.filter(_._2.isDefined).map(_._1).distinct.length == talkers)
+  }
+
+  test("any-type hop matches every edge type") {
+    val (nodes, edges) = graph
+    val got = CypherLite.run(nodes, edges,
+      "MATCH (p:Process)-[]->(x) RETURN DISTINCT p, x")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    val procs = nodes.filter(col("label") === "Process").select(col("id").as("src"))
+    val want = edges.select(col("src"), col("dst")).distinct()
+      .join(procs, Seq("src"), "left_semi")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got == want && got.nonEmpty)
+  }
+
   test("parser rejects unsupported shapes") {
     intercept[IllegalArgumentException](CypherLite.parse("FOO BAR"))
     intercept[IllegalArgumentException](
