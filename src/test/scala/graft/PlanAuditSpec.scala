@@ -65,4 +65,14 @@ class PlanAuditSpec extends SparkSpec {
     val p = plan(graft.operators.Dedup.d4Jaccard(spark, sf))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
+
+  test("P4: shard packing never funnels the corpus through one partition") {
+    // a Window.orderBy without partitionBy would plan an Exchange
+    // SinglePartition under the window — the two-pass prefix sum must not
+    val df = graft.operators.Curation.packShards(spark, sf)
+    val p = plan(df)
+    val winIdx = p.linesIterator.indexWhere(l => l.contains("Window"))
+    assert(winIdx >= 0, p)
+    assert(!p.contains("Exchange SinglePartition"), p)
+  }
 }
