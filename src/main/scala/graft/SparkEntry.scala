@@ -89,6 +89,16 @@ object SparkEntry {
       val (n, e) = graft.graph.SysmonGraph.buildCached(s, "/root/reference/malware/*.json")
       graft.graph.Detections.summary(n, e)
     }),
+    // full reference-corpus ETL (the reference's core workload): fresh
+    // build each call (deliberately NOT buildCached) → per-label/type
+    // counts. Bench times this; Verify records rows.
+    "sg_build"     -> ((s, _) => {
+      import org.apache.spark.sql.functions._
+      val (n, e) = graft.graph.SysmonGraph.build(s, "/root/reference/malware/*.json")
+      n.groupBy(col("label").as("kind")).agg(count(lit(1)).as("n"))
+        .unionByName(e.groupBy(col("etype").as("kind")).agg(count(lit(1)).as("n")))
+        .orderBy(col("kind"))
+    }),
     "sg_ppr"       -> ((s, _) => {
       import org.apache.spark.sql.functions._
       val (_, e) = graft.graph.SysmonGraph.buildCached(s, "/root/reference/malware/*.json")

@@ -314,9 +314,19 @@ object SysmonGraph {
         col("n_events"))
   }
 
-  /** Full pipeline: trace JSON files → (nodes, edges). */
+  /** Full pipeline: trace JSON files → (nodes, edges).
+    *
+    * The normalized span frame is materialized once (eager local
+    * checkpoint): nodes, edges, AND the BIND_TO gating aggregates all
+    * fan out from it, and without the checkpoint each consumer would
+    * re-parse every JSON file (4 full corpus parses). `coalesce` packs
+    * the one-task-per-file read into cpu-sized partitions so the
+    * downstream stages aren't scheduling thousands of micro-tasks; on
+    * a cluster the same call sites scale with executor count. */
   def build(spark: SparkSession, path: String): (DataFrame, DataFrame) = {
+    val par = spark.sparkContext.defaultParallelism * 2
     val norm = eventsNorm(TraceJson.spans(spark, path))
+      .coalesce(par).localCheckpoint()
     val (n, e) = rawGraph(norm)
     (mergeNodes(n), mergeEdges(e))
   }
