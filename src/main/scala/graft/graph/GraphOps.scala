@@ -296,6 +296,12 @@ object GraphOps {
     * triangle-count blowup on power-law graphs.
     */
   def triangles(edges: DataFrame): DataFrame = {
+    // both persists deliberately stay registered for the session: the
+    // returned frame is LAZY, so an unpersist here would run before the
+    // caller materializes anything (the e3-style lifecycle bug), and an
+    // eager localCheckpoint of `orient` measured ~3× slower than the
+    // persist + runtime exchange-reuse plan. Frames are O(|edges|);
+    // callers that need the memory back can clearCache().
     val sym = undirected(edges).filter(col("src") =!= col("dst"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val deg = sym.groupBy(col("src").as("id")).agg(count(lit(1)).as("d"))
@@ -315,11 +321,9 @@ object GraphOps {
     val closure = orient.select(
       least(col("u"), col("v")).as("b"), greatest(col("u"), col("v")).as("c"))
     val tris = wedges.join(closure, Seq("b", "c"), "left_semi")
-    val out = tris
+    tris
       .select(explode(array(col("a"), col("b"), col("c"))).as("id"))
       .groupBy(col("id")).agg(count(lit(1)).as("n_tri"))
-    sym.unpersist()
-    out
   }
 
   /** Single-source shortest paths over weighted edges (src, dst, w),
