@@ -97,6 +97,9 @@ object GraphOps {
       iter += 1
       val msgs = sym.join(labels, sym("src") === labels("id"))
         .select(sym("dst").as("id"), col("component"))
+      // (pointer-jumping shortcut measured net-negative here: the extra
+      // self-join per round outweighs saved rounds on shallow telemetry
+      // graphs; connectedComponentsStar covers adversarial-depth inputs)
       val next = labels.unionByName(msgs)
         .groupBy(col("id"))
         .agg(min(col("component")).as("component"))
