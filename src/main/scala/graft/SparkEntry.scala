@@ -131,7 +131,10 @@ object SparkEntry {
     "d2_minhash"   -> ((s, d) => Dedup.d2MinhashLsh(s, d)),
     "d3_simhash"   -> ((s, d) => Dedup.d3Simhash(s, d)),
     "d4_jaccard"   -> ((s, d) => Dedup.d4Jaccard(s, d)),
-    "d5_embdup"    -> ((s, d) => Dedup.d5EmbDup(s, d)),
+    // d5_embdup = the exact twin (oracle-checkable); d5_lsh = the LSH-
+    // candidate scale path (rows-only: recall < 1 by design, spec-bound)
+    "d5_embdup"    -> ((s, d) => Dedup.d5EmbDupExact(s, d)),
+    "d5_lsh"       -> ((s, d) => Dedup.d5EmbDup(s, d)),
     // E. similarity search
     "e1_topk"      -> ((s, d) => Similarity.e1TopK(s, d)),
     "e2_ann"       -> ((s, d) => Similarity.e2AnnTopK(s, d)),
@@ -467,7 +470,8 @@ object SparkEntry {
         |  coalesce(sum(n_tokens) OVER (ORDER BY doc_id
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 2000 AS shard
         |  FROM t)
-        |SELECT shard, count(*) AS n_docs, sum(n_tokens) AS shard_tokens,
+        |SELECT CAST(shard AS BIGINT) AS shard, count(*) AS n_docs,
+        | CAST(sum(n_tokens) AS BIGINT) AS shard_tokens,
         | min(doc_id) AS first_doc, max(doc_id) AS last_doc
         |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
     "d1_exact" ->

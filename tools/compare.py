@@ -57,6 +57,16 @@ def main(sfdir, outdir):
         if len(a) != len(b):
             results[name] = f"ROWCOUNT_MISMATCH mine={len(a)} ref={len(b)}"
             continue
+        # type-strict like the driver's hash: a HUGEINT (-> float64/object)
+        # vs Spark int64 must fail even when values are equal (p4_shards r2).
+        kinds_a = [a[c].dtype.kind for c in a.columns]
+        kinds_b = [b[c].dtype.kind for c in b.columns]
+        if kinds_a != kinds_b:
+            bad = [c for c in a.columns if a[c].dtype.kind != b[c].dtype.kind]
+            results[name] = (f"TYPE_MISMATCH cols={bad} "
+                             f"mine={[str(a[c].dtype) for c in bad]} "
+                             f"ref={[str(b[c].dtype) for c in bad]}")
+            continue
         # exact compare with NaN==NaN; report first diff
         try:
             pd.testing.assert_frame_equal(a, b, check_dtype=False, check_exact=True)
