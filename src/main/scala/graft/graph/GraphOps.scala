@@ -235,33 +235,37 @@ object GraphOps {
   }
 
   /** Neo4j-GDS-style node similarity: Jaccard over out-neighbor sets
-    * for every source pair sharing at least one neighbor (never a cross
-    * join — candidates come from the inverted neighbor index). At
-    * corpus scale, hub destinations are the blowup risk — cap/split
-    * exactly as in Dedup.d4Jaccard if the degree distribution needs it.
-    * Returns (id1, id2, sim) with id1 < id2 and sim ≥ threshold. */
-  def nodeSimilarity(edges: DataFrame, threshold: Double): DataFrame = {
-    val e = edges.select(col("src"), col("dst")).distinct().persist(StorageLevel.MEMORY_AND_DISK)
-    val sizes = e.groupBy(col("src").as("id")).agg(count(lit(1)).as("n"))
-    val inter = e.alias("x").join(e.alias("y"),
-        col("x.dst") === col("y.dst") && col("x.src") < col("y.src"))
-      .groupBy(col("x.src").as("id1"), col("y.src").as("id2"))
-      .agg(count(lit(1)).as("i"))
-    inter
-      .join(sizes.select(col("id").as("id1"), col("n").as("n1")), Seq("id1"))
-      .join(sizes.select(col("id").as("id2"), col("n").as("n2")), Seq("id2"))
-      .filter(col("i").cast("double") / (col("n1") + col("n2") - col("i")) >= threshold)
-      .withColumn("sim",
-        round(col("i").cast("double") / (col("n1") + col("n2") - col("i")), 4))
+    * for every source pair sharing at least one neighbor. Delegates to
+    * [[graft.operators.JaccardJoin.exactPairs]] (items = neighbors):
+    * a hub destination of in-degree d — on telemetry graphs the COMMON
+    * case, e.g. every process loading the same system DLL — would emit
+    * d²/2 inverted-index rows; the df-cap + prefix-filter hybrid
+    * bounds that exactly as D4 does for boilerplate shingles, with
+    * recall-exact results. Returns (id1, id2, sim), id1 < id2,
+    * sim ≥ threshold. */
+  def nodeSimilarity(edges: DataFrame, threshold: Double,
+                     hubCap: Long = 1000L): DataFrame =
+    graft.operators.JaccardJoin.exactPairs(
+        edges.select(col("src").as("id"), col("dst").as("item")),
+        threshold, hubCap)
+      .withColumn("sim", round(col("jaccard"), 4))
       .select(col("id1"), col("id2"), col("sim"))
-  }
 
   /** BFS that also MATERIALIZES one shortest path per reached vertex —
     * the Cypher `MATCH p = shortestPath((a)-[*]->(b)) RETURN p`
-    * capability, not just distances. Among equal-length paths the
-    * lexicographically smallest '>'-joined id string wins, which makes
-    * the output deterministic and reproducible by any engine with the
-    * same rule. Same frontier/checkpoint scheme as [[bfs]]. */
+    * capability, not just distances.
+    *
+    * Tie-break rule (deterministic, engine-reproducible): PER-HOP
+    * GREEDY — at each depth a vertex keeps the minimum '>'-joined path
+    * string among its incoming extensions. Note this is not always the
+    * GLOBAL lexicographic minimum over all shortest paths when one
+    * vertex id is a string prefix of another ("n:1" vs "n:12":
+    * concatenation can reorder); any oracle on a non-forest graph must
+    * mirror the per-hop rule (the g_paths fixture is a forest, where
+    * greedy == global because paths are unique). Fixed-width ids, or
+    * comparing (pred-path, vertex) as a struct, would make greedy ==
+    * global if a consumer needs that. Same frontier/checkpoint scheme
+    * as [[bfs]]. */
   def bfsPaths(edges: DataFrame, sources: DataFrame, maxIter: Int = 20): DataFrame = {
     val e = edges.select(col("src"), col("dst"))
       .persist(StorageLevel.MEMORY_AND_DISK)

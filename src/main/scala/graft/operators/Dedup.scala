@@ -85,78 +85,32 @@ object Dedup {
       .orderBy(col("id1"), col("id2"))
 
   /** D4 — exact pairwise n-gram Jaccard over the full corpus, scale-
-    * safe in two cooperating pieces (the Vernica et al. MapReduce
-    * set-similarity-join recipe):
-    *
-    *  1. Intersection counts for shingles with df ≤ dfCap come from the
-    *     direct inverted-index co-occurrence join — its size is
-    *     Σ_{df≤cap} df² ≤ dfCap · |shingle rows|, i.e. LINEAR in the
-    *     corpus for a fixed cap, never quadratic.
-    *  2. Shingles with df > dfCap (boilerplate — the quadratic-blowup
-    *     case) are excluded from that join; pairs whose shared shingles
-    *     include such frequent shingles are still found because
-    *     candidate membership comes from PREFIX FILTERING (globally
-    *     ordering shingles by df, each doc indexes its rarest
-    *     |d| − ⌈θ·|d|⌉ + 1 — any pair with J ≥ θ must collide there),
-    *     and their frequent-shingle intersections are counted by a
-    *     candidate-bounded join against only the df > dfCap rows.
-    *
-    * Every pair with J ≥ θ is reported with its exact Jaccard. */
+    * safe: the Vernica prefix-filter + df-cap hybrid, generalized in
+    * [[JaccardJoin.exactPairs]] (see there for the linear-shape
+    * argument and the adaptive low-skew fast path). Every pair with
+    * J ≥ θ is reported with its exact Jaccard. */
   def d4Jaccard(s: SparkSession, dir: String, threshold: Double = 0.5,
                 dfCap: Long = 1000L): DataFrame = {
     val docs = Tables.documents(s, dir)
-    val sh = shingleRows(docs).persist()
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val freq = sh.groupBy(col("g")).agg(count(lit(1)).as("df")).persist()
-    val cand = prefixCandidates(sh, sizes, freq, threshold).persist()
-
-    val shF = sh.join(freq, Seq("g"))
-    val low = shF.filter(col("df") <= dfCap).select(col("doc_id"), col("g"))
-    val iLow = low.alias("x").join(low.alias("y"),
-        col("x.g") === col("y.g") && col("x.doc_id") < col("y.doc_id"))
-      .groupBy(col("x.doc_id").as("id1"), col("y.doc_id").as("id2"))
-      .agg(count(lit(1)).as("i_low"))
-    val high = shF.filter(col("df") > dfCap).select(col("doc_id"), col("g"))
-    val iHigh = cand
-      .join(high.select(col("doc_id").as("id1"), col("g")), Seq("id1"))
-      .join(high.select(col("doc_id").as("rid2"), col("g").as("g2")),
-        col("id2") === col("rid2") && col("g") === col("g2"))
-      .groupBy(col("id1"), col("id2"))
-      .agg(count(lit(1)).as("i_high"))
-
-    val out = cand
-      .join(iLow, Seq("id1", "id2"), "left")
-      .join(iHigh, Seq("id1", "id2"), "left")
-      .withColumn("i", coalesce(col("i_low"), lit(0L)) + coalesce(col("i_high"), lit(0L)))
-      .filter(col("i") > 0)
-      .join(sizes.select(col("doc_id").as("id1"), col("n").as("n1")), Seq("id1"))
-      .join(sizes.select(col("doc_id").as("id2"), col("n").as("n2")), Seq("id2"))
-      .filter(col("i").cast("double") / (col("n1") + col("n2") - col("i")) >= threshold)
-      .withColumn("jaccard",
-        round(col("i").cast("double") / (col("n1") + col("n2") - col("i")), 4))
-      .select(col("id1"), col("id2"), col("jaccard"))
+    JaccardJoin.exactPairs(
+        shingleRows(docs).select(col("doc_id").as("id"), col("g").as("item")),
+        threshold, dfCap)
+      .select(col("id1"), col("id2"), round(col("jaccard"), 4).as("jaccard"))
       .orderBy(col("id1"), col("id2"))
-    out
   }
 
   /** Prefix-filtered candidate pairs (id1 < id2) from shingle rows:
     * every pair with Jaccard ≥ threshold is included (the prefix-
     * filtering guarantee); frequent shingles rank into the un-indexed
-    * suffix and never join. */
+    * suffix and never join. Thin shingle-named adapter over
+    * [[JaccardJoin.candidates]]. */
   def prefixCandidates(sh: DataFrame, sizes: DataFrame, freq: DataFrame,
-                       threshold: Double): DataFrame = {
-    val pref = sh
-      .join(freq, Seq("g"))
-      .withColumn("rk", row_number().over(
-        Window.partitionBy(col("doc_id")).orderBy(col("df"), col("g"))))
-      .join(sizes, Seq("doc_id"))
-      .filter(col("rk") <= col("n") - ceil(lit(threshold) * col("n")) + 1)
-      .select(col("doc_id"), col("g"))
-    pref.alias("x").join(pref.alias("y"),
-        col("x.g") === col("y.g") && col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("id1"), col("y.doc_id").as("id2"))
-      .distinct()
-  }
+                       threshold: Double): DataFrame =
+    JaccardJoin.candidates(
+      sh.select(col("doc_id").as("id"), col("g").as("item")),
+      sizes.select(col("doc_id").as("id"), col("n")),
+      freq.select(col("g").as("item"), col("df")),
+      threshold)
 
   /** Prime modulus and deterministic (a, b) coefficients for the
     * minhash family — all values < 2³¹ so aᵢ·h+bᵢ stays within a long
@@ -200,7 +154,7 @@ object Dedup {
     */
   def d2MinhashLsh(s: SparkSession, dir: String,
                    k: Int = 64, bands: Int = 16,
-                   threshold: Double = 0.5): DataFrame = {
+                   threshold: Double = 0.5, bucketCap: Int = 1000): DataFrame = {
     // exact duplicates collapse to one representative per distinct
     // normalized text BEFORE the near-dup pass: a duplicate-heavy
     // corpus (the common case at scale) would otherwise spend its time
@@ -213,6 +167,28 @@ object Dedup {
       .filter(col("rn") === 1)
       .drop("text_hash", "rn")
       .persist() // referenced by signatures AND verification
+    // persist: verifyJaccard references the candidate frame three
+    // times (both id sides + the pair join) — without this the whole
+    // minhash pipeline re-executes per reference
+    val cand = d2Candidates(docs, k, bands, bucketCap).persist()
+    verifyJaccard(docs, cand, threshold)
+  }
+
+  /** LSH candidate pairs with the degenerate-bucket guard (SURVEY §5).
+    *
+    * Buckets of size ≤ bucketCap emit all pairs (the normal LSH path).
+    * A DEGENERATE bucket (> bucketCap members — a near-identical
+    * boilerplate cluster that the exact-dup collapse can't remove,
+    * since the texts differ slightly) would emit O(b²) pairs per band;
+    * instead its members are STAR-LINKED to the bucket's minimum
+    * doc_id: O(b) candidates, and every member still gets exactly
+    * verified against a representative — which is precisely what a
+    * keep/drop curation decision needs (members of a boilerplate
+    * cluster collapse onto the representative rather than onto each
+    * other). Pair semantics on non-degenerate corpora are unchanged.
+    */
+  def d2Candidates(docs: DataFrame, k: Int = 64, bands: Int = 16,
+                   bucketCap: Int = 1000): DataFrame = {
     val rows = k / bands
     val sigs = minhashSignatures(docs, k)
     val banded = sigs.select(col("doc_id"),
@@ -220,16 +196,21 @@ object Dedup {
           struct(lit(b).as("band"),
             xxhash64(slice(col("sig"), b * rows + 1, rows)).as("bh"))): _*)).as("bb"))
       .select(col("doc_id"), col("bb.band"), col("bb.bh"))
-    // persist: verifyJaccard references the candidate frame three
-    // times (both id sides + the pair join) — without this the whole
-    // minhash pipeline re-executes per reference
-    val cand = banded.alias("x").join(banded.alias("y"),
+    // bucket size + representative in one pass; a degenerate bucket
+    // lands in a single window task but costs O(b), not O(b²)
+    val bw = Window.partitionBy(col("band"), col("bh"))
+    val sized = banded
+      .withColumn("bsz", count(lit(1)).over(bw))
+      .withColumn("bmin", min(col("doc_id")).over(bw))
+    val small = sized.filter(col("bsz") <= bucketCap)
+    val pairsSmall = small.alias("x").join(small.alias("y"),
         col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("id1"), col("y.doc_id").as("id2"))
-      .distinct()
-      .persist()
-    verifyJaccard(docs, cand, threshold)
+    val pairsLarge = sized
+      .filter(col("bsz") > bucketCap && col("doc_id") =!= col("bmin"))
+      .select(col("bmin").as("id1"), col("doc_id").as("id2"))
+    pairsSmall.unionByName(pairsLarge).distinct()
   }
 
   /** Exact-Jaccard verification of candidate pairs (set counts via
@@ -287,12 +268,57 @@ object Dedup {
       .orderBy(col("id1"), col("id2"))
   }
 
-  /** D5 — embedding-cosine similar pairs over the full corpus (exact
-    * pairwise, oracle-checkable; the LSH/IVF scale path lives in
-    * [[Similarity]]). The default threshold is tuned to the synthetic
-    * corpus's similarity ceiling (max pairwise cos ≈ 0.5) so the check
-    * exercises real pairs rather than vacuously matching on zero rows. */
-  def d5EmbDup(s: SparkSession, dir: String, threshold: Double = 0.4): DataFrame = {
+  /** D5 — embedding-cosine near-dup pairs, the SCALE PATH: candidates
+    * from multi-table random-hyperplane LSH (the same sign-bit sketch
+    * family as [[Similarity.e2AnnTopK]] — a pair only joins if it
+    * shares a (table, bucket) cell in any of `ntables` independent
+    * tables), then EXACT cosine verification, so precision is 1.0 and
+    * recall follows the hyperplane-LSH collision curve
+    * p = (1 − θ/π)^nbits per table.
+    *
+    * Parameter note: the defaults (nbits=4, ntables=12) are tuned to
+    * the synthetic corpus's similarity ceiling (max pairwise
+    * cos ≈ 0.5; threshold 0.4 ⇒ per-bit collision ≈ 0.63, per-pair
+    * recall ≈ 0.9). At the PRODUCTION near-dup operating point
+    * (θ ≥ 0.95 ⇒ per-bit ≈ 0.9) the economics invert: nbits=12-16
+    * gives thousands of buckets per table with per-pair recall ≥ 0.93
+    * at ntables=8 — candidates collapse to near-linear. The spec
+    * pins both regimes; [[d5EmbDupExact]] is the brute-force oracle
+    * twin (O(n²) — NOT for production corpora). */
+  def d5EmbDup(s: SparkSession, dir: String, threshold: Double = 0.4,
+               nbits: Int = 4, ntables: Int = 12): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .persist()
+    val cand = d5Candidates(e, nbits, ntables)
+    cand
+      .join(e.select(col("vec_id").as("id1"), col("v").as("v1")), Seq("id1"))
+      .join(e.select(col("vec_id").as("id2"), col("v").as("v2")), Seq("id2"))
+      .withColumn("cos", graft.functions.VectorFunctions.cosine_sim(s, col("v1"), col("v2")))
+      .filter(col("cos") >= threshold)
+      .select(col("id1"), col("id2"), round(col("cos"), 4).as("cos_sim"))
+      .orderBy(col("id1"), col("id2"))
+  }
+
+  /** Candidate pairs (id1 < id2) sharing an LSH bucket in ≥ 1 of
+    * `ntables` hyperplane tables, over a frame with (vec_id, v). */
+  def d5Candidates(e: DataFrame, nbits: Int, ntables: Int): DataFrame = {
+    val banded = e.select(col("vec_id"),
+        explode(array((0 until ntables).map(t =>
+          struct(lit(t).as("tbl"),
+            Similarity.lshBucket(col("v"), nbits, planeSeed = t * 1000).as("bucket"))): _*)).as("tb"))
+      .select(col("vec_id"), col("tb.tbl"), col("tb.bucket"))
+    banded.alias("x").join(banded.alias("y"),
+        col("x.tbl") === col("y.tbl") && col("x.bucket") === col("y.bucket") &&
+          col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("id1"), col("y.vec_id").as("id2"))
+      .distinct()
+  }
+
+  /** D5 exact twin — brute-force all-pairs cosine. Oracle-checkable
+    * (DuckDB `list_cosine_similarity`) and the recall reference for
+    * [[d5EmbDup]]'s LSH path; O(n²), small corpora only. */
+  def d5EmbDupExact(s: SparkSession, dir: String, threshold: Double = 0.4): DataFrame = {
     val e = Tables.embeddings(s, dir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
     val a = e.select(col("vec_id").as("id1"), col("v").as("v1"))

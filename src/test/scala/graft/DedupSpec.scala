@@ -92,6 +92,71 @@ class DedupSpec extends SparkSpec {
     assert(n4 > 0 && n2.toDouble / n4 >= 0.8, s"recall $n2/$n4")
   }
 
+  test("d2 degenerate-bucket guard: boilerplate cluster star-links instead of b² pairs") {
+    // 60 NEAR-identical docs (shared 40-token base + 1 unique trailing
+    // token — J ≈ 0.95 pairwise, so exact-dup collapse can't remove
+    // them) land in the same band buckets; uncapped banding would emit
+    // ~C(60,2) = 1770 candidate pairs per colliding band
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    val cluster = (1 to 60).map(i => (i.toLong, s"$base uniq$i"))
+    val bg = (200 to 210).map(i =>
+      (i.toLong, (1 to 40).map(j => s"bg${i}t$j").mkString(" ")))
+    val docs = (cluster ++ bg).toDF("doc_id", "text")
+    val cand = Dedup.d2Candidates(docs, bucketCap = 10).persist()
+    val nCand = cand.count()
+    assert(nCand < 400, s"degenerate bucket not capped: $nCand candidates (naive ≈ 1770)")
+    // every cluster member still reaches a representative...
+    val covered = cand.select(col("id1")).union(cand.select(col("id2")))
+      .distinct().filter(col("id1") <= 60).count()
+    assert(covered == 60, s"cluster members lost by capping: $covered/60")
+    // ...and survives exact verification (star links have J ≈ 0.95),
+    // so curation still drops every non-representative member
+    val pairs = Dedup.verifyJaccard(docs, cand, 0.5)
+    val inPairs = pairs.select(col("id1")).union(pairs.select(col("id2")))
+      .distinct().filter(col("id1") <= 60).count()
+    assert(inPairs == 60, s"verified coverage: $inPairs/60")
+    cand.unpersist()
+  }
+
+  test("d5 LSH path on the corpus: subset of exact, recall-bounded, fewer candidates") {
+    val exact = Dedup.d5EmbDupExact(spark, sf).select(col("id1"), col("id2"))
+    val lsh = Dedup.d5EmbDup(spark, sf).select(col("id1"), col("id2"))
+    assert(lsh.exceptAll(exact).isEmpty, "LSH pair exact cosine rejects (precision < 1)")
+    val (nl, ne) = (lsh.count(), exact.count())
+    assert(ne > 0 && nl.toDouble / ne >= 0.7,
+      s"recall $nl/$ne below the S-curve expectation at θ=0.4 (nbits=4, ntables=12)")
+    val e = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val n = e.count()
+    val cand = Dedup.d5Candidates(e, 4, 12).count()
+    assert(cand < n * (n - 1) / 2, s"candidates $cand vs all-pairs ${n * (n - 1) / 2}")
+  }
+
+  test("d5 LSH at the production operating point (θ=0.9): near-linear candidates, high recall") {
+    // planted near-dup pairs at cos ≈ 0.997 + random background: the
+    // regime the operator is FOR (θ ≥ 0.9 near-dup), where 12-bit
+    // buckets give per-pair recall ≈ 1 and candidates collapse to
+    // output-scale instead of n²/2
+    val rnd = new scala.util.Random(7)
+    def vec(): Seq[Float] = Seq.fill(64)(rnd.nextGaussian().toFloat)
+    val bases = (0 until 20).map(_ => vec())
+    val rows = bases.zipWithIndex.flatMap { case (v, i) =>
+      Seq((i.toLong * 2, v, 0), (i.toLong * 2 + 1, v.map(x => x + 0.05f * rnd.nextGaussian().toFloat), 0))
+    } ++ (0 until 200).map(i => (1000L + i, vec(), 1))
+    val dir = java.nio.file.Files.createTempDirectory("d5lsh").toString
+    rows.toDF("vec_id", "embedding", "label").write.parquet(s"$dir/embeddings.parquet")
+    val found = Dedup.d5EmbDup(spark, dir, threshold = 0.9, nbits = 12, ntables = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val planted = (0 until 20).map(i => (i.toLong * 2, i.toLong * 2 + 1)).toSet
+    val recall = (found intersect planted).size.toDouble / planted.size
+    assert(recall >= 0.8, s"production-regime recall $recall")
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val n = e.count()
+    val cand = Dedup.d5Candidates(e, 12, 8).count()
+    assert(cand < n * 4, s"candidates $cand not near-linear at n=$n (all-pairs ${n * (n - 1) / 2})")
+  }
+
   test("minhash LSH finds a planted near-duplicate with precision 1.0") {
     val base = (1 to 40).map(i => s"w$i").mkString(" ")
     val nearDup = (1 to 40).map(i => if (i == 20) "CHANGED" else s"w$i").mkString(" ")

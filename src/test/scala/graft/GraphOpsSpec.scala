@@ -93,6 +93,48 @@ class GraphOpsSpec extends SparkSpec {
     assert(out.toSeq == Seq(("p1", "p2", 0.5)))
   }
 
+  test("nodeSimilarity hub cap: results identical under capping, hub stays out of candidates") {
+    // 20 sources all pointing at one HUB (in-degree 22 ≫ cap) plus 3
+    // unique dsts each — the telemetry shape (every process loads the
+    // same system DLL); (pa, pb) share all 4 neighbors (J = 1.0)
+    val hubby = (1 to 20).flatMap(i =>
+      Seq(s"s$i" -> "HUB", s"s$i" -> s"u${i}a", s"s$i" -> s"u${i}b", s"s$i" -> s"u${i}c"))
+    val planted = Seq("pa" -> "HUB", "pa" -> "r1", "pa" -> "r2", "pa" -> "r3",
+      "pb" -> "HUB", "pb" -> "r1", "pb" -> "r2", "pb" -> "r3")
+    val edges = edgeDf((hubby ++ planted): _*)
+    // naive uncapped inverted-index reference
+    val e = edges.select(col("src"), col("dst")).distinct()
+    val sizes = e.groupBy(col("src").as("id")).agg(count(lit(1)).as("n"))
+    val naive = e.alias("x").join(e.alias("y"),
+        col("x.dst") === col("y.dst") && col("x.src") < col("y.src"))
+      .groupBy(col("x.src").as("id1"), col("y.src").as("id2"))
+      .agg(count(lit(1)).as("i"))
+      .join(sizes.select(col("id").as("id1"), col("n").as("n1")), Seq("id1"))
+      .join(sizes.select(col("id").as("id2"), col("n").as("n2")), Seq("id2"))
+      .filter(col("i").cast("double") / (col("n1") + col("n2") - col("i")) >= 0.1)
+      .select(col("id1"), col("id2"))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(naive.size == 231, s"fixture: expected all C(22,2) pairs, got ${naive.size}")
+    for (cap <- Seq(2L, 1000L)) {
+      val out = GraphOps.nodeSimilarity(edges, 0.1, hubCap = cap)
+        .select(col("id1"), col("id2"))
+        .collect().map(r => (r.getString(0), r.getString(1))).toSet
+      assert(out == naive, s"hubCap=$cap diverged from the uncapped reference")
+    }
+    // at θ=0.5 the hub ranks into every source's un-indexed suffix:
+    // candidate generation sees only the rare dsts → 1 candidate pair,
+    // vs 231 hub-driven pairs in the naive inverted index
+    val rows = edges.select(col("src").as("id"), col("dst").as("item"))
+    val szs = rows.groupBy(col("id")).agg(count(lit(1)).as("n"))
+    val freq = rows.groupBy(col("item")).agg(count(lit(1)).as("df"))
+    val cand = graft.operators.JaccardJoin.candidates(rows, szs, freq, 0.5)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(cand == Set(("pa", "pb")), s"hub leaked into prefix candidates: $cand")
+    val capped = GraphOps.nodeSimilarity(edges, 0.5, hubCap = 2L)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2))).toSet
+    assert(capped == Set(("pa", "pb", 1.0)))
+  }
+
   test("label propagation: two cliques with one bridge settle into two communities") {
     def clique(pfx: String, n: Int) =
       for (i <- 0 until n; j <- i + 1 until n) yield (s"$pfx$i", s"$pfx$j")
