@@ -12,20 +12,45 @@ import org.apache.spark.sql.functions._
   * run — see events.py's schema):
   *
   * {{{
-  * MATCH (p:Process)-[:CREATED_FILE]->(f:File)
-  * WHERE f.id CONTAINS '.exe' AND p.image ENDS WITH 'cmd.exe'
-  * RETURN DISTINCT p, f.id LIMIT 10
+  * MATCH (p:Process)-[:INJECTED_THREAD]->(), (p)-[r:CONNECTED_TO]->(ip:Ip)
+  * WHERE r.dport > 1024 OR r.dport = '443'
+  * RETURN DISTINCT p, ip, r.dport LIMIT 10
   * }}}
   *
-  *  - linear patterns of any length, forward `-[:T]->` and reverse
-  *    `<-[:T]-` hops, variable-length `-[:T*1..3]->`
-  *  - node labels optional; `v.id` is the node key, any other
-  *    `v.prop` reads the property map
-  *  - WHERE: `=`, `<>`, `CONTAINS`, `STARTS WITH`, `ENDS WITH`
-  *    over string literals, AND-combined
-  *  - RETURN [DISTINCT] var | var.prop, ...; optional LIMIT n
-  *  - aggregation: `RETURN v, count(*)` groups by the non-aggregate
-  *    items (Cypher's implicit grouping rule)
+  *  - MULTI-PATTERN MATCH: comma-separated linear chains joined on
+  *    their shared variables (each chain after the first must share at
+  *    least one variable with the chains before it — disconnected
+  *    products are rejected); anonymous nodes `()`; a variable may
+  *    repeat within/across chains (cycle patterns become equality
+  *    joins)
+  *  - forward `-[:T]->` and reverse `<-[:T]-` hops, variable-length
+  *    `-[:T*1..3]->` and `-[:T*]->` (bounded at 10)
+  *  - node labels optional; `v.id` is the node key, any other `v.prop`
+  *    reads the property map; edge variables `-[r:T]->` expose edge
+  *    props and `r.event_id`
+  *  - WHERE: `=`, `<>`, `CONTAINS`, `STARTS WITH`, `ENDS WITH` against
+  *    'string' literals, and `>`, `>=`, `<`, `<=`, `=`, `<>` against
+  *    numeric literals (property cast to double, null-safe); combined
+  *    with AND / OR and parentheses (standard precedence)
+  *  - OPTIONAL MATCH (one chain) with Cypher semantics: WHERE
+  *    conjuncts that reference only optional-chain variables filter
+  *    the optional side BEFORE the left join (non-matching rows keep
+  *    nulls); a conjunct mixing optional and required variables is
+  *    rejected rather than silently diverging
+  *  - RETURN [DISTINCT] items: `v`, `v.prop`, `count(*)`, `count(v)`,
+  *    `sum(v.prop)`, `avg(v.prop)`, `min(v.prop)`, `max(v.prop)`,
+  *    `collect(v)`/`collect(v.prop)` — aggregates trigger Cypher's
+  *    implicit grouping on the plain items. `sum`/`avg` aggregate the
+  *    double-cast value (props are stored as strings; non-numeric →
+  *    null, ignored); `min`/`max`/`collect` use the raw string value
+  *    (documented divergence from Neo4j for numeric-valued props);
+  *    `collect` returns a SORTED array for deterministic output.
+  *    Output columns: `v`, `v_prop`, `count`, `sum_v_prop`, …
+  *  - `MATCH p = shortestPath((a)-[:T*]->(b))` with `a.id = '…'`
+  *    pinned in WHERE: compiled to [[GraphOps.bfsPaths]] (per-hop
+  *    greedy lexicographic tie-break — see its doc); `RETURN` may use
+  *    `b`, `b.prop`, `p` (the '>'-joined path string) and `length(p)`
+  *  - ORDER BY over returned items; LIMIT n
   *
   * Each single hop is one equi-join on the edge frame; a
   * variable-length hop materializes the bounded (from, to) hop-pair
@@ -37,34 +62,125 @@ object CypherLite {
   final case class NodePat(v: String, label: Option[String])
   final case class EdgePat(etype: Option[String], min: Int, max: Int, reverse: Boolean,
                            v: Option[String] = None)
-  final case class Cond(v: String, prop: String, op: String, value: String)
-  final case class Query(nodes: Seq[NodePat], hops: Seq[EdgePat],
-                         optNodes: Seq[NodePat], optHops: Seq[EdgePat],
-                         where: Seq[Cond],
-                         ret: Seq[(String, Option[String])], distinct: Boolean,
-                         orderBy: Seq[(String, Boolean)], limit: Option[Int])
+  final case class Cond(v: String, prop: String, op: String, value: String,
+                        numeric: Boolean)
+  sealed trait Pred { def vars: Set[String] }
+  final case class Leaf(c: Cond) extends Pred { def vars: Set[String] = Set(c.v) }
+  final case class And(ps: Seq[Pred]) extends Pred { def vars: Set[String] = ps.flatMap(_.vars).toSet }
+  final case class Or(ps: Seq[Pred]) extends Pred { def vars: Set[String] = ps.flatMap(_.vars).toSet }
 
-  private val NodeRe = """\(\s*(\w+)\s*(?::\s*(\w+))?\s*\)""".r
-  private val FwdRe = """-\[\s*(\w+)?\s*(?::(\w+))?\s*(?:\*(\d+)\.\.(\d+))?\s*\]->""".r
-  private val RevRe = """<-\[\s*(\w+)?\s*(?::(\w+))?\s*(?:\*(\d+)\.\.(\d+))?\s*\]-""".r
+  /** One RETURN item: agg = None for plain `v`/`v.prop`; otherwise the
+    * aggregate function name ("count", "sum", …) with `v`=="*" for
+    * `count(*)` and "length" for `length(p)`. */
+  final case class RetItem(agg: Option[String], v: String, prop: Option[String]) {
+    def outName: String = agg match {
+      case None => prop.map(p => s"${v}_$p").getOrElse(v)
+      case Some("count") if v == "*" => "count"
+      case Some(a) => s"${a}_$v" + prop.map(p => s"_$p").getOrElse("")
+    }
+  }
+
+  final case class ShortestPat(pathVar: String, a: NodePat, hop: EdgePat, b: NodePat)
+  final case class Query(patterns: Seq[(Seq[NodePat], Seq[EdgePat])],
+                         optNodes: Seq[NodePat], optHops: Seq[EdgePat],
+                         where: Option[Pred],
+                         ret: Seq[RetItem], distinct: Boolean,
+                         orderBy: Seq[(String, Boolean)], limit: Option[Int],
+                         sp: Option[ShortestPat] = None)
+
+  private val NodeRe = """\(\s*(\w+)?\s*(?::\s*(\w+))?\s*\)""".r
+  private val FwdRe = """-\[\s*(\w+)?\s*(?::(\w+))?\s*(?:(\*)(?:(\d+)\.\.(\d+))?)?\s*\]->""".r
+  private val RevRe = """<-\[\s*(\w+)?\s*(?::(\w+))?\s*(?:(\*)(?:(\d+)\.\.(\d+))?)?\s*\]-""".r
   private val CondRe =
-    """(\w+)\.(\w+)\s*(=|<>|CONTAINS|STARTS WITH|ENDS WITH)\s*'([^']*)'""".r
+    """(\w+)\.(\w+)\s*(=|<>|>=|<=|>|<|CONTAINS|STARTS WITH|ENDS WITH)\s*(?:'([^']*)'|(-?\d+(?:\.\d+)?))""".r
+  private val AggRe = """(?i)(count|sum|avg|min|max|collect|length)\s*\(\s*(?:(\*)|(\w+)(?:\.(\w+))?)\s*\)""".r
+
+  // ---------------------------------------------------------------- parsing
+
+  /** Recursive-descent WHERE parser: standard precedence (AND over
+    * OR), parentheses, conditions from [[CondRe]]. */
+  private def parseWhere(s: String): Pred = {
+    var rest = s.trim
+    def ws(): Unit = { rest = rest.dropWhile(_ == ' ') }
+    def eat(tok: String): Boolean = {
+      ws()
+      if (rest.regionMatches(true, 0, tok, 0, tok.length) &&
+          (rest.length == tok.length || !Character.isLetterOrDigit(rest.charAt(tok.length)) ||
+           !Character.isLetter(tok.last))) {
+        rest = rest.substring(tok.length); true
+      } else false
+    }
+    def factor(): Pred = {
+      ws()
+      if (rest.startsWith("(")) {
+        rest = rest.substring(1)
+        val p = orExpr()
+        ws()
+        require(rest.startsWith(")"), s"expected ')' at: $rest")
+        rest = rest.substring(1)
+        p
+      } else CondRe.findPrefixMatchOf(rest) match {
+        case Some(m) =>
+          rest = rest.substring(m.end)
+          val numeric = m.group(5) != null
+          Leaf(Cond(m.group(1), m.group(2), m.group(3).toUpperCase,
+            if (numeric) m.group(5) else m.group(4), numeric))
+        case None => throw new IllegalArgumentException(s"bad condition at: $rest")
+      }
+    }
+    def andExpr(): Pred = {
+      val ps = scala.collection.mutable.Buffer(factor())
+      while (eat("AND")) ps += factor()
+      if (ps.size == 1) ps.head else And(ps.toSeq)
+    }
+    def orExpr(): Pred = {
+      val ps = scala.collection.mutable.Buffer(andExpr())
+      while (eat("OR")) ps += andExpr()
+      if (ps.size == 1) ps.head else Or(ps.toSeq)
+    }
+    val p = orExpr()
+    ws()
+    require(rest.isEmpty, s"trailing WHERE content: $rest")
+    p
+  }
+
+  private def parseRetItem(s: String): RetItem = s.trim match {
+    case AggRe(f, star, v, p) =>
+      val fn = f.toLowerCase
+      if (star != null) {
+        require(fn == "count", s"$fn(*) not supported")
+        RetItem(Some("count"), "*", None)
+      } else RetItem(Some(fn), v, Option(p))
+    case r => r.split("\\.") match {
+      case Array(v) if v.matches("\\w+") => RetItem(None, v, None)
+      case Array(v, p) => RetItem(None, v, Some(p))
+      case _ => throw new IllegalArgumentException(s"bad return item: $r")
+    }
+  }
 
   def parse(q: String): Query = {
     val text = q.trim.replaceAll("\\s+", " ")
     val mMatch = """(?i)MATCH (.+?)(?: OPTIONAL MATCH (.+?))?(?: WHERE (.+?))? RETURN (DISTINCT )?(.+?)(?: ORDER BY (.+?))?(?: LIMIT (\d+))?\s*$""".r
+    val mShortest = """(?i)MATCH (\w+) = shortestPath\((.+?)\)(?: WHERE (.+?))? RETURN (DISTINCT )?(.+?)(?: ORDER BY (.+?))?(?: LIMIT (\d+))?\s*$""".r
+    var anonId = 0
     def parsePattern(pattern: String): (Seq[NodePat], Seq[EdgePat]) = {
-      val nodes = NodeRe.findAllMatchIn(pattern).map(m =>
-        NodePat(m.group(1), Option(m.group(2)))).toSeq
+      val nodes = NodeRe.findAllMatchIn(pattern).map { m =>
+        val v = Option(m.group(1)).getOrElse { anonId += 1; s"_anon$anonId" }
+        NodePat(v, Option(m.group(2)))
+      }.toSeq
       // hops in textual order: scan the pattern for edge tokens
       val hops = ("""-\[[^\]]*\]->|<-\[[^\]]*\]-""".r)
         .findAllIn(pattern).map {
-          case FwdRe(ev, t, lo, hi) =>
-            EdgePat(Option(t), Option(lo).map(_.toInt).getOrElse(1),
-              Option(hi).map(_.toInt).getOrElse(1), reverse = false, Option(ev))
-          case RevRe(ev, t, lo, hi) =>
-            EdgePat(Option(t), Option(lo).map(_.toInt).getOrElse(1),
-              Option(hi).map(_.toInt).getOrElse(1), reverse = true, Option(ev))
+          case FwdRe(ev, t, star, lo, hi) =>
+            EdgePat(Option(t),
+              if (star == null) 1 else Option(lo).map(_.toInt).getOrElse(1),
+              if (star == null) 1 else Option(hi).map(_.toInt).getOrElse(10),
+              reverse = false, Option(ev))
+          case RevRe(ev, t, star, lo, hi) =>
+            EdgePat(Option(t),
+              if (star == null) 1 else Option(lo).map(_.toInt).getOrElse(1),
+              if (star == null) 1 else Option(hi).map(_.toInt).getOrElse(10),
+              reverse = true, Option(ev))
           case other => throw new IllegalArgumentException(s"bad edge pattern: $other")
         }.toSeq
       hops.filter(h => h.v.isDefined && (h.min != 1 || h.max != 1)).foreach { h =>
@@ -75,41 +191,50 @@ object CypherLite {
         s"pattern must be a linear node chain: ${nodes.size} nodes, ${hops.size} hops")
       (nodes, hops)
     }
+    def parseOrder(orderOrNull: String): Seq[(String, Boolean)] =
+      Option(orderOrNull).toSeq.flatMap(_.split(",").toSeq).map { o =>
+        val t = o.trim
+        val desc = t.toUpperCase.endsWith(" DESC")
+        val body = t.replaceAll("(?i)\\s+(DESC|ASC)$", "")
+        (parseRetItem(body).outName, desc)
+      }
     text match {
-      case mMatch(pattern, optOrNull, whereOrNull, distinctOrNull, retPart, orderOrNull, limitOrNull) =>
+      case mShortest(pathVar, pattern, whereOrNull, distinctOrNull, retPart, orderOrNull, limitOrNull) =>
         val (nodes, hops) = parsePattern(pattern)
+        require(nodes.size == 2 && hops.size == 1,
+          s"shortestPath needs a single (a)-[…]->(b) hop, got ${hops.size}")
+        val where = Option(whereOrNull).map(parseWhere)
+        Query(Seq.empty, Seq.empty, Seq.empty, where,
+          retPart.split(",").toSeq.map(parseRetItem), distinctOrNull != null,
+          parseOrder(orderOrNull), Option(limitOrNull).map(_.toInt),
+          sp = Some(ShortestPat(pathVar, nodes.head, hops.head, nodes(1))))
+      case mMatch(patternPart, optOrNull, whereOrNull, distinctOrNull, retPart, orderOrNull, limitOrNull) =>
+        val patterns = patternPart.split(",").toSeq.map(_.trim).map(parsePattern)
+        // connectivity: each chain must share a variable with the ones
+        // before it, or the product is a cartesian blowup — reject
+        patterns.tail.foldLeft(patterns.head._1.map(_.v).toSet) { (seen, p) =>
+          val vs = p._1.map(_.v).toSet
+          require(vs.intersect(seen).nonEmpty,
+            s"disconnected pattern (would be a cartesian product): ${p._1.map(_.v).mkString("-")}")
+          seen ++ vs
+        }
         val (optNodes, optHops) = Option(optOrNull) match {
           case Some(op) =>
             val (on, oh) = parsePattern(op)
-            require(nodes.exists(_.v == on.head.v),
+            require(patterns.exists(_._1.exists(_.v == on.head.v)),
               s"OPTIONAL MATCH must start at a bound variable, got '${on.head.v}'")
             (on, oh)
           case None => (Seq.empty[NodePat], Seq.empty[EdgePat])
         }
-        val where = Option(whereOrNull).toSeq.flatMap(_.split("(?i) AND ").toSeq).map {
-          case CondRe(v, p, op, value) => Cond(v, p, op.toUpperCase, value)
-          case other => throw new IllegalArgumentException(s"bad condition: $other")
-        }
-        val ret = retPart.split(",").toSeq.map(_.trim).map {
-          case c if c.equalsIgnoreCase("count(*)") => ("count(*)", None)
-          case r => r.split("\\.") match {
-            case Array(v) => (v, None)
-            case Array(v, p) => (v, Some(p))
-            case _ => throw new IllegalArgumentException(s"bad return item: $r")
-          }
-        }
-        val orderBy = Option(orderOrNull).toSeq.flatMap(_.split(",").toSeq).map { o =>
-          val parts = o.trim.split("\\s+")
-          val desc = parts.length > 1 && parts(1).equalsIgnoreCase("DESC")
-          val cn = if (parts(0).equalsIgnoreCase("count(*)")) "count"
-                   else parts(0).replace(".", "_")
-          (cn, desc)
-        }
-        Query(nodes, hops, optNodes, optHops, where, ret, distinctOrNull != null, orderBy,
-          Option(limitOrNull).map(_.toInt))
+        val where = Option(whereOrNull).map(parseWhere)
+        Query(patterns, optNodes, optHops, where,
+          retPart.split(",").toSeq.map(parseRetItem), distinctOrNull != null,
+          parseOrder(orderOrNull), Option(limitOrNull).map(_.toInt))
       case _ => throw new IllegalArgumentException(s"unsupported query: $q")
     }
   }
+
+  // ------------------------------------------------------------- compiling
 
   /** Bounded (from, to) pair set for a hop; a named single hop also
     * carries the edge's property map and event_id for WHERE/RETURN. */
@@ -150,96 +275,296 @@ object CypherLite {
   }
 
   /** Compile + run a query against (nodes, edges) frames from
-    * [[SysmonGraph.build]]. Returned columns are the RETURN items:
-    * bare vars yield the node id (column named after the var),
-    * `v.prop` yields column `v_prop`. */
+    * [[SysmonGraph.build]]. Returned columns are the RETURN items'
+    * [[RetItem.outName]]s: bare vars yield the node id, `v.prop`
+    * yields `v_prop`, aggregates yield `count`/`sum_v_prop`/…. */
   def run(nodes: DataFrame, edges: DataFrame, cypher: String): DataFrame = {
     val q = parse(cypher)
+    q.sp.foreach { sp => return runShortestPath(nodes, edges, q, sp) }
 
     def labelIds(label: String): DataFrame =
       nodes.filter(col("label") === label).select(col("id"))
 
-    // seed bindings with the first node variable
-    val first = q.nodes.head
-    var bound = first.label match {
-      case Some(l) => labelIds(l).select(col("id").as(first.v))
-      case None => nodes.select(col("id").as(first.v)).distinct()
+    def seedOf(n: NodePat): DataFrame = n.label match {
+      case Some(l) => labelIds(l).select(col("id").as(n.v))
+      case None => nodes.select(col("id").as(n.v)).distinct()
     }
-    // walk a chain: one join per hop, label semi-joins as we bind
+
+    // walk a chain: one join per hop, label semi-joins as we bind; a
+    // hop into an ALREADY-bound variable becomes an equality join
+    // (cycle/repeated-variable patterns)
     def walk(seed: DataFrame, pats: Seq[NodePat], hops: Seq[EdgePat]): DataFrame = {
       var b = seed
       hops.zipWithIndex.foreach { case (h, i) =>
         val from = pats(i).v
         val to = pats(i + 1).v
         val pairs = hopPairs(edges, h)
-        b = b.join(pairs, b(from) === pairs("_from"))
-          .drop("_from").withColumnRenamed("_to", to)
+        if (b.columns.contains(to)) {
+          b = b.join(pairs, b(from) === pairs("_from") && b(to) === pairs("_to"))
+            .drop("_from", "_to")
+        } else {
+          b = b.join(pairs, b(from) === pairs("_from"))
+            .drop("_from").withColumnRenamed("_to", to)
+        }
         pats(i + 1).label.foreach { l =>
           b = b.join(labelIds(l).select(col("id").as(to)), Seq(to), "left_semi")
         }
       }
       b
     }
-    bound = walk(bound, q.nodes, q.hops)
+
+    // main MATCH: walk the first chain from its seed; each further
+    // chain either continues in-place (head already bound) or walks
+    // separately and equi-joins on the shared variables
+    val (n0, h0) = q.patterns.head
+    var bound = walk(seedOf(n0.head), n0, h0)
+    q.patterns.tail.foreach { case (np, hp) =>
+      if (bound.columns.contains(np.head.v)) {
+        np.head.label.foreach { l =>
+          bound = bound.join(labelIds(l).select(col("id").as(np.head.v)),
+            Seq(np.head.v), "left_semi")
+        }
+        bound = walk(bound, np, hp)
+      } else {
+        val sub = walk(seedOf(np.head), np, hp)
+        val shared = bound.columns.intersect(sub.columns).filterNot(_.contains("__")).toSeq
+        require(shared.nonEmpty, s"pattern ${np.map(_.v).mkString("-")} shares no variable")
+        bound = bound.join(sub, shared)
+      }
+    }
+
+    // property access — edge vars read the carried props map, node
+    // vars join the nodes frame; returns (frame, actual column name)
+    def bindProp(df: DataFrame, v: String, prop: String): (DataFrame, String) = {
+      val cn = s"${v}_$prop"
+      if (df.columns.contains(cn)) (df, cn)
+      else if (df.columns.contains(s"${v}__props")) {
+        val c = if (prop == "event_id") col(s"${v}__event_id").cast("string")
+                else element_at(col(s"${v}__props"), prop)
+        (df.withColumn(cn, c), cn)
+      } else if (prop == "id") (df, v)
+      else {
+        require(df.columns.contains(v), s"unbound variable '$v'")
+        val pn = nodes.select(col("id").as(v), element_at(col("props"), prop).as(cn))
+        (df.join(pn, Seq(v), "left"), cn)
+      }
+    }
+
+    // predicate compilation over a frame (binding prop columns as
+    // needed); returns the filtered frame
+    def applyPred(df0: DataFrame, p: Pred): DataFrame = {
+      var df = df0
+      def compile(p: Pred): Column = p match {
+        case Leaf(c) =>
+          val (df2, cn) = bindProp(df, c.v, c.prop)
+          df = df2
+          val raw = col(cn)
+          if (c.numeric) {
+            val lhs = raw.cast("double")
+            c.op match {
+              case "=" => lhs === c.value.toDouble
+              case "<>" => lhs =!= c.value.toDouble
+              case ">" => lhs > c.value.toDouble
+              case ">=" => lhs >= c.value.toDouble
+              case "<" => lhs < c.value.toDouble
+              case "<=" => lhs <= c.value.toDouble
+              case op => throw new IllegalArgumentException(s"$op with a numeric literal")
+            }
+          } else c.op match {
+            case "=" => raw === c.value
+            case "<>" => raw =!= c.value
+            case "CONTAINS" => raw.contains(c.value)
+            case "STARTS WITH" => raw.startsWith(c.value)
+            case "ENDS WITH" => raw.endsWith(c.value)
+            case op => throw new IllegalArgumentException(s"$op needs a numeric literal")
+          }
+        case And(ps) => ps.map(compile).reduce(_ && _)
+        case Or(ps) => ps.map(compile).reduce(_ || _)
+      }
+      val cond = compile(p)
+      df.filter(cond)
+    }
+
+    // WHERE split for OPTIONAL MATCH (Cypher semantics): a top-level
+    // conjunct whose variables are all from the optional chain filters
+    // the optional side BEFORE the left join; mixing optional and
+    // required variables in one conjunct is rejected (silently
+    // evaluating null→false would turn the left join inner)
+    val optVars: Set[String] =
+      (q.optNodes.drop(1).map(_.v) ++ q.optHops.flatMap(_.v)).toSet
+    val conjuncts: Seq[Pred] = q.where.toSeq.flatMap {
+      case And(ps) => ps
+      case p => Seq(p)
+    }
+    val (optConds, mainConds) = conjuncts.partition(_.vars.intersect(optVars).nonEmpty)
+    optConds.foreach { p =>
+      require(p.vars.subsetOf(optVars),
+        s"WHERE conjunct mixes optional and required variables (${p.vars.mkString(", ")}); " +
+          "split it into separate conjuncts")
+    }
+
     // OPTIONAL MATCH: walk its chain from the shared variable's bound
-    // values, then left-join — non-matching rows keep nulls for the
-    // optional variables (WHERE applies to the joined rows, SQL-style)
+    // values, filter with the optional-only conjuncts, then left-join —
+    // non-matching rows keep nulls for the optional variables
     if (q.optHops.nonEmpty) {
       val shared = q.optNodes.head.v
       val optSeed = bound.select(col(shared)).distinct()
-      val opt = walk(optSeed, q.optNodes, q.optHops)
+      var opt = walk(optSeed, q.optNodes, q.optHops)
+      optConds.foreach { p => opt = applyPred(opt, p) }
       bound = bound.join(opt, Seq(shared), "left")
+    } else {
+      require(optConds.isEmpty, "WHERE references unbound optional variables")
     }
-    // WHERE: property access — edge vars read the carried props map,
-    // node vars join the nodes frame
-    def propCol(v: String, prop: String): (DataFrame, String) = {
-      val cn = s"${v}_$prop"
-      if (bound.columns.contains(cn)) (bound, cn)
-      else if (bound.columns.contains(s"${v}__props")) {
-        val c = if (prop == "event_id") col(s"${v}__event_id").cast("string")
-                else element_at(col(s"${v}__props"), prop)
-        (bound.withColumn(cn, c), cn)
-      } else if (prop == "id") (bound, v)
-      else {
-        val pn = nodes.select(col("id").as(v), element_at(col("props"), prop).as(cn))
-        (bound.join(pn, Seq(v), "left"), cn)
+    mainConds.foreach { p => bound = applyPred(bound, p) }
+
+    // RETURN — with Cypher's implicit grouping when aggregates appear
+    val (aggItems, plainItems) = q.ret.partition(_.agg.isDefined)
+    val plainCols = plainItems.map { it =>
+      it.prop match {
+        case None =>
+          require(bound.columns.contains(it.v), s"unbound variable '${it.v}'")
+          col(it.v)
+        case Some(p) =>
+          val (df2, cn) = bindProp(bound, it.v, p)
+          bound = df2
+          if (cn == it.outName) col(cn) else col(cn).as(it.outName)
       }
     }
-    q.where.foreach { c =>
-      val (df, cn) = propCol(c.v, c.prop)
-      bound = df
-      val lhs = col(cn)
-      val pred: Column = c.op match {
-        case "=" => lhs === c.value
-        case "<>" => lhs =!= c.value
-        case "CONTAINS" => lhs.contains(c.value)
-        case "STARTS WITH" => lhs.startsWith(c.value)
-        case "ENDS WITH" => lhs.endsWith(c.value)
+    val aggCols = aggItems.map { it =>
+      def valueCol(): Column = it.prop match {
+        case None =>
+          require(bound.columns.contains(it.v), s"unbound variable '${it.v}'")
+          col(it.v)
+        case Some(p) =>
+          val (df2, cn) = bindProp(bound, it.v, p)
+          bound = df2
+          col(cn)
       }
-      bound = bound.filter(pred)
-    }
-    // RETURN — with Cypher's implicit grouping when count(*) appears
-    val (aggItems, plainItems) = q.ret.partition(_._1 == "count(*)")
-    val outCols = plainItems.map {
-      case (v, None) => col(v)
-      case (v, Some(p)) =>
-        val cn = s"${v}_$p"
-        if (!bound.columns.contains(cn)) {
-          val (df, _) = propCol(v, p)
-          bound = df
-        }
-        col(cn)
+      (it.agg.get match {
+        case "count" => if (it.v == "*") count(lit(1)) else count(valueCol())
+        case "sum" => sum(valueCol().cast("double"))
+        case "avg" => avg(valueCol().cast("double"))
+        case "min" => min(valueCol())
+        case "max" => max(valueCol())
+        case "collect" => array_sort(collect_list(valueCol()))
+        case "length" => throw new IllegalArgumentException(
+          "length() is only supported on a shortestPath variable")
+        case a => throw new IllegalArgumentException(s"unsupported aggregate: $a")
+      }).as(it.outName)
     }
     var out =
-      if (aggItems.nonEmpty) {
-        require(plainItems.nonEmpty, "count(*) needs at least one grouping item")
-        bound.groupBy(outCols: _*).agg(count(lit(1)).as("count"))
-      } else bound.select(outCols: _*)
-    if (q.distinct && aggItems.isEmpty) out = out.distinct()
+      if (aggCols.nonEmpty) {
+        require(plainCols.nonEmpty, "aggregates need at least one grouping item")
+        // group on the OUTPUT columns (plain items may be aliases)
+        bound.select((plainCols ++ bound.columns.filterNot(c =>
+            plainItems.exists(_.outName == c)).map(col)).distinct: _*)
+          .groupBy(plainItems.map(it => col(it.outName)): _*)
+          .agg(aggCols.head, aggCols.tail: _*)
+      } else bound.select(plainCols: _*)
+    if (q.distinct && aggCols.isEmpty) out = out.distinct()
     if (q.orderBy.nonEmpty)
       out = out.orderBy(q.orderBy.map { case (c, desc) =>
         if (desc) col(c).desc else col(c).asc }: _*)
     q.limit.foreach(n => out = out.limit(n))
     out
+  }
+
+  /** `MATCH p = shortestPath((a)-[:T*]->(b))` — compiled to a BFS with
+    * materialized paths from the pinned source. The source must be
+    * pinned with an `a.id = '…'` conjunct in WHERE (per-pair all-
+    * sources shortest path would need one BFS per source — out of
+    * scope); remaining conjuncts filter the reached side. */
+  private def runShortestPath(nodes: DataFrame, edges: DataFrame,
+                              q: Query, sp: ShortestPat): DataFrame = {
+    val conjuncts: Seq[Pred] = q.where.toSeq.flatMap {
+      case And(ps) => ps
+      case p => Seq(p)
+    }
+    val (seedConds, rest) = conjuncts.partition {
+      case Leaf(c) => c.v == sp.a.v && c.prop == "id" && c.op == "=" && !c.numeric
+      case _ => false
+    }
+    require(seedConds.nonEmpty,
+      s"shortestPath needs the source pinned: WHERE ${sp.a.v}.id = '…'")
+    val seedId = seedConds.head.asInstanceOf[Leaf].c.value
+    // source label check (if the pinned node lacks the label → empty)
+    val seedOk = sp.a.label.forall(l =>
+      nodes.filter(col("label") === l && col("id") === seedId).limit(1).count() == 1)
+    val h = sp.hop
+    val e0 = h.etype.map(t => edges.filter(col("etype") === t)).getOrElse(edges)
+    val e = if (h.reverse) e0.select(col("dst").as("src"), col("src").as("dst"))
+            else e0.select(col("src"), col("dst"))
+    val spark = nodes.sparkSession
+    import spark.implicits._
+    val seed = Seq(seedId).toDF("id")
+    var out = GraphOps.bfsPaths(e, seed, maxIter = h.max)
+      .filter(col("dist") >= h.min && col("dist") <= h.max)
+      .withColumnRenamed("id", sp.b.v)
+      .withColumnRenamed("path", sp.pathVar)
+      .withColumn(sp.a.v, lit(seedId))
+    if (!seedOk) out = out.limit(0)
+    sp.b.label.foreach { l =>
+      out = out.join(nodes.filter(col("label") === l).select(col("id").as(sp.b.v)),
+        Seq(sp.b.v), "left_semi")
+    }
+    def bindProp(df: DataFrame, v: String, prop: String): (DataFrame, String) = {
+      val cn = s"${v}_$prop"
+      if (df.columns.contains(cn)) (df, cn)
+      else if (prop == "id") (df, v)
+      else {
+        require(df.columns.contains(v), s"unbound variable '$v'")
+        val pn = nodes.select(col("id").as(v), element_at(col("props"), prop).as(cn))
+        (df.join(pn, Seq(v), "left"), cn)
+      }
+    }
+    rest.foreach { p =>
+      var df = out
+      def compile(p: Pred): Column = p match {
+        case Leaf(c) =>
+          val (df2, cn) = bindProp(df, c.v, c.prop)
+          df = df2
+          val raw = col(cn)
+          if (c.numeric) c.op match {
+            case "=" => raw.cast("double") === c.value.toDouble
+            case "<>" => raw.cast("double") =!= c.value.toDouble
+            case ">" => raw.cast("double") > c.value.toDouble
+            case ">=" => raw.cast("double") >= c.value.toDouble
+            case "<" => raw.cast("double") < c.value.toDouble
+            case "<=" => raw.cast("double") <= c.value.toDouble
+          } else c.op match {
+            case "=" => raw === c.value
+            case "<>" => raw =!= c.value
+            case "CONTAINS" => raw.contains(c.value)
+            case "STARTS WITH" => raw.startsWith(c.value)
+            case "ENDS WITH" => raw.endsWith(c.value)
+          }
+        case And(ps) => ps.map(compile).reduce(_ && _)
+        case Or(ps) => ps.map(compile).reduce(_ || _)
+      }
+      val cond = compile(p)
+      out = df.filter(cond)
+    }
+    val cols = q.ret.map { it =>
+      (it.agg, it.v, it.prop) match {
+        case (Some("length"), v, None) if v == sp.pathVar =>
+          col("dist").cast("long").as(it.outName)
+        case (None, v, None) =>
+          require(out.columns.contains(v), s"unbound variable '$v'")
+          col(v)
+        case (None, v, Some(p)) =>
+          val (df2, cn) = bindProp(out, v, p)
+          out = df2
+          if (cn == it.outName) col(cn) else col(cn).as(it.outName)
+        case _ => throw new IllegalArgumentException(
+          s"aggregates not supported with shortestPath: ${it.outName}")
+      }
+    }
+    var res = out.select(cols: _*)
+    if (q.distinct) res = res.distinct()
+    if (q.orderBy.nonEmpty)
+      res = res.orderBy(q.orderBy.map { case (c, desc) =>
+        if (desc) col(c).desc else col(c).asc }: _*)
+    q.limit.foreach(n => res = res.limit(n))
+    res
   }
 }

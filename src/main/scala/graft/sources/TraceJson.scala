@@ -47,8 +47,20 @@ object TraceJson {
     * the (startTime, original index) pair packed in a struct, usable
     * as an ordering key for first/last-write-wins aggregation.
     */
-  def spans(spark: SparkSession, path: String): DataFrame =
-    spansFromRaw(spark.read.schema(schema).option("multiLine", "true").json(path))
+  def spans(spark: SparkSession, path: String): DataFrame = {
+    // a trailing "/*.json" glob is rewritten to directory +
+    // pathGlobFilter: Spark's analysis stats the LITERAL path first
+    // (FileStreamSink.hasMetadata) and logs a caught
+    // FileNotFoundException for the unexpanded glob — same file set,
+    // clean logs
+    val GlobTail = """(.*)/(\*\.\w+)$""".r
+    val reader = spark.read.schema(schema).option("multiLine", "true")
+    spansFromRaw(path match {
+      case GlobTail(dir, pat) if !dir.contains("*") =>
+        reader.option("pathGlobFilter", pat).json(dir)
+      case p => reader.json(p)
+    })
+  }
 
   /** The same projection over an already-read raw frame (streaming
     * micro-batches arrive pre-read — see streaming.TraceStream). */

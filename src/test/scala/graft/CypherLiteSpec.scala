@@ -129,9 +129,183 @@ class CypherLiteSpec extends SparkSpec {
 
   test("parser rejects unsupported shapes") {
     intercept[IllegalArgumentException](CypherLite.parse("FOO BAR"))
+    // disconnected multi-pattern = cartesian product → rejected
     intercept[IllegalArgumentException](
       CypherLite.parse("MATCH (a)-[:X]->(b), (c)-[:Y]->(d) RETURN a"))
     intercept[IllegalArgumentException](
       CypherLite.parse("MATCH (a)-[r:X*1..3]->(b) RETURN a"))
+  }
+
+  test("multi-pattern MATCH expresses the inject-and-beacon motif") {
+    val (nodes, edges) = graph
+    val got = CypherLite.run(nodes, edges,
+      "MATCH (p:Process)-[:INJECTED_THREAD]->(x), (p)-[:CONNECTED_TO]->(ip:Ip) " +
+        "RETURN DISTINCT p, x, ip")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    val want = graft.graph.Detections.injectAndBeacon(edges)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(got == want && got.nonEmpty)
+  }
+
+  test("multi-pattern joining on a LATER variable (second chain's head unbound)") {
+    val (nodes, edges) = graph
+    // second chain's head q is unbound when its turn comes — it walks
+    // separately and equi-joins on the shared tail variable p
+    val got = CypherLite.run(nodes, edges,
+      "MATCH (t:Trace)-[:HAS_PROCESS]->(p:Process), (q:Process)-[:SPAWNS]->(p) " +
+        "RETURN DISTINCT t, q, p")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    val want = et("HAS_PROCESS").select(col("src").as("t"), col("dst").as("p"))
+      .join(et("SPAWNS").select(col("src").as("q"), col("dst").as("p")), Seq("p"))
+      .select(col("t"), col("q"), col("p")).distinct()
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(got == want && got.nonEmpty)
+  }
+
+  test("numeric WHERE: r.dport > 1024 casts the property") {
+    val (nodes, edges) = graph
+    val got = CypherLite.run(nodes, edges,
+      "MATCH (p:Process)-[r:CONNECTED_TO]->(ip:Ip) WHERE r.dport > 1024 " +
+        "RETURN DISTINCT p, ip, r.dport")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    val want = et("CONNECTED_TO")
+      .filter(element_at(col("props"), "dport").cast("double") > 1024)
+      .select(col("src"), col("dst"), element_at(col("props"), "dport"))
+      .distinct()
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(got == want && got.nonEmpty)
+  }
+
+  test("OR and parentheses in WHERE with standard precedence") {
+    val (nodes, edges) = graph
+    val got = CypherLite.run(nodes, edges,
+      "MATCH (p:Process)-[r:CONNECTED_TO]->(ip:Ip) " +
+        "WHERE p.image ENDS WITH '.exe' AND (r.dport = '443' OR r.dport < 100) " +
+        "RETURN DISTINCT p, ip")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    val procs = nodes.filter(col("label") === "Process")
+      .filter(element_at(col("props"), "image").endsWith(".exe"))
+      .select(col("id").as("p"))
+    val dp = element_at(col("props"), "dport")
+    val want = et("CONNECTED_TO")
+      .filter(dp === "443" || dp.cast("double") < 100)
+      .select(col("src").as("p"), col("dst").as("ip"))
+      .join(procs, Seq("p"))
+      .distinct()
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got == want && got.nonEmpty)
+  }
+
+  test("RETURN v.id aliases the node key column (regression: AnalysisException)") {
+    val (nodes, edges) = graph
+    val out = CypherLite.run(nodes, edges,
+      "MATCH (p:Process)-[:CREATED_FILE]->(f:File) " +
+        "RETURN DISTINCT p, f.id ORDER BY f.id LIMIT 5")
+    assert(out.columns.toSeq == Seq("p", "f_id"))
+    assert(out.count() == 5)
+  }
+
+  test("OPTIONAL MATCH WHERE on the optional variable keeps non-matching rows") {
+    val (nodes, edges) = graph
+    val got = CypherLite.run(nodes, edges,
+      "MATCH (t:Trace)-[:HAS_PROCESS]->(p:Process) " +
+        "OPTIONAL MATCH (p)-[:CONNECTED_TO]->(ip:Ip) " +
+        "WHERE ip.id STARTS WITH '10.' RETURN DISTINCT p, ip")
+    val rows = got.collect().map(r => (r.getString(0), Option(r.getString(1))))
+    // Cypher semantics: every process appears; those without a 10.* ip
+    // appear with null (SQL post-filter semantics would DROP them)
+    val allProcs = et("HAS_PROCESS").select(col("dst")).distinct().count()
+    assert(rows.map(_._1).distinct.length.toLong == allProcs)
+    assert(rows.forall(r => r._2.forall(_.startsWith("10."))))
+    val tenTalkers = et("CONNECTED_TO")
+      .filter(col("dst").startsWith("10."))
+      .select(col("src")).distinct().count()
+    assert(rows.filter(_._2.isDefined).map(_._1).distinct.length.toLong == tenTalkers)
+    assert(rows.exists(_._2.isEmpty))
+  }
+
+  test("WHERE conjunct mixing optional and required variables is rejected") {
+    val (nodes, edges) = graph
+    intercept[IllegalArgumentException] {
+      CypherLite.run(nodes, edges,
+        "MATCH (t:Trace)-[:HAS_PROCESS]->(p:Process) " +
+          "OPTIONAL MATCH (p)-[:CONNECTED_TO]->(ip:Ip) " +
+          "WHERE p.image CONTAINS 'x' OR ip.id STARTS WITH '10.' RETURN p, ip")
+    }
+  }
+
+  test("aggregates: sum/min/max/collect with implicit grouping") {
+    val (nodes, edges) = graph
+    val got = CypherLite.run(nodes, edges,
+      "MATCH (p:Process)-[r:CONNECTED_TO]->(ip:Ip) " +
+        "RETURN p, count(*), sum(r.dport), min(ip.id), collect(ip) " +
+        "ORDER BY p")
+    assert(got.columns.toSeq ==
+      Seq("p", "count", "sum_r_dport", "min_ip_id", "collect_ip"))
+    val want = et("CONNECTED_TO")
+      .groupBy(col("src"))
+      .agg(count(lit(1)).as("count"),
+        sum(element_at(col("props"), "dport").cast("double")).as("sum_r_dport"),
+        min(col("dst")).as("min_ip_id"),
+        array_sort(collect_list(col("dst"))).as("collect_ip"))
+      .orderBy(col("src"))
+    val g = got.collect(); val w = want.collect()
+    assert(g.length == w.length && g.nonEmpty)
+    g.zip(w).foreach { case (a, b) =>
+      assert(a.getString(0) == b.getString(0))
+      assert(a.getLong(1) == b.getLong(1))
+      assert(a.getDouble(2) == b.getDouble(2))
+      assert(a.getString(3) == b.getString(3))
+      assert(a.getSeq[String](4) == b.getSeq[String](4))
+    }
+  }
+
+  test("shortestPath through the text surface matches GraphOps.bfsPaths") {
+    val (nodes, edges) = graph
+    // deterministic source: lexicographically-first trace id
+    val t0 = nodes.filter(col("label") === "Trace")
+      .agg(min(col("id"))).collect()(0).getString(0)
+    val got = CypherLite.run(nodes, edges,
+      s"MATCH p = shortestPath((a:Trace)-[*1..4]->(b)) WHERE a.id = '$t0' " +
+        "RETURN b, p, length(p) ORDER BY b")
+    assert(got.columns.toSeq == Seq("b", "p", "length_p"))
+    val gotRows = got.collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    import spark.implicits._
+    val want = graft.graph.GraphOps.bfsPaths(
+        edges.select(col("src"), col("dst")), Seq(t0).toDF("id"), maxIter = 4)
+      .filter(col("dist") >= 1 && col("dist") <= 4)
+      .collect().map(r => (r.getString(0), r.getString(2), r.getInt(1).toLong)).toSet
+    assert(gotRows == want && gotRows.nonEmpty)
+  }
+
+  test("shortestPath with an edge type and a predicate on the reached node") {
+    val (nodes, edges) = graph
+    val roots = et("SPAWNS").select(col("src")).distinct()
+      .join(et("SPAWNS").select(col("dst").as("src")).distinct(), Seq("src"), "left_anti")
+    val r0 = roots.agg(min(col("src"))).collect()(0).getString(0)
+    val got = CypherLite.run(nodes, edges,
+      s"MATCH p = shortestPath((a:Process)-[:SPAWNS*]->(b)) " +
+        s"WHERE a.id = '$r0' AND b.id <> '$r0' RETURN b, length(p)")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    import spark.implicits._
+    val want = graft.graph.GraphOps.bfsPaths(
+        et("SPAWNS").select(col("src"), col("dst")), Seq(r0).toDF("id"), maxIter = 10)
+      .filter(col("dist") >= 1)
+      .collect().map(r => (r.getString(0), r.getInt(1).toLong)).toSet
+    assert(got == want && got.nonEmpty)
+  }
+
+  test("repeated variable within a pattern binds as an equality join (cycles)") {
+    val (nodes, edges) = graph
+    // any 2-cycle over arbitrary edge types: (a)-[]->(x)-[]->(a)
+    val got = CypherLite.run(nodes, edges,
+      "MATCH (a)-[]->(x)-[]->(a) RETURN DISTINCT a, x")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    val e = graph._2.select(col("src"), col("dst")).distinct()
+    val want = e.alias("e1").join(e.alias("e2"),
+        col("e1.dst") === col("e2.src") && col("e2.dst") === col("e1.src"))
+      .select(col("e1.src"), col("e1.dst"))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got == want) // may be empty on this corpus — equality of SETS is the check
   }
 }
