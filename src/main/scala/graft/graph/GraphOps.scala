@@ -443,6 +443,112 @@ object GraphOps {
     ranks
   }
 
+  /** Strongly connected components, DataFrame-native (B15's default is
+    * the GraphX Pregel SCC via [[GraphXBridge]]; this variant keeps the
+    * computation in DataFrames — AQE, caching, no id densification —
+    * and is cross-checked against Pregel in the spec).
+    *
+    * Trim + forward-color + backward-reach (the coloring SCC of
+    * Orzan / Slota et al.), per round:
+    *
+    *  1. TRIM: iteratively peel vertices lacking in- or out-edges —
+    *     singleton SCCs. Clears the DAG-shaped bulk of telemetry
+    *     graphs (spawn trees!) without any fixpoint.
+    *  2. COLOR: propagate min vertex id forward to fixpoint —
+    *     color(v) = min id with a path to v. A path from a vertex of
+    *     color c back to its pivot c stays inside color class c (a
+    *     smaller-colored intermediate would recolor c itself), so:
+    *  3. REACH: pivots (color(v) == v) propagate BACKWARD through
+    *     same-color edges; every vertex reached belongs to the pivot's
+    *     SCC. Assign, remove, repeat.
+    *
+    * Rounds are bounded by the pivot-chain depth of the SCC condensation
+    * (each round settles every color class's pivot SCC); each fixpoint
+    * is hash-signature-converged like [[connectedComponents]]. Returns
+    * (id, component) labelled by the component's minimum member id. */
+  def sccDataFrame(edges: DataFrame, maxRounds: Int = 15): DataFrame = {
+    var e = edges.select(col("src"), col("dst"))
+      .filter(col("src") =!= col("dst")).distinct().localCheckpoint()
+    var verts = e.select(col("src").as("id")).union(e.select(col("dst").as("id")))
+      .distinct().localCheckpoint()
+    val isolated = edges.select(col("src"), col("dst"))
+      .filter(col("src") === col("dst"))
+      .select(col("src").as("id")).distinct()
+      .join(verts, Seq("id"), "left_anti")
+      .select(col("id"), col("id").as("component")).localCheckpoint()
+    val done = scala.collection.mutable.ListBuffer[DataFrame](isolated)
+    def sig(df: DataFrame): java.math.BigDecimal = {
+      val d = df.agg(sum(xxhash64(df.columns.map(col): _*).cast("decimal(20,0)")))
+        .collect()(0).getDecimal(0)
+      if (d == null) java.math.BigDecimal.ZERO else d
+    }
+    var nVerts = verts.count()
+    var round = 0
+    while (round < maxRounds && nVerts > 0) {
+      round += 1
+      // 1. trim
+      var trimming = true
+      while (trimming && nVerts > 0) {
+        val core = e.select(col("src").as("id")).distinct()
+          .join(e.select(col("dst").as("id")).distinct(), Seq("id"))
+        val singles = verts.join(core, Seq("id"), "left_anti").localCheckpoint()
+        if (singles.isEmpty) trimming = false
+        else {
+          done += singles.select(col("id"), col("id").as("component"))
+          verts = verts.join(singles, Seq("id"), "left_anti").localCheckpoint()
+          nVerts = verts.count()
+          e = e.join(verts.select(col("id").as("src")), Seq("src"), "left_semi")
+            .join(verts.select(col("id").as("dst")), Seq("dst"), "left_semi")
+            .localCheckpoint()
+        }
+      }
+      if (nVerts > 0) {
+        // 2. forward min-color fixpoint
+        var colors = verts.select(col("id"), col("id").as("color")).localCheckpoint()
+        var prevSig = sig(colors)
+        var stable = false
+        while (!stable) {
+          val msgs = e.join(colors, e("src") === colors("id"))
+            .select(e("dst").as("id"), col("color"))
+          val next = colors.unionByName(msgs)
+            .groupBy(col("id")).agg(min(col("color")).as("color"))
+            .localCheckpoint()
+          val s = sig(next)
+          stable = s.compareTo(prevSig) == 0
+          prevSig = s
+          colors = next
+        }
+        // 3. backward reach from pivots over same-color edges
+        val eC = e
+          .join(colors.select(col("id").as("src"), col("color").as("csrc")), Seq("src"))
+          .join(colors.select(col("id").as("dst"), col("color").as("cdst")), Seq("dst"))
+          .filter(col("csrc") === col("cdst"))
+          .select(col("src"), col("dst"), col("csrc").as("color"))
+          .localCheckpoint()
+        var reach = colors.filter(col("id") === col("color")).localCheckpoint()
+        var nReach = reach.count()
+        var grown = true
+        while (grown) {
+          val msgs = eC.join(reach, eC("dst") === reach("id") && eC("color") === reach("color"))
+            .select(eC("src").as("id"), eC("color").as("color"))
+          val next = reach.unionByName(msgs).distinct().localCheckpoint()
+          val n = next.count()
+          grown = n > nReach
+          nReach = n
+          reach = next
+        }
+        done += reach.select(col("id"), col("color").as("component"))
+        verts = verts.join(reach.select(col("id")), Seq("id"), "left_anti").localCheckpoint()
+        nVerts = verts.count()
+        e = e.join(verts.select(col("id").as("src")), Seq("src"), "left_semi")
+          .join(verts.select(col("id").as("dst")), Seq("dst"), "left_semi")
+          .localCheckpoint()
+      }
+    }
+    require(nVerts == 0, s"SCC did not settle within $maxRounds rounds")
+    done.reduce(_ unionByName _)
+  }
+
   /** In/out/total degree per vertex. */
   def degrees(edges: DataFrame): DataFrame = {
     val out = edges.groupBy(col("src").as("id")).agg(count(lit(1)).as("out_deg"))

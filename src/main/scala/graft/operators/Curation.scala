@@ -91,11 +91,27 @@ object Curation {
     * language with the smallest md5(doc_id) — a uniform-at-random
     * sample under the hash, but reproducible on any engine, any
     * partitioning, any run (a `sample()` call is none of those).
-    * The balanced-subsampling primitive for mixing corpora. */
+    * The balanced-subsampling primitive for mixing corpora.
+    *
+    * TWO-STAGE top-k: stage 1 takes the per-(input-partition, lang)
+    * top k (parallelism = partitions × strata, so no stratum sorts the
+    * whole corpus through one task — the low-cardinality-window trap);
+    * stage 2 merges the ≤ k·P survivors per stratum, a bounded frame
+    * regardless of corpus size. Same output as the one-window
+    * formulation (top-k of a union = top-k of per-part top-k's). */
   def stratifiedSample(s: SparkSession, dir: String, k: Int = 20): DataFrame = {
-    val h = md5(col("doc_id").cast("string"))
-    val w = Window.partitionBy(col("lang")).orderBy(h, col("doc_id"))
-    Tables.documents(s, dir)
+    val base = Tables.documents(s, dir)
+      .select(col("lang"), col("doc_id"),
+        md5(col("doc_id").cast("string")).as("h"))
+      .withColumn("pid", spark_partition_id())
+    val wLocal = Window.partitionBy(col("pid"), col("lang"))
+      .orderBy(col("h"), col("doc_id"))
+    val pruned = base
+      .withColumn("lrk", row_number().over(wLocal))
+      .filter(col("lrk") <= k)
+      .drop("lrk", "pid")
+    val w = Window.partitionBy(col("lang")).orderBy(col("h"), col("doc_id"))
+    pruned
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)
       .select(col("lang"), col("rk").cast("int").as("rk"), col("doc_id"))

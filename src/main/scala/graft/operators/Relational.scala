@@ -181,28 +181,59 @@ object Relational {
   }
 
   /** C12 — exact discrete percentiles per group (value at rank
-    * ceil(p·n), computed distributively via row_number — no per-group
-    * array materialization, no float interpolation: the result is an
-    * actual data value, so it compares exactly across engines).
-    * `approx_percentile` is the sketch-based scale path; this is its
-    * oracle-checkable exact twin. */
+    * ceil(p·n) — an actual data value, no float interpolation, so it
+    * compares exactly across engines). `approx_percentile` (q19) is
+    * the sketch-based scale path; this is its oracle-checkable exact
+    * twin.
+    *
+    * Computed by DISTRIBUTED RANK, not a per-group sort (a
+    * `Window.partitionBy(l_returnflag)` funnels the whole table
+    * through ~|groups| tasks — the low-cardinality-group trap):
+    * (group, value) counts are range-partitioned by (group, value);
+    * per-(partition, group) subtotals (#partitions × #groups rows —
+    * tiny) hop to the driver to become exclusive offsets; each
+    * partition then knows the global rank interval of every value it
+    * holds and emits the values covering the target ranks. One
+    * aggregation + one slim shuffle, partitioning-invariant output. */
   def q12Pctl(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy(col("l_returnflag")).orderBy(col("l_extendedprice"))
-    val wAll = Window.partitionBy(col("l_returnflag"))
-    Tables.lineitem(s, dir)
-      .select(col("l_returnflag"), col("l_extendedprice"))
-      .withColumn("rn", row_number().over(w))
-      .withColumn("n", count(lit(1)).over(wAll))
+    val counts = Tables.lineitem(s, dir)
+      .select(col("l_returnflag").as("g"), col("l_extendedprice").as("v"))
+      .groupBy(col("g"), col("v")).agg(count(lit(1)).as("c"))
+      .repartitionByRange(col("g"), col("v"))
+      .withColumn("pid", spark_partition_id())
+      .persist()
+    val partials = counts.groupBy(col("pid"), col("g")).agg(sum(col("c")).as("t"))
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    val offsetRows = partials.groupBy(_._2).toSeq.flatMap { case (g, ps) =>
+      val inOrder = ps.sortBy(_._1)
+      val excl = inOrder.scanLeft(0L)(_ + _._3).init
+      inOrder.zip(excl).map { case ((pid, _, _), off) => (pid, g, off) }
+    }
+    val totals = partials.groupBy(_._2).view.mapValues(_.map(_._3).sum).toSeq
+    val offDf = broadcast(s.createDataFrame(offsetRows).toDF("pid", "g", "offset"))
+    val nDf = broadcast(s.createDataFrame(totals).toDF("g", "n"))
+    val wLocal = Window.partitionBy(col("pid"), col("g")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    def covers(i: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      col("cum_excl") < i && i <= col("cum_incl")
+    val out = counts.join(offDf, Seq("pid", "g"))
+      .withColumn("cum_incl", col("offset") + sum(col("c")).over(wLocal))
+      .withColumn("cum_excl", col("cum_incl") - col("c"))
+      .join(nDf, Seq("g"))
       .withColumn("i50", expr("(n*50+99) DIV 100"))
       .withColumn("i90", expr("(n*90+99) DIV 100"))
       .withColumn("i99", expr("(n*99+99) DIV 100"))
-      .filter(col("rn") === col("i50") || col("rn") === col("i90") || col("rn") === col("i99"))
-      .groupBy(col("l_returnflag"))
+      .filter(covers(col("i50")) || covers(col("i90")) || covers(col("i99")))
+      .groupBy(col("g").as("l_returnflag"))
       .agg(
-        max(when(col("rn") === col("i50"), col("l_extendedprice"))).as("p50"),
-        max(when(col("rn") === col("i90"), col("l_extendedprice"))).as("p90"),
-        max(when(col("rn") === col("i99"), col("l_extendedprice"))).as("p99"))
+        max(when(covers(col("i50")), col("v"))).as("p50"),
+        max(when(covers(col("i90")), col("v"))).as("p90"),
+        max(when(covers(col("i99")), col("v"))).as("p99"))
       .orderBy(col("l_returnflag"))
+      .persist()
+    out.count()
+    counts.unpersist()
+    out
   }
 
   /** C13 — pivot with an explicit value list (single pass, no value-

@@ -49,6 +49,32 @@ class GraphXBridgeSpec extends SparkSpec {
     assert(out("x") == "x" && out("y") == "x")
   }
 
+  test("DataFrame SCC matches GraphX Pregel SCC (cycles, DAG tails, self-loop, chained rings)") {
+    val fix = Seq("a" -> "b", "b" -> "c", "c" -> "a", "c" -> "d", "d" -> "e",
+      "x" -> "y", "y" -> "x", "s" -> "s").toDF("src", "dst")
+    val dfOut = GraphOps.sccDataFrame(fix)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val gxOut = GraphXBridge.stronglyConnectedComponents(fix)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(dfOut == gxOut)
+    assert(dfOut("s") == "s" && dfOut("b") == "a" && dfOut("y") == "x")
+
+    // 12 five-cycles chained by one-way bridges: SCC = each ring; the
+    // condensation is a 12-deep chain, exercising multi-round settling
+    val rings = (0 until 12).flatMap { c =>
+      val ids = (0 until 5).map(i => s"r${c}n$i")
+      ids.zip(ids.tail :+ ids.head)
+    }
+    val bridges = (0 until 11).map(c => s"r${c}n1" -> s"r${c + 1}n0")
+    val chained = (rings ++ bridges).toDF("src", "dst")
+    val df2 = GraphOps.sccDataFrame(chained, maxRounds = 30)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val gx2 = GraphXBridge.stronglyConnectedComponents(chained, maxIter = 30)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(df2 == gx2)
+    assert((0 until 12).forall(c => df2(s"r${c}n3") == s"r${c}n0"))
+  }
+
   test("GraphX pagerank ranks the same top vertex as the DataFrame implementation") {
     val edges = Seq(("a", "z"), ("b", "z"), ("c", "z"), ("z", "a")).toDF("src", "dst")
     val df = GraphOps.pageRank(edges, iters = 15)

@@ -75,4 +75,24 @@ class PlanAuditSpec extends SparkSpec {
     assert(winIdx >= 0, p)
     assert(!p.contains("Exchange SinglePartition"), p)
   }
+
+  test("C12: percentile rank windows partition on (pid, group), never group alone") {
+    // a Window.partitionBy(l_returnflag) would sort the whole table
+    // through ~|groups| tasks; the distributed-rank formulation windows
+    // over (pid, g) — every window partition spec must include pid
+    val p = plan(Relational.q12Pctl(spark, sf))
+    val winSpecs = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(winSpecs.nonEmpty, p)
+    winSpecs.foreach(w => assert(w.contains("pid"), s"window without pid:\n$w"))
+    assert(!p.contains("Exchange SinglePartition"), p)
+  }
+
+  test("P3: stage-1 sample window partitions on (pid, lang); merge input is pruned") {
+    val p = plan(graft.operators.Curation.stratifiedSample(spark, sf))
+    val winSpecs = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    // two windows: local (pid, lang) top-k then merge over survivors
+    assert(winSpecs.size >= 2, p)
+    assert(winSpecs.exists(_.contains("pid")), s"no (pid, lang) stage-1 window:\n$p")
+    assert(!p.contains("Exchange SinglePartition"), p)
+  }
 }
