@@ -116,17 +116,26 @@ object TextAnalysis {
 
   /** F6 — per-language top-k word bigrams (corpus n-gram statistics for
     * training-data analysis). Fully distributed: explode → count is one
-    * map-side-combined shuffle on (lang, bigram); top-k is a bounded
-    * per-language window. Deterministic ties: count desc, bigram asc. */
+    * map-side-combined shuffle on (lang, bigram); top-k is TWO-STAGE
+    * (per-(partition, lang) prune → merge over ≤ k·P survivors) so the
+    * per-language selection never sorts the distinct-bigram space —
+    * corpus-scale cardinality — through one task per language.
+    * Deterministic ties: count desc, bigram asc. */
   def f6TopNgrams(s: SparkSession, dir: String, k: Int = 10): DataFrame = {
-    val w = Window.partitionBy(col("lang")).orderBy(col("n").desc, col("bigram"))
-    Tables.documents(s, dir)
+    val counts = Tables.documents(s, dir)
       .select(col("doc_id"), col("lang"), posexplode(words(col("text"))).as(Seq("pos", "w0")))
       .withColumn("w1", lead(col("w0"), 1).over(
         Window.partitionBy(col("doc_id")).orderBy(col("pos"))))
       .filter(col("w1").isNotNull)
       .select(col("lang"), concat_ws(" ", col("w0"), col("w1")).as("bigram"))
       .groupBy(col("lang"), col("bigram")).agg(count(lit(1)).as("n"))
+      .withColumn("pid", spark_partition_id())
+    val wLocal = Window.partitionBy(col("pid"), col("lang"))
+      .orderBy(col("n").desc, col("bigram"))
+    val w = Window.partitionBy(col("lang")).orderBy(col("n").desc, col("bigram"))
+    counts
+      .withColumn("lrk", row_number().over(wLocal))
+      .filter(col("lrk") <= k)
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)
       .select(col("lang"), col("rk").cast("int").as("rk"), col("bigram"), col("n"))
