@@ -120,6 +120,17 @@ object SparkEntry {
         .orderBy(org.apache.spark.sql.functions.col("t"),
           org.apache.spark.sql.functions.col("ip"))
     }),
+    // the r3 Cypher surface end-to-end: WITH pipeline (aggregate +
+    // having) feeding a second MATCH — beacon fan-out per process,
+    // joined back to traces, purely textual
+    "sg_cypher2"   -> ((s, _) => {
+      val (n, e) = graft.graph.SysmonGraph.buildCached(s, "/root/reference/malware/*.json")
+      graft.graph.CypherLite.run(n, e,
+        "MATCH (p:Process)-[:CONNECTED_TO]->(ip:Ip) " +
+          "WITH p, count(*) AS n_ips WHERE n_ips >= 2 " +
+          "MATCH (t:Trace)-[:HAS_PROCESS]->(p) " +
+          "RETURN DISTINCT t, p, n_ips ORDER BY n_ips DESC, t, p")
+    }),
     "sg_spawntree" -> ((s, _) => {
       val (_, e) = graft.graph.SysmonGraph.buildCached(s, "/root/reference/malware/*.json")
       graft.graph.Detections.deepSpawnChains(e, minDepth = 1)

@@ -14,7 +14,9 @@ import org.apache.spark.sql.functions._
   * {{{
   * MATCH (p:Process)-[:INJECTED_THREAD]->(), (p)-[r:CONNECTED_TO]->(ip:Ip)
   * WHERE r.dport > 1024 OR r.dport = '443'
-  * RETURN DISTINCT p, ip, r.dport LIMIT 10
+  * WITH p, count(*) AS n WHERE n >= 2
+  * MATCH (t:Trace)-[:HAS_PROCESS]->(p)
+  * RETURN t, p, n ORDER BY n DESC LIMIT 10
   * }}}
   *
   *  - MULTI-PATTERN MATCH: comma-separated linear chains joined on
@@ -31,21 +33,31 @@ import org.apache.spark.sql.functions._
   *  - WHERE: `=`, `<>`, `CONTAINS`, `STARTS WITH`, `ENDS WITH` against
   *    'string' literals, and `>`, `>=`, `<`, `<=`, `=`, `<>` against
   *    numeric literals (property cast to double, null-safe); combined
-  *    with AND / OR and parentheses (standard precedence)
-  *  - OPTIONAL MATCH (one chain) with Cypher semantics: WHERE
-  *    conjuncts that reference only optional-chain variables filter
-  *    the optional side BEFORE the left join (non-matching rows keep
-  *    nulls); a conjunct mixing optional and required variables is
-  *    rejected rather than silently diverging
+  *    with AND / OR and parentheses (standard precedence); bare
+  *    identifiers (`n > 3`) reference WITH aliases
+  *  - OPTIONAL MATCH (any number of chains, each starting at a bound
+  *    variable — including one bound by an earlier optional chain)
+  *    with Cypher semantics: WHERE conjuncts that reference only one
+  *    optional chain's variables filter that chain BEFORE its left
+  *    join (non-matching rows keep nulls); a conjunct mixing optional
+  *    and required variables is rejected rather than silently
+  *    diverging
   *  - RETURN [DISTINCT] items: `v`, `v.prop`, `count(*)`, `count(v)`,
   *    `sum(v.prop)`, `avg(v.prop)`, `min(v.prop)`, `max(v.prop)`,
   *    `collect(v)`/`collect(v.prop)` — aggregates trigger Cypher's
   *    implicit grouping on the plain items. `sum`/`avg` aggregate the
   *    double-cast value (props are stored as strings; non-numeric →
   *    null, ignored); `min`/`max`/`collect` use the raw string value
-  *    (documented divergence from Neo4j for numeric-valued props);
-  *    `collect` returns a SORTED array for deterministic output.
-  *    Output columns: `v`, `v_prop`, `count`, `sum_v_prop`, …
+  *    unless wrapped in Cypher's coercions `toInteger(...)` /
+  *    `toFloat(...)` (e.g. `max(toInteger(r.dport))` orders
+  *    numerically); `collect` returns a SORTED array for
+  *    deterministic output. Output columns: `v`, `v_prop`, `count`,
+  *    `sum_v_prop`, … or the `AS` alias
+  *  - ONE `WITH` pipeline stage: `MATCH … WITH items [WHERE having]
+  *    [MATCH …pattern(s) [OPTIONAL MATCH …]] RETURN …` — the WITH
+  *    items (aggregates allowed, `AS` aliases) project the first
+  *    stage; the having-WHERE filters the projection; the second
+  *    MATCH joins new patterns on the carried variables
   *  - `MATCH p = shortestPath((a)-[:T*]->(b))` with `a.id = '…'`
   *    pinned in WHERE: compiled to [[GraphOps.bfsPaths]] (per-hop
   *    greedy lexicographic tie-break — see its doc); `RETURN` may use
@@ -62,38 +74,52 @@ object CypherLite {
   final case class NodePat(v: String, label: Option[String])
   final case class EdgePat(etype: Option[String], min: Int, max: Int, reverse: Boolean,
                            v: Option[String] = None)
-  final case class Cond(v: String, prop: String, op: String, value: String,
+  final case class Cond(v: String, prop: Option[String], op: String, value: String,
                         numeric: Boolean)
   sealed trait Pred { def vars: Set[String] }
   final case class Leaf(c: Cond) extends Pred { def vars: Set[String] = Set(c.v) }
   final case class And(ps: Seq[Pred]) extends Pred { def vars: Set[String] = ps.flatMap(_.vars).toSet }
   final case class Or(ps: Seq[Pred]) extends Pred { def vars: Set[String] = ps.flatMap(_.vars).toSet }
 
-  /** One RETURN item: agg = None for plain `v`/`v.prop`; otherwise the
-    * aggregate function name ("count", "sum", …) with `v`=="*" for
-    * `count(*)` and "length" for `length(p)`. */
-  final case class RetItem(agg: Option[String], v: String, prop: Option[String]) {
-    def outName: String = agg match {
+  /** One RETURN/WITH item: agg = None for plain `v`/`v.prop`; otherwise
+    * the aggregate function name ("count", "sum", …) with `v`=="*" for
+    * `count(*)` and "length" for `length(p)`. `cast` carries an inner
+    * toInteger/toFloat (Cypher's numeric coercion — e.g.
+    * `max(toInteger(r.dport))` orders numerically, not as strings);
+    * `alias` an `AS name`. */
+  final case class RetItem(agg: Option[String], v: String, prop: Option[String],
+                           cast: Option[String] = None, alias: Option[String] = None) {
+    def outName: String = alias.getOrElse(agg match {
       case None => prop.map(p => s"${v}_$p").getOrElse(v)
       case Some("count") if v == "*" => "count"
       case Some(a) => s"${a}_$v" + prop.map(p => s"_$p").getOrElse("")
-    }
+    })
   }
 
   final case class ShortestPat(pathVar: String, a: NodePat, hop: EdgePat, b: NodePat)
-  final case class Query(patterns: Seq[(Seq[NodePat], Seq[EdgePat])],
-                         optNodes: Seq[NodePat], optHops: Seq[EdgePat],
-                         where: Option[Pred],
-                         ret: Seq[RetItem], distinct: Boolean,
-                         orderBy: Seq[(String, Boolean)], limit: Option[Int],
+
+  /** One MATCH stage: main chains + optional chains + WHERE. */
+  final case class MatchStage(patterns: Seq[(Seq[NodePat], Seq[EdgePat])],
+                              optChains: Seq[(Seq[NodePat], Seq[EdgePat])],
+                              where: Option[Pred])
+  final case class Query(stage: MatchStage,
+                         // WITH pipeline: projection items, having-WHERE,
+                         // and an optional second match stage
+                         withItems: Seq[RetItem] = Seq.empty,
+                         having: Option[Pred] = None,
+                         stage2: Option[MatchStage] = None,
+                         ret: Seq[RetItem] = Seq.empty, distinct: Boolean = false,
+                         orderBy: Seq[(String, Boolean)] = Seq.empty,
+                         limit: Option[Int] = None,
                          sp: Option[ShortestPat] = None)
 
   private val NodeRe = """\(\s*(\w+)?\s*(?::\s*(\w+))?\s*\)""".r
   private val FwdRe = """-\[\s*(\w+)?\s*(?::(\w+))?\s*(?:(\*)(?:(\d+)\.\.(\d+))?)?\s*\]->""".r
   private val RevRe = """<-\[\s*(\w+)?\s*(?::(\w+))?\s*(?:(\*)(?:(\d+)\.\.(\d+))?)?\s*\]-""".r
   private val CondRe =
-    """(\w+)\.(\w+)\s*(=|<>|>=|<=|>|<|CONTAINS|STARTS WITH|ENDS WITH)\s*(?:'([^']*)'|(-?\d+(?:\.\d+)?))""".r
-  private val AggRe = """(?i)(count|sum|avg|min|max|collect|length)\s*\(\s*(?:(\*)|(\w+)(?:\.(\w+))?)\s*\)""".r
+    """(\w+)(?:\.(\w+))?\s*(=|<>|>=|<=|>|<|CONTAINS|STARTS WITH|ENDS WITH)\s*(?:'([^']*)'|(-?\d+(?:\.\d+)?))""".r
+  private val AggRe =
+    """(?i)(count|sum|avg|min|max|collect|length)\s*\(\s*(?:(\*)|(toInteger|toFloat)\s*\(\s*(\w+)(?:\.(\w+))?\s*\)|(\w+)(?:\.(\w+))?)\s*\)""".r
 
   // ---------------------------------------------------------------- parsing
 
@@ -123,7 +149,7 @@ object CypherLite {
         case Some(m) =>
           rest = rest.substring(m.end)
           val numeric = m.group(5) != null
-          Leaf(Cond(m.group(1), m.group(2), m.group(3).toUpperCase,
+          Leaf(Cond(m.group(1), Option(m.group(2)), m.group(3).toUpperCase,
             if (numeric) m.group(5) else m.group(4), numeric))
         case None => throw new IllegalArgumentException(s"bad condition at: $rest")
       }
@@ -144,28 +170,48 @@ object CypherLite {
     p
   }
 
-  private def parseRetItem(s: String): RetItem = s.trim match {
-    case AggRe(f, star, v, p) =>
-      val fn = f.toLowerCase
-      if (star != null) {
-        require(fn == "count", s"$fn(*) not supported")
-        RetItem(Some("count"), "*", None)
-      } else RetItem(Some(fn), v, Option(p))
-    case r => r.split("\\.") match {
-      case Array(v) if v.matches("\\w+") => RetItem(None, v, None)
-      case Array(v, p) => RetItem(None, v, Some(p))
-      case _ => throw new IllegalArgumentException(s"bad return item: $r")
+  private def parseRetItem(s0: String): RetItem = {
+    val (s, alias) = s0.trim.split("(?i)\\s+AS\\s+") match {
+      case Array(body) => (body.trim, None)
+      case Array(body, a) => (body.trim, Some(a.trim))
+      case _ => throw new IllegalArgumentException(s"bad item: $s0")
+    }
+    alias.foreach(a => require(a.matches("\\w+"), s"bad alias: $a"))
+    s match {
+      case AggRe(f, star, castFn, cv, cp, v, p) =>
+        val fn = f.toLowerCase
+        if (star != null) {
+          require(fn == "count", s"$fn(*) not supported")
+          RetItem(Some("count"), "*", None, None, alias)
+        } else if (castFn != null)
+          RetItem(Some(fn), cv, Option(cp), Some(castFn.toLowerCase), alias)
+        else RetItem(Some(fn), v, Option(p), None, alias)
+      case r => r.split("\\.") match {
+        case Array(v) if v.matches("\\w+") => RetItem(None, v, None, None, alias)
+        case Array(v, p) => RetItem(None, v, Some(p), None, alias)
+        case _ => throw new IllegalArgumentException(s"bad return item: $r")
+      }
     }
   }
 
-  def parse(q: String): Query = {
-    val text = q.trim.replaceAll("\\s+", " ")
-    val mMatch = """(?i)MATCH (.+?)(?: OPTIONAL MATCH (.+?))?(?: WHERE (.+?))? RETURN (DISTINCT )?(.+?)(?: ORDER BY (.+?))?(?: LIMIT (\d+))?\s*$""".r
-    val mShortest = """(?i)MATCH (\w+) = shortestPath\((.+?)\)(?: WHERE (.+?))? RETURN (DISTINCT )?(.+?)(?: ORDER BY (.+?))?(?: LIMIT (\d+))?\s*$""".r
-    var anonId = 0
+  private def parseOrder(orderOrNull: String): Seq[(String, Boolean)] =
+    Option(orderOrNull).toSeq.flatMap(_.split(",").toSeq).map { o =>
+      val t = o.trim
+      val desc = t.toUpperCase.endsWith(" DESC")
+      val body = t.replaceAll("(?i)\\s+(DESC|ASC)$", "")
+      (parseRetItem(body).outName, desc)
+    }
+
+  /** Parse the pattern section of one MATCH stage: main chains
+    * followed by any number of OPTIONAL MATCH chains, with the
+    * connectivity and bound-head checks. `outerVars` are variables
+    * already bound by a previous stage (WITH carries). */
+  private def parseMatchStage(patternPart: String, whereOrNull: String,
+                              outerVars: Set[String],
+                              anon: () => String): MatchStage = {
     def parsePattern(pattern: String): (Seq[NodePat], Seq[EdgePat]) = {
       val nodes = NodeRe.findAllMatchIn(pattern).map { m =>
-        val v = Option(m.group(1)).getOrElse { anonId += 1; s"_anon$anonId" }
+        val v = Option(m.group(1)).getOrElse(anon())
         NodePat(v, Option(m.group(2)))
       }.toSeq
       // hops in textual order: scan the pattern for edge tokens
@@ -191,114 +237,154 @@ object CypherLite {
         s"pattern must be a linear node chain: ${nodes.size} nodes, ${hops.size} hops")
       (nodes, hops)
     }
-    def parseOrder(orderOrNull: String): Seq[(String, Boolean)] =
-      Option(orderOrNull).toSeq.flatMap(_.split(",").toSeq).map { o =>
-        val t = o.trim
-        val desc = t.toUpperCase.endsWith(" DESC")
-        val body = t.replaceAll("(?i)\\s+(DESC|ASC)$", "")
-        (parseRetItem(body).outName, desc)
-      }
+    val segs = patternPart.split("(?i)\\s+OPTIONAL MATCH\\s+")
+    val patterns = segs.head.split(",").toSeq.map(_.trim).map(parsePattern)
+    // connectivity: each chain must share a variable with the ones
+    // before it (or an outer-bound one), or the product is a cartesian
+    // blowup — reject
+    patterns.tail.foldLeft(patterns.head._1.map(_.v).toSet ++ outerVars) { (seen, p) =>
+      val vs = p._1.map(_.v).toSet
+      require(vs.intersect(seen).nonEmpty,
+        s"disconnected pattern (would be a cartesian product): ${p._1.map(_.v).mkString("-")}")
+      seen ++ vs
+    }
+    val optChains = segs.tail.toSeq.map(s => parsePattern(s.trim))
+    var boundVars = patterns.flatMap(_._1.map(_.v)).toSet ++ outerVars
+    optChains.foreach { case (on, _) =>
+      require(boundVars.contains(on.head.v),
+        s"OPTIONAL MATCH must start at a bound variable, got '${on.head.v}'")
+      boundVars ++= on.map(_.v).toSet
+    }
+    MatchStage(patterns, optChains, Option(whereOrNull).map(parseWhere))
+  }
+
+  def parse(q: String): Query = {
+    val text = q.trim.replaceAll("\\s+", " ")
+    var anonId = 0
+    val anon = () => { anonId += 1; s"_anon$anonId" }
+    val mShortest = """(?i)MATCH (\w+) = shortestPath\((.+?)\)(?: WHERE (.+?))? RETURN (DISTINCT )?(.+?)(?: ORDER BY (.+?))?(?: LIMIT (\d+))?\s*$""".r
+    // the lookbehinds keep the pipeline separator from matching the
+    // " WITH " inside STARTS WITH / ENDS WITH predicates
+    val mWith = """(?i)MATCH (.+?)(?: WHERE (.+?))?(?<!STARTS)(?<!ENDS) WITH (.+?)(?: WHERE (.+?))?(?: MATCH (.+?)(?: WHERE (.+?))?)? RETURN (DISTINCT )?(.+?)(?: ORDER BY (.+?))?(?: LIMIT (\d+))?\s*$""".r
+    val mMatch = """(?i)MATCH (.+?)(?: WHERE (.+?))? RETURN (DISTINCT )?(.+?)(?: ORDER BY (.+?))?(?: LIMIT (\d+))?\s*$""".r
     text match {
       case mShortest(pathVar, pattern, whereOrNull, distinctOrNull, retPart, orderOrNull, limitOrNull) =>
-        val (nodes, hops) = parsePattern(pattern)
-        require(nodes.size == 2 && hops.size == 1,
-          s"shortestPath needs a single (a)-[…]->(b) hop, got ${hops.size}")
-        val where = Option(whereOrNull).map(parseWhere)
-        Query(Seq.empty, Seq.empty, Seq.empty, where,
-          retPart.split(",").toSeq.map(parseRetItem), distinctOrNull != null,
-          parseOrder(orderOrNull), Option(limitOrNull).map(_.toInt),
+        val st = parseMatchStage(pattern, whereOrNull, Set.empty, anon)
+        require(st.patterns.size == 1 && st.patterns.head._1.size == 2 &&
+          st.optChains.isEmpty,
+          "shortestPath needs a single (a)-[…]->(b) hop")
+        val (nodes, hops) = st.patterns.head
+        Query(MatchStage(Seq.empty, Seq.empty, st.where),
+          ret = retPart.split(",").toSeq.map(parseRetItem),
+          distinct = distinctOrNull != null,
+          orderBy = parseOrder(orderOrNull), limit = Option(limitOrNull).map(_.toInt),
           sp = Some(ShortestPat(pathVar, nodes.head, hops.head, nodes(1))))
-      case mMatch(patternPart, optOrNull, whereOrNull, distinctOrNull, retPart, orderOrNull, limitOrNull) =>
-        val patterns = patternPart.split(",").toSeq.map(_.trim).map(parsePattern)
-        // connectivity: each chain must share a variable with the ones
-        // before it, or the product is a cartesian blowup — reject
-        patterns.tail.foldLeft(patterns.head._1.map(_.v).toSet) { (seen, p) =>
-          val vs = p._1.map(_.v).toSet
-          require(vs.intersect(seen).nonEmpty,
-            s"disconnected pattern (would be a cartesian product): ${p._1.map(_.v).mkString("-")}")
-          seen ++ vs
-        }
-        val (optNodes, optHops) = Option(optOrNull) match {
-          case Some(op) =>
-            val (on, oh) = parsePattern(op)
-            require(patterns.exists(_._1.exists(_.v == on.head.v)),
-              s"OPTIONAL MATCH must start at a bound variable, got '${on.head.v}'")
-            (on, oh)
-          case None => (Seq.empty[NodePat], Seq.empty[EdgePat])
-        }
-        val where = Option(whereOrNull).map(parseWhere)
-        Query(patterns, optNodes, optHops, where,
-          retPart.split(",").toSeq.map(parseRetItem), distinctOrNull != null,
-          parseOrder(orderOrNull), Option(limitOrNull).map(_.toInt))
+      case mWith(pat1, where1, withPart, havingOrNull, pat2OrNull, where2OrNull,
+                 distinctOrNull, retPart, orderOrNull, limitOrNull) =>
+        val stage1 = parseMatchStage(pat1, where1, Set.empty, anon)
+        val withItems = withPart.split(",").toSeq.map(parseRetItem)
+        val carried = withItems.map(_.outName).toSet
+        val stage2 = Option(pat2OrNull).map(p =>
+          parseMatchStage(p, where2OrNull, carried, anon))
+        require(stage2.isDefined || where2OrNull == null, "unreachable")
+        Query(stage1, withItems = withItems,
+          having = Option(havingOrNull).map(parseWhere), stage2 = stage2,
+          ret = retPart.split(",").toSeq.map(parseRetItem),
+          distinct = distinctOrNull != null,
+          orderBy = parseOrder(orderOrNull), limit = Option(limitOrNull).map(_.toInt))
+      case mMatch(patternPart, whereOrNull, distinctOrNull, retPart, orderOrNull, limitOrNull) =>
+        Query(parseMatchStage(patternPart, whereOrNull, Set.empty, anon),
+          ret = retPart.split(",").toSeq.map(parseRetItem),
+          distinct = distinctOrNull != null,
+          orderBy = parseOrder(orderOrNull), limit = Option(limitOrNull).map(_.toInt))
       case _ => throw new IllegalArgumentException(s"unsupported query: $q")
     }
   }
 
   // ------------------------------------------------------------- compiling
 
-  /** Bounded (from, to) pair set for a hop; a named single hop also
-    * carries the edge's property map and event_id for WHERE/RETURN. */
-  private def hopPairs(edges: DataFrame, h: EdgePat): DataFrame = {
-    val e0 = h.etype.map(t => edges.filter(col("etype") === t)).getOrElse(edges)
-    h.v match {
-      case Some(ev) =>
-        // merged edges are unique per (etype, src, dst) — no distinct
-        return if (h.reverse)
-          e0.select(col("dst").as("_from"), col("src").as("_to"),
-            col("props").as(s"${ev}__props"), col("event_id").as(s"${ev}__event_id"))
-        else
-          e0.select(col("src").as("_from"), col("dst").as("_to"),
-            col("props").as(s"${ev}__props"), col("event_id").as(s"${ev}__event_id"))
-      case None => ()
-    }
-    val e = (if (h.reverse) e0.select(col("dst").as("_from"), col("src").as("_to"))
-             else e0.select(col("src").as("_from"), col("dst").as("_to")))
-      .distinct()
-    if (h.min == 1 && h.max == 1) e
-    else {
-      require(h.min >= 1 && h.max >= h.min && h.max <= 10,
-        s"variable-length bounds out of range: *${h.min}..${h.max}")
-      val base = e.persist()
-      var cur = base
-      var acc: DataFrame = if (h.min <= 1) base else null
-      for (k <- 2 to h.max) {
-        cur = cur.join(base.select(col("_from").as("_mid"), col("_to").as("_nxt")),
-            cur("_to") === col("_mid"))
-          .select(col("_from"), col("_nxt").as("_to"))
-          .distinct()
-          .localCheckpoint()
-        if (k >= h.min) acc = if (acc == null) cur else acc.unionByName(cur).distinct()
-      }
-      base.unpersist()
-      acc
-    }
-  }
-
   /** Compile + run a query against (nodes, edges) frames from
     * [[SysmonGraph.build]]. Returned columns are the RETURN items'
     * [[RetItem.outName]]s: bare vars yield the node id, `v.prop`
-    * yields `v_prop`, aggregates yield `count`/`sum_v_prop`/…. */
+    * yields `v_prop`, aggregates yield `count`/`sum_v_prop`/… or the
+    * `AS` alias. */
   def run(nodes: DataFrame, edges: DataFrame, cypher: String): DataFrame = {
     val q = parse(cypher)
-    q.sp.foreach { sp => return runShortestPath(nodes, edges, q, sp) }
+    val c = new Compiler(nodes, edges)
+    q.sp.foreach { sp => return c.runShortestPath(q, sp) }
+    var bound = c.compileStage(None, q.stage)
+    if (q.withItems.nonEmpty) {
+      bound = c.project(bound, q.withItems, distinct = false)
+      q.having.foreach { p => bound = c.applyPred(bound, p) }
+      q.stage2.foreach { st => bound = c.compileStage(Some(bound), st) }
+    }
+    var out = c.project(bound, q.ret, q.distinct)
+    if (q.orderBy.nonEmpty)
+      out = out.orderBy(q.orderBy.map { case (cn, desc) =>
+        if (desc) col(cn).desc else col(cn).asc }: _*)
+    q.limit.foreach(n => out = out.limit(n))
+    out
+  }
 
-    def labelIds(label: String): DataFrame =
+  /** The stage compiler: carries the graph frames and turns MATCH
+    * stages / predicates / projections into DataFrame operations. */
+  private final class Compiler(nodes: DataFrame, edges: DataFrame) {
+
+    private def labelIds(label: String): DataFrame =
       nodes.filter(col("label") === label).select(col("id"))
 
-    def seedOf(n: NodePat): DataFrame = n.label match {
+    private def seedOf(n: NodePat): DataFrame = n.label match {
       case Some(l) => labelIds(l).select(col("id").as(n.v))
       case None => nodes.select(col("id").as(n.v)).distinct()
     }
 
-    // walk a chain: one join per hop, label semi-joins as we bind; a
-    // hop into an ALREADY-bound variable becomes an equality join
-    // (cycle/repeated-variable patterns)
-    def walk(seed: DataFrame, pats: Seq[NodePat], hops: Seq[EdgePat]): DataFrame = {
+    /** Bounded (from, to) pair set for a hop; a named single hop also
+      * carries the edge's property map and event_id for WHERE/RETURN. */
+    private def hopPairs(h: EdgePat): DataFrame = {
+      val e0 = h.etype.map(t => edges.filter(col("etype") === t)).getOrElse(edges)
+      h.v match {
+        case Some(ev) =>
+          // merged edges are unique per (etype, src, dst) — no distinct
+          return if (h.reverse)
+            e0.select(col("dst").as("_from"), col("src").as("_to"),
+              col("props").as(s"${ev}__props"), col("event_id").as(s"${ev}__event_id"))
+          else
+            e0.select(col("src").as("_from"), col("dst").as("_to"),
+              col("props").as(s"${ev}__props"), col("event_id").as(s"${ev}__event_id"))
+        case None => ()
+      }
+      val e = (if (h.reverse) e0.select(col("dst").as("_from"), col("src").as("_to"))
+               else e0.select(col("src").as("_from"), col("dst").as("_to")))
+        .distinct()
+      if (h.min == 1 && h.max == 1) e
+      else {
+        require(h.min >= 1 && h.max >= h.min && h.max <= 10,
+          s"variable-length bounds out of range: *${h.min}..${h.max}")
+        val base = e.persist()
+        var cur = base
+        var acc: DataFrame = if (h.min <= 1) base else null
+        for (k <- 2 to h.max) {
+          cur = cur.join(base.select(col("_from").as("_mid"), col("_to").as("_nxt")),
+              cur("_to") === col("_mid"))
+            .select(col("_from"), col("_nxt").as("_to"))
+            .distinct()
+            .localCheckpoint()
+          if (k >= h.min) acc = if (acc == null) cur else acc.unionByName(cur).distinct()
+        }
+        base.unpersist()
+        acc
+      }
+    }
+
+    /** Walk a chain: one join per hop, label semi-joins as we bind; a
+      * hop into an ALREADY-bound variable becomes an equality join
+      * (cycle/repeated-variable patterns). */
+    private def walk(seed: DataFrame, pats: Seq[NodePat], hops: Seq[EdgePat]): DataFrame = {
       var b = seed
       hops.zipWithIndex.foreach { case (h, i) =>
         val from = pats(i).v
         val to = pats(i + 1).v
-        val pairs = hopPairs(edges, h)
+        val pairs = hopPairs(h)
         if (b.columns.contains(to)) {
           b = b.join(pairs, b(from) === pairs("_from") && b(to) === pairs("_to"))
             .drop("_from", "_to")
@@ -313,29 +399,70 @@ object CypherLite {
       b
     }
 
-    // main MATCH: walk the first chain from its seed; each further
-    // chain either continues in-place (head already bound) or walks
-    // separately and equi-joins on the shared variables
-    val (n0, h0) = q.patterns.head
-    var bound = walk(seedOf(n0.head), n0, h0)
-    q.patterns.tail.foreach { case (np, hp) =>
-      if (bound.columns.contains(np.head.v)) {
-        np.head.label.foreach { l =>
-          bound = bound.join(labelIds(l).select(col("id").as(np.head.v)),
-            Seq(np.head.v), "left_semi")
+    /** Compile one MATCH stage, optionally continuing from a frame of
+      * already-bound variables (the WITH carry). */
+    def compileStage(start: Option[DataFrame], st: MatchStage): DataFrame = {
+      var bound = start.orNull
+      st.patterns.foreach { case (np, hp) =>
+        if (bound == null) bound = walk(seedOf(np.head), np, hp)
+        else if (bound.columns.contains(np.head.v)) {
+          np.head.label.foreach { l =>
+            bound = bound.join(labelIds(l).select(col("id").as(np.head.v)),
+              Seq(np.head.v), "left_semi")
+          }
+          bound = walk(bound, np, hp)
+        } else {
+          val sub = walk(seedOf(np.head), np, hp)
+          val shared = bound.columns.intersect(sub.columns).filterNot(_.contains("__")).toSeq
+          require(shared.nonEmpty, s"pattern ${np.map(_.v).mkString("-")} shares no variable")
+          bound = bound.join(sub, shared)
         }
-        bound = walk(bound, np, hp)
-      } else {
-        val sub = walk(seedOf(np.head), np, hp)
-        val shared = bound.columns.intersect(sub.columns).filterNot(_.contains("__")).toSeq
-        require(shared.nonEmpty, s"pattern ${np.map(_.v).mkString("-")} shares no variable")
-        bound = bound.join(sub, shared)
       }
+      // WHERE split for OPTIONAL MATCH (Cypher semantics): a top-level
+      // conjunct whose variables are all from ONE optional chain filters
+      // that chain BEFORE its left join; mixing optional and required
+      // variables (or two optional chains) in one conjunct is rejected
+      // (silently evaluating null→false would turn the left join inner)
+      val optVarSets: Seq[Set[String]] =
+        st.optChains.map { case (on, oh) =>
+          (on.drop(1).map(_.v) ++ oh.flatMap(_.v)).toSet
+        }
+      val conjuncts: Seq[Pred] = st.where.toSeq.flatMap {
+        case And(ps) => ps
+        case p => Seq(p)
+      }
+      val chainConds = Array.fill(st.optChains.size)(
+        scala.collection.mutable.Buffer.empty[Pred])
+      val mainConds = scala.collection.mutable.Buffer.empty[Pred]
+      conjuncts.foreach { p =>
+        val hits = optVarSets.zipWithIndex.filter(_._1.intersect(p.vars).nonEmpty)
+        if (hits.isEmpty) mainConds += p
+        else {
+          require(hits.size == 1 && p.vars.subsetOf(hits.head._1),
+            s"WHERE conjunct mixes optional and required variables (${p.vars.mkString(", ")}); " +
+              "split it into separate conjuncts")
+          chainConds(hits.head._2) += p
+        }
+      }
+      // OPTIONAL MATCH chains in order: walk each from its shared
+      // variable's bound values, filter with that chain's conjuncts,
+      // then left-join — non-matching rows keep nulls for the optional
+      // variables (a later chain may hang off an earlier optional
+      // variable; null seeds simply don't match)
+      st.optChains.zipWithIndex.foreach { case ((on, oh), i) =>
+        val shared = on.head.v
+        val optSeed = bound.select(col(shared)).distinct()
+        var opt = walk(optSeed, on, oh)
+        chainConds(i).foreach { p => opt = applyPred(opt, p) }
+        bound = bound.join(opt, Seq(shared), "left")
+      }
+      mainConds.foreach { p => bound = applyPred(bound, p) }
+      bound
     }
 
-    // property access — edge vars read the carried props map, node
-    // vars join the nodes frame; returns (frame, actual column name)
-    def bindProp(df: DataFrame, v: String, prop: String): (DataFrame, String) = {
+    /** Property access — edge vars read the carried props map, node
+      * vars join the nodes frame; returns (frame, actual column name). */
+    private def bindProp(df: DataFrame, v: String, prop: String): (DataFrame, String) = {
       val cn = s"${v}_$prop"
       if (df.columns.contains(cn)) (df, cn)
       else if (df.columns.contains(s"${v}__props")) {
@@ -350,14 +477,22 @@ object CypherLite {
       }
     }
 
-    // predicate compilation over a frame (binding prop columns as
-    // needed); returns the filtered frame
+    /** Predicate compilation over a frame (binding prop columns as
+      * needed); returns the filtered frame. A bare identifier condition
+      * (no `.prop`) references a column directly — a WITH alias. */
     def applyPred(df0: DataFrame, p: Pred): DataFrame = {
       var df = df0
       def compile(p: Pred): Column = p match {
         case Leaf(c) =>
-          val (df2, cn) = bindProp(df, c.v, c.prop)
-          df = df2
+          val cn = c.prop match {
+            case Some(pr) =>
+              val (df2, n) = bindProp(df, c.v, pr)
+              df = df2
+              n
+            case None =>
+              require(df.columns.contains(c.v), s"unbound identifier '${c.v}'")
+              c.v
+          }
           val raw = col(cn)
           if (c.numeric) {
             val lhs = raw.cast("double")
@@ -385,186 +520,124 @@ object CypherLite {
       df.filter(cond)
     }
 
-    // WHERE split for OPTIONAL MATCH (Cypher semantics): a top-level
-    // conjunct whose variables are all from the optional chain filters
-    // the optional side BEFORE the left join; mixing optional and
-    // required variables in one conjunct is rejected (silently
-    // evaluating null→false would turn the left join inner)
-    val optVars: Set[String] =
-      (q.optNodes.drop(1).map(_.v) ++ q.optHops.flatMap(_.v)).toSet
-    val conjuncts: Seq[Pred] = q.where.toSeq.flatMap {
-      case And(ps) => ps
-      case p => Seq(p)
-    }
-    val (optConds, mainConds) = conjuncts.partition(_.vars.intersect(optVars).nonEmpty)
-    optConds.foreach { p =>
-      require(p.vars.subsetOf(optVars),
-        s"WHERE conjunct mixes optional and required variables (${p.vars.mkString(", ")}); " +
-          "split it into separate conjuncts")
-    }
-
-    // OPTIONAL MATCH: walk its chain from the shared variable's bound
-    // values, filter with the optional-only conjuncts, then left-join —
-    // non-matching rows keep nulls for the optional variables
-    if (q.optHops.nonEmpty) {
-      val shared = q.optNodes.head.v
-      val optSeed = bound.select(col(shared)).distinct()
-      var opt = walk(optSeed, q.optNodes, q.optHops)
-      optConds.foreach { p => opt = applyPred(opt, p) }
-      bound = bound.join(opt, Seq(shared), "left")
-    } else {
-      require(optConds.isEmpty, "WHERE references unbound optional variables")
-    }
-    mainConds.foreach { p => bound = applyPred(bound, p) }
-
-    // RETURN — with Cypher's implicit grouping when aggregates appear
-    val (aggItems, plainItems) = q.ret.partition(_.agg.isDefined)
-    val plainCols = plainItems.map { it =>
-      it.prop match {
-        case None =>
-          require(bound.columns.contains(it.v), s"unbound variable '${it.v}'")
-          col(it.v)
-        case Some(p) =>
-          val (df2, cn) = bindProp(bound, it.v, p)
-          bound = df2
-          if (cn == it.outName) col(cn) else col(cn).as(it.outName)
+    /** Project RETURN/WITH items, with Cypher's implicit grouping when
+      * aggregates appear. */
+    def project(bound0: DataFrame, items: Seq[RetItem], distinct: Boolean): DataFrame = {
+      var bound = bound0
+      val (aggItems, plainItems) = items.partition(_.agg.isDefined)
+      val plainCols = plainItems.map { it =>
+        it.prop match {
+          case None =>
+            require(bound.columns.contains(it.v), s"unbound variable '${it.v}'")
+            if (it.outName == it.v) col(it.v) else col(it.v).as(it.outName)
+          case Some(p) =>
+            val (df2, cn) = bindProp(bound, it.v, p)
+            bound = df2
+            if (cn == it.outName) col(cn) else col(cn).as(it.outName)
+        }
       }
-    }
-    val aggCols = aggItems.map { it =>
-      def valueCol(): Column = it.prop match {
-        case None =>
-          require(bound.columns.contains(it.v), s"unbound variable '${it.v}'")
-          col(it.v)
-        case Some(p) =>
-          val (df2, cn) = bindProp(bound, it.v, p)
-          bound = df2
-          col(cn)
-      }
-      (it.agg.get match {
-        case "count" => if (it.v == "*") count(lit(1)) else count(valueCol())
-        case "sum" => sum(valueCol().cast("double"))
-        case "avg" => avg(valueCol().cast("double"))
-        case "min" => min(valueCol())
-        case "max" => max(valueCol())
-        case "collect" => array_sort(collect_list(valueCol()))
-        case "length" => throw new IllegalArgumentException(
-          "length() is only supported on a shortestPath variable")
-        case a => throw new IllegalArgumentException(s"unsupported aggregate: $a")
-      }).as(it.outName)
-    }
-    var out =
-      if (aggCols.nonEmpty) {
-        require(plainCols.nonEmpty, "aggregates need at least one grouping item")
-        // group on the OUTPUT columns (plain items may be aliases)
-        bound.select((plainCols ++ bound.columns.filterNot(c =>
-            plainItems.exists(_.outName == c)).map(col)).distinct: _*)
-          .groupBy(plainItems.map(it => col(it.outName)): _*)
-          .agg(aggCols.head, aggCols.tail: _*)
-      } else bound.select(plainCols: _*)
-    if (q.distinct && aggCols.isEmpty) out = out.distinct()
-    if (q.orderBy.nonEmpty)
-      out = out.orderBy(q.orderBy.map { case (c, desc) =>
-        if (desc) col(c).desc else col(c).asc }: _*)
-    q.limit.foreach(n => out = out.limit(n))
-    out
-  }
-
-  /** `MATCH p = shortestPath((a)-[:T*]->(b))` — compiled to a BFS with
-    * materialized paths from the pinned source. The source must be
-    * pinned with an `a.id = '…'` conjunct in WHERE (per-pair all-
-    * sources shortest path would need one BFS per source — out of
-    * scope); remaining conjuncts filter the reached side. */
-  private def runShortestPath(nodes: DataFrame, edges: DataFrame,
-                              q: Query, sp: ShortestPat): DataFrame = {
-    val conjuncts: Seq[Pred] = q.where.toSeq.flatMap {
-      case And(ps) => ps
-      case p => Seq(p)
-    }
-    val (seedConds, rest) = conjuncts.partition {
-      case Leaf(c) => c.v == sp.a.v && c.prop == "id" && c.op == "=" && !c.numeric
-      case _ => false
-    }
-    require(seedConds.nonEmpty,
-      s"shortestPath needs the source pinned: WHERE ${sp.a.v}.id = '…'")
-    val seedId = seedConds.head.asInstanceOf[Leaf].c.value
-    // source label check (if the pinned node lacks the label → empty)
-    val seedOk = sp.a.label.forall(l =>
-      nodes.filter(col("label") === l && col("id") === seedId).limit(1).count() == 1)
-    val h = sp.hop
-    val e0 = h.etype.map(t => edges.filter(col("etype") === t)).getOrElse(edges)
-    val e = if (h.reverse) e0.select(col("dst").as("src"), col("src").as("dst"))
-            else e0.select(col("src"), col("dst"))
-    val spark = nodes.sparkSession
-    import spark.implicits._
-    val seed = Seq(seedId).toDF("id")
-    var out = GraphOps.bfsPaths(e, seed, maxIter = h.max)
-      .filter(col("dist") >= h.min && col("dist") <= h.max)
-      .withColumnRenamed("id", sp.b.v)
-      .withColumnRenamed("path", sp.pathVar)
-      .withColumn(sp.a.v, lit(seedId))
-    if (!seedOk) out = out.limit(0)
-    sp.b.label.foreach { l =>
-      out = out.join(nodes.filter(col("label") === l).select(col("id").as(sp.b.v)),
-        Seq(sp.b.v), "left_semi")
-    }
-    def bindProp(df: DataFrame, v: String, prop: String): (DataFrame, String) = {
-      val cn = s"${v}_$prop"
-      if (df.columns.contains(cn)) (df, cn)
-      else if (prop == "id") (df, v)
-      else {
-        require(df.columns.contains(v), s"unbound variable '$v'")
-        val pn = nodes.select(col("id").as(v), element_at(col("props"), prop).as(cn))
-        (df.join(pn, Seq(v), "left"), cn)
-      }
-    }
-    rest.foreach { p =>
-      var df = out
-      def compile(p: Pred): Column = p match {
-        case Leaf(c) =>
-          val (df2, cn) = bindProp(df, c.v, c.prop)
-          df = df2
-          val raw = col(cn)
-          if (c.numeric) c.op match {
-            case "=" => raw.cast("double") === c.value.toDouble
-            case "<>" => raw.cast("double") =!= c.value.toDouble
-            case ">" => raw.cast("double") > c.value.toDouble
-            case ">=" => raw.cast("double") >= c.value.toDouble
-            case "<" => raw.cast("double") < c.value.toDouble
-            case "<=" => raw.cast("double") <= c.value.toDouble
-          } else c.op match {
-            case "=" => raw === c.value
-            case "<>" => raw =!= c.value
-            case "CONTAINS" => raw.contains(c.value)
-            case "STARTS WITH" => raw.startsWith(c.value)
-            case "ENDS WITH" => raw.endsWith(c.value)
+      val aggCols = aggItems.map { it =>
+        def valueCol(): Column = {
+          val raw = it.prop match {
+            case None =>
+              require(bound.columns.contains(it.v), s"unbound variable '${it.v}'")
+              col(it.v)
+            case Some(p) =>
+              val (df2, cn) = bindProp(bound, it.v, p)
+              bound = df2
+              col(cn)
           }
-        case And(ps) => ps.map(compile).reduce(_ && _)
-        case Or(ps) => ps.map(compile).reduce(_ || _)
+          it.cast match {
+            case Some("tointeger") => raw.cast("long")
+            case Some("tofloat") => raw.cast("double")
+            case _ => raw
+          }
+        }
+        (it.agg.get match {
+          case "count" => if (it.v == "*") count(lit(1)) else count(valueCol())
+          case "sum" => sum(valueCol().cast("double"))
+          case "avg" => avg(valueCol().cast("double"))
+          case "min" => min(valueCol())
+          case "max" => max(valueCol())
+          case "collect" => array_sort(collect_list(valueCol()))
+          case "length" => throw new IllegalArgumentException(
+            "length() is only supported on a shortestPath variable")
+          case a => throw new IllegalArgumentException(s"unsupported aggregate: $a")
+        }).as(it.outName)
       }
-      val cond = compile(p)
-      out = df.filter(cond)
+      var out =
+        if (aggCols.nonEmpty) {
+          require(plainCols.nonEmpty, "aggregates need at least one grouping item")
+          // group on the OUTPUT columns (plain items may be aliases)
+          bound.select((plainCols ++ bound.columns.filterNot(c =>
+              plainItems.exists(_.outName == c)).map(col)).distinct: _*)
+            .groupBy(plainItems.map(it => col(it.outName)): _*)
+            .agg(aggCols.head, aggCols.tail: _*)
+        } else bound.select(plainCols: _*)
+      if (distinct && aggCols.isEmpty) out = out.distinct()
+      out
     }
-    val cols = q.ret.map { it =>
-      (it.agg, it.v, it.prop) match {
-        case (Some("length"), v, None) if v == sp.pathVar =>
-          col("dist").cast("long").as(it.outName)
-        case (None, v, None) =>
-          require(out.columns.contains(v), s"unbound variable '$v'")
-          col(v)
-        case (None, v, Some(p)) =>
-          val (df2, cn) = bindProp(out, v, p)
-          out = df2
-          if (cn == it.outName) col(cn) else col(cn).as(it.outName)
-        case _ => throw new IllegalArgumentException(
-          s"aggregates not supported with shortestPath: ${it.outName}")
+
+    /** `MATCH p = shortestPath((a)-[:T*]->(b))` — compiled to a BFS
+      * with materialized paths from the pinned source. The source must
+      * be pinned with an `a.id = '…'` conjunct in WHERE (per-pair all-
+      * sources shortest path would need one BFS per source — out of
+      * scope); remaining conjuncts filter the reached side. */
+    def runShortestPath(q: Query, sp: ShortestPat): DataFrame = {
+      val conjuncts: Seq[Pred] = q.stage.where.toSeq.flatMap {
+        case And(ps) => ps
+        case p => Seq(p)
       }
+      val (seedConds, rest) = conjuncts.partition {
+        case Leaf(c) => c.v == sp.a.v && c.prop.contains("id") && c.op == "=" && !c.numeric
+        case _ => false
+      }
+      require(seedConds.nonEmpty,
+        s"shortestPath needs the source pinned: WHERE ${sp.a.v}.id = '…'")
+      val seedId = seedConds.head.asInstanceOf[Leaf].c.value
+      // source label check (if the pinned node lacks the label → empty)
+      val seedOk = sp.a.label.forall(l =>
+        nodes.filter(col("label") === l && col("id") === seedId).limit(1).count() == 1)
+      val h = sp.hop
+      val e0 = h.etype.map(t => edges.filter(col("etype") === t)).getOrElse(edges)
+      val e = if (h.reverse) e0.select(col("dst").as("src"), col("src").as("dst"))
+              else e0.select(col("src"), col("dst"))
+      val spark = nodes.sparkSession
+      import spark.implicits._
+      val seed = Seq(seedId).toDF("id")
+      var out = GraphOps.bfsPaths(e, seed, maxIter = h.max)
+        .filter(col("dist") >= h.min && col("dist") <= h.max)
+        .withColumnRenamed("id", sp.b.v)
+        .withColumnRenamed("path", sp.pathVar)
+        .withColumn(sp.a.v, lit(seedId))
+      if (!seedOk) out = out.limit(0)
+      sp.b.label.foreach { l =>
+        out = out.join(nodes.filter(col("label") === l).select(col("id").as(sp.b.v)),
+          Seq(sp.b.v), "left_semi")
+      }
+      rest.foreach { p => out = applyPred(out, p) }
+      val cols = q.ret.map { it =>
+        (it.agg, it.v, it.prop) match {
+          case (Some("length"), v, None) if v == sp.pathVar =>
+            col("dist").cast("long").as(if (it.alias.isDefined) it.outName else s"length_$v")
+          case (None, v, None) =>
+            require(out.columns.contains(v), s"unbound variable '$v'")
+            if (it.outName == v) col(v) else col(v).as(it.outName)
+          case (None, v, Some(p)) =>
+            val (df2, cn) = bindProp(out, v, p)
+            out = df2
+            if (cn == it.outName) col(cn) else col(cn).as(it.outName)
+          case _ => throw new IllegalArgumentException(
+            s"aggregates not supported with shortestPath: ${it.outName}")
+        }
+      }
+      var res = out.select(cols: _*)
+      if (q.distinct) res = res.distinct()
+      if (q.orderBy.nonEmpty)
+        res = res.orderBy(q.orderBy.map { case (cn, desc) =>
+          if (desc) col(cn).desc else col(cn).asc }: _*)
+      q.limit.foreach(n => res = res.limit(n))
+      res
     }
-    var res = out.select(cols: _*)
-    if (q.distinct) res = res.distinct()
-    if (q.orderBy.nonEmpty)
-      res = res.orderBy(q.orderBy.map { case (c, desc) =>
-        if (desc) col(c).desc else col(c).asc }: _*)
-    q.limit.foreach(n => res = res.limit(n))
-    res
   }
 }

@@ -162,21 +162,13 @@ object Curation {
     out
   }
 
-  /** LSH candidate pairs for an arbitrary (doc_id, text) frame —
-    * the D2 banding stage exposed for pipeline composition. */
-  def lshCandidates(docs: DataFrame, k: Int = 64, bands: Int = 16): DataFrame = {
-    val rows = k / bands
-    val sigs = Dedup.minhashSignatures(docs, k)
-    val banded = sigs.select(col("doc_id"),
-        explode(array((0 until bands).map(b =>
-          struct(lit(b).as("band"),
-            xxhash64(slice(col("sig"), b * rows + 1, rows)).as("bh"))): _*)).as("bb"))
-      .select(col("doc_id"), col("bb.band"), col("bb.bh"))
-    banded.alias("x").join(banded.alias("y"),
-        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("id1"), col("y.doc_id").as("id2"))
-      .distinct()
-      .persist()
-  }
+  /** LSH candidate pairs for an arbitrary (doc_id, text) frame — the
+    * D2 banding stage (INCLUDING the degenerate-bucket star-link
+    * guard) exposed for pipeline composition. Star-linking is exactly
+    * right here: curate() drops the larger id of every verified pair,
+    * so a boilerplate cluster collapses onto its representative
+    * without the O(b²) pair blowup. */
+  def lshCandidates(docs: DataFrame, k: Int = 64, bands: Int = 16,
+                    bucketCap: Int = 1000): DataFrame =
+    Dedup.d2Candidates(docs, k, bands, bucketCap).persist()
 }

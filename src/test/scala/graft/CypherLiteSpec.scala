@@ -210,18 +210,45 @@ class CypherLiteSpec extends SparkSpec {
     val got = CypherLite.run(nodes, edges,
       "MATCH (t:Trace)-[:HAS_PROCESS]->(p:Process) " +
         "OPTIONAL MATCH (p)-[:CONNECTED_TO]->(ip:Ip) " +
-        "WHERE ip.id STARTS WITH '10.' RETURN DISTINCT p, ip")
+        "WHERE ip.id STARTS WITH '192.' RETURN DISTINCT p, ip")
     val rows = got.collect().map(r => (r.getString(0), Option(r.getString(1))))
     // Cypher semantics: every process appears; those without a 10.* ip
     // appear with null (SQL post-filter semantics would DROP them)
     val allProcs = et("HAS_PROCESS").select(col("dst")).distinct().count()
     assert(rows.map(_._1).distinct.length.toLong == allProcs)
-    assert(rows.forall(r => r._2.forall(_.startsWith("10."))))
+    assert(rows.forall(r => r._2.forall(_.startsWith("192."))))
     val tenTalkers = et("CONNECTED_TO")
-      .filter(col("dst").startsWith("10."))
+      .filter(col("dst").startsWith("192."))
       .select(col("src")).distinct().count()
     assert(rows.filter(_._2.isDefined).map(_._1).distinct.length.toLong == tenTalkers)
     assert(rows.exists(_._2.isEmpty))
+  }
+
+  test("two OPTIONAL MATCH chains attach independently with per-chain WHERE") {
+    val (nodes, edges) = graph
+    val got = CypherLite.run(nodes, edges,
+      "MATCH (t:Trace)-[:HAS_PROCESS]->(p:Process) " +
+        "OPTIONAL MATCH (p)-[:CONNECTED_TO]->(ip:Ip) " +
+        "OPTIONAL MATCH (p)-[:CREATED_FILE]->(f:File) " +
+        "WHERE ip.id STARTS WITH '192.' AND f.id ENDS WITH '.exe' " +
+        "RETURN DISTINCT p, ip, f")
+    val rows = got.collect().map(r =>
+      (r.getString(0), Option(r.getString(1)), Option(r.getString(2))))
+    // every process appears at least once (both chains optional)
+    val allProcs = et("HAS_PROCESS").select(col("dst")).distinct().count()
+    assert(rows.map(_._1).distinct.length.toLong == allProcs)
+    // chain filters applied inside their chains
+    assert(rows.forall(r => r._2.forall(_.startsWith("192."))))
+    assert(rows.forall(r => r._3.forall(_.toLowerCase.endsWith(".exe"))))
+    // both chains actually match somewhere, independently
+    assert(rows.exists(r => r._2.isDefined))
+    assert(rows.exists(r => r._3.isDefined))
+    assert(rows.exists(r => r._2.isEmpty && r._3.isDefined) ||
+      rows.exists(r => r._2.isDefined && r._3.isEmpty))
+    // cross-check one side: processes with a 10.* connection
+    val tenTalkers = et("CONNECTED_TO").filter(col("dst").startsWith("192."))
+      .select(col("src")).distinct().count()
+    assert(rows.filter(_._2.isDefined).map(_._1).distinct.length.toLong == tenTalkers)
   }
 
   test("WHERE conjunct mixing optional and required variables is rejected") {
@@ -230,7 +257,7 @@ class CypherLiteSpec extends SparkSpec {
       CypherLite.run(nodes, edges,
         "MATCH (t:Trace)-[:HAS_PROCESS]->(p:Process) " +
           "OPTIONAL MATCH (p)-[:CONNECTED_TO]->(ip:Ip) " +
-          "WHERE p.image CONTAINS 'x' OR ip.id STARTS WITH '10.' RETURN p, ip")
+          "WHERE p.image CONTAINS 'x' OR ip.id STARTS WITH '192.' RETURN p, ip")
     }
   }
 
@@ -258,6 +285,62 @@ class CypherLiteSpec extends SparkSpec {
       assert(a.getString(3) == b.getString(3))
       assert(a.getSeq[String](4) == b.getSeq[String](4))
     }
+  }
+
+  test("toInteger coercion: max over dport orders numerically, not lexicographically") {
+    val (nodes, edges) = graph
+    val got = CypherLite.run(nodes, edges,
+      "MATCH (p:Process)-[r:CONNECTED_TO]->(ip:Ip) " +
+        "RETURN p, max(toInteger(r.dport)), max(r.dport) ORDER BY p")
+    assert(got.columns.toSeq == Seq("p", "max_r_dport", "max_r_dport"))
+    val want = et("CONNECTED_TO")
+      .groupBy(col("src"))
+      .agg(max(element_at(col("props"), "dport").cast("long")).as("num"),
+        max(element_at(col("props"), "dport")).as("str"))
+      .orderBy(col("src")).collect()
+    val g = got.collect()
+    assert(g.length == want.length && g.nonEmpty)
+    g.zip(want).foreach { case (a, b) =>
+      assert(a.getString(0) == b.getString(0))
+      assert(a.getLong(1) == b.getLong(1))
+      assert(a.getString(2) == b.getString(2))
+    }
+    // the distinction is real on this corpus: some process must have
+    // a numeric max that differs from the lexicographic max
+    assert(want.exists(r => r.getLong(1).toString != r.getString(2)))
+  }
+
+  test("WITH pipeline: aggregate, alias, having-WHERE on the alias") {
+    val (nodes, edges) = graph
+    val got = CypherLite.run(nodes, edges,
+      "MATCH (t:Trace)-[:HAS_PROCESS]->(p:Process) " +
+        "WITH t, count(*) AS n WHERE n > 5 " +
+        "RETURN t, n ORDER BY n DESC, t")
+    assert(got.columns.toSeq == Seq("t", "n"))
+    val g = got.collect().map(r => (r.getString(0), r.getLong(1)))
+    val want = et("HAS_PROCESS").groupBy(col("src")).count()
+      .filter(col("count") > 5)
+      .orderBy(col("count").desc, col("src"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(g.sameElements(want) && g.nonEmpty)
+  }
+
+  test("WITH pipeline: second MATCH joins new patterns on carried variables") {
+    val (nodes, edges) = graph
+    // processes beaconing to 2+ distinct IPs, joined back to their traces
+    val got = CypherLite.run(nodes, edges,
+      "MATCH (p:Process)-[:CONNECTED_TO]->(ip:Ip) " +
+        "WITH p, count(*) AS n WHERE n >= 2 " +
+        "MATCH (t:Trace)-[:HAS_PROCESS]->(p) " +
+        "RETURN DISTINCT t, p, n ORDER BY t, p")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    val multi = et("CONNECTED_TO").groupBy(col("src").as("p"))
+      .agg(count(lit(1)).as("n")).filter(col("n") >= 2)
+    val want = et("HAS_PROCESS").select(col("src").as("t"), col("dst").as("p"))
+      .join(multi, Seq("p"))
+      .select(col("t"), col("p"), col("n")).distinct()
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(got == want && got.nonEmpty)
   }
 
   test("shortestPath through the text surface matches GraphOps.bfsPaths") {
