@@ -53,11 +53,12 @@ import org.apache.spark.sql.functions._
   *    numerically); `collect` returns a SORTED array for
   *    deterministic output. Output columns: `v`, `v_prop`, `count`,
   *    `sum_v_prop`, … or the `AS` alias
-  *  - ONE `WITH` pipeline stage: `MATCH … WITH items [WHERE having]
-  *    [MATCH …pattern(s) [OPTIONAL MATCH …]] RETURN …` — the WITH
-  *    items (aggregates allowed, `AS` aliases) project the first
-  *    stage; the having-WHERE filters the projection; the second
-  *    MATCH joins new patterns on the carried variables
+  *  - `WITH` pipeline stages (any number): `MATCH … WITH items
+  *    [WHERE having] [MATCH …pattern(s) [OPTIONAL MATCH …]] WITH …
+  *    RETURN …` — each WITH's items (aggregates allowed, `AS`
+  *    aliases) project the stage so far; its having-WHERE filters the
+  *    projection; a follow-on MATCH joins new patterns on the carried
+  *    variables
   *  - `MATCH p = shortestPath((a)-[:T*]->(b))` with `a.id = '…'`
   *    pinned in WHERE: compiled to [[GraphOps.bfsPaths]] (per-hop
   *    greedy lexicographic tie-break — see its doc); `RETURN` may use
@@ -102,12 +103,13 @@ object CypherLite {
   final case class MatchStage(patterns: Seq[(Seq[NodePat], Seq[EdgePat])],
                               optChains: Seq[(Seq[NodePat], Seq[EdgePat])],
                               where: Option[Pred])
+  /** One WITH pipeline stage: projection items (aggregates allowed),
+    * a having-WHERE over the projection, and an optional follow-on
+    * MATCH joining new patterns on the carried variables. */
+  final case class WithStage(items: Seq[RetItem], having: Option[Pred],
+                             next: Option[MatchStage])
   final case class Query(stage: MatchStage,
-                         // WITH pipeline: projection items, having-WHERE,
-                         // and an optional second match stage
-                         withItems: Seq[RetItem] = Seq.empty,
-                         having: Option[Pred] = None,
-                         stage2: Option[MatchStage] = None,
+                         withStages: Seq[WithStage] = Seq.empty,
                          ret: Seq[RetItem] = Seq.empty, distinct: Boolean = false,
                          orderBy: Seq[(String, Boolean)] = Seq.empty,
                          limit: Option[Int] = None,
@@ -263,10 +265,9 @@ object CypherLite {
     var anonId = 0
     val anon = () => { anonId += 1; s"_anon$anonId" }
     val mShortest = """(?i)MATCH (\w+) = shortestPath\((.+?)\)(?: WHERE (.+?))? RETURN (DISTINCT )?(.+?)(?: ORDER BY (.+?))?(?: LIMIT (\d+))?\s*$""".r
-    // the lookbehinds keep the pipeline separator from matching the
-    // " WITH " inside STARTS WITH / ENDS WITH predicates
-    val mWith = """(?i)MATCH (.+?)(?: WHERE (.+?))?(?<!STARTS)(?<!ENDS) WITH (.+?)(?: WHERE (.+?))?(?: MATCH (.+?)(?: WHERE (.+?))?)? RETURN (DISTINCT )?(.+?)(?: ORDER BY (.+?))?(?: LIMIT (\d+))?\s*$""".r
-    val mMatch = """(?i)MATCH (.+?)(?: WHERE (.+?))? RETURN (DISTINCT )?(.+?)(?: ORDER BY (.+?))?(?: LIMIT (\d+))?\s*$""".r
+    val mTail = """(?i)^(.+?) RETURN (DISTINCT )?(.+?)(?: ORDER BY (.+?))?(?: LIMIT (\d+))?\s*$""".r
+    val mStage1 = """(?i)^MATCH (.+?)(?: WHERE (.+))?$""".r
+    val mWithSeg = """(?i)^(.+?)(?: WHERE (.+?))?(?: MATCH (.+?)(?: WHERE (.+))?)?$""".r
     text match {
       case mShortest(pathVar, pattern, whereOrNull, distinctOrNull, retPart, orderOrNull, limitOrNull) =>
         val st = parseMatchStage(pattern, whereOrNull, Set.empty, anon)
@@ -279,21 +280,28 @@ object CypherLite {
           distinct = distinctOrNull != null,
           orderBy = parseOrder(orderOrNull), limit = Option(limitOrNull).map(_.toInt),
           sp = Some(ShortestPat(pathVar, nodes.head, hops.head, nodes(1))))
-      case mWith(pat1, where1, withPart, havingOrNull, pat2OrNull, where2OrNull,
-                 distinctOrNull, retPart, orderOrNull, limitOrNull) =>
-        val stage1 = parseMatchStage(pat1, where1, Set.empty, anon)
-        val withItems = withPart.split(",").toSeq.map(parseRetItem)
-        val carried = withItems.map(_.outName).toSet
-        val stage2 = Option(pat2OrNull).map(p =>
-          parseMatchStage(p, where2OrNull, carried, anon))
-        require(stage2.isDefined || where2OrNull == null, "unreachable")
-        Query(stage1, withItems = withItems,
-          having = Option(havingOrNull).map(parseWhere), stage2 = stage2,
-          ret = retPart.split(",").toSeq.map(parseRetItem),
-          distinct = distinctOrNull != null,
-          orderBy = parseOrder(orderOrNull), limit = Option(limitOrNull).map(_.toInt))
-      case mMatch(patternPart, whereOrNull, distinctOrNull, retPart, orderOrNull, limitOrNull) =>
-        Query(parseMatchStage(patternPart, whereOrNull, Set.empty, anon),
+      case mTail(head, distinctOrNull, retPart, orderOrNull, limitOrNull) =>
+        // the lookbehinds keep the pipeline separator from matching the
+        // " WITH " inside STARTS WITH / ENDS WITH predicates
+        val segs = head.split("(?i)(?<!STARTS)(?<!ENDS)\\s+WITH\\s+")
+        val stage1 = segs.head match {
+          case mStage1(pat, whereOrNull) =>
+            parseMatchStage(pat, whereOrNull, Set.empty, anon)
+          case other => throw new IllegalArgumentException(s"unsupported query head: $other")
+        }
+        var carried = Set.empty[String] // names visible after each WITH
+        val withStages = segs.tail.toSeq.map {
+          case mWithSeg(itemsPart, havingOrNull, patOrNull, whereOrNull) =>
+            val items = itemsPart.split(",").toSeq.map(parseRetItem)
+            carried = items.map(_.outName).toSet
+            val next = Option(patOrNull).map(p =>
+              parseMatchStage(p, whereOrNull, carried, anon))
+            next.foreach(st => carried ++=
+              st.patterns.flatMap(_._1.map(_.v)) ++ st.optChains.flatMap(_._1.map(_.v)))
+            WithStage(items, Option(havingOrNull).map(parseWhere), next)
+          case other => throw new IllegalArgumentException(s"bad WITH stage: $other")
+        }
+        Query(stage1, withStages = withStages,
           ret = retPart.split(",").toSeq.map(parseRetItem),
           distinct = distinctOrNull != null,
           orderBy = parseOrder(orderOrNull), limit = Option(limitOrNull).map(_.toInt))
@@ -313,10 +321,10 @@ object CypherLite {
     val c = new Compiler(nodes, edges)
     q.sp.foreach { sp => return c.runShortestPath(q, sp) }
     var bound = c.compileStage(None, q.stage)
-    if (q.withItems.nonEmpty) {
-      bound = c.project(bound, q.withItems, distinct = false)
-      q.having.foreach { p => bound = c.applyPred(bound, p) }
-      q.stage2.foreach { st => bound = c.compileStage(Some(bound), st) }
+    q.withStages.foreach { ws =>
+      bound = c.project(bound, ws.items, distinct = false)
+      ws.having.foreach { p => bound = c.applyPred(bound, p) }
+      ws.next.foreach { st => bound = c.compileStage(Some(bound), st) }
     }
     var out = c.project(bound, q.ret, q.distinct)
     if (q.orderBy.nonEmpty)

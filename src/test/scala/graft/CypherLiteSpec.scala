@@ -343,6 +343,22 @@ class CypherLiteSpec extends SparkSpec {
     assert(got == want && got.nonEmpty)
   }
 
+  test("two chained WITH stages: re-aggregate the aggregate") {
+    val (nodes, edges) = graph
+    // per-trace process counts → distribution of those counts
+    val got = CypherLite.run(nodes, edges,
+      "MATCH (t:Trace)-[:HAS_PROCESS]->(p:Process) " +
+        "WITH t, count(*) AS n " +
+        "WITH n, count(*) AS n_traces " +
+        "RETURN n, n_traces ORDER BY n")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val want = et("HAS_PROCESS").groupBy(col("src")).count()
+      .groupBy(col("count").as("n")).agg(count(lit(1)).as("n_traces"))
+      .orderBy(col("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.sameElements(want) && got.nonEmpty)
+  }
+
   test("shortestPath through the text surface matches GraphOps.bfsPaths") {
     val (nodes, edges) = graph
     // deterministic source: lexicographically-first trace id
