@@ -156,6 +156,10 @@ object SparkEntry {
     "f4_fingerprint" -> ((s, d) => TextAnalysis.f4Fingerprint(s, d)),
     "f5_corpus"    -> (TextAnalysis.f5Corpus _),
     "f6_ngrams"    -> ((s, d) => TextAnalysis.f6TopNgrams(s, d)),
+    "f7_decontam"  -> ((s, d) => TextAnalysis.f7Decontam(s, d)),
+    "f8_repetition" -> ((s, d) => TextAnalysis.f8Repetition(s, d)),
+    "d6_boilerplate" -> ((s, d) => Dedup.d6Boilerplate(s, d)),
+    "p5_weighted"  -> ((s, d) => Curation.p5WeightedSample(s, d)),
   )
 
   /** DuckDB twins of the SQL-expressible queries above. */
@@ -559,6 +563,49 @@ object SparkEntry {
         |        CAST(row_number() OVER (PARTITION BY lang ORDER BY n DESC, bigram) AS INT) AS rk
         |      FROM c)
         |SELECT lang, rk, bigram, n FROM r WHERE rk <= 10 ORDER BY lang, rk""".stripMargin,
+    "f7_decontam" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(lower(trim(text)),'\s+') AS w FROM documents),
+        |s AS (SELECT doc_id,
+        |  list_distinct([w[i]||' '||w[i+1]||' '||w[i+2]||' '||w[i+3]
+        |                 FOR i IN generate_series(1, len(w)-3)]) AS sh FROM t),
+        |e AS (SELECT doc_id, unnest(sh) AS g FROM s),
+        |ev AS (SELECT DISTINCT g FROM e WHERE doc_id % 97 = 0),
+        |tr AS (SELECT doc_id, g FROM e WHERE doc_id % 97 <> 0),
+        |sz AS (SELECT doc_id, count(*) AS n_grams FROM tr GROUP BY 1),
+        |sh AS (SELECT tr.doc_id, count(*) AS n_shared
+        |       FROM tr JOIN ev ON tr.g = ev.g GROUP BY 1)
+        |SELECT sh.doc_id, n_shared, n_grams,
+        |  round(CAST(n_shared AS DOUBLE)/n_grams, 4) AS overlap
+        |FROM sh JOIN sz ON sh.doc_id = sz.doc_id ORDER BY sh.doc_id""".stripMargin,
+    "f8_repetition" ->
+      """WITH base AS (SELECT doc_id, unnest(string_split_regex(lower(trim(text)),'\s+')) AS w,
+        |  generate_subscripts(string_split_regex(lower(trim(text)),'\s+'),1) AS pos FROM documents),
+        |wc AS (SELECT doc_id, w, count(*) AS c FROM base GROUP BY 1,2),
+        |ws AS (SELECT doc_id, sum(c) AS nw, count(*) AS dw, max(c) AS topc FROM wc GROUP BY 1),
+        |tri AS (SELECT a.doc_id, a.w||' '||b.w||' '||c.w AS g
+        |        FROM base a JOIN base b ON a.doc_id=b.doc_id AND b.pos=a.pos+1
+        |                    JOIN base c ON a.doc_id=c.doc_id AND c.pos=a.pos+2),
+        |tc AS (SELECT doc_id, g, count(*) AS c FROM tri GROUP BY 1,2),
+        |ts AS (SELECT doc_id, sum(c) AS n3, count(*) AS d3 FROM tc GROUP BY 1)
+        |SELECT ws.doc_id,
+        |  round(CAST(nw-dw AS DOUBLE)/nw, 4) AS dup_word_frac,
+        |  round(CAST(topc AS DOUBLE)/nw, 4) AS top_word_frac,
+        |  coalesce(round(CAST(n3-d3 AS DOUBLE)/n3, 4), 0.0) AS dup_3gram_frac,
+        |  CAST(CAST(topc AS DOUBLE)/nw >= 0.12 AS INT) AS repetitive
+        |FROM ws LEFT JOIN ts ON ws.doc_id = ts.doc_id ORDER BY ws.doc_id""".stripMargin,
+    "d6_boilerplate" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(lower(trim(text)),'\s+') AS w FROM documents),
+        |e AS (SELECT DISTINCT doc_id,
+        |  unnest([w[i]||' '||w[i+1]||' '||w[i+2] FOR i IN generate_series(1, len(w)-2)]) AS g FROM t)
+        |SELECT g, count(*) AS df, min(doc_id) AS first_doc
+        |FROM e GROUP BY g HAVING count(*) >= 5 ORDER BY df DESC, g""".stripMargin,
+    "p5_weighted" ->
+      """WITH t AS (SELECT doc_id, lang, n_chars,
+        |  lpad(lower(hex((least(n_chars, 400) * 65536) // 400)), 4, '0') AS thr,
+        |  substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS u
+        | FROM documents)
+        |SELECT doc_id, lang, n_chars FROM t
+        |WHERE n_chars >= 400 OR u < thr ORDER BY doc_id""".stripMargin,
     "f5_corpus" ->
       """SELECT source, lang, count(*) AS n_docs,
         | CAST(sum(n_chars) AS BIGINT) AS total_chars,

@@ -118,6 +118,29 @@ object Curation {
       .orderBy(col("lang"), col("rk"))
   }
 
+  /** P5 — deterministic weighted Bernoulli sampling: each document is
+    * kept with probability min(n_chars, cap)/cap (longer documents
+    * up-weighted, the usual quality-proportional mixing move), decided
+    * by comparing a fixed-width hex slice of md5(doc_id) against an
+    * integer threshold — NOT rand(), whose outcome depends on
+    * partitioning and run. Lexicographic order on fixed-width
+    * lowercase hex equals numeric order, so both engines compare
+    * strings and never convert hex to int. The threshold is
+    * floor(min(n_chars,cap)·65536/cap): an exact integer (the product
+    * is < 2⁵³, and a quotient of integers is never within double-ulp
+    * of a wrong floor at this magnitude), so DuckDB's integer `//`
+    * reproduces it bit-for-bit. Pure per-row arithmetic — one scan,
+    * no shuffle. */
+  def p5WeightedSample(s: SparkSession, dir: String, cap: Long = 400L): DataFrame = {
+    val thr = lpad(lower(hex(floor(least(col("n_chars"), lit(cap)) * lit(65536L)
+      / lit(cap.toDouble)).cast("long"))), 4, "0")
+    val u = substring(md5(col("doc_id").cast("string")), 1, 4)
+    Tables.documents(s, dir)
+      .filter(col("n_chars") >= cap || u < thr)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
   /** P4 — token-budget shard packing: documents in doc_id order are
     * packed greedily into shards of ~`budget` whitespace tokens
     * (shard = exclusive-prefix-sum div budget — a document starting

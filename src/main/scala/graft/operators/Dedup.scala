@@ -62,6 +62,18 @@ object Dedup {
       .distinct()
   }
 
+  /** D6 — corpus boilerplate extraction: word 3-grams whose DOCUMENT
+    * frequency reaches minDf (navigation chrome, license headers,
+    * templated phrases — the stuff near-dup misses because no single
+    * pair is similar enough). One shuffle on g with map-side combine;
+    * output is the df-filtered tail, tiny by construction. */
+  def d6Boilerplate(s: SparkSession, dir: String, minDf: Long = 5L): DataFrame =
+    shingleRows(Tables.documents(s, dir))
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("df"), min(col("doc_id")).as("first_doc"))
+      .filter(col("df") >= minDf)
+      .orderBy(col("df").desc, col("g"))
+
   /** Exact Jaccard for candidate pairs from shingle rows:
     * |A∩B| via pair-wise equi-join, |A∪B| = n1 + n2 - |A∩B|. */
   private def jaccardOf(cand: DataFrame, sh: DataFrame, sizes: DataFrame,

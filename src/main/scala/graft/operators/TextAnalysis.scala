@@ -103,6 +103,78 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Distinct word n-grams as rows (doc_id, g) — posexplode + window
+    * leads, fully codegen'd (see [[graft.operators.Dedup.shingleRows]]
+    * for why not HOFs). One shuffle on doc_id. */
+  private def ngramRows(docs: DataFrame, n: Int): DataFrame = {
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val leads = (1 until n).map(i => lead(col("w0"), i).over(w).as(s"w$i"))
+    val parts = (0 until n).map(i => col(s"w$i"))
+    docs
+      .select(col("doc_id"), posexplode(words(col("text"))).as(Seq("pos", "w0")))
+      .select(col("doc_id") +: col("w0") +: leads: _*)
+      .filter(col(s"w${n - 1}").isNotNull)
+      .select(col("doc_id"), concat_ws(" ", parts: _*).as("g"))
+      .distinct()
+  }
+
+  /** F7 — benchmark decontamination: flag training documents that share
+    * word n-grams with a held-out eval slice (the GPT-3 n-gram-overlap
+    * decontamination rule, at n=4 so the synthetic corpus produces
+    * hits). The eval slice is doc_id ≡ 0 (mod evalMod) — a stand-in
+    * for a benchmark table.
+    *
+    * Scale shape: the eval gram set is tiny relative to the corpus
+    * (benchmarks are MBs, corpora are TBs) → broadcast; the training
+    * side is one scan + one doc_id shuffle for the gram window + one
+    * broadcast hash join. Nothing is quadratic in corpus size. */
+  def f7Decontam(s: SparkSession, dir: String, n: Int = 4, evalMod: Int = 97): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val isEval = col("doc_id") % evalMod === 0
+    // separate gram pipelines so the eval side's doc filter reaches its
+    // scan (pushdown) instead of windowing the whole corpus twice
+    val evalGrams = ngramRows(docs.filter(isEval), n)
+      .select(col("g")).distinct()
+    val train = ngramRows(docs.filter(!isEval), n)
+    val sizes = train.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
+    train.join(broadcast(evalGrams), Seq("g"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared"))
+      .join(sizes, Seq("doc_id"))
+      .select(col("doc_id"), col("n_shared"), col("n_grams"),
+        round(col("n_shared").cast("double") / col("n_grams"), 4).as("overlap"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** F8 — repetition metrics (Gopher-style quality rules, adapted to a
+    * corpus with no line structure): duplicate-word fraction,
+    * top-word fraction, duplicate-3-gram fraction, and a repetitive
+    * flag on the UNROUNDED top-word fraction. Two doc_id-keyed
+    * aggregations with map-side combine; no windows over the corpus. */
+  def f8Repetition(s: SparkSession, dir: String, topWordFlag: Double = 0.12): DataFrame = {
+    val base = Tables.documents(s, dir)
+      .select(col("doc_id"), posexplode(words(col("text"))).as(Seq("pos", "w0")))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val wordStats = base
+      .groupBy(col("doc_id"), col("w0")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("nw"), count(lit(1)).as("dw"), max(col("c")).as("topc"))
+    val triStats = base
+      .select(col("doc_id"), col("w0"),
+        lead(col("w0"), 1).over(w).as("w1"), lead(col("w0"), 2).over(w).as("w2"))
+      .filter(col("w2").isNotNull)
+      .select(col("doc_id"), concat_ws(" ", col("w0"), col("w1"), col("w2")).as("g"))
+      .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id")).agg(sum(col("c")).as("n3"), count(lit(1)).as("d3"))
+    wordStats.join(triStats, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        round((col("nw") - col("dw")).cast("double") / col("nw"), 4).as("dup_word_frac"),
+        round(col("topc").cast("double") / col("nw"), 4).as("top_word_frac"),
+        coalesce(round((col("n3") - col("d3")).cast("double") / col("n3"), 4), lit(0.0))
+          .as("dup_3gram_frac"),
+        (col("topc").cast("double") / col("nw") >= topWordFlag).cast("int").as("repetitive"))
+      .orderBy(col("doc_id"))
+  }
+
   /** F5 — corpus stats per source × lang. */
   def f5Corpus(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)

@@ -62,4 +62,26 @@ class CurationSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs.contains((1L, 2L)) || pairs.contains((1L, 3L)))
   }
+
+  test("p5 weighted sampling replays the md5 decision rule exactly") {
+    val out = Curation.p5WeightedSample(spark, sf).collect()
+      .map(_.getLong(0)).toSet
+    // independent Scala replay of the documented rule
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val expected = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("n_chars")).collect().flatMap { r =>
+        val (id, nc) = (r.getLong(0), r.getLong(1))
+        val hex = md.digest(id.toString.getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString
+        val thr = math.min(nc, 400L) * 65536L / 400L
+        val keep = nc >= 400L || hex.substring(0, 4) < f"$thr%04x"
+        if (keep) Some(id) else None
+      }.toSet
+    assert(out == expected)
+    assert(out.nonEmpty && out.size < Tables.documents(spark, sf).count())
+    // long documents are certainly kept
+    val longIds = Tables.documents(spark, sf)
+      .filter(col("n_chars") >= 400).collect().map(_.getAs[Long]("doc_id"))
+    assert(longIds.forall(out.contains))
+  }
 }

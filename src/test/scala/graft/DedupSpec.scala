@@ -213,4 +213,23 @@ class DedupSpec extends SparkSpec {
     val recall = (pairs(ivf1) & exact).size.toDouble / exact.size
     assert(recall >= 0.5, s"IVF recall $recall (nprobe=4/nlist=16)")
   }
+
+  test("d6 boilerplate: df counts documents, not occurrences, and respects minDf") {
+    // "c1 c2 c3" in 5 docs (twice inside doc 1 — must count once);
+    // "r1 r2 r3" in only 4 docs — below the threshold
+    val rows = Seq(
+      (1L, "c1 c2 c3 filler c1 c2 c3"),
+      (2L, "c1 c2 c3 u2 r1 r2 r3"),
+      (3L, "c1 c2 c3 u3 r1 r2 r3"),
+      (4L, "c1 c2 c3 u4 r1 r2 r3"),
+      (5L, "c1 c2 c3 u5 r1 r2 r3"),
+      (6L, "q1 q2 q3 q4"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_docs").toString
+    rows.map { case (id, t) => (id, t, "en", "src0", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = Dedup.d6Boilerplate(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq(("c1 c2 c3", 5L, 1L)))
+  }
 }
