@@ -413,6 +413,57 @@ object SparkEntry {
         |SELECT nt.id AS l_partkey, n_tri, deg,
         | round(2.0*n_tri/(deg*(deg-1)), 4) AS coef
         |FROM nt JOIN deg ON nt.id = deg.id ORDER BY 1""".stripMargin,
+    "g_pagerank" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT DISTINCT src, dst FROM (
+        |    SELECT 'p:'||l_partkey AS src, 's:'||l_suppkey AS dst FROM lineitem WHERE l_partkey % 20 = 0
+        |    UNION ALL
+        |    SELECT 's:'||l_suppkey, 'p:'||l_partkey FROM lineitem WHERE l_partkey % 20 = 0)),
+        |v AS (SELECT DISTINCT src AS id FROM e),
+        |deg AS (SELECT src, count(*) AS deg FROM e GROUP BY 1),
+        |pr AS (
+        |  SELECT 0 AS it, id, CAST(1.0 AS DOUBLE) AS rank FROM v
+        |  UNION ALL
+        |  SELECT it+1, dst AS id, 0.15 + 0.85*msum AS rank FROM (
+        |    SELECT p.it AS it, e.dst AS dst, sum(p.rank/deg.deg) AS msum
+        |    FROM pr p JOIN e ON e.src = p.id JOIN deg ON deg.src = e.src
+        |    WHERE p.it < 10 GROUP BY 1,2) s)
+        |SELECT id, round(rank,4) AS rank FROM pr WHERE it=10
+        |ORDER BY rank DESC, id LIMIT 20""".stripMargin,
+    "g_kcore" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT DISTINCT src, dst FROM (
+        |    SELECT 'p:'||l_partkey AS src, 's:'||l_suppkey AS dst FROM lineitem WHERE l_partkey % 20 = 0
+        |    UNION ALL
+        |    SELECT 's:'||l_suppkey, 'p:'||l_partkey FROM lineitem WHERE l_partkey % 20 = 0)),
+        |ecore AS (
+        |  SELECT 0 AS it, src, dst FROM e WHERE src <> dst
+        |  UNION ALL
+        |  SELECT it+1, src, dst FROM (
+        |    SELECT it, src, dst,
+        |      count(*) OVER (PARTITION BY src) AS sdeg,
+        |      count(*) OVER (PARTITION BY dst) AS ddeg
+        |    FROM ecore WHERE it < 30) x
+        |  WHERE sdeg >= 3 AND ddeg >= 3)
+        |SELECT src AS id, count(*) AS deg FROM ecore WHERE it = 30
+        |GROUP BY src HAVING count(*) >= 3 ORDER BY id""".stripMargin,
+    "g_lpa" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT DISTINCT src, dst FROM (
+        |    SELECT 'p:'||l_partkey AS src, 's:'||l_suppkey AS dst FROM lineitem WHERE l_partkey % 20 = 0
+        |    UNION ALL
+        |    SELECT 's:'||l_suppkey, 'p:'||l_partkey FROM lineitem WHERE l_partkey % 20 = 0)),
+        |v AS (SELECT DISTINCT src AS id FROM e),
+        |lp AS (
+        |  SELECT 0 AS it, id, id AS community FROM v
+        |  UNION ALL
+        |  SELECT it+1 AS it, dst AS id, community FROM (
+        |    SELECT p.it AS it, e.dst AS dst, p.community AS community, count(*) AS cnt
+        |    FROM lp p JOIN e ON e.src = p.id
+        |    WHERE p.it < 5 GROUP BY 1,2,3) c
+        |  QUALIFY row_number() OVER (PARTITION BY it, dst ORDER BY cnt DESC, community) = 1)
+        |SELECT community, count(*) AS size FROM lp WHERE it = 5
+        |GROUP BY 1 ORDER BY size DESC, community""".stripMargin,
     "g_sssp" ->
       """WITH RECURSIVE base AS (
         |  SELECT DISTINCT 'p:'||l_partkey AS a, 's:'||l_suppkey AS b,
