@@ -34,7 +34,12 @@ import org.apache.spark.sql.functions._
   *    'string' literals, and `>`, `>=`, `<`, `<=`, `=`, `<>` against
   *    numeric literals (property cast to double, null-safe); combined
   *    with AND / OR and parentheses (standard precedence); bare
-  *    identifiers (`n > 3`) reference WITH aliases
+  *    identifiers (`n > 3`) reference WITH aliases. General
+  *    comparisons between scalar EXPRESSIONS: prop-to-prop
+  *    (`a.image = b.image` — string-typed), and `+`, `-`, `*`, `/`
+  *    arithmetic with `toInteger`/`toFloat` coercions
+  *    (`(toInteger(r.dport) + 1) * 2 > 500`); any numeric term
+  *    switches the whole comparison to double
   *  - OPTIONAL MATCH (any number of chains, each starting at a bound
   *    variable — including one bound by an earlier optional chain)
   *    with Cypher semantics: WHERE conjuncts that reference only one
@@ -77,8 +82,25 @@ object CypherLite {
                            v: Option[String] = None)
   final case class Cond(v: String, prop: Option[String], op: String, value: String,
                         numeric: Boolean)
+
+  /** Scalar term of a general WHERE comparison: property refs, string/
+    * numeric literals, toInteger/toFloat coercions, and +,-,*,/
+    * arithmetic. Comparisons touching any numeric term evaluate both
+    * sides as doubles; pure ref/string comparisons stay string-typed
+    * (matching the stored property type — see the class doc on typing). */
+  sealed trait Term { def vars: Set[String] }
+  final case class PropT(v: String, prop: Option[String]) extends Term { def vars: Set[String] = Set(v) }
+  final case class NumT(value: Double) extends Term { def vars: Set[String] = Set.empty }
+  final case class StrT(value: String) extends Term { def vars: Set[String] = Set.empty }
+  final case class CastT(fn: String, t: Term) extends Term { def vars: Set[String] = t.vars }
+  final case class ArithT(op: String, l: Term, r: Term) extends Term { def vars: Set[String] = l.vars ++ r.vars }
+
   sealed trait Pred { def vars: Set[String] }
   final case class Leaf(c: Cond) extends Pred { def vars: Set[String] = Set(c.v) }
+  /** General comparison: `expr op expr` — covers prop-to-prop equality
+    * (`p.Image = c.Image`) and arithmetic (`toInteger(r.dport) - 8000 > 0`),
+    * which the fast-path [[Leaf]] (ref-vs-literal) cannot express. */
+  final case class CmpLeaf(l: Term, op: String, r: Term) extends Pred { def vars: Set[String] = l.vars ++ r.vars }
   final case class And(ps: Seq[Pred]) extends Pred { def vars: Set[String] = ps.flatMap(_.vars).toSet }
   final case class Or(ps: Seq[Pred]) extends Pred { def vars: Set[String] = ps.flatMap(_.vars).toSet }
 
@@ -138,22 +160,94 @@ object CypherLite {
         rest = rest.substring(tok.length); true
       } else false
     }
-    def factor(): Pred = {
+    // ---- scalar terms (for the general-comparison fallback) ----
+    val NumRe = """-?\d+(?:\.\d+)?""".r
+    val IdRe = """(\w+)(?:\.(\w+))?""".r
+    def atomT(): Term = {
       ws()
       if (rest.startsWith("(")) {
         rest = rest.substring(1)
-        val p = orExpr()
+        val t = sumT()
         ws()
-        require(rest.startsWith(")"), s"expected ')' at: $rest")
+        require(rest.startsWith(")"), s"expected ')' in expression at: $rest")
         rest = rest.substring(1)
-        p
-      } else CondRe.findPrefixMatchOf(rest) match {
+        t
+      } else if (rest.startsWith("'")) {
+        val e = rest.indexOf('\'', 1)
+        require(e > 0, s"unterminated string at: $rest")
+        val v = rest.substring(1, e); rest = rest.substring(e + 1)
+        StrT(v)
+      } else NumRe.findPrefixMatchOf(rest) match {
         case Some(m) =>
+          rest = rest.substring(m.end); NumT(m.matched.toDouble)
+        case None => IdRe.findPrefixMatchOf(rest) match {
+          case Some(m) if (m.group(1) == "toInteger" || m.group(1) == "toFloat")
+              && m.group(2) == null && rest.substring(m.end).trim.startsWith("(") =>
+            rest = rest.substring(rest.indexOf('(', m.end) + 1)
+            val inner = sumT()
+            ws()
+            require(rest.startsWith(")"), s"expected ')' after ${m.group(1)} at: $rest")
+            rest = rest.substring(1)
+            CastT(m.group(1).toLowerCase, inner)
+          case Some(m) =>
+            rest = rest.substring(m.end); PropT(m.group(1), Option(m.group(2)))
+          case None => throw new IllegalArgumentException(s"bad term at: $rest")
+        }
+      }
+    }
+    def prodT(): Term = {
+      var t = atomT(); ws()
+      while (rest.startsWith("*") || rest.startsWith("/")) {
+        val op = rest.substring(0, 1); rest = rest.substring(1)
+        t = ArithT(op, t, atomT()); ws()
+      }
+      t
+    }
+    def sumT(): Term = {
+      var t = prodT(); ws()
+      while (rest.startsWith("+") || rest.startsWith("-")) {
+        val op = rest.substring(0, 1); rest = rest.substring(1)
+        t = ArithT(op, t, prodT()); ws()
+      }
+      t
+    }
+    def cmpLeaf(): Pred = {
+      val l = sumT(); ws()
+      val ops = Seq(">=", "<=", "<>", "=", ">", "<",
+        "STARTS WITH", "ENDS WITH", "CONTAINS")
+      val op = ops.find(o => rest.regionMatches(true, 0, o, 0, o.length))
+        .getOrElse(throw new IllegalArgumentException(s"expected comparison at: $rest"))
+      rest = rest.substring(op.length)
+      CmpLeaf(l, op.toUpperCase, sumT())
+    }
+    def factor(): Pred = {
+      ws()
+      if (rest.startsWith("(")) {
+        // ambiguous: parenthesized predicate OR parenthesized arithmetic
+        // ("(r.x + 1) > 2") — try the predicate read, backtrack to a
+        // comparison on failure
+        val save = rest
+        try {
+          rest = rest.substring(1)
+          val p = orExpr()
+          ws()
+          require(rest.startsWith(")"), s"expected ')' at: $rest")
+          rest = rest.substring(1)
+          p
+        } catch { case _: Exception => rest = save; cmpLeaf() }
+      } else CondRe.findPrefixMatchOf(rest) match {
+        // fast path: ref-vs-literal — but not if what follows is an
+        // arithmetic operator (then the literal was a sub-term:
+        // "a.x = 1 + 1" must go to the general parser)
+        case Some(m) if {
+          val tail = rest.substring(m.end).trim
+          tail.isEmpty || "+-*/".indexOf(tail.head) < 0
+        } =>
           rest = rest.substring(m.end)
           val numeric = m.group(5) != null
           Leaf(Cond(m.group(1), Option(m.group(2)), m.group(3).toUpperCase,
             if (numeric) m.group(5) else m.group(4), numeric))
-        case None => throw new IllegalArgumentException(s"bad condition at: $rest")
+        case _ => cmpLeaf()
       }
     }
     def andExpr(): Pred = {
@@ -520,6 +614,47 @@ object CypherLite {
             case "STARTS WITH" => raw.startsWith(c.value)
             case "ENDS WITH" => raw.endsWith(c.value)
             case op => throw new IllegalArgumentException(s"$op needs a numeric literal")
+          }
+        case CmpLeaf(l, op, r) =>
+          // any numeric term (literal, arithmetic, coercion) switches the
+          // whole comparison to double; otherwise refs compare as the
+          // stored strings (same typing rule as the aggregate family)
+          def isNum(t: Term): Boolean = t match {
+            case _: NumT | _: CastT | _: ArithT => true
+            case _ => false
+          }
+          val numeric = isNum(l) || isNum(r)
+          def termCol(t: Term): Column = t match {
+            case PropT(v, Some(pr)) =>
+              val (df2, n) = bindProp(df, v, pr)
+              df = df2
+              if (numeric) col(n).cast("double") else col(n)
+            case PropT(v, None) =>
+              require(df.columns.contains(v), s"unbound identifier '$v'")
+              if (numeric) col(v).cast("double") else col(v)
+            case NumT(x) => lit(x)
+            case StrT(s0) => lit(s0)
+            case CastT(fn, t0) =>
+              val raw = termCol(t0)
+              if (fn == "tointeger") raw.cast("long").cast("double") else raw.cast("double")
+            case ArithT(o, a, b) => o match {
+              case "+" => termCol(a) + termCol(b)
+              case "-" => termCol(a) - termCol(b)
+              case "*" => termCol(a) * termCol(b)
+              case "/" => termCol(a) / termCol(b)
+            }
+          }
+          val (lc, rc) = (termCol(l), termCol(r))
+          op match {
+            case "=" => lc === rc
+            case "<>" => lc =!= rc
+            case ">" => lc > rc
+            case ">=" => lc >= rc
+            case "<" => lc < rc
+            case "<=" => lc <= rc
+            case "CONTAINS" => lc.contains(rc)
+            case "STARTS WITH" => lc.startsWith(rc)
+            case "ENDS WITH" => lc.endsWith(rc)
           }
         case And(ps) => ps.map(compile).reduce(_ && _)
         case Or(ps) => ps.map(compile).reduce(_ || _)

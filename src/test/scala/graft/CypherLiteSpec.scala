@@ -176,6 +176,39 @@ class CypherLiteSpec extends SparkSpec {
     assert(got == want && got.nonEmpty)
   }
 
+  test("arithmetic WHERE: (toInteger(r.dport) + 1) * 2 > 500") {
+    val (nodes, edges) = graph
+    val got = CypherLite.run(nodes, edges,
+      "MATCH (p:Process)-[r:CONNECTED_TO]->(ip:Ip) " +
+        "WHERE (toInteger(r.dport) + 1) * 2 > 500 RETURN DISTINCT p, ip")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    val want = et("CONNECTED_TO")
+      .filter((element_at(col("props"), "dport").cast("long").cast("double") + 1) * 2 > 500)
+      .select(col("src"), col("dst")).distinct()
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got == want && got.nonEmpty)
+    // and the threshold actually bites (a vacuous filter proves nothing)
+    val all = et("CONNECTED_TO").select(col("src"), col("dst")).distinct().count()
+    assert(got.size < all)
+  }
+
+  test("prop-to-prop WHERE: self-image spawns (a.image = b.image)") {
+    val (nodes, edges) = graph
+    val got = CypherLite.run(nodes, edges,
+      "MATCH (a:Process)-[:SPAWNS]->(b:Process) WHERE a.image = b.image " +
+        "RETURN DISTINCT a, b")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    val img = nodes.filter(col("label") === "Process")
+      .select(col("id"), element_at(col("props"), "image").as("img"))
+    val want = et("SPAWNS").select(col("src"), col("dst"))
+      .join(img.select(col("id").as("src"), col("img").as("ia")), Seq("src"))
+      .join(img.select(col("id").as("dst"), col("img").as("ib")), Seq("dst"))
+      .filter(col("ia") === col("ib"))
+      .select(col("src"), col("dst")).distinct()
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got == want && got.nonEmpty)
+  }
+
   test("OR and parentheses in WHERE with standard precedence") {
     val (nodes, edges) = graph
     val got = CypherLite.run(nodes, edges,
