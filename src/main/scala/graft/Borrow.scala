@@ -1,0 +1,37 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+/** Deterministic persist reclamation for operators that return frames
+  * derived from cached intermediates (the SURVEY §5 session-lived-
+  * persist trade-off).
+  *
+  * The hazard this replaces: an operator that `unpersist()`s its
+  * intermediates before the CALLER materializes the returned lazy
+  * frame silently recomputes the whole pipeline per downstream
+  * reference (two such lifecycle bugs shipped before the session-lived
+  * rule). `reclaim` instead materializes the result EAGERLY via
+  * `localCheckpoint` — the returned frame then owns its blocks and
+  * references no parent cache — and only then releases the borrowed
+  * caches.
+  *
+  * Use when the result is small relative to the borrows (the usual
+  * shape: thresholded pair lists, top-k's, aggregates); the extra cost
+  * is storing the output once, which the caller's first action would
+  * have paid anyway. NOT a blanket rule: checkpointing a large
+  * INTERMEDIATE measured ~3× slower than persist + exchange reuse in
+  * the triangle counter, which therefore keeps its orientation cache
+  * session-lived (see [[graft.graph.GraphOps.triangles]]).
+  */
+object Borrow {
+
+  /** Materialize `result` while `borrows` are cached, then release the
+    * borrows. The borrows must already be persisted (this helper does
+    * not persist them — operators persist at creation so their own
+    * eager steps, e.g. an adaptive max-df probe, reuse the cache). */
+  def reclaim(result: DataFrame, borrows: DataFrame*): DataFrame = {
+    val r = result.localCheckpoint() // eager by default: lineage-free
+    borrows.foreach(_.unpersist())
+    r
+  }
+}

@@ -102,11 +102,11 @@ object Dedup {
     * argument and the adaptive low-skew fast path). Every pair with
     * J ≥ θ is reported with its exact Jaccard. */
   def d4Jaccard(s: SparkSession, dir: String, threshold: Double = 0.5,
-                dfCap: Long = 1000L): DataFrame = {
+                dfCap: Long = 1000L, reclaim: Boolean = true): DataFrame = {
     val docs = Tables.documents(s, dir)
     JaccardJoin.exactPairs(
         shingleRows(docs).select(col("doc_id").as("id"), col("g").as("item")),
-        threshold, dfCap)
+        threshold, dfCap, reclaim)
       .select(col("id1"), col("id2"), round(col("jaccard"), 4).as("jaccard"))
       .orderBy(col("id1"), col("id2"))
   }
@@ -181,9 +181,10 @@ object Dedup {
       .persist() // referenced by signatures AND verification
     // persist: verifyJaccard references the candidate frame three
     // times (both id sides + the pair join) — without this the whole
-    // minhash pipeline re-executes per reference
+    // minhash pipeline re-executes per reference. The verified pair
+    // list is tiny → reclaim both caches behind it.
     val cand = d2Candidates(docs, k, bands, bucketCap).persist()
-    verifyJaccard(docs, cand, threshold)
+    graft.Borrow.reclaim(verifyJaccard(docs, cand, threshold), docs, cand)
   }
 
   /** LSH candidate pairs with the degenerate-bucket guard (SURVEY §5).

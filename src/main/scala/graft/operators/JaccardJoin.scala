@@ -70,9 +70,15 @@ object JaccardJoin {
   /** All pairs (id1 < id2) with Jaccard(items(id1), items(id2)) ≥
     * threshold, with the exact (unrounded) Jaccard value. `rows` needs
     * columns `id` and `item`; duplicates are collapsed (set
-    * semantics). Persists are session-lived: the returned frame is
-    * lazy (see the triangles/e3 lifecycle note in GraphOps). */
-  def exactPairs(rows0: DataFrame, threshold: Double, dfCap: Long): DataFrame = {
+    * semantics).
+    *
+    * With `reclaim` (the default) the thresholded pair list — tiny
+    * relative to the inverted index — is materialized eagerly and the
+    * internal caches are released ([[graft.Borrow.reclaim]]); pass
+    * `reclaim = false` to get the lazy frame with its full plan (the
+    * plan audits do, to inspect the join strategy). */
+  def exactPairs(rows0: DataFrame, threshold: Double, dfCap: Long,
+                 reclaim: Boolean = true): DataFrame = {
     val rows = rows0.select(col("id"), col("item")).distinct().persist()
     val sizes = rows.groupBy(col("id")).agg(count(lit(1)).as("n"))
     val freq = rows.groupBy(col("item")).agg(count(lit(1)).as("df")).persist()
@@ -85,7 +91,8 @@ object JaccardJoin {
           col("x.item") === col("y.item") && col("x.id") < col("y.id"))
         .groupBy(col("x.id").as("id1"), col("y.id").as("id2"))
         .agg(count(lit(1)).as("i"))
-      thresholded(iAll, sizes, threshold)
+      val out = thresholded(iAll, sizes, threshold)
+      if (reclaim) graft.Borrow.reclaim(out, rows, freq) else out
     } else {
       val cand = candidates(rows, sizes, freq, threshold).persist()
       val rf = rows.join(freq, Seq("item"))
@@ -110,7 +117,8 @@ object JaccardJoin {
           coalesce(col("i_low"), lit(0L)) + coalesce(col("i_high"), lit(0L)))
         .filter(col("i") > 0)
         .select(col("id1"), col("id2"), col("i"))
-      thresholded(pairs, sizes, threshold)
+      val out = thresholded(pairs, sizes, threshold)
+      if (reclaim) graft.Borrow.reclaim(out, rows, freq, cand) else out
     }
   }
 }

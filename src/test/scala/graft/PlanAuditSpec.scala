@@ -62,7 +62,10 @@ class PlanAuditSpec extends SparkSpec {
   }
 
   test("D4: prefix-filtered candidate generation joins only on shingles (equi)") {
-    val p = plan(graft.operators.Dedup.d4Jaccard(spark, sf))
+    // reclaim=false: the audit needs the full lazy plan — the default
+    // reclaim path checkpoints the (already-executed) result, which
+    // would hide the joins from this assertion
+    val p = plan(graft.operators.Dedup.d4Jaccard(spark, sf, reclaim = false))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
@@ -85,6 +88,20 @@ class PlanAuditSpec extends SparkSpec {
     assert(winSpecs.nonEmpty, p)
     winSpecs.foreach(w => assert(w.contains("pid"), s"window without pid:\n$w"))
     assert(!p.contains("Exchange SinglePartition"), p)
+  }
+
+  test("F7: the eval gram set joins broadcast (never shuffles the training side)") {
+    val p = plan(graft.operators.TextAnalysis.f7Decontam(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("P5: weighted sampling is pure per-row arithmetic — no shuffle at all") {
+    val df = graft.operators.Curation.p5WeightedSample(spark, sf)
+    // the only allowed exchange is the final presentation orderBy's
+    // range partitioning; nothing upstream of it may shuffle
+    val p = plan(df)
+    val exchanges = p.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(exchanges.forall(_.contains("rangepartitioning")), p)
   }
 
   test("P3: stage-1 sample window partitions on (pid, lang); merge input is pruned") {
