@@ -131,6 +131,16 @@ object SparkEntry {
           "MATCH (t:Trace)-[:HAS_PROCESS]->(p) " +
           "RETURN DISTINCT t, p, n_ips ORDER BY n_ips DESC, t, p")
     }),
+    // the expression surface end-to-end: arithmetic + coercion in
+    // WHERE (non-ephemeral high ports) and prop-to-prop equality
+    // (self-image spawns), purely textual
+    "sg_cypher3"   -> ((s, _) => {
+      val (n, e) = graft.graph.SysmonGraph.buildCached(s, "/root/reference/malware/*.json")
+      graft.graph.CypherLite.run(n, e,
+        "MATCH (p:Process)-[r:CONNECTED_TO]->(ip:Ip) " +
+          "WHERE (toInteger(r.dport) + 1) * 2 > 500 " +
+          "RETURN DISTINCT p, ip, r.dport ORDER BY p, ip")
+    }),
     "sg_spawntree" -> ((s, _) => {
       val (_, e) = graft.graph.SysmonGraph.buildCached(s, "/root/reference/malware/*.json")
       graft.graph.Detections.deepSpawnChains(e, minDepth = 1)

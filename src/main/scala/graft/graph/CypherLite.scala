@@ -64,10 +64,14 @@ import org.apache.spark.sql.functions._
   *    aliases) project the stage so far; its having-WHERE filters the
   *    projection; a follow-on MATCH joins new patterns on the carried
   *    variables
-  *  - `MATCH p = shortestPath((a)-[:T*]->(b))` with `a.id = '…'`
-  *    pinned in WHERE: compiled to [[GraphOps.bfsPaths]] (per-hop
-  *    greedy lexicographic tie-break — see its doc); `RETURN` may use
-  *    `b`, `b.prop`, `p` (the '>'-joined path string) and `length(p)`
+  *  - `MATCH p = shortestPath((a)-[:T*]->(b))`: with `a.id = '…'`
+  *    pinned in WHERE, one single-source BFS
+  *    ([[GraphOps.bfsPaths]]); UNPINNED, the all-pairs form — every
+  *    node matching a's label is a root — compiled to ONE multi-
+  *    source keyed BFS ([[GraphOps.bfsPathsFrom]], never a per-root
+  *    loop). Per-hop greedy lexicographic tie-break either way;
+  *    `RETURN` may use `a`, `b`, their props, `p` (the '>'-joined
+  *    path string) and `length(p)`
   *  - ORDER BY over returned items; LIMIT n
   *
   * Each single hop is one equi-join on the edge frame; a
@@ -735,25 +739,38 @@ object CypherLite {
         case Leaf(c) => c.v == sp.a.v && c.prop.contains("id") && c.op == "=" && !c.numeric
         case _ => false
       }
-      require(seedConds.nonEmpty,
-        s"shortestPath needs the source pinned: WHERE ${sp.a.v}.id = '…'")
-      val seedId = seedConds.head.asInstanceOf[Leaf].c.value
-      // source label check (if the pinned node lacks the label → empty)
-      val seedOk = sp.a.label.forall(l =>
-        nodes.filter(col("label") === l && col("id") === seedId).limit(1).count() == 1)
       val h = sp.hop
       val e0 = h.etype.map(t => edges.filter(col("etype") === t)).getOrElse(edges)
       val e = if (h.reverse) e0.select(col("dst").as("src"), col("src").as("dst"))
               else e0.select(col("src"), col("dst"))
-      val spark = nodes.sparkSession
-      import spark.implicits._
-      val seed = Seq(seedId).toDF("id")
-      var out = GraphOps.bfsPaths(e, seed, maxIter = h.max)
-        .filter(col("dist") >= h.min && col("dist") <= h.max)
-        .withColumnRenamed("id", sp.b.v)
-        .withColumnRenamed("path", sp.pathVar)
-        .withColumn(sp.a.v, lit(seedId))
-      if (!seedOk) out = out.limit(0)
+      var out =
+        if (seedConds.nonEmpty) {
+          // pinned source — one single-source BFS
+          val seedId = seedConds.head.asInstanceOf[Leaf].c.value
+          // source label check (if the pinned node lacks the label → empty)
+          val seedOk = sp.a.label.forall(l =>
+            nodes.filter(col("label") === l && col("id") === seedId).limit(1).count() == 1)
+          val spark = nodes.sparkSession
+          import spark.implicits._
+          val seed = Seq(seedId).toDF("id")
+          val r = GraphOps.bfsPaths(e, seed, maxIter = h.max)
+            .filter(col("dist") >= h.min && col("dist") <= h.max)
+            .withColumnRenamed("id", sp.b.v)
+            .withColumnRenamed("path", sp.pathVar)
+            .withColumn(sp.a.v, lit(seedId))
+          if (seedOk) r else r.limit(0)
+        } else {
+          // unpinned — ALL-PAIRS shortest paths from every node matching
+          // a's label, as ONE multi-source keyed BFS (never a per-root
+          // loop); the reached-pair space is the same bounded transitive
+          // closure a variable-length hop materializes
+          GraphOps.bfsPathsFrom(e, seedOf(sp.a).select(col(sp.a.v).as("id")),
+              maxIter = h.max)
+            .filter(col("dist") >= h.min && col("dist") <= h.max)
+            .withColumnRenamed("root", sp.a.v)
+            .withColumnRenamed("id", sp.b.v)
+            .withColumnRenamed("path", sp.pathVar)
+        }
       sp.b.label.foreach { l =>
         out = out.join(nodes.filter(col("label") === l).select(col("id").as(sp.b.v)),
           Seq(sp.b.v), "left_semi")

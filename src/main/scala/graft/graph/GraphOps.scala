@@ -292,6 +292,42 @@ object GraphOps {
     visited
   }
 
+  /** Multi-source [[bfsPaths]] — one BFS per source executed as a
+    * SINGLE keyed frontier (the MS-BFS formulation): state rows are
+    * (root, id, dist, path); every round is one equi-join of the whole
+    * frontier against the edge frame plus one (root, id)-keyed
+    * aggregation, so the per-round cost is |frontier across all
+    * roots|, never #roots separate BFS jobs. Returns every (root,
+    * reached) pair with the minimal dist and the per-hop-greedy
+    * min-path (same tie-break rule as [[bfsPaths]], per root). */
+  def bfsPathsFrom(edges: DataFrame, sources: DataFrame, maxIter: Int = 20): DataFrame = {
+    val e = edges.select(col("src"), col("dst"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var visited = sources.select(col("id")).distinct()
+      .select(col("id").as("root"), col("id"), lit(0).as("dist"),
+        col("id").cast("string").as("path"))
+      .localCheckpoint()
+    var frontier = visited
+    var frontierCount = frontier.count()
+    var depth = 0
+    while (depth < maxIter && frontierCount > 0) {
+      depth += 1
+      val next = frontier.join(e, frontier("id") === e("src"))
+        .select(col("root"), e("dst").as("id"),
+          concat(col("path"), lit(">"), e("dst")).as("path"))
+        .groupBy(col("root"), col("id")).agg(min(col("path")).as("path"))
+        .join(visited.select(col("root"), col("id")), Seq("root", "id"), "left_anti")
+        .withColumn("dist", lit(depth))
+        .select(col("root"), col("id"), col("dist"), col("path"))
+        .localCheckpoint()
+      frontierCount = next.count()
+      if (frontierCount > 0) visited = visited.unionByName(next).localCheckpoint()
+      frontier = next
+    }
+    e.unpersist()
+    visited
+  }
+
   /** Per-vertex triangle count over the undirected simple graph.
     *
     * Degree-ordered orientation (every edge points from its lower-

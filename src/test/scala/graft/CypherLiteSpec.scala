@@ -427,6 +427,44 @@ class CypherLiteSpec extends SparkSpec {
     assert(got == want && got.nonEmpty)
   }
 
+  test("unpinned shortestPath: all-pairs dists equal an in-memory BFS replay") {
+    val (nodes, edges) = graph
+    val got = CypherLite.run(nodes, edges,
+      "MATCH p = shortestPath((a:Process)-[:SPAWNS*1..5]->(b:Process)) " +
+        "RETURN a, b, length(p)")
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    // independent replay: BFS per root over the collected SPAWNS edges
+    val adj = et("SPAWNS").select(col("src"), col("dst")).distinct()
+      .collect().map(r => (r.getString(0), r.getString(1)))
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2) }
+    val procs = nodes.filter(col("label") === "Process")
+      .select(col("id")).collect().map(_.getString(0)).toSet
+    val want = scala.collection.mutable.Map.empty[(String, String), Long]
+    adj.keys.filter(procs).foreach { root =>
+      var depth = 0L
+      var frontier = Set(root)
+      var seen = Set(root)
+      while (depth < 5 && frontier.nonEmpty) {
+        depth += 1
+        val next = frontier.flatMap(v => adj.getOrElse(v, Array.empty[String]))
+          .diff(seen)
+        next.filter(procs).foreach(b => want((root, b)) = depth)
+        seen ++= next
+        frontier = next
+      }
+    }
+    assert(got == want.toMap && got.nonEmpty)
+    // paths carry dist+1 vertices and the right endpoints
+    val pathRows = CypherLite.run(nodes, edges,
+      "MATCH p = shortestPath((a:Process)-[:SPAWNS*1..5]->(b:Process)) " +
+        "RETURN a, b, p, length(p)").collect()
+    pathRows.foreach { r =>
+      val hops = r.getString(2).split(">")
+      assert(hops.length == r.getLong(3) + 1)
+      assert(hops.head == r.getString(0) && hops.last == r.getString(1))
+    }
+  }
+
   test("repeated variable within a pattern binds as an equality join (cycles)") {
     val (nodes, edges) = graph
     // any 2-cycle over arbitrary edge types: (a)-[]->(x)-[]->(a)
