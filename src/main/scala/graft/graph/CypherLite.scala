@@ -57,7 +57,10 @@ import org.apache.spark.sql.functions._
   *    `toFloat(...)` (e.g. `max(toInteger(r.dport))` orders
   *    numerically); `collect` returns a SORTED array for
   *    deterministic output. Output columns: `v`, `v_prop`, `count`,
-  *    `sum_v_prop`, … or the `AS` alias
+  *    `sum_v_prop`, … or the `AS` alias. An item may also be an
+  *    aliased scalar EXPRESSION in the WHERE term grammar
+  *    (`toInteger(r.dport) * 2 + 1 AS odd_port` — the alias is
+  *    required)
   *  - `WITH` pipeline stages (any number): `MATCH … WITH items
   *    [WHERE having] [MATCH …pattern(s) [OPTIONAL MATCH …]] WITH …
   *    RETURN …` — each WITH's items (aggregates allowed, `AS`
@@ -115,7 +118,8 @@ object CypherLite {
     * `max(toInteger(r.dport))` orders numerically, not as strings);
     * `alias` an `AS name`. */
   final case class RetItem(agg: Option[String], v: String, prop: Option[String],
-                           cast: Option[String] = None, alias: Option[String] = None) {
+                           cast: Option[String] = None, alias: Option[String] = None,
+                           term: Option[Term] = None) {
     def outName: String = alias.getOrElse(agg match {
       case None => prop.map(p => s"${v}_$p").getOrElse(v)
       case Some("count") if v == "*" => "count"
@@ -152,9 +156,12 @@ object CypherLite {
   // ---------------------------------------------------------------- parsing
 
   /** Recursive-descent WHERE parser: standard precedence (AND over
-    * OR), parentheses, conditions from [[CondRe]]. */
-  private def parseWhere(s: String): Pred = {
-    var rest = s.trim
+    * OR), parentheses, conditions from [[CondRe]]. Exposed as a class
+    * so RETURN/WITH items can reuse the scalar-term grammar
+    * ([[parseTerm]]) on their own cursor. */
+  private def parseWhere(s: String): Pred = new PredParser(s.trim).parsePred()
+
+  private final class PredParser(var rest: String) {
     def ws(): Unit = { rest = rest.dropWhile(_ == ' ') }
     def eat(tok: String): Boolean = {
       ws()
@@ -264,10 +271,19 @@ object CypherLite {
       while (eat("OR")) ps += andExpr()
       if (ps.size == 1) ps.head else Or(ps.toSeq)
     }
-    val p = orExpr()
-    ws()
-    require(rest.isEmpty, s"trailing WHERE content: $rest")
-    p
+    def parsePred(): Pred = {
+      val p = orExpr()
+      ws()
+      require(rest.isEmpty, s"trailing WHERE content: $rest")
+      p
+    }
+
+    def parseTerm(): Term = {
+      val t = sumT()
+      ws()
+      require(rest.isEmpty, s"trailing expression content: $rest")
+      t
+    }
   }
 
   private def parseRetItem(s0: String): RetItem = {
@@ -288,8 +304,15 @@ object CypherLite {
         else RetItem(Some(fn), v, Option(p), None, alias)
       case r => r.split("\\.") match {
         case Array(v) if v.matches("\\w+") => RetItem(None, v, None, None, alias)
-        case Array(v, p) => RetItem(None, v, Some(p), None, alias)
-        case _ => throw new IllegalArgumentException(s"bad return item: $r")
+        case Array(v, p) if v.matches("\\w+") && p.matches("\\w+") =>
+          RetItem(None, v, Some(p), None, alias)
+        case _ =>
+          // general scalar expression ("toInteger(r.dport) * 2 AS x") —
+          // same term grammar as WHERE; an alias is required (Cypher
+          // auto-names expressions; here output naming stays explicit)
+          val t = new PredParser(r).parseTerm()
+          require(alias.isDefined, s"expression item needs AS <alias>: $r")
+          RetItem(None, "", None, None, alias, Some(t))
       }
     }
   }
@@ -583,6 +606,40 @@ object CypherLite {
       }
     }
 
+    private def isNumericTerm(t: Term): Boolean = t match {
+      case _: NumT | _: CastT | _: ArithT => true
+      case _ => false
+    }
+
+    /** Compile a scalar term over a frame, binding prop columns as
+      * needed; `numeric` forces refs to double (the comparison/
+      * arithmetic context). toInteger truncates (cast via long). */
+    private def compileTerm(df0: DataFrame, t: Term, numeric: Boolean): (DataFrame, Column) = {
+      var df = df0
+      def go(t: Term): Column = t match {
+        case PropT(v, Some(pr)) =>
+          val (df2, n) = bindProp(df, v, pr)
+          df = df2
+          if (numeric) col(n).cast("double") else col(n)
+        case PropT(v, None) =>
+          require(df.columns.contains(v), s"unbound identifier '$v'")
+          if (numeric) col(v).cast("double") else col(v)
+        case NumT(x) => lit(x)
+        case StrT(s0) => lit(s0)
+        case CastT(fn, t0) =>
+          val raw = go(t0)
+          if (fn == "tointeger") raw.cast("long") else raw.cast("double")
+        case ArithT(o, a, b) => o match {
+          case "+" => go(a) + go(b)
+          case "-" => go(a) - go(b)
+          case "*" => go(a) * go(b)
+          case "/" => go(a) / go(b)
+        }
+      }
+      val c = go(t)
+      (df, c)
+    }
+
     /** Predicate compilation over a frame (binding prop columns as
       * needed); returns the filtered frame. A bare identifier condition
       * (no `.prop`) references a column directly — a WITH alias. */
@@ -623,32 +680,11 @@ object CypherLite {
           // any numeric term (literal, arithmetic, coercion) switches the
           // whole comparison to double; otherwise refs compare as the
           // stored strings (same typing rule as the aggregate family)
-          def isNum(t: Term): Boolean = t match {
-            case _: NumT | _: CastT | _: ArithT => true
-            case _ => false
-          }
-          val numeric = isNum(l) || isNum(r)
-          def termCol(t: Term): Column = t match {
-            case PropT(v, Some(pr)) =>
-              val (df2, n) = bindProp(df, v, pr)
-              df = df2
-              if (numeric) col(n).cast("double") else col(n)
-            case PropT(v, None) =>
-              require(df.columns.contains(v), s"unbound identifier '$v'")
-              if (numeric) col(v).cast("double") else col(v)
-            case NumT(x) => lit(x)
-            case StrT(s0) => lit(s0)
-            case CastT(fn, t0) =>
-              val raw = termCol(t0)
-              if (fn == "tointeger") raw.cast("long").cast("double") else raw.cast("double")
-            case ArithT(o, a, b) => o match {
-              case "+" => termCol(a) + termCol(b)
-              case "-" => termCol(a) - termCol(b)
-              case "*" => termCol(a) * termCol(b)
-              case "/" => termCol(a) / termCol(b)
-            }
-          }
-          val (lc, rc) = (termCol(l), termCol(r))
+          val numeric = isNumericTerm(l) || isNumericTerm(r)
+          val (d1, lc) = compileTerm(df, l, numeric)
+          df = d1
+          val (d2, rc) = compileTerm(df, r, numeric)
+          df = d2
           op match {
             case "=" => lc === rc
             case "<>" => lc =!= rc
@@ -673,14 +709,20 @@ object CypherLite {
       var bound = bound0
       val (aggItems, plainItems) = items.partition(_.agg.isDefined)
       val plainCols = plainItems.map { it =>
-        it.prop match {
-          case None =>
-            require(bound.columns.contains(it.v), s"unbound variable '${it.v}'")
-            if (it.outName == it.v) col(it.v) else col(it.v).as(it.outName)
-          case Some(p) =>
-            val (df2, cn) = bindProp(bound, it.v, p)
+        it.term match {
+          case Some(t) =>
+            val (df2, c) = compileTerm(bound, t, isNumericTerm(t))
             bound = df2
-            if (cn == it.outName) col(cn) else col(cn).as(it.outName)
+            c.as(it.outName)
+          case None => it.prop match {
+            case None =>
+              require(bound.columns.contains(it.v), s"unbound variable '${it.v}'")
+              if (it.outName == it.v) col(it.v) else col(it.v).as(it.outName)
+            case Some(p) =>
+              val (df2, cn) = bindProp(bound, it.v, p)
+              bound = df2
+              if (cn == it.outName) col(cn) else col(cn).as(it.outName)
+          }
         }
       }
       val aggCols = aggItems.map { it =>

@@ -427,6 +427,27 @@ class CypherLiteSpec extends SparkSpec {
     assert(got == want && got.nonEmpty)
   }
 
+  test("RETURN expression items: arithmetic with coercion, aliased and ordered") {
+    val (nodes, edges) = graph
+    val got = CypherLite.run(nodes, edges,
+      "MATCH (p:Process)-[r:CONNECTED_TO]->(ip:Ip) " +
+        "RETURN DISTINCT p, ip, toInteger(r.dport) * 2 + 1 AS odd_port " +
+        "ORDER BY odd_port DESC, p, ip LIMIT 10")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
+    val want = et("CONNECTED_TO")
+      .select(col("src").as("p"), col("dst").as("ip"),
+        (element_at(col("props"), "dport").cast("long").cast("double") * 2 + 1)
+          .as("odd_port"))
+      .distinct()
+      .orderBy(col("odd_port").desc, col("p"), col("ip")).limit(10)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
+    assert(got.sameElements(want) && got.nonEmpty)
+    // expression items without AS are rejected, not silently misnamed
+    intercept[IllegalArgumentException] {
+      CypherLite.parse("MATCH (a)-[r:X]->(b) RETURN toInteger(r.p) + 1")
+    }
+  }
+
   test("unpinned shortestPath: all-pairs dists equal an in-memory BFS replay") {
     val (nodes, edges) = graph
     val got = CypherLite.run(nodes, edges,
