@@ -156,6 +156,9 @@ object SparkEntry {
     // candidate scale path (rows-only: recall < 1 by design, spec-bound)
     "d5_embdup"    -> ((s, d) => Dedup.d5EmbDupExact(s, d)),
     "d5_lsh"       -> ((s, d) => Dedup.d5EmbDup(s, d)),
+    // sketch-banded candidate variant (deterministic pigeonhole recall
+    // condition on the 64-bit sign sketch); rows-only like d5_lsh
+    "d5_simhash"   -> ((s, d) => Dedup.d5EmbDupSimhash(s, d)),
     // E. similarity search
     "e1_topk"      -> ((s, d) => Similarity.e1TopK(s, d)),
     "e2_ann"       -> ((s, d) => Similarity.e2AnnTopK(s, d)),

@@ -328,6 +328,48 @@ object Dedup {
       .distinct()
   }
 
+  /** D5 variant — SimHash-BAND candidates: ONE 64-bit sign sketch per
+    * vector ([[Similarity.lshBucket]] with 64 planes), banded into
+    * `bands` chunks — [[d3Simhash]]'s text scheme applied to the
+    * embedding space. Candidates share at least one identical chunk.
+    *
+    * The recall condition is DETERMINISTIC on the sketch: a pair whose
+    * sketches differ in ≤ bands-1 bits MUST share a chunk (pigeonhole),
+    * where the multi-table variant ([[d5EmbDup]]) offers only a union
+    * of independent per-table probabilities. At the production θ ≥ 0.9
+    * operating point each bit flips with p = acos(θ)/π ≤ 0.144, so
+    * near-dup sketches concentrate within a few bits of each other.
+    * Same exact cosine verification; candidates bounded by chunk-
+    * bucket sizes (2^(64/bands) buckets per band). */
+  def d5EmbDupSimhash(s: SparkSession, dir: String, threshold: Double = 0.4,
+                      bands: Int = 8): DataFrame = {
+    require(64 % bands == 0, "bands must divide 64")
+    val chunkBits = 64 / bands
+    val mask = if (chunkBits == 64) -1L else (1L << chunkBits) - 1
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .persist()
+    val banded = e
+      .withColumn("sk", Similarity.lshBucket(col("v"), 64))
+      .select(col("vec_id"),
+        posexplode(array((0 until bands).map(b =>
+          shiftrightunsigned(col("sk"), b * chunkBits).bitwiseAND(lit(mask))): _*))
+          .as(Seq("band", "chunk")))
+    val cand = banded.alias("x").join(banded.alias("y"),
+        col("x.band") === col("y.band") && col("x.chunk") === col("y.chunk") &&
+          col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("id1"), col("y.vec_id").as("id2"))
+      .distinct()
+    val out = cand
+      .join(e.select(col("vec_id").as("id1"), col("v").as("v1")), Seq("id1"))
+      .join(e.select(col("vec_id").as("id2"), col("v").as("v2")), Seq("id2"))
+      .withColumn("cos", graft.functions.VectorFunctions.cosine_sim(s, col("v1"), col("v2")))
+      .filter(col("cos") >= threshold)
+      .select(col("id1"), col("id2"), round(col("cos"), 4).as("cos_sim"))
+      .orderBy(col("id1"), col("id2"))
+    graft.Borrow.reclaim(out, e)
+  }
+
   /** D5 exact twin — brute-force all-pairs cosine. Oracle-checkable
     * (DuckDB `list_cosine_similarity`) and the recall reference for
     * [[d5EmbDup]]'s LSH path; O(n²), small corpora only. */
