@@ -39,8 +39,13 @@ object Bench {
     val results = headline.flatMap { name =>
       SparkEntry.queries.get(name).map { fn =>
         // operators persist intermediates internally; drop them between
-        // queries so later measurements don't fight a full block store
+        // queries so later measurements don't fight a full block store.
+        // The GC matters too: localCheckpoint blocks (Borrow.reclaim,
+        // iterative frontiers) are freed by the ContextCleaner only
+        // when their RDDs are collected — without it they accumulate
+        // across queries and push later persists to disk
         spark.catalog.clearCache()
+        System.gc()
         val (a, b) = (timeOnce(fn), timeOnce(fn))
         name -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
       }
