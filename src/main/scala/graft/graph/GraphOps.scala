@@ -57,7 +57,7 @@ object GraphOps {
         .distinct()
         .join(visited, Seq("id"), "left_anti")
         .withColumn("dist", lit(depth))
-        .localCheckpoint()
+        .localCheckpoint(false) // lazy: the count below materializes it
       frontierCount = next.count()
       if (frontierCount > 0) frontiers ::= next
       frontier = next
@@ -103,7 +103,7 @@ object GraphOps {
       val next = labels.unionByName(msgs)
         .groupBy(col("id"))
         .agg(min(col("component")).as("component"))
-        .localCheckpoint()
+        .localCheckpoint(false) // lazy: the signature below materializes it
       val s = sig(next)
       converged = s.compareTo(prevSig) == 0
       prevSig = s
@@ -283,7 +283,7 @@ object GraphOps {
         .join(visited, Seq("id"), "left_anti")
         .withColumn("dist", lit(depth))
         .select(col("id"), col("dist"), col("path"))
-        .localCheckpoint()
+        .localCheckpoint(false) // lazy: count below materializes
       frontierCount = next.count()
       if (frontierCount > 0) visited = visited.unionByName(next).localCheckpoint()
       frontier = next
@@ -319,7 +319,7 @@ object GraphOps {
         .join(visited.select(col("root"), col("id")), Seq("root", "id"), "left_anti")
         .withColumn("dist", lit(depth))
         .select(col("root"), col("id"), col("dist"), col("path"))
-        .localCheckpoint()
+        .localCheckpoint(false) // lazy: count below materializes
       frontierCount = next.count()
       if (frontierCount > 0) visited = visited.unionByName(next).localCheckpoint()
       frontier = next
@@ -429,9 +429,9 @@ object GraphOps {
       val e2 = e
         .join(keep.select(col("id").as("src")), Seq("src"), "left_semi")
         .join(keep.select(col("id").as("dst")), Seq("dst"), "left_semi")
-        .localCheckpoint()
+        .localCheckpoint(false) // lazy: deg2's count materializes the pair
       val deg2 = e2.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
-        .localCheckpoint()
+        .localCheckpoint(false)
       dropped = deg.count() - deg2.count()
       e = e2; deg = deg2
     }
