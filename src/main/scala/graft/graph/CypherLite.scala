@@ -60,7 +60,8 @@ import org.apache.spark.sql.functions._
   *    `sum_v_prop`, … or the `AS` alias. An item may also be an
   *    aliased scalar EXPRESSION in the WHERE term grammar
   *    (`toInteger(r.dport) * 2 + 1 AS odd_port` — the alias is
-  *    required)
+  *    required), plain or under an aggregate
+  *    (`sum(toInteger(r.dport) * 2) AS s`)
   *  - `WITH` pipeline stages (any number): `MATCH … WITH items
   *    [WHERE having] [MATCH …pattern(s) [OPTIONAL MATCH …]] WITH …
   *    RETURN …` — each WITH's items (aggregates allowed, `AS`
@@ -302,6 +303,12 @@ object CypherLite {
         } else if (castFn != null)
           RetItem(Some(fn), cv, Option(cp), Some(castFn.toLowerCase), alias)
         else RetItem(Some(fn), v, Option(p), None, alias)
+      case AggExprRe(f, inner) if parsesAsTerm(inner) =>
+        // aggregate over a scalar EXPRESSION ("sum(toInteger(r.dport)
+        // * 2) AS s") — the ref/cast forms are handled by AggRe above
+        require(alias.isDefined, s"aggregate over an expression needs AS <alias>: $s")
+        RetItem(Some(f.toLowerCase), "", None, None, alias,
+          Some(new PredParser(inner.trim).parseTerm()))
       case r => r.split("\\.") match {
         case Array(v) if v.matches("\\w+") => RetItem(None, v, None, None, alias)
         case Array(v, p) if v.matches("\\w+") && p.matches("\\w+") =>
@@ -316,6 +323,11 @@ object CypherLite {
       }
     }
   }
+
+  private val AggExprRe = """(?i)(count|sum|avg|min|max|collect)\s*\((.*)\)""".r
+  private def parsesAsTerm(s: String): Boolean =
+    try { new PredParser(s.trim).parseTerm(); true }
+    catch { case _: Exception => false }
 
   private def parseOrder(orderOrNull: String): Seq[(String, Boolean)] =
     Option(orderOrNull).toSeq.flatMap(_.split(",").toSeq).map { o =>
@@ -726,21 +738,26 @@ object CypherLite {
         }
       }
       val aggCols = aggItems.map { it =>
-        def valueCol(): Column = {
-          val raw = it.prop match {
-            case None =>
-              require(bound.columns.contains(it.v), s"unbound variable '${it.v}'")
-              col(it.v)
-            case Some(p) =>
-              val (df2, cn) = bindProp(bound, it.v, p)
-              bound = df2
-              col(cn)
-          }
-          it.cast match {
-            case Some("tointeger") => raw.cast("long")
-            case Some("tofloat") => raw.cast("double")
-            case _ => raw
-          }
+        def valueCol(): Column = it.term match {
+          case Some(t) =>
+            val (df2, c) = compileTerm(bound, t, isNumericTerm(t))
+            bound = df2
+            c
+          case None =>
+            val raw = it.prop match {
+              case None =>
+                require(bound.columns.contains(it.v), s"unbound variable '${it.v}'")
+                col(it.v)
+              case Some(p) =>
+                val (df2, cn) = bindProp(bound, it.v, p)
+                bound = df2
+                col(cn)
+            }
+            it.cast match {
+              case Some("tointeger") => raw.cast("long")
+              case Some("tofloat") => raw.cast("double")
+              case _ => raw
+            }
         }
         (it.agg.get match {
           case "count" => if (it.v == "*") count(lit(1)) else count(valueCol())

@@ -448,6 +448,19 @@ class CypherLiteSpec extends SparkSpec {
     }
   }
 
+  test("aggregate over an expression: sum(toInteger(r.dport) * 2)") {
+    val (nodes, edges) = graph
+    val got = CypherLite.run(nodes, edges,
+      "MATCH (p:Process)-[r:CONNECTED_TO]->(ip:Ip) " +
+        "RETURN p, sum(toInteger(r.dport) * 2) AS s2 ORDER BY p")
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toMap
+    val want = et("CONNECTED_TO")
+      .groupBy(col("src"))
+      .agg(sum(element_at(col("props"), "dport").cast("long").cast("double") * 2).as("s2"))
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toMap
+    assert(got == want && got.nonEmpty)
+  }
+
   test("unpinned shortestPath: all-pairs dists equal an in-memory BFS replay") {
     val (nodes, edges) = graph
     val got = CypherLite.run(nodes, edges,
