@@ -39,7 +39,13 @@ import org.apache.spark.sql.functions._
   *    (`a.image = b.image` — string-typed), and `+`, `-`, `*`, `/`
   *    arithmetic with `toInteger`/`toFloat` coercions
   *    (`(toInteger(r.dport) + 1) * 2 > 500`); any numeric term
-  *    switches the whole comparison to double
+  *    switches the whole comparison to double. `NOT <pred>`,
+  *    `<expr> IS [NOT] NULL`, and the pattern predicate
+  *    `exists((p)-[:T]->(x))` (anchored at a bound variable; fresh
+  *    pattern variables are existential) — `NOT exists(...)` is the
+  *    anti-join, `OPTIONAL MATCH … WITH … WHERE ip IS NULL` the
+  *    Cypher anti-join idiom, both spec'd against hand-written
+  *    semi/anti joins
   *  - OPTIONAL MATCH (any number of chains, each starting at a bound
   *    variable — including one bound by an earlier optional chain)
   *    with Cypher semantics: WHERE conjuncts that reference only one
@@ -109,6 +115,17 @@ object CypherLite {
     * (`p.Image = c.Image`) and arithmetic (`toInteger(r.dport) - 8000 > 0`),
     * which the fast-path [[Leaf]] (ref-vs-literal) cannot express. */
   final case class CmpLeaf(l: Term, op: String, r: Term) extends Pred { def vars: Set[String] = l.vars ++ r.vars }
+  /** `v.prop IS [NOT] NULL` — the post-OPTIONAL-MATCH idiom. */
+  final case class NullLeaf(t: Term, isNull: Boolean) extends Pred { def vars: Set[String] = t.vars }
+  /** Cypher negation (`NOT <pred>`). */
+  final case class Not(p: Pred) extends Pred { def vars: Set[String] = p.vars }
+  /** Pattern predicate `exists((p)-[:T]->(x))`: true iff the chain
+    * matches starting from the row's `anchor` value. Fresh pattern
+    * variables are existential (not bound into the row); `vars` is the
+    * anchor only, so WHERE-conjunct routing sees the real dependency. */
+  final case class ExistsPat(chain: (Seq[NodePat], Seq[EdgePat]), anchor: String) extends Pred {
+    def vars: Set[String] = Set(anchor)
+  }
   final case class And(ps: Seq[Pred]) extends Pred { def vars: Set[String] = ps.flatMap(_.vars).toSet }
   final case class Or(ps: Seq[Pred]) extends Pred { def vars: Set[String] = ps.flatMap(_.vars).toSet }
 
@@ -160,9 +177,11 @@ object CypherLite {
     * OR), parentheses, conditions from [[CondRe]]. Exposed as a class
     * so RETURN/WITH items can reuse the scalar-term grammar
     * ([[parseTerm]]) on their own cursor. */
-  private def parseWhere(s: String): Pred = new PredParser(s.trim).parsePred()
+  private def parseWhere(s: String, anon: () => String): Pred =
+    new PredParser(s.trim, anon).parsePred()
 
-  private final class PredParser(var rest: String) {
+  private final class PredParser(var rest: String,
+                                 anon: () => String = () => "_eanon") {
     def ws(): Unit = { rest = rest.dropWhile(_ == ' ') }
     def eat(tok: String): Boolean = {
       ws()
@@ -225,16 +244,46 @@ object CypherLite {
     }
     def cmpLeaf(): Pred = {
       val l = sumT(); ws()
-      val ops = Seq(">=", "<=", "<>", "=", ">", "<",
-        "STARTS WITH", "ENDS WITH", "CONTAINS")
-      val op = ops.find(o => rest.regionMatches(true, 0, o, 0, o.length))
-        .getOrElse(throw new IllegalArgumentException(s"expected comparison at: $rest"))
-      rest = rest.substring(op.length)
-      CmpLeaf(l, op.toUpperCase, sumT())
+      if (eat("IS NOT NULL")) NullLeaf(l, isNull = false)
+      else if (eat("IS NULL")) NullLeaf(l, isNull = true)
+      else {
+        val ops = Seq(">=", "<=", "<>", "=", ">", "<",
+          "STARTS WITH", "ENDS WITH", "CONTAINS")
+        val op = ops.find(o => rest.regionMatches(true, 0, o, 0, o.length))
+          .getOrElse(throw new IllegalArgumentException(s"expected comparison at: $rest"))
+        rest = rest.substring(op.length)
+        CmpLeaf(l, op.toUpperCase, sumT())
+      }
+    }
+    /** `exists( <pattern> )`: consume the balanced parens and parse the
+      * inner text as a linear pattern chain. */
+    def existsPat(): Pred = {
+      val open = rest.indexOf('(')
+      var depth = 0
+      var close = -1
+      var i = open
+      while (i < rest.length && close < 0) {
+        rest.charAt(i) match {
+          case '(' => depth += 1
+          case ')' => depth -= 1; if (depth == 0) close = i
+          case _ => ()
+        }
+        i += 1
+      }
+      require(close > open, s"unbalanced exists(...) at: $rest")
+      val inner = rest.substring(open + 1, close).trim
+      rest = rest.substring(close + 1)
+      val chain = parsePatternChain(inner, anon)
+      ExistsPat(chain, chain._1.head.v)
     }
     def factor(): Pred = {
       ws()
-      if (rest.startsWith("(")) {
+      if (eat("NOT")) Not(factor())
+      else if (rest.toLowerCase.startsWith("exists") &&
+          rest.substring(6).trim.startsWith("(")) {
+        rest = rest.substring(6)
+        existsPat()
+      } else if (rest.startsWith("(")) {
         // ambiguous: parenthesized predicate OR parenthesized arithmetic
         // ("(r.x + 1) > 2") — try the predicate read, backtrack to a
         // comparison on failure
@@ -341,37 +390,43 @@ object CypherLite {
     * followed by any number of OPTIONAL MATCH chains, with the
     * connectivity and bound-head checks. `outerVars` are variables
     * already bound by a previous stage (WITH carries). */
+  /** Parse one linear node-chain pattern ("(a:L)-[:T]->(b)") — shared
+    * by MATCH stages and exists() pattern predicates. */
+  private def parsePatternChain(pattern: String,
+                                anon: () => String): (Seq[NodePat], Seq[EdgePat]) = {
+    val nodes = NodeRe.findAllMatchIn(pattern).map { m =>
+      val v = Option(m.group(1)).getOrElse(anon())
+      NodePat(v, Option(m.group(2)))
+    }.toSeq
+    // hops in textual order: scan the pattern for edge tokens
+    val hops = ("""-\[[^\]]*\]->|<-\[[^\]]*\]-""".r)
+      .findAllIn(pattern).map {
+        case FwdRe(ev, t, star, lo, hi) =>
+          EdgePat(Option(t),
+            if (star == null) 1 else Option(lo).map(_.toInt).getOrElse(1),
+            if (star == null) 1 else Option(hi).map(_.toInt).getOrElse(10),
+            reverse = false, Option(ev))
+        case RevRe(ev, t, star, lo, hi) =>
+          EdgePat(Option(t),
+            if (star == null) 1 else Option(lo).map(_.toInt).getOrElse(1),
+            if (star == null) 1 else Option(hi).map(_.toInt).getOrElse(10),
+            reverse = true, Option(ev))
+        case other => throw new IllegalArgumentException(s"bad edge pattern: $other")
+      }.toSeq
+    hops.filter(h => h.v.isDefined && (h.min != 1 || h.max != 1)).foreach { h =>
+      throw new IllegalArgumentException(
+        s"edge variable '${h.v.get}' not supported on variable-length hops")
+    }
+    require(nodes.nonEmpty && nodes.size == hops.size + 1,
+      s"pattern must be a linear node chain: ${nodes.size} nodes, ${hops.size} hops")
+    (nodes, hops)
+  }
+
   private def parseMatchStage(patternPart: String, whereOrNull: String,
                               outerVars: Set[String],
                               anon: () => String): MatchStage = {
-    def parsePattern(pattern: String): (Seq[NodePat], Seq[EdgePat]) = {
-      val nodes = NodeRe.findAllMatchIn(pattern).map { m =>
-        val v = Option(m.group(1)).getOrElse(anon())
-        NodePat(v, Option(m.group(2)))
-      }.toSeq
-      // hops in textual order: scan the pattern for edge tokens
-      val hops = ("""-\[[^\]]*\]->|<-\[[^\]]*\]-""".r)
-        .findAllIn(pattern).map {
-          case FwdRe(ev, t, star, lo, hi) =>
-            EdgePat(Option(t),
-              if (star == null) 1 else Option(lo).map(_.toInt).getOrElse(1),
-              if (star == null) 1 else Option(hi).map(_.toInt).getOrElse(10),
-              reverse = false, Option(ev))
-          case RevRe(ev, t, star, lo, hi) =>
-            EdgePat(Option(t),
-              if (star == null) 1 else Option(lo).map(_.toInt).getOrElse(1),
-              if (star == null) 1 else Option(hi).map(_.toInt).getOrElse(10),
-              reverse = true, Option(ev))
-          case other => throw new IllegalArgumentException(s"bad edge pattern: $other")
-        }.toSeq
-      hops.filter(h => h.v.isDefined && (h.min != 1 || h.max != 1)).foreach { h =>
-        throw new IllegalArgumentException(
-          s"edge variable '${h.v.get}' not supported on variable-length hops")
-      }
-      require(nodes.nonEmpty && nodes.size == hops.size + 1,
-        s"pattern must be a linear node chain: ${nodes.size} nodes, ${hops.size} hops")
-      (nodes, hops)
-    }
+    def parsePattern(pattern: String): (Seq[NodePat], Seq[EdgePat]) =
+      parsePatternChain(pattern, anon)
     val segs = patternPart.split("(?i)\\s+OPTIONAL MATCH\\s+")
     val patterns = segs.head.split(",").toSeq.map(_.trim).map(parsePattern)
     // connectivity: each chain must share a variable with the ones
@@ -390,7 +445,7 @@ object CypherLite {
         s"OPTIONAL MATCH must start at a bound variable, got '${on.head.v}'")
       boundVars ++= on.map(_.v).toSet
     }
-    MatchStage(patterns, optChains, Option(whereOrNull).map(parseWhere))
+    MatchStage(patterns, optChains, Option(whereOrNull).map(parseWhere(_, anon)))
   }
 
   def parse(q: String): Query = {
@@ -431,7 +486,7 @@ object CypherLite {
               parseMatchStage(p, whereOrNull, carried, anon))
             next.foreach(st => carried ++=
               st.patterns.flatMap(_._1.map(_.v)) ++ st.optChains.flatMap(_._1.map(_.v)))
-            WithStage(items, Option(havingOrNull).map(parseWhere), next)
+            WithStage(items, Option(havingOrNull).map(parseWhere(_, anon)), next)
           case other => throw new IllegalArgumentException(s"bad WITH stage: $other")
         }
         Query(stage1, withStages = withStages,
@@ -657,6 +712,7 @@ object CypherLite {
       * (no `.prop`) references a column directly — a WITH alias. */
     def applyPred(df0: DataFrame, p: Pred): DataFrame = {
       var df = df0
+      var existsId = 0
       def compile(p: Pred): Column = p match {
         case Leaf(c) =>
           val cn = c.prop match {
@@ -708,11 +764,30 @@ object CypherLite {
             case "STARTS WITH" => lc.startsWith(rc)
             case "ENDS WITH" => lc.endsWith(rc)
           }
+        case NullLeaf(t, isNull) =>
+          val (d2, c) = compileTerm(df, t, numeric = false)
+          df = d2
+          if (isNull) c.isNull else c.isNotNull
+        case Not(p0) => !compile(p0)
+        case ExistsPat((np, hops), anchor) =>
+          // existential semi-match as a COLUMN (so it composes under
+          // NOT/OR): walk the pattern from the distinct anchor values,
+          // left-join a presence flag back. Catalyst rewrites the
+          // filtered left join to a semi/anti join where applicable.
+          require(df.columns.contains(anchor),
+            s"exists() pattern must start at a bound variable, got '$anchor'")
+          existsId += 1
+          val flag = s"__exists$existsId"
+          val sub = walk(df.select(col(anchor)).distinct(), np, hops)
+            .select(col(anchor)).distinct()
+            .withColumn(flag, lit(true))
+          df = df.join(sub, Seq(anchor), "left")
+          coalesce(col(flag), lit(false))
         case And(ps) => ps.map(compile).reduce(_ && _)
         case Or(ps) => ps.map(compile).reduce(_ || _)
       }
       val cond = compile(p)
-      df.filter(cond)
+      df.filter(cond).drop(df.columns.filter(_.startsWith("__exists")): _*)
     }
 
     /** Project RETURN/WITH items, with Cypher's implicit grouping when

@@ -448,6 +448,53 @@ class CypherLiteSpec extends SparkSpec {
     }
   }
 
+  test("exists() pattern predicate compiles to a semi-match") {
+    val (nodes, edges) = graph
+    val got = CypherLite.run(nodes, edges,
+      "MATCH (p:Process)-[:CONNECTED_TO]->(ip:Ip) " +
+        "WHERE exists((p)-[:INJECTED_THREAD]->()) RETURN DISTINCT p, ip")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    val want = et("CONNECTED_TO").select(col("src").as("p"), col("dst").as("ip"))
+      .join(et("INJECTED_THREAD").select(col("src").as("p")), Seq("p"), "left_semi")
+      .distinct()
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got == want && got.nonEmpty)
+  }
+
+  test("NOT exists() is the anti-join; bare NOT negates any predicate") {
+    val (nodes, edges) = graph
+    val got = CypherLite.run(nodes, edges,
+      "MATCH (a:Process)-[:SPAWNS]->(b:Process) " +
+        "WHERE NOT exists((a)-[:CONNECTED_TO]->()) RETURN DISTINCT a")
+      .collect().map(_.getString(0)).toSet
+    val want = et("SPAWNS").select(col("src").as("a"))
+      .join(et("CONNECTED_TO").select(col("src").as("a")), Seq("a"), "left_anti")
+      .distinct().collect().map(_.getString(0)).toSet
+    assert(got == want && got.nonEmpty)
+    // NOT over an ordinary comparison
+    val n1 = CypherLite.run(nodes, edges,
+      "MATCH (p:Process)-[r:CONNECTED_TO]->(ip:Ip) WHERE NOT r.dport = '443' " +
+        "RETURN DISTINCT p, ip").count()
+    val n2 = CypherLite.run(nodes, edges,
+      "MATCH (p:Process)-[r:CONNECTED_TO]->(ip:Ip) WHERE r.dport <> '443' " +
+        "RETURN DISTINCT p, ip").count()
+    assert(n1 == n2 && n1 > 0)
+  }
+
+  test("IS NULL through a WITH stage is the Cypher anti-join idiom") {
+    val (nodes, edges) = graph
+    val got = CypherLite.run(nodes, edges,
+      "MATCH (t:Trace)-[:HAS_PROCESS]->(p:Process) " +
+        "OPTIONAL MATCH (p)-[:CONNECTED_TO]->(ip:Ip) " +
+        "WITH t, p, ip WHERE ip IS NULL RETURN DISTINCT t, p")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    val want = et("HAS_PROCESS").select(col("src").as("t"), col("dst").as("p"))
+      .join(et("CONNECTED_TO").select(col("src").as("p")), Seq("p"), "left_anti")
+      .select(col("t"), col("p")).distinct() // join keys move first — reselect
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got == want && got.nonEmpty)
+  }
+
   test("aggregate over an expression: sum(toInteger(r.dport) * 2)") {
     val (nodes, edges) = graph
     val got = CypherLite.run(nodes, edges,
