@@ -38,8 +38,10 @@ import org.apache.spark.sql.functions._
   *    comparisons between scalar EXPRESSIONS: prop-to-prop
   *    (`a.image = b.image` — string-typed), and `+`, `-`, `*`, `/`
   *    arithmetic with `toInteger`/`toFloat` coercions
-  *    (`(toInteger(r.dport) + 1) * 2 > 500`); any numeric term
-  *    switches the whole comparison to double. `NOT <pred>`,
+  *    (`(toInteger(r.dport) + 1) * 2 > 500`) and the scalar functions
+  *    `toLower`/`toUpper`/`size` (string length; `size` counts as
+  *    numeric); any numeric term switches the whole comparison to
+  *    double. `NOT <pred>`,
   *    `<expr> IS [NOT] NULL`, and the pattern predicate
   *    `exists((p)-[:T]->(x))` (anchored at a bound variable; fresh
   *    pattern variables are existential) — `NOT exists(...)` is the
@@ -108,6 +110,8 @@ object CypherLite {
   final case class StrT(value: String) extends Term { def vars: Set[String] = Set.empty }
   final case class CastT(fn: String, t: Term) extends Term { def vars: Set[String] = t.vars }
   final case class ArithT(op: String, l: Term, r: Term) extends Term { def vars: Set[String] = l.vars ++ r.vars }
+  /** String scalar functions: toLower / toUpper / size (string length). */
+  final case class FuncT(fn: String, t: Term) extends Term { def vars: Set[String] = t.vars }
 
   sealed trait Pred { def vars: Set[String] }
   final case class Leaf(c: Cond) extends Pred { def vars: Set[String] = Set(c.v) }
@@ -212,14 +216,16 @@ object CypherLite {
         case Some(m) =>
           rest = rest.substring(m.end); NumT(m.matched.toDouble)
         case None => IdRe.findPrefixMatchOf(rest) match {
-          case Some(m) if (m.group(1) == "toInteger" || m.group(1) == "toFloat")
+          case Some(m) if Set("toInteger", "toFloat", "toLower", "toUpper", "size")(m.group(1))
               && m.group(2) == null && rest.substring(m.end).trim.startsWith("(") =>
             rest = rest.substring(rest.indexOf('(', m.end) + 1)
             val inner = sumT()
             ws()
             require(rest.startsWith(")"), s"expected ')' after ${m.group(1)} at: $rest")
             rest = rest.substring(1)
-            CastT(m.group(1).toLowerCase, inner)
+            val fn = m.group(1).toLowerCase
+            if (fn == "tointeger" || fn == "tofloat") CastT(fn, inner)
+            else FuncT(fn, inner)
           case Some(m) =>
             rest = rest.substring(m.end); PropT(m.group(1), Option(m.group(2)))
           case None => throw new IllegalArgumentException(s"bad term at: $rest")
@@ -675,6 +681,7 @@ object CypherLite {
 
     private def isNumericTerm(t: Term): Boolean = t match {
       case _: NumT | _: CastT | _: ArithT => true
+      case FuncT("size", _) => true
       case _ => false
     }
 
@@ -683,27 +690,38 @@ object CypherLite {
       * arithmetic context). toInteger truncates (cast via long). */
     private def compileTerm(df0: DataFrame, t: Term, numeric: Boolean): (DataFrame, Column) = {
       var df = df0
-      def go(t: Term): Column = t match {
+      def go(t: Term, num: Boolean): Column = t match {
         case PropT(v, Some(pr)) =>
           val (df2, n) = bindProp(df, v, pr)
           df = df2
-          if (numeric) col(n).cast("double") else col(n)
+          if (num) col(n).cast("double") else col(n)
         case PropT(v, None) =>
           require(df.columns.contains(v), s"unbound identifier '$v'")
-          if (numeric) col(v).cast("double") else col(v)
+          if (num) col(v).cast("double") else col(v)
         case NumT(x) => lit(x)
         case StrT(s0) => lit(s0)
         case CastT(fn, t0) =>
-          val raw = go(t0)
+          // inner evaluates numerically so toInteger TRUNCATES ("3.7" →
+          // 3.7 → 3) instead of null-ing on a non-integral string cast
+          val raw = go(t0, num = true)
           if (fn == "tointeger") raw.cast("long") else raw.cast("double")
+        case FuncT(fn, t0) =>
+          // string functions take the RAW string regardless of the
+          // comparison context (num applies to the function's result)
+          val raw = go(t0, num = false)
+          fn match {
+            case "tolower" => lower(raw)
+            case "toupper" => upper(raw)
+            case "size" => length(raw)
+          }
         case ArithT(o, a, b) => o match {
-          case "+" => go(a) + go(b)
-          case "-" => go(a) - go(b)
-          case "*" => go(a) * go(b)
-          case "/" => go(a) / go(b)
+          case "+" => go(a, num) + go(b, num)
+          case "-" => go(a, num) - go(b, num)
+          case "*" => go(a, num) * go(b, num)
+          case "/" => go(a, num) / go(b, num)
         }
       }
-      val c = go(t)
+      val c = go(t, numeric)
       (df, c)
     }
 

@@ -495,6 +495,23 @@ class CypherLiteSpec extends SparkSpec {
     assert(got == want && got.nonEmpty)
   }
 
+  test("scalar functions: toLower/toUpper in string context, size is numeric") {
+    val (nodes, edges) = graph
+    val got = CypherLite.run(nodes, edges,
+      "MATCH (p:Process)-[:CREATED_FILE]->(f:File) " +
+        "WHERE toLower(f.id) ENDS WITH '.exe' AND size(p.image) > 20 " +
+        "RETURN DISTINCT p, f")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    val img = nodes.filter(col("label") === "Process")
+      .select(col("id").as("p"), element_at(col("props"), "image").as("img"))
+    val want = et("CREATED_FILE").select(col("src").as("p"), col("dst").as("f"))
+      .filter(lower(col("f")).endsWith(".exe"))
+      .join(img.filter(length(col("img")).cast("double") > 20).select(col("p")), Seq("p"), "left_semi")
+      .select(col("p"), col("f")).distinct()
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got == want && got.nonEmpty)
+  }
+
   test("aggregate over an expression: sum(toInteger(r.dport) * 2)") {
     val (nodes, edges) = graph
     val got = CypherLite.run(nodes, edges,
