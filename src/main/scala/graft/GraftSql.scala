@@ -25,4 +25,10 @@ object GraftSql {
   }
 
   def sql(spark: SparkSession, query: String): DataFrame = spark.sql(query)
+
+  /** Run a Cypher query ([[graph.CypherLite]] subset) against the
+    * `nodes`/`edges` views registered by [[registerGraph]] — the
+    * string-in, DataFrame-out surface a Neo4j user migrates to. */
+  def cypher(spark: SparkSession, query: String): DataFrame =
+    graph.CypherLite.run(spark.table("nodes"), spark.table("edges"), query)
 }

@@ -141,6 +141,15 @@ object SparkEntry {
           "WHERE (toInteger(r.dport) + 1) * 2 > 500 " +
           "RETURN DISTINCT p, ip, r.dport ORDER BY p, ip")
     }),
+    // pattern predicates end-to-end: spawning processes that never
+    // beacon (exists + NOT exists → semi/anti shapes)
+    "sg_cypher4"   -> ((s, _) => {
+      val (n, e) = graft.graph.SysmonGraph.buildCached(s, "/root/reference/malware/*.json")
+      graft.graph.CypherLite.run(n, e,
+        "MATCH (t:Trace)-[:HAS_PROCESS]->(p:Process) " +
+          "WHERE exists((p)-[:SPAWNS]->()) AND NOT exists((p)-[:CONNECTED_TO]->()) " +
+          "RETURN DISTINCT t, p ORDER BY t, p")
+    }),
     "sg_spawntree" -> ((s, _) => {
       val (_, e) = graft.graph.SysmonGraph.buildCached(s, "/root/reference/malware/*.json")
       graft.graph.Detections.deepSpawnChains(e, minDepth = 1)

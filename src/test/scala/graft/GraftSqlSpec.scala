@@ -29,4 +29,17 @@ class GraftSqlSpec extends SparkSpec {
       "SELECT count(*) FROM nodes WHERE label = 'Process'").collect().head.getLong(0)
     assert(procs == 64L)
   }
+
+  test("Cypher strings run against the registered graph views") {
+    GraftSql.registerGraph(spark, "/root/reference/malware/T1031+T1050-2.json")
+    val out = GraftSql.cypher(spark,
+      "MATCH (p:Process)-[:SPAWNS]->(c:Process) RETURN p, count(*) AS n ORDER BY n DESC LIMIT 3")
+      .collect()
+    assert(out.nonEmpty && out.head.getLong(1) >= out.last.getLong(1))
+    // the per-parent counts must sum to the pinned SPAWNS edge count
+    val all = GraftSql.cypher(spark,
+      "MATCH (p:Process)-[:SPAWNS]->(c:Process) RETURN p, count(*) AS n")
+      .collect().map(_.getLong(1)).sum
+    assert(all == 58L)
+  }
 }
