@@ -72,6 +72,35 @@ object EventStreams {
       }
   }
 
+  /** H6 — trending n-grams over a DOCUMENT stream: per-window word
+    * bigram counts with a watermark (the streaming face of F6's corpus
+    * n-gram statistics — monitoring what's entering a training-data
+    * pipeline as it lands).
+    *
+    * State is bounded by watermark × distinct bigrams per window; the
+    * aggregation is update-mode incremental (map-side partial per
+    * micro-batch). Ranking/top-k belongs on the sink side (a windowed
+    * rank is not incrementally maintainable — the standard split:
+    * stream maintains counts, the consumer ranks a finished window). */
+  def trendingBigrams(docs: DataFrame): DataFrame =
+    docs
+      .withWatermark("ts", "10 minutes")
+      // adjacent-word pairing stays STATELESS (no per-doc window —
+      // unsupported on streams): zip the word array against its own
+      // one-shifted slice. The lambda body only concatenates the two
+      // element args, so the HOF re-evaluation trap (SURVEY §5)
+      // doesn't bite: slice/size are row-level argument expressions,
+      // evaluated once per document.
+      .select(col("ts"), split(lower(trim(col("text"))), "\\s+").as("w"))
+      .filter(size(col("w")) >= 2)
+      .select(col("ts"), explode(zip_with(
+        slice(col("w"), lit(1), size(col("w")) - 1),
+        slice(col("w"), lit(2), size(col("w")) - 1),
+        (a, b) => concat_ws(" ", a, b))).as("bigram"))
+      .groupBy(window(col("ts"), "1 hour"), col("bigram"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("hour_start"), col("bigram"), col("n"))
+
   /** H3 — streaming dedup: drop events with a duplicate event_id seen
     * within the watermark window (state stays bounded). */
   def dedupStream(events: DataFrame): DataFrame =

@@ -30,6 +30,28 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("H6 trending bigrams: per-window counts over a document stream") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String)]
+    val df = mem.toDF().toDF("ts", "text")
+    val q = EventStreams.trendingBigrams(df).writeStream
+      .format("memory").queryName("h6_bigrams").outputMode("complete").start()
+    try {
+      mem.addData((ts(0), "spark is fast"), (ts(5), "spark is lazy"),
+        (ts(65), "spark is fast"), (ts(7), "one"))
+      q.processAllAvailable()
+      val rows = spark.table("h6_bigrams").collect()
+        .map(r => (r.getAs[Timestamp]("hour_start").getTime / 3600_000L,
+          r.getAs[String]("bigram"), r.getAs[Long]("n"))).toSet
+      // hour 10: "spark is" twice, "is fast"/"is lazy" once each;
+      // hour 11: one doc; the single-word doc contributes nothing
+      assert(rows == Set((10L, "spark is", 2L), (10L, "is fast", 1L),
+        (10L, "is lazy", 1L),
+        (11L, "spark is", 1L), (11L, "is fast", 1L)))
+    } finally q.stop()
+  }
+
   test("H2 sessionization closes sessions after the gap") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
