@@ -171,6 +171,7 @@ object SparkEntry {
     // E. similarity search
     "e1_topk"      -> ((s, d) => Similarity.e1TopK(s, d)),
     "e2_ann"       -> ((s, d) => Similarity.e2AnnTopK(s, d)),
+    "e4_radius"    -> ((s, d) => Similarity.e4Radius(s, d)),
     // F. text analysis
     "f1_tokens"    -> (TextAnalysis.f1Tokens _),
     "f2_quality"   -> (TextAnalysis.f2Quality _),
@@ -597,6 +598,14 @@ object SparkEntry {
         |  vec_id AS neighbor, round(list_cosine_similarity(qv, embedding),4) AS cos_sim
         | FROM q JOIN c ON vec_id <> q_id
         |) t WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
+    "e4_radius" ->
+      """WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |q AS (SELECT vec_id AS q_id, v AS qv FROM c WHERE vec_id < 8)
+        |SELECT q_id, vec_id AS neighbor,
+        | round(list_cosine_similarity(qv, v), 4) AS cos_sim
+        |FROM q JOIN c ON vec_id <> q_id
+        |WHERE list_cosine_similarity(qv, v) >= 0.3
+        |ORDER BY 1, 2""".stripMargin,
     "f1_tokens" ->
       """SELECT doc_id,
         | CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS BIGINT) AS ws_tokens,

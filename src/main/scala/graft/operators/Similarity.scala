@@ -50,6 +50,27 @@ object Similarity {
       .orderBy(col("q_id"), col("rank"))
   }
 
+  /** E4 — radius (range) search: ALL corpus vectors within cosine
+    * `threshold` of each query — "every near-duplicate of this
+    * document", the unbounded-k companion to [[e1TopK]]. Same scale
+    * shape: broadcast query matrix, one corpus pass, no corpus
+    * shuffle; the threshold filters on the UNROUNDED cosine (rounding
+    * is display-only, mirrored by the oracle). Output size is
+    * data-dependent, which is exactly what a radius search is for —
+    * at scale the e2/e5 LSH candidates bound the scanned set instead. */
+  def e4Radius(s: SparkSession, dir: String, threshold: Double = 0.3): DataFrame = {
+    val all = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val queries = broadcast(all.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("q_id"), col("v").as("qv")))
+    queries.join(all, col("q_id") =!= col("vec_id"))
+      .withColumn("cos", cos(s, col("qv"), col("v")))
+      .filter(col("cos") >= threshold)
+      .select(col("q_id"), col("vec_id").as("neighbor"),
+        round(col("cos"), 4).as("cos_sim"))
+      .orderBy(col("q_id"), col("neighbor"))
+  }
+
   /** Deterministic pseudo-random hyperplane component for (plane, dim):
     * ±1 from xxhash64 parity. */
   private def planeSign(plane: Int, dim: Column): Column =

@@ -202,6 +202,19 @@ class DedupSpec extends SparkSpec {
     assert(out.forall(r => r.getLong(0) != r.getLong(2)))
   }
 
+  test("e4 radius search: complete and consistent with exact top-k") {
+    val radius = Similarity.e4Radius(spark, sf, threshold = 0.3).collect()
+    assert(radius.nonEmpty)
+    assert(radius.forall(_.getDouble(2) >= 0.3))
+    // completeness: every top-k neighbor scoring >= θ must be in the
+    // radius set (top-k is a subset of the ball when cos >= θ)
+    val ball = radius.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val topkIn = Similarity.e1TopK(spark, sf).collect()
+      .filter(_.getDouble(3) >= 0.3)
+      .map(r => (r.getLong(0), r.getLong(2)))
+    assert(topkIn.forall(ball.contains))
+  }
+
   test("e3 IVF recall vs exact top-k is reasonable and runs are identical") {
     def pairs(rows: Array[org.apache.spark.sql.Row]) =
       rows.map(r => (r.getLong(0), r.getLong(2))).toSet
