@@ -11,8 +11,10 @@ object Bench {
   val headline: Seq[String] = Seq(
     "q1_agg", "q3_join", "q5_window", "q9_sort", "q11_asof", "q13_pivot",
     "q15_skew", "g_tree", "g_cc", "g_degree", "g_triangles", "d1_exact",
-    "d2_minhash", "d4_jaccard", "d6_boilerplate", "e1_topk", "f1_tokens",
-    "f2_quality", "f7_decontam", "f8_repetition", "p5_weighted",
+    "d2_minhash", "d4_jaccard", "d6_boilerplate", "e1_topk", "e2_ann",
+    "f1_tokens", "f2_quality", "f7_decontam", "f8_repetition", "p5_weighted",
+    // the iterative graph analytics (oracle-upgraded in r3)
+    "g_pagerank", "g_kcore", "g_lpa",
     // the reference's core workload: full 1202-trace corpus → property
     // graph, rebuilt from the JSON every timed run
     "sg_build")

@@ -212,7 +212,7 @@ object SparkEntry {
         |ORDER BY 1""".stripMargin,
     "q4_anti" ->
       """SELECT c_custkey, c_name FROM customer
-        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey=c_custkey)
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey=c_custkey AND o_totalprice>450000)
         |ORDER BY 1""".stripMargin,
     "q5_window" ->
       """SELECT o_custkey, rn, o_orderkey, price, prev_price, running_spend FROM (

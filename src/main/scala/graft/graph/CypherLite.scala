@@ -39,8 +39,13 @@ import org.apache.spark.sql.functions._
   *    (`a.image = b.image` — string-typed), and `+`, `-`, `*`, `/`
   *    arithmetic with `toInteger`/`toFloat` coercions
   *    (`(toInteger(r.dport) + 1) * 2 > 500`) and the scalar functions
-  *    `toLower`/`toUpper`/`size` (string length; `size` counts as
-  *    numeric); any numeric term switches the whole comparison to
+  *    `toLower`/`toUpper`/`size` (string length, or ELEMENT COUNT when
+  *    the argument is a list column — the collect→size idiom; `size`
+  *    counts as numeric), `coalesce(a, b, …)` (first non-null — the
+  *    reference's own Cypher idiom), and the accessors `labels(v)`
+  *    (single-element label array), `keys(v)` (sorted property names),
+  *    `properties(v)` (the property map) over node or edge variables;
+  *    any numeric term switches the whole comparison to
   *    double. `NOT <pred>`,
   *    `<expr> IS [NOT] NULL`, and the pattern predicate
   *    `exists((p)-[:T]->(x))` (anchored at a bound variable; fresh
@@ -58,7 +63,10 @@ import org.apache.spark.sql.functions._
   *  - RETURN [DISTINCT] items: `v`, `v.prop`, `count(*)`, `count(v)`,
   *    `sum(v.prop)`, `avg(v.prop)`, `min(v.prop)`, `max(v.prop)`,
   *    `collect(v)`/`collect(v.prop)` — aggregates trigger Cypher's
-  *    implicit grouping on the plain items. `sum`/`avg` aggregate the
+  *    implicit grouping on the plain items. `DISTINCT` inside an
+  *    aggregate (`count(DISTINCT ip)`, `sum(DISTINCT …)`,
+  *    `collect(DISTINCT …)`; no-op under min/max) deduplicates the
+  *    aggregated values per group. `sum`/`avg` aggregate the
   *    double-cast value (props are stored as strings; non-numeric →
   *    null, ignored); `min`/`max`/`collect` use the raw string value
   *    unless wrapped in Cypher's coercions `toInteger(...)` /
@@ -76,6 +84,11 @@ import org.apache.spark.sql.functions._
   *    aliases) project the stage so far; its having-WHERE filters the
   *    projection; a follow-on MATCH joins new patterns on the carried
   *    variables
+  *  - `UNWIND xs AS x` stages (interleaved with WITH anywhere after
+  *    the first MATCH): explode a carried list column — typically a
+  *    `collect(...)` alias, the Cypher collect→UNWIND idiom — or a
+  *    literal `[...]` list, one row per element, source kept in scope;
+  *    may carry its own follow-on MATCH like a WITH
   *  - `MATCH p = shortestPath((a)-[:T*]->(b))`: with `a.id = '…'`
   *    pinned in WHERE, one single-source BFS
   *    ([[GraphOps.bfsPaths]]); UNPINNED, the all-pairs form — every
@@ -83,7 +96,8 @@ import org.apache.spark.sql.functions._
   *    source keyed BFS ([[GraphOps.bfsPathsFrom]], never a per-root
   *    loop). Per-hop greedy lexicographic tie-break either way;
   *    `RETURN` may use `a`, `b`, their props, `p` (the '>'-joined
-  *    path string) and `length(p)`
+  *    path string), `length(p)`, `nodes(p)` (the node-id array), and
+  *    `relationships(p)` (one `src-[TYPE]->dst` string per step)
   *  - ORDER BY over returned items; LIMIT n
   *
   * Each single hop is one equi-join on the edge frame; a
@@ -110,8 +124,13 @@ object CypherLite {
   final case class StrT(value: String) extends Term { def vars: Set[String] = Set.empty }
   final case class CastT(fn: String, t: Term) extends Term { def vars: Set[String] = t.vars }
   final case class ArithT(op: String, l: Term, r: Term) extends Term { def vars: Set[String] = l.vars ++ r.vars }
-  /** String scalar functions: toLower / toUpper / size (string length). */
+  /** String scalar functions: toLower / toUpper / size (string length),
+    * plus the node accessors labels / keys / properties (argument must
+    * be a bare node or edge variable). */
   final case class FuncT(fn: String, t: Term) extends Term { def vars: Set[String] = t.vars }
+  /** `coalesce(a, b, …)` — first non-null, the reference's own Cypher
+    * idiom (events.py writes coalesce into every MERGE). */
+  final case class CoalesceT(ts: Seq[Term]) extends Term { def vars: Set[String] = ts.flatMap(_.vars).toSet }
 
   sealed trait Pred { def vars: Set[String] }
   final case class Leaf(c: Cond) extends Pred { def vars: Set[String] = Set(c.v) }
@@ -141,7 +160,7 @@ object CypherLite {
     * `alias` an `AS name`. */
   final case class RetItem(agg: Option[String], v: String, prop: Option[String],
                            cast: Option[String] = None, alias: Option[String] = None,
-                           term: Option[Term] = None) {
+                           term: Option[Term] = None, adistinct: Boolean = false) {
     def outName: String = alias.getOrElse(agg match {
       case None => prop.map(p => s"${v}_$p").getOrElse(v)
       case Some("count") if v == "*" => "count"
@@ -155,13 +174,23 @@ object CypherLite {
   final case class MatchStage(patterns: Seq[(Seq[NodePat], Seq[EdgePat])],
                               optChains: Seq[(Seq[NodePat], Seq[EdgePat])],
                               where: Option[Pred])
+  /** A pipeline stage between MATCH and RETURN: `WITH` or `UNWIND`. */
+  sealed trait PipeStage
   /** One WITH pipeline stage: projection items (aggregates allowed),
     * a having-WHERE over the projection, and an optional follow-on
     * MATCH joining new patterns on the carried variables. */
   final case class WithStage(items: Seq[RetItem], having: Option[Pred],
-                             next: Option[MatchStage])
+                             next: Option[MatchStage]) extends PipeStage
+  /** `UNWIND xs AS x`: explodes a carried list column (typically a
+    * `collect(...)` alias) — or a literal `[...]` list — into one row
+    * per element; the source stays in scope (Cypher semantics). An
+    * optional follow-on MATCH joins new patterns on the carried
+    * variables, like a WITH's. */
+  final case class UnwindStage(srcVar: Option[String], literals: Seq[String],
+                               literalsNumeric: Boolean, alias: String,
+                               next: Option[MatchStage]) extends PipeStage
   final case class Query(stage: MatchStage,
-                         withStages: Seq[WithStage] = Seq.empty,
+                         withStages: Seq[PipeStage] = Seq.empty,
                          ret: Seq[RetItem] = Seq.empty, distinct: Boolean = false,
                          orderBy: Seq[(String, Boolean)] = Seq.empty,
                          limit: Option[Int] = None,
@@ -173,7 +202,7 @@ object CypherLite {
   private val CondRe =
     """(\w+)(?:\.(\w+))?\s*(=|<>|>=|<=|>|<|CONTAINS|STARTS WITH|ENDS WITH)\s*(?:'([^']*)'|(-?\d+(?:\.\d+)?))""".r
   private val AggRe =
-    """(?i)(count|sum|avg|min|max|collect|length)\s*\(\s*(?:(\*)|(toInteger|toFloat)\s*\(\s*(\w+)(?:\.(\w+))?\s*\)|(\w+)(?:\.(\w+))?)\s*\)""".r
+    """(?i)(count|sum|avg|min|max|collect|length|nodes|relationships)\s*\(\s*(DISTINCT\s+)?(?:(\*)|(toInteger|toFloat)\s*\(\s*(\w+)(?:\.(\w+))?\s*\)|(\w+)(?:\.(\w+))?)\s*\)""".r
 
   // ---------------------------------------------------------------- parsing
 
@@ -216,7 +245,19 @@ object CypherLite {
         case Some(m) =>
           rest = rest.substring(m.end); NumT(m.matched.toDouble)
         case None => IdRe.findPrefixMatchOf(rest) match {
-          case Some(m) if Set("toInteger", "toFloat", "toLower", "toUpper", "size")(m.group(1))
+          case Some(m) if m.group(1).equalsIgnoreCase("coalesce")
+              && m.group(2) == null && rest.substring(m.end).trim.startsWith("(") =>
+            rest = rest.substring(rest.indexOf('(', m.end) + 1)
+            val args = scala.collection.mutable.Buffer(sumT())
+            ws()
+            while (rest.startsWith(",")) {
+              rest = rest.substring(1); args += sumT(); ws()
+            }
+            require(rest.startsWith(")"), s"expected ')' after coalesce at: $rest")
+            rest = rest.substring(1)
+            CoalesceT(args.toSeq)
+          case Some(m) if Set("toInteger", "toFloat", "toLower", "toUpper", "size",
+                "labels", "keys", "properties")(m.group(1))
               && m.group(2) == null && rest.substring(m.end).trim.startsWith("(") =>
             rest = rest.substring(rest.indexOf('(', m.end) + 1)
             val inner = sumT()
@@ -342,6 +383,25 @@ object CypherLite {
     }
   }
 
+  /** Split a RETURN/WITH item list on TOP-LEVEL commas only — commas
+    * inside parentheses/brackets/quotes (`coalesce(a, b)`,
+    * `collect(...)`, `[1, 2]`) belong to their item. */
+  private def splitTopLevel(s: String): Seq[String] = {
+    val out = scala.collection.mutable.Buffer.empty[String]
+    val sb = new StringBuilder
+    var depth = 0
+    var inQ = false
+    s.foreach {
+      case '\'' => inQ = !inQ; sb += '\''
+      case c @ ('(' | '[') if !inQ => depth += 1; sb += c
+      case c @ (')' | ']') if !inQ => depth -= 1; sb += c
+      case ',' if depth == 0 && !inQ => out += sb.toString; sb.clear()
+      case c => sb += c
+    }
+    out += sb.toString
+    out.toSeq.map(_.trim).filter(_.nonEmpty)
+  }
+
   private def parseRetItem(s0: String): RetItem = {
     val (s, alias) = s0.trim.split("(?i)\\s+AS\\s+") match {
       case Array(body) => (body.trim, None)
@@ -350,20 +410,24 @@ object CypherLite {
     }
     alias.foreach(a => require(a.matches("\\w+"), s"bad alias: $a"))
     s match {
-      case AggRe(f, star, castFn, cv, cp, v, p) =>
+      case AggRe(f, dist, star, castFn, cv, cp, v, p) =>
         val fn = f.toLowerCase
+        val ad = dist != null
+        if (ad) require(Set("count", "sum", "min", "max", "collect")(fn),
+          s"DISTINCT not supported inside $fn(...)")
         if (star != null) {
           require(fn == "count", s"$fn(*) not supported")
+          require(!ad, "count(DISTINCT *) is not Cypher; name a variable")
           RetItem(Some("count"), "*", None, None, alias)
         } else if (castFn != null)
-          RetItem(Some(fn), cv, Option(cp), Some(castFn.toLowerCase), alias)
-        else RetItem(Some(fn), v, Option(p), None, alias)
-      case AggExprRe(f, inner) if parsesAsTerm(inner) =>
+          RetItem(Some(fn), cv, Option(cp), Some(castFn.toLowerCase), alias, adistinct = ad)
+        else RetItem(Some(fn), v, Option(p), None, alias, adistinct = ad)
+      case AggExprRe(f, dist, inner) if parsesAsTerm(inner) =>
         // aggregate over a scalar EXPRESSION ("sum(toInteger(r.dport)
         // * 2) AS s") — the ref/cast forms are handled by AggRe above
         require(alias.isDefined, s"aggregate over an expression needs AS <alias>: $s")
         RetItem(Some(f.toLowerCase), "", None, None, alias,
-          Some(new PredParser(inner.trim).parseTerm()))
+          Some(new PredParser(inner.trim).parseTerm()), adistinct = dist != null)
       case r => r.split("\\.") match {
         case Array(v) if v.matches("\\w+") => RetItem(None, v, None, None, alias)
         case Array(v, p) if v.matches("\\w+") && p.matches("\\w+") =>
@@ -379,13 +443,13 @@ object CypherLite {
     }
   }
 
-  private val AggExprRe = """(?i)(count|sum|avg|min|max|collect)\s*\((.*)\)""".r
+  private val AggExprRe = """(?i)(count|sum|avg|min|max|collect)\s*\(\s*(DISTINCT\s+)?(.*)\)""".r
   private def parsesAsTerm(s: String): Boolean =
     try { new PredParser(s.trim).parseTerm(); true }
     catch { case _: Exception => false }
 
   private def parseOrder(orderOrNull: String): Seq[(String, Boolean)] =
-    Option(orderOrNull).toSeq.flatMap(_.split(",").toSeq).map { o =>
+    Option(orderOrNull).toSeq.flatMap(splitTopLevel).map { o =>
       val t = o.trim
       val desc = t.toUpperCase.endsWith(" DESC")
       val body = t.replaceAll("(?i)\\s+(DESC|ASC)$", "")
@@ -434,7 +498,7 @@ object CypherLite {
     def parsePattern(pattern: String): (Seq[NodePat], Seq[EdgePat]) =
       parsePatternChain(pattern, anon)
     val segs = patternPart.split("(?i)\\s+OPTIONAL MATCH\\s+")
-    val patterns = segs.head.split(",").toSeq.map(_.trim).map(parsePattern)
+    val patterns = splitTopLevel(segs.head).map(parsePattern)
     // connectivity: each chain must share a variable with the ones
     // before it (or an outer-bound one), or the product is a cartesian
     // blowup — reject
@@ -470,33 +534,76 @@ object CypherLite {
           "shortestPath needs a single (a)-[…]->(b) hop")
         val (nodes, hops) = st.patterns.head
         Query(MatchStage(Seq.empty, Seq.empty, st.where),
-          ret = retPart.split(",").toSeq.map(parseRetItem),
+          ret = splitTopLevel(retPart).map(parseRetItem),
           distinct = distinctOrNull != null,
           orderBy = parseOrder(orderOrNull), limit = Option(limitOrNull).map(_.toInt),
           sp = Some(ShortestPat(pathVar, nodes.head, hops.head, nodes(1))))
       case mTail(head, distinctOrNull, retPart, orderOrNull, limitOrNull) =>
-        // the lookbehinds keep the pipeline separator from matching the
-        // " WITH " inside STARTS WITH / ENDS WITH predicates
-        val segs = head.split("(?i)(?<!STARTS)(?<!ENDS)\\s+WITH\\s+")
-        val stage1 = segs.head match {
+        // pipeline separators: WITH and UNWIND stages, in textual order.
+        // The lookbehinds keep the separator from matching the " WITH "
+        // inside STARTS WITH / ENDS WITH predicates
+        val segRe = """(?i)(?<!STARTS)(?<!ENDS)\s+(WITH|UNWIND)\s+""".r
+        val ms = segRe.findAllMatchIn(head).toSeq
+        val segTexts: Seq[(String, String)] =
+          ("HEAD", if (ms.isEmpty) head else head.substring(0, ms.head.start)) +:
+            ms.zipWithIndex.map { case (m, i) =>
+              val end = if (i + 1 < ms.size) ms(i + 1).start else head.length
+              (m.group(1).toUpperCase, head.substring(m.end, end))
+            }
+        val stage1 = segTexts.head._2 match {
           case mStage1(pat, whereOrNull) =>
             parseMatchStage(pat, whereOrNull, Set.empty, anon)
           case other => throw new IllegalArgumentException(s"unsupported query head: $other")
         }
-        var carried = Set.empty[String] // names visible after each WITH
-        val withStages = segs.tail.toSeq.map {
-          case mWithSeg(itemsPart, havingOrNull, patOrNull, whereOrNull) =>
-            val items = itemsPart.split(",").toSeq.map(parseRetItem)
-            carried = items.map(_.outName).toSet
-            val next = Option(patOrNull).map(p =>
-              parseMatchStage(p, whereOrNull, carried, anon))
-            next.foreach(st => carried ++=
-              st.patterns.flatMap(_._1.map(_.v)) ++ st.optChains.flatMap(_._1.map(_.v)))
-            WithStage(items, Option(havingOrNull).map(parseWhere(_, anon)), next)
-          case other => throw new IllegalArgumentException(s"bad WITH stage: $other")
+        // names visible after each stage: a WITH REPLACES the scope with
+        // its items; an UNWIND ADDS its alias (Cypher keeps the rest)
+        var carried: Set[String] = stage1.patterns.flatMap(_._1.map(_.v)).toSet ++
+          stage1.optChains.flatMap(_._1.map(_.v))
+        def addNext(next: Option[MatchStage]): Unit =
+          next.foreach(st => carried ++=
+            st.patterns.flatMap(_._1.map(_.v)) ++ st.optChains.flatMap(_._1.map(_.v)))
+        val mUnwind = """(?i)^(.+?)\s+AS\s+(\w+)(?:\s+MATCH\s+(.+?)(?:\s+WHERE\s+(.+))?)?$""".r
+        val withStages: Seq[PipeStage] = segTexts.tail.map {
+          case ("WITH", seg) => seg match {
+            case mWithSeg(itemsPart, havingOrNull, patOrNull, whereOrNull) =>
+              val items = splitTopLevel(itemsPart).map(parseRetItem)
+              carried = items.map(_.outName).toSet
+              val next = Option(patOrNull).map(p =>
+                parseMatchStage(p, whereOrNull, carried, anon))
+              addNext(next)
+              WithStage(items, Option(havingOrNull).map(parseWhere(_, anon)), next)
+            case other => throw new IllegalArgumentException(s"bad WITH stage: $other")
+          }
+          case ("UNWIND", seg) => seg match {
+            case mUnwind(srcPart, aliasName, patOrNull, whereOrNull) =>
+              val src = srcPart.trim
+              val (srcVar, lits, litNum) =
+                if (src.startsWith("[")) {
+                  require(src.endsWith("]"), s"bad UNWIND list: $src")
+                  val parts = src.substring(1, src.length - 1).split(",")
+                    .toSeq.map(_.trim).filter(_.nonEmpty)
+                  val vals = parts.map(p =>
+                    if (p.startsWith("'") && p.endsWith("'") && p.length >= 2)
+                      p.substring(1, p.length - 1)
+                    else p)
+                  (None, vals, parts.forall(_.matches("-?\\d+")))
+                } else {
+                  require(src.matches("\\w+"),
+                    s"UNWIND source must be a carried list variable or a literal [...] list: $src")
+                  require(carried.contains(src), s"unbound UNWIND source '$src'")
+                  (Some(src), Seq.empty[String], false)
+                }
+              carried = carried + aliasName
+              val next = Option(patOrNull).map(p =>
+                parseMatchStage(p, whereOrNull, carried, anon))
+              addNext(next)
+              UnwindStage(srcVar, lits, litNum, aliasName, next)
+            case other => throw new IllegalArgumentException(s"bad UNWIND stage: $other")
+          }
+          case (kw, seg) => throw new IllegalArgumentException(s"bad $kw stage: $seg")
         }
         Query(stage1, withStages = withStages,
-          ret = retPart.split(",").toSeq.map(parseRetItem),
+          ret = splitTopLevel(retPart).map(parseRetItem),
           distinct = distinctOrNull != null,
           orderBy = parseOrder(orderOrNull), limit = Option(limitOrNull).map(_.toInt))
       case _ => throw new IllegalArgumentException(s"unsupported query: $q")
@@ -515,10 +622,14 @@ object CypherLite {
     val c = new Compiler(nodes, edges)
     q.sp.foreach { sp => return c.runShortestPath(q, sp) }
     var bound = c.compileStage(None, q.stage)
-    q.withStages.foreach { ws =>
-      bound = c.project(bound, ws.items, distinct = false)
-      ws.having.foreach { p => bound = c.applyPred(bound, p) }
-      ws.next.foreach { st => bound = c.compileStage(Some(bound), st) }
+    q.withStages.foreach {
+      case ws: WithStage =>
+        bound = c.project(bound, ws.items, distinct = false)
+        ws.having.foreach { p => bound = c.applyPred(bound, p) }
+        ws.next.foreach { st => bound = c.compileStage(Some(bound), st) }
+      case u: UnwindStage =>
+        bound = c.unwind(bound, u)
+        u.next.foreach { st => bound = c.compileStage(Some(bound), st) }
     }
     var out = c.project(bound, q.ret, q.distinct)
     if (q.orderBy.nonEmpty)
@@ -662,6 +773,21 @@ object CypherLite {
       bound
     }
 
+    /** `UNWIND xs AS x` — one row per element of the list column (or a
+      * literal list); the source column stays in scope. A pure
+      * narrow-map operation: no shuffle, rows fan out in place. */
+    def unwind(df: DataFrame, u: UnwindStage): DataFrame = {
+      val src: Column = u.srcVar match {
+        case Some(v) =>
+          require(df.columns.contains(v), s"unbound UNWIND source '$v'")
+          col(v)
+        case None =>
+          if (u.literalsNumeric) array(u.literals.map(s => lit(s.toLong)): _*)
+          else array(u.literals.map(lit): _*)
+      }
+      df.withColumn(u.alias, explode(src))
+    }
+
     /** Property access — edge vars read the carried props map, node
       * vars join the nodes frame; returns (frame, actual column name). */
     private def bindProp(df: DataFrame, v: String, prop: String): (DataFrame, String) = {
@@ -682,6 +808,7 @@ object CypherLite {
     private def isNumericTerm(t: Term): Boolean = t match {
       case _: NumT | _: CastT | _: ArithT => true
       case FuncT("size", _) => true
+      case CoalesceT(ts) => ts.exists(isNumericTerm)
       case _ => false
     }
 
@@ -705,6 +832,44 @@ object CypherLite {
           // 3.7 → 3) instead of null-ing on a non-integral string cast
           val raw = go(t0, num = true)
           if (fn == "tointeger") raw.cast("long") else raw.cast("double")
+        case FuncT(fn @ ("labels" | "keys" | "properties"), t0) =>
+          // node/edge accessors: the argument must be a bare variable;
+          // node metadata binds lazily via ONE left join per variable
+          val v = t0 match {
+            case PropT(vv, None) => vv
+            case _ => throw new IllegalArgumentException(s"$fn() takes a bare node/edge variable")
+          }
+          if (df.columns.contains(s"${v}__props")) {
+            // edge variable: the walk carried its props map on the row
+            fn match {
+              case "keys" => array_sort(map_keys(col(s"${v}__props")))
+              case "properties" => col(s"${v}__props")
+              case _ => throw new IllegalArgumentException("labels() needs a node variable")
+            }
+          } else {
+            require(df.columns.contains(v), s"unbound variable '$v'")
+            val meta = s"__meta_$v"
+            if (!df.columns.contains(s"${meta}_label")) {
+              val pn = nodes.select(col("id").as(v),
+                col("label").as(s"${meta}_label"), col("props").as(s"${meta}_props"))
+              df = df.join(pn, Seq(v), "left")
+            }
+            fn match {
+              case "labels" => array(col(s"${meta}_label")) // one label per node in this model
+              case "keys" => array_sort(map_keys(col(s"${meta}_props")))
+              case "properties" => col(s"${meta}_props")
+            }
+          }
+        case FuncT("size", t0) =>
+          // size() counts LIST elements when the argument is a list
+          // column (the collect→size idiom); otherwise string length
+          val raw = go(t0, num = false)
+          t0 match {
+            case PropT(v, None) if df.columns.contains(v) &&
+                df.schema(v).dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType] =>
+              size(raw)
+            case _ => length(raw)
+          }
         case FuncT(fn, t0) =>
           // string functions take the RAW string regardless of the
           // comparison context (num applies to the function's result)
@@ -712,8 +877,11 @@ object CypherLite {
           fn match {
             case "tolower" => lower(raw)
             case "toupper" => upper(raw)
-            case "size" => length(raw)
           }
+        case CoalesceT(ts) =>
+          // first non-null; members evaluate in the enclosing
+          // comparison's typing context so branches stay type-consistent
+          coalesce(ts.map(go(_, num)): _*)
         case ArithT(o, a, b) => o match {
           case "+" => go(a, num) + go(b, num)
           case "-" => go(a, num) - go(b, num)
@@ -853,14 +1021,20 @@ object CypherLite {
             }
         }
         (it.agg.get match {
-          case "count" => if (it.v == "*") count(lit(1)) else count(valueCol())
-          case "sum" => sum(valueCol().cast("double"))
+          case "count" =>
+            if (it.v == "*") count(lit(1))
+            else if (it.adistinct) count_distinct(valueCol()) else count(valueCol())
+          case "sum" =>
+            if (it.adistinct) sum_distinct(valueCol().cast("double"))
+            else sum(valueCol().cast("double"))
           case "avg" => avg(valueCol().cast("double"))
+          // DISTINCT is a no-op under min/max — accepted for Cypher parity
           case "min" => min(valueCol())
           case "max" => max(valueCol())
-          case "collect" => array_sort(collect_list(valueCol()))
-          case "length" => throw new IllegalArgumentException(
-            "length() is only supported on a shortestPath variable")
+          case "collect" =>
+            array_sort(if (it.adistinct) collect_set(valueCol()) else collect_list(valueCol()))
+          case "length" | "nodes" | "relationships" => throw new IllegalArgumentException(
+            s"${it.agg.get}() is only supported on a shortestPath variable")
           case a => throw new IllegalArgumentException(s"unsupported aggregate: $a")
         }).as(it.outName)
       }
@@ -932,6 +1106,20 @@ object CypherLite {
         (it.agg, it.v, it.prop) match {
           case (Some("length"), v, None) if v == sp.pathVar =>
             col("dist").cast("long").as(if (it.alias.isDefined) it.outName else s"length_$v")
+          case (Some("nodes"), v, None) if v == sp.pathVar =>
+            // the '>'-joined path string IS the node-id sequence
+            split(col(sp.pathVar), ">").as(it.outName)
+          case (Some("relationships"), v, None) if v == sp.pathVar =>
+            // one "src-[TYPE]->dst" per traversed step (the hop's etype
+            // is the pattern's; an untyped hop renders -[]->). Paths are
+            // hop-bounded (≤ 10), so the per-element re-split is cheap
+            val ns = split(col(sp.pathVar), ">")
+            val t = sp.hop.etype.getOrElse("")
+            when(size(ns) >= 2,
+              transform(sequence(lit(1), size(ns) - 1),
+                i => concat(element_at(ns, i), lit(s"-[$t]->"), element_at(ns, i + 1))))
+              .otherwise(expr("CAST(array() AS ARRAY<STRING>)"))
+              .as(it.outName)
           case (None, v, None) =>
             require(out.columns.contains(v), s"unbound variable '$v'")
             if (it.outName == v) col(v) else col(v).as(it.outName)

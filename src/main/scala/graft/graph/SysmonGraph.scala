@@ -332,13 +332,22 @@ object SysmonGraph {
   }
 
   private val memo =
-    new java.util.concurrent.ConcurrentHashMap[String, (DataFrame, DataFrame)]()
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), (DataFrame, DataFrame)]()
 
   /** Session-memoized build: several queries over the same corpus share
-    * one persisted graph instead of re-running the ETL each. */
-  def buildCached(spark: SparkSession, path: String): (DataFrame, DataFrame) =
-    memo.computeIfAbsent(System.identityHashCode(spark) + "|" + path, { _ =>
+    * one persisted graph instead of re-running the ETL each.
+    *
+    * Keyed by the session REFERENCE itself (SparkSession uses reference
+    * equality — collision-proof, unlike an identity hash, which can
+    * collide across sessions in one JVM); entries whose owning context
+    * has stopped are swept on the next call — their persisted blocks
+    * died with the context, so only the map entry (plans + session ref)
+    * needs releasing. */
+  def buildCached(spark: SparkSession, path: String): (DataFrame, DataFrame) = {
+    memo.forEach((k, v) => if (k._1.sparkContext.isStopped) memo.remove(k, v))
+    memo.computeIfAbsent((spark, path), { _ =>
       val (n, e) = build(spark, path)
       (n.persist(), e.persist())
     })
+  }
 }

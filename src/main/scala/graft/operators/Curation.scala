@@ -50,10 +50,12 @@ object Curation {
     val reps = hashed.filter(col("rn") === 1)
 
     // 3. near-dedup among representatives: drop the larger id of each
-    // verified near-dup pair (transitive chains collapse to the smallest id)
-    val pairs = Dedup.verifyJaccard(
-      reps.select(col("doc_id"), col("text")),
-      lshCandidates(reps.select(col("doc_id"), col("text"))), nearDupThreshold)
+    // verified near-dup pair (transitive chains collapse to the smallest
+    // id). One persisted shingle frame feeds both the LSH banding and
+    // the exact verification (same sharing as Dedup.d2MinhashLsh)
+    val sh = Dedup.shingleRows(reps.select(col("doc_id"), col("text"))).persist()
+    val pairs = Dedup.verifyJaccardOfShingles(
+      sh, Dedup.d2CandidatesOfShingles(sh).persist(), nearDupThreshold)
     val nearDupIds = pairs.select(col("id2").as("doc_id")).distinct()
     val nearDups = reps.join(nearDupIds, Seq("doc_id"), "left_semi")
       .select(col("doc_id"), col("lang"), lit(false).as("keep"), lit("near_dup").as("reason"))

@@ -146,8 +146,15 @@ object Dedup {
     * string hash + k codegen'd long mult-add-mods instead of k string
     * hashes (~10× cheaper at corpus scale). One explode + one groupBy
     * with map-side partial min. */
-  def minhashSignatures(docs: DataFrame, k: Int = 64): DataFrame = {
-    val ex = shingleRows(docs)
+  def minhashSignatures(docs: DataFrame, k: Int = 64): DataFrame =
+    minhashSignaturesOfShingles(shingleRows(docs), k)
+
+  /** [[minhashSignatures]] over an ALREADY-SHINGLED (doc_id, g) frame —
+    * lets a pipeline that also needs the shingles for verification
+    * (d2) derive both stages from ONE persisted shingle frame instead
+    * of shingling the corpus twice. */
+  def minhashSignaturesOfShingles(sh: DataFrame, k: Int = 64): DataFrame = {
+    val ex = sh
       .select(col("doc_id"), pmod(xxhash64(col("g")), lit(MinhashPrime)).as("h"))
     val aggs = (0 until k).map { i =>
       val (a, b) = minhashParams(i)
@@ -178,13 +185,16 @@ object Dedup {
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .drop("text_hash", "rn")
-      .persist() // referenced by signatures AND verification
-    // persist: verifyJaccard references the candidate frame three
-    // times (both id sides + the pair join) — without this the whole
-    // minhash pipeline re-executes per reference. The verified pair
-    // list is tiny → reclaim both caches behind it.
-    val cand = d2Candidates(docs, k, bands, bucketCap).persist()
-    graft.Borrow.reclaim(verifyJaccard(docs, cand, threshold), docs, cand)
+    // ONE persisted shingle frame feeds BOTH the signature pass and the
+    // exact-Jaccard verification (shingling — parse + explode + window
+    // + distinct — is the pipeline's dominant per-row cost; deriving it
+    // twice roughly doubled the cold invocation). The candidate frame
+    // persists too: verification references it three times (both id
+    // sides + the pair join). The verified pair list is tiny → reclaim
+    // both caches behind it.
+    val sh = shingleRows(docs).persist()
+    val cand = d2CandidatesOfShingles(sh, k, bands, bucketCap).persist()
+    graft.Borrow.reclaim(verifyJaccardOfShingles(sh, cand, threshold), sh, cand)
   }
 
   /** LSH candidate pairs with the degenerate-bucket guard (SURVEY §5).
@@ -201,9 +211,14 @@ object Dedup {
     * other). Pair semantics on non-degenerate corpora are unchanged.
     */
   def d2Candidates(docs: DataFrame, k: Int = 64, bands: Int = 16,
-                   bucketCap: Int = 1000): DataFrame = {
+                   bucketCap: Int = 1000): DataFrame =
+    d2CandidatesOfShingles(shingleRows(docs), k, bands, bucketCap)
+
+  /** [[d2Candidates]] over an already-shingled (doc_id, g) frame. */
+  def d2CandidatesOfShingles(sh: DataFrame, k: Int = 64, bands: Int = 16,
+                             bucketCap: Int = 1000): DataFrame = {
     val rows = k / bands
-    val sigs = minhashSignatures(docs, k)
+    val sigs = minhashSignaturesOfShingles(sh, k)
     val banded = sigs.select(col("doc_id"),
         explode(array((0 until bands).map(b =>
           struct(lit(b).as("band"),
@@ -236,6 +251,17 @@ object Dedup {
     jaccardOf(cand, sh, sizes, threshold)
   }
 
+  /** [[verifyJaccard]] over an already-shingled (doc_id, g) frame
+    * (expected persisted by the caller — each of the three downstream
+    * references re-applies only the cheap candidate-id semi-join). */
+  def verifyJaccardOfShingles(sh: DataFrame, cand: DataFrame, threshold: Double): DataFrame = {
+    val ids = cand.select(col("id1").as("doc_id"))
+      .union(cand.select(col("id2").as("doc_id"))).distinct()
+    val shc = sh.join(ids, Seq("doc_id"), "left_semi")
+    val sizes = shc.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    jaccardOf(cand, shc, sizes, threshold)
+  }
+
   /** SimHash-64 per document: sign-aggregate of per-token hash bits
     * (computed with bit arithmetic over xxhash64 — no UDF). */
   def simhash(docs: DataFrame): DataFrame = {
@@ -254,8 +280,19 @@ object Dedup {
 
   /** D3 — SimHash near-dup: candidates share one of four 16-bit chunks
     * (guarantees recall for Hamming distance ≤ 3), then exact Hamming
-    * filter. */
-  def d3Simhash(s: SparkSession, dir: String, maxHamming: Int = 3): DataFrame = {
+    * filter.
+    *
+    * Chunk buckets get the same degenerate-bucket guard as D2
+    * ([[d2Candidates]]): a near-identical cluster whose texts differ
+    * only OUTSIDE a chunk lands all b members in one (chunk, value)
+    * bucket — the exact-dup collapse can't remove it (texts differ) and
+    * the self-join would emit O(b²) pairs. Buckets > bucketCap instead
+    * STAR-LINK members to the bucket's minimum doc_id: O(b) candidates,
+    * every member still exactly Hamming-verified against the
+    * representative — the keep/drop shape curation needs. Pair
+    * semantics on non-degenerate corpora are unchanged. */
+  def d3Simhash(s: SparkSession, dir: String, maxHamming: Int = 3,
+                bucketCap: Int = 1000): DataFrame = {
     // same representative collapse as D2: exact duplicates share a
     // simhash by construction and would explode the chunk buckets
     val w = Window.partitionBy(col("text_hash")).orderBy(col("doc_id"))
@@ -264,18 +301,37 @@ object Dedup {
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .drop("text_hash", "rn")
-    val sigs = simhash(docs).persist()
+    d3SimhashPairs(simhash(docs).persist(), maxHamming, bucketCap)
+  }
+
+  /** Chunk-banded Hamming pairs over a (doc_id, simhash) frame —
+    * the candidate + verify core of [[d3Simhash]], parameterized so the
+    * degenerate-cluster fixture can drive it directly. */
+  def d3SimhashPairs(sigs: DataFrame, maxHamming: Int = 3,
+                     bucketCap: Int = 1000): DataFrame = {
     val chunked = sigs.select(col("doc_id"), col("simhash"),
         explode(array((0 until 4).map(c =>
           struct(lit(c).as("chunk"),
             shiftrightunsigned(col("simhash"), c * 16).bitwiseAND(0xFFFF).as("cv"))): _*)).as("cc"))
       .select(col("doc_id"), col("simhash"), col("cc.chunk"), col("cc.cv"))
+    // bucket size + (min doc_id, its simhash) representative in one
+    // window pass; a degenerate bucket costs O(b), not O(b²)
+    val bw = Window.partitionBy(col("chunk"), col("cv"))
+    val sized = chunked
+      .withColumn("bsz", count(lit(1)).over(bw))
+      .withColumn("rep", min(struct(col("doc_id"), col("simhash"))).over(bw))
     val popcount = (x: org.apache.spark.sql.Column) => bit_count(x)
-    chunked.alias("x").join(chunked.alias("y"),
+    val small = sized.filter(col("bsz") <= bucketCap)
+    val pairsSmall = small.alias("x").join(small.alias("y"),
         col("x.chunk") === col("y.chunk") && col("x.cv") === col("y.cv") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("id1"), col("y.doc_id").as("id2"),
         popcount(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("hamming"))
+    val pairsLarge = sized
+      .filter(col("bsz") > bucketCap && col("doc_id") =!= col("rep.doc_id"))
+      .select(col("rep.doc_id").as("id1"), col("doc_id").as("id2"),
+        popcount(col("rep.simhash").bitwiseXOR(col("simhash"))).as("hamming"))
+    pairsSmall.unionByName(pairsLarge)
       .distinct()
       .filter(col("hamming") <= maxHamming)
       .orderBy(col("id1"), col("id2"))

@@ -71,11 +71,15 @@ object Relational {
       .orderBy(col("c_custkey"))
   }
 
-  /** C4b — NOT EXISTS via left_anti. */
+  /** C4b — NOT EXISTS via left_anti: customers with no order above the
+    * threshold. (A bare "no orders at all" predicate is vacuous on the
+    * testdata — every customer has an order — so the oracle would
+    * compare empty-to-empty; the threshold keeps both the EXISTS and
+    * NOT-EXISTS sides populated at sf0.01.) */
   def q4Anti(s: SparkSession, dir: String): DataFrame = {
     val c = Tables.customer(s, dir)
-    val o = Tables.orders(s, dir)
-    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+    val big = Tables.orders(s, dir).filter(col("o_totalprice") > 450000)
+    c.join(big, c("c_custkey") === big("o_custkey"), "left_anti")
       .select(col("c_custkey"), col("c_name"))
       .orderBy(col("c_custkey"))
   }

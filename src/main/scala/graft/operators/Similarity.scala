@@ -95,18 +95,30 @@ object Similarity {
     * full corpus scan. */
   def e2AnnTopK(s: SparkSession, dir: String, k: Int = 5,
                 nbits: Int = 6, ntables: Int = 8): DataFrame = {
-    val all = Tables.embeddings(s, dir)
+    val base = Tables.embeddings(s, dir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    // the inverted index carries IDS ONLY — a vector that lands in m
+    // shared buckets must dedup to one candidate, and keying that
+    // distinct on (q_id, vec_id) ids means the candidate shuffle never
+    // hashes or carries embedding payloads
+    val banded = base
       .withColumn("tb", explode(array((0 until ntables).map(t =>
         struct(lit(t).as("tbl"),
           lshBucket(col("v"), nbits, planeSeed = t * 1000).as("bucket"))): _*)))
-      .select(col("vec_id"), col("v"), col("tb.tbl"), col("tb.bucket"))
-    val queries = broadcast(all.filter(col("vec_id") < 8)
-      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("tbl"), col("bucket")))
-    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
-    queries.join(all, Seq("tbl", "bucket"))
+      .select(col("vec_id"), col("tb.tbl"), col("tb.bucket"))
+    val qIndex = broadcast(banded.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("q_id"), col("tbl"), col("bucket")))
+    val candIds = qIndex.join(banded, Seq("tbl", "bucket"))
       .filter(col("q_id") =!= col("vec_id"))
-      .select(col("q_id"), col("qv"), col("vec_id"), col("v")).distinct()
+      .select(col("q_id"), col("vec_id")).distinct()
+    // vectors re-attach AFTER the id-dedup: query vectors broadcast,
+    // corpus vectors via one broadcast-hash probe of the scan (candIds
+    // is ≤ |queries| × bucket-bounded — tiny)
+    val qVecs = broadcast(base.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("q_id"), col("v").as("qv")))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
+    base.join(broadcast(candIds), Seq("vec_id"))
+      .join(qVecs, Seq("q_id"))
       .withColumn("cos", cos(s, col("qv"), col("v")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -115,14 +127,47 @@ object Similarity {
       .orderBy(col("q_id"), col("rank"))
   }
 
+  /** One distributed Lloyd refinement step: new centroid = element-wise
+    * mean of each list's member vectors.
+    *
+    * SCALE SHAPE: the mean is computed by exploding members to
+    * (cid, dim, x) rows and averaging per (cid, dim) — every
+    * aggregation buffer holds one running (sum, count), and only the
+    * FINAL nlist×dim mean rows are re-assembled into arrays. The naive
+    * alternative (`groupBy(cid).agg(collect_list(v))`) materializes
+    * ~|corpus|/nlist full vectors inside ONE aggregation buffer — a
+    * multi-GB single-row allocation at 10⁸ vectors. Input: (cid, v). */
+  private[graft] def lloydRefine(assigned: DataFrame): DataFrame =
+    assigned
+      .select(col("cid"), posexplode(col("v")).as(Seq("dim", "x")))
+      .groupBy(col("cid"), col("dim"))
+      .agg(avg(col("x")).as("m"))
+      .groupBy(col("cid"))
+      // collect_list here aggregates nlist×dim scalar (dim, mean) pairs
+      // — bounded by the quantizer size, never by the corpus
+      .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("dm"))
+      .select(col("cid"), expr("transform(dm, e -> e.m)").as("cv"))
+
   /** E3 — IVF-style search: a deterministic coarse quantizer (centroids
     * = every (n/nlist)-th vector, refined by `lloydIters` distributed
-    * k-means steps), probe the nearest `nprobe` lists only. */
+    * k-means steps over a deterministic training sample), probe the
+    * nearest `nprobe` lists only.
+    *
+    * `trainMod` bounds quantizer training at scale (the standard IVF
+    * move: centroids converge on a sample long before the corpus size
+    * matters): training uses only vectors with xxhash64(vec_id) ≡ 0
+    * (mod trainMod) — deterministic, partition-invariant. Default 1 =
+    * train on everything (right at test scale; at 10⁸+ vectors set
+    * trainMod so the sample is ~10⁵-10⁶). Assignment always covers the
+    * full corpus. */
   def e3IvfTopK(s: SparkSession, dir: String, k: Int = 5,
-                nlist: Int = 16, nprobe: Int = 4, lloydIters: Int = 2): DataFrame = {
+                nlist: Int = 16, nprobe: Int = 4, lloydIters: Int = 2,
+                trainMod: Int = 1): DataFrame = {
     val all = Tables.embeddings(s, dir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .persist()
+    val train = if (trainMod <= 1) all
+      else all.filter(pmod(xxhash64(col("vec_id")), lit(trainMod)) === 0)
     val n = all.count()
     val stride = math.max(n / nlist, 1L)
     // ordered selection: an unordered limit() is nondeterministic across
@@ -132,15 +177,13 @@ object Similarity {
       .orderBy(col("vec_id")).limit(nlist)
       .select((col("vec_id") / stride).cast("int").as("cid"), col("v").as("cv"))
     for (_ <- 1 to lloydIters) {
-      val assigned = all.crossJoin(broadcast(centroids))
+      val trainAssigned = train.crossJoin(broadcast(centroids))
         .withColumn("cos", cos(s, col("v"), col("cv")))
         .withColumn("rn", row_number().over(
           Window.partitionBy(col("vec_id")).orderBy(col("cos").desc, col("cid"))))
         .filter(col("rn") === 1)
-      centroids = assigned.groupBy(col("cid"))
-        .agg(collect_list(col("v")).as("vs"))
-        .select(col("cid"),
-          expr("transform(vs[0], (x, i) -> aggregate(vs, 0D, (acc, v) -> acc + v[i]) / size(vs))").as("cv"))
+        .select(col("cid"), col("v"))
+      centroids = lloydRefine(trainAssigned)
     }
     val cb = broadcast(centroids)
     val assigned = all.crossJoin(cb)

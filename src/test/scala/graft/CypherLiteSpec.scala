@@ -563,6 +563,144 @@ class CypherLiteSpec extends SparkSpec {
     }
   }
 
+  test("count(DISTINCT ...) equals the countDistinct twin and differs from count") {
+    val (nodes, edges) = graph
+    // two-hop pattern so a trace sees the same ip through several
+    // processes — plain count would multiply, DISTINCT must not
+    val got = CypherLite.run(nodes, edges,
+      "MATCH (t:Trace)-[:HAS_PROCESS]->(p:Process)-[:CONNECTED_TO]->(ip:Ip) " +
+        "RETURN t, count(DISTINCT ip) AS n_ips, count(ip) AS n_rows ORDER BY t")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val want = et("HAS_PROCESS").select(col("src").as("t"), col("dst").as("p"))
+      .join(et("CONNECTED_TO").select(col("src").as("p"), col("dst").as("ip")), Seq("p"))
+      .groupBy(col("t"))
+      .agg(countDistinct(col("ip")).as("n_ips"), count(col("ip")).as("n_rows"))
+      .orderBy(col("t"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got.sameElements(want) && got.nonEmpty)
+    // non-vacuous: at least one trace reaches an ip via >1 process
+    assert(got.exists { case (_, d, c) => d < c },
+      "fixture never exercises the DISTINCT path")
+  }
+
+  test("collect(DISTINCT ...) deduplicates before collecting") {
+    val (nodes, edges) = graph
+    val got = CypherLite.run(nodes, edges,
+      "MATCH (t:Trace)-[:HAS_PROCESS]->(p:Process)-[:CONNECTED_TO]->(ip:Ip) " +
+        "RETURN t, collect(DISTINCT ip) AS ips ORDER BY t")
+      .collect().map(r => (r.getString(0), r.getSeq[String](1)))
+    val want = et("HAS_PROCESS").select(col("src").as("t"), col("dst").as("p"))
+      .join(et("CONNECTED_TO").select(col("src").as("p"), col("dst").as("ip")), Seq("p"))
+      .groupBy(col("t")).agg(array_sort(collect_set(col("ip"))).as("ips"))
+      .orderBy(col("t"))
+      .collect().map(r => (r.getString(0), r.getSeq[String](1)))
+    assert(got.length == want.length && got.nonEmpty)
+    got.zip(want).foreach { case ((gt, gl), (wt, wl)) =>
+      assert(gt == wt && gl == wl)
+    }
+  }
+
+  test("collect → UNWIND round-trips the pair set (the Cypher idiom)") {
+    val (nodes, edges) = graph
+    val got = CypherLite.run(nodes, edges,
+      "MATCH (p:Process)-[:CONNECTED_TO]->(ip:Ip) " +
+        "WITH p, collect(ip) AS ips UNWIND ips AS addr RETURN p, addr")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    val want = et("CONNECTED_TO").select(col("src"), col("dst")).distinct()
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got == want && got.nonEmpty)
+  }
+
+  test("UNWIND of a literal list fans each row out; source stays in scope") {
+    val (nodes, edges) = graph
+    val nTraces = nodes.filter(col("label") === "Trace").count()
+    val got = CypherLite.run(nodes, edges,
+      "MATCH (t:Trace) UNWIND [1, 2, 3] AS x RETURN t, x")
+    assert(got.columns.toSeq == Seq("t", "x"))
+    assert(got.count() == nTraces * 3)
+    val xs = got.select(col("x")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(xs == Set(1L, 2L, 3L))
+    // aggregating after UNWIND sees the fan-out
+    val agg = CypherLite.run(nodes, edges,
+      "MATCH (t:Trace) UNWIND ['a', 'b'] AS tag RETURN tag, count(*) ORDER BY tag")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(agg.toSeq == Seq(("a", nTraces), ("b", nTraces)))
+  }
+
+  test("nodes(p)/relationships(p) decompose shortestPath results") {
+    val (nodes, edges) = graph
+    val roots = et("SPAWNS").select(col("src")).distinct()
+      .join(et("SPAWNS").select(col("dst").as("src")).distinct(), Seq("src"), "left_anti")
+    val r0 = roots.agg(min(col("src"))).collect()(0).getString(0)
+    val got = CypherLite.run(nodes, edges,
+      s"MATCH p = shortestPath((a:Process)-[:SPAWNS*]->(b)) WHERE a.id = '$r0' " +
+        "RETURN b, p, length(p), nodes(p) AS ns, relationships(p) AS rs")
+      .collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val path = r.getString(1)
+      val len = r.getLong(2)
+      val ns = r.getSeq[String](3)
+      val rs = r.getSeq[String](4)
+      // nodes(p) is exactly the '>'-split path: len+1 entries, right ends
+      assert(ns == path.split(">").toSeq)
+      assert(ns.length == len + 1 && ns.head == r0 && ns.last == r.getString(0))
+      // relationships(p): one typed step string per hop, consistent with
+      // consecutive node pairs
+      assert(rs.length == len)
+      rs.zipWithIndex.foreach { case (step, i) =>
+        assert(step == s"${ns(i)}-[SPAWNS]->${ns(i + 1)}")
+      }
+    }
+    // cross-check endpoints against GraphOps.bfsPaths directly
+    import spark.implicits._
+    val want = graft.graph.GraphOps.bfsPaths(
+        et("SPAWNS").select(col("src"), col("dst")), Seq(r0).toDF("id"), maxIter = 10)
+      .filter(col("dist") >= 1)
+      .collect().map(r => (r.getString(0), r.getString(2))).toSet
+    assert(got.map(r => (r.getString(0), r.getString(1))).toSet == want)
+  }
+
+  test("size(list) after collect: the collect→size filter idiom") {
+    val (nodes, edges) = graph
+    val got = CypherLite.run(nodes, edges,
+      "MATCH (p:Process)-[:CONNECTED_TO]->(ip:Ip) " +
+        "WITH p, collect(ip) AS ips WHERE size(ips) >= 2 RETURN p, size(ips) AS n ORDER BY p")
+      .collect().map(r => (r.getString(0), r.getInt(1)))
+    val want = et("CONNECTED_TO").groupBy(col("src"))
+      .agg(count(lit(1)).cast("int").as("n")).filter(col("n") >= 2)
+      .orderBy(col("src"))
+      .collect().map(r => (r.getString(0), r.getInt(1)))
+    assert(got.sameElements(want) && got.nonEmpty)
+  }
+
+  test("labels/keys/properties accessors and coalesce over props") {
+    val (nodes, edges) = graph
+    // labels(): every matched f is a File
+    val ls = CypherLite.run(nodes, edges,
+      "MATCH (p:Process)-[:CREATED_FILE]->(f) RETURN DISTINCT f, labels(f) AS ls LIMIT 20")
+      .collect()
+    assert(ls.nonEmpty && ls.forall(_.getSeq[String](1) == Seq("File")))
+    // keys()/properties(): sorted prop names match the nodes frame
+    val ks = CypherLite.run(nodes, edges,
+      "MATCH (p:Process)-[:CONNECTED_TO]->(ip:Ip) RETURN DISTINCT p, keys(p) AS ks LIMIT 10")
+      .collect()
+    val propKeys = nodes.filter(col("label") === "Process")
+      .select(col("id"), map_keys(col("props")).as("mk"))
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1).sorted).toMap
+    ks.foreach(r => assert(r.getSeq[String](1) == propKeys(r.getString(0))))
+    // coalesce: image falls back to a default, never null in output
+    val co = CypherLite.run(nodes, edges,
+      "MATCH (t:Trace)-[:HAS_PROCESS]->(p:Process) " +
+        "RETURN DISTINCT p, coalesce(p.image, 'unknown') AS img")
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(co.nonEmpty && co.forall(_._2 != null))
+    val noImage = nodes.filter(col("label") === "Process" &&
+      !map_contains_key(col("props"), "image")).count()
+    if (noImage > 0) assert(co.exists(_._2 == "unknown"))
+  }
+
   test("repeated variable within a pattern binds as an equality join (cycles)") {
     val (nodes, edges) = graph
     // any 2-cycle over arbitrary edge types: (a)-[]->(x)-[]->(a)

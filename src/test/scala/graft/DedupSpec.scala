@@ -118,6 +118,35 @@ class DedupSpec extends SparkSpec {
     cand.unpersist()
   }
 
+  test("d3 degenerate-chunk guard: cluster differing outside a chunk star-links, not b²") {
+    // 40 sketches differing ONLY in the top chunk (bits 48-63): chunks
+    // 0-2 are identical across the whole cluster — three degenerate
+    // buckets of 40 that uncapped banding turns into C(40,2)=780 pairs
+    val base = 0x123456789ABCDEF0L
+    val cluster = (1 to 40).map(i => (i.toLong, base ^ (i.toLong << 48)))
+    val bg = (200 to 209).map(i => (i.toLong, 0x5A5A5A5A5A5A5A5AL * i))
+    val sigs = (cluster ++ bg).toDF("doc_id", "simhash").persist()
+    // candidate bound: maxHamming=64 disables the verify filter and
+    // isolates the banding shape
+    val uncapped = Dedup.d3SimhashPairs(sigs, maxHamming = 64, bucketCap = 1000).count()
+    val capped = Dedup.d3SimhashPairs(sigs, maxHamming = 64, bucketCap = 10).count()
+    assert(uncapped >= 780, s"fixture too weak: $uncapped uncapped pairs")
+    assert(capped <= 60, s"degenerate chunk bucket not capped: $capped candidates")
+    // every member still reaches the bucket representative (doc 1)
+    // within the cluster's true Hamming radius (i^1 < 64 → ≤ 6 bits)
+    val pairs = Dedup.d3SimhashPairs(sigs, maxHamming = 6, bucketCap = 10)
+    val covered = pairs.select(col("id1")).union(pairs.select(col("id2")))
+      .distinct().filter(col("id1") <= 40).count()
+    assert(covered == 40, s"cluster members lost by capping: $covered/40")
+    sigs.unpersist()
+  }
+
+  test("d3 capping does not change pairs on the normal corpus") {
+    val a = Dedup.d3Simhash(spark, sf)
+    val b = Dedup.d3Simhash(spark, sf, bucketCap = Int.MaxValue)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+  }
+
   test("d5 LSH path on the corpus: subset of exact, recall-bounded, fewer candidates") {
     val exact = Dedup.d5EmbDupExact(spark, sf).select(col("id1"), col("id2"))
     val lsh = Dedup.d5EmbDup(spark, sf).select(col("id1"), col("id2"))

@@ -104,6 +104,42 @@ class PlanAuditSpec extends SparkSpec {
     assert(exchanges.forall(_.contains("rangepartitioning")), p)
   }
 
+  test("E3: Lloyd refinement never aggregates vector arrays over corpus rows") {
+    // the scale-killer shape this pins out: groupBy(cid).agg(
+    // collect_list(v)) — one aggregation buffer holding ~corpus/nlist
+    // full vectors. The refinement must explode to (cid, dim, x) scalar
+    // rows, average per (cid, dim), and only re-assemble the nlist×dim
+    // MEANS into arrays
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val assigned = Seq((0, Seq(1.0, 2.0)), (0, Seq(3.0, 4.0)), (1, Seq(5.0, 6.0)))
+      .toDF("cid", "v")
+    val refined = graft.operators.Similarity.lloydRefine(assigned)
+    val p = plan(refined)
+    // collect_list must aggregate the (dim, mean) scalars, never `v`
+    assert(!p.matches("(?s).*collect_list\\(v[,#].*"),
+      s"corpus vectors inside an aggregation buffer:\n$p")
+    assert(p.contains("posexplode"), p)
+    assert(p.linesIterator.exists(l => l.contains("avg(") || l.contains("partial_avg")), p)
+    // and it computes the right means
+    val got = refined.collect().map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
+    assert(got == Map(0 -> Seq(2.0, 3.0), 1 -> Seq(5.0, 6.0)))
+  }
+
+  test("E2: ANN candidate dedup keys on ids only, never on embedding payloads") {
+    val df = graft.operators.Similarity.e2AnnTopK(spark, sf)
+    val p = plan(df)
+    // the distinct's HashAggregate must group on (q_id/tbl/bucket/vec_id)
+    // ids; a `v#…` or `qv#…` in any aggregate grouping key means the
+    // candidate shuffle is hashing vector arrays again
+    val aggLines = p.linesIterator.filter(_.contains("HashAggregate")).toSeq
+    assert(aggLines.nonEmpty, p)
+    aggLines.foreach { l =>
+      assert(!l.matches(".*keys=\\[[^\\]]*(?<![a-zA-Z_])(v|qv)#.*"),
+        s"vector payload in an aggregate key:\n$l")
+    }
+  }
+
   test("P3: stage-1 sample window partitions on (pid, lang); merge input is pruned") {
     val p = plan(graft.operators.Curation.stratifiedSample(spark, sf))
     val winSpecs = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq

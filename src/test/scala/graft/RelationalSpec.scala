@@ -22,11 +22,16 @@ class RelationalSpec extends SparkSpec {
   }
 
   test("q4 semi plus anti partition the customer table") {
+    // both sides use the SAME >450000 threshold, so EXISTS ∪ NOT EXISTS
+    // is a partition of customers (the anti predicate carries a
+    // threshold to stay non-vacuous at sf0.01 — every customer has
+    // SOME order, so a bare NOT EXISTS matches nothing)
+    val big = Tables.orders(spark, sf).filter(col("o_totalprice") > 450000)
     val semiAll = Tables.customer(spark, sf).join(
-      Tables.orders(spark, sf),
-      col("c_custkey") === col("o_custkey"), "left_semi").count()
+      big, col("c_custkey") === col("o_custkey"), "left_semi").count()
     val anti = Relational.q4Anti(spark, sf).count()
     assert(semiAll + anti == Tables.customer(spark, sf).count())
+    assert(anti > 0 && semiAll > 0, "both sides must be non-vacuous")
   }
 
   test("q7 top-k returns at most k rows per group, correctly ordered") {
