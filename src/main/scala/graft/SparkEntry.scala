@@ -171,6 +171,9 @@ object SparkEntry {
     // E. similarity search
     "e1_topk"      -> ((s, d) => Similarity.e1TopK(s, d)),
     "e2_ann"       -> ((s, d) => Similarity.e2AnnTopK(s, d)),
+    // IVF path (rows-only: nprobe < nlist trades recall by design;
+    // recall + determinism are spec-bound, the Lloyd step plan-audited)
+    "e3_ivf"       -> ((s, d) => Similarity.e3IvfTopK(s, d)),
     "e4_radius"    -> ((s, d) => Similarity.e4Radius(s, d)),
     // F. text analysis
     "f1_tokens"    -> (TextAnalysis.f1Tokens _),

@@ -46,7 +46,19 @@ import org.apache.spark.sql.functions._
   *    (single-element label array), `keys(v)` (sorted property names),
   *    `properties(v)` (the property map) over node or edge variables;
   *    any numeric term switches the whole comparison to
-  *    double. `NOT <pred>`,
+  *    double. List membership `x IN ['a', 'b']` (literal list → isin)
+  *    and `x IN ips` (a carried collect(...) list column →
+  *    array_contains); anchored regex `p.image =~ '.*\\.exe'` (Cypher
+  *    =~ matches the WHOLE string — compiled as rlike('^(?:pat)$'));
+  *    searched `CASE WHEN <pred> THEN <expr> … [ELSE <expr>] END` in
+  *    any term position (branch predicates use the full WHERE
+  *    grammar); temporal constructors `date(x)` / `datetime(x)` (cast
+  *    stored strings to DATE/TIMESTAMP for typed comparison),
+  *    `timestamp(x)` (epoch millis, numeric — so durations are plain
+  *    arithmetic) and `duration('PT5M')` (ISO-8601 literal → millis);
+  *    graph accessors `type(r)` (relationship type of a named
+  *    single-hop edge variable) and `id(v)` (the node KEY — this
+  *    model's ids are strings). `NOT <pred>`,
   *    `<expr> IS [NOT] NULL`, and the pattern predicate
   *    `exists((p)-[:T]->(x))` (anchored at a bound variable; fresh
   *    pattern variables are existential) — `NOT exists(...)` is the
@@ -98,7 +110,7 @@ import org.apache.spark.sql.functions._
   *    `RETURN` may use `a`, `b`, their props, `p` (the '>'-joined
   *    path string), `length(p)`, `nodes(p)` (the node-id array), and
   *    `relationships(p)` (one `src-[TYPE]->dst` string per step)
-  *  - ORDER BY over returned items; LIMIT n
+  *  - ORDER BY over returned items; SKIP n; LIMIT n
   *
   * Each single hop is one equi-join on the edge frame; a
   * variable-length hop materializes the bounded (from, to) hop-pair
@@ -131,6 +143,15 @@ object CypherLite {
   /** `coalesce(a, b, …)` — first non-null, the reference's own Cypher
     * idiom (events.py writes coalesce into every MERGE). */
   final case class CoalesceT(ts: Seq[Term]) extends Term { def vars: Set[String] = ts.flatMap(_.vars).toSet }
+  /** Literal list `['a', 'b']` / `[1, 2, 3]` — the rhs of IN, an
+    * argument to size(), or any term position (compiles to array()). */
+  final case class ListT(ts: Seq[Term]) extends Term { def vars: Set[String] = ts.flatMap(_.vars).toSet }
+  /** Searched `CASE WHEN p THEN t [WHEN …]* [ELSE e] END` (null when no
+    * branch matches and no ELSE — Cypher semantics). */
+  final case class CaseT(branches: Seq[(Pred, Term)], els: Option[Term]) extends Term {
+    def vars: Set[String] =
+      branches.flatMap { case (p, t) => p.vars ++ t.vars }.toSet ++ els.toSeq.flatMap(_.vars)
+  }
 
   sealed trait Pred { def vars: Set[String] }
   final case class Leaf(c: Cond) extends Pred { def vars: Set[String] = Set(c.v) }
@@ -140,6 +161,9 @@ object CypherLite {
   final case class CmpLeaf(l: Term, op: String, r: Term) extends Pred { def vars: Set[String] = l.vars ++ r.vars }
   /** `v.prop IS [NOT] NULL` — the post-OPTIONAL-MATCH idiom. */
   final case class NullLeaf(t: Term, isNull: Boolean) extends Pred { def vars: Set[String] = t.vars }
+  /** `x IN [...]` (literal list) or `x IN listCol` (a carried
+    * collect(...) alias) — list membership. */
+  final case class InPred(l: Term, r: Term) extends Pred { def vars: Set[String] = l.vars ++ r.vars }
   /** Cypher negation (`NOT <pred>`). */
   final case class Not(p: Pred) extends Pred { def vars: Set[String] = p.vars }
   /** Pattern predicate `exists((p)-[:T]->(x))`: true iff the chain
@@ -193,6 +217,7 @@ object CypherLite {
                          withStages: Seq[PipeStage] = Seq.empty,
                          ret: Seq[RetItem] = Seq.empty, distinct: Boolean = false,
                          orderBy: Seq[(String, Boolean)] = Seq.empty,
+                         skip: Option[Int] = None,
                          limit: Option[Int] = None,
                          sp: Option[ShortestPat] = None)
 
@@ -229,7 +254,33 @@ object CypherLite {
     val IdRe = """(\w+)(?:\.(\w+))?""".r
     def atomT(): Term = {
       ws()
-      if (rest.startsWith("(")) {
+      if (rest.startsWith("[")) {
+        // literal list — elements are full scalar terms
+        rest = rest.substring(1)
+        ws()
+        val elems = scala.collection.mutable.Buffer.empty[Term]
+        if (!rest.startsWith("]")) {
+          elems += sumT(); ws()
+          while (rest.startsWith(",")) {
+            rest = rest.substring(1); elems += sumT(); ws()
+          }
+        }
+        require(rest.startsWith("]"), s"expected ']' in list at: $rest")
+        rest = rest.substring(1)
+        ListT(elems.toSeq)
+      } else if (eat("CASE")) {
+        // searched CASE: WHEN <pred> THEN <term> … [ELSE <term>] END
+        val branches = scala.collection.mutable.Buffer.empty[(Pred, Term)]
+        while (eat("WHEN")) {
+          val p = orExpr()
+          require(eat("THEN"), s"expected THEN at: $rest")
+          branches += ((p, sumT()))
+        }
+        require(branches.nonEmpty, s"CASE needs at least one WHEN at: $rest")
+        val els = if (eat("ELSE")) Some(sumT()) else None
+        require(eat("END"), s"expected END at: $rest")
+        CaseT(branches.toSeq, els)
+      } else if (rest.startsWith("(")) {
         rest = rest.substring(1)
         val t = sumT()
         ws()
@@ -257,7 +308,8 @@ object CypherLite {
             rest = rest.substring(1)
             CoalesceT(args.toSeq)
           case Some(m) if Set("toInteger", "toFloat", "toLower", "toUpper", "size",
-                "labels", "keys", "properties")(m.group(1))
+                "labels", "keys", "properties",
+                "date", "datetime", "timestamp", "duration", "type", "id")(m.group(1))
               && m.group(2) == null && rest.substring(m.end).trim.startsWith("(") =>
             rest = rest.substring(rest.indexOf('(', m.end) + 1)
             val inner = sumT()
@@ -293,8 +345,9 @@ object CypherLite {
       val l = sumT(); ws()
       if (eat("IS NOT NULL")) NullLeaf(l, isNull = false)
       else if (eat("IS NULL")) NullLeaf(l, isNull = true)
+      else if (eat("IN")) { ws(); InPred(l, atomT()) }
       else {
-        val ops = Seq(">=", "<=", "<>", "=", ">", "<",
+        val ops = Seq(">=", "<=", "<>", "=~", "=", ">", "<",
           "STARTS WITH", "ENDS WITH", "CONTAINS")
         val op = ops.find(o => rest.regionMatches(true, 0, o, 0, o.length))
           .getOrElse(throw new IllegalArgumentException(s"expected comparison at: $rest"))
@@ -522,12 +575,12 @@ object CypherLite {
     val text = q.trim.replaceAll("\\s+", " ")
     var anonId = 0
     val anon = () => { anonId += 1; s"_anon$anonId" }
-    val mShortest = """(?i)MATCH (\w+) = shortestPath\((.+?)\)(?: WHERE (.+?))? RETURN (DISTINCT )?(.+?)(?: ORDER BY (.+?))?(?: LIMIT (\d+))?\s*$""".r
-    val mTail = """(?i)^(.+?) RETURN (DISTINCT )?(.+?)(?: ORDER BY (.+?))?(?: LIMIT (\d+))?\s*$""".r
+    val mShortest = """(?i)MATCH (\w+) = shortestPath\((.+?)\)(?: WHERE (.+?))? RETURN (DISTINCT )?(.+?)(?: ORDER BY (.+?))?(?: SKIP (\d+))?(?: LIMIT (\d+))?\s*$""".r
+    val mTail = """(?i)^(.+?) RETURN (DISTINCT )?(.+?)(?: ORDER BY (.+?))?(?: SKIP (\d+))?(?: LIMIT (\d+))?\s*$""".r
     val mStage1 = """(?i)^MATCH (.+?)(?: WHERE (.+))?$""".r
     val mWithSeg = """(?i)^(.+?)(?: WHERE (.+?))?(?: MATCH (.+?)(?: WHERE (.+))?)?$""".r
     text match {
-      case mShortest(pathVar, pattern, whereOrNull, distinctOrNull, retPart, orderOrNull, limitOrNull) =>
+      case mShortest(pathVar, pattern, whereOrNull, distinctOrNull, retPart, orderOrNull, skipOrNull, limitOrNull) =>
         val st = parseMatchStage(pattern, whereOrNull, Set.empty, anon)
         require(st.patterns.size == 1 && st.patterns.head._1.size == 2 &&
           st.optChains.isEmpty,
@@ -536,9 +589,11 @@ object CypherLite {
         Query(MatchStage(Seq.empty, Seq.empty, st.where),
           ret = splitTopLevel(retPart).map(parseRetItem),
           distinct = distinctOrNull != null,
-          orderBy = parseOrder(orderOrNull), limit = Option(limitOrNull).map(_.toInt),
+          orderBy = parseOrder(orderOrNull),
+          skip = Option(skipOrNull).map(_.toInt),
+          limit = Option(limitOrNull).map(_.toInt),
           sp = Some(ShortestPat(pathVar, nodes.head, hops.head, nodes(1))))
-      case mTail(head, distinctOrNull, retPart, orderOrNull, limitOrNull) =>
+      case mTail(head, distinctOrNull, retPart, orderOrNull, skipOrNull, limitOrNull) =>
         // pipeline separators: WITH and UNWIND stages, in textual order.
         // The lookbehinds keep the separator from matching the " WITH "
         // inside STARTS WITH / ENDS WITH predicates
@@ -605,7 +660,9 @@ object CypherLite {
         Query(stage1, withStages = withStages,
           ret = splitTopLevel(retPart).map(parseRetItem),
           distinct = distinctOrNull != null,
-          orderBy = parseOrder(orderOrNull), limit = Option(limitOrNull).map(_.toInt))
+          orderBy = parseOrder(orderOrNull),
+          skip = Option(skipOrNull).map(_.toInt),
+          limit = Option(limitOrNull).map(_.toInt))
       case _ => throw new IllegalArgumentException(s"unsupported query: $q")
     }
   }
@@ -635,6 +692,7 @@ object CypherLite {
     if (q.orderBy.nonEmpty)
       out = out.orderBy(q.orderBy.map { case (cn, desc) =>
         if (desc) col(cn).desc else col(cn).asc }: _*)
+    q.skip.foreach(n => out = out.offset(n))
     q.limit.foreach(n => out = out.limit(n))
     out
   }
@@ -657,13 +715,17 @@ object CypherLite {
       val e0 = h.etype.map(t => edges.filter(col("etype") === t)).getOrElse(edges)
       h.v match {
         case Some(ev) =>
-          // merged edges are unique per (etype, src, dst) — no distinct
+          // merged edges are unique per (etype, src, dst) — no distinct;
+          // the carried etype serves type(r) (constant when the hop is
+          // typed, the real per-row type on an untyped -[r]-> hop)
           return if (h.reverse)
             e0.select(col("dst").as("_from"), col("src").as("_to"),
-              col("props").as(s"${ev}__props"), col("event_id").as(s"${ev}__event_id"))
+              col("props").as(s"${ev}__props"), col("event_id").as(s"${ev}__event_id"),
+              col("etype").as(s"${ev}__etype"))
           else
             e0.select(col("src").as("_from"), col("dst").as("_to"),
-              col("props").as(s"${ev}__props"), col("event_id").as(s"${ev}__event_id"))
+              col("props").as(s"${ev}__props"), col("event_id").as(s"${ev}__event_id"),
+              col("etype").as(s"${ev}__etype"))
         case None => ()
       }
       val e = (if (h.reverse) e0.select(col("dst").as("_from"), col("src").as("_to"))
@@ -808,6 +870,11 @@ object CypherLite {
     private def isNumericTerm(t: Term): Boolean = t match {
       case _: NumT | _: CastT | _: ArithT => true
       case FuncT("size", _) => true
+      // epoch millis / duration millis — numeric; date()/datetime()
+      // stay non-numeric (they compare as DATE/TIMESTAMP, and a double
+      // cast would null them)
+      case FuncT("timestamp" | "duration", _) => true
+      case CaseT(bs, e) => bs.exists(b => isNumericTerm(b._2)) || e.exists(isNumericTerm)
       case CoalesceT(ts) => ts.exists(isNumericTerm)
       case _ => false
     }
@@ -862,14 +929,57 @@ object CypherLite {
           }
         case FuncT("size", t0) =>
           // size() counts LIST elements when the argument is a list
-          // column (the collect→size idiom); otherwise string length
+          // column (the collect→size idiom) or a literal list;
+          // otherwise string length
           val raw = go(t0, num = false)
           t0 match {
+            case _: ListT => size(raw)
             case PropT(v, None) if df.columns.contains(v) &&
                 df.schema(v).dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType] =>
               size(raw)
             case _ => length(raw)
           }
+        case FuncT("type", t0) =>
+          // relationship type — needs a named single-hop edge variable
+          // (the walk carried its etype onto the row)
+          val v = t0 match {
+            case PropT(vv, None) => vv
+            case _ => throw new IllegalArgumentException("type() takes a bare edge variable")
+          }
+          require(df.columns.contains(s"${v}__etype"),
+            s"type() needs a named single-hop edge variable, got '$v'")
+          col(s"${v}__etype")
+        case FuncT("id", t0) =>
+          // node/element id — this model's node KEY (a string; Neo4j's
+          // internal numeric ids have no analogue here)
+          val v = t0 match {
+            case PropT(vv, None) => vv
+            case _ => throw new IllegalArgumentException("id() takes a bare variable")
+          }
+          require(df.columns.contains(v), s"unbound variable '$v'")
+          if (num) col(v).cast("double") else col(v)
+        case FuncT(fn @ ("date" | "datetime" | "timestamp"), t0) =>
+          // temporal constructors over stored string props (Spark's
+          // string→date/timestamp cast accepts 'yyyy-MM-dd[ HH:mm:ss…]');
+          // timestamp() yields epoch MILLIS (numeric — Neo4j's
+          // datetime().epochMillis idiom), so durations are plain
+          // arithmetic: timestamp(b) - timestamp(a) < duration('PT5M')
+          val raw = go(t0, num = false)
+          fn match {
+            case "date" => to_date(raw)
+            case "datetime" => to_timestamp(raw)
+            case "timestamp" => unix_millis(to_timestamp(raw))
+          }
+        case FuncT("duration", t0) =>
+          // ISO-8601 duration LITERAL → millis (a compile-time constant;
+          // day/hour/minute/second designators — months would need a
+          // calendar anchor and are rejected by java.time.Duration)
+          val iso = t0 match {
+            case StrT(s0) => s0
+            case _ => throw new IllegalArgumentException(
+              "duration() takes an ISO-8601 'string' literal like 'PT5M' or 'P2D'")
+          }
+          lit(java.time.Duration.parse(iso).toMillis)
         case FuncT(fn, t0) =>
           // string functions take the RAW string regardless of the
           // comparison context (num applies to the function's result)
@@ -882,6 +992,18 @@ object CypherLite {
           // first non-null; members evaluate in the enclosing
           // comparison's typing context so branches stay type-consistent
           coalesce(ts.map(go(_, num)): _*)
+        case ListT(ts) => array(ts.map(go(_, num)): _*)
+        case CaseT(bs, e) =>
+          // searched CASE: branch predicates compile through the full
+          // predicate grammar (prop binds / exists joins update `df`),
+          // branch values in the enclosing typing context
+          val compiled = bs.map { case (p, t0) =>
+            val (d2, c) = predColumn(df, p)
+            df = d2
+            (c, go(t0, num))
+          }
+          val base: Column = e.map(go(_, num)).getOrElse(lit(null))
+          compiled.foldRight(base) { case ((c, tc), acc) => when(c, tc).otherwise(acc) }
         case ArithT(o, a, b) => o match {
           case "+" => go(a, num) + go(b, num)
           case "-" => go(a, num) - go(b, num)
@@ -897,8 +1019,21 @@ object CypherLite {
       * needed); returns the filtered frame. A bare identifier condition
       * (no `.prop`) references a column directly — a WITH alias. */
     def applyPred(df0: DataFrame, p: Pred): DataFrame = {
+      val (df, cond) = predColumn(df0, p)
+      df.filter(cond).drop(df.columns.filter(_.startsWith("__exists")): _*)
+    }
+
+    /** Session-unique suffix for exists-flag columns (predColumn can
+      * recurse through CASE terms — a local counter would collide). */
+    private var existsSeq = 0
+
+    /** Compile a predicate to a boolean Column over a frame, binding
+      * prop columns / exists-flag joins as needed; returns the updated
+      * frame and the condition. Any appended `__exists*` helper columns
+      * are dropped by [[applyPred]] after the filter (harmless
+      * elsewhere — projections never select them). */
+    private def predColumn(df0: DataFrame, p: Pred): (DataFrame, Column) = {
       var df = df0
-      var existsId = 0
       def compile(p: Pred): Column = p match {
         case Leaf(c) =>
           val cn = c.prop match {
@@ -930,6 +1065,36 @@ object CypherLite {
             case "ENDS WITH" => raw.endsWith(c.value)
             case op => throw new IllegalArgumentException(s"$op needs a numeric literal")
           }
+        case CmpLeaf(l, "=~", r) =>
+          // Cypher's =~ matches the WHOLE string (unlike SQL rlike's
+          // substring find) — anchor the pattern
+          val pat = r match {
+            case StrT(p0) => p0
+            case _ => throw new IllegalArgumentException("=~ needs a 'string' literal pattern")
+          }
+          val (d1, lc) = compileTerm(df, l, numeric = false)
+          df = d1
+          lc.rlike(s"^(?:$pat)$$")
+        case InPred(l, ListT(ts)) =>
+          // literal list: compile to isin (codegen'd); numeric when every
+          // element is numeric (same typing switch as comparisons)
+          val vals: Seq[Any] = ts.map {
+            case NumT(x) => x
+            case StrT(s0) => s0
+            case other => throw new IllegalArgumentException(
+              s"IN list elements must be literals, got $other")
+          }
+          val numeric = ts.nonEmpty && ts.forall(_.isInstanceOf[NumT])
+          val (d1, lc) = compileTerm(df, l, numeric)
+          df = d1
+          if (vals.isEmpty) lit(false) else lc.isin(vals: _*)
+        case InPred(l, r) =>
+          // list-column membership (`x IN ips` over a collect alias)
+          val (d1, lc) = compileTerm(df, l, numeric = false)
+          df = d1
+          val (d2, rc) = compileTerm(df, r, numeric = false)
+          df = d2
+          array_contains(rc, lc)
         case CmpLeaf(l, op, r) =>
           // any numeric term (literal, arithmetic, coercion) switches the
           // whole comparison to double; otherwise refs compare as the
@@ -962,8 +1127,8 @@ object CypherLite {
           // filtered left join to a semi/anti join where applicable.
           require(df.columns.contains(anchor),
             s"exists() pattern must start at a bound variable, got '$anchor'")
-          existsId += 1
-          val flag = s"__exists$existsId"
+          existsSeq += 1
+          val flag = s"__exists$existsSeq"
           val sub = walk(df.select(col(anchor)).distinct(), np, hops)
             .select(col(anchor)).distinct()
             .withColumn(flag, lit(true))
@@ -973,7 +1138,7 @@ object CypherLite {
         case Or(ps) => ps.map(compile).reduce(_ || _)
       }
       val cond = compile(p)
-      df.filter(cond).drop(df.columns.filter(_.startsWith("__exists")): _*)
+      (df, cond)
     }
 
     /** Project RETURN/WITH items, with Cypher's implicit grouping when
@@ -1136,6 +1301,7 @@ object CypherLite {
       if (q.orderBy.nonEmpty)
         res = res.orderBy(q.orderBy.map { case (cn, desc) =>
           if (desc) col(cn).desc else col(cn).asc }: _*)
+      q.skip.foreach(n => res = res.offset(n))
       q.limit.foreach(n => res = res.limit(n))
       res
     }

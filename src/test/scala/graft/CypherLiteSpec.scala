@@ -701,6 +701,154 @@ class CypherLiteSpec extends SparkSpec {
     if (noImage > 0) assert(co.exists(_._2 == "unknown"))
   }
 
+  test("IN literal list (string and numeric) equals isin twins") {
+    val (nodes, edges) = graph
+    // string list over a raw prop
+    val got = CypherLite.run(nodes, edges,
+      "MATCH (p:Process)-[r:CONNECTED_TO]->(ip:Ip) " +
+        "WHERE r.dport IN ['443', '8080', '4444'] RETURN DISTINCT p, ip")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    val want = et("CONNECTED_TO")
+      .filter(element_at(col("props"), "dport").isin("443", "8080", "4444"))
+      .select(col("src"), col("dst")).distinct()
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got == want && got.nonEmpty)
+    // numeric list switches the comparison to double
+    val gotN = CypherLite.run(nodes, edges,
+      "MATCH (p:Process)-[r:CONNECTED_TO]->(ip:Ip) " +
+        "WHERE toInteger(r.dport) IN [443, 8080, 4444] RETURN DISTINCT p, ip")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    val wantN = et("CONNECTED_TO")
+      .filter(element_at(col("props"), "dport").cast("double").isin(443.0, 8080.0, 4444.0))
+      .select(col("src"), col("dst")).distinct()
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(gotN == wantN && gotN.nonEmpty)
+  }
+
+  test("IN over a carried collect list (array_contains) and NOT IN") {
+    val (nodes, edges) = graph
+    // pick a real ip so membership is non-vacuous both ways
+    val someIp = et("CONNECTED_TO").agg(min(col("dst"))).collect()(0).getString(0)
+    val got = CypherLite.run(nodes, edges,
+      "MATCH (p:Process)-[:CONNECTED_TO]->(ip:Ip) " +
+        s"WITH p, collect(ip) AS ips WHERE '$someIp' IN ips RETURN p ORDER BY p")
+      .collect().map(_.getString(0))
+    val want = et("CONNECTED_TO").filter(col("dst") === someIp)
+      .select(col("src")).distinct().orderBy(col("src"))
+      .collect().map(_.getString(0))
+    assert(got.sameElements(want) && got.nonEmpty)
+    val gotNot = CypherLite.run(nodes, edges,
+      "MATCH (p:Process)-[:CONNECTED_TO]->(ip:Ip) " +
+        s"WITH p, collect(ip) AS ips WHERE NOT '$someIp' IN ips RETURN p ORDER BY p")
+      .collect().map(_.getString(0))
+    val all = et("CONNECTED_TO").select(col("src")).distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(gotNot.toSet == all -- want.toSet)
+  }
+
+  test("=~ regex matches the WHOLE string (Cypher anchoring)") {
+    val (nodes, edges) = graph
+    val got = CypherLite.run(nodes, edges,
+      "MATCH (t:Trace)-[:HAS_PROCESS]->(p:Process) " +
+        "WHERE p.image =~ '.*\\.exe' RETURN DISTINCT p")
+      .collect().map(_.getString(0)).toSet
+    val want = nodes.filter(col("label") === "Process" &&
+        element_at(col("props"), "image").rlike("^(?:.*\\.exe)$"))
+      .join(et("HAS_PROCESS").select(col("dst").as("id")).distinct(), Seq("id"), "left_semi")
+      .select(col("id"))
+      .collect().map(_.getString(0)).toSet
+    assert(got == want && got.nonEmpty)
+    // anchoring: a bare substring pattern behaves as EQUALITY (whole-
+    // string match), not contains — twin is the literal-equality filter
+    val anchored = CypherLite.run(nodes, edges,
+      "MATCH (p:Process)-[:CONNECTED_TO]->(ip:Ip) WHERE p.image =~ 'exe' RETURN DISTINCT p")
+      .collect().map(_.getString(0)).toSet
+    val anchoredWant = nodes.filter(col("label") === "Process" &&
+        element_at(col("props"), "image") === "exe")
+      .join(et("CONNECTED_TO").select(col("src").as("id")).distinct(), Seq("id"), "left_semi")
+      .select(col("id")).collect().map(_.getString(0)).toSet
+    assert(anchored == anchoredWant)
+    // and the contains-style pattern with explicit wildcards is wider
+    assert(got.size > anchored.size)
+  }
+
+  test("type(r) on an untyped hop groups by the real edge type") {
+    val (nodes, edges) = graph
+    val got = CypherLite.run(nodes, edges,
+      "MATCH (p:Process)-[r]->(x) RETURN type(r) AS t, count(*) AS n ORDER BY t")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    // twin: edges whose src is a Process node, counted per etype
+    val procs = nodes.filter(col("label") === "Process").select(col("id").as("src"))
+    val want = edges.join(procs, Seq("src"), "left_semi")
+      .groupBy(col("etype")).agg(count(lit(1)).as("n")).orderBy(col("etype"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(got.sameElements(want) && got.nonEmpty)
+    // id(v) is the node key itself
+    val ids = CypherLite.run(nodes, edges,
+      "MATCH (p:Process)-[:CONNECTED_TO]->(ip:Ip) RETURN DISTINCT p, id(p) AS pid LIMIT 10")
+      .collect()
+    assert(ids.nonEmpty && ids.forall(r => r.getString(1) == r.getString(0)))
+  }
+
+  test("searched CASE equals the when/otherwise twin") {
+    val (nodes, edges) = graph
+    val got = CypherLite.run(nodes, edges,
+      "MATCH (p:Process)-[r:CONNECTED_TO]->(ip:Ip) " +
+        "RETURN DISTINCT p, ip, CASE WHEN toInteger(r.dport) >= 1024 THEN 'high' " +
+        "WHEN toInteger(r.dport) >= 0 THEN 'low' ELSE 'unknown' END AS band")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    val dport = element_at(col("props"), "dport").cast("double")
+    val want = et("CONNECTED_TO")
+      .select(col("src"), col("dst"),
+        when(dport >= 1024, "high").when(dport >= 0, "low").otherwise("unknown").as("band"))
+      .distinct()
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(got == want && got.nonEmpty)
+    // missing dport → null comparisons are false → ELSE branch
+    assert(got.map(_._3).subsetOf(Set("high", "low", "unknown")))
+  }
+
+  test("SKIP pages through an ordered result (SKIP n LIMIT m = slice)") {
+    val (nodes, edges) = graph
+    val all = CypherLite.run(nodes, edges,
+      "MATCH (p:Process)-[:CONNECTED_TO]->(ip:Ip) RETURN DISTINCT p, ip ORDER BY p, ip")
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    val page = CypherLite.run(nodes, edges,
+      "MATCH (p:Process)-[:CONNECTED_TO]->(ip:Ip) " +
+        "RETURN DISTINCT p, ip ORDER BY p, ip SKIP 2 LIMIT 3")
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(all.length > 5 && page.sameElements(all.slice(2, 5)))
+  }
+
+  test("temporal functions: date/datetime/timestamp/duration on a synthetic graph") {
+    import spark.implicits._
+    val nodes = Seq(
+      ("Event", "e1", Map("ts" -> "2024-05-01 10:00:00")),
+      ("Event", "e2", Map("ts" -> "2024-05-01 10:03:00")),
+      ("Event", "e3", Map("ts" -> "2024-05-02 09:00:00")),
+      ("Event", "e4", Map.empty[String, String])) // no ts → null, filtered
+      .toDF("label", "id", "props")
+    val edges = Seq(("NEXT", "e1", "e2", 1, Map.empty[String, String]),
+      ("NEXT", "e2", "e3", 1, Map.empty[String, String]))
+      .toDF("etype", "src", "dst", "event_id", "props")
+    // date() comparison against a date string literal
+    val d = CypherLite.run(nodes, edges,
+      "MATCH (a:Event) WHERE date(a.ts) = '2024-05-01' RETURN a ORDER BY a")
+      .collect().map(_.getString(0))
+    assert(d.sameElements(Array("e1", "e2")))
+    // datetime() orders within a day
+    val dt = CypherLite.run(nodes, edges,
+      "MATCH (a:Event) WHERE datetime(a.ts) > '2024-05-01 10:01:00' RETURN a ORDER BY a")
+      .collect().map(_.getString(0))
+    assert(dt.sameElements(Array("e2", "e3")))
+    // timestamp() arithmetic vs a duration literal: NEXT hops under 5 minutes
+    val fast = CypherLite.run(nodes, edges,
+      "MATCH (a:Event)-[:NEXT]->(b:Event) " +
+        "WHERE timestamp(b.ts) - timestamp(a.ts) < duration('PT5M') RETURN a, b")
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(fast.sameElements(Array(("e1", "e2")))) // e2→e3 is ~23h
+  }
+
   test("repeated variable within a pattern binds as an equality join (cycles)") {
     val (nodes, edges) = graph
     // any 2-cycle over arbitrary edge types: (a)-[]->(x)-[]->(a)
