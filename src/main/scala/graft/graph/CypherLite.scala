@@ -90,7 +90,7 @@ import org.apache.spark.sql.functions._
   *    (`toInteger(r.dport) * 2 + 1 AS odd_port` — the alias is
   *    required), plain or under an aggregate
   *    (`sum(toInteger(r.dport) * 2) AS s`)
-  *  - `WITH` pipeline stages (any number): `MATCH … WITH items
+  *  - `WITH [DISTINCT]` pipeline stages (any number): `MATCH … WITH items
   *    [WHERE having] [MATCH …pattern(s) [OPTIONAL MATCH …]] WITH …
   *    RETURN …` — each WITH's items (aggregates allowed, `AS`
   *    aliases) project the stage so far; its having-WHERE filters the
@@ -98,9 +98,11 @@ import org.apache.spark.sql.functions._
   *    variables
   *  - `UNWIND xs AS x` stages (interleaved with WITH anywhere after
   *    the first MATCH): explode a carried list column — typically a
-  *    `collect(...)` alias, the Cypher collect→UNWIND idiom — or a
-  *    literal `[...]` list, one row per element, source kept in scope;
-  *    may carry its own follow-on MATCH like a WITH
+  *    `collect(...)` alias, the Cypher collect→UNWIND idiom — a
+  *    literal `[...]` list, or any list-valued term
+  *    (`UNWIND range(1, 5) AS i` — inclusive, Cypher semantics), one
+  *    row per element, source kept in scope; may carry its own
+  *    follow-on MATCH like a WITH
   *  - `MATCH p = shortestPath((a)-[:T*]->(b))`: with `a.id = '…'`
   *    pinned in WHERE, one single-source BFS
   *    ([[GraphOps.bfsPaths]]); UNPINNED, the all-pairs form — every
@@ -146,6 +148,9 @@ object CypherLite {
   /** Literal list `['a', 'b']` / `[1, 2, 3]` — the rhs of IN, an
     * argument to size(), or any term position (compiles to array()). */
   final case class ListT(ts: Seq[Term]) extends Term { def vars: Set[String] = ts.flatMap(_.vars).toSet }
+  /** `range(a, b)` — inclusive integer sequence (Cypher semantics;
+    * compiles to Spark's sequence(), also inclusive). */
+  final case class RangeT(a: Term, b: Term) extends Term { def vars: Set[String] = a.vars ++ b.vars }
   /** Searched `CASE WHEN p THEN t [WHEN …]* [ELSE e] END` (null when no
     * branch matches and no ELSE — Cypher semantics). */
   final case class CaseT(branches: Seq[(Pred, Term)], els: Option[Term]) extends Term {
@@ -202,17 +207,20 @@ object CypherLite {
   sealed trait PipeStage
   /** One WITH pipeline stage: projection items (aggregates allowed),
     * a having-WHERE over the projection, and an optional follow-on
-    * MATCH joining new patterns on the carried variables. */
+    * MATCH joining new patterns on the carried variables. `distinct`
+    * is Cypher's `WITH DISTINCT items` (dedup the projection). */
   final case class WithStage(items: Seq[RetItem], having: Option[Pred],
-                             next: Option[MatchStage]) extends PipeStage
+                             next: Option[MatchStage],
+                             distinct: Boolean = false) extends PipeStage
   /** `UNWIND xs AS x`: explodes a carried list column (typically a
-    * `collect(...)` alias) — or a literal `[...]` list — into one row
-    * per element; the source stays in scope (Cypher semantics). An
-    * optional follow-on MATCH joins new patterns on the carried
-    * variables, like a WITH's. */
+    * `collect(...)` alias), a literal `[...]` list, or any list-valued
+    * term (`range(1, 5)`) into one row per element; the source stays
+    * in scope (Cypher semantics). An optional follow-on MATCH joins
+    * new patterns on the carried variables, like a WITH's. */
   final case class UnwindStage(srcVar: Option[String], literals: Seq[String],
                                literalsNumeric: Boolean, alias: String,
-                               next: Option[MatchStage]) extends PipeStage
+                               next: Option[MatchStage],
+                               srcTerm: Option[Term] = None) extends PipeStage
   final case class Query(stage: MatchStage,
                          withStages: Seq[PipeStage] = Seq.empty,
                          ret: Seq[RetItem] = Seq.empty, distinct: Boolean = false,
@@ -307,6 +315,16 @@ object CypherLite {
             require(rest.startsWith(")"), s"expected ')' after coalesce at: $rest")
             rest = rest.substring(1)
             CoalesceT(args.toSeq)
+          case Some(m) if m.group(1).equalsIgnoreCase("range")
+              && m.group(2) == null && rest.substring(m.end).trim.startsWith("(") =>
+            rest = rest.substring(rest.indexOf('(', m.end) + 1)
+            val a = sumT(); ws()
+            require(rest.startsWith(","), s"range(a, b) needs two arguments at: $rest")
+            rest = rest.substring(1)
+            val b = sumT(); ws()
+            require(rest.startsWith(")"), s"expected ')' after range at: $rest")
+            rest = rest.substring(1)
+            RangeT(a, b)
           case Some(m) if Set("toInteger", "toFloat", "toLower", "toUpper", "size",
                 "labels", "keys", "properties",
                 "date", "datetime", "timestamp", "duration", "type", "id")(m.group(1))
@@ -620,19 +638,22 @@ object CypherLite {
         val mUnwind = """(?i)^(.+?)\s+AS\s+(\w+)(?:\s+MATCH\s+(.+?)(?:\s+WHERE\s+(.+))?)?$""".r
         val withStages: Seq[PipeStage] = segTexts.tail.map {
           case ("WITH", seg) => seg match {
-            case mWithSeg(itemsPart, havingOrNull, patOrNull, whereOrNull) =>
+            case mWithSeg(itemsPart0, havingOrNull, patOrNull, whereOrNull) =>
+              val wdist = itemsPart0.trim.toUpperCase.startsWith("DISTINCT ")
+              val itemsPart = if (wdist) itemsPart0.trim.substring(9) else itemsPart0
               val items = splitTopLevel(itemsPart).map(parseRetItem)
               carried = items.map(_.outName).toSet
               val next = Option(patOrNull).map(p =>
                 parseMatchStage(p, whereOrNull, carried, anon))
               addNext(next)
-              WithStage(items, Option(havingOrNull).map(parseWhere(_, anon)), next)
+              WithStage(items, Option(havingOrNull).map(parseWhere(_, anon)), next,
+                distinct = wdist)
             case other => throw new IllegalArgumentException(s"bad WITH stage: $other")
           }
           case ("UNWIND", seg) => seg match {
             case mUnwind(srcPart, aliasName, patOrNull, whereOrNull) =>
               val src = srcPart.trim
-              val (srcVar, lits, litNum) =
+              val (srcVar, lits, litNum, srcTerm) =
                 if (src.startsWith("[")) {
                   require(src.endsWith("]"), s"bad UNWIND list: $src")
                   val parts = src.substring(1, src.length - 1).split(",")
@@ -641,18 +662,21 @@ object CypherLite {
                     if (p.startsWith("'") && p.endsWith("'") && p.length >= 2)
                       p.substring(1, p.length - 1)
                     else p)
-                  (None, vals, parts.forall(_.matches("-?\\d+")))
-                } else {
-                  require(src.matches("\\w+"),
-                    s"UNWIND source must be a carried list variable or a literal [...] list: $src")
+                  (None, vals, parts.forall(_.matches("-?\\d+")), None)
+                } else if (src.matches("\\w+")) {
                   require(carried.contains(src), s"unbound UNWIND source '$src'")
-                  (Some(src), Seq.empty[String], false)
+                  (Some(src), Seq.empty[String], false, None)
+                } else {
+                  // any list-valued term: range(1, 5), a CASE over
+                  // carried lists, … — the general UNWIND source
+                  (None, Seq.empty[String], false,
+                    Some(new PredParser(src).parseTerm()))
                 }
               carried = carried + aliasName
               val next = Option(patOrNull).map(p =>
                 parseMatchStage(p, whereOrNull, carried, anon))
               addNext(next)
-              UnwindStage(srcVar, lits, litNum, aliasName, next)
+              UnwindStage(srcVar, lits, litNum, aliasName, next, srcTerm)
             case other => throw new IllegalArgumentException(s"bad UNWIND stage: $other")
           }
           case (kw, seg) => throw new IllegalArgumentException(s"bad $kw stage: $seg")
@@ -681,7 +705,7 @@ object CypherLite {
     var bound = c.compileStage(None, q.stage)
     q.withStages.foreach {
       case ws: WithStage =>
-        bound = c.project(bound, ws.items, distinct = false)
+        bound = c.project(bound, ws.items, distinct = ws.distinct)
         ws.having.foreach { p => bound = c.applyPred(bound, p) }
         ws.next.foreach { st => bound = c.compileStage(Some(bound), st) }
       case u: UnwindStage =>
@@ -838,14 +862,21 @@ object CypherLite {
     /** `UNWIND xs AS x` — one row per element of the list column (or a
       * literal list); the source column stays in scope. A pure
       * narrow-map operation: no shuffle, rows fan out in place. */
-    def unwind(df: DataFrame, u: UnwindStage): DataFrame = {
-      val src: Column = u.srcVar match {
-        case Some(v) =>
-          require(df.columns.contains(v), s"unbound UNWIND source '$v'")
-          col(v)
-        case None =>
-          if (u.literalsNumeric) array(u.literals.map(s => lit(s.toLong)): _*)
-          else array(u.literals.map(lit): _*)
+    def unwind(df0: DataFrame, u: UnwindStage): DataFrame = {
+      var df = df0
+      val src: Column = u.srcTerm match {
+        case Some(t) =>
+          val (d2, c) = compileTerm(df, t, numeric = false)
+          df = d2
+          c
+        case None => u.srcVar match {
+          case Some(v) =>
+            require(df.columns.contains(v), s"unbound UNWIND source '$v'")
+            col(v)
+          case None =>
+            if (u.literalsNumeric) array(u.literals.map(s => lit(s.toLong)): _*)
+            else array(u.literals.map(lit): _*)
+        }
       }
       df.withColumn(u.alias, explode(src))
     }
@@ -933,7 +964,7 @@ object CypherLite {
           // otherwise string length
           val raw = go(t0, num = false)
           t0 match {
-            case _: ListT => size(raw)
+            case _: ListT | _: RangeT => size(raw)
             case PropT(v, None) if df.columns.contains(v) &&
                 df.schema(v).dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType] =>
               size(raw)
@@ -993,6 +1024,8 @@ object CypherLite {
           // comparison's typing context so branches stay type-consistent
           coalesce(ts.map(go(_, num)): _*)
         case ListT(ts) => array(ts.map(go(_, num)): _*)
+        case RangeT(a, b) =>
+          sequence(go(a, num = true).cast("long"), go(b, num = true).cast("long"))
         case CaseT(bs, e) =>
           // searched CASE: branch predicates compile through the full
           // predicate grammar (prop binds / exists joins update `df`),

@@ -51,11 +51,14 @@ object Curation {
 
     // 3. near-dedup among representatives: drop the larger id of each
     // verified near-dup pair (transitive chains collapse to the smallest
-    // id). One persisted shingle frame feeds both the LSH banding and
-    // the exact verification (same sharing as Dedup.d2MinhashLsh)
-    val sh = Dedup.shingleRows(reps.select(col("doc_id"), col("text"))).persist()
-    val pairs = Dedup.verifyJaccardOfShingles(
-      sh, Dedup.d2CandidatesOfShingles(sh).persist(), nearDupThreshold)
+    // id). No corpus-sized persist: the shingle explode streams into
+    // the signature aggregation and verification re-shingles only
+    // candidate docs — measured ~2× cheaper than sharing a persisted
+    // shingle frame (see Dedup.d2MinhashLsh's persist-policy note);
+    // reps reads the already-persisted `hashed` frame either way.
+    val pairs = Dedup.verifyJaccard(
+      reps.select(col("doc_id"), col("text")),
+      lshCandidates(reps.select(col("doc_id"), col("text"))), nearDupThreshold)
     val nearDupIds = pairs.select(col("id2").as("doc_id")).distinct()
     val nearDups = reps.join(nearDupIds, Seq("doc_id"), "left_semi")
       .select(col("doc_id"), col("lang"), lit(false).as("keep"), lit("near_dup").as("reason"))

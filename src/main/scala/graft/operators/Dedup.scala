@@ -16,7 +16,7 @@ import graft.Tables
 object Dedup {
 
   /** Normalized text used as the dedup identity everywhere. */
-  private def norm(c: org.apache.spark.sql.Column) = lower(trim(c))
+  private[graft] def norm(c: org.apache.spark.sql.Column) = lower(trim(c))
 
   /** D1 — exact dedup: group by md5(normalized text), keep min doc_id.
     * Map-side partial aggregation makes the shuffle |distinct texts|. */
@@ -185,16 +185,20 @@ object Dedup {
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .drop("text_hash", "rn")
-    // ONE persisted shingle frame feeds BOTH the signature pass and the
-    // exact-Jaccard verification (shingling — parse + explode + window
-    // + distinct — is the pipeline's dominant per-row cost; deriving it
-    // twice roughly doubled the cold invocation). The candidate frame
-    // persists too: verification references it three times (both id
-    // sides + the pair join). The verified pair list is tiny → reclaim
-    // both caches behind it.
-    val sh = shingleRows(docs).persist()
-    val cand = d2CandidatesOfShingles(sh, k, bands, bucketCap).persist()
-    graft.Borrow.reclaim(verifyJaccardOfShingles(sh, cand, threshold), sh, cand)
+    // Persist policy — MEASURED, not assumed (sf0.1, local[32], min of
+    // 4 cold runs): streaming the shingle explode straight into the
+    // 64-way signature aggregation (one whole-stage-codegen pipeline,
+    // nothing materialized) = 3.9-4.1 s; persisting the full shingle
+    // frame to "share" it with verification = 7.3-17 s (the explode is
+    // ~|corpus|×shingles rows — materializing it into the block store
+    // costs far more than verification's re-shingle, which touches
+    // only candidate docs via a semi-join); persisting the collapsed
+    // docs frame instead = 6.2-12 s. So: NO corpus-sized persist; the
+    // only cache is the tiny candidate pair frame, which verification
+    // references three times (both id sides + the pair join). Reclaimed
+    // behind the (tiny) verified pair list.
+    val cand = d2Candidates(docs, k, bands, bucketCap).persist()
+    graft.Borrow.reclaim(verifyJaccard(docs, cand, threshold), cand)
   }
 
   /** LSH candidate pairs with the degenerate-bucket guard (SURVEY §5).
