@@ -33,8 +33,11 @@ object Bench {
         try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
       }
     }
-    // min of two timed runs (noise-robust steady state); a failed
-    // query reports -1.0, never a flattering partial time
+    // min of three timed runs (this machine shows 2-3× wall-clock
+    // swings from neighboring load — min-of-2 still caught a 6.7 s
+    // outlier for a 2.1 s query; three samples bound the damage for
+    // ~25 s extra total); a failed query reports -1.0, never a
+    // flattering partial time
     def timeOnce(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
@@ -50,8 +53,8 @@ object Bench {
         // across queries and push later persists to disk
         spark.catalog.clearCache()
         System.gc()
-        val (a, b) = (timeOnce(fn), timeOnce(fn))
-        name -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
+        val ts = Seq(timeOnce(fn), timeOnce(fn), timeOnce(fn))
+        name -> (if (ts.exists(_ < 0)) -1.0 else ts.min)
       }
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }

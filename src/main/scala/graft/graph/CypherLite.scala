@@ -58,7 +58,9 @@ import org.apache.spark.sql.functions._
   *    arithmetic) and `duration('PT5M')` (ISO-8601 literal → millis);
   *    graph accessors `type(r)` (relationship type of a named
   *    single-hop edge variable) and `id(v)` (the node KEY — this
-  *    model's ids are strings). `NOT <pred>`,
+  *    model's ids are strings); list accessors `head(xs)` / `last(xs)`
+  *    (null on empty, Cypher semantics) and `range(a, b)` inclusive
+  *    integer lists. `NOT <pred>`,
   *    `<expr> IS [NOT] NULL`, and the pattern predicate
   *    `exists((p)-[:T]->(x))` (anchored at a bound variable; fresh
   *    pattern variables are existential) — `NOT exists(...)` is the
@@ -326,7 +328,7 @@ object CypherLite {
             rest = rest.substring(1)
             RangeT(a, b)
           case Some(m) if Set("toInteger", "toFloat", "toLower", "toUpper", "size",
-                "labels", "keys", "properties",
+                "labels", "keys", "properties", "head", "last",
                 "date", "datetime", "timestamp", "duration", "type", "id")(m.group(1))
               && m.group(2) == null && rest.substring(m.end).trim.startsWith("(") =>
             rest = rest.substring(rest.indexOf('(', m.end) + 1)
@@ -970,6 +972,11 @@ object CypherLite {
               size(raw)
             case _ => length(raw)
           }
+        case FuncT(fn @ ("head" | "last"), t0) =>
+          // first/last element of a list (null on empty — Cypher
+          // semantics; element_at is 1-based, -1 = last)
+          val raw = go(t0, num = false)
+          if (fn == "head") element_at(raw, 1) else element_at(raw, -1)
         case FuncT("type", t0) =>
           // relationship type — needs a named single-hop edge variable
           // (the walk carried its etype onto the row)

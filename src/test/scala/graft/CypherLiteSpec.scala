@@ -861,6 +861,21 @@ class CypherLiteSpec extends SparkSpec {
       "MATCH (t:Trace) RETURN DISTINCT size(range(1, 10)) AS n")
       .collect().map(_.getInt(0))
     assert(sz.toSeq == Seq(10))
+    // head()/last() on lists (range term and a carried collect alias)
+    val hl = CypherLite.run(nodes, edges,
+      "MATCH (t:Trace) RETURN DISTINCT head(range(3, 7)) AS h, last(range(3, 7)) AS l")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(hl.toSeq == Seq((3L, 7L)))
+    val hc = CypherLite.run(nodes, edges,
+      "MATCH (p:Process)-[:CONNECTED_TO]->(ip:Ip) " +
+        "WITH p, collect(ip) AS ips RETURN p, head(ips) AS first_ip ORDER BY p")
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    val wantHc = et("CONNECTED_TO").groupBy(col("src"))
+      .agg(array_sort(collect_list(col("dst"))).as("ips"))
+      .select(col("src"), element_at(col("ips"), 1))
+      .orderBy(col("src"))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(hc.sameElements(wantHc) && hc.nonEmpty)
   }
 
   test("WITH DISTINCT deduplicates the projection mid-pipeline") {
