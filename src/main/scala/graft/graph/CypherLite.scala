@@ -60,7 +60,11 @@ import org.apache.spark.sql.functions._
   *    single-hop edge variable) and `id(v)` (the node KEY — this
   *    model's ids are strings); list accessors `head(xs)` / `last(xs)`
   *    (null on empty, Cypher semantics) and `range(a, b)` inclusive
-  *    integer lists. `NOT <pred>`,
+  *    integer lists; string kit `trim`/`ltrim`/`rtrim`/`toString`/
+  *    `split(s, delim)` (LITERAL delimiter, returns a list) /
+  *    `replace(s, find, repl)` (literal) / `substring(s, start[, len])`
+  *    (0-indexed, Cypher semantics); math kit `abs`/`round`/`floor`/
+  *    `ceil`/`sqrt`/`sign` and the `%` modulo operator. `NOT <pred>`,
   *    `<expr> IS [NOT] NULL`, and the pattern predicate
   *    `exists((p)-[:T]->(x))` (anchored at a bound variable; fresh
   *    pattern variables are existential) — `NOT exists(...)` is the
@@ -153,6 +157,10 @@ object CypherLite {
   /** `range(a, b)` — inclusive integer sequence (Cypher semantics;
     * compiles to Spark's sequence(), also inclusive). */
   final case class RangeT(a: Term, b: Term) extends Term { def vars: Set[String] = a.vars ++ b.vars }
+  /** Multi-argument scalar functions: split / replace / substring. */
+  final case class FuncN(fn: String, ts: Seq[Term]) extends Term {
+    def vars: Set[String] = ts.flatMap(_.vars).toSet
+  }
   /** Searched `CASE WHEN p THEN t [WHEN …]* [ELSE e] END` (null when no
     * branch matches and no ELSE — Cypher semantics). */
   final case class CaseT(branches: Seq[(Pred, Term)], els: Option[Term]) extends Term {
@@ -329,7 +337,9 @@ object CypherLite {
             RangeT(a, b)
           case Some(m) if Set("toInteger", "toFloat", "toLower", "toUpper", "size",
                 "labels", "keys", "properties", "head", "last",
-                "date", "datetime", "timestamp", "duration", "type", "id")(m.group(1))
+                "date", "datetime", "timestamp", "duration", "type", "id",
+                "trim", "ltrim", "rtrim", "toString",
+                "abs", "round", "floor", "ceil", "sqrt", "sign")(m.group(1))
               && m.group(2) == null && rest.substring(m.end).trim.startsWith("(") =>
             rest = rest.substring(rest.indexOf('(', m.end) + 1)
             val inner = sumT()
@@ -339,6 +349,17 @@ object CypherLite {
             val fn = m.group(1).toLowerCase
             if (fn == "tointeger" || fn == "tofloat") CastT(fn, inner)
             else FuncT(fn, inner)
+          case Some(m) if Set("split", "replace", "substring")(m.group(1))
+              && m.group(2) == null && rest.substring(m.end).trim.startsWith("(") =>
+            rest = rest.substring(rest.indexOf('(', m.end) + 1)
+            val args = scala.collection.mutable.Buffer(sumT())
+            ws()
+            while (rest.startsWith(",")) {
+              rest = rest.substring(1); args += sumT(); ws()
+            }
+            require(rest.startsWith(")"), s"expected ')' after ${m.group(1)} at: $rest")
+            rest = rest.substring(1)
+            FuncN(m.group(1).toLowerCase, args.toSeq)
           case Some(m) =>
             rest = rest.substring(m.end); PropT(m.group(1), Option(m.group(2)))
           case None => throw new IllegalArgumentException(s"bad term at: $rest")
@@ -347,7 +368,7 @@ object CypherLite {
     }
     def prodT(): Term = {
       var t = atomT(); ws()
-      while (rest.startsWith("*") || rest.startsWith("/")) {
+      while (rest.startsWith("*") || rest.startsWith("/") || rest.startsWith("%")) {
         val op = rest.substring(0, 1); rest = rest.substring(1)
         t = ArithT(op, t, atomT()); ws()
       }
@@ -907,6 +928,7 @@ object CypherLite {
       // stay non-numeric (they compare as DATE/TIMESTAMP, and a double
       // cast would null them)
       case FuncT("timestamp" | "duration", _) => true
+      case FuncT("abs" | "round" | "floor" | "ceil" | "sqrt" | "sign", _) => true
       case CaseT(bs, e) => bs.exists(b => isNumericTerm(b._2)) || e.exists(isNumericTerm)
       case CoalesceT(ts) => ts.exists(isNumericTerm)
       case _ => false
@@ -966,7 +988,7 @@ object CypherLite {
           // otherwise string length
           val raw = go(t0, num = false)
           t0 match {
-            case _: ListT | _: RangeT => size(raw)
+            case _: ListT | _: RangeT | FuncN("split", _) => size(raw)
             case PropT(v, None) if df.columns.contains(v) &&
                 df.schema(v).dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType] =>
               size(raw)
@@ -1018,6 +1040,49 @@ object CypherLite {
               "duration() takes an ISO-8601 'string' literal like 'PT5M' or 'P2D'")
           }
           lit(java.time.Duration.parse(iso).toMillis)
+        case FuncT(fn @ ("abs" | "round" | "floor" | "ceil" | "sqrt" | "sign"), t0) =>
+          // numeric functions evaluate their argument numerically;
+          // round() is round-half-up on positives (Spark HALF_UP vs
+          // Neo4j half-away-from-zero — identical for non-negative
+          // inputs, the stored-telemetry case)
+          val raw = go(t0, num = true)
+          fn match {
+            case "abs" => abs(raw)
+            case "round" => round(raw, 0)
+            case "floor" => floor(raw)
+            case "ceil" => ceil(raw)
+            case "sqrt" => sqrt(raw)
+            case "sign" => signum(raw)
+          }
+        case FuncN("split", ts) =>
+          // Cypher split is a LITERAL delimiter (Spark's is a regex —
+          // quote it); returns a list
+          require(ts.size == 2, "split(s, delim) takes two arguments")
+          val delim = ts(1) match {
+            case StrT(d) => d
+            case _ => throw new IllegalArgumentException("split() delimiter must be a 'string' literal")
+          }
+          split(go(ts.head, num = false), java.util.regex.Pattern.quote(delim))
+        case FuncN("replace", ts) =>
+          // literal search/replace (regex metachars quoted both sides)
+          require(ts.size == 3, "replace(s, find, repl) takes three arguments")
+          (ts(1), ts(2)) match {
+            case (StrT(f), StrT(r)) =>
+              regexp_replace(go(ts.head, num = false),
+                java.util.regex.Pattern.quote(f),
+                java.util.regex.Matcher.quoteReplacement(r))
+            case _ => throw new IllegalArgumentException(
+              "replace() find/repl must be 'string' literals")
+          }
+        case FuncN("substring", ts) =>
+          // Cypher substring(s, start[, length]) is 0-INDEXED; Spark's
+          // substr is 1-indexed — shift by one
+          require(ts.size == 2 || ts.size == 3, "substring(s, start[, len])")
+          val s0 = go(ts.head, num = false)
+          val start = go(ts(1), num = true).cast("int") + lit(1)
+          val len = if (ts.size == 3) go(ts(2), num = true).cast("int") else length(s0)
+          s0.substr(start, len)
+        case FuncN(fn, _) => throw new IllegalArgumentException(s"unsupported function: $fn")
         case FuncT(fn, t0) =>
           // string functions take the RAW string regardless of the
           // comparison context (num applies to the function's result)
@@ -1025,6 +1090,10 @@ object CypherLite {
           fn match {
             case "tolower" => lower(raw)
             case "toupper" => upper(raw)
+            case "trim" => trim(raw)
+            case "ltrim" => ltrim(raw)
+            case "rtrim" => rtrim(raw)
+            case "tostring" => raw.cast("string")
           }
         case CoalesceT(ts) =>
           // first non-null; members evaluate in the enclosing
@@ -1049,6 +1118,7 @@ object CypherLite {
           case "-" => go(a, num) - go(b, num)
           case "*" => go(a, num) * go(b, num)
           case "/" => go(a, num) / go(b, num)
+          case "%" => go(a, num) % go(b, num)
         }
       }
       val c = go(t, numeric)

@@ -902,6 +902,61 @@ class CypherLiteSpec extends SparkSpec {
     assert(dup >= got.length)
   }
 
+  test("string kit: split/replace/substring/trim/toString vs function twins") {
+    val (nodes, edges) = graph
+    // split on a literal dot (regex metachar — must be quoted), sized
+    val got = CypherLite.run(nodes, edges,
+      "MATCH (p:Process)-[:CONNECTED_TO]->(ip:Ip) WHERE p.image IS NOT NULL " +
+        "RETURN DISTINCT p, size(split(p.image, '.')) AS parts, " +
+        "replace(p.image, '.exe', '') AS stem, " +
+        "substring(p.image, 0, 3) AS pre ORDER BY p")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getString(2), r.getString(3)))
+    val img = element_at(col("props"), "image")
+    val want = nodes.filter(col("label") === "Process" && img.isNotNull)
+      .join(et("CONNECTED_TO").select(col("src").as("id")).distinct(), Seq("id"), "left_semi")
+      .select(col("id"),
+        size(split(img, "\\.")).as("parts"),
+        regexp_replace(img, "\\.exe", "").as("stem"),
+        img.substr(1, 3).as("pre"))
+      .orderBy(col("id"))
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getString(2), r.getString(3)))
+    assert(got.sameElements(want) && got.nonEmpty)
+    // toString round-trips a numeric coercion back to the stored string
+    val ts = CypherLite.run(nodes, edges,
+      "MATCH (p:Process)-[r:CONNECTED_TO]->(ip:Ip) " +
+        "WHERE toString(toInteger(r.dport)) = r.dport RETURN DISTINCT p, ip")
+      .count()
+    val tsAll = CypherLite.run(nodes, edges,
+      "MATCH (p:Process)-[r:CONNECTED_TO]->(ip:Ip) " +
+        "WHERE r.dport IS NOT NULL RETURN DISTINCT p, ip").count()
+    assert(ts == tsAll && ts > 0) // every stored dport is a canonical integer string
+  }
+
+  test("math kit: % modulo, abs/floor/round vs column twins") {
+    val (nodes, edges) = graph
+    val got = CypherLite.run(nodes, edges,
+      "MATCH (p:Process)-[r:CONNECTED_TO]->(ip:Ip) " +
+        "WHERE toInteger(r.dport) % 2 = 0 RETURN DISTINCT p, ip")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    val dport = element_at(col("props"), "dport").cast("double")
+    val want = et("CONNECTED_TO").filter(dport % 2 === 0)
+      .select(col("src"), col("dst")).distinct()
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got == want && got.nonEmpty)
+    val m = CypherLite.run(nodes, edges,
+      "MATCH (p:Process)-[r:CONNECTED_TO]->(ip:Ip) " +
+        "RETURN DISTINCT p, ip, abs(toInteger(r.dport) - 50000) AS d, " +
+        "floor(toInteger(r.dport) / 1000) AS kp ORDER BY p, ip")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2), r.getLong(3)))
+    val wantM = et("CONNECTED_TO")
+      .select(col("src"), col("dst"),
+        abs(dport.cast("long") - 50000).cast("double").as("d"),
+        floor(dport.cast("long") / 1000.0).as("kp"))
+      .distinct().orderBy(col("src"), col("dst"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2), r.getLong(3)))
+    assert(m.sameElements(wantM) && m.nonEmpty)
+  }
+
   test("repeated variable within a pattern binds as an equality join (cycles)") {
     val (nodes, edges) = graph
     // any 2-cycle over arbitrary edge types: (a)-[]->(x)-[]->(a)
