@@ -64,7 +64,13 @@ import org.apache.spark.sql.functions._
   *    `split(s, delim)` (LITERAL delimiter, returns a list) /
   *    `replace(s, find, repl)` (literal) / `substring(s, start[, len])`
   *    (0-indexed, Cypher semantics); math kit `abs`/`round`/`floor`/
-  *    `ceil`/`sqrt`/`sign` and the `%` modulo operator. `NOT <pred>`,
+  *    `ceil`/`sqrt`/`sign` and the `%` modulo operator; list
+  *    comprehensions `[x IN xs WHERE p | e]` (either part optional —
+  *    filter()/transform() HOFs; the variable is lambda-local, other
+  *    refs capture row columns) and the quantified list predicates
+  *    `any`/`all`/`none`/`single(x IN xs WHERE p)` (exists()/forall();
+  *    nested quantifiers over the same lambda variable are rejected).
+  *    `NOT <pred>`,
   *    `<expr> IS [NOT] NULL`, and the pattern predicate
   *    `exists((p)-[:T]->(x))` (anchored at a bound variable; fresh
   *    pattern variables are existential) — `NOT exists(...)` is the
@@ -161,6 +167,14 @@ object CypherLite {
   final case class FuncN(fn: String, ts: Seq[Term]) extends Term {
     def vars: Set[String] = ts.flatMap(_.vars).toSet
   }
+  /** List comprehension `[x IN xs WHERE p | e]` (either part optional)
+    * — compiles to Spark's filter()/transform() higher-order functions.
+    * The comprehension variable is LOCAL: it resolves to the lambda
+    * argument, not a row column; other refs capture enclosing columns. */
+  final case class CompT(v: String, src: Term, where: Option[Pred], proj: Option[Term]) extends Term {
+    def vars: Set[String] =
+      src.vars ++ (where.toSeq.flatMap(_.vars) ++ proj.toSeq.flatMap(_.vars)).filterNot(_ == v)
+  }
   /** Searched `CASE WHEN p THEN t [WHEN …]* [ELSE e] END` (null when no
     * branch matches and no ELSE — Cypher semantics). */
   final case class CaseT(branches: Seq[(Pred, Term)], els: Option[Term]) extends Term {
@@ -179,6 +193,12 @@ object CypherLite {
   /** `x IN [...]` (literal list) or `x IN listCol` (a carried
     * collect(...) alias) — list membership. */
   final case class InPred(l: Term, r: Term) extends Pred { def vars: Set[String] = l.vars ++ r.vars }
+  /** Quantified list predicate `any/all/none/single(x IN xs WHERE p)`
+    * — compiles to exists()/forall() higher-order functions. The
+    * quantifier variable is local to the lambda. */
+  final case class QuantPred(q: String, v: String, src: Term, where: Pred) extends Pred {
+    def vars: Set[String] = src.vars ++ where.vars.filterNot(_ == v)
+  }
   /** Cypher negation (`NOT <pred>`). */
   final case class Not(p: Pred) extends Pred { def vars: Set[String] = p.vars }
   /** Pattern predicate `exists((p)-[:T]->(x))`: true iff the chain
@@ -273,19 +293,37 @@ object CypherLite {
     def atomT(): Term = {
       ws()
       if (rest.startsWith("[")) {
-        // literal list — elements are full scalar terms
         rest = rest.substring(1)
         ws()
-        val elems = scala.collection.mutable.Buffer.empty[Term]
-        if (!rest.startsWith("]")) {
-          elems += sumT(); ws()
-          while (rest.startsWith(",")) {
-            rest = rest.substring(1); elems += sumT(); ws()
-          }
+        val CompHead = """(?i)^(\w+)\s+IN\b""".r
+        CompHead.findPrefixMatchOf(rest) match {
+          case Some(m) =>
+            // list comprehension [x IN xs [WHERE p] [| e]]
+            val cv = m.group(1)
+            rest = rest.substring(m.end)
+            val src = sumT(); ws()
+            val wh = if (eat("WHERE")) Some(orExpr()) else None
+            ws()
+            val proj = if (rest.startsWith("|")) {
+              rest = rest.substring(1); Some(sumT())
+            } else None
+            ws()
+            require(rest.startsWith("]"), s"expected ']' after comprehension at: $rest")
+            rest = rest.substring(1)
+            CompT(cv, src, wh, proj)
+          case None =>
+            // literal list — elements are full scalar terms
+            val elems = scala.collection.mutable.Buffer.empty[Term]
+            if (!rest.startsWith("]")) {
+              elems += sumT(); ws()
+              while (rest.startsWith(",")) {
+                rest = rest.substring(1); elems += sumT(); ws()
+              }
+            }
+            require(rest.startsWith("]"), s"expected ']' in list at: $rest")
+            rest = rest.substring(1)
+            ListT(elems.toSeq)
         }
-        require(rest.startsWith("]"), s"expected ']' in list at: $rest")
-        rest = rest.substring(1)
-        ListT(elems.toSeq)
       } else if (eat("CASE")) {
         // searched CASE: WHEN <pred> THEN <term> … [ELSE <term>] END
         val branches = scala.collection.mutable.Buffer.empty[(Pred, Term)]
@@ -417,6 +455,7 @@ object CypherLite {
       val chain = parsePatternChain(inner, anon)
       ExistsPat(chain, chain._1.head.v)
     }
+    val QuantHead = """(?i)^(any|all|none|single)\s*\(\s*(\w+)\s+IN\b""".r
     def factor(): Pred = {
       ws()
       if (eat("NOT")) Not(factor())
@@ -424,6 +463,17 @@ object CypherLite {
           rest.substring(6).trim.startsWith("(")) {
         rest = rest.substring(6)
         existsPat()
+      } else if (QuantHead.findPrefixMatchOf(rest).isDefined) {
+        // any/all/none/single(x IN xs WHERE p)
+        val m = QuantHead.findPrefixMatchOf(rest).get
+        val (q, qv) = (m.group(1).toLowerCase, m.group(2))
+        rest = rest.substring(m.end)
+        val src = sumT(); ws()
+        require(eat("WHERE"), s"$q(x IN xs WHERE …) needs a WHERE at: $rest")
+        val p = orExpr(); ws()
+        require(rest.startsWith(")"), s"expected ')' after $q at: $rest")
+        rest = rest.substring(1)
+        QuantPred(q, qv, src, p)
       } else if (rest.startsWith("(")) {
         // ambiguous: parenthesized predicate OR parenthesized arithmetic
         // ("(r.x + 1) > 2") — try the predicate read, backtrack to a
@@ -934,6 +984,126 @@ object CypherLite {
       case _ => false
     }
 
+    /** Compile a term inside a HOF lambda: the comprehension/quantifier
+      * variable `v` resolves to the lambda argument `x`; any subterm
+      * NOT mentioning `v` compiles through `outer` (the enclosing
+      * compiler — so literals and captured row columns work). */
+    private def lambdaTerm(t: Term, v: String, x: Column, num: Boolean,
+                           outer: (Term, Boolean) => Column): Column = t match {
+      case PropT(`v`, None) => if (num) x.cast("double") else x
+      case PropT(`v`, Some(p)) => throw new IllegalArgumentException(
+        s"'$v.$p': a comprehension variable is a scalar, not a node (no properties)")
+      case t0 if !t0.vars.contains(v) => outer(t0, num)
+      case CastT(fn, t0) =>
+        val raw = lambdaTerm(t0, v, x, num = true, outer)
+        if (fn == "tointeger") raw.cast("long") else raw.cast("double")
+      case ArithT(o, a, b) =>
+        val l = lambdaTerm(a, v, x, num, outer)
+        val r = lambdaTerm(b, v, x, num, outer)
+        o match {
+          case "+" => l + r
+          case "-" => l - r
+          case "*" => l * r
+          case "/" => l / r
+          case "%" => l % r
+        }
+      case FuncT(fn, t0) =>
+        lazy val raw = lambdaTerm(t0, v, x, num = false, outer)
+        lazy val rawN = lambdaTerm(t0, v, x, num = true, outer)
+        fn match {
+          case "tolower" => lower(raw)
+          case "toupper" => upper(raw)
+          case "trim" => trim(raw)
+          case "ltrim" => ltrim(raw)
+          case "rtrim" => rtrim(raw)
+          case "tostring" => raw.cast("string")
+          case "size" => t0 match {
+            case _: ListT | _: RangeT | _: CompT | FuncN("split", _) => size(raw)
+            case _ => length(raw)
+          }
+          case "head" => element_at(raw, 1)
+          case "last" => element_at(raw, -1)
+          case "abs" => abs(rawN)
+          case "round" => round(rawN, 0)
+          case "floor" => floor(rawN)
+          case "ceil" => ceil(rawN)
+          case "sqrt" => sqrt(rawN)
+          case "sign" => signum(rawN)
+          case "date" => to_date(raw)
+          case "datetime" => to_timestamp(raw)
+          case "timestamp" => unix_millis(to_timestamp(raw))
+          case other => throw new IllegalArgumentException(
+            s"$other() not supported over a comprehension variable")
+        }
+      case CoalesceT(ts) => coalesce(ts.map(lambdaTerm(_, v, x, num, outer)): _*)
+      case ListT(ts) => array(ts.map(lambdaTerm(_, v, x, num, outer)): _*)
+      case FuncN("split", Seq(s0, StrT(d))) =>
+        split(lambdaTerm(s0, v, x, num = false, outer), java.util.regex.Pattern.quote(d))
+      case FuncN("replace", Seq(s0, StrT(f), StrT(r))) =>
+        regexp_replace(lambdaTerm(s0, v, x, num = false, outer),
+          java.util.regex.Pattern.quote(f), java.util.regex.Matcher.quoteReplacement(r))
+      case FuncN("substring", ts) if ts.size == 2 || ts.size == 3 =>
+        val s0 = lambdaTerm(ts.head, v, x, num = false, outer)
+        val start = lambdaTerm(ts(1), v, x, num = true, outer).cast("int") + lit(1)
+        val len = if (ts.size == 3) lambdaTerm(ts(2), v, x, num = true, outer).cast("int")
+                  else length(s0)
+        s0.substr(start, len)
+      case other => throw new IllegalArgumentException(
+        s"unsupported term over a comprehension variable: $other")
+    }
+
+    /** Compile a predicate inside a HOF lambda (the WHERE of a list
+      * comprehension or any/all/none/single quantifier). exists()
+      * pattern predicates and CASE need row context — rejected. */
+    private def lambdaPred(p: Pred, v: String, x: Column,
+                           outer: (Term, Boolean) => Column): Column = p match {
+      // the ref-vs-literal fast-path Leaf is semantically a CmpLeaf
+      case Leaf(c) => lambdaPred(CmpLeaf(PropT(c.v, c.prop), c.op,
+        if (c.numeric) NumT(c.value.toDouble) else StrT(c.value)), v, x, outer)
+      case CmpLeaf(l, "=~", r) =>
+        val pat = r match {
+          case StrT(p0) => p0
+          case _ => throw new IllegalArgumentException("=~ needs a 'string' literal pattern")
+        }
+        lambdaTerm(l, v, x, num = false, outer).rlike(s"^(?:$pat)$$")
+      case CmpLeaf(l, op, r) =>
+        val numeric = isNumericTerm(l) || isNumericTerm(r)
+        val lc = lambdaTerm(l, v, x, numeric, outer)
+        val rc = lambdaTerm(r, v, x, numeric, outer)
+        op match {
+          case "=" => lc === rc
+          case "<>" => lc =!= rc
+          case ">" => lc > rc
+          case ">=" => lc >= rc
+          case "<" => lc < rc
+          case "<=" => lc <= rc
+          case "CONTAINS" => lc.contains(rc)
+          case "STARTS WITH" => lc.startsWith(rc)
+          case "ENDS WITH" => lc.endsWith(rc)
+        }
+      case NullLeaf(t, isNull) =>
+        val c = lambdaTerm(t, v, x, num = false, outer)
+        if (isNull) c.isNull else c.isNotNull
+      case InPred(l, ListT(ts)) =>
+        val vals: Seq[Any] = ts.map {
+          case NumT(n) => n
+          case StrT(s0) => s0
+          case other => throw new IllegalArgumentException(
+            s"IN list elements must be literals, got $other")
+        }
+        val numeric = ts.nonEmpty && ts.forall(_.isInstanceOf[NumT])
+        val lc = lambdaTerm(l, v, x, numeric, outer)
+        if (vals.isEmpty) lit(false) else lc.isin(vals: _*)
+      case InPred(l, r) =>
+        array_contains(lambdaTerm(r, v, x, num = false, outer),
+          lambdaTerm(l, v, x, num = false, outer))
+      case Not(p0) => !lambdaPred(p0, v, x, outer)
+      case And(ps) => ps.map(lambdaPred(_, v, x, outer)).reduce(_ && _)
+      case Or(ps) => ps.map(lambdaPred(_, v, x, outer)).reduce(_ || _)
+      case other => throw new IllegalArgumentException(
+        s"unsupported predicate inside a list lambda: $other")
+    }
+
     /** Compile a scalar term over a frame, binding prop columns as
       * needed; `numeric` forces refs to double (the comparison/
       * arithmetic context). toInteger truncates (cast via long). */
@@ -988,7 +1158,7 @@ object CypherLite {
           // otherwise string length
           val raw = go(t0, num = false)
           t0 match {
-            case _: ListT | _: RangeT | FuncN("split", _) => size(raw)
+            case _: ListT | _: RangeT | _: CompT | FuncN("split", _) => size(raw)
             case PropT(v, None) if df.columns.contains(v) &&
                 df.schema(v).dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType] =>
               size(raw)
@@ -1102,6 +1272,16 @@ object CypherLite {
         case ListT(ts) => array(ts.map(go(_, num)): _*)
         case RangeT(a, b) =>
           sequence(go(a, num = true).cast("long"), go(b, num = true).cast("long"))
+        case CompT(cv, src, wh, proj) =>
+          // [x IN xs WHERE p | e] → filter()/transform() HOFs; outer
+          // refs compile through go (binding row columns as needed)
+          val srcC = go(src, num = false)
+          val filtered = wh.map(w =>
+            filter(srcC, xx => lambdaPred(w, cv, xx, (t2, n2) => go(t2, n2)))).getOrElse(srcC)
+          proj.map(e =>
+            transform(filtered, xx =>
+              lambdaTerm(e, cv, xx, isNumericTerm(e), (t2, n2) => go(t2, n2))))
+            .getOrElse(filtered)
         case CaseT(bs, e) =>
           // searched CASE: branch predicates compile through the full
           // predicate grammar (prop binds / exists joins update `df`),
@@ -1205,6 +1385,22 @@ object CypherLite {
           val (d2, rc) = compileTerm(df, r, numeric = false)
           df = d2
           array_contains(rc, lc)
+        case QuantPred(q, qv, src, w) =>
+          // any/all/none/single(x IN xs WHERE p) → exists()/forall()
+          val (d1, srcC) = compileTerm(df, src, numeric = false)
+          df = d1
+          val outer = (t2: Term, n2: Boolean) => {
+            val (d2, c2) = compileTerm(df, t2, n2)
+            df = d2
+            c2
+          }
+          val lam = (xx: Column) => lambdaPred(w, qv, xx, outer)
+          q match {
+            case "any" => exists(srcC, lam)
+            case "all" => forall(srcC, lam)
+            case "none" => !exists(srcC, lam)
+            case "single" => size(filter(srcC, lam)) === 1
+          }
         case CmpLeaf(l, op, r) =>
           // any numeric term (literal, arithmetic, coercion) switches the
           // whole comparison to double; otherwise refs compare as the

@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
 import graft.graph.{CypherLite, SysmonGraph, Traverse}
@@ -955,6 +956,64 @@ class CypherLiteSpec extends SparkSpec {
       .distinct().orderBy(col("src"), col("dst"))
       .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2), r.getLong(3)))
     assert(m.sameElements(wantM) && m.nonEmpty)
+  }
+
+  test("quantified list predicates any/all/none/single vs exists/forall twins") {
+    val (nodes, edges) = graph
+    def run(q: String): Set[String] =
+      CypherLite.run(nodes, edges,
+        "MATCH (p:Process)-[r:CONNECTED_TO]->(ip:Ip) " +
+          s"WITH p, collect(toInteger(r.dport)) AS ports WHERE $q RETURN p")
+        .collect().map(_.getString(0)).toSet
+    val ports = et("CONNECTED_TO")
+      .groupBy(col("src").as("p"))
+      .agg(array_sort(collect_list(element_at(col("props"), "dport").cast("long"))).as("ports"))
+    def twin(c: Column): Set[String] =
+      ports.filter(c).select(col("p")).collect().map(_.getString(0)).toSet
+    val lam = (x: Column) => x.cast("double") > 1024
+    assert(run("any(x IN ports WHERE x > 1024)") == twin(exists(col("ports"), lam)))
+    assert(run("all(x IN ports WHERE x > 1024)") == twin(forall(col("ports"), lam)))
+    assert(run("none(x IN ports WHERE x > 1024)") == twin(!exists(col("ports"), lam)))
+    assert(run("single(x IN ports WHERE x > 1024)") ==
+      twin(size(filter(col("ports"), lam)) === 1))
+    // the four partitions are consistent: any = not none; and at least
+    // one quantifier matched something on this corpus
+    assert(run("any(x IN ports WHERE x > 1024)").nonEmpty)
+    assert(run("any(x IN ports WHERE x > 1024)")
+      .intersect(run("none(x IN ports WHERE x > 1024)")).isEmpty)
+  }
+
+  test("list comprehensions filter/transform with outer-column capture") {
+    val (nodes, edges) = graph
+    // filter + project over a collected list, capturing nothing
+    val got = CypherLite.run(nodes, edges,
+      "MATCH (p:Process)-[r:CONNECTED_TO]->(ip:Ip) " +
+        "WITH p, collect(toInteger(r.dport)) AS ports " +
+        "RETURN p, [x IN ports WHERE x > 1024 | x * 2] AS high2 ORDER BY p")
+      .collect().map(r => (r.getString(0), r.getSeq[Double](1)))
+    val want = et("CONNECTED_TO")
+      .groupBy(col("src").as("p"))
+      .agg(array_sort(collect_list(element_at(col("props"), "dport").cast("long"))).as("ports"))
+      .select(col("p"),
+        transform(filter(col("ports"), x => x.cast("double") > 1024),
+          x => x.cast("double") * 2).as("high2"))
+      .orderBy(col("p"))
+      .collect().map(r => (r.getString(0), r.getSeq[Double](1)))
+    assert(got.length == want.length && got.nonEmpty)
+    got.zip(want).foreach { case (g, w) => assert(g == w) }
+    // outer-column capture: keep ports equal to the row's own min port
+    val cap = CypherLite.run(nodes, edges,
+      "MATCH (p:Process)-[r:CONNECTED_TO]->(ip:Ip) " +
+        "WITH p, collect(toInteger(r.dport)) AS ports, min(toInteger(r.dport)) AS lo " +
+        "RETURN p, size([x IN ports WHERE x = lo]) AS nlo ORDER BY p")
+      .collect().map(r => (r.getString(0), r.getInt(1)))
+    assert(cap.nonEmpty && cap.forall(_._2 >= 1))
+    // identity comprehension == the source list
+    val idc = CypherLite.run(nodes, edges,
+      "MATCH (p:Process)-[r:CONNECTED_TO]->(ip:Ip) " +
+        "WITH p, collect(ip) AS ips RETURN p, [x IN ips] AS same, ips ORDER BY p")
+      .collect()
+    assert(idc.nonEmpty && idc.forall(r => r.getSeq[String](1) == r.getSeq[String](2)))
   }
 
   test("repeated variable within a pattern binds as an equality join (cycles)") {
