@@ -150,6 +150,20 @@ object SparkEntry {
           "WHERE exists((p)-[:SPAWNS]->()) AND NOT exists((p)-[:CONNECTED_TO]->()) " +
           "RETURN DISTINCT t, p ORDER BY t, p")
     }),
+    // the r4 Cypher surface end-to-end: DISTINCT aggregate, quantified
+    // predicate, list comprehension + reduce, CASE, IN, ORDER BY —
+    // beacon port profile per process, purely textual
+    "sg_cypher5"   -> ((s, _) => {
+      val (n, e) = graft.graph.SysmonGraph.buildCached(s, "/root/reference/malware/*.json")
+      graft.graph.CypherLite.run(n, e,
+        "MATCH (p:Process)-[r:CONNECTED_TO]->(ip:Ip) " +
+          "WITH p, collect(DISTINCT toInteger(r.dport)) AS ports, count(*) AS n " +
+          "WHERE any(x IN ports WHERE x > 1024) " +
+          "RETURN p, n, size([x IN ports WHERE x > 1024]) AS high, " +
+          "reduce(acc = 0, x IN ports | acc + x) AS port_sum, " +
+          "CASE WHEN size(ports) > 1 THEN 'multi' ELSE 'single' END AS kind " +
+          "ORDER BY p")
+    }),
     "sg_spawntree" -> ((s, _) => {
       val (_, e) = graft.graph.SysmonGraph.buildCached(s, "/root/reference/malware/*.json")
       graft.graph.Detections.deepSpawnChains(e, minDepth = 1)

@@ -68,9 +68,10 @@ import org.apache.spark.sql.functions._
   *    comprehensions `[x IN xs WHERE p | e]` (either part optional —
   *    filter()/transform() HOFs; the variable is lambda-local, other
   *    refs capture row columns) and the quantified list predicates
-  *    `any`/`all`/`none`/`single(x IN xs WHERE p)` (exists()/forall();
-  *    nested quantifiers over the same lambda variable are rejected).
-  *    `NOT <pred>`,
+  *    `any`/`all`/`none`/`single(x IN xs WHERE p)` (exists()/forall())
+  *    and `reduce(acc = init, x IN xs | expr)` (aggregate() HOF) —
+  *    comprehensions, quantifiers, and reduce NEST (inner lambda
+  *    variables shadow outer ones). `NOT <pred>`,
   *    `<expr> IS [NOT] NULL`, and the pattern predicate
   *    `exists((p)-[:T]->(x))` (anchored at a bound variable; fresh
   *    pattern variables are existential) — `NOT exists(...)` is the
@@ -174,6 +175,12 @@ object CypherLite {
   final case class CompT(v: String, src: Term, where: Option[Pred], proj: Option[Term]) extends Term {
     def vars: Set[String] =
       src.vars ++ (where.toSeq.flatMap(_.vars) ++ proj.toSeq.flatMap(_.vars)).filterNot(_ == v)
+  }
+  /** `reduce(acc = init, x IN xs | expr)` — Cypher's fold, compiled to
+    * Spark's aggregate() HOF. Both `acc` and `x` are lambda-local. */
+  final case class ReduceT(acc: String, init: Term, v: String, src: Term, expr: Term) extends Term {
+    def vars: Set[String] =
+      init.vars ++ src.vars ++ expr.vars.filterNot(w => w == acc || w == v)
   }
   /** Searched `CASE WHEN p THEN t [WHEN …]* [ELSE e] END` (null when no
     * branch matches and no ELSE — Cypher semantics). */
@@ -363,6 +370,31 @@ object CypherLite {
             require(rest.startsWith(")"), s"expected ')' after coalesce at: $rest")
             rest = rest.substring(1)
             CoalesceT(args.toSeq)
+          case Some(m) if m.group(1).equalsIgnoreCase("reduce")
+              && m.group(2) == null && rest.substring(m.end).trim.startsWith("(") =>
+            // reduce(acc = init, x IN xs | expr)
+            rest = rest.substring(rest.indexOf('(', m.end) + 1)
+            ws()
+            val AccRe = """^(\w+)\s*=""".r
+            val am = AccRe.findPrefixMatchOf(rest).getOrElse(
+              throw new IllegalArgumentException(s"reduce needs 'acc = init' at: $rest"))
+            val accName = am.group(1)
+            rest = rest.substring(am.end)
+            val init = sumT(); ws()
+            require(rest.startsWith(","), s"expected ',' after reduce init at: $rest")
+            rest = rest.substring(1); ws()
+            val VarRe = """(?i)^(\w+)\s+IN\b""".r
+            val vm = VarRe.findPrefixMatchOf(rest).getOrElse(
+              throw new IllegalArgumentException(s"reduce needs 'x IN xs' at: $rest"))
+            val vName = vm.group(1)
+            rest = rest.substring(vm.end)
+            val src = sumT(); ws()
+            require(rest.startsWith("|"), s"expected '|' before reduce expression at: $rest")
+            rest = rest.substring(1)
+            val expr = sumT(); ws()
+            require(rest.startsWith(")"), s"expected ')' after reduce at: $rest")
+            rest = rest.substring(1)
+            ReduceT(accName, init, vName, src, expr)
           case Some(m) if m.group(1).equalsIgnoreCase("range")
               && m.group(2) == null && rest.substring(m.end).trim.startsWith("(") =>
             rest = rest.substring(rest.indexOf('(', m.end) + 1)
@@ -981,25 +1013,28 @@ object CypherLite {
       case FuncT("abs" | "round" | "floor" | "ceil" | "sqrt" | "sign", _) => true
       case CaseT(bs, e) => bs.exists(b => isNumericTerm(b._2)) || e.exists(isNumericTerm)
       case CoalesceT(ts) => ts.exists(isNumericTerm)
+      case ReduceT(_, init, _, _, expr) => isNumericTerm(init) || isNumericTerm(expr)
       case _ => false
     }
 
-    /** Compile a term inside a HOF lambda: the comprehension/quantifier
-      * variable `v` resolves to the lambda argument `x`; any subterm
-      * NOT mentioning `v` compiles through `outer` (the enclosing
-      * compiler — so literals and captured row columns work). */
-    private def lambdaTerm(t: Term, v: String, x: Column, num: Boolean,
+    /** Compile a term inside a HOF lambda: names in `binds` (the
+      * comprehension/quantifier/reduce variables) resolve to their
+      * lambda-argument Columns; any subterm mentioning NONE of them
+      * compiles through `outer` (the enclosing compiler — so literals
+      * and captured row columns work). */
+    private def lambdaTerm(t: Term, binds: Map[String, Column], num: Boolean,
                            outer: (Term, Boolean) => Column): Column = t match {
-      case PropT(`v`, None) => if (num) x.cast("double") else x
-      case PropT(`v`, Some(p)) => throw new IllegalArgumentException(
-        s"'$v.$p': a comprehension variable is a scalar, not a node (no properties)")
-      case t0 if !t0.vars.contains(v) => outer(t0, num)
+      case PropT(w, None) if binds.contains(w) =>
+        if (num) binds(w).cast("double") else binds(w)
+      case PropT(w, Some(p)) if binds.contains(w) => throw new IllegalArgumentException(
+        s"'$w.$p': a comprehension variable is a scalar, not a node (no properties)")
+      case t0 if t0.vars.intersect(binds.keySet).isEmpty => outer(t0, num)
       case CastT(fn, t0) =>
-        val raw = lambdaTerm(t0, v, x, num = true, outer)
+        val raw = lambdaTerm(t0, binds, num = true, outer)
         if (fn == "tointeger") raw.cast("long") else raw.cast("double")
       case ArithT(o, a, b) =>
-        val l = lambdaTerm(a, v, x, num, outer)
-        val r = lambdaTerm(b, v, x, num, outer)
+        val l = lambdaTerm(a, binds, num, outer)
+        val r = lambdaTerm(b, binds, num, outer)
         o match {
           case "+" => l + r
           case "-" => l - r
@@ -1007,9 +1042,23 @@ object CypherLite {
           case "/" => l / r
           case "%" => l % r
         }
+      case CompT(cv, src, wh, proj) =>
+        // nested comprehension: its variable shadows within the lambda
+        val srcC = lambdaTerm(src, binds, num = false, outer)
+        val filtered = wh.map(w =>
+          filter(srcC, xx => lambdaPred(w, binds + (cv -> xx), outer))).getOrElse(srcC)
+        proj.map(e =>
+          transform(filtered, xx =>
+            lambdaTerm(e, binds + (cv -> xx), isNumericTerm(e), outer)))
+          .getOrElse(filtered)
+      case ReduceT(accN, init, vN, src, expr) =>
+        val srcC = lambdaTerm(src, binds, num = false, outer)
+        val initC = lambdaTerm(init, binds, isNumericTerm(init), outer)
+        aggregate(srcC, initC, (acc, xx) =>
+          lambdaTerm(expr, binds + (accN -> acc) + (vN -> xx), isNumericTerm(expr), outer))
       case FuncT(fn, t0) =>
-        lazy val raw = lambdaTerm(t0, v, x, num = false, outer)
-        lazy val rawN = lambdaTerm(t0, v, x, num = true, outer)
+        lazy val raw = lambdaTerm(t0, binds, num = false, outer)
+        lazy val rawN = lambdaTerm(t0, binds, num = true, outer)
         fn match {
           case "tolower" => lower(raw)
           case "toupper" => upper(raw)
@@ -1035,17 +1084,17 @@ object CypherLite {
           case other => throw new IllegalArgumentException(
             s"$other() not supported over a comprehension variable")
         }
-      case CoalesceT(ts) => coalesce(ts.map(lambdaTerm(_, v, x, num, outer)): _*)
-      case ListT(ts) => array(ts.map(lambdaTerm(_, v, x, num, outer)): _*)
+      case CoalesceT(ts) => coalesce(ts.map(lambdaTerm(_, binds, num, outer)): _*)
+      case ListT(ts) => array(ts.map(lambdaTerm(_, binds, num, outer)): _*)
       case FuncN("split", Seq(s0, StrT(d))) =>
-        split(lambdaTerm(s0, v, x, num = false, outer), java.util.regex.Pattern.quote(d))
+        split(lambdaTerm(s0, binds, num = false, outer), java.util.regex.Pattern.quote(d))
       case FuncN("replace", Seq(s0, StrT(f), StrT(r))) =>
-        regexp_replace(lambdaTerm(s0, v, x, num = false, outer),
+        regexp_replace(lambdaTerm(s0, binds, num = false, outer),
           java.util.regex.Pattern.quote(f), java.util.regex.Matcher.quoteReplacement(r))
       case FuncN("substring", ts) if ts.size == 2 || ts.size == 3 =>
-        val s0 = lambdaTerm(ts.head, v, x, num = false, outer)
-        val start = lambdaTerm(ts(1), v, x, num = true, outer).cast("int") + lit(1)
-        val len = if (ts.size == 3) lambdaTerm(ts(2), v, x, num = true, outer).cast("int")
+        val s0 = lambdaTerm(ts.head, binds, num = false, outer)
+        val start = lambdaTerm(ts(1), binds, num = true, outer).cast("int") + lit(1)
+        val len = if (ts.size == 3) lambdaTerm(ts(2), binds, num = true, outer).cast("int")
                   else length(s0)
         s0.substr(start, len)
       case other => throw new IllegalArgumentException(
@@ -1055,21 +1104,21 @@ object CypherLite {
     /** Compile a predicate inside a HOF lambda (the WHERE of a list
       * comprehension or any/all/none/single quantifier). exists()
       * pattern predicates and CASE need row context — rejected. */
-    private def lambdaPred(p: Pred, v: String, x: Column,
+    private def lambdaPred(p: Pred, binds: Map[String, Column],
                            outer: (Term, Boolean) => Column): Column = p match {
       // the ref-vs-literal fast-path Leaf is semantically a CmpLeaf
       case Leaf(c) => lambdaPred(CmpLeaf(PropT(c.v, c.prop), c.op,
-        if (c.numeric) NumT(c.value.toDouble) else StrT(c.value)), v, x, outer)
+        if (c.numeric) NumT(c.value.toDouble) else StrT(c.value)), binds, outer)
       case CmpLeaf(l, "=~", r) =>
         val pat = r match {
           case StrT(p0) => p0
           case _ => throw new IllegalArgumentException("=~ needs a 'string' literal pattern")
         }
-        lambdaTerm(l, v, x, num = false, outer).rlike(s"^(?:$pat)$$")
+        lambdaTerm(l, binds, num = false, outer).rlike(s"^(?:$pat)$$")
       case CmpLeaf(l, op, r) =>
         val numeric = isNumericTerm(l) || isNumericTerm(r)
-        val lc = lambdaTerm(l, v, x, numeric, outer)
-        val rc = lambdaTerm(r, v, x, numeric, outer)
+        val lc = lambdaTerm(l, binds, numeric, outer)
+        val rc = lambdaTerm(r, binds, numeric, outer)
         op match {
           case "=" => lc === rc
           case "<>" => lc =!= rc
@@ -1082,7 +1131,7 @@ object CypherLite {
           case "ENDS WITH" => lc.endsWith(rc)
         }
       case NullLeaf(t, isNull) =>
-        val c = lambdaTerm(t, v, x, num = false, outer)
+        val c = lambdaTerm(t, binds, num = false, outer)
         if (isNull) c.isNull else c.isNotNull
       case InPred(l, ListT(ts)) =>
         val vals: Seq[Any] = ts.map {
@@ -1092,14 +1141,24 @@ object CypherLite {
             s"IN list elements must be literals, got $other")
         }
         val numeric = ts.nonEmpty && ts.forall(_.isInstanceOf[NumT])
-        val lc = lambdaTerm(l, v, x, numeric, outer)
+        val lc = lambdaTerm(l, binds, numeric, outer)
         if (vals.isEmpty) lit(false) else lc.isin(vals: _*)
       case InPred(l, r) =>
-        array_contains(lambdaTerm(r, v, x, num = false, outer),
-          lambdaTerm(l, v, x, num = false, outer))
-      case Not(p0) => !lambdaPred(p0, v, x, outer)
-      case And(ps) => ps.map(lambdaPred(_, v, x, outer)).reduce(_ && _)
-      case Or(ps) => ps.map(lambdaPred(_, v, x, outer)).reduce(_ || _)
+        array_contains(lambdaTerm(r, binds, num = false, outer),
+          lambdaTerm(l, binds, num = false, outer))
+      case QuantPred(q, qv, src, w) =>
+        // nested quantifier: its variable shadows within the lambda
+        val srcC = lambdaTerm(src, binds, num = false, outer)
+        val lam = (xx: Column) => lambdaPred(w, binds + (qv -> xx), outer)
+        q match {
+          case "any" => exists(srcC, lam)
+          case "all" => forall(srcC, lam)
+          case "none" => !exists(srcC, lam)
+          case "single" => size(filter(srcC, lam)) === 1
+        }
+      case Not(p0) => !lambdaPred(p0, binds, outer)
+      case And(ps) => ps.map(lambdaPred(_, binds, outer)).reduce(_ && _)
+      case Or(ps) => ps.map(lambdaPred(_, binds, outer)).reduce(_ || _)
       case other => throw new IllegalArgumentException(
         s"unsupported predicate inside a list lambda: $other")
     }
@@ -1277,11 +1336,18 @@ object CypherLite {
           // refs compile through go (binding row columns as needed)
           val srcC = go(src, num = false)
           val filtered = wh.map(w =>
-            filter(srcC, xx => lambdaPred(w, cv, xx, (t2, n2) => go(t2, n2)))).getOrElse(srcC)
+            filter(srcC, xx => lambdaPred(w, Map(cv -> xx), (t2, n2) => go(t2, n2)))).getOrElse(srcC)
           proj.map(e =>
             transform(filtered, xx =>
-              lambdaTerm(e, cv, xx, isNumericTerm(e), (t2, n2) => go(t2, n2))))
+              lambdaTerm(e, Map(cv -> xx), isNumericTerm(e), (t2, n2) => go(t2, n2))))
             .getOrElse(filtered)
+        case ReduceT(accN, init, vN, src, expr) =>
+          // reduce(acc = init, x IN xs | expr) → aggregate() HOF
+          val srcC = go(src, num = false)
+          val initC = go(init, isNumericTerm(init))
+          aggregate(srcC, initC, (acc, xx) =>
+            lambdaTerm(expr, Map(accN -> acc, vN -> xx), isNumericTerm(expr),
+              (t2, n2) => go(t2, n2)))
         case CaseT(bs, e) =>
           // searched CASE: branch predicates compile through the full
           // predicate grammar (prop binds / exists joins update `df`),
@@ -1394,7 +1460,7 @@ object CypherLite {
             df = d2
             c2
           }
-          val lam = (xx: Column) => lambdaPred(w, qv, xx, outer)
+          val lam = (xx: Column) => lambdaPred(w, Map(qv -> xx), outer)
           q match {
             case "any" => exists(srcC, lam)
             case "all" => forall(srcC, lam)

@@ -1016,6 +1016,38 @@ class CypherLiteSpec extends SparkSpec {
     assert(idc.nonEmpty && idc.forall(r => r.getSeq[String](1) == r.getSeq[String](2)))
   }
 
+  test("reduce() folds a list; nests with comprehensions") {
+    val (nodes, edges) = graph
+    // sum of ports via reduce == sum aggregate
+    val got = CypherLite.run(nodes, edges,
+      "MATCH (p:Process)-[r:CONNECTED_TO]->(ip:Ip) " +
+        "WITH p, collect(toInteger(r.dport)) AS ports " +
+        "RETURN p, reduce(acc = 0, x IN ports | acc + x) AS total ORDER BY p")
+      .collect().map(r => (r.getString(0), r.getDouble(1)))
+    val want = et("CONNECTED_TO")
+      .groupBy(col("src").as("p"))
+      .agg(sum(element_at(col("props"), "dport").cast("long")).cast("double").as("total"))
+      .orderBy(col("p"))
+      .collect().map(r => (r.getString(0), r.getDouble(1)))
+    assert(got.sameElements(want) && got.nonEmpty)
+    // reduce over a FILTERED comprehension (nesting): sum of high ports
+    val nested = CypherLite.run(nodes, edges,
+      "MATCH (p:Process)-[r:CONNECTED_TO]->(ip:Ip) " +
+        "WITH p, collect(toInteger(r.dport)) AS ports " +
+        "RETURN p, reduce(acc = 0, x IN [y IN ports WHERE y > 1024] | acc + x) AS hi " +
+        "ORDER BY p")
+      .collect().map(r => (r.getString(0), r.getDouble(1)))
+    val wantN = et("CONNECTED_TO")
+      .groupBy(col("src").as("p"))
+      .agg(aggregate(
+        filter(collect_list(element_at(col("props"), "dport").cast("long")),
+          y => y.cast("double") > 1024),
+        lit(0.0), (acc, x) => acc + x.cast("double")).as("hi"))
+      .orderBy(col("p"))
+      .collect().map(r => (r.getString(0), r.getDouble(1)))
+    assert(nested.sameElements(wantN) && nested.nonEmpty)
+  }
+
   test("repeated variable within a pattern binds as an equality join (cycles)") {
     val (nodes, edges) = graph
     // any 2-cycle over arbitrary edge types: (a)-[]->(x)-[]->(a)
