@@ -189,6 +189,9 @@ object SparkEntry {
     // recall + determinism are spec-bound, the Lloyd step plan-audited)
     "e3_ivf"       -> ((s, d) => Similarity.e3IvfTopK(s, d)),
     "e4_radius"    -> ((s, d) => Similarity.e4Radius(s, d)),
+    // kNN majority-label prediction (weak labeling); exact-scan kNN is
+    // oracle-checkable, the scale path swaps in the E2 candidate set
+    "e5_knnlabel"  -> ((s, d) => Similarity.e5KnnLabel(s, d)),
     // F. text analysis
     "f1_tokens"    -> (TextAnalysis.f1Tokens _),
     "f2_quality"   -> (TextAnalysis.f2Quality _),
@@ -623,6 +626,19 @@ object SparkEntry {
         |FROM q JOIN c ON vec_id <> q_id
         |WHERE list_cosine_similarity(qv, v) >= 0.3
         |ORDER BY 1, 2""".stripMargin,
+    "e5_knnlabel" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings),
+        |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 8),
+        |knn AS (SELECT q_id, label FROM (
+        |  SELECT q_id, label, row_number() OVER (PARTITION BY q_id
+        |    ORDER BY list_cosine_similarity(qv, v) DESC, vec_id) AS rn
+        |  FROM q JOIN e ON vec_id >= 8) t WHERE rn <= 10),
+        |votes AS (SELECT q_id, label, CAST(count(*) AS BIGINT) AS votes
+        |  FROM knn GROUP BY 1, 2)
+        |SELECT q_id, label AS pred_label, votes FROM (
+        | SELECT *, row_number() OVER (PARTITION BY q_id
+        |   ORDER BY votes DESC, label) AS vr FROM votes) t
+        |WHERE vr = 1 ORDER BY q_id""".stripMargin,
     "f1_tokens" ->
       """SELECT doc_id,
         | CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS BIGINT) AS ws_tokens,

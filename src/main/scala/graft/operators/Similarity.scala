@@ -71,6 +71,37 @@ object Similarity {
       .orderBy(col("q_id"), col("neighbor"))
   }
 
+  /** E5 — kNN label prediction: each query vector takes the MAJORITY
+    * label of its k nearest corpus vectors (cosine) — the
+    * weak-labeling / label-propagation primitive of a training-data
+    * pipeline (classify unlabeled docs from a labeled seed set).
+    * Queries = vec_id < nQueries, corpus = the rest (labels come from
+    * the corpus side only). Ties: higher vote count, then smaller
+    * label — deterministic, engine-reproducible.
+    *
+    * Scale shape: identical to E1 — broadcast query matrix, ONE corpus
+    * pass, per-query top-k window, then a vote count over ≤ |q|·k rows
+    * (tiny). At 10⁸+ corpus rows swap the scan for the E2 LSH
+    * candidate set; the vote stage is unchanged. */
+  def e5KnnLabel(s: SparkSession, dir: String, k: Int = 10, nQueries: Int = 8): DataFrame = {
+    val all = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"), col("label"))
+    val queries = broadcast(all.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv")))
+    val corpus = all.filter(col("vec_id") >= nQueries)
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
+    val knn = queries.join(corpus, col("q_id") =!= col("vec_id"))
+      .withColumn("cos", cos(s, col("qv"), col("v")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+    val wv = Window.partitionBy(col("q_id")).orderBy(col("votes").desc, col("label"))
+    knn.groupBy(col("q_id"), col("label")).agg(count(lit(1)).as("votes"))
+      .withColumn("vr", row_number().over(wv))
+      .filter(col("vr") === 1)
+      .select(col("q_id"), col("label").as("pred_label"), col("votes"))
+      .orderBy(col("q_id"))
+  }
+
   /** Deterministic pseudo-random hyperplane component for (plane, dim):
     * ±1 from xxhash64 parity. */
   private def planeSign(plane: Int, dim: Column): Column =

@@ -318,4 +318,26 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
     assert(out.toSeq == Seq(("c1 c2 c3", 5L, 1L)))
   }
+
+  test("e5 kNN label prediction matches an independent in-memory replay") {
+    val out = Similarity.e5KnnLabel(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val rows = graft.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>"), col("label"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getInt(2)))
+    def cosine(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val corpus = rows.filter(_._1 >= 8)
+    val want = rows.filter(_._1 < 8).sortBy(_._1).map { case (qid, qv, _) =>
+      val knn = corpus.map(c => (c._1, c._3, cosine(qv, c._2)))
+        .sortBy(t => (-t._3, t._1)).take(10)
+      val (lab, votes) = knn.groupBy(_._2).view.mapValues(_.size).toSeq
+        .sortBy { case (l, n) => (-n, l) }.head
+      (qid, lab, votes.toLong)
+    }
+    assert(out.sameElements(want) && out.nonEmpty)
+  }
 }
