@@ -178,6 +178,8 @@ object SparkEntry {
     // d5_embdup = the exact twin (oracle-checkable); d5_lsh = the LSH-
     // candidate scale path (rows-only: recall < 1 by design, spec-bound)
     "d5_embdup"    -> ((s, d) => Dedup.d5EmbDupExact(s, d)),
+    // near-dup cluster assignment: CC over the d4 pair graph
+    "d7_clusters"  -> ((s, d) => Dedup.d7DupClusters(s, d)),
     "d5_lsh"       -> ((s, d) => Dedup.d5EmbDup(s, d)),
     // sketch-banded candidate variant (deterministic pigeonhole recall
     // condition on the 64-bit sign sketch); rows-only like d5_lsh
@@ -600,6 +602,27 @@ object SparkEntry {
         |SELECT id1, id2, round(CAST(i AS DOUBLE)/(x.n+y.n-i),4) AS jaccard
         |FROM inter JOIN sz x ON inter.id1=x.doc_id JOIN sz y ON inter.id2=y.doc_id
         |WHERE CAST(i AS DOUBLE)/(x.n+y.n-i) >= 0.5 ORDER BY 1,2""".stripMargin,
+    "d7_clusters" ->
+      """WITH RECURSIVE t AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+        |  FROM documents),
+        |s AS (SELECT doc_id,
+        |  list_distinct([w[i]||' '||w[i+1]||' '||w[i+2] FOR i IN generate_series(1, len(w)-2)]) AS sh
+        |  FROM t),
+        |e AS (SELECT doc_id, unnest(sh) AS g FROM s),
+        |sz AS (SELECT doc_id, len(sh) AS n FROM s),
+        |inter AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS i
+        |  FROM e a JOIN e b ON a.g=b.g AND a.doc_id<b.doc_id GROUP BY 1,2),
+        |pairs AS (SELECT id1, id2
+        |  FROM inter JOIN sz x ON inter.id1=x.doc_id JOIN sz y ON inter.id2=y.doc_id
+        |  WHERE CAST(i AS DOUBLE)/(x.n+y.n-i) >= 0.5),
+        |edges AS (SELECT id1 AS src, id2 AS dst FROM pairs UNION SELECT id2, id1 FROM pairs),
+        |reach AS (
+        |  SELECT src AS id, src AS r FROM edges
+        |  UNION
+        |  SELECT e2.dst, r.r FROM reach r JOIN edges e2 ON r.id = e2.src
+        |)
+        |SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS cluster
+        |FROM reach GROUP BY 1 ORDER BY 1""".stripMargin,
     "d5_embdup" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding
         |  FROM embeddings)

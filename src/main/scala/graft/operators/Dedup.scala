@@ -164,6 +164,25 @@ object Dedup {
       .select(col("doc_id"), array((0 until k).map(i => col(s"h$i")): _*).as("sig"))
   }
 
+  /** D7 — near-dup CLUSTER assignment: connected components over the
+    * verified exact-Jaccard pairs (D4), every member labeled with its
+    * cluster's min doc_id. This is the transitive closure
+    * `Curation.curate` applies implicitly (dropping `id2` of every
+    * pair keeps exactly each cluster's min); materializing it gives
+    * the cluster→members map a curation report needs. Only documents
+    * that belong to some near-dup pair appear (singletons are not
+    * clusters). Scale: pair count is bounded by the D4 hybrid
+    * (Σdf² ≤ dfCap·|rows|); CC is min-label propagation over that
+    * pair graph — O(cluster diameter) rounds, and near-dup clusters
+    * are shallow (most are stars around a template). */
+  def d7DupClusters(s: SparkSession, dir: String, threshold: Double = 0.5): DataFrame = {
+    val pairs = d4Jaccard(s, dir, threshold)
+    graft.graph.GraphOps.connectedComponents(
+        pairs.select(col("id1").as("src"), col("id2").as("dst")))
+      .select(col("id").as("doc_id"), col("component").as("cluster"))
+      .orderBy(col("doc_id"))
+  }
+
   /** D2 — MinHash + LSH near-dup pairs.
     *
     * bands × rows = k; docs landing in the same (band, band-hash) bucket

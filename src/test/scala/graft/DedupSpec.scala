@@ -319,6 +319,30 @@ class DedupSpec extends SparkSpec {
     assert(out.toSeq == Seq(("c1 c2 c3", 5L, 1L)))
   }
 
+  test("d7 clusters are TRANSITIVE closures of d4 pairs, labeled by min id") {
+    // doc1~doc2 and doc2~doc3 are pairs (J ≥ 0.5) but doc1~doc3 is NOT
+    // (J ≈ 0.43) — the cluster must still merge all three. doc4~doc5
+    // is an independent pair; doc6 has no near-dup.
+    val d1 = "a1 a2 a3 a4 a5 a6 a7 a8 a9 a10 a11 a12"
+    val d2 = "a1 a2 a3 a4 a5 a6 a7 a8 a9 a10 a11 bX"
+    val d3 = "c1 c2 c3 a4 a5 a6 a7 a8 a9 a10 a11 bX"
+    val d4 = "x1 x2 x3 x4 x5 x6 x7 x8 x9 x10 x11 x12"
+    val d5 = "x1 x2 x3 x4 x5 x6 x7 x8 x9 x10 x11 yZ"
+    val d6 = "q1 q2 q3 q4 q5 q6 q7 q8 q9 q10 q11 q12"
+    val dir = java.nio.file.Files.createTempDirectory("graft_d7").toString
+    Seq(d1, d2, d3, d4, d5, d6).zipWithIndex
+      .map { case (t, i) => (i + 1L, t, "en", "src0", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // precondition: the pair set is exactly {(1,2),(2,3),(4,5)}
+    val pairs = Dedup.d4Jaccard(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L), (2L, 3L), (4L, 5L)))
+    val out = Dedup.d7DupClusters(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toSeq == Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L), (5L, 4L)))
+  }
+
   test("e5 kNN label prediction matches an independent in-memory replay") {
     val out = Similarity.e5KnnLabel(spark, sf)
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
