@@ -57,7 +57,10 @@ import org.apache.spark.sql.functions._
   *    `timestamp(x)` (epoch millis, numeric — so durations are plain
   *    arithmetic) and `duration('PT5M')` (ISO-8601 literal → millis);
   *    graph accessors `type(r)` (relationship type of a named
-  *    single-hop edge variable) and `id(v)` (the node KEY — this
+  *    single-hop edge variable), `startNode(r)` / `endNode(r)` (the
+  *    edge's source/destination node id in GRAPH direction — a
+  *    reverse hop's startNode is still the edge's source), and
+  *    `id(v)` (the node KEY — this
   *    model's ids are strings); list accessors `head(xs)` / `last(xs)`
   *    (null on empty, Cypher semantics) and `range(a, b)` inclusive
   *    integer lists; string kit `trim`/`ltrim`/`rtrim`/`toString`/
@@ -408,6 +411,7 @@ object CypherLite {
           case Some(m) if Set("toInteger", "toFloat", "toLower", "toUpper", "size",
                 "labels", "keys", "properties", "head", "last",
                 "date", "datetime", "timestamp", "duration", "type", "id",
+                "startNode", "endNode",
                 "trim", "ltrim", "rtrim", "toString",
                 "abs", "round", "floor", "ceil", "sqrt", "sign")(m.group(1))
               && m.group(2) == null && rest.substring(m.end).trim.startsWith("(") =>
@@ -880,6 +884,11 @@ object CypherLite {
       }
     }
 
+    /** Named edge variable → its (source, destination) NODE variables
+      * in graph direction (reverse hops swap) — serves startNode()/
+      * endNode(). */
+    private val edgeEnds = scala.collection.mutable.Map.empty[String, (String, String)]
+
     /** Walk a chain: one join per hop, label semi-joins as we bind; a
       * hop into an ALREADY-bound variable becomes an equality join
       * (cycle/repeated-variable patterns). */
@@ -888,6 +897,9 @@ object CypherLite {
       hops.zipWithIndex.foreach { case (h, i) =>
         val from = pats(i).v
         val to = pats(i + 1).v
+        h.v.foreach { ev =>
+          edgeEnds(ev) = if (h.reverse) (to, from) else (from, to)
+        }
         val pairs = hopPairs(h)
         if (b.columns.contains(to)) {
           b = b.join(pairs, b(from) === pairs("_from") && b(to) === pairs("_to"))
@@ -1238,6 +1250,20 @@ object CypherLite {
           require(df.columns.contains(s"${v}__etype"),
             s"type() needs a named single-hop edge variable, got '$v'")
           col(s"${v}__etype")
+        case FuncT(fn @ ("startnode" | "endnode"), t0) =>
+          // source/destination node id of a named edge, in GRAPH
+          // direction (a reverse hop's startNode is still the edge's
+          // source) — resolved to the pattern's node variable column
+          val ev = t0 match {
+            case PropT(vv, None) => vv
+            case _ => throw new IllegalArgumentException(s"$fn() takes a bare edge variable")
+          }
+          val (sv, dv) = edgeEnds.getOrElse(ev, throw new IllegalArgumentException(
+            s"$fn() needs a named single-hop edge variable, got '$ev'"))
+          val nodeVar = if (fn == "startnode") sv else dv
+          require(df.columns.contains(nodeVar),
+            s"$fn($ev): node variable '$nodeVar' is not in scope")
+          col(nodeVar)
         case FuncT("id", t0) =>
           // node/element id — this model's node KEY (a string; Neo4j's
           // internal numeric ids have no analogue here)

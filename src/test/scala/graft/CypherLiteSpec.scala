@@ -1048,6 +1048,23 @@ class CypherLiteSpec extends SparkSpec {
     assert(nested.sameElements(wantN) && nested.nonEmpty)
   }
 
+  test("startNode/endNode resolve in graph direction on forward and reverse hops") {
+    val (nodes, edges) = graph
+    val fwd = CypherLite.run(nodes, edges,
+      "MATCH (p:Process)-[r:CONNECTED_TO]->(ip:Ip) " +
+        "RETURN DISTINCT p, ip, startNode(r) AS s, endNode(r) AS e LIMIT 20")
+      .collect()
+    assert(fwd.nonEmpty && fwd.forall(r =>
+      r.getString(2) == r.getString(0) && r.getString(3) == r.getString(1)))
+    // reverse hop: the pattern walks ip←p but the EDGE still goes p→ip
+    val rev = CypherLite.run(nodes, edges,
+      "MATCH (ip:Ip)<-[r:CONNECTED_TO]-(p:Process) " +
+        "RETURN DISTINCT ip, p, startNode(r) AS s, endNode(r) AS e LIMIT 20")
+      .collect()
+    assert(rev.nonEmpty && rev.forall(r =>
+      r.getString(2) == r.getString(1) && r.getString(3) == r.getString(0)))
+  }
+
   test("repeated variable within a pattern binds as an equality join (cycles)") {
     val (nodes, edges) = graph
     // any 2-cycle over arbitrary edge types: (a)-[]->(x)-[]->(a)
