@@ -104,6 +104,15 @@ class PlanAuditSpec extends SparkSpec {
     assert(exchanges.forall(_.contains("rangepartitioning")), p)
   }
 
+  test("E5: kNN labeling broadcasts the query side; corpus is never shuffled pre-topk") {
+    val p = plan(graft.operators.Similarity.e5KnnLabel(spark, sf))
+    // the query matrix is broadcast (nested-loop against the corpus scan)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+    // no sort-merge join anywhere: the only shuffles are the per-query
+    // top-k window and the tiny vote aggregation
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("E3: Lloyd refinement never aggregates vector arrays over corpus rows") {
     // the scale-killer shape this pins out: groupBy(cid).agg(
     // collect_list(v)) — one aggregation buffer holding ~corpus/nlist
