@@ -328,6 +328,49 @@ object GraphOps {
     visited
   }
 
+  /** Multi-source BFS DISTANCES: every (root, reached, dist) triple
+    * for the given roots, as ONE keyed frontier (the [[bfsPathsFrom]]
+    * loop without path strings — state rows are (root, id, dist), one
+    * equi-join + one (root, id) anti-join per round; never a per-root
+    * loop). */
+  def bfsDistancesFrom(edges: DataFrame, sources: DataFrame, maxIter: Int = 20): DataFrame = {
+    val e = edges.select(col("src"), col("dst")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var visited = sources.select(col("id")).distinct()
+      .select(col("id").as("root"), col("id"), lit(0).as("dist"))
+      .localCheckpoint()
+    var frontier = visited
+    var frontierCount = frontier.count()
+    var depth = 0
+    while (depth < maxIter && frontierCount > 0) {
+      depth += 1
+      val next = frontier.join(e, frontier("id") === e("src"))
+        .select(col("root"), e("dst").as("id")).distinct()
+        .join(visited.select(col("root"), col("id")), Seq("root", "id"), "left_anti")
+        .withColumn("dist", lit(depth))
+        .localCheckpoint(false) // lazy: count below materializes
+      frontierCount = next.count()
+      if (frontierCount > 0) visited = visited.unionByName(next).localCheckpoint()
+      frontier = next
+    }
+    e.unpersist()
+    visited
+  }
+
+  /** B18 — closeness centrality: closeness(v) = reached / Σ dist(v, u)
+    * over the vertices u ≠ v reachable from v within `maxIter` hops
+    * (the GDS-style components-aware variant — no global (n−1)
+    * numerator, so disconnected graphs don't drown every score).
+    * Roots with no reachable vertex are omitted. All roots run as ONE
+    * multi-source keyed BFS. */
+  def closeness(edges: DataFrame, roots: DataFrame, maxIter: Int = 20): DataFrame =
+    bfsDistancesFrom(edges, roots, maxIter)
+      .filter(col("dist") > 0)
+      .groupBy(col("root").as("id"))
+      .agg(count(lit(1)).as("reached"), sum(col("dist")).as("total"))
+      .select(col("id"),
+        round(col("reached").cast("double") / col("total"), 6).as("closeness"))
+
   /** Per-vertex triangle count over the undirected simple graph.
     *
     * Degree-ordered orientation (every edge points from its lower-

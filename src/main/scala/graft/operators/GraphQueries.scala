@@ -130,6 +130,20 @@ object GraphQueries {
     GraphOps.kCore(TestGraph.partSupplierEdges(s, dir), k)
       .orderBy(col("id"))
 
+  /** B18 — closeness centrality for a deterministic root subset
+    * (l_partkey % 200 = 0) of the undirected part—supplier graph:
+    * closeness = reached / Σdist within 10 hops, all roots in ONE
+    * multi-source keyed BFS. The root subset keeps the DuckDB
+    * recursive-CTE oracle's (root × vertex × depth) state bounded. */
+  def gCloseness(s: SparkSession, dir: String): DataFrame = {
+    val roots = graft.Tables.lineitem(s, dir)
+      .filter(col("l_partkey") % 200 === 0)
+      .select(concat(lit("p:"), col("l_partkey")).as("id")).distinct()
+    GraphOps.closeness(
+        GraphOps.undirected(TestGraph.partSupplierEdges(s, dir)), roots, maxIter = 10)
+      .orderBy(col("id"))
+  }
+
   /** B12 — GDS-style node similarity: Jaccard over supplier neighbor
     * sets of the (sparsified) part—supplier graph. */
   def gNodesim(s: SparkSession, dir: String): DataFrame =

@@ -217,4 +217,23 @@ class GraphOpsSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(one == Map("s" -> 0L, "m" -> 2L, "t" -> 10L))
   }
+
+  test("closeness centrality: hand-computed path graph; hop bound truncates") {
+    // undirected path a-b-c-d: closeness(a) = 3/(1+2+3), closeness(b) =
+    // 3/(1+1+2); ends and middles symmetric
+    val e = GraphOps.undirected(edgeDf("a" -> "b", "b" -> "c", "c" -> "d"))
+    val roots = Seq("a", "b", "c", "d").toDF("id")
+    val got = GraphOps.closeness(e, roots)
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toMap
+    assert(got == Map("a" -> 0.5, "b" -> 0.75, "c" -> 0.75, "d" -> 0.5))
+    // maxIter bound: within 1 hop, each vertex sees only its neighbors
+    val bounded = GraphOps.closeness(e, roots, maxIter = 1)
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toMap
+    assert(bounded == Map("a" -> 1.0, "b" -> 1.0, "c" -> 1.0, "d" -> 1.0))
+    // disconnected component: scores stay within-component (no global n)
+    val two = GraphOps.undirected(edgeDf("a" -> "b", "x" -> "y"))
+    val g2 = GraphOps.closeness(two, Seq("a", "x").toDF("id"))
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toMap
+    assert(g2 == Map("a" -> 1.0, "x" -> 1.0))
+  }
 }
