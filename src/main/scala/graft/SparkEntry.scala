@@ -81,6 +81,7 @@ object SparkEntry {
     "g_lpa"        -> (GraphQueries.gLpa _),
     "g_clustercoef" -> (GraphQueries.gClusterCoef _),
     "g_closeness"  -> (GraphQueries.gCloseness _),
+    "g_harmonic"   -> (GraphQueries.gHarmonic _),
     "g_kcore"      -> ((s, d) => GraphQueries.gKcore(s, d)),
     "n1_nodemerge" -> (GraphQueries.n1NodeMerge _),
     "n2_edgemerge" -> (GraphQueries.n2EdgeMerge _),
@@ -434,6 +435,24 @@ object SparkEntry {
         |)
         |SELECT root AS id,
         | round(CAST(count(*) AS DOUBLE)/sum(d), 6) AS closeness
+        |FROM md WHERE d > 0 GROUP BY 1 ORDER BY 1""".stripMargin,
+    "g_harmonic" ->
+      """WITH RECURSIVE base AS (
+        |  SELECT DISTINCT 'p:'||l_partkey AS a, 's:'||l_suppkey AS b
+        |  FROM lineitem WHERE l_partkey%20=0
+        |), edges AS (SELECT a AS src, b AS dst FROM base UNION SELECT b, a FROM base
+        |), roots AS (SELECT DISTINCT 'p:'||l_partkey AS id
+        |  FROM lineitem WHERE l_partkey%200=0
+        |), reach AS (
+        |  SELECT id AS root, id, 0 AS d FROM roots
+        |  UNION
+        |  SELECT r.root, e.dst, r.d+1 FROM reach r JOIN edges e ON e.src = r.id
+        |  WHERE r.d < 10
+        |), md AS (
+        |  SELECT root, id, min(d) AS d FROM reach GROUP BY 1, 2
+        |)
+        |SELECT root AS id,
+        | round(CAST(sum(2520//d) AS DOUBLE)/2520.0, 6) AS harmonic
         |FROM md WHERE d > 0 GROUP BY 1 ORDER BY 1""".stripMargin,
     "g_cc" ->
       """WITH RECURSIVE base AS (

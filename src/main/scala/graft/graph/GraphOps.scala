@@ -371,6 +371,22 @@ object GraphOps {
       .select(col("id"),
         round(col("reached").cast("double") / col("total"), 6).as("closeness"))
 
+  /** B19 — harmonic centrality: harmonic(v) = Σ 1/dist(v, u) over
+    * reachable u ≠ v (the centrality that stays meaningful on
+    * disconnected graphs). FLOAT-DETERMINISM: the sum runs in exact
+    * integers — Σ (2520 / d) with 2520 = lcm(1..10), every term an
+    * exact integer for d ≤ 10 — and divides by 2520 once at the end,
+    * so partial-aggregation order (and the oracle engine's order)
+    * cannot perturb the rounded result. Hence maxIter ≤ 10. */
+  def harmonic(edges: DataFrame, roots: DataFrame, maxIter: Int = 10): DataFrame = {
+    require(maxIter <= 10, "harmonic uses lcm(1..10)=2520 exact-integer arithmetic")
+    bfsDistancesFrom(edges, roots, maxIter)
+      .filter(col("dist") > 0)
+      .groupBy(col("root").as("id"))
+      .agg(sum((lit(2520) / col("dist")).cast("long")).as("num"))
+      .select(col("id"), round(col("num").cast("double") / 2520.0, 6).as("harmonic"))
+  }
+
   /** Per-vertex triangle count over the undirected simple graph.
     *
     * Degree-ordered orientation (every edge points from its lower-

@@ -144,6 +144,18 @@ object GraphQueries {
       .orderBy(col("id"))
   }
 
+  /** B19 — harmonic centrality, same roots/graph/bound as
+    * [[gCloseness]] (one multi-source BFS; exact-integer sum — see
+    * [[GraphOps.harmonic]]). */
+  def gHarmonic(s: SparkSession, dir: String): DataFrame = {
+    val roots = graft.Tables.lineitem(s, dir)
+      .filter(col("l_partkey") % 200 === 0)
+      .select(concat(lit("p:"), col("l_partkey")).as("id")).distinct()
+    GraphOps.harmonic(
+        GraphOps.undirected(TestGraph.partSupplierEdges(s, dir)), roots, maxIter = 10)
+      .orderBy(col("id"))
+  }
+
   /** B12 — GDS-style node similarity: Jaccard over supplier neighbor
     * sets of the (sparsified) part—supplier graph. */
   def gNodesim(s: SparkSession, dir: String): DataFrame =

@@ -236,4 +236,18 @@ class GraphOpsSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getDouble(1))).toMap
     assert(g2 == Map("a" -> 1.0, "x" -> 1.0))
   }
+
+  test("harmonic centrality: hand-computed path graph, exact-integer sum") {
+    // path a-b-c-d: harmonic(a) = 1 + 1/2 + 1/3 = 1.833333 (rounded),
+    // harmonic(b) = 1 + 1 + 1/2 = 2.5
+    val e = GraphOps.undirected(edgeDf("a" -> "b", "b" -> "c", "c" -> "d"))
+    val roots = Seq("a", "b", "c", "d").toDF("id")
+    val got = GraphOps.harmonic(e, roots)
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toMap
+    assert(got == Map("a" -> 1.833333, "b" -> 2.5, "c" -> 2.5, "d" -> 1.833333))
+    // the hop-bound guard: maxIter > 10 would break the lcm trick
+    intercept[IllegalArgumentException] {
+      GraphOps.harmonic(e, roots, maxIter = 11)
+    }
+  }
 }
