@@ -108,6 +108,37 @@ object EventStreams {
       .withWatermark("ts", "10 minutes")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** H7 — streaming near-dup filter: drop documents whose 64-bit
+    * SimHash equals an already-seen sketch inside the watermark
+    * horizon. The sketch is a per-row STATELESS projection (nested
+    * higher-order functions — a stream can't run the batch
+    * explode+groupBy re-aggregation), bit-identical to the batch
+    * [[graft.operators.Dedup.simhash]] (spec cross-checks every doc),
+    * then `dropDuplicatesWithinWatermark` bounds the dedup state.
+    * Semantics are SKETCH-EXACT near-dup: near-identical documents
+    * collapse to the same 64 bits (the Hamming-0 regime); banded
+    * Hamming ≤ 3 with exact verification stays a batch concern (D3). */
+  def nearDupStream(docs: DataFrame): DataFrame =
+    docs
+      // votes materialize in their own projection so the 64-bit fold
+      // references the array attribute, not 64 copies of the HOF
+      .withColumn("__votes", expr(
+        """aggregate(
+          |  transform(split(lower(trim(text)), '\\s+'), w -> xxhash64(w)),
+          |  array_repeat(CAST(0 AS BIGINT), 64),
+          |  (acc, h) -> zip_with(acc,
+          |    transform(sequence(0, 63),
+          |      i -> CASE WHEN shiftright(h, i) & 1 = 1
+          |           THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END),
+          |    (a, b) -> a + b))""".stripMargin))
+      .withColumn("simhash", expr(
+        """aggregate(sequence(0, 63), CAST(0 AS BIGINT),
+          |  (s, i) -> CASE WHEN __votes[i] > 0
+          |            THEN s | shiftleft(CAST(1 AS BIGINT), i) ELSE s END)""".stripMargin))
+      .drop("__votes")
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("simhash")
+
   /** H5 — stream-stream interval join (purchase attribution): each
     * purchase joins the same user's clicks from the preceding hour.
     * Watermarks on BOTH inputs plus the two-sided time-range predicate

@@ -30,6 +30,55 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("H7 near-dup stream: per-row HOF sketch == batch simhash; dups dropped") {
+    import spark.implicits._
+    // 1. the stateless per-row sketch is bit-identical to the batch
+    //    explode+groupBy simhash on real documents
+    val docs = graft.Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+    val batch = graft.operators.Dedup.simhash(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // dropDuplicatesWithinWatermark requires a stream, so the batch
+    // equivalence audit replicates nearDupStream's projection half
+    // verbatim on a static frame
+    val sketchOnly = docs
+      .withColumn("__votes", expr(
+        """aggregate(
+          |  transform(split(lower(trim(text)), '\\s+'), w -> xxhash64(w)),
+          |  array_repeat(CAST(0 AS BIGINT), 64),
+          |  (acc, h) -> zip_with(acc,
+          |    transform(sequence(0, 63),
+          |      i -> CASE WHEN shiftright(h, i) & 1 = 1
+          |           THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END),
+          |    (a, b) -> a + b))""".stripMargin))
+      .withColumn("simhash", expr(
+        """aggregate(sequence(0, 63), CAST(0 AS BIGINT),
+          |  (s, i) -> CASE WHEN __votes[i] > 0
+          |            THEN s | shiftleft(CAST(1 AS BIGINT), i) ELSE s END)""".stripMargin))
+      .select(col("doc_id"), col("simhash"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(sketchOnly == batch && batch.nonEmpty)
+
+    // 2. streaming: an identical text in a later batch is dropped, a
+    //    distinct text passes
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, String)]
+    val df = mem.toDF().toDF("doc_id", "ts", "text")
+    val q = EventStreams.nearDupStream(df).writeStream
+      .format("memory").queryName("h7_neardup").outputMode("append").start()
+    try {
+      mem.addData((1L, ts(0), "the quick brown fox"), (2L, ts(1), "a different document"))
+      q.processAllAvailable()
+      // doc 3: case/whitespace variants tokenize identically → same
+      // sketch as doc 1 → dropped; doc 4 is an exact dup → dropped
+      mem.addData((3L, ts(2), "THE  quick   Brown fox"))
+      mem.addData((4L, ts(3), "the quick brown fox"),
+        (5L, ts(4), "yet another unique text"))
+      q.processAllAvailable()
+      val kept = spark.table("h7_neardup").collect().map(_.getAs[Long]("doc_id")).toSet
+      assert(kept == Set(1L, 2L, 5L))
+    } finally q.stop()
+  }
+
   test("H6 trending bigrams: per-window counts over a document stream") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
