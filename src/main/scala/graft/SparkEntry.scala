@@ -82,6 +82,8 @@ object SparkEntry {
     "g_clustercoef" -> (GraphQueries.gClusterCoef _),
     "g_closeness"  -> (GraphQueries.gCloseness _),
     "g_harmonic"   -> (GraphQueries.gHarmonic _),
+    // rows-only: Brandes sigma-fractions have no tractable SQL twin
+    "g_betweenness" -> (GraphQueries.gBetweenness _),
     "g_kcore"      -> ((s, d) => GraphQueries.gKcore(s, d)),
     "n1_nodemerge" -> (GraphQueries.n1NodeMerge _),
     "n2_edgemerge" -> (GraphQueries.n2EdgeMerge _),

@@ -387,6 +387,86 @@ object GraphOps {
       .select(col("id"), round(col("num").cast("double") / 2520.0, 6).as("harmonic"))
   }
 
+  /** B20 — betweenness centrality, Brandes' algorithm as keyed frames.
+    *
+    * Forward: one multi-source BFS over (root, id, dist, sigma) state
+    * rows where sigma accumulates shortest-path COUNTS (sum over
+    * predecessor frontier — the only change vs [[bfsDistancesFrom]]).
+    * Backward: dependency accumulation per level, deepest first —
+    * δ(u) = Σ over successors w of σ(u)/σ(w)·(1 + δ(w)); in an
+    * unweighted BFS DAG every contribution to depth d−1 comes from
+    * depth d, so each level's δ is FINAL when processed (one join +
+    * one aggregation per level). Betweenness(v) = Σ_{roots s≠v} δ(s,v),
+    * halved when `halve` (pass [[undirected]] edges + halve=true for
+    * the undirected measure — each unordered pair is counted from both
+    * endpoints' BFS).
+    *
+    * EXACT when `roots` = all vertices; a deterministic root sample
+    * gives the standard Brandes estimate (scale path — cost is
+    * O(levels) joins per round over |roots|-keyed state, never a
+    * per-root loop). */
+  def betweenness(edges: DataFrame, roots: DataFrame, maxIter: Int = 20,
+                  halve: Boolean = true): DataFrame = {
+    val e = edges.select(col("src"), col("dst")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var visited = roots.select(col("id")).distinct()
+      .select(col("id").as("root"), col("id"), lit(0).as("dist"),
+        lit(1L).as("sigma"))
+      .localCheckpoint()
+    var frontier = visited
+    var levels = List(frontier) // head = deepest when the loop ends
+    var depth = 0
+    var n = frontier.count()
+    while (depth < maxIter && n > 0) {
+      depth += 1
+      val next = frontier.join(e, frontier("id") === e("src"))
+        .groupBy(col("root"), e("dst").as("nid"))
+        .agg(sum(col("sigma")).as("sigma"))
+        .withColumnRenamed("nid", "id")
+        .join(visited.select(col("root"), col("id")), Seq("root", "id"), "left_anti")
+        .withColumn("dist", lit(depth))
+        .select(col("root"), col("id"), col("dist"), col("sigma"))
+        .localCheckpoint(false) // lazy: the count below materializes
+      n = next.count()
+      if (n > 0) { visited = visited.unionByName(next).localCheckpoint(); levels ::= next }
+      frontier = next
+    }
+    val vis = visited.persist(StorageLevel.MEMORY_AND_DISK)
+    vis.count()
+    // backward sweep: levels head→tail is deepest→depth-1 (depth 0 —
+    // the roots frame — is levels.last and receives but never emits)
+    var delta: DataFrame = null // (root, id, delta) — final per level
+    for (level <- levels.dropRight(1)) {
+      val dd = level // (root, id, dist, sigma) at this depth
+      val w = (if (delta == null) dd.withColumn("delta", lit(0.0))
+               else dd.join(delta, Seq("root", "id"), "left")
+                 .withColumn("delta", coalesce(col("delta"), lit(0.0))))
+        .select(col("root"), col("id"), col("dist"), col("sigma"), col("delta"))
+      val preds = vis.select(col("root").as("proot"), col("id").as("uid"),
+        col("dist").as("udist"), col("sigma").as("usigma"))
+      val contrib = w.join(e, w("id") === e("dst"))
+        .join(preds, col("root") === col("proot") && e("src") === col("uid") &&
+          col("udist") === w("dist") - 1)
+        .select(col("root"), col("uid").as("id"),
+          (col("usigma").cast("double") / col("sigma") * (lit(1.0) + col("delta"))).as("c"))
+        .groupBy(col("root"), col("id")).agg(sum(col("c")).as("delta"))
+        .localCheckpoint()
+      delta = if (delta == null) contrib else delta.unionByName(contrib).localCheckpoint()
+    }
+    val allV = e.select(col("src").as("id")).union(e.select(col("dst").as("id"))).distinct()
+    val summed =
+      if (delta == null) allV.withColumn("betweenness", lit(0.0))
+      else allV.join(
+          delta.filter(col("id") =!= col("root"))
+            .groupBy(col("id")).agg(sum(col("delta")).as("b")),
+          Seq("id"), "left")
+        .select(col("id"),
+          round(coalesce(col("b"), lit(0.0)) / lit(if (halve) 2.0 else 1.0), 6)
+            .as("betweenness"))
+    e.unpersist(); vis.unpersist()
+    summed
+  }
+
   /** Per-vertex triangle count over the undirected simple graph.
     *
     * Degree-ordered orientation (every edge points from its lower-

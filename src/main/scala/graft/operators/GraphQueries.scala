@@ -156,6 +156,21 @@ object GraphQueries {
       .orderBy(col("id"))
   }
 
+  /** B20 — betweenness centrality (Brandes), estimated from the same
+    * deterministic root subset as [[gCloseness]] (exact when roots =
+    * all vertices; the sample is the standard scale move). Rows-only:
+    * σ-fraction accumulation has no tractable SQL twin — the
+    * path/star/cycle fixtures pin exact values. */
+  def gBetweenness(s: SparkSession, dir: String): DataFrame = {
+    val roots = graft.Tables.lineitem(s, dir)
+      .filter(col("l_partkey") % 200 === 0)
+      .select(concat(lit("p:"), col("l_partkey")).as("id")).distinct()
+    GraphOps.betweenness(
+        GraphOps.undirected(TestGraph.partSupplierEdges(s, dir)), roots, maxIter = 10)
+      .filter(col("betweenness") > 0)
+      .orderBy(col("id"))
+  }
+
   /** B12 — GDS-style node similarity: Jaccard over supplier neighbor
     * sets of the (sparsified) part—supplier graph. */
   def gNodesim(s: SparkSession, dir: String): DataFrame =

@@ -237,6 +237,32 @@ class GraphOpsSpec extends SparkSpec {
     assert(g2 == Map("a" -> 1.0, "x" -> 1.0))
   }
 
+  test("betweenness (Brandes): exact on path, star, and cycle fixtures") {
+    def bc(edges: org.apache.spark.sql.DataFrame, ids: Seq[String]): Map[String, Double] = {
+      val und = GraphOps.undirected(edges)
+      GraphOps.betweenness(und, ids.toDF("id"))
+        .collect().map(r => (r.getString(0), r.getDouble(1))).toMap
+    }
+    // path a-b-c-d: b and c each sit on 2 pairs ((a,c),(a,d)) / ((b,d),(a,d))
+    val path = bc(edgeDf("a" -> "b", "b" -> "c", "c" -> "d"), Seq("a", "b", "c", "d"))
+    assert(path == Map("a" -> 0.0, "b" -> 2.0, "c" -> 2.0, "d" -> 0.0))
+    // star: the hub carries all 3 leaf pairs
+    val star = bc(edgeDf("m" -> "x", "m" -> "y", "m" -> "z"), Seq("m", "x", "y", "z"))
+    assert(star == Map("m" -> 3.0, "x" -> 0.0, "y" -> 0.0, "z" -> 0.0))
+    // 4-cycle: each opposite pair has TWO shortest paths (sigma = 2),
+    // each intermediate gets 1/2 — the sigma-fraction case
+    val cyc = bc(edgeDf("a" -> "b", "b" -> "c", "c" -> "d", "d" -> "a"),
+      Seq("a", "b", "c", "d"))
+    assert(cyc == Map("a" -> 0.5, "b" -> 0.5, "c" -> 0.5, "d" -> 0.5))
+    // sampled roots scale DOWN the estimate: with only root a on the
+    // path, b sits on (a,c),(a,d) one-directionally → 2/2 = 1
+    val sampled = GraphOps.betweenness(
+        GraphOps.undirected(edgeDf("a" -> "b", "b" -> "c", "c" -> "d")),
+        Seq("a").toDF("id"))
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toMap
+    assert(sampled("b") == 1.0 && sampled("c") == 0.5 && sampled("a") == 0.0)
+  }
+
   test("harmonic centrality: hand-computed path graph, exact-integer sum") {
     // path a-b-c-d: harmonic(a) = 1 + 1/2 + 1/3 = 1.833333 (rounded),
     // harmonic(b) = 1 + 1 + 1/2 = 2.5
