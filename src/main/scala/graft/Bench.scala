@@ -15,6 +15,8 @@ object Bench {
     "f1_tokens", "f2_quality", "f7_decontam", "f8_repetition", "p5_weighted",
     // the iterative graph analytics (oracle-upgraded in r3)
     "g_pagerank", "g_kcore", "g_lpa",
+    // r4 centralities: multi-source-BFS closeness + Brandes betweenness
+    "g_closeness", "g_betweenness",
     // IVF: quantizer training (distributed Lloyd) + probe search
     "e3_ivf",
     // the reference's core workload: full 1202-trace corpus → property
