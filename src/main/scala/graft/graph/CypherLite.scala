@@ -74,7 +74,10 @@ import org.apache.spark.sql.functions._
   *    `any`/`all`/`none`/`single(x IN xs WHERE p)` (exists()/forall())
   *    and `reduce(acc = init, x IN xs | expr)` (aggregate() HOF) —
   *    comprehensions, quantifiers, and reduce NEST (inner lambda
-  *    variables shadow outer ones). `NOT <pred>`,
+  *    variables shadow outer ones); the pattern-count idiom
+  *    `size((p)-[:T]->(x))` (matches anchored at the row's chain-head
+  *    value, 0 when none — an aggregated semi-join, numeric in any
+  *    term position). `NOT <pred>`,
   *    `<expr> IS [NOT] NULL`, and the pattern predicate
   *    `exists((p)-[:T]->(x))` (anchored at a bound variable; fresh
   *    pattern variables are existential) — `NOT exists(...)` is the
@@ -185,6 +188,13 @@ object CypherLite {
     def vars: Set[String] =
       init.vars ++ src.vars ++ expr.vars.filterNot(w => w == acc || w == v)
   }
+  /** `size((p)-[:T]->(x))` — pattern-count term (the classic inline-
+    * degree idiom): the number of pattern matches anchored at the
+    * row's value of the chain-head variable; fresh variables are
+    * existential. Numeric. */
+  final case class SizePat(chain: (Seq[NodePat], Seq[EdgePat])) extends Term {
+    def vars: Set[String] = Set(chain._1.head.v)
+  }
   /** Searched `CASE WHEN p THEN t [WHEN …]* [ELSE e] END` (null when no
     * branch matches and no ELSE — Cypher semantics). */
   final case class CaseT(branches: Seq[(Pred, Term)], els: Option[Term]) extends Term {
@@ -287,7 +297,10 @@ object CypherLite {
     new PredParser(s.trim, anon).parsePred()
 
   private final class PredParser(var rest: String,
-                                 anon: () => String = () => "_eanon") {
+                                 // fresh names per parser — a CONSTANT default would make two
+                                 // anonymous nodes in one pattern collide into a repeated-
+                                 // variable equality join
+                                 anon: () => String = { var i = 0; () => { i += 1; s"_eanon$i" } }) {
     def ws(): Unit = { rest = rest.dropWhile(_ == ' ') }
     def eat(tok: String): Boolean = {
       ws()
@@ -416,13 +429,42 @@ object CypherLite {
                 "abs", "round", "floor", "ceil", "sqrt", "sign")(m.group(1))
               && m.group(2) == null && rest.substring(m.end).trim.startsWith("(") =>
             rest = rest.substring(rest.indexOf('(', m.end) + 1)
-            val inner = sumT()
-            ws()
-            require(rest.startsWith(")"), s"expected ')' after ${m.group(1)} at: $rest")
-            rest = rest.substring(1)
             val fn = m.group(1).toLowerCase
-            if (fn == "tointeger" || fn == "tofloat") CastT(fn, inner)
-            else FuncT(fn, inner)
+            // size(<pattern>) — the inline-degree idiom: the argument is
+            // a chain, not a scalar (a node group followed by a hop)
+            val isPatternArg = fn == "size" && {
+              ws()
+              NodeRe.findPrefixMatchOf(rest) match {
+                case Some(nm) =>
+                  val after = rest.substring(nm.end).trim
+                  after.startsWith("-[") || after.startsWith("<-[")
+                case None => false
+              }
+            }
+            if (isPatternArg) {
+              // consume up to the size(...) call's balanced close
+              var depth = 1
+              var i = 0
+              while (i < rest.length && depth > 0) {
+                rest.charAt(i) match {
+                  case '(' => depth += 1
+                  case ')' => depth -= 1
+                  case _ => ()
+                }
+                i += 1
+              }
+              require(depth == 0, s"unbalanced size(<pattern>) at: $rest")
+              val inner = rest.substring(0, i - 1).trim
+              rest = rest.substring(i)
+              SizePat(parsePatternChain(inner, anon))
+            } else {
+              val inner = sumT()
+              ws()
+              require(rest.startsWith(")"), s"expected ')' after ${m.group(1)} at: $rest")
+              rest = rest.substring(1)
+              if (fn == "tointeger" || fn == "tofloat") CastT(fn, inner)
+              else FuncT(fn, inner)
+            }
           case Some(m) if Set("split", "replace", "substring")(m.group(1))
               && m.group(2) == null && rest.substring(m.end).trim.startsWith("(") =>
             rest = rest.substring(rest.indexOf('(', m.end) + 1)
@@ -1023,6 +1065,7 @@ object CypherLite {
       // cast would null them)
       case FuncT("timestamp" | "duration", _) => true
       case FuncT("abs" | "round" | "floor" | "ceil" | "sqrt" | "sign", _) => true
+      case _: SizePat => true
       case CaseT(bs, e) => bs.exists(b => isNumericTerm(b._2)) || e.exists(isNumericTerm)
       case CoalesceT(ts) => ts.exists(isNumericTerm)
       case ReduceT(_, init, _, _, expr) => isNumericTerm(init) || isNumericTerm(expr)
@@ -1374,6 +1417,20 @@ object CypherLite {
           aggregate(srcC, initC, (acc, xx) =>
             lambdaTerm(expr, Map(accN -> acc, vN -> xx), isNumericTerm(expr),
               (t2, n2) => go(t2, n2)))
+        case SizePat(chain @ (np, hops)) =>
+          // pattern count per anchor value: walk the chain from the
+          // DISTINCT anchor values, count matches, left-join back
+          // (0 when nothing matches) — the aggregated-semi-join shape
+          // Catalyst broadcasts like exists()
+          val anchor = np.head.v
+          require(df.columns.contains(anchor),
+            s"size() pattern must start at a bound variable, got '$anchor'")
+          sizeSeq += 1
+          val cn = s"__psize$sizeSeq"
+          val cnt = walk(df.select(col(anchor)).distinct(), np, hops)
+            .groupBy(col(anchor)).agg(count(lit(1)).as(cn))
+          df = df.join(cnt, Seq(anchor), "left")
+          coalesce(col(cn), lit(0L))
         case CaseT(bs, e) =>
           // searched CASE: branch predicates compile through the full
           // predicate grammar (prop binds / exists joins update `df`),
@@ -1402,12 +1459,16 @@ object CypherLite {
       * (no `.prop`) references a column directly — a WITH alias. */
     def applyPred(df0: DataFrame, p: Pred): DataFrame = {
       val (df, cond) = predColumn(df0, p)
-      df.filter(cond).drop(df.columns.filter(_.startsWith("__exists")): _*)
+      df.filter(cond).drop(df.columns.filter(c =>
+        c.startsWith("__exists") || c.startsWith("__psize")): _*)
     }
 
     /** Session-unique suffix for exists-flag columns (predColumn can
       * recurse through CASE terms — a local counter would collide). */
     private var existsSeq = 0
+
+    /** Session-unique suffix for size(<pattern>) count columns. */
+    private var sizeSeq = 0
 
     /** Compile a predicate to a boolean Column over a frame, binding
       * prop columns / exists-flag joins as needed; returns the updated

@@ -1065,6 +1065,45 @@ class CypherLiteSpec extends SparkSpec {
       r.getString(2) == r.getString(1) && r.getString(3) == r.getString(0)))
   }
 
+  test("size(<pattern>) counts anchored matches: inline degree idiom") {
+    val (nodes, edges) = graph
+    // RETURN position: out-degree per process, 0 when no beacons
+    val got = CypherLite.run(nodes, edges,
+      "MATCH (t:Trace)-[:HAS_PROCESS]->(p:Process) " +
+        "RETURN DISTINCT p, size((p)-[:CONNECTED_TO]->()) AS deg ORDER BY p")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val degrees = et("CONNECTED_TO").groupBy(col("src").as("p"))
+      .agg(count(lit(1)).as("deg"))
+    val want = et("HAS_PROCESS").select(col("dst").as("p")).distinct()
+      .join(degrees, Seq("p"), "left")
+      .select(col("p"), coalesce(col("deg"), lit(0L)).as("deg"))
+      .orderBy(col("p"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(got.sameElements(want) && got.nonEmpty && got.exists(_._2 == 0L))
+    // WHERE position with a comparison (numeric term)
+    val multi = CypherLite.run(nodes, edges,
+      "MATCH (t:Trace)-[:HAS_PROCESS]->(p:Process) " +
+        "WHERE size((p)-[:CONNECTED_TO]->()) >= 2 RETURN DISTINCT p")
+      .collect().map(_.getString(0)).toSet
+    val wantMulti = degrees.filter(col("deg") >= 2).select(col("p"))
+      .join(et("HAS_PROCESS").select(col("dst").as("p")).distinct(), Seq("p"), "left_semi")
+      .collect().map(_.getString(0)).toSet
+    assert(multi == wantMulti && multi.nonEmpty)
+    // longer chain: two-hop pattern counts all bindings
+    val two = CypherLite.run(nodes, edges,
+      "MATCH (t:Trace) RETURN t, size((t)-[:HAS_PROCESS]->()-[:CONNECTED_TO]->()) AS n ORDER BY t")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val wantTwo = nodes.filter(col("label") === "Trace").select(col("id").as("t"))
+      .join(et("HAS_PROCESS").select(col("src").as("t"), col("dst").as("p"))
+          .join(et("CONNECTED_TO").select(col("src").as("p")), Seq("p"))
+          .groupBy(col("t")).agg(count(lit(1)).as("n")),
+        Seq("t"), "left")
+      .select(col("t"), coalesce(col("n"), lit(0L)).as("n"))
+      .orderBy(col("t"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(two.sameElements(wantTwo) && two.exists(_._2 > 0L))
+  }
+
   test("repeated variable within a pattern binds as an equality join (cycles)") {
     val (nodes, edges) = graph
     // any 2-cycle over arbitrary edge types: (a)-[]->(x)-[]->(a)
