@@ -110,11 +110,13 @@ import org.apache.spark.sql.functions._
   *    required), plain or under an aggregate
   *    (`sum(toInteger(r.dport) * 2) AS s`)
   *  - `WITH [DISTINCT]` pipeline stages (any number): `MATCH … WITH items
-  *    [WHERE having] [MATCH …pattern(s) [OPTIONAL MATCH …]] WITH …
-  *    RETURN …` — each WITH's items (aggregates allowed, `AS`
-  *    aliases) project the stage so far; its having-WHERE filters the
-  *    projection; a follow-on MATCH joins new patterns on the carried
-  *    variables
+  *    [WHERE having] [ORDER BY … [SKIP n] [LIMIT n]]
+  *    [MATCH …pattern(s) [OPTIONAL MATCH …]] WITH … RETURN …` — each
+  *    WITH's items (aggregates allowed, `AS` aliases) project the
+  *    stage so far; its having-WHERE filters the projection; ORDER
+  *    BY/SKIP/LIMIT implement the top-k-then-continue idiom (order
+  *    alone doesn't survive the next join — Cypher semantics too); a
+  *    follow-on MATCH joins new patterns on the carried variables
   *  - `UNWIND xs AS x` stages (interleaved with WITH anywhere after
   *    the first MATCH): explode a carried list column — typically a
   *    `collect(...)` alias, the Cypher collect→UNWIND idiom — a
@@ -261,7 +263,10 @@ object CypherLite {
     * is Cypher's `WITH DISTINCT items` (dedup the projection). */
   final case class WithStage(items: Seq[RetItem], having: Option[Pred],
                              next: Option[MatchStage],
-                             distinct: Boolean = false) extends PipeStage
+                             distinct: Boolean = false,
+                             orderBy: Seq[(String, Boolean)] = Seq.empty,
+                             skip: Option[Int] = None,
+                             limit: Option[Int] = None) extends PipeStage
   /** `UNWIND xs AS x`: explodes a carried list column (typically a
     * `collect(...)` alias), a literal `[...]` list, or any list-valued
     * term (`range(1, 5)`) into one row per element; the source stays
@@ -747,7 +752,7 @@ object CypherLite {
     val mShortest = """(?i)MATCH (\w+) = shortestPath\((.+?)\)(?: WHERE (.+?))? RETURN (DISTINCT )?(.+?)(?: ORDER BY (.+?))?(?: SKIP (\d+))?(?: LIMIT (\d+))?\s*$""".r
     val mTail = """(?i)^(.+?) RETURN (DISTINCT )?(.+?)(?: ORDER BY (.+?))?(?: SKIP (\d+))?(?: LIMIT (\d+))?\s*$""".r
     val mStage1 = """(?i)^MATCH (.+?)(?: WHERE (.+))?$""".r
-    val mWithSeg = """(?i)^(.+?)(?: WHERE (.+?))?(?: MATCH (.+?)(?: WHERE (.+))?)?$""".r
+    val mWithSeg = """(?i)^(.+?)(?: WHERE (.+?))?(?: ORDER BY (.+?))?(?: SKIP (\d+))?(?: LIMIT (\d+))?(?: MATCH (.+?)(?: WHERE (.+))?)?$""".r
     text match {
       case mShortest(pathVar, pattern, whereOrNull, distinctOrNull, retPart, orderOrNull, skipOrNull, limitOrNull) =>
         val st = parseMatchStage(pattern, whereOrNull, Set.empty, anon)
@@ -789,7 +794,8 @@ object CypherLite {
         val mUnwind = """(?i)^(.+?)\s+AS\s+(\w+)(?:\s+MATCH\s+(.+?)(?:\s+WHERE\s+(.+))?)?$""".r
         val withStages: Seq[PipeStage] = segTexts.tail.map {
           case ("WITH", seg) => seg match {
-            case mWithSeg(itemsPart0, havingOrNull, patOrNull, whereOrNull) =>
+            case mWithSeg(itemsPart0, havingOrNull, orderOrNull, skipOrNull,
+                limitOrNull, patOrNull, whereOrNull) =>
               val wdist = itemsPart0.trim.toUpperCase.startsWith("DISTINCT ")
               val itemsPart = if (wdist) itemsPart0.trim.substring(9) else itemsPart0
               val items = splitTopLevel(itemsPart).map(parseRetItem)
@@ -798,7 +804,10 @@ object CypherLite {
                 parseMatchStage(p, whereOrNull, carried, anon))
               addNext(next)
               WithStage(items, Option(havingOrNull).map(parseWhere(_, anon)), next,
-                distinct = wdist)
+                distinct = wdist,
+                orderBy = parseOrder(orderOrNull),
+                skip = Option(skipOrNull).map(_.toInt),
+                limit = Option(limitOrNull).map(_.toInt))
             case other => throw new IllegalArgumentException(s"bad WITH stage: $other")
           }
           case ("UNWIND", seg) => seg match {
@@ -858,6 +867,15 @@ object CypherLite {
       case ws: WithStage =>
         bound = c.project(bound, ws.items, distinct = ws.distinct)
         ws.having.foreach { p => bound = c.applyPred(bound, p) }
+        // mid-pipeline ORDER BY matters only as a SKIP/LIMIT modifier
+        // (Cypher semantics — row order doesn't survive the next join
+        // in either engine); together they are the top-k-then-continue
+        // idiom (`WITH p, count(*) AS n ORDER BY n DESC LIMIT 10 MATCH …`)
+        if (ws.orderBy.nonEmpty)
+          bound = bound.orderBy(ws.orderBy.map { case (cn, desc) =>
+            if (desc) col(cn).desc else col(cn).asc }: _*)
+        ws.skip.foreach(n => bound = bound.offset(n))
+        ws.limit.foreach(n => bound = bound.limit(n))
         ws.next.foreach { st => bound = c.compileStage(Some(bound), st) }
       case u: UnwindStage =>
         bound = c.unwind(bound, u)

@@ -1104,6 +1104,35 @@ class CypherLiteSpec extends SparkSpec {
     assert(two.sameElements(wantTwo) && two.exists(_._2 > 0L))
   }
 
+  test("WITH ... ORDER BY ... LIMIT: top-k mid-pipeline, then continue") {
+    val (nodes, edges) = graph
+    val got = CypherLite.run(nodes, edges,
+      "MATCH (p:Process)-[:CONNECTED_TO]->(ip:Ip) " +
+        "WITH p, count(*) AS n ORDER BY n DESC, p LIMIT 3 " +
+        "MATCH (t:Trace)-[:HAS_PROCESS]->(p) " +
+        "RETURN t, p, n ORDER BY p, t")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val top3 = et("CONNECTED_TO").groupBy(col("src").as("p"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("p")).limit(3)
+    val want = et("HAS_PROCESS").select(col("src").as("t"), col("dst").as("p"))
+      .join(top3, Seq("p"))
+      .select(col("t"), col("p"), col("n")).orderBy(col("p"), col("t"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(got.sameElements(want) && got.nonEmpty)
+    // SKIP pages the intermediate too
+    val paged = CypherLite.run(nodes, edges,
+      "MATCH (p:Process)-[:CONNECTED_TO]->(ip:Ip) " +
+        "WITH p, count(*) AS n ORDER BY n DESC, p SKIP 1 LIMIT 2 RETURN p, n ORDER BY p")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val wantPaged = et("CONNECTED_TO").groupBy(col("src").as("p"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("p")).offset(1).limit(2)
+      .orderBy(col("p"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(paged.sameElements(wantPaged) && paged.length == 2)
+  }
+
   test("repeated variable within a pattern binds as an equality join (cycles)") {
     val (nodes, edges) = graph
     // any 2-cycle over arbitrary edge types: (a)-[]->(x)-[]->(a)
