@@ -77,7 +77,10 @@ import org.apache.spark.sql.functions._
   *    variables shadow outer ones); the pattern-count idiom
   *    `size((p)-[:T]->(x))` (matches anchored at the row's chain-head
   *    value, 0 when none — an aggregated semi-join, numeric in any
-  *    term position). `NOT <pred>`,
+  *    term position) and its Cypher-5 spelling `COUNT { (p)-[:T]->(x) }`
+  *    (the `EXISTS { … }` subquery form is likewise sugar for the
+  *    exists() pattern predicate; WHERE inside the braces is rejected
+  *    — write it as a conjunct outside). `NOT <pred>`,
   *    `<expr> IS [NOT] NULL`, and the pattern predicate
   *    `exists((p)-[:T]->(x))` (anchored at a bound variable; fresh
   *    pattern variables are existential) — `NOT exists(...)` is the
@@ -318,9 +321,22 @@ object CypherLite {
     // ---- scalar terms (for the general-comparison fallback) ----
     val NumRe = """-?\d+(?:\.\d+)?""".r
     val IdRe = """(\w+)(?:\.(\w+))?""".r
+    val CountBrace = """(?i)^COUNT\s*\{""".r
     def atomT(): Term = {
       ws()
-      if (rest.startsWith("[")) {
+      if (CountBrace.findPrefixMatchOf(rest).isDefined) {
+        // Cypher 5 COUNT { <pattern> } subquery — sugar over the
+        // size(<pattern>) pattern-count term
+        val m = CountBrace.findPrefixMatchOf(rest).get
+        rest = rest.substring(m.end)
+        val close = rest.indexOf('}')
+        require(close >= 0, s"unbalanced COUNT {{ at: $rest")
+        val inner = rest.substring(0, close).trim
+        require(!inner.toUpperCase.contains(" WHERE "),
+          "COUNT { … WHERE … } is not supported; filter outside the braces")
+        rest = rest.substring(close + 1)
+        SizePat(parsePatternChain(inner, anon))
+      } else if (rest.startsWith("[")) {
         rest = rest.substring(1)
         ws()
         val CompHead = """(?i)^(\w+)\s+IN\b""".r
@@ -539,10 +555,25 @@ object CypherLite {
       ExistsPat(chain, chain._1.head.v)
     }
     val QuantHead = """(?i)^(any|all|none|single)\s*\(\s*(\w+)\s+IN\b""".r
+    val ExistsBrace = """(?i)^EXISTS\s*\{""".r
     def factor(): Pred = {
       ws()
       if (eat("NOT")) Not(factor())
-      else if (rest.toLowerCase.startsWith("exists") &&
+      else if (ExistsBrace.findPrefixMatchOf(rest).isDefined) {
+        // Cypher 5 existential subquery EXISTS { <pattern> } — sugar
+        // over the same pattern predicate (WHERE inside the braces is
+        // not supported; write it as a conjunct outside)
+        val m = ExistsBrace.findPrefixMatchOf(rest).get
+        rest = rest.substring(m.end)
+        val close = rest.indexOf('}')
+        require(close >= 0, s"unbalanced EXISTS {{ at: $rest")
+        val inner = rest.substring(0, close).trim
+        require(!inner.toUpperCase.contains(" WHERE "),
+          "EXISTS { … WHERE … } is not supported; put the condition outside the braces")
+        rest = rest.substring(close + 1)
+        val chain = parsePatternChain(inner, anon)
+        ExistsPat(chain, chain._1.head.v)
+      } else if (rest.toLowerCase.startsWith("exists") &&
           rest.substring(6).trim.startsWith("(")) {
         rest = rest.substring(6)
         existsPat()

@@ -1133,6 +1133,30 @@ class CypherLiteSpec extends SparkSpec {
     assert(paged.sameElements(wantPaged) && paged.length == 2)
   }
 
+  test("Cypher 5 COUNT {} / EXISTS {} subqueries equal their classic spellings") {
+    val (nodes, edges) = graph
+    val braceCount = CypherLite.run(nodes, edges,
+      "MATCH (t:Trace)-[:HAS_PROCESS]->(p:Process) " +
+        "RETURN DISTINCT p, COUNT { (p)-[:CONNECTED_TO]->() } AS deg ORDER BY p")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val parenSize = CypherLite.run(nodes, edges,
+      "MATCH (t:Trace)-[:HAS_PROCESS]->(p:Process) " +
+        "RETURN DISTINCT p, size((p)-[:CONNECTED_TO]->()) AS deg ORDER BY p")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(braceCount.sameElements(parenSize) && braceCount.nonEmpty)
+    val braceExists = CypherLite.run(nodes, edges,
+      "MATCH (t:Trace)-[:HAS_PROCESS]->(p:Process) " +
+        "WHERE EXISTS { (p)-[:SPAWNS]->() } AND NOT EXISTS { (p)-[:CONNECTED_TO]->() } " +
+        "RETURN DISTINCT t, p ORDER BY t, p")
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    val parenExists = CypherLite.run(nodes, edges,
+      "MATCH (t:Trace)-[:HAS_PROCESS]->(p:Process) " +
+        "WHERE exists((p)-[:SPAWNS]->()) AND NOT exists((p)-[:CONNECTED_TO]->()) " +
+        "RETURN DISTINCT t, p ORDER BY t, p")
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(braceExists.sameElements(parenExists) && braceExists.nonEmpty)
+  }
+
   test("repeated variable within a pattern binds as an equality join (cycles)") {
     val (nodes, edges) = graph
     // any 2-cycle over arbitrary edge types: (a)-[]->(x)-[]->(a)
