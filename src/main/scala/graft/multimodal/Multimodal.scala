@@ -63,7 +63,6 @@ object Multimodal {
     * in front. */
   def mediaTopK(blobs: Dataset[MediaBlob], queryIds: Seq[Long], k: Int = 5,
                 codec: Codec = FakeCodec): org.apache.spark.sql.DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions._
     val s = blobs.sparkSession
     val feats = extractFeatures(blobs, codec).toDF()
@@ -71,12 +70,13 @@ object Multimodal {
     val queries = broadcast(
       feats.filter(col("media_id").isin(queryIds: _*))
         .select(col("media_id").as("q_id"), col("v").as("qv")))
-    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("media_id"))
-    queries.join(feats, col("q_id") =!= col("media_id"))
+    // two-stage per-query top-k over (q_id, media_id, cos) scalars —
+    // feature payloads never reach the merge exchange (E1's shape)
+    val scored = queries.join(feats, col("q_id") =!= col("media_id"))
       .withColumn("cos",
         graft.functions.VectorFunctions.cosine_sim(s, col("qv"), col("v")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+      .select(col("q_id"), col("media_id"), col("cos"))
+    graft.operators.Similarity.perQueryTopK(scored, "media_id", k, "rank")
       .select(col("q_id"), col("rank").cast("int").as("rank"),
         col("media_id").as("neighbor"), round(col("cos"), 4).as("cos_sim"))
       .orderBy(col("q_id"), col("rank"))

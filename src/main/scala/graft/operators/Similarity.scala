@@ -31,20 +31,49 @@ object Similarity {
   private def cos(s: SparkSession, a: Column, b: Column): Column =
     VectorFunctions.cosine_sim(s, a, b)
 
+  /** TWO-STAGE per-query top-k (the P3/F6 two-stage pattern applied to
+    * similarity): a single `Window.partitionBy(q_id)` over the scored
+    * corpus×|queries| frame funnels everything into |q| partitions —
+    * each task sorts ~|corpus| rows (the low-cardinality-window trap).
+    * Stage 1 here keeps the per-(input-partition, q_id) top k —
+    * parallelism = partitions × |q|, every group bounded by its
+    * partition's slice; stage 2 merges the ≤ k·P survivors per query, a
+    * frame bounded by parallelism, never by corpus size. Top-k of a
+    * union = top-k of per-part top-k's, so rows are identical to the
+    * one-window form.
+    *
+    * `scored` must carry (q_id, keyCol, cos) and ONLY scalar columns —
+    * callers project the vector payloads away first, so the stage-1
+    * exchange ships (q_id, id, cos) rows, never embeddings. */
+  private[graft] def perQueryTopK(scored: DataFrame, keyCol: String, k: Int,
+                                  rankName: String): DataFrame = {
+    val wLocal = Window.partitionBy(col("pid"), col("q_id"))
+      .orderBy(col("cos").desc, col(keyCol))
+    val wGlobal = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col(keyCol))
+    scored
+      .withColumn("pid", spark_partition_id())
+      .withColumn("lrk", row_number().over(wLocal))
+      .filter(col("lrk") <= k)
+      .drop("lrk", "pid")
+      .withColumn(rankName, row_number().over(wGlobal))
+      .filter(col(rankName) <= k)
+  }
+
   /** E1 — brute-force exact cosine top-k for a query set (vec_id < 8).
     * The query side is broadcast; every partition scores its slice of
-    * the corpus and a window keeps top-k — at cluster scale this is one
-    * pass over the data with no shuffle of the corpus itself. */
+    * the corpus, prunes to its local top-k per query, and only the
+    * pruned (q_id, id, cos) scalars reach the merge window — one pass
+    * over the data, no shuffle of the corpus or its vectors. */
   def e1TopK(s: SparkSession, dir: String, k: Int = 5): DataFrame = {
     val all = Tables.embeddings(s, dir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
     val queries = broadcast(all.filter(col("vec_id") < 8)
       .select(col("vec_id").as("q_id"), col("v").as("qv")))
-    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
-    queries.join(all, col("q_id") =!= col("vec_id"))
+    val scored = queries.join(all, col("q_id") =!= col("vec_id"))
       .withColumn("cos", cos(s, col("qv"), col("v")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+      .select(col("q_id"), col("vec_id"), col("cos"))
+    perQueryTopK(scored, "vec_id", k, "rank")
       .select(col("q_id"), col("rank"), col("vec_id").as("neighbor"),
         round(col("cos"), 4).as("cos_sim"))
       .orderBy(col("q_id"), col("rank"))
@@ -80,20 +109,20 @@ object Similarity {
     * label — deterministic, engine-reproducible.
     *
     * Scale shape: identical to E1 — broadcast query matrix, ONE corpus
-    * pass, per-query top-k window, then a vote count over ≤ |q|·k rows
-    * (tiny). At 10⁸+ corpus rows swap the scan for the E2 LSH
-    * candidate set; the vote stage is unchanged. */
+    * pass, two-stage per-query top-k over (q_id, id, label, cos)
+    * scalars, then a vote count over ≤ |q|·k rows (tiny). At 10⁸+
+    * corpus rows swap the scan for the E2 LSH candidate set; the vote
+    * stage is unchanged. */
   def e5KnnLabel(s: SparkSession, dir: String, k: Int = 10, nQueries: Int = 8): DataFrame = {
     val all = Tables.embeddings(s, dir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"), col("label"))
     val queries = broadcast(all.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), col("v").as("qv")))
     val corpus = all.filter(col("vec_id") >= nQueries)
-    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
-    val knn = queries.join(corpus, col("q_id") =!= col("vec_id"))
+    val scored = queries.join(corpus, col("q_id") =!= col("vec_id"))
       .withColumn("cos", cos(s, col("qv"), col("v")))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= k)
+      .select(col("q_id"), col("vec_id"), col("label"), col("cos"))
+    val knn = perQueryTopK(scored, "vec_id", k, "rn")
     val wv = Window.partitionBy(col("q_id")).orderBy(col("votes").desc, col("label"))
     knn.groupBy(col("q_id"), col("label")).agg(count(lit(1)).as("votes"))
       .withColumn("vr", row_number().over(wv))
@@ -190,10 +219,19 @@ object Similarity {
     * (mod trainMod) — deterministic, partition-invariant. Default 1 =
     * train on everything (right at test scale; at 10⁸+ vectors set
     * trainMod so the sample is ~10⁵-10⁶). Assignment always covers the
-    * full corpus. */
+    * full corpus.
+    *
+    * ASSIGNMENT SHAPE: the quantizer is nlist rows — driver-resident by
+    * construction (lloydRefine aggregates down to nlist×dim means). So
+    * nearest-centroid assignment is a pure scalar expression over the
+    * collected centroid literals: array_max over nlist inline cosines.
+    * No crossJoin, no nlist×-amplified frame, ZERO shuffle in both the
+    * training and assignment passes — the previous shape
+    * (crossJoin(broadcast(centroids)) + row_number argmin window)
+    * exchanged corpus×nlist rows carrying full vector payloads, twice. */
   def e3IvfTopK(s: SparkSession, dir: String, k: Int = 5,
                 nlist: Int = 16, nprobe: Int = 4, lloydIters: Int = 2,
-                trainMod: Int = 1): DataFrame = {
+                trainMod: Int = 1, reclaim: Boolean = true): DataFrame = {
     val all = Tables.embeddings(s, dir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .persist()
@@ -201,50 +239,51 @@ object Similarity {
       else all.filter(pmod(xxhash64(col("vec_id")), lit(trainMod)) === 0)
     val n = all.count()
     val stride = math.max(n / nlist, 1L)
+    def collectCentroids(df: DataFrame): Array[(Int, Seq[Double])] =
+      df.collect().map(r => r.getInt(0) -> r.getSeq[Double](1)).sortBy(_._1)
     // ordered selection: an unordered limit() is nondeterministic across
     // partition arrival order on a cluster — the quantizer must seed the
     // same centroids on every run
-    var centroids = all.filter(col("vec_id") % stride === 0)
+    var centroids = collectCentroids(all.filter(col("vec_id") % stride === 0)
       .orderBy(col("vec_id")).limit(nlist)
-      .select((col("vec_id") / stride).cast("int").as("cid"), col("v").as("cv"))
-    for (_ <- 1 to lloydIters) {
-      val trainAssigned = train.crossJoin(broadcast(centroids))
-        .withColumn("cos", cos(s, col("v"), col("cv")))
-        .withColumn("rn", row_number().over(
-          Window.partitionBy(col("vec_id")).orderBy(col("cos").desc, col("cid"))))
-        .filter(col("rn") === 1)
-        .select(col("cid"), col("v"))
-      centroids = lloydRefine(trainAssigned)
+      .select((col("vec_id") / stride).cast("int").as("cid"), col("v").as("cv")))
+    // argmax cosine over the centroid literals; ties break to the
+    // smallest cid (max of (cos, -cid) struct = lexicographic)
+    def nearestCid(v: Column): Column = {
+      val best = array_max(array(centroids.map { case (cid, cv) =>
+        struct(cos(s, v, typedLit(cv)).as("c"), lit(-cid).as("ncid")) }: _*))
+      (-best.getField("ncid")).cast("int")
     }
-    val cb = broadcast(centroids)
-    val assigned = all.crossJoin(cb)
-      .withColumn("cos", cos(s, col("v"), col("cv")))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col("vec_id")).orderBy(col("cos").desc, col("cid"))))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("v"), col("cid"))
-    val queries = broadcast(assigned.filter(col("vec_id") < 8)
-      .select(col("vec_id"), col("v")).crossJoin(cb)
-      .withColumn("qccos", cos(s, col("v"), col("cv")))
-      .withColumn("prn", row_number().over(
-        Window.partitionBy(col("vec_id")).orderBy(col("qccos").desc, col("cid"))))
-      .filter(col("prn") <= nprobe)
-      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("cid")))
-    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
-    val out = queries.join(assigned, Seq("cid"))
+    for (_ <- 1 to lloydIters)
+      centroids = collectCentroids(
+        lloydRefine(train.select(nearestCid(col("v")).as("cid"), col("v"))))
+    val assigned = all
+      .select(col("vec_id"), col("v"), nearestCid(col("v")).as("cid"))
+    // per-query probe lists: sort the nlist inline (cos desc, cid) struct
+    // scores, keep nprobe — again pure expression, no crossJoin/window
+    val probes = array(centroids.map { case (cid, cv) =>
+      struct((-cos(s, col("v"), typedLit(cv))).as("negc"), lit(cid).as("cid")) }: _*)
+    val queries = broadcast(all.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+        explode(slice(array_sort(probes), 1, nprobe)).as("p"))
+      .select(col("q_id"), col("qv"), col("p.cid").as("cid")))
+    val scored = queries.join(assigned, Seq("cid"))
       .filter(col("q_id") =!= col("vec_id"))
       .withColumn("cos", cos(s, col("qv"), col("v")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+      .select(col("q_id"), col("vec_id"), col("cos"))
+    val outRaw = perQueryTopK(scored, "vec_id", k, "rank")
       .select(col("q_id"), col("rank"), col("vec_id").as("neighbor"),
         round(col("cos"), 4).as("cos_sim"))
       .orderBy(col("q_id"), col("rank"))
+    if (!reclaim) { all.unpersist(); outRaw } // audit path: full lazy plan
+    else {
       // materialize the (tiny, ≤ |queries|·k rows) result while `all` is
       // still cached — unpersisting first would recompute the scan once
       // per downstream self-reference
-      .persist()
-    out.count()
-    all.unpersist()
-    out
+      val out = outRaw.persist()
+      out.count()
+      all.unpersist()
+      out
+    }
   }
 }

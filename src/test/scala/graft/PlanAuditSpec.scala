@@ -109,8 +109,39 @@ class PlanAuditSpec extends SparkSpec {
     // the query matrix is broadcast (nested-loop against the corpus scan)
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
     // no sort-merge join anywhere: the only shuffles are the per-query
-    // top-k window and the tiny vote aggregation
+    // top-k windows and the tiny vote aggregation
     assert(!p.contains("SortMergeJoin"), p)
+    // the top-k is TWO-STAGE: a stage-1 window partitioning on
+    // (pid, q_id) must exist — a bare partitionBy(q_id) alone funnels
+    // the corpus into |q| tasks (the low-cardinality-window trap)
+    val winSpecs = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(winSpecs.size >= 2, p)
+    assert(winSpecs.exists(_.contains("pid")), s"no (pid, q_id) stage-1 window:\n$p")
+  }
+
+  test("E1: brute-force top-k is two-stage; merge exchange ships no vectors") {
+    val p = plan(graft.operators.Similarity.e1TopK(spark, sf))
+    val winSpecs = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(winSpecs.size >= 2, p)
+    assert(winSpecs.exists(_.contains("pid")), s"no (pid, q_id) stage-1 window:\n$p")
+    // vector payloads are projected away before the window exchanges: no
+    // hashpartitioning exchange may carry v/qv array columns
+    val exch = p.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
+    exch.foreach(l => assert(!l.matches(".*(?<![a-zA-Z_])(v|qv)#.*"),
+      s"vector payload in a shuffle:\n$l"))
+  }
+
+  test("E3: centroid assignment is a scalar expression — no crossJoin, no argmin shuffle") {
+    // the r4 shape this pins out: crossJoin(broadcast(centroids)) +
+    // row_number() argmin window — an Exchange of the corpus×nlist frame
+    // carrying full vector payloads, twice. The quantizer is nlist rows,
+    // so assignment must be inline literals: zero joins before the probe
+    val p = plan(graft.operators.Similarity.e3IvfTopK(spark, sf, reclaim = false))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // the only windows left are the two-stage final top-k (stage 1 on pid)
+    val winSpecs = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(winSpecs.size >= 2, p)
+    assert(winSpecs.exists(_.contains("pid")), s"no (pid, q_id) stage-1 window:\n$p")
   }
 
   test("E3: Lloyd refinement never aggregates vector arrays over corpus rows") {
