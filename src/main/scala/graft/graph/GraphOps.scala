@@ -486,6 +486,15 @@ object GraphOps {
     * with degree d would otherwise generate d² wedges, the classic
     * triangle-count blowup on power-law graphs.
     */
+  /** Persist unless the canonicalized plan is already in the cache
+    * manager (e.g. a second operator over the same edge frame — the
+    * triangles/clustering-coefficient pair): re-persisting is a no-op
+    * that only emits a CacheManager warning, and a clean log is what
+    * lets REAL cache anomalies show. */
+  private def persistIfNew(df: DataFrame): DataFrame =
+    if (df.storageLevel == StorageLevel.NONE) df.persist(StorageLevel.MEMORY_AND_DISK)
+    else df
+
   def triangles(edges: DataFrame): DataFrame = {
     // both persists deliberately stay registered for the session: the
     // returned frame is LAZY, so an unpersist here would run before the
@@ -493,16 +502,14 @@ object GraphOps {
     // eager localCheckpoint of `orient` measured ~3× slower than the
     // persist + runtime exchange-reuse plan. Frames are O(|edges|);
     // callers that need the memory back can clearCache().
-    val sym = undirected(edges).filter(col("src") =!= col("dst"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val sym = persistIfNew(undirected(edges).filter(col("src") =!= col("dst")))
     val deg = sym.groupBy(col("src").as("id")).agg(count(lit(1)).as("d"))
-    val orient = sym
+    val orient = persistIfNew(sym
       .join(deg.select(col("id").as("src"), col("d").as("ds")), Seq("src"))
       .join(deg.select(col("id").as("dst"), col("d").as("dd")), Seq("dst"))
       .filter(col("ds") < col("dd") ||
         (col("ds") === col("dd") && col("src") < col("dst")))
-      .select(col("src").as("u"), col("dst").as("v"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .select(col("src").as("u"), col("dst").as("v")))
     // wedges at the lowest-ordered vertex (b, c ordered by id to avoid
     // emitting each wedge twice); the closing edge may carry either
     // orientation, so close against the id-canonical edge set

@@ -56,17 +56,24 @@ object Curation {
     // candidate docs — measured ~2× cheaper than sharing a persisted
     // shingle frame (see Dedup.d2MinhashLsh's persist-policy note);
     // reps reads the already-persisted `hashed` frame either way.
+    val cand = lshCandidates(reps.select(col("doc_id"), col("text")))
+    // verifyJaccard is eager (it reclaims its own shingle borrow), so
+    // the candidate cache can be released as soon as pairs exist
     val pairs = Dedup.verifyJaccard(
-      reps.select(col("doc_id"), col("text")),
-      lshCandidates(reps.select(col("doc_id"), col("text"))), nearDupThreshold)
+      reps.select(col("doc_id"), col("text")), cand, nearDupThreshold)
+    cand.unpersist()
     val nearDupIds = pairs.select(col("id2").as("doc_id")).distinct()
     val nearDups = reps.join(nearDupIds, Seq("doc_id"), "left_semi")
       .select(col("doc_id"), col("lang"), lit(false).as("keep"), lit("near_dup").as("reason"))
     val kept = reps.join(nearDupIds, Seq("doc_id"), "left_anti")
       .select(col("doc_id"), col("lang"), lit(true).as("keep"), lit("kept").as("reason"))
 
-    lowQ.unionByName(exactDups).unionByName(nearDups).unionByName(kept)
+    val out = lowQ.unionByName(exactDups).unionByName(nearDups).unionByName(kept)
       .orderBy(col("doc_id"))
+    // the decision frame is the operator's actual output (one narrow
+    // row per document) — materializing it once is what the caller's
+    // first action pays anyway; the corpus-derived caches then release
+    graft.Borrow.reclaim(out, scored, hashed)
   }
 
   /** P2 — deterministic train/val/test split, stratified reporting.

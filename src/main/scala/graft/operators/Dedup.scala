@@ -217,7 +217,11 @@ object Dedup {
     // references three times (both id sides + the pair join). Reclaimed
     // behind the (tiny) verified pair list.
     val cand = d2Candidates(docs, k, bands, bucketCap).persist()
-    graft.Borrow.reclaim(verifyJaccard(docs, cand, threshold), cand)
+    // verifyJaccard materializes its result eagerly (reclaiming its own
+    // shingle borrow), so the candidate cache can be released directly
+    val out = verifyJaccard(docs, cand, threshold)
+    cand.unpersist()
+    out
   }
 
   /** LSH candidate pairs with the degenerate-bucket guard (SURVEY §5).
@@ -265,13 +269,15 @@ object Dedup {
   }
 
   /** Exact-Jaccard verification of candidate pairs (set counts via
-    * shingle rows — identical math to array intersect/union). */
+    * shingle rows — identical math to array intersect/union). The
+    * candidate-doc shingle frame is borrowed for the three downstream
+    * references and reclaimed behind the (tiny) verified pair list. */
   def verifyJaccard(docs: DataFrame, cand: DataFrame, threshold: Double): DataFrame = {
     val ids = cand.select(col("id1").as("doc_id"))
       .union(cand.select(col("id2").as("doc_id"))).distinct()
     val sh = shingleRows(docs.join(ids, Seq("doc_id"), "left_semi")).persist()
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    jaccardOf(cand, sh, sizes, threshold)
+    graft.Borrow.reclaim(jaccardOf(cand, sh, sizes, threshold), sh)
   }
 
   /** [[verifyJaccard]] over an already-shingled (doc_id, g) frame
@@ -324,7 +330,8 @@ object Dedup {
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .drop("text_hash", "rn")
-    d3SimhashPairs(simhash(docs).persist(), maxHamming, bucketCap)
+    val sigs = simhash(docs).persist()
+    graft.Borrow.reclaim(d3SimhashPairs(sigs, maxHamming, bucketCap), sigs)
   }
 
   /** Chunk-banded Hamming pairs over a (doc_id, simhash) frame —
@@ -383,13 +390,14 @@ object Dedup {
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .persist()
     val cand = d5Candidates(e, nbits, ntables)
-    cand
+    val out = cand
       .join(e.select(col("vec_id").as("id1"), col("v").as("v1")), Seq("id1"))
       .join(e.select(col("vec_id").as("id2"), col("v").as("v2")), Seq("id2"))
       .withColumn("cos", graft.functions.VectorFunctions.cosine_sim(s, col("v1"), col("v2")))
       .filter(col("cos") >= threshold)
       .select(col("id1"), col("id2"), round(col("cos"), 4).as("cos_sim"))
       .orderBy(col("id1"), col("id2"))
+    graft.Borrow.reclaim(out, e)
   }
 
   /** Candidate pairs (id1 < id2) sharing an LSH bucket in ≥ 1 of
