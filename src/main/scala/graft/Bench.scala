@@ -26,11 +26,14 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
+    // an explicit query list as args = micro-bench mode (iterating on
+    // one operator without paying for the whole headline set)
+    val queries = if (args.nonEmpty) args.toSeq else headline
     val spark = GraftSession.configure(
       SparkSession.builder().master(s"local[$cpus]"), cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // warmup pass: JIT + codegen caches + file listing, untimed
-    headline.foreach { name =>
+    queries.foreach { name =>
       SparkEntry.queries.get(name).foreach { fn =>
         try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
       }
@@ -38,14 +41,17 @@ object Bench {
     // min of three timed runs (this machine shows 2-3× wall-clock
     // swings from neighboring load — min-of-2 still caught a 6.7 s
     // outlier for a 2.1 s query; three samples bound the damage for
-    // ~25 s extra total); a failed query reports -1.0, never a
-    // flattering partial time
+    // ~25 s extra total), escalating to five when the three disagree
+    // by >1.5× (the r4 artifact recorded 2.8×/6.4× load outliers for
+    // queries whose plans hadn't changed — extra samples only where
+    // the variance proves the machine was busy); a failed query
+    // reports -1.0, never a flattering partial time
     def timeOnce(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
       catch { case _: Throwable => -1.0 }
     }
-    val results = headline.flatMap { name =>
+    val results = queries.flatMap { name =>
       SparkEntry.queries.get(name).map { fn =>
         // operators persist intermediates internally; drop them between
         // queries so later measurements don't fight a full block store.
@@ -55,7 +61,9 @@ object Bench {
         // across queries and push later persists to disk
         spark.catalog.clearCache()
         System.gc()
-        val ts = Seq(timeOnce(fn), timeOnce(fn), timeOnce(fn))
+        val three = Seq(timeOnce(fn), timeOnce(fn), timeOnce(fn))
+        val ts = if (three.exists(_ < 0) || three.max <= 1.5 * three.min) three
+                 else three ++ Seq(timeOnce(fn), timeOnce(fn))
         name -> (if (ts.exists(_ < 0)) -1.0 else ts.min)
       }
     }

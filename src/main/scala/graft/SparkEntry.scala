@@ -168,6 +168,21 @@ object SparkEntry {
           "CASE WHEN size(ports) > 1 THEN 'multi' ELSE 'single' END AS kind " +
           "ORDER BY p")
     }),
+    // r5: Cypher-5 brace subqueries with inner WHERE + UNION between
+    // full queries — the triage idioms a Neo4j-5 analyst writes verbatim
+    "sg_cypher6"   -> ((s, _) => {
+      val (n, e) = graft.graph.SysmonGraph.buildCached(s, "/root/reference/malware/*.json")
+      graft.graph.CypherLite.run(n, e,
+        "MATCH (p:Process) " +
+          "WHERE EXISTS { MATCH (p)-[r:CONNECTED_TO]->(i) WHERE r.dport = '443' } " +
+          "RETURN DISTINCT p, 'https' AS why, " +
+          "COUNT { (p)-[c:CONNECTED_TO]->(x) WHERE c.dport = '443' } AS hits " +
+          "UNION " +
+          "MATCH (p:Process)-[:INJECTED_THREAD]->() " +
+          "RETURN DISTINCT p, 'inject' AS why, " +
+          "COUNT { (p)-[:INJECTED_THREAD]->(x) } AS hits " +
+          "ORDER BY p")
+    }),
     "sg_spawntree" -> ((s, _) => {
       val (_, e) = graft.graph.SysmonGraph.buildCached(s, "/root/reference/malware/*.json")
       graft.graph.Detections.deepSpawnChains(e, minDepth = 1)

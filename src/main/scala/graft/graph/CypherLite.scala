@@ -56,6 +56,12 @@ import org.apache.spark.sql.functions._
   *    stored strings to DATE/TIMESTAMP for typed comparison),
   *    `timestamp(x)` (epoch millis, numeric — so durations are plain
   *    arithmetic) and `duration('PT5M')` (ISO-8601 literal → millis);
+  *    CALENDAR durations (`duration('P1M')`, `duration({months: 1})`
+  *    — years/months have no fixed millis) are supported in the
+  *    anchored additive position `datetime(x) + duration('P1M')` /
+  *    `date(x) - duration({years: 1})` (compiled to Spark's
+  *    make_interval — add_months semantics), and rejected with a
+  *    clear error anywhere else;
   *    graph accessors `type(r)` (relationship type of a named
   *    single-hop edge variable), `startNode(r)` / `endNode(r)` (the
   *    edge's source/destination node id in GRAPH direction — a
@@ -77,10 +83,13 @@ import org.apache.spark.sql.functions._
   *    variables shadow outer ones); the pattern-count idiom
   *    `size((p)-[:T]->(x))` (matches anchored at the row's chain-head
   *    value, 0 when none — an aggregated semi-join, numeric in any
-  *    term position) and its Cypher-5 spelling `COUNT { (p)-[:T]->(x) }`
-  *    (the `EXISTS { … }` subquery form is likewise sugar for the
-  *    exists() pattern predicate; WHERE inside the braces is rejected
-  *    — write it as a conjunct outside). `NOT <pred>`,
+  *    term position) and its Cypher-5 spelling
+  *    `COUNT { [MATCH] (p)-[:T]->(x) [WHERE <pred>] }` (the
+  *    `EXISTS { [MATCH] … [WHERE …] }` subquery form is likewise sugar
+  *    for the exists() pattern predicate; an inner WHERE — full
+  *    predicate grammar over the pattern's variables, e.g.
+  *    `EXISTS { MATCH (p)-[r:CONNECTED_TO]->(i) WHERE r.dport = '443' }`
+  *    — filters the matches before counting/existence). `NOT <pred>`,
   *    `<expr> IS [NOT] NULL`, and the pattern predicate
   *    `exists((p)-[:T]->(x))` (anchored at a bound variable; fresh
   *    pattern variables are existential) — `NOT exists(...)` is the
@@ -137,6 +146,10 @@ import org.apache.spark.sql.functions._
   *    path string), `length(p)`, `nodes(p)` (the node-id array), and
   *    `relationships(p)` (one `src-[TYPE]->dst` string per step)
   *  - ORDER BY over returned items; SKIP n; LIMIT n
+  *  - `UNION` / `UNION ALL` between full queries (each part a complete
+  *    MATCH…RETURN pipeline): parts must return the same column names
+  *    (Cypher's rule); bare UNION deduplicates, ALL keeps everything;
+  *    mixing the two in one query is rejected (as in Neo4j)
   *
   * Each single hop is one equi-join on the edge frame; a
   * variable-length hop materializes the bounded (from, to) hop-pair
@@ -196,8 +209,11 @@ object CypherLite {
   /** `size((p)-[:T]->(x))` — pattern-count term (the classic inline-
     * degree idiom): the number of pattern matches anchored at the
     * row's value of the chain-head variable; fresh variables are
-    * existential. Numeric. */
-  final case class SizePat(chain: (Seq[NodePat], Seq[EdgePat])) extends Term {
+    * existential. Numeric. `where` carries the inner predicate of the
+    * Cypher-5 `COUNT { MATCH … WHERE … }` spelling — it filters the
+    * pattern matches (over pattern variables) before counting. */
+  final case class SizePat(chain: (Seq[NodePat], Seq[EdgePat]),
+                           where: Option[Pred] = None) extends Term {
     def vars: Set[String] = Set(chain._1.head.v)
   }
   /** Searched `CASE WHEN p THEN t [WHEN …]* [ELSE e] END` (null when no
@@ -230,7 +246,8 @@ object CypherLite {
     * matches starting from the row's `anchor` value. Fresh pattern
     * variables are existential (not bound into the row); `vars` is the
     * anchor only, so WHERE-conjunct routing sees the real dependency. */
-  final case class ExistsPat(chain: (Seq[NodePat], Seq[EdgePat]), anchor: String) extends Pred {
+  final case class ExistsPat(chain: (Seq[NodePat], Seq[EdgePat]), anchor: String,
+                             where: Option[Pred] = None) extends Pred {
     def vars: Set[String] = Set(anchor)
   }
   final case class And(ps: Seq[Pred]) extends Pred { def vars: Set[String] = ps.flatMap(_.vars).toSet }
@@ -269,7 +286,12 @@ object CypherLite {
                              distinct: Boolean = false,
                              orderBy: Seq[(String, Boolean)] = Seq.empty,
                              skip: Option[Int] = None,
-                             limit: Option[Int] = None) extends PipeStage
+                             limit: Option[Int] = None,
+                             // Cypher-5 clause order puts WHERE after
+                             // ORDER BY/SKIP/LIMIT and applies it after
+                             // them; the pre-ORDER-BY spelling filters
+                             // before (both accepted, not together)
+                             havingAfterLimit: Boolean = false) extends PipeStage
   /** `UNWIND xs AS x`: explodes a carried list column (typically a
     * `collect(...)` alias), a literal `[...]` list, or any list-valued
     * term (`range(1, 5)`) into one row per element; the source stays
@@ -322,20 +344,57 @@ object CypherLite {
     val NumRe = """-?\d+(?:\.\d+)?""".r
     val IdRe = """(\w+)(?:\.(\w+))?""".r
     val CountBrace = """(?i)^COUNT\s*\{""".r
+    /** Consume a `{ … }` subquery body (cursor just past the opening
+      * brace): scan for the MATCHING close with a depth counter,
+      * skipping string literals (an inner WHERE may compare against
+      * '}'-containing strings); strip an optional leading MATCH; split
+      * at the first top-level WHERE. Returns (chain, innerWhere). */
+    def braceSubquery(kw: String): ((Seq[NodePat], Seq[EdgePat]), Option[Pred]) = {
+      var depth = 1
+      var i = 0
+      while (i < rest.length && depth > 0) {
+        rest.charAt(i) match {
+          case '{' => depth += 1
+          case '}' => depth -= 1
+          case '\'' =>
+            val e = rest.indexOf('\'', i + 1)
+            require(e > 0, s"unterminated string in $kw {{ at: $rest")
+            i = e
+          case _ => ()
+        }
+        i += 1
+      }
+      require(depth == 0, s"unbalanced $kw {{ at: $rest")
+      var inner = rest.substring(0, i - 1).trim
+      rest = rest.substring(i)
+      if (inner.toUpperCase.startsWith("MATCH ")) inner = inner.substring(6).trim
+      // first WHERE outside string literals splits pattern from predicate
+      val up = inner.toUpperCase
+      var w = -1
+      var j = 0
+      while (j < inner.length && w < 0) {
+        inner.charAt(j) match {
+          case '\'' => j = inner.indexOf('\'', j + 1)
+          case _ =>
+            if (up.regionMatches(j, " WHERE ", 0, 7)) w = j
+        }
+        j += 1
+      }
+      if (w < 0) (parsePatternChain(inner, anon), None)
+      else (parsePatternChain(inner.substring(0, w).trim, anon),
+        Some(new PredParser(inner.substring(w + 7).trim, anon).parsePred()))
+    }
+
     def atomT(): Term = {
       ws()
       if (CountBrace.findPrefixMatchOf(rest).isDefined) {
-        // Cypher 5 COUNT { <pattern> } subquery — sugar over the
-        // size(<pattern>) pattern-count term
+        // Cypher 5 COUNT { [MATCH] <pattern> [WHERE <pred>] } subquery —
+        // sugar over the size(<pattern>) pattern-count term; the inner
+        // WHERE filters pattern matches before counting
         val m = CountBrace.findPrefixMatchOf(rest).get
         rest = rest.substring(m.end)
-        val close = rest.indexOf('}')
-        require(close >= 0, s"unbalanced COUNT {{ at: $rest")
-        val inner = rest.substring(0, close).trim
-        require(!inner.toUpperCase.contains(" WHERE "),
-          "COUNT { … WHERE … } is not supported; filter outside the braces")
-        rest = rest.substring(close + 1)
-        SizePat(parsePatternChain(inner, anon))
+        val (chain, innerWhere) = braceSubquery("COUNT")
+        SizePat(chain, innerWhere)
       } else if (rest.startsWith("[")) {
         rest = rest.substring(1)
         ws()
@@ -478,6 +537,31 @@ object CypherLite {
               val inner = rest.substring(0, i - 1).trim
               rest = rest.substring(i)
               SizePat(parsePatternChain(inner, anon))
+            } else if (fn == "duration" && { ws(); rest.startsWith("{") }) {
+              // duration({years: 1, months: 2, days: 3, hours: 4, …}) —
+              // the Cypher map form, normalized to the ISO-8601 string
+              // the compiler already handles
+              val close = rest.indexOf('}')
+              require(close > 0, s"unbalanced duration({{ at: $rest")
+              val body = rest.substring(1, close)
+              rest = rest.substring(close + 1); ws()
+              require(rest.startsWith(")"), s"expected ')' after duration at: $rest")
+              rest = rest.substring(1)
+              val kv = """(\w+)\s*:\s*(-?\d+)""".r
+                .findAllMatchIn(body).map(m => m.group(1).toLowerCase -> m.group(2).toLong).toMap
+              val bad = kv.keySet -- Set("years", "months", "weeks", "days",
+                "hours", "minutes", "seconds")
+              require(bad.isEmpty, s"duration() map: unknown components ${bad.mkString(", ")}")
+              def part(k: String, u: String): String =
+                kv.get(k).filter(_ != 0).map(v => s"$v$u").getOrElse("")
+              val datePart = part("years", "Y") + part("months", "M") +
+                part("weeks", "W") + part("days", "D")
+              val timePart = part("hours", "H") + part("minutes", "M") + part("seconds", "S")
+              val iso = "P" + datePart + (if (timePart.nonEmpty) "T" + timePart else "") match {
+                case "P" => "PT0S"
+                case ok => ok
+              }
+              FuncT("duration", StrT(iso))
             } else {
               val inner = sumT()
               ws()
@@ -560,19 +644,14 @@ object CypherLite {
       ws()
       if (eat("NOT")) Not(factor())
       else if (ExistsBrace.findPrefixMatchOf(rest).isDefined) {
-        // Cypher 5 existential subquery EXISTS { <pattern> } — sugar
-        // over the same pattern predicate (WHERE inside the braces is
-        // not supported; write it as a conjunct outside)
+        // Cypher 5 existential subquery
+        // EXISTS { [MATCH] <pattern> [WHERE <pred>] } — sugar over the
+        // pattern predicate; the inner WHERE filters the matches that
+        // witness existence (it may reference pattern variables)
         val m = ExistsBrace.findPrefixMatchOf(rest).get
         rest = rest.substring(m.end)
-        val close = rest.indexOf('}')
-        require(close >= 0, s"unbalanced EXISTS {{ at: $rest")
-        val inner = rest.substring(0, close).trim
-        require(!inner.toUpperCase.contains(" WHERE "),
-          "EXISTS { … WHERE … } is not supported; put the condition outside the braces")
-        rest = rest.substring(close + 1)
-        val chain = parsePatternChain(inner, anon)
-        ExistsPat(chain, chain._1.head.v)
+        val (chain, innerWhere) = braceSubquery("EXISTS")
+        ExistsPat(chain, chain._1.head.v, innerWhere)
       } else if (rest.toLowerCase.startsWith("exists") &&
           rest.substring(6).trim.startsWith("(")) {
         rest = rest.substring(6)
@@ -783,7 +862,7 @@ object CypherLite {
     val mShortest = """(?i)MATCH (\w+) = shortestPath\((.+?)\)(?: WHERE (.+?))? RETURN (DISTINCT )?(.+?)(?: ORDER BY (.+?))?(?: SKIP (\d+))?(?: LIMIT (\d+))?\s*$""".r
     val mTail = """(?i)^(.+?) RETURN (DISTINCT )?(.+?)(?: ORDER BY (.+?))?(?: SKIP (\d+))?(?: LIMIT (\d+))?\s*$""".r
     val mStage1 = """(?i)^MATCH (.+?)(?: WHERE (.+))?$""".r
-    val mWithSeg = """(?i)^(.+?)(?: WHERE (.+?))?(?: ORDER BY (.+?))?(?: SKIP (\d+))?(?: LIMIT (\d+))?(?: MATCH (.+?)(?: WHERE (.+))?)?$""".r
+    val mWithSeg = """(?i)^(.+?)(?: WHERE (.+?))?(?: ORDER BY (.+?))?(?: SKIP (\d+))?(?: LIMIT (\d+))?(?: WHERE (.+?))?(?: MATCH (.+?)(?: WHERE (.+))?)?$""".r
     text match {
       case mShortest(pathVar, pattern, whereOrNull, distinctOrNull, retPart, orderOrNull, skipOrNull, limitOrNull) =>
         val st = parseMatchStage(pattern, whereOrNull, Set.empty, anon)
@@ -826,7 +905,18 @@ object CypherLite {
         val withStages: Seq[PipeStage] = segTexts.tail.map {
           case ("WITH", seg) => seg match {
             case mWithSeg(itemsPart0, havingOrNull, orderOrNull, skipOrNull,
-                limitOrNull, patOrNull, whereOrNull) =>
+                limitOrNull, postHavingOrNull, patOrNull, whereOrNull) =>
+              // both WHERE groups matched with NO modifier between them
+              // ⇒ the regex split ONE predicate at a nested WHERE (a
+              // quantifier/comprehension body) — rejoin it. With a
+              // modifier between, it's genuinely two WHERE clauses.
+              val noMods = orderOrNull == null && skipOrNull == null && limitOrNull == null
+              val (preHaving, postHaving) =
+                if (havingOrNull != null && postHavingOrNull != null && noMods)
+                  (s"$havingOrNull WHERE $postHavingOrNull", null)
+                else (havingOrNull, postHavingOrNull)
+              require(preHaving == null || postHaving == null,
+                s"WITH stage has two WHERE clauses: $seg")
               val wdist = itemsPart0.trim.toUpperCase.startsWith("DISTINCT ")
               val itemsPart = if (wdist) itemsPart0.trim.substring(9) else itemsPart0
               val items = splitTopLevel(itemsPart).map(parseRetItem)
@@ -834,11 +924,13 @@ object CypherLite {
               val next = Option(patOrNull).map(p =>
                 parseMatchStage(p, whereOrNull, carried, anon))
               addNext(next)
-              WithStage(items, Option(havingOrNull).map(parseWhere(_, anon)), next,
+              val having = Option(preHaving).orElse(Option(postHaving))
+              WithStage(items, having.map(parseWhere(_, anon)), next,
                 distinct = wdist,
                 orderBy = parseOrder(orderOrNull),
                 skip = Option(skipOrNull).map(_.toInt),
-                limit = Option(limitOrNull).map(_.toInt))
+                limit = Option(limitOrNull).map(_.toInt),
+                havingAfterLimit = postHaving != null)
             case other => throw new IllegalArgumentException(s"bad WITH stage: $other")
           }
           case ("UNWIND", seg) => seg match {
@@ -884,20 +976,90 @@ object CypherLite {
 
   // ------------------------------------------------------------- compiling
 
+  /** Split a query text at top-level `UNION [ALL]` separators —
+    * outside string literals and `{ }` subquery braces. Returns the
+    * part texts and the ALL flag; Cypher (and this subset) rejects
+    * mixing bare UNION with UNION ALL in one query. */
+  private def splitUnion(text: String): (Seq[String], Boolean) = {
+    val up = text.toUpperCase
+    val cuts = scala.collection.mutable.Buffer.empty[(Int, Int, Boolean)]
+    var depth = 0
+    var i = 0
+    while (i < text.length) {
+      text.charAt(i) match {
+        case '\'' =>
+          val e = text.indexOf('\'', i + 1)
+          require(e > 0, s"unterminated string literal in: $text")
+          i = e
+        case '{' => depth += 1
+        case '}' => depth -= 1
+        case _ =>
+          if (depth == 0 && up.regionMatches(i, " UNION ALL ", 0, 11)) {
+            cuts += ((i, i + 11, true)); i += 10
+          } else if (depth == 0 && up.regionMatches(i, " UNION ", 0, 7)) {
+            cuts += ((i, i + 7, false)); i += 6
+          }
+      }
+      i += 1
+    }
+    if (cuts.isEmpty) (Seq(text), false)
+    else {
+      require(cuts.map(_._3).distinct.size == 1,
+        "mixing UNION and UNION ALL in one query is not allowed")
+      val starts = 0 +: cuts.map(_._2).toSeq
+      val ends = cuts.map(_._1).toSeq :+ text.length
+      (starts.zip(ends).map { case (s, e) => text.substring(s, e).trim },
+        cuts.head._3)
+    }
+  }
+
   /** Compile + run a query against (nodes, edges) frames from
     * [[SysmonGraph.build]]. Returned columns are the RETURN items'
     * [[RetItem.outName]]s: bare vars yield the node id, `v.prop`
     * yields `v_prop`, aggregates yield `count`/`sum_v_prop`/… or the
-    * `AS` alias. */
+    * `AS` alias.
+    *
+    * `UNION` / `UNION ALL` between full queries: each part compiles
+    * independently; parts must return the SAME column names (Cypher's
+    * rule); bare UNION deduplicates the combined rows, UNION ALL keeps
+    * them — `unionByName` + `distinct`, the C10 composition shape. A
+    * trailing ORDER BY / SKIP / LIMIT on the LAST part orders the
+    * WHOLE union (Neo4j semantics — it's the query's final modifier,
+    * not the subquery's). */
   def run(nodes: DataFrame, edges: DataFrame, cypher: String): DataFrame = {
-    val q = parse(cypher)
+    val (parts, isAll) = splitUnion(cypher.trim.replaceAll("\\s+", " "))
+    if (parts.size > 1) {
+      val qLast = parse(parts.last)
+      val frames = parts.init.map(p => runParsed(nodes, edges, parse(p))) :+
+        runParsed(nodes, edges,
+          qLast.copy(orderBy = Seq.empty, skip = None, limit = None))
+      val names = frames.head.columns.toSeq
+      frames.tail.foreach { f =>
+        require(f.columns.toSeq.sorted == names.sorted,
+          s"UNION parts must return the same columns: " +
+            s"${names.mkString(", ")} vs ${f.columns.mkString(", ")}")
+      }
+      var combined = frames.reduce(_.unionByName(_))
+      if (!isAll) combined = combined.distinct()
+      if (qLast.orderBy.nonEmpty)
+        combined = combined.orderBy(qLast.orderBy.map { case (cn, desc) =>
+          if (desc) col(cn).desc else col(cn).asc }: _*)
+      qLast.skip.foreach(n => combined = combined.offset(n))
+      qLast.limit.foreach(n => combined = combined.limit(n))
+      return combined
+    }
+    runParsed(nodes, edges, parse(cypher))
+  }
+
+  private def runParsed(nodes: DataFrame, edges: DataFrame, q: Query): DataFrame = {
     val c = new Compiler(nodes, edges)
     q.sp.foreach { sp => return c.runShortestPath(q, sp) }
     var bound = c.compileStage(None, q.stage)
     q.withStages.foreach {
       case ws: WithStage =>
         bound = c.project(bound, ws.items, distinct = ws.distinct)
-        ws.having.foreach { p => bound = c.applyPred(bound, p) }
+        if (!ws.havingAfterLimit)
+          ws.having.foreach { p => bound = c.applyPred(bound, p) }
         // mid-pipeline ORDER BY matters only as a SKIP/LIMIT modifier
         // (Cypher semantics — row order doesn't survive the next join
         // in either engine); together they are the top-k-then-continue
@@ -907,6 +1069,10 @@ object CypherLite {
             if (desc) col(cn).desc else col(cn).asc }: _*)
         ws.skip.foreach(n => bound = bound.offset(n))
         ws.limit.foreach(n => bound = bound.limit(n))
+        // Cypher-5 clause order (WITH … ORDER BY … LIMIT … WHERE …):
+        // the WHERE filters AFTER the top-k is taken
+        if (ws.havingAfterLimit)
+          ws.having.foreach { p => bound = c.applyPred(bound, p) }
         ws.next.foreach { st => bound = c.compileStage(Some(bound), st) }
       case u: UnwindStage =>
         bound = c.unwind(bound, u)
@@ -1106,6 +1272,26 @@ object CypherLite {
       }
     }
 
+    /** Parse a duration() literal argument to (years, months, days,
+      * millis) — java.time.Period for the calendar designators (weeks
+      * fold into days), java.time.Duration for the time part. */
+    private def parseIsoDuration(t: Term): (Long, Long, Long, Long) = {
+      val iso = t match {
+        case StrT(s0) => s0
+        case _ => throw new IllegalArgumentException(
+          "duration() takes an ISO-8601 'string' literal like 'PT5M', 'P2D', 'P1M', " +
+            "or a {years:, months:, weeks:, days:, hours:, minutes:, seconds:} map")
+      }
+      val tIdx = iso.indexOf('T')
+      val datePart = if (tIdx < 0) iso else iso.substring(0, tIdx)
+      val timePart = if (tIdx < 0) "" else iso.substring(tIdx)
+      val p = if (datePart.length > 1) java.time.Period.parse(datePart)
+              else java.time.Period.ZERO
+      val d = if (timePart.nonEmpty) java.time.Duration.parse("P" + timePart)
+              else java.time.Duration.ZERO
+      (p.getYears.toLong, p.getMonths.toLong, p.getDays.toLong, d.toMillis)
+    }
+
     private def isNumericTerm(t: Term): Boolean = t match {
       case _: NumT | _: CastT | _: ArithT => true
       case FuncT("size", _) => true
@@ -1121,24 +1307,51 @@ object CypherLite {
       case _ => false
     }
 
+    /** Element type of a list-valued column against a frame (schema
+      * analysis only — no job). None when the column isn't list-typed
+      * or doesn't analyze standalone. */
+    private def dfElemType(d: DataFrame, c: Column)
+        : Option[org.apache.spark.sql.types.DataType] =
+      scala.util.Try(d.select(c).schema.head.dataType).toOption.collect {
+        case org.apache.spark.sql.types.ArrayType(et, _) => et }
+
+    /** Element type of a lambda source term, where statically known:
+      * a bound lambda variable's recorded type, or a nested filter-only
+      * comprehension over one (element type unchanged). Drives the
+      * size()-over-lambda-variable dispatch below. */
+    private def lamElemType(t: Term,
+                            btypes: Map[String, org.apache.spark.sql.types.DataType])
+        : Option[org.apache.spark.sql.types.DataType] = t match {
+      case PropT(w, None) => btypes.get(w).collect {
+        case org.apache.spark.sql.types.ArrayType(et, _) => et }
+      case CompT(_, src, _, None) => lamElemType(src, btypes)
+      case _ => None
+    }
+
     /** Compile a term inside a HOF lambda: names in `binds` (the
       * comprehension/quantifier/reduce variables) resolve to their
       * lambda-argument Columns; any subterm mentioning NONE of them
       * compiles through `outer` (the enclosing compiler — so literals
-      * and captured row columns work). */
+      * and captured row columns work). `btypes` carries each lambda
+      * variable's Spark type where known (bound at the HOF call sites
+      * from the SOURCE list's element type) — size() over a lambda
+      * variable dispatches on it (element count for list-typed
+      * variables, string length otherwise; a blanket length() would
+      * mis-compute over list-of-list sources). */
     private def lambdaTerm(t: Term, binds: Map[String, Column], num: Boolean,
-                           outer: (Term, Boolean) => Column): Column = t match {
+                           outer: (Term, Boolean) => Column,
+                           btypes: Map[String, org.apache.spark.sql.types.DataType] = Map.empty): Column = t match {
       case PropT(w, None) if binds.contains(w) =>
         if (num) binds(w).cast("double") else binds(w)
       case PropT(w, Some(p)) if binds.contains(w) => throw new IllegalArgumentException(
         s"'$w.$p': a comprehension variable is a scalar, not a node (no properties)")
       case t0 if t0.vars.intersect(binds.keySet).isEmpty => outer(t0, num)
       case CastT(fn, t0) =>
-        val raw = lambdaTerm(t0, binds, num = true, outer)
+        val raw = lambdaTerm(t0, binds, num = true, outer, btypes)
         if (fn == "tointeger") raw.cast("long") else raw.cast("double")
       case ArithT(o, a, b) =>
-        val l = lambdaTerm(a, binds, num, outer)
-        val r = lambdaTerm(b, binds, num, outer)
+        val l = lambdaTerm(a, binds, num, outer, btypes)
+        val r = lambdaTerm(b, binds, num, outer, btypes)
         o match {
           case "+" => l + r
           case "-" => l - r
@@ -1148,21 +1361,29 @@ object CypherLite {
         }
       case CompT(cv, src, wh, proj) =>
         // nested comprehension: its variable shadows within the lambda
-        val srcC = lambdaTerm(src, binds, num = false, outer)
+        val srcC = lambdaTerm(src, binds, num = false, outer, btypes)
+        val bt2 = lamElemType(src, btypes) match {
+          case Some(et) => btypes + (cv -> et)
+          case None => btypes - cv
+        }
         val filtered = wh.map(w =>
-          filter(srcC, xx => lambdaPred(w, binds + (cv -> xx), outer))).getOrElse(srcC)
+          filter(srcC, xx => lambdaPred(w, binds + (cv -> xx), outer, bt2))).getOrElse(srcC)
         proj.map(e =>
           transform(filtered, xx =>
-            lambdaTerm(e, binds + (cv -> xx), isNumericTerm(e), outer)))
+            lambdaTerm(e, binds + (cv -> xx), isNumericTerm(e), outer, bt2)))
           .getOrElse(filtered)
       case ReduceT(accN, init, vN, src, expr) =>
-        val srcC = lambdaTerm(src, binds, num = false, outer)
-        val initC = lambdaTerm(init, binds, isNumericTerm(init), outer)
+        val srcC = lambdaTerm(src, binds, num = false, outer, btypes)
+        val initC = lambdaTerm(init, binds, isNumericTerm(init), outer, btypes)
+        val bt2 = (lamElemType(src, btypes) match {
+          case Some(et) => btypes + (vN -> et)
+          case None => btypes - vN
+        }) - accN
         aggregate(srcC, initC, (acc, xx) =>
-          lambdaTerm(expr, binds + (accN -> acc) + (vN -> xx), isNumericTerm(expr), outer))
+          lambdaTerm(expr, binds + (accN -> acc) + (vN -> xx), isNumericTerm(expr), outer, bt2))
       case FuncT(fn, t0) =>
-        lazy val raw = lambdaTerm(t0, binds, num = false, outer)
-        lazy val rawN = lambdaTerm(t0, binds, num = true, outer)
+        lazy val raw = lambdaTerm(t0, binds, num = false, outer, btypes)
+        lazy val rawN = lambdaTerm(t0, binds, num = true, outer, btypes)
         fn match {
           case "tolower" => lower(raw)
           case "toupper" => upper(raw)
@@ -1172,6 +1393,14 @@ object CypherLite {
           case "tostring" => raw.cast("string")
           case "size" => t0 match {
             case _: ListT | _: RangeT | _: CompT | FuncN("split", _) => size(raw)
+            case PropT(w, None) if binds.contains(w) =>
+              // dispatch on the recorded element type: a list-typed
+              // variable counts elements, anything else is Cypher's
+              // size(string) = length
+              btypes.get(w) match {
+                case Some(_: org.apache.spark.sql.types.ArrayType) => size(raw)
+                case _ => length(raw)
+              }
             case _ => length(raw)
           }
           case "head" => element_at(raw, 1)
@@ -1188,17 +1417,17 @@ object CypherLite {
           case other => throw new IllegalArgumentException(
             s"$other() not supported over a comprehension variable")
         }
-      case CoalesceT(ts) => coalesce(ts.map(lambdaTerm(_, binds, num, outer)): _*)
-      case ListT(ts) => array(ts.map(lambdaTerm(_, binds, num, outer)): _*)
+      case CoalesceT(ts) => coalesce(ts.map(lambdaTerm(_, binds, num, outer, btypes)): _*)
+      case ListT(ts) => array(ts.map(lambdaTerm(_, binds, num, outer, btypes)): _*)
       case FuncN("split", Seq(s0, StrT(d))) =>
-        split(lambdaTerm(s0, binds, num = false, outer), java.util.regex.Pattern.quote(d))
+        split(lambdaTerm(s0, binds, num = false, outer, btypes), java.util.regex.Pattern.quote(d))
       case FuncN("replace", Seq(s0, StrT(f), StrT(r))) =>
-        regexp_replace(lambdaTerm(s0, binds, num = false, outer),
+        regexp_replace(lambdaTerm(s0, binds, num = false, outer, btypes),
           java.util.regex.Pattern.quote(f), java.util.regex.Matcher.quoteReplacement(r))
       case FuncN("substring", ts) if ts.size == 2 || ts.size == 3 =>
-        val s0 = lambdaTerm(ts.head, binds, num = false, outer)
-        val start = lambdaTerm(ts(1), binds, num = true, outer).cast("int") + lit(1)
-        val len = if (ts.size == 3) lambdaTerm(ts(2), binds, num = true, outer).cast("int")
+        val s0 = lambdaTerm(ts.head, binds, num = false, outer, btypes)
+        val start = lambdaTerm(ts(1), binds, num = true, outer, btypes).cast("int") + lit(1)
+        val len = if (ts.size == 3) lambdaTerm(ts(2), binds, num = true, outer, btypes).cast("int")
                   else length(s0)
         s0.substr(start, len)
       case other => throw new IllegalArgumentException(
@@ -1209,20 +1438,21 @@ object CypherLite {
       * comprehension or any/all/none/single quantifier). exists()
       * pattern predicates and CASE need row context — rejected. */
     private def lambdaPred(p: Pred, binds: Map[String, Column],
-                           outer: (Term, Boolean) => Column): Column = p match {
+                           outer: (Term, Boolean) => Column,
+                           btypes: Map[String, org.apache.spark.sql.types.DataType] = Map.empty): Column = p match {
       // the ref-vs-literal fast-path Leaf is semantically a CmpLeaf
       case Leaf(c) => lambdaPred(CmpLeaf(PropT(c.v, c.prop), c.op,
-        if (c.numeric) NumT(c.value.toDouble) else StrT(c.value)), binds, outer)
+        if (c.numeric) NumT(c.value.toDouble) else StrT(c.value)), binds, outer, btypes)
       case CmpLeaf(l, "=~", r) =>
         val pat = r match {
           case StrT(p0) => p0
           case _ => throw new IllegalArgumentException("=~ needs a 'string' literal pattern")
         }
-        lambdaTerm(l, binds, num = false, outer).rlike(s"^(?:$pat)$$")
+        lambdaTerm(l, binds, num = false, outer, btypes).rlike(s"^(?:$pat)$$")
       case CmpLeaf(l, op, r) =>
         val numeric = isNumericTerm(l) || isNumericTerm(r)
-        val lc = lambdaTerm(l, binds, numeric, outer)
-        val rc = lambdaTerm(r, binds, numeric, outer)
+        val lc = lambdaTerm(l, binds, numeric, outer, btypes)
+        val rc = lambdaTerm(r, binds, numeric, outer, btypes)
         op match {
           case "=" => lc === rc
           case "<>" => lc =!= rc
@@ -1235,7 +1465,7 @@ object CypherLite {
           case "ENDS WITH" => lc.endsWith(rc)
         }
       case NullLeaf(t, isNull) =>
-        val c = lambdaTerm(t, binds, num = false, outer)
+        val c = lambdaTerm(t, binds, num = false, outer, btypes)
         if (isNull) c.isNull else c.isNotNull
       case InPred(l, ListT(ts)) =>
         val vals: Seq[Any] = ts.map {
@@ -1245,24 +1475,28 @@ object CypherLite {
             s"IN list elements must be literals, got $other")
         }
         val numeric = ts.nonEmpty && ts.forall(_.isInstanceOf[NumT])
-        val lc = lambdaTerm(l, binds, numeric, outer)
+        val lc = lambdaTerm(l, binds, numeric, outer, btypes)
         if (vals.isEmpty) lit(false) else lc.isin(vals: _*)
       case InPred(l, r) =>
-        array_contains(lambdaTerm(r, binds, num = false, outer),
-          lambdaTerm(l, binds, num = false, outer))
+        array_contains(lambdaTerm(r, binds, num = false, outer, btypes),
+          lambdaTerm(l, binds, num = false, outer, btypes))
       case QuantPred(q, qv, src, w) =>
         // nested quantifier: its variable shadows within the lambda
-        val srcC = lambdaTerm(src, binds, num = false, outer)
-        val lam = (xx: Column) => lambdaPred(w, binds + (qv -> xx), outer)
+        val srcC = lambdaTerm(src, binds, num = false, outer, btypes)
+        val bt2 = lamElemType(src, btypes) match {
+          case Some(et) => btypes + (qv -> et)
+          case None => btypes - qv
+        }
+        val lam = (xx: Column) => lambdaPred(w, binds + (qv -> xx), outer, bt2)
         q match {
           case "any" => exists(srcC, lam)
           case "all" => forall(srcC, lam)
           case "none" => !exists(srcC, lam)
           case "single" => size(filter(srcC, lam)) === 1
         }
-      case Not(p0) => !lambdaPred(p0, binds, outer)
-      case And(ps) => ps.map(lambdaPred(_, binds, outer)).reduce(_ && _)
-      case Or(ps) => ps.map(lambdaPred(_, binds, outer)).reduce(_ || _)
+      case Not(p0) => !lambdaPred(p0, binds, outer, btypes)
+      case And(ps) => ps.map(lambdaPred(_, binds, outer, btypes)).reduce(_ && _)
+      case Or(ps) => ps.map(lambdaPred(_, binds, outer, btypes)).reduce(_ || _)
       case other => throw new IllegalArgumentException(
         s"unsupported predicate inside a list lambda: $other")
     }
@@ -1378,15 +1612,27 @@ object CypherLite {
             case "timestamp" => unix_millis(to_timestamp(raw))
           }
         case FuncT("duration", t0) =>
-          // ISO-8601 duration LITERAL → millis (a compile-time constant;
-          // day/hour/minute/second designators — months would need a
-          // calendar anchor and are rejected by java.time.Duration)
-          val iso = t0 match {
-            case StrT(s0) => s0
-            case _ => throw new IllegalArgumentException(
-              "duration() takes an ISO-8601 'string' literal like 'PT5M' or 'P2D'")
-          }
-          lit(java.time.Duration.parse(iso).toMillis)
+          // ISO-8601 duration LITERAL → millis (a compile-time
+          // constant; day/hour/minute/second designators). A CALENDAR
+          // duration (years/months — no fixed millis value) only makes
+          // sense anchored to a date, i.e. in the `datetime ± duration`
+          // additive position, which the ArithT case below intercepts.
+          val (y, mo, d, ms) = parseIsoDuration(t0)
+          require(y == 0 && mo == 0,
+            "calendar duration (years/months) needs a date anchor - " +
+              "write it as datetime(x) + duration('P1M') / date(x) - duration({months: 1})")
+          lit(d * 86400000L + ms)
+        case ArithT(op @ ("+" | "-"), a, FuncT("duration", dt))
+            if { val (y, mo, _, _) = parseIsoDuration(dt); y != 0 || mo != 0 } =>
+          // datetime/date ± calendar duration → timestamp arithmetic
+          // with a year-month interval (add_months semantics — Spark's
+          // make_interval; a millis constant cannot represent 'one
+          // month')
+          val (y, mo, d, ms) = parseIsoDuration(dt)
+          val sign = if (op == "-") -1L else 1L
+          val ts = go(a, num = false)
+          ts + make_interval(lit(y * sign), lit(mo * sign), lit(0L), lit(d * sign),
+            lit(0L), lit(0L), lit(BigDecimal(ms * sign) / 1000))
         case FuncT(fn @ ("abs" | "round" | "floor" | "ceil" | "sqrt" | "sign"), t0) =>
           // numeric functions evaluate their argument numerically;
           // round() is round-half-up on positives (Spark HALF_UP vs
@@ -1451,24 +1697,28 @@ object CypherLite {
           sequence(go(a, num = true).cast("long"), go(b, num = true).cast("long"))
         case CompT(cv, src, wh, proj) =>
           // [x IN xs WHERE p | e] → filter()/transform() HOFs; outer
-          // refs compile through go (binding row columns as needed)
+          // refs compile through go (binding row columns as needed);
+          // the source's element type rides along so size(x) dispatches
           val srcC = go(src, num = false)
+          val bt = dfElemType(df, srcC).map(et => Map(cv -> et)).getOrElse(Map.empty)
           val filtered = wh.map(w =>
-            filter(srcC, xx => lambdaPred(w, Map(cv -> xx), (t2, n2) => go(t2, n2)))).getOrElse(srcC)
+            filter(srcC, xx => lambdaPred(w, Map(cv -> xx), (t2, n2) => go(t2, n2), bt))).getOrElse(srcC)
           proj.map(e =>
             transform(filtered, xx =>
-              lambdaTerm(e, Map(cv -> xx), isNumericTerm(e), (t2, n2) => go(t2, n2))))
+              lambdaTerm(e, Map(cv -> xx), isNumericTerm(e), (t2, n2) => go(t2, n2), bt)))
             .getOrElse(filtered)
         case ReduceT(accN, init, vN, src, expr) =>
           // reduce(acc = init, x IN xs | expr) → aggregate() HOF
           val srcC = go(src, num = false)
           val initC = go(init, isNumericTerm(init))
+          val bt = dfElemType(df, srcC).map(et => Map(vN -> et)).getOrElse(Map.empty)
           aggregate(srcC, initC, (acc, xx) =>
             lambdaTerm(expr, Map(accN -> acc, vN -> xx), isNumericTerm(expr),
-              (t2, n2) => go(t2, n2)))
-        case SizePat(chain @ (np, hops)) =>
+              (t2, n2) => go(t2, n2), bt))
+        case SizePat(chain @ (np, hops), innerWhere) =>
           // pattern count per anchor value: walk the chain from the
-          // DISTINCT anchor values, count matches, left-join back
+          // DISTINCT anchor values, filter with the inner WHERE (over
+          // pattern variables), count matches, left-join back
           // (0 when nothing matches) — the aggregated-semi-join shape
           // Catalyst broadcasts like exists()
           val anchor = np.head.v
@@ -1476,8 +1726,9 @@ object CypherLite {
             s"size() pattern must start at a bound variable, got '$anchor'")
           sizeSeq += 1
           val cn = s"__psize$sizeSeq"
-          val cnt = walk(df.select(col(anchor)).distinct(), np, hops)
-            .groupBy(col(anchor)).agg(count(lit(1)).as(cn))
+          var matches = walk(df.select(col(anchor)).distinct(), np, hops)
+          innerWhere.foreach { p => matches = applyPred(matches, p) }
+          val cnt = matches.groupBy(col(anchor)).agg(count(lit(1)).as(cn))
           df = df.join(cnt, Seq(anchor), "left")
           coalesce(col(cn), lit(0L))
         case CaseT(bs, e) =>
@@ -1591,12 +1842,13 @@ object CypherLite {
           // any/all/none/single(x IN xs WHERE p) → exists()/forall()
           val (d1, srcC) = compileTerm(df, src, numeric = false)
           df = d1
+          val bt = dfElemType(df, srcC).map(et => Map(qv -> et)).getOrElse(Map.empty)
           val outer = (t2: Term, n2: Boolean) => {
             val (d2, c2) = compileTerm(df, t2, n2)
             df = d2
             c2
           }
-          val lam = (xx: Column) => lambdaPred(w, Map(qv -> xx), outer)
+          val lam = (xx: Column) => lambdaPred(w, Map(qv -> xx), outer, bt)
           q match {
             case "any" => exists(srcC, lam)
             case "all" => forall(srcC, lam)
@@ -1628,16 +1880,19 @@ object CypherLite {
           df = d2
           if (isNull) c.isNull else c.isNotNull
         case Not(p0) => !compile(p0)
-        case ExistsPat((np, hops), anchor) =>
+        case ExistsPat((np, hops), anchor, innerWhere) =>
           // existential semi-match as a COLUMN (so it composes under
           // NOT/OR): walk the pattern from the distinct anchor values,
+          // filter with the inner WHERE (over pattern variables),
           // left-join a presence flag back. Catalyst rewrites the
           // filtered left join to a semi/anti join where applicable.
           require(df.columns.contains(anchor),
             s"exists() pattern must start at a bound variable, got '$anchor'")
           existsSeq += 1
           val flag = s"__exists$existsSeq"
-          val sub = walk(df.select(col(anchor)).distinct(), np, hops)
+          var matches = walk(df.select(col(anchor)).distinct(), np, hops)
+          innerWhere.foreach { p => matches = applyPred(matches, p) }
+          val sub = matches
             .select(col(anchor)).distinct()
             .withColumn(flag, lit(true))
           df = df.join(sub, Seq(anchor), "left")

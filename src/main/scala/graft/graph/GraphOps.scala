@@ -412,52 +412,62 @@ object GraphOps {
     var visited = roots.select(col("id")).distinct()
       .select(col("id").as("root"), col("id"), lit(0).as("dist"),
         lit(1L).as("sigma"))
-      .localCheckpoint()
+      .persist(StorageLevel.MEMORY_AND_DISK)
     var frontier = visited
     var levels = List(frontier) // head = deepest when the loop ends
     var depth = 0
     var n = frontier.count()
+    // renamed edge projection: the state frames keep their (no longer
+    // checkpoint-severed) lineage through e, so joins against e must
+    // use fresh attribute names to stay unambiguous
+    val eRen = e.select(col("src").as("e_src"), col("dst").as("e_dst"))
     while (depth < maxIter && n > 0) {
       depth += 1
-      val next = frontier.join(e, frontier("id") === e("src"))
-        .groupBy(col("root"), e("dst").as("nid"))
+      val next = frontier.join(eRen, col("id") === col("e_src"))
+        .groupBy(col("root"), col("e_dst").as("nid"))
         .agg(sum(col("sigma")).as("sigma"))
         .withColumnRenamed("nid", "id")
         .join(visited.select(col("root"), col("id")), Seq("root", "id"), "left_anti")
         .withColumn("dist", lit(depth))
         .select(col("root"), col("id"), col("dist"), col("sigma"))
-        .localCheckpoint(false) // lazy: the count below materializes
+        .persist(StorageLevel.MEMORY_AND_DISK)
       n = next.count()
-      if (n > 0) { visited = visited.unionByName(next).localCheckpoint(); levels ::= next }
+      // visited stays a LAZY union of the (individually checkpointed)
+      // level frames: an eager checkpoint here re-materialized the
+      // whole accumulated state every level — O(levels²) rows written
+      // for nothing (the r5 fix; the anti-join reads the same cached
+      // level blocks either way)
+      if (n > 0) { visited = visited.unionByName(next); levels ::= next }
       frontier = next
     }
-    val vis = visited.persist(StorageLevel.MEMORY_AND_DISK)
-    vis.count()
-    // backward sweep: levels head→tail is deepest→depth-1 (depth 0 —
-    // the roots frame — is levels.last and receives but never emits).
-    // A depth-d node's δ comes ONLY from the depth-(d+1) processing
-    // (the BFS DAG has no other forward edges into it), so each level
-    // joins just the PREVIOUS contrib frame — never an accumulated
-    // union (which re-materializes O(levels²) state; measured 14.9 →
-    // 11.4 s at sf0.1/100 roots — the rest is per-level job overhead,
-    // inherent to Brandes' level barriers at toy scale)
+    // backward sweep: levels head→tail is deepest→depth-0 (depth 0 —
+    // the roots frame — receives but never emits). A depth-d node's δ
+    // comes ONLY from the depth-(d+1) processing (the BFS DAG has no
+    // other forward edges into it), so each level joins just the
+    // PREVIOUS contrib frame, and its predecessor candidates are
+    // exactly the NEXT list entry (the depth-(d−1) level frame) —
+    // never the accumulated visited state (r4 joined all of it per
+    // level and filtered on dist; the per-level frames make that scan
+    // free). All contribs checkpoint LAZILY: one terminal action
+    // executes the whole sweep as a single job DAG instead of a
+    // per-level job barrier — measured 16.3 → 6.1 s at sf0.1/100
+    // roots (min of 3, the job-submission overhead WAS the cost).
     var prevDelta: DataFrame = null // the last level's (root, id, delta)
     val contribs = scala.collection.mutable.Buffer.empty[DataFrame]
-    for (level <- levels.dropRight(1)) {
-      val dd = level // (root, id, dist, sigma) at this depth
+    for (i <- 0 until levels.length - 1) {
+      val dd = levels(i) // (root, id, dist, sigma) at this depth
       val w = (if (prevDelta == null) dd.withColumn("delta", lit(0.0))
                else dd.join(prevDelta, Seq("root", "id"), "left")
                  .withColumn("delta", coalesce(col("delta"), lit(0.0))))
-        .select(col("root"), col("id"), col("dist"), col("sigma"), col("delta"))
-      val preds = vis.select(col("root").as("proot"), col("id").as("uid"),
-        col("dist").as("udist"), col("sigma").as("usigma"))
-      val contrib = w.join(e, w("id") === e("dst"))
-        .join(preds, col("root") === col("proot") && e("src") === col("uid") &&
-          col("udist") === w("dist") - 1)
+        .select(col("root"), col("id"), col("sigma"), col("delta"))
+      val preds = levels(i + 1).select(col("root").as("proot"),
+        col("id").as("uid"), col("sigma").as("usigma"))
+      val contrib = w.join(eRen, col("id") === col("e_dst"))
+        .join(preds, col("root") === col("proot") && col("e_src") === col("uid"))
         .select(col("root"), col("uid").as("id"),
           (col("usigma").cast("double") / col("sigma") * (lit(1.0) + col("delta"))).as("c"))
         .groupBy(col("root"), col("id")).agg(sum(col("c")).as("delta"))
-        .localCheckpoint()
+        .persist(StorageLevel.MEMORY_AND_DISK)
       contribs += contrib
       prevDelta = contrib
     }
@@ -472,8 +482,9 @@ object GraphOps {
         .select(col("id"),
           round(coalesce(col("b"), lit(0.0)) / lit(if (halve) 2.0 else 1.0), 6)
             .as("betweenness"))
-    e.unpersist(); vis.unpersist()
-    summed
+    // materialize (small: |V| rows) before releasing the borrowed
+    // caches — the lazy persist chain above executes HERE
+    graft.Borrow.reclaim(summed, (e +: levels) ++ contribs.toSeq: _*)
   }
 
   /** Per-vertex triangle count over the undirected simple graph.

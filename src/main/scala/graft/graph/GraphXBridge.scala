@@ -15,23 +15,38 @@ import org.apache.spark.sql.functions._
   */
 object GraphXBridge {
 
-  /** (vertexDict, graphx Graph) from an edge frame with string src/dst. */
+  /** Densification memo keyed by (session, canonicalized edge plan):
+    * repeated bridge calls over the same edge frame (the usual shape —
+    * cross-checking CC + triangles + SCC on one graph) pay the
+    * zipWithIndex dictionary and its two mapping joins ONCE. Stopped
+    * sessions are swept on access (the buildCached pattern). */
+  private val memo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, org.apache.spark.sql.catalyst.plans.logical.LogicalPlan),
+    (DataFrame, Graph[Unit, Unit])]()
+
+  /** (vertexDict, graphx Graph) from an edge frame with string src/dst.
+    * Memoized per (session, edge plan); the dictionary frame and the
+    * graph's RDDs are cached so every algorithm over the same frame
+    * reuses one densification. */
   def toGraphX(edges: DataFrame): (DataFrame, Graph[Unit, Unit]) = {
     val spark = edges.sparkSession
-    import spark.implicits._
-    val verts = edges.select(col("src").as("id"))
-      .union(edges.select(col("dst").as("id")))
-      .distinct()
-    val dict = verts.rdd.map(_.getString(0)).zipWithIndex()
-      .toDF("id", "vid").cache()
-    val e = edges
-      .join(dict.withColumnRenamed("vid", "src_vid"), col("src") === dict("id"))
-      .drop("id")
-      .join(dict.withColumnRenamed("vid", "dst_vid").withColumnRenamed("id", "id2"),
-        col("dst") === col("id2"))
-      .select(col("src_vid"), col("dst_vid"))
-      .rdd.map(r => Edge(r.getLong(0), r.getLong(1), ()))
-    (dict, Graph.fromEdges(e, ()))
+    memo.forEach((k, v) => if (k._1.sparkContext.isStopped) memo.remove(k, v))
+    memo.computeIfAbsent((spark, edges.queryExecution.analyzed.canonicalized), { _ =>
+      import spark.implicits._
+      val verts = edges.select(col("src").as("id"))
+        .union(edges.select(col("dst").as("id")))
+        .distinct()
+      val dict = verts.rdd.map(_.getString(0)).zipWithIndex()
+        .toDF("id", "vid").cache()
+      val e = edges
+        .join(dict.withColumnRenamed("vid", "src_vid"), col("src") === dict("id"))
+        .drop("id")
+        .join(dict.withColumnRenamed("vid", "dst_vid").withColumnRenamed("id", "id2"),
+          col("dst") === col("id2"))
+        .select(col("src_vid"), col("dst_vid"))
+        .rdd.map(r => Edge(r.getLong(0), r.getLong(1), ()))
+      (dict, Graph.fromEdges(e, ()).cache())
+    })
   }
 
   /** Connected components via GraphX Pregel; returns (id, component)

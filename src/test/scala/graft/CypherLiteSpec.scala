@@ -1170,4 +1170,178 @@ class CypherLiteSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getString(1))).toSet
     assert(got == want) // may be empty on this corpus — equality of SETS is the check
   }
+
+  test("EXISTS { MATCH … WHERE … } filters the witnessing matches (edge-property condition)") {
+    val (nodes, edges) = graph
+    val got = CypherLite.run(nodes, edges,
+      "MATCH (p:Process) " +
+        "WHERE EXISTS { MATCH (p)-[r:CONNECTED_TO]->(i) WHERE r.dport = '443' } " +
+        "RETURN DISTINCT p ORDER BY p")
+      .collect().map(_.getString(0)).toSeq
+    val want = et("CONNECTED_TO")
+      .filter(element_at(col("props"), "dport") === "443")
+      .select(col("src").as("p")).distinct()
+      .join(graph._1.filter(col("label") === "Process").select(col("id").as("p")), Seq("p"), "left_semi")
+      .orderBy(col("p")).collect().map(_.getString(0)).toSeq
+    assert(got == want && got.nonEmpty)
+    // the unfiltered spelling must be a SUPERSET (the inner WHERE bites)
+    val all443orNot = CypherLite.run(nodes, edges,
+      "MATCH (p:Process) WHERE EXISTS { (p)-[:CONNECTED_TO]->(i) } " +
+        "RETURN DISTINCT p ORDER BY p")
+      .collect().map(_.getString(0)).toSet
+    assert(got.toSet.subsetOf(all443orNot) && got.size < all443orNot.size)
+  }
+
+  test("COUNT { MATCH … WHERE … } counts only the filtered matches") {
+    val (nodes, edges) = graph
+    val got = CypherLite.run(nodes, edges,
+      "MATCH (p:Process)-[:CONNECTED_TO]->() " +
+        "RETURN DISTINCT p, COUNT { MATCH (p)-[r:CONNECTED_TO]->(i) WHERE r.dport = '443' } AS n ORDER BY p")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val cnt443 = et("CONNECTED_TO")
+      .filter(element_at(col("props"), "dport") === "443")
+      .groupBy(col("src").as("p")).count()
+    val want = et("CONNECTED_TO").select(col("src").as("p")).distinct()
+      .join(cnt443, Seq("p"), "left")
+      .select(col("p"), coalesce(col("count"), lit(0L)))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(got == want && got.nonEmpty && got.values.exists(_ == 0L) && got.values.exists(_ > 0L))
+  }
+
+  test("UNION deduplicates, UNION ALL keeps multiplicity; trailing ORDER BY orders the union") {
+    val (nodes, edges) = graph
+    val union = CypherLite.run(nodes, edges,
+      "MATCH (p:Process)-[:CREATED_FILE]->(f:File) RETURN DISTINCT p " +
+        "UNION MATCH (p:Process)-[:SPAWNS]->(c:Process) RETURN DISTINCT p ORDER BY p")
+      .collect().map(_.getString(0)).toSeq
+    val want = et("CREATED_FILE").select(col("src").as("p"))
+      .unionByName(et("SPAWNS").select(col("src").as("p")))
+      .distinct().orderBy(col("p"))
+      .collect().map(_.getString(0)).toSeq
+    assert(union == want && union.nonEmpty) // ordered-seq equality: ORDER BY spans the union
+    val a = CypherLite.run(nodes, edges,
+      "MATCH (p:Process)-[:CREATED_FILE]->(f:File) RETURN DISTINCT p").count()
+    val b = CypherLite.run(nodes, edges,
+      "MATCH (p:Process)-[:SPAWNS]->(c:Process) RETURN DISTINCT p").count()
+    val all = CypherLite.run(nodes, edges,
+      "MATCH (p:Process)-[:CREATED_FILE]->(f:File) RETURN DISTINCT p " +
+        "UNION ALL MATCH (p:Process)-[:SPAWNS]->(c:Process) RETURN DISTINCT p").count()
+    assert(all == a + b && union.size < all)
+    intercept[IllegalArgumentException] {
+      CypherLite.run(nodes, edges,
+        "MATCH (p:Process) RETURN p UNION MATCH (q:Process) RETURN q")
+        .collect()
+    }
+    intercept[IllegalArgumentException] {
+      CypherLite.run(nodes, edges,
+        "MATCH (p:Process) RETURN p UNION MATCH (p:Process) RETURN p " +
+          "UNION ALL MATCH (p:Process) RETURN p").collect()
+    }
+  }
+
+  test("Cypher-5 WITH clause order: WHERE after ORDER BY/SKIP/LIMIT filters after the top-k") {
+    val (nodes, edges) = graph
+    val got = CypherLite.run(nodes, edges,
+      "MATCH (t:Trace)-[:HAS_PROCESS]->(p:Process) " +
+        "WITH DISTINCT p ORDER BY p LIMIT 50 WHERE p CONTAINS 'powershell' " +
+        "RETURN p ORDER BY p")
+      .collect().map(_.getString(0)).toSeq
+    val want = et("HAS_PROCESS").select(col("dst").as("p")).distinct()
+      .orderBy(col("p")).limit(50)
+      .filter(col("p").contains("powershell"))
+      .orderBy(col("p")).collect().map(_.getString(0)).toSeq
+    assert(got == want)
+    // and it genuinely differs from the filter-first spelling
+    val preFilter = CypherLite.run(nodes, edges,
+      "MATCH (t:Trace)-[:HAS_PROCESS]->(p:Process) " +
+        "WITH DISTINCT p WHERE p CONTAINS 'powershell' ORDER BY p LIMIT 50 " +
+        "RETURN p ORDER BY p")
+      .collect().map(_.getString(0)).toSeq
+    val wantPre = et("HAS_PROCESS").select(col("dst").as("p")).distinct()
+      .filter(col("p").contains("powershell"))
+      .orderBy(col("p")).limit(50)
+      .collect().map(_.getString(0)).toSeq
+    assert(preFilter == wantPre)
+    intercept[IllegalArgumentException] {
+      CypherLite.run(nodes, edges,
+        "MATCH (t:Trace)-[:HAS_PROCESS]->(p:Process) " +
+          "WITH DISTINCT p WHERE p CONTAINS 'a' ORDER BY p LIMIT 5 WHERE p CONTAINS 'b' " +
+          "RETURN p").collect()
+    }
+  }
+
+  test("size() over a lambda variable counts elements when the source is list-of-lists") {
+    val (nodes, edges) = graph
+    // split each collected ip into octets: the quantifier variable is
+    // LIST-typed, so size(x) must count elements (not string length)
+    val got = CypherLite.run(nodes, edges,
+      "MATCH (p:Process)-[:CONNECTED_TO]->(ip:Ip) WITH p, collect(DISTINCT ip) AS ips " +
+        "WHERE any(x IN [y IN ips | split(y, '.')] WHERE size(x) = 4) " +
+        "RETURN p ORDER BY p")
+      .collect().map(_.getString(0)).toSeq
+    val want = et("CONNECTED_TO")
+      .select(col("src").as("p"), col("dst").as("ip")).distinct()
+      .groupBy(col("p")).agg(collect_list(col("ip")).as("ips"))
+      .filter(exists(col("ips"), x => size(split(x, "\\.")) === 4))
+      .select(col("p")).orderBy(col("p"))
+      .collect().map(_.getString(0)).toSeq
+    assert(got == want && got.nonEmpty)
+    // string-typed lambda variable: size() stays string length
+    val strLen = CypherLite.run(nodes, edges,
+      "MATCH (p:Process)-[:CONNECTED_TO]->(ip:Ip) WITH p, collect(DISTINCT ip) AS ips " +
+        "WHERE all(x IN ips WHERE size(x) >= 7) RETURN p ORDER BY p")
+      .collect().map(_.getString(0)).toSeq
+    val wantLen = et("CONNECTED_TO")
+      .select(col("src").as("p"), col("dst").as("ip")).distinct()
+      .groupBy(col("p")).agg(collect_list(col("ip")).as("ips"))
+      .filter(forall(col("ips"), x => length(x) >= 7))
+      .select(col("p")).orderBy(col("p"))
+      .collect().map(_.getString(0)).toSeq
+    assert(strLen == wantLen)
+  }
+
+  test("calendar durations: datetime ± duration('P1M'/{months: 1}) via month arithmetic") {
+    import spark.implicits._
+    val nodes = Seq(
+      ("Event", "e1", Map("ts" -> "2024-01-31 10:00:00")), // +1M clamps to Feb 29 (leap)
+      ("Event", "e2", Map("ts" -> "2024-05-01 10:03:00")),
+      ("Event", "e3", Map("ts" -> "2024-12-15 09:00:00"))) // +1M rolls the year
+      .toDF("label", "id", "props")
+    val edges = Seq(("NEXT", "e1", "e2", 1, Map.empty[String, String]))
+      .toDF("etype", "src", "dst", "event_id", "props")
+    val got = CypherLite.run(nodes, edges,
+      "MATCH (a:Event) RETURN a, datetime(a.ts) + duration('P1M') AS plus_m, " +
+        "date(a.ts) - duration({years: 1, days: 2}) AS minus_yd ORDER BY a")
+      .collect().map(r => (r.getString(0), r.get(1), r.get(2))).toSeq
+    val want = nodes
+      .select(col("id").as("a"), element_at(col("props"), "ts").as("ts"))
+      .select(col("a"),
+        (to_timestamp(col("ts")) + make_interval(lit(0), lit(1), lit(0), lit(0), lit(0), lit(0), lit(0))).as("plus_m"),
+        (to_date(col("ts")) + make_interval(lit(-1), lit(0), lit(0), lit(-2), lit(0), lit(0), lit(0))).as("minus_yd"))
+      .orderBy(col("a"))
+      .collect().map(r => (r.getString(0), r.get(1), r.get(2))).toSeq
+    assert(got == want && got.nonEmpty)
+    // month-end clamping (Jan 31 + 1M = Feb 29) and year roll are real
+    assert(got.head._2.toString.startsWith("2024-02-29"))
+    assert(got.last._2.toString.startsWith("2025-01-15"))
+    // map form == ISO form
+    val iso = CypherLite.run(nodes, edges,
+      "MATCH (a:Event) RETURN datetime(a.ts) + duration('P1M') AS t ORDER BY t")
+      .collect().map(_.get(0)).toSeq
+    val viaMap = CypherLite.run(nodes, edges,
+      "MATCH (a:Event) RETURN datetime(a.ts) + duration({months: 1}) AS t ORDER BY t")
+      .collect().map(_.get(0)).toSeq
+    assert(iso == viaMap && iso.nonEmpty)
+    // day/time-only durations still compile to plain millis arithmetic
+    val fast = CypherLite.run(nodes, edges,
+      "MATCH (a:Event)-[:NEXT]->(b:Event) " +
+        "WHERE timestamp(b.ts) - timestamp(a.ts) > duration('P30D') RETURN a, b").count()
+    assert(fast == 1) // e1→e2 is ~3 months of fixed millis
+    // calendar duration outside the additive anchor is a clear error
+    val err = intercept[IllegalArgumentException] {
+      CypherLite.run(nodes, edges,
+        "MATCH (a:Event) WHERE timestamp(a.ts) > duration('P1M') RETURN a").collect()
+    }
+    assert(err.getMessage.contains("date anchor"))
+  }
 }

@@ -83,4 +83,19 @@ class GraphXBridgeSpec extends SparkSpec {
       .orderBy(col("rank").desc).limit(1).collect().head.getString(0)
     assert(df == gx && df == "z")
   }
+
+  test("densification is memoized per (session, edge plan): repeat calls reuse one dictionary") {
+    val edges = Seq(("a", "b"), ("b", "c"), ("c", "a")).toDF("src", "dst")
+    val (d1, g1) = GraphXBridge.toGraphX(edges)
+    val (d2, g2) = GraphXBridge.toGraphX(edges)
+    assert((d1 eq d2) && (g1 eq g2)) // second call: no new zipWithIndex joins
+    // a DIFFERENT frame with the same canonicalized plan also hits
+    val same = Seq(("a", "b"), ("b", "c"), ("c", "a")).toDF("src", "dst")
+    val (d3, _) = GraphXBridge.toGraphX(same)
+    assert(d3 eq d1)
+    // a semantically different frame misses
+    val other = Seq(("x", "y")).toDF("src", "dst")
+    val (d4, _) = GraphXBridge.toGraphX(other)
+    assert(!(d4 eq d1))
+  }
 }
