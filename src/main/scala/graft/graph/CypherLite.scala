@@ -92,7 +92,8 @@ import org.apache.spark.sql.functions._
   *    — filters the matches before counting/existence). `NOT <pred>`,
   *    `<expr> IS [NOT] NULL`, and the pattern predicate
   *    `exists((p)-[:T]->(x))` (anchored at a bound variable; fresh
-  *    pattern variables are existential) — `NOT exists(...)` is the
+  *    pattern variables are existential) — also spellable BARE, the
+  *    Neo4j idiom `WHERE (p)-[:T]->(x)` — `NOT exists(...)` is the
   *    anti-join, `OPTIONAL MATCH … WITH … WHERE ip IS NULL` the
   *    Cypher anti-join idiom, both spec'd against hand-written
   *    semi/anti joins
@@ -640,6 +641,49 @@ object CypherLite {
     }
     val QuantHead = """(?i)^(any|all|none|single)\s*\(\s*(\w+)\s+IN\b""".r
     val ExistsBrace = """(?i)^EXISTS\s*\{""".r
+    /** One-hop lookahead for a BARE pattern predicate — `(p)-[:T]->(x)`
+      * in predicate position (Neo4j sugar for exists(...)). The full
+      * first hop must be visible so parenthesized arithmetic like
+      * `(c) - 1 > 0` (no `[`/`->`/`-(` after the dash) never matches. */
+    val PatHead = """^\(\s*\w*(?:\s*:\s*\w+)?\s*\)\s*(?:<-|-)\s*(?:\[[^\]]*\]\s*)?(?:->|-)\s*\(""".r
+    /** Consume a linear pattern chain (node, then `-[..]->` hops) from
+      * the cursor, returning its text with whitespace normalized away
+      * (the chain mini-grammar is whitespace-free). */
+    def consumePattern(): String = {
+      val sb = new StringBuilder
+      def node(): Unit = {
+        ws()
+        require(rest.startsWith("("), s"expected '(' in pattern at: $rest")
+        val close = rest.indexOf(')')
+        require(close > 0, s"unbalanced node pattern at: $rest")
+        sb ++= rest.substring(0, close + 1).replaceAll("\\s+", "")
+        rest = rest.substring(close + 1)
+      }
+      node()
+      var more = true
+      while (more) {
+        ws()
+        if (rest.startsWith("<-") || rest.startsWith("-")) {
+          if (rest.startsWith("<-")) { sb ++= "<-"; rest = rest.substring(2) }
+          else { sb ++= "-"; rest = rest.substring(1) }
+          ws()
+          if (rest.startsWith("[")) {
+            val close = rest.indexOf(']')
+            require(close > 0, s"unbalanced [..] in pattern at: $rest")
+            sb ++= rest.substring(0, close + 1).replaceAll("\\s+", "")
+            rest = rest.substring(close + 1)
+            ws()
+          }
+          if (rest.startsWith("->")) { sb ++= "->"; rest = rest.substring(2) }
+          else {
+            require(rest.startsWith("-"), s"expected '->' or '-' in pattern at: $rest")
+            sb ++= "-"; rest = rest.substring(1)
+          }
+          node()
+        } else more = false
+      }
+      sb.toString
+    }
     def factor(): Pred = {
       ws()
       if (eat("NOT")) Not(factor())
@@ -656,6 +700,12 @@ object CypherLite {
           rest.substring(6).trim.startsWith("(")) {
         rest = rest.substring(6)
         existsPat()
+      } else if (PatHead.findPrefixMatchOf(rest).isDefined) {
+        // bare pattern predicate: Neo4j's `WHERE (p)-[:T]->(x)` is
+        // sugar for exists((p)-[:T]->(x)); `NOT (p)-[:T]->()` composes
+        // through the NOT branch above into the anti shape
+        val chain = parsePatternChain(consumePattern(), anon)
+        ExistsPat(chain, chain._1.head.v)
       } else if (QuantHead.findPrefixMatchOf(rest).isDefined) {
         // any/all/none/single(x IN xs WHERE p)
         val m = QuantHead.findPrefixMatchOf(rest).get

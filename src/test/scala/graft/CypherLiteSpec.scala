@@ -1300,6 +1300,41 @@ class CypherLiteSpec extends SparkSpec {
     assert(strLen == wantLen)
   }
 
+  test("bare pattern predicate: WHERE (p)-[:T]->(x) is sugar for exists(); NOT inverts it") {
+    val (nodes, edges) = graph
+    val bare = CypherLite.run(nodes, edges,
+      "MATCH (p:Process) WHERE (p)-[:CONNECTED_TO]->(:Ip) AND (p)-[:CREATED_FILE]->() " +
+        "RETURN DISTINCT p ORDER BY p")
+      .collect().map(_.getString(0)).toSeq
+    val viaExists = CypherLite.run(nodes, edges,
+      "MATCH (p:Process) WHERE exists((p)-[:CONNECTED_TO]->(:Ip)) " +
+        "AND exists((p)-[:CREATED_FILE]->()) RETURN DISTINCT p ORDER BY p")
+      .collect().map(_.getString(0)).toSeq
+    val want = et("CONNECTED_TO").select(col("src").as("p")).distinct()
+      .join(et("CREATED_FILE").select(col("src").as("p")).distinct(), Seq("p"), "left_semi")
+      .join(graph._1.filter(col("label") === "Process").select(col("id").as("p")),
+        Seq("p"), "left_semi")
+      .orderBy(col("p")).collect().map(_.getString(0)).toSeq
+    assert(bare == viaExists && bare == want && bare.nonEmpty)
+    // NOT (p)-[:T]->() composes into the anti shape
+    val not = CypherLite.run(nodes, edges,
+      "MATCH (p:Process) WHERE NOT (p)-[:CONNECTED_TO]->() RETURN DISTINCT p ORDER BY p")
+      .collect().map(_.getString(0)).toSeq
+    val wantNot = graph._1.filter(col("label") === "Process").select(col("id").as("p"))
+      .join(et("CONNECTED_TO").select(col("src").as("p")).distinct(), Seq("p"), "left_anti")
+      .distinct().orderBy(col("p")).collect().map(_.getString(0)).toSeq
+    assert(not == wantNot && not.nonEmpty)
+    // parenthesized arithmetic is NOT swallowed by the pattern branch
+    val arith = CypherLite.run(nodes, edges,
+      "MATCH (t:Trace)-[:HAS_PROCESS]->(p) WITH t, count(p) AS c " +
+        "WHERE (c) - 1 > 0 RETURN t ORDER BY t")
+      .collect().map(_.getString(0)).toSeq
+    val wantArith = et("HAS_PROCESS").groupBy(col("src").as("t"))
+      .agg(count(lit(1)).as("c")).filter(col("c") - 1 > 0)
+      .select(col("t")).orderBy(col("t")).collect().map(_.getString(0)).toSeq
+    assert(arith == wantArith && arith.nonEmpty)
+  }
+
   test("calendar durations: datetime ± duration('P1M'/{months: 1}) via month arithmetic") {
     import spark.implicits._
     val nodes = Seq(
