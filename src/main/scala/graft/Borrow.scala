@@ -34,4 +34,19 @@ object Borrow {
     borrows.foreach(_.unpersist())
     r
   }
+
+  /** Lazily sever lineage: the logical plan becomes a leaf NOW (so
+    * downstream plans referencing this frame stay constant-size — the
+    * iterative-algorithm plan-blowup guard), while the blocks
+    * materialize at the frame's first action.
+    *
+    * Reclamation: severed blocks live at the RDD layer, NOT in the
+    * CacheManager, so unlike `persist` they hold no session-lived
+    * strong reference — the ContextCleaner frees them as soon as the
+    * (method-local) Dataset is garbage-collected. Explicit
+    * `RDD.unpersist` would be deterministic but logs a
+    * cannot-recompute warning per frame; GC reclaim is silent and is
+    * the mechanism Bench already leans on (System.gc() between
+    * queries). */
+  def severLazy(df: DataFrame): DataFrame = df.localCheckpoint(eager = false)
 }

@@ -406,38 +406,87 @@ object GraphOps {
     * O(levels) joins per round over |roots|-keyed state, never a
     * per-root loop). */
   def betweenness(edges: DataFrame, roots: DataFrame, maxIter: Int = 20,
-                  halve: Boolean = true): DataFrame = {
-    val e = edges.select(col("src"), col("dst")).distinct()
+                  halve: Boolean = true, undirectedInput: Boolean = true): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    // Dense LONG vertex ids for the whole iteration: every shuffle,
+    // join and aggregation below is keyed on (root, id) — hashing and
+    // comparing packed longs instead of strings measured ~2× on the
+    // string-keyed r4/r5 shapes, and the |roots|×|V| state rows shrink
+    // to 4 fixed-width columns. The dictionary is |V| rows (tiny next
+    // to |E|), broadcast into the three encode/decode joins; the
+    // zipWithIndex pass is the same densification the GraphX bridge
+    // uses. Ids are decoded back to strings only on the |V|-row result.
+    val eStr = edges.select(col("src"), col("dst"))
+      .persist(StorageLevel.MEMORY_AND_DISK) // raw, possibly with dup edges:
+    // the dedup `distinct` runs AFTER encoding, on packed longs — a
+    // string-keyed distinct over |E| was the single most expensive
+    // step of the encode phase
+    val dict = eStr.select(col("src").as("id"))
+      .union(eStr.select(col("dst").as("id"))).distinct()
+      .rdd.map(_.getString(0)).zipWithIndex()
+      .toDF("id", "vid").persist(StorageLevel.MEMORY_AND_DISK)
+    // Join strategy for the per-level edge joins is left to Catalyst's
+    // cached-frame statistics: the packed-long encoded frame commonly
+    // sits under the broadcast threshold, and a LONG-keyed broadcast
+    // relation builds cheaply enough that per-level-job rebuilds beat
+    // the alternatives (measured: forcing SHUFFLE_HASH with the edge
+    // side pre-partitioned+cached by join key was ~1.7× slower, and a
+    // STRING-keyed forced broadcast before densification was 3-4×
+    // slower). Past the threshold — cluster-scale |E| — the planner
+    // falls back to shuffle joins, which is the right plan there.
+    val e = eStr
+      .join(broadcast(dict.select(col("id").as("src"), col("vid").as("src_vid"))), Seq("src"))
+      .join(broadcast(dict.select(col("id").as("dst"), col("vid").as("dst_vid"))), Seq("dst"))
+      .select(col("src_vid").as("src"), col("dst_vid").as("dst"))
+      .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
-    var visited = roots.select(col("id")).distinct()
-      .select(col("id").as("root"), col("id"), lit(0).as("dist"),
-        lit(1L).as("sigma"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    var frontier = visited
+    val eRen = e.select(col("src").as("e_src"), col("dst").as("e_dst"))
+    val eFwd = eRen
+    val eBwd = eRen
+    // Every level frame is SEVERED (lazy localCheckpoint → its plan is
+    // a LogicalRDD leaf from the moment it exists; the per-level
+    // count() below materializes the blocks). The r5 persist-only
+    // variant kept full lineage: level k's plan embedded every prior
+    // level's plan via the visited anti-join, doubling plan size per
+    // level — analysis cost exponential in BFS depth, 13.6 → 78 s in
+    // the driver artifact, and a driver hang waiting at depth-30
+    // graphs. With leaf levels the anti-join's plan is a bounded set
+    // of leaf references and the dedup union stays genuinely lazy
+    // (the r5 win that IS kept — no O(levels²) re-materialization).
+    var frontier = graft.Borrow.severLazy(
+      roots.select(col("id")).distinct()
+        .join(broadcast(dict), Seq("id")) // roots outside the graph seed nothing either way
+        .select(col("vid").as("root"), col("vid").as("id"), lit(0).as("dist"),
+          lit(1L).as("sigma")))
     var levels = List(frontier) // head = deepest when the loop ends
     var depth = 0
     var n = frontier.count()
-    // renamed edge projection: the state frames keep their (no longer
-    // checkpoint-severed) lineage through e, so joins against e must
-    // use fresh attribute names to stay unambiguous
-    val eRen = e.select(col("src").as("e_src"), col("dst").as("e_dst"))
     while (depth < maxIter && n > 0) {
       depth += 1
-      val next = frontier.join(eRen, col("id") === col("e_src"))
-        .groupBy(col("root"), col("e_dst").as("nid"))
-        .agg(sum(col("sigma")).as("sigma"))
-        .withColumnRenamed("nid", "id")
-        .join(visited.select(col("root"), col("id")), Seq("root", "id"), "left_anti")
-        .withColumn("dist", lit(depth))
-        .select(col("root"), col("id"), col("dist"), col("sigma"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      n = next.count()
-      // visited stays a LAZY union of the (individually checkpointed)
-      // level frames: an eager checkpoint here re-materialized the
-      // whole accumulated state every level — O(levels²) rows written
-      // for nothing (the r5 fix; the anti-join reads the same cached
-      // level blocks either way)
-      if (n > 0) { visited = visited.unionByName(next); levels ::= next }
+      // Dedup anti-joins: in an UNDIRECTED graph a neighbor of a
+      // depth-(d−1) node sits at depth d−2, d−1, or d — only the last
+      // TWO level frames can collide, so the dedup never touches the
+      // full accumulated state (whose re-shuffle per level grows with
+      // Σ levels — the directed fallback). CHAINED per-level anti-joins
+      // rather than one anti-join against a union: the candidate frame
+      // (post-aggregation) and every cached level frame are all
+      // (root, id)-hash-partitioned, so each chained anti-join is
+      // exchange-free, while a union would erase the level frames'
+      // partitioning and force a shuffle of both sides.
+      val seen = if (undirectedInput) levels.take(2) else levels
+      val next = graft.Borrow.severLazy(
+        seen.map(_.select(col("root"), col("id")))
+          .foldLeft(
+            frontier.join(eFwd, col("id") === col("e_src"))
+              .groupBy(col("root"), col("e_dst").as("nid"))
+              .agg(sum(col("sigma")).as("sigma"))
+              .withColumnRenamed("nid", "id"))(
+            (acc, lvl) => acc.join(lvl.hint("shuffle_hash"), Seq("root", "id"), "left_anti"))
+          .withColumn("dist", lit(depth))
+          .select(col("root"), col("id"), col("dist"), col("sigma")))
+      n = next.count() // materializes the severed blocks — one job/level
+      if (n > 0) { levels ::= next }
       frontier = next
     }
     // backward sweep: levels head→tail is deepest→depth-0 (depth 0 —
@@ -446,33 +495,52 @@ object GraphOps {
     // other forward edges into it), so each level joins just the
     // PREVIOUS contrib frame, and its predecessor candidates are
     // exactly the NEXT list entry (the depth-(d−1) level frame) —
-    // never the accumulated visited state (r4 joined all of it per
-    // level and filtered on dist; the per-level frames make that scan
-    // free). All contribs checkpoint LAZILY: one terminal action
-    // executes the whole sweep as a single job DAG instead of a
-    // per-level job barrier — measured 16.3 → 6.1 s at sf0.1/100
-    // roots (min of 3, the job-submission overhead WAS the cost).
+    // never the accumulated visited state. Contribs are NOT cached or
+    // checkpointed: each contrib's plan bottoms out in leaf levels +
+    // the previous contrib, so total final-plan size is O(levels²)
+    // small nodes (fine for maxIter ≤ 20), ONE terminal action runs
+    // the whole sweep as a single job, and exchange reuse dedups the
+    // shared contrib shuffles (each contrib feeds exactly two
+    // consumers — the next contrib and the final union — so its agg
+    // computes at most twice from the same reused shuffle data). No
+    // persist in the sweep ⇒ no concurrent-cache 'Block already
+    // exists' races, the r5 bench-tail storm.
     var prevDelta: DataFrame = null // the last level's (root, id, delta)
     val contribs = scala.collection.mutable.Buffer.empty[DataFrame]
     for (i <- 0 until levels.length - 1) {
       val dd = levels(i) // (root, id, dist, sigma) at this depth
       val w = (if (prevDelta == null) dd.withColumn("delta", lit(0.0))
-               else dd.join(prevDelta, Seq("root", "id"), "left")
+               else dd.join(prevDelta.hint("shuffle_hash"), Seq("root", "id"), "left")
                  .withColumn("delta", coalesce(col("delta"), lit(0.0))))
         .select(col("root"), col("id"), col("sigma"), col("delta"))
+      // δ(u) = σ_u · Σ_{w ∈ succ(u)} (1+δ_w)/σ_w — factor σ_u OUT of the
+      // per-edge emission: each depth-d node w sends (1+δ_w)/σ_w to
+      // every NEIGHBOR, and the partial aggregation runs in the same
+      // stage as the join, so the |roots|-amplified per-edge expansion
+      // is combined map-side and never crosses the wire (the r5 shape
+      // shuffled it twice). Non-predecessor neighbors (depth d or d+1
+      // for that root) are dropped by the inner join against the
+      // depth-(d−1) level frame below, which also supplies σ_u; both
+      // that join's inputs and the w-join with prevDelta above are
+      // already (root, key)-hash-partitioned, so neither adds an
+      // exchange. The e-side exchange is identical across levels and
+      // reused within the one terminal job.
+      val s = w.join(eBwd, col("id") === col("e_dst"))
+        .select(col("root"), col("e_src"),
+          ((lit(1.0) + col("delta")) / col("sigma").cast("double")).as("cpart"))
+        .groupBy(col("root"), col("e_src")).agg(sum(col("cpart")).as("sfac"))
       val preds = levels(i + 1).select(col("root").as("proot"),
         col("id").as("uid"), col("sigma").as("usigma"))
-      val contrib = w.join(eRen, col("id") === col("e_dst"))
-        .join(preds, col("root") === col("proot") && col("e_src") === col("uid"))
+      val contrib = s
+        .join(preds.hint("shuffle_hash"),
+          col("root") === col("proot") && col("e_src") === col("uid"))
         .select(col("root"), col("uid").as("id"),
-          (col("usigma").cast("double") / col("sigma") * (lit(1.0) + col("delta"))).as("c"))
-        .groupBy(col("root"), col("id")).agg(sum(col("c")).as("delta"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+          (col("usigma").cast("double") * col("sfac")).as("delta"))
       contribs += contrib
       prevDelta = contrib
     }
-    val allV = e.select(col("src").as("id")).union(e.select(col("dst").as("id"))).distinct()
-    val summed =
+    val allV = dict.select(col("vid").as("id")) // dict IS the vertex set
+    val summedVid =
       if (contribs.isEmpty) allV.withColumn("betweenness", lit(0.0))
       else allV.join(
           contribs.reduce(_ unionByName _)
@@ -482,9 +550,14 @@ object GraphOps {
         .select(col("id"),
           round(coalesce(col("b"), lit(0.0)) / lit(if (halve) 2.0 else 1.0), 6)
             .as("betweenness"))
-    // materialize (small: |V| rows) before releasing the borrowed
-    // caches — the lazy persist chain above executes HERE
-    graft.Borrow.reclaim(summed, (e +: levels) ++ contribs.toSeq: _*)
+    val dec = dict.select(col("id").as("str_id"), col("vid"))
+    val summed = summedVid.join(broadcast(dec), summedVid("id") === dec("vid"))
+      .select(col("str_id").as("id"), col("betweenness"))
+    // materialize (small: |V| rows) before releasing the borrows —
+    // the whole lazy backward sweep executes HERE as one job. The
+    // severed level blocks are method-local: the ContextCleaner frees
+    // them on GC (see Borrow.severLazy), warning-free.
+    graft.Borrow.reclaim(summed, eStr, e, dict)
   }
 
   /** Per-vertex triangle count over the undirected simple graph.
