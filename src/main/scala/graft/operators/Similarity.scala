@@ -223,12 +223,16 @@ object Similarity {
     *
     * ASSIGNMENT SHAPE: the quantizer is nlist rows — driver-resident by
     * construction (lloydRefine aggregates down to nlist×dim means). So
-    * nearest-centroid assignment is a pure scalar expression over the
-    * collected centroid literals: array_max over nlist inline cosines.
-    * No crossJoin, no nlist×-amplified frame, ZERO shuffle in both the
-    * training and assignment passes — the previous shape
-    * (crossJoin(broadcast(centroids)) + row_number argmin window)
-    * exchanged corpus×nlist rows carrying full vector payloads, twice. */
+    * nearest-centroid assignment is a pure scalar expression: array_max
+    * of cosines computed by a `transform` over the centroid matrix
+    * carried as ONE array<struct> literal. No crossJoin, no
+    * nlist×-amplified frame, ZERO shuffle in training or assignment,
+    * and the expression tree is CONSTANT-size in nlist (the matrix is
+    * plan data, not generated code — see nearestCid). The two rejected
+    * shapes: crossJoin+window argmin exchanged corpus×nlist rows with
+    * vector payloads twice (r4); per-centroid inline literals made
+    * codegen O(nlist) — Janino compile time dominated at nlist=16 and
+    * the 64 KB method limit breaks it at production nlist (r5). */
   def e3IvfTopK(s: SparkSession, dir: String, k: Int = 5,
                 nlist: Int = 16, nprobe: Int = 4, lloydIters: Int = 2,
                 trainMod: Int = 1, reclaim: Boolean = true): DataFrame = {
@@ -241,17 +245,31 @@ object Similarity {
     val stride = math.max(n / nlist, 1L)
     def collectCentroids(df: DataFrame): Array[(Int, Seq[Double])] =
       df.collect().map(r => r.getInt(0) -> r.getSeq[Double](1)).sortBy(_._1)
-    // ordered selection: an unordered limit() is nondeterministic across
-    // partition arrival order on a cluster — the quantizer must seed the
-    // same centroids on every run
-    var centroids = collectCentroids(all.filter(col("vec_id") % stride === 0)
-      .orderBy(col("vec_id")).limit(nlist)
+    // deterministic seed WITHOUT a global sort: the stride filter plus
+    // the explicit id bound picks exactly the vectors at
+    // vec_id ∈ {0, stride, …, (nlist−1)·stride} — a pure pushed-down
+    // filter, partition-arrival-order-invariant (the previous
+    // orderBy().limit() spent a whole sort job for the same rows)
+    var centroids = collectCentroids(all
+      .filter(col("vec_id") % stride === 0 && col("vec_id") < lit(stride * nlist))
       .select((col("vec_id") / stride).cast("int").as("cid"), col("v").as("cv")))
-    // argmax cosine over the centroid literals; ties break to the
+    // The quantizer rides along as ONE array<struct<cid,cv>> literal —
+    // DATA in the plan, not code. The r5 form inlined a separate
+    // typedLit vector + native cosine per centroid, so the generated
+    // projection grew O(nlist): at nlist=16 Janino compilation cost
+    // dominated the query (bench 0.59 → 1.71 s), and at a production
+    // nlist (10³-10⁴) the method blows the 64 KB codegen limit
+    // outright. A single literal + transform/array_max keeps the
+    // expression tree CONSTANT-size in nlist (the lambda interprets,
+    // but its body is the native CosineSimilarity eval — a fused
+    // array pass), still zero joins and zero shuffles.
+    def centMatrix: Column = typedLit(centroids)
+    // argmax cosine over the centroid matrix; ties break to the
     // smallest cid (max of (cos, -cid) struct = lexicographic)
     def nearestCid(v: Column): Column = {
-      val best = array_max(array(centroids.map { case (cid, cv) =>
-        struct(cos(s, v, typedLit(cv)).as("c"), lit(-cid).as("ncid")) }: _*))
+      val best = array_max(transform(centMatrix, c =>
+        struct(cos(s, v, c.getField("_2")).as("c"),
+          (-c.getField("_1")).as("ncid"))))
       (-best.getField("ncid")).cast("int")
     }
     for (_ <- 1 to lloydIters)
@@ -259,10 +277,12 @@ object Similarity {
         lloydRefine(train.select(nearestCid(col("v")).as("cid"), col("v"))))
     val assigned = all
       .select(col("vec_id"), col("v"), nearestCid(col("v")).as("cid"))
-    // per-query probe lists: sort the nlist inline (cos desc, cid) struct
-    // scores, keep nprobe — again pure expression, no crossJoin/window
-    val probes = array(centroids.map { case (cid, cv) =>
-      struct((-cos(s, col("v"), typedLit(cv))).as("negc"), lit(cid).as("cid")) }: _*)
+    // per-query probe lists: sort the (neg-cos, cid) struct scores over
+    // the same matrix literal, keep nprobe — pure expression, no
+    // crossJoin/window, constant-size plan in nlist
+    val probes = transform(centMatrix, c =>
+      struct((-cos(s, col("v"), c.getField("_2"))).as("negc"),
+        c.getField("_1").as("cid")))
     val queries = broadcast(all.filter(col("vec_id") < 8)
       .select(col("vec_id").as("q_id"), col("v").as("qv"),
         explode(slice(array_sort(probes), 1, nprobe)).as("p"))
