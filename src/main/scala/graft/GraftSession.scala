@@ -22,6 +22,11 @@ object GraftSession {
       // events.parquet carries TIMESTAMP(NANOS) which the vectorized
       // reader rejects; read as long and convert (Tables.events).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // parquet writers flip between tz'd and tz-less µs timestamps
+      // across testdata regenerations; read both flavors as
+      // TimestampType (session tz is UTC, so the instants agree) so
+      // time arithmetic like unix_millis never hits TIMESTAMP_NTZ
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       // duplicate span-tag keys: last wins, like the reference's
       // taglist_to_dict (events.py:17-22)
       .config("spark.sql.mapKeyDedupPolicy", "LAST_WIN")

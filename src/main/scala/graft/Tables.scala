@@ -22,17 +22,24 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame     = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = load(s, d, "lineitem")
-  /** events.ts is parquet TIMESTAMP(NANOS) in the driver testdata:
-    * read as long nanos (see GraftSession) and convert with integer
-    * division — a double cast would lose sub-microsecond precision at
-    * epoch-ns magnitude. Files written with µs timestamps come back as
-    * TimestampType already and pass through. */
+  /** events.ts has changed flavor across testdata regenerations:
+    * TIMESTAMP(NANOS) (read as long nanos via GraftSession's
+    * nanosAsLong and converted with integer division — a double cast
+    * would lose sub-microsecond precision at epoch-ns magnitude), and
+    * tz-less TIMESTAMP(MICROS), which sessions without GraftSession's
+    * inferTimestampNTZ=false read as TIMESTAMP_NTZ — a type
+    * `unix_millis` et al. reject. Normalize every flavor to
+    * TimestampType here so downstream time arithmetic is immune to the
+    * writer's choice (real lakes mix both). */
   def events(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
     val df = load(s, d, "events")
     df.schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType =>
+      case LongType =>
         df.withColumn("ts",
           org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+      case TimestampNTZType =>
+        df.withColumn("ts", df.col("ts").cast("timestamp"))
       case _ => df
     }
   }

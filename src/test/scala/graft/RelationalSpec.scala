@@ -46,6 +46,16 @@ class RelationalSpec extends SparkSpec {
   }
 
   test("q11 as-of join matches a per-row scan on a sample") {
+    // type-agnostic timestamp accessor: Spark rows carry
+    // java.sql.Timestamp for TimestampType but LocalDateTime for
+    // TIMESTAMP_NTZ, and the testdata writer has flipped flavors
+    // between regenerations (session tz is UTC, so instants agree)
+    def millis(v: Any): Long = v match {
+      case t: java.sql.Timestamp      => t.getTime
+      case d: java.time.LocalDateTime => d.toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+      case i: java.time.Instant       => i.toEpochMilli
+      case other => fail(s"unexpected timestamp class ${other.getClass}")
+    }
     val out = Relational.q11Asof(spark, sf).collect()
       .map(r => r.getAs[Long]("event_id") ->
         Option(r.getAs[java.lang.Long]("asof_order")).map(_.toLong))
@@ -55,11 +65,11 @@ class RelationalSpec extends SparkSpec {
     val orders = Tables.orders(spark, sf)
       .select(col("o_custkey"), col("o_orderdate").cast("timestamp"), col("o_orderkey"))
       .collect()
-      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2)))
+      .map(r => (r.getLong(0), millis(r.get(1)), r.getLong(2)))
     events.take(50).foreach { e =>
-      val (eid, uid, ts) = (e.getLong(0), e.getLong(1), e.getTimestamp(2))
-      val expected = orders.filter(o => o._1 == uid && !o._2.after(ts))
-        .sortBy(o => (o._2.getTime, o._3)).lastOption.map(_._3)
+      val (eid, uid, ts) = (e.getLong(0), e.getLong(1), millis(e.get(2)))
+      val expected = orders.filter(o => o._1 == uid && o._2 <= ts)
+        .sortBy(o => (o._2, o._3)).lastOption.map(_._3)
       assert(out(eid) == expected, s"event $eid")
     }
   }
