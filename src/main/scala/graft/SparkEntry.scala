@@ -183,6 +183,16 @@ object SparkEntry {
           "COUNT { (p)-[:INJECTED_THREAD]->(x) } AS hits " +
           "ORDER BY p")
     }),
+    "sg_cypher7"   -> ((s, _) => {
+      // inline property maps — the reference's own MERGE idiom
+      // (events.py:75-257): node {image:} + edge {dport:} constraints
+      // compile to filters pushed into the node/edge scans
+      val (n, e) = graft.graph.SysmonGraph.buildCached(s, "/root/reference/malware/*.json")
+      graft.graph.CypherLite.run(n, e,
+        "MATCH (t:Trace)-[:HAS_PROCESS]->(p:Process)" +
+          "-[r:CONNECTED_TO {dport: '443'}]->(ip:Ip) " +
+          "RETURN DISTINCT t, p, ip ORDER BY t, p, ip")
+    }),
     "sg_spawntree" -> ((s, _) => {
       val (_, e) = graft.graph.SysmonGraph.buildCached(s, "/root/reference/malware/*.json")
       graft.graph.Detections.deepSpawnChains(e, minDepth = 1)

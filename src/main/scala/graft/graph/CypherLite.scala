@@ -159,9 +159,17 @@ import org.apache.spark.sql.functions._
   */
 object CypherLite {
 
-  final case class NodePat(v: String, label: Option[String])
+  /** `props` are inline property-map equality constraints —
+    * `(p:Process {image: 'cmd.exe'})` — as (key, literal, numeric)
+    * triples; sugar for one `=` conjunct per entry, but compiled as a
+    * filter pushed into the node/edge scan (cheaper than a post-join
+    * WHERE). The reference's own MERGE idiom (events.py:75-257 writes
+    * `MERGE (p:Process {key: $key})`). */
+  final case class NodePat(v: String, label: Option[String],
+                           props: Seq[(String, String, Boolean)] = Nil)
   final case class EdgePat(etype: Option[String], min: Int, max: Int, reverse: Boolean,
-                           v: Option[String] = None)
+                           v: Option[String] = None,
+                           props: Seq[(String, String, Boolean)] = Nil)
   final case class Cond(v: String, prop: Option[String], op: String, value: String,
                         numeric: Boolean)
 
@@ -310,9 +318,26 @@ object CypherLite {
                          limit: Option[Int] = None,
                          sp: Option[ShortestPat] = None)
 
-  private val NodeRe = """\(\s*(\w+)?\s*(?::\s*(\w+))?\s*\)""".r
-  private val FwdRe = """-\[\s*(\w+)?\s*(?::(\w+))?\s*(?:(\*)(?:(\d+)\.\.(\d+))?)?\s*\]->""".r
-  private val RevRe = """<-\[\s*(\w+)?\s*(?::(\w+))?\s*(?:(\*)(?:(\d+)\.\.(\d+))?)?\s*\]-""".r
+  /** `{key: 'value', n: 42}` — quote-aware so a '}' inside a string
+    * literal doesn't close the map early. */
+  private val PropsMap = """\{(?:[^}']|'[^']*')*\}"""
+  private val NodeRe = ("""\(\s*(\w+)?\s*(?::\s*(\w+))?\s*(""" + PropsMap + """)?\s*\)""").r
+  private val FwdRe = ("""-\[\s*(\w+)?\s*(?::(\w+))?\s*(?:(\*)(?:(\d+)\.\.(\d+))?)?\s*(""" + PropsMap + """)?\s*\]->""").r
+  private val RevRe = ("""<-\[\s*(\w+)?\s*(?::(\w+))?\s*(?:(\*)(?:(\d+)\.\.(\d+))?)?\s*(""" + PropsMap + """)?\s*\]-""").r
+  private val PropEntryRe = """(\w+)\s*:\s*(?:'([^']*)'|(-?\d+(?:\.\d+)?))""".r
+  /** Parse a `{k: v, …}` property map (braces included) to
+    * (key, literal, numeric) triples. Values are string or numeric
+    * literals only — `$param` / nested maps are not in the subset. */
+  private def parsePropsMap(s0: String): Seq[(String, String, Boolean)] = {
+    val body = s0.trim.stripPrefix("{").stripSuffix("}").trim
+    if (body.isEmpty) Nil
+    else splitTopLevel(body).map {
+      case PropEntryRe(k, str, num) =>
+        if (str != null) (k, str, false) else (k, num, true)
+      case other => throw new IllegalArgumentException(
+        s"bad property-map entry '$other' (expected key: 'string' or key: number)")
+    }
+  }
   private val CondRe =
     """(\w+)(?:\.(\w+))?\s*(=|<>|>=|<=|>|<|CONTAINS|STARTS WITH|ENDS WITH)\s*(?:'([^']*)'|(-?\d+(?:\.\d+)?))""".r
   private val AggRe =
@@ -645,18 +670,43 @@ object CypherLite {
       * in predicate position (Neo4j sugar for exists(...)). The full
       * first hop must be visible so parenthesized arithmetic like
       * `(c) - 1 > 0` (no `[`/`->`/`-(` after the dash) never matches. */
-    val PatHead = """^\(\s*\w*(?:\s*:\s*\w+)?\s*\)\s*(?:<-|-)\s*(?:\[[^\]]*\]\s*)?(?:->|-)\s*\(""".r
+    val PatHead = ("""^\(\s*\w*(?:\s*:\s*\w+)?(?:\s*""" + PropsMap +
+      """)?\s*\)\s*(?:<-|-)\s*(?:\[(?:[^\]']|'[^']*')*\]\s*)?(?:->|-)\s*\(""").r
+    /** Scan for the first unquoted occurrence of `ch`; -1 if none —
+      * property-map string literals may contain ')' / ']'. */
+    def unquotedIndexOf(s: String, ch: Char): Int = {
+      var i = 0; var inQ = false
+      while (i < s.length) {
+        val c = s.charAt(i)
+        if (c == '\'') inQ = !inQ
+        else if (c == ch && !inQ) return i
+        i += 1
+      }
+      -1
+    }
+    /** Drop whitespace OUTSIDE string literals only (a blanket
+      * replaceAll would mangle `{image: 'a b'}` into 'ab'). */
+    def stripWsOutsideQuotes(s: String): String = {
+      val sb = new StringBuilder
+      var inQ = false
+      s.foreach { c =>
+        if (c == '\'') { inQ = !inQ; sb += c }
+        else if (inQ || !c.isWhitespace) sb += c
+      }
+      sb.toString
+    }
     /** Consume a linear pattern chain (node, then `-[..]->` hops) from
       * the cursor, returning its text with whitespace normalized away
-      * (the chain mini-grammar is whitespace-free). */
+      * (the chain mini-grammar is whitespace-free outside string
+      * literals). */
     def consumePattern(): String = {
       val sb = new StringBuilder
       def node(): Unit = {
         ws()
         require(rest.startsWith("("), s"expected '(' in pattern at: $rest")
-        val close = rest.indexOf(')')
+        val close = unquotedIndexOf(rest, ')')
         require(close > 0, s"unbalanced node pattern at: $rest")
-        sb ++= rest.substring(0, close + 1).replaceAll("\\s+", "")
+        sb ++= stripWsOutsideQuotes(rest.substring(0, close + 1))
         rest = rest.substring(close + 1)
       }
       node()
@@ -668,9 +718,9 @@ object CypherLite {
           else { sb ++= "-"; rest = rest.substring(1) }
           ws()
           if (rest.startsWith("[")) {
-            val close = rest.indexOf(']')
+            val close = unquotedIndexOf(rest, ']')
             require(close > 0, s"unbalanced [..] in pattern at: $rest")
-            sb ++= rest.substring(0, close + 1).replaceAll("\\s+", "")
+            sb ++= stripWsOutsideQuotes(rest.substring(0, close + 1))
             rest = rest.substring(close + 1)
             ws()
           }
@@ -853,21 +903,26 @@ object CypherLite {
                                 anon: () => String): (Seq[NodePat], Seq[EdgePat]) = {
     val nodes = NodeRe.findAllMatchIn(pattern).map { m =>
       val v = Option(m.group(1)).getOrElse(anon())
-      NodePat(v, Option(m.group(2)))
+      NodePat(v, Option(m.group(2)),
+        Option(m.group(3)).map(parsePropsMap).getOrElse(Nil))
     }.toSeq
     // hops in textual order: scan the pattern for edge tokens
-    val hops = ("""-\[[^\]]*\]->|<-\[[^\]]*\]-""".r)
+    // (quote-aware: a ']' inside a property-map string must not close
+    // the bracket)
+    val hops = (("""-\[(?:[^\]']|'[^']*')*\]->|<-\[(?:[^\]']|'[^']*')*\]-""").r)
       .findAllIn(pattern).map {
-        case FwdRe(ev, t, star, lo, hi) =>
+        case FwdRe(ev, t, star, lo, hi, pm) =>
           EdgePat(Option(t),
             if (star == null) 1 else Option(lo).map(_.toInt).getOrElse(1),
             if (star == null) 1 else Option(hi).map(_.toInt).getOrElse(10),
-            reverse = false, Option(ev))
-        case RevRe(ev, t, star, lo, hi) =>
+            reverse = false, Option(ev),
+            Option(pm).map(parsePropsMap).getOrElse(Nil))
+        case RevRe(ev, t, star, lo, hi, pm) =>
           EdgePat(Option(t),
             if (star == null) 1 else Option(lo).map(_.toInt).getOrElse(1),
             if (star == null) 1 else Option(hi).map(_.toInt).getOrElse(10),
-            reverse = true, Option(ev))
+            reverse = true, Option(ev),
+            Option(pm).map(parsePropsMap).getOrElse(Nil))
         case other => throw new IllegalArgumentException(s"bad edge pattern: $other")
       }.toSeq
     hops.filter(h => h.v.isDefined && (h.min != 1 || h.max != 1)).foreach { h =>
@@ -1141,18 +1196,49 @@ object CypherLite {
     * stages / predicates / projections into DataFrame operations. */
   private final class Compiler(nodes: DataFrame, edges: DataFrame) {
 
-    private def labelIds(label: String): DataFrame =
-      nodes.filter(col("label") === label).select(col("id"))
+    /** One equality Column per property-map entry over a frame's
+      * `props` map column (`id` reads the id column itself). Numeric
+      * literals compare as double — same typing rule as WHERE. */
+    private def propsCond(props: Seq[(String, String, Boolean)]): Option[Column] =
+      props.map { case (k, v, numeric) =>
+        val c = if (k == "id") col("id") else element_at(col("props"), k)
+        if (numeric) c.cast("double") === v.toDouble else c === v
+      }.reduceOption(_ && _)
 
-    private def seedOf(n: NodePat): DataFrame = n.label match {
-      case Some(l) => labelIds(l).select(col("id").as(n.v))
+    /** The node-id set a pattern node constrains to (label and/or
+      * property map), as a 1-column `id` frame filtered at the node
+      * scan; None when unconstrained. */
+    private def nodeFilterIds(n: NodePat): Option[DataFrame] = {
+      if (n.label.isEmpty && n.props.isEmpty) None
+      else {
+        var nf = nodes
+        n.label.foreach(l => nf = nf.filter(col("label") === l))
+        propsCond(n.props).foreach(c => nf = nf.filter(c))
+        Some(nf.select(col("id")))
+      }
+    }
+
+    /** Semi-join a frame's `as` column down to the ids matching the
+      * pattern node's label/props (no-op when unconstrained). */
+    private def applyNodeFilter(df: DataFrame, n: NodePat, as: String): DataFrame =
+      nodeFilterIds(n) match {
+        case Some(ids) => df.join(ids.select(col("id").as(as)), Seq(as), "left_semi")
+        case None => df
+      }
+
+    private def seedOf(n: NodePat): DataFrame = nodeFilterIds(n) match {
+      case Some(ids) => ids.select(col("id").as(n.v))
       case None => nodes.select(col("id").as(n.v)).distinct()
     }
 
     /** Bounded (from, to) pair set for a hop; a named single hop also
       * carries the edge's property map and event_id for WHERE/RETURN. */
     private def hopPairs(h: EdgePat): DataFrame = {
-      val e0 = h.etype.map(t => edges.filter(col("etype") === t)).getOrElse(edges)
+      val e1 = h.etype.map(t => edges.filter(col("etype") === t)).getOrElse(edges)
+      // inline edge property map `-[:T {k: 'v'}]->` filters at the edge
+      // scan; on a variable-length hop it constrains EVERY traversed
+      // edge (Cypher semantics)
+      val e0 = propsCond(h.props).map(e1.filter).getOrElse(e1)
       h.v match {
         case Some(ev) =>
           // merged edges are unique per (etype, src, dst) — no distinct;
@@ -1215,9 +1301,7 @@ object CypherLite {
           b = b.join(pairs, b(from) === pairs("_from"))
             .drop("_from").withColumnRenamed("_to", to)
         }
-        pats(i + 1).label.foreach { l =>
-          b = b.join(labelIds(l).select(col("id").as(to)), Seq(to), "left_semi")
-        }
+        b = applyNodeFilter(b, pats(i + 1), to)
       }
       b
     }
@@ -1229,11 +1313,7 @@ object CypherLite {
       st.patterns.foreach { case (np, hp) =>
         if (bound == null) bound = walk(seedOf(np.head), np, hp)
         else if (bound.columns.contains(np.head.v)) {
-          np.head.label.foreach { l =>
-            bound = bound.join(labelIds(l).select(col("id").as(np.head.v)),
-              Seq(np.head.v), "left_semi")
-          }
-          bound = walk(bound, np, hp)
+          bound = walk(applyNodeFilter(bound, np.head, np.head.v), np, hp)
         } else {
           val sub = walk(seedOf(np.head), np, hp)
           val shared = bound.columns.intersect(sub.columns).filterNot(_.contains("__")).toSeq
@@ -1274,7 +1354,8 @@ object CypherLite {
       // variable; null seeds simply don't match)
       st.optChains.zipWithIndex.foreach { case ((on, oh), i) =>
         val shared = on.head.v
-        val optSeed = bound.select(col(shared)).distinct()
+        val optSeed = applyNodeFilter(
+          bound.select(col(shared)).distinct(), on.head, shared)
         var opt = walk(optSeed, on, oh)
         chainConds(i).foreach { p => opt = applyPred(opt, p) }
         bound = bound.join(opt, Seq(shared), "left")
@@ -1776,7 +1857,9 @@ object CypherLite {
             s"size() pattern must start at a bound variable, got '$anchor'")
           sizeSeq += 1
           val cn = s"__psize$sizeSeq"
-          var matches = walk(df.select(col(anchor)).distinct(), np, hops)
+          var matches = walk(
+            applyNodeFilter(df.select(col(anchor)).distinct(), np.head, anchor),
+            np, hops)
           innerWhere.foreach { p => matches = applyPred(matches, p) }
           val cnt = matches.groupBy(col(anchor)).agg(count(lit(1)).as(cn))
           df = df.join(cnt, Seq(anchor), "left")
@@ -1940,7 +2023,9 @@ object CypherLite {
             s"exists() pattern must start at a bound variable, got '$anchor'")
           existsSeq += 1
           val flag = s"__exists$existsSeq"
-          var matches = walk(df.select(col(anchor)).distinct(), np, hops)
+          var matches = walk(
+            applyNodeFilter(df.select(col(anchor)).distinct(), np.head, anchor),
+            np, hops)
           innerWhere.foreach { p => matches = applyPred(matches, p) }
           val sub = matches
             .select(col(anchor)).distinct()
@@ -2044,16 +2129,18 @@ object CypherLite {
         case _ => false
       }
       val h = sp.hop
-      val e0 = h.etype.map(t => edges.filter(col("etype") === t)).getOrElse(edges)
+      val e1 = h.etype.map(t => edges.filter(col("etype") === t)).getOrElse(edges)
+      val e0 = propsCond(h.props).map(e1.filter).getOrElse(e1)
       val e = if (h.reverse) e0.select(col("dst").as("src"), col("src").as("dst"))
               else e0.select(col("src"), col("dst"))
       var out =
         if (seedConds.nonEmpty) {
           // pinned source — one single-source BFS
           val seedId = seedConds.head.asInstanceOf[Leaf].c.value
-          // source label check (if the pinned node lacks the label → empty)
-          val seedOk = sp.a.label.forall(l =>
-            nodes.filter(col("label") === l && col("id") === seedId).limit(1).count() == 1)
+          // source label/props check (pinned node must satisfy them,
+          // else the match is empty)
+          val seedOk = (sp.a.label.isEmpty && sp.a.props.isEmpty) ||
+            nodeFilterIds(sp.a).get.filter(col("id") === seedId).limit(1).count() == 1
           val spark = nodes.sparkSession
           import spark.implicits._
           val seed = Seq(seedId).toDF("id")
@@ -2075,10 +2162,7 @@ object CypherLite {
             .withColumnRenamed("id", sp.b.v)
             .withColumnRenamed("path", sp.pathVar)
         }
-      sp.b.label.foreach { l =>
-        out = out.join(nodes.filter(col("label") === l).select(col("id").as(sp.b.v)),
-          Seq(sp.b.v), "left_semi")
-      }
+      out = applyNodeFilter(out, sp.b, sp.b.v)
       rest.foreach { p => out = applyPred(out, p) }
       val cols = q.ret.map { it =>
         (it.agg, it.v, it.prop) match {

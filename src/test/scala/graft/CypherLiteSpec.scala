@@ -1379,4 +1379,111 @@ class CypherLiteSpec extends SparkSpec {
     }
     assert(err.getMessage.contains("date anchor"))
   }
+
+  // ---- inline property maps: (p:Process {image: 'x'}) — the
+  // reference's own MERGE idiom (events.py:75-257) ----
+
+  /** An image value carried by some process that has a CONNECTED_TO
+    * edge (so map-vs-WHERE comparisons are non-vacuous). */
+  private lazy val connectedImage: String = {
+    val (nodes, _) = graph
+    et("CONNECTED_TO").select(col("src").as("id"))
+      .join(nodes.filter(col("label") === "Process"), Seq("id"), "left_semi")
+      .join(nodes, Seq("id"))
+      .select(element_at(col("props"), "image").as("img"))
+      .filter(col("img").isNotNull && !col("img").contains("'"))
+      .limit(1).collect().head.getString(0)
+  }
+
+  test("node property-map pattern equals the WHERE spelling") {
+    val (nodes, edges) = graph
+    val viaMap = CypherLite.run(nodes, edges,
+      s"MATCH (p:Process {image: '$connectedImage'})-[:CONNECTED_TO]->(ip:Ip) " +
+        "RETURN DISTINCT p, ip")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    val viaWhere = CypherLite.run(nodes, edges,
+      "MATCH (p:Process)-[:CONNECTED_TO]->(ip:Ip) " +
+        s"WHERE p.image = '$connectedImage' RETURN DISTINCT p, ip")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(viaMap == viaWhere && viaMap.nonEmpty)
+  }
+
+  test("edge property-map pattern equals WHERE on the edge variable") {
+    val (nodes, edges) = graph
+    val viaMap = CypherLite.run(nodes, edges,
+      "MATCH (p:Process)-[r:CONNECTED_TO {dport: '443'}]->(ip:Ip) " +
+        "RETURN DISTINCT p, ip")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    val viaWhere = CypherLite.run(nodes, edges,
+      "MATCH (p:Process)-[r:CONNECTED_TO]->(ip:Ip) WHERE r.dport = '443' " +
+        "RETURN DISTINCT p, ip")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(viaMap == viaWhere && viaMap.nonEmpty)
+    // numeric literal compares through a double cast (dport is stored
+    // as a string property)
+    val viaNum = CypherLite.run(nodes, edges,
+      "MATCH (p:Process)-[r:CONNECTED_TO {dport: 443}]->(ip:Ip) " +
+        "RETURN DISTINCT p, ip")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(viaNum == viaWhere)
+  }
+
+  test("anonymous interior node with a property map filters mid-chain") {
+    val (nodes, edges) = graph
+    val got = CypherLite.run(nodes, edges,
+      s"MATCH (t:Trace)-[:HAS_PROCESS]->(:Process {image: '$connectedImage'}) " +
+        "RETURN DISTINCT t")
+      .collect().map(_.getString(0)).toSet
+    val procs = nodes.filter(col("label") === "Process" &&
+        element_at(col("props"), "image") === connectedImage)
+      .select(col("id").as("p"))
+    val want = et("HAS_PROCESS").select(col("src").as("t"), col("dst").as("p"))
+      .join(procs, Seq("p"), "left_semi")
+      .select(col("t")).distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(got == want && got.nonEmpty)
+  }
+
+  test("property map inside exists() and the bare pattern predicate") {
+    val (nodes, edges) = graph
+    val want = CypherLite.run(nodes, edges,
+      "MATCH (p:Process) " +
+        "WHERE EXISTS { MATCH (p)-[r:CONNECTED_TO]->(i) WHERE r.dport = '443' } " +
+        "RETURN DISTINCT p")
+      .collect().map(_.getString(0)).toSet
+    val viaExists = CypherLite.run(nodes, edges,
+      "MATCH (p:Process) WHERE exists((p)-[:CONNECTED_TO {dport: '443'}]->()) " +
+        "RETURN DISTINCT p")
+      .collect().map(_.getString(0)).toSet
+    val viaBare = CypherLite.run(nodes, edges,
+      "MATCH (p:Process) WHERE (p)-[:CONNECTED_TO {dport: '443'}]->() " +
+        "RETURN DISTINCT p")
+      .collect().map(_.getString(0)).toSet
+    assert(viaExists == want && viaBare == want && want.nonEmpty)
+  }
+
+  test("property-map values keep spaces and brackets inside quotes") {
+    import spark.implicits._
+    val nodes = Seq(("Doc", "d1", Map("title" -> "a b)] c")),
+      ("Doc", "d2", Map("title" -> "other")))
+      .toDF("label", "id", "props")
+    val edges = Seq(("REFS", "d1", "d2", 1, Map.empty[String, String]))
+      .toDF("etype", "src", "dst", "event_id", "props")
+    val got = CypherLite.run(nodes, edges,
+      "MATCH (d:Doc {title: 'a b)] c'})-[:REFS]->(x) RETURN d, x")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(got == Seq(("d1", "d2")))
+    // and through the predicate-position pattern scanner too
+    val viaPred = CypherLite.run(nodes, edges,
+      "MATCH (d:Doc) WHERE (d:Doc {title: 'a b)] c'})-[:REFS]->() RETURN d")
+      .collect().map(_.getString(0)).toSeq
+    assert(viaPred == Seq("d1"))
+  }
+
+  test("parser rejects malformed property maps") {
+    intercept[IllegalArgumentException](
+      CypherLite.parse("MATCH (p:Process {image: cmd}) RETURN p"))
+    intercept[IllegalArgumentException](
+      CypherLite.parse("MATCH (p:Process {image 'x'}) RETURN p"))
+  }
 }
