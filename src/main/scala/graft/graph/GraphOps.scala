@@ -404,9 +404,19 @@ object GraphOps {
     * EXACT when `roots` = all vertices; a deterministic root sample
     * gives the standard Brandes estimate (scale path — cost is
     * O(levels) joins per round over |roots|-keyed state, never a
-    * per-root loop). */
+    * per-root loop).
+    *
+    * `undirectedInput = true` is an OPT-IN shortcut for symmetric edge
+    * lists (e.g. via [[undirected]]): BFS dedup then anti-joins only
+    * the last TWO level frames (in an undirected graph a neighbor of a
+    * depth-(d−1) node sits at depth d−2, d−1, or d). Passing true for
+    * a DIRECTED graph silently produces wrong dist/sigma — nodes
+    * re-reached across a depth gap > 2 re-enter the BFS — so the
+    * default is false (correct for any input; undirected inputs merely
+    * pay the larger dedup). Ids of any type are compared as strings
+    * (the output id column is string). */
   def betweenness(edges: DataFrame, roots: DataFrame, maxIter: Int = 20,
-                  halve: Boolean = true, undirectedInput: Boolean = true): DataFrame = {
+                  halve: Boolean = true, undirectedInput: Boolean = false): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
     // Dense LONG vertex ids for the whole iteration: every shuffle,
@@ -417,7 +427,8 @@ object GraphOps {
     // to |E|), broadcast into the three encode/decode joins; the
     // zipWithIndex pass is the same densification the GraphX bridge
     // uses. Ids are decoded back to strings only on the |V|-row result.
-    val eStr = edges.select(col("src"), col("dst"))
+    val eStr = edges.select(col("src").cast("string").as("src"),
+        col("dst").cast("string").as("dst"))
       .persist(StorageLevel.MEMORY_AND_DISK) // raw, possibly with dup edges:
     // the dedup `distinct` runs AFTER encoding, on packed longs — a
     // string-keyed distinct over |E| was the single most expensive
@@ -426,18 +437,26 @@ object GraphOps {
       .union(eStr.select(col("dst").as("id"))).distinct()
       .rdd.map(_.getString(0)).zipWithIndex()
       .toDF("id", "vid").persist(StorageLevel.MEMORY_AND_DISK)
-    // Join strategy for the per-level edge joins is left to Catalyst's
-    // cached-frame statistics: the packed-long encoded frame commonly
-    // sits under the broadcast threshold, and a LONG-keyed broadcast
-    // relation builds cheaply enough that per-level-job rebuilds beat
-    // the alternatives (measured: forcing SHUFFLE_HASH with the edge
-    // side pre-partitioned+cached by join key was ~1.7× slower, and a
-    // STRING-keyed forced broadcast before densification was 3-4×
-    // slower). Past the threshold — cluster-scale |E| — the planner
-    // falls back to shuffle joins, which is the right plan there.
+    // Encode-join strategy: the dictionary broadcast is COUNT-GATED,
+    // not forced unconditionally — an explicit broadcast() hint
+    // overrides autoBroadcastJoinThreshold and never falls back, so at
+    // cluster scale (|V| ~ 10⁸–10⁹, a dictionary of tens of GB) a
+    // forced hint would OOM the driver. Under the gate the hint is the
+    // measured win (the dict is persisted but its stats aren't known
+    // until materialized, so without the hint the first encode plans
+    // sort-merge); past it the joins go through the planner, which
+    // picks shuffle joins — the right plan there. The count() also
+    // materializes the dict cache, so the per-level joins below see
+    // real statistics.
+    val nV = dict.count()
+    val broadcastDictMax = 10L * 1000 * 1000 // ~hundreds of MB of strings
+    def encSide(keyAs: String, vidAs: String) = {
+      val side = dict.select(col("id").as(keyAs), col("vid").as(vidAs))
+      if (nV <= broadcastDictMax) broadcast(side) else side
+    }
     val e = eStr
-      .join(broadcast(dict.select(col("id").as("src"), col("vid").as("src_vid"))), Seq("src"))
-      .join(broadcast(dict.select(col("id").as("dst"), col("vid").as("dst_vid"))), Seq("dst"))
+      .join(encSide("src", "src_vid"), Seq("src"))
+      .join(encSide("dst", "dst_vid"), Seq("dst"))
       .select(col("src_vid").as("src"), col("dst_vid").as("dst"))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -455,8 +474,8 @@ object GraphOps {
     // of leaf references and the dedup union stays genuinely lazy
     // (the r5 win that IS kept — no O(levels²) re-materialization).
     var frontier = graft.Borrow.severLazy(
-      roots.select(col("id")).distinct()
-        .join(broadcast(dict), Seq("id")) // roots outside the graph seed nothing either way
+      roots.select(col("id").cast("string").as("id")).distinct()
+        .join(encSide("id", "vid"), Seq("id")) // roots outside the graph seed nothing either way
         .select(col("vid").as("root"), col("vid").as("id"), lit(0).as("dist"),
           lit(1L).as("sigma")))
     var levels = List(frontier) // head = deepest when the loop ends
@@ -550,8 +569,9 @@ object GraphOps {
         .select(col("id"),
           round(coalesce(col("b"), lit(0.0)) / lit(if (halve) 2.0 else 1.0), 6)
             .as("betweenness"))
-    val dec = dict.select(col("id").as("str_id"), col("vid"))
-    val summed = summedVid.join(broadcast(dec), summedVid("id") === dec("vid"))
+    val dec0 = dict.select(col("id").as("str_id"), col("vid"))
+    val dec = if (nV <= broadcastDictMax) broadcast(dec0) else dec0
+    val summed = summedVid.join(dec, summedVid("id") === dec0("vid"))
       .select(col("str_id").as("id"), col("betweenness"))
     // materialize (small: |V| rows) before releasing the borrows —
     // the whole lazy backward sweep executes HERE as one job. The

@@ -166,7 +166,8 @@ object GraphQueries {
       .filter(col("l_partkey") % 200 === 0)
       .select(concat(lit("p:"), col("l_partkey")).as("id")).distinct()
     GraphOps.betweenness(
-        GraphOps.undirected(TestGraph.partSupplierEdges(s, dir)), roots, maxIter = 10)
+        GraphOps.undirected(TestGraph.partSupplierEdges(s, dir)), roots, maxIter = 10,
+        undirectedInput = true) // edges symmetrized above → 2-frame dedup is safe
       .filter(col("betweenness") > 0)
       .orderBy(col("id"))
   }

@@ -240,7 +240,7 @@ class GraphOpsSpec extends SparkSpec {
   test("betweenness (Brandes): exact on path, star, and cycle fixtures") {
     def bc(edges: org.apache.spark.sql.DataFrame, ids: Seq[String]): Map[String, Double] = {
       val und = GraphOps.undirected(edges)
-      GraphOps.betweenness(und, ids.toDF("id"))
+      GraphOps.betweenness(und, ids.toDF("id"), undirectedInput = true)
         .collect().map(r => (r.getString(0), r.getDouble(1))).toMap
     }
     // path a-b-c-d: b and c each sit on 2 pairs ((a,c),(a,d)) / ((b,d),(a,d))
@@ -258,9 +258,40 @@ class GraphOpsSpec extends SparkSpec {
     // path, b sits on (a,c),(a,d) one-directionally → 2/2 = 1
     val sampled = GraphOps.betweenness(
         GraphOps.undirected(edgeDf("a" -> "b", "b" -> "c", "c" -> "d")),
-        Seq("a").toDF("id"))
+        Seq("a").toDF("id"), undirectedInput = true)
       .collect().map(r => (r.getString(0), r.getDouble(1))).toMap
     assert(sampled("b") == 1.0 && sampled("c") == 0.5 && sampled("a") == 0.0)
+  }
+
+  test("betweenness: directed graph is correct under the safe default") {
+    // a→b→c→d→x plus the shortcut a→x: x is reachable at depths 1 and
+    // 4 — a depth gap > 2, exactly the case the two-frame undirected
+    // dedup shortcut would get wrong (x re-enters the BFS and inflates
+    // sigma). The default (full dedup) must stay exact.
+    val e = edgeDf("a" -> "b", "b" -> "c", "c" -> "d", "d" -> "x", "a" -> "x")
+    val got = GraphOps.betweenness(e, Seq("a", "b", "c", "d", "x").toDF("id"),
+        halve = false)
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toMap
+    // hand-computed directed Brandes: b on (a,c),(a,d); c on
+    // (a,d),(b,d),(b,x); d on (b,x),(c,x); a→x is the direct edge
+    assert(got == Map("a" -> 0.0, "b" -> 2.0, "c" -> 3.0, "d" -> 2.0, "x" -> 0.0))
+    // on genuinely symmetric input, the opt-in two-frame shortcut and
+    // the full dedup agree
+    val und = GraphOps.undirected(edgeDf("a" -> "b", "b" -> "c", "c" -> "d"))
+    val ids = Seq("a", "b", "c", "d").toDF("id")
+    val full = GraphOps.betweenness(und, ids)
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toMap
+    val fast = GraphOps.betweenness(und, ids, undirectedInput = true)
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toMap
+    assert(full == fast && full("b") == 2.0)
+  }
+
+  test("betweenness: non-string vertex ids are compared as strings") {
+    val ei = Seq((1, 2), (2, 3)).toDF("src", "dst")
+    val got = GraphOps.betweenness(GraphOps.undirected(ei),
+        Seq(1, 2, 3).toDF("id"), undirectedInput = true)
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toMap
+    assert(got == Map("1" -> 0.0, "2" -> 1.0, "3" -> 0.0))
   }
 
   test("harmonic centrality: hand-computed path graph, exact-integer sum") {
