@@ -78,6 +78,7 @@ object SparkEntry {
     "g_sssp"       -> (GraphQueries.gSssp _),
     "g_nodesim"    -> (GraphQueries.gNodesim _),
     "g_paths"      -> (GraphQueries.gPaths _),
+    "g_allpaths"   -> (GraphQueries.gAllPaths _),
     "g_lpa"        -> (GraphQueries.gLpa _),
     "g_clustercoef" -> (GraphQueries.gClusterCoef _),
     "g_closeness"  -> (GraphQueries.gCloseness _),
@@ -612,6 +613,21 @@ object SparkEntry {
         |    row_number() OVER (PARTITION BY id ORDER BY dist, path) AS rn
         |  FROM walk)
         |SELECT id, CAST(dist AS INT) AS dist, path FROM best WHERE rn = 1 ORDER BY id""".stripMargin,
+    "g_allpaths" ->
+      """WITH RECURSIVE edges AS (
+        |  SELECT 'r:'||n_regionkey AS src, 'n:'||n_nationkey AS dst FROM nation
+        |  UNION ALL SELECT 'n:'||c_nationkey, 'c:'||c_custkey FROM customer
+        |  UNION ALL SELECT 'c:'||o_custkey, 'o:'||o_orderkey FROM orders
+        |), walk AS (
+        |  SELECT 'r:'||r_regionkey AS root, 'r:'||r_regionkey AS id,
+        |         0 AS dist, 'r:'||r_regionkey AS path FROM region
+        |  UNION
+        |  SELECT w.root, e.dst, w.dist+1, w.path || '>' || e.dst
+        |  FROM walk w JOIN edges e ON w.id = e.src WHERE w.dist < 3
+        |), md AS (SELECT root, id, min(dist) AS dist FROM walk GROUP BY 1,2)
+        |SELECT w.root, w.id, CAST(w.dist AS INT) AS dist, w.path
+        |FROM walk w JOIN md ON w.root=md.root AND w.id=md.id AND w.dist=md.dist
+        |ORDER BY 1, 2, 4""".stripMargin,
     "g_topdeg" ->
       """SELECT l_partkey, count(DISTINCT l_suppkey) AS n_supp FROM lineitem
         |GROUP BY 1 ORDER BY n_supp DESC, l_partkey LIMIT 10""".stripMargin,

@@ -142,7 +142,10 @@ import org.apache.spark.sql.functions._
   *    ([[GraphOps.bfsPaths]]); UNPINNED, the all-pairs form — every
   *    node matching a's label is a root — compiled to ONE multi-
   *    source keyed BFS ([[GraphOps.bfsPathsFrom]], never a per-root
-  *    loop). Per-hop greedy lexicographic tie-break either way;
+  *    loop). `allShortestPaths((a)-[:T*]->(b))` is the keep-every-tie
+  *    variant ([[GraphOps.bfsAllPathsFrom]]): one row per tied
+  *    minimal-length path. Per-hop greedy lexicographic tie-break
+  *    for the single-path form;
   *    `RETURN` may use `a`, `b`, their props, `p` (the '>'-joined
   *    path string), `length(p)`, `nodes(p)` (the node-id array), and
   *    `relationships(p)` (one `src-[TYPE]->dst` string per step)
@@ -278,7 +281,11 @@ object CypherLite {
     })
   }
 
-  final case class ShortestPat(pathVar: String, a: NodePat, hop: EdgePat, b: NodePat)
+  /** `all = true` for `allShortestPaths(...)`: keep EVERY tied
+    * minimal-length path per endpoint pair, not the per-hop-greedy
+    * minimum. */
+  final case class ShortestPat(pathVar: String, a: NodePat, hop: EdgePat, b: NodePat,
+                               all: Boolean = false)
 
   /** One MATCH stage: main chains + optional chains + WHERE. */
   final case class MatchStage(patterns: Seq[(Seq[NodePat], Seq[EdgePat])],
@@ -964,12 +971,12 @@ object CypherLite {
     val text = q.trim.replaceAll("\\s+", " ")
     var anonId = 0
     val anon = () => { anonId += 1; s"_anon$anonId" }
-    val mShortest = """(?i)MATCH (\w+) = shortestPath\((.+?)\)(?: WHERE (.+?))? RETURN (DISTINCT )?(.+?)(?: ORDER BY (.+?))?(?: SKIP (\d+))?(?: LIMIT (\d+))?\s*$""".r
+    val mShortest = """(?i)MATCH (\w+) = (shortestPath|allShortestPaths)\((.+?)\)(?: WHERE (.+?))? RETURN (DISTINCT )?(.+?)(?: ORDER BY (.+?))?(?: SKIP (\d+))?(?: LIMIT (\d+))?\s*$""".r
     val mTail = """(?i)^(.+?) RETURN (DISTINCT )?(.+?)(?: ORDER BY (.+?))?(?: SKIP (\d+))?(?: LIMIT (\d+))?\s*$""".r
     val mStage1 = """(?i)^MATCH (.+?)(?: WHERE (.+))?$""".r
     val mWithSeg = """(?i)^(.+?)(?: WHERE (.+?))?(?: ORDER BY (.+?))?(?: SKIP (\d+))?(?: LIMIT (\d+))?(?: WHERE (.+?))?(?: MATCH (.+?)(?: WHERE (.+))?)?$""".r
     text match {
-      case mShortest(pathVar, pattern, whereOrNull, distinctOrNull, retPart, orderOrNull, skipOrNull, limitOrNull) =>
+      case mShortest(pathVar, fn, pattern, whereOrNull, distinctOrNull, retPart, orderOrNull, skipOrNull, limitOrNull) =>
         val st = parseMatchStage(pattern, whereOrNull, Set.empty, anon)
         require(st.patterns.size == 1 && st.patterns.head._1.size == 2 &&
           st.optChains.isEmpty,
@@ -981,7 +988,8 @@ object CypherLite {
           orderBy = parseOrder(orderOrNull),
           skip = Option(skipOrNull).map(_.toInt),
           limit = Option(limitOrNull).map(_.toInt),
-          sp = Some(ShortestPat(pathVar, nodes.head, hops.head, nodes(1))))
+          sp = Some(ShortestPat(pathVar, nodes.head, hops.head, nodes(1),
+            all = fn.equalsIgnoreCase("allShortestPaths"))))
       case mTail(head, distinctOrNull, retPart, orderOrNull, skipOrNull, limitOrNull) =>
         // pipeline separators: WITH and UNWIND stages, in textual order.
         // The lookbehinds keep the separator from matching the " WITH "
@@ -2144,7 +2152,10 @@ object CypherLite {
           val spark = nodes.sparkSession
           import spark.implicits._
           val seed = Seq(seedId).toDF("id")
-          val r = GraphOps.bfsPaths(e, seed, maxIter = h.max)
+          val paths =
+            if (sp.all) GraphOps.bfsAllPathsFrom(e, seed, maxIter = h.max).drop("root")
+            else GraphOps.bfsPaths(e, seed, maxIter = h.max)
+          val r = paths
             .filter(col("dist") >= h.min && col("dist") <= h.max)
             .withColumnRenamed("id", sp.b.v)
             .withColumnRenamed("path", sp.pathVar)
@@ -2154,9 +2165,11 @@ object CypherLite {
           // unpinned — ALL-PAIRS shortest paths from every node matching
           // a's label, as ONE multi-source keyed BFS (never a per-root
           // loop); the reached-pair space is the same bounded transitive
-          // closure a variable-length hop materializes
-          GraphOps.bfsPathsFrom(e, seedOf(sp.a).select(col(sp.a.v).as("id")),
-              maxIter = h.max)
+          // closure a variable-length hop materializes.
+          // allShortestPaths keeps every tied path per pair.
+          val from = seedOf(sp.a).select(col(sp.a.v).as("id"))
+          (if (sp.all) GraphOps.bfsAllPathsFrom(e, from, maxIter = h.max)
+           else GraphOps.bfsPathsFrom(e, from, maxIter = h.max))
             .filter(col("dist") >= h.min && col("dist") <= h.max)
             .withColumnRenamed("root", sp.a.v)
             .withColumnRenamed("id", sp.b.v)

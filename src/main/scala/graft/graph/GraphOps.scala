@@ -328,6 +328,55 @@ object GraphOps {
     visited
   }
 
+  /** ALL shortest paths (Cypher `allShortestPaths` parity): every
+    * minimal-length path for every (root, reached) pair, as ONE
+    * multi-source keyed frontier. Same loop as [[bfsPathsFrom]], but
+    * the per-depth step keeps EVERY distinct path instead of the
+    * per-hop-greedy minimum — a node first reached at depth d emits
+    * one row per tied path. The anti-join is on (root, id) KEYS (kept
+    * separately from the multi-row path state), so later depths never
+    * re-reach a node, exactly like the single-path variant.
+    *
+    * Scale note: the number of tied paths per pair is σ — the Brandes
+    * shortest-path COUNT — which grows combinatorially on
+    * diamond-dense graphs; the frontier carries one row per (root,
+    * node, path). Keep `maxIter` tight (Cypher callers bound it with
+    * the hop pattern) and treat the output as per-pair enumerable, the
+    * same contract Neo4j's allShortestPaths has. */
+  def bfsAllPathsFrom(edges: DataFrame, sources: DataFrame, maxIter: Int = 20): DataFrame = {
+    val e = edges.select(col("src"), col("dst")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var frontier = sources.select(col("id")).distinct()
+      .select(col("id").as("root"), col("id"), lit(0).as("dist"),
+        col("id").cast("string").as("path"))
+      .localCheckpoint()
+    var visitedKeys = frontier.select(col("root"), col("id")).localCheckpoint()
+    var acc = frontier
+    var frontierCount = frontier.count()
+    var depth = 0
+    while (depth < maxIter && frontierCount > 0) {
+      depth += 1
+      val next = frontier.join(e, frontier("id") === e("src"))
+        .select(col("root"), e("dst").as("id"),
+          concat(col("path"), lit(">"), e("dst")).as("path"))
+        .distinct() // parallel edges collapse; genuinely distinct ties stay
+        .join(visitedKeys, Seq("root", "id"), "left_anti")
+        .withColumn("dist", lit(depth))
+        .select(col("root"), col("id"), col("dist"), col("path"))
+        .localCheckpoint(false) // lazy: count below materializes
+      frontierCount = next.count()
+      if (frontierCount > 0) {
+        visitedKeys = visitedKeys
+          .unionByName(next.select(col("root"), col("id")).distinct())
+          .localCheckpoint()
+        acc = acc.unionByName(next) // union of checkpointed leaves: plan stays flat
+      }
+      frontier = next
+    }
+    e.unpersist()
+    acc
+  }
+
   /** Multi-source BFS DISTANCES: every (root, reached, dist) triple
     * for the given roots, as ONE keyed frontier (the [[bfsPathsFrom]]
     * loop without path strings — state rows are (root, id, dist), one

@@ -187,6 +187,18 @@ object GraphQueries {
       .orderBy(col("id"))
   }
 
+  /** B13b — allShortestPaths parity: every tied minimal path from each
+    * region root over the region→nation→customer→order hierarchy, one
+    * multi-source keyed BFS. The hierarchy is a forest (ties are pinned
+    * by the diamond fixture spec); this entry gates the multi-root
+    * plumbing against a recursive-CTE oracle. */
+  def gAllPaths(s: SparkSession, dir: String): DataFrame = {
+    val roots = graft.Tables.region(s, dir)
+      .select(concat(lit("r:"), col("r_regionkey")).as("id"))
+    GraphOps.bfsAllPathsFrom(TestGraph.hierarchyEdges(s, dir), roots, maxIter = 3)
+      .orderBy(col("root"), col("id"), col("path"))
+  }
+
   /** B14 — deterministic label-propagation communities on the
     * part—supplier graph: community sizes, largest first (rows-only:
     * iterative mode-of-neighbors has no tractable SQL twin; the

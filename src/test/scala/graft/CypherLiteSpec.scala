@@ -428,6 +428,38 @@ class CypherLiteSpec extends SparkSpec {
     assert(got == want && got.nonEmpty)
   }
 
+  test("allShortestPaths keeps tied paths; pinned and unpinned agree") {
+    import spark.implicits._
+    // diamond a→{b,c}→d: two tied 2-hop paths
+    val nodes = Seq("a", "b", "c", "d")
+      .map(i => ("N", i, Map.empty[String, String]))
+      .toDF("label", "id", "props")
+    val edges = Seq(("E", "a", "b"), ("E", "a", "c"), ("E", "b", "d"), ("E", "c", "d"))
+      .map { case (t, s, d) => (t, s, d, 1, Map.empty[String, String]) }
+      .toDF("etype", "src", "dst", "event_id", "props")
+    val pinned = CypherLite.run(nodes, edges,
+      "MATCH p = allShortestPaths((a)-[:E*1..4]->(b)) " +
+        "WHERE a.id = 'a' AND b.id = 'd' RETURN p ORDER BY p")
+      .collect().map(_.getString(0)).toSeq
+    assert(pinned == Seq("a>b>d", "a>c>d"))
+    // the single-path form keeps only the greedy minimum
+    val single = CypherLite.run(nodes, edges,
+      "MATCH p = shortestPath((a)-[:E*1..4]->(b)) " +
+        "WHERE a.id = 'a' AND b.id = 'd' RETURN p")
+      .collect().map(_.getString(0)).toSeq
+    assert(single == Seq("a>b>d"))
+    // unpinned multi-root: the (a, d) rows equal the pinned result,
+    // and length(p) decomposes like shortestPath's
+    val unpinned = CypherLite.run(nodes, edges,
+      "MATCH p = allShortestPaths((x:N)-[:E*1..4]->(y)) " +
+        "RETURN x, y, p, length(p) AS len ORDER BY x, y, p")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(unpinned.filter(t => t._1 == "a" && t._2 == "d").map(_._3).toSeq == pinned)
+    assert(unpinned.filter(t => t._1 == "a" && t._2 == "d").forall(_._4 == 2L))
+    // b and c each reach d by one path; nothing is lost or duplicated
+    assert(unpinned.count(t => t._2 == "d") == 4)
+  }
+
   test("RETURN expression items: arithmetic with coercion, aliased and ordered") {
     val (nodes, edges) = graph
     val got = CypherLite.run(nodes, edges,

@@ -263,6 +263,33 @@ class GraphOpsSpec extends SparkSpec {
     assert(sampled("b") == 1.0 && sampled("c") == 0.5 && sampled("a") == 0.0)
   }
 
+  test("bfsAllPathsFrom: double diamond keeps every tied shortest path") {
+    // a→{b,c}→d→{e,f}→g: 2 tied paths to d, 4 to g — checked against
+    // an in-memory BFS replay that enumerates all shortest paths
+    val pairs = Seq("a" -> "b", "a" -> "c", "b" -> "d", "c" -> "d",
+      "d" -> "e", "d" -> "f", "e" -> "g", "f" -> "g")
+    val got = GraphOps.bfsAllPathsFrom(edgeDf(pairs: _*), Seq("a").toDF("id"))
+      .collect().map(r => (r.getString(1), r.getInt(2), r.getString(3))).toSet
+    val adj = pairs.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val want = scala.collection.mutable.Set(("a", 0, "a"))
+    val dist = scala.collection.mutable.Map("a" -> 0)
+    var frontier = Map("a" -> Seq("a"))
+    var d = 0
+    while (frontier.nonEmpty) {
+      d += 1
+      val ext = frontier.toSeq.flatMap { case (u, ps) =>
+        adj.getOrElse(u, Nil).flatMap(v => ps.map(p => (v, p + ">" + v)))
+      }.filter { case (v, _) => !dist.contains(v) }
+      frontier = ext.groupBy(_._1).map { case (v, vs) => v -> vs.map(_._2).distinct }
+      frontier.foreach { case (v, ps) =>
+        dist += v -> d
+        ps.foreach(p => want += ((v, d, p)))
+      }
+    }
+    assert(got == want.toSet && got.count(_._1 == "g") == 4 &&
+      got.count(_._1 == "d") == 2)
+  }
+
   test("betweenness: directed graph is correct under the safe default") {
     // a→b→c→d→x plus the shortcut a→x: x is reachable at depths 1 and
     // 4 — a depth gap > 2, exactly the case the two-frame undirected
