@@ -234,6 +234,160 @@ object GraphOps {
     labels
   }
 
+  /** B21 — Louvain modularity communities, as keyed frames.
+    *
+    * Parallel Louvain: per LEVEL, a few rounds of simultaneous local
+    * moves (each node scores every neighbor community c by the
+    * standard gain  k_{u,c} − k_u·Σ'_tot(c)/2m  and moves to the
+    * argmax when it strictly beats staying), then the graph CONTRACTS
+    * — communities become super-nodes, parallel edges sum their
+    * weights, internal edges accumulate into self-loop weight — and
+    * the next level runs on the (much smaller) contracted graph.
+    *
+    * Determinism + convergence: simultaneous moves oscillate on
+    * symmetric shapes (two nodes endlessly swapping into each other's
+    * community), so rounds alternate move DIRECTION — even rounds take
+    * only moves to a smaller community id, odd rounds only to a larger
+    * one (a hash-parity gate is NOT enough: two same-parity nodes can
+    * still pairwise-swap; opposite directions cannot). Deterministic
+    * across runs; gain ties break to the smallest community id, and
+    * community labels canonicalize to the smallest member id at each
+    * contraction.
+    *
+    * Scale shape: every step is an equi-join + aggregation keyed on
+    * node or community id over the CURRENT level's edge frame —
+    * nothing is per-community or driver-side, and each contraction
+    * shrinks the frame the next level iterates on (the classic Louvain
+    * cost profile: level 1 dominates). Input edges are symmetrized and
+    * deduplicated here; weights are 1 per undirected edge. Returns
+    * (id, community) for every non-isolated vertex, community = the
+    * smallest member id. */
+  def louvain(edges0: DataFrame, maxLevels: Int = 2, moveIters: Int = 3): DataFrame = {
+    var e = undirected(edges0.select(col("src").cast("string").as("src"),
+        col("dst").cast("string").as("dst")))
+      .filter(col("src") =!= col("dst"))
+      .withColumn("w", lit(1.0))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // per-super-node internal (self-loop) weight; zero at level 0
+    var self = e.select(col("src").as("id")).distinct()
+      .withColumn("sw", lit(0.0)).localCheckpoint()
+    var mapping = e.select(col("src").as("id")).distinct()
+      .select(col("id").as("orig"), col("id").as("cur")).localCheckpoint()
+    // 2m: conserved across contractions (edge weight folds into self
+    // weight, both count twice in Σk) — one job for the whole run
+    val m2 = e.agg(sum(col("w"))).collect()(0).getDouble(0)
+    var level = 0
+    var done = false
+    while (level < maxLevels && !done) {
+      level += 1
+      // comm state carries (id, cu, k) in ONE checkpointed frame — k is
+      // constant within a level, and riding along kills two joins per
+      // move round; k_u = adjacent weight + twice the internal weight
+      var comm = e.groupBy(col("src").as("id")).agg(sum(col("w")).as("kadj"))
+        .join(self, Seq("id"), "full")
+        .select(col("id"), col("id").as("cu"),
+          (coalesce(col("kadj"), lit(0.0)) + lit(2.0) * coalesce(col("sw"), lit(0.0))).as("k"))
+        .localCheckpoint()
+      var moves = 1L
+      var it = 0
+      while (it < moveIters && moves > 0) {
+        // Σ_tot per community (small: ≤ |V| rows, broadcastable)
+        val ctot = comm.groupBy(col("cu").as("c")).agg(sum(col("k")).as("tot"))
+        // weight from u into each NEIGHBOR community, scored in place;
+        // u's own community (when adjacent) scores with Σ'_tot = tot−k
+        val nbr = e.join(comm.select(col("id").as("dst"), col("cu").as("c")), Seq("dst"))
+          .groupBy(col("src").as("id"), col("c")).agg(sum(col("w")).as("wc"))
+          .join(ctot, Seq("c")).join(comm, Seq("id"))
+          .withColumn("gain", col("wc") - col("k") *
+            when(col("c") === col("cu"), col("tot") - col("k")).otherwise(col("tot")) / lit(m2))
+        // ONE aggregation yields both the argmax move target (gain desc,
+        // community id asc on ties) and the stay-gain when u has
+        // neighbors at home; the no-home-neighbor stay-gain (wc = 0)
+        // is computed directly from Σ_tot(cu) below
+        val agg = nbr.groupBy(col("id")).agg(
+          min_by(struct(col("c").as("c"), col("gain").as("g")),
+            struct((-col("gain")).as("ng"), col("c").as("tc"))).as("b"),
+          max(when(col("c") === col("cu"), col("gain"))).as("ghome"))
+        val dirOk = if (it % 2 == 0) col("b.c") < col("cu") else col("b.c") > col("cu")
+        val nxt = comm
+          .join(ctot.select(col("c").as("cu"), col("tot").as("totcu")), Seq("cu"))
+          .join(agg, Seq("id"), "left") // isolated supers have no nbr rows
+          .withColumn("gstay",
+            coalesce(col("ghome"), -col("k") * (col("totcu") - col("k")) / lit(m2)))
+          .withColumn("cnext",
+            when(col("b").isNotNull && col("b.c") =!= col("cu") &&
+                col("b.g") > col("gstay") + lit(1e-9) && dirOk,
+              col("b.c")).otherwise(col("cu")))
+          .select(col("id"), col("cu"), col("cnext"), col("k"))
+          .localCheckpoint()
+        moves = nxt.filter(col("cnext") =!= col("cu")).count()
+        comm = nxt.select(col("id"), col("cnext").as("cu"), col("k"))
+        it += 1
+      }
+      // canonical label = smallest member id (deterministic across runs)
+      val canon = comm.groupBy(col("cu")).agg(min(col("id")).as("cc"))
+      val assign = comm.join(canon, Seq("cu"))
+        .select(col("id"), col("cc").as("c")).localCheckpoint()
+      mapping = mapping.join(assign.select(col("id").as("cur"), col("c")), Seq("cur"))
+        .select(col("orig"), col("c").as("cur")).localCheckpoint()
+      val cnt = assign.agg(count(lit(1)).as("n"), countDistinct(col("c")).as("nc"))
+        .collect()(0)
+      val (nNodes, nComms) = (cnt.getLong(0), cnt.getLong(1))
+      if (nComms == nNodes) done = true // no merge anywhere → converged
+      else {
+        // contract: communities become super-nodes; internal edges
+        // (counted twice in the symmetric list) fold into self weight
+        val a2 = assign
+        val eC = e.join(a2.select(col("id").as("src"), col("c").as("cs")), Seq("src"))
+          .join(a2.select(col("id").as("dst"), col("c").as("cd")), Seq("dst"))
+          .select(col("cs"), col("cd"), col("w"))
+        val newSelf = eC.filter(col("cs") === col("cd"))
+          .groupBy(col("cs").as("id")).agg((sum(col("w")) / 2).as("swe"))
+          .join(self.join(a2, Seq("id"))
+            .groupBy(col("c").as("id")).agg(sum(col("sw")).as("sws")), Seq("id"), "full")
+          .select(col("id"),
+            (coalesce(col("swe"), lit(0.0)) + coalesce(col("sws"), lit(0.0))).as("sw"))
+          .localCheckpoint()
+        val newE = eC.filter(col("cs") =!= col("cd"))
+          .groupBy(col("cs").as("src"), col("cd").as("dst")).agg(sum(col("w")).as("w"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        newE.count() // materialize before the old level frame goes away
+        e.unpersist()
+        e = newE
+        self = newSelf
+      }
+    }
+    e.unpersist()
+    mapping.select(col("orig").as("id"), col("cur").as("community"))
+  }
+
+  /** Newman modularity Q of a community assignment over an unweighted
+    * undirected graph: Q = Σ_in/m − Σ_c (Σ_tot(c)/2m)². Edges are
+    * symmetrized/deduplicated like [[louvain]]'s input (self-loops
+    * dropped); `assign` is (id, community). The [[louvain]] spec pins
+    * monotonicity against this. */
+  def modularity(edges0: DataFrame, assign: DataFrame): Double = {
+    val e = undirected(edges0.select(col("src").cast("string").as("src"),
+        col("dst").cast("string").as("dst")))
+      .filter(col("src") =!= col("dst"))
+      .withColumn("w", lit(1.0))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val a = assign.select(col("id").cast("string").as("id"),
+      col("community").cast("string").as("c"))
+    val m2 = e.agg(sum(col("w"))).collect()(0).getDouble(0) // symmetric list = 2m
+    val internal = e // both endpoints in the same community: = 2·Σ_in
+      .join(a.select(col("id").as("src"), col("c").as("cs")), Seq("src"))
+      .join(a.select(col("id").as("dst"), col("c").as("cd")), Seq("dst"))
+      .filter(col("cs") === col("cd"))
+      .agg(coalesce(sum(col("w")), lit(0.0))).collect()(0).getDouble(0)
+    val sumTot2 = e.groupBy(col("src").as("id")).agg(sum(col("w")).as("k"))
+      .join(a, Seq("id"))
+      .groupBy(col("c")).agg(sum(col("k")).as("tot"))
+      .agg(coalesce(sum(col("tot") * col("tot")), lit(0.0))).collect()(0).getDouble(0)
+    e.unpersist()
+    internal / m2 - sumTot2 / (m2 * m2)
+  }
+
   /** Neo4j-GDS-style node similarity: Jaccard over out-neighbor sets
     * for every source pair sharing at least one neighbor. Delegates to
     * [[graft.operators.JaccardJoin.exactPairs]] (items = neighbors):

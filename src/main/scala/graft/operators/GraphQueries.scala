@@ -208,6 +208,15 @@ object GraphQueries {
       .groupBy(col("community")).agg(count(lit(1)).as("size"))
       .orderBy(col("size").desc, col("community"))
 
+  /** B21 — Louvain modularity communities on the part—supplier graph:
+    * community sizes, largest first (rows-only: local-move +
+    * contraction rounds have no tractable SQL twin; behavior is pinned
+    * by the two-clique fixture + modularity-monotonicity specs). */
+  def gLouvain(s: SparkSession, dir: String): DataFrame =
+    GraphOps.louvain(TestGraph.partSupplierEdges(s, dir))
+      .groupBy(col("community")).agg(count(lit(1)).as("size"))
+      .orderBy(col("size").desc, col("community"))
+
   /** A3 analog (N1) — MERGE first-non-null node semantics: one node per
     * user carrying the properties of its earliest event (`min_by`,
     * map-side partial agg — shuffle is |users|, not |events|). */

@@ -321,6 +321,40 @@ class GraphOpsSpec extends SparkSpec {
     assert(got == Map("1" -> 0.0, "2" -> 1.0, "3" -> 0.0))
   }
 
+  test("louvain: two cliques with a bridge resolve to the two cliques") {
+    def clique(ids: Seq[String]): Seq[(String, String)] =
+      for (i <- ids.indices; j <- i + 1 until ids.size) yield ids(i) -> ids(j)
+    val left = Seq("a", "b", "c", "d")
+    val right = Seq("e", "f", "g", "h")
+    val e = edgeDf(clique(left) ++ clique(right) :+ ("d" -> "e"): _*)
+    val got = GraphOps.louvain(e)
+      .collect().map(r => (r.getString(0), r.getString(1))).toMap
+    assert(got.keySet == (left ++ right).toSet)
+    // each clique lands in ONE community, and the two differ
+    assert(left.map(got).distinct.size == 1)
+    assert(right.map(got).distinct.size == 1)
+    assert(got("a") != got("e"))
+    // community labels are canonical smallest-member ids
+    assert(got("a") == "a" && got("e") == "e")
+  }
+
+  test("louvain: modularity is monotone vs singletons and matches by hand") {
+    val e = edgeDf("a" -> "b", "b" -> "c", "a" -> "c", // triangle
+      "x" -> "y", "y" -> "z", "x" -> "z",              // triangle
+      "c" -> "x")                                      // bridge
+    val assign = GraphOps.louvain(e)
+    val q = GraphOps.modularity(e, assign)
+    val singletons = assign.select(col("id"), col("id").as("community"))
+    val q0 = GraphOps.modularity(e, singletons)
+    assert(q > q0, s"louvain Q=$q must beat singleton Q=$q0")
+    // two triangles + bridge, split at the bridge: m=7,
+    // Q = (3+3)/7 − (7² + 7²)/(2·7)² = 6/7 − 98/196 = 5/14
+    assert(math.abs(q - 5.0 / 14.0) < 1e-9)
+    // hand-checkable singleton value: Q0 = −Σk²/(2m)², degrees
+    // (a,b,y,z)=2 and (c,x)=3 → Σk² = 4·4 + 2·9 = 34
+    assert(math.abs(q0 - (-34.0 / 196.0)) < 1e-9)
+  }
+
   test("harmonic centrality: hand-computed path graph, exact-integer sum") {
     // path a-b-c-d: harmonic(a) = 1 + 1/2 + 1/3 = 1.833333 (rounded),
     // harmonic(b) = 1 + 1 + 1/2 = 2.5
