@@ -1464,6 +1464,14 @@ object CypherLite {
       case PropT(w, None) => btypes.get(w).collect {
         case org.apache.spark.sql.types.ArrayType(et, _) => et }
       case CompT(_, src, _, None) => lamElemType(src, btypes)
+      // builtins with fixed element types — keeps size() dispatch
+      // decidable for the common nested sources
+      case FuncN("split", _) => Some(org.apache.spark.sql.types.StringType)
+      case _: RangeT => Some(org.apache.spark.sql.types.LongType)
+      case ListT(ts) if ts.nonEmpty && ts.forall(_.isInstanceOf[StrT]) =>
+        Some(org.apache.spark.sql.types.StringType)
+      case ListT(ts) if ts.nonEmpty && ts.forall(_.isInstanceOf[NumT]) =>
+        Some(org.apache.spark.sql.types.DoubleType)
       case _ => None
     }
 
@@ -1534,11 +1542,17 @@ object CypherLite {
             case _: ListT | _: RangeT | _: CompT | FuncN("split", _) => size(raw)
             case PropT(w, None) if binds.contains(w) =>
               // dispatch on the recorded element type: a list-typed
-              // variable counts elements, anything else is Cypher's
-              // size(string) = length
+              // variable counts elements, a known scalar is Cypher's
+              // size(string) = length; an UNKNOWN type is a hard error —
+              // silently guessing length() would mis-compute when the
+              // source is list-of-lists
               btypes.get(w) match {
                 case Some(_: org.apache.spark.sql.types.ArrayType) => size(raw)
-                case _ => length(raw)
+                case Some(_) => length(raw)
+                case None => throw new IllegalArgumentException(
+                  s"size($w): '$w' has no statically-known type here (the lambda source's " +
+                    "element type is opaque, e.g. a projecting comprehension); apply size() " +
+                    "to the source list directly or toString() the element for string length")
               }
             case _ => length(raw)
           }

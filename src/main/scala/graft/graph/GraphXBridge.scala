@@ -15,23 +15,38 @@ import org.apache.spark.sql.functions._
   */
 object GraphXBridge {
 
+  private type MemoKey = (SparkSession, org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+  private type MemoVal = (DataFrame, Graph[Unit, Unit])
+
   /** Densification memo keyed by (session, canonicalized edge plan):
     * repeated bridge calls over the same edge frame (the usual shape —
     * cross-checking CC + triangles + SCC on one graph) pay the
     * zipWithIndex dictionary and its two mapping joins ONCE. Stopped
-    * sessions are swept on access (the buildCached pattern). */
-  private val memo = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, org.apache.spark.sql.catalyst.plans.logical.LogicalPlan),
-    (DataFrame, Graph[Unit, Unit])]()
+    * sessions are swept on access (the buildCached pattern), and the
+    * map is LRU-BOUNDED so a long-lived session touching many distinct
+    * edge frames can't grow it without limit; evicted entries' cached
+    * RDD blocks are freed by the ContextCleaner once the last
+    * reference drops (same lifecycle as the rest of the borrow-style
+    * caching here — no eager unpersist, which could race a concurrent
+    * reader of the evicted graph). */
+  private val MemoMax = 16
+  private val memo = new java.util.LinkedHashMap[MemoKey, MemoVal](MemoMax, 0.75f, true) {
+    override def removeEldestEntry(e: java.util.Map.Entry[MemoKey, MemoVal]): Boolean =
+      size() > MemoMax
+  }
 
   /** (vertexDict, graphx Graph) from an edge frame with string src/dst.
     * Memoized per (session, edge plan); the dictionary frame and the
     * graph's RDDs are cached so every algorithm over the same frame
     * reuses one densification. */
-  def toGraphX(edges: DataFrame): (DataFrame, Graph[Unit, Unit]) = {
+  def toGraphX(edges: DataFrame): (DataFrame, Graph[Unit, Unit]) = memo.synchronized {
     val spark = edges.sparkSession
-    memo.forEach((k, v) => if (k._1.sparkContext.isStopped) memo.remove(k, v))
-    memo.computeIfAbsent((spark, edges.queryExecution.analyzed.canonicalized), { _ =>
+    val it = memo.entrySet().iterator()
+    while (it.hasNext) if (it.next().getKey._1.sparkContext.isStopped) it.remove()
+    val key: MemoKey = (spark, edges.queryExecution.analyzed.canonicalized)
+    val hit = memo.get(key)
+    if (hit != null) hit
+    else {
       import spark.implicits._
       val verts = edges.select(col("src").as("id"))
         .union(edges.select(col("dst").as("id")))
@@ -45,9 +60,14 @@ object GraphXBridge {
           col("dst") === col("id2"))
         .select(col("src_vid"), col("dst_vid"))
         .rdd.map(r => Edge(r.getLong(0), r.getLong(1), ()))
-      (dict, Graph.fromEdges(e, ()).cache())
-    })
+      val v: MemoVal = (dict, Graph.fromEdges(e, ()).cache())
+      memo.put(key, v)
+      v
+    }
   }
+
+  /** Test hook: current memo size (for the LRU-bound spec). */
+  private[graft] def memoSize: Int = memo.synchronized(memo.size())
 
   /** Connected components via GraphX Pregel; returns (id, component)
     * with the component labelled by its minimum member id (same

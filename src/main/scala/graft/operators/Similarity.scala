@@ -253,6 +253,15 @@ object Similarity {
     var centroids = collectCentroids(all
       .filter(col("vec_id") % stride === 0 && col("vec_id") < lit(stride * nlist))
       .select((col("vec_id") / stride).cast("int").as("cid"), col("v").as("cv")))
+    // the stride pick assumes vec_ids dense from 0 (a Tables.embeddings
+    // invariant); if the table ever arrives with offset/sparse ids,
+    // don't silently shrink the quantizer — fall back to a bounded
+    // ordered pick of the first nlist vectors (one small TakeOrdered,
+    // only on the degenerate path)
+    if (centroids.length < nlist)
+      centroids = all.orderBy(col("vec_id")).limit(nlist)
+        .select(col("v")).collect().zipWithIndex
+        .map { case (r, i) => i -> r.getSeq[Double](0) }
     // The quantizer rides along as ONE array<struct<cid,cv>> literal —
     // DATA in the plan, not code. The r5 form inlined a separate
     // typedLit vector + native cosine per centroid, so the generated

@@ -1512,6 +1512,30 @@ class CypherLiteSpec extends SparkSpec {
     assert(viaPred == Seq("d1"))
   }
 
+  test("size() over an opaque lambda element type is a clear error, not a guess") {
+    import spark.implicits._
+    val nodes = Seq(("Doc", "d1", Map("tags" -> "a,b;c,d")))
+      .toDF("label", "id", "props")
+    val edges = Seq(("REFS", "d1", "d1", 1, Map.empty[String, String]))
+      .toDF("etype", "src", "dst", "event_id", "props")
+    // inside a nested lambda, a projecting comprehension's element
+    // type is opaque → size(x) must refuse rather than silently
+    // compile to length() (top-level sources resolve from the frame
+    // schema and are unaffected)
+    val err = intercept[IllegalArgumentException] {
+      CypherLite.run(nodes, edges,
+        "MATCH (d:Doc) RETURN [y IN split(d.tags, ';') | reduce(acc = 0, " +
+          "x IN [z IN split(y, ',') | [z]] | acc + size(x))] AS n").collect()
+    }
+    assert(err.getMessage.contains("size(x)"))
+    // known string elements from a nested split still take length()
+    val ok = CypherLite.run(nodes, edges,
+      "MATCH (d:Doc) RETURN [y IN split(d.tags, ';') | reduce(acc = 0, " +
+        "x IN split(y, ',') | acc + size(x))] AS n").collect()
+    // per y-group: 'a,b' → 1+1, 'c,d' → 1+1
+    assert(ok.head.getSeq[Any](0).map(_.toString.toDouble) == Seq(2.0, 2.0))
+  }
+
   test("parser rejects malformed property maps") {
     intercept[IllegalArgumentException](
       CypherLite.parse("MATCH (p:Process {image: cmd}) RETURN p"))

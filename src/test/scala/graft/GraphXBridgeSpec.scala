@@ -98,4 +98,16 @@ class GraphXBridgeSpec extends SparkSpec {
     val (d4, _) = GraphXBridge.toGraphX(other)
     assert(!(d4 eq d1))
   }
+
+  test("memo is LRU-bounded: many distinct edge frames can't grow it past the cap") {
+    val base = Seq(("k0", "k1")).toDF("src", "dst")
+    val (dBase, _) = GraphXBridge.toGraphX(base)
+    (1 to 18).foreach { i =>
+      GraphXBridge.toGraphX(Seq((s"u$i", s"v$i")).toDF("src", "dst"))
+    }
+    assert(GraphXBridge.memoSize <= 16)
+    // the untouched oldest entry was evicted: a re-request rebuilds
+    val (dBase2, _) = GraphXBridge.toGraphX(base)
+    assert(!(dBase2 eq dBase))
+  }
 }
