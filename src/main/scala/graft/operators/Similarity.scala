@@ -305,14 +305,13 @@ object Similarity {
         round(col("cos"), 4).as("cos_sim"))
       .orderBy(col("q_id"), col("rank"))
     if (!reclaim) { all.unpersist(); outRaw } // audit path: full lazy plan
-    else {
+    else
       // materialize the (tiny, ≤ |queries|·k rows) result while `all` is
-      // still cached — unpersisting first would recompute the scan once
-      // per downstream self-reference
-      val out = outRaw.persist()
-      out.count()
-      all.unpersist()
-      out
-    }
+      // still cached, then release it. Borrow.reclaim checkpoints at the
+      // RDD layer rather than persist(): a CacheManager persist of this
+      // plan is canonically identical across calls, so repeated runs
+      // (the bench loop) would both WARN 'already cached' and silently
+      // serve the first run's cached result to later timed runs.
+      graft.Borrow.reclaim(outRaw, all)
   }
 }
