@@ -17,8 +17,8 @@ object Bench {
     "g_pagerank", "g_kcore", "g_lpa",
     // r4 centralities: multi-source-BFS closeness + Brandes betweenness
     "g_closeness", "g_betweenness",
-    // r7: Louvain local-move + contraction rounds
-    "g_louvain",
+    // r7: Louvain local-move + contraction rounds; FastRP embeddings
+    "g_louvain", "g_fastrp",
     // IVF: quantizer training (distributed Lloyd) + probe search
     "e3_ivf",
     // the reference's core workload: full 1202-trace corpus → property

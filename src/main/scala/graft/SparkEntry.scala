@@ -80,6 +80,7 @@ object SparkEntry {
     "g_paths"      -> (GraphQueries.gPaths _),
     "g_allpaths"   -> (GraphQueries.gAllPaths _),
     "g_louvain"    -> (GraphQueries.gLouvain _),
+    "g_fastrp"     -> (GraphQueries.gFastrp _),
     "g_lpa"        -> (GraphQueries.gLpa _),
     "g_clustercoef" -> (GraphQueries.gClusterCoef _),
     "g_closeness"  -> (GraphQueries.gCloseness _),

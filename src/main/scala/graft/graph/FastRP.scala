@@ -1,0 +1,115 @@
+package graft.graph
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** B23 — FastRP node embeddings (Chen et al. 2019, the GDS-catalog
+  * staple): iterated degree-normalized neighbor averaging over a
+  * sparse random projection, producing one dense vector per node.
+  * Closes the graph→embedding→ANN loop: the output column feeds the
+  * E-suite (brute-force / LSH / IVF cosine search) directly.
+  *
+  * Algorithm: each node starts from a deterministic sparse random
+  * vector r_i with entries in {−√s, 0, +√s} (P[±√s] = 1/2s — the
+  * Achlioptas/very-sparse projection); iteration k replaces every
+  * vector with its neighbors' sum, L2-normalized (the paper's
+  * degree-normalizing division is a per-id scalar scale, absorbed by
+  * the normalization); the final embedding is the weighted sum
+  * Σ_k w_k·e^(k), L2-normalized again.
+  *
+  * Scale shape: vectors live as EXPLODED (id, pos, val) scalar rows
+  * through the whole iteration — every aggregation buffer is one
+  * double (the same rule that keeps E3's Lloyd step OOM-free; a
+  * collect_list-of-arrays would hold a neighborhood of vectors in one
+  * buffer). Per iteration: one equi-join of the d-exploded state
+  * against the edge list, one (id, pos) sum, one (id) norm
+  * aggregation — shuffle-bounded, never per-node. Row amplification
+  * is d× the edge list; d is the knob (GDS defaults 128-256; pick to
+  * executor budget). Randomness is xxhash64-derived from (id, pos) —
+  * deterministic across runs and partitionings; float-SUM ordering is
+  * the only nondeterminism, so consumers compare with tolerance, not
+  * hashes.
+  *
+  * Input edges are symmetrized + deduplicated here (undirected
+  * semantics, like [[GraphOps.louvain]]); ids of any type compare as
+  * strings.
+  */
+object FastRP {
+
+  /** Node embeddings for the graph; returns (id, embedding) with
+    * `embedding: array<double>` L2-normalized (zero-degree nodes keep
+    * their normalized random base vector).
+    *
+    * @param dim        embedding width d
+    * @param weights    one weight per neighbor-averaging iteration
+    *                   (its length is the iteration count; GDS-style
+    *                   default emphasizes 2-3 hop structure)
+    * @param sparsity   s in the ±√s/0 projection (P[nonzero] = 1/s)
+    */
+  def embed(edges0: DataFrame, dim: Int = 64,
+            weights: Seq[Double] = Seq(0.0, 1.0, 1.0),
+            sparsity: Int = 3, seed: Long = 42L): DataFrame = {
+    require(dim > 0 && weights.nonEmpty && sparsity >= 2)
+    val e = GraphOps.undirected(edges0.select(col("src").cast("string").as("src"),
+        col("dst").cast("string").as("dst")))
+      .filter(col("src") =!= col("dst"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // exploded base state: one row per (id, pos) — the sparse random
+    // projection, derived from a hash so it's reproducible anywhere
+    val h = xxhash64(col("id"), col("pos"), lit(seed))
+    val bucket = pmod(h, lit(2L * sparsity))
+    val root = math.sqrt(sparsity.toDouble)
+    val base = e.select(col("src").as("id")).distinct()
+      .select(col("id"), explode(sequence(lit(0), lit(dim - 1))).as("pos"))
+      .withColumn("val",
+        when(bucket === 0, lit(root))
+          .when(bucket === 1, lit(-root))
+          .otherwise(lit(0.0)))
+    // L2-normalize per id as a WINDOW over the exploded rows — one
+    // id-shuffle, no join (the degree-normalizing division the paper
+    // writes is a per-id scalar scale, so per-id L2 normalization
+    // absorbs it — the /deg never needs computing)
+    val byId = org.apache.spark.sql.expressions.Window.partitionBy(col("id"))
+    def normalized(st: DataFrame): DataFrame = st
+      .withColumn("nrm", sqrt(sum(col("val") * col("val")).over(byId)))
+      .select(col("id"), col("pos"),
+        when(col("nrm") > 0, col("val") / col("nrm")).otherwise(lit(0.0)).as("val"))
+    var state = normalized(base).localCheckpoint()
+    // acc accumulates Σ w_k e^(k) in the exploded representation
+    var acc: DataFrame = null
+    weights.foreach { w =>
+      // neighbor sum (≙ average under the normalization above), then
+      // L2 normalize — two shuffles per iteration, zero joins beyond
+      // the edge join itself
+      val msgs = e.join(state.withColumnRenamed("id", "src"), Seq("src"))
+        .groupBy(col("dst").as("id"), col("pos")).agg(sum(col("val")).as("val"))
+      state = normalized(msgs).localCheckpoint()
+      if (w != 0.0) {
+        val contrib = state.select(col("id"), col("pos"), (col("val") * w).as("val"))
+        acc = if (acc == null) contrib
+          else acc.unionByName(contrib)
+            .groupBy(col("id"), col("pos")).agg(sum(col("val")).as("val"))
+      }
+    }
+    require(acc != null, "at least one iteration weight must be nonzero")
+    val fin = normalized(acc)
+    // assemble arrays: the collect buffer holds d scalars per node —
+    // bounded by dim, not by the corpus or the neighborhood
+    val out = fin
+      .groupBy(col("id"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("val")))).as("pv"))
+      .select(col("id"),
+        expr("transform(pv, x -> x.val)").as("embedding"))
+    graft.Borrow.reclaim(out, e)
+  }
+
+  /** Cosine similarity over two embedding columns (arrays of equal
+    * length) — the bridge into the E-suite's score shapes. */
+  def cosineCol(a: Column, b: Column): Column = {
+    val dot = aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (s, x) => s + x)
+    val na = sqrt(aggregate(zip_with(a, a, (x, y) => x * y), lit(0.0), (s, x) => s + x))
+    val nb = sqrt(aggregate(zip_with(b, b, (x, y) => x * y), lit(0.0), (s, x) => s + x))
+    when(na > 0 && nb > 0, dot / (na * nb)).otherwise(lit(0.0))
+  }
+}

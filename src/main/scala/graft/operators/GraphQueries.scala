@@ -217,6 +217,29 @@ object GraphQueries {
       .groupBy(col("community")).agg(count(lit(1)).as("size"))
       .orderBy(col("size").desc, col("community"))
 
+  /** B23 — FastRP node embeddings, composed with the E-suite shape:
+    * embed the part—supplier graph, then top-3 cosine neighbors for a
+    * deterministic query sample (broadcast queries, one corpus pass,
+    * window top-k — E1's plan). Rows-only: float-sum ordering forbids
+    * a hash oracle; the algorithm is pinned by the clique-structure
+    * spec. */
+  def gFastrp(s: SparkSession, dir: String): DataFrame = {
+    val emb = graft.graph.FastRP.embed(TestGraph.partSupplierEdges(s, dir), dim = 32)
+      .persist()
+    val q = emb.filter(pmod(xxhash64(col("id")), lit(50)) === 0)
+      .select(col("id").as("q_id"), col("embedding").as("qe"))
+    val scored = emb.join(broadcast(q), col("id") =!= col("q_id"))
+      .select(col("q_id"), col("id"),
+        graft.graph.FastRP.cosineCol(col("qe"), col("embedding")).as("cos"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("cos").desc, col("id"))
+    val out = scored
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= 3)
+      .select(col("q_id"), col("rank"), col("id").as("neighbor"))
+      .orderBy(col("q_id"), col("rank"))
+    graft.Borrow.reclaim(out, emb)
+  }
+
   /** A3 analog (N1) — MERGE first-non-null node semantics: one node per
     * user carrying the properties of its earliest event (`min_by`,
     * map-side partial agg — shuffle is |users|, not |events|). */
