@@ -283,10 +283,14 @@ object GraphOps {
       // comm state carries (id, cu, k) in ONE checkpointed frame — k is
       // constant within a level, and riding along kills two joins per
       // move round; k_u = adjacent weight + twice the internal weight
-      var comm = e.groupBy(col("src").as("id")).agg(sum(col("w")).as("kadj"))
-        .join(self, Seq("id"), "full")
-        .select(col("id"), col("id").as("cu"),
-          (coalesce(col("kadj"), lit(0.0)) + lit(2.0) * coalesce(col("sw"), lit(0.0))).as("k"))
+      // (level 1 has no internal weight yet — skip the self join on
+      // the biggest level's frame)
+      val kBase = e.groupBy(col("src").as("id")).agg(sum(col("w")).as("kadj"))
+      var comm = (if (level == 1)
+          kBase.select(col("id"), col("id").as("cu"), col("kadj").as("k"))
+        else kBase.join(self, Seq("id"), "full")
+          .select(col("id"), col("id").as("cu"),
+            (coalesce(col("kadj"), lit(0.0)) + lit(2.0) * coalesce(col("sw"), lit(0.0))).as("k")))
         .localCheckpoint()
       var moves = 1L
       var it = 0
@@ -333,7 +337,10 @@ object GraphOps {
       val cnt = assign.agg(count(lit(1)).as("n"), countDistinct(col("c")).as("nc"))
         .collect()(0)
       val (nNodes, nComms) = (cnt.getLong(0), cnt.getLong(1))
-      if (nComms == nNodes) done = true // no merge anywhere → converged
+      // stop on no merge (converged) or a MARGINAL contraction: when
+      // fewer than 5% of nodes merged, another level of move rounds on
+      // a barely-smaller graph buys noise, not modularity
+      if (nComms >= (nNodes * 0.95).toLong) done = true
       else {
         // contract: communities become super-nodes; internal edges
         // (counted twice in the symmetric list) fold into self weight

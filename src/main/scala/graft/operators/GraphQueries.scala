@@ -230,7 +230,9 @@ object GraphQueries {
       .select(col("id").as("q_id"), col("embedding").as("qe"))
     val scored = emb.join(broadcast(q), col("id") =!= col("q_id"))
       .select(col("q_id"), col("id"),
-        graft.graph.FastRP.cosineCol(col("qe"), col("embedding")).as("cos"))
+        // native codegen cosine (graft.functions.CosineSimilarity) —
+        // the HOF zip_with/aggregate twin interprets per element
+        graft.functions.VectorFunctions.cosine_sim(s, col("qe"), col("embedding")).as("cos"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("q_id")).orderBy(col("cos").desc, col("id"))
     val out = scored
