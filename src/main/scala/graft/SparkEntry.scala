@@ -81,6 +81,7 @@ object SparkEntry {
     "g_allpaths"   -> (GraphQueries.gAllPaths _),
     "g_louvain"    -> (GraphQueries.gLouvain _),
     "g_fastrp"     -> (GraphQueries.gFastrp _),
+    "sg_merge"     -> (GraphQueries.sgMerge _),
     "g_lpa"        -> (GraphQueries.gLpa _),
     "g_clustercoef" -> (GraphQueries.gClusterCoef _),
     "g_closeness"  -> (GraphQueries.gCloseness _),
@@ -615,6 +616,9 @@ object SparkEntry {
         |    row_number() OVER (PARTITION BY id ORDER BY dist, path) AS rn
         |  FROM walk)
         |SELECT id, CAST(dist AS INT) AS dist, path FROM best WHERE rn = 1 ORDER BY id""".stripMargin,
+    "sg_merge" ->
+      """SELECT event_type AS t, count(DISTINCT user_id) AS n FROM events
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "g_allpaths" ->
       """WITH RECURSIVE edges AS (
         |  SELECT 'r:'||n_regionkey AS src, 'n:'||n_nationkey AS dst FROM nation

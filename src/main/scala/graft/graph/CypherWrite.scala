@@ -1,0 +1,322 @@
+package graft.graph
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Cypher WRITE surface: `MERGE` / `MATCH` / `ON CREATE SET` /
+  * `ON MATCH SET` / `SET` statements against the (nodes, edges) frame
+  * pair — the reference's own ETL idiom (events.py:75-257 is a library
+  * of exactly these statements, run once per span against Neo4j).
+  *
+  * Spark-first semantics: a statement compiles to a KEYED BATCH UPSERT
+  * over a PARAMETER FRAME — one row per `$param` binding set, the
+  * whole batch applied in one pass of joins/aggregations. The
+  * reference's per-event `session.run(cypher, **params)` loop is the
+  * scale anti-pattern this replaces (SysmonGraph's batch build is the
+  * native equivalent; this surface exists so reference-shaped MERGE
+  * text runs verbatim). A literal statement with no `$params` is just
+  * a one-row batch.
+  *
+  * Supported clause sequence (whitespace-insensitive, case-insensitive
+  * keywords):
+  *   - `MERGE (v:Label {k: $p|'lit'|num, …})` — node upsert; the FIRST
+  *     map entry is the node's identity (its value becomes `id`); all
+  *     entries land in `props`.
+  *   - `MATCH (v:Label {…})` — bind an EXISTING node; parameter rows
+  *     whose match misses contribute nothing downstream (Cypher's
+  *     inner-match semantics).
+  *   - `MERGE (a)-[r:TYPE {…}]->(b)` — edge upsert keyed on
+  *     (etype, src, dst); endpoints must be variables bound above.
+  *   - `ON CREATE SET` / `ON MATCH SET` / `SET` with comma-separated
+  *     `v.prop = $p | 'lit' | num | coalesce($p, v.prop)` items — the
+  *     last form is the reference's keep-old-when-param-null idiom and
+  *     compiles to exactly that (a null param never erases a stored
+  *     prop).
+  *   - `WITH …` — scope carry; variables stay bound here, so it parses
+  *     and is ignored.
+  *
+  * Batch semantics: rows apply in parameter-frame ROW ORDER per key
+  * (last non-null wins per prop — matching the reference's sequential
+  * event application); re-running a statement is idempotent when its
+  * SET values are. One deliberate divergence from row-at-a-time
+  * execution: created-vs-matched is decided against the PRE-batch
+  * graph, so when one batch both creates a key and "re-merges" it,
+  * every row's ON CREATE entries fold into the creation and ON MATCH
+  * entries of later rows do not fire (a second `merge` call applies
+  * them). Map override relies on the session's
+  * `spark.sql.mapKeyDedupPolicy = LAST_WIN` (GraftSession sets it; the
+  * same dependency SysmonGraph documents).
+  *
+  * Scale shape: per node/edge variable, one groupBy over the parameter
+  * batch + one outer join against the graph frame — never a per-row
+  * round-trip; 10⁹-row parameter frames shuffle like any other keyed
+  * upsert.
+  */
+object CypherWrite {
+
+  // ---------------------------------------------------------------- AST
+
+  private sealed trait Value
+  private final case class Param(name: String) extends Value
+  private final case class Lit(s: String) extends Value
+
+  private final case class SetItem(v: String, prop: String, value: Value,
+                                   keepOldOnNull: Boolean)
+  private final case class NodeClause(v: String, label: String,
+                                      props: Seq[(String, Value)], create: Boolean)
+  private final case class EdgeClause(rv: Option[String], etype: String,
+                                      a: String, b: String,
+                                      props: Seq[(String, Value)])
+  private final case class Stmt(nodes: Seq[NodeClause], edges: Seq[EdgeClause],
+                                onCreate: Seq[SetItem], onMatch: Seq[SetItem],
+                                always: Seq[SetItem])
+
+  // ---------------------------------------------------------------- parse
+
+  private val NodePatRe =
+    """\(\s*(\w+)\s*:\s*(\w+)\s*\{([^}]*)\}\s*\)""".r
+  private val EdgePatRe =
+    """\(\s*(\w+)\s*\)\s*-\s*\[\s*(\w+)?\s*:\s*(\w+)\s*(\{[^}]*\})?\s*\]\s*->\s*\(\s*(\w+)\s*\)""".r
+  private val MapEntryRe = """(\w+)\s*:\s*(\$\w+|'[^']*'|-?\d+(?:\.\d+)?)""".r
+  private val SetItemRe =
+    """(\w+)\.(\w+)\s*=\s*(?:coalesce\(\s*(\$\w+)\s*,\s*\1\.\2\s*\)|(\$\w+|'[^']*'|-?\d+(?:\.\d+)?))""".r
+
+  private def parseValue(s: String): Value = s.trim match {
+    case p if p.startsWith("$") => Param(p.substring(1))
+    case q if q.startsWith("'") && q.endsWith("'") => Lit(q.substring(1, q.length - 1))
+    case n => Lit(n)
+  }
+
+  private def parseMap(body0: String): Seq[(String, Value)] = {
+    val body = body0.trim.stripPrefix("{").stripSuffix("}")
+    val entries = MapEntryRe.findAllMatchIn(body).map { m =>
+      m.group(1) -> parseValue(m.group(2))
+    }.toSeq
+    // reject silently-dropped garbage: rebuild minus matched text must
+    // leave only separators
+    val leftover = MapEntryRe.replaceAllIn(body, "").replaceAll("[\\s,]", "")
+    require(leftover.isEmpty, s"bad property-map entry near: $body")
+    entries
+  }
+
+  private def parseStatement(statement: String): Stmt = {
+    val text = statement.trim.replaceAll("\\s+", " ")
+    val kw = """(?i)\b(MERGE|MATCH|ON CREATE SET|ON MATCH SET|SET|WITH)\b""".r
+    val ms = kw.findAllMatchIn(text).toSeq
+    require(ms.nonEmpty, s"no MERGE/MATCH clause in: $statement")
+    require(ms.head.start == 0, s"statement must start with a clause keyword: $statement")
+    val nodes = scala.collection.mutable.Buffer.empty[NodeClause]
+    val edges = scala.collection.mutable.Buffer.empty[EdgeClause]
+    val onCreate = scala.collection.mutable.Buffer.empty[SetItem]
+    val onMatch = scala.collection.mutable.Buffer.empty[SetItem]
+    val always = scala.collection.mutable.Buffer.empty[SetItem]
+    val bound = scala.collection.mutable.Set.empty[String]
+    ms.zipWithIndex.foreach { case (m, i) =>
+      val body = text.substring(m.end,
+        if (i + 1 < ms.size) ms(i + 1).start else text.length).trim
+      m.group(1).toUpperCase match {
+        case "MERGE" | "MATCH" =>
+          val create = m.group(1).equalsIgnoreCase("MERGE")
+          body match {
+            case EdgePatRe(a, rvOrNull, t, mapOrNull, b) =>
+              require(create, "MATCH on an edge pattern is not supported here")
+              require(bound(a) && bound(b),
+                s"edge endpoints '$a'/'$b' must be bound by earlier MERGE/MATCH clauses")
+              edges += EdgeClause(Option(rvOrNull), t, a, b,
+                Option(mapOrNull).map(parseMap).getOrElse(Nil))
+              Option(rvOrNull).foreach(bound += _)
+            case NodePatRe(v, label, mapBody) =>
+              val props = parseMap(mapBody)
+              require(props.nonEmpty,
+                s"node pattern ($v:$label) needs at least an identity property")
+              nodes += NodeClause(v, label, props, create)
+              bound += v
+            case other => throw new IllegalArgumentException(
+              s"unsupported ${m.group(1)} pattern: $other")
+          }
+        case setKw @ ("ON CREATE SET" | "ON MATCH SET" | "SET") =>
+          // paren/quote-aware comma split: coalesce($p, v.prop) must
+          // not break at its inner comma
+          val parts = {
+            val out = scala.collection.mutable.Buffer.empty[String]
+            val sb = new StringBuilder
+            var depth = 0; var inQ = false
+            body.foreach {
+              case '\'' => inQ = !inQ; sb += '\''
+              case c @ '(' if !inQ => depth += 1; sb += c
+              case c @ ')' if !inQ => depth -= 1; sb += c
+              case ',' if depth == 0 && !inQ => out += sb.toString; sb.clear()
+              case c => sb += c
+            }
+            out += sb.toString
+            out.toSeq
+          }
+          val items = parts.map(_.trim).filter(_.nonEmpty).map {
+            case SetItemRe(v, prop, coalesceParam, valueOrNull) =>
+              require(bound(v), s"SET target '$v' is not bound")
+              if (coalesceParam != null)
+                SetItem(v, prop, Param(coalesceParam.substring(1)), keepOldOnNull = true)
+              else SetItem(v, prop, parseValue(valueOrNull), keepOldOnNull = false)
+            case other => throw new IllegalArgumentException(
+              s"unsupported SET item: $other (expected v.prop = $$p | 'lit' | num " +
+                "| coalesce($p, v.prop))")
+          }
+          setKw match {
+            case "ON CREATE SET" => onCreate ++= items
+            case "ON MATCH SET"  => onMatch ++= items
+            case _               => always ++= items
+          }
+        case "WITH" => () // scope carry — variables stay bound
+      }
+    }
+    Stmt(nodes.toSeq, edges.toSeq, onCreate.toSeq, onMatch.toSeq, always.toSeq)
+  }
+
+  // ---------------------------------------------------------------- exec
+
+  private def valueCol(v: Value): Column = v match {
+    case Param(n) => col(n).cast("string")
+    case Lit(s)   => lit(s)
+  }
+
+  /** Null-free string map from (key, value) pairs — a null param simply
+    * contributes no entry (so it can never erase on concat). */
+  private def mapOf(entries: Seq[(String, Value)]): Column =
+    if (entries.isEmpty) expr("cast(map() as map<string,string>)")
+    else map_filter(
+      map(entries.flatMap { case (k, v) => Seq(lit(k), valueCol(v)) }: _*),
+      (_, x) => x.isNotNull)
+
+  /** Fold an ord-sorted array of struct(ord, m: map) with LAST_WIN
+    * concat — batch rows apply in row order per key. */
+  private def foldMaps(arr: Column): Column = {
+    // comparator on ord alone — default struct ordering rejects the
+    // map field
+    val sorted = array_sort(arr, (l, r) =>
+      when(l.getField("ord") < r.getField("ord"), -1)
+        .when(l.getField("ord") > r.getField("ord"), 1)
+        .otherwise(0))
+    aggregate(sorted, expr("cast(map() as map<string,string>)"),
+      (acc, x) => map_concat(acc, x.getField("m")))
+  }
+
+  /** Apply a parsed statement over the parameter frame. Returns the
+    * updated (nodes, edges). */
+  def merge(nodes: DataFrame, edges: DataFrame, statement: String,
+            params: DataFrame): (DataFrame, DataFrame) = {
+    val st = parseStatement(statement)
+    val pm = params.withColumn("_ord", monotonically_increasing_id())
+
+    def setsFor(v: String, items: Seq[SetItem]): Seq[(String, Value)] =
+      items.filter(_.v == v).map(it => it.prop -> it.value)
+
+    // ---- node phase: one upsert per distinct merge/match variable ----
+    var outNodes = nodes
+    // per-variable per-row id expr (needed again in the edge phase)
+    val idExprs: Map[String, Column] = st.nodes.map { nc =>
+      nc.v -> valueCol(nc.props.head._2)
+    }.toMap
+    val labels: Map[String, String] = st.nodes.map(nc => nc.v -> nc.label).toMap
+    val matchOnly: Set[String] = st.nodes.filterNot(_.create).map(_.v).toSet
+
+    st.nodes.foreach { nc =>
+      val createEntries = nc.props ++ setsFor(nc.v, st.onCreate) ++
+        setsFor(nc.v, st.always)
+      val matchEntries = setsFor(nc.v, st.onMatch) ++ setsFor(nc.v, st.always)
+      val cand = pm
+        .select(idExprs(nc.v).as("id"), col("_ord"),
+          mapOf(createEntries).as("cm"), mapOf(matchEntries).as("mm"))
+        .filter(col("id").isNotNull)
+        .groupBy(col("id"))
+        .agg(
+          foldMaps(collect_list(struct(col("_ord").as("ord"), col("cm").as("m")))).as("cm"),
+          foldMaps(collect_list(struct(col("_ord").as("ord"), col("mm").as("m")))).as("mm"))
+      if (nc.create) {
+        val keyed = cand.select(col("id"), lit(nc.label).as("label"),
+          col("cm"), col("mm"))
+        val updated = outNodes.join(
+            keyed.select(col("id"), col("label"), col("mm")), Seq("id", "label"), "left")
+          .select(col("label"), col("id"),
+            when(col("mm").isNotNull, map_concat(col("props"), col("mm")))
+              .otherwise(col("props")).as("props"))
+        val created = keyed
+          .join(outNodes.select(col("id"), col("label")), Seq("id", "label"), "left_anti")
+          .select(col("label"), col("id"), col("cm").as("props"))
+        outNodes = updated.unionByName(created)
+      } else {
+        // MATCH: apply ON MATCH/SET items to existing nodes only
+        val mm = cand.select(col("id"), lit(nc.label).as("label"), col("mm"))
+        outNodes = outNodes.join(mm, Seq("id", "label"), "left")
+          .select(col("label"), col("id"),
+            when(col("mm").isNotNull, map_concat(col("props"), col("mm")))
+              .otherwise(col("props")).as("props"))
+      }
+    }
+
+    // ---- edge phase: upsert keyed on (etype, src, dst) ----
+    var outEdges = edges
+    st.edges.foreach { ec =>
+      val createEntries = ec.props ++
+        ec.rv.toSeq.flatMap(v => setsFor(v, st.onCreate) ++ setsFor(v, st.always))
+      val matchEntries =
+        ec.rv.toSeq.flatMap(v => setsFor(v, st.onMatch) ++ setsFor(v, st.always))
+      var cand0 = pm.select(
+        idExprs(ec.a).as("src"), idExprs(ec.b).as("dst"), col("_ord"),
+        mapOf(createEntries).as("cm"), mapOf(matchEntries).as("mm"))
+        .filter(col("src").isNotNull && col("dst").isNotNull)
+      // MATCH-bound endpoints: rows whose node lookup (over the
+      // post-node-phase frame) missed drop out
+      Seq(ec.a -> "src", ec.b -> "dst").foreach { case (v, side) =>
+        if (matchOnly(v)) {
+          val ids = outNodes.filter(col("label") === labels(v)).select(col("id").as(side))
+          cand0 = cand0.join(ids, Seq(side), "left_semi")
+        }
+      }
+      val cand = cand0
+        .groupBy(col("src"), col("dst"))
+        .agg(
+          foldMaps(collect_list(struct(col("_ord").as("ord"), col("cm").as("m")))).as("cm"),
+          foldMaps(collect_list(struct(col("_ord").as("ord"), col("mm").as("m")))).as("mm"))
+        .select(lit(ec.etype).as("etype"), col("src"), col("dst"), col("cm"), col("mm"))
+      val updated = outEdges.join(cand.select(col("etype"), col("src"), col("dst"),
+            col("mm")), Seq("etype", "src", "dst"), "left")
+        .select(col("etype"), col("src"), col("dst"), col("event_id"),
+          when(col("mm").isNotNull, map_concat(col("props"), col("mm")))
+            .otherwise(col("props")).as("props"))
+      val created = cand
+        .join(outEdges.select(col("etype"), col("src"), col("dst")),
+          Seq("etype", "src", "dst"), "left_anti")
+        .select(col("etype"), col("src"), col("dst"),
+          lit(0).as("event_id"), col("cm").as("props"))
+      outEdges = updated.unionByName(created)
+    }
+    (outNodes, outEdges)
+  }
+
+  /** One-shot form: a literal statement, or one `$param` binding set. */
+  def mergeOne(nodes: DataFrame, edges: DataFrame, statement: String,
+               params: Map[String, String] = Map.empty): (DataFrame, DataFrame) = {
+    val spark = nodes.sparkSession
+    val row = org.apache.spark.sql.Row.fromSeq(params.values.toSeq)
+    val schema = org.apache.spark.sql.types.StructType(params.keys.toSeq.map(k =>
+      org.apache.spark.sql.types.StructField(k, org.apache.spark.sql.types.StringType)))
+    val p = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(row), 1), schema)
+    merge(nodes, edges, statement,
+      if (params.isEmpty) spark.range(1).toDF("_dummy") else p)
+  }
+
+  /** Empty graph frames with the engine's node/edge schemas — the
+    * starting point for a pure-Cypher-built graph. */
+  def emptyGraph(spark: SparkSession): (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.types._
+    val n = spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("label", StringType), StructField("id", StringType),
+        StructField("props", MapType(StringType, StringType)))))
+    val e = spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("etype", StringType), StructField("src", StringType),
+        StructField("dst", StringType), StructField("event_id", IntegerType),
+        StructField("props", MapType(StringType, StringType)))))
+    (n, e)
+  }
+}

@@ -242,6 +242,23 @@ object GraphQueries {
     graft.Borrow.reclaim(out, emb)
   }
 
+  /** J6 — Cypher WRITE surface end-to-end: build a graph from a
+    * reference-shaped MERGE statement batched over the events table
+    * (one parameter row per event), then read it back through
+    * CypherLite. Edge MERGE dedups (user, type) pairs, so the oracle
+    * is count(DISTINCT user) per type — a full write→read SQL gate. */
+  def sgMerge(s: SparkSession, dir: String): DataFrame = {
+    val (n0, e0) = graft.graph.CypherWrite.emptyGraph(s)
+    val params = graft.Tables.events(s, dir)
+      .select(col("user_id").cast("string").as("uid"), col("event_type").as("et"))
+    val (n1, e1) = graft.graph.CypherWrite.merge(n0, e0,
+      """MERGE (u:User {uid: $uid})
+        |MERGE (t:EType {name: $et})
+        |MERGE (u)-[:DID]->(t)""".stripMargin, params)
+    graft.graph.CypherLite.run(n1, e1,
+      "MATCH (u:User)-[:DID]->(t:EType) RETURN t, count(*) AS n ORDER BY t")
+  }
+
   /** A3 analog (N1) — MERGE first-non-null node semantics: one node per
     * user carrying the properties of its earliest event (`min_by`,
     * map-side partial agg — shuffle is |users|, not |events|). */

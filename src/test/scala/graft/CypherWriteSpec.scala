@@ -1,0 +1,125 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.graph.{CypherLite, CypherWrite}
+
+/** CypherWrite MERGE semantics on reference-shaped statements
+  * (events.py's own idioms), checked against hand-applied expected
+  * graphs and read back through CypherLite. */
+class CypherWriteSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def nodeMap(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => (r.getAs[String]("label"), r.getAs[String]("id")) ->
+      r.getAs[Map[String, String]]("props")).toMap
+
+  test("reference idiom: MERGE + ON CREATE SET + ON MATCH SET coalesce") {
+    val (n0, e0) = CypherWrite.emptyGraph(spark)
+    val stmt =
+      """MERGE (p:Process {key: $key})
+        |ON CREATE SET p.image = $image, p.CommandLine = $CommandLine
+        |ON MATCH SET p.image = coalesce($image, p.image),
+        |             p.CommandLine = coalesce($CommandLine, p.CommandLine)""".stripMargin
+    // create
+    val (n1, e1) = CypherWrite.mergeOne(n0, e0, stmt,
+      Map("key" -> "t1:100", "image" -> "cmd.exe", "CommandLine" -> "cmd /c whoami"))
+    assert(nodeMap(n1) == Map(("Process", "t1:100") ->
+      Map("key" -> "t1:100", "image" -> "cmd.exe", "CommandLine" -> "cmd /c whoami")))
+    // match with one null param: coalesce keeps the stored value
+    val (n2, _) = CypherWrite.mergeOne(n1, e1, stmt,
+      Map("key" -> "t1:100", "image" -> "powershell.exe", "CommandLine" -> null))
+    assert(nodeMap(n2) == Map(("Process", "t1:100") ->
+      Map("key" -> "t1:100", "image" -> "powershell.exe",
+        "CommandLine" -> "cmd /c whoami")))
+    // re-running identically is idempotent
+    val (n3, _) = CypherWrite.mergeOne(n2, e1, stmt,
+      Map("key" -> "t1:100", "image" -> "powershell.exe", "CommandLine" -> null))
+    assert(nodeMap(n3) == nodeMap(n2))
+  }
+
+  test("multi-clause statement: two node MERGEs and an edge MERGE with props") {
+    val (n0, e0) = CypherWrite.emptyGraph(spark)
+    val stmt =
+      """MERGE (t:Trace {traceID: $traceID})
+        |MERGE (p:Process {key: $key})
+        |MERGE (t)-[r:HAS_PROCESS {kind: 'direct'}]->(p)
+        |ON CREATE SET r.first = $eid""".stripMargin
+    val (n1, e1) = CypherWrite.mergeOne(n0, e0, stmt,
+      Map("traceID" -> "t1", "key" -> "t1:100", "eid" -> "7"))
+    assert(nodeMap(n1).keySet == Set(("Trace", "t1"), ("Process", "t1:100")))
+    val edges1 = e1.collect().map(r => (r.getString(0), r.getString(1), r.getString(2),
+      r.getAs[Map[String, String]]("props")))
+    assert(edges1.toSeq == Seq(("HAS_PROCESS", "t1", "t1:100",
+      Map("kind" -> "direct", "first" -> "7"))))
+    // edge re-merge: no duplicate, ON CREATE does not refire
+    val (n2, e2) = CypherWrite.mergeOne(n1, e1, stmt,
+      Map("traceID" -> "t1", "key" -> "t1:100", "eid" -> "99"))
+    assert(e2.count() == 1)
+    assert(e2.collect().head.getAs[Map[String, String]]("props")("first") == "7")
+    assert(n2.count() == 2)
+  }
+
+  test("batch parameters: row order wins per key; distinct keys all land") {
+    val (n0, e0) = CypherWrite.emptyGraph(spark)
+    val params = Seq(
+      ("f1", "a.dll"), ("f2", "b.dll"), ("f1", "a_final.dll")
+    ).toDF("path", "image")
+    val (n1, _) = CypherWrite.merge(n0, e0,
+      "MERGE (f:File {path: $path}) SET f.image = $image", params)
+    val m = nodeMap(n1)
+    assert(m.keySet == Set(("File", "f1"), ("File", "f2")))
+    assert(m(("File", "f1"))("image") == "a_final.dll") // later row won
+    assert(m(("File", "f2"))("image") == "b.dll")
+  }
+
+  test("MATCH clause: the edge lands only when the matched node exists") {
+    val (n0, e0) = CypherWrite.emptyGraph(spark)
+    val (n1, e1) = CypherWrite.mergeOne(n0, e0,
+      "MERGE (t:Trace {traceID: 't1'})")
+    val stmt =
+      """MERGE (p:Process {key: $key})
+        |WITH p
+        |MATCH (t:Trace {traceID: $traceID})
+        |MERGE (t)-[:HAS_PROCESS]->(p)""".stripMargin
+    // matching trace exists → edge created
+    val (n2, e2) = CypherWrite.mergeOne(n1, e1, stmt,
+      Map("key" -> "t1:100", "traceID" -> "t1"))
+    assert(e2.count() == 1)
+    // no such trace → process still merged, edge skipped
+    val (n3, e3) = CypherWrite.mergeOne(n2, e2, stmt,
+      Map("key" -> "tX:1", "traceID" -> "missing"))
+    assert(e3.count() == 1)
+    assert(nodeMap(n3).contains(("Process", "tX:1")))
+  }
+
+  test("the merged graph reads back through CypherLite") {
+    val (n0, e0) = CypherWrite.emptyGraph(spark)
+    val params = Seq(
+      ("t1", "t1:100", "cmd.exe"), ("t1", "t1:200", "evil.exe"),
+      ("t2", "t2:300", "cmd.exe")
+    ).toDF("traceID", "key", "image")
+    val (n1, e1) = CypherWrite.merge(n0, e0,
+      """MERGE (t:Trace {traceID: $traceID})
+        |MERGE (p:Process {key: $key})
+        |ON CREATE SET p.image = $image
+        |MERGE (t)-[:HAS_PROCESS]->(p)""".stripMargin, params)
+    val got = CypherLite.run(n1, e1,
+      "MATCH (t:Trace)-[:HAS_PROCESS]->(p:Process {image: 'cmd.exe'}) " +
+        "RETURN t, p ORDER BY t, p")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(got == Seq(("t1", "t1:100"), ("t2", "t2:300")))
+  }
+
+  test("parser rejects unbound endpoints, garbage maps, bad SET items") {
+    val (n0, e0) = CypherWrite.emptyGraph(spark)
+    intercept[IllegalArgumentException](CypherWrite.mergeOne(n0, e0,
+      "MERGE (a)-[:X]->(b)")) // endpoints never bound
+    intercept[IllegalArgumentException](CypherWrite.mergeOne(n0, e0,
+      "MERGE (p:Process {key $key})")) // malformed map
+    intercept[IllegalArgumentException](CypherWrite.mergeOne(n0, e0,
+      "MERGE (p:Process {key: 'k'}) SET q.image = 'x'")) // unbound SET target
+    intercept[IllegalArgumentException](CypherWrite.mergeOne(n0, e0,
+      "MERGE (p:Process {key: 'k'}) SET p.image = coalesce($i, q.image)"))
+  }
+}
