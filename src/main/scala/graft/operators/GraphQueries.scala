@@ -224,8 +224,10 @@ object GraphQueries {
     * a hash oracle; the algorithm is pinned by the clique-structure
     * spec. */
   def gFastrp(s: SparkSession, dir: String): DataFrame = {
+    // embed() returns an RDD-backed materialized leaf (Borrow.reclaim)
+    // — both scans below read its blocks; re-persisting would only add
+    // a redundant cache layer whose parallel first-computation races
     val emb = graft.graph.FastRP.embed(TestGraph.partSupplierEdges(s, dir), dim = 32)
-      .persist()
     val q = emb.filter(pmod(xxhash64(col("id")), lit(50)) === 0)
       .select(col("id").as("q_id"), col("embedding").as("qe"))
     val scored = emb.join(broadcast(q), col("id") =!= col("q_id"))
@@ -235,11 +237,10 @@ object GraphQueries {
         graft.functions.VectorFunctions.cosine_sim(s, col("qe"), col("embedding")).as("cos"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("q_id")).orderBy(col("cos").desc, col("id"))
-    val out = scored
+    scored
       .withColumn("rank", row_number().over(w)).filter(col("rank") <= 3)
       .select(col("q_id"), col("rank"), col("id").as("neighbor"))
       .orderBy(col("q_id"), col("rank"))
-    graft.Borrow.reclaim(out, emb)
   }
 
   /** J6 — Cypher WRITE surface end-to-end: build a graph from a
