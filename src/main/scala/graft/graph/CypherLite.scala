@@ -1139,6 +1139,38 @@ object CypherLite {
     * trailing ORDER BY / SKIP / LIMIT on the LAST part orders the
     * WHOLE union (Neo4j semantics — it's the query's final modifier,
     * not the subquery's). */
+  /** Parameterized read: `$name` tokens substitute as literals before
+    * parsing — numbers inline bare (they compare numerically), strings
+    * quote (they compare as strings), matching the reference's typed
+    * `session.run(cypher, **params)` behavior. The literal grammar has
+    * no escape sequences, so a string value containing a single quote
+    * is rejected rather than silently mis-parsed. Longer names
+    * substitute first so `$key` never clobbers `$key2`'s prefix. */
+  def run(nodes: DataFrame, edges: DataFrame, cypher: String,
+          params: Map[String, Any]): DataFrame = {
+    val substituted = params.toSeq.sortBy(-_._1.length)
+      .foldLeft(cypher) { case (q, (k, v)) =>
+        val rendered = v match {
+          case null => throw new IllegalArgumentException(
+            s"null parameter $$${k}: read-surface params must be bound " +
+              "(use IS NULL predicates for null semantics)")
+          case n @ (_: Int | _: Long | _: Double | _: Float | _: Short | _: Byte) =>
+            n.toString
+          case s =>
+            val str = s.toString
+            require(!str.contains("'"),
+              s"parameter $$${k} contains a single quote — the Cypher literal " +
+                "grammar has no escapes; filter via a DataFrame predicate instead")
+            "'" + str + "'"
+        }
+        q.replaceAll("\\$" + java.util.regex.Pattern.quote(k) + "\\b",
+          java.util.regex.Matcher.quoteReplacement(rendered))
+      }
+    val leftover = """\$\w+""".r.findFirstIn(substituted)
+    require(leftover.isEmpty, s"unbound parameter ${leftover.get} in: $cypher")
+    run(nodes, edges, substituted)
+  }
+
   def run(nodes: DataFrame, edges: DataFrame, cypher: String): DataFrame = {
     val (parts, isAll) = splitUnion(cypher.trim.replaceAll("\\s+", " "))
     if (parts.size > 1) {

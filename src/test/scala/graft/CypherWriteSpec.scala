@@ -111,6 +111,28 @@ class CypherWriteSpec extends SparkSpec {
     assert(got == Seq(("t1", "t1:100"), ("t2", "t2:300")))
   }
 
+  test("parameterized READS: $params substitute as typed literals") {
+    val (n0, e0) = CypherWrite.emptyGraph(spark)
+    val params = Seq(("t1", "t1:100", "cmd.exe"), ("t1", "t1:200", "evil.exe"))
+      .toDF("traceID", "key", "image")
+    val (n1, e1) = CypherWrite.merge(n0, e0,
+      """MERGE (t:Trace {traceID: $traceID})
+        |MERGE (p:Process {key: $key})
+        |ON CREATE SET p.image = $image, p.pid = 100
+        |MERGE (t)-[:HAS_PROCESS]->(p)""".stripMargin, params)
+    val got = CypherLite.run(n1, e1,
+      "MATCH (t:Trace {traceID: $tid})-[:HAS_PROCESS]->(p) " +
+        "WHERE p.image = $img AND toInteger(p.pid) >= $minPid RETURN p",
+      Map("tid" -> "t1", "img" -> "cmd.exe", "minPid" -> 100))
+      .collect().map(_.getString(0)).toSeq
+    assert(got == Seq("t1:100"))
+    // unbound and quote-carrying params are clear errors
+    intercept[IllegalArgumentException](CypherLite.run(n1, e1,
+      "MATCH (t:Trace {traceID: $tid}) RETURN t", Map.empty[String, Any]))
+    intercept[IllegalArgumentException](CypherLite.run(n1, e1,
+      "MATCH (t:Trace {traceID: $tid}) RETURN t", Map("tid" -> "o'brien")))
+  }
+
   test("parser rejects unbound endpoints, garbage maps, bad SET items") {
     val (n0, e0) = CypherWrite.emptyGraph(spark)
     intercept[IllegalArgumentException](CypherWrite.mergeOne(n0, e0,
