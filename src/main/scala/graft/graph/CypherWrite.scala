@@ -287,7 +287,11 @@ object CypherWrite {
         .join(outEdges.select(col("etype"), col("src"), col("dst")),
           Seq("etype", "src", "dst"), "left_anti")
         .select(col("etype"), col("src"), col("dst"),
-          lit(0).as("event_id"), col("cm").as("props"))
+          // synthetic rows carry no source event; cast to whatever
+          // event_id type the target frame uses (int here, but a
+          // caller's frame may differ)
+          lit(0).cast(outEdges.schema("event_id").dataType).as("event_id"),
+          col("cm").as("props"))
       outEdges = updated.unionByName(created)
     }
     (outNodes, outEdges)

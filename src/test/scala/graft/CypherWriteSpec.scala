@@ -133,6 +133,28 @@ class CypherWriteSpec extends SparkSpec {
       "MATCH (t:Trace {traceID: $tid}) RETURN t", Map("tid" -> "o'brien")))
   }
 
+  test("merges onto a real SysmonGraph corpus graph and reads back") {
+    val (nodes, edges) = graft.graph.SysmonGraph.buildCached(
+      spark, "/root/reference/malware/*.json")
+    val (nBefore, eBefore) = (nodes.count(), edges.count())
+    // annotate an existing process and attach a verdict node — the
+    // analyst-writeback flow over the reference-built graph
+    val p0 = nodes.filter(col("label") === "Process")
+      .agg(min(col("id"))).collect()(0).getString(0)
+    val (n1, e1) = CypherWrite.mergeOne(nodes, edges,
+      """MATCH (p:Process {id: $pid})
+        |MERGE (v:Verdict {vid: 'v1'})
+        |ON CREATE SET v.source = 'triage'
+        |MERGE (p)-[r:FLAGGED {sev: 'high'}]->(v)""".stripMargin,
+      Map("pid" -> p0))
+    assert(n1.count() == nBefore + 1 && e1.count() == eBefore + 1)
+    val got = CypherLite.run(n1, e1,
+      "MATCH (p:Process)-[r:FLAGGED {sev: 'high'}]->(v:Verdict) " +
+        "RETURN p, v, v.source")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSeq
+    assert(got == Seq((p0, "v1", "triage")))
+  }
+
   test("parser rejects unbound endpoints, garbage maps, bad SET items") {
     val (n0, e0) = CypherWrite.emptyGraph(spark)
     intercept[IllegalArgumentException](CypherWrite.mergeOne(n0, e0,
