@@ -4,6 +4,8 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
+import scala.jdk.CollectionConverters._
+
 /** Generic distributed graph operators over edge DataFrames.
   *
   * Conventions: an edge frame has columns `src` and `dst` (any orderable
@@ -261,24 +263,81 @@ object GraphOps {
     * cost profile: level 1 dominates). Input edges are symmetrized and
     * deduplicated here; weights are 1 per undirected edge. Returns
     * (id, community) for every non-isolated vertex, community = the
-    * smallest member id. */
-  def louvain(edges0: DataFrame, maxLevels: Int = 2, moveIters: Int = 3): DataFrame = {
+    * smallest member id.
+    *
+    * Local finisher: once a level's edge list fits under
+    * `localFinishEdges` symmetric rows (a few MB — bounded, like the
+    * nlist-sized centroid collect in IVF), the REMAINING levels run
+    * on the driver through an exact in-memory mirror of the same move
+    * semantics (same gain formula, tie-breaks, direction gate, 95%
+    * stop — a spec pins distributed ≡ local on forced-path runs).
+    * Rationale, measured at r8: a move round is ~15 AQE stage-jobs at
+    * ~65 ms driver overhead each, so a contracted level of a few
+    * thousand super-nodes costs seconds of pure scheduling for
+    * milliseconds of arithmetic. At 100 TB level 1 is far above the
+    * bound and runs fully distributed; contraction shrinks levels
+    * geometrically toward the local path. Set `localFinishEdges = 0`
+    * to force every level distributed. */
+  def louvain(edges0: DataFrame, maxLevels: Int = 2, moveIters: Int = 3,
+              localFinishEdges: Long = 250000L): DataFrame = {
     var e = undirected(edges0.select(col("src").cast("string").as("src"),
         col("dst").cast("string").as("dst")))
       .filter(col("src") =!= col("dst"))
       .withColumn("w", lit(1.0))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    // per-super-node internal (self-loop) weight; zero at level 0
+    // per-super-node internal (self-loop) weight; zero at level 0.
+    // Checkpoints below are LAZY (eager = false): each severs lineage
+    // in the plan immediately but materializes as a side effect of the
+    // level's next scalar job, so the whole run pays one driver
+    // barrier per move round + two per contraction instead of the r7
+    // shape's two-per-round (r8: g_louvain was the slowest bench
+    // entry, dominated by barrier count at toy scale).
     var self = e.select(col("src").as("id")).distinct()
-      .withColumn("sw", lit(0.0)).localCheckpoint()
+      .withColumn("sw", lit(0.0)).localCheckpoint(false)
     var mapping = e.select(col("src").as("id")).distinct()
-      .select(col("id").as("orig"), col("id").as("cur")).localCheckpoint()
+      .select(col("id").as("orig"), col("id").as("cur")).localCheckpoint(false)
     // 2m: conserved across contractions (edge weight folds into self
-    // weight, both count twice in Σk) — one job for the whole run
-    val m2 = e.agg(sum(col("w"))).collect()(0).getDouble(0)
+    // weight, both count twice in Σk) — plus the level-1 vertex count,
+    // one job for the whole run. Null sum = no surviving edges (empty
+    // or all-self-loop input): every vertex is isolated, return the
+    // empty frame rather than NPE.
+    val m2row = e.agg(sum(col("w")), countDistinct(col("src")), count(lit(1)))
+      .collect()(0)
+    if (m2row.isNullAt(0)) {
+      e.unpersist()
+      return mapping.select(col("orig").as("id"), col("cur").as("community"))
+    }
+    val m2 = m2row.getDouble(0)
+    // current level's node count: |V| at level 1, then = the previous
+    // level's community count (communities become the super-nodes)
+    var nNodes = m2row.getLong(1)
+    // current level's symmetric edge-row count (rides the same jobs)
+    var eRows = m2row.getLong(2)
     var level = 0
     var done = false
     while (level < maxLevels && !done) {
+      if (eRows <= localFinishEdges) {
+        // ---- local finisher: run the remaining levels on the driver
+        val eArr = e.select(col("src"), col("dst"), col("w")).collect()
+          .map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
+        val swMap = self.select(col("id"), col("sw")).collect()
+          .map(r => r.getString(0) -> r.getDouble(1)).toMap
+        val assignLocal =
+          louvainLocalFinish(eArr, swMap, m2, maxLevels - level, moveIters, nNodes)
+        val spark = e.sparkSession
+        val assignDf = spark.createDataFrame(
+            assignLocal.toSeq.map(p => org.apache.spark.sql.Row(p._1, p._2)).asJava,
+            org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField("cur",
+                org.apache.spark.sql.types.StringType),
+              org.apache.spark.sql.types.StructField("c",
+                org.apache.spark.sql.types.StringType))))
+        // EAGER: materialize while e is still persisted (the full-local
+        // case never materialized mapping's lazy checkpoint)
+        mapping = mapping.join(broadcast(assignDf), Seq("cur"))
+          .select(col("orig"), col("c").as("cur")).localCheckpoint()
+        done = true
+      } else {
       level += 1
       // comm state carries (id, cu, k) in ONE checkpointed frame — k is
       // constant within a level, and riding along kills two joins per
@@ -291,7 +350,7 @@ object GraphOps {
         else kBase.join(self, Seq("id"), "full")
           .select(col("id"), col("id").as("cu"),
             (coalesce(col("kadj"), lit(0.0)) + lit(2.0) * coalesce(col("sw"), lit(0.0))).as("k")))
-        .localCheckpoint()
+        .localCheckpoint(false) // materialized by round 1's move job
       var moves = 1L
       var it = 0
       while (it < moveIters && moves > 0) {
@@ -323,24 +382,33 @@ object GraphOps {
                 col("b.g") > col("gstay") + lit(1e-9) && dirOk,
               col("b.c")).otherwise(col("cu")))
           .select(col("id"), col("cu"), col("cnext"), col("k"))
-          .localCheckpoint()
-        moves = nxt.filter(col("cnext") =!= col("cu")).count()
+          .localCheckpoint(false)
+        // ONE action per round: the move count rides the aggregation
+        // that materializes the lazy checkpoint (r7 ran an eager
+        // checkpoint THEN a count — two barriers per round)
+        moves = nxt.agg(count(when(col("cnext") =!= col("cu"), lit(1))))
+          .collect()(0).getLong(0)
         comm = nxt.select(col("id"), col("cnext").as("cu"), col("k"))
         it += 1
       }
       // canonical label = smallest member id (deterministic across runs)
       val canon = comm.groupBy(col("cu")).agg(min(col("id")).as("cc"))
       val assign = comm.join(canon, Seq("cu"))
-        .select(col("id"), col("cc").as("c")).localCheckpoint()
+        .select(col("id"), col("cc").as("c")).localCheckpoint(false)
       mapping = mapping.join(assign.select(col("id").as("cur"), col("c")), Seq("cur"))
-        .select(col("orig"), col("c").as("cur")).localCheckpoint()
-      val cnt = assign.agg(count(lit(1)).as("n"), countDistinct(col("c")).as("nc"))
-        .collect()(0)
-      val (nNodes, nComms) = (cnt.getLong(0), cnt.getLong(1))
+        .select(col("orig"), col("c").as("cur")).localCheckpoint(false)
+      // one job per level: the community count rides the aggregation
+      // that materializes mapping's checkpoint (and, transitively,
+      // assign's), so the returned frame never has to recompute from
+      // the by-then-unpersisted edge frame. distinct(mapping.cur) ==
+      // distinct(assign.c): both are the canonical community labels.
+      val nComms = mapping.agg(countDistinct(col("cur"))).collect()(0).getLong(0)
       // stop on no merge (converged) or a MARGINAL contraction: when
       // fewer than 5% of nodes merged, another level of move rounds on
-      // a barely-smaller graph buys noise, not modularity
-      if (nComms >= (nNodes * 0.95).toLong) done = true
+      // a barely-smaller graph buys noise, not modularity. Also stop
+      // when this was the last level — contracting a graph no further
+      // level will read is wasted shuffle (r7 paid it).
+      if (nComms >= (nNodes * 0.95).toLong || level == maxLevels) done = true
       else {
         // contract: communities become super-nodes; internal edges
         // (counted twice in the symmetric list) fold into self weight
@@ -354,18 +422,121 @@ object GraphOps {
             .groupBy(col("c").as("id")).agg(sum(col("sw")).as("sws")), Seq("id"), "full")
           .select(col("id"),
             (coalesce(col("swe"), lit(0.0)) + coalesce(col("sws"), lit(0.0))).as("sw"))
+          // EAGER: lineage reads the old level's e, which unpersists
+          // below — lazy here would recompute that frame from scratch
           .localCheckpoint()
         val newE = eC.filter(col("cs") =!= col("cd"))
           .groupBy(col("cs").as("src"), col("cd").as("dst")).agg(sum(col("w")).as("w"))
           .persist(StorageLevel.MEMORY_AND_DISK)
-        newE.count() // materialize before the old level frame goes away
+        eRows = newE.count() // materialize before the old frame goes away
         e.unpersist()
         e = newE
         self = newSelf
+        nNodes = nComms
+      }
       }
     }
     e.unpersist()
     mapping.select(col("orig").as("id"), col("cur").as("community"))
+  }
+
+  /** Driver-side mirror of [[louvain]]'s per-level semantics, applied
+    * to a collected sub-`localFinishEdges` (contracted) graph: same
+    * simultaneous moves, gain formula, ε = 1e-9 move margin,
+    * direction-alternating rounds, smallest-id tie-breaks and
+    * canonical labels, 95% contraction stop. String comparisons use
+    * Java ordering ≡ Spark's UTF8String binary ordering for the ASCII
+    * ids this engine produces. All sums are of integral edge weights,
+    * so double arithmetic is exact and the two paths agree bitwise —
+    * pinned by the forced-path equivalence spec.
+    * Returns current-level node id → final canonical community. */
+  private def louvainLocalFinish(
+      edgesSym: Array[(String, String, Double)],
+      self0: Map[String, Double], m2: Double, levelsLeft: Int,
+      moveIters: Int, nNodes0: Long): Map[String, String] = {
+    import scala.collection.mutable
+    var eArr = edgesSym
+    var sw = self0
+    var nNodes = nNodes0
+    val entryNodes = (eArr.iterator.map(_._1) ++ sw.keysIterator).toSet
+    var toCur: mutable.Map[String, String] =
+      mutable.Map(entryNodes.iterator.map(n => n -> n).toSeq: _*)
+    var level = 0
+    var done = false
+    while (level < levelsLeft && !done) {
+      level += 1
+      val nodes = (eArr.iterator.map(_._1) ++ sw.keysIterator).toSet.toArray
+      val kadj = mutable.Map.empty[String, Double].withDefaultValue(0.0)
+      eArr.foreach { case (s, _, w) => kadj(s) += w }
+      val k = nodes.iterator
+        .map(n => n -> (kadj(n) + 2.0 * sw.getOrElse(n, 0.0))).toMap
+      var comm: Map[String, String] = nodes.iterator.map(n => n -> n).toMap
+      var moves = 1L
+      var it = 0
+      while (it < moveIters && moves > 0) {
+        val ctot = mutable.Map.empty[String, Double].withDefaultValue(0.0)
+        nodes.foreach(n => ctot(comm(n)) += k(n))
+        // wc: weight from u into each neighbor community
+        val wc = mutable.Map.empty[String, mutable.Map[String, Double]]
+        eArr.foreach { case (s, d, w) =>
+          val m = wc.getOrElseUpdate(s, mutable.Map.empty.withDefaultValue(0.0))
+          m(comm(d)) += w
+        }
+        var moved = 0L
+        val nxt = nodes.iterator.map { n =>
+          val cu = comm(n); val kn = k(n)
+          var bestC: String = null; var bestG = 0.0; var ghome = Double.NaN
+          wc.get(n).foreach(_.foreach { case (c, w) =>
+            val g = w - kn *
+              (if (c == cu) ctot(c) - kn else ctot(c)) / m2
+            if (c == cu) ghome = g
+            if (bestC == null || g > bestG || (g == bestG && c < bestC)) {
+              bestC = c; bestG = g
+            }
+          })
+          val gstay = if (!ghome.isNaN) ghome
+                      else -kn * (ctot(cu) - kn) / m2
+          val dirOk = if (it % 2 == 0) bestC != null && bestC < cu
+                      else bestC != null && bestC > cu
+          val cnext = if (bestC != null && bestC != cu &&
+                          bestG > gstay + 1e-9 && dirOk) bestC else cu
+          if (cnext != cu) moved += 1
+          n -> cnext
+        }.toMap
+        moves = moved
+        comm = nxt
+        it += 1
+      }
+      // canonical label = smallest member id
+      val canon = mutable.Map.empty[String, String]
+      nodes.foreach { n =>
+        val c = comm(n)
+        if (!canon.contains(c) || n < canon(c)) canon(c) = n
+      }
+      val assign: Map[String, String] =
+        nodes.iterator.map(n => n -> canon(comm(n))).toMap
+      toCur = toCur.map { case (orig, cur) => orig -> assign(cur) }
+      val nComms = assign.values.toSet.size
+      if (nComms >= (nNodes * 0.95).toLong || level == levelsLeft) done = true
+      else {
+        val newEAgg = mutable.Map.empty[(String, String), Double]
+          .withDefaultValue(0.0)
+        val newSelf = mutable.Map.empty[String, Double].withDefaultValue(0.0)
+        eArr.foreach { case (s, d, w) =>
+          val cs = assign(s); val cd = assign(d)
+          if (cs == cd) newSelf(cs) += w / 2.0
+          else newEAgg((cs, cd)) += w
+        }
+        sw.foreach { case (n, w) => newSelf(assign(n)) += w }
+        // every community gets a self entry (even weight 0), mirroring
+        // the distributed full join that keeps isolated super-nodes
+        assign.values.foreach(c => newSelf(c) += 0.0)
+        eArr = newEAgg.iterator.map { case ((s, d), w) => (s, d, w) }.toArray
+        sw = newSelf.toMap
+        nNodes = nComms.toLong
+      }
+    }
+    toCur.toMap
   }
 
   /** Newman modularity Q of a community assignment over an unweighted
@@ -381,7 +552,9 @@ object GraphOps {
       .persist(StorageLevel.MEMORY_AND_DISK)
     val a = assign.select(col("id").cast("string").as("id"),
       col("community").cast("string").as("c"))
-    val m2 = e.agg(sum(col("w"))).collect()(0).getDouble(0) // symmetric list = 2m
+    val m2row = e.agg(sum(col("w"))).collect()(0) // symmetric list = 2m
+    if (m2row.isNullAt(0)) { e.unpersist(); return 0.0 } // no edges → Q = 0
+    val m2 = m2row.getDouble(0)
     val internal = e // both endpoints in the same community: = 2·Σ_in
       .join(a.select(col("id").as("src"), col("c").as("cs")), Seq("src"))
       .join(a.select(col("id").as("dst"), col("c").as("cd")), Seq("dst"))

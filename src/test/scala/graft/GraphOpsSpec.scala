@@ -338,6 +338,34 @@ class GraphOpsSpec extends SparkSpec {
     assert(got("a") == "a" && got("e") == "e")
   }
 
+  test("louvain: local finisher ≡ forced-distributed path, incl. empty input") {
+    // two-clique fixture PLUS a noisier seeded graph: xxhash-derived
+    // pseudo-random edges over 40 nodes so both paths cross a real
+    // multi-community, multi-level shape
+    def clique(ids: Seq[String]): Seq[(String, String)] =
+      for (i <- ids.indices; j <- i + 1 until ids.size) yield ids(i) -> ids(j)
+    val rng = new scala.util.Random(7)
+    val noisy = (0 until 160).map { _ =>
+      f"n${rng.nextInt(40)}%02d" -> f"n${rng.nextInt(40)}%02d"
+    }.filter(p => p._1 != p._2)
+    for (edges <- Seq(clique(Seq("a", "b", "c", "d")) ++
+                        clique(Seq("e", "f", "g", "h")) :+ ("d" -> "e"),
+                      noisy)) {
+      val e = edgeDf(edges: _*)
+      val loc = GraphOps.louvain(e)
+        .collect().map(r => (r.getString(0), r.getString(1))).toMap
+      val dist = GraphOps.louvain(e, localFinishEdges = 0L)
+        .collect().map(r => (r.getString(0), r.getString(1))).toMap
+      assert(loc == dist, "local-finish path must equal distributed path")
+    }
+    // degenerate inputs: empty and all-self-loop frames return empty,
+    // not NPE (ADVICE r7)
+    assert(GraphOps.louvain(edgeDf()).isEmpty)
+    assert(GraphOps.louvain(edgeDf("a" -> "a")).isEmpty)
+    assert(GraphOps.modularity(edgeDf(), edgeDf().select(
+      col("src").as("id"), col("dst").as("community"))) == 0.0)
+  }
+
   test("louvain: modularity is monotone vs singletons and matches by hand") {
     val e = edgeDf("a" -> "b", "b" -> "c", "a" -> "c", // triangle
       "x" -> "y", "y" -> "z", "x" -> "z",              // triangle
