@@ -82,6 +82,7 @@ object SparkEntry {
     "g_louvain"    -> (GraphQueries.gLouvain _),
     "g_fastrp"     -> (GraphQueries.gFastrp _),
     "sg_merge"     -> (GraphQueries.sgMerge _),
+    "sg_delete"    -> (GraphQueries.sgDelete _),
     "g_lpa"        -> (GraphQueries.gLpa _),
     "g_clustercoef" -> (GraphQueries.gClusterCoef _),
     "g_closeness"  -> (GraphQueries.gCloseness _),
@@ -619,6 +620,9 @@ object SparkEntry {
     "sg_merge" ->
       """SELECT event_type AS t, count(DISTINCT user_id) AS n FROM events
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "sg_delete" ->
+      """SELECT event_type AS t, count(DISTINCT user_id) AS n FROM events
+        |WHERE user_id % 7 <> 0 GROUP BY 1 ORDER BY 1""".stripMargin,
     "g_allpaths" ->
       """WITH RECURSIVE edges AS (
         |  SELECT 'r:'||n_regionkey AS src, 'n:'||n_nationkey AS dst FROM nation

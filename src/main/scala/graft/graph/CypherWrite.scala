@@ -4,9 +4,12 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Cypher WRITE surface: `MERGE` / `MATCH` / `ON CREATE SET` /
-  * `ON MATCH SET` / `SET` statements against the (nodes, edges) frame
-  * pair — the reference's own ETL idiom (events.py:75-257 is a library
-  * of exactly these statements, run once per span against Neo4j).
+  * `ON MATCH SET` / `SET` / `DELETE` / `DETACH DELETE` / `REMOVE`
+  * statements against the (nodes, edges) frame pair — the reference's
+  * own ETL idiom (events.py:75-257 is a library of exactly these
+  * statements, run once per span against Neo4j), plus the write verbs
+  * a production user of such a graph reaches for next (retention
+  * trimming, property scrubbing).
   *
   * Spark-first semantics: a statement compiles to a KEYED BATCH UPSERT
   * over a PARAMETER FRAME — one row per `$param` binding set, the
@@ -24,16 +27,33 @@ import org.apache.spark.sql.functions._
   *     entries land in `props`.
   *   - `MATCH (v:Label {…})` — bind an EXISTING node; parameter rows
   *     whose match misses contribute nothing downstream (Cypher's
-  *     inner-match semantics).
+  *     inner-match semantics). Map entries beyond the identity entry
+  *     are genuine match CONSTRAINTS — equality against the node's
+  *     stored props, enforced per parameter row.
   *   - `MERGE (a)-[r:TYPE {…}]->(b)` — edge upsert keyed on
   *     (etype, src, dst); endpoints must be variables bound above.
+  *   - `MATCH (a)-[r:TYPE]->(b)` — bind EXISTING edges (for `SET r.x`,
+  *     `DELETE r`); property-map constraints on matched edges are not
+  *     supported (loud error).
   *   - `ON CREATE SET` / `ON MATCH SET` / `SET` with comma-separated
   *     `v.prop = $p | 'lit' | num | coalesce($p, v.prop)` items — the
   *     last form is the reference's keep-old-when-param-null idiom and
   *     compiles to exactly that (a null param never erases a stored
   *     prop).
+  *   - `REMOVE v.prop, r.prop, …` — drop properties (the row stays;
+  *     label removal `REMOVE v:Label` is rejected loudly).
+  *   - `DELETE r` — delete bound edges; `DELETE v` — delete bound
+  *     nodes, REFUSING (like Neo4j) when incident edges remain;
+  *     `DETACH DELETE v` — delete bound nodes and cascade-delete all
+  *     their incident edges. Edge deletes in the same statement apply
+  *     first, so `MATCH …-[r]-… DELETE r, v` works. Incident edges are
+  *     matched by endpoint id (this graph's edge frames don't carry
+  *     endpoint labels — same id-only convention as the upsert path).
   *   - `WITH …` — scope carry; variables stay bound here, so it parses
   *     and is ignored.
+  *
+  * Keyword scanning is quote-aware: a property value like
+  * `{note: 'set by triage'}` does not split the statement mid-literal.
   *
   * Batch semantics: rows apply in parameter-frame ROW ORDER per key
   * (last non-null wins per prop — matching the reference's sequential
@@ -66,10 +86,13 @@ object CypherWrite {
                                       props: Seq[(String, Value)], create: Boolean)
   private final case class EdgeClause(rv: Option[String], etype: String,
                                       a: String, b: String,
-                                      props: Seq[(String, Value)])
+                                      props: Seq[(String, Value)], create: Boolean)
+  private final case class RemoveItem(v: String, prop: String)
+  private final case class DeleteItem(v: String, detach: Boolean)
   private final case class Stmt(nodes: Seq[NodeClause], edges: Seq[EdgeClause],
                                 onCreate: Seq[SetItem], onMatch: Seq[SetItem],
-                                always: Seq[SetItem])
+                                always: Seq[SetItem], removes: Seq[RemoveItem],
+                                deletes: Seq[DeleteItem])
 
   // ---------------------------------------------------------------- parse
 
@@ -99,10 +122,27 @@ object CypherWrite {
     entries
   }
 
+  /** Character positions inside single-quoted string literals —
+    * keyword matches there are property VALUES, not clause boundaries
+    * (`{note: 'set by triage'}` must not split at `set`). */
+  private def quotedMask(text: String): Array[Boolean] = {
+    val mask = new Array[Boolean](text.length)
+    var inQ = false
+    var i = 0
+    while (i < text.length) {
+      if (text.charAt(i) == '\'') { mask(i) = true; inQ = !inQ }
+      else mask(i) = inQ
+      i += 1
+    }
+    mask
+  }
+
   private def parseStatement(statement: String): Stmt = {
     val text = statement.trim.replaceAll("\\s+", " ")
-    val kw = """(?i)\b(MERGE|MATCH|ON CREATE SET|ON MATCH SET|SET|WITH)\b""".r
-    val ms = kw.findAllMatchIn(text).toSeq
+    val kw = ("""(?i)\b(MERGE|MATCH|ON CREATE SET|ON MATCH SET|SET|WITH""" +
+      """|DETACH DELETE|DELETE|REMOVE)\b""").r
+    val inQuote = quotedMask(text)
+    val ms = kw.findAllMatchIn(text).filterNot(m => inQuote(m.start)).toSeq
     require(ms.nonEmpty, s"no MERGE/MATCH clause in: $statement")
     require(ms.head.start == 0, s"statement must start with a clause keyword: $statement")
     val nodes = scala.collection.mutable.Buffer.empty[NodeClause]
@@ -110,6 +150,8 @@ object CypherWrite {
     val onCreate = scala.collection.mutable.Buffer.empty[SetItem]
     val onMatch = scala.collection.mutable.Buffer.empty[SetItem]
     val always = scala.collection.mutable.Buffer.empty[SetItem]
+    val removes = scala.collection.mutable.Buffer.empty[RemoveItem]
+    val deletes = scala.collection.mutable.Buffer.empty[DeleteItem]
     val bound = scala.collection.mutable.Set.empty[String]
     ms.zipWithIndex.foreach { case (m, i) =>
       val body = text.substring(m.end,
@@ -119,11 +161,12 @@ object CypherWrite {
           val create = m.group(1).equalsIgnoreCase("MERGE")
           body match {
             case EdgePatRe(a, rvOrNull, t, mapOrNull, b) =>
-              require(create, "MATCH on an edge pattern is not supported here")
+              require(create || mapOrNull == null,
+                "property-map constraints on a MATCHed edge pattern are not supported")
               require(bound(a) && bound(b),
                 s"edge endpoints '$a'/'$b' must be bound by earlier MERGE/MATCH clauses")
               edges += EdgeClause(Option(rvOrNull), t, a, b,
-                Option(mapOrNull).map(parseMap).getOrElse(Nil))
+                Option(mapOrNull).map(parseMap).getOrElse(Nil), create)
               Option(rvOrNull).foreach(bound += _)
             case NodePatRe(v, label, mapBody) =>
               val props = parseMap(mapBody)
@@ -133,6 +176,21 @@ object CypherWrite {
               bound += v
             case other => throw new IllegalArgumentException(
               s"unsupported ${m.group(1)} pattern: $other")
+          }
+        case del @ ("DELETE" | "DETACH DELETE") =>
+          body.split(",").map(_.trim).filter(_.nonEmpty).foreach { v =>
+            require(v.matches("\\w+"), s"unsupported DELETE target: $v")
+            require(bound(v), s"DELETE target '$v' is not bound")
+            deletes += DeleteItem(v, del.startsWith("DETACH"))
+          }
+        case "REMOVE" =>
+          body.split(",").map(_.trim).filter(_.nonEmpty).foreach {
+            case s if s.matches("""\w+\.\w+""") =>
+              val Array(v, p) = s.split("\\.", 2)
+              require(bound(v), s"REMOVE target '$v' is not bound")
+              removes += RemoveItem(v, p)
+            case other => throw new IllegalArgumentException(
+              s"unsupported REMOVE item: $other (label removal is not supported)")
           }
         case setKw @ ("ON CREATE SET" | "ON MATCH SET" | "SET") =>
           // paren/quote-aware comma split: coalesce($p, v.prop) must
@@ -169,7 +227,8 @@ object CypherWrite {
         case "WITH" => () // scope carry — variables stay bound
       }
     }
-    Stmt(nodes.toSeq, edges.toSeq, onCreate.toSeq, onMatch.toSeq, always.toSeq)
+    Stmt(nodes.toSeq, edges.toSeq, onCreate.toSeq, onMatch.toSeq, always.toSeq,
+      removes.toSeq, deletes.toSeq)
   }
 
   // ---------------------------------------------------------------- exec
@@ -217,21 +276,24 @@ object CypherWrite {
       nc.v -> valueCol(nc.props.head._2)
     }.toMap
     val labels: Map[String, String] = st.nodes.map(nc => nc.v -> nc.label).toMap
-    val matchOnly: Set[String] = st.nodes.filterNot(_.create).map(_.v).toSet
+    // MATCH var → the pm rows whose lookup (id + extra-prop equality
+    // constraints, against the frame as of that clause) HIT — the
+    // row-level gate every later clause referencing the var applies
+    val matchedPm = scala.collection.mutable.Map.empty[String, DataFrame]
 
     st.nodes.foreach { nc =>
-      val createEntries = nc.props ++ setsFor(nc.v, st.onCreate) ++
-        setsFor(nc.v, st.always)
-      val matchEntries = setsFor(nc.v, st.onMatch) ++ setsFor(nc.v, st.always)
-      val cand = pm
-        .select(idExprs(nc.v).as("id"), col("_ord"),
-          mapOf(createEntries).as("cm"), mapOf(matchEntries).as("mm"))
-        .filter(col("id").isNotNull)
-        .groupBy(col("id"))
-        .agg(
-          foldMaps(collect_list(struct(col("_ord").as("ord"), col("cm").as("m")))).as("cm"),
-          foldMaps(collect_list(struct(col("_ord").as("ord"), col("mm").as("m")))).as("mm"))
       if (nc.create) {
+        val createEntries = nc.props ++ setsFor(nc.v, st.onCreate) ++
+          setsFor(nc.v, st.always)
+        val matchEntries = setsFor(nc.v, st.onMatch) ++ setsFor(nc.v, st.always)
+        val cand = pm
+          .select(idExprs(nc.v).as("id"), col("_ord"),
+            mapOf(createEntries).as("cm"), mapOf(matchEntries).as("mm"))
+          .filter(col("id").isNotNull)
+          .groupBy(col("id"))
+          .agg(
+            foldMaps(collect_list(struct(col("_ord").as("ord"), col("cm").as("m")))).as("cm"),
+            foldMaps(collect_list(struct(col("_ord").as("ord"), col("mm").as("m")))).as("mm"))
         val keyed = cand.select(col("id"), lit(nc.label).as("label"),
           col("cm"), col("mm"))
         val updated = outNodes.join(
@@ -244,17 +306,37 @@ object CypherWrite {
           .select(col("label"), col("id"), col("cm").as("props"))
         outNodes = updated.unionByName(created)
       } else {
-        // MATCH: apply ON MATCH/SET items to existing nodes only
-        val mm = cand.select(col("id"), lit(nc.label).as("label"), col("mm"))
-        outNodes = outNodes.join(mm, Seq("id", "label"), "left")
-          .select(col("label"), col("id"),
-            when(col("mm").isNotNull, map_concat(col("props"), col("mm")))
-              .otherwise(col("props")).as("props"))
+        // MATCH: bind existing nodes; map entries past the identity are
+        // equality constraints against stored props, per parameter row
+        val extras = nc.props.tail
+        val g = outNodes.filter(col("label") === nc.label)
+          .select(col("id").as("__mid"), col("props").as("__mprops"))
+        val cond = extras.foldLeft(idExprs(nc.v) === col("__mid")) {
+          case (c, (k, v)) => c && col("__mprops").getItem(k) === valueCol(v)
+        }
+        val matched = pm.join(g, cond, "left_semi")
+        matchedPm(nc.v) = matched
+        val matchEntries = setsFor(nc.v, st.onMatch) ++ setsFor(nc.v, st.always)
+        if (matchEntries.nonEmpty) {
+          val mm = matched
+            .select(idExprs(nc.v).as("id"), col("_ord"), mapOf(matchEntries).as("mm"))
+            .filter(col("id").isNotNull)
+            .groupBy(col("id"))
+            .agg(foldMaps(collect_list(
+              struct(col("_ord").as("ord"), col("mm").as("m")))).as("mm"))
+            .withColumn("label", lit(nc.label))
+          outNodes = outNodes.join(mm, Seq("id", "label"), "left")
+            .select(col("label"), col("id"),
+              when(col("mm").isNotNull, map_concat(col("props"), col("mm")))
+                .otherwise(col("props")).as("props"))
+        }
       }
     }
 
     // ---- edge phase: upsert keyed on (etype, src, dst) ----
     var outEdges = edges
+    // edge var → its batch's (etype, src, dst) key frame (DELETE scope)
+    val edgeKeys = scala.collection.mutable.Map.empty[String, DataFrame]
     st.edges.foreach { ec =>
       val createEntries = ec.props ++
         ec.rv.toSeq.flatMap(v => setsFor(v, st.onCreate) ++ setsFor(v, st.always))
@@ -264,12 +346,11 @@ object CypherWrite {
         idExprs(ec.a).as("src"), idExprs(ec.b).as("dst"), col("_ord"),
         mapOf(createEntries).as("cm"), mapOf(matchEntries).as("mm"))
         .filter(col("src").isNotNull && col("dst").isNotNull)
-      // MATCH-bound endpoints: rows whose node lookup (over the
-      // post-node-phase frame) missed drop out
-      Seq(ec.a -> "src", ec.b -> "dst").foreach { case (v, side) =>
-        if (matchOnly(v)) {
-          val ids = outNodes.filter(col("label") === labels(v)).select(col("id").as(side))
-          cand0 = cand0.join(ids, Seq(side), "left_semi")
+      // MATCH-bound endpoints: rows whose node lookup missed (id or an
+      // extra-prop constraint) drop out — row-level, via the _ord gate
+      Seq(ec.a, ec.b).foreach { v =>
+        matchedPm.get(v).foreach { matched =>
+          cand0 = cand0.join(matched.select(col("_ord")), Seq("_ord"), "left_semi")
         }
       }
       val cand = cand0
@@ -278,21 +359,89 @@ object CypherWrite {
           foldMaps(collect_list(struct(col("_ord").as("ord"), col("cm").as("m")))).as("cm"),
           foldMaps(collect_list(struct(col("_ord").as("ord"), col("mm").as("m")))).as("mm"))
         .select(lit(ec.etype).as("etype"), col("src"), col("dst"), col("cm"), col("mm"))
+      ec.rv.foreach(v =>
+        edgeKeys(v) = cand.select(col("etype"), col("src"), col("dst")))
       val updated = outEdges.join(cand.select(col("etype"), col("src"), col("dst"),
             col("mm")), Seq("etype", "src", "dst"), "left")
         .select(col("etype"), col("src"), col("dst"), col("event_id"),
           when(col("mm").isNotNull, map_concat(col("props"), col("mm")))
             .otherwise(col("props")).as("props"))
-      val created = cand
-        .join(outEdges.select(col("etype"), col("src"), col("dst")),
-          Seq("etype", "src", "dst"), "left_anti")
-        .select(col("etype"), col("src"), col("dst"),
-          // synthetic rows carry no source event; cast to whatever
-          // event_id type the target frame uses (int here, but a
-          // caller's frame may differ)
-          lit(0).cast(outEdges.schema("event_id").dataType).as("event_id"),
-          col("cm").as("props"))
-      outEdges = updated.unionByName(created)
+      if (ec.create) {
+        val created = cand
+          .join(outEdges.select(col("etype"), col("src"), col("dst")),
+            Seq("etype", "src", "dst"), "left_anti")
+          .select(col("etype"), col("src"), col("dst"),
+            // synthetic rows carry no source event; cast to whatever
+            // event_id type the target frame uses (int here, but a
+            // caller's frame may differ)
+            lit(0).cast(outEdges.schema("event_id").dataType).as("event_id"),
+            col("cm").as("props"))
+        outEdges = updated.unionByName(created)
+      } else {
+        // MATCH edge: update existing rows only, never create
+        outEdges = updated
+      }
+    }
+
+    // ---- REMOVE phase: drop properties, keep rows ----
+    // scope of a node variable = the ids its clause touched this batch
+    def nodeScope(v: String): DataFrame = {
+      val ids = matchedPm.get(v) match {
+        case Some(matched) => matched.select(idExprs(v).as("id"))
+        case None          => pm.select(idExprs(v).as("id"))
+      }
+      ids.filter(col("id").isNotNull).distinct()
+        .withColumn("label", lit(labels(v)))
+    }
+    val nodeVars = labels.keySet
+    st.removes.groupBy(_.v).foreach { case (v, items) =>
+      val drop = items.map(_.prop)
+      if (nodeVars(v)) {
+        val scope = nodeScope(v).withColumn("__rm", lit(1))
+        outNodes = outNodes.join(scope, Seq("id", "label"), "left")
+          .select(col("label"), col("id"),
+            when(col("__rm").isNotNull,
+              map_filter(col("props"), (k, _) => !k.isin(drop: _*)))
+              .otherwise(col("props")).as("props"))
+      } else {
+        val keys = edgeKeys(v).withColumn("__rm", lit(1))
+        outEdges = outEdges.join(keys, Seq("etype", "src", "dst"), "left")
+          .select(col("etype"), col("src"), col("dst"), col("event_id"),
+            when(col("__rm").isNotNull,
+              map_filter(col("props"), (k, _) => !k.isin(drop: _*)))
+              .otherwise(col("props")).as("props"))
+      }
+    }
+
+    // ---- DELETE phase: edges first so `DELETE r, v` leaves v clean ----
+    st.deletes.filterNot(d => nodeVars(d.v)).foreach { d =>
+      outEdges = outEdges
+        .join(edgeKeys(d.v), Seq("etype", "src", "dst"), "left_anti")
+        .select(col("etype"), col("src"), col("dst"), col("event_id"), col("props"))
+    }
+    st.deletes.filter(d => nodeVars(d.v)).foreach { d =>
+      val ids = nodeScope(d.v).select(col("id"))
+      if (d.detach) {
+        outEdges = outEdges
+          .join(ids.select(col("id").as("src")), Seq("src"), "left_anti")
+          .join(ids.select(col("id").as("dst")), Seq("dst"), "left_anti")
+          .select(col("etype"), col("src"), col("dst"), col("event_id"), col("props"))
+      } else {
+        // Neo4j refuses to delete a node that still has relationships;
+        // mirroring that costs one bounded action (limit-1 probe)
+        val incident = outEdges
+          .join(ids.select(col("id").as("src")), Seq("src"), "left_semi")
+          .select(col("src").as("id"))
+          .unionByName(outEdges
+            .join(ids.select(col("id").as("dst")), Seq("dst"), "left_semi")
+            .select(col("dst").as("id")))
+          .limit(1).count()
+        if (incident > 0) throw new IllegalStateException(
+          s"cannot DELETE node '${d.v}': incident relationships remain " +
+            "(use DETACH DELETE)")
+      }
+      outNodes = outNodes.join(nodeScope(d.v), Seq("id", "label"), "left_anti")
+        .select(col("label"), col("id"), col("props"))
     }
     (outNodes, outEdges)
   }

@@ -260,6 +260,28 @@ object GraphQueries {
       "MATCH (u:User)-[:DID]->(t:EType) RETURN t, count(*) AS n ORDER BY t")
   }
 
+  /** J6 delete-verb gate — build the user→event-type graph through
+    * CypherWrite MERGE, retention-trim every 7th user with a batched
+    * `DETACH DELETE` (the production idiom the verb exists for), and
+    * read the surviving edges back through CypherLite. DuckDB twin
+    * filters the same users out relationally. */
+  def sgDelete(s: SparkSession, dir: String): DataFrame = {
+    val (n0, e0) = graft.graph.CypherWrite.emptyGraph(s)
+    val events = graft.Tables.events(s, dir)
+    val params = events
+      .select(col("user_id").cast("string").as("uid"), col("event_type").as("et"))
+    val (n1, e1) = graft.graph.CypherWrite.merge(n0, e0,
+      """MERGE (u:User {uid: $uid})
+        |MERGE (t:EType {name: $et})
+        |MERGE (u)-[:DID]->(t)""".stripMargin, params)
+    val expired = events.filter(col("user_id") % 7 === 0)
+      .select(col("user_id").cast("string").as("uid")).distinct()
+    val (n2, e2) = graft.graph.CypherWrite.merge(n1, e1,
+      "MATCH (u:User {uid: $uid}) DETACH DELETE u", expired)
+    graft.graph.CypherLite.run(n2, e2,
+      "MATCH (u:User)-[:DID]->(t:EType) RETURN t, count(*) AS n ORDER BY t")
+  }
+
   /** A3 analog (N1) — MERGE first-non-null node semantics: one node per
     * user carrying the properties of its earliest event (`min_by`,
     * map-side partial agg — shuffle is |users|, not |events|). */

@@ -166,4 +166,95 @@ class CypherWriteSpec extends SparkSpec {
     intercept[IllegalArgumentException](CypherWrite.mergeOne(n0, e0,
       "MERGE (p:Process {key: 'k'}) SET p.image = coalesce($i, q.image)"))
   }
+
+  // two processes linked by an edge, for the write-verb tests below
+  private def spawnedGraph() = {
+    val (n0, e0) = CypherWrite.emptyGraph(spark)
+    CypherWrite.mergeOne(n0, e0,
+      """MERGE (a:Process {key: 'p1'}) ON CREATE SET a.image = 'cmd.exe', a.tmp = 'x'
+        |MERGE (b:Process {key: 'p2'})
+        |MERGE (a)-[r:SPAWNS {note: 'boot'}]->(b)""".stripMargin)
+  }
+
+  test("DELETE refuses a node with incident edges; DETACH DELETE cascades") {
+    val (n1, e1) = spawnedGraph()
+    // plain DELETE on a still-connected node mirrors Neo4j's refusal
+    intercept[IllegalStateException] {
+      val (n, e) = CypherWrite.mergeOne(n1, e1,
+        "MATCH (p:Process {key: 'p1'}) DELETE p")
+      n.count(); e.count()
+    }
+    // DETACH DELETE removes the node and every incident edge
+    val (n2, e2) = CypherWrite.mergeOne(n1, e1,
+      "MATCH (p:Process {key: 'p1'}) DETACH DELETE p")
+    assert(nodeMap(n2).keySet == Set(("Process", "p2")))
+    assert(e2.count() == 0)
+    // once disconnected, plain DELETE works
+    val (n3, e3) = CypherWrite.mergeOne(n2, e2,
+      "MATCH (p:Process {key: 'p2'}) DELETE p")
+    assert(n3.count() == 0 && e3.count() == 0)
+  }
+
+  test("MATCH edge pattern: DELETE r drops the edge, SET r.x annotates it") {
+    val (n1, e1) = spawnedGraph()
+    // SET over a matched edge (no creation on miss)
+    val (_, e2) = CypherWrite.mergeOne(n1, e1,
+      """MATCH (a:Process {key: 'p1'}) MATCH (b:Process {key: 'p2'})
+        |MATCH (a)-[r:SPAWNS]->(b) SET r.checked = 'yes'""".stripMargin)
+    val props2 = e2.collect().head.getAs[Map[String, String]]("props")
+    assert(props2 == Map("note" -> "boot", "checked" -> "yes"))
+    // a MATCH edge whose key misses creates nothing
+    val (_, eMiss) = CypherWrite.mergeOne(n1, e1,
+      """MATCH (a:Process {key: 'p1'}) MATCH (b:Process {key: 'p1'})
+        |MATCH (a)-[r:SPAWNS]->(b) SET r.checked = 'yes'""".stripMargin)
+    assert(eMiss.count() == 1) // unchanged row count, no phantom edge
+    // DELETE r removes the edge, nodes stay
+    val (n3, e3) = CypherWrite.mergeOne(n1, e1,
+      """MATCH (a:Process {key: 'p1'}) MATCH (b:Process {key: 'p2'})
+        |MATCH (a)-[r:SPAWNS]->(b) DELETE r""".stripMargin)
+    assert(e3.count() == 0 && n3.count() == 2)
+  }
+
+  test("REMOVE drops properties, not rows; batch-parameterized retention trim") {
+    val (n1, e1) = spawnedGraph()
+    val (n2, e2) = CypherWrite.mergeOne(n1, e1,
+      """MATCH (a:Process {key: 'p1'}) MATCH (b:Process {key: 'p2'})
+        |MATCH (a)-[r:SPAWNS]->(b) REMOVE a.tmp, r.note""".stripMargin)
+    assert(nodeMap(n2)(("Process", "p1")) == Map("key" -> "p1", "image" -> "cmd.exe"))
+    assert(e2.count() == 1 &&
+      e2.collect().head.getAs[Map[String, String]]("props").isEmpty)
+    // retention-trim idiom: one batched DETACH DELETE over a parameter
+    // frame of expired keys
+    val expired = Seq("p1", "p2").toDF("key")
+    val (n3, e3) = CypherWrite.merge(n2, e2,
+      "MATCH (p:Process {key: $key}) DETACH DELETE p", expired)
+    assert(n3.count() == 0 && e3.count() == 0)
+    // label removal stays a loud error
+    intercept[IllegalArgumentException](CypherWrite.mergeOne(n1, e1,
+      "MATCH (p:Process {key: 'p1'}) REMOVE p:Process"))
+  }
+
+  test("quote-aware keyword scan + MATCH extra props are real constraints") {
+    val (n1, e1) = spawnedGraph()
+    // keyword words inside string literals must not split the statement
+    val (n2, _) = CypherWrite.mergeOne(n1, e1,
+      "MERGE (p:Process {key: 'p3', note: 'set by triage', kind: 'match'})")
+    assert(nodeMap(n2)(("Process", "p3")) ==
+      Map("key" -> "p3", "note" -> "set by triage", "kind" -> "match"))
+    // MATCH {key, image}: the extra entry filters — p2 has no image, so
+    // a constraint on it must not over-match (ADVICE r7)
+    val (n3, _) = CypherWrite.mergeOne(n1, e1,
+      "MATCH (p:Process {key: 'p2', image: 'cmd.exe'}) SET p.hit = '1'")
+    assert(!nodeMap(n3)(("Process", "p2")).contains("hit"))
+    val (n4, _) = CypherWrite.mergeOne(n1, e1,
+      "MATCH (p:Process {key: 'p1', image: 'cmd.exe'}) SET p.hit = '1'")
+    assert(nodeMap(n4)(("Process", "p1"))("hit") == "1")
+    // and the constraint gates the DOWNSTREAM clauses row-wise: a
+    // failed extra-prop match must not let the edge land
+    val (_, e5) = CypherWrite.mergeOne(n1, e1,
+      """MATCH (a:Process {key: 'p1', image: 'nope.exe'})
+        |MERGE (v:Verdict {vid: 'v9'})
+        |MERGE (a)-[r:FLAGGED]->(v)""".stripMargin)
+    assert(e5.filter(col("etype") === "FLAGGED").count() == 0)
+  }
 }
