@@ -1150,18 +1150,35 @@ object CypherLite {
           params: Map[String, Any]): DataFrame = {
     val substituted = params.toSeq.sortBy(-_._1.length)
       .foldLeft(cypher) { case (q, (k, v)) =>
+        // Floating values render via BigDecimal.toPlainString: the
+        // literal grammar (-?\d+(\.\d+)?) rejects scientific notation,
+        // so 1e7.toString ("1.0E7") would fail to parse. Types with no
+        // literal form (Boolean, dates, …) reject loudly rather than
+        // silently quoting into a string comparison.
         val rendered = v match {
           case null => throw new IllegalArgumentException(
             s"null parameter $$${k}: read-surface params must be bound " +
               "(use IS NULL predicates for null semantics)")
-          case n @ (_: Int | _: Long | _: Double | _: Float | _: Short | _: Byte) =>
-            n.toString
-          case s =>
-            val str = s.toString
-            require(!str.contains("'"),
+          case n @ (_: Int | _: Long | _: Short | _: Byte) => n.toString
+          case d: Double =>
+            require(!d.isNaN && !d.isInfinite,
+              s"parameter $$${k}: NaN/Infinity have no Cypher literal form")
+            BigDecimal(d).bigDecimal.toPlainString
+          case f: Float =>
+            require(!f.isNaN && !f.isInfinite,
+              s"parameter $$${k}: NaN/Infinity have no Cypher literal form")
+            BigDecimal(f.toDouble).bigDecimal.toPlainString
+          case bd: scala.math.BigDecimal => bd.bigDecimal.toPlainString
+          case bd: java.math.BigDecimal => bd.toPlainString
+          case bi: scala.math.BigInt => bi.toString
+          case s: String =>
+            require(!s.contains("'"),
               s"parameter $$${k} contains a single quote — the Cypher literal " +
                 "grammar has no escapes; filter via a DataFrame predicate instead")
-            "'" + str + "'"
+            "'" + s + "'"
+          case other => throw new IllegalArgumentException(
+            s"parameter $$${k}: unsupported type " +
+              s"${other.getClass.getSimpleName} — pass a number or a string")
         }
         q.replaceAll("\\$" + java.util.regex.Pattern.quote(k) + "\\b",
           java.util.regex.Matcher.quoteReplacement(rendered))

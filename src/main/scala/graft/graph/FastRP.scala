@@ -38,18 +38,24 @@ import org.apache.spark.storage.StorageLevel
 object FastRP {
 
   /** Node embeddings for the graph; returns (id, embedding) with
-    * `embedding: array<double>` L2-normalized (zero-degree nodes keep
-    * their normalized random base vector).
+    * `embedding: array<double>` L2-normalized. The vertex set is
+    * edge-derived by default; pass `nodes` (a frame with column `id`)
+    * to also embed ISOLATED vertices — zero-degree nodes keep their
+    * normalized random base vector, like GDS (without a nodes frame
+    * the edge list cannot know they exist).
     *
     * @param dim        embedding width d
     * @param weights    one weight per neighbor-averaging iteration
     *                   (its length is the iteration count; GDS-style
     *                   default emphasizes 2-3 hop structure)
     * @param sparsity   s in the ±√s/0 projection (P[nonzero] = 1/s)
+    * @param nodes      optional vertex frame; unioned with the edge
+    *                   endpoints, so it may be partial
     */
   def embed(edges0: DataFrame, dim: Int = 64,
             weights: Seq[Double] = Seq(0.0, 1.0, 1.0),
-            sparsity: Int = 3, seed: Long = 42L): DataFrame = {
+            sparsity: Int = 3, seed: Long = 42L,
+            nodes: Option[DataFrame] = None): DataFrame = {
     require(dim > 0 && weights.nonEmpty && sparsity >= 2)
     val e = GraphOps.undirected(edges0.select(col("src").cast("string").as("src"),
         col("dst").cast("string").as("dst")))
@@ -60,7 +66,13 @@ object FastRP {
     val h = xxhash64(col("id"), col("pos"), lit(seed))
     val bucket = pmod(h, lit(2L * sparsity))
     val root = math.sqrt(sparsity.toDouble)
-    val base = e.select(col("src").as("id")).distinct()
+    val endpoints = e.select(col("src").as("id")).distinct()
+    val vset = nodes match {
+      case Some(n) => endpoints
+        .unionByName(n.select(col("id").cast("string").as("id"))).distinct()
+      case None => endpoints
+    }
+    val base = vset
       .select(col("id"), explode(sequence(lit(0), lit(dim - 1))).as("pos"))
       .withColumn("val",
         when(bucket === 0, lit(root))
@@ -93,7 +105,14 @@ object FastRP {
       }
     }
     require(acc != null, "at least one iteration weight must be nonzero")
-    val fin = normalized(acc)
+    // isolated vertices never appear in a neighbor sum — they keep
+    // their normalized base vector, as the contract above promises
+    val isolatedBase = nodes match {
+      case Some(_) => Seq(normalized(
+        base.join(endpoints, Seq("id"), "left_anti")))
+      case None => Nil
+    }
+    val fin = isolatedBase.foldLeft(normalized(acc))(_ unionByName _)
     // assemble arrays: the collect buffer holds d scalars per node —
     // bounded by dim, not by the corpus or the neighborhood
     val out = fin

@@ -820,22 +820,30 @@ object GraphOps {
       .union(eStr.select(col("dst").as("id"))).distinct()
       .rdd.map(_.getString(0)).zipWithIndex()
       .toDF("id", "vid").persist(StorageLevel.MEMORY_AND_DISK)
-    // Encode-join strategy: the dictionary broadcast is COUNT-GATED,
-    // not forced unconditionally — an explicit broadcast() hint
-    // overrides autoBroadcastJoinThreshold and never falls back, so at
-    // cluster scale (|V| ~ 10⁸–10⁹, a dictionary of tens of GB) a
-    // forced hint would OOM the driver. Under the gate the hint is the
-    // measured win (the dict is persisted but its stats aren't known
-    // until materialized, so without the hint the first encode plans
-    // sort-merge); past it the joins go through the planner, which
-    // picks shuffle joins — the right plan there. The count() also
-    // materializes the dict cache, so the per-level joins below see
-    // real statistics.
-    val nV = dict.count()
-    val broadcastDictMax = 10L * 1000 * 1000 // ~hundreds of MB of strings
+    // Encode-join strategy: the dictionary broadcast is BYTE-GATED —
+    // an explicit broadcast() hint overrides autoBroadcastJoinThreshold
+    // and never falls back, so at cluster scale (|V| ~ 10⁸–10⁹, a
+    // dictionary of tens of GB) a forced hint would OOM the driver.
+    // The gate estimates the broadcast's in-memory size from the mean
+    // id length (riding the same job that materializes the dict cache;
+    // ~48 B/entry of HashedRelation overhead on top of the string
+    // bytes) and allows it under 512 MB — right for 10M 32-byte ids,
+    // refused for 10M 200-byte ids on 8 GiB executors — with the old
+    // 10M-row cap kept as a backstop against avg-length underestimates.
+    // Under the gate the hint is the measured win (the dict is
+    // persisted but its stats aren't known until materialized, so
+    // without the hint the first encode plans sort-merge); past it the
+    // joins go through the planner, which picks shuffle joins — the
+    // right plan there.
+    val dictStats = dict
+      .agg(count(lit(1)), coalesce(avg(length(col("id"))), lit(0.0))).collect()(0)
+    val nV = dictStats.getLong(0)
+    val estDictBytes = (nV * (dictStats.getDouble(1) + 48.0)).toLong
+    val broadcastDict =
+      estDictBytes <= 512L * 1024 * 1024 && nV <= 10L * 1000 * 1000
     def encSide(keyAs: String, vidAs: String) = {
       val side = dict.select(col("id").as(keyAs), col("vid").as(vidAs))
-      if (nV <= broadcastDictMax) broadcast(side) else side
+      if (broadcastDict) broadcast(side) else side
     }
     val e = eStr
       .join(encSide("src", "src_vid"), Seq("src"))
@@ -953,7 +961,7 @@ object GraphOps {
           round(coalesce(col("b"), lit(0.0)) / lit(if (halve) 2.0 else 1.0), 6)
             .as("betweenness"))
     val dec0 = dict.select(col("id").as("str_id"), col("vid"))
-    val dec = if (nV <= broadcastDictMax) broadcast(dec0) else dec0
+    val dec = if (broadcastDict) broadcast(dec0) else dec0
     val summed = summedVid.join(dec, summedVid("id") === dec0("vid"))
       .select(col("str_id").as("id"), col("betweenness"))
     // materialize (small: |V| rows) before releasing the borrows —

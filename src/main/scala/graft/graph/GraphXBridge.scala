@@ -24,15 +24,23 @@ object GraphXBridge {
     * zipWithIndex dictionary and its two mapping joins ONCE. Stopped
     * sessions are swept on access (the buildCached pattern), and the
     * map is LRU-BOUNDED so a long-lived session touching many distinct
-    * edge frames can't grow it without limit; evicted entries' cached
-    * RDD blocks are freed by the ContextCleaner once the last
-    * reference drops (same lifecycle as the rest of the borrow-style
-    * caching here — no eager unpersist, which could race a concurrent
-    * reader of the evicted graph). */
+    * edge frames can't grow it without limit. Eviction RELEASES both
+    * halves of the entry: the graph's RDD blocks are freed by the
+    * ContextCleaner once the last reference drops, but the dict's
+    * DataFrame cache registers in the session CacheManager, which
+    * holds a strong reference until an explicit unpersist — so the
+    * eviction calls dict.unpersist(blocking = false) (non-blocking:
+    * a concurrent reader of the evicted dict recomputes rather than
+    * stalls or crashes). */
   private val MemoMax = 16
   private val memo = new java.util.LinkedHashMap[MemoKey, MemoVal](MemoMax, 0.75f, true) {
-    override def removeEldestEntry(e: java.util.Map.Entry[MemoKey, MemoVal]): Boolean =
-      size() > MemoMax
+    override def removeEldestEntry(e: java.util.Map.Entry[MemoKey, MemoVal]): Boolean = {
+      val evict = size() > MemoMax
+      if (evict && !e.getKey._1.sparkContext.isStopped) {
+        try e.getValue._1.unpersist(false) catch { case _: Throwable => () }
+      }
+      evict
+    }
   }
 
   /** (vertexDict, graphx Graph) from an edge frame with string src/dst.

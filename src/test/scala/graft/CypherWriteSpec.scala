@@ -131,6 +131,21 @@ class CypherWriteSpec extends SparkSpec {
       "MATCH (t:Trace {traceID: $tid}) RETURN t", Map.empty[String, Any]))
     intercept[IllegalArgumentException](CypherLite.run(n1, e1,
       "MATCH (t:Trace {traceID: $tid}) RETURN t", Map("tid" -> "o'brien")))
+    // floating params render plain-decimal (1e7.toString is "1.0E7",
+    // which the literal grammar rejects); boolean/NaN reject loudly
+    val big = CypherLite.run(n1, e1,
+      "MATCH (p:Process) WHERE toInteger(p.pid) < $cap RETURN p ORDER BY p",
+      Map("cap" -> 1.0e7)).collect().map(_.getString(0)).toSeq
+    assert(big == Seq("t1:100", "t1:200"))
+    val tiny = CypherLite.run(n1, e1,
+      "MATCH (p:Process) WHERE toFloat(p.pid) < $eps RETURN p",
+      Map("eps" -> 1.0e-5)).count()
+    assert(tiny == 0)
+    intercept[IllegalArgumentException](CypherLite.run(n1, e1,
+      "MATCH (p:Process) WHERE p.pid = $b RETURN p", Map("b" -> true)))
+    intercept[IllegalArgumentException](CypherLite.run(n1, e1,
+      "MATCH (p:Process) WHERE toFloat(p.pid) < $x RETURN p",
+      Map("x" -> Double.NaN)))
   }
 
   test("merges onto a real SysmonGraph corpus graph and reads back") {

@@ -26,6 +26,26 @@ class FastRPSpec extends SparkSpec {
     }
   }
 
+  test("isolated vertices from a nodes frame keep their normalized base vector") {
+    val nodes = Some((left ++ right ++ Seq("lonely", "alone")).toDF("id"))
+    val emb = FastRP.embed(twoCliques, dim = 16, nodes = nodes).collect()
+      .map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+    assert(emb.keySet == (left ++ right ++ Seq("lonely", "alone")).toSet)
+    // the isolated vectors are unit-norm and equal to the embedding of
+    // the same id with the same seed in a second run (pure base hash)
+    Seq("lonely", "alone").foreach { id =>
+      val n = math.sqrt(emb(id).map(x => x * x).sum)
+      assert(math.abs(n - 1.0) < 1e-6, s"norm $n for $id")
+    }
+    // connected vertices are unaffected by the extra nodes
+    val plain = FastRP.embed(twoCliques, dim = 16).collect()
+      .map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+    (left ++ right).foreach { id =>
+      emb(id).zip(plain(id)).foreach { case (x, y) =>
+        assert(math.abs(x - y) < 1e-12) }
+    }
+  }
+
   test("community structure: intra-clique cosine beats inter-clique") {
     val emb = FastRP.embed(twoCliques, dim = 32).collect()
       .map(r => r.getString(0) -> r.getSeq[Double](1).toArray).toMap
