@@ -18,7 +18,8 @@ object Bench {
     // r4 centralities: multi-source-BFS closeness + Brandes betweenness
     "g_closeness", "g_betweenness",
     // r7: Louvain local-move + contraction rounds; FastRP embeddings
-    "g_louvain", "g_fastrp",
+    // r8: Leiden = Louvain + connectivity refinement
+    "g_louvain", "g_leiden", "g_fastrp",
     // IVF: quantizer training (distributed Lloyd) + probe search
     "e3_ivf",
     // the reference's core workload: full 1202-trace corpus → property

@@ -80,6 +80,7 @@ object SparkEntry {
     "g_paths"      -> (GraphQueries.gPaths _),
     "g_allpaths"   -> (GraphQueries.gAllPaths _),
     "g_louvain"    -> (GraphQueries.gLouvain _),
+    "g_leiden"     -> (GraphQueries.gLeiden _),
     "g_fastrp"     -> (GraphQueries.gFastrp _),
     "sg_merge"     -> (GraphQueries.sgMerge _),
     "sg_delete"    -> (GraphQueries.sgDelete _),

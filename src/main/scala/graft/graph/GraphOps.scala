@@ -76,9 +76,55 @@ object GraphOps {
     * deep graphs the O(log n) star-contraction variant drops in behind
     * the same signature — diameter on real telemetry/co-occurrence
     * graphs is small, so label propagation is the cheaper default.)
-    */
-  def connectedComponents(edges: DataFrame, maxIter: Int = 30): DataFrame = {
+    *
+    * Local finisher (same rationale + bound as [[louvain]]'s,
+    * measured at r8): under `localFinishEdges` symmetric edge rows —
+    * a few MB — union-find on the driver replaces rounds of
+    * label-propagation jobs whose cost at that size is pure AQE stage
+    * scheduling. Identical contract (min member id), pinned by a
+    * forced-path equivalence spec; ids of non-string/int/long types
+    * always take the distributed path. `localFinishEdges = 0` forces
+    * distributed. */
+  def connectedComponents(edges: DataFrame, maxIter: Int = 30,
+                          localFinishEdges: Long = 250000L): DataFrame = {
     val sym = undirected(edges).persist(StorageLevel.MEMORY_AND_DISK)
+    val symCount = sym.count() // materializes the persist either way
+    import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructField, StructType}
+    val idType = sym.schema("src").dataType
+    val comparable = idType == StringType || idType == IntegerType || idType == LongType
+    if (symCount <= localFinishEdges && comparable) {
+      val spark = edges.sparkSession
+      val pairs = sym.collect().map(r => (r.get(0), r.get(1)))
+      sym.unpersist()
+      import scala.collection.mutable
+      val parent = mutable.Map.empty[Any, Any]
+      def find(x: Any): Any = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent(r)
+        var c = x // path compression
+        while (parent.getOrElse(c, c) != c) { val nx = parent(c); parent(c) = r; c = nx }
+        r
+      }
+      pairs.foreach { case (a, b) =>
+        parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+        val ra = find(a); val rb = find(b)
+        if (ra != rb) parent(rb) = ra
+      }
+      val lt: (Any, Any) => Boolean = idType match {
+        case StringType  => (a, b) => a.asInstanceOf[String] < b.asInstanceOf[String]
+        case IntegerType => (a, b) => a.asInstanceOf[Int] < b.asInstanceOf[Int]
+        case _           => (a, b) => a.asInstanceOf[Long] < b.asInstanceOf[Long]
+      }
+      val minRep = mutable.Map.empty[Any, Any]
+      parent.keys.foreach { n =>
+        val r = find(n)
+        if (!minRep.contains(r) || lt(n, minRep(r))) minRep(r) = n
+      }
+      val rows = parent.keys.toSeq
+        .map(n => org.apache.spark.sql.Row(n, minRep(find(n))))
+      return spark.createDataFrame(rows.asJava, StructType(Seq(
+        StructField("id", idType), StructField("component", idType))))
+    }
     var labels = sym.select(col("src").as("id"))
       .union(sym.select(col("dst").as("id")))
       .distinct()
@@ -538,6 +584,47 @@ object GraphOps {
     }
     toCur.toMap
   }
+
+  /** B24 — Leiden-style refinement (Traag, Waltman & van Eck 2019,
+    * "From Louvain to Leiden"): the guarantee Louvain lacks is that
+    * every community is internally CONNECTED — a local move can pull
+    * the cut vertex out of its community and leave the rest in two
+    * pieces that still share a label. This pass restores the paper's
+    * connectivity guarantee over a FINISHED partition: each community
+    * splits into its connected components within the community's own
+    * induced subgraph (not the full interleaved Leiden algorithm —
+    * refinement-between-levels composes here as
+    * `leidenRefine(e, louvain(e))`, which is what [[leiden]] does).
+    *
+    * Scale shape: two equi-joins tag each edge with its endpoints'
+    * communities, the intra-community edge subset runs one
+    * [[connectedComponents]] (label-prop rounds bounded by the largest
+    * community's diameter — small by construction), and members whose
+    * every edge leaves their community become singletons. Returns
+    * (id, community), community = smallest member id — same contract
+    * as [[louvain]]. */
+  def leidenRefine(edges0: DataFrame, assign: DataFrame): DataFrame = {
+    val e = undirected(edges0.select(col("src").cast("string").as("src"),
+        col("dst").cast("string").as("dst")))
+      .filter(col("src") =!= col("dst"))
+    val a = assign.select(col("id").cast("string").as("id"),
+      col("community").cast("string").as("c"))
+    val intra = e
+      .join(a.select(col("id").as("src"), col("c").as("cs")), Seq("src"))
+      .join(a.select(col("id").as("dst"), col("c").as("cd")), Seq("dst"))
+      .filter(col("cs") === col("cd"))
+      .select(col("src"), col("dst"))
+    val comps = connectedComponents(intra)
+    a.join(comps, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("component"), col("id")).as("community"))
+  }
+
+  /** [[louvain]] + [[leidenRefine]]: modularity communities with the
+    * Leiden connectivity guarantee. */
+  def leiden(edges0: DataFrame, maxLevels: Int = 2, moveIters: Int = 3,
+             localFinishEdges: Long = 250000L): DataFrame =
+    leidenRefine(edges0, louvain(edges0, maxLevels, moveIters, localFinishEdges))
 
   /** Newman modularity Q of a community assignment over an unweighted
     * undirected graph: Q = Σ_in/m − Σ_c (Σ_tot(c)/2m)². Edges are

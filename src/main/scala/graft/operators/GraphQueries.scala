@@ -217,6 +217,14 @@ object GraphQueries {
       .groupBy(col("community")).agg(count(lit(1)).as("size"))
       .orderBy(col("size").desc, col("community"))
 
+  /** B24 — Leiden-guaranteed communities (Louvain + connectivity
+    * refinement). Rows-only like `g_louvain`; the connectivity
+    * guarantee itself is pinned by spec. */
+  def gLeiden(s: SparkSession, dir: String): DataFrame =
+    GraphOps.leiden(TestGraph.partSupplierEdges(s, dir))
+      .groupBy(col("community")).agg(count(lit(1)).as("size"))
+      .orderBy(col("size").desc, col("community"))
+
   /** B23 — FastRP node embeddings, composed with the E-suite shape:
     * embed the part—supplier graph, then top-3 cosine neighbors for a
     * deterministic query sample (broadcast queries, one corpus pass,

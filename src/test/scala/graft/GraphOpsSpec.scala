@@ -53,6 +53,23 @@ class GraphOpsSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("cc local finisher ≡ forced-distributed path; int ids; empty input") {
+    val chain = (0 until 30).map(i => (f"n$i%02d", f"n${i + 1}%02d"))
+    val edges = edgeDf((chain ++ Seq("x1" -> "x2", "y1" -> "y2")): _*)
+    val loc = GraphOps.connectedComponents(edges)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val dist = GraphOps.connectedComponents(edges, maxIter = 50,
+        localFinishEdges = 0L)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(loc == dist && loc("n30") == "n00")
+    // integer-typed ids keep their type and numeric min-ordering
+    val ei = Seq((10, 2), (2, 1), (7, 8)).toDF("src", "dst")
+    val gi = GraphOps.connectedComponents(ei)
+      .collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
+    assert(gi == Map(10 -> 1, 2 -> 1, 1 -> 1, 7 -> 7, 8 -> 7))
+    assert(GraphOps.connectedComponents(edgeDf()).isEmpty)
+  }
+
   test("pagerank: ranks sum to vertex count and sinks rank lowest") {
     // star: everyone points at z
     val edges = edgeDf("a" -> "z", "b" -> "z", "c" -> "z")
@@ -364,6 +381,47 @@ class GraphOpsSpec extends SparkSpec {
     assert(GraphOps.louvain(edgeDf("a" -> "a")).isEmpty)
     assert(GraphOps.modularity(edgeDf(), edgeDf().select(
       col("src").as("id"), col("dst").as("community"))) == 0.0)
+  }
+
+  test("leiden refinement: splits a disconnected community, no-ops a sound one") {
+    // the classic Louvain defect shape: a community labelled {a, c, e}
+    // whose members only connect THROUGH b (labelled elsewhere) — the
+    // induced subgraph of the community is three isolated vertices
+    val e = GraphOps.undirected(edgeDf(
+      "a" -> "b", "b" -> "c", "b" -> "e", // star through b
+      "x" -> "y", "y" -> "z", "x" -> "z")) // sound triangle community
+    val bad = Seq(("a", "a"), ("c", "a"), ("e", "a"), ("b", "b"),
+      ("x", "x"), ("y", "x"), ("z", "x")).toDF("id", "community")
+    val got = GraphOps.leidenRefine(e, bad)
+      .collect().map(r => (r.getString(0), r.getString(1))).toMap
+    // the phantom community splits into singletons; the triangle stays
+    assert(got == Map("a" -> "a", "c" -> "c", "e" -> "e", "b" -> "b",
+      "x" -> "x", "y" -> "x", "z" -> "x"))
+    // composed leiden(): every community's induced subgraph is connected
+    val rng = new scala.util.Random(11)
+    val noisy = (0 until 200).map { _ =>
+      f"n${rng.nextInt(50)}%02d" -> f"n${rng.nextInt(50)}%02d"
+    }.filter(p => p._1 != p._2)
+    val g = edgeDf(noisy: _*)
+    val refined = GraphOps.leiden(g)
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    val sym = GraphOps.undirected(g).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    refined.groupBy(_._2).foreach { case (_, members) =>
+      val ids = members.map(_._1).toSet
+      if (ids.size > 1) {
+        // BFS inside the induced subgraph must reach every member
+        val adj = sym.filter(p => ids(p._1) && ids(p._2))
+          .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+        var seen = Set(ids.head)
+        var frontier = Set(ids.head)
+        while (frontier.nonEmpty) {
+          val next = frontier.flatMap(adj.getOrElse(_, Set.empty)) -- seen
+          seen ++= next; frontier = next
+        }
+        assert(seen == ids, s"community not internally connected: $ids")
+      }
+    }
   }
 
   test("louvain: modularity is monotone vs singletons and matches by hand") {
