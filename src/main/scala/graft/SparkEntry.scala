@@ -74,6 +74,7 @@ object SparkEntry {
     "g_degree"     -> (GraphQueries.gDegree _),
     "g_topdeg"     -> (GraphQueries.gTopdeg _),
     "g_pagerank"   -> (GraphQueries.gPagerank _),
+    "g_ppr"        -> (GraphQueries.gPpr _),
     "g_triangles"  -> (GraphQueries.gTriangles _),
     "g_sssp"       -> (GraphQueries.gSssp _),
     "g_nodesim"    -> (GraphQueries.gNodesim _),
@@ -546,6 +547,30 @@ object SparkEntry {
         |    WHERE p.it < 10 GROUP BY 1,2) s)
         |SELECT id, round(rank,4) AS rank FROM pr WHERE it=10
         |ORDER BY rank DESC, id LIMIT 20""".stripMargin,
+    "g_ppr" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT DISTINCT src, dst FROM (
+        |    SELECT 'p:'||l_partkey AS src, 's:'||l_suppkey AS dst FROM lineitem WHERE l_partkey % 20 = 0
+        |    UNION ALL
+        |    SELECT 's:'||l_suppkey, 'p:'||l_partkey FROM lineitem WHERE l_partkey % 20 = 0)),
+        |v AS (SELECT DISTINCT src AS id FROM e),
+        |deg AS (SELECT src, count(*) AS deg FROM e GROUP BY 1),
+        |s AS (SELECT id FROM v WHERE id LIKE 'p:%' AND CAST(substr(id,3) AS INT) % 5 = 0),
+        |ns AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM s),
+        |pr AS (
+        |  SELECT 0 AS it, id,
+        |    CASE WHEN id IN (SELECT id FROM s) THEN 1.0/(SELECT n FROM ns) ELSE 0.0 END AS rank
+        |  FROM v
+        |  UNION ALL
+        |  SELECT it+1, dst AS id,
+        |    CASE WHEN dst IN (SELECT id FROM s) THEN 0.15/(SELECT n FROM ns) ELSE 0.0 END
+        |      + 0.85*msum AS rank
+        |  FROM (
+        |    SELECT p.it AS it, e.dst AS dst, sum(p.rank/deg.deg) AS msum
+        |    FROM pr p JOIN e ON e.src = p.id JOIN deg ON deg.src = e.src
+        |    WHERE p.it < 10 GROUP BY 1,2) q)
+        |SELECT id, round(rank,6) AS rank FROM pr WHERE it=10 AND rank > 0
+        |ORDER BY rank DESC, id LIMIT 25""".stripMargin,
     "g_kcore" ->
       """WITH RECURSIVE e AS (
         |  SELECT DISTINCT src, dst FROM (

@@ -88,6 +88,22 @@ object GraphQueries {
       .orderBy(col("rank").desc, col("id"))
       .limit(20)
 
+  /** B16 — personalized PageRank on the testdata graph, DuckDB-gated
+    * (the corpus-graph `sg_ppr` stays rows-only — DuckDB never sees
+    * that graph). Seeds: every 5th part node; fixed 10 iterations so
+    * the recursive-CTE twin replays the exact power iteration. */
+  def gPpr(s: SparkSession, dir: String): DataFrame = {
+    val e = GraphOps.undirected(TestGraph.partSupplierEdges(s, dir))
+    val seeds = e.select(col("src").as("id")).distinct()
+      .filter(col("id").startsWith("p:") &&
+        substring(col("id"), 3, 100).cast("int") % 5 === 0)
+    GraphOps.personalizedPageRank(e, seeds, iters = 10)
+      .filter(col("rank") > 0)
+      .select(col("id"), round(col("rank"), 6).as("rank"))
+      .orderBy(col("rank").desc, col("id"))
+      .limit(25)
+  }
+
   /** B10 — per-part triangle count on the co-purchase graph (two parts
     * are adjacent when they share an order). Degree-ordered wedge
     * generation — see [[GraphOps.triangles]]. */
