@@ -326,23 +326,31 @@ object CypherLite {
                          sp: Option[ShortestPat] = None)
 
   /** `{key: 'value', n: 42}` — quote-aware so a '}' inside a string
-    * literal doesn't close the map early. */
-  private val PropsMap = """\{(?:[^}']|'[^']*')*\}"""
+    * literal doesn't close the map early; allows list values and one
+    * level of nested map (canonicalized via [[PropLiterals]]). */
+  private val PropsMap = """\{(?:[^{}']|'[^']*'|\{(?:[^}']|'[^']*')*\})*\}"""
   private val NodeRe = ("""\(\s*(\w+)?\s*(?::\s*(\w+))?\s*(""" + PropsMap + """)?\s*\)""").r
   private val FwdRe = ("""-\[\s*(\w+)?\s*(?::(\w+))?\s*(?:(\*)(?:(\d+)\.\.(\d+))?)?\s*(""" + PropsMap + """)?\s*\]->""").r
   private val RevRe = ("""<-\[\s*(\w+)?\s*(?::(\w+))?\s*(?:(\*)(?:(\d+)\.\.(\d+))?)?\s*(""" + PropsMap + """)?\s*\]-""").r
-  private val PropEntryRe = """(\w+)\s*:\s*(?:'([^']*)'|(-?\d+(?:\.\d+)?))""".r
+  private val PropEntryRe =
+    ("""(\w+)\s*:\s*(?:'([^']*)'|(-?\d+(?:\.\d+)?)""" +
+      """|(\[(?:[^\]']|'[^']*')*\]|\{(?:[^}']|'[^']*')*\}))""").r
   /** Parse a `{k: v, …}` property map (braces included) to
-    * (key, literal, numeric) triples. Values are string or numeric
-    * literals only — `$param` / nested maps are not in the subset. */
+    * (key, literal, numeric) triples. Values are string / numeric
+    * literals, list literals, or one-level nested maps (composites
+    * compare as their canonical serialized text — the storage form
+    * CypherWrite uses); `$param` entries are not in the subset. */
   private def parsePropsMap(s0: String): Seq[(String, String, Boolean)] = {
     val body = s0.trim.stripPrefix("{").stripSuffix("}").trim
     if (body.isEmpty) Nil
     else splitTopLevel(body).map {
-      case PropEntryRe(k, str, num) =>
-        if (str != null) (k, str, false) else (k, num, true)
+      case PropEntryRe(k, str, num, composite) =>
+        if (str != null) (k, str, false)
+        else if (num != null) (k, num, true)
+        else (k, PropLiterals.canonical(composite), false)
       case other => throw new IllegalArgumentException(
-        s"bad property-map entry '$other' (expected key: 'string' or key: number)")
+        s"bad property-map entry '$other' (expected key: 'string', number, " +
+          "list, or one-level map)")
     }
   }
   private val CondRe =
@@ -837,8 +845,8 @@ object CypherLite {
     var inQ = false
     s.foreach {
       case '\'' => inQ = !inQ; sb += '\''
-      case c @ ('(' | '[') if !inQ => depth += 1; sb += c
-      case c @ (')' | ']') if !inQ => depth -= 1; sb += c
+      case c @ ('(' | '[' | '{') if !inQ => depth += 1; sb += c
+      case c @ (')' | ']' | '}') if !inQ => depth -= 1; sb += c
       case ',' if depth == 0 && !inQ => out += sb.toString; sb.clear()
       case c => sb += c
     }

@@ -96,22 +96,36 @@ object CypherWrite {
 
   // ---------------------------------------------------------------- parse
 
+  // map bodies may contain list literals and ONE level of nested map
+  // (composite values canonicalize through PropLiterals); quote
+  // alternations keep '}' / ']' inside strings from closing early
+  private val InnerMap = """\{(?:[^}']|'[^']*')*\}"""
+  private val ListLit = """\[(?:[^\]']|'[^']*')*\]"""
+  private val MapBody = s"""(?:[^{}']|'[^']*'|$InnerMap)*"""
   private val NodePatRe =
-    """\(\s*(\w+)\s*:\s*(\w+)\s*\{([^}]*)\}\s*\)""".r
+    (s"""\\(\\s*(\\w+)\\s*:\\s*(\\w+)\\s*\\{($MapBody)\\}\\s*\\)""").r
   private val EdgePatRe =
-    """\(\s*(\w+)\s*\)\s*-\s*\[\s*(\w+)?\s*:\s*(\w+)\s*(\{[^}]*\})?\s*\]\s*->\s*\(\s*(\w+)\s*\)""".r
-  private val MapEntryRe = """(\w+)\s*:\s*(\$\w+|'[^']*'|-?\d+(?:\.\d+)?)""".r
+    (s"""\\(\\s*(\\w+)\\s*\\)\\s*-\\s*\\[\\s*(\\w+)?\\s*:\\s*(\\w+)\\s*(\\{$MapBody\\})?\\s*\\]\\s*->\\s*\\(\\s*(\\w+)\\s*\\)""").r
+  private val MapEntryRe =
+    (s"""(\\w+)\\s*:\\s*(\\$$\\w+|'[^']*'|-?\\d+(?:\\.\\d+)?|$ListLit|$InnerMap)""").r
   private val SetItemRe =
     """(\w+)\.(\w+)\s*=\s*(?:coalesce\(\s*(\$\w+)\s*,\s*\1\.\2\s*\)|(\$\w+|'[^']*'|-?\d+(?:\.\d+)?))""".r
 
   private def parseValue(s: String): Value = s.trim match {
     case p if p.startsWith("$") => Param(p.substring(1))
     case q if q.startsWith("'") && q.endsWith("'") => Lit(q.substring(1, q.length - 1))
+    case c if PropLiterals.isComposite(c) => Lit(PropLiterals.canonical(c))
     case n => Lit(n)
   }
 
   private def parseMap(body0: String): Seq[(String, Value)] = {
-    val body = body0.trim.stripPrefix("{").stripSuffix("}")
+    // strip only a matched OUTER brace pair (edge maps arrive braced,
+    // node bodies braceless) — a bare stripSuffix would eat a nested
+    // map value's closing brace
+    val t = body0.trim
+    val body =
+      if (t.startsWith("{") && t.endsWith("}")) t.substring(1, t.length - 1)
+      else t
     val entries = MapEntryRe.findAllMatchIn(body).map { m =>
       m.group(1) -> parseValue(m.group(2))
     }.toSeq

@@ -249,6 +249,35 @@ class CypherWriteSpec extends SparkSpec {
       "MATCH (p:Process {key: 'p1'}) REMOVE p:Process"))
   }
 
+  test("list/map property literals: canonical storage, order semantics, read-back") {
+    val (n0, e0) = CypherWrite.emptyGraph(spark)
+    val (n1, e1) = CypherWrite.mergeOne(n0, e0,
+      "MERGE (d:Doc {did: 'd1', tags: ['a', 'b'], meta: {x: '1', lang: 'en'}})")
+    // canonical JSON text is the storage form: list ordered, map keys sorted
+    assert(nodeMap(n1)(("Doc", "d1")) == Map("did" -> "d1",
+      "tags" -> """["a","b"]""", "meta" -> """{"lang":"en","x":"1"}"""))
+    // read-back through CypherLite pattern maps: list order matters,
+    // map key order doesn't (Neo4j's semantics for the two types)
+    def hits(q: String): Long = CypherLite.run(n1, e1, q).count()
+    assert(hits("MATCH (d:Doc {tags: ['a', 'b']}) RETURN d") == 1)
+    assert(hits("MATCH (d:Doc {tags: ['b', 'a']}) RETURN d") == 0)
+    assert(hits("MATCH (d:Doc {meta: {lang: 'en', x: '1'}}) RETURN d") == 1)
+    assert(hits("MATCH (d:Doc {meta: {x: '1', lang: 'en'}}) RETURN d") == 1)
+    assert(hits("MATCH (d:Doc {meta: {x: '2', lang: 'en'}}) RETURN d") == 0)
+    // CypherWrite MATCH constraints use the same canonical comparison
+    val (n2, _) = CypherWrite.mergeOne(n1, e1,
+      "MATCH (d:Doc {did: 'd1', tags: ['a', 'b']}) SET d.hit = '1'")
+    assert(nodeMap(n2)(("Doc", "d1"))("hit") == "1")
+    val (n3, _) = CypherWrite.mergeOne(n1, e1,
+      "MATCH (d:Doc {did: 'd1', tags: ['b', 'a']}) SET d.hit = '1'")
+    assert(!nodeMap(n3)(("Doc", "d1")).contains("hit"))
+    // numbers stay verbatim inside lists; malformed composites are loud
+    val (n4, _) = CypherWrite.mergeOne(n0, e0, "MERGE (d:Doc {did: 'd2', ns: [1, 2.5]})")
+    assert(nodeMap(n4)(("Doc", "d2"))("ns") == "[1,2.5]")
+    intercept[IllegalArgumentException](CypherWrite.mergeOne(n0, e0,
+      "MERGE (d:Doc {did: 'd3', bad: ['a' 'b']})"))
+  }
+
   test("quote-aware keyword scan + MATCH extra props are real constraints") {
     val (n1, e1) = spawnedGraph()
     // keyword words inside string literals must not split the statement
