@@ -34,5 +34,10 @@ object GraftSession {
       // worth broadcasting on a 128 GiB single node; SURVEY §5 covers
       // sizing this per executor memory at cluster scale
       .config("spark.sql.autoBroadcastJoinThreshold", (64 * 1024 * 1024).toString)
+      // iterative analytics (betweenness levels, BFS frontiers) build
+      // plans whose debug strings exceed the 25-field default; the
+      // truncation WARN is the last non-signal line in a clean bench
+      // tail, and the longer debug strings are log-only cost
+      .config("spark.sql.debug.maxToStringFields", "2000")
       .config("spark.ui.enabled", "false")
 }
