@@ -85,6 +85,7 @@ object SparkEntry {
     "g_fastrp"     -> (GraphQueries.gFastrp _),
     "sg_merge"     -> (GraphQueries.sgMerge _),
     "sg_delete"    -> (GraphQueries.sgDelete _),
+    "g_call"       -> (GraphQueries.gCall _),
     "g_lpa"        -> (GraphQueries.gLpa _),
     "g_clustercoef" -> (GraphQueries.gClusterCoef _),
     "g_closeness"  -> (GraphQueries.gCloseness _),
@@ -649,6 +650,25 @@ object SparkEntry {
     "sg_delete" ->
       """SELECT event_type AS t, count(DISTINCT user_id) AS n FROM events
         |WHERE user_id % 7 <> 0 GROUP BY 1 ORDER BY 1""".stripMargin,
+    // J7 CALL surface: textually-requested PageRank — the g_pagerank
+    // recursive-CTE twin verbatim (CALL must not change the numbers)
+    "g_call" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT DISTINCT src, dst FROM (
+        |    SELECT 'p:'||l_partkey AS src, 's:'||l_suppkey AS dst FROM lineitem WHERE l_partkey % 20 = 0
+        |    UNION ALL
+        |    SELECT 's:'||l_suppkey, 'p:'||l_partkey FROM lineitem WHERE l_partkey % 20 = 0)),
+        |v AS (SELECT DISTINCT src AS id FROM e),
+        |deg AS (SELECT src, count(*) AS deg FROM e GROUP BY 1),
+        |pr AS (
+        |  SELECT 0 AS it, id, CAST(1.0 AS DOUBLE) AS rank FROM v
+        |  UNION ALL
+        |  SELECT it+1, dst AS id, 0.15 + 0.85*msum AS rank FROM (
+        |    SELECT p.it AS it, e.dst AS dst, sum(p.rank/deg.deg) AS msum
+        |    FROM pr p JOIN e ON e.src = p.id JOIN deg ON deg.src = e.src
+        |    WHERE p.it < 10 GROUP BY 1,2) s)
+        |SELECT id, round(rank,4) AS rank FROM pr WHERE it=10
+        |ORDER BY rank DESC, id LIMIT 20""".stripMargin,
     "g_allpaths" ->
       """WITH RECURSIVE edges AS (
         |  SELECT 'r:'||n_regionkey AS src, 'n:'||n_nationkey AS dst FROM nation

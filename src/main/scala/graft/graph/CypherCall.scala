@@ -1,0 +1,395 @@
+package graft.graph
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** J7 — GDS-style procedure surface: `CALL graft.<proc>({config})
+  * YIELD … [WHERE …] [RETURN …] [ORDER BY …] [SKIP n] [LIMIT n]`.
+  *
+  * Ties the B-suite analytics into the textual query language the way
+  * Neo4j's GDS catalog does (`CALL gds.pageRank.stream(...) YIELD
+  * nodeId, score`): a user of the reference graph
+  * (reference events.py builds it, queries run against Neo4j where the
+  * GDS catalog lives) calls algorithms by name with a config map and
+  * pipelines the yielded rows. Differences from GDS, documented here
+  * rather than silently diverging:
+  *
+  *   - the graph is BOUND at run() (the (nodes, edges) frames), so
+  *     there is no named-graph first argument and no catalog
+  *     project/drop lifecycle — config keys `relationshipType` /
+  *     `nodeLabel` / `orientation` give the per-call subgraph
+  *     selection that GDS does at projection time;
+  *   - only stream mode exists (rows out — mutate/write modes are the
+  *     CypherWrite surface's job); a trailing `.stream` on the
+  *     procedure name is accepted and ignored;
+  *   - yields use this engine's id-typed node keys (`id`), not Neo4j's
+  *     internal numeric nodeIds.
+  *
+  * The tail after YIELD reuses CypherLite's own term/predicate/
+  * projection machinery over the flat yielded frame (bare identifiers
+  * resolve as columns), so WHERE/RETURN support the full expression
+  * grammar — arithmetic, CASE, coalesce, aggregates in RETURN, etc.
+  *
+  * Everything compiles to the same scale-shaped DataFrame plans the
+  * direct Scala API produces (CALL is a parser, not an engine): the
+  * procedure registry dispatches to [[GraphOps]]/[[FastRP]] verbatim.
+  * Unknown procedures, unknown config keys, and YIELD columns not in
+  * the procedure's schema all fail loudly — a typo must never silently
+  * run a default.
+  */
+object CypherCall {
+  import CypherLite.{parseRetItem, parseOrder, parseWhere, splitTopLevel, Compiler}
+
+  /** Quote-aware CALL detector (the dispatch hook for
+    * [[CypherLite.run]]). */
+  def isCall(cypher: String): Boolean =
+    cypher.trim.toUpperCase.startsWith("CALL ")
+
+  // ---------------------------------------------------------------- config
+
+  /** One procedure: canonical yield schema (ordered), allowed config
+    * keys, and the dispatch into the Scala API. */
+  private final case class Proc(yields: Seq[String], keys: Set[String],
+                                run: (DataFrame, DataFrame, Cfg) => DataFrame)
+
+  /** Parsed config map with typed, loud accessors. */
+  private final class Cfg(val name: String, m: Map[String, Any]) {
+    def int(k: String, dflt: Int): Int = m.get(k) match {
+      case None => dflt
+      case Some(v: Long) => v.toInt
+      case Some(v) => fail(k, v, "an integer")
+    }
+    def dbl(k: String, dflt: Double): Double = m.get(k) match {
+      case None => dflt
+      case Some(v: Double) => v
+      case Some(v: Long) => v.toDouble
+      case Some(v) => fail(k, v, "a number")
+    }
+    def bool(k: String, dflt: Boolean): Boolean = m.get(k) match {
+      case None => dflt
+      case Some(v: Boolean) => v
+      case Some(v) => fail(k, v, "true/false")
+    }
+    def str(k: String): Option[String] = m.get(k).map {
+      case s: String => s
+      case v => fail(k, v, "a string")
+    }
+    /** String list; a single scalar is accepted as a 1-list (GDS
+      * accepts both spellings for relationshipTypes/sourceNodes). */
+    def strs(k: String): Option[Seq[String]] = m.get(k).map {
+      case s: String => Seq(s)
+      case l: Seq[_] => l.map {
+        case s: String => s
+        case n: Long => n.toString
+        case v => fail(k, v, "a list of strings")
+      }
+      case v => fail(k, v, "a list of strings")
+    }
+    /** Double list (e.g. iterationWeights: [0.0, 1.0, 1.0]). */
+    def dbls(k: String): Option[Seq[Double]] = m.get(k).map {
+      case l: Seq[_] => l.map {
+        case d: Double => d
+        case n: Long => n.toDouble
+        case v => fail(k, v, "a list of numbers")
+      }
+      case v => fail(k, v, "a list of numbers")
+    }
+    def has(k: String): Boolean = m.contains(k)
+    private def fail(k: String, v: Any, want: String): Nothing =
+      throw new IllegalArgumentException(
+        s"$name: config key '$k' must be $want, got $v")
+  }
+
+  /** Parse `{key: value, …}` to a typed map. Values: 'string', number
+    * (Long when integral), true/false, or a flat list of those.
+    * Quote-aware: a comma or brace inside a string literal doesn't
+    * split. `$params` don't reach here — [[CypherLite.run]]'s
+    * parameter substitution happens on the raw text first. */
+  private def parseConfig(s0: String): Map[String, Any] = {
+    val s = s0.trim
+    require(s.startsWith("{") && s.endsWith("}"), s"bad config map: $s0")
+    val body = s.substring(1, s.length - 1).trim
+    if (body.isEmpty) return Map.empty
+    // split on top-level commas (outside quotes and [ ] lists)
+    val parts = scala.collection.mutable.ListBuffer.empty[String]
+    var depth = 0; var inStr = false; var start = 0
+    for (i <- body.indices) body.charAt(i) match {
+      case '\'' => inStr = !inStr
+      case '[' | '{' if !inStr => depth += 1
+      case ']' | '}' if !inStr => depth -= 1
+      case ',' if !inStr && depth == 0 =>
+        parts += body.substring(start, i); start = i + 1
+      case _ =>
+    }
+    parts += body.substring(start)
+    val entry = """(?s)\s*(\w+)\s*:\s*(.+?)\s*""".r
+    parts.map {
+      case entry(k, v) => k -> parseValue(k, v)
+      case other => throw new IllegalArgumentException(s"bad config entry: $other")
+    }.toMap
+  }
+
+  private def parseValue(k: String, v: String): Any = v match {
+    case s if s.startsWith("'") && s.endsWith("'") && s.length >= 2 =>
+      s.substring(1, s.length - 1)
+    case s if s.startsWith("[") && s.endsWith("]") =>
+      val inner = s.substring(1, s.length - 1).trim
+      if (inner.isEmpty) Seq.empty[Any]
+      else {
+        // elements are scalars — quote-aware comma split
+        val out = scala.collection.mutable.ListBuffer.empty[String]
+        var inStr = false; var start = 0
+        for (i <- inner.indices) inner.charAt(i) match {
+          case '\'' => inStr = !inStr
+          case ',' if !inStr => out += inner.substring(start, i); start = i + 1
+          case _ =>
+        }
+        out += inner.substring(start)
+        out.toSeq.map(e => parseValue(k, e.trim))
+      }
+    case "true" => true
+    case "false" => false
+    case s if s.matches("-?\\d+") => s.toLong
+    case s if s.matches("-?\\d+\\.\\d+(?:[eE]-?\\d+)?|-?\\d+[eE]-?\\d+") => s.toDouble
+    case other => throw new IllegalArgumentException(
+      s"config key '$k': unsupported value $other (string/number/boolean/flat list)")
+  }
+
+  // ------------------------------------------------------- graph selection
+
+  /** Config keys every procedure accepts (the GDS projection-time
+    * selections, applied per-call since the graph binds at run()). */
+  private val CommonKeys = Set("relationshipType", "relationshipTypes",
+    "nodeLabel", "orientation")
+
+  /** Apply subgraph selection to the edge frame: relationship-type
+    * filter (needs an `etype` column), node-label endpoint restriction
+    * (two semi-joins against the labeled node set — stays an
+    * equi-join shape at any scale), and orientation. */
+  private def selectEdges(nodes: DataFrame, edges: DataFrame, cfg: Cfg): DataFrame = {
+    var e = edges
+    cfg.strs("relationshipTypes").orElse(cfg.strs("relationshipType")).foreach { ts =>
+      require(e.columns.contains("etype"),
+        s"${cfg.name}: relationshipType needs an 'etype' column on the edge frame")
+      e = e.filter(col("etype").isin(ts: _*))
+    }
+    cfg.str("nodeLabel").foreach { l =>
+      val keep = nodes.filter(col("label") === l).select(col("id"))
+      e = e.join(keep.select(col("id").as("src")), Seq("src"), "left_semi")
+        .join(keep.select(col("id").as("dst")), Seq("dst"), "left_semi")
+    }
+    val base = e.select(Seq(col("src"), col("dst")) ++
+      (if (e.columns.contains("w")) Seq(col("w")) else Nil): _*)
+    cfg.str("orientation").getOrElse("NATURAL").toUpperCase match {
+      case "NATURAL" => base
+      case "REVERSE" => base.withColumnRenamed("src", "__t")
+        .withColumnRenamed("dst", "src").withColumnRenamed("__t", "dst")
+      case "UNDIRECTED" if base.columns.contains("w") =>
+        // weight-preserving symmetrization (undirected() is src/dst-only)
+        base.unionByName(base.select(col("dst").as("src"),
+          col("src").as("dst"), col("w"))).distinct()
+      case "UNDIRECTED" => GraphOps.undirected(base.select(col("src"), col("dst")))
+      case other => throw new IllegalArgumentException(
+        s"${cfg.name}: orientation must be NATURAL, REVERSE or UNDIRECTED, got '$other'")
+    }
+  }
+
+  /** `sourceNodes` as a seeds frame (ids are this model's node keys). */
+  private def seedFrame(edges: DataFrame, ids: Seq[String]): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    ids.toDF("id")
+  }
+
+  /** Vertex set of the (selected) edge frame — the default root set
+    * for the per-source centralities, like GDS computing over every
+    * node of the projection. */
+  private def allVertices(e: DataFrame): DataFrame =
+    e.select(col("src").as("id")).union(e.select(col("dst").as("id"))).distinct()
+
+  // ------------------------------------------------------------- registry
+
+  private val procs: Map[String, Proc] = Map(
+    "pageRank" -> Proc(Seq("id", "score"), Set("maxIterations", "dampingFactor", "sourceNodes"),
+      (n, ed, cfg) => {
+        val e = selectEdges(n, ed, cfg)
+        val iters = cfg.int("maxIterations", 10)
+        val damping = cfg.dbl("dampingFactor", 0.85)
+        val out = cfg.strs("sourceNodes") match {
+          // GDS spelling: sourceNodes on pageRank = personalized
+          case Some(seeds) =>
+            GraphOps.personalizedPageRank(e, seedFrame(ed, seeds), iters, damping)
+          case None => GraphOps.pageRank(e, iters, damping)
+        }
+        out.select(col("id"), col("rank").as("score"))
+      }),
+    "wcc" -> Proc(Seq("id", "componentId"), Set("maxIterations"),
+      (n, ed, cfg) =>
+        GraphOps.connectedComponents(selectEdges(n, ed, cfg), cfg.int("maxIterations", 30))
+          .select(col("id"), col("component").as("componentId"))),
+    "scc" -> Proc(Seq("id", "componentId"), Set("maxIterations"),
+      (n, ed, cfg) =>
+        GraphOps.sccDataFrame(selectEdges(n, ed, cfg), cfg.int("maxIterations", 15))
+          .select(col("id"), col("component").as("componentId"))),
+    "labelPropagation" -> Proc(Seq("id", "communityId"), Set("maxIterations"),
+      (n, ed, cfg) =>
+        GraphOps.labelPropagation(selectEdges(n, ed, cfg), cfg.int("maxIterations", 5))
+          .select(col("id"), col("community").as("communityId"))),
+    "louvain" -> Proc(Seq("id", "communityId"), Set("maxLevels", "maxIterations"),
+      (n, ed, cfg) =>
+        GraphOps.louvain(selectEdges(n, ed, cfg),
+            maxLevels = cfg.int("maxLevels", 2), moveIters = cfg.int("maxIterations", 3))
+          .select(col("id"), col("community").as("communityId"))),
+    "leiden" -> Proc(Seq("id", "communityId"), Set("maxLevels", "maxIterations"),
+      (n, ed, cfg) =>
+        GraphOps.leiden(selectEdges(n, ed, cfg),
+            maxLevels = cfg.int("maxLevels", 2), moveIters = cfg.int("maxIterations", 3))
+          .select(col("id"), col("community").as("communityId"))),
+    "degree" -> Proc(Seq("id", "inDegree", "outDegree", "degree"), Set.empty,
+      (n, ed, cfg) =>
+        GraphOps.degrees(selectEdges(n, ed, cfg))
+          .select(col("id"), col("in_deg").as("inDegree"),
+            col("out_deg").as("outDegree"), col("deg").as("degree"))),
+    "triangleCount" -> Proc(Seq("id", "triangles"), Set.empty,
+      (n, ed, cfg) =>
+        GraphOps.triangles(selectEdges(n, ed, cfg))
+          .select(col("id"), col("n_tri").as("triangles"))),
+    "kCore" -> Proc(Seq("id", "degree"), Set("k"),
+      (n, ed, cfg) => {
+        require(cfg.has("k"), "kCore: config key 'k' is required")
+        GraphOps.kCore(selectEdges(n, ed, cfg), cfg.int("k", 0))
+          .select(col("id"), col("deg").as("degree"))
+      }),
+    "closeness" -> Proc(Seq("id", "score"), Set("sourceNodes", "maxDepth"),
+      (n, ed, cfg) => {
+        val e = selectEdges(n, ed, cfg)
+        val roots = cfg.strs("sourceNodes").map(seedFrame(ed, _)).getOrElse(allVertices(e))
+        GraphOps.closeness(e, roots, cfg.int("maxDepth", 20))
+          .select(col("id"), col("closeness").as("score"))
+      }),
+    "harmonic" -> Proc(Seq("id", "score"), Set("sourceNodes", "maxDepth"),
+      (n, ed, cfg) => {
+        val e = selectEdges(n, ed, cfg)
+        val roots = cfg.strs("sourceNodes").map(seedFrame(ed, _)).getOrElse(allVertices(e))
+        GraphOps.harmonic(e, roots, cfg.int("maxDepth", 10))
+          .select(col("id"), col("harmonic").as("score"))
+      }),
+    "betweenness" -> Proc(Seq("id", "score"),
+      Set("sourceNodes", "maxDepth", "undirectedInput"),
+      (n, ed, cfg) => {
+        val e = selectEdges(n, ed, cfg)
+        // sourceNodes = GDS's samplingSize idea made explicit: Brandes
+        // roots. halve pairs with the symmetrized-input fast path.
+        val undirected = cfg.bool("undirectedInput", false)
+        val roots = cfg.strs("sourceNodes").map(seedFrame(ed, _)).getOrElse(allVertices(e))
+        GraphOps.betweenness(e, roots, cfg.int("maxDepth", 20),
+            halve = undirected, undirectedInput = undirected)
+          .select(col("id"), col("betweenness").as("score"))
+      }),
+    "bfs" -> Proc(Seq("id", "dist"), Set("sourceNodes", "maxDepth"),
+      (n, ed, cfg) => {
+        val seeds = cfg.strs("sourceNodes").getOrElse(
+          throw new IllegalArgumentException("bfs: config key 'sourceNodes' is required"))
+        GraphOps.bfs(selectEdges(n, ed, cfg), seedFrame(ed, seeds), cfg.int("maxDepth", 20))
+      }),
+    "sssp" -> Proc(Seq("id", "distance"),
+      Set("sourceNodes", "maxIterations", "weightProperty"),
+      (n, ed, cfg) => {
+        val seeds = cfg.strs("sourceNodes").getOrElse(
+          throw new IllegalArgumentException("sssp: config key 'sourceNodes' is required"))
+        // weight resolution BEFORE subgraph selection (selectEdges
+        // keeps a `w` column through every orientation): an existing
+        // `w` column wins; else a props entry named by weightProperty;
+        // else hop count (w = 1)
+        val ed2 = cfg.str("weightProperty") match {
+          case Some(p) =>
+            require(ed.columns.contains("props"),
+              "sssp: weightProperty needs a 'props' column on the edge frame")
+            ed.withColumn("w", element_at(col("props"), p).cast("double"))
+          case None if ed.columns.contains("w") => ed
+          case None => ed.withColumn("w", lit(1L))
+        }
+        val e = selectEdges(n, ed2, cfg)
+        GraphOps.sssp(e, seedFrame(ed, seeds), cfg.int("maxIterations", 10))
+          .select(col("id"), col("dist").as("distance"))
+      }),
+    "nodeSimilarity" -> Proc(Seq("id1", "id2", "similarity"),
+      Set("similarityCutoff", "hubCap"),
+      (n, ed, cfg) =>
+        GraphOps.nodeSimilarity(selectEdges(n, ed, cfg),
+            cfg.dbl("similarityCutoff", 0.1), cfg.int("hubCap", 1000).toLong)
+          .select(col("id1"), col("id2"), col("sim").as("similarity"))),
+    "fastRP" -> Proc(Seq("id", "embedding"),
+      Set("embeddingDimension", "iterationWeights", "randomSeed"),
+      (n, ed, cfg) => {
+        val ws = cfg.dbls("iterationWeights").getOrElse(Seq(0.0, 1.0, 1.0))
+        FastRP.embed(selectEdges(n, ed, cfg),
+          dim = cfg.int("embeddingDimension", 64),
+          weights = ws,
+          seed = cfg.int("randomSeed", 42).toLong,
+          nodes = Some(n.select(col("id"))))
+      }))
+
+  // ------------------------------------------------------------------ run
+
+  private val CallRe =
+    """(?is)^CALL\s+graft\.(\w+(?:\.\w+)*)\s*(?:\(\s*(\{.*?\})?\s*\))?\s*(?:YIELD\s+(.+?))?(?:\s+WHERE\s+(.+?))?(?:\s+RETURN\s+(DISTINCT\s+)?(.+?))?(?:\s+ORDER\s+BY\s+(.+?))?(?:\s+SKIP\s+(\d+))?(?:\s+LIMIT\s+(\d+))?\s*$""".r
+
+  def run(nodes: DataFrame, edges: DataFrame, cypher: String): DataFrame = {
+    val text = cypher.trim.replaceAll("\\s+", " ")
+    text match {
+      case CallRe(name0, cfgOrNull, yieldOrNull, whereOrNull, distinctOrNull,
+          retOrNull, orderOrNull, skipOrNull, limitOrNull) =>
+        val name = name0.stripSuffix(".stream")
+        val proc = procs.getOrElse(name, throw new IllegalArgumentException(
+          s"unknown procedure graft.$name — available: " +
+            procs.keys.toSeq.sorted.mkString(", ")))
+        val cfgMap = Option(cfgOrNull).map(parseConfig).getOrElse(Map.empty)
+        val badKeys = cfgMap.keySet -- proc.keys -- CommonKeys
+        require(badKeys.isEmpty,
+          s"graft.$name: unknown config key(s) ${badKeys.toSeq.sorted.mkString(", ")} — " +
+            s"allowed: ${(proc.keys ++ CommonKeys).toSeq.sorted.mkString(", ")}")
+        val cfg = new Cfg(s"graft.$name", cfgMap)
+
+        var frame = proc.run(nodes, edges, cfg)
+
+        // YIELD: projection + rename against the canonical schema
+        Option(yieldOrNull).foreach { ys =>
+          val items = splitTopLevel(ys).map(_.trim).map { it =>
+            val m = """(?i)^(\w+)(?:\s+AS\s+(\w+))?$""".r
+            it match {
+              case m(c, aliasOrNull) =>
+                require(proc.yields.contains(c),
+                  s"graft.$name yields ${proc.yields.mkString(", ")} — not '$c'")
+                (c, Option(aliasOrNull).getOrElse(c))
+              case other => throw new IllegalArgumentException(
+                s"bad YIELD item: $other (column [AS alias])")
+            }
+          }
+          frame = frame.select(items.map { case (c, a) => col(c).as(a) }: _*)
+        }
+
+        // the tail reuses the Cypher expression machinery over the flat
+        // frame — bare identifiers resolve as columns
+        val c = new Compiler(nodes, edges)
+        var anonId = 0
+        val anon = () => { anonId += 1; s"_callanon$anonId" }
+        Option(whereOrNull).foreach { w =>
+          frame = c.applyPred(frame, parseWhere(w, anon))
+        }
+        Option(retOrNull).foreach { r =>
+          frame = c.project(frame, splitTopLevel(r).map(parseRetItem),
+            distinct = distinctOrNull != null)
+        }
+        if (orderOrNull != null)
+          frame = frame.orderBy(parseOrder(orderOrNull).map { case (cn, desc) =>
+            if (desc) col(cn).desc else col(cn).asc }: _*)
+        Option(skipOrNull).foreach(n => frame = frame.offset(n.toInt))
+        Option(limitOrNull).foreach(n => frame = frame.limit(n.toInt))
+        frame
+      case _ => throw new IllegalArgumentException(
+        s"unsupported CALL statement: $cypher (expected CALL graft.<proc>({config}) " +
+          "[YIELD cols] [WHERE ...] [RETURN ...] [ORDER BY ...] [SKIP n] [LIMIT n])")
+    }
+  }
+}

@@ -364,7 +364,7 @@ object CypherLite {
     * OR), parentheses, conditions from [[CondRe]]. Exposed as a class
     * so RETURN/WITH items can reuse the scalar-term grammar
     * ([[parseTerm]]) on their own cursor. */
-  private def parseWhere(s: String, anon: () => String): Pred =
+  private[graph] def parseWhere(s: String, anon: () => String): Pred =
     new PredParser(s.trim, anon).parsePred()
 
   private final class PredParser(var rest: String,
@@ -606,10 +606,19 @@ object CypherLite {
             } else {
               val inner = sumT()
               ws()
-              require(rest.startsWith(")"), s"expected ')' after ${m.group(1)} at: $rest")
-              rest = rest.substring(1)
-              if (fn == "tointeger" || fn == "tofloat") CastT(fn, inner)
-              else FuncT(fn, inner)
+              // round(value, precision) — Neo4j's 2-arg spelling
+              if (fn == "round" && rest.startsWith(",")) {
+                rest = rest.substring(1)
+                val prec = sumT(); ws()
+                require(rest.startsWith(")"), s"expected ')' after round at: $rest")
+                rest = rest.substring(1)
+                FuncN("round", Seq(inner, prec))
+              } else {
+                require(rest.startsWith(")"), s"expected ')' after ${m.group(1)} at: $rest")
+                rest = rest.substring(1)
+                if (fn == "tointeger" || fn == "tofloat") CastT(fn, inner)
+                else FuncT(fn, inner)
+              }
             }
           case Some(m) if Set("split", "replace", "substring")(m.group(1))
               && m.group(2) == null && rest.substring(m.end).trim.startsWith("(") =>
@@ -838,7 +847,7 @@ object CypherLite {
   /** Split a RETURN/WITH item list on TOP-LEVEL commas only — commas
     * inside parentheses/brackets/quotes (`coalesce(a, b)`,
     * `collect(...)`, `[1, 2]`) belong to their item. */
-  private def splitTopLevel(s: String): Seq[String] = {
+  private[graph] def splitTopLevel(s: String): Seq[String] = {
     val out = scala.collection.mutable.Buffer.empty[String]
     val sb = new StringBuilder
     var depth = 0
@@ -854,7 +863,7 @@ object CypherLite {
     out.toSeq.map(_.trim).filter(_.nonEmpty)
   }
 
-  private def parseRetItem(s0: String): RetItem = {
+  private[graph] def parseRetItem(s0: String): RetItem = {
     val (s, alias) = s0.trim.split("(?i)\\s+AS\\s+") match {
       case Array(body) => (body.trim, None)
       case Array(body, a) => (body.trim, Some(a.trim))
@@ -900,7 +909,7 @@ object CypherLite {
     try { new PredParser(s.trim).parseTerm(); true }
     catch { case _: Exception => false }
 
-  private def parseOrder(orderOrNull: String): Seq[(String, Boolean)] =
+  private[graph] def parseOrder(orderOrNull: String): Seq[(String, Boolean)] =
     Option(orderOrNull).toSeq.flatMap(splitTopLevel).map { o =>
       val t = o.trim
       val desc = t.toUpperCase.endsWith(" DESC")
@@ -1197,6 +1206,10 @@ object CypherLite {
   }
 
   def run(nodes: DataFrame, edges: DataFrame, cypher: String): DataFrame = {
+    // GDS-style procedure statements route to the CALL surface (J7);
+    // parameter substitution has already happened (textual), so
+    // $params work identically in CALL config maps and tails
+    if (CypherCall.isCall(cypher)) return CypherCall.run(nodes, edges, cypher)
     val (parts, isAll) = splitUnion(cypher.trim.replaceAll("\\s+", " "))
     if (parts.size > 1) {
       val qLast = parse(parts.last)
@@ -1259,7 +1272,7 @@ object CypherLite {
 
   /** The stage compiler: carries the graph frames and turns MATCH
     * stages / predicates / projections into DataFrame operations. */
-  private final class Compiler(nodes: DataFrame, edges: DataFrame) {
+  private[graph] final class Compiler(nodes: DataFrame, edges: DataFrame) {
 
     /** One equality Column per property-map entry over a frame's
       * `props` map column (`id` reads the id column itself). Numeric
@@ -1496,6 +1509,7 @@ object CypherLite {
       // cast would null them)
       case FuncT("timestamp" | "duration", _) => true
       case FuncT("abs" | "round" | "floor" | "ceil" | "sqrt" | "sign", _) => true
+      case FuncN("round", _) => true
       case _: SizePat => true
       case CaseT(bs, e) => bs.exists(b => isNumericTerm(b._2)) || e.exists(isNumericTerm)
       case CoalesceT(ts) => ts.exists(isNumericTerm)
@@ -1640,6 +1654,8 @@ object CypherLite {
         val len = if (ts.size == 3) lambdaTerm(ts(2), binds, num = true, outer, btypes).cast("int")
                   else length(s0)
         s0.substr(start, len)
+      case FuncN("round", Seq(x, NumT(p))) =>
+        round(lambdaTerm(x, binds, num = true, outer, btypes), p.toInt)
       case other => throw new IllegalArgumentException(
         s"unsupported term over a comprehension variable: $other")
     }
@@ -1885,6 +1901,14 @@ object CypherLite {
           val start = go(ts(1), num = true).cast("int") + lit(1)
           val len = if (ts.size == 3) go(ts(2), num = true).cast("int") else length(s0)
           s0.substr(start, len)
+        case FuncN("round", Seq(x, p)) =>
+          // round(value, precision): Spark's round takes a LITERAL scale
+          val scale = p match {
+            case NumT(s0) => s0.toInt
+            case other => throw new IllegalArgumentException(
+              s"round(x, precision) needs a literal integer precision, got $other")
+          }
+          round(go(x, num = true), scale)
         case FuncN(fn, _) => throw new IllegalArgumentException(s"unsupported function: $fn")
         case FuncT(fn, t0) =>
           // string functions take the RAW string regardless of the

@@ -318,6 +318,23 @@ object GraphQueries {
         count(lit(1)).as("n_events"))
       .orderBy(col("user_id"))
 
+  /** J7 — the GDS-style CALL procedure surface end-to-end: the same
+    * PageRank computation as `g_pagerank`, requested TEXTUALLY
+    * (`CALL graft.pageRank({...}) YIELD … RETURN …`) instead of
+    * through the Scala API, against the same DuckDB recursive-CTE
+    * oracle — proving CALL is a parser over the one engine, not a
+    * second implementation. */
+  def gCall(s: SparkSession, dir: String): DataFrame = {
+    val e = TestGraph.partSupplierEdges(s, dir)
+    val n = e.select(col("src").as("id")).union(e.select(col("dst").as("id")))
+      .distinct().withColumn("label", lit("Node"))
+      .withColumn("props", map())
+    graft.graph.CypherLite.run(n, e,
+      "CALL graft.pageRank({maxIterations: 10, orientation: 'UNDIRECTED'}) " +
+        "YIELD id, score " +
+        "RETURN id, round(score, 4) AS rank ORDER BY rank DESC, id LIMIT 20")
+  }
+
   /** A4 analog (N2) — last-write-wins edge property semantics: one edge
     * per (user, event_type) carrying the latest value. */
   def n2EdgeMerge(s: SparkSession, dir: String): DataFrame =

@@ -1,0 +1,214 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.graph.{CypherCall, CypherLite, GraphOps}
+
+/** J7 — the GDS-style CALL procedure surface: every textual CALL must
+  * produce exactly what the direct Scala API produces (CALL is a
+  * parser, not a second engine), the YIELD/WHERE/RETURN tail must
+  * compose with the Cypher expression machinery, and typos must fail
+  * loudly (unknown procedure / config key / yield column). */
+class CypherCallSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Two triangles bridged by one edge, plus one isolated Host node —
+    * enough structure for communities, triangles, components, and
+    * label/type selection. */
+  private lazy val (nodes, edges) = {
+    val n = Seq(
+      ("a", "Process"), ("b", "Process"), ("c", "Process"),
+      ("x", "Ip"), ("y", "Ip"), ("z", "Ip"), ("lone", "Host"))
+      .toDF("id", "label")
+      .withColumn("props", map(lit("k"), col("id")))
+    val e = Seq(
+      ("a", "b", "SPAWNS"), ("b", "c", "SPAWNS"), ("c", "a", "SPAWNS"),
+      ("x", "y", "CONNECTED_TO"), ("y", "z", "CONNECTED_TO"), ("z", "x", "CONNECTED_TO"),
+      ("c", "x", "CONNECTED_TO"))
+      .toDF("src", "dst", "etype")
+      .withColumn("props", map(lit("weight"), lit("2")))
+    (n, e)
+  }
+
+  private def rows(df: DataFrame): Seq[Seq[Any]] =
+    df.collect().toSeq.map(_.toSeq)
+
+  test("pageRank CALL ≡ direct API, with YIELD rename + ORDER BY + LIMIT") {
+    val direct = GraphOps.pageRank(
+        GraphOps.undirected(edges.select(col("src"), col("dst"))), iters = 5)
+      .select(col("id").as("node"), round(col("rank"), 6).as("pr"))
+      .orderBy(col("pr").desc, col("node")).limit(4)
+    val called = CypherLite.run(nodes, edges,
+      """CALL graft.pageRank({maxIterations: 5, orientation: 'UNDIRECTED'})
+        |YIELD id AS node, score
+        |RETURN node, round(score, 6) AS pr ORDER BY pr DESC, node LIMIT 4""".stripMargin)
+    assert(rows(called) == rows(direct))
+  }
+
+  test("pageRank sourceNodes config = personalized pageRank") {
+    val seeds = Seq("a").toDF("id")
+    val direct = GraphOps.personalizedPageRank(
+        edges.select(col("src"), col("dst")), seeds, iters = 5)
+      .select(col("id"), round(col("rank"), 6).as("score"))
+      .orderBy(col("score").desc, col("id"))
+    val called = CypherCall.run(nodes, edges,
+      """CALL graft.pageRank({maxIterations: 5, sourceNodes: ['a']})
+        |YIELD id, score RETURN id, round(score, 6) AS score
+        |ORDER BY score DESC, id""".stripMargin)
+    assert(rows(called) == rows(direct))
+  }
+
+  test("wcc: componentId rename; the bridged triangles are one component") {
+    val out = CypherCall.run(nodes, edges,
+      "CALL graft.wcc YIELD id, componentId ORDER BY id")
+    assert(out.columns.toSeq == Seq("id", "componentId"))
+    val comps = out.collect().map(r => r.getString(0) -> r.get(1).toString).toMap
+    assert(comps.values.toSet.size == 1) // c—x bridges the triangles
+    assert(comps.keySet == Set("a", "b", "c", "x", "y", "z"))
+  }
+
+  test("relationshipType + nodeLabel selection: SPAWNS among Processes only") {
+    val out = CypherCall.run(nodes, edges,
+      """CALL graft.degree({relationshipType: 'SPAWNS', nodeLabel: 'Process'})
+        |YIELD id, degree ORDER BY id""".stripMargin)
+    // each triangle vertex: one out + one in SPAWNS edge
+    assert(rows(out) == Seq(Seq("a", 2L), Seq("b", 2L), Seq("c", 2L)))
+  }
+
+  test("triangleCount finds both triangles; the bridge adds none") {
+    val out = CypherCall.run(nodes, edges,
+      "CALL graft.triangleCount YIELD id, triangles ORDER BY id")
+    assert(rows(out) == Seq("a", "b", "c", "x", "y", "z").map(Seq(_, 1L)))
+  }
+
+  test("tail WHERE + aggregate RETURN over yielded rows") {
+    val out = CypherCall.run(nodes, edges,
+      """CALL graft.louvain YIELD id, communityId
+        |WHERE id <> 'zzz'
+        |RETURN communityId, count(*) AS members
+        |ORDER BY members DESC, communityId""".stripMargin)
+    // two 3-cliques → two communities of 3
+    assert(rows(out).map(_(1)) == Seq(3L, 3L))
+  }
+
+  test("leiden over the two-clique graph matches louvain here (both connected)") {
+    val l1 = CypherCall.run(nodes, edges,
+      "CALL graft.leiden YIELD id, communityId ORDER BY id")
+    val l2 = CypherCall.run(nodes, edges,
+      "CALL graft.louvain YIELD id, communityId ORDER BY id")
+    assert(rows(l1) == rows(l2))
+  }
+
+  test("sssp: weightProperty + UNDIRECTED keeps weights through symmetrization") {
+    val out = CypherCall.run(nodes, edges,
+      """CALL graft.sssp({sourceNodes: ['a'], weightProperty: 'weight',
+        |                 orientation: 'UNDIRECTED'})
+        |YIELD id, distance ORDER BY id""".stripMargin)
+    // every edge has weight 2; a→b 2, a→c 2, a→x 4 (via c), …
+    val d = out.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(d("a") == 0.0 && d("b") == 2.0 && d("c") == 2.0 && d("x") == 4.0)
+    assert(d("y") == 6.0 && d("z") == 6.0)
+  }
+
+  test("betweenness on a path graph ≡ direct API") {
+    val pathEdges = Seq(("p1", "p2"), ("p2", "p3"), ("p3", "p4"))
+      .toDF("src", "dst")
+    val pn = Seq("p1", "p2", "p3", "p4").toDF("id")
+      .withColumn("label", lit("N")).withColumn("props", map())
+    val sym = GraphOps.undirected(pathEdges)
+    val direct = GraphOps.betweenness(sym,
+        sym.select(col("src").as("id")).distinct(),
+        halve = true, undirectedInput = true)
+      .select(col("id"), col("betweenness").as("score")).orderBy(col("id"))
+    val called = CypherCall.run(pn, pathEdges,
+      """CALL graft.betweenness({orientation: 'UNDIRECTED', undirectedInput: true})
+        |YIELD id, score ORDER BY id""".stripMargin)
+    assert(rows(called) == rows(direct))
+  }
+
+  test("harmonic with sourceNodes restricts the root set") {
+    val out = CypherCall.run(nodes, edges,
+      """CALL graft.harmonic({sourceNodes: ['a'], orientation: 'UNDIRECTED'})
+        |YIELD id, score""".stripMargin)
+    assert(rows(out).map(_.head) == Seq("a"))
+  }
+
+  test("kCore: k required, peels the bridge-degree vertices correctly") {
+    val err = intercept[IllegalArgumentException] {
+      CypherCall.run(nodes, edges, "CALL graft.kCore YIELD id, degree")
+    }
+    assert(err.getMessage.contains("'k' is required"))
+    val out = CypherCall.run(nodes, edges,
+      "CALL graft.kCore({k: 2}) YIELD id, degree ORDER BY id")
+    // both triangles survive 2-core (the c—x bridge raises c,x to 3 but
+    // the core is about the induced subgraph: all 6 stay)
+    assert(rows(out).map(_.head) == Seq("a", "b", "c", "x", "y", "z"))
+  }
+
+  test("fastRP: embeddingDimension honored, isolated node embedded via nodes frame") {
+    val out = CypherCall.run(nodes, edges,
+      "CALL graft.fastRP({embeddingDimension: 8}) YIELD id, embedding")
+    val m = out.collect().map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+    assert(m.keySet == Set("a", "b", "c", "x", "y", "z", "lone"))
+    assert(m.values.forall(_.length == 8))
+  }
+
+  test("nodeSimilarity: cutoff config, GDS yield names") {
+    val out = CypherCall.run(nodes, edges,
+      """CALL graft.nodeSimilarity({similarityCutoff: 0.3})
+        |YIELD id1, id2, similarity ORDER BY id1, id2""".stripMargin)
+    assert(out.columns.toSeq == Seq("id1", "id2", "similarity"))
+    assert(out.count() > 0) // a,b,c share out-neighborhoods in the triangle
+  }
+
+  test("scc on the directed 3-cycle") {
+    val out = CypherCall.run(nodes, edges,
+      """CALL graft.scc({relationshipType: 'SPAWNS'})
+        |YIELD id, componentId ORDER BY id""".stripMargin)
+    val comps = out.collect().map(r => r.get(1).toString).toSet
+    assert(comps.size == 1) // a→b→c→a is one SCC
+  }
+
+  test("bfs: sourceNodes required, dist matches hop count") {
+    val out = CypherCall.run(nodes, edges,
+      """CALL graft.bfs({sourceNodes: ['a'], orientation: 'UNDIRECTED'})
+        |YIELD id, dist ORDER BY dist, id""".stripMargin)
+    val d = out.collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(d("a") == 0 && d("b") == 1 && d("x") == 2 && d("y") == 3)
+  }
+
+  test("loud failures: unknown procedure, unknown config key, bad YIELD column") {
+    val e1 = intercept[IllegalArgumentException] {
+      CypherCall.run(nodes, edges, "CALL graft.pagerank YIELD id, score")
+    }
+    assert(e1.getMessage.contains("unknown procedure"))
+    assert(e1.getMessage.contains("pageRank")) // the list helps the typo
+    val e2 = intercept[IllegalArgumentException] {
+      CypherCall.run(nodes, edges,
+        "CALL graft.pageRank({dampeningFactor: 0.9}) YIELD id, score")
+    }
+    assert(e2.getMessage.contains("dampeningFactor"))
+    assert(e2.getMessage.contains("dampingFactor")) // allowed keys listed
+    val e3 = intercept[IllegalArgumentException] {
+      CypherCall.run(nodes, edges, "CALL graft.wcc YIELD id, score")
+    }
+    assert(e3.getMessage.contains("componentId"))
+  }
+
+  test("gate equivalence: g_call (textual) ≡ g_pagerank (Scala API) on testdata") {
+    val called = graft.operators.GraphQueries.gCall(spark, sf)
+    val direct = graft.operators.GraphQueries.gPagerank(spark, sf)
+    assert(rows(called) == rows(direct))
+    assert(called.columns.toSeq == direct.columns.toSeq)
+  }
+
+  test("CypherLite.run dispatches CALL, with $params substituted into config") {
+    val out = CypherLite.run(nodes, edges,
+      """CALL graft.pageRank.stream({maxIterations: $iters, orientation: 'UNDIRECTED'})
+        |YIELD id, score WHERE score > $cut
+        |RETURN id ORDER BY id""".stripMargin,
+      Map("iters" -> 5, "cut" -> 0.0))
+    assert(out.count() == 6)
+  }
+}
