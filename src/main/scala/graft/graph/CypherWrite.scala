@@ -32,9 +32,10 @@ import org.apache.spark.sql.functions._
   *     stored props, enforced per parameter row.
   *   - `MERGE (a)-[r:TYPE {…}]->(b)` — edge upsert keyed on
   *     (etype, src, dst); endpoints must be variables bound above.
-  *   - `MATCH (a)-[r:TYPE]->(b)` — bind EXISTING edges (for `SET r.x`,
-  *     `DELETE r`); property-map constraints on matched edges are not
-  *     supported (loud error).
+  *   - `MATCH (a)-[r:TYPE {…}]->(b)` — bind EXISTING edges (for
+  *     `SET r.x`, `DELETE r`); map entries are per-row match
+  *     CONSTRAINTS against the stored edge props (equality, evaluated
+  *     against the pre-batch graph like created-vs-matched).
   *   - `ON CREATE SET` / `ON MATCH SET` / `SET` with comma-separated
   *     `v.prop = $p | 'lit' | num | coalesce($p, v.prop)` items — the
   *     last form is the reference's keep-old-when-param-null idiom and
@@ -175,8 +176,6 @@ object CypherWrite {
           val create = m.group(1).equalsIgnoreCase("MERGE")
           body match {
             case EdgePatRe(a, rvOrNull, t, mapOrNull, b) =>
-              require(create || mapOrNull == null,
-                "property-map constraints on a MATCHed edge pattern are not supported")
               require(bound(a) && bound(b),
                 s"edge endpoints '$a'/'$b' must be bound by earlier MERGE/MATCH clauses")
               edges += EdgeClause(Option(rvOrNull), t, a, b,
@@ -356,9 +355,11 @@ object CypherWrite {
         ec.rv.toSeq.flatMap(v => setsFor(v, st.onCreate) ++ setsFor(v, st.always))
       val matchEntries =
         ec.rv.toSeq.flatMap(v => setsFor(v, st.onMatch) ++ setsFor(v, st.always))
-      var cand0 = pm.select(
-        idExprs(ec.a).as("src"), idExprs(ec.b).as("dst"), col("_ord"),
-        mapOf(createEntries).as("cm"), mapOf(matchEntries).as("mm"))
+      val constrained = !ec.create && ec.props.nonEmpty
+      var cand0 = pm.select(Seq(
+          idExprs(ec.a).as("src"), idExprs(ec.b).as("dst"), col("_ord"),
+          mapOf(createEntries).as("cm"), mapOf(matchEntries).as("mm")) ++
+          (if (constrained) Seq(mapOf(ec.props).as("__km")) else Nil): _*)
         .filter(col("src").isNotNull && col("dst").isNotNull)
       // MATCH-bound endpoints: rows whose node lookup missed (id or an
       // extra-prop constraint) drop out — row-level, via the _ord gate
@@ -366,6 +367,20 @@ object CypherWrite {
         matchedPm.get(v).foreach { matched =>
           cand0 = cand0.join(matched.select(col("_ord")), Seq("_ord"), "left_semi")
         }
+      }
+      // MATCH edge with a property map: the entries are per-row MATCH
+      // CONSTRAINTS (Cypher semantics) — a row binds an edge only when
+      // the STORED props carry every entry's value. One equi-join on
+      // the edge key (unique per upsert invariant) + a higher-order
+      // violation check; rows whose edge misses or violates drop out.
+      if (constrained) {
+        val stored = edges.filter(col("etype") === ec.etype)
+          .select(col("src"), col("dst"), col("props").as("__eprops"))
+        cand0 = cand0
+          .join(stored, Seq("src", "dst"))
+          .filter(size(map_filter(col("__km"), (k, v) =>
+            coalesce(element_at(col("__eprops"), k) =!= v, lit(true)))) === 0)
+          .drop("__km", "__eprops")
       }
       val cand = cand0
         .groupBy(col("src"), col("dst"))

@@ -10,8 +10,13 @@ import scala.jdk.CollectionConverters._
   *
   * Conventions: an edge frame has columns `src` and `dst` (any orderable
   * type); a vertex frame has column `id`. All operators are pure
-  * DataFrame programs — no driver-side adjacency, no `collect()` of
-  * vertex sets — so they scale with the cluster, not the driver.
+  * DataFrame programs above the `localFinishEdges` gate — no
+  * driver-side adjacency, no unbounded `collect()` — so they scale
+  * with the cluster, not the driver. BELOW the gate (250k edge rows, a
+  * few MB) the iterative algorithms switch to exact in-memory mirrors
+  * ([[LocalGraph]]): at that size a distributed round is pure AQE
+  * scheduling overhead, measured ~65 ms/stage-job at r8. Equivalence
+  * specs force both paths and pin them equal.
   *
   * Capability analog: variable-length Cypher traversal
   * (`MATCH (a)-[:T*]->(b)`) and the Neo4j GDS algorithms users run on
@@ -225,9 +230,19 @@ object GraphOps {
   /** PageRank by power iteration (standard damping formulation).
     * Returns (id, rank). Out-degrees are computed once; each round is
     * one join + one aggregation. */
-  def pageRank(edges: DataFrame, iters: Int = 10, damping: Double = 0.85): DataFrame = {
+  def pageRank(edges: DataFrame, iters: Int = 10, damping: Double = 0.85,
+               localFinishEdges: Long = 250000L): DataFrame = {
     val e = edges.select(col("src"), col("dst")).distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // bounded local finisher (see LocalGraph): below the gate the
+    // power iteration is pure scheduling overhead distributed — the
+    // count materializes the persist either way
+    if (e.count() <= localFinishEdges) {
+      val idType = e.schema("src").dataType
+      val pairs = e.collect().map(r => (r.get(0), r.get(1)))
+      e.unpersist()
+      return LocalGraph.pageRank(edges.sparkSession, pairs, iters, damping, idType)
+    }
     val vertices = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id")))
       .distinct().persist(StorageLevel.MEMORY_AND_DISK)
@@ -254,8 +269,17 @@ object GraphOps {
     * are reproducible (async LPA, the textbook version, is not). Fixed
     * round count; one join + two aggregations per round. Returns
     * (id, community). */
-  def labelPropagation(edges: DataFrame, iters: Int = 5): DataFrame = {
+  def labelPropagation(edges: DataFrame, iters: Int = 5,
+                       localFinishEdges: Long = 250000L): DataFrame = {
     val sym = undirected(edges).persist(StorageLevel.MEMORY_AND_DISK)
+    val idType = sym.schema("src").dataType
+    LocalGraph.orderingFor(idType) match {
+      case Some(lt) if sym.count() <= localFinishEdges =>
+        val pairs = sym.collect().map(r => (r.get(0), r.get(1)))
+        sym.unpersist()
+        return LocalGraph.labelPropagation(edges.sparkSession, pairs, iters, idType, lt)
+      case _ =>
+    }
     var labels = sym.select(col("src").as("id")).union(sym.select(col("dst").as("id")))
       .distinct()
       .select(col("id"), col("id").as("community"))
@@ -325,7 +349,7 @@ object GraphOps {
     * geometrically toward the local path. Set `localFinishEdges = 0`
     * to force every level distributed. */
   def louvain(edges0: DataFrame, maxLevels: Int = 2, moveIters: Int = 3,
-              localFinishEdges: Long = 250000L): DataFrame = {
+              localFinishEdges: Long = 250000L, refine: Boolean = false): DataFrame = {
     var e = undirected(edges0.select(col("src").cast("string").as("src"),
         col("dst").cast("string").as("dst")))
       .filter(col("src") =!= col("dst"))
@@ -361,6 +385,12 @@ object GraphOps {
     var eRows = m2row.getLong(2)
     var level = 0
     var done = false
+    // Leiden interleaving (refine = true): the initial community of
+    // each super-node at level > 1 is its PARENT coarse community from
+    // the previous level's move phase — contraction is by the REFINED
+    // (connectivity-split) partition, so the move phase resumes from
+    // the coarse partition instead of singletons (Traag et al. 2019).
+    var init: Option[DataFrame] = None
     while (level < maxLevels && !done) {
       if (eRows <= localFinishEdges) {
         // ---- local finisher: run the remaining levels on the driver
@@ -368,8 +398,11 @@ object GraphOps {
           .map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
         val swMap = self.select(col("id"), col("sw")).collect()
           .map(r => r.getString(0) -> r.getDouble(1)).toMap
+        val initMap = init.map(_.collect()
+          .map(r => r.getString(0) -> r.getString(1)).toMap).getOrElse(Map.empty[String, String])
         val assignLocal =
-          louvainLocalFinish(eArr, swMap, m2, maxLevels - level, moveIters, nNodes)
+          louvainLocalFinish(eArr, swMap, m2, maxLevels - level, moveIters, nNodes,
+            initMap, refine)
         val spark = e.sparkSession
         val assignDf = spark.createDataFrame(
             assignLocal.toSeq.map(p => org.apache.spark.sql.Row(p._1, p._2)).asJava,
@@ -391,12 +424,16 @@ object GraphOps {
       // (level 1 has no internal weight yet — skip the self join on
       // the biggest level's frame)
       val kBase = e.groupBy(col("src").as("id")).agg(sum(col("w")).as("kadj"))
-      var comm = (if (level == 1)
-          kBase.select(col("id"), col("id").as("cu"), col("kadj").as("k"))
+      val kFrame = if (level == 1)
+          kBase.select(col("id"), col("kadj").as("k"))
         else kBase.join(self, Seq("id"), "full")
-          .select(col("id"), col("id").as("cu"),
-            (coalesce(col("kadj"), lit(0.0)) + lit(2.0) * coalesce(col("sw"), lit(0.0))).as("k")))
-        .localCheckpoint(false) // materialized by round 1's move job
+          .select(col("id"),
+            (coalesce(col("kadj"), lit(0.0)) + lit(2.0) * coalesce(col("sw"), lit(0.0))).as("k"))
+      var comm = (init match {
+        case Some(i0) => kFrame.join(i0, Seq("id"), "left")
+          .select(col("id"), coalesce(col("cu0"), col("id")).as("cu"), col("k"))
+        case None => kFrame.select(col("id"), col("id").as("cu"), col("k"))
+      }).localCheckpoint(false) // materialized by round 1's move job
       var moves = 1L
       var it = 0
       while (it < moveIters && moves > 0) {
@@ -441,24 +478,67 @@ object GraphOps {
       val canon = comm.groupBy(col("cu")).agg(min(col("id")).as("cc"))
       val assign = comm.join(canon, Seq("cu"))
         .select(col("id"), col("cc").as("c")).localCheckpoint(false)
-      mapping = mapping.join(assign.select(col("id").as("cur"), col("c")), Seq("cur"))
-        .select(col("orig"), col("c").as("cur")).localCheckpoint(false)
+      // Refined contraction partition (Leiden): each coarse community
+      // splits into its connected components within its own induced
+      // subgraph; `rf` labels canonicalize to the smallest member (the
+      // CC contract), so the coarse label c is always itself an rf
+      // label — the coarse partition stays expressible over the
+      // refined super-nodes, which is what lets the next level resume
+      // from it. Computed only when a contraction will follow.
+      val nComms0 =
+        if (refine) assign.agg(countDistinct(col("c"))).collect()(0).getLong(0) else -1L
+      if (!refine) {
+        mapping = mapping.join(assign.select(col("id").as("cur"), col("c")), Seq("cur"))
+          .select(col("orig"), col("c").as("cur")).localCheckpoint(false)
+      }
       // one job per level: the community count rides the aggregation
       // that materializes mapping's checkpoint (and, transitively,
       // assign's), so the returned frame never has to recompute from
       // the by-then-unpersisted edge frame. distinct(mapping.cur) ==
       // distinct(assign.c): both are the canonical community labels.
-      val nComms = mapping.agg(countDistinct(col("cur"))).collect()(0).getLong(0)
+      // (With refine, the coarse count came from assign above and
+      // mapping updates AFTER the refinement below.)
+      val nComms =
+        if (refine) nComms0
+        else mapping.agg(countDistinct(col("cur"))).collect()(0).getLong(0)
       // stop on no merge (converged) or a MARGINAL contraction: when
       // fewer than 5% of nodes merged, another level of move rounds on
       // a barely-smaller graph buys noise, not modularity. Also stop
       // when this was the last level — contracting a graph no further
       // level will read is wasted shuffle (r7 paid it).
-      if (nComms >= (nNodes * 0.95).toLong || level == maxLevels) done = true
+      if (nComms >= (nNodes * 0.95).toLong || level == maxLevels) {
+        if (refine) {
+          // final level reports the COARSE partition; materialize the
+          // mapping (small agg) before e unpersists below
+          mapping = mapping.join(assign.select(col("id").as("cur"), col("c")), Seq("cur"))
+            .select(col("orig"), col("c").as("cur")).localCheckpoint(false)
+          mapping.agg(count(lit(1))).collect()
+        }
+        done = true
+      }
       else {
         // contract: communities become super-nodes; internal edges
         // (counted twice in the symmetric list) fold into self weight
-        val a2 = assign
+        val a2 = if (!refine) assign else {
+          val intra = e
+            .join(assign.select(col("id").as("src"), col("c").as("cs")), Seq("src"))
+            .join(assign.select(col("id").as("dst"), col("c").as("cd")), Seq("dst"))
+            .filter(col("cs") === col("cd"))
+            .select(col("src"), col("dst"))
+          val comps = connectedComponents(intra, localFinishEdges = localFinishEdges)
+          val refA = assign
+            .join(comps.select(col("id"), col("component")), Seq("id"), "left")
+            .select(col("id"), coalesce(col("component"), col("id")).as("rf"), col("c"))
+            .localCheckpoint(false)
+          mapping = mapping.join(refA.select(col("id").as("cur"), col("rf")), Seq("cur"))
+            .select(col("orig"), col("rf").as("cur")).localCheckpoint(false)
+          // materializes mapping + refA before the old e unpersists;
+          // the distinct rf count is the next level's node count
+          nNodes = mapping.agg(countDistinct(col("cur"))).collect()(0).getLong(0)
+          init = Some(refA.select(col("rf").as("id"), col("c").as("cu0"))
+            .distinct().localCheckpoint(false))
+          refA.select(col("id"), col("rf").as("c"))
+        }
         val eC = e.join(a2.select(col("id").as("src"), col("c").as("cs")), Seq("src"))
           .join(a2.select(col("id").as("dst"), col("c").as("cd")), Seq("dst"))
           .select(col("cs"), col("cd"), col("w"))
@@ -478,7 +558,7 @@ object GraphOps {
         e.unpersist()
         e = newE
         self = newSelf
-        nNodes = nComms
+        if (!refine) nNodes = nComms // refine set nNodes = |distinct rf| above
       }
       }
     }
@@ -499,11 +579,14 @@ object GraphOps {
   private def louvainLocalFinish(
       edgesSym: Array[(String, String, Double)],
       self0: Map[String, Double], m2: Double, levelsLeft: Int,
-      moveIters: Int, nNodes0: Long): Map[String, String] = {
+      moveIters: Int, nNodes0: Long,
+      init0: Map[String, String] = Map.empty,
+      refine: Boolean = false): Map[String, String] = {
     import scala.collection.mutable
     var eArr = edgesSym
     var sw = self0
     var nNodes = nNodes0
+    var curInit = init0
     val entryNodes = (eArr.iterator.map(_._1) ++ sw.keysIterator).toSet
     var toCur: mutable.Map[String, String] =
       mutable.Map(entryNodes.iterator.map(n => n -> n).toSeq: _*)
@@ -516,7 +599,8 @@ object GraphOps {
       eArr.foreach { case (s, _, w) => kadj(s) += w }
       val k = nodes.iterator
         .map(n => n -> (kadj(n) + 2.0 * sw.getOrElse(n, 0.0))).toMap
-      var comm: Map[String, String] = nodes.iterator.map(n => n -> n).toMap
+      var comm: Map[String, String] =
+        nodes.iterator.map(n => n -> curInit.getOrElse(n, n)).toMap
       var moves = 1L
       var it = 0
       while (it < moveIters && moves > 0) {
@@ -561,25 +645,61 @@ object GraphOps {
       }
       val assign: Map[String, String] =
         nodes.iterator.map(n => n -> canon(comm(n))).toMap
-      toCur = toCur.map { case (orig, cur) => orig -> assign(cur) }
       val nComms = assign.values.toSet.size
-      if (nComms >= (nNodes * 0.95).toLong || level == levelsLeft) done = true
+      if (nComms >= (nNodes * 0.95).toLong || level == levelsLeft) {
+        toCur = toCur.map { case (orig, cur) => orig -> assign(cur) }
+        done = true
+      }
       else {
+        // contraction partition: coarse (Louvain) or connectivity-
+        // refined (Leiden) — mirror of the distributed branch
+        val contract: String => String =
+          if (!refine) assign
+          else {
+            // union-find over intra-community edges, min-member labels
+            val parent = mutable.Map.empty[String, String]
+            def find(x: String): String = {
+              var r = x
+              while (parent.getOrElse(r, r) != r) r = parent(r)
+              var c = x
+              while (parent.getOrElse(c, c) != c) { val nx = parent(c); parent(c) = r; c = nx }
+              r
+            }
+            eArr.foreach { case (s, d, _) =>
+              if (assign(s) == assign(d)) {
+                parent.getOrElseUpdate(s, s); parent.getOrElseUpdate(d, d)
+                val rs = find(s); val rd = find(d)
+                if (rs != rd) parent(rd) = rs
+              }
+            }
+            val minRep = mutable.Map.empty[String, String]
+            parent.keys.foreach { n =>
+              val r = find(n)
+              if (!minRep.contains(r) || n < minRep(r)) minRep(r) = n
+            }
+            n => if (parent.contains(n)) minRep(find(n)) else n
+          }
+        toCur = toCur.map { case (orig, cur) => orig -> contract(cur) }
+        if (refine) {
+          // next level resumes from the coarse partition over the
+          // refined super-nodes (rf label of a coarse canon IS itself)
+          curInit = nodes.iterator.map(n => contract(n) -> assign(n)).toMap
+        }
         val newEAgg = mutable.Map.empty[(String, String), Double]
           .withDefaultValue(0.0)
         val newSelf = mutable.Map.empty[String, Double].withDefaultValue(0.0)
         eArr.foreach { case (s, d, w) =>
-          val cs = assign(s); val cd = assign(d)
+          val cs = contract(s); val cd = contract(d)
           if (cs == cd) newSelf(cs) += w / 2.0
           else newEAgg((cs, cd)) += w
         }
-        sw.foreach { case (n, w) => newSelf(assign(n)) += w }
+        sw.foreach { case (n, w) => newSelf(contract(n)) += w }
         // every community gets a self entry (even weight 0), mirroring
         // the distributed full join that keeps isolated super-nodes
-        assign.values.foreach(c => newSelf(c) += 0.0)
+        nodes.foreach(n => newSelf(contract(n)) += 0.0)
         eArr = newEAgg.iterator.map { case ((s, d), w) => (s, d, w) }.toArray
         sw = newSelf.toMap
-        nNodes = nComms.toLong
+        nNodes = if (refine) newSelf.size.toLong else nComms.toLong
       }
     }
     toCur.toMap
@@ -592,9 +712,9 @@ object GraphOps {
     * pieces that still share a label. This pass restores the paper's
     * connectivity guarantee over a FINISHED partition: each community
     * splits into its connected components within the community's own
-    * induced subgraph (not the full interleaved Leiden algorithm —
-    * refinement-between-levels composes here as
-    * `leidenRefine(e, louvain(e))`, which is what [[leiden]] does).
+    * induced subgraph. [[leiden]] interleaves the same rule BETWEEN
+    * levels (`louvain(refine = true)`) and applies this pass once at
+    * the end for the final level's moves.
     *
     * Scale shape: two equi-joins tag each edge with its endpoints'
     * communities, the intra-community edge subset runs one
@@ -620,11 +740,21 @@ object GraphOps {
         coalesce(col("component"), col("id")).as("community"))
   }
 
-  /** [[louvain]] + [[leidenRefine]]: modularity communities with the
-    * Leiden connectivity guarantee. */
+  /** Leiden (Traag, Waltman & van Eck 2019): [[louvain]] with
+    * INTERLEAVED refinement — between levels each coarse community
+    * splits into its connected components, contraction is by the
+    * refined partition, and the next level's moves resume from the
+    * coarse partition (`refine = true`) — plus a final
+    * [[leidenRefine]] pass, because the last level's move phase runs
+    * with no refinement after it (a no-op when the partition is
+    * already well-connected). Deterministic variant: the refinement
+    * rule is connectivity (the paper's guarantee); the randomized
+    * γ-merge strengthening is out of scope by the house determinism
+    * rule. */
   def leiden(edges0: DataFrame, maxLevels: Int = 2, moveIters: Int = 3,
              localFinishEdges: Long = 250000L): DataFrame =
-    leidenRefine(edges0, louvain(edges0, maxLevels, moveIters, localFinishEdges))
+    leidenRefine(edges0,
+      louvain(edges0, maxLevels, moveIters, localFinishEdges, refine = true))
 
   /** Newman modularity Q of a community assignment over an unweighted
     * undirected graph: Q = Σ_in/m − Σ_c (Σ_tot(c)/2m)². Edges are
@@ -803,9 +933,27 @@ object GraphOps {
     * loop without path strings — state rows are (root, id, dist), one
     * equi-join + one (root, id) anti-join per round; never a per-root
     * loop). */
-  def bfsDistancesFrom(edges: DataFrame, sources: DataFrame, maxIter: Int = 20): DataFrame = {
+  def bfsDistancesFrom(edges: DataFrame, sources: DataFrame, maxIter: Int = 20,
+                       localFinishEdges: Long = 250000L): DataFrame = {
     val e = edges.select(col("src"), col("dst")).distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
+    if (e.count() <= localFinishEdges) {
+      // the roots collect is bounded too (limit-probed): a caller
+      // passing a giant source frame over a tiny graph falls through,
+      // as does a |roots|·|V| output / |roots|·|E| work overrun
+      // (LocalGraph returns None past its own bounds)
+      val roots = sources.select(col("id")).distinct()
+        .limit(localFinishEdges.toInt + 1).collect().map(_.get(0))
+      if (roots.length <= localFinishEdges) {
+        val idType = e.schema("src").dataType
+        val pairs = e.collect().map(r => (r.get(0), r.get(1)))
+        LocalGraph.bfsDistancesFrom(edges.sparkSession, pairs, roots,
+            maxIter, idType).foreach { out =>
+          e.unpersist()
+          return out
+        }
+      }
+    }
     var visited = sources.select(col("id")).distinct()
       .select(col("id").as("root"), col("id"), lit(0).as("dist"))
       .localCheckpoint()
@@ -886,7 +1034,8 @@ object GraphOps {
     * pay the larger dedup). Ids of any type are compared as strings
     * (the output id column is string). */
   def betweenness(edges: DataFrame, roots: DataFrame, maxIter: Int = 20,
-                  halve: Boolean = true, undirectedInput: Boolean = false): DataFrame = {
+                  halve: Boolean = true, undirectedInput: Boolean = false,
+                  localFinishEdges: Long = 250000L): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
     // Dense LONG vertex ids for the whole iteration: every shuffle,
@@ -903,6 +1052,20 @@ object GraphOps {
     // the dedup `distinct` runs AFTER encoding, on packed longs — a
     // string-keyed distinct over |E| was the single most expensive
     // step of the encode phase
+    // Bounded local finisher (LocalGraph.betweenness — exact Brandes
+    // mirror, hop bound and halve included): gated on RAW edge rows
+    // (dedup happens in memory) and a limit-probed roots collect.
+    if (eStr.count() <= localFinishEdges) {
+      val rootArr = roots.select(col("id").cast("string").as("id")).distinct()
+        .limit(localFinishEdges.toInt + 1).collect().map(_.getString(0))
+      if (rootArr.length <= localFinishEdges) {
+        val pairs = eStr.collect().map(r => (r.getString(0): Any, r.getString(1): Any))
+        LocalGraph.betweenness(spark, pairs, rootArr, maxIter, halve).foreach { out =>
+          eStr.unpersist()
+          return out
+        }
+      }
+    }
     val dict = eStr.select(col("src").as("id"))
       .union(eStr.select(col("dst").as("id"))).distinct()
       .rdd.map(_.getString(0)).zipWithIndex()

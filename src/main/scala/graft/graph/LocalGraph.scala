@@ -1,0 +1,258 @@
+package graft.graph
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types.{DataType, DoubleType, IntegerType, LongType, StringType, StructField, StructType}
+
+import scala.collection.parallel.CollectionConverters._
+import scala.jdk.CollectionConverters._
+
+/** Bounded driver-side finishers for the iterative graph algorithms —
+  * the louvain/connectedComponents pattern (SURVEY §7.15/§7.16)
+  * factored out and extended to the rest of the per-round family.
+  *
+  * WHY (measured at r8 on the Louvain investigation): one distributed
+  * frontier/power-iteration round on a FEW-THOUSAND-node graph is
+  * ~5–15 AQE query-stage jobs at ~65 ms of driver scheduling/replan
+  * each — seconds of pure orchestration for microseconds of
+  * arithmetic. Below `localFinishEdges` edge rows (a few MB — the
+  * same bounded-collect class as IVF's nlist-row centroid frame) the
+  * algorithm runs here, as an EXACT in-memory mirror of the
+  * distributed semantics; above it, nothing changes. At 100 TB the
+  * gate never fires and every operator stays fully distributed —
+  * callers can force that locally with `localFinishEdges = 0`, which
+  * the equivalence specs do on both paths.
+  *
+  * Exactness contract, per algorithm:
+  *   - integer state (BFS distances, LPA counts, Brandes σ): bitwise
+  *     equal to the distributed result;
+  *   - float accumulations (PageRank sums, Brandes δ): same formula,
+  *     deterministic (edge-order) summation — equal to the
+  *     distributed result up to partial-aggregation-order float
+  *     noise (~1e-12 relative), i.e. identical after the operators'
+  *     own output rounding, which the specs pin.
+  */
+private[graft] object LocalGraph {
+
+  /** Dense-int encoding of a collected edge list: first-appearance
+    * order, out-adjacency, deduplicated. */
+  final class Dense(pairs: Array[(Any, Any)]) {
+    val index = new java.util.HashMap[Any, Int]()
+    private val idBuf = scala.collection.mutable.ArrayBuffer.empty[Any]
+    private def enc(x: Any): Int = {
+      if (index.containsKey(x)) index.get(x)
+      else { val i = idBuf.length; index.put(x, i); idBuf += x; i }
+    }
+    private val eSet = new java.util.HashSet[Long]()
+    private val adjBuf = scala.collection.mutable.ArrayBuffer.empty[scala.collection.mutable.ArrayBuffer[Int]]
+    pairs.foreach { case (s, d) =>
+      val si = enc(s); val di = enc(d)
+      while (adjBuf.length < idBuf.length) adjBuf += scala.collection.mutable.ArrayBuffer.empty[Int]
+      val key = si.toLong << 32 | (di.toLong & 0xffffffffL)
+      if (eSet.add(key)) adjBuf(si) += di
+    }
+    val ids: Array[Any] = idBuf.toArray
+    val adj: Array[Array[Int]] = {
+      while (adjBuf.length < idBuf.length) adjBuf += scala.collection.mutable.ArrayBuffer.empty[Int]
+      adjBuf.map(_.toArray).toArray
+    }
+    def n: Int = ids.length
+  }
+
+  private def frame(spark: SparkSession, rows: Seq[Row], fields: StructField*): DataFrame =
+    spark.createDataFrame(rows.asJava, StructType(fields))
+
+  /** [[GraphOps.pageRank]] mirror: iters rounds of
+    * rank = (1−d) + d·Σ rank(u)/deg(u); dangling vertices receive
+    * (1−d) (the distributed left-join/coalesce). Deterministic
+    * summation in dense-id order. */
+  def pageRank(spark: SparkSession, pairs: Array[(Any, Any)], iters: Int,
+               damping: Double, idType: DataType): DataFrame = {
+    val g = new Dense(pairs)
+    var rank = Array.fill(g.n)(1.0)
+    for (_ <- 1 to iters) {
+      val msum = new Array[Double](g.n)
+      var u = 0
+      while (u < g.n) {
+        val out = g.adj(u)
+        if (out.nonEmpty) {
+          val c = rank(u) / out.length
+          var j = 0
+          while (j < out.length) { msum(out(j)) += c; j += 1 }
+        }
+        u += 1
+      }
+      rank = Array.tabulate(g.n)(v => (1 - damping) + damping * msum(v))
+    }
+    frame(spark, (0 until g.n).map(v => Row(g.ids(v), rank(v))),
+      StructField("id", idType), StructField("rank", DoubleType))
+  }
+
+  /** [[GraphOps.bfsDistancesFrom]] mirror: hop-bounded multi-source
+    * BFS; every distinct source gets its self row (dist 0) whether or
+    * not it touches the graph. Roots run in parallel (driver cores);
+    * distances are integers — bitwise-equal to the keyed-frontier
+    * result.
+    *
+    * Returns None (caller falls through to the distributed path) when
+    * the edge gate alone under-predicts the cost: the OUTPUT is up to
+    * |roots|·|V| rows of driver memory and the work |roots|·|E| edge
+    * visits — both quadratic in shapes a small edge frame permits
+    * (every-vertex roots over a 250k-edge graph). */
+  def bfsDistancesFrom(spark: SparkSession, pairs: Array[(Any, Any)],
+                       sources: Array[Any], maxIter: Int, idType: DataType,
+                       maxOutputRows: Long = 20L * 1000 * 1000,
+                       maxEdgeVisits: Long = 2L * 1000 * 1000 * 1000): Option[DataFrame] = {
+    val g = new Dense(pairs)
+    val nRoots = sources.distinct.length.toLong
+    if (nRoots * g.n > maxOutputRows || nRoots * pairs.length > maxEdgeVisits)
+      return None
+    val rows = sources.distinct.par.flatMap { root =>
+      val out = scala.collection.mutable.ArrayBuffer.empty[Row]
+      out += Row(root, root, 0)
+      val ri = g.index.getOrDefault(root, -1)
+      if (ri >= 0) {
+        val dist = Array.fill(g.n)(-1)
+        dist(ri) = 0
+        var frontier = List(ri)
+        var depth = 0
+        while (depth < maxIter && frontier.nonEmpty) {
+          depth += 1
+          var next = List.empty[Int]
+          frontier.foreach { u =>
+            val nbrs = g.adj(u)
+            var j = 0
+            while (j < nbrs.length) {
+              val v = nbrs(j)
+              if (dist(v) < 0) { dist(v) = depth; next ::= v; out += Row(root, g.ids(v), depth) }
+              j += 1
+            }
+          }
+          frontier = next
+        }
+      }
+      out
+    }.seq.toSeq
+    Some(frame(spark, rows, StructField("root", idType), StructField("id", idType),
+      StructField("dist", IntegerType)))
+  }
+
+  /** [[GraphOps.labelPropagation]] mirror: synchronous rounds, label =
+    * most frequent neighbor label, ties to the SMALLER label (the
+    * min_by(−cnt, label) struct ordering). Counts are integers, the
+    * tie ordering is total — bitwise-equal results. */
+  def labelPropagation(spark: SparkSession, pairs: Array[(Any, Any)], iters: Int,
+                       idType: DataType, lt: (Any, Any) => Boolean): DataFrame = {
+    val g = new Dense(pairs) // caller passes the symmetrized frame
+    var label = Array.tabulate[Any](g.n)(v => g.ids(v))
+    for (_ <- 1 to iters) {
+      val next = new Array[Any](g.n)
+      var v = 0
+      while (v < g.n) {
+        // messages into v = labels of u for every edge u→v; on the
+        // symmetrized dedup'd frame that is exactly the neighbor set.
+        // Count via a small map per vertex.
+        val cnt = new java.util.HashMap[Any, Long]()
+        val nbrs = g.adj(v)
+        var j = 0
+        while (j < nbrs.length) { cnt.merge(label(nbrs(j)), 1L, _ + _); j += 1 }
+        if (cnt.isEmpty) next(v) = label(v) // isolated keeps its own
+        else {
+          var best: Any = null; var bestC = -1L
+          val it = cnt.entrySet().iterator()
+          while (it.hasNext) {
+            val e = it.next()
+            if (e.getValue > bestC || (e.getValue == bestC && lt(e.getKey, best)))
+              { best = e.getKey; bestC = e.getValue }
+          }
+          next(v) = best
+        }
+        v += 1
+      }
+      label = next
+    }
+    frame(spark, (0 until g.n).map(v => Row(g.ids(v), label(v))),
+      StructField("id", idType), StructField("community", idType))
+  }
+
+  /** [[GraphOps.betweenness]] mirror: hop-bounded Brandes over the
+    * directed edge list (string ids — the distributed path casts
+    * first). Per root: BFS with σ (long, exact), then the standard
+    * reverse-depth δ sweep δ(u) = σ_u·Σ_{w∈succ(u)} (1+δ_w)/σ_w —
+    * the same factored formula the backward join computes. Roots
+    * outside the graph contribute nothing (the distributed inner
+    * encode-join drops them). Output: EVERY vertex, score = Σ_roots δ
+    * (excluding δ at the root itself), halved if `halve`, rounded 6. */
+  def betweenness(spark: SparkSession, pairs: Array[(Any, Any)],
+                  roots: Array[String], maxIter: Int, halve: Boolean,
+                  maxEdgeVisits: Long = 2L * 1000 * 1000 * 1000): Option[DataFrame] = {
+    val g = new Dense(pairs.map { case (a, b) => (a: Any, b: Any) })
+    val rootIdx = roots.distinct.filter(g.index.containsKey(_)).map(g.index.get(_))
+    // Brandes is |roots|·|E| work: a small edge frame with every-vertex
+    // roots can still be billions of visits — fall through if so
+    if (rootIdx.length.toLong * pairs.length > maxEdgeVisits) return None
+    // chunk roots across cores; each chunk accumulates one double[]
+    val nChunks = math.max(1, math.min(rootIdx.length, Runtime.getRuntime.availableProcessors))
+    val chunks = rootIdx.grouped(math.max(1, (rootIdx.length + nChunks - 1) / nChunks)).toArray
+    val partials = chunks.par.map { chunk =>
+      val acc = new Array[Double](g.n)
+      val dist = new Array[Int](g.n)
+      val sigma = new Array[Long](g.n)
+      val delta = new Array[Double](g.n)
+      val order = new Array[Int](g.n) // BFS visit order (by depth)
+      chunk.foreach { s =>
+        java.util.Arrays.fill(dist, -1)
+        java.util.Arrays.fill(sigma, 0L)
+        java.util.Arrays.fill(delta, 0.0)
+        dist(s) = 0; sigma(s) = 1L
+        var head = 0; var tail = 0
+        order(tail) = s; tail += 1
+        while (head < tail) {
+          val u = order(head); head += 1
+          if (dist(u) < maxIter) {
+            val nbrs = g.adj(u)
+            var j = 0
+            while (j < nbrs.length) {
+              val w = nbrs(j)
+              if (dist(w) < 0) { dist(w) = dist(u) + 1; order(tail) = w; tail += 1 }
+              if (dist(w) == dist(u) + 1) sigma(w) += sigma(u)
+              j += 1
+            }
+          }
+        }
+        // reverse visit order = non-increasing depth: δ sweep
+        var k = tail - 1
+        while (k >= 0) {
+          val u = order(k)
+          val nbrs = g.adj(u)
+          var s2 = 0.0
+          var j = 0
+          while (j < nbrs.length) {
+            val w = nbrs(j)
+            if (dist(w) == dist(u) + 1) s2 += (1.0 + delta(w)) / sigma(w).toDouble
+            j += 1
+          }
+          delta(u) = sigma(u).toDouble * s2
+          if (u != s) acc(u) += delta(u)
+          k -= 1
+        }
+      }
+      acc
+    }.seq
+    val total = new Array[Double](g.n)
+    partials.foreach { p => var v = 0; while (v < g.n) { total(v) += p(v); v += 1 } }
+    val div = if (halve) 2.0 else 1.0
+    Some(frame(spark, (0 until g.n).map { v =>
+      Row(g.ids(v).asInstanceOf[String],
+        BigDecimal(total(v) / div).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }, StructField("id", StringType), StructField("betweenness", DoubleType)))
+  }
+
+  /** Comparable-type guard + ordering for label/tie semantics (the
+    * same three types the connectedComponents finisher accepts). */
+  def orderingFor(t: DataType): Option[(Any, Any) => Boolean] = t match {
+    case StringType  => Some((a, b) => a.asInstanceOf[String] < b.asInstanceOf[String])
+    case IntegerType => Some((a, b) => a.asInstanceOf[Int] < b.asInstanceOf[Int])
+    case LongType    => Some((a, b) => a.asInstanceOf[Long] < b.asInstanceOf[Long])
+    case _ => None
+  }
+}

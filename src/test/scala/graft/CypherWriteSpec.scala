@@ -230,6 +230,37 @@ class CypherWriteSpec extends SparkSpec {
     assert(e3.count() == 0 && n3.count() == 2)
   }
 
+  test("MATCH edge property map: entries are real per-row constraints") {
+    val (n1, e1) = spawnedGraph() // one SPAWNS edge with {note: 'boot'}
+    // satisfied constraint: the SET lands
+    val (_, eHit) = CypherWrite.mergeOne(n1, e1,
+      """MATCH (a:Process {key: 'p1'}) MATCH (b:Process {key: 'p2'})
+        |MATCH (a)-[r:SPAWNS {note: 'boot'}]->(b) SET r.checked = 'yes'""".stripMargin)
+    assert(eHit.collect().head.getAs[Map[String, String]]("props")("checked") == "yes")
+    // violated constraint: row drops out, stored edge untouched
+    val (_, eMiss) = CypherWrite.mergeOne(n1, e1,
+      """MATCH (a:Process {key: 'p1'}) MATCH (b:Process {key: 'p2'})
+        |MATCH (a)-[r:SPAWNS {note: 'other'}]->(b) SET r.checked = 'yes'""".stripMargin)
+    val pm = eMiss.collect().head.getAs[Map[String, String]]("props")
+    assert(!pm.contains("checked") && eMiss.count() == 1)
+    // constrained DELETE r: wrong value deletes nothing, right value deletes
+    val (_, eKeep) = CypherWrite.mergeOne(n1, e1,
+      """MATCH (a:Process {key: 'p1'}) MATCH (b:Process {key: 'p2'})
+        |MATCH (a)-[r:SPAWNS {note: 'other'}]->(b) DELETE r""".stripMargin)
+    assert(eKeep.count() == 1)
+    val (_, eGone) = CypherWrite.mergeOne(n1, e1,
+      """MATCH (a:Process {key: 'p1'}) MATCH (b:Process {key: 'p2'})
+        |MATCH (a)-[r:SPAWNS {note: 'boot'}]->(b) DELETE r""".stripMargin)
+    assert(eGone.count() == 0)
+    // per-row $param constraint: only the matching batch row applies
+    val params = spark.createDataFrame(Seq(("boot", "row-match"), ("nope", "row-miss")))
+      .toDF("note", "tag")
+    val (_, eBatch) = CypherWrite.merge(n1, e1,
+      """MATCH (a:Process {key: 'p1'}) MATCH (b:Process {key: 'p2'})
+        |MATCH (a)-[r:SPAWNS {note: $note}]->(b) SET r.tag = $tag""".stripMargin, params)
+    assert(eBatch.collect().head.getAs[Map[String, String]]("props")("tag") == "row-match")
+  }
+
   test("REMOVE drops properties, not rows; batch-parameterized retention trim") {
     val (n1, e1) = spawnedGraph()
     val (n2, e2) = CypherWrite.mergeOne(n1, e1,

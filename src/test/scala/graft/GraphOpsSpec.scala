@@ -424,6 +424,34 @@ class GraphOpsSpec extends SparkSpec {
     }
   }
 
+  test("interleaved leiden: local ≡ distributed; coarse result on sound graphs") {
+    def clique(ids: Seq[String]): Seq[(String, String)] =
+      for (i <- ids.indices; j <- i + 1 until ids.size) yield ids(i) -> ids(j)
+    val rng = new scala.util.Random(13)
+    val noisy = (0 until 200).map { _ =>
+      f"m${rng.nextInt(48)}%02d" -> f"m${rng.nextInt(48)}%02d"
+    }.filter(p => p._1 != p._2)
+    for (edges <- Seq(clique(Seq("a", "b", "c", "d")) ++
+                        clique(Seq("e", "f", "g", "h")) :+ ("d" -> "e"),
+                      noisy)) {
+      val e = edgeDf(edges: _*)
+      val loc = GraphOps.louvain(e, maxLevels = 3, refine = true)
+        .collect().map(r => (r.getString(0), r.getString(1))).toMap
+      val dist = GraphOps.louvain(e, maxLevels = 3, localFinishEdges = 0L, refine = true)
+        .collect().map(r => (r.getString(0), r.getString(1))).toMap
+      assert(loc == dist, "refine=true: local-finish path must equal distributed path")
+    }
+    // on the two-clique fixture, refinement never splits a clique —
+    // interleaved leiden and plain louvain agree
+    val tc = edgeDf(clique(Seq("a", "b", "c", "d")) ++
+      clique(Seq("e", "f", "g", "h")) :+ ("d" -> "e"): _*)
+    val lv = GraphOps.louvain(tc).collect().map(r => (r.getString(0), r.getString(1))).toMap
+    val ld = GraphOps.leiden(tc).collect().map(r => (r.getString(0), r.getString(1))).toMap
+    assert(lv == ld)
+    // degenerate inputs stay graceful with refine on
+    assert(GraphOps.louvain(edgeDf(), refine = true).isEmpty)
+  }
+
   test("louvain: modularity is monotone vs singletons and matches by hand") {
     val e = edgeDf("a" -> "b", "b" -> "c", "a" -> "c", // triangle
       "x" -> "y", "y" -> "z", "x" -> "z",              // triangle

@@ -1,0 +1,134 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.graph.GraphOps
+
+/** The bounded local finishers (LocalGraph) must be EXACT mirrors of
+  * the distributed algorithms: these specs run every gated operator
+  * twice — default (local path, the graphs are tiny) and
+  * `localFinishEdges = 0` (forced fully distributed) — and pin the
+  * results equal: bitwise for integer state (BFS dist, LPA labels),
+  * after the operator's own rounding for float accumulations
+  * (PageRank, Brandes δ). */
+class LocalGraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Deterministic pseudo-random digraph: ~n nodes, ~3n edges, string
+    * ids; the same seed always yields the same graph. */
+  private def randomEdges(n: Int, seed: Long): DataFrame = {
+    val rnd = new scala.util.Random(seed)
+    val pairs = Seq.fill(3 * n) {
+      (s"v:${rnd.nextInt(n)}", s"v:${rnd.nextInt(n)}")
+    }.filter(p => p._1 != p._2)
+    pairs.toDF("src", "dst")
+  }
+
+  private def asSet(df: DataFrame): Set[Seq[Any]] =
+    df.collect().toSet.map((r: org.apache.spark.sql.Row) => r.toSeq)
+
+  test("pageRank: local ≡ distributed after rounding, on random + star graphs") {
+    for (edges <- Seq(randomEdges(60, 7),
+        Seq(("hub", "a"), ("hub", "b"), ("a", "hub"), ("b", "hub")).toDF("src", "dst"))) {
+      val local = GraphOps.pageRank(edges, iters = 8)
+      val dist = GraphOps.pageRank(edges, iters = 8, localFinishEdges = 0L)
+      val j = local.select(col("id"), col("rank").as("lr"))
+        .join(dist.select(col("id"), col("rank").as("dr")), Seq("id"), "full_outer")
+      assert(j.filter(col("lr").isNull || col("dr").isNull).count() == 0)
+      val maxDiff = j.agg(max(abs(col("lr") - col("dr")))).collect()(0).getDouble(0)
+      assert(maxDiff < 1e-9, s"pageRank local vs distributed drift: $maxDiff")
+    }
+  }
+
+  test("bfsDistancesFrom: bitwise equal (root, id, dist) sets; off-graph sources keep self rows") {
+    val edges = GraphOps.undirected(randomEdges(50, 11))
+    val roots = (Seq("v:0", "v:7", "v:13") :+ "ghost").toDF("id")
+    val local = GraphOps.bfsDistancesFrom(edges, roots, maxIter = 6)
+    val dist = GraphOps.bfsDistancesFrom(edges, roots, maxIter = 6, localFinishEdges = 0L)
+    assert(asSet(local) == asSet(dist))
+    assert(asSet(local.filter(col("root") === "ghost")) ==
+      Set(Seq[Any]("ghost", "ghost", 0)))
+  }
+
+  test("closeness and harmonic ride the bfs finisher unchanged") {
+    val edges = GraphOps.undirected(randomEdges(40, 3))
+    val roots = edges.select(col("src").as("id")).distinct()
+    val viaLocal = GraphOps.closeness(edges, roots, maxIter = 6)
+    val viaDist = {
+      val d = GraphOps.bfsDistancesFrom(edges, roots, maxIter = 6, localFinishEdges = 0L)
+      d.filter(col("dist") > 0)
+        .groupBy(col("root").as("id"))
+        .agg(count(lit(1)).as("reached"), sum(col("dist")).as("total"))
+        .select(col("id"),
+          round(col("reached").cast("double") / col("total"), 6).as("closeness"))
+    }
+    assert(asSet(viaLocal) == asSet(viaDist))
+    val h1 = GraphOps.harmonic(edges, roots, maxIter = 6)
+    assert(h1.count() == roots.count()) // all roots reach someone here
+  }
+
+  test("labelPropagation: bitwise equal labels (integer counts, total tie order)") {
+    for (seed <- Seq(5L, 21L)) {
+      val edges = randomEdges(45, seed)
+      val local = GraphOps.labelPropagation(edges, iters = 4)
+      val dist = GraphOps.labelPropagation(edges, iters = 4, localFinishEdges = 0L)
+      assert(asSet(local) == asSet(dist))
+    }
+  }
+
+  test("betweenness: equal after round-6, directed and undirected paths") {
+    // directed random graph, default (directed-safe) dedup
+    val edges = randomEdges(40, 17)
+    val roots = edges.select(col("src").as("id"))
+      .union(edges.select(col("dst").as("id"))).distinct()
+    val local = GraphOps.betweenness(edges, roots, maxIter = 10, halve = false)
+    val dist = GraphOps.betweenness(edges, roots, maxIter = 10, halve = false,
+      localFinishEdges = 0L)
+    val j = local.select(col("id"), col("betweenness").as("lb"))
+      .join(dist.select(col("id"), col("betweenness").as("db")), Seq("id"), "full_outer")
+    assert(j.filter(col("lb").isNull || col("db").isNull).count() == 0)
+    val maxDiff = j.agg(max(abs(col("lb") - col("db")))).collect()(0).getDouble(0)
+    assert(maxDiff <= 2e-6, s"betweenness local vs distributed drift: $maxDiff")
+
+    // undirected: symmetrized input + the 2-frame dedup shortcut + halve
+    val sym = GraphOps.undirected(edges)
+    val symRoots = sym.select(col("src").as("id")).distinct()
+    val lu = GraphOps.betweenness(sym, symRoots, halve = true, undirectedInput = true)
+    val du = GraphOps.betweenness(sym, symRoots, halve = true, undirectedInput = true,
+      localFinishEdges = 0L)
+    val ju = lu.select(col("id"), col("betweenness").as("lb"))
+      .join(du.select(col("id"), col("betweenness").as("db")), Seq("id"), "full_outer")
+    val maxDiffU = ju.agg(max(abs(col("lb") - col("db")))).collect()(0).getDouble(0)
+    assert(maxDiffU <= 2e-6, s"undirected betweenness drift: $maxDiffU")
+  }
+
+  test("hop bound respected identically on a deep path graph") {
+    val path = (0 until 15).map(i => (s"n:$i", s"n:${i + 1}")).toDF("src", "dst")
+    val roots = Seq("n:0").toDF("id")
+    val local = GraphOps.bfsDistancesFrom(path, roots, maxIter = 5)
+    val dist = GraphOps.bfsDistancesFrom(path, roots, maxIter = 5, localFinishEdges = 0L)
+    assert(asSet(local) == asSet(dist))
+    assert(local.agg(max(col("dist"))).collect()(0).getInt(0) == 5)
+  }
+
+  test("work/output overruns decline locally (None) instead of OOMing the driver") {
+    val pairs = Array.tabulate(100)(i => (s"a:$i": Any, s"a:${(i + 1) % 100}": Any))
+    val roots: Array[Any] = Array.tabulate(100)(i => s"a:$i")
+    // output bound: 100 roots × 100 vertices > 50 rows → decline
+    assert(graft.graph.LocalGraph.bfsDistancesFrom(spark, pairs, roots,
+      maxIter = 10, org.apache.spark.sql.types.StringType, maxOutputRows = 50L).isEmpty)
+    // work bound: 100 roots × 100 edges > 99 visits → decline
+    assert(graft.graph.LocalGraph.betweenness(spark, pairs,
+      roots.map(_.toString), maxIter = 10, halve = false, maxEdgeVisits = 99L).isEmpty)
+  }
+
+  test("degenerate inputs: empty edge frame") {
+    val empty = Seq.empty[(String, String)].toDF("src", "dst")
+    assert(GraphOps.pageRank(empty).count() == 0)
+    assert(GraphOps.betweenness(empty, Seq("x").toDF("id")).count() == 0)
+    // bfs distances: off-graph sources still produce their self rows
+    val d = GraphOps.bfsDistancesFrom(empty, Seq("x").toDF("id"))
+    assert(asSet(d) == Set(Seq[Any]("x", "x", 0)))
+  }
+}
