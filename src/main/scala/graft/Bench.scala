@@ -14,7 +14,7 @@ object Bench {
     "d2_minhash", "d4_jaccard", "d6_boilerplate", "e1_topk", "e2_ann",
     "f1_tokens", "f2_quality", "f7_decontam", "f8_repetition", "p5_weighted",
     // the iterative graph analytics (oracle-upgraded in r3)
-    "g_pagerank", "g_kcore", "g_lpa",
+    "g_pagerank", "g_kcore", "g_lpa", "g_eigen", "g_hits",
     // r4 centralities: multi-source-BFS closeness + Brandes betweenness
     "g_closeness", "g_betweenness",
     // r7: Louvain local-move + contraction rounds; FastRP embeddings

@@ -86,6 +86,8 @@ object SparkEntry {
     "sg_merge"     -> (GraphQueries.sgMerge _),
     "sg_delete"    -> (GraphQueries.sgDelete _),
     "g_call"       -> (GraphQueries.gCall _),
+    "g_eigen"      -> (GraphQueries.gEigen _),
+    "g_hits"       -> (GraphQueries.gHits _),
     "g_lpa"        -> (GraphQueries.gLpa _),
     "g_clustercoef" -> (GraphQueries.gClusterCoef _),
     "g_closeness"  -> (GraphQueries.gCloseness _),
@@ -650,6 +652,50 @@ object SparkEntry {
     "sg_delete" ->
       """SELECT event_type AS t, count(DISTINCT user_id) AS n FROM events
         |WHERE user_id % 7 <> 0 GROUP BY 1 ORDER BY 1""".stripMargin,
+    // B25 eigenvector: the same per-iteration-normalized power
+    // iteration as a recursive CTE (window norm over the iteration's
+    // sums); symmetrized edges, 8 iterations, round 6
+    "g_eigen" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT DISTINCT src, dst FROM (
+        |    SELECT 'p:'||l_partkey AS src, 's:'||l_suppkey AS dst FROM lineitem WHERE l_partkey % 20 = 0
+        |    UNION ALL
+        |    SELECT 's:'||l_suppkey, 'p:'||l_partkey FROM lineitem WHERE l_partkey % 20 = 0)),
+        |v AS (SELECT DISTINCT src AS id FROM e),
+        |ev AS (
+        |  SELECT 0 AS it, id, CAST(1.0 AS DOUBLE) AS x FROM v
+        |  UNION ALL
+        |  SELECT it, id, s / sqrt(sum(s*s) OVER (PARTITION BY it)) AS x FROM (
+        |    SELECT p.it+1 AS it, e.dst AS id, sum(p.x) AS s
+        |    FROM ev p JOIN e ON e.src = p.id
+        |    WHERE p.it < 8 GROUP BY 1,2) t)
+        |SELECT id, round(x,6) AS score FROM ev WHERE it=8
+        |ORDER BY score DESC, id LIMIT 25""".stripMargin,
+    // B26 HITS (Jacobi): auth from previous hubs, hub from previous
+    // auths, each L2-normalized — two references to the recursive
+    // table full-joined per step (bipartite: parts hub, suppliers auth)
+    "g_hits" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT DISTINCT 'p:'||l_partkey AS src, 's:'||l_suppkey AS dst
+        |  FROM lineitem WHERE l_partkey % 20 = 0),
+        |v AS (SELECT DISTINCT id FROM (SELECT src AS id FROM e UNION ALL SELECT dst FROM e)),
+        |hs AS (
+        |  SELECT 0 AS it, id, CAST(1.0 AS DOUBLE) AS h, CAST(1.0 AS DOUBLE) AS a FROM v
+        |  UNION ALL
+        |  SELECT COALESCE(anorm.it, hnorm.it) AS it, COALESCE(anorm.id, hnorm.id) AS id,
+        |         COALESCE(hnorm.h, 0.0) AS h, COALESCE(anorm.a, 0.0) AS a
+        |  FROM (
+        |    SELECT it, id, s / sqrt(sum(s*s) OVER (PARTITION BY it)) AS a FROM (
+        |      SELECT p.it+1 AS it, e.dst AS id, sum(p.h) AS s
+        |      FROM hs p JOIN e ON e.src = p.id WHERE p.it < 8 GROUP BY 1,2) t1
+        |  ) anorm
+        |  FULL JOIN (
+        |    SELECT it, id, s / sqrt(sum(s*s) OVER (PARTITION BY it)) AS h FROM (
+        |      SELECT p.it+1 AS it, e.src AS id, sum(p.a) AS s
+        |      FROM hs p JOIN e ON e.dst = p.id WHERE p.it < 8 GROUP BY 1,2) t2
+        |  ) hnorm USING (it, id))
+        |SELECT id, round(h,6) AS hub, round(a,6) AS auth FROM hs WHERE it=8
+        |ORDER BY hub DESC, auth DESC, id LIMIT 25""".stripMargin,
     // J7 CALL surface: textually-requested PageRank — the g_pagerank
     // recursive-CTE twin verbatim (CALL must not change the numbers)
     "g_call" ->

@@ -313,6 +313,12 @@ object CypherCall {
         GraphOps.sssp(e, seedFrame(ed, seeds), cfg.int("maxIterations", 10))
           .select(col("id"), col("dist").as("distance"))
       }),
+    "eigenvector" -> Proc(Seq("id", "score"), Set("maxIterations"),
+      (n, ed, cfg) =>
+        GraphOps.eigenvector(selectEdges(n, ed, cfg), cfg.int("maxIterations", 8))),
+    "hits" -> Proc(Seq("id", "hub", "auth"), Set("maxIterations"),
+      (n, ed, cfg) =>
+        GraphOps.hits(selectEdges(n, ed, cfg), cfg.int("maxIterations", 8))),
     "nodeSimilarity" -> Proc(Seq("id1", "id2", "similarity"),
       Set("similarityCutoff", "hubCap"),
       (n, ed, cfg) =>

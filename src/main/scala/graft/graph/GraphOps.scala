@@ -263,6 +263,86 @@ object GraphOps {
     ranks
   }
 
+  /** B25 — eigenvector centrality (Neo4j GDS catalog staple): power
+    * iteration x_{t+1} = normalize(A x_t) over the SYMMETRIZED graph,
+    * L2-normalized per iteration (keeps magnitudes bounded at any
+    * iteration count / degree scale — normalizing once at the end
+    * would overflow doubles around degree^iters ≈ 1e308). One
+    * equi-join + aggregation per iteration; the norm is a scalar agg
+    * riding the same materialization (louvain's one-action-per-round
+    * rule). Returns (id, score) for every vertex. */
+  def eigenvector(edges: DataFrame, iters: Int = 8,
+                  localFinishEdges: Long = 250000L): DataFrame = {
+    val sym = undirected(edges).persist(StorageLevel.MEMORY_AND_DISK)
+    if (sym.count() <= localFinishEdges) {
+      val idType = sym.schema("src").dataType
+      val pairs = sym.collect().map(r => (r.get(0), r.get(1)))
+      sym.unpersist()
+      return LocalGraph.eigenvector(edges.sparkSession, pairs, iters, idType)
+    }
+    val vertices = sym.select(col("src").as("id")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK) // symmetric: src covers all
+    var x = vertices.withColumn("x", lit(1.0)).localCheckpoint()
+    for (_ <- 1 to iters) {
+      val s = sym.join(x, sym("src") === x("id"))
+        .groupBy(sym("dst").as("id")).agg(sum(col("x")).as("s"))
+      val s2 = vertices.join(s, Seq("id"), "left")
+        .select(col("id"), coalesce(col("s"), lit(0.0)).as("s"))
+        .localCheckpoint(false)
+      // the norm agg materializes the lazy checkpoint — one action/round
+      val n2 = s2.agg(sum(col("s") * col("s"))).collect()(0).getDouble(0)
+      val norm = math.sqrt(n2)
+      x = s2.select(col("id"),
+        (if (norm == 0.0) col("s") else col("s") / lit(norm)).as("x"))
+    }
+    graft.Borrow.reclaim(x.select(col("id"), col("x").as("score")), sym, vertices)
+  }
+
+  /** B26 — HITS hubs & authorities (Kleinberg), JACOBI form: both
+    * scores advance from the previous iteration's values —
+    * a_{t+1} = normalize(Aᵀ h_t), h_{t+1} = normalize(A a_t) — the
+    * single-recursive-reference shape the DuckDB oracle can replay.
+    * Directed input; one equi-join + aggregation per score per
+    * iteration, norms riding the materializing aggs. Returns
+    * (id, hub, auth) for every vertex (no out-edges → hub 0, no
+    * in-edges → auth 0). */
+  def hits(edges: DataFrame, iters: Int = 8,
+           localFinishEdges: Long = 250000L): DataFrame = {
+    val e = edges.select(col("src"), col("dst")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    if (e.count() <= localFinishEdges) {
+      val idType = e.schema("src").dataType
+      val pairs = e.collect().map(r => (r.get(0), r.get(1)))
+      e.unpersist()
+      return LocalGraph.hits(edges.sparkSession, pairs, iters, idType)
+    }
+    val vertices = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var h = vertices.withColumn("v", lit(1.0)).localCheckpoint()
+    var a = h
+    for (_ <- 1 to iters) {
+      def step(state: DataFrame, joinOn: String, outOn: String): DataFrame = {
+        val s = e.join(state, e(joinOn) === state("id"))
+          .groupBy(e(outOn).as("id")).agg(sum(col("v")).as("s"))
+        val s2 = vertices.join(s, Seq("id"), "left")
+          .select(col("id"), coalesce(col("s"), lit(0.0)).as("s"))
+          .localCheckpoint(false)
+        val norm = math.sqrt(s2.agg(sum(col("s") * col("s"))).collect()(0).getDouble(0))
+        s2.select(col("id"),
+          (if (norm == 0.0) col("s") else col("s") / lit(norm)).as("v"))
+      }
+      val aNext = step(h, "src", "dst") // auth from previous hubs
+      val hNext = step(a, "dst", "src") // hub from previous auths
+      a = aNext
+      h = hNext
+    }
+    graft.Borrow.reclaim(
+      h.select(col("id"), col("v").as("hub"))
+        .join(a.select(col("id"), col("v").as("auth")), Seq("id")),
+      e, vertices)
+  }
+
   /** Synchronous label-propagation community detection (Neo4j GDS LPA),
     * made DETERMINISTIC: each round every vertex adopts its neighbors'
     * most frequent label, ties broken by the smaller label — so runs

@@ -247,6 +247,72 @@ private[graft] object LocalGraph {
     }, StructField("id", StringType), StructField("betweenness", DoubleType)))
   }
 
+  /** [[GraphOps.eigenvector]] mirror: power iteration over the
+    * (symmetrized) edge list, L2-normalized per iteration — the same
+    * per-round normalization the distributed loop and the DuckDB
+    * recursive-CTE oracle apply, so magnitudes stay bounded at any
+    * iteration count. Deterministic dense-id summation order. */
+  def eigenvector(spark: SparkSession, pairs: Array[(Any, Any)], iters: Int,
+                  idType: DataType): DataFrame = {
+    val g = new Dense(pairs)
+    var x = Array.fill(g.n)(1.0)
+    for (_ <- 1 to iters) {
+      val s = new Array[Double](g.n)
+      var u = 0
+      while (u < g.n) {
+        val out = g.adj(u)
+        var j = 0
+        while (j < out.length) { s(out(j)) += x(u); j += 1 }
+        u += 1
+      }
+      var norm2 = 0.0
+      var v = 0
+      while (v < g.n) { norm2 += s(v) * s(v); v += 1 }
+      val norm = math.sqrt(norm2)
+      x = if (norm == 0.0) s else s.map(_ / norm)
+    }
+    frame(spark, (0 until g.n).map(v => Row(g.ids(v), x(v))),
+      StructField("id", idType), StructField("score", DoubleType))
+  }
+
+  /** [[GraphOps.hits]] mirror — JACOBI update (both scores advance
+    * from the previous iteration's values, the single-recursive-
+    * reference form the DuckDB oracle can express):
+    * a_{t+1} = normalize(Aᵀ h_t), h_{t+1} = normalize(A a_t). */
+  def hits(spark: SparkSession, pairs: Array[(Any, Any)], iters: Int,
+           idType: DataType): DataFrame = {
+    val g = new Dense(pairs)
+    var h = Array.fill(g.n)(1.0)
+    var a = Array.fill(g.n)(1.0)
+    for (_ <- 1 to iters) {
+      val sa = new Array[Double](g.n) // auth: in-neighbor hub sums
+      val sh = new Array[Double](g.n) // hub: out-neighbor auth sums
+      var u = 0
+      while (u < g.n) {
+        val out = g.adj(u)
+        var j = 0
+        while (j < out.length) {
+          val w = out(j)
+          sa(w) += h(u)
+          sh(u) += a(w)
+          j += 1
+        }
+        u += 1
+      }
+      def normed(s: Array[Double]): Array[Double] = {
+        var n2 = 0.0; var v = 0
+        while (v < s.length) { n2 += s(v) * s(v); v += 1 }
+        val n = math.sqrt(n2)
+        if (n == 0.0) s else s.map(_ / n)
+      }
+      a = normed(sa)
+      h = normed(sh)
+    }
+    frame(spark, (0 until g.n).map(v => Row(g.ids(v), h(v), a(v))),
+      StructField("id", idType), StructField("hub", DoubleType),
+      StructField("auth", DoubleType))
+  }
+
   /** Comparable-type guard + ordering for label/tie semantics (the
     * same three types the connectedComponents finisher accepts). */
   def orderingFor(t: DataType): Option[(Any, Any) => Boolean] = t match {

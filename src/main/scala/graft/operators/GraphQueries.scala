@@ -318,6 +318,26 @@ object GraphQueries {
         count(lit(1)).as("n_events"))
       .orderBy(col("user_id"))
 
+  /** B25 — eigenvector centrality of the part—supplier graph
+    * (symmetrized power iteration, L2-normalized per round, 8 fixed
+    * iterations so the recursive-CTE oracle replays it exactly). */
+  def gEigen(s: SparkSession, dir: String): DataFrame =
+    GraphOps.eigenvector(TestGraph.partSupplierEdges(s, dir), iters = 8)
+      .select(col("id"), round(col("score"), 6).as("score"))
+      .orderBy(col("score").desc, col("id"))
+      .limit(25)
+
+  /** B26 — HITS hubs & authorities over the DIRECTED part→supplier
+    * graph (parts are pure hubs, suppliers pure authorities — the
+    * bipartite shape makes the split visible), Jacobi updates so the
+    * two-reference recursive-CTE oracle matches step for step. */
+  def gHits(s: SparkSession, dir: String): DataFrame =
+    GraphOps.hits(TestGraph.partSupplierEdges(s, dir), iters = 8)
+      .select(col("id"), round(col("hub"), 6).as("hub"),
+        round(col("auth"), 6).as("auth"))
+      .orderBy(col("hub").desc, col("auth").desc, col("id"))
+      .limit(25)
+
   /** J7 — the GDS-style CALL procedure surface end-to-end: the same
     * PageRank computation as `g_pagerank`, requested TEXTUALLY
     * (`CALL graft.pageRank({...}) YIELD … RETURN …`) instead of

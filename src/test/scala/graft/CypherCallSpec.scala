@@ -196,6 +196,17 @@ class CypherCallSpec extends SparkSpec {
     assert(e3.getMessage.contains("componentId"))
   }
 
+  test("eigenvector and hits procedures dispatch with GDS yield names") {
+    val ev = CypherCall.run(nodes, edges,
+      """CALL graft.eigenvector({maxIterations: 5})
+        |YIELD id, score ORDER BY score DESC, id LIMIT 3""".stripMargin)
+    assert(ev.columns.toSeq == Seq("id", "score") && ev.count() == 3)
+    val ht = CypherCall.run(nodes, edges,
+      "CALL graft.hits YIELD id, hub, auth ORDER BY id")
+    assert(ht.columns.toSeq == Seq("id", "hub", "auth"))
+    assert(ht.count() == 6) // the seven fixture nodes minus isolated 'lone'
+  }
+
   test("gate equivalence: g_call (textual) ≡ g_pagerank (Scala API) on testdata") {
     val called = graft.operators.GraphQueries.gCall(spark, sf)
     val direct = graft.operators.GraphQueries.gPagerank(spark, sf)

@@ -112,6 +112,50 @@ class LocalGraphSpec extends SparkSpec {
     assert(local.agg(max(col("dist"))).collect()(0).getInt(0) == 5)
   }
 
+  test("eigenvector: local ≡ distributed; star center dominates") {
+    val star = (1 to 6).map(i => ("hub", s"leaf:$i")).toDF("src", "dst")
+    val rnd = randomEdges(40, 23)
+    for (edges <- Seq(star, rnd)) {
+      val local = GraphOps.eigenvector(edges, iters = 6)
+      val dist = GraphOps.eigenvector(edges, iters = 6, localFinishEdges = 0L)
+      val j = local.select(col("id"), col("score").as("ls"))
+        .join(dist.select(col("id"), col("score").as("ds")), Seq("id"), "full_outer")
+      assert(j.filter(col("ls").isNull || col("ds").isNull).count() == 0)
+      val maxDiff = j.agg(max(abs(col("ls") - col("ds")))).collect()(0).getDouble(0)
+      assert(maxDiff < 1e-9, s"eigenvector drift: $maxDiff")
+    }
+    val top = GraphOps.eigenvector(star, iters = 6)
+      .orderBy(col("score").desc).collect()
+    assert(top.head.getString(0) == "hub")
+    // unit L2 norm after the final normalization
+    val n2 = top.map(r => r.getDouble(1)).map(x => x * x).sum
+    assert(math.abs(n2 - 1.0) < 1e-9)
+    assert(GraphOps.eigenvector(Seq.empty[(String, String)].toDF("src", "dst")).count() == 0)
+  }
+
+  test("hits: local ≡ distributed; bipartite split into pure hubs and auths") {
+    val bip = Seq(("p1", "s1"), ("p1", "s2"), ("p2", "s2"), ("p3", "s2"), ("p3", "s3"))
+      .toDF("src", "dst")
+    for (edges <- Seq(bip, randomEdges(35, 31))) {
+      val local = GraphOps.hits(edges, iters = 6)
+      val dist = GraphOps.hits(edges, iters = 6, localFinishEdges = 0L)
+      val j = local.select(col("id"), col("hub").as("lh"), col("auth").as("la"))
+        .join(dist.select(col("id"), col("hub").as("dh"), col("auth").as("da")),
+          Seq("id"), "full_outer")
+      assert(j.filter(col("lh").isNull || col("dh").isNull).count() == 0)
+      val maxDiff = j.agg(greatest(max(abs(col("lh") - col("dh"))),
+        max(abs(col("la") - col("da"))))).collect()(0).getDouble(0)
+      assert(maxDiff < 1e-9, s"hits drift: $maxDiff")
+    }
+    val m = GraphOps.hits(bip, iters = 6).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    // parts have no in-edges → auth 0; suppliers no out-edges → hub 0
+    assert(Seq("p1", "p2", "p3").forall(p => m(p)._2 == 0.0 && m(p)._1 > 0.0))
+    assert(Seq("s1", "s2", "s3").forall(s0 => m(s0)._1 == 0.0 && m(s0)._2 > 0.0))
+    // s2 (in-degree 3) is the strongest authority
+    assert(m("s2")._2 > m("s1")._2 && m("s2")._2 > m("s3")._2)
+  }
+
   test("work/output overruns decline locally (None) instead of OOMing the driver") {
     val pairs = Array.tabulate(100)(i => (s"a:$i": Any, s"a:${(i + 1) % 100}": Any))
     val roots: Array[Any] = Array.tabulate(100)(i => s"a:$i")
