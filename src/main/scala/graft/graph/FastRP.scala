@@ -55,12 +55,37 @@ object FastRP {
   def embed(edges0: DataFrame, dim: Int = 64,
             weights: Seq[Double] = Seq(0.0, 1.0, 1.0),
             sparsity: Int = 3, seed: Long = 42L,
-            nodes: Option[DataFrame] = None): DataFrame = {
+            nodes: Option[DataFrame] = None,
+            localFinishEdges: Long = 250000L): DataFrame = {
     require(dim > 0 && weights.nonEmpty && sparsity >= 2)
     val e = GraphOps.undirected(edges0.select(col("src").cast("string").as("src"),
         col("dst").cast("string").as("dst")))
       .filter(col("src") =!= col("dst"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // Bounded local finisher (the LocalGraph pattern): the base
+    // projection replays the ENGINE'S OWN xxhash64 — the catalyst
+    // XxHash64 expression evaluated per (id, pos), bit-identical to
+    // the column below — so the only local-vs-distributed difference
+    // is float-sum order (~1e-15; consumers compare with tolerance by
+    // this operator's contract). Declines past an id×dim cell bound.
+    if (e.count() <= localFinishEdges) {
+      val extraIds: Option[Array[String]] = nodes match {
+        case Some(n) =>
+          val arr = n.select(col("id").cast("string").as("id")).distinct()
+            .limit(localFinishEdges.toInt + 1).collect().map(_.getString(0))
+          if (arr.length <= localFinishEdges) Some(arr) else None
+        case None => Some(Array.empty[String])
+      }
+      extraIds.foreach { extra =>
+        val pairs = e.collect().map(r => (r.getString(0), r.getString(1)))
+        val nV = (pairs.iterator.map(_._1) ++ extra.iterator).toSet.size
+        if (nV.toLong * dim <= 20L * 1000 * 1000) {
+          e.unpersist()
+          return localEmbed(edges0.sparkSession, pairs, extra, dim,
+            weights, sparsity, seed)
+        }
+      }
+    }
     // exploded base state: one row per (id, pos) — the sparse random
     // projection, derived from a hash so it's reproducible anywhere
     val h = xxhash64(col("id"), col("pos"), lit(seed))
@@ -121,6 +146,80 @@ object FastRP {
       .select(col("id"),
         expr("transform(pv, x -> x.val)").as("embedding"))
     graft.Borrow.reclaim(out, e)
+  }
+
+  /** Driver-side mirror of [[embed]] (see the gate above): same base
+    * projection (the catalyst XxHash64 expression itself — no
+    * reimplemented hash to drift), same normalize/iterate/accumulate
+    * semantics over the collected symmetric edge list, deterministic
+    * edge-order summation. */
+  private def localEmbed(spark: org.apache.spark.sql.SparkSession,
+                         pairs: Array[(String, String)], extra: Array[String],
+                         dim: Int, weights: Seq[Double], sparsity: Int,
+                         seed: Long): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
+    import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
+    val root = math.sqrt(sparsity.toDouble)
+    val endpoints = pairs.map(_._1).distinct // symmetric: src covers all
+    val endpointSet = endpoints.toSet
+    val isolated = extra.distinct.filterNot(endpointSet)
+    def baseVec(id: String): Array[Double] = {
+      val v = new Array[Double](dim)
+      var p = 0
+      while (p < dim) {
+        val h = XxHash64(Seq(Literal.create(id, StringType),
+          Literal.create(p, IntegerType), Literal.create(seed, LongType)), 42L)
+          .eval(null).asInstanceOf[Long]
+        val m = 2L * sparsity
+        val bucket = ((h % m) + m) % m // Spark pmod
+        v(p) = if (bucket == 0L) root else if (bucket == 1L) -root else 0.0
+        p += 1
+      }
+      v
+    }
+    def normalized(v: Array[Double]): Array[Double] = {
+      var n2 = 0.0; var p = 0
+      while (p < dim) { n2 += v(p) * v(p); p += 1 }
+      val n = math.sqrt(n2)
+      if (n > 0) v.map(_ / n) else new Array[Double](dim)
+    }
+    val idx = endpoints.zipWithIndex.toMap
+    var state = endpoints.map(id => normalized(baseVec(id)))
+    val acc = Array.fill(endpoints.length)(new Array[Double](dim))
+    var accUsed = false
+    weights.foreach { w =>
+      val msgs = Array.fill(endpoints.length)(new Array[Double](dim))
+      pairs.foreach { case (s, d) =>
+        val sv = state(idx(s)); val dv = msgs(idx(d))
+        var p = 0
+        while (p < dim) { dv(p) += sv(p); p += 1 }
+      }
+      state = msgs.map(normalized)
+      if (w != 0.0) {
+        accUsed = true
+        var i = 0
+        while (i < endpoints.length) {
+          val a = acc(i); val s0 = state(i)
+          var p = 0
+          while (p < dim) { a(p) += w * s0(p); p += 1 }
+          i += 1
+        }
+      }
+    }
+    require(accUsed, "at least one iteration weight must be nonzero")
+    val rows =
+      endpoints.indices.map { i =>
+        org.apache.spark.sql.Row(endpoints(i), normalized(acc(i)).toSeq)
+      } ++ isolated.map { id =>
+        org.apache.spark.sql.Row(id, normalized(baseVec(id)).toSeq)
+      }
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(rows.asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id", StringType),
+        org.apache.spark.sql.types.StructField("embedding",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.DoubleType, containsNull = false)))))
   }
 
   /** Cosine similarity over two embedding columns (arrays of equal

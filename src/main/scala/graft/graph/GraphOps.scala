@@ -39,9 +39,20 @@ object GraphOps {
     * lineage is truncated with `localCheckpoint` so round k doesn't
     * replay rounds 1..k-1.
     */
-  def bfs(edges: DataFrame, sources: DataFrame, maxIter: Int = 20): DataFrame = {
+  def bfs(edges: DataFrame, sources: DataFrame, maxIter: Int = 20,
+          localFinishEdges: Long = 250000L): DataFrame = {
     val e = edges.select(col("src"), col("dst"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    if (e.count() <= localFinishEdges) {
+      val roots = sources.select(col("id")).distinct()
+        .limit(localFinishEdges.toInt + 1).collect().map(_.get(0))
+      if (roots.length <= localFinishEdges) {
+        val idType = e.schema("src").dataType
+        val pairs = e.collect().map(r => (r.get(0), r.get(1)))
+        e.unpersist()
+        return LocalGraph.bfs(edges.sparkSession, pairs, roots, maxIter, idType)
+      }
+    }
     val seed = sources.select(col("id"), lit(0).as("dist"))
       .distinct().localCheckpoint()
     // visited = union of per-depth frontier frames, each already

@@ -136,6 +136,41 @@ private[graft] object LocalGraph {
       StructField("dist", IntegerType)))
   }
 
+  /** [[GraphOps.bfs]] mirror: ONE wave from the whole source set
+    * (dist = min hops from any source), hop-bounded; every distinct
+    * source keeps its dist-0 row. Linear work — no overrun bound
+    * needed beyond the edge gate. */
+  def bfs(spark: SparkSession, pairs: Array[(Any, Any)],
+          sources: Array[Any], maxIter: Int, idType: DataType): DataFrame = {
+    val g = new Dense(pairs)
+    val dist = new java.util.HashMap[Any, Integer]()
+    var frontier = List.empty[Int]
+    sources.distinct.foreach { s =>
+      if (!dist.containsKey(s)) {
+        dist.put(s, 0)
+        val i = g.index.getOrDefault(s, -1)
+        if (i >= 0) frontier ::= i
+      }
+    }
+    var depth = 0
+    while (depth < maxIter && frontier.nonEmpty) {
+      depth += 1
+      var next = List.empty[Int]
+      frontier.foreach { u =>
+        val nbrs = g.adj(u)
+        var j = 0
+        while (j < nbrs.length) {
+          val v = nbrs(j)
+          if (!dist.containsKey(g.ids(v))) { dist.put(g.ids(v), depth); next ::= v }
+          j += 1
+        }
+      }
+      frontier = next
+    }
+    val rows = dist.entrySet().asScala.toSeq.map(e => Row(e.getKey, e.getValue.intValue))
+    frame(spark, rows, StructField("id", idType), StructField("dist", IntegerType))
+  }
+
   /** [[GraphOps.labelPropagation]] mirror: synchronous rounds, label =
     * most frequent neighbor label, ties to the SMALLER label (the
     * min_by(−cnt, label) struct ordering). Counts are integers, the

@@ -15,6 +15,28 @@ class FastRPSpec extends SparkSpec {
   private lazy val twoCliques =
     (clique(left) ++ clique(right) :+ ("d" -> "e")).toDF("src", "dst")
 
+  test("local finisher ≡ distributed path (same hash, float-noise only)") {
+    val rnd = new scala.util.Random(19)
+    val noisy = (0 until 150).map { _ =>
+      f"w${rnd.nextInt(35)}%02d" -> f"w${rnd.nextInt(35)}%02d"
+    }.filter(p => p._1 != p._2).toDF("src", "dst")
+    val nodesOpt = Some((Seq("w00", "offgrid")).toDF("id"))
+    for (edges <- Seq(twoCliques, noisy)) {
+      val loc = FastRP.embed(edges, dim = 12, nodes = nodesOpt)
+        .collect().map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+      val dist = FastRP.embed(edges, dim = 12, nodes = nodesOpt,
+          localFinishEdges = 0L)
+        .collect().map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+      assert(loc.keySet == dist.keySet)
+      loc.foreach { case (id, v) =>
+        val dv = dist(id)
+        v.zip(dv).foreach { case (x, y) =>
+          assert(math.abs(x - y) < 1e-9, s"$id drift ${math.abs(x - y)}")
+        }
+      }
+    }
+  }
+
   test("every vertex gets a unit-norm vector of the requested width") {
     val emb = FastRP.embed(twoCliques, dim = 16).collect()
       .map(r => r.getString(0) -> r.getSeq[Double](1)).toMap

@@ -51,6 +51,17 @@ class LocalGraphSpec extends SparkSpec {
       Set(Seq[Any]("ghost", "ghost", 0)))
   }
 
+  test("bfs (single wave): bitwise-equal (id, dist) sets, multi-source min-dist") {
+    val edges = GraphOps.undirected(randomEdges(50, 29))
+    val roots = Seq("v:0", "v:9").toDF("id")
+    val local = GraphOps.bfs(edges, roots, maxIter = 6)
+    val dist = GraphOps.bfs(edges, roots, maxIter = 6, localFinishEdges = 0L)
+    assert(asSet(local) == asSet(dist))
+    // dist-0 rows for both sources, one wave (no per-root duplication)
+    assert(local.filter(col("dist") === 0).count() == 2)
+    assert(local.groupBy(col("id")).count().filter(col("count") > 1).count() == 0)
+  }
+
   test("closeness and harmonic ride the bfs finisher unchanged") {
     val edges = GraphOps.undirected(randomEdges(40, 3))
     val roots = edges.select(col("src").as("id")).distinct()
