@@ -49,4 +49,23 @@ object Borrow {
     * the mechanism Bench already leans on (System.gc() between
     * queries). */
   def severLazy(df: DataFrame): DataFrame = df.localCheckpoint(eager = false)
+
+  /** Opt-in DETERMINISTIC release of severed/checkpointed blocks, for
+    * memory-constrained sessions that cannot wait for the GC-driven
+    * ContextCleaner path [[severLazy]] documents: unpersists the RDD
+    * behind every `LogicalRDD` leaf of each frame's plan, immediately
+    * (blocking = true waits for the executors to confirm).
+    *
+    * AFTER RELEASE THE FRAMES ARE DEAD — a localCheckpoint cannot
+    * recompute (that is its point), so any later action on a released
+    * frame fails. Call it the way the iterative operators would: once
+    * the OUTPUT frame is materialized (e.g. via [[reclaim]]) and the
+    * method-local level frames will never be read again. Spark logs
+    * one cannot-recompute warning per released RDD — the documented
+    * price of determinism over the silent GC path. */
+  def release(frames: DataFrame*): Unit = frames.foreach { df =>
+    df.queryExecution.analyzed.collect {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+    }.foreach(_.unpersist(blocking = true))
+  }
 }

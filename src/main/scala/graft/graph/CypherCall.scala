@@ -338,14 +338,43 @@ object CypherCall {
 
   // ------------------------------------------------------------------ run
 
-  private val CallRe =
-    """(?is)^CALL\s+graft\.(\w+(?:\.\w+)*)\s*(?:\(\s*(\{.*?\})?\s*\))?\s*(?:YIELD\s+(.+?))?(?:\s+WHERE\s+(.+?))?(?:\s+RETURN\s+(DISTINCT\s+)?(.+?))?(?:\s+ORDER\s+BY\s+(.+?))?(?:\s+SKIP\s+(\d+))?(?:\s+LIMIT\s+(\d+))?\s*$""".r
+  private val PrefixRe =
+    """(?is)^CALL\s+graft\.(\w+(?:\.\w+)*)\s*(?:\(\s*(\{.*?\})?\s*\))?\s*(.*)$""".r
+  private val RetTailRe =
+    """(?is)^RETURN\s+(DISTINCT\s+)?(.+?)(?:\s+ORDER\s+BY\s+(.+?))?(?:\s+SKIP\s+(\d+))?(?:\s+LIMIT\s+(\d+))?\s*$""".r
+  private val ModTailRe =
+    """(?is)^(?:ORDER\s+BY\s+(.+?))?(?:\s*\bSKIP\s+(\d+))?(?:\s*\bLIMIT\s+(\d+))?\s*$""".r
+
+  /** Index of the first top-level occurrence of any of `kws` (outside
+    * single-quoted literals), or the text length. `ORDER` only counts
+    * followed by `BY`. */
+  private def firstKeyword(s: String, kws: Set[String]): Int = {
+    var inStr = false
+    var i = 0
+    while (i < s.length) {
+      val ch = s.charAt(i)
+      if (ch == '\'') inStr = !inStr
+      else if (!inStr && (i == 0 || !s.charAt(i - 1).isLetterOrDigit)) {
+        val rest = s.substring(i).toUpperCase
+        kws.find(k => rest.startsWith(k) &&
+            (i + k.length >= s.length || !s.charAt(i + k.length).isLetterOrDigit))
+          .foreach { k =>
+            if (k != "ORDER" || rest.substring(k.length).trim.startsWith("BY "))
+              return i
+          }
+      }
+      i += 1
+    }
+    s.length
+  }
+
+  private val TailKeywords =
+    Set("WHERE", "MATCH", "WITH", "UNWIND", "RETURN", "ORDER", "SKIP", "LIMIT")
 
   def run(nodes: DataFrame, edges: DataFrame, cypher: String): DataFrame = {
     val text = cypher.trim.replaceAll("\\s+", " ")
     text match {
-      case CallRe(name0, cfgOrNull, yieldOrNull, whereOrNull, distinctOrNull,
-          retOrNull, orderOrNull, skipOrNull, limitOrNull) =>
+      case PrefixRe(name0, cfgOrNull, tail0) =>
         val name = name0.stripSuffix(".stream")
         val proc = procs.getOrElse(name, throw new IllegalArgumentException(
           s"unknown procedure graft.$name — available: " +
@@ -358,21 +387,25 @@ object CypherCall {
         val cfg = new Cfg(s"graft.$name", cfgMap)
 
         var frame = proc.run(nodes, edges, cfg)
+        var tail = tail0.trim
 
         // YIELD: projection + rename against the canonical schema
-        Option(yieldOrNull).foreach { ys =>
-          val items = splitTopLevel(ys).map(_.trim).map { it =>
+        if (tail.toUpperCase.startsWith("YIELD ")) {
+          val body = tail.substring(6)
+          val end = firstKeyword(body, TailKeywords)
+          val items = splitTopLevel(body.substring(0, end).trim).map(_.trim).map { it =>
             val m = """(?i)^(\w+)(?:\s+AS\s+(\w+))?$""".r
             it match {
-              case m(c, aliasOrNull) =>
-                require(proc.yields.contains(c),
-                  s"graft.$name yields ${proc.yields.mkString(", ")} — not '$c'")
-                (c, Option(aliasOrNull).getOrElse(c))
+              case m(c0, aliasOrNull) =>
+                require(proc.yields.contains(c0),
+                  s"graft.$name yields ${proc.yields.mkString(", ")} — not '$c0'")
+                (c0, Option(aliasOrNull).getOrElse(c0))
               case other => throw new IllegalArgumentException(
                 s"bad YIELD item: $other (column [AS alias])")
             }
           }
-          frame = frame.select(items.map { case (c, a) => col(c).as(a) }: _*)
+          frame = frame.select(items.map { case (c0, a) => col(c0).as(a) }: _*)
+          tail = body.substring(end).trim
         }
 
         // the tail reuses the Cypher expression machinery over the flat
@@ -380,22 +413,46 @@ object CypherCall {
         val c = new Compiler(nodes, edges)
         var anonId = 0
         val anon = () => { anonId += 1; s"_callanon$anonId" }
-        Option(whereOrNull).foreach { w =>
-          frame = c.applyPred(frame, parseWhere(w, anon))
+        if (tail.toUpperCase.startsWith("WHERE ")) {
+          val body = tail.substring(6)
+          val end = firstKeyword(body, TailKeywords - "WHERE")
+          frame = c.applyPred(frame, parseWhere(body.substring(0, end).trim, anon))
+          tail = body.substring(end).trim
         }
-        Option(retOrNull).foreach { r =>
-          frame = c.project(frame, splitTopLevel(r).map(parseRetItem),
-            distinct = distinctOrNull != null)
+
+        if (tail.isEmpty) frame
+        else if (tail.toUpperCase.startsWith("MATCH ")) {
+          // composition: the yielded frame's columns are carried
+          // variables the MATCH stage joins on (the WithStage.next
+          // mechanism) — `CALL graft.pageRank YIELD id, score
+          // MATCH (id)-[:T]->(x) RETURN …` runs the full read grammar
+          CypherLite.runParsed(nodes, edges, CypherLite.parse(tail), Some(frame))
         }
-        if (orderOrNull != null)
-          frame = frame.orderBy(parseOrder(orderOrNull).map { case (cn, desc) =>
-            if (desc) col(cn).desc else col(cn).asc }: _*)
-        Option(skipOrNull).foreach(n => frame = frame.offset(n.toInt))
-        Option(limitOrNull).foreach(n => frame = frame.limit(n.toInt))
-        frame
+        else tail match {
+          case RetTailRe(distinctOrNull, retPart, orderOrNull, skipOrNull, limitOrNull) =>
+            frame = c.project(frame, splitTopLevel(retPart).map(parseRetItem),
+              distinct = distinctOrNull != null)
+            if (orderOrNull != null)
+              frame = frame.orderBy(parseOrder(orderOrNull).map { case (cn, desc) =>
+                if (desc) col(cn).desc else col(cn).asc }: _*)
+            Option(skipOrNull).foreach(n => frame = frame.offset(n.toInt))
+            Option(limitOrNull).foreach(n => frame = frame.limit(n.toInt))
+            frame
+          case ModTailRe(orderOrNull, skipOrNull, limitOrNull)
+              if orderOrNull != null || skipOrNull != null || limitOrNull != null =>
+            if (orderOrNull != null)
+              frame = frame.orderBy(parseOrder(orderOrNull).map { case (cn, desc) =>
+                if (desc) col(cn).desc else col(cn).asc }: _*)
+            Option(skipOrNull).foreach(n => frame = frame.offset(n.toInt))
+            Option(limitOrNull).foreach(n => frame = frame.limit(n.toInt))
+            frame
+          case other => throw new IllegalArgumentException(
+            s"unsupported CALL tail: $other (expected [YIELD cols] [WHERE …] then " +
+              "MATCH …, RETURN …, or ORDER BY/SKIP/LIMIT)")
+        }
       case _ => throw new IllegalArgumentException(
         s"unsupported CALL statement: $cypher (expected CALL graft.<proc>({config}) " +
-          "[YIELD cols] [WHERE ...] [RETURN ...] [ORDER BY ...] [SKIP n] [LIMIT n])")
+          "[YIELD cols] [WHERE ...] [MATCH …|RETURN ...] [ORDER BY ...] [SKIP n] [LIMIT n])")
     }
   }
 }

@@ -1234,10 +1234,18 @@ object CypherLite {
     runParsed(nodes, edges, parse(cypher))
   }
 
-  private def runParsed(nodes: DataFrame, edges: DataFrame, q: Query): DataFrame = {
+  /** `start`: an already-bound frame the first MATCH stage joins
+    * against on shared variable names (the WithStage.next mechanism) —
+    * the CALL surface passes its yielded frame here so `CALL … YIELD
+    * id MATCH (id)-[:T]->(x) …` composes. */
+  private[graph] def runParsed(nodes: DataFrame, edges: DataFrame, q: Query,
+                               start: Option[DataFrame] = None): DataFrame = {
     val c = new Compiler(nodes, edges)
-    q.sp.foreach { sp => return c.runShortestPath(q, sp) }
-    var bound = c.compileStage(None, q.stage)
+    q.sp.foreach { sp =>
+      require(start.isEmpty, "shortestPath cannot follow a CALL YIELD")
+      return c.runShortestPath(q, sp)
+    }
+    var bound = c.compileStage(start, q.stage)
     q.withStages.foreach {
       case ws: WithStage =>
         bound = c.project(bound, ws.items, distinct = ws.distinct)

@@ -814,10 +814,54 @@ object GraphOps {
     * every edge leaves their community become singletons. Returns
     * (id, community), community = smallest member id — same contract
     * as [[louvain]]. */
-  def leidenRefine(edges0: DataFrame, assign: DataFrame): DataFrame = {
+  def leidenRefine(edges0: DataFrame, assign: DataFrame,
+                   localFinishEdges: Long = 250000L): DataFrame = {
     val e = undirected(edges0.select(col("src").cast("string").as("src"),
         col("dst").cast("string").as("dst")))
       .filter(col("src") =!= col("dst"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // bounded local finisher: the intra-community union-find is linear
+    // in the edge list, the assign frame is ≤ |V| ≤ 2|E| rows
+    if (e.count() <= localFinishEdges) {
+      val spark = edges0.sparkSession
+      val pairs = e.collect().map(r => (r.getString(0), r.getString(1)))
+      val aArr = assign.select(col("id").cast("string"), col("community").cast("string"))
+        .collect().map(r => r.getString(0) -> r.getString(1))
+      e.unpersist()
+      val comm = aArr.toMap
+      import scala.collection.mutable
+      val parent = mutable.Map.empty[String, String]
+      def find(x: String): String = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent(r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) { val nx = parent(c); parent(c) = r; c = nx }
+        r
+      }
+      pairs.foreach { case (s, d) =>
+        if (comm.get(s).exists(cs => comm.get(d).contains(cs))) {
+          parent.getOrElseUpdate(s, s); parent.getOrElseUpdate(d, d)
+          val rs = find(s); val rd = find(d)
+          if (rs != rd) parent(rd) = rs
+        }
+      }
+      val minRep = mutable.Map.empty[String, String]
+      parent.keys.foreach { n =>
+        val r = find(n)
+        if (!minRep.contains(r) || n < minRep(r)) minRep(r) = n
+      }
+      import scala.jdk.CollectionConverters._
+      val rows = aArr.map { case (id, _) =>
+        org.apache.spark.sql.Row(id,
+          if (parent.contains(id)) minRep(find(id)) else id)
+      }.toSeq
+      return spark.createDataFrame(rows.asJava,
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("id",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("community",
+            org.apache.spark.sql.types.StringType))))
+    }
     val a = assign.select(col("id").cast("string").as("id"),
       col("community").cast("string").as("c"))
     val intra = e
@@ -826,9 +870,11 @@ object GraphOps {
       .filter(col("cs") === col("cd"))
       .select(col("src"), col("dst"))
     val comps = connectedComponents(intra)
-    a.join(comps, Seq("id"), "left")
-      .select(col("id"),
-        coalesce(col("component"), col("id")).as("community"))
+    graft.Borrow.reclaim(
+      a.join(comps, Seq("id"), "left")
+        .select(col("id"),
+          coalesce(col("component"), col("id")).as("community")),
+      e)
   }
 
   /** Leiden (Traag, Waltman & van Eck 2019): [[louvain]] with

@@ -196,6 +196,36 @@ class CypherCallSpec extends SparkSpec {
     assert(e3.getMessage.contains("componentId"))
   }
 
+  test("CALL … YIELD composes with a MATCH stage (GDS idiom)") {
+    // degree scores joined back into graph patterns: for each SPAWNS
+    // source, carry its degree into the pattern match
+    val out = CypherCall.run(nodes, edges,
+      """CALL graft.degree YIELD id, degree
+        |MATCH (id)-[:SPAWNS]->(x)
+        |RETURN id, degree, x ORDER BY id, x""".stripMargin)
+    assert(out.columns.toSeq == Seq("id", "degree", "x"))
+    val rows0 = out.collect().map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+    // a, b, c each have one SPAWNS out-edge; degrees: a=2(S), b=2, c=3(+bridge)
+    assert(rows0.map(t => (t._1, t._3)).toSeq ==
+      Seq(("a", "b"), ("b", "c"), ("c", "a")))
+    assert(rows0.map(t => t._1 -> t._2).toMap.apply("c") == 3L)
+    // WHERE over yielded columns before the MATCH continuation
+    val filtered = CypherCall.run(nodes, edges,
+      """CALL graft.degree YIELD id, degree
+        |WHERE degree >= 3
+        |MATCH (id)-[:CONNECTED_TO]->(y)
+        |RETURN id, y ORDER BY id, y""".stripMargin)
+    // degree ≥ 3: c and x (bridge endpoints); c→x, x→y
+    assert(filtered.collect().map(r => (r.getString(0), r.getString(1))).toSeq ==
+      Seq(("c", "x"), ("x", "y")))
+    // the continuation supports the full grammar (aggregation here)
+    val agg = CypherCall.run(nodes, edges,
+      """CALL graft.wcc YIELD id, componentId
+        |MATCH (id)-[:CONNECTED_TO]->(z)
+        |RETURN componentId, count(*) AS n""".stripMargin)
+    assert(agg.collect().map(r => r.getLong(1)).sum == 4) // 4 CONNECTED_TO edges
+  }
+
   test("eigenvector and hits procedures dispatch with GDS yield names") {
     val ev = CypherCall.run(nodes, edges,
       """CALL graft.eigenvector({maxIterations: 5})

@@ -397,6 +397,10 @@ class GraphOpsSpec extends SparkSpec {
     // the phantom community splits into singletons; the triangle stays
     assert(got == Map("a" -> "a", "c" -> "c", "e" -> "e", "b" -> "b",
       "x" -> "x", "y" -> "x", "z" -> "x"))
+    // the refinement's local finisher ≡ the distributed CC path
+    val gotDist = GraphOps.leidenRefine(e, bad, localFinishEdges = 0L)
+      .collect().map(r => (r.getString(0), r.getString(1))).toMap
+    assert(got == gotDist)
     // composed leiden(): every community's induced subgraph is connected
     val rng = new scala.util.Random(11)
     val noisy = (0 until 200).map { _ =>
