@@ -88,6 +88,7 @@ object SparkEntry {
     "g_call"       -> (GraphQueries.gCall _),
     "g_eigen"      -> (GraphQueries.gEigen _),
     "g_hits"       -> (GraphQueries.gHits _),
+    "g_wpagerank"  -> (GraphQueries.gWPagerank _),
     "g_lpa"        -> (GraphQueries.gLpa _),
     "g_clustercoef" -> (GraphQueries.gClusterCoef _),
     "g_closeness"  -> (GraphQueries.gCloseness _),
@@ -652,6 +653,29 @@ object SparkEntry {
     "sg_delete" ->
       """SELECT event_type AS t, count(DISTINCT user_id) AS n FROM events
         |WHERE user_id % 7 <> 0 GROUP BY 1 ORDER BY 1""".stripMargin,
+    // B6w weighted PageRank: rank·w/Σw contributions, the g_pagerank
+    // recursive CTE with the weighted degree
+    "g_wpagerank" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT DISTINCT src, dst, w FROM (
+        |    SELECT 'p:'||l_partkey AS src, 's:'||l_suppkey AS dst,
+        |           CAST((l_partkey + l_suppkey) % 5 + 1 AS DOUBLE) AS w
+        |    FROM lineitem WHERE l_partkey % 20 = 0
+        |    UNION ALL
+        |    SELECT 's:'||l_suppkey, 'p:'||l_partkey,
+        |           CAST((l_partkey + l_suppkey) % 5 + 1 AS DOUBLE)
+        |    FROM lineitem WHERE l_partkey % 20 = 0)),
+        |v AS (SELECT DISTINCT src AS id FROM e),
+        |wdeg AS (SELECT src, sum(w) AS wd FROM e GROUP BY 1),
+        |pr AS (
+        |  SELECT 0 AS it, id, CAST(1.0 AS DOUBLE) AS rank FROM v
+        |  UNION ALL
+        |  SELECT it+1, dst AS id, 0.15 + 0.85*msum AS rank FROM (
+        |    SELECT p.it AS it, e.dst AS dst, sum(p.rank * e.w / wdeg.wd) AS msum
+        |    FROM pr p JOIN e ON e.src = p.id JOIN wdeg ON wdeg.src = e.src
+        |    WHERE p.it < 10 GROUP BY 1,2) s)
+        |SELECT id, round(rank,4) AS rank FROM pr WHERE it=10
+        |ORDER BY rank DESC, id LIMIT 20""".stripMargin,
     // B25 eigenvector: the same per-iteration-normalized power
     // iteration as a recursive CTE (window norm over the iteration's
     // sums); symmetrized edges, 8 iterations, round 6

@@ -194,6 +194,28 @@ object CypherCall {
     }
   }
 
+  /** GDS `relationshipWeightProperty`: resolve a weight column onto
+    * the edge frame — an existing column of that name wins, else a
+    * props-map entry. Returns the augmented frame + the weightCol to
+    * pass through ("w"). */
+  private def resolveWeightProp(ed: DataFrame, cfg: Cfg): (DataFrame, Option[String]) =
+    cfg.str("relationshipWeightProperty") match {
+      case None => (ed, None)
+      case Some(p) if ed.columns.contains(p) =>
+        (ed.withColumn("w", col(p).cast("double")), Some("w"))
+      case Some(p) =>
+        require(ed.columns.contains("props"),
+          s"${cfg.name}: relationshipWeightProperty '$p' needs a matching edge " +
+            "column or a 'props' column on the edge frame")
+        val withW = ed.withColumn("w", element_at(col("props"), p).cast("double"))
+        // loud, not silent: a missing/non-numeric weight must never
+        // quietly drop edges or zero the graph (one limit-1 probe)
+        require(withW.filter(col("w").isNull).limit(1).count() == 0,
+          s"${cfg.name}: relationshipWeightProperty '$p' is missing or " +
+            "non-numeric on at least one edge")
+        (withW, Some("w"))
+    }
+
   /** `sourceNodes` as a seeds frame (ids are this model's node keys). */
   private def seedFrame(edges: DataFrame, ids: Seq[String]): DataFrame = {
     val spark = edges.sparkSession
@@ -210,16 +232,21 @@ object CypherCall {
   // ------------------------------------------------------------- registry
 
   private val procs: Map[String, Proc] = Map(
-    "pageRank" -> Proc(Seq("id", "score"), Set("maxIterations", "dampingFactor", "sourceNodes"),
+    "pageRank" -> Proc(Seq("id", "score"),
+      Set("maxIterations", "dampingFactor", "sourceNodes", "relationshipWeightProperty"),
       (n, ed, cfg) => {
-        val e = selectEdges(n, ed, cfg)
+        val (ed2, wcol) = resolveWeightProp(ed, cfg)
+        val e = selectEdges(n, ed2, cfg)
         val iters = cfg.int("maxIterations", 10)
         val damping = cfg.dbl("dampingFactor", 0.85)
         val out = cfg.strs("sourceNodes") match {
           // GDS spelling: sourceNodes on pageRank = personalized
           case Some(seeds) =>
+            require(wcol.isEmpty,
+              "graft.pageRank: sourceNodes (personalized) does not support " +
+                "relationshipWeightProperty yet")
             GraphOps.personalizedPageRank(e, seedFrame(ed, seeds), iters, damping)
-          case None => GraphOps.pageRank(e, iters, damping)
+          case None => GraphOps.pageRank(e, iters, damping, weightCol = wcol)
         }
         out.select(col("id"), col("rank").as("score"))
       }),
@@ -235,16 +262,24 @@ object CypherCall {
       (n, ed, cfg) =>
         GraphOps.labelPropagation(selectEdges(n, ed, cfg), cfg.int("maxIterations", 5))
           .select(col("id"), col("community").as("communityId"))),
-    "louvain" -> Proc(Seq("id", "communityId"), Set("maxLevels", "maxIterations"),
-      (n, ed, cfg) =>
-        GraphOps.louvain(selectEdges(n, ed, cfg),
-            maxLevels = cfg.int("maxLevels", 2), moveIters = cfg.int("maxIterations", 3))
-          .select(col("id"), col("community").as("communityId"))),
-    "leiden" -> Proc(Seq("id", "communityId"), Set("maxLevels", "maxIterations"),
-      (n, ed, cfg) =>
-        GraphOps.leiden(selectEdges(n, ed, cfg),
-            maxLevels = cfg.int("maxLevels", 2), moveIters = cfg.int("maxIterations", 3))
-          .select(col("id"), col("community").as("communityId"))),
+    "louvain" -> Proc(Seq("id", "communityId"),
+      Set("maxLevels", "maxIterations", "relationshipWeightProperty"),
+      (n, ed, cfg) => {
+        val (ed2, wcol) = resolveWeightProp(ed, cfg)
+        GraphOps.louvain(selectEdges(n, ed2, cfg),
+            maxLevels = cfg.int("maxLevels", 2), moveIters = cfg.int("maxIterations", 3),
+            weightCol = wcol)
+          .select(col("id"), col("community").as("communityId"))
+      }),
+    "leiden" -> Proc(Seq("id", "communityId"),
+      Set("maxLevels", "maxIterations", "relationshipWeightProperty"),
+      (n, ed, cfg) => {
+        val (ed2, wcol) = resolveWeightProp(ed, cfg)
+        GraphOps.leiden(selectEdges(n, ed2, cfg),
+            maxLevels = cfg.int("maxLevels", 2), moveIters = cfg.int("maxIterations", 3),
+            weightCol = wcol)
+          .select(col("id"), col("community").as("communityId"))
+      }),
     "degree" -> Proc(Seq("id", "inDegree", "outDegree", "degree"), Set.empty,
       (n, ed, cfg) =>
         GraphOps.degrees(selectEdges(n, ed, cfg))

@@ -242,28 +242,50 @@ object GraphOps {
     * Returns (id, rank). Out-degrees are computed once; each round is
     * one join + one aggregation. */
   def pageRank(edges: DataFrame, iters: Int = 10, damping: Double = 0.85,
-               localFinishEdges: Long = 250000L): DataFrame = {
-    val e = edges.select(col("src"), col("dst")).distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
+               localFinishEdges: Long = 250000L,
+               weightCol: Option[String] = None): DataFrame = {
+    // weighted variant (GDS relationshipWeightProperty): contributions
+    // are rank·w/Σ_out w instead of rank/outdeg; distinct runs on the
+    // (src, dst, w) TRIPLE, so parallel edges with different weights
+    // stay distinct rows (their contributions sum), matching the
+    // local mirror and the DuckDB twin
+    val e = (weightCol match {
+      case Some(wc) => edges.select(col("src"), col("dst"),
+        col(wc).cast("double").as("w"))
+      case None => edges.select(col("src"), col("dst"))
+    }).distinct().persist(StorageLevel.MEMORY_AND_DISK)
     // bounded local finisher (see LocalGraph): below the gate the
     // power iteration is pure scheduling overhead distributed — the
     // count materializes the persist either way
     if (e.count() <= localFinishEdges) {
       val idType = e.schema("src").dataType
-      val pairs = e.collect().map(r => (r.get(0), r.get(1)))
+      val out = weightCol match {
+        case Some(_) =>
+          val triples = e.collect().map(r => (r.get(0), r.get(1), r.getDouble(2)))
+          LocalGraph.pageRankWeighted(edges.sparkSession, triples, iters, damping, idType)
+        case None =>
+          val pairs = e.collect().map(r => (r.get(0), r.get(1)))
+          LocalGraph.pageRank(edges.sparkSession, pairs, iters, damping, idType)
+      }
       e.unpersist()
-      return LocalGraph.pageRank(edges.sparkSession, pairs, iters, damping, idType)
+      return out
     }
     val vertices = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id")))
       .distinct().persist(StorageLevel.MEMORY_AND_DISK)
-    val outDeg = e.groupBy(col("src")).count().withColumnRenamed("count", "deg")
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val outDeg = (weightCol match {
+      case Some(_) => e.groupBy(col("src")).agg(sum(col("w")).as("deg"))
+      case None => e.groupBy(col("src")).count().withColumnRenamed("count", "deg")
+    }).persist(StorageLevel.MEMORY_AND_DISK)
     var ranks = vertices.withColumn("rank", lit(1.0)).localCheckpoint()
     for (_ <- 1 to iters) {
       val contribs = e.join(ranks, e("src") === ranks("id"))
         .join(outDeg, Seq("src"))
-        .select(col("dst").as("id"), (col("rank") / col("deg")).as("contrib"))
+        .select(col("dst").as("id"),
+          (weightCol match {
+            case Some(_) => col("rank") * col("w") / col("deg")
+            case None => col("rank") / col("deg")
+          }).as("contrib"))
       val sums = contribs.groupBy(col("id")).agg(sum(col("contrib")).as("msum"))
       ranks = vertices.join(sums, Seq("id"), "left")
         .select(col("id"),
@@ -440,12 +462,28 @@ object GraphOps {
     * geometrically toward the local path. Set `localFinishEdges = 0`
     * to force every level distributed. */
   def louvain(edges0: DataFrame, maxLevels: Int = 2, moveIters: Int = 3,
-              localFinishEdges: Long = 250000L, refine: Boolean = false): DataFrame = {
-    var e = undirected(edges0.select(col("src").cast("string").as("src"),
-        col("dst").cast("string").as("dst")))
-      .filter(col("src") =!= col("dst"))
-      .withColumn("w", lit(1.0))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+              localFinishEdges: Long = 250000L, refine: Boolean = false,
+              weightCol: Option[String] = None): DataFrame = {
+    // weighted (GDS relationshipWeightProperty): the move/contraction
+    // machinery below is already weight-generic — only the input
+    // construction differs. Contract: the input is a DIRECTED edge
+    // list; each undirected edge's weight is the SUM of its directed
+    // occurrences' weights after triple-dedup (positive weights).
+    var e = (weightCol match {
+      case Some(wc) =>
+        val raw = edges0.select(col("src").cast("string").as("src"),
+            col("dst").cast("string").as("dst"),
+            col(wc).cast("double").as("w"))
+          .filter(col("src") =!= col("dst"))
+          .distinct()
+        raw.unionByName(raw.select(col("dst").as("src"), col("src").as("dst"), col("w")))
+          .groupBy(col("src"), col("dst")).agg(sum(col("w")).as("w"))
+      case None =>
+        undirected(edges0.select(col("src").cast("string").as("src"),
+            col("dst").cast("string").as("dst")))
+          .filter(col("src") =!= col("dst"))
+          .withColumn("w", lit(1.0))
+    }).persist(StorageLevel.MEMORY_AND_DISK)
     // per-super-node internal (self-loop) weight; zero at level 0.
     // Checkpoints below are LAZY (eager = false): each severs lineage
     // in the plan immediately but materializes as a side effect of the
@@ -889,9 +927,11 @@ object GraphOps {
     * γ-merge strengthening is out of scope by the house determinism
     * rule. */
   def leiden(edges0: DataFrame, maxLevels: Int = 2, moveIters: Int = 3,
-             localFinishEdges: Long = 250000L): DataFrame =
+             localFinishEdges: Long = 250000L,
+             weightCol: Option[String] = None): DataFrame =
     leidenRefine(edges0,
-      louvain(edges0, maxLevels, moveIters, localFinishEdges, refine = true))
+      louvain(edges0, maxLevels, moveIters, localFinishEdges, refine = true,
+        weightCol = weightCol))
 
   /** Newman modularity Q of a community assignment over an unweighted
     * undirected graph: Q = Σ_in/m − Σ_c (Σ_tot(c)/2m)². Edges are

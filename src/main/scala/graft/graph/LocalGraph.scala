@@ -136,6 +136,34 @@ private[graft] object LocalGraph {
       StructField("dist", IntegerType)))
   }
 
+  /** Weighted [[GraphOps.pageRank]] mirror: rank·w/Σ_out w
+    * contributions over the TRIPLE-deduplicated edge list (parallel
+    * edges with distinct weights keep separate rows — their
+    * contributions sum, like the distributed distinct on
+    * (src, dst, w)). Caller pre-dedups; no pair-dedup here. */
+  def pageRankWeighted(spark: SparkSession, triples: Array[(Any, Any, Double)],
+                       iters: Int, damping: Double, idType: DataType): DataFrame = {
+    val index = new java.util.HashMap[Any, Int]()
+    val ids = scala.collection.mutable.ArrayBuffer.empty[Any]
+    def enc(x: Any): Int =
+      if (index.containsKey(x)) index.get(x)
+      else { val i = ids.length; index.put(x, i); ids += x; i }
+    val es = triples.map { case (s, d, w) => (enc(s), enc(d), w) }
+    val n = ids.length
+    val wdeg = new Array[Double](n)
+    es.foreach { case (s, _, w) => wdeg(s) += w }
+    var rank = Array.fill(n)(1.0)
+    for (_ <- 1 to iters) {
+      val msum = new Array[Double](n)
+      es.foreach { case (s, d, w) =>
+        if (wdeg(s) != 0.0) msum(d) += rank(s) * w / wdeg(s)
+      }
+      rank = Array.tabulate(n)(v => (1 - damping) + damping * msum(v))
+    }
+    frame(spark, (0 until n).map(v => Row(ids(v), rank(v))),
+      StructField("id", idType), StructField("rank", DoubleType))
+  }
+
   /** [[GraphOps.bfs]] mirror: ONE wave from the whole source set
     * (dist = min hops from any source), hop-bounded; every distinct
     * source keeps its dist-0 row. Linear work — no overrun bound

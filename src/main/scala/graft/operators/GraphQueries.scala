@@ -318,6 +318,19 @@ object GraphQueries {
         count(lit(1)).as("n_events"))
       .orderBy(col("user_id"))
 
+  /** B6w — WEIGHTED PageRank (GDS relationshipWeightProperty) over
+    * the symmetrized weighted part—supplier graph: contributions are
+    * rank·w/Σw, everything else as `g_pagerank`. */
+  def gWPagerank(s: SparkSession, dir: String): DataFrame = {
+    val we = TestGraph.weightedPartSupplierEdges(s, dir)
+    val sym = we.unionByName(
+      we.select(col("dst").as("src"), col("src").as("dst"), col("w")))
+    GraphOps.pageRank(sym, iters = 10, weightCol = Some("w"))
+      .select(col("id"), round(col("rank"), 4).as("rank"))
+      .orderBy(col("rank").desc, col("id"))
+      .limit(20)
+  }
+
   /** B25 — eigenvector centrality of the part—supplier graph
     * (symmetrized power iteration, L2-normalized per round, 8 fixed
     * iterations so the recursive-CTE oracle replays it exactly). */

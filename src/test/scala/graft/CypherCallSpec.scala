@@ -226,6 +226,24 @@ class CypherCallSpec extends SparkSpec {
     assert(agg.collect().map(r => r.getLong(1)).sum == 4) // 4 CONNECTED_TO edges
   }
 
+  test("relationshipWeightProperty resolves from the edge props map") {
+    // fixture edges carry props = {weight: '2'}: weighted pageRank
+    // with uniform weight 2 ≡ unweighted (contributions rank·2/Σ2)
+    val w = CypherCall.run(nodes, edges,
+      """CALL graft.pageRank({maxIterations: 5, relationshipWeightProperty: 'weight'})
+        |YIELD id, score RETURN id, round(score, 9) AS score ORDER BY id""".stripMargin)
+    val u = CypherCall.run(nodes, edges,
+      """CALL graft.pageRank({maxIterations: 5})
+        |YIELD id, score RETURN id, round(score, 9) AS score ORDER BY id""".stripMargin)
+    assert(rows(w) == rows(u))
+    // missing property: loud, never a silently zeroed graph
+    val err = intercept[IllegalArgumentException] {
+      CypherCall.run(nodes, edges,
+        "CALL graft.louvain({relationshipWeightProperty: 'nope'}) YIELD id, communityId")
+    }
+    assert(err.getMessage.contains("missing or non-numeric"))
+  }
+
   test("eigenvector and hits procedures dispatch with GDS yield names") {
     val ev = CypherCall.run(nodes, edges,
       """CALL graft.eigenvector({maxIterations: 5})

@@ -51,6 +51,53 @@ class LocalGraphSpec extends SparkSpec {
       Set(Seq[Any]("ghost", "ghost", 0)))
   }
 
+  test("weighted pageRank: local ≡ distributed; heavy edges pull rank") {
+    val rnd = new scala.util.Random(37)
+    val wEdges = (0 until 120).map { _ =>
+      (s"v:${rnd.nextInt(30)}", s"v:${rnd.nextInt(30)}", (rnd.nextInt(5) + 1).toDouble)
+    }.filter(t => t._1 != t._2).toDF("src", "dst", "w")
+    val local = GraphOps.pageRank(wEdges, iters = 8, weightCol = Some("w"))
+    val dist = GraphOps.pageRank(wEdges, iters = 8, weightCol = Some("w"),
+      localFinishEdges = 0L)
+    val j = local.select(col("id"), col("rank").as("lr"))
+      .join(dist.select(col("id"), col("rank").as("dr")), Seq("id"), "full_outer")
+    assert(j.filter(col("lr").isNull || col("dr").isNull).count() == 0)
+    val maxDiff = j.agg(max(abs(col("lr") - col("dr")))).collect()(0).getDouble(0)
+    assert(maxDiff < 1e-9, s"weighted pageRank drift: $maxDiff")
+    // a hub splitting rank 9:1 between two leaves ranks the heavy leaf higher
+    val star = Seq(("hub", "heavy", 9.0), ("hub", "light", 1.0),
+      ("heavy", "hub", 1.0), ("light", "hub", 1.0)).toDF("src", "dst", "w")
+    val m = GraphOps.pageRank(star, iters = 10, weightCol = Some("w"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(m("heavy") > m("light"))
+    // unweighted twin: same graph, weights ignored → symmetric leaves
+    val u = GraphOps.pageRank(star.select(col("src"), col("dst")), iters = 10)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(math.abs(u("heavy") - u("light")) < 1e-12)
+  }
+
+  test("weighted louvain: a heavy bridge merges what unweighted splits") {
+    def clique(ids: Seq[String]) =
+      for (i <- ids.indices; j <- i + 1 until ids.size) yield (ids(i), ids(j), 1.0)
+    val left = Seq("a", "b", "c"); val right = Seq("x", "y", "z")
+    def graph(bridgeW: Double) =
+      (clique(left) ++ clique(right) :+ (("c", "x", bridgeW)))
+        .toDF("src", "dst", "w")
+    // light bridge: two communities (the unweighted answer)
+    val lightC = GraphOps.louvain(graph(1.0), weightCol = Some("w"))
+      .collect().map(r => (r.getString(0), r.getString(1))).toMap
+    assert(lightC("a") != lightC("x"))
+    // overwhelming bridge: c and x must share a community
+    val heavyC = GraphOps.louvain(graph(50.0), weightCol = Some("w"))
+      .collect().map(r => (r.getString(0), r.getString(1))).toMap
+    assert(heavyC("c") == heavyC("x"))
+    // weighted local ≡ weighted distributed
+    val dist = GraphOps.louvain(graph(50.0), weightCol = Some("w"),
+      localFinishEdges = 0L)
+      .collect().map(r => (r.getString(0), r.getString(1))).toMap
+    assert(heavyC == dist)
+  }
+
   test("bfs (single wave): bitwise-equal (id, dist) sets, multi-source min-dist") {
     val edges = GraphOps.undirected(randomEdges(50, 29))
     val roots = Seq("v:0", "v:9").toDF("id")
