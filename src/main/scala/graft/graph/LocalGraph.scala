@@ -100,7 +100,10 @@ private[graft] object LocalGraph {
     * (every-vertex roots over a 250k-edge graph). */
   def bfsDistancesFrom(spark: SparkSession, pairs: Array[(Any, Any)],
                        sources: Array[Any], maxIter: Int, idType: DataType,
-                       maxOutputRows: Long = 20L * 1000 * 1000,
+                       // ~8M Rows ≈ 1 GB of driver objects — safe on a
+                       // modest driver; sf0.1's all-roots closeness
+                       // needs 4M
+                       maxOutputRows: Long = 8L * 1000 * 1000,
                        maxEdgeVisits: Long = 2L * 1000 * 1000 * 1000): Option[DataFrame] = {
     val g = new Dense(pairs)
     val nRoots = sources.distinct.length.toLong
