@@ -216,11 +216,14 @@ object CypherCall {
         (withW, Some("w"))
     }
 
-  /** `sourceNodes` as a seeds frame (ids are this model's node keys). */
+  /** `sourceNodes` as a seeds frame, CAST to the edge frame's id type
+    * (config values arrive as strings; a Long-id graph needs Long
+    * seeds or the local finishers' exact-equality lookups miss and
+    * the result schema mixes types). */
   private def seedFrame(edges: DataFrame, ids: Seq[String]): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
-    ids.toDF("id")
+    ids.toDF("id").select(col("id").cast(edges.schema("src").dataType))
   }
 
   /** Vertex set of the (selected) edge frame — the default root set
@@ -340,7 +343,13 @@ object CypherCall {
           case Some(p) =>
             require(ed.columns.contains("props"),
               "sssp: weightProperty needs a 'props' column on the edge frame")
-            ed.withColumn("w", element_at(col("props"), p).cast("double"))
+            val withW = ed.withColumn("w", element_at(col("props"), p).cast("double"))
+            // same loud probe as resolveWeightProp: a typo'd property
+            // must never silently yield null distances
+            require(withW.filter(col("w").isNull).limit(1).count() == 0,
+              s"graft.sssp: weightProperty '$p' is missing or non-numeric " +
+                "on at least one edge")
+            withW
           case None if ed.columns.contains("w") => ed
           case None => ed.withColumn("w", lit(1L))
         }
@@ -384,15 +393,18 @@ object CypherCall {
     * single-quoted literals), or the text length. `ORDER` only counts
     * followed by `BY`. */
   private def firstKeyword(s: String, kws: Set[String]): Int = {
+    // identifier characters are \w (underscore INCLUDED — an alias
+    // like deg_limit must not split at LIMIT)
+    def wordChar(c: Char): Boolean = c.isLetterOrDigit || c == '_'
     var inStr = false
     var i = 0
     while (i < s.length) {
       val ch = s.charAt(i)
       if (ch == '\'') inStr = !inStr
-      else if (!inStr && (i == 0 || !s.charAt(i - 1).isLetterOrDigit)) {
+      else if (!inStr && (i == 0 || !wordChar(s.charAt(i - 1)))) {
         val rest = s.substring(i).toUpperCase
         kws.find(k => rest.startsWith(k) &&
-            (i + k.length >= s.length || !s.charAt(i + k.length).isLetterOrDigit))
+            (i + k.length >= s.length || !wordChar(s.charAt(i + k.length))))
           .foreach { k =>
             if (k != "ORDER" || rest.substring(k.length).trim.startsWith("BY "))
               return i
@@ -407,7 +419,7 @@ object CypherCall {
     Set("WHERE", "MATCH", "WITH", "UNWIND", "RETURN", "ORDER", "SKIP", "LIMIT")
 
   def run(nodes: DataFrame, edges: DataFrame, cypher: String): DataFrame = {
-    val text = cypher.trim.replaceAll("\\s+", " ")
+    val text = CypherLite.normalizeWs(cypher)
     text match {
       case PrefixRe(name0, cfgOrNull, tail0) =>
         val name = name0.stripSuffix(".stream")

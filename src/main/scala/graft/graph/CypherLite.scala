@@ -984,8 +984,34 @@ object CypherLite {
     MatchStage(patterns, optChains, Option(whereOrNull).map(parseWhere(_, anon)))
   }
 
+  /** Collapse whitespace runs to single spaces OUTSIDE single-quoted
+    * literals (a blanket replaceAll would rewrite `'Big  Label'` to
+    * `'Big Label'` before any quote-aware parser runs — the literal's
+    * own spacing must survive normalization). */
+  private[graph] def normalizeWs(s0: String): String = {
+    val s = s0.trim
+    val sb = new java.lang.StringBuilder(s.length)
+    var inStr = false
+    var pendingSpace = false
+    var i = 0
+    while (i < s.length) {
+      val ch = s.charAt(i)
+      if (ch == '\'') {
+        if (pendingSpace) { sb.append(' '); pendingSpace = false }
+        inStr = !inStr
+        sb.append(ch)
+      } else if (!inStr && ch.isWhitespace) pendingSpace = true
+      else {
+        if (pendingSpace) { sb.append(' '); pendingSpace = false }
+        sb.append(ch)
+      }
+      i += 1
+    }
+    sb.toString
+  }
+
   def parse(q: String): Query = {
-    val text = q.trim.replaceAll("\\s+", " ")
+    val text = normalizeWs(q)
     var anonId = 0
     val anon = () => { anonId += 1; s"_anon$anonId" }
     val mShortest = """(?i)MATCH (\w+) = (shortestPath|allShortestPaths)\((.+?)\)(?: WHERE (.+?))? RETURN (DISTINCT )?(.+?)(?: ORDER BY (.+?))?(?: SKIP (\d+))?(?: LIMIT (\d+))?\s*$""".r
@@ -1210,7 +1236,7 @@ object CypherLite {
     // parameter substitution has already happened (textual), so
     // $params work identically in CALL config maps and tails
     if (CypherCall.isCall(cypher)) return CypherCall.run(nodes, edges, cypher)
-    val (parts, isAll) = splitUnion(cypher.trim.replaceAll("\\s+", " "))
+    val (parts, isAll) = splitUnion(normalizeWs(cypher))
     if (parts.size > 1) {
       val qLast = parse(parts.last)
       val frames = parts.init.map(p => runParsed(nodes, edges, parse(p))) :+

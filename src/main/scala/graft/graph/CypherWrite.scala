@@ -153,7 +153,7 @@ object CypherWrite {
   }
 
   private def parseStatement(statement: String): Stmt = {
-    val text = statement.trim.replaceAll("\\s+", " ")
+    val text = CypherLite.normalizeWs(statement)
     val kw = ("""(?i)\b(MERGE|MATCH|ON CREATE SET|ON MATCH SET|SET|WITH""" +
       """|DETACH DELETE|DELETE|REMOVE)\b""").r
     val inQuote = quotedMask(text)

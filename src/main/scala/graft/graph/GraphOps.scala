@@ -43,7 +43,8 @@ object GraphOps {
           localFinishEdges: Long = 250000L): DataFrame = {
     val e = edges.select(col("src"), col("dst"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    if (e.count() <= localFinishEdges) {
+    if (LocalGraph.equatableId(e.schema("src").dataType) &&
+        e.count() <= localFinishEdges) {
       val roots = sources.select(col("id")).distinct()
         .limit(localFinishEdges.toInt + 1).collect().map(_.get(0))
       if (roots.length <= localFinishEdges) {
@@ -257,11 +258,16 @@ object GraphOps {
     // bounded local finisher (see LocalGraph): below the gate the
     // power iteration is pure scheduling overhead distributed — the
     // count materializes the persist either way
-    if (e.count() <= localFinishEdges) {
+    if (LocalGraph.equatableId(e.schema("src").dataType) &&
+        e.count() <= localFinishEdges) {
       val idType = e.schema("src").dataType
       val out = weightCol match {
         case Some(_) =>
-          val triples = e.collect().map(r => (r.get(0), r.get(1), r.getDouble(2)))
+          // null weights: the distributed sums IGNORE them (both in
+          // Σ_out w and contributions) while the endpoint still counts
+          // as a vertex — NaN is the mirror's ignore sentinel
+          val triples = e.collect().map(r => (r.get(0), r.get(1),
+            if (r.isNullAt(2)) Double.NaN else r.getDouble(2)))
           LocalGraph.pageRankWeighted(edges.sparkSession, triples, iters, damping, idType)
         case None =>
           val pairs = e.collect().map(r => (r.get(0), r.get(1)))
@@ -307,7 +313,8 @@ object GraphOps {
   def eigenvector(edges: DataFrame, iters: Int = 8,
                   localFinishEdges: Long = 250000L): DataFrame = {
     val sym = undirected(edges).persist(StorageLevel.MEMORY_AND_DISK)
-    if (sym.count() <= localFinishEdges) {
+    if (LocalGraph.equatableId(sym.schema("src").dataType) &&
+        sym.count() <= localFinishEdges) {
       val idType = sym.schema("src").dataType
       val pairs = sym.collect().map(r => (r.get(0), r.get(1)))
       sym.unpersist()
@@ -343,7 +350,8 @@ object GraphOps {
            localFinishEdges: Long = 250000L): DataFrame = {
     val e = edges.select(col("src"), col("dst")).distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
-    if (e.count() <= localFinishEdges) {
+    if (LocalGraph.equatableId(e.schema("src").dataType) &&
+        e.count() <= localFinishEdges) {
       val idType = e.schema("src").dataType
       val pairs = e.collect().map(r => (r.get(0), r.get(1)))
       e.unpersist()
@@ -784,30 +792,9 @@ object GraphOps {
         // refined (Leiden) — mirror of the distributed branch
         val contract: String => String =
           if (!refine) assign
-          else {
-            // union-find over intra-community edges, min-member labels
-            val parent = mutable.Map.empty[String, String]
-            def find(x: String): String = {
-              var r = x
-              while (parent.getOrElse(r, r) != r) r = parent(r)
-              var c = x
-              while (parent.getOrElse(c, c) != c) { val nx = parent(c); parent(c) = r; c = nx }
-              r
-            }
-            eArr.foreach { case (s, d, _) =>
-              if (assign(s) == assign(d)) {
-                parent.getOrElseUpdate(s, s); parent.getOrElseUpdate(d, d)
-                val rs = find(s); val rd = find(d)
-                if (rs != rd) parent(rd) = rs
-              }
-            }
-            val minRep = mutable.Map.empty[String, String]
-            parent.keys.foreach { n =>
-              val r = find(n)
-              if (!minRep.contains(r) || n < minRep(r)) minRep(r) = n
-            }
-            n => if (parent.contains(n)) minRep(find(n)) else n
-          }
+          else LocalGraph.unionFindMinLabel(eArr.iterator.collect {
+            case (s, d, _) if assign(s) == assign(d) => (s, d)
+          })
         toCur = toCur.map { case (orig, cur) => orig -> contract(cur) }
         if (refine) {
           // next level resumes from the coarse partition over the
@@ -867,31 +854,12 @@ object GraphOps {
         .collect().map(r => r.getString(0) -> r.getString(1))
       e.unpersist()
       val comm = aArr.toMap
-      import scala.collection.mutable
-      val parent = mutable.Map.empty[String, String]
-      def find(x: String): String = {
-        var r = x
-        while (parent.getOrElse(r, r) != r) r = parent(r)
-        var c = x
-        while (parent.getOrElse(c, c) != c) { val nx = parent(c); parent(c) = r; c = nx }
-        r
-      }
-      pairs.foreach { case (s, d) =>
-        if (comm.get(s).exists(cs => comm.get(d).contains(cs))) {
-          parent.getOrElseUpdate(s, s); parent.getOrElseUpdate(d, d)
-          val rs = find(s); val rd = find(d)
-          if (rs != rd) parent(rd) = rs
-        }
-      }
-      val minRep = mutable.Map.empty[String, String]
-      parent.keys.foreach { n =>
-        val r = find(n)
-        if (!minRep.contains(r) || n < minRep(r)) minRep(r) = n
-      }
+      val rf = LocalGraph.unionFindMinLabel(pairs.iterator.filter { case (s, d) =>
+        comm.get(s).exists(cs => comm.get(d).contains(cs))
+      })
       import scala.jdk.CollectionConverters._
       val rows = aArr.map { case (id, _) =>
-        org.apache.spark.sql.Row(id,
-          if (parent.contains(id)) minRep(find(id)) else id)
+        org.apache.spark.sql.Row(id, rf(id))
       }.toSeq
       return spark.createDataFrame(rows.asJava,
         org.apache.spark.sql.types.StructType(Seq(
@@ -907,7 +875,7 @@ object GraphOps {
       .join(a.select(col("id").as("dst"), col("c").as("cd")), Seq("dst"))
       .filter(col("cs") === col("cd"))
       .select(col("src"), col("dst"))
-    val comps = connectedComponents(intra)
+    val comps = connectedComponents(intra, localFinishEdges = localFinishEdges)
     graft.Borrow.reclaim(
       a.join(comps, Seq("id"), "left")
         .select(col("id"),
@@ -1114,7 +1082,8 @@ object GraphOps {
                        localFinishEdges: Long = 250000L): DataFrame = {
     val e = edges.select(col("src"), col("dst")).distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
-    if (e.count() <= localFinishEdges) {
+    if (LocalGraph.equatableId(e.schema("src").dataType) &&
+        e.count() <= localFinishEdges) {
       // the roots collect is bounded too (limit-probed): a caller
       // passing a giant source frame over a tiny graph falls through,
       // as does a |roots|·|V| output / |roots|·|E| work overrun

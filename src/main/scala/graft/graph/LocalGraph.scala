@@ -154,12 +154,15 @@ private[graft] object LocalGraph {
     val es = triples.map { case (s, d, w) => (enc(s), enc(d), w) }
     val n = ids.length
     val wdeg = new Array[Double](n)
-    es.foreach { case (s, _, w) => wdeg(s) += w }
+    // NaN marks a null stored weight: ignored in sums (the SQL-null
+    // semantics of the distributed aggregations), endpoint still a
+    // vertex
+    es.foreach { case (s, _, w) => if (!w.isNaN) wdeg(s) += w }
     var rank = Array.fill(n)(1.0)
     for (_ <- 1 to iters) {
       val msum = new Array[Double](n)
       es.foreach { case (s, d, w) =>
-        if (wdeg(s) != 0.0) msum(d) += rank(s) * w / wdeg(s)
+        if (!w.isNaN && wdeg(s) != 0.0) msum(d) += rank(s) * w / wdeg(s)
       }
       rank = Array.tabulate(n)(v => (1 - damping) + damping * msum(v))
     }
@@ -378,6 +381,45 @@ private[graft] object LocalGraph {
       StructField("id", idType), StructField("hub", DoubleType),
       StructField("auth", DoubleType))
   }
+
+  /** Union-find with MIN-MEMBER canonical labels over String pairs —
+    * the shared refinement primitive (louvain's interleaved-Leiden
+    * branch and leidenRefine's local gate must keep the same
+    * canonicalization contract: it is load-bearing for the "a coarse
+    * label is always a refined label" invariant). Returns the label
+    * function: id → smallest member of its component, identity for
+    * ids no pair touched. */
+  def unionFindMinLabel(pairs: Iterator[(String, String)]): String => String = {
+    import scala.collection.mutable
+    val parent = mutable.Map.empty[String, String]
+    def find(x: String): String = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent(r)
+      var c = x
+      while (parent.getOrElse(c, c) != c) { val nx = parent(c); parent(c) = r; c = nx }
+      r
+    }
+    pairs.foreach { case (s, d) =>
+      parent.getOrElseUpdate(s, s); parent.getOrElseUpdate(d, d)
+      val rs = find(s); val rd = find(d)
+      if (rs != rd) parent(rd) = rs
+    }
+    val minRep = mutable.Map.empty[String, String]
+    parent.keys.foreach { n =>
+      val r = find(n)
+      if (!minRep.contains(r) || n < minRep(r)) minRep(r) = n
+    }
+    n => if (parent.contains(n)) minRep(find(n)) else n
+  }
+
+  /** Id types the driver-side HashMaps can key on: every Catalyst
+    * external type EXCEPT Array[Byte] (BinaryType), whose
+    * equals/hashCode are reference-based — a binary-id graph would
+    * silently shatter into singleton edges in the local mirrors while
+    * the distributed joins compare it by value. Gates decline and
+    * fall through to the distributed path instead. */
+  def equatableId(t: DataType): Boolean =
+    t != org.apache.spark.sql.types.BinaryType
 
   /** Comparable-type guard + ordering for label/tie semantics (the
     * same three types the connectedComponents finisher accepts). */

@@ -178,6 +178,37 @@ class CypherCallSpec extends SparkSpec {
     assert(d("a") == 0 && d("b") == 1 && d("x") == 2 && d("y") == 3)
   }
 
+  test("review regressions: typed seeds, underscore aliases, quoted spaces, sssp typo") {
+    // Long-id graph: string sourceNodes must cast to the edge id type
+    // so the local finisher's exact-equality lookups hit
+    val le = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
+    val ln = Seq(1L, 2L, 3L, 4L).toDF("id")
+      .withColumn("label", lit("N")).withColumn("props", map())
+    val d = CypherCall.run(ln, le,
+      "CALL graft.bfs({sourceNodes: [1]}) YIELD id, dist ORDER BY dist")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(d == Map(1L -> 0, 2L -> 1, 3L -> 2, 4L -> 3))
+    // an alias with a keyword suffix must not split the scan
+    val al = CypherCall.run(nodes, edges,
+      "CALL graft.degree YIELD id, degree AS deg_limit ORDER BY id LIMIT 2")
+    assert(al.columns.toSeq == Seq("id", "deg_limit") && al.count() == 2)
+    // whitespace inside a quoted literal survives normalization
+    val sn = Seq(("sp", "Big  Label"), ("oth", "Other")).toDF("id", "label")
+      .withColumn("props", map())
+    val se = Seq(("sp", "oth", "T"), ("oth", "sp", "T")).toDF("src", "dst", "etype")
+    val only = CypherCall.run(sn, se,
+      "CALL graft.degree({nodeLabel: 'Big  Label'}) YIELD id, degree")
+    assert(only.count() == 0) // no edge has BOTH endpoints in that label
+    val both = CypherCall.run(sn, se, "CALL graft.degree YIELD id, degree")
+    assert(both.count() == 2) // but the graph itself is intact
+    // sssp weightProperty typo: loud, never null distances
+    val err = intercept[IllegalArgumentException] {
+      CypherCall.run(nodes, edges,
+        "CALL graft.sssp({sourceNodes: ['a'], weightProperty: 'wieght'}) YIELD id, distance")
+    }
+    assert(err.getMessage.contains("missing or non-numeric"))
+  }
+
   test("loud failures: unknown procedure, unknown config key, bad YIELD column") {
     val e1 = intercept[IllegalArgumentException] {
       CypherCall.run(nodes, edges, "CALL graft.pagerank YIELD id, score")

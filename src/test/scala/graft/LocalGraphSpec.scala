@@ -225,6 +225,19 @@ class LocalGraphSpec extends SparkSpec {
       roots.map(_.toString), maxIter = 10, halve = false, maxEdgeVisits = 99L).isEmpty)
   }
 
+  test("binary ids decline the local path and still compute correctly") {
+    // Array[Byte] has reference equality — the driver HashMaps would
+    // shatter the graph; the gate must fall through to the distributed
+    // joins, which compare binary by value
+    val be = Seq((Array[Byte](1), Array[Byte](2)), (Array[Byte](2), Array[Byte](3)))
+      .toDF("src", "dst")
+    val pr = GraphOps.pageRank(be, iters = 3)
+    assert(pr.count() == 3) // one row per distinct binary vertex
+    val d = GraphOps.bfs(be, Seq(Array[Byte](1)).toDF("id"), maxIter = 5)
+    assert(d.count() == 3 &&
+      d.agg(max(col("dist"))).collect()(0).getInt(0) == 2)
+  }
+
   test("degenerate inputs: empty edge frame") {
     val empty = Seq.empty[(String, String)].toDF("src", "dst")
     assert(GraphOps.pageRank(empty).count() == 0)
