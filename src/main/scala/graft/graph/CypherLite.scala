@@ -273,7 +273,8 @@ object CypherLite {
     * `alias` an `AS name`. */
   final case class RetItem(agg: Option[String], v: String, prop: Option[String],
                            cast: Option[String] = None, alias: Option[String] = None,
-                           term: Option[Term] = None, adistinct: Boolean = false) {
+                           term: Option[Term] = None, adistinct: Boolean = false,
+                           aggArg: Option[Double] = None) {
     def outName: String = alias.getOrElse(agg match {
       case None => prop.map(p => s"${v}_$p").getOrElse(v)
       case Some("count") if v == "*" => "count"
@@ -356,7 +357,7 @@ object CypherLite {
   private val CondRe =
     """(\w+)(?:\.(\w+))?\s*(=|<>|>=|<=|>|<|CONTAINS|STARTS WITH|ENDS WITH)\s*(?:'([^']*)'|(-?\d+(?:\.\d+)?))""".r
   private val AggRe =
-    """(?i)(count|sum|avg|min|max|collect|length|nodes|relationships)\s*\(\s*(DISTINCT\s+)?(?:(\*)|(toInteger|toFloat)\s*\(\s*(\w+)(?:\.(\w+))?\s*\)|(\w+)(?:\.(\w+))?)\s*\)""".r
+    """(?i)(count|sum|avg|min|max|collect|stDev|stDevP|percentileCont|percentileDisc|length|nodes|relationships)\s*\(\s*(DISTINCT\s+)?(?:(\*)|(toInteger|toFloat)\s*\(\s*(\w+)(?:\.(\w+))?\s*\)|(\w+)(?:\.(\w+))?)\s*(?:,\s*(-?\d+(?:\.\d+)?)\s*)?\)""".r
 
   // ---------------------------------------------------------------- parsing
 
@@ -871,18 +872,26 @@ object CypherLite {
     }
     alias.foreach(a => require(a.matches("\\w+"), s"bad alias: $a"))
     s match {
-      case AggRe(f, dist, star, castFn, cv, cp, v, p) =>
+      case AggRe(f, dist, star, castFn, cv, cp, v, p, pctOrNull) =>
         val fn = f.toLowerCase
         val ad = dist != null
         if (ad) require(Set("count", "sum", "min", "max", "collect")(fn),
           s"DISTINCT not supported inside $fn(...)")
+        val isPct = fn == "percentilecont" || fn == "percentiledisc"
+        require(isPct == (pctOrNull != null),
+          if (isPct) s"$fn(expr, p) needs a literal percentile in [0, 1]"
+          else s"$fn() takes one argument")
+        val pct = Option(pctOrNull).map(_.toDouble)
+        pct.foreach(x => require(x >= 0.0 && x <= 1.0,
+          s"$fn percentile must be in [0, 1], got $x"))
         if (star != null) {
           require(fn == "count", s"$fn(*) not supported")
           require(!ad, "count(DISTINCT *) is not Cypher; name a variable")
           RetItem(Some("count"), "*", None, None, alias)
         } else if (castFn != null)
-          RetItem(Some(fn), cv, Option(cp), Some(castFn.toLowerCase), alias, adistinct = ad)
-        else RetItem(Some(fn), v, Option(p), None, alias, adistinct = ad)
+          RetItem(Some(fn), cv, Option(cp), Some(castFn.toLowerCase), alias,
+            adistinct = ad, aggArg = pct)
+        else RetItem(Some(fn), v, Option(p), None, alias, adistinct = ad, aggArg = pct)
       case AggExprRe(f, dist, inner) if parsesAsTerm(inner) =>
         // aggregate over a scalar EXPRESSION ("sum(toInteger(r.dport)
         // * 2) AS s") — the ref/cast forms are handled by AggRe above
@@ -2233,6 +2242,17 @@ object CypherLite {
           case "max" => max(valueCol())
           case "collect" =>
             array_sort(if (it.adistinct) collect_set(valueCol()) else collect_list(valueCol()))
+          case "stdev" => stddev_samp(valueCol().cast("double"))
+          case "stdevp" => stddev_pop(valueCol().cast("double"))
+          // percentileCont: linear interpolation (Spark's exact
+          // percentile matches Neo4j's continuous definition);
+          // percentileDisc: an actual stored value — percentile_approx
+          // at max accuracy is exact discrete
+          case "percentilecont" =>
+            percentile(valueCol().cast("double"), lit(it.aggArg.get))
+          case "percentiledisc" =>
+            percentile_approx(valueCol().cast("double"), lit(it.aggArg.get),
+              lit(Int.MaxValue))
           case "length" | "nodes" | "relationships" => throw new IllegalArgumentException(
             s"${it.agg.get}() is only supported on a shortestPath variable")
           case a => throw new IllegalArgumentException(s"unsupported aggregate: $a")

@@ -474,24 +474,9 @@ object GraphOps {
               weightCol: Option[String] = None): DataFrame = {
     // weighted (GDS relationshipWeightProperty): the move/contraction
     // machinery below is already weight-generic — only the input
-    // construction differs. Contract: the input is a DIRECTED edge
-    // list; each undirected edge's weight is the SUM of its directed
-    // occurrences' weights after triple-dedup (positive weights).
-    var e = (weightCol match {
-      case Some(wc) =>
-        val raw = edges0.select(col("src").cast("string").as("src"),
-            col("dst").cast("string").as("dst"),
-            col(wc).cast("double").as("w"))
-          .filter(col("src") =!= col("dst"))
-          .distinct()
-        raw.unionByName(raw.select(col("dst").as("src"), col("src").as("dst"), col("w")))
-          .groupBy(col("src"), col("dst")).agg(sum(col("w")).as("w"))
-      case None =>
-        undirected(edges0.select(col("src").cast("string").as("src"),
-            col("dst").cast("string").as("dst")))
-          .filter(col("src") =!= col("dst"))
-          .withColumn("w", lit(1.0))
-    }).persist(StorageLevel.MEMORY_AND_DISK)
+    // construction differs (see [[weightedSymInput]]).
+    var e = weightedSymInput(edges0, weightCol)
+      .persist(StorageLevel.MEMORY_AND_DISK)
     // per-super-node internal (self-loop) weight; zero at level 0.
     // Checkpoints below are LAZY (eager = false): each severs lineage
     // in the plan immediately but materializes as a side effect of the
@@ -906,11 +891,36 @@ object GraphOps {
     * symmetrized/deduplicated like [[louvain]]'s input (self-loops
     * dropped); `assign` is (id, community). The [[louvain]] spec pins
     * monotonicity against this. */
-  def modularity(edges0: DataFrame, assign: DataFrame): Double = {
-    val e = undirected(edges0.select(col("src").cast("string").as("src"),
-        col("dst").cast("string").as("dst")))
-      .filter(col("src") =!= col("dst"))
-      .withColumn("w", lit(1.0))
+  /** Shared weighted/unweighted symmetric (src, dst, w) input for the
+    * modularity family ([[louvain]], [[leiden]], [[modularity]]).
+    * Weighted contract: the input is a DIRECTED edge list; each
+    * undirected edge's weight is the SUM of its directed occurrences'
+    * weights after triple-dedup (positive weights). Unweighted:
+    * symmetrized, deduplicated, w = 1. */
+  private def weightedSymInput(edges0: DataFrame,
+                               weightCol: Option[String]): DataFrame =
+    weightCol match {
+      case Some(wc) =>
+        val raw = edges0.select(col("src").cast("string").as("src"),
+            col("dst").cast("string").as("dst"),
+            col(wc).cast("double").as("w"))
+          .filter(col("src") =!= col("dst"))
+          .distinct()
+        raw.unionByName(raw.select(col("dst").as("src"), col("src").as("dst"), col("w")))
+          .groupBy(col("src"), col("dst")).agg(sum(col("w")).as("w"))
+      case None =>
+        undirected(edges0.select(col("src").cast("string").as("src"),
+            col("dst").cast("string").as("dst")))
+          .filter(col("src") =!= col("dst"))
+          .withColumn("w", lit(1.0))
+    }
+
+  def modularity(edges0: DataFrame, assign: DataFrame,
+                 weightCol: Option[String] = None): Double = {
+    // weighted Q uses the same formula over edge weights; the input
+    // matches [[louvain]]'s weighted contract exactly so
+    // louvain(weightCol) output scores against the graph it optimized
+    val e = weightedSymInput(edges0, weightCol)
       .persist(StorageLevel.MEMORY_AND_DISK)
     val a = assign.select(col("id").cast("string").as("id"),
       col("community").cast("string").as("c"))

@@ -48,6 +48,16 @@ object GraphStore {
   def edgesRev(spark: SparkSession, prefix: String): DataFrame =
     spark.table(s"${prefix}_edges_rev")
 
+  /** Run any CypherLite statement — reads, `$params`, and `CALL`
+    * procedures — over a PERSISTED graph without rebuilding it: the
+    * textual surface on top of the bucketed tables. Traversal joins
+    * keyed on src ride the bucket layout (no Exchange, as the spec
+    * pins for twoHop); CALL procedures get the same frames the Scala
+    * API would. */
+  def query(spark: SparkSession, prefix: String, cypher: String,
+            params: Map[String, Any] = Map.empty): DataFrame =
+    CypherLite.run(nodes(spark, prefix), edges(spark, prefix), cypher, params)
+
   /** Bucket-aligned 2-hop expansion: reverse copy (bucketed on dst)
     * joined to the forward copy (bucketed on src) — same bucket count
     * on both join keys, so the SortMergeJoin needs no Exchange. */

@@ -321,6 +321,46 @@ class CypherLiteSpec extends SparkSpec {
     }
   }
 
+  test("statistical aggregates: stDev/stDevP/percentileCont/percentileDisc") {
+    val (nodes, edges) = graph
+    val got = CypherLite.run(nodes, edges,
+      "MATCH (p:Process)-[r:CONNECTED_TO]->(ip:Ip) " +
+        "RETURN p, stDev(toInteger(r.dport)) AS sd, stDevP(toInteger(r.dport)) AS sdp, " +
+        "percentileCont(toInteger(r.dport), 0.5) AS med, " +
+        "percentileDisc(toInteger(r.dport), 0.5) AS medd ORDER BY p")
+    val want = et("CONNECTED_TO")
+      .groupBy(col("src"))
+      .agg(stddev_samp(element_at(col("props"), "dport").cast("double")).as("sd"),
+        stddev_pop(element_at(col("props"), "dport").cast("double")).as("sdp"),
+        percentile(element_at(col("props"), "dport").cast("double"), lit(0.5)).as("med"),
+        percentile_approx(element_at(col("props"), "dport").cast("double"),
+          lit(0.5), lit(Int.MaxValue)).as("medd"))
+      .orderBy(col("src"))
+    val g = got.collect(); val w = want.collect()
+    assert(g.length == w.length && g.nonEmpty)
+    g.zip(w).foreach { case (a, b) =>
+      assert(a.getString(0) == b.getString(0))
+      Seq(1, 2, 3, 4).foreach { i =>
+        val (x, y) = (a.get(i), b.get(i))
+        assert((x == null && y == null) ||
+          math.abs(x.asInstanceOf[Double] - y.asInstanceOf[Double]) < 1e-9)
+      }
+    }
+    // percentileDisc returns an actual stored value
+    val medd = g.map(_.get(4)).filter(_ != null).map(_.asInstanceOf[Double])
+    assert(medd.forall(v => v == math.rint(v))) // ports are integers
+    // parse guards: missing/invalid percentile arg is loud
+    intercept[IllegalArgumentException] {
+      CypherLite.run(nodes, edges,
+        "MATCH (p:Process) RETURN percentileCont(p.image) AS x")
+    }
+    intercept[IllegalArgumentException] {
+      CypherLite.run(nodes, edges,
+        "MATCH (p:Process)-[r:CONNECTED_TO]->(ip:Ip) " +
+          "RETURN percentileCont(toInteger(r.dport), 1.5) AS x")
+    }
+  }
+
   test("toInteger coercion: max over dport orders numerically, not lexicographically") {
     val (nodes, edges) = graph
     val got = CypherLite.run(nodes, edges,

@@ -29,6 +29,26 @@ class GraphStoreSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("textual querying over the persisted store: MATCH and CALL without a rebuild") {
+    import spark.implicits._
+    val nodes = Seq(("a", "Process"), ("b", "Process"), ("c", "Process"))
+      .toDF("id", "label").withColumn("props", map(lit("k"), col("id")))
+    val edges = Seq(("a", "b", "SPAWNS"), ("b", "c", "SPAWNS"))
+      .toDF("src", "dst", "etype").withColumn("props", map())
+      .withColumn("event_id", lit(1))
+    GraphStore.save(nodes, edges, "qg", buckets = 2)
+    // plain Cypher read with a $param over the stored graph
+    val got = GraphStore.query(spark, "qg",
+      "MATCH (p:Process)-[:SPAWNS]->(q) WHERE p.k = $k RETURN p, q", Map("k" -> "a"))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(got.toSeq == Seq(("a", "b")))
+    // CALL procedure over the same stored frames
+    val deg = GraphStore.query(spark, "qg",
+      "CALL graft.degree YIELD id, degree ORDER BY id")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(deg.toSeq == Seq(("a", 1L), ("b", 2L), ("c", 1L)))
+  }
+
   test("I1/I3 source round-trips: partitioned parquet, csv, jsonl") {
     import spark.implicits._
     val base = java.nio.file.Files.createTempDirectory("io").toString

@@ -98,6 +98,27 @@ class LocalGraphSpec extends SparkSpec {
     assert(heavyC == dist)
   }
 
+  test("weighted modularity: hand-computed Q; louvain's weighted answer scores best") {
+    // triangle {a,b,c} with weight 2 edges + bridge c—x weight 1 +
+    // triangle {x,y,z} weight 2: m_w = 13 (sum of undirected weights)
+    // split at the bridge: Σ_in = 6+6 = 12, Σ_tot = 13 per side
+    // Q = 12/13 − 2·(13/26)² = 12/13 − 1/2
+    val e = Seq(("a", "b", 2.0), ("b", "c", 2.0), ("a", "c", 2.0),
+      ("x", "y", 2.0), ("y", "z", 2.0), ("x", "z", 2.0),
+      ("c", "x", 1.0)).toDF("src", "dst", "w")
+    val split = Seq(("a", "a"), ("b", "a"), ("c", "a"),
+      ("x", "x"), ("y", "x"), ("z", "x")).toDF("id", "community")
+    val q = GraphOps.modularity(e, split, weightCol = Some("w"))
+    assert(math.abs(q - (12.0 / 13.0 - 0.5)) < 1e-9, s"Q=$q")
+    // the weighted louvain run at least matches the hand split's Q
+    val lv = GraphOps.louvain(e, weightCol = Some("w"))
+    val qLv = GraphOps.modularity(e, lv, weightCol = Some("w"))
+    assert(qLv >= q - 1e-9)
+    // unweighted Q over the same frame ignores w (2-arg compatibility)
+    val qU = GraphOps.modularity(e.select(col("src"), col("dst")), split)
+    assert(math.abs(qU - 5.0 / 14.0) < 1e-9) // the unweighted fixture value
+  }
+
   test("bfs (single wave): bitwise-equal (id, dist) sets, multi-source min-dist") {
     val edges = GraphOps.undirected(randomEdges(50, 29))
     val roots = Seq("v:0", "v:9").toDF("id")
