@@ -367,8 +367,8 @@ object SparkEntry {
     "q24_rank" ->
       """SELECT c_custkey, c_nationkey, round(c_acctbal,2) AS bal,
         | CAST(ntile(4) OVER w AS INT) AS quartile,
-        | round(percent_rank() OVER w, 6) AS pr,
-        | round(cume_dist() OVER w, 6) AS cd,
+        | floor(percent_rank() OVER w * 1000000 + 0.5) / 1000000 AS pr,
+        | floor(cume_dist() OVER w * 1000000 + 0.5) / 1000000 AS cd,
         | CAST(dense_rank() OVER w AS INT) AS dr
         |FROM customer WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
         |ORDER BY c_custkey""".stripMargin,

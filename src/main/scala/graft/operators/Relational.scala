@@ -329,12 +329,19 @@ object Relational {
     * cume_dist, dense_rank over customer balances per nation. */
   def q24Rank(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("c_nationkey")).orderBy(col("c_acctbal"), col("c_custkey"))
+    // percent_rank/cume_dist are exact rationals k/n; with n a power
+    // of two (sf0.1 has a 640-customer nation) k/n can land EXACTLY on
+    // a 6th-decimal tie (333/640 = .5203125), where Spark's round()
+    // goes HALF_UP and DuckDB's HALF_EVEN. floor(x·1e6 + 0.5)/1e6 is
+    // the same HALF_UP on both engines (identical doubles in, floor is
+    // unambiguous), so the oracle can't diverge on ties.
+    def r6(c: org.apache.spark.sql.Column) = floor(c * lit(1000000.0) + lit(0.5)) / 1000000.0
     Tables.customer(s, dir)
       .select(col("c_custkey"), col("c_nationkey"),
         round(col("c_acctbal"), 2).as("bal"),
         ntile(4).over(w).as("quartile"),
-        round(percent_rank().over(w), 6).as("pr"),
-        round(cume_dist().over(w), 6).as("cd"),
+        r6(percent_rank().over(w)).as("pr"),
+        r6(cume_dist().over(w)).as("cd"),
         dense_rank().over(w).as("dr"))
       .orderBy(col("c_custkey"))
   }
