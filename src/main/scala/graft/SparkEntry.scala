@@ -472,7 +472,7 @@ object SparkEntry {
         |  SELECT root, id, min(d) AS d FROM reach GROUP BY 1, 2
         |)
         |SELECT root AS id,
-        | round(CAST(count(*) AS DOUBLE)/sum(d), 6) AS closeness
+        | floor(CAST(count(*) AS DOUBLE)/sum(d) * 1000000 + 0.5) / 1000000 AS closeness
         |FROM md WHERE d > 0 GROUP BY 1 ORDER BY 1""".stripMargin,
     "g_harmonic" ->
       """WITH RECURSIVE base AS (
@@ -532,7 +532,7 @@ object SparkEntry {
         |x AS (SELECT a AS id FROM tri UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri),
         |nt AS (SELECT id, count(*) AS n_tri FROM x GROUP BY 1)
         |SELECT nt.id AS l_partkey, n_tri, deg,
-        | round(2.0*n_tri/(deg*(deg-1)), 4) AS coef
+        | floor(2.0*n_tri/(deg*(deg-1)) * 10000 + 0.5) / 10000 AS coef
         |FROM nt JOIN deg ON nt.id = deg.id ORDER BY 1""".stripMargin,
     "g_pagerank" ->
       """WITH RECURSIVE e AS (
@@ -629,7 +629,7 @@ object SparkEntry {
         |sz AS (SELECT p, count(*) AS n FROM e GROUP BY 1),
         |i AS (SELECT a.p AS id1, b.p AS id2, count(*) AS i
         |  FROM e a JOIN e b ON a.s=b.s AND a.p<b.p GROUP BY 1,2)
-        |SELECT id1, id2, round(CAST(i AS DOUBLE)/(x.n+y.n-i),4) AS sim
+        |SELECT id1, id2, floor(CAST(i AS DOUBLE)/(x.n+y.n-i) * 10000 + 0.5) / 10000 AS sim
         |FROM i JOIN sz x ON id1=x.p JOIN sz y ON id2=y.p
         |WHERE CAST(i AS DOUBLE)/(x.n+y.n-i) >= 0.2 ORDER BY 1,2""".stripMargin,
     "g_paths" ->
@@ -806,7 +806,7 @@ object SparkEntry {
         |sz AS (SELECT doc_id, len(sh) AS n FROM s),
         |inter AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS i
         |  FROM e a JOIN e b ON a.g=b.g AND a.doc_id<b.doc_id GROUP BY 1,2)
-        |SELECT id1, id2, round(CAST(i AS DOUBLE)/(x.n+y.n-i),4) AS jaccard
+        |SELECT id1, id2, floor(CAST(i AS DOUBLE)/(x.n+y.n-i) * 10000 + 0.5) / 10000 AS jaccard
         |FROM inter JOIN sz x ON inter.id1=x.doc_id JOIN sz y ON inter.id2=y.doc_id
         |WHERE CAST(i AS DOUBLE)/(x.n+y.n-i) >= 0.5 ORDER BY 1,2""".stripMargin,
     "d7_clusters" ->

@@ -954,7 +954,7 @@ object GraphOps {
     graft.operators.JaccardJoin.exactPairs(
         edges.select(col("src").as("id"), col("dst").as("item")),
         threshold, hubCap)
-      .withColumn("sim", round(col("jaccard"), 4))
+      .withColumn("sim", graft.operators.Num.roundTies(col("jaccard"), 4))
       .select(col("id1"), col("id2"), col("sim"))
 
   /** BFS that also MATERIALIZES one shortest path per reached vertex —
@@ -1143,7 +1143,9 @@ object GraphOps {
       .groupBy(col("root").as("id"))
       .agg(count(lit(1)).as("reached"), sum(col("dist")).as("total"))
       .select(col("id"),
-        round(col("reached").cast("double") / col("total"), 6).as("closeness"))
+        // tie-safe rounding: reached/Σdist is an exact rational — see Num.roundTies
+        graft.operators.Num.roundTies(
+          col("reached").cast("double") / col("total"), 6).as("closeness"))
 
   /** B19 — harmonic centrality: harmonic(v) = Σ 1/dist(v, u) over
     * reachable u ≠ v (the centrality that stays meaningful on

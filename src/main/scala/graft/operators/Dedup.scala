@@ -92,7 +92,7 @@ object Dedup {
       // the oracle filters unrounded too)
       .filter(col("i").cast("double") / (col("n1") + col("n2") - col("i")) >= threshold)
       .withColumn("jaccard",
-        round(col("i").cast("double") / (col("n1") + col("n2") - col("i")), 4))
+        Num.roundTies(col("i").cast("double") / (col("n1") + col("n2") - col("i")), 4))
       .select(col("id1"), col("id2"), col("jaccard"))
       .orderBy(col("id1"), col("id2"))
 
@@ -107,7 +107,7 @@ object Dedup {
     JaccardJoin.exactPairs(
         shingleRows(docs).select(col("doc_id").as("id"), col("g").as("item")),
         threshold, dfCap, reclaim)
-      .select(col("id1"), col("id2"), round(col("jaccard"), 4).as("jaccard"))
+      .select(col("id1"), col("id2"), Num.roundTies(col("jaccard"), 4).as("jaccard"))
       .orderBy(col("id1"), col("id2"))
   }
 

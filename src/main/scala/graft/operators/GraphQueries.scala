@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.operators.Num
 import graft.graph.{GraphOps, TestGraph}
 
 /** Oracle-checkable graph queries (SURVEY §2 B1-B8) over the testdata-
@@ -135,7 +136,7 @@ object GraphQueries {
       .select(col("id").as("l_partkey"), col("n_tri"))
       .join(deg, Seq("l_partkey"))
       .select(col("l_partkey"), col("n_tri"), col("deg"),
-        round(lit(2.0) * col("n_tri") / (col("deg") * (col("deg") - 1)), 4).as("coef"))
+        Num.roundTies(lit(2.0) * col("n_tri") / (col("deg") * (col("deg") - 1)), 4).as("coef"))
       .orderBy(col("l_partkey"))
   }
 
