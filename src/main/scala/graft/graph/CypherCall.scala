@@ -357,9 +357,13 @@ object CypherCall {
         GraphOps.sssp(e, seedFrame(ed, seeds), cfg.int("maxIterations", 10))
           .select(col("id"), col("dist").as("distance"))
       }),
-    "eigenvector" -> Proc(Seq("id", "score"), Set("maxIterations"),
-      (n, ed, cfg) =>
-        GraphOps.eigenvector(selectEdges(n, ed, cfg), cfg.int("maxIterations", 8))),
+    "eigenvector" -> Proc(Seq("id", "score"),
+      Set("maxIterations", "relationshipWeightProperty"),
+      (n, ed, cfg) => {
+        val (ed2, wcol) = resolveWeightProp(ed, cfg)
+        GraphOps.eigenvector(selectEdges(n, ed2, cfg),
+          cfg.int("maxIterations", 8), weightCol = wcol)
+      }),
     "hits" -> Proc(Seq("id", "hub", "auth"), Set("maxIterations"),
       (n, ed, cfg) =>
         GraphOps.hits(selectEdges(n, ed, cfg), cfg.int("maxIterations", 8))),

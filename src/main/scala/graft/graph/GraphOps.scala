@@ -311,21 +311,40 @@ object GraphOps {
     * riding the same materialization (louvain's one-action-per-round
     * rule). Returns (id, score) for every vertex. */
   def eigenvector(edges: DataFrame, iters: Int = 8,
-                  localFinishEdges: Long = 250000L): DataFrame = {
-    val sym = undirected(edges).persist(StorageLevel.MEMORY_AND_DISK)
+                  localFinishEdges: Long = 250000L,
+                  weightCol: Option[String] = None): DataFrame = {
+    // weighted: s(v) = Σ w(u,v)·x(u) over the weighted symmetrization
+    // ([[weightedSymInput]]'s directed-occurrence-sum contract); the
+    // per-iteration L2 normalization is scale-invariant, so a uniform
+    // weight reproduces the unweighted scores exactly (spec-pinned)
+    val sym = (weightCol match {
+      case Some(_) => weightedSymInput(edges, weightCol)
+      case None => undirected(edges)
+    }).persist(StorageLevel.MEMORY_AND_DISK)
     if (LocalGraph.equatableId(sym.schema("src").dataType) &&
         sym.count() <= localFinishEdges) {
       val idType = sym.schema("src").dataType
-      val pairs = sym.collect().map(r => (r.get(0), r.get(1)))
+      val out = weightCol match {
+        case Some(_) =>
+          val triples = sym.collect().map(r => (r.get(0), r.get(1), r.getDouble(2)))
+          LocalGraph.eigenvectorWeighted(edges.sparkSession, triples, iters, idType)
+        case None =>
+          val pairs = sym.collect().map(r => (r.get(0), r.get(1)))
+          LocalGraph.eigenvector(edges.sparkSession, pairs, iters, idType)
+      }
       sym.unpersist()
-      return LocalGraph.eigenvector(edges.sparkSession, pairs, iters, idType)
+      return out
     }
     val vertices = sym.select(col("src").as("id")).distinct()
       .persist(StorageLevel.MEMORY_AND_DISK) // symmetric: src covers all
     var x = vertices.withColumn("x", lit(1.0)).localCheckpoint()
     for (_ <- 1 to iters) {
       val s = sym.join(x, sym("src") === x("id"))
-        .groupBy(sym("dst").as("id")).agg(sum(col("x")).as("s"))
+        .groupBy(sym("dst").as("id"))
+        .agg((weightCol match {
+          case Some(_) => sum(col("w") * col("x"))
+          case None => sum(col("x"))
+        }).as("s"))
       val s2 = vertices.join(s, Seq("id"), "left")
         .select(col("id"), coalesce(col("s"), lit(0.0)).as("s"))
         .localCheckpoint(false)

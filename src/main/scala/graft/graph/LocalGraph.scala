@@ -344,6 +344,31 @@ private[graft] object LocalGraph {
       StructField("id", idType), StructField("score", DoubleType))
   }
 
+  /** Weighted [[GraphOps.eigenvector]] mirror: s(v) = Σ w(u,v)·x(u)
+    * over the caller's (already weighted-symmetrized, triple-dedup'd)
+    * edge list; same per-iteration L2 normalization. */
+  def eigenvectorWeighted(spark: SparkSession, triples: Array[(Any, Any, Double)],
+                          iters: Int, idType: DataType): DataFrame = {
+    val index = new java.util.HashMap[Any, Int]()
+    val ids = scala.collection.mutable.ArrayBuffer.empty[Any]
+    def enc(a: Any): Int =
+      if (index.containsKey(a)) index.get(a)
+      else { val i = ids.length; index.put(a, i); ids += a; i }
+    val es = triples.map { case (s0, d0, w) => (enc(s0), enc(d0), w) }
+    val n = ids.length
+    var x = Array.fill(n)(1.0)
+    for (_ <- 1 to iters) {
+      val s = new Array[Double](n)
+      es.foreach { case (u, v, w) => s(v) += w * x(u) }
+      var n2 = 0.0; var v = 0
+      while (v < n) { n2 += s(v) * s(v); v += 1 }
+      val norm = math.sqrt(n2)
+      x = if (norm == 0.0) s else s.map(_ / norm)
+    }
+    frame(spark, (0 until n).map(v => Row(ids(v), x(v))),
+      StructField("id", idType), StructField("score", DoubleType))
+  }
+
   /** [[GraphOps.hits]] mirror — JACOBI update (both scores advance
     * from the previous iteration's values, the single-recursive-
     * reference form the DuckDB oracle can express):

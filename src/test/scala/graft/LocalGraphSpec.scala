@@ -212,6 +212,39 @@ class LocalGraphSpec extends SparkSpec {
     assert(GraphOps.eigenvector(Seq.empty[(String, String)].toDF("src", "dst")).count() == 0)
   }
 
+  test("weighted eigenvector: uniform ≡ unweighted; heavy edges pull; local ≡ dist") {
+    val rnd = new scala.util.Random(41)
+    // ONE direction per pair: the weighted contract SUMS directed
+    // occurrences, so an (a,b)+(b,a) input would weight that edge 2×
+    // relative to single-direction edges — not a uniform scale
+    val base = (0 until 100).map { _ =>
+      (s"v:${rnd.nextInt(25)}", s"v:${rnd.nextInt(25)}")
+    }.filter(p => p._1 < p._2).distinct
+    // uniform weight 3 ≡ unweighted (per-iteration normalization kills scale)
+    val uW = base.map(t => (t._1, t._2, 3.0)).toDF("src", "dst", "w")
+    val u0 = base.toDF("src", "dst")
+    val a = GraphOps.eigenvector(uW, iters = 6, weightCol = Some("w"))
+      .select(col("id"), round(col("score"), 9).as("s"))
+    val b = GraphOps.eigenvector(u0, iters = 6)
+      .select(col("id"), round(col("score"), 9).as("s"))
+    assert(asSet(a) == asSet(b))
+    // local ≡ distributed under weights
+    val wEdges = base.map(t => (t._1, t._2, (t._1.hashCode % 5 + 6).toDouble))
+      .toDF("src", "dst", "w")
+    val loc = GraphOps.eigenvector(wEdges, iters = 6, weightCol = Some("w"))
+    val dist = GraphOps.eigenvector(wEdges, iters = 6, weightCol = Some("w"),
+      localFinishEdges = 0L)
+    val j = loc.select(col("id"), col("score").as("ls"))
+      .join(dist.select(col("id"), col("score").as("ds")), Seq("id"), "full_outer")
+    assert(j.filter(col("ls").isNull || col("ds").isNull).count() == 0)
+    assert(j.agg(max(abs(col("ls") - col("ds")))).collect()(0).getDouble(0) < 1e-9)
+    // a hub's heavy leaf dominates its light one
+    val star = Seq(("hub", "heavy", 9.0), ("hub", "light", 1.0)).toDF("src", "dst", "w")
+    val m = GraphOps.eigenvector(star, iters = 6, weightCol = Some("w"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(m("heavy") > m("light"))
+  }
+
   test("hits: local ≡ distributed; bipartite split into pure hubs and auths") {
     val bip = Seq(("p1", "s1"), ("p1", "s2"), ("p2", "s2"), ("p3", "s2"), ("p3", "s3"))
       .toDF("src", "dst")
