@@ -202,7 +202,14 @@ object CypherCall {
     cfg.str("relationshipWeightProperty") match {
       case None => (ed, None)
       case Some(p) if ed.columns.contains(p) =>
-        (ed.withColumn("w", col(p).cast("double")), Some("w"))
+        val withW = ed.withColumn("w", col(p).cast("double"))
+        // same loud null probe as the props-map branch: a null (or a
+        // non-numeric value nulled by the cast) in an EXISTING weight
+        // column would otherwise silently drop that edge's contribution
+        require(withW.filter(col("w").isNull).limit(1).count() == 0,
+          s"${cfg.name}: relationshipWeightProperty '$p' is null or " +
+            "non-numeric on at least one edge")
+        (withW, Some("w"))
       case Some(p) =>
         require(ed.columns.contains("props"),
           s"${cfg.name}: relationshipWeightProperty '$p' needs a matching edge " +

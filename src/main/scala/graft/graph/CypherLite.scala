@@ -2245,14 +2245,23 @@ object CypherLite {
           case "stdev" => stddev_samp(valueCol().cast("double"))
           case "stdevp" => stddev_pop(valueCol().cast("double"))
           // percentileCont: linear interpolation (Spark's exact
-          // percentile matches Neo4j's continuous definition);
-          // percentileDisc: an actual stored value — percentile_approx
-          // at max accuracy is exact discrete
+          // percentile matches Neo4j's continuous definition; buffer is
+          // O(distinct values) — the value→count map form);
+          // percentileDisc: Neo4j's nearest-rank — the stored value at
+          // 1-indexed position ceil(p·n) of the sorted group (min for
+          // p = 0). Sort-based, O(group) agg buffer — same shape as
+          // collect(); NOT percentile_approx at max accuracy, whose
+          // QuantileSummaries buffer grows with accuracy and whose
+          // rounding can miss the nearest-rank value on even-count ties
           case "percentilecont" =>
             percentile(valueCol().cast("double"), lit(it.aggArg.get))
-          case "percentiledisc" =>
-            percentile_approx(valueCol().cast("double"), lit(it.aggArg.get),
-              lit(Int.MaxValue))
+          case "percentiledisc" => {
+            val lst = array_sort(collect_list(valueCol().cast("double")))
+            // try_: an all-null group collects an empty list → null
+            // (like percentile/avg), not an ANSI index error
+            try_element_at(lst,
+              greatest(lit(1), ceil(lit(it.aggArg.get) * size(lst)).cast("int")))
+          }
           case "length" | "nodes" | "relationships" => throw new IllegalArgumentException(
             s"${it.agg.get}() is only supported on a shortestPath variable")
           case a => throw new IllegalArgumentException(s"unsupported aggregate: $a")

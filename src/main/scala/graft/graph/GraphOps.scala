@@ -45,17 +45,24 @@ object GraphOps {
       .persist(StorageLevel.MEMORY_AND_DISK)
     if (LocalGraph.equatableId(e.schema("src").dataType) &&
         e.count() <= localFinishEdges) {
-      val roots = sources.select(col("id")).distinct()
+      // sources CAST to the edge id type before collecting: the local
+      // HashMaps key on exact runtime values, while the distributed
+      // joins coerce (Int seeds over Long edges would silently miss
+      // locally); a cast that nulls out mirrors a join that can't match
+      val idType = e.schema("src").dataType
+      val roots = sources.select(col("id").cast(idType).as("id"))
+        .filter(col("id").isNotNull).distinct()
         .limit(localFinishEdges.toInt + 1).collect().map(_.get(0))
       if (roots.length <= localFinishEdges) {
-        val idType = e.schema("src").dataType
         val pairs = e.collect().map(r => (r.get(0), r.get(1)))
         e.unpersist()
         return LocalGraph.bfs(edges.sparkSession, pairs, roots, maxIter, idType)
       }
     }
-    val seed = sources.select(col("id"), lit(0).as("dist"))
-      .distinct().localCheckpoint()
+    // distributed seed takes the same cast (one id dtype on both paths)
+    val seed = sources.select(col("id").cast(e.schema("src").dataType).as("id"),
+        lit(0).as("dist"))
+      .filter(col("id").isNotNull).distinct().localCheckpoint()
     // visited = union of per-depth frontier frames, each already
     // checkpointed: anti-joining against the union of cached leaves
     // avoids re-materializing a growing visited frame every round
@@ -313,14 +320,17 @@ object GraphOps {
   def eigenvector(edges: DataFrame, iters: Int = 8,
                   localFinishEdges: Long = 250000L,
                   weightCol: Option[String] = None): DataFrame = {
-    // weighted: s(v) = Σ w(u,v)·x(u) over the weighted symmetrization
-    // ([[weightedSymInput]]'s directed-occurrence-sum contract); the
-    // per-iteration L2 normalization is scale-invariant, so a uniform
-    // weight reproduces the unweighted scores exactly (spec-pinned)
-    val sym = (weightCol match {
-      case Some(_) => weightedSymInput(edges, weightCol)
-      case None => undirected(edges)
-    }).persist(StorageLevel.MEMORY_AND_DISK)
+    // weighted: s(v) = Σ w(u,v)·x(u) over the weighted symmetrization.
+    // BOTH variants share [[weightedSymInput]]'s input contract (ids
+    // cast to string, self-loops dropped, reciprocal directed pairs
+    // occurrence-summed) so setting relationshipWeightProperty never
+    // changes the yielded id dtype or the vertex set; per-iteration L2
+    // normalization is scale-invariant, so a uniform weight reproduces
+    // the unweighted scores exactly on graphs without reciprocal
+    // directed pairs (spec-pinned; reciprocal pairs sum occurrences by
+    // the louvain-shared contract)
+    val sym = weightedSymInput(edges, weightCol)
+      .persist(StorageLevel.MEMORY_AND_DISK)
     if (LocalGraph.equatableId(sym.schema("src").dataType) &&
         sym.count() <= localFinishEdges) {
       val idType = sym.schema("src").dataType
@@ -1116,11 +1126,14 @@ object GraphOps {
       // the roots collect is bounded too (limit-probed): a caller
       // passing a giant source frame over a tiny graph falls through,
       // as does a |roots|·|V| output / |roots|·|E| work overrun
-      // (LocalGraph returns None past its own bounds)
-      val roots = sources.select(col("id")).distinct()
+      // (LocalGraph returns None past its own bounds). Roots CAST to
+      // the edge id type first — local HashMaps key on exact runtime
+      // values where the distributed joins coerce (see [[bfs]]).
+      val idType = e.schema("src").dataType
+      val roots = sources.select(col("id").cast(idType).as("id"))
+        .filter(col("id").isNotNull).distinct()
         .limit(localFinishEdges.toInt + 1).collect().map(_.get(0))
       if (roots.length <= localFinishEdges) {
-        val idType = e.schema("src").dataType
         val pairs = e.collect().map(r => (r.get(0), r.get(1)))
         LocalGraph.bfsDistancesFrom(edges.sparkSession, pairs, roots,
             maxIter, idType).foreach { out =>
@@ -1129,7 +1142,8 @@ object GraphOps {
         }
       }
     }
-    var visited = sources.select(col("id")).distinct()
+    var visited = sources.select(col("id").cast(e.schema("src").dataType).as("id"))
+      .filter(col("id").isNotNull).distinct()
       .select(col("id").as("root"), col("id"), lit(0).as("dist"))
       .localCheckpoint()
     var frontier = visited

@@ -273,6 +273,21 @@ class CypherCallSpec extends SparkSpec {
         "CALL graft.louvain({relationshipWeightProperty: 'nope'}) YIELD id, communityId")
     }
     assert(err.getMessage.contains("missing or non-numeric"))
+    // an EXISTING weight column gets the same loud probe: a null (or a
+    // value the double cast nulls) must not silently drop that edge
+    val eNullW = edges.withColumn("cost",
+      when(col("src") === "c" && col("dst") === "x", lit(null).cast("string"))
+        .otherwise(lit("1.5")))
+    val err2 = intercept[IllegalArgumentException] {
+      CypherCall.run(nodes, eNullW,
+        "CALL graft.pageRank({relationshipWeightProperty: 'cost'}) YIELD id, score")
+    }
+    assert(err2.getMessage.contains("null or non-numeric"))
+    // and a fully populated existing column still resolves fine
+    val ok = CypherCall.run(nodes, edges.withColumn("cost", lit("1.5")),
+      """CALL graft.pageRank({maxIterations: 3, relationshipWeightProperty: 'cost'})
+        |YIELD id, score""".stripMargin)
+    assert(ok.count() == 6L)
   }
 
   test("eigenvector and hits procedures dispatch with GDS yield names") {

@@ -333,18 +333,26 @@ class CypherLiteSpec extends SparkSpec {
       .agg(stddev_samp(element_at(col("props"), "dport").cast("double")).as("sd"),
         stddev_pop(element_at(col("props"), "dport").cast("double")).as("sdp"),
         percentile(element_at(col("props"), "dport").cast("double"), lit(0.5)).as("med"),
-        percentile_approx(element_at(col("props"), "dport").cast("double"),
-          lit(0.5), lit(Int.MaxValue)).as("medd"))
+        sort_array(collect_list(
+          element_at(col("props"), "dport").cast("double"))).as("vals"))
       .orderBy(col("src"))
     val g = got.collect(); val w = want.collect()
     assert(g.length == w.length && g.nonEmpty)
     g.zip(w).foreach { case (a, b) =>
       assert(a.getString(0) == b.getString(0))
-      Seq(1, 2, 3, 4).foreach { i =>
+      Seq(1, 2, 3).foreach { i =>
         val (x, y) = (a.get(i), b.get(i))
         assert((x == null && y == null) ||
           math.abs(x.asInstanceOf[Double] - y.asInstanceOf[Double]) < 1e-9)
       }
+      // percentileDisc = Neo4j nearest-rank: sorted value at ceil(p·n),
+      // replayed independently in Scala
+      val vs = b.getSeq[Double](4)
+      val expDisc: Any =
+        if (vs.isEmpty) null
+        else vs(math.max(1, math.ceil(0.5 * vs.size).toInt) - 1)
+      assert(a.get(4) == expDisc,
+        s"percentileDisc mismatch for ${a.getString(0)}: got ${a.get(4)}, want $expDisc")
     }
     // percentileDisc returns an actual stored value
     val medd = g.map(_.get(4)).filter(_ != null).map(_.asInstanceOf[Double])
@@ -359,6 +367,25 @@ class CypherLiteSpec extends SparkSpec {
         "MATCH (p:Process)-[r:CONNECTED_TO]->(ip:Ip) " +
           "RETURN percentileCont(toInteger(r.dport), 1.5) AS x")
     }
+  }
+
+  test("percentileDisc even-count group: nearest-rank, not interpolation") {
+    import spark.implicits._
+    // 4 ports {10,20,30,40}: disc(0.5) = ceil(0.5·4) = 2nd value = 20
+    // (interpolated cont = 25 — the even-count case where the two differ)
+    val nodes = (Seq(("P", "p1", Map.empty[String, String])) ++
+      Seq("i1", "i2", "i3", "i4").map(i => ("Ip", i, Map.empty[String, String])))
+      .toDF("label", "id", "props")
+    val edges = Seq(10, 20, 30, 40).zipWithIndex.map { case (port, i) =>
+      ("CONNECTED_TO", "p1", s"i${i + 1}", 3, Map("dport" -> port.toString))
+    }.toDF("etype", "src", "dst", "event_id", "props")
+    val r = CypherLite.run(nodes, edges,
+      "MATCH (p:P)-[r:CONNECTED_TO]->(ip:Ip) " +
+        "RETURN p, percentileDisc(toInteger(r.dport), 0.5) AS d, " +
+        "percentileCont(toInteger(r.dport), 0.5) AS c").collect()
+    assert(r.length == 1)
+    assert(r(0).getDouble(1) == 20.0, s"disc: ${r(0).getDouble(1)}")
+    assert(r(0).getDouble(2) == 25.0, s"cont: ${r(0).getDouble(2)}")
   }
 
   test("toInteger coercion: max over dport orders numerically, not lexicographically") {

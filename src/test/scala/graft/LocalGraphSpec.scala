@@ -292,6 +292,44 @@ class LocalGraphSpec extends SparkSpec {
       d.agg(max(col("dist"))).collect()(0).getInt(0) == 2)
   }
 
+  test("bfs/bfsDistancesFrom: seeds of a different numeric type are cast to the edge id type") {
+    // Int seeds over Long edges: the local finishers key HashMaps on
+    // exact runtime values, so without the cast the lookup silently
+    // misses and the seed reads as unreachable — the cast contract
+    // makes local ≡ distributed (review r8 ADVICE, medium)
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
+    val seedsInt = Seq(1).toDF("id") // IntegerType, edges are LongType
+    val local = GraphOps.bfs(edges, seedsInt, maxIter = 5)
+    val dist = GraphOps.bfs(edges, seedsInt, maxIter = 5, localFinishEdges = 0L)
+    assert(asSet(local) == asSet(dist))
+    assert(local.count() == 4 &&
+      local.agg(max(col("dist"))).collect()(0).getInt(0) == 3)
+    val localD = GraphOps.bfsDistancesFrom(edges, seedsInt, maxIter = 5)
+    val distD = GraphOps.bfsDistancesFrom(edges, seedsInt, maxIter = 5,
+      localFinishEdges = 0L)
+    assert(asSet(localD) == asSet(distD) && localD.count() == 4)
+  }
+
+  test("eigenvector: weighted and unweighted share one input contract") {
+    // self-loops dropped and ids stringified in BOTH variants, so
+    // relationshipWeightProperty never changes the yielded id dtype or
+    // the vertex arithmetic (review r8 ADVICE)
+    // no reciprocal directed pairs (those occurrence-sum to w=2 under
+    // the weighted contract, documented); self-loop on 2
+    val loops = Seq((1L, 2L, 1.0), (2L, 3L, 1.0), (3L, 1L, 1.0),
+      (2L, 2L, 1.0))
+      .toDF("src", "dst", "w")
+    val unw = GraphOps.eigenvector(loops.select(col("src"), col("dst")), iters = 6)
+    val wtd = GraphOps.eigenvector(loops, iters = 6, weightCol = Some("w"))
+    assert(unw.schema("id").dataType == org.apache.spark.sql.types.StringType)
+    assert(wtd.schema("id").dataType == org.apache.spark.sql.types.StringType)
+    val j = unw.select(col("id"), col("score").as("a"))
+      .join(wtd.select(col("id"), col("score").as("b")), Seq("id"), "full_outer")
+    assert(j.filter(col("a").isNull || col("b").isNull).count() == 0)
+    val maxDiff = j.agg(max(abs(col("a") - col("b")))).collect()(0).getDouble(0)
+    assert(maxDiff < 1e-9, s"uniform-weight vs unweighted drift: $maxDiff")
+  }
+
   test("degenerate inputs: empty edge frame") {
     val empty = Seq.empty[(String, String)].toDF("src", "dst")
     assert(GraphOps.pageRank(empty).count() == 0)
