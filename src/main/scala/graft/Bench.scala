@@ -22,6 +22,11 @@ object Bench {
     "g_louvain", "g_leiden", "g_fastrp",
     // IVF: quantizer training (distributed Lloyd) + probe search
     "e3_ivf",
+    // r9: forced-distributed twins (localFinishEdges = 0) of the three
+    // heaviest iterative families — every sf0.1 graph falls under the
+    // local-finisher gate, so without these the bench would no longer
+    // exercise the distributed plans that actually run at 100 TB
+    "g_pagerank_dist", "g_betweenness_dist", "g_louvain_dist",
     // the reference's core workload: full 1202-trace corpus → property
     // graph, rebuilt from the JSON every timed run
     "sg_build")

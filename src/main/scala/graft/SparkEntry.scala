@@ -74,6 +74,13 @@ object SparkEntry {
     "g_degree"     -> (GraphQueries.gDegree _),
     "g_topdeg"     -> (GraphQueries.gTopdeg _),
     "g_pagerank"   -> (GraphQueries.gPagerank _),
+    // forced-distributed twins (localFinishEdges = 0): the plans that
+    // run at 100 TB, bench-guarded now that sf0.1 graphs all fall
+    // under the local-finisher gate; g_pagerank_dist shares
+    // g_pagerank's oracle (the paths are equivalence-spec'd equal)
+    "g_pagerank_dist" -> (GraphQueries.gPagerankDist _),
+    "g_betweenness_dist" -> (GraphQueries.gBetweennessDist _),
+    "g_louvain_dist" -> (GraphQueries.gLouvainDist _),
     "g_ppr"        -> (GraphQueries.gPpr _),
     "g_triangles"  -> (GraphQueries.gTriangles _),
     "g_sssp"       -> (GraphQueries.gSssp _),
@@ -81,6 +88,7 @@ object SparkEntry {
     "g_paths"      -> (GraphQueries.gPaths _),
     "g_allpaths"   -> (GraphQueries.gAllPaths _),
     "g_louvain"    -> (GraphQueries.gLouvain _),
+    "g_modularity" -> (GraphQueries.gModularity _),
     "g_leiden"     -> (GraphQueries.gLeiden _),
     "g_fastrp"     -> (GraphQueries.gFastrp _),
     "sg_merge"     -> (GraphQueries.sgMerge _),
@@ -93,8 +101,10 @@ object SparkEntry {
     "g_clustercoef" -> (GraphQueries.gClusterCoef _),
     "g_closeness"  -> (GraphQueries.gCloseness _),
     "g_harmonic"   -> (GraphQueries.gHarmonic _),
-    // rows-only: Brandes sigma-fractions have no tractable SQL twin
+    // hop-10 full run stays rows-only (bench entry); the hop-4 twin
+    // below is DuckDB-gated via an unrolled level-by-level Brandes
     "g_betweenness" -> (GraphQueries.gBetweenness _),
+    "g_betweenness_sql" -> (GraphQueries.gBetweennessSql _),
     "g_kcore"      -> ((s, d) => GraphQueries.gKcore(s, d)),
     "n1_nodemerge" -> (GraphQueries.n1NodeMerge _),
     "n2_edgemerge" -> (GraphQueries.n2EdgeMerge _),
@@ -248,6 +258,24 @@ object SparkEntry {
   )
 
   /** DuckDB twins of the SQL-expressible queries above. */
+  private val pagerankOracle: String =
+    """WITH RECURSIVE e AS (
+      |  SELECT DISTINCT src, dst FROM (
+      |    SELECT 'p:'||l_partkey AS src, 's:'||l_suppkey AS dst FROM lineitem WHERE l_partkey % 20 = 0
+      |    UNION ALL
+      |    SELECT 's:'||l_suppkey, 'p:'||l_partkey FROM lineitem WHERE l_partkey % 20 = 0)),
+      |v AS (SELECT DISTINCT src AS id FROM e),
+      |deg AS (SELECT src, count(*) AS deg FROM e GROUP BY 1),
+      |pr AS (
+      |  SELECT 0 AS it, id, CAST(1.0 AS DOUBLE) AS rank FROM v
+      |  UNION ALL
+      |  SELECT it+1, dst AS id, 0.15 + 0.85*msum AS rank FROM (
+      |    SELECT p.it AS it, e.dst AS dst, sum(p.rank/deg.deg) AS msum
+      |    FROM pr p JOIN e ON e.src = p.id JOIN deg ON deg.src = e.src
+      |    WHERE p.it < 10 GROUP BY 1,2) s)
+      |SELECT id, round(rank,4) AS rank FROM pr WHERE it=10
+      |ORDER BY rank DESC, id LIMIT 20""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
@@ -534,23 +562,65 @@ object SparkEntry {
         |SELECT nt.id AS l_partkey, n_tri, deg,
         | floor(2.0*n_tri/(deg*(deg-1)) * 10000 + 0.5) / 10000 AS coef
         |FROM nt JOIN deg ON nt.id = deg.id ORDER BY 1""".stripMargin,
-    "g_pagerank" ->
-      """WITH RECURSIVE e AS (
-        |  SELECT DISTINCT src, dst FROM (
-        |    SELECT 'p:'||l_partkey AS src, 's:'||l_suppkey AS dst FROM lineitem WHERE l_partkey % 20 = 0
-        |    UNION ALL
-        |    SELECT 's:'||l_suppkey, 'p:'||l_partkey FROM lineitem WHERE l_partkey % 20 = 0)),
+    "g_pagerank" -> pagerankOracle,
+    // forced-distributed twin: SAME oracle — the distributed plan must
+    // produce exactly what the local finisher produces
+    "g_pagerank_dist" -> pagerankOracle,
+    // hop-4 Brandes, unrolled: forward σ-levels l0..l4 (σ_v = Σ over
+    // depth-(d−1) predecessors, anti-joined against prior levels),
+    // backward δ sweep d3..d1 (δ_u = σ_u·Σ (1+δ_w)/σ_w; the deepest
+    // level's δ is 0 and depth-0 rows are the roots themselves,
+    // excluded by id <> root). Halved (undirected), tie-safe rounding.
+    "g_betweenness_sql" ->
+      """WITH e0 AS (
+        |  SELECT DISTINCT 'p:'||l_partkey AS src, 's:'||l_suppkey AS dst
+        |  FROM lineitem WHERE l_partkey % 20 = 0),
+        |e AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
         |v AS (SELECT DISTINCT src AS id FROM e),
-        |deg AS (SELECT src, count(*) AS deg FROM e GROUP BY 1),
-        |pr AS (
-        |  SELECT 0 AS it, id, CAST(1.0 AS DOUBLE) AS rank FROM v
-        |  UNION ALL
-        |  SELECT it+1, dst AS id, 0.15 + 0.85*msum AS rank FROM (
-        |    SELECT p.it AS it, e.dst AS dst, sum(p.rank/deg.deg) AS msum
-        |    FROM pr p JOIN e ON e.src = p.id JOIN deg ON deg.src = e.src
-        |    WHERE p.it < 10 GROUP BY 1,2) s)
-        |SELECT id, round(rank,4) AS rank FROM pr WHERE it=10
-        |ORDER BY rank DESC, id LIMIT 20""".stripMargin,
+        |r AS (SELECT DISTINCT 'p:'||l_partkey AS id FROM lineitem WHERE l_partkey % 200 = 0),
+        |l0 AS (SELECT r.id AS root, r.id AS id, CAST(1 AS DOUBLE) AS sigma
+        |       FROM r JOIN v USING (id)),
+        |f1 AS (SELECT l.root, e.dst AS id, sum(l.sigma) AS sigma
+        |       FROM l0 l JOIN e ON e.src = l.id GROUP BY 1, 2),
+        |l1 AS (SELECT f.* FROM f1 f WHERE NOT EXISTS
+        |       (SELECT 1 FROM l0 p WHERE p.root = f.root AND p.id = f.id)),
+        |f2 AS (SELECT l.root, e.dst AS id, sum(l.sigma) AS sigma
+        |       FROM l1 l JOIN e ON e.src = l.id GROUP BY 1, 2),
+        |l2 AS (SELECT f.* FROM f2 f
+        |       WHERE NOT EXISTS (SELECT 1 FROM l0 p WHERE p.root = f.root AND p.id = f.id)
+        |         AND NOT EXISTS (SELECT 1 FROM l1 p WHERE p.root = f.root AND p.id = f.id)),
+        |f3 AS (SELECT l.root, e.dst AS id, sum(l.sigma) AS sigma
+        |       FROM l2 l JOIN e ON e.src = l.id GROUP BY 1, 2),
+        |l3 AS (SELECT f.* FROM f3 f
+        |       WHERE NOT EXISTS (SELECT 1 FROM l1 p WHERE p.root = f.root AND p.id = f.id)
+        |         AND NOT EXISTS (SELECT 1 FROM l2 p WHERE p.root = f.root AND p.id = f.id)),
+        |f4 AS (SELECT l.root, e.dst AS id, sum(l.sigma) AS sigma
+        |       FROM l3 l JOIN e ON e.src = l.id GROUP BY 1, 2),
+        |l4 AS (SELECT f.* FROM f4 f
+        |       WHERE NOT EXISTS (SELECT 1 FROM l2 p WHERE p.root = f.root AND p.id = f.id)
+        |         AND NOT EXISTS (SELECT 1 FROM l3 p WHERE p.root = f.root AND p.id = f.id)),
+        |d3 AS (SELECT u.root, u.id, u.sigma * sum(1.0 / w.sigma) AS delta
+        |       FROM l3 u JOIN e ON e.src = u.id
+        |       JOIN l4 w ON w.root = u.root AND w.id = e.dst
+        |       GROUP BY 1, 2, u.sigma),
+        |d2 AS (SELECT u.root, u.id,
+        |         u.sigma * sum((1.0 + coalesce(d.delta, 0.0)) / w.sigma) AS delta
+        |       FROM l2 u JOIN e ON e.src = u.id
+        |       JOIN l3 w ON w.root = u.root AND w.id = e.dst
+        |       LEFT JOIN d3 d ON d.root = u.root AND d.id = w.id
+        |       GROUP BY 1, 2, u.sigma),
+        |d1 AS (SELECT u.root, u.id,
+        |         u.sigma * sum((1.0 + coalesce(d.delta, 0.0)) / w.sigma) AS delta
+        |       FROM l1 u JOIN e ON e.src = u.id
+        |       JOIN l2 w ON w.root = u.root AND w.id = e.dst
+        |       LEFT JOIN d2 d ON d.root = u.root AND d.id = w.id
+        |       GROUP BY 1, 2, u.sigma),
+        |b AS (SELECT id, sum(delta) AS b FROM (
+        |        SELECT * FROM d1 UNION ALL SELECT * FROM d2 UNION ALL SELECT * FROM d3)
+        |      WHERE id <> root GROUP BY id)
+        |SELECT id, floor(b / 2 * 1000000 + 0.5) / 1000000 AS betweenness
+        |FROM b WHERE floor(b / 2 * 1000000 + 0.5) / 1000000 > 0
+        |ORDER BY id""".stripMargin,
     "g_ppr" ->
       """WITH RECURSIVE e AS (
         |  SELECT DISTINCT src, dst FROM (
@@ -609,6 +679,35 @@ object SparkEntry {
         |  QUALIFY row_number() OVER (PARTITION BY it, dst ORDER BY cnt DESC, community) = 1)
         |SELECT community, count(*) AS size FROM lp WHERE it = 5
         |GROUP BY 1 ORDER BY size DESC, community""".stripMargin,
+    // modularity of the SQL-replayable LPA partition: Q = internal/2m −
+    // Σtot²/(2m)² from exact integer counts (same double ops as the
+    // Scala side); louvain_ge_lpa pinned 1 = the quality floor
+    "g_modularity" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT DISTINCT src, dst FROM (
+        |    SELECT 'p:'||l_partkey AS src, 's:'||l_suppkey AS dst FROM lineitem WHERE l_partkey % 20 = 0
+        |    UNION ALL
+        |    SELECT 's:'||l_suppkey, 'p:'||l_partkey FROM lineitem WHERE l_partkey % 20 = 0)),
+        |v AS (SELECT DISTINCT src AS id FROM e),
+        |lp AS (
+        |  SELECT 0 AS it, id, id AS community FROM v
+        |  UNION ALL
+        |  SELECT it+1 AS it, dst AS id, community FROM (
+        |    SELECT p.it AS it, e.dst AS dst, p.community AS community, count(*) AS cnt
+        |    FROM lp p JOIN e ON e.src = p.id
+        |    WHERE p.it < 5 GROUP BY 1,2,3) c
+        |  QUALIFY row_number() OVER (PARTITION BY it, dst ORDER BY cnt DESC, community) = 1),
+        |assign AS (SELECT id, community FROM lp WHERE it = 5),
+        |m AS (SELECT CAST(count(*) AS DOUBLE) AS m2 FROM e),
+        |i AS (SELECT CAST(count(*) AS DOUBLE) AS intw FROM e
+        |      JOIN assign a1 ON a1.id = e.src JOIN assign a2 ON a2.id = e.dst
+        |      WHERE a1.community = a2.community),
+        |deg AS (SELECT src AS id, CAST(count(*) AS DOUBLE) AS k FROM e GROUP BY 1),
+        |tot AS (SELECT a.community, sum(d.k) AS t FROM deg d JOIN assign a ON a.id = d.id GROUP BY 1),
+        |t2 AS (SELECT sum(t*t) AS s FROM tot)
+        |SELECT floor((i.intw/m.m2 - t2.s/(m.m2*m.m2)) * 1000000 + 0.5)/1000000 AS q_lpa,
+        |       CAST(1 AS BIGINT) AS louvain_ge_lpa
+        |FROM i, m, t2""".stripMargin,
     "g_sssp" ->
       """WITH RECURSIVE base AS (
         |  SELECT DISTINCT 'p:'||l_partkey AS a, 's:'||l_suppkey AS b,

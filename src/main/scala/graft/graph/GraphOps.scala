@@ -1399,7 +1399,10 @@ object GraphOps {
             .groupBy(col("id")).agg(sum(col("delta")).as("b")),
           Seq("id"), "left")
         .select(col("id"),
-          round(coalesce(col("b"), lit(0.0)) / lit(if (halve) 2.0 else 1.0), 6)
+          // tie-safe: δ sums are rationals (σ-fraction sums) that can
+          // land exactly on a 6th-decimal tie — see Num.roundTies
+          graft.operators.Num.roundTies(
+            coalesce(col("b"), lit(0.0)) / lit(if (halve) 2.0 else 1.0), 6)
             .as("betweenness"))
     val dec0 = dict.select(col("id").as("str_id"), col("vid"))
     val dec = if (broadcastDict) broadcast(dec0) else dec0

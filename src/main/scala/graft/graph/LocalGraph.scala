@@ -310,9 +310,12 @@ private[graft] object LocalGraph {
     val total = new Array[Double](g.n)
     partials.foreach { p => var v = 0; while (v < g.n) { total(v) += p(v); v += 1 } }
     val div = if (halve) 2.0 else 1.0
+    // rounding = Num.roundTies(…, 6) in double arithmetic — the SAME
+    // floor(x·1e6 + 0.5)/1e6 the distributed path and the DuckDB
+    // oracle compute, so all three agree bit-for-bit on rational δ sums
     Some(frame(spark, (0 until g.n).map { v =>
       Row(g.ids(v).asInstanceOf[String],
-        BigDecimal(total(v) / div).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+        math.floor(total(v) / div * 1e6 + 0.5) / 1e6)
     }, StructField("id", StringType), StructField("betweenness", DoubleType)))
   }
 

@@ -89,6 +89,20 @@ object GraphQueries {
       .orderBy(col("rank").desc, col("id"))
       .limit(20)
 
+  /** Forced-distributed twin of [[gPagerank]] (`localFinishEdges = 0`):
+    * every sf0.1 graph falls under the 250k-edge local-finisher gate,
+    * so without these twins the bench would only exercise the in-memory
+    * mirrors — the DISTRIBUTED plans are the ones that run at 100 TB,
+    * and they need a per-round regression guard of their own. Results
+    * are identical by the local≡distributed equivalence specs (and this
+    * entry shares g_pagerank's DuckDB oracle verbatim). */
+  def gPagerankDist(s: SparkSession, dir: String): DataFrame =
+    GraphOps.pageRank(GraphOps.undirected(TestGraph.partSupplierEdges(s, dir)),
+        iters = 10, localFinishEdges = 0L)
+      .select(col("id"), round(col("rank"), 4).as("rank"))
+      .orderBy(col("rank").desc, col("id"))
+      .limit(20)
+
   /** B16 — personalized PageRank on the testdata graph, DuckDB-gated
     * (the corpus-graph `sg_ppr` stays rows-only — DuckDB never sees
     * that graph). Seeds: every 5th part node; fixed 10 iterations so
@@ -189,6 +203,39 @@ object GraphQueries {
       .orderBy(col("id"))
   }
 
+  /** B20 gate — hop-4 Brandes betweenness from the deterministic root
+    * subset, DuckDB-ORACLE-GATED: the oracle unrolls the exact forward
+    * σ-level recurrence (σ_v = Σ over depth-(d−1) predecessors) and the
+    * backward δ sweep (δ_u = σ_u·Σ (1+δ_w)/σ_w) as plain CTE stages —
+    * no path enumeration, O(|E|) per level, the same arithmetic the
+    * engine runs. Hop 4 keeps the unrolled SQL readable; the full
+    * hop-10 run stays the rows-only `g_betweenness` bench entry.
+    * Rounding = Num.roundTies(…, 6) on all three implementations
+    * (local mirror, distributed sweep, oracle) — δ sums are rational
+    * σ-fraction sums, the exact tie class. */
+  def gBetweennessSql(s: SparkSession, dir: String): DataFrame = {
+    val roots = graft.Tables.lineitem(s, dir)
+      .filter(col("l_partkey") % 200 === 0)
+      .select(concat(lit("p:"), col("l_partkey")).as("id")).distinct()
+    GraphOps.betweenness(
+        GraphOps.undirected(TestGraph.partSupplierEdges(s, dir)), roots, maxIter = 4,
+        undirectedInput = true)
+      .filter(col("betweenness") > 0)
+      .orderBy(col("id"))
+  }
+
+  /** Forced-distributed Brandes twin (see [[gPagerankDist]]'s rationale). */
+  def gBetweennessDist(s: SparkSession, dir: String): DataFrame = {
+    val roots = graft.Tables.lineitem(s, dir)
+      .filter(col("l_partkey") % 200 === 0)
+      .select(concat(lit("p:"), col("l_partkey")).as("id")).distinct()
+    GraphOps.betweenness(
+        GraphOps.undirected(TestGraph.partSupplierEdges(s, dir)), roots, maxIter = 10,
+        undirectedInput = true, localFinishEdges = 0L)
+      .filter(col("betweenness") > 0)
+      .orderBy(col("id"))
+  }
+
   /** B12 — GDS-style node similarity: Jaccard over supplier neighbor
     * sets of the (sparsified) part—supplier graph. */
   def gNodesim(s: SparkSession, dir: String): DataFrame =
@@ -231,6 +278,31 @@ object GraphQueries {
     * by the two-clique fixture + modularity-monotonicity specs). */
   def gLouvain(s: SparkSession, dir: String): DataFrame =
     GraphOps.louvain(TestGraph.partSupplierEdges(s, dir))
+      .groupBy(col("community")).agg(count(lit(1)).as("size"))
+      .orderBy(col("size").desc, col("community"))
+
+  /** B22 gate — modularity() DuckDB-ORACLE-GATED: Q of the LPA
+    * partition (the partition DuckDB can replay exactly — g_lpa's
+    * recursive CTE), computed by [[GraphOps.modularity]] on the Spark
+    * side and by the closed-form Q = internal/2m − Σtot²/(2m)² on the
+    * oracle side from exact integer counts (identical doubles,
+    * tie-safe rounded). Second column: the quality floor — louvain's Q
+    * on the same graph must be ≥ the LPA partition's Q (louvain
+    * optimizes Q; LPA doesn't) — the oracle pins it to 1, so a louvain
+    * regression that drops below the LPA floor goes red in the gate. */
+  def gModularity(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = TestGraph.partSupplierEdges(s, dir)
+    val qLpa = GraphOps.modularity(e, GraphOps.labelPropagation(e, iters = 5))
+    val qLouvain = GraphOps.modularity(e, GraphOps.louvain(e))
+    Seq((math.floor(qLpa * 1e6 + 0.5) / 1e6,
+      if (qLouvain >= qLpa) 1L else 0L)).toDF("q_lpa", "louvain_ge_lpa")
+  }
+
+  /** Forced-distributed Louvain twin (see [[gPagerankDist]]'s rationale):
+    * every level runs the distributed move/contraction rounds. */
+  def gLouvainDist(s: SparkSession, dir: String): DataFrame =
+    GraphOps.louvain(TestGraph.partSupplierEdges(s, dir), localFinishEdges = 0L)
       .groupBy(col("community")).agg(count(lit(1)).as("size"))
       .orderBy(col("size").desc, col("community"))
 
