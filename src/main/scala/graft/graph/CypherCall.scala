@@ -305,11 +305,13 @@ object CypherCall {
         GraphOps.kCore(selectEdges(n, ed, cfg), cfg.int("k", 0))
           .select(col("id"), col("deg").as("degree"))
       }),
-    "closeness" -> Proc(Seq("id", "score"), Set("sourceNodes", "maxDepth"),
+    "closeness" -> Proc(Seq("id", "score"),
+      Set("sourceNodes", "maxDepth", "relationshipWeightProperty"),
       (n, ed, cfg) => {
-        val e = selectEdges(n, ed, cfg)
+        val (ed2, wcol) = resolveWeightProp(ed, cfg)
+        val e = selectEdges(n, ed2, cfg)
         val roots = cfg.strs("sourceNodes").map(seedFrame(ed, _)).getOrElse(allVertices(e))
-        GraphOps.closeness(e, roots, cfg.int("maxDepth", 20))
+        GraphOps.closeness(e, roots, cfg.int("maxDepth", 20), weightCol = wcol)
           .select(col("id"), col("closeness").as("score"))
       }),
     "harmonic" -> Proc(Seq("id", "score"), Set("sourceNodes", "maxDepth"),
@@ -320,15 +322,19 @@ object CypherCall {
           .select(col("id"), col("harmonic").as("score"))
       }),
     "betweenness" -> Proc(Seq("id", "score"),
-      Set("sourceNodes", "maxDepth", "undirectedInput"),
+      Set("sourceNodes", "maxDepth", "undirectedInput", "relationshipWeightProperty"),
       (n, ed, cfg) => {
-        val e = selectEdges(n, ed, cfg)
+        val (ed2, wcol) = resolveWeightProp(ed, cfg)
+        val e = selectEdges(n, ed2, cfg)
         // sourceNodes = GDS's samplingSize idea made explicit: Brandes
-        // roots. halve pairs with the symmetrized-input fast path.
+        // roots. halve pairs with the symmetrized-input fast path
+        // (weighted path does its own pair dedup — undirectedInput is
+        // only the unweighted BFS shortcut, halve applies to both).
         val undirected = cfg.bool("undirectedInput", false)
         val roots = cfg.strs("sourceNodes").map(seedFrame(ed, _)).getOrElse(allVertices(e))
         GraphOps.betweenness(e, roots, cfg.int("maxDepth", 20),
-            halve = undirected, undirectedInput = undirected)
+            halve = undirected, undirectedInput = undirected && wcol.isEmpty,
+            weightCol = wcol)
           .select(col("id"), col("betweenness").as("score"))
       }),
     "bfs" -> Proc(Seq("id", "dist"), Set("sourceNodes", "maxDepth"),

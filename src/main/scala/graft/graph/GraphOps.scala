@@ -1164,21 +1164,76 @@ object GraphOps {
     visited
   }
 
+  /** Keyed multi-source weighted shortest distances — the weighted twin
+    * of [[bfsDistancesFrom]]: returns (root, id, dist) where dist is
+    * the minimum total weight over paths of ≤ `maxIter` edges
+    * (hop-bounded Bellman-Ford — exact SSSP once maxIter ≥ the
+    * weighted-shortest-path hop diameter). Frontier-based: only
+    * (root, id) pairs whose distance improved propagate, so settled
+    * regions stop costing; every round is one equi-join + one
+    * (root, id)-keyed min + one anti-join. `dist` is DOUBLE (sums of
+    * the weight column — exact for integer-valued weights). */
+  def ssspFrom(edges: DataFrame, roots: DataFrame, maxIter: Int = 10,
+               weightCol: String = "w"): DataFrame = {
+    val e = edges.select(col("src"), col("dst"),
+        col(weightCol).cast("double").as("w")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var dist = roots.select(col("id").cast(e.schema("src").dataType).as("id"))
+      .filter(col("id").isNotNull).distinct()
+      .select(col("id").as("root"), col("id"), lit(0.0).as("dist"))
+      .localCheckpoint()
+    var frontier = dist
+    var n = frontier.count()
+    var iter = 0
+    while (iter < maxIter && n > 0) {
+      iter += 1
+      val cand = frontier.join(e, frontier("id") === e("src"))
+        .select(col("root"), e("dst").as("id"), (col("dist") + col("w")).as("nd"))
+        .groupBy(col("root"), col("id")).agg(min(col("nd")).as("nd"))
+      val improved = cand
+        .join(dist.select(col("root").as("o_root"), col("id").as("o_id"),
+            col("dist").as("od")),
+          cand("root") === col("o_root") && cand("id") === col("o_id"), "left")
+        .filter(col("od").isNull || col("nd") < col("od"))
+        .select(col("root"), col("id"), col("nd").as("dist"))
+        .localCheckpoint()
+      n = improved.count()
+      if (n > 0)
+        dist = dist
+          .join(improved.select(col("root").as("i_root"), col("id").as("i_id")),
+            dist("root") === col("i_root") && dist("id") === col("i_id"), "left_anti")
+          .unionByName(improved).localCheckpoint()
+      frontier = improved
+    }
+    e.unpersist()
+    dist
+  }
+
   /** B18 — closeness centrality: closeness(v) = reached / Σ dist(v, u)
     * over the vertices u ≠ v reachable from v within `maxIter` hops
     * (the GDS-style components-aware variant — no global (n−1)
     * numerator, so disconnected graphs don't drown every score).
     * Roots with no reachable vertex are omitted. All roots run as ONE
-    * multi-source keyed BFS. */
-  def closeness(edges: DataFrame, roots: DataFrame, maxIter: Int = 20): DataFrame =
-    bfsDistancesFrom(edges, roots, maxIter)
-      .filter(col("dist") > 0)
+    * multi-source keyed BFS.
+    *
+    * `weightCol` (GDS relationshipWeightProperty): distances come from
+    * the keyed weighted Bellman-Ford ([[ssspFrom]]) instead of the hop
+    * BFS — closeness = reached / Σ weighted dist; maxIter bounds path
+    * EDGES, not weight. */
+  def closeness(edges: DataFrame, roots: DataFrame, maxIter: Int = 20,
+                weightCol: Option[String] = None): DataFrame = {
+    val d = weightCol match {
+      case Some(wc) => ssspFrom(edges, roots, maxIter, wc)
+      case None => bfsDistancesFrom(edges, roots, maxIter)
+    }
+    d.filter(col("dist") > 0)
       .groupBy(col("root").as("id"))
       .agg(count(lit(1)).as("reached"), sum(col("dist")).as("total"))
       .select(col("id"),
         // tie-safe rounding: reached/Σdist is an exact rational — see Num.roundTies
         graft.operators.Num.roundTies(
           col("reached").cast("double") / col("total"), 6).as("closeness"))
+  }
 
   /** B19 — harmonic centrality: harmonic(v) = Σ 1/dist(v, u) over
     * reachable u ≠ v (the centrality that stays meaningful on
@@ -1226,7 +1281,14 @@ object GraphOps {
     * (the output id column is string). */
   def betweenness(edges: DataFrame, roots: DataFrame, maxIter: Int = 20,
                   halve: Boolean = true, undirectedInput: Boolean = false,
-                  localFinishEdges: Long = 250000L): DataFrame = {
+                  localFinishEdges: Long = 250000L,
+                  weightCol: Option[String] = None): DataFrame = {
+    // weighted (GDS relationshipWeightProperty): a DIFFERENT algorithm,
+    // not a parameter — Dijkstra/Bellman-Ford-based Brandes over the
+    // weighted shortest-path DAG (see [[betweennessWeighted]])
+    weightCol.foreach { wc =>
+      return betweennessWeighted(edges, roots, maxIter, halve, wc, localFinishEdges)
+    }
     val spark = edges.sparkSession
     import spark.implicits._
     // Dense LONG vertex ids for the whole iteration: every shuffle,
@@ -1413,6 +1475,176 @@ object GraphOps {
     // severed level blocks are method-local: the ContextCleaner frees
     // them on GC (see Borrow.severLazy), warning-free.
     graft.Borrow.reclaim(summed, eStr, e, dict)
+  }
+
+  /** B20w — WEIGHTED betweenness (Dijkstra-based Brandes), as four
+    * keyed-frame phases. The unweighted sweep's level-synchronous trick
+    * (every successor exactly one BFS level deeper) does not hold on
+    * weighted shortest-path DAGs, so the phases synchronize on the
+    * LONGEST-PATH LAYERING of the DAG instead:
+    *
+    *  A. hop-bounded synchronous Bellman-Ford over (root, id) state
+    *     carrying (dist, hops) where hops = the max edge count over
+    *     minimal-weight paths — refined as (min dist, then max hops).
+    *     Every DAG edge strictly increases hops, so hops IS a valid
+    *     topological layering with ≤ maxIter layers.
+    *  B. the shortest-path DAG: edges with dist(u) + w = dist(v) per
+    *     root (exact for integer-valued weights; float weights may
+    *     split ties by ulp — same caveat as every engine's weighted
+    *     Brandes).
+    *  C. σ by DAG-path counting: p_k(v) = paths of exactly k DAG
+    *     edges, propagated frontier-style (one join + keyed sum per
+    *     round, like the unweighted BFS); σ = Σ_k p_k. Terminates
+    *     because every DAG path has ≤ maxIter edges (layer bound).
+    *  D. backward δ by layer, deepest first: δ(u) = σ_u·Σ over DAG
+    *     successors w of (1+δ_w)/σ_w. Successors may sit ANY number of
+    *     layers deeper, so each finalized layer emits its
+    *     (1+δ)/σ contributions into severed cached pool frames and
+    *     each layer aggregates the pool filtered to its own vertices —
+    *     the cached-leaf-union pattern the unweighted DIRECTED dedup
+    *     already uses. O(layers) pool scans; layers ≤ maxIter.
+    *
+    * Parallel edges collapse to their minimum weight first (only
+    * minimal-weight paths matter; σ counts simple-graph paths — the
+    * local mirror and the oracle do the same). Weights must be
+    * strictly positive and non-null (loud probe — zero/negative
+    * weights break the DAG layering). Ids compare as strings, output
+    * (id, betweenness) over every vertex, halved when `halve`,
+    * tie-safe-rounded at 6. Below `localFinishEdges` an exact
+    * in-memory mirror runs instead ([[LocalGraph.betweennessWeighted]]).
+    *
+    * Scale note: state is |roots|·|V| keyed rows like the unweighted
+    * path; the dense-long vertex encoding the unweighted path uses is
+    * directly applicable here if weighted betweenness becomes a hot
+    * path — phases A–D only key on (root, id). */
+  private def betweennessWeighted(edges0: DataFrame, roots: DataFrame,
+                                  maxIter: Int, halve: Boolean, weightCol: String,
+                                  localFinishEdges: Long): DataFrame = {
+    val spark = edges0.sparkSession
+    val e = edges0.select(col("src").cast("string").as("src"),
+        col("dst").cast("string").as("dst"),
+        col(weightCol).cast("double").as("w"))
+      .groupBy(col("src"), col("dst")).agg(min(col("w")).as("w"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val eCount = e.count() // materializes the persist either way
+    require(e.filter(col("w").isNull || col("w") <= 0).limit(1).count() == 0,
+      s"betweenness: weight column '$weightCol' must be strictly positive and " +
+        "non-null on every edge (null/zero/negative weights break shortest-path " +
+        "DAG layering)")
+    if (eCount <= localFinishEdges) {
+      val rootArr = roots.select(col("id").cast("string").as("id")).distinct()
+        .limit(localFinishEdges.toInt + 1).collect().map(_.getString(0))
+      if (rootArr.length <= localFinishEdges) {
+        val triples = e.collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
+        LocalGraph.betweennessWeighted(spark, triples, rootArr, maxIter, halve)
+          .foreach { out => e.unpersist(); return out }
+      }
+    }
+    val vset = e.select(col("src").as("id")).union(e.select(col("dst").as("id")))
+      .distinct().persist(StorageLevel.MEMORY_AND_DISK)
+    // ---- phase A: (dist, hops) fixpoint --------------------------
+    var state = graft.Borrow.severLazy(
+      roots.select(col("id").cast("string").as("id")).distinct()
+        .join(vset, Seq("id"), "left_semi")
+        .select(col("id").as("root"), col("id"), lit(0.0).as("dist"),
+          lit(0).as("hops")))
+    var frontier = state
+    var n = frontier.count()
+    var iter = 0
+    while (iter < maxIter && n > 0) {
+      iter += 1
+      val cand = frontier.join(e, frontier("id") === e("src"))
+        .select(col("root"), e("dst").as("id"),
+          (col("dist") + col("w")).as("nd"), (col("hops") + 1).as("nh"))
+        .groupBy(col("root"), col("id"))
+        // (min dist, then max hops): struct min compares nd first,
+        // negated hops second
+        .agg(min(struct(col("nd"), (-col("nh")).as("mh"))).as("b"))
+        .select(col("root"), col("id"), col("b.nd").as("nd"), (-col("b.mh")).as("nh"))
+      val improved = graft.Borrow.severLazy(cand
+        .join(state.select(col("root").as("o_root"), col("id").as("o_id"),
+            col("dist").as("od"), col("hops").as("oh")),
+          cand("root") === col("o_root") && cand("id") === col("o_id"), "left")
+        .filter(col("od").isNull || col("nd") < col("od") ||
+          (col("nd") === col("od") && col("nh") > col("oh")))
+        .select(col("root"), col("id"), col("nd").as("dist"), col("nh").as("hops")))
+      n = improved.count()
+      if (n > 0)
+        state = graft.Borrow.severLazy(
+          state.join(improved.select(col("root").as("i_root"), col("id").as("i_id")),
+              state("root") === col("i_root") && state("id") === col("i_id"),
+              "left_anti")
+            .unionByName(improved))
+      frontier = improved
+    }
+    // ---- phase B: shortest-path DAG ------------------------------
+    val du = state.select(col("root").as("d_root"), col("id").as("u"),
+      col("dist").as("ud"))
+    val dv = state.select(col("root").as("v_root"), col("id").as("v"),
+      col("dist").as("vd"))
+    val dag = e.join(du, e("src") === col("u"))
+      .join(dv, col("d_root") === col("v_root") && e("dst") === col("v"))
+      .filter(col("ud") + col("w") === col("vd"))
+      .select(col("d_root").as("droot"), col("u"), col("v"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // ---- phase C: σ = DAG-path counts, frontier-propagated -------
+    var pfront = graft.Borrow.severLazy(
+      state.filter(col("hops") === 0).select(col("root"), col("id"), lit(1L).as("p")))
+    var sigmaParts = List(pfront)
+    n = pfront.count()
+    var k = 0
+    while (n > 0 && k < maxIter) {
+      k += 1
+      val nxt = graft.Borrow.severLazy(
+        pfront.join(dag, pfront("root") === dag("droot") && pfront("id") === dag("u"))
+          .groupBy(col("droot").as("root"), col("v").as("id"))
+          .agg(sum(col("p")).as("p")))
+      n = nxt.count()
+      if (n > 0) sigmaParts ::= nxt
+      pfront = nxt
+    }
+    val sigma = sigmaParts.map(_.select(col("root"), col("id"), col("p")))
+      .reduce(_ unionByName _)
+      .groupBy(col("root"), col("id")).agg(sum(col("p")).as("sigma"))
+    val sigmaState = state.join(sigma, Seq("root", "id"))
+      .select(col("root"), col("id"), col("hops"), col("sigma"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val maxLvlRow = sigmaState.agg(max(col("hops"))).collect()(0)
+    val maxLvl = if (maxLvlRow.isNullAt(0)) 0 else maxLvlRow.getInt(0)
+    // ---- phase D: backward δ by layer, deepest first -------------
+    var pool = List.empty[DataFrame]
+    var deltas = List.empty[DataFrame]
+    for (lvl <- maxLvl to 1 by -1) {
+      val atLvl = sigmaState.filter(col("hops") === lvl)
+      val dlvl = graft.Borrow.severLazy(
+        (if (pool.isEmpty) atLvl.withColumn("cs", lit(0.0))
+         else atLvl.join(
+             pool.reduce(_ unionByName _)
+               .groupBy(col("root"), col("id")).agg(sum(col("c")).as("cs")),
+             Seq("root", "id"), "left")
+           .withColumn("cs", coalesce(col("cs"), lit(0.0))))
+        .select(col("root"), col("id"), col("sigma"),
+          (col("sigma").cast("double") * col("cs")).as("delta")))
+      val em = graft.Borrow.severLazy(
+        dlvl.join(dag, dlvl("root") === dag("droot") && dlvl("id") === dag("v"))
+          .select(col("droot").as("root"), col("u").as("id"),
+            ((lit(1.0) + col("delta")) / col("sigma").cast("double")).as("c"))
+          .groupBy(col("root"), col("id")).agg(sum(col("c")).as("c")))
+      pool ::= em
+      deltas ::= dlvl.select(col("root"), col("id"), col("delta"))
+    }
+    val out =
+      if (deltas.isEmpty) vset.withColumn("betweenness", lit(0.0))
+      else vset.join(
+          deltas.reduce(_ unionByName _)
+            .filter(col("id") =!= col("root"))
+            .groupBy(col("id")).agg(sum(col("delta")).as("b")),
+          Seq("id"), "left")
+        .select(col("id"),
+          graft.operators.Num.roundTies(
+            coalesce(col("b"), lit(0.0)) / lit(if (halve) 2.0 else 1.0), 6)
+            .as("betweenness"))
+    graft.Borrow.reclaim(out, e, vset, dag, sigmaState)
   }
 
   /** Per-vertex triangle count over the undirected simple graph.

@@ -319,6 +319,146 @@ private[graft] object LocalGraph {
     }, StructField("id", StringType), StructField("betweenness", DoubleType)))
   }
 
+  /** [[GraphOps]] WEIGHTED-betweenness mirror: the same four phases as
+    * the distributed path — synchronous hop-bounded Bellman-Ford
+    * carrying (dist, max-hops), shortest-path DAG membership by exact
+    * double equality dist(u)+w == dist(v) (identical operands on both
+    * paths → identical doubles), σ as DAG-path counts by layer, δ by
+    * layer descending — on driver arrays. Triples arrive already
+    * min-collapsed per (src, dst). */
+  def betweennessWeighted(spark: SparkSession,
+                          triples: Array[(String, String, Double)],
+                          roots: Array[String], maxIter: Int, halve: Boolean,
+                          maxEdgeVisits: Long = 2L * 1000 * 1000 * 1000): Option[DataFrame] = {
+    val index = new java.util.HashMap[String, Int]()
+    val idBuf = scala.collection.mutable.ArrayBuffer.empty[String]
+    def enc(x: String): Int =
+      if (index.containsKey(x)) index.get(x)
+      else { val i = idBuf.length; index.put(x, i); idBuf += x; i }
+    triples.foreach { case (s, d, _) => enc(s); enc(d) }
+    val nV = idBuf.length
+    val rootIdx = roots.distinct.filter(index.containsKey(_)).map(index.get(_))
+    // Bellman-Ford re-relaxes edges each round: |roots|·|E|·rounds work
+    if (rootIdx.length.toLong * triples.length * math.max(1, maxIter) > maxEdgeVisits)
+      return None
+    val outTo = Array.fill(nV)(scala.collection.mutable.ArrayBuffer.empty[Int])
+    val outW = Array.fill(nV)(scala.collection.mutable.ArrayBuffer.empty[Double])
+    val inFrom = Array.fill(nV)(scala.collection.mutable.ArrayBuffer.empty[Int])
+    val inW = Array.fill(nV)(scala.collection.mutable.ArrayBuffer.empty[Double])
+    triples.foreach { case (s, d, w) =>
+      val si = index.get(s); val di = index.get(d)
+      outTo(si) += di; outW(si) += w; inFrom(di) += si; inW(di) += w
+    }
+    val ids = idBuf.toArray
+    val nChunks = math.max(1, math.min(rootIdx.length,
+      Runtime.getRuntime.availableProcessors))
+    val chunks = rootIdx.grouped(
+      math.max(1, (rootIdx.length + nChunks - 1) / nChunks)).toArray
+    val partials = chunks.par.map { chunk =>
+      val acc = new Array[Double](nV)
+      val dist = new Array[Double](nV)
+      val hops = new Array[Int](nV)
+      val sigma = new Array[Long](nV)
+      val delta = new Array[Double](nV)
+      chunk.foreach { s =>
+        java.util.Arrays.fill(dist, Double.PositiveInfinity)
+        java.util.Arrays.fill(hops, -1)
+        dist(s) = 0.0; hops(s) = 0
+        // phase A: synchronous rounds — candidates aggregate (min nd,
+        // then max nh) per target BEFORE comparing to state, exactly
+        // like the distributed groupBy-then-filter
+        var frontier = Array(s)
+        var iter = 0
+        while (iter < maxIter && frontier.nonEmpty) {
+          iter += 1
+          val candD = new java.util.HashMap[Int, Double]()
+          val candH = new java.util.HashMap[Int, Int]()
+          frontier.foreach { u =>
+            val ts = outTo(u); val ws = outW(u)
+            var j = 0
+            while (j < ts.length) {
+              val v = ts(j); val nd = dist(u) + ws(j); val nh = hops(u) + 1
+              val od = candD.getOrDefault(v, Double.PositiveInfinity)
+              if (nd < od || (nd == od && nh > candH.get(v))) {
+                candD.put(v, nd); candH.put(v, nh)
+              }
+              j += 1
+            }
+          }
+          val improved = scala.collection.mutable.ArrayBuffer.empty[Int]
+          candD.forEach { (v, nd) =>
+            val nh = candH.get(v)
+            if (nd < dist(v) || (nd == dist(v) && nh > hops(v))) {
+              dist(v) = nd; hops(v) = nh; improved += v
+            }
+          }
+          frontier = improved.toArray
+        }
+        // layer buckets (reached only)
+        var maxLvl = 0
+        var v = 0
+        while (v < nV) { if (hops(v) > maxLvl) maxLvl = hops(v); v += 1 }
+        val buckets = Array.fill(maxLvl + 1)(scala.collection.mutable.ArrayBuffer.empty[Int])
+        v = 0
+        while (v < nV) { if (hops(v) >= 0) buckets(hops(v)) += v; v += 1 }
+        // phase C: σ = DAG paths of ≤ maxIter edges, by p_k frontier
+        // propagation — the EXACT distributed formulation (a layer-DP
+        // over the full DAG would also count longer-than-maxIter DAG
+        // paths, which exist when the hop bound binds on
+        // prefix-suboptimal minimal walks)
+        java.util.Arrays.fill(sigma, 0L)
+        sigma(s) = 1L
+        var pfront = new java.util.HashMap[Int, Long]()
+        pfront.put(s, 1L)
+        var kk = 0
+        while (kk < maxIter && !pfront.isEmpty) {
+          kk += 1
+          val nxt = new java.util.HashMap[Int, Long]()
+          pfront.forEach { (u, p) =>
+            val ts = outTo(u); val ws = outW(u)
+            var j = 0
+            while (j < ts.length) {
+              val w0 = ts(j)
+              if (hops(w0) >= 0 && dist(u) + ws(j) == dist(w0))
+                nxt.merge(w0, p, (a: Long, b: Long) => a + b)
+              j += 1
+            }
+          }
+          nxt.forEach { (v2, p) => sigma(v2) += p }
+          pfront = nxt
+        }
+        // phase D: δ by layer descending; only STRICTLY deeper-layer
+        // successors contribute (the distributed pool only ever holds
+        // emissions from layers already finalized — i.e. deeper ones)
+        java.util.Arrays.fill(delta, 0.0)
+        var lvl = maxLvl
+        while (lvl >= 1) {
+          buckets(lvl).foreach { u =>
+            var s2 = 0.0
+            val ts = outTo(u); val ws = outW(u)
+            var j = 0
+            while (j < ts.length) {
+              val w0 = ts(j)
+              if (hops(w0) > hops(u) && dist(u) + ws(j) == dist(w0))
+                s2 += (1.0 + delta(w0)) / sigma(w0).toDouble
+              j += 1
+            }
+            delta(u) = sigma(u).toDouble * s2
+            if (u != s) acc(u) += delta(u)
+          }
+          lvl -= 1
+        }
+      }
+      acc
+    }.seq
+    val total = new Array[Double](nV)
+    partials.foreach { p => var v = 0; while (v < nV) { total(v) += p(v); v += 1 } }
+    val div = if (halve) 2.0 else 1.0
+    Some(frame(spark, (0 until nV).map { v =>
+      Row(ids(v), math.floor(total(v) / div * 1e6 + 0.5) / 1e6)
+    }, StructField("id", StringType), StructField("betweenness", DoubleType)))
+  }
+
   /** [[GraphOps.eigenvector]] mirror: power iteration over the
     * (symmetrized) edge list, L2-normalized per iteration — the same
     * per-round normalization the distributed loop and the DuckDB

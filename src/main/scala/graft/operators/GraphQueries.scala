@@ -236,6 +236,40 @@ object GraphQueries {
       .orderBy(col("id"))
   }
 
+  /** B18w gate — WEIGHTED closeness (relationshipWeightProperty) over
+    * the symmetrized weighted part–supplier graph from a deterministic
+    * supplier root subset: closeness = reached / Σ weighted dist, with
+    * distances from the keyed hop-bounded Bellman-Ford
+    * ([[GraphOps.ssspFrom]]). Oracle: bounded state-dedup walk CTE
+    * (the g_sssp twin, multi-root). */
+  def gWCloseness(s: SparkSession, dir: String): DataFrame = {
+    val we = TestGraph.weightedPartSupplierEdges(s, dir)
+    val sym = we.unionByName(
+      we.select(col("dst").as("src"), col("src").as("dst"), col("w"))).distinct()
+    val roots = we.select(col("dst").as("id")).distinct()
+      .filter(substring(col("id"), 3, 100).cast("int") % 40 === 0)
+    GraphOps.closeness(sym, roots, maxIter = 6, weightCol = Some("w"))
+      .orderBy(col("id"))
+  }
+
+  /** B20w gate — WEIGHTED betweenness (Dijkstra-based Brandes) on the
+    * same graph/roots as [[gWCloseness]]. Oracle: walk-CTE distances →
+    * shortest-path DAG → DAG-path enumeration (≤ maxIter edges, same
+    * bound as the engine's σ propagation) → Brandes pair dependencies
+    * Σ (paths through v)/σ_st — the combinatorial identity the
+    * backward δ recursion computes. */
+  def gWBetweenness(s: SparkSession, dir: String): DataFrame = {
+    val we = TestGraph.weightedPartSupplierEdges(s, dir)
+    val sym = we.unionByName(
+      we.select(col("dst").as("src"), col("src").as("dst"), col("w"))).distinct()
+    val roots = we.select(col("dst").as("id")).distinct()
+      .filter(substring(col("id"), 3, 100).cast("int") % 40 === 0)
+    GraphOps.betweenness(sym, roots, maxIter = 6, halve = true,
+        weightCol = Some("w"))
+      .filter(col("betweenness") > 0)
+      .orderBy(col("id"))
+  }
+
   /** B12 — GDS-style node similarity: Jaccard over supplier neighbor
     * sets of the (sparsified) part—supplier graph. */
   def gNodesim(s: SparkSession, dir: String): DataFrame =

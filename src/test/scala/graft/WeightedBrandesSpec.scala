@@ -1,0 +1,161 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.graph.{CypherCall, GraphOps}
+
+/** B20w/B18w — weighted betweenness (Dijkstra-based Brandes) and
+  * weighted closeness: hand-computed fixtures, local ≡ distributed
+  * equivalence, uniform-weight ≡ unweighted cross-checks, and the CALL
+  * surface dispatch. */
+class WeightedBrandesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def bMap(df: DataFrame): Map[String, Double] =
+    df.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+
+  test("weighted betweenness: weights reroute paths the unweighted measure splits") {
+    // a→b(1), b→c(1), a→d(1), d→c(10): the only shortest a→c path runs
+    // through b — b carries the whole pair, d none (unweighted would
+    // split 0.5/0.5 across the two tied 2-hop paths)
+    val w = Seq(("a", "b", 1L), ("b", "c", 1L), ("a", "d", 1L), ("d", "c", 10L))
+      .toDF("src", "dst", "w")
+    val roots = Seq("a", "b", "c", "d").toDF("id")
+    val wb = bMap(GraphOps.betweenness(w, roots, maxIter = 5, halve = false,
+      weightCol = Some("w")))
+    assert(wb("b") == 1.0 && wb("d") == 0.0 && wb("a") == 0.0 && wb("c") == 0.0)
+    val ub = bMap(GraphOps.betweenness(w.select(col("src"), col("dst")), roots,
+      maxIter = 5, halve = false))
+    assert(ub("b") == 0.5 && ub("d") == 0.5)
+  }
+
+  test("weighted betweenness: tied minimal-weight paths split sigma-fractions") {
+    // a→b1→c and a→b2→c both cost 2; σ_ac = 2 → each broker carries 1/2
+    val w = Seq(("a", "b1", 1L), ("a", "b2", 1L), ("b1", "c", 1L), ("b2", "c", 1L))
+      .toDF("src", "dst", "w")
+    val roots = Seq("a", "b1", "b2", "c").toDF("id")
+    val wb = bMap(GraphOps.betweenness(w, roots, maxIter = 5, halve = false,
+      weightCol = Some("w")))
+    assert(wb("b1") == 0.5 && wb("b2") == 0.5 && wb("a") == 0.0 && wb("c") == 0.0)
+  }
+
+  test("weighted betweenness: longer-but-lighter path wins over the direct edge") {
+    // a→c direct costs 5; a→b→c costs 2 — b brokers the pair even
+    // though a→c exists (the case hop-BFS cannot express)
+    val w = Seq(("a", "c", 5L), ("a", "b", 1L), ("b", "c", 1L)).toDF("src", "dst", "w")
+    val roots = Seq("a", "b", "c").toDF("id")
+    val wb = bMap(GraphOps.betweenness(w, roots, maxIter = 5, halve = false,
+      weightCol = Some("w")))
+    assert(wb("b") == 1.0)
+  }
+
+  test("uniform weight 1 reproduces the unweighted betweenness exactly") {
+    val rnd = new scala.util.Random(19)
+    val edges = Seq.fill(90)((s"v:${rnd.nextInt(25)}", s"v:${rnd.nextInt(25)}"))
+      .filter(p => p._1 != p._2).distinct.toDF("src", "dst")
+    val roots = edges.select(col("src").as("id")).distinct()
+    val u = bMap(GraphOps.betweenness(edges, roots, maxIter = 8, halve = false))
+    val w = bMap(GraphOps.betweenness(edges.withColumn("w", lit(1L)), roots,
+      maxIter = 8, halve = false, weightCol = Some("w")))
+    assert(u.keySet == w.keySet)
+    val maxDiff = u.keys.map(k => math.abs(u(k) - w(k))).max
+    assert(maxDiff <= 2e-6, s"uniform-weight vs unweighted drift: $maxDiff")
+    assert(u.values.exists(_ > 0)) // non-vacuous
+  }
+
+  test("weighted betweenness: local ≡ distributed on a seeded random weighted graph") {
+    val rnd = new scala.util.Random(23)
+    val triples = Seq.fill(120)((s"v:${rnd.nextInt(30)}", s"v:${rnd.nextInt(30)}",
+        (rnd.nextInt(5) + 1).toLong))
+      .filter(t => t._1 != t._2).distinct.toDF("src", "dst", "w")
+    val roots = triples.select(col("src").as("id")).distinct()
+    val local = bMap(GraphOps.betweenness(triples, roots, maxIter = 8,
+      halve = false, weightCol = Some("w")))
+    val dist = bMap(GraphOps.betweenness(triples, roots, maxIter = 8,
+      halve = false, weightCol = Some("w"), localFinishEdges = 0L))
+    assert(local.keySet == dist.keySet)
+    val maxDiff = local.keys.map(k => math.abs(local(k) - dist(k))).max
+    assert(maxDiff <= 2e-6, s"local vs distributed drift: $maxDiff")
+    assert(local.values.exists(_ > 0))
+  }
+
+  test("hop bound binds identically on both paths") {
+    // path a→b→c→d→e, all weight 1; maxIter = 2 sees only ≤2-edge
+    // pairs: b brokers (a,c), c brokers (b,d) and (a,?): a reaches c
+    // at 2 hops through b only — d is out of range from a
+    val w = Seq(("a", "b", 1L), ("b", "c", 1L), ("c", "d", 1L), ("d", "e", 1L))
+      .toDF("src", "dst", "w")
+    val roots = Seq("a", "b", "c", "d", "e").toDF("id")
+    val local = bMap(GraphOps.betweenness(w, roots, maxIter = 2, halve = false,
+      weightCol = Some("w")))
+    val dist = bMap(GraphOps.betweenness(w, roots, maxIter = 2, halve = false,
+      weightCol = Some("w"), localFinishEdges = 0L))
+    assert(local == dist)
+    // each interior vertex brokers exactly the one 2-hop pair through it
+    assert(local("b") == 1.0 && local("c") == 1.0 && local("d") == 1.0)
+    assert(local("a") == 0.0 && local("e") == 0.0)
+  }
+
+  test("weighted betweenness rejects null/zero/negative weights loudly") {
+    val bad = Seq(("a", "b", 0L), ("b", "c", 1L)).toDF("src", "dst", "w")
+    val err = intercept[IllegalArgumentException] {
+      GraphOps.betweenness(bad, Seq("a").toDF("id"), weightCol = Some("w"))
+    }
+    assert(err.getMessage.contains("strictly positive"))
+  }
+
+  test("ssspFrom: keyed multi-root distances match per-root sssp") {
+    val rnd = new scala.util.Random(31)
+    val triples = Seq.fill(100)((s"v:${rnd.nextInt(20)}", s"v:${rnd.nextInt(20)}",
+        (rnd.nextInt(4) + 1).toLong))
+      .filter(t => t._1 != t._2).distinct.toDF("src", "dst", "w")
+    val roots = Seq("v:0", "v:3", "ghost").toDF("id")
+    val keyed = GraphOps.ssspFrom(triples, roots, maxIter = 8)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    for (r <- Seq("v:0", "v:3")) {
+      val single = GraphOps.sssp(triples, Seq(r).toDF("id"), maxIter = 8)
+        .collect().map(x => x.getString(0) -> x.getLong(1).toDouble).toMap
+      val mine = keyed.collect { case ((`r`, id), d) => id -> d }
+      assert(mine == single, s"root $r: keyed $mine vs single $single")
+    }
+    // off-graph roots keep their self row only
+    assert(keyed.keys.count(_._1 == "ghost") == 1 && keyed(("ghost", "ghost")) == 0.0)
+  }
+
+  test("weighted closeness: hand-computed star and CALL-surface dispatch") {
+    // undirected star, spokes weighted 2: closeness(hub) = 3/(2+2+2);
+    // closeness(spoke) = 3/(2+4+4)
+    val star0 = Seq(("h", "x", 2L), ("h", "y", 2L), ("h", "z", 2L))
+      .toDF("src", "dst", "w")
+    val star = star0.unionByName(
+      star0.select(col("dst").as("src"), col("src").as("dst"), col("w")))
+    val roots = Seq("h", "x", "y", "z").toDF("id")
+    val c = bMap(GraphOps.closeness(star, roots, maxIter = 5, weightCol = Some("w")))
+    assert(c("h") == 0.5)
+    assert(c("x") == 0.3 && c("y") == 0.3 && c("z") == 0.3)
+    // unweighted twin for contrast: hub 3/3 = 1.0
+    val cu = bMap(GraphOps.closeness(star.select(col("src"), col("dst")), roots,
+      maxIter = 5))
+    assert(cu("h") == 1.0)
+    // CALL surface: closeness with relationshipWeightProperty ≡ direct
+    val nodes = Seq("h", "x", "y", "z").map(i => (i, "N")).toDF("id", "label")
+      .withColumn("props", map())
+    val edges = star.withColumn("etype", lit("E"))
+      .withColumn("props", map(lit("cost"), col("w").cast("string")))
+      .drop("w")
+    val called = CypherCall.run(nodes, edges,
+      """CALL graft.closeness({relationshipWeightProperty: 'cost'})
+        |YIELD id, score ORDER BY id""".stripMargin)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(called == c)
+    // and weighted betweenness through CALL ≡ direct API
+    val wb = CypherCall.run(nodes, edges,
+      """CALL graft.betweenness({relationshipWeightProperty: 'cost'})
+        |YIELD id, score ORDER BY id""".stripMargin)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val direct = bMap(GraphOps.betweenness(star, roots, maxIter = 20,
+      halve = false, weightCol = Some("w")))
+    assert(wb == direct)
+  }
+}
