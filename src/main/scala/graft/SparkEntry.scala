@@ -216,6 +216,20 @@ object SparkEntry {
           "-[r:CONNECTED_TO {dport: '443'}]->(ip:Ip) " +
           "RETURN DISTINCT t, p, ip ORDER BY t, p, ip")
     }),
+    "sg_cypher8"   -> ((s, _) => {
+      // CALL { … } subquery composition (Cypher-5): the post-UNION
+      // aggregation idiom — collect two dropped-artifact populations,
+      // then aggregate over the COMBINED rows (plain UNION's RETURN is
+      // per-part, so this is inexpressible without the subquery)
+      val (n, e) = graft.graph.SysmonGraph.buildCached(s, "/root/reference/malware/*.json")
+      graft.graph.CypherLite.run(n, e,
+        """CALL {
+          |  MATCH (p:Process)-[:CREATED_FILE]->(f:File) RETURN p, f AS obj
+          |  UNION
+          |  MATCH (p:Process)-[:SET_REG_VALUE]->(rv:RegistryValue) RETURN p, rv AS obj
+          |}
+          |RETURN p, count(obj) AS artifacts ORDER BY artifacts DESC, p LIMIT 25""".stripMargin)
+    }),
     "sg_spawntree" -> ((s, _) => {
       val (_, e) = graft.graph.SysmonGraph.buildCached(s, "/root/reference/malware/*.json")
       graft.graph.Detections.deepSpawnChains(e, minDepth = 1)

@@ -472,51 +472,64 @@ object CypherCall {
           tail = body.substring(end).trim
         }
 
-        // the tail reuses the Cypher expression machinery over the flat
-        // frame — bare identifiers resolve as columns
-        val c = new Compiler(nodes, edges)
-        var anonId = 0
-        val anon = () => { anonId += 1; s"_callanon$anonId" }
-        if (tail.toUpperCase.startsWith("WHERE ")) {
-          val body = tail.substring(6)
-          val end = firstKeyword(body, TailKeywords - "WHERE")
-          frame = c.applyPred(frame, parseWhere(body.substring(0, end).trim, anon))
-          tail = body.substring(end).trim
-        }
-
-        if (tail.isEmpty) frame
-        else if (tail.toUpperCase.startsWith("MATCH ")) {
-          // composition: the yielded frame's columns are carried
-          // variables the MATCH stage joins on (the WithStage.next
-          // mechanism) — `CALL graft.pageRank YIELD id, score
-          // MATCH (id)-[:T]->(x) RETURN …` runs the full read grammar
-          CypherLite.runParsed(nodes, edges, CypherLite.parse(tail), Some(frame))
-        }
-        else tail match {
-          case RetTailRe(distinctOrNull, retPart, orderOrNull, skipOrNull, limitOrNull) =>
-            frame = c.project(frame, splitTopLevel(retPart).map(parseRetItem),
-              distinct = distinctOrNull != null)
-            if (orderOrNull != null)
-              frame = frame.orderBy(parseOrder(orderOrNull).map { case (cn, desc) =>
-                if (desc) col(cn).desc else col(cn).asc }: _*)
-            Option(skipOrNull).foreach(n => frame = frame.offset(n.toInt))
-            Option(limitOrNull).foreach(n => frame = frame.limit(n.toInt))
-            frame
-          case ModTailRe(orderOrNull, skipOrNull, limitOrNull)
-              if orderOrNull != null || skipOrNull != null || limitOrNull != null =>
-            if (orderOrNull != null)
-              frame = frame.orderBy(parseOrder(orderOrNull).map { case (cn, desc) =>
-                if (desc) col(cn).desc else col(cn).asc }: _*)
-            Option(skipOrNull).foreach(n => frame = frame.offset(n.toInt))
-            Option(limitOrNull).foreach(n => frame = frame.limit(n.toInt))
-            frame
-          case other => throw new IllegalArgumentException(
-            s"unsupported CALL tail: $other (expected [YIELD cols] [WHERE …] then " +
-              "MATCH …, RETURN …, or ORDER BY/SKIP/LIMIT)")
-        }
+        compileTail(nodes, edges, frame, tail)
       case _ => throw new IllegalArgumentException(
         s"unsupported CALL statement: $cypher (expected CALL graft.<proc>({config}) " +
           "[YIELD cols] [WHERE ...] [MATCH …|RETURN ...] [ORDER BY ...] [SKIP n] [LIMIT n])")
+    }
+  }
+
+  /** Compile a post-frame continuation — `[WHERE …] (MATCH … |
+    * RETURN … | ORDER BY/SKIP/LIMIT)` — over a flat bound frame, with
+    * the full Cypher expression machinery (bare identifiers resolve as
+    * columns; RETURN takes aggregates with implicit grouping). Shared
+    * by the procedure surface (after YIELD) and CypherLite's
+    * `CALL { … }` subquery composition. */
+  private[graph] def compileTail(nodes: DataFrame, edges: DataFrame,
+                                 frame0: DataFrame, tail0: String): DataFrame = {
+    var frame = frame0
+    var tail = tail0.trim
+    // the tail reuses the Cypher expression machinery over the flat
+    // frame — bare identifiers resolve as columns
+    val c = new Compiler(nodes, edges)
+    var anonId = 0
+    val anon = () => { anonId += 1; s"_callanon$anonId" }
+    if (tail.toUpperCase.startsWith("WHERE ")) {
+      val body = tail.substring(6)
+      val end = firstKeyword(body, TailKeywords - "WHERE")
+      frame = c.applyPred(frame, parseWhere(body.substring(0, end).trim, anon))
+      tail = body.substring(end).trim
+    }
+
+    if (tail.isEmpty) frame
+    else if (tail.toUpperCase.startsWith("MATCH ")) {
+      // composition: the frame's columns are carried variables the
+      // MATCH stage joins on (the WithStage.next mechanism) —
+      // `CALL graft.pageRank YIELD id, score MATCH (id)-[:T]->(x)
+      // RETURN …` runs the full read grammar
+      CypherLite.runParsed(nodes, edges, CypherLite.parse(tail), Some(frame))
+    }
+    else tail match {
+      case RetTailRe(distinctOrNull, retPart, orderOrNull, skipOrNull, limitOrNull) =>
+        frame = c.project(frame, splitTopLevel(retPart).map(parseRetItem),
+          distinct = distinctOrNull != null)
+        if (orderOrNull != null)
+          frame = frame.orderBy(parseOrder(orderOrNull).map { case (cn, desc) =>
+            if (desc) col(cn).desc else col(cn).asc }: _*)
+        Option(skipOrNull).foreach(n => frame = frame.offset(n.toInt))
+        Option(limitOrNull).foreach(n => frame = frame.limit(n.toInt))
+        frame
+      case ModTailRe(orderOrNull, skipOrNull, limitOrNull)
+          if orderOrNull != null || skipOrNull != null || limitOrNull != null =>
+        if (orderOrNull != null)
+          frame = frame.orderBy(parseOrder(orderOrNull).map { case (cn, desc) =>
+            if (desc) col(cn).desc else col(cn).asc }: _*)
+        Option(skipOrNull).foreach(n => frame = frame.offset(n.toInt))
+        Option(limitOrNull).foreach(n => frame = frame.limit(n.toInt))
+        frame
+      case other => throw new IllegalArgumentException(
+        s"unsupported CALL tail: $other (expected [WHERE …] then " +
+          "MATCH …, RETURN …, or ORDER BY/SKIP/LIMIT)")
     }
   }
 }

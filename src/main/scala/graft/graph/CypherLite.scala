@@ -1241,6 +1241,35 @@ object CypherLite {
   }
 
   def run(nodes: DataFrame, edges: DataFrame, cypher: String): DataFrame = {
+    // Cypher-5 CALL SUBQUERY: `CALL { <full query> } <continuation>` —
+    // the inner text runs through this same entry (so UNION, WITH
+    // pipelines, nested CALLs, procedures all work inside the braces)
+    // and the continuation composes over the inner result frame via
+    // the shared CALL-tail machinery (WHERE / MATCH / aggregate
+    // RETURN / ORDER BY — the post-UNION-aggregation idiom).
+    // Importing-WITH (correlated) subqueries are a loud error.
+    val t0 = normalizeWs(cypher).trim
+    if (t0.toUpperCase.matches("""(?s)CALL\s*\{.*""")) {
+      val open = t0.indexOf('{')
+      var depth = 0; var i = open; var inQ = false; var close = -1
+      while (i < t0.length && close < 0) {
+        val ch = t0.charAt(i)
+        if (ch == '\'') inQ = !inQ
+        else if (!inQ && ch == '{') depth += 1
+        else if (!inQ && ch == '}') { depth -= 1; if (depth == 0) close = i }
+        i += 1
+      }
+      require(close > 0, s"unbalanced braces in CALL subquery: $cypher")
+      val inner = t0.substring(open + 1, close).trim
+      require(inner.nonEmpty, "empty CALL { } subquery")
+      require(!inner.toUpperCase.startsWith("WITH "),
+        "importing-WITH (correlated) CALL subqueries are not supported — " +
+          "run the outer part first or restructure as a WITH pipeline")
+      val frame = run(nodes, edges, inner)
+      val tail = t0.substring(close + 1).trim
+      return if (tail.isEmpty) frame
+             else CypherCall.compileTail(nodes, edges, frame, tail)
+    }
     // GDS-style procedure statements route to the CALL surface (J7);
     // parameter substitution has already happened (textual), so
     // $params work identically in CALL config maps and tails

@@ -40,9 +40,18 @@ import org.apache.spark.sql.functions._
   *     `v.prop = $p | 'lit' | num | coalesce($p, v.prop)` items — the
   *     last form is the reference's keep-old-when-param-null idiom and
   *     compiles to exactly that (a null param never erases a stored
-  *     prop).
-  *   - `REMOVE v.prop, r.prop, …` — drop properties (the row stays;
-  *     label removal `REMOVE v:Label` is rejected loudly).
+  *     prop). `v += {map}` (all three verbs) expands to one item per
+  *     entry — null params contribute nothing (the house null-never-
+  *     erases convention; Neo4j's null-removes-key needs REMOVE).
+  *   - `SET v:Label` (plain SET only) — add a label: the frame model
+  *     keys nodes by (label, id), so the missing (Label, id) row is
+  *     inserted with a snapshot of the source row's props; label rows
+  *     are not property-synchronized afterwards (documented
+  *     divergence from Neo4j's one-node-many-labels storage).
+  *   - `REMOVE v.prop, r.prop, …` — drop properties (the row stays);
+  *     `REMOVE v:Label` — drop that label's row, refusing loudly when
+  *     it is an id's LAST row (this model cannot represent Neo4j's
+  *     label-less node).
   *   - `DELETE r` — delete bound edges; `DELETE v` — delete bound
   *     nodes, REFUSING (like Neo4j) when incident edges remain;
   *     `DETACH DELETE v` — delete bound nodes and cascade-delete all
@@ -90,10 +99,12 @@ object CypherWrite {
                                       props: Seq[(String, Value)], create: Boolean)
   private final case class RemoveItem(v: String, prop: String)
   private final case class DeleteItem(v: String, detach: Boolean)
+  private final case class LabelItem(v: String, label: String)
   private final case class Stmt(nodes: Seq[NodeClause], edges: Seq[EdgeClause],
                                 onCreate: Seq[SetItem], onMatch: Seq[SetItem],
                                 always: Seq[SetItem], removes: Seq[RemoveItem],
-                                deletes: Seq[DeleteItem])
+                                deletes: Seq[DeleteItem],
+                                labelAdds: Seq[LabelItem], labelRemoves: Seq[LabelItem])
 
   // ---------------------------------------------------------------- parse
 
@@ -167,7 +178,11 @@ object CypherWrite {
     val always = scala.collection.mutable.Buffer.empty[SetItem]
     val removes = scala.collection.mutable.Buffer.empty[RemoveItem]
     val deletes = scala.collection.mutable.Buffer.empty[DeleteItem]
+    val labelAdds = scala.collection.mutable.Buffer.empty[LabelItem]
+    val labelRemoves = scala.collection.mutable.Buffer.empty[LabelItem]
     val bound = scala.collection.mutable.Set.empty[String]
+    val PlusEqRe = (s"""(\\w+)\\s*\\+=\\s*\\{($MapBody)\\}""").r
+    val LabelRe = """(\w+)\s*:\s*(\w+)""".r
     ms.zipWithIndex.foreach { case (m, i) =>
       val body = text.substring(m.end,
         if (i + 1 < ms.size) ms(i + 1).start else text.length).trim
@@ -202,35 +217,54 @@ object CypherWrite {
               val Array(v, p) = s.split("\\.", 2)
               require(bound(v), s"REMOVE target '$v' is not bound")
               removes += RemoveItem(v, p)
+            case LabelRe(v, l) =>
+              require(bound(v), s"REMOVE target '$v' is not bound")
+              labelRemoves += LabelItem(v, l)
             case other => throw new IllegalArgumentException(
-              s"unsupported REMOVE item: $other (label removal is not supported)")
+              s"unsupported REMOVE item: $other (expected v.prop or v:Label)")
           }
         case setKw @ ("ON CREATE SET" | "ON MATCH SET" | "SET") =>
-          // paren/quote-aware comma split: coalesce($p, v.prop) must
-          // not break at its inner comma
+          // paren/brace/quote-aware comma split: coalesce($p, v.prop)
+          // and v += {a: 1, b: 2} must not break at inner commas
           val parts = {
             val out = scala.collection.mutable.Buffer.empty[String]
             val sb = new StringBuilder
             var depth = 0; var inQ = false
             body.foreach {
               case '\'' => inQ = !inQ; sb += '\''
-              case c @ '(' if !inQ => depth += 1; sb += c
-              case c @ ')' if !inQ => depth -= 1; sb += c
+              case c @ ('(' | '{') if !inQ => depth += 1; sb += c
+              case c @ (')' | '}') if !inQ => depth -= 1; sb += c
               case ',' if depth == 0 && !inQ => out += sb.toString; sb.clear()
               case c => sb += c
             }
             out += sb.toString
             out.toSeq
           }
-          val items = parts.map(_.trim).filter(_.nonEmpty).map {
+          val items = parts.map(_.trim).filter(_.nonEmpty).flatMap {
             case SetItemRe(v, prop, coalesceParam, valueOrNull) =>
               require(bound(v), s"SET target '$v' is not bound")
               if (coalesceParam != null)
-                SetItem(v, prop, Param(coalesceParam.substring(1)), keepOldOnNull = true)
-              else SetItem(v, prop, parseValue(valueOrNull), keepOldOnNull = false)
+                Seq(SetItem(v, prop, Param(coalesceParam.substring(1)), keepOldOnNull = true))
+              else Seq(SetItem(v, prop, parseValue(valueOrNull), keepOldOnNull = false))
+            // SET v += {map}: sugar for one SET item per entry (our maps
+            // are null-free — a null param contributes no entry, so +=
+            // can never erase, the documented house convention; Neo4j's
+            // null-value-removes-key behavior needs REMOVE here)
+            case PlusEqRe(v, mapBody) =>
+              require(bound(v), s"SET target '$v' is not bound")
+              parseMap(mapBody).map { case (k, value) =>
+                SetItem(v, k, value, keepOldOnNull = false)
+              }
+            // SET v:Label — only as a plain SET verb (ON CREATE/ON
+            // MATCH label mutation stays a loud error)
+            case LabelRe(v, l) if setKw == "SET" =>
+              require(bound(v), s"SET target '$v' is not bound")
+              labelAdds += LabelItem(v, l)
+              Nil
             case other => throw new IllegalArgumentException(
-              s"unsupported SET item: $other (expected v.prop = $$p | 'lit' | num " +
-                "| coalesce($p, v.prop))")
+              s"unsupported $setKw item: $other (expected v.prop = $$p | 'lit' | num " +
+                "| coalesce($p, v.prop) | v += {map}" +
+                (if (setKw == "SET") " | v:Label" else "") + ")")
           }
           setKw match {
             case "ON CREATE SET" => onCreate ++= items
@@ -241,7 +275,7 @@ object CypherWrite {
       }
     }
     Stmt(nodes.toSeq, edges.toSeq, onCreate.toSeq, onMatch.toSeq, always.toSeq,
-      removes.toSeq, deletes.toSeq)
+      removes.toSeq, deletes.toSeq, labelAdds.toSeq, labelRemoves.toSeq)
   }
 
   // ---------------------------------------------------------------- exec
@@ -440,6 +474,47 @@ object CypherWrite {
               map_filter(col("props"), (k, _) => !k.isin(drop: _*)))
               .otherwise(col("props")).as("props"))
       }
+    }
+
+    // ---- label phases: SET v:Label / REMOVE v:Label --------------
+    // The frame model keys nodes by (label, id), so a multi-label node
+    // materializes as one row PER LABEL sharing the id: SET v:Label
+    // inserts the missing (Label, id) row with a snapshot of the
+    // source row's props (existing rows keep theirs, MERGE-like);
+    // REMOVE v:Label deletes that label's row. Documented divergence
+    // from Neo4j's single-node-many-labels storage: label rows do not
+    // stay property-synchronized after the add.
+    st.labelAdds.foreach { la =>
+      require(labels.contains(la.v),
+        s"SET ${la.v}:${la.label}: '${la.v}' is not a node variable")
+      val scope = nodeScope(la.v)
+      val snap = outNodes.join(scope, Seq("id", "label"), "left_semi")
+        .select(col("id"), col("props"))
+        .withColumn("label", lit(la.label))
+      val created = snap
+        .join(outNodes.select(col("id"), col("label")), Seq("id", "label"), "left_anti")
+        .select(col("label"), col("id"), col("props"))
+      outNodes = outNodes.unionByName(created)
+    }
+    st.labelRemoves.foreach { lr =>
+      require(labels.contains(lr.v),
+        s"REMOVE ${lr.v}:${lr.label}: '${lr.v}' is not a node variable")
+      val scope = nodeScope(lr.v).select(col("id"))
+        .withColumn("label", lit(lr.label))
+      // Neo4j keeps a node alive with zero labels; this model cannot
+      // represent a label-less node, so removing an id's LAST label
+      // row refuses loudly instead of silently deleting the node
+      // (one bounded probe — scope is batch-sized)
+      val affected = outNodes.join(scope, Seq("id", "label"), "left_semi")
+        .select(col("id")).distinct()
+      val lastOnly = outNodes.join(affected, Seq("id"), "left_semi")
+        .groupBy(col("id")).agg(count(lit(1)).as("n"))
+        .filter(col("n") === 1).limit(1).count()
+      if (lastOnly > 0) throw new IllegalStateException(
+        s"REMOVE ${lr.v}:${lr.label} would leave node(s) label-less — the frame " +
+          "model keys nodes by (label, id); DELETE the node instead")
+      outNodes = outNodes.join(scope, Seq("id", "label"), "left_anti")
+        .select(col("label"), col("id"), col("props"))
     }
 
     // ---- DELETE phase: edges first so `DELETE r, v` leaves v clean ----

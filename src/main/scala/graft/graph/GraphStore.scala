@@ -58,6 +58,43 @@ object GraphStore {
             params: Map[String, Any] = Map.empty): DataFrame =
     CypherLite.run(nodes(spark, prefix), edges(spark, prefix), cypher, params)
 
+  /** Declarative uniqueness validator — the migration aid for the
+    * reference's constraint DDL (events.py:60-71 `CREATE CONSTRAINT …
+    * REQUIRE n.key IS UNIQUE`). This engine enforces uniqueness BY
+    * CONSTRUCTION (groupBy-MERGE keys every upsert), so the validator
+    * exists for a migrating user to ASSERT the invariant on any node
+    * frame — e.g. externally produced parquet — before trusting joins
+    * keyed on it.
+    *
+    * Checks, per label: (a) `id` is unique within the label; (b) when
+    * `prop` is given, the props-map entry agrees with `id` on every row
+    * (the reference's key property IS the node id here). Returns the
+    * violating (label, id, n) rows — EMPTY means the constraint holds;
+    * `strict = true` (default) throws with a bounded sample instead of
+    * returning them. One aggregation; no driver materialization beyond
+    * the sample. */
+  def assertUnique(nodes: DataFrame, label: String, prop: Option[String] = None,
+                   strict: Boolean = true): DataFrame = {
+    val scoped = nodes.filter(col("label") === label)
+    val dup = scoped.groupBy(col("id")).agg(count(lit(1)).as("n"))
+      .filter(col("n") > 1)
+      .select(lit(label).as("label"), col("id"), col("n"))
+    val mism = prop.map { p =>
+      scoped.filter(element_at(col("props"), p).isNotNull &&
+          element_at(col("props"), p) =!= col("id"))
+        .select(lit(label).as("label"), col("id"), lit(-1L).as("n"))
+    }
+    val bad = mism.fold(dup)(dup.unionByName(_))
+    if (strict) {
+      val sample = bad.limit(5).collect()
+      require(sample.isEmpty,
+        s"uniqueness violated for ($label${prop.map("." + _).getOrElse("")}): " +
+          sample.map(r => s"${r.get(1)}(n=${r.get(2)})").mkString(", ") +
+          (if (sample.length == 5) ", …" else ""))
+    }
+    bad
+  }
+
   /** Bucket-aligned 2-hop expansion: reverse copy (bucketed on dst)
     * joined to the forward copy (bucketed on src) — same bucket count
     * on both join keys, so the SortMergeJoin needs no Exchange. */

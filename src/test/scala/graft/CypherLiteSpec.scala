@@ -369,6 +369,57 @@ class CypherLiteSpec extends SparkSpec {
     }
   }
 
+  test("CALL { … } subquery: post-UNION aggregation, WHERE tails, nesting, loud errors") {
+    val (nodes, edges) = graph
+    // the post-UNION-aggregation idiom (the Cypher-5 reason CALL
+    // subqueries exist): collect two edge populations, then aggregate
+    // over the COMBINED rows — impossible with plain UNION, whose
+    // RETURN is per-part
+    val got = CypherLite.run(nodes, edges,
+      """CALL {
+        |  MATCH (p:Process)-[:CREATED_FILE]->(f:File) RETURN p, f AS obj
+        |  UNION
+        |  MATCH (p:Process)-[:DELETED_FILE]->(f:File) RETURN p, f AS obj
+        |}
+        |RETURN p, count(obj) AS touched ORDER BY touched DESC, p LIMIT 5""".stripMargin)
+    val want = {
+      val c = et("CREATED_FILE").select(col("src").as("p"), col("dst").as("obj"))
+      val d = et("DELETED_FILE").select(col("src").as("p"), col("dst").as("obj"))
+      c.unionByName(d).distinct()
+        .groupBy(col("p")).agg(count(col("obj")).as("touched"))
+        .orderBy(col("touched").desc, col("p")).limit(5)
+    }
+    assert(got.collect().toSeq.map(_.toSeq) == want.collect().toSeq.map(_.toSeq))
+    assert(got.count() == 5)
+    // WHERE tail filters the subquery result before the continuation
+    val filtered = CypherLite.run(nodes, edges,
+      """CALL { MATCH (p:Process)-[:CREATED_FILE]->(f:File) RETURN p, f }
+        |WHERE f =~ '.*\.exe' RETURN DISTINCT p ORDER BY p""".stripMargin)
+    val wantF = et("CREATED_FILE")
+      .filter(col("dst").rlike("^.*\\.exe$"))
+      .select(col("src").as("p")).distinct().orderBy(col("p"))
+    assert(filtered.collect().map(_.getString(0)).toSeq ==
+      wantF.collect().map(_.getString(0)).toSeq)
+    // a procedure CALL composes INSIDE the braces
+    val viaProc = CypherLite.run(nodes, edges,
+      """CALL { CALL graft.degree YIELD id, degree RETURN id, degree }
+        |RETURN id, degree ORDER BY degree DESC, id LIMIT 3""".stripMargin)
+    assert(viaProc.count() == 3)
+    // MATCH continuation after the subquery (carried variables join)
+    val cont = CypherLite.run(nodes, edges,
+      """CALL { MATCH (p:Process)-[:INJECTED_THREAD]->(q:Process) RETURN q }
+        |MATCH (q)-[:CONNECTED_TO]->(ip:Ip) RETURN DISTINCT q, ip ORDER BY q, ip""".stripMargin)
+    val wantC = et("INJECTED_THREAD").select(col("dst").as("q"))
+      .join(et("CONNECTED_TO").select(col("src").as("q"), col("dst").as("ip")), Seq("q"))
+      .distinct().orderBy(col("q"), col("ip"))
+    assert(cont.collect().toSeq.map(_.toSeq) == wantC.collect().toSeq.map(_.toSeq))
+    // loud errors: importing WITH, unbalanced braces
+    intercept[IllegalArgumentException](CypherLite.run(nodes, edges,
+      "CALL { WITH p MATCH (p)-[:SPAWNS]->(q:Process) RETURN q } RETURN q"))
+    intercept[IllegalArgumentException](CypherLite.run(nodes, edges,
+      "CALL { MATCH (p:Process) RETURN p"))
+  }
+
   test("percentileDisc even-count group: nearest-rank, not interpolation") {
     import spark.implicits._
     // 4 ports {10,20,30,40}: disc(0.5) = ceil(0.5·4) = 2nd value = 20

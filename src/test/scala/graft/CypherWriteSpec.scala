@@ -275,9 +275,13 @@ class CypherWriteSpec extends SparkSpec {
     val (n3, e3) = CypherWrite.merge(n2, e2,
       "MATCH (p:Process {key: $key}) DETACH DELETE p", expired)
     assert(n3.count() == 0 && e3.count() == 0)
-    // label removal stays a loud error
-    intercept[IllegalArgumentException](CypherWrite.mergeOne(n1, e1,
-      "MATCH (p:Process {key: 'p1'}) REMOVE p:Process"))
+    // label removal is supported as of r9, but removing an id's LAST
+    // label row refuses loudly (see the dedicated label-verb test)
+    intercept[IllegalStateException] {
+      val (n, _) = CypherWrite.mergeOne(n1, e1,
+        "MATCH (p:Process {key: 'p1'}) REMOVE p:Process")
+      n.count()
+    }
   }
 
   test("list/map property literals: canonical storage, order semantics, read-back") {
@@ -331,5 +335,59 @@ class CypherWriteSpec extends SparkSpec {
         |MERGE (v:Verdict {vid: 'v9'})
         |MERGE (a)-[r:FLAGGED]->(v)""".stripMargin)
     assert(e5.filter(col("etype") === "FLAGGED").count() == 0)
+  }
+
+  test("SET v += {map}: one item per entry, null params never erase") {
+    val (n1, e1) = spawnedGraph()
+    val (n2, _) = CypherWrite.mergeOne(n1, e1,
+      "MATCH (p:Process {key: 'p1'}) SET p += {severity: 'high', score: 9}")
+    assert(nodeMap(n2)(("Process", "p1"))("severity") == "high")
+    assert(nodeMap(n2)(("Process", "p1"))("score") == "9")
+    assert(nodeMap(n2)(("Process", "p1"))("image") == "cmd.exe") // untouched
+    // param entries substitute; a null param contributes no entry
+    val (n3, _) = CypherWrite.mergeOne(n1, e1,
+      "MATCH (p:Process {key: 'p1'}) SET p += {severity: $sev, image: $img}",
+      Map("sev" -> "low", "img" -> null))
+    assert(nodeMap(n3)(("Process", "p1"))("severity") == "low")
+    assert(nodeMap(n3)(("Process", "p1"))("image") == "cmd.exe") // null kept old
+    // ON CREATE SET += works too
+    val (n4, _) = CypherWrite.mergeOne(n1, e1,
+      "MERGE (p:Process {key: 'p9'}) ON CREATE SET p += {origin: 'triage'}")
+    assert(nodeMap(n4)(("Process", "p9"))("origin") == "triage")
+  }
+
+  test("SET v:Label adds a label row; REMOVE v:Label drops it; last-label refusal") {
+    val (n1, e1) = spawnedGraph()
+    val (n2, _) = CypherWrite.mergeOne(n1, e1,
+      "MATCH (p:Process {key: 'p1'}) SET p:Suspicious")
+    // the new label row snapshots the source row's props
+    assert(nodeMap(n2)(("Suspicious", "p1")) == nodeMap(n2)(("Process", "p1")))
+    // readable under the new label through CypherLite
+    val hits = CypherLite.run(n2, e1,
+      "MATCH (s:Suspicious) RETURN s").collect().map(_.getString(0))
+    assert(hits.toSeq == Seq("p1"))
+    // idempotent: re-adding does not duplicate
+    val (n3, _) = CypherWrite.mergeOne(n2, e1,
+      "MATCH (p:Process {key: 'p1'}) SET p:Suspicious")
+    assert(n3.filter(col("id") === "p1").count() == 2)
+    // REMOVE the extra label: back to one row
+    val (n4, _) = CypherWrite.mergeOne(n3, e1,
+      "MATCH (p:Process {key: 'p1'}) REMOVE p:Suspicious")
+    assert(n4.filter(col("id") === "p1").count() == 1)
+    assert(nodeMap(n4).contains(("Process", "p1")))
+    // removing an id's LAST label row refuses loudly
+    intercept[IllegalStateException] {
+      val (n, _) = CypherWrite.mergeOne(n1, e1,
+        "MATCH (p:Process {key: 'p2'}) REMOVE p:Process")
+      n.count()
+    }
+    // label ops on edge variables reject
+    intercept[IllegalArgumentException] {
+      val (n, _) = CypherWrite.mergeOne(n1, e1,
+        """MATCH (a:Process {key: 'p1'})
+          |MATCH (b:Process {key: 'p2'})
+          |MATCH (a)-[r:SPAWNS]->(b) SET r:Flagged""".stripMargin)
+      n.count()
+    }
   }
 }

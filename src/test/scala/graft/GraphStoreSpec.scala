@@ -49,6 +49,30 @@ class GraphStoreSpec extends SparkSpec {
     assert(deg.toSeq == Seq(("a", 1L), ("b", 2L), ("c", 1L)))
   }
 
+  test("assertUnique: holds on MERGE-built graphs, catches dup ids and key/id drift") {
+    import spark.implicits._
+    import graft.graph.GraphStore
+    // by-construction graphs pass (the corpus graph is groupBy-MERGEd)
+    val (n, _) = graft.graph.SysmonGraph.buildCached(spark, "/root/reference/malware/*.json")
+    assert(GraphStore.assertUnique(n, "Process", prop = Some("key")).count() == 0)
+    assert(GraphStore.assertUnique(n, "File").count() == 0)
+    // a duplicated id within a label is caught, other labels unaffected
+    val dup = Seq(("P", "x", Map("key" -> "x")), ("P", "x", Map("key" -> "x")),
+      ("Q", "x", Map.empty[String, String]))
+      .toDF("label", "id", "props")
+    val err = intercept[IllegalArgumentException] {
+      GraphStore.assertUnique(dup, "P")
+    }
+    assert(err.getMessage.contains("uniqueness violated"))
+    assert(GraphStore.assertUnique(dup, "P", strict = false).count() == 1)
+    assert(GraphStore.assertUnique(dup, "Q").count() == 0)
+    // a props key entry disagreeing with the id is caught when named
+    val drift = Seq(("P", "x", Map("key" -> "y"))).toDF("label", "id", "props")
+    assert(GraphStore.assertUnique(drift, "P", strict = false).count() == 0)
+    assert(GraphStore.assertUnique(drift, "P", prop = Some("key"),
+      strict = false).count() == 1)
+  }
+
   test("I1/I3 source round-trips: partitioned parquet, csv, jsonl") {
     import spark.implicits._
     val base = java.nio.file.Files.createTempDirectory("io").toString
