@@ -162,11 +162,14 @@ object CypherCall {
   private val CommonKeys = Set("relationshipType", "relationshipTypes",
     "nodeLabel", "orientation")
 
-  /** Apply subgraph selection to the edge frame: relationship-type
-    * filter (needs an `etype` column), node-label endpoint restriction
-    * (two semi-joins against the labeled node set — stays an
-    * equi-join shape at any scale), and orientation. */
-  private def selectEdges(nodes: DataFrame, edges: DataFrame, cfg: Cfg): DataFrame = {
+  /** Type/label SELECTION only, every column kept: relationship-type
+    * filter (needs an `etype` column) and node-label endpoint
+    * restriction (two semi-joins against the labeled node set — stays
+    * an equi-join shape at any scale). Weight resolution probes must
+    * run on THIS projected set (GDS only requires the property on
+    * projected relationships), so selection is split from
+    * [[orientEdges]]' projection. */
+  private def filterEdges(nodes: DataFrame, edges: DataFrame, cfg: Cfg): DataFrame = {
     var e = edges
     cfg.strs("relationshipTypes").orElse(cfg.strs("relationshipType")).foreach { ts =>
       require(e.columns.contains("etype"),
@@ -178,6 +181,12 @@ object CypherCall {
       e = e.join(keep.select(col("id").as("src")), Seq("src"), "left_semi")
         .join(keep.select(col("id").as("dst")), Seq("dst"), "left_semi")
     }
+    e
+  }
+
+  /** Orientation + (src, dst[, w]) projection over an already-selected
+    * edge frame. */
+  private def orientEdges(e: DataFrame, cfg: Cfg): DataFrame = {
     val base = e.select(Seq(col("src"), col("dst")) ++
       (if (e.columns.contains("w")) Seq(col("w")) else Nil): _*)
     cfg.str("orientation").getOrElse("NATURAL").toUpperCase match {
@@ -193,6 +202,9 @@ object CypherCall {
         s"${cfg.name}: orientation must be NATURAL, REVERSE or UNDIRECTED, got '$other'")
     }
   }
+
+  private def selectEdges(nodes: DataFrame, edges: DataFrame, cfg: Cfg): DataFrame =
+    orientEdges(filterEdges(nodes, edges, cfg), cfg)
 
   /** GDS `relationshipWeightProperty`: resolve a weight column onto
     * the edge frame — an existing column of that name wins, else a
@@ -245,8 +257,8 @@ object CypherCall {
     "pageRank" -> Proc(Seq("id", "score"),
       Set("maxIterations", "dampingFactor", "sourceNodes", "relationshipWeightProperty"),
       (n, ed, cfg) => {
-        val (ed2, wcol) = resolveWeightProp(ed, cfg)
-        val e = selectEdges(n, ed2, cfg)
+        val (ed2, wcol) = resolveWeightProp(filterEdges(n, ed, cfg), cfg)
+        val e = orientEdges(ed2, cfg)
         val iters = cfg.int("maxIterations", 10)
         val damping = cfg.dbl("dampingFactor", 0.85)
         val out = cfg.strs("sourceNodes") match {
@@ -275,8 +287,8 @@ object CypherCall {
     "louvain" -> Proc(Seq("id", "communityId"),
       Set("maxLevels", "maxIterations", "relationshipWeightProperty"),
       (n, ed, cfg) => {
-        val (ed2, wcol) = resolveWeightProp(ed, cfg)
-        GraphOps.louvain(selectEdges(n, ed2, cfg),
+        val (ed2, wcol) = resolveWeightProp(filterEdges(n, ed, cfg), cfg)
+        GraphOps.louvain(orientEdges(ed2, cfg),
             maxLevels = cfg.int("maxLevels", 2), moveIters = cfg.int("maxIterations", 3),
             weightCol = wcol)
           .select(col("id"), col("community").as("communityId"))
@@ -284,8 +296,8 @@ object CypherCall {
     "leiden" -> Proc(Seq("id", "communityId"),
       Set("maxLevels", "maxIterations", "relationshipWeightProperty"),
       (n, ed, cfg) => {
-        val (ed2, wcol) = resolveWeightProp(ed, cfg)
-        GraphOps.leiden(selectEdges(n, ed2, cfg),
+        val (ed2, wcol) = resolveWeightProp(filterEdges(n, ed, cfg), cfg)
+        GraphOps.leiden(orientEdges(ed2, cfg),
             maxLevels = cfg.int("maxLevels", 2), moveIters = cfg.int("maxIterations", 3),
             weightCol = wcol)
           .select(col("id"), col("community").as("communityId"))
@@ -308,8 +320,8 @@ object CypherCall {
     "closeness" -> Proc(Seq("id", "score"),
       Set("sourceNodes", "maxDepth", "relationshipWeightProperty"),
       (n, ed, cfg) => {
-        val (ed2, wcol) = resolveWeightProp(ed, cfg)
-        val e = selectEdges(n, ed2, cfg)
+        val (ed2, wcol) = resolveWeightProp(filterEdges(n, ed, cfg), cfg)
+        val e = orientEdges(ed2, cfg)
         val roots = cfg.strs("sourceNodes").map(seedFrame(ed, _)).getOrElse(allVertices(e))
         GraphOps.closeness(e, roots, cfg.int("maxDepth", 20), weightCol = wcol)
           .select(col("id"), col("closeness").as("score"))
@@ -324,8 +336,8 @@ object CypherCall {
     "betweenness" -> Proc(Seq("id", "score"),
       Set("sourceNodes", "maxDepth", "undirectedInput", "relationshipWeightProperty"),
       (n, ed, cfg) => {
-        val (ed2, wcol) = resolveWeightProp(ed, cfg)
-        val e = selectEdges(n, ed2, cfg)
+        val (ed2, wcol) = resolveWeightProp(filterEdges(n, ed, cfg), cfg)
+        val e = orientEdges(ed2, cfg)
         // sourceNodes = GDS's samplingSize idea made explicit: Brandes
         // roots. halve pairs with the symmetrized-input fast path
         // (weighted path does its own pair dedup — undirectedInput is
@@ -348,33 +360,37 @@ object CypherCall {
       (n, ed, cfg) => {
         val seeds = cfg.strs("sourceNodes").getOrElse(
           throw new IllegalArgumentException("sssp: config key 'sourceNodes' is required"))
-        // weight resolution BEFORE subgraph selection (selectEdges
-        // keeps a `w` column through every orientation): an existing
-        // `w` column wins; else a props entry named by weightProperty;
-        // else hop count (w = 1)
+        // weight resolution on the FILTERED edge set (type/label
+        // selection first — a bad weight on an edge outside the
+        // projection must not abort the call; GDS only requires the
+        // property on projected relationships) but before orientation
+        // (orientEdges carries `w` through every orientation): an
+        // existing `w` column wins; else a props entry named by
+        // weightProperty; else hop count (w = 1)
+        val edF = filterEdges(n, ed, cfg)
         val ed2 = cfg.str("weightProperty") match {
           case Some(p) =>
-            require(ed.columns.contains("props"),
+            require(edF.columns.contains("props"),
               "sssp: weightProperty needs a 'props' column on the edge frame")
-            val withW = ed.withColumn("w", element_at(col("props"), p).cast("double"))
+            val withW = edF.withColumn("w", element_at(col("props"), p).cast("double"))
             // same loud probe as resolveWeightProp: a typo'd property
             // must never silently yield null distances
             require(withW.filter(col("w").isNull).limit(1).count() == 0,
               s"graft.sssp: weightProperty '$p' is missing or non-numeric " +
                 "on at least one edge")
             withW
-          case None if ed.columns.contains("w") => ed
-          case None => ed.withColumn("w", lit(1L))
+          case None if edF.columns.contains("w") => edF
+          case None => edF.withColumn("w", lit(1L))
         }
-        val e = selectEdges(n, ed2, cfg)
+        val e = orientEdges(ed2, cfg)
         GraphOps.sssp(e, seedFrame(ed, seeds), cfg.int("maxIterations", 10))
           .select(col("id"), col("dist").as("distance"))
       }),
     "eigenvector" -> Proc(Seq("id", "score"),
       Set("maxIterations", "relationshipWeightProperty"),
       (n, ed, cfg) => {
-        val (ed2, wcol) = resolveWeightProp(ed, cfg)
-        GraphOps.eigenvector(selectEdges(n, ed2, cfg),
+        val (ed2, wcol) = resolveWeightProp(filterEdges(n, ed, cfg), cfg)
+        GraphOps.eigenvector(orientEdges(ed2, cfg),
           cfg.int("maxIterations", 8), weightCol = wcol)
       }),
     "hits" -> Proc(Seq("id", "hub", "auth"), Set("maxIterations"),

@@ -1267,6 +1267,27 @@ object CypherLite {
           "run the outer part first or restructure as a WITH pipeline")
       val frame = run(nodes, edges, inner)
       val tail = t0.substring(close + 1).trim
+      // a top-level UNION in the continuation would be silently
+      // swallowed into the tail projection — reject loudly (the UNION
+      // belongs INSIDE the braces; unioning a subquery result with a
+      // second full query is not supported)
+      locally {
+        var d = 0; var q = false; var j = 0
+        val up = tail.toUpperCase
+        while (j < tail.length) {
+          val ch = tail.charAt(j)
+          if (ch == '\'') q = !q
+          else if (!q && (ch == '{' || ch == '(')) d += 1
+          else if (!q && (ch == '}' || ch == ')')) d -= 1
+          else if (!q && d == 0 && up.regionMatches(j, "UNION", 0, 5) &&
+              (j == 0 || !up.charAt(j - 1).isLetterOrDigit) &&
+              (j + 5 >= up.length || !up.charAt(j + 5).isLetterOrDigit))
+            throw new IllegalArgumentException(
+              "UNION after a CALL { } subquery is not supported — put the " +
+                "UNION inside the braces")
+          j += 1
+        }
+      }
       return if (tail.isEmpty) frame
              else CypherCall.compileTail(nodes, edges, frame, tail)
     }
@@ -2287,9 +2308,15 @@ object CypherLite {
           case "percentiledisc" => {
             val lst = array_sort(collect_list(valueCol().cast("double")))
             // try_: an all-null group collects an empty list → null
-            // (like percentile/avg), not an ANSI index error
+            // (like percentile/avg), not an ANSI index error.
+            // The 1e-9 nudge keeps exact-integer ranks exact: p·n that
+            // is mathematically integral can overshoot in doubles
+            // (0.07·100 = 7.000000000000001 → ceil 8) — subtracting a
+            // sub-rank epsilon before ceil lands on the true rank for
+            // any group under ~1e9 rows
             try_element_at(lst,
-              greatest(lit(1), ceil(lit(it.aggArg.get) * size(lst)).cast("int")))
+              greatest(lit(1),
+                ceil(lit(it.aggArg.get) * size(lst) - lit(1e-9)).cast("int")))
           }
           case "length" | "nodes" | "relationships" => throw new IllegalArgumentException(
             s"${it.agg.get}() is only supported on a shortestPath variable")

@@ -1174,10 +1174,30 @@ object GraphOps {
     * (root, id)-keyed min + one anti-join. `dist` is DOUBLE (sums of
     * the weight column — exact for integer-valued weights). */
   def ssspFrom(edges: DataFrame, roots: DataFrame, maxIter: Int = 10,
-               weightCol: String = "w"): DataFrame = {
+               weightCol: String = "w",
+               localFinishEdges: Long = 250000L): DataFrame = {
+    // null weights are dropped up front (an edge with no weight does
+    // not exist for weighted distances) — also what the local mirror
+    // assumes; weight-typo loudness lives at the CALL surface probes
     val e = edges.select(col("src"), col("dst"),
-        col(weightCol).cast("double").as("w")).distinct()
+        col(weightCol).cast("double").as("w"))
+      .filter(col("w").isNotNull).distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
+    if (LocalGraph.equatableId(e.schema("src").dataType) &&
+        e.count() <= localFinishEdges) {
+      val idType = e.schema("src").dataType
+      val rootArr = roots.select(col("id").cast(idType).as("id"))
+        .filter(col("id").isNotNull).distinct()
+        .limit(localFinishEdges.toInt + 1).collect().map(_.get(0))
+      if (rootArr.length <= localFinishEdges) {
+        val triples = e.collect().map(r => (r.get(0), r.get(1), r.getDouble(2)))
+        LocalGraph.ssspFrom(edges.sparkSession, triples, rootArr, maxIter,
+            idType).foreach { out =>
+          e.unpersist()
+          return out
+        }
+      }
+    }
     var dist = roots.select(col("id").cast(e.schema("src").dataType).as("id"))
       .filter(col("id").isNotNull).distinct()
       .select(col("id").as("root"), col("id"), lit(0.0).as("dist"))
@@ -1517,6 +1537,14 @@ object GraphOps {
     * path; the dense-long vertex encoding the unweighted path uses is
     * directly applicable here if weighted betweenness becomes a hot
     * path — phases A–D only key on (root, id). */
+  /** Shared refusal for the weighted-Brandes hop-bound pathologies —
+    * thrown identically by the distributed path and the local mirror. */
+  private[graph] val hopBoundMsg: String =
+    "weighted betweenness: the maxIter hop bound binds on this graph (a " +
+      "minimal-weight path's prefix is not hop-bounded-minimal), which makes " +
+      "hop-bounded Brandes ill-defined — raise maxIter above the " +
+      "weighted-shortest-path hop diameter"
+
   private def betweennessWeighted(edges0: DataFrame, roots: DataFrame,
                                   maxIter: Int, halve: Boolean, weightCol: String,
                                   localFinishEdges: Long): DataFrame = {
@@ -1579,12 +1607,20 @@ object GraphOps {
     }
     // ---- phase B: shortest-path DAG ------------------------------
     val du = state.select(col("root").as("d_root"), col("id").as("u"),
-      col("dist").as("ud"))
+      col("dist").as("ud"), col("hops").as("uh"))
     val dv = state.select(col("root").as("v_root"), col("id").as("v"),
-      col("dist").as("vd"))
-    val dag = e.join(du, e("src") === col("u"))
+      col("dist").as("vd"), col("hops").as("vh"))
+    val dag0 = e.join(du, e("src") === col("u"))
       .join(dv, col("d_root") === col("v_root") && e("dst") === col("v"))
       .filter(col("ud") + col("w") === col("vd"))
+    // HOP-BOUND PATHOLOGY PROBE (i): with UNBOUNDED true distances
+    // every DAG edge strictly increases the max-hops layering; when
+    // the maxIter bound binds on a prefix-suboptimal minimal walk the
+    // invariant can break, and then the layer-synchronized sweeps
+    // below silently under-credit. Exact-or-loud: refuse instead.
+    if (dag0.filter(col("uh") >= col("vh")).limit(1).count() > 0)
+      throw new IllegalStateException(hopBoundMsg)
+    val dag = dag0
       .select(col("d_root").as("droot"), col("u"), col("v"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     // ---- phase C: σ = DAG-path counts, frontier-propagated -------
@@ -1609,6 +1645,12 @@ object GraphOps {
     val sigmaState = state.join(sigma, Seq("root", "id"))
       .select(col("root"), col("id"), col("hops"), col("sigma"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // PATHOLOGY PROBE (ii): every reached (root, id) must carry σ ≥ 1
+    // (roots have σ = 1 by seeding); a reached vertex with NO bounded
+    // DAG path means its minimal walk's prefix was not hop-bounded-
+    // minimal — same ill-posed class as probe (i), same refusal
+    if (state.count() != sigmaState.count())
+      throw new IllegalStateException(hopBoundMsg)
     val maxLvlRow = sigmaState.agg(max(col("hops"))).collect()(0)
     val maxLvl = if (maxLvlRow.isNullAt(0)) 0 else maxLvlRow.getInt(0)
     // ---- phase D: backward δ by layer, deepest first -------------

@@ -139,6 +139,75 @@ private[graft] object LocalGraph {
       StructField("dist", IntegerType)))
   }
 
+  /** [[GraphOps.ssspFrom]] mirror: synchronous hop-bounded
+    * Bellman-Ford per root — per round the frontier's candidates
+    * aggregate (min per target) BEFORE comparing to state, exactly the
+    * distributed groupBy-min-then-filter. Off-graph roots keep their
+    * self row (the distributed seed is a plain union; null-weight
+    * edges are filtered out on both paths). */
+  def ssspFrom(spark: SparkSession, triples: Array[(Any, Any, Double)],
+               sources: Array[Any], maxIter: Int, idType: DataType,
+               maxOutputRows: Long = 8L * 1000 * 1000,
+               maxEdgeVisits: Long = 2L * 1000 * 1000 * 1000): Option[DataFrame] = {
+    val index = new java.util.HashMap[Any, Int]()
+    val idBuf = scala.collection.mutable.ArrayBuffer.empty[Any]
+    def enc(x: Any): Int =
+      if (index.containsKey(x)) index.get(x)
+      else { val i = idBuf.length; index.put(x, i); idBuf += x; i }
+    triples.foreach { case (s, d, _) => enc(s); enc(d) }
+    val nV = idBuf.length
+    val srcs = sources.distinct
+    val nRoots = srcs.length.toLong
+    // Bellman-Ford re-relaxes per round: |roots|·|E|·rounds work bound
+    if (nRoots * nV > maxOutputRows ||
+        nRoots * triples.length * math.max(1, maxIter) > maxEdgeVisits)
+      return None
+    val outTo = Array.fill(nV)(scala.collection.mutable.ArrayBuffer.empty[Int])
+    val outW = Array.fill(nV)(scala.collection.mutable.ArrayBuffer.empty[Double])
+    triples.foreach { case (s, d, w) =>
+      val si = index.get(s); outTo(si) += index.get(d); outW(si) += w
+    }
+    val ids = idBuf.toArray
+    val rows = srcs.par.flatMap { root =>
+      val out = scala.collection.mutable.ArrayBuffer.empty[Row]
+      out += Row(root, root, 0.0)
+      val ri = index.getOrDefault(root, -1)
+      if (ri >= 0) {
+        val dist = Array.fill(nV)(Double.PositiveInfinity)
+        dist(ri) = 0.0
+        var frontier = Array(ri)
+        var iter = 0
+        while (iter < maxIter && frontier.nonEmpty) {
+          iter += 1
+          val cand = new java.util.HashMap[Int, Double]()
+          frontier.foreach { u =>
+            val ts = outTo(u); val ws = outW(u)
+            var j = 0
+            while (j < ts.length) {
+              val v = ts(j); val nd = dist(u) + ws(j)
+              if (nd < cand.getOrDefault(v, Double.PositiveInfinity)) cand.put(v, nd)
+              j += 1
+            }
+          }
+          val improved = scala.collection.mutable.ArrayBuffer.empty[Int]
+          cand.forEach { (v, nd) =>
+            if (nd < dist(v)) { dist(v) = nd; improved += v }
+          }
+          frontier = improved.toArray
+        }
+        var v = 0
+        while (v < nV) {
+          if (v != ri && dist(v) < Double.PositiveInfinity)
+            out += Row(root, ids(v), dist(v))
+          v += 1
+        }
+      }
+      out
+    }.seq.toSeq
+    Some(frame(spark, rows, StructField("root", idType), StructField("id", idType),
+      StructField("dist", DoubleType)))
+  }
+
   /** Weighted [[GraphOps.pageRank]] mirror: rank·w/Σ_out w
     * contributions over the TRIPLE-deduplicated edge list (parallel
     * edges with distinct weights keep separate rows — their
@@ -354,6 +423,10 @@ private[graft] object LocalGraph {
       Runtime.getRuntime.availableProcessors))
     val chunks = rootIdx.grouped(
       math.max(1, (rootIdx.length + nChunks - 1) / nChunks)).toArray
+    // set when a root exhibits the hop-bound pathology (see
+    // GraphOps.hopBoundMsg) — checked after the parallel sweep so the
+    // refusal is deterministic regardless of chunk scheduling
+    val badBound = new java.util.concurrent.atomic.AtomicBoolean(false)
     val partials = chunks.par.map { chunk =>
       val acc = new Array[Double](nV)
       val dist = new Array[Double](nV)
@@ -427,30 +500,60 @@ private[graft] object LocalGraph {
           nxt.forEach { (v2, p) => sigma(v2) += p }
           pfront = nxt
         }
-        // phase D: δ by layer descending; only STRICTLY deeper-layer
-        // successors contribute (the distributed pool only ever holds
-        // emissions from layers already finalized — i.e. deeper ones)
-        java.util.Arrays.fill(delta, 0.0)
-        var lvl = maxLvl
-        while (lvl >= 1) {
-          buckets(lvl).foreach { u =>
-            var s2 = 0.0
-            val ts = outTo(u); val ws = outW(u)
+        // hop-bound pathology probes — the exact mirror of the
+        // distributed refusals (GraphOps.hopBoundMsg): (i) a DAG edge
+        // that does not strictly increase the hops layering, (ii) a
+        // reached non-root vertex with σ = 0. Either makes the
+        // layer-synchronized sweeps ill-defined; refuse, don't
+        // under-credit (or divide by zero).
+        var bad = false
+        v = 0
+        while (v < nV && !bad) {
+          if (hops(v) >= 0 && v != s && sigma(v) == 0L) bad = true
+          v += 1
+        }
+        var u0 = 0
+        while (u0 < nV && !bad) {
+          if (hops(u0) >= 0) {
+            val ts = outTo(u0); val ws = outW(u0)
             var j = 0
-            while (j < ts.length) {
+            while (j < ts.length && !bad) {
               val w0 = ts(j)
-              if (hops(w0) > hops(u) && dist(u) + ws(j) == dist(w0))
-                s2 += (1.0 + delta(w0)) / sigma(w0).toDouble
+              if (hops(w0) >= 0 && dist(u0) + ws(j) == dist(w0) &&
+                  hops(w0) <= hops(u0)) bad = true
               j += 1
             }
-            delta(u) = sigma(u).toDouble * s2
-            if (u != s) acc(u) += delta(u)
           }
-          lvl -= 1
+          u0 += 1
+        }
+        if (bad) badBound.set(true)
+        else {
+          // phase D: δ by layer descending; only STRICTLY deeper-layer
+          // successors contribute (the distributed pool only ever holds
+          // emissions from layers already finalized — i.e. deeper ones)
+          java.util.Arrays.fill(delta, 0.0)
+          var lvl = maxLvl
+          while (lvl >= 1) {
+            buckets(lvl).foreach { u =>
+              var s2 = 0.0
+              val ts = outTo(u); val ws = outW(u)
+              var j = 0
+              while (j < ts.length) {
+                val w0 = ts(j)
+                if (hops(w0) > hops(u) && dist(u) + ws(j) == dist(w0))
+                  s2 += (1.0 + delta(w0)) / sigma(w0).toDouble
+                j += 1
+              }
+              delta(u) = sigma(u).toDouble * s2
+              if (u != s) acc(u) += delta(u)
+            }
+            lvl -= 1
+          }
         }
       }
       acc
     }.seq
+    if (badBound.get) throw new IllegalStateException(GraphOps.hopBoundMsg)
     val total = new Array[Double](nV)
     partials.foreach { p => var v = 0; while (v < nV) { total(v) += p(v); v += 1 } }
     val div = if (halve) 2.0 else 1.0

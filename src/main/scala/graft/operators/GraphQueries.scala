@@ -130,12 +130,26 @@ object GraphQueries {
   /** B11 — weighted single-source shortest paths from s:1 over the
     * part—supplier graph (undirected, deterministic integer weights),
     * hop-bounded at 8 so the recursive-CTE oracle is enumerable. */
+  /** Symmetrized weighted part–supplier graph — ONE copy of the
+    * recipe shared by every weighted gate (g_sssp, g_wcloseness,
+    * g_wbetweenness), so the Spark queries and their DuckDB oracle
+    * twins cannot silently desynchronize. */
+  private def weightedSym(s: SparkSession, dir: String): DataFrame = {
+    val we = TestGraph.weightedPartSupplierEdges(s, dir)
+    we.unionByName(
+      we.select(col("dst").as("src"), col("src").as("dst"), col("w"))).distinct()
+  }
+
+  /** Deterministic supplier root subset for the weighted-centrality
+    * gates (matches the oracles' `% 40` filter verbatim). */
+  private def supplierRoots(s: SparkSession, dir: String): DataFrame =
+    TestGraph.weightedPartSupplierEdges(s, dir)
+      .select(col("dst").as("id")).distinct()
+      .filter(substring(col("id"), 3, 100).cast("int") % 40 === 0)
+
   def gSssp(s: SparkSession, dir: String): DataFrame = {
     val src = s.range(1).select(lit("s:1").as("id"))
-    val we = TestGraph.weightedPartSupplierEdges(s, dir)
-    val sym = we.unionByName(
-      we.select(col("dst").as("src"), col("src").as("dst"), col("w"))).distinct()
-    GraphOps.sssp(sym, src, maxIter = 8)
+    GraphOps.sssp(weightedSym(s, dir), src, maxIter = 8)
       .orderBy(col("id"))
   }
 
@@ -242,15 +256,10 @@ object GraphQueries {
     * distances from the keyed hop-bounded Bellman-Ford
     * ([[GraphOps.ssspFrom]]). Oracle: bounded state-dedup walk CTE
     * (the g_sssp twin, multi-root). */
-  def gWCloseness(s: SparkSession, dir: String): DataFrame = {
-    val we = TestGraph.weightedPartSupplierEdges(s, dir)
-    val sym = we.unionByName(
-      we.select(col("dst").as("src"), col("src").as("dst"), col("w"))).distinct()
-    val roots = we.select(col("dst").as("id")).distinct()
-      .filter(substring(col("id"), 3, 100).cast("int") % 40 === 0)
-    GraphOps.closeness(sym, roots, maxIter = 6, weightCol = Some("w"))
+  def gWCloseness(s: SparkSession, dir: String): DataFrame =
+    GraphOps.closeness(weightedSym(s, dir), supplierRoots(s, dir),
+        maxIter = 6, weightCol = Some("w"))
       .orderBy(col("id"))
-  }
 
   /** B20w gate — WEIGHTED betweenness (Dijkstra-based Brandes) on the
     * same graph/roots as [[gWCloseness]]. Oracle: walk-CTE distances →
@@ -258,17 +267,11 @@ object GraphQueries {
     * bound as the engine's σ propagation) → Brandes pair dependencies
     * Σ (paths through v)/σ_st — the combinatorial identity the
     * backward δ recursion computes. */
-  def gWBetweenness(s: SparkSession, dir: String): DataFrame = {
-    val we = TestGraph.weightedPartSupplierEdges(s, dir)
-    val sym = we.unionByName(
-      we.select(col("dst").as("src"), col("src").as("dst"), col("w"))).distinct()
-    val roots = we.select(col("dst").as("id")).distinct()
-      .filter(substring(col("id"), 3, 100).cast("int") % 40 === 0)
-    GraphOps.betweenness(sym, roots, maxIter = 6, halve = true,
-        weightCol = Some("w"))
+  def gWBetweenness(s: SparkSession, dir: String): DataFrame =
+    GraphOps.betweenness(weightedSym(s, dir), supplierRoots(s, dir),
+        maxIter = 6, halve = true, weightCol = Some("w"))
       .filter(col("betweenness") > 0)
       .orderBy(col("id"))
-  }
 
   /** B12 — GDS-style node similarity: Jaccard over supplier neighbor
     * sets of the (sparsified) part—supplier graph. */

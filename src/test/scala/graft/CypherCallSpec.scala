@@ -288,6 +288,20 @@ class CypherCallSpec extends SparkSpec {
       """CALL graft.pageRank({maxIterations: 3, relationshipWeightProperty: 'cost'})
         |YIELD id, score""".stripMargin)
     assert(ok.count() == 6L)
+    // the probe runs on the PROJECTED edge set (review r9): a null
+    // weight on an edge EXCLUDED by relationshipType must not abort
+    val eMixed = edges.withColumn("cost",
+      when(col("etype") === "SPAWNS", lit("2")).otherwise(lit(null).cast("string")))
+    val sel = CypherCall.run(nodes, eMixed,
+      """CALL graft.pageRank({maxIterations: 3, relationshipTypes: ['SPAWNS'],
+        |relationshipWeightProperty: 'cost'}) YIELD id, score""".stripMargin)
+    assert(sel.count() == 3L) // the a-b-c triangle only
+    // …while a null INSIDE the projection still refuses
+    intercept[IllegalArgumentException] {
+      CypherCall.run(nodes, eMixed,
+        """CALL graft.pageRank({maxIterations: 3, relationshipTypes: ['CONNECTED_TO'],
+          |relationshipWeightProperty: 'cost'}) YIELD id, score""".stripMargin)
+    }
   }
 
   test("eigenvector and hits procedures dispatch with GDS yield names") {

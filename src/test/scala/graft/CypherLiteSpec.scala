@@ -350,7 +350,7 @@ class CypherLiteSpec extends SparkSpec {
       val vs = b.getSeq[Double](4)
       val expDisc: Any =
         if (vs.isEmpty) null
-        else vs(math.max(1, math.ceil(0.5 * vs.size).toInt) - 1)
+        else vs(math.max(1, math.ceil(0.5 * vs.size - 1e-9).toInt) - 1)
       assert(a.get(4) == expDisc,
         s"percentileDisc mismatch for ${a.getString(0)}: got ${a.get(4)}, want $expDisc")
     }
@@ -413,11 +413,17 @@ class CypherLiteSpec extends SparkSpec {
       .join(et("CONNECTED_TO").select(col("src").as("q"), col("dst").as("ip")), Seq("q"))
       .distinct().orderBy(col("q"), col("ip"))
     assert(cont.collect().toSeq.map(_.toSeq) == wantC.collect().toSeq.map(_.toSeq))
-    // loud errors: importing WITH, unbalanced braces
+    // loud errors: importing WITH, unbalanced braces, and a top-level
+    // UNION in the continuation (it belongs inside the braces — a
+    // silent swallow into the tail projection would misparse)
     intercept[IllegalArgumentException](CypherLite.run(nodes, edges,
       "CALL { WITH p MATCH (p)-[:SPAWNS]->(q:Process) RETURN q } RETURN q"))
     intercept[IllegalArgumentException](CypherLite.run(nodes, edges,
       "CALL { MATCH (p:Process) RETURN p"))
+    val uerr = intercept[IllegalArgumentException](CypherLite.run(nodes, edges,
+      "CALL { MATCH (p:Process) RETURN p } RETURN p " +
+        "UNION MATCH (f:File) RETURN f AS p"))
+    assert(uerr.getMessage.contains("inside the braces"))
   }
 
   test("percentileDisc even-count group: nearest-rank, not interpolation") {
@@ -437,6 +443,19 @@ class CypherLiteSpec extends SparkSpec {
     assert(r.length == 1)
     assert(r(0).getDouble(1) == 20.0, s"disc: ${r(0).getDouble(1)}")
     assert(r(0).getDouble(2) == 25.0, s"cont: ${r(0).getDouble(2)}")
+    // float-overshoot regression (review r9): 0.07·100 is exactly 7
+    // but rounds to 7.000000000000001 in doubles — ceil must not slip
+    // to rank 8 (values 1..100 → the 7th smallest is 7)
+    val n100 = (Seq(("P", "q1", Map.empty[String, String])) ++
+      (1 to 100).map(i => ("Ip", s"j$i", Map.empty[String, String])))
+      .toDF("label", "id", "props")
+    val e100 = (1 to 100).map { i =>
+      ("CONNECTED_TO", "q1", s"j$i", 3, Map("dport" -> i.toString))
+    }.toDF("etype", "src", "dst", "event_id", "props")
+    val r2 = CypherLite.run(n100, e100,
+      "MATCH (p:P)-[r:CONNECTED_TO]->(ip:Ip) " +
+        "RETURN p, percentileDisc(toInteger(r.dport), 0.07) AS d").collect()
+    assert(r2(0).getDouble(1) == 7.0, s"rank-7 overshoot: ${r2(0).getDouble(1)}")
   }
 
   test("toInteger coercion: max over dport orders numerically, not lexicographically") {

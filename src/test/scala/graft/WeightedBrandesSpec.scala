@@ -97,6 +97,51 @@ class WeightedBrandesSpec extends SparkSpec {
     assert(local("a") == 0.0 && local("e") == 0.0)
   }
 
+  test("hop-bound pathologies refuse loudly and identically on both paths") {
+    // (i) strict-layering violation (review r9 finding 1): within 3
+    // hops, u's dist ties at 3 via both the 1-hop heavy edge and the
+    // 3-hop light path (hops = 3), while v = u+1 is only reachable at
+    // 2 recorded hops — the DAG edge u→v DECREASES the layering, so
+    // the layer-synchronized sweep would silently drop the r>u>v path
+    val g1 = Seq(("r", "a", 1L), ("a", "b", 1L), ("b", "u", 1L),
+      ("r", "u", 3L), ("u", "v", 1L)).toDF("src", "dst", "w")
+    val roots1 = Seq("r").toDF("id")
+    for (lfe <- Seq(250000L, 0L)) {
+      val err = intercept[IllegalStateException] {
+        GraphOps.betweenness(g1, roots1, maxIter = 3, halve = false,
+          weightCol = Some("w"), localFinishEdges = lfe).count()
+      }
+      assert(err.getMessage.contains("hop bound binds"), s"lfe=$lfe")
+    }
+    // raising maxIter past the weighted hop diameter computes, and
+    // local ≡ distributed
+    val ok = bMap(GraphOps.betweenness(g1, roots1, maxIter = 6, halve = false,
+      weightCol = Some("w")))
+    val okD = bMap(GraphOps.betweenness(g1, roots1, maxIter = 6, halve = false,
+      weightCol = Some("w"), localFinishEdges = 0L))
+    assert(ok == okD)
+    assert(ok("u") == 1.0) // r>…>u>v: u brokers (r, v); σ-unique path
+    // (ii) zero-σ reached vertex (review r9 finding 2): u reaches dist
+    // 6 through p's STALE dist at round 2, p later improves, so no
+    // bounded DAG path reaches u — σ(u) = 0 while u is reached
+    val g2 = Seq(("r", "p", 5L), ("r", "q1", 1L), ("q1", "q2", 1L),
+      ("q2", "p", 1L), ("p", "u", 1L), ("u", "z", 1L)).toDF("src", "dst", "w")
+    val roots2 = Seq("r").toDF("id")
+    for (lfe <- Seq(250000L, 0L)) {
+      val err = intercept[IllegalStateException] {
+        GraphOps.betweenness(g2, roots2, maxIter = 3, halve = false,
+          weightCol = Some("w"), localFinishEdges = lfe).count()
+      }
+      assert(err.getMessage.contains("hop bound binds"), s"lfe=$lfe")
+    }
+    val ok2 = bMap(GraphOps.betweenness(g2, roots2, maxIter = 8, halve = false,
+      weightCol = Some("w")))
+    val ok2D = bMap(GraphOps.betweenness(g2, roots2, maxIter = 8, halve = false,
+      weightCol = Some("w"), localFinishEdges = 0L))
+    assert(ok2 == ok2D)
+    assert(!ok2.values.exists(v => v.isNaN || v.isInfinite))
+  }
+
   test("weighted betweenness rejects null/zero/negative weights loudly") {
     val bad = Seq(("a", "b", 0L), ("b", "c", 1L)).toDF("src", "dst", "w")
     val err = intercept[IllegalArgumentException] {
@@ -121,6 +166,12 @@ class WeightedBrandesSpec extends SparkSpec {
     }
     // off-graph roots keep their self row only
     assert(keyed.keys.count(_._1 == "ghost") == 1 && keyed(("ghost", "ghost")) == 0.0)
+    // r9: the default path above runs the LOCAL mirror (sub-gate
+    // graph); the forced-distributed twin must agree exactly
+    val dist = GraphOps.ssspFrom(triples, roots, maxIter = 8,
+        localFinishEdges = 0L)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(keyed == dist)
   }
 
   test("weighted closeness: hand-computed star and CALL-surface dispatch") {
