@@ -230,6 +230,16 @@ object SparkEntry {
           |}
           |RETURN p, count(obj) AS artifacts ORDER BY artifacts DESC, p LIMIT 25""".stripMargin)
     }),
+    "sg_cypher9"   -> ((s, _) => {
+      // mid-query CORRELATED CALL subquery (Cypher-5): per-injected-
+      // process beacon counts with Cypher's zero-fill — the injected
+      // process keeps its row even when it never connected out
+      val (n, e) = graft.graph.SysmonGraph.buildCached(s, "/root/reference/malware/*.json")
+      graft.graph.CypherLite.run(n, e,
+        """MATCH (p:Process)-[:INJECTED_THREAD]->(q:Process)
+          |CALL { WITH q MATCH (q)-[:CONNECTED_TO]->(ip:Ip) RETURN count(ip) AS beacons }
+          |RETURN p, q, beacons ORDER BY beacons DESC, p, q""".stripMargin)
+    }),
     "sg_spawntree" -> ((s, _) => {
       val (_, e) = graft.graph.SysmonGraph.buildCached(s, "/root/reference/malware/*.json")
       graft.graph.Detections.deepSpawnChains(e, minDepth = 1)

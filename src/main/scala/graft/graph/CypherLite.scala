@@ -318,6 +318,18 @@ object CypherLite {
                                literalsNumeric: Boolean, alias: String,
                                next: Option[MatchStage],
                                srcTerm: Option[Term] = None) extends PipeStage
+  /** Mid-query `CALL { [WITH imports] <inner> }` subquery stage
+    * (Cypher-5 correlated subqueries): the inner pipeline compiles
+    * against the DISTINCT imported-variable combinations and its
+    * declared outputs join back onto the outer frame per combo —
+    * set-based execution of Neo4j's per-row semantics (equal rows get
+    * equal results, so evaluating per distinct combo and joining back
+    * is faithful). An all-aggregate RETURN left-joins with Cypher's
+    * empty-input fills (count→0, sum→0, collect→[]); any other RETURN
+    * inner-joins (a row with no subquery rows is dropped — Neo4j's
+    * rule). No importing WITH = uncorrelated (cross join). */
+  final case class CallStage(imports: Seq[String], inner: Query,
+                             next: Option[MatchStage]) extends PipeStage
   final case class Query(stage: MatchStage,
                          withStages: Seq[PipeStage] = Seq.empty,
                          ret: Seq[RetItem] = Seq.empty, distinct: Boolean = false,
@@ -1020,7 +1032,43 @@ object CypherLite {
   }
 
   def parse(q: String): Query = {
-    val text = normalizeWs(q)
+    val text0 = normalizeWs(q)
+    // mid-query CALL { … } subqueries: MASK each brace body (quote-
+    // aware, brace-balanced) behind a ` CALLSEG <i> ` marker BEFORE any
+    // clause regex runs — the final-RETURN match and the WITH/UNWIND
+    // pipeline split must not fire on clauses INSIDE the braces
+    val callInner = scala.collection.mutable.Buffer.empty[String]
+    val text = {
+      val up = text0.toUpperCase
+      val sb = new StringBuilder
+      var i = 0; var inQ = false
+      while (i < text0.length) {
+        val ch = text0.charAt(i)
+        lazy val braceAt = {
+          var j = i + 4
+          while (j < text0.length && text0.charAt(j).isWhitespace) j += 1
+          if (j < text0.length && text0.charAt(j) == '{') j else -1
+        }
+        if (ch == '\'') { inQ = !inQ; sb += ch; i += 1 }
+        else if (!inQ && up.regionMatches(i, "CALL", 0, 4) &&
+            (i == 0 || (!up.charAt(i - 1).isLetterOrDigit && up.charAt(i - 1) != '_')) &&
+            braceAt > 0) {
+          var depth = 0; var q2 = false; var close = -1; var k = braceAt
+          while (k < text0.length && close < 0) {
+            val c2 = text0.charAt(k)
+            if (c2 == '\'') q2 = !q2
+            else if (!q2 && c2 == '{') depth += 1
+            else if (!q2 && c2 == '}') { depth -= 1; if (depth == 0) close = k }
+            k += 1
+          }
+          require(close > 0, s"unbalanced braces in CALL subquery: $text0")
+          callInner += text0.substring(braceAt + 1, close).trim
+          sb.append(" CALLSEG ").append(callInner.length - 1).append(" ")
+          i = close + 1
+        } else { sb += ch; i += 1 }
+      }
+      normalizeWs(sb.toString).trim
+    }
     var anonId = 0
     val anon = () => { anonId += 1; s"_anon$anonId" }
     val mShortest = """(?i)MATCH (\w+) = (shortestPath|allShortestPaths)\((.+?)\)(?: WHERE (.+?))? RETURN (DISTINCT )?(.+?)(?: ORDER BY (.+?))?(?: SKIP (\d+))?(?: LIMIT (\d+))?\s*$""".r
@@ -1043,10 +1091,12 @@ object CypherLite {
           sp = Some(ShortestPat(pathVar, nodes.head, hops.head, nodes(1),
             all = fn.equalsIgnoreCase("allShortestPaths"))))
       case mTail(head, distinctOrNull, retPart, orderOrNull, skipOrNull, limitOrNull) =>
-        // pipeline separators: WITH and UNWIND stages, in textual order.
-        // The lookbehinds keep the separator from matching the " WITH "
-        // inside STARTS WITH / ENDS WITH predicates
-        val segRe = """(?i)(?<!STARTS)(?<!ENDS)\s+(WITH|UNWIND)\s+""".r
+        // pipeline separators: WITH, UNWIND, and masked CALL subquery
+        // stages (CALLSEG markers — bodies were extracted to
+        // `callInner` before any clause regex ran), in textual order.
+        // The lookbehinds keep the separator from matching the
+        // " WITH " inside STARTS WITH / ENDS WITH predicates
+        val segRe = """(?i)(?<!STARTS)(?<!ENDS)\s+(WITH|UNWIND|CALLSEG)\s+""".r
         val ms = segRe.findAllMatchIn(head).toSeq
         val segTexts: Seq[(String, String)] =
           ("HEAD", if (ms.isEmpty) head else head.substring(0, ms.head.start)) +:
@@ -1098,6 +1148,56 @@ object CypherLite {
                 havingAfterLimit = postHaving != null)
             case other => throw new IllegalArgumentException(s"bad WITH stage: $other")
           }
+          case ("CALLSEG", seg) =>
+            val mCallSeg = """(?s)^(\d+)(?:\s+MATCH\s+(.+?)(?:\s+WHERE\s+(.+))?)?$""".r
+            seg.trim match {
+              case mCallSeg(idxStr, patOrNull, whereOrNull) =>
+                val body = callInner(idxStr.toInt)
+                // importing WITH: a bare comma-separated variable list
+                // (Neo4j's rule — expressions need an outer WITH first)
+                val mImp = """(?is)^WITH\s+(\w+(?:\s*,\s*\w+)*)\s+(.*)$""".r
+                val (imports, innerText) = body match {
+                  case mImp(vars, rest) =>
+                    (vars.split(",").map(_.trim).toSeq, rest)
+                  case _ => (Seq.empty[String], body)
+                }
+                imports.foreach(v => require(carried.contains(v),
+                  s"CALL subquery imports unbound variable '$v'"))
+                require(splitUnion(normalizeWs(innerText))._1.size == 1,
+                  "UNION inside a mid-query CALL { } subquery is not supported " +
+                    "(statement-initial CALL { } supports it)")
+                val inner = parse(innerText)
+                require(inner.sp.isEmpty,
+                  "shortestPath inside a CALL subquery is not supported")
+                // an outer variable used inside the braces WITHOUT being
+                // imported would silently rebind as a fresh full-scan
+                // variable — reject like Neo4j (which forbids both the
+                // un-imported reference and the shadowing)
+                val innerVars: Set[String] =
+                  inner.stage.patterns.flatMap(_._1.map(_.v)).toSet ++
+                    inner.stage.optChains.flatMap(_._1.map(_.v))
+                val leaked = innerVars.intersect(carried -- imports.toSet)
+                require(leaked.isEmpty,
+                  s"CALL subquery references outer variable(s) " +
+                    s"${leaked.toSeq.sorted.mkString(", ")} without importing them — " +
+                    s"start the braces with WITH ${leaked.toSeq.sorted.mkString(", ")}")
+                if (imports.nonEmpty)
+                  require(inner.orderBy.isEmpty && inner.skip.isEmpty &&
+                      inner.limit.isEmpty,
+                    "ORDER BY/SKIP/LIMIT inside a correlated CALL subquery " +
+                      "(per-import-row top-k) is not supported")
+                val outs = inner.ret.map(_.outName)
+                outs.foreach(o => require(!carried.contains(o),
+                  s"CALL subquery returns '$o', already declared in the outer scope"))
+                carried ++= outs
+                val next = Option(patOrNull).map(p =>
+                  parseMatchStage(p, whereOrNull, carried, anon))
+                addNext(next)
+                CallStage(imports, inner, next)
+              case other => throw new IllegalArgumentException(
+                s"bad CALL subquery continuation: $other " +
+                  "(expected [MATCH …] then WITH/UNWIND/RETURN)")
+            }
           case ("UNWIND", seg) => seg match {
             case mUnwind(srcPart, aliasName, patOrNull, whereOrNull) =>
               val src = srcPart.trim
@@ -1330,30 +1430,7 @@ object CypherLite {
       require(start.isEmpty, "shortestPath cannot follow a CALL YIELD")
       return c.runShortestPath(q, sp)
     }
-    var bound = c.compileStage(start, q.stage)
-    q.withStages.foreach {
-      case ws: WithStage =>
-        bound = c.project(bound, ws.items, distinct = ws.distinct)
-        if (!ws.havingAfterLimit)
-          ws.having.foreach { p => bound = c.applyPred(bound, p) }
-        // mid-pipeline ORDER BY matters only as a SKIP/LIMIT modifier
-        // (Cypher semantics — row order doesn't survive the next join
-        // in either engine); together they are the top-k-then-continue
-        // idiom (`WITH p, count(*) AS n ORDER BY n DESC LIMIT 10 MATCH …`)
-        if (ws.orderBy.nonEmpty)
-          bound = bound.orderBy(ws.orderBy.map { case (cn, desc) =>
-            if (desc) col(cn).desc else col(cn).asc }: _*)
-        ws.skip.foreach(n => bound = bound.offset(n))
-        ws.limit.foreach(n => bound = bound.limit(n))
-        // Cypher-5 clause order (WITH … ORDER BY … LIMIT … WHERE …):
-        // the WHERE filters AFTER the top-k is taken
-        if (ws.havingAfterLimit)
-          ws.having.foreach { p => bound = c.applyPred(bound, p) }
-        ws.next.foreach { st => bound = c.compileStage(Some(bound), st) }
-      case u: UnwindStage =>
-        bound = c.unwind(bound, u)
-        u.next.foreach { st => bound = c.compileStage(Some(bound), st) }
-    }
+    val bound = c.pipelineStages(start, q)
     var out = c.project(bound, q.ret, q.distinct)
     if (q.orderBy.nonEmpty)
       out = out.orderBy(q.orderBy.map { case (cn, desc) =>
@@ -1366,6 +1443,91 @@ object CypherLite {
   /** The stage compiler: carries the graph frames and turns MATCH
     * stages / predicates / projections into DataFrame operations. */
   private[graph] final class Compiler(nodes: DataFrame, edges: DataFrame) {
+
+    /** Compile the first MATCH stage plus every WITH/UNWIND/CALL
+      * pipeline stage of a query — everything up to (not including)
+      * the final projection. Shared by [[runParsed]] and the
+      * CALL-subquery compiler. */
+    private[graph] def pipelineStages(start: Option[DataFrame], q: Query): DataFrame = {
+      var bound = compileStage(start, q.stage)
+      q.withStages.foreach {
+        case ws: WithStage =>
+          bound = project(bound, ws.items, distinct = ws.distinct)
+          if (!ws.havingAfterLimit)
+            ws.having.foreach { p => bound = applyPred(bound, p) }
+          // mid-pipeline ORDER BY matters only as a SKIP/LIMIT modifier
+          // (Cypher semantics — row order doesn't survive the next join
+          // in either engine); together they are the top-k-then-continue
+          // idiom (`WITH p, count(*) AS n ORDER BY n DESC LIMIT 10 MATCH …`)
+          if (ws.orderBy.nonEmpty)
+            bound = bound.orderBy(ws.orderBy.map { case (cn, desc) =>
+              if (desc) col(cn).desc else col(cn).asc }: _*)
+          ws.skip.foreach(n => bound = bound.offset(n))
+          ws.limit.foreach(n => bound = bound.limit(n))
+          // Cypher-5 clause order (WITH … ORDER BY … LIMIT … WHERE …):
+          // the WHERE filters AFTER the top-k is taken
+          if (ws.havingAfterLimit)
+            ws.having.foreach { p => bound = applyPred(bound, p) }
+          ws.next.foreach { st => bound = compileStage(Some(bound), st) }
+        case u: UnwindStage =>
+          bound = unwind(bound, u)
+          u.next.foreach { st => bound = compileStage(Some(bound), st) }
+        case cs: CallStage =>
+          bound = compileCall(bound, cs)
+          cs.next.foreach { st => bound = compileStage(Some(bound), st) }
+      }
+      bound
+    }
+
+    /** Mid-query CALL subquery (see [[CallStage]]): run the inner
+      * pipeline from the DISTINCT imported-variable combinations, with
+      * the imports INJECTED into the inner projection (so an inner
+      * aggregate groups per combo — Cypher's per-row semantics,
+      * set-based), then join the declared outputs back onto the outer
+      * frame. */
+    private def compileCall(outer: DataFrame, cs: CallStage): DataFrame = {
+      val q = cs.inner
+      cs.imports.foreach(v => require(outer.columns.contains(v),
+        s"CALL subquery imports unbound variable '$v'"))
+      q.ret.map(_.outName).foreach(o => require(!outer.columns.contains(o),
+        s"CALL subquery returns '$o', which collides with an outer column"))
+      val start =
+        if (cs.imports.nonEmpty)
+          Some(outer.select(cs.imports.map(col): _*).distinct())
+        else None
+      val innerBound = pipelineStages(start, q)
+      val importItems = cs.imports.map(v => parseRetItem(v))
+      val inner = project(innerBound, importItems ++ q.ret, q.distinct)
+      if (cs.imports.isEmpty) {
+        // uncorrelated: every inner row pairs with every outer row
+        // (Neo4j's cartesian rule); inner ORDER BY/SKIP/LIMIT are
+        // global and fine here, applied before the pairing
+        var in2 = inner
+        if (q.orderBy.nonEmpty)
+          in2 = in2.orderBy(q.orderBy.map { case (cn, desc) =>
+            if (desc) col(cn).desc else col(cn).asc }: _*)
+        q.skip.foreach(n => in2 = in2.offset(n))
+        q.limit.foreach(n => in2 = in2.limit(n))
+        outer.crossJoin(in2)
+      } else if (q.ret.nonEmpty && q.ret.forall(_.agg.isDefined)) {
+        // all-aggregate RETURN: one row per combo even with zero
+        // matches — left join + Cypher's empty-input fills
+        var j = outer.join(inner, cs.imports, "left")
+        q.ret.foreach { it =>
+          val n = it.outName
+          it.agg.get match {
+            case "count" => j = j.withColumn(n, coalesce(col(n), lit(0L)))
+            case "sum"   => j = j.withColumn(n, coalesce(col(n), lit(0.0)))
+            case "collect" =>
+              val dt = inner.schema(n).dataType
+              j = j.withColumn(n,
+                when(col(n).isNull, array().cast(dt)).otherwise(col(n)))
+            case _ => () // min/max/avg/stdev/percentile: null on empty, like Cypher
+          }
+        }
+        j
+      } else outer.join(inner, cs.imports, "inner")
+    }
 
     /** One equality Column per property-map entry over a frame's
       * `props` map column (`id` reads the id column itself). Numeric
@@ -2324,8 +2486,12 @@ object CypherLite {
         }).as(it.outName)
       }
       var out =
-        if (aggCols.nonEmpty) {
-          require(plainCols.nonEmpty, "aggregates need at least one grouping item")
+        if (aggCols.nonEmpty && plainCols.isEmpty) {
+          // GLOBAL aggregation (`RETURN count(*)` with no grouping
+          // item) — one row, even over an empty input (count = 0,
+          // Cypher semantics)
+          bound.agg(aggCols.head, aggCols.tail: _*)
+        } else if (aggCols.nonEmpty) {
           // group on the OUTPUT columns (plain items may be aliases)
           bound.select((plainCols ++ bound.columns.filterNot(c =>
               plainItems.exists(_.outName == c)).map(col)).distinct: _*)

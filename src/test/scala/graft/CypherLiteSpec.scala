@@ -426,6 +426,78 @@ class CypherLiteSpec extends SparkSpec {
     assert(uerr.getMessage.contains("inside the braces"))
   }
 
+  test("mid-query CALL { WITH … }: correlated subqueries, fills, guards") {
+    val (nodes, edges) = graph
+    // per-combo aggregate with Cypher's zero-fill: every injected
+    // process keeps its row, count 0 when it never connected
+    val got = CypherLite.run(nodes, edges,
+      """MATCH (p:Process)-[:INJECTED_THREAD]->(q:Process)
+        |CALL { WITH q MATCH (q)-[:CONNECTED_TO]->(ip:Ip) RETURN count(ip) AS beacons }
+        |RETURN p, q, beacons ORDER BY p, q""".stripMargin)
+    val inj = et("INJECTED_THREAD").select(col("src").as("p"), col("dst").as("q"))
+    val cnt = et("CONNECTED_TO").groupBy(col("src").as("q"))
+      .agg(count(lit(1)).as("beacons"))
+    val want = inj.join(cnt, Seq("q"), "left")
+      .select(col("p"), col("q"), coalesce(col("beacons"), lit(0L)).as("beacons"))
+      .orderBy(col("p"), col("q"))
+    assert(got.collect().toSeq.map(_.toSeq) == want.collect().toSeq.map(_.toSeq))
+    assert(got.count() > 0)
+    // non-aggregate correlated subquery ≡ the comma-joined two-pattern
+    // MATCH (rows with no subquery match drop — inner-join semantics)
+    val flat = CypherLite.run(nodes, edges,
+      """MATCH (p:Process)-[:INJECTED_THREAD]->(q:Process)
+        |CALL { WITH q MATCH (q)-[:CONNECTED_TO]->(ip:Ip) RETURN ip }
+        |RETURN DISTINCT p, q, ip ORDER BY p, q, ip""".stripMargin)
+    val want2 = CypherLite.run(nodes, edges,
+      "MATCH (p:Process)-[:INJECTED_THREAD]->(q:Process), " +
+        "(q)-[:CONNECTED_TO]->(ip:Ip) RETURN DISTINCT p, q, ip ORDER BY p, q, ip")
+    assert(flat.collect().toSeq.map(_.toSeq) == want2.collect().toSeq.map(_.toSeq))
+    // collect() fills [] for combos with no matches
+    val coll = CypherLite.run(nodes, edges,
+      """MATCH (p:Process)
+        |CALL { WITH p MATCH (p)-[:CREATED_FILE]->(f:File) RETURN collect(f) AS files }
+        |RETURN p, files ORDER BY p""".stripMargin)
+    val nProc = nodes.filter(col("label") === "Process").count()
+    val nCreators = et("CREATED_FILE").select(col("src")).distinct().count()
+    assert(coll.count() == nProc)
+    assert(coll.filter(size(col("files")) === 0).count() == nProc - nCreators)
+    // uncorrelated subquery: cross-pairs with every outer row; the
+    // inner global aggregate works (RETURN count with no grouping)
+    val uncorr = CypherLite.run(nodes, edges,
+      """MATCH (t:Trace)
+        |CALL { MATCH (p:Process) RETURN count(p) AS np }
+        |RETURN t, np ORDER BY t""".stripMargin)
+    val nTrace = nodes.filter(col("label") === "Trace").count()
+    assert(uncorr.count() == nTrace)
+    assert(uncorr.select(col("np")).distinct().collect().map(_.getLong(0)).toSeq ==
+      Seq(nProc))
+    // standalone global aggregate (the same project path)
+    val gagg = CypherLite.run(nodes, edges,
+      "MATCH (p:Process) RETURN count(p) AS n").collect()
+    assert(gagg.length == 1 && gagg(0).getLong(0) == nProc)
+    // guards: un-imported outer reference, UNION inside, correlated
+    // ORDER BY, output-name collision
+    val leak = intercept[IllegalArgumentException](CypherLite.run(nodes, edges,
+      """MATCH (p:Process)-[:INJECTED_THREAD]->(q:Process)
+        |CALL { MATCH (q)-[:CONNECTED_TO]->(ip:Ip) RETURN ip }
+        |RETURN p, ip""".stripMargin))
+    assert(leak.getMessage.contains("without importing"))
+    intercept[IllegalArgumentException](CypherLite.run(nodes, edges,
+      """MATCH (p:Process)
+        |CALL { WITH p MATCH (p)-[:CREATED_FILE]->(f:File) RETURN f
+        |UNION MATCH (p)-[:DELETED_FILE]->(f:File) RETURN f }
+        |RETURN p, f""".stripMargin))
+    intercept[IllegalArgumentException](CypherLite.run(nodes, edges,
+      """MATCH (p:Process)
+        |CALL { WITH p MATCH (p)-[:CREATED_FILE]->(f:File) RETURN f ORDER BY f LIMIT 1 }
+        |RETURN p, f""".stripMargin))
+    val clash = intercept[IllegalArgumentException](CypherLite.run(nodes, edges,
+      """MATCH (p:Process)-[:INJECTED_THREAD]->(q:Process)
+        |CALL { WITH q MATCH (q)-[:CONNECTED_TO]->(ip:Ip) RETURN ip AS p }
+        |RETURN q, p""".stripMargin))
+    assert(clash.getMessage.contains("already declared"))
+  }
+
   test("percentileDisc even-count group: nearest-rank, not interpolation") {
     import spark.implicits._
     // 4 ports {10,20,30,40}: disc(0.5) = ceil(0.5·4) = 2nd value = 20
