@@ -1181,11 +1181,10 @@ object CypherLite {
                   s"CALL subquery references outer variable(s) " +
                     s"${leaked.toSeq.sorted.mkString(", ")} without importing them — " +
                     s"start the braces with WITH ${leaked.toSeq.sorted.mkString(", ")}")
-                if (imports.nonEmpty)
-                  require(inner.orderBy.isEmpty && inner.skip.isEmpty &&
-                      inner.limit.isEmpty,
-                    "ORDER BY/SKIP/LIMIT inside a correlated CALL subquery " +
-                      "(per-import-row top-k) is not supported")
+                if (imports.nonEmpty && (inner.skip.isDefined || inner.limit.isDefined))
+                  require(inner.orderBy.nonEmpty,
+                    "SKIP/LIMIT inside a correlated CALL subquery needs an " +
+                      "ORDER BY (the per-combo top-k must be deterministic)")
                 val outs = inner.ret.map(_.outName)
                 outs.foreach(o => require(!carried.contains(o),
                   s"CALL subquery returns '$o', already declared in the outer scope"))
@@ -1497,7 +1496,22 @@ object CypherLite {
         else None
       val innerBound = pipelineStages(start, q)
       val importItems = cs.imports.map(v => parseRetItem(v))
-      val inner = project(innerBound, importItems ++ q.ret, q.distinct)
+      var inner = project(innerBound, importItems ++ q.ret, q.distinct)
+      if (cs.imports.nonEmpty &&
+          (q.skip.isDefined || q.limit.isDefined)) {
+        // per-import-combo SKIP/LIMIT: a windowed rank over the combo
+        // partition (the C7 top-k shape — keyed, never a global sort);
+        // ORDER BY is enforced present at parse time
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(cs.imports.map(col): _*)
+          .orderBy(q.orderBy.map { case (cn, desc) =>
+            if (desc) col(cn).desc else col(cn).asc }: _*)
+        inner = inner.withColumn("__callrn", row_number().over(w))
+        val lo = q.skip.getOrElse(0)
+        q.limit.foreach(k => inner = inner.filter(col("__callrn") <= lo + k))
+        if (lo > 0) inner = inner.filter(col("__callrn") > lo)
+        inner = inner.drop("__callrn")
+      }
       if (cs.imports.isEmpty) {
         // uncorrelated: every inner row pairs with every outer row
         // (Neo4j's cartesian rule); inner ORDER BY/SKIP/LIMIT are

@@ -487,9 +487,23 @@ class CypherLiteSpec extends SparkSpec {
         |CALL { WITH p MATCH (p)-[:CREATED_FILE]->(f:File) RETURN f
         |UNION MATCH (p)-[:DELETED_FILE]->(f:File) RETURN f }
         |RETURN p, f""".stripMargin))
-    intercept[IllegalArgumentException](CypherLite.run(nodes, edges,
+    // per-combo ORDER BY + LIMIT: the first created file PER PROCESS
+    // (a windowed top-k over the import partition, Cypher's per-row
+    // semantics)
+    val top1 = CypherLite.run(nodes, edges,
       """MATCH (p:Process)
         |CALL { WITH p MATCH (p)-[:CREATED_FILE]->(f:File) RETURN f ORDER BY f LIMIT 1 }
+        |RETURN p, f ORDER BY p""".stripMargin)
+    val wantTop1 = et("CREATED_FILE")
+      .groupBy(col("src").as("p")).agg(min(col("dst")).as("f"))
+      .orderBy(col("p"))
+    assert(top1.collect().toSeq.map(_.toSeq) ==
+      wantTop1.collect().toSeq.map(_.toSeq))
+    // SKIP/LIMIT without ORDER BY inside a correlated subquery is a
+    // loud error (nondeterministic per-combo top-k)
+    intercept[IllegalArgumentException](CypherLite.run(nodes, edges,
+      """MATCH (p:Process)
+        |CALL { WITH p MATCH (p)-[:CREATED_FILE]->(f:File) RETURN f LIMIT 1 }
         |RETURN p, f""".stripMargin))
     val clash = intercept[IllegalArgumentException](CypherLite.run(nodes, edges,
       """MATCH (p:Process)-[:INJECTED_THREAD]->(q:Process)
