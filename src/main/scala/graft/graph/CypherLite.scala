@@ -1031,6 +1031,10 @@ object CypherLite {
     sb.toString
   }
 
+  /** ORDER BY items → sort Columns (one definition for every site). */
+  private def sortCols(ob: Seq[(String, Boolean)]): Seq[Column] =
+    ob.map { case (cn, desc) => if (desc) col(cn).desc else col(cn).asc }
+
   def parse(q: String): Query = {
     val text0 = normalizeWs(q)
     // mid-query CALL { … } subqueries: MASK each brace body (quote-
@@ -1049,9 +1053,19 @@ object CypherLite {
           while (j < text0.length && text0.charAt(j).isWhitespace) j += 1
           if (j < text0.length && text0.charAt(j) == '{') j else -1
         }
+        // a CALL token inside a pattern position is a label/variable,
+        // not a subquery: `(c:Call {…})`, `-[:Call {…}]->`, `(call
+        // {…})` — the previous non-space char discriminates (a clause
+        // keyword can't follow ':', '(', ',', '[' or '|')
+        lazy val prevNonSpace = {
+          var j = i - 1
+          while (j >= 0 && text0.charAt(j) == ' ') j -= 1
+          if (j >= 0) text0.charAt(j) else ' '
+        }
         if (ch == '\'') { inQ = !inQ; sb += ch; i += 1 }
         else if (!inQ && up.regionMatches(i, "CALL", 0, 4) &&
             (i == 0 || (!up.charAt(i - 1).isLetterOrDigit && up.charAt(i - 1) != '_')) &&
+            !Set(':', '(', ',', '[', '|').contains(prevNonSpace) &&
             braceAt > 0) {
           var depth = 0; var q2 = false; var close = -1; var k = braceAt
           while (k < text0.length && close < 0) {
@@ -1166,25 +1180,57 @@ object CypherLite {
                 require(splitUnion(normalizeWs(innerText))._1.size == 1,
                   "UNION inside a mid-query CALL { } subquery is not supported " +
                     "(statement-initial CALL { } supports it)")
+                require(!innerText.trim.toUpperCase.startsWith("CALL"),
+                  "a CALL as the first clause inside a mid-query CALL subquery " +
+                    "is not supported — compose procedures at the top level")
                 val inner = parse(innerText)
                 require(inner.sp.isEmpty,
                   "shortestPath inside a CALL subquery is not supported")
-                // an outer variable used inside the braces WITHOUT being
-                // imported would silently rebind as a fresh full-scan
-                // variable — reject like Neo4j (which forbids both the
-                // un-imported reference and the shadowing)
-                val innerVars: Set[String] =
-                  inner.stage.patterns.flatMap(_._1.map(_.v)).toSet ++
-                    inner.stage.optChains.flatMap(_._1.map(_.v))
+                // an outer variable used in ANY inner MATCH stage
+                // without being imported would silently rebind as a
+                // fresh full-scan variable — reject (stricter than
+                // Neo4j, which permits the same-name fresh binding;
+                // the silent full scan is the bug class this prevents)
+                def stageVars(st: MatchStage): Set[String] =
+                  st.patterns.flatMap(_._1.map(_.v)).toSet ++
+                    st.optChains.flatMap(_._1.map(_.v))
+                val innerVars: Set[String] = stageVars(inner.stage) ++
+                  inner.withStages.flatMap {
+                    case ws: WithStage => ws.next.toSeq.flatMap(stageVars)
+                    case u: UnwindStage => u.next.toSeq.flatMap(stageVars)
+                    case c2: CallStage => c2.next.toSeq.flatMap(stageVars)
+                  }
                 val leaked = innerVars.intersect(carried -- imports.toSet)
                 require(leaked.isEmpty,
                   s"CALL subquery references outer variable(s) " +
                     s"${leaked.toSeq.sorted.mkString(", ")} without importing them — " +
                     s"start the braces with WITH ${leaked.toSeq.sorted.mkString(", ")}")
-                if (imports.nonEmpty && (inner.skip.isDefined || inner.limit.isDefined))
-                  require(inner.orderBy.nonEmpty,
-                    "SKIP/LIMIT inside a correlated CALL subquery needs an " +
-                      "ORDER BY (the per-combo top-k must be deterministic)")
+                if (imports.nonEmpty) {
+                  if (inner.skip.isDefined || inner.limit.isDefined)
+                    require(inner.orderBy.nonEmpty,
+                      "SKIP/LIMIT inside a correlated CALL subquery needs an " +
+                        "ORDER BY (the per-combo top-k must be deterministic)")
+                  // mid-pipeline modifiers would apply GLOBALLY across
+                  // combos under set-based execution — reject rather
+                  // than silently drop other combos' rows
+                  inner.withStages.foreach {
+                    case ws: WithStage =>
+                      require(ws.orderBy.isEmpty && ws.skip.isEmpty && ws.limit.isEmpty,
+                        "ORDER BY/SKIP/LIMIT in a mid-pipeline WITH inside a " +
+                          "correlated CALL subquery would apply globally, not per " +
+                          "imported row — move the top-k to the subquery's final RETURN")
+                      // the bare identity item (`WITH q, count(…)`) is
+                      // the natural Cypher spelling and is fine; only
+                      // ALIASING something else to an import name is
+                      // rejected (it would corrupt the correlation key)
+                      ws.items.foreach(it => require(
+                        !imports.contains(it.outName) ||
+                          (it.agg.isEmpty && it.prop.isEmpty && it.term.isEmpty &&
+                            it.v == it.outName),
+                        s"CALL subquery WITH re-declares imported variable '${it.outName}'"))
+                    case _ => ()
+                  }
+                }
                 val outs = inner.ret.map(_.outName)
                 outs.foreach(o => require(!carried.contains(o),
                   s"CALL subquery returns '$o', already declared in the outer scope"))
@@ -1409,8 +1455,7 @@ object CypherLite {
       var combined = frames.reduce(_.unionByName(_))
       if (!isAll) combined = combined.distinct()
       if (qLast.orderBy.nonEmpty)
-        combined = combined.orderBy(qLast.orderBy.map { case (cn, desc) =>
-          if (desc) col(cn).desc else col(cn).asc }: _*)
+        combined = combined.orderBy(sortCols(qLast.orderBy): _*)
       qLast.skip.foreach(n => combined = combined.offset(n))
       qLast.limit.foreach(n => combined = combined.limit(n))
       return combined
@@ -1432,8 +1477,7 @@ object CypherLite {
     val bound = c.pipelineStages(start, q)
     var out = c.project(bound, q.ret, q.distinct)
     if (q.orderBy.nonEmpty)
-      out = out.orderBy(q.orderBy.map { case (cn, desc) =>
-        if (desc) col(cn).desc else col(cn).asc }: _*)
+      out = out.orderBy(sortCols(q.orderBy): _*)
     q.skip.foreach(n => out = out.offset(n))
     q.limit.foreach(n => out = out.limit(n))
     out
@@ -1447,8 +1491,13 @@ object CypherLite {
       * pipeline stage of a query — everything up to (not including)
       * the final projection. Shared by [[runParsed]] and the
       * CALL-subquery compiler. */
-    private[graph] def pipelineStages(start: Option[DataFrame], q: Query): DataFrame = {
-      var bound = compileStage(start, q.stage)
+    private[graph] def pipelineStages(start: Option[DataFrame], q: Query): DataFrame =
+      pipelineTail(compileStage(start, q.stage), q)
+
+    /** The WITH/UNWIND/CALL stage loop over an already-compiled first
+      * stage. */
+    private def pipelineTail(bound0: DataFrame, q: Query): DataFrame = {
+      var bound = bound0
       q.withStages.foreach {
         case ws: WithStage =>
           bound = project(bound, ws.items, distinct = ws.distinct)
@@ -1459,8 +1508,7 @@ object CypherLite {
           // in either engine); together they are the top-k-then-continue
           // idiom (`WITH p, count(*) AS n ORDER BY n DESC LIMIT 10 MATCH …`)
           if (ws.orderBy.nonEmpty)
-            bound = bound.orderBy(ws.orderBy.map { case (cn, desc) =>
-              if (desc) col(cn).desc else col(cn).asc }: _*)
+            bound = bound.orderBy(sortCols(ws.orderBy): _*)
           ws.skip.foreach(n => bound = bound.offset(n))
           ws.limit.foreach(n => bound = bound.limit(n))
           // Cypher-5 clause order (WITH … ORDER BY … LIMIT … WHERE …):
@@ -1485,17 +1533,38 @@ object CypherLite {
       * set-based), then join the declared outputs back onto the outer
       * frame. */
     private def compileCall(outer: DataFrame, cs: CallStage): DataFrame = {
-      val q = cs.inner
+      val q0 = cs.inner
       cs.imports.foreach(v => require(outer.columns.contains(v),
         s"CALL subquery imports unbound variable '$v'"))
-      q.ret.map(_.outName).foreach(o => require(!outer.columns.contains(o),
+      q0.ret.map(_.outName).foreach(o => require(!outer.columns.contains(o),
         s"CALL subquery returns '$o', which collides with an outer column"))
+      // thread the imports through every inner WITH projection: a WITH
+      // replaces the scope, and without the import columns a per-stage
+      // aggregation would group GLOBALLY instead of per combo (and the
+      // final join-back key would vanish). Re-declaration of an import
+      // name is rejected at parse time.
+      val importItems = cs.imports.map(v => parseRetItem(v))
+      val q = if (cs.imports.isEmpty) q0 else q0.copy(withStages =
+        q0.withStages.map {
+          case ws: WithStage => ws.copy(items =
+            importItems.filterNot(ii => ws.items.exists(_.outName == ii.outName))
+              ++ ws.items)
+          case other => other
+        })
       val start =
         if (cs.imports.nonEmpty)
           Some(outer.select(cs.imports.map(col): _*).distinct())
         else None
-      val innerBound = pipelineStages(start, q)
-      val importItems = cs.imports.map(v => parseRetItem(v))
+      val stage1Vars: Set[String] = q.stage.patterns.flatMap(_._1.map(_.v)).toSet ++
+        q.stage.optChains.flatMap(_._1.map(_.v))
+      val innerBound =
+        if (cs.imports.nonEmpty && stage1Vars.intersect(cs.imports.toSet).isEmpty)
+          // imports declared but not used by the first pattern (legal
+          // Cypher — e.g. only the final RETURN groups per combo):
+          // compile the head standalone and pair every combo with its
+          // rows; later stages still see the import columns
+          pipelineTail(compileStage(None, q.stage).crossJoin(start.get), q)
+        else pipelineStages(start, q)
       var inner = project(innerBound, importItems ++ q.ret, q.distinct)
       if (cs.imports.nonEmpty &&
           (q.skip.isDefined || q.limit.isDefined)) {
@@ -1504,8 +1573,7 @@ object CypherLite {
         // ORDER BY is enforced present at parse time
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy(cs.imports.map(col): _*)
-          .orderBy(q.orderBy.map { case (cn, desc) =>
-            if (desc) col(cn).desc else col(cn).asc }: _*)
+          .orderBy(sortCols(q.orderBy): _*)
         inner = inner.withColumn("__callrn", row_number().over(w))
         val lo = q.skip.getOrElse(0)
         q.limit.foreach(k => inner = inner.filter(col("__callrn") <= lo + k))
@@ -1518,8 +1586,7 @@ object CypherLite {
         // global and fine here, applied before the pairing
         var in2 = inner
         if (q.orderBy.nonEmpty)
-          in2 = in2.orderBy(q.orderBy.map { case (cn, desc) =>
-            if (desc) col(cn).desc else col(cn).asc }: _*)
+          in2 = in2.orderBy(sortCols(q.orderBy): _*)
         q.skip.foreach(n => in2 = in2.offset(n))
         q.limit.foreach(n => in2 = in2.limit(n))
         outer.crossJoin(in2)
@@ -2502,9 +2569,15 @@ object CypherLite {
       var out =
         if (aggCols.nonEmpty && plainCols.isEmpty) {
           // GLOBAL aggregation (`RETURN count(*)` with no grouping
-          // item) — one row, even over an empty input (count = 0,
-          // Cypher semantics)
-          bound.agg(aggCols.head, aggCols.tail: _*)
+          // item) — one row, even over an empty input, with Cypher's
+          // empty-input values: count = 0 (Spark's already), sum = 0
+          // (Spark gives null — fill), collect = [] (Spark's already);
+          // avg/min/max stay null, like Cypher
+          var g = bound.agg(aggCols.head, aggCols.tail: _*)
+          aggItems.filter(_.agg.contains("sum")).foreach { it =>
+            g = g.withColumn(it.outName, coalesce(col(it.outName), lit(0.0)))
+          }
+          g
         } else if (aggCols.nonEmpty) {
           // group on the OUTPUT columns (plain items may be aliases)
           bound.select((plainCols ++ bound.columns.filterNot(c =>
@@ -2603,8 +2676,7 @@ object CypherLite {
       var res = out.select(cols: _*)
       if (q.distinct) res = res.distinct()
       if (q.orderBy.nonEmpty)
-        res = res.orderBy(q.orderBy.map { case (cn, desc) =>
-          if (desc) col(cn).desc else col(cn).asc }: _*)
+        res = res.orderBy(sortCols(q.orderBy): _*)
       q.skip.foreach(n => res = res.offset(n))
       q.limit.foreach(n => res = res.limit(n))
       res

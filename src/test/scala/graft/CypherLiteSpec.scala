@@ -512,6 +512,79 @@ class CypherLiteSpec extends SparkSpec {
     assert(clash.getMessage.contains("already declared"))
   }
 
+  test("mid-query CALL review regressions: WITH threading, leak depth, masking, imports unused") {
+    val (nodes, edges) = graph
+    // a mid-pipeline WITH inside a correlated subquery groups PER
+    // COMBO (imports are threaded through the projection) — this is
+    // the review finding where `WITH ip, count(...)`-style stages
+    // silently aggregated globally
+    val got = CypherLite.run(nodes, edges,
+      """MATCH (t:Trace)-[:HAS_PROCESS]->(q:Process)
+        |CALL { WITH q MATCH (q)-[:CREATED_FILE]->(f:File)
+        |WITH q, count(f) AS c RETURN c }
+        |RETURN t, q, c ORDER BY t, q""".stripMargin)
+    val hp = et("HAS_PROCESS").select(col("src").as("t"), col("dst").as("q"))
+    val cnt = et("CREATED_FILE").groupBy(col("src").as("q"))
+      .agg(count(lit(1)).as("c"))
+    val want = hp.join(cnt, Seq("q")) // non-aggregate final RETURN: inner join
+      .select(col("t"), col("q"), col("c")).orderBy(col("t"), col("q"))
+    assert(got.collect().toSeq.map(_.toSeq) == want.collect().toSeq.map(_.toSeq))
+    assert(got.count() > 0)
+    // the same WITHOUT the user spelling q in the WITH (threading
+    // injects it): identical result
+    val got2 = CypherLite.run(nodes, edges,
+      """MATCH (t:Trace)-[:HAS_PROCESS]->(q:Process)
+        |CALL { WITH q MATCH (q)-[:CREATED_FILE]->(f:File)
+        |WITH count(f) AS c RETURN c }
+        |RETURN t, q, c ORDER BY t, q""".stripMargin)
+    assert(got2.collect().toSeq.map(_.toSeq) == want.collect().toSeq.map(_.toSeq))
+    // leak guard reaches LATER inner stages, not just the head
+    val leak = intercept[IllegalArgumentException](CypherLite.run(nodes, edges,
+      """MATCH (p:Process)-[:INJECTED_THREAD]->(q:Process)
+        |CALL { WITH q MATCH (q)-[:CONNECTED_TO]->(ip:Ip)
+        |WITH q, ip MATCH (p)-[:CONNECTED_TO]->(ip) RETURN count(ip) AS c }
+        |RETURN p, q, c""".stripMargin))
+    assert(leak.getMessage.contains("without importing"))
+    // aliasing something else to an import name is rejected
+    intercept[IllegalArgumentException](CypherLite.run(nodes, edges,
+      """MATCH (p:Process)-[:INJECTED_THREAD]->(q:Process)
+        |CALL { WITH q MATCH (q)-[:CONNECTED_TO]->(ip:Ip)
+        |WITH ip AS q RETURN count(q) AS c }
+        |RETURN p, c""".stripMargin))
+    // mid-pipeline LIMIT inside a correlated subquery is a loud error
+    // (it would apply globally under set-based execution)
+    intercept[IllegalArgumentException](CypherLite.run(nodes, edges,
+      """MATCH (p:Process)
+        |CALL { WITH p MATCH (p)-[:CREATED_FILE]->(f:File)
+        |WITH f ORDER BY f LIMIT 1 RETURN f }
+        |RETURN p, f""".stripMargin))
+    // a label/variable named Call with an inline property map is NOT
+    // swallowed by the subquery masking
+    import spark.implicits._
+    val cNodes = Seq(("Call", "c1", Map("k" -> "v")), ("Call", "c2", Map("k" -> "w")))
+      .toDF("label", "id", "props")
+    val cEdges = Seq.empty[(String, String, String, Int, Map[String, String])]
+      .toDF("etype", "src", "dst", "event_id", "props")
+    val cr = CypherLite.run(cNodes, cEdges,
+      "MATCH (c:Call {k: 'v'}) RETURN c").collect()
+    assert(cr.map(_.getString(0)).toSeq == Seq("c1"))
+    // imports declared but unused by the first pattern: legal Cypher —
+    // the global count pairs with every outer row
+    val unused = CypherLite.run(nodes, edges,
+      """MATCH (t:Trace)
+        |CALL { WITH t MATCH (x:Ip) RETURN count(x) AS nips }
+        |RETURN t, nips ORDER BY t""".stripMargin)
+    val nIps = nodes.filter(col("label") === "Ip").count()
+    val nTrace = nodes.filter(col("label") === "Trace").count()
+    assert(unused.count() == nTrace)
+    assert(unused.select(col("nips")).distinct().collect()
+      .map(_.getLong(0)).toSeq == Seq(nIps))
+    // global sum over an empty match is 0 (Cypher), not null
+    val zsum = CypherLite.run(nodes, edges,
+      "MATCH (z:NoSuchLabel) RETURN sum(toInteger(z.nope)) AS s").collect()
+    assert(zsum.length == 1 && zsum(0).getDouble(0) == 0.0)
+  }
+
   test("percentileDisc even-count group: nearest-rank, not interpolation") {
     import spark.implicits._
     // 4 ports {10,20,30,40}: disc(0.5) = ceil(0.5·4) = 2nd value = 20
