@@ -328,7 +328,8 @@ object CypherLite {
     * empty-input fills (count→0, sum→0, collect→[]); any other RETURN
     * inner-joins (a row with no subquery rows is dropped — Neo4j's
     * rule). No importing WITH = uncorrelated (cross join). */
-  final case class CallStage(imports: Seq[String], inner: Query,
+  final case class CallStage(imports: Seq[String], inners: Seq[Query],
+                             unionAll: Boolean,
                              next: Option[MatchStage]) extends PipeStage
   final case class Query(stage: MatchStage,
                          withStages: Seq[PipeStage] = Seq.empty,
@@ -1177,68 +1178,88 @@ object CypherLite {
                 }
                 imports.foreach(v => require(carried.contains(v),
                   s"CALL subquery imports unbound variable '$v'"))
-                require(splitUnion(normalizeWs(innerText))._1.size == 1,
-                  "UNION inside a mid-query CALL { } subquery is not supported " +
-                    "(statement-initial CALL { } supports it)")
-                require(!innerText.trim.toUpperCase.startsWith("CALL"),
-                  "a CALL as the first clause inside a mid-query CALL subquery " +
-                    "is not supported — compose procedures at the top level")
-                val inner = parse(innerText)
-                require(inner.sp.isEmpty,
-                  "shortestPath inside a CALL subquery is not supported")
-                // an outer variable used in ANY inner MATCH stage
-                // without being imported would silently rebind as a
-                // fresh full-scan variable — reject (stricter than
-                // Neo4j, which permits the same-name fresh binding;
-                // the silent full scan is the bug class this prevents)
+                // UNION between full inner queries: each part compiles
+                // independently (per-part guards below); Cypher's rule —
+                // parts return the same columns
+                val (partTexts, isAll) = splitUnion(normalizeWs(innerText))
                 def stageVars(st: MatchStage): Set[String] =
                   st.patterns.flatMap(_._1.map(_.v)).toSet ++
                     st.optChains.flatMap(_._1.map(_.v))
-                val innerVars: Set[String] = stageVars(inner.stage) ++
-                  inner.withStages.flatMap {
-                    case ws: WithStage => ws.next.toSeq.flatMap(stageVars)
-                    case u: UnwindStage => u.next.toSeq.flatMap(stageVars)
-                    case c2: CallStage => c2.next.toSeq.flatMap(stageVars)
+                val inners = partTexts.map { pt =>
+                  require(!pt.trim.toUpperCase.startsWith("CALL"),
+                    "a CALL as the first clause inside a mid-query CALL subquery " +
+                      "is not supported — compose procedures at the top level")
+                  val inner = parse(pt)
+                  require(inner.sp.isEmpty,
+                    "shortestPath inside a CALL subquery is not supported")
+                  // an outer variable used in ANY inner MATCH stage
+                  // without being imported would silently rebind as a
+                  // fresh full-scan variable — reject (stricter than
+                  // Neo4j, which permits the same-name fresh binding;
+                  // the silent full scan is the bug class this prevents)
+                  val innerVars: Set[String] = stageVars(inner.stage) ++
+                    inner.withStages.flatMap {
+                      case ws: WithStage => ws.next.toSeq.flatMap(stageVars)
+                      case u: UnwindStage => u.next.toSeq.flatMap(stageVars)
+                      case c2: CallStage => c2.next.toSeq.flatMap(stageVars)
+                    }
+                  val leaked = innerVars.intersect(carried -- imports.toSet)
+                  require(leaked.isEmpty,
+                    s"CALL subquery references outer variable(s) " +
+                      s"${leaked.toSeq.sorted.mkString(", ")} without importing them — " +
+                      s"start the braces with WITH ${leaked.toSeq.sorted.mkString(", ")}")
+                  if (imports.nonEmpty) {
+                    if (inner.skip.isDefined || inner.limit.isDefined)
+                      require(inner.orderBy.nonEmpty,
+                        "SKIP/LIMIT inside a correlated CALL subquery needs an " +
+                          "ORDER BY (the per-combo top-k must be deterministic)")
+                    // mid-pipeline modifiers would apply GLOBALLY across
+                    // combos under set-based execution — reject rather
+                    // than silently drop other combos' rows
+                    inner.withStages.foreach {
+                      case ws: WithStage =>
+                        require(ws.orderBy.isEmpty && ws.skip.isEmpty && ws.limit.isEmpty,
+                          "ORDER BY/SKIP/LIMIT in a mid-pipeline WITH inside a " +
+                            "correlated CALL subquery would apply globally, not per " +
+                            "imported row — move the top-k to the subquery's final RETURN")
+                        // the bare identity item (`WITH q, count(…)`) is
+                        // the natural Cypher spelling and is fine; only
+                        // ALIASING something else to an import name is
+                        // rejected (it would corrupt the correlation key)
+                        ws.items.foreach(it => require(
+                          !imports.contains(it.outName) ||
+                            (it.agg.isEmpty && it.prop.isEmpty && it.term.isEmpty &&
+                              it.v == it.outName),
+                          s"CALL subquery WITH re-declares imported variable '${it.outName}'"))
+                      case _ => ()
+                    }
                   }
-                val leaked = innerVars.intersect(carried -- imports.toSet)
-                require(leaked.isEmpty,
-                  s"CALL subquery references outer variable(s) " +
-                    s"${leaked.toSeq.sorted.mkString(", ")} without importing them — " +
-                    s"start the braces with WITH ${leaked.toSeq.sorted.mkString(", ")}")
-                if (imports.nonEmpty) {
-                  if (inner.skip.isDefined || inner.limit.isDefined)
-                    require(inner.orderBy.nonEmpty,
-                      "SKIP/LIMIT inside a correlated CALL subquery needs an " +
-                        "ORDER BY (the per-combo top-k must be deterministic)")
-                  // mid-pipeline modifiers would apply GLOBALLY across
-                  // combos under set-based execution — reject rather
-                  // than silently drop other combos' rows
-                  inner.withStages.foreach {
-                    case ws: WithStage =>
-                      require(ws.orderBy.isEmpty && ws.skip.isEmpty && ws.limit.isEmpty,
-                        "ORDER BY/SKIP/LIMIT in a mid-pipeline WITH inside a " +
-                          "correlated CALL subquery would apply globally, not per " +
-                          "imported row — move the top-k to the subquery's final RETURN")
-                      // the bare identity item (`WITH q, count(…)`) is
-                      // the natural Cypher spelling and is fine; only
-                      // ALIASING something else to an import name is
-                      // rejected (it would corrupt the correlation key)
-                      ws.items.foreach(it => require(
-                        !imports.contains(it.outName) ||
-                          (it.agg.isEmpty && it.prop.isEmpty && it.term.isEmpty &&
-                            it.v == it.outName),
-                        s"CALL subquery WITH re-declares imported variable '${it.outName}'"))
-                    case _ => ()
-                  }
+                  inner
                 }
-                val outs = inner.ret.map(_.outName)
+                val outs = inners.head.ret.map(_.outName)
+                inners.tail.foreach { p =>
+                  require(p.ret.map(_.outName).sorted == outs.sorted,
+                    s"CALL subquery UNION parts must return the same columns: " +
+                      s"${outs.mkString(", ")} vs ${p.ret.map(_.outName).mkString(", ")}")
+                }
+                if (imports.nonEmpty && inners.size > 1) {
+                  inners.foreach(p => require(
+                    p.orderBy.isEmpty && p.skip.isEmpty && p.limit.isEmpty,
+                    "ORDER BY/SKIP/LIMIT on a UNION part inside a correlated " +
+                      "CALL subquery is not supported"))
+                  require(!inners.exists(p =>
+                      p.ret.nonEmpty && p.ret.forall(_.agg.isDefined)),
+                    "an all-aggregate UNION part inside a correlated CALL " +
+                      "subquery is not supported (the per-combo empty-input " +
+                      "fill is ambiguous across parts) — restructure")
+                }
                 outs.foreach(o => require(!carried.contains(o),
                   s"CALL subquery returns '$o', already declared in the outer scope"))
                 carried ++= outs
                 val next = Option(patOrNull).map(p =>
                   parseMatchStage(p, whereOrNull, carried, anon))
                 addNext(next)
-                CallStage(imports, inner, next)
+                CallStage(imports, inners, isAll, next)
               case other => throw new IllegalArgumentException(
                 s"bad CALL subquery continuation: $other " +
                   "(expected [MATCH …] then WITH/UNWIND/RETURN)")
@@ -1533,40 +1554,52 @@ object CypherLite {
       * set-based), then join the declared outputs back onto the outer
       * frame. */
     private def compileCall(outer: DataFrame, cs: CallStage): DataFrame = {
-      val q0 = cs.inner
+      val qHead = cs.inners.head
       cs.imports.foreach(v => require(outer.columns.contains(v),
         s"CALL subquery imports unbound variable '$v'"))
-      q0.ret.map(_.outName).foreach(o => require(!outer.columns.contains(o),
+      qHead.ret.map(_.outName).foreach(o => require(!outer.columns.contains(o),
         s"CALL subquery returns '$o', which collides with an outer column"))
-      // thread the imports through every inner WITH projection: a WITH
-      // replaces the scope, and without the import columns a per-stage
-      // aggregation would group GLOBALLY instead of per combo (and the
-      // final join-back key would vanish). Re-declaration of an import
-      // name is rejected at parse time.
       val importItems = cs.imports.map(v => parseRetItem(v))
-      val q = if (cs.imports.isEmpty) q0 else q0.copy(withStages =
-        q0.withStages.map {
-          case ws: WithStage => ws.copy(items =
-            importItems.filterNot(ii => ws.items.exists(_.outName == ii.outName))
-              ++ ws.items)
-          case other => other
-        })
       val start =
         if (cs.imports.nonEmpty)
           Some(outer.select(cs.imports.map(col): _*).distinct())
         else None
-      val stage1Vars: Set[String] = q.stage.patterns.flatMap(_._1.map(_.v)).toSet ++
-        q.stage.optChains.flatMap(_._1.map(_.v))
-      val innerBound =
-        if (cs.imports.nonEmpty && stage1Vars.intersect(cs.imports.toSet).isEmpty)
-          // imports declared but not used by the first pattern (legal
-          // Cypher — e.g. only the final RETURN groups per combo):
-          // compile the head standalone and pair every combo with its
-          // rows; later stages still see the import columns
-          pipelineTail(compileStage(None, q.stage).crossJoin(start.get), q)
-        else pipelineStages(start, q)
-      var inner = project(innerBound, importItems ++ q.ret, q.distinct)
-      if (cs.imports.nonEmpty &&
+      // one UNION part: thread the imports through every inner WITH
+      // projection (a WITH replaces the scope, and without the import
+      // columns a per-stage aggregation would group GLOBALLY instead
+      // of per combo, and the join-back key would vanish —
+      // re-declaration is rejected at parse time), then compile and
+      // project with the imports injected
+      def compilePart(q0: Query): DataFrame = {
+        val q = if (cs.imports.isEmpty) q0 else q0.copy(withStages =
+          q0.withStages.map {
+            case ws: WithStage => ws.copy(items =
+              importItems.filterNot(ii => ws.items.exists(_.outName == ii.outName))
+                ++ ws.items)
+            case other => other
+          })
+        val stage1Vars: Set[String] = q.stage.patterns.flatMap(_._1.map(_.v)).toSet ++
+          q.stage.optChains.flatMap(_._1.map(_.v))
+        val innerBound =
+          if (cs.imports.nonEmpty && stage1Vars.intersect(cs.imports.toSet).isEmpty)
+            // imports declared but not used by the first pattern (legal
+            // Cypher — e.g. only the final RETURN groups per combo):
+            // compile the head standalone and pair every combo with its
+            // rows; later stages still see the import columns
+            pipelineTail(compileStage(None, q.stage).crossJoin(start.get), q)
+          else pipelineStages(start, q)
+        project(innerBound, importItems ++ q.ret, q.distinct)
+      }
+      var inner = compilePart(qHead)
+      if (cs.inners.size > 1) {
+        inner = cs.inners.tail.map(compilePart).foldLeft(inner)(_ unionByName _)
+        if (!cs.unionAll) inner = inner.distinct()
+      }
+      // modifiers: single-part semantics below use qHead's (multi-part
+      // correlated modifiers are rejected at parse; multi-part
+      // uncorrelated applies the LAST part's, Cypher's trailing rule)
+      val q = if (cs.imports.isEmpty) cs.inners.last else qHead
+      if (cs.imports.nonEmpty && cs.inners.size == 1 &&
           (q.skip.isDefined || q.limit.isDefined)) {
         // per-import-combo SKIP/LIMIT: a windowed rank over the combo
         // partition (the C7 top-k shape — keyed, never a global sort);
@@ -1590,9 +1623,11 @@ object CypherLite {
         q.skip.foreach(n => in2 = in2.offset(n))
         q.limit.foreach(n => in2 = in2.limit(n))
         outer.crossJoin(in2)
-      } else if (q.ret.nonEmpty && q.ret.forall(_.agg.isDefined)) {
+      } else if (cs.inners.size == 1 && q.ret.nonEmpty &&
+          q.ret.forall(_.agg.isDefined)) {
         // all-aggregate RETURN: one row per combo even with zero
-        // matches — left join + Cypher's empty-input fills
+        // matches — left join + Cypher's empty-input fills (single
+        // part only; multi-part all-aggregate is rejected at parse)
         var j = outer.join(inner, cs.imports, "left")
         q.ret.foreach { it =>
           val n = it.outName

@@ -482,11 +482,25 @@ class CypherLiteSpec extends SparkSpec {
         |CALL { MATCH (q)-[:CONNECTED_TO]->(ip:Ip) RETURN ip }
         |RETURN p, ip""".stripMargin))
     assert(leak.getMessage.contains("without importing"))
-    intercept[IllegalArgumentException](CypherLite.run(nodes, edges,
+    // UNION inside a correlated subquery: every part compiles from the
+    // imported combos (ONE leading WITH covers all parts) and unions
+    val uni = CypherLite.run(nodes, edges,
       """MATCH (p:Process)
         |CALL { WITH p MATCH (p)-[:CREATED_FILE]->(f:File) RETURN f
         |UNION MATCH (p)-[:DELETED_FILE]->(f:File) RETURN f }
-        |RETURN p, f""".stripMargin))
+        |RETURN DISTINCT p, f ORDER BY p, f""".stripMargin)
+    val wantU = et("CREATED_FILE").select(col("src").as("p"), col("dst").as("f"))
+      .unionByName(et("DELETED_FILE").select(col("src").as("p"), col("dst").as("f")))
+      .distinct().orderBy(col("p"), col("f"))
+    assert(uni.collect().toSeq.map(_.toSeq) == wantU.collect().toSeq.map(_.toSeq))
+    assert(uni.count() > 0)
+    // …but an all-aggregate UNION part stays loud (ambiguous per-combo
+    // empty-input fill)
+    intercept[IllegalArgumentException](CypherLite.run(nodes, edges,
+      """MATCH (p:Process)
+        |CALL { WITH p MATCH (p)-[:CREATED_FILE]->(f:File) RETURN count(f) AS n
+        |UNION MATCH (p)-[:DELETED_FILE]->(f:File) RETURN count(f) AS n }
+        |RETURN p, n""".stripMargin))
     // per-combo ORDER BY + LIMIT: the first created file PER PROCESS
     // (a windowed top-k over the import partition, Cypher's per-row
     // semantics)
