@@ -1181,7 +1181,20 @@ object CypherLite {
                 // UNION between full inner queries: each part compiles
                 // independently (per-part guards below); Cypher's rule —
                 // parts return the same columns
-                val (partTexts, isAll) = splitUnion(normalizeWs(innerText))
+                val (partTexts0, isAll) = splitUnion(normalizeWs(innerText))
+                // Neo4j's spelling repeats the importing WITH in every
+                // union part — accept it as an alias when the variable
+                // list matches the first part's
+                val partTexts = partTexts0.head +: partTexts0.tail.map { pt =>
+                  pt.trim match {
+                    case mImp(vars, rest) =>
+                      require(vars.split(",").map(_.trim).toSeq == imports,
+                        "each UNION part's importing WITH must list the same " +
+                          s"variables (${imports.mkString(", ")})")
+                      rest
+                    case other => other
+                  }
+                }
                 def stageVars(st: MatchStage): Set[String] =
                   st.patterns.flatMap(_._1.map(_.v)).toSet ++
                     st.optChains.flatMap(_._1.map(_.v))

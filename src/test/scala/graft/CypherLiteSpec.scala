@@ -494,6 +494,20 @@ class CypherLiteSpec extends SparkSpec {
       .distinct().orderBy(col("p"), col("f"))
     assert(uni.collect().toSeq.map(_.toSeq) == wantU.collect().toSeq.map(_.toSeq))
     assert(uni.count() > 0)
+    // Neo4j's spelling (the importing WITH repeated per part) is an
+    // accepted alias
+    val uni2 = CypherLite.run(nodes, edges,
+      """MATCH (p:Process)
+        |CALL { WITH p MATCH (p)-[:CREATED_FILE]->(f:File) RETURN f
+        |UNION WITH p MATCH (p)-[:DELETED_FILE]->(f:File) RETURN f }
+        |RETURN DISTINCT p, f ORDER BY p, f""".stripMargin)
+    assert(uni2.collect().toSeq.map(_.toSeq) == wantU.collect().toSeq.map(_.toSeq))
+    // a mismatched per-part WITH list is loud
+    intercept[IllegalArgumentException](CypherLite.run(nodes, edges,
+      """MATCH (p:Process)-[:INJECTED_THREAD]->(q:Process)
+        |CALL { WITH p MATCH (p)-[:CREATED_FILE]->(f:File) RETURN f
+        |UNION WITH q MATCH (q)-[:DELETED_FILE]->(f:File) RETURN f }
+        |RETURN DISTINCT p, f""".stripMargin))
     // …but an all-aggregate UNION part stays loud (ambiguous per-combo
     // empty-input fill)
     intercept[IllegalArgumentException](CypherLite.run(nodes, edges,
