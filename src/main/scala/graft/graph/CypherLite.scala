@@ -1198,6 +1198,19 @@ object CypherLite {
                 def stageVars(st: MatchStage): Set[String] =
                   st.patterns.flatMap(_._1.map(_.v)).toSet ++
                     st.optChains.flatMap(_._1.map(_.v))
+                // every MATCH-stage variable anywhere in a query,
+                // recursing into nested CALL subquery parts — a
+                // doubly-nested CALL's own leak check carries its OWN
+                // outer set, which lacks the outermost vars, so the
+                // outermost guard must see through the nesting
+                def queryVars(q: Query): Set[String] =
+                  stageVars(q.stage) ++ q.withStages.flatMap {
+                    case ws: WithStage => ws.next.toSeq.flatMap(stageVars)
+                    case u: UnwindStage => u.next.toSeq.flatMap(stageVars)
+                    case c2: CallStage =>
+                      c2.next.toSeq.flatMap(stageVars) ++
+                        c2.inners.flatMap(queryVars)
+                  }
                 val inners = partTexts.map { pt =>
                   require(!pt.trim.toUpperCase.startsWith("CALL"),
                     "a CALL as the first clause inside a mid-query CALL subquery " +
@@ -1210,12 +1223,7 @@ object CypherLite {
                   // fresh full-scan variable — reject (stricter than
                   // Neo4j, which permits the same-name fresh binding;
                   // the silent full scan is the bug class this prevents)
-                  val innerVars: Set[String] = stageVars(inner.stage) ++
-                    inner.withStages.flatMap {
-                      case ws: WithStage => ws.next.toSeq.flatMap(stageVars)
-                      case u: UnwindStage => u.next.toSeq.flatMap(stageVars)
-                      case c2: CallStage => c2.next.toSeq.flatMap(stageVars)
-                    }
+                  val innerVars: Set[String] = queryVars(inner)
                   val leaked = innerVars.intersect(carried -- imports.toSet)
                   require(leaked.isEmpty,
                     s"CALL subquery references outer variable(s) " +
@@ -1244,6 +1252,13 @@ object CypherLite {
                             (it.agg.isEmpty && it.prop.isEmpty && it.term.isEmpty &&
                               it.v == it.outName),
                           s"CALL subquery WITH re-declares imported variable '${it.outName}'"))
+                      // unwind() materializes via withColumn(alias, …),
+                      // which silently REPLACES an existing column — an
+                      // UNWIND aliased to an import name would overwrite
+                      // the correlation key and the join-back would
+                      // return wrong rows; reject like the WITH case
+                      case u: UnwindStage => require(!imports.contains(u.alias),
+                        s"CALL subquery UNWIND re-declares imported variable '${u.alias}'")
                       case _ => ()
                     }
                   }
@@ -1266,6 +1281,16 @@ object CypherLite {
                       "subquery is not supported (the per-combo empty-input " +
                       "fill is ambiguous across parts) — restructure")
                 }
+                // uncorrelated multi-part: only the TRAILING part's
+                // ORDER BY/SKIP/LIMIT applies (Cypher's trailing rule);
+                // Neo4j REJECTS modifiers on non-final parts, so a
+                // silent drop here would diverge — reject loudly too
+                if (imports.isEmpty && inners.size > 1)
+                  inners.init.foreach(p => require(
+                    p.orderBy.isEmpty && p.skip.isEmpty && p.limit.isEmpty,
+                    "ORDER BY/SKIP/LIMIT on a non-final UNION part inside a " +
+                      "CALL subquery is not supported (only the trailing part's " +
+                      "modifiers apply, to the whole union)"))
                 outs.foreach(o => require(!carried.contains(o),
                   s"CALL subquery returns '$o', already declared in the outer scope"))
                 carried ++= outs

@@ -1183,8 +1183,17 @@ object GraphOps {
         col(weightCol).cast("double").as("w"))
       .filter(col("w").isNotNull).distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
+    val eCount = e.count() // materializes the persist either way
+    // zero/negative weights: a zero-weight shortest distance makes the
+    // target fail closeness's dist > 0 filter (silently "unreachable"),
+    // and negatives diverge from GDS — refuse loudly, same contract as
+    // weighted betweenness (nulls stay dropped above: edge-not-present)
+    require(e.filter(col("w") <= 0).limit(1).count() == 0,
+      s"sssp: weight column '$weightCol' must be strictly positive on every " +
+        "weighted edge (zero/negative weights silently skew closeness and " +
+        "diverge from GDS)")
     if (LocalGraph.equatableId(e.schema("src").dataType) &&
-        e.count() <= localFinishEdges) {
+        eCount <= localFinishEdges) {
       val idType = e.schema("src").dataType
       val rootArr = roots.select(col("id").cast(idType).as("id"))
         .filter(col("id").isNotNull).distinct()

@@ -586,6 +586,54 @@ class CypherLiteSpec extends SparkSpec {
         |CALL { WITH p MATCH (p)-[:CREATED_FILE]->(f:File)
         |WITH f ORDER BY f LIMIT 1 RETURN f }
         |RETURN p, f""".stripMargin))
+    // UNWIND aliased to an import name would overwrite the correlation
+    // key (withColumn replaces) — loud, same as the WITH alias case
+    val ur = intercept[IllegalArgumentException](CypherLite.run(nodes, edges,
+      """MATCH (p:Process)-[:INJECTED_THREAD]->(q:Process)
+        |CALL { WITH q MATCH (q)-[:CONNECTED_TO]->(ip:Ip)
+        |WITH q, collect(ip) AS ips UNWIND ips AS q RETURN count(q) AS c }
+        |RETURN p, c""".stripMargin))
+    assert(ur.getMessage.contains("re-declares imported variable 'q'"))
+    // …while an UNWIND to a FRESH name inside a correlated subquery is
+    // fine and stays per-combo
+    val uok = CypherLite.run(nodes, edges,
+      """MATCH (p:Process)-[:INJECTED_THREAD]->(q:Process)
+        |CALL { WITH q MATCH (q)-[:CONNECTED_TO]->(ip:Ip)
+        |WITH q, collect(ip) AS ips UNWIND ips AS ip2 RETURN count(ip2) AS c }
+        |RETURN p, q, c ORDER BY p, q""".stripMargin)
+    val uokWant = CypherLite.run(nodes, edges,
+      """MATCH (p:Process)-[:INJECTED_THREAD]->(q:Process)
+        |CALL { WITH q MATCH (q)-[:CONNECTED_TO]->(ip:Ip) RETURN count(ip) AS c }
+        |RETURN p, q, c ORDER BY p, q""".stripMargin)
+    assert(uok.collect().toSeq.map(_.toSeq) ==
+      uokWant.collect().toSeq.map(_.toSeq))
+    assert(uok.count() > 0)
+    // modifiers on a NON-FINAL union part of an uncorrelated CALL are
+    // loud (Neo4j rejects; only the trailing part's modifiers apply)
+    val nf = intercept[IllegalArgumentException](CypherLite.run(nodes, edges,
+      """MATCH (t:Trace)
+        |CALL { MATCH (p:Process) RETURN p ORDER BY p LIMIT 5
+        |UNION MATCH (f:File) RETURN f AS p }
+        |RETURN t, p""".stripMargin))
+    assert(nf.getMessage.contains("non-final UNION part"))
+    // …trailing-part modifiers still apply to the whole union
+    val tr = CypherLite.run(nodes, edges,
+      """MATCH (t:Trace)
+        |CALL { MATCH (p:Process) RETURN p
+        |UNION MATCH (f:File) RETURN f AS p ORDER BY p LIMIT 3 }
+        |RETURN t, p ORDER BY t, p""".stripMargin)
+    val nTr = nodes.filter(col("label") === "Trace").count()
+    assert(tr.count() == 3 * nTr)
+    // the outer-variable leak guard sees through a DOUBLY-nested CALL:
+    // `p` used in the inner-inner MATCH without importing is loud even
+    // though the nested parse's own carried set lacks `p`
+    val deep = intercept[IllegalArgumentException](CypherLite.run(nodes, edges,
+      """MATCH (p:Process)
+        |CALL { MATCH (t:Trace)
+        |CALL { MATCH (p)-[:CREATED_FILE]->(f:File) RETURN count(f) AS c }
+        |RETURN t, c }
+        |RETURN p, t, c""".stripMargin))
+    assert(deep.getMessage.contains("without importing"))
     // a label/variable named Call with an inline property map is NOT
     // swallowed by the subquery masking
     import spark.implicits._

@@ -150,6 +150,28 @@ class WeightedBrandesSpec extends SparkSpec {
     assert(err.getMessage.contains("strictly positive"))
   }
 
+  test("ssspFrom / weighted closeness reject zero/negative weights loudly") {
+    // advisor r9: a zero-weight shortest distance fails closeness's
+    // dist > 0 filter and reads as unreachable — refuse like weighted
+    // betweenness does, instead of silently skewing scores
+    val bad = Seq(("a", "b", 0L), ("b", "c", 1L)).toDF("src", "dst", "w")
+    val err = intercept[IllegalArgumentException] {
+      GraphOps.ssspFrom(bad, Seq("a").toDF("id"))
+    }
+    assert(err.getMessage.contains("strictly positive"))
+    val neg = Seq(("a", "b", -1L)).toDF("src", "dst", "w")
+    intercept[IllegalArgumentException] {
+      GraphOps.closeness(neg, Seq("a").toDF("id"), weightCol = Some("w"))
+    }
+    // null weights stay DROPPED (edge-not-present), not loud: b→c
+    // remains reachable, a→b does not exist for weighted distances
+    val withNull = Seq(("a", "b", Some(2L)), ("b", "c", None: Option[Long]))
+      .toDF("src", "dst", "w")
+    val d = GraphOps.ssspFrom(withNull, Seq("a").toDF("id"))
+      .collect().map(r => r.getString(1) -> r.getDouble(2)).toMap
+    assert(d == Map("a" -> 0.0, "b" -> 2.0))
+  }
+
   test("ssspFrom: keyed multi-root distances match per-root sssp") {
     val rnd = new scala.util.Random(31)
     val triples = Seq.fill(100)((s"v:${rnd.nextInt(20)}", s"v:${rnd.nextInt(20)}",
