@@ -105,6 +105,11 @@ object SparkEntry {
     // below is DuckDB-gated via an unrolled level-by-level Brandes
     "g_betweenness" -> (GraphQueries.gBetweenness _),
     "g_betweenness_sql" -> (GraphQueries.gBetweennessSql _),
+    // r10: the forced-distributed sweeps hash-gated too — hop-4
+    // distributed Brandes vs the same unrolled CTE, and the
+    // distributed Louvain vs the modularity quality floor
+    "g_betweenness_dist_sql" -> (GraphQueries.gBetweennessDistSql _),
+    "g_modularity_dist" -> (GraphQueries.gModularityDist _),
     "g_wcloseness"  -> (GraphQueries.gWCloseness _),
     "g_wbetweenness" -> (GraphQueries.gWBetweenness _),
     "g_kcore"      -> ((s, d) => GraphQueries.gKcore(s, d)),
@@ -301,6 +306,95 @@ object SparkEntry {
       |    WHERE p.it < 10 GROUP BY 1,2) s)
       |SELECT id, round(rank,4) AS rank FROM pr WHERE it=10
       |ORDER BY rank DESC, id LIMIT 20""".stripMargin
+
+  /** Hop-4 Brandes unrolled as level-by-level CTE stages — shared by
+    * the local-finisher gate (`g_betweenness_sql`) and the
+    * forced-distributed twin (`g_betweenness_dist_sql`): forward
+    * σ-levels l0..l4 (σ_v = Σ over depth-(d−1) predecessors,
+    * anti-joined against prior levels), backward δ sweep d3..d1
+    * (δ_u = σ_u·Σ (1+δ_w)/σ_w). Halved (undirected), tie-safe
+    * rounding. */
+  private val betweennessHop4Oracle: String =
+      """WITH e0 AS (
+        |  SELECT DISTINCT 'p:'||l_partkey AS src, 's:'||l_suppkey AS dst
+        |  FROM lineitem WHERE l_partkey % 20 = 0),
+        |e AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+        |v AS (SELECT DISTINCT src AS id FROM e),
+        |r AS (SELECT DISTINCT 'p:'||l_partkey AS id FROM lineitem WHERE l_partkey % 200 = 0),
+        |l0 AS (SELECT r.id AS root, r.id AS id, CAST(1 AS DOUBLE) AS sigma
+        |       FROM r JOIN v USING (id)),
+        |f1 AS (SELECT l.root, e.dst AS id, sum(l.sigma) AS sigma
+        |       FROM l0 l JOIN e ON e.src = l.id GROUP BY 1, 2),
+        |l1 AS (SELECT f.* FROM f1 f WHERE NOT EXISTS
+        |       (SELECT 1 FROM l0 p WHERE p.root = f.root AND p.id = f.id)),
+        |f2 AS (SELECT l.root, e.dst AS id, sum(l.sigma) AS sigma
+        |       FROM l1 l JOIN e ON e.src = l.id GROUP BY 1, 2),
+        |l2 AS (SELECT f.* FROM f2 f
+        |       WHERE NOT EXISTS (SELECT 1 FROM l0 p WHERE p.root = f.root AND p.id = f.id)
+        |         AND NOT EXISTS (SELECT 1 FROM l1 p WHERE p.root = f.root AND p.id = f.id)),
+        |f3 AS (SELECT l.root, e.dst AS id, sum(l.sigma) AS sigma
+        |       FROM l2 l JOIN e ON e.src = l.id GROUP BY 1, 2),
+        |l3 AS (SELECT f.* FROM f3 f
+        |       WHERE NOT EXISTS (SELECT 1 FROM l1 p WHERE p.root = f.root AND p.id = f.id)
+        |         AND NOT EXISTS (SELECT 1 FROM l2 p WHERE p.root = f.root AND p.id = f.id)),
+        |f4 AS (SELECT l.root, e.dst AS id, sum(l.sigma) AS sigma
+        |       FROM l3 l JOIN e ON e.src = l.id GROUP BY 1, 2),
+        |l4 AS (SELECT f.* FROM f4 f
+        |       WHERE NOT EXISTS (SELECT 1 FROM l2 p WHERE p.root = f.root AND p.id = f.id)
+        |         AND NOT EXISTS (SELECT 1 FROM l3 p WHERE p.root = f.root AND p.id = f.id)),
+        |d3 AS (SELECT u.root, u.id, u.sigma * sum(1.0 / w.sigma) AS delta
+        |       FROM l3 u JOIN e ON e.src = u.id
+        |       JOIN l4 w ON w.root = u.root AND w.id = e.dst
+        |       GROUP BY 1, 2, u.sigma),
+        |d2 AS (SELECT u.root, u.id,
+        |         u.sigma * sum((1.0 + coalesce(d.delta, 0.0)) / w.sigma) AS delta
+        |       FROM l2 u JOIN e ON e.src = u.id
+        |       JOIN l3 w ON w.root = u.root AND w.id = e.dst
+        |       LEFT JOIN d3 d ON d.root = u.root AND d.id = w.id
+        |       GROUP BY 1, 2, u.sigma),
+        |d1 AS (SELECT u.root, u.id,
+        |         u.sigma * sum((1.0 + coalesce(d.delta, 0.0)) / w.sigma) AS delta
+        |       FROM l1 u JOIN e ON e.src = u.id
+        |       JOIN l2 w ON w.root = u.root AND w.id = e.dst
+        |       LEFT JOIN d2 d ON d.root = u.root AND d.id = w.id
+        |       GROUP BY 1, 2, u.sigma),
+        |b AS (SELECT id, sum(delta) AS b FROM (
+        |        SELECT * FROM d1 UNION ALL SELECT * FROM d2 UNION ALL SELECT * FROM d3)
+        |      WHERE id <> root GROUP BY id)
+        |SELECT id, floor(b / 2 * 1000000 + 0.5) / 1000000 AS betweenness
+        |FROM b WHERE floor(b / 2 * 1000000 + 0.5) / 1000000 > 0
+        |ORDER BY id""".stripMargin
+
+  /** Modularity of the SQL-replayable LPA partition (Q = internal/2m −
+    * Σtot²/(2m)² from exact integer counts) + the louvain≥lpa quality
+    * floor pinned to 1 — shared by `g_modularity` (local-finisher
+    * louvain) and `g_modularity_dist` (forced-distributed louvain). */
+  private val modularityOracle: String =
+      """WITH RECURSIVE e AS (
+        |  SELECT DISTINCT src, dst FROM (
+        |    SELECT 'p:'||l_partkey AS src, 's:'||l_suppkey AS dst FROM lineitem WHERE l_partkey % 20 = 0
+        |    UNION ALL
+        |    SELECT 's:'||l_suppkey, 'p:'||l_partkey FROM lineitem WHERE l_partkey % 20 = 0)),
+        |v AS (SELECT DISTINCT src AS id FROM e),
+        |lp AS (
+        |  SELECT 0 AS it, id, id AS community FROM v
+        |  UNION ALL
+        |  SELECT it+1 AS it, dst AS id, community FROM (
+        |    SELECT p.it AS it, e.dst AS dst, p.community AS community, count(*) AS cnt
+        |    FROM lp p JOIN e ON e.src = p.id
+        |    WHERE p.it < 5 GROUP BY 1,2,3) c
+        |  QUALIFY row_number() OVER (PARTITION BY it, dst ORDER BY cnt DESC, community) = 1),
+        |assign AS (SELECT id, community FROM lp WHERE it = 5),
+        |m AS (SELECT CAST(count(*) AS DOUBLE) AS m2 FROM e),
+        |i AS (SELECT CAST(count(*) AS DOUBLE) AS intw FROM e
+        |      JOIN assign a1 ON a1.id = e.src JOIN assign a2 ON a2.id = e.dst
+        |      WHERE a1.community = a2.community),
+        |deg AS (SELECT src AS id, CAST(count(*) AS DOUBLE) AS k FROM e GROUP BY 1),
+        |tot AS (SELECT a.community, sum(d.k) AS t FROM deg d JOIN assign a ON a.id = d.id GROUP BY 1),
+        |t2 AS (SELECT sum(t*t) AS s FROM tot)
+        |SELECT floor((i.intw/m.m2 - t2.s/(m.m2*m.m2)) * 1000000 + 0.5)/1000000 AS q_lpa,
+        |       CAST(1 AS BIGINT) AS louvain_ge_lpa
+        |FROM i, m, t2""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q1_agg" ->
@@ -592,61 +686,10 @@ object SparkEntry {
     // forced-distributed twin: SAME oracle — the distributed plan must
     // produce exactly what the local finisher produces
     "g_pagerank_dist" -> pagerankOracle,
-    // hop-4 Brandes, unrolled: forward σ-levels l0..l4 (σ_v = Σ over
-    // depth-(d−1) predecessors, anti-joined against prior levels),
-    // backward δ sweep d3..d1 (δ_u = σ_u·Σ (1+δ_w)/σ_w; the deepest
-    // level's δ is 0 and depth-0 rows are the roots themselves,
-    // excluded by id <> root). Halved (undirected), tie-safe rounding.
-    "g_betweenness_sql" ->
-      """WITH e0 AS (
-        |  SELECT DISTINCT 'p:'||l_partkey AS src, 's:'||l_suppkey AS dst
-        |  FROM lineitem WHERE l_partkey % 20 = 0),
-        |e AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
-        |v AS (SELECT DISTINCT src AS id FROM e),
-        |r AS (SELECT DISTINCT 'p:'||l_partkey AS id FROM lineitem WHERE l_partkey % 200 = 0),
-        |l0 AS (SELECT r.id AS root, r.id AS id, CAST(1 AS DOUBLE) AS sigma
-        |       FROM r JOIN v USING (id)),
-        |f1 AS (SELECT l.root, e.dst AS id, sum(l.sigma) AS sigma
-        |       FROM l0 l JOIN e ON e.src = l.id GROUP BY 1, 2),
-        |l1 AS (SELECT f.* FROM f1 f WHERE NOT EXISTS
-        |       (SELECT 1 FROM l0 p WHERE p.root = f.root AND p.id = f.id)),
-        |f2 AS (SELECT l.root, e.dst AS id, sum(l.sigma) AS sigma
-        |       FROM l1 l JOIN e ON e.src = l.id GROUP BY 1, 2),
-        |l2 AS (SELECT f.* FROM f2 f
-        |       WHERE NOT EXISTS (SELECT 1 FROM l0 p WHERE p.root = f.root AND p.id = f.id)
-        |         AND NOT EXISTS (SELECT 1 FROM l1 p WHERE p.root = f.root AND p.id = f.id)),
-        |f3 AS (SELECT l.root, e.dst AS id, sum(l.sigma) AS sigma
-        |       FROM l2 l JOIN e ON e.src = l.id GROUP BY 1, 2),
-        |l3 AS (SELECT f.* FROM f3 f
-        |       WHERE NOT EXISTS (SELECT 1 FROM l1 p WHERE p.root = f.root AND p.id = f.id)
-        |         AND NOT EXISTS (SELECT 1 FROM l2 p WHERE p.root = f.root AND p.id = f.id)),
-        |f4 AS (SELECT l.root, e.dst AS id, sum(l.sigma) AS sigma
-        |       FROM l3 l JOIN e ON e.src = l.id GROUP BY 1, 2),
-        |l4 AS (SELECT f.* FROM f4 f
-        |       WHERE NOT EXISTS (SELECT 1 FROM l2 p WHERE p.root = f.root AND p.id = f.id)
-        |         AND NOT EXISTS (SELECT 1 FROM l3 p WHERE p.root = f.root AND p.id = f.id)),
-        |d3 AS (SELECT u.root, u.id, u.sigma * sum(1.0 / w.sigma) AS delta
-        |       FROM l3 u JOIN e ON e.src = u.id
-        |       JOIN l4 w ON w.root = u.root AND w.id = e.dst
-        |       GROUP BY 1, 2, u.sigma),
-        |d2 AS (SELECT u.root, u.id,
-        |         u.sigma * sum((1.0 + coalesce(d.delta, 0.0)) / w.sigma) AS delta
-        |       FROM l2 u JOIN e ON e.src = u.id
-        |       JOIN l3 w ON w.root = u.root AND w.id = e.dst
-        |       LEFT JOIN d3 d ON d.root = u.root AND d.id = w.id
-        |       GROUP BY 1, 2, u.sigma),
-        |d1 AS (SELECT u.root, u.id,
-        |         u.sigma * sum((1.0 + coalesce(d.delta, 0.0)) / w.sigma) AS delta
-        |       FROM l1 u JOIN e ON e.src = u.id
-        |       JOIN l2 w ON w.root = u.root AND w.id = e.dst
-        |       LEFT JOIN d2 d ON d.root = u.root AND d.id = w.id
-        |       GROUP BY 1, 2, u.sigma),
-        |b AS (SELECT id, sum(delta) AS b FROM (
-        |        SELECT * FROM d1 UNION ALL SELECT * FROM d2 UNION ALL SELECT * FROM d3)
-        |      WHERE id <> root GROUP BY id)
-        |SELECT id, floor(b / 2 * 1000000 + 0.5) / 1000000 AS betweenness
-        |FROM b WHERE floor(b / 2 * 1000000 + 0.5) / 1000000 > 0
-        |ORDER BY id""".stripMargin,
+    "g_betweenness_sql" -> betweennessHop4Oracle,
+    // forced-distributed hop-4 Brandes: SAME oracle — the distributed
+    // sweep must reproduce the local mirror's numbers exactly
+    "g_betweenness_dist_sql" -> betweennessHop4Oracle,
     "g_ppr" ->
       """WITH RECURSIVE e AS (
         |  SELECT DISTINCT src, dst FROM (
@@ -769,32 +812,10 @@ object SparkEntry {
     // modularity of the SQL-replayable LPA partition: Q = internal/2m −
     // Σtot²/(2m)² from exact integer counts (same double ops as the
     // Scala side); louvain_ge_lpa pinned 1 = the quality floor
-    "g_modularity" ->
-      """WITH RECURSIVE e AS (
-        |  SELECT DISTINCT src, dst FROM (
-        |    SELECT 'p:'||l_partkey AS src, 's:'||l_suppkey AS dst FROM lineitem WHERE l_partkey % 20 = 0
-        |    UNION ALL
-        |    SELECT 's:'||l_suppkey, 'p:'||l_partkey FROM lineitem WHERE l_partkey % 20 = 0)),
-        |v AS (SELECT DISTINCT src AS id FROM e),
-        |lp AS (
-        |  SELECT 0 AS it, id, id AS community FROM v
-        |  UNION ALL
-        |  SELECT it+1 AS it, dst AS id, community FROM (
-        |    SELECT p.it AS it, e.dst AS dst, p.community AS community, count(*) AS cnt
-        |    FROM lp p JOIN e ON e.src = p.id
-        |    WHERE p.it < 5 GROUP BY 1,2,3) c
-        |  QUALIFY row_number() OVER (PARTITION BY it, dst ORDER BY cnt DESC, community) = 1),
-        |assign AS (SELECT id, community FROM lp WHERE it = 5),
-        |m AS (SELECT CAST(count(*) AS DOUBLE) AS m2 FROM e),
-        |i AS (SELECT CAST(count(*) AS DOUBLE) AS intw FROM e
-        |      JOIN assign a1 ON a1.id = e.src JOIN assign a2 ON a2.id = e.dst
-        |      WHERE a1.community = a2.community),
-        |deg AS (SELECT src AS id, CAST(count(*) AS DOUBLE) AS k FROM e GROUP BY 1),
-        |tot AS (SELECT a.community, sum(d.k) AS t FROM deg d JOIN assign a ON a.id = d.id GROUP BY 1),
-        |t2 AS (SELECT sum(t*t) AS s FROM tot)
-        |SELECT floor((i.intw/m.m2 - t2.s/(m.m2*m.m2)) * 1000000 + 0.5)/1000000 AS q_lpa,
-        |       CAST(1 AS BIGINT) AS louvain_ge_lpa
-        |FROM i, m, t2""".stripMargin,
+    "g_modularity" -> modularityOracle,
+    // distributed-louvain quality gate: SAME oracle — q_lpa pins the
+    // closed-form arithmetic, louvain_ge_lpa=1 pins the quality floor
+    "g_modularity_dist" -> modularityOracle,
     "g_sssp" ->
       """WITH RECURSIVE base AS (
         |  SELECT DISTINCT 'p:'||l_partkey AS a, 's:'||l_suppkey AS b,

@@ -238,6 +238,24 @@ object GraphQueries {
       .orderBy(col("id"))
   }
 
+  /** Hash-gated forced-distributed Brandes: the [[gBetweennessSql]]
+    * recipe (hop 4, same roots) with `localFinishEdges = 0`, sharing
+    * its unrolled level-by-level CTE oracle verbatim — the distributed
+    * sweep (the plan that runs at 100 TB) must produce EXACTLY what
+    * the local mirror produces, checked by DuckDB every round, not
+    * just by fixture specs. The hop-10 [[gBetweennessDist]] stays the
+    * bench entry. */
+  def gBetweennessDistSql(s: SparkSession, dir: String): DataFrame = {
+    val roots = graft.Tables.lineitem(s, dir)
+      .filter(col("l_partkey") % 200 === 0)
+      .select(concat(lit("p:"), col("l_partkey")).as("id")).distinct()
+    GraphOps.betweenness(
+        GraphOps.undirected(TestGraph.partSupplierEdges(s, dir)), roots, maxIter = 4,
+        undirectedInput = true, localFinishEdges = 0L)
+      .filter(col("betweenness") > 0)
+      .orderBy(col("id"))
+  }
+
   /** Forced-distributed Brandes twin (see [[gPagerankDist]]'s rationale). */
   def gBetweennessDist(s: SparkSession, dir: String): DataFrame = {
     val roots = graft.Tables.lineitem(s, dir)
@@ -334,6 +352,23 @@ object GraphQueries {
     val qLouvain = GraphOps.modularity(e, GraphOps.louvain(e))
     Seq((math.floor(qLpa * 1e6 + 0.5) / 1e6,
       if (qLouvain >= qLpa) 1L else 0L)).toDF("q_lpa", "louvain_ge_lpa")
+  }
+
+  /** Quality gate for the forced-distributed Louvain: the
+    * [[gModularity]] recipe with the louvain side forced distributed
+    * (`localFinishEdges = 0`), sharing its oracle — q_lpa pins the
+    * closed-form Q arithmetic, and `louvain_ge_lpa = 1` pins that the
+    * DISTRIBUTED move/contraction rounds still beat the LPA floor
+    * (partitions aren't hash-comparable across implementations;
+    * their QUALITY is). */
+  def gModularityDist(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = TestGraph.partSupplierEdges(s, dir)
+    val qLpa = GraphOps.modularity(e, GraphOps.labelPropagation(e, iters = 5))
+    val qLouvainDist = GraphOps.modularity(e,
+      GraphOps.louvain(e, localFinishEdges = 0L))
+    Seq((math.floor(qLpa * 1e6 + 0.5) / 1e6,
+      if (qLouvainDist >= qLpa) 1L else 0L)).toDF("q_lpa", "louvain_ge_lpa")
   }
 
   /** Forced-distributed Louvain twin (see [[gPagerankDist]]'s rationale):
