@@ -27,6 +27,9 @@ object Bench {
     // local-finisher gate, so without these the bench would no longer
     // exercise the distributed plans that actually run at 100 TB
     "g_pagerank_dist", "g_betweenness_dist", "g_louvain_dist",
+    // r10: the scale-hardened four-phase Dijkstra-Brandes, forced
+    // distributed (dense-long keys + single running pending frame)
+    "g_wbetweenness_dist",
     // the reference's core workload: full 1202-trace corpus → property
     // graph, rebuilt from the JSON every timed run
     "sg_build")

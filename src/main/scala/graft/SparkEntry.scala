@@ -112,6 +112,7 @@ object SparkEntry {
     "g_modularity_dist" -> (GraphQueries.gModularityDist _),
     "g_wcloseness"  -> (GraphQueries.gWCloseness _),
     "g_wbetweenness" -> (GraphQueries.gWBetweenness _),
+    "g_wbetweenness_dist" -> (GraphQueries.gWBetweennessDist _),
     "g_kcore"      -> ((s, d) => GraphQueries.gKcore(s, d)),
     "n1_nodemerge" -> (GraphQueries.n1NodeMerge _),
     "n2_edgemerge" -> (GraphQueries.n2EdgeMerge _),
@@ -395,6 +396,51 @@ object SparkEntry {
         |SELECT floor((i.intw/m.m2 - t2.s/(m.m2*m.m2)) * 1000000 + 0.5)/1000000 AS q_lpa,
         |       CAST(1 AS BIGINT) AS louvain_ge_lpa
         |FROM i, m, t2""".stripMargin
+
+  /** Weighted Brandes oracle: walk-CTE distances → SP DAG → DAG-path
+    * enumeration (≤ 6 edges, the engine's σ bound) → pair dependencies
+    * Σ (paths through v)/σ_st — shared by `g_wbetweenness` (local
+    * mirror) and `g_wbetweenness_dist` (four-phase distributed). */
+  private val wBetweennessOracle: String =
+      """WITH RECURSIVE base AS (
+        |  SELECT DISTINCT 'p:'||l_partkey AS a, 's:'||l_suppkey AS b,
+        |    CAST((l_partkey + l_suppkey) % 5 + 1 AS BIGINT) AS w
+        |  FROM lineitem WHERE l_partkey % 20 = 0),
+        |e AS (SELECT a AS src, b AS dst, w FROM base UNION SELECT b, a, w FROM base),
+        |r AS (SELECT DISTINCT b AS id FROM base WHERE CAST(substr(b, 3) AS INT) % 40 = 0),
+        |walk AS (
+        |  SELECT id AS root, id, CAST(0 AS DOUBLE) AS d, 0 AS hops FROM r
+        |  UNION
+        |  SELECT wk.root, e.dst, wk.d + e.w, wk.hops + 1
+        |  FROM walk wk JOIN e ON wk.id = e.src WHERE wk.hops < 6),
+        |dist AS (SELECT root, id, min(d) AS d FROM walk GROUP BY 1, 2),
+        |dag AS (
+        |  SELECT du.root, e.src AS u, e.dst AS v
+        |  FROM e
+        |  JOIN dist du ON du.id = e.src
+        |  JOIN dist dv ON dv.root = du.root AND dv.id = e.dst
+        |  WHERE du.d + e.w = dv.d),
+        |dpath AS (
+        |  SELECT id AS root, id, 0 AS hops, id AS path FROM r
+        |  UNION ALL
+        |  SELECT p.root, g.v, p.hops + 1, p.path || '>' || g.v
+        |  FROM dpath p JOIN dag g ON g.root = p.root AND g.u = p.id
+        |  WHERE p.hops < 6),
+        |sig AS (SELECT root, id AS t, CAST(count(*) AS DOUBLE) AS sigma
+        |        FROM dpath GROUP BY 1, 2),
+        |ints AS (
+        |  SELECT root, id AS t,
+        |    UNNEST(list_slice(string_split(path, '>'), 2,
+        |      len(string_split(path, '>')) - 1)) AS v
+        |  FROM dpath),
+        |thr AS (SELECT root, t, v, CAST(count(*) AS DOUBLE) AS cnt
+        |        FROM ints GROUP BY 1, 2, 3),
+        |bb AS (SELECT thr.v AS id, sum(thr.cnt / sig.sigma) AS b
+        |       FROM thr JOIN sig ON sig.root = thr.root AND sig.t = thr.t
+        |       GROUP BY 1)
+        |SELECT id, floor(b / 2 * 1000000 + 0.5) / 1000000 AS betweenness
+        |FROM bb WHERE floor(b / 2 * 1000000 + 0.5) / 1000000 > 0
+        |ORDER BY id""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q1_agg" ->
@@ -766,49 +812,9 @@ object SparkEntry {
         |SELECT root AS id,
         |  floor(CAST(count(*) AS DOUBLE) / sum(d) * 1000000 + 0.5)/1000000 AS closeness
         |FROM dist WHERE d > 0 GROUP BY root ORDER BY id""".stripMargin,
-    // weighted betweenness: walk-CTE distances → SP DAG → DAG-path
-    // enumeration (≤ 6 edges, the engine's σ bound) → pair
-    // dependencies Σ (paths through v)/σ_st, halved, tie-safe rounded
-    "g_wbetweenness" ->
-      """WITH RECURSIVE base AS (
-        |  SELECT DISTINCT 'p:'||l_partkey AS a, 's:'||l_suppkey AS b,
-        |    CAST((l_partkey + l_suppkey) % 5 + 1 AS BIGINT) AS w
-        |  FROM lineitem WHERE l_partkey % 20 = 0),
-        |e AS (SELECT a AS src, b AS dst, w FROM base UNION SELECT b, a, w FROM base),
-        |r AS (SELECT DISTINCT b AS id FROM base WHERE CAST(substr(b, 3) AS INT) % 40 = 0),
-        |walk AS (
-        |  SELECT id AS root, id, CAST(0 AS DOUBLE) AS d, 0 AS hops FROM r
-        |  UNION
-        |  SELECT wk.root, e.dst, wk.d + e.w, wk.hops + 1
-        |  FROM walk wk JOIN e ON wk.id = e.src WHERE wk.hops < 6),
-        |dist AS (SELECT root, id, min(d) AS d FROM walk GROUP BY 1, 2),
-        |dag AS (
-        |  SELECT du.root, e.src AS u, e.dst AS v
-        |  FROM e
-        |  JOIN dist du ON du.id = e.src
-        |  JOIN dist dv ON dv.root = du.root AND dv.id = e.dst
-        |  WHERE du.d + e.w = dv.d),
-        |dpath AS (
-        |  SELECT id AS root, id, 0 AS hops, id AS path FROM r
-        |  UNION ALL
-        |  SELECT p.root, g.v, p.hops + 1, p.path || '>' || g.v
-        |  FROM dpath p JOIN dag g ON g.root = p.root AND g.u = p.id
-        |  WHERE p.hops < 6),
-        |sig AS (SELECT root, id AS t, CAST(count(*) AS DOUBLE) AS sigma
-        |        FROM dpath GROUP BY 1, 2),
-        |ints AS (
-        |  SELECT root, id AS t,
-        |    UNNEST(list_slice(string_split(path, '>'), 2,
-        |      len(string_split(path, '>')) - 1)) AS v
-        |  FROM dpath),
-        |thr AS (SELECT root, t, v, CAST(count(*) AS DOUBLE) AS cnt
-        |        FROM ints GROUP BY 1, 2, 3),
-        |bb AS (SELECT thr.v AS id, sum(thr.cnt / sig.sigma) AS b
-        |       FROM thr JOIN sig ON sig.root = thr.root AND sig.t = thr.t
-        |       GROUP BY 1)
-        |SELECT id, floor(b / 2 * 1000000 + 0.5) / 1000000 AS betweenness
-        |FROM bb WHERE floor(b / 2 * 1000000 + 0.5) / 1000000 > 0
-        |ORDER BY id""".stripMargin,
+    "g_wbetweenness" -> wBetweennessOracle,
+    // forced-distributed four-phase Dijkstra-Brandes: SAME oracle
+    "g_wbetweenness_dist" -> wBetweennessOracle,
     // modularity of the SQL-replayable LPA partition: Q = internal/2m −
     // Σtot²/(2m)² from exact integer counts (same double ops as the
     // Scala side); louvain_ge_lpa pinned 1 = the quality floor

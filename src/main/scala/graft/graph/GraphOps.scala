@@ -1308,6 +1308,45 @@ object GraphOps {
     * default is false (correct for any input; undirected inputs merely
     * pay the larger dedup). Ids of any type are compared as strings
     * (the output id column is string). */
+  /** Dense LONG vertex dictionary for the Brandes-family iterations
+    * (shared by the unweighted and weighted paths): every shuffle,
+    * join and aggregation in those phases is keyed on (root, id) —
+    * hashing and comparing packed longs instead of strings measured
+    * ~2× on the string-keyed r4/r5 shapes, and the |roots|×|V| state
+    * rows shrink to fixed-width columns. The dictionary is |V| rows
+    * (tiny next to |E|), built with the same zipWithIndex
+    * densification the GraphX bridge uses; ids decode back to strings
+    * only on the |V|-row result.
+    *
+    * Returns (dict, broadcastable). The broadcast decision is
+    * BYTE-GATED — an explicit broadcast() hint overrides
+    * autoBroadcastJoinThreshold and never falls back, so at cluster
+    * scale (|V| ~ 10⁸–10⁹, a dictionary of tens of GB) a forced hint
+    * would OOM the driver. The gate estimates the broadcast's
+    * in-memory size from the mean id length (riding the same job that
+    * materializes the dict cache; ~48 B/entry of HashedRelation
+    * overhead on top of the string bytes) and allows it under 512 MB —
+    * right for 10M 32-byte ids, refused for 10M 200-byte ids on 8 GiB
+    * executors — with a 10M-row cap kept as a backstop against
+    * avg-length underestimates. Under the gate the hint is the
+    * measured win (the dict is persisted but its stats aren't known
+    * until materialized, so without the hint the first encode plans
+    * sort-merge); past it the joins go through the planner, which
+    * picks shuffle joins — the right plan there. */
+  private def vertexDict(eStr: DataFrame): (DataFrame, Boolean) = {
+    val spark = eStr.sparkSession
+    import spark.implicits._
+    val dict = eStr.select(col("src").as("id"))
+      .union(eStr.select(col("dst").as("id"))).distinct()
+      .rdd.map(_.getString(0)).zipWithIndex()
+      .toDF("id", "vid").persist(StorageLevel.MEMORY_AND_DISK)
+    val dictStats = dict
+      .agg(count(lit(1)), coalesce(avg(length(col("id"))), lit(0.0))).collect()(0)
+    val nV = dictStats.getLong(0)
+    val estDictBytes = (nV * (dictStats.getDouble(1) + 48.0)).toLong
+    (dict, estDictBytes <= 512L * 1024 * 1024 && nV <= 10L * 1000 * 1000)
+  }
+
   def betweenness(edges: DataFrame, roots: DataFrame, maxIter: Int = 20,
                   halve: Boolean = true, undirectedInput: Boolean = false,
                   localFinishEdges: Long = 250000L,
@@ -1348,31 +1387,7 @@ object GraphOps {
         }
       }
     }
-    val dict = eStr.select(col("src").as("id"))
-      .union(eStr.select(col("dst").as("id"))).distinct()
-      .rdd.map(_.getString(0)).zipWithIndex()
-      .toDF("id", "vid").persist(StorageLevel.MEMORY_AND_DISK)
-    // Encode-join strategy: the dictionary broadcast is BYTE-GATED —
-    // an explicit broadcast() hint overrides autoBroadcastJoinThreshold
-    // and never falls back, so at cluster scale (|V| ~ 10⁸–10⁹, a
-    // dictionary of tens of GB) a forced hint would OOM the driver.
-    // The gate estimates the broadcast's in-memory size from the mean
-    // id length (riding the same job that materializes the dict cache;
-    // ~48 B/entry of HashedRelation overhead on top of the string
-    // bytes) and allows it under 512 MB — right for 10M 32-byte ids,
-    // refused for 10M 200-byte ids on 8 GiB executors — with the old
-    // 10M-row cap kept as a backstop against avg-length underestimates.
-    // Under the gate the hint is the measured win (the dict is
-    // persisted but its stats aren't known until materialized, so
-    // without the hint the first encode plans sort-merge); past it the
-    // joins go through the planner, which picks shuffle joins — the
-    // right plan there.
-    val dictStats = dict
-      .agg(count(lit(1)), coalesce(avg(length(col("id"))), lit(0.0))).collect()(0)
-    val nV = dictStats.getLong(0)
-    val estDictBytes = (nV * (dictStats.getDouble(1) + 48.0)).toLong
-    val broadcastDict =
-      estDictBytes <= 512L * 1024 * 1024 && nV <= 10L * 1000 * 1000
+    val (dict, broadcastDict) = vertexDict(eStr)
     def encSide(keyAs: String, vidAs: String) = {
       val side = dict.select(col("id").as(keyAs), col("vid").as(vidAs))
       if (broadcastDict) broadcast(side) else side
@@ -1520,32 +1535,38 @@ object GraphOps {
     *  B. the shortest-path DAG: edges with dist(u) + w = dist(v) per
     *     root (exact for integer-valued weights; float weights may
     *     split ties by ulp — same caveat as every engine's weighted
-    *     Brandes).
+    *     Brandes). Each DAG edge is annotated with its SOURCE
+    *     endpoint's layer (`ulvl`) — phase D keys its emissions on it.
     *  C. σ by DAG-path counting: p_k(v) = paths of exactly k DAG
     *     edges, propagated frontier-style (one join + keyed sum per
     *     round, like the unweighted BFS); σ = Σ_k p_k. Terminates
     *     because every DAG path has ≤ maxIter edges (layer bound).
     *  D. backward δ by layer, deepest first: δ(u) = σ_u·Σ over DAG
     *     successors w of (1+δ_w)/σ_w. Successors may sit ANY number of
-    *     layers deeper, so each finalized layer emits its
-    *     (1+δ)/σ contributions into severed cached pool frames and
-    *     each layer aggregates the pool filtered to its own vertices —
-    *     the cached-leaf-union pattern the unweighted DIRECTED dedup
-    *     already uses. O(layers) pool scans; layers ≤ maxIter.
+    *     layers deeper, so each layer's (1+δ)/σ emissions carry their
+    *     TARGET's layer (the dag `ulvl` column) and partial-aggregate
+    *     into ONE running pending frame keyed (root, id, tlvl); layer
+    *     l consumes its tlvl = l slice and rolls the rest forward —
+    *     one join + one keyed sum per layer over a frame bounded by
+    *     the outstanding contributions. (The r9 shape re-unioned EVERY
+    *     deeper layer's raw emission pool once per layer: O(layers²)
+    *     scans of |roots|·|V|-shaped frames — the scale-killer this
+    *     rewrite removes.)
     *
     * Parallel edges collapse to their minimum weight first (only
     * minimal-weight paths matter; σ counts simple-graph paths — the
-    * local mirror and the oracle do the same). Weights must be
-    * strictly positive and non-null (loud probe — zero/negative
-    * weights break the DAG layering). Ids compare as strings, output
-    * (id, betweenness) over every vertex, halved when `halve`,
-    * tie-safe-rounded at 6. Below `localFinishEdges` an exact
-    * in-memory mirror runs instead ([[LocalGraph.betweennessWeighted]]).
-    *
-    * Scale note: state is |roots|·|V| keyed rows like the unweighted
-    * path; the dense-long vertex encoding the unweighted path uses is
-    * directly applicable here if weighted betweenness becomes a hot
-    * path — phases A–D only key on (root, id). */
+    * local mirror and the oracle do the same); the collapse runs on
+    * packed longs AFTER encoding (the unweighted lesson: a
+    * string-keyed |E| aggregation was the most expensive encode step).
+    * Weights must be strictly positive and non-null (loud probe —
+    * zero/negative weights break the DAG layering). All four phases
+    * run on dense LONG vertex ids ([[vertexDict]] — the unweighted
+    * path's byte-gated dictionary, worth ~2× on exactly these shuffle
+    * shapes); ids decode back to strings only on the |V|-row result.
+    * Output (id, betweenness) over every vertex, halved when `halve`,
+    * tie-safe-rounded at 6. Below `localFinishEdges` (RAW edge rows,
+    * like the unweighted gate) an exact in-memory mirror runs instead
+    * ([[LocalGraph.betweennessWeighted]]). */
   /** Shared refusal for the weighted-Brandes hop-bound pathologies —
     * thrown identically by the distributed path and the local mirror. */
   private[graph] val hopBoundMsg: String =
@@ -1554,36 +1575,53 @@ object GraphOps {
       "hop-bounded Brandes ill-defined — raise maxIter above the " +
       "weighted-shortest-path hop diameter"
 
+  /** Shared loud-probe message for weighted-Brandes weight hygiene. */
+  private def weightProbeMsg(weightCol: String): String =
+    s"betweenness: weight column '$weightCol' must be strictly positive and " +
+      "non-null on every edge (null/zero/negative weights break shortest-path " +
+      "DAG layering)"
+
   private def betweennessWeighted(edges0: DataFrame, roots: DataFrame,
                                   maxIter: Int, halve: Boolean, weightCol: String,
                                   localFinishEdges: Long): DataFrame = {
     val spark = edges0.sparkSession
-    val e = edges0.select(col("src").cast("string").as("src"),
+    val eStr = edges0.select(col("src").cast("string").as("src"),
         col("dst").cast("string").as("dst"),
         col(weightCol).cast("double").as("w"))
-      .groupBy(col("src"), col("dst")).agg(min(col("w")).as("w"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val eCount = e.count() // materializes the persist either way
-    require(e.filter(col("w").isNull || col("w") <= 0).limit(1).count() == 0,
-      s"betweenness: weight column '$weightCol' must be strictly positive and " +
-        "non-null on every edge (null/zero/negative weights break shortest-path " +
-        "DAG layering)")
-    if (eCount <= localFinishEdges) {
+    if (eStr.count() <= localFinishEdges) {
+      // sub-gate graphs: collapse + probe on the (small) string frame
+      val eMin = eStr.groupBy(col("src"), col("dst")).agg(min(col("w")).as("w"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      require(eMin.filter(col("w").isNull || col("w") <= 0).limit(1).count() == 0,
+        weightProbeMsg(weightCol))
       val rootArr = roots.select(col("id").cast("string").as("id")).distinct()
         .limit(localFinishEdges.toInt + 1).collect().map(_.getString(0))
       if (rootArr.length <= localFinishEdges) {
-        val triples = e.collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
+        val triples = eMin.collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
         LocalGraph.betweennessWeighted(spark, triples, rootArr, maxIter, halve)
-          .foreach { out => e.unpersist(); return out }
+          .foreach { out => eMin.unpersist(); eStr.unpersist(); return out }
       }
+      eMin.unpersist()
     }
-    val vset = e.select(col("src").as("id")).union(e.select(col("dst").as("id")))
-      .distinct().persist(StorageLevel.MEMORY_AND_DISK)
+    val (dict, broadcastDict) = vertexDict(eStr)
+    def encSide(keyAs: String, vidAs: String) = {
+      val side = dict.select(col("id").as(keyAs), col("vid").as(vidAs))
+      if (broadcastDict) broadcast(side) else side
+    }
+    val e = eStr
+      .join(encSide("src", "src_vid"), Seq("src"))
+      .join(encSide("dst", "dst_vid"), Seq("dst"))
+      .groupBy(col("src_vid").as("src"), col("dst_vid").as("dst"))
+      .agg(min(col("w")).as("w"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    require(e.filter(col("w").isNull || col("w") <= 0).limit(1).count() == 0,
+      weightProbeMsg(weightCol))
     // ---- phase A: (dist, hops) fixpoint --------------------------
     var state = graft.Borrow.severLazy(
       roots.select(col("id").cast("string").as("id")).distinct()
-        .join(vset, Seq("id"), "left_semi")
-        .select(col("id").as("root"), col("id"), lit(0.0).as("dist"),
+        .join(encSide("id", "vid"), Seq("id")) // off-graph roots seed nothing
+        .select(col("vid").as("root"), col("vid").as("id"), lit(0.0).as("dist"),
           lit(0).as("hops")))
     var frontier = state
     var n = frontier.count()
@@ -1630,7 +1668,7 @@ object GraphOps {
     if (dag0.filter(col("uh") >= col("vh")).limit(1).count() > 0)
       throw new IllegalStateException(hopBoundMsg)
     val dag = dag0
-      .select(col("d_root").as("droot"), col("u"), col("v"))
+      .select(col("d_root").as("droot"), col("u"), col("v"), col("uh").as("ulvl"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     // ---- phase C: σ = DAG-path counts, frontier-propagated -------
     var pfront = graft.Borrow.severLazy(
@@ -1662,31 +1700,45 @@ object GraphOps {
       throw new IllegalStateException(hopBoundMsg)
     val maxLvlRow = sigmaState.agg(max(col("hops"))).collect()(0)
     val maxLvl = if (maxLvlRow.isNullAt(0)) 0 else maxLvlRow.getInt(0)
-    // ---- phase D: backward δ by layer, deepest first -------------
-    var pool = List.empty[DataFrame]
+    // ---- phase D: backward δ, ONE running pending frame ----------
+    // pend: (root, id, tlvl, c) = outstanding Σ (1+δ_w)/σ_w
+    // contributions addressed to vertex id at layer tlvl, partial-
+    // aggregated; tlvl is functionally determined by (root, id) —
+    // carrying it lets each layer consume its slice with a FILTER on
+    // the severed leaf instead of a join against sigmaState
+    var pend: DataFrame = null
     var deltas = List.empty[DataFrame]
     for (lvl <- maxLvl to 1 by -1) {
       val atLvl = sigmaState.filter(col("hops") === lvl)
       val dlvl = graft.Borrow.severLazy(
-        (if (pool.isEmpty) atLvl.withColumn("cs", lit(0.0))
+        (if (pend == null) atLvl.withColumn("cs", lit(0.0))
          else atLvl.join(
-             pool.reduce(_ unionByName _)
-               .groupBy(col("root"), col("id")).agg(sum(col("c")).as("cs")),
+             pend.filter(col("tlvl") === lvl)
+               .select(col("root"), col("id"), col("c").as("cs")),
              Seq("root", "id"), "left")
            .withColumn("cs", coalesce(col("cs"), lit(0.0))))
         .select(col("root"), col("id"), col("sigma"),
           (col("sigma").cast("double") * col("cs")).as("delta")))
-      val em = graft.Borrow.severLazy(
-        dlvl.join(dag, dlvl("root") === dag("droot") && dlvl("id") === dag("v"))
-          .select(col("droot").as("root"), col("u").as("id"),
-            ((lit(1.0) + col("delta")) / col("sigma").cast("double")).as("c"))
-          .groupBy(col("root"), col("id")).agg(sum(col("c")).as("c")))
-      pool ::= em
+      // emissions to DAG predecessors, keyed by the predecessor's
+      // layer (ulvl rides the dag frame); the aggregation runs in the
+      // same stage as the join, so the |roots|-amplified per-edge
+      // expansion combines map-side before the shuffle — the
+      // unweighted sweep's factoring, adapted to any-depth successors
+      val em = dlvl.join(dag, dlvl("root") === dag("droot") && dlvl("id") === dag("v"))
+        .select(col("droot").as("root"), col("u").as("id"),
+          col("ulvl").as("tlvl"),
+          ((lit(1.0) + col("delta")) / col("sigma").cast("double")).as("c"))
+        .groupBy(col("root"), col("id"), col("tlvl")).agg(sum(col("c")).as("c"))
+      pend = graft.Borrow.severLazy(
+        if (pend == null) em
+        else pend.filter(col("tlvl") < lvl).unionByName(em)
+          .groupBy(col("root"), col("id"), col("tlvl")).agg(sum(col("c")).as("c")))
       deltas ::= dlvl.select(col("root"), col("id"), col("delta"))
     }
-    val out =
-      if (deltas.isEmpty) vset.withColumn("betweenness", lit(0.0))
-      else vset.join(
+    val allV = dict.select(col("vid").as("id")) // dict IS the vertex set
+    val outVid =
+      if (deltas.isEmpty) allV.withColumn("betweenness", lit(0.0))
+      else allV.join(
           deltas.reduce(_ unionByName _)
             .filter(col("id") =!= col("root"))
             .groupBy(col("id")).agg(sum(col("delta")).as("b")),
@@ -1695,7 +1747,11 @@ object GraphOps {
           graft.operators.Num.roundTies(
             coalesce(col("b"), lit(0.0)) / lit(if (halve) 2.0 else 1.0), 6)
             .as("betweenness"))
-    graft.Borrow.reclaim(out, e, vset, dag, sigmaState)
+    val dec0 = dict.select(col("id").as("str_id"), col("vid"))
+    val dec = if (broadcastDict) broadcast(dec0) else dec0
+    val out = outVid.join(dec, outVid("id") === dec0("vid"))
+      .select(col("str_id").as("id"), col("betweenness"))
+    graft.Borrow.reclaim(out, eStr, e, dict, dag, sigmaState)
   }
 
   /** Per-vertex triangle count over the undirected simple graph.

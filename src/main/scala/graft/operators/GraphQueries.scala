@@ -291,6 +291,17 @@ object GraphQueries {
       .filter(col("betweenness") > 0)
       .orderBy(col("id"))
 
+  /** Forced-distributed twin of [[gWBetweenness]] (`localFinishEdges =
+    * 0`): the four-phase Dijkstra-Brandes — dense-long keys, annotated
+    * DAG, single running pending frame — hash-gated against the SAME
+    * DAG-path-enumeration oracle, and benched per round (the r10
+    * scale-hardening's regression guard). */
+  def gWBetweennessDist(s: SparkSession, dir: String): DataFrame =
+    GraphOps.betweenness(weightedSym(s, dir), supplierRoots(s, dir),
+        maxIter = 6, halve = true, weightCol = Some("w"), localFinishEdges = 0L)
+      .filter(col("betweenness") > 0)
+      .orderBy(col("id"))
+
   /** B12 — GDS-style node similarity: Jaccard over supplier neighbor
     * sets of the (sparsified) part—supplier graph. */
   def gNodesim(s: SparkSession, dir: String): DataFrame =

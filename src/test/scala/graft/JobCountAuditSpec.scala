@@ -70,6 +70,30 @@ class JobCountAuditSpec extends SparkSpec {
     assert(jobs <= 120, s"louvain job count regressed: $jobs")
   }
 
+  test("weighted betweenness (forced distributed) stays within its job budget") {
+    // four phases: A (Bellman-Ford rounds) and C (σ propagation) pay
+    // one materializing count per round (each fanning into ~4-6 AQE
+    // query-stage jobs); B's probes are single actions; D is fully
+    // lazy — the reclaim's terminal action computes the whole severed
+    // pend chain, contributing stages but no per-layer driver action.
+    // r10 measured ~210 on this fixture (10 A-rounds + 10 C-rounds +
+    // ~10 D-layers of AQE stages); a new per-layer/per-round ACTION
+    // (~+1 job each, the barrier-regression class) trips the bound.
+    // weights in {5, 6}: ratio ≤ 1.2 keeps the weighted-shortest-path
+    // hop diameter within ~1.2× the unweighted one, so the maxIter
+    // bound never binds (the pathology probes would refuse loudly)
+    val weighted = edges.withColumn("w",
+      (pmod(xxhash64(col("src"), col("dst")), lit(2)) + 5).cast("double"))
+    val roots = edges.select(col("src").as("id")).distinct().limit(40)
+      .localCheckpoint()
+    val jobs = countJobs("audit-wbetweenness") {
+      GraphOps.betweenness(weighted, roots, maxIter = 10, halve = false,
+        weightCol = Some("w"), localFinishEdges = 0L).count()
+    }
+    info(s"weighted betweenness jobs: $jobs")
+    assert(jobs <= 260, s"weighted betweenness job count regressed: $jobs (r10 ~210)")
+  }
+
   test("eigenvector and hits stay within their per-iteration job budgets") {
     // r9 measured: ~5 jobs/iteration either way — they are AQE
     // query-stage jobs from the round's join+agg shuffles, NOT the norm
