@@ -113,6 +113,7 @@ object SparkEntry {
     "g_wcloseness"  -> (GraphQueries.gWCloseness _),
     "g_wbetweenness" -> (GraphQueries.gWBetweenness _),
     "g_wbetweenness_dist" -> (GraphQueries.gWBetweennessDist _),
+    "g_wpaths"     -> (GraphQueries.gWPaths _),
     "g_kcore"      -> ((s, d) => GraphQueries.gKcore(s, d)),
     "n1_nodemerge" -> (GraphQueries.n1NodeMerge _),
     "n2_edgemerge" -> (GraphQueries.n2EdgeMerge _),
@@ -370,6 +371,43 @@ object SparkEntry {
     * Σtot²/(2m)² from exact integer counts) + the louvain≥lpa quality
     * floor pinned to 1 — shared by `g_modularity` (local-finisher
     * louvain) and `g_modularity_dist` (forced-distributed louvain). */
+  /** Weighted shortest-path EXTRACTION oracle (`g_wpaths`): the
+    * round-synchronous Bellman-Ford with path carry UNROLLED — stage
+    * s_k is the full (root, id, best-dist, greedy-path) state after k
+    * rounds; x_k holds the round's extension candidates reduced to the
+    * within-round struct-min (dist, path) by window; the s_k merge
+    * applies the STRICT-improvement acceptance (fewest-hops
+    * preference). Full-state unrolling is provably identical to the
+    * engine's frontier version (a stale candidate can never win an
+    * accepting round — its value was already ≤-matched when first
+    * offered), so this replays the engine's determinism rule exactly —
+    * a plain "min over all walks" oracle would diverge on reconvergent
+    * tie shapes where the per-round greedy path is not the global
+    * lexicographic minimum. */
+  private val wPathsOracle: String = {
+    val stages = (1 to 6).map { k =>
+      s"""x$k AS (SELECT s.root, e.dst AS id, s.d + e.w AS d,
+         |       s.path || '>' || e.dst AS path
+         |     FROM s${k - 1} s JOIN e ON s.id = e.src
+         |     QUALIFY row_number() OVER (PARTITION BY s.root, e.dst
+         |       ORDER BY s.d + e.w, s.path || '>' || e.dst) = 1),
+         |s$k AS (SELECT coalesce(p.root, x.root) AS root,
+         |       coalesce(p.id, x.id) AS id,
+         |       CASE WHEN p.d IS NULL OR x.d < p.d THEN x.d ELSE p.d END AS d,
+         |       CASE WHEN p.d IS NULL OR x.d < p.d THEN x.path ELSE p.path END AS path
+         |     FROM s${k - 1} p FULL JOIN x$k x ON p.root = x.root AND p.id = x.id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH base AS (
+       |  SELECT DISTINCT 'p:'||l_partkey AS a, 's:'||l_suppkey AS b,
+       |    CAST((l_partkey + l_suppkey) % 5 + 1 AS BIGINT) AS w
+       |  FROM lineitem WHERE l_partkey % 20 = 0),
+       |e AS (SELECT a AS src, b AS dst, w FROM base UNION SELECT b, a, w FROM base),
+       |r AS (SELECT DISTINCT b AS id FROM base WHERE CAST(substr(b, 3) AS INT) % 40 = 0),
+       |s0 AS (SELECT id AS root, id, CAST(0 AS DOUBLE) AS d, id AS path FROM r),
+       |$stages
+       |SELECT root, id, d AS dist, path FROM s6 ORDER BY root, id""".stripMargin
+  }
+
   private val modularityOracle: String =
       """WITH RECURSIVE e AS (
         |  SELECT DISTINCT src, dst FROM (
@@ -815,6 +853,7 @@ object SparkEntry {
     "g_wbetweenness" -> wBetweennessOracle,
     // forced-distributed four-phase Dijkstra-Brandes: SAME oracle
     "g_wbetweenness_dist" -> wBetweennessOracle,
+    "g_wpaths" -> wPathsOracle,
     // modularity of the SQL-replayable LPA partition: Q = internal/2m −
     // Σtot²/(2m)² from exact integer counts (same double ops as the
     // Scala side); louvain_ge_lpa pinned 1 = the quality floor

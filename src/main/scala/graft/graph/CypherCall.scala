@@ -386,6 +386,35 @@ object CypherCall {
         GraphOps.sssp(e, seedFrame(ed, seeds), cfg.int("maxIterations", 10))
           .select(col("id"), col("dist").as("distance"))
       }),
+    // GDS gds.shortestPath.dijkstra.stream parity: the PATH, not just
+    // the distance — one materialized minimal-weight path per
+    // (sourceNode, reached) pair, '>'-joined ids (the same path
+    // encoding the Cypher shortestPath surface yields). Weight
+    // resolution matches graft.sssp (weightProperty, default hop = 1).
+    "shortestPath" -> Proc(Seq("root", "id", "distance", "path"),
+      Set("sourceNodes", "maxIterations", "weightProperty"),
+      (n, ed, cfg) => {
+        val seeds = cfg.strs("sourceNodes").getOrElse(
+          throw new IllegalArgumentException(
+            "shortestPath: config key 'sourceNodes' is required"))
+        val edF = filterEdges(n, ed, cfg)
+        val ed2 = cfg.str("weightProperty") match {
+          case Some(p) =>
+            require(edF.columns.contains("props"),
+              "shortestPath: weightProperty needs a 'props' column on the edge frame")
+            val withW = edF.withColumn("w", element_at(col("props"), p).cast("double"))
+            require(withW.filter(col("w").isNull).limit(1).count() == 0,
+              s"graft.shortestPath: weightProperty '$p' is missing or non-numeric " +
+                "on at least one edge")
+            withW
+          case None if edF.columns.contains("w") => edF
+          case None => edF.withColumn("w", lit(1L))
+        }
+        val e = orientEdges(ed2, cfg)
+        GraphOps.ssspPathsFrom(e, seedFrame(ed, seeds),
+            cfg.int("maxIterations", 10))
+          .select(col("root"), col("id"), col("dist").as("distance"), col("path"))
+      }),
     "eigenvector" -> Proc(Seq("id", "score"),
       Set("maxIterations", "relationshipWeightProperty"),
       (n, ed, cfg) => {

@@ -1238,6 +1238,79 @@ object GraphOps {
     dist
   }
 
+  /** Weighted shortest-path EXTRACTION — [[ssspFrom]]'s improvement
+    * propagation composed with [[bfsPathsFrom]]'s path carry (the GDS
+    * `gds.shortestPath.dijkstra.stream` capability): returns
+    * (root, id, dist, path) where dist is the minimal total weight
+    * over paths of ≤ `maxIter` edges and path materializes ONE such
+    * minimal path as a '>'-joined id string.
+    *
+    * Determinism contract: among minimal-weight paths the FEWEST-EDGE
+    * ones win (acceptance is strict improvement only, and round k
+    * candidates have exactly k edges, so the minimal hop count arrives
+    * first and later equal-weight candidates never replace it); among
+    * same-round candidates the struct-min (dist, path-string) is kept —
+    * the round-synchronous analogue of [[bfsPaths]]'s per-hop greedy
+    * rule (NOT always the global lexicographic minimum over all
+    * minimal paths: an oracle must replay the round-synchronous rule,
+    * which the unrolled g_wpaths CTE does stage by stage). Weights
+    * must be strictly positive (loud probe, like [[ssspFrom]]);
+    * null-weight edges are dropped (edge-not-present).
+    *
+    * Scale shape: state is |roots|·|reached| keyed rows; every round
+    * is one equi-join + one (root, id)-keyed struct-min + one
+    * anti-join — the [[ssspFrom]] plan plus a path column, no extra
+    * shuffle. */
+  def ssspPathsFrom(edges: DataFrame, roots: DataFrame, maxIter: Int = 10,
+                    weightCol: String = "w"): DataFrame = {
+    val e = edges.select(col("src").cast("string").as("src"),
+        col("dst").cast("string").as("dst"),
+        col(weightCol).cast("double").as("w"))
+      .filter(col("w").isNotNull).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    require(e.filter(col("w") <= 0).limit(1).count() == 0,
+      s"sssp: weight column '$weightCol' must be strictly positive on every " +
+        "weighted edge (zero/negative weights silently skew closeness and " +
+        "diverge from GDS)")
+    var state = roots.select(col("id").cast("string").as("id"))
+      .filter(col("id").isNotNull).distinct()
+      .select(col("id").as("root"), col("id"), lit(0.0).as("dist"),
+        col("id").as("path"))
+      .localCheckpoint()
+    var frontier = state
+    var n = frontier.count()
+    var iter = 0
+    while (iter < maxIter && n > 0) {
+      iter += 1
+      val cand = frontier.join(e, frontier("id") === e("src"))
+        .select(col("root"), e("dst").as("id"),
+          (col("dist") + col("w")).as("nd"),
+          concat(col("path"), lit(">"), e("dst")).as("npath"))
+        .groupBy(col("root"), col("id"))
+        .agg(min(struct(col("nd"), col("npath"))).as("b"))
+        .select(col("root"), col("id"), col("b.nd").as("nd"),
+          col("b.npath").as("npath"))
+      val improved = cand
+        .join(state.select(col("root").as("o_root"), col("id").as("o_id"),
+            col("dist").as("od")),
+          cand("root") === col("o_root") && cand("id") === col("o_id"), "left")
+        .filter(col("od").isNull || col("nd") < col("od"))
+        .select(col("root"), col("id"), col("nd").as("dist"),
+          col("npath").as("path"))
+        .localCheckpoint(false) // lazy: count below materializes
+      n = improved.count()
+      if (n > 0)
+        state = state
+          .join(improved.select(col("root").as("i_root"), col("id").as("i_id")),
+            state("root") === col("i_root") && state("id") === col("i_id"),
+            "left_anti")
+          .unionByName(improved).localCheckpoint()
+      frontier = improved
+    }
+    e.unpersist()
+    state
+  }
+
   /** B18 — closeness centrality: closeness(v) = reached / Σ dist(v, u)
     * over the vertices u ≠ v reachable from v within `maxIter` hops
     * (the GDS-style components-aware variant — no global (n−1)

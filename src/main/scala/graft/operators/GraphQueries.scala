@@ -302,6 +302,23 @@ object GraphQueries {
       .filter(col("betweenness") > 0)
       .orderBy(col("id"))
 
+  /** B13w gate — WEIGHTED shortest-path EXTRACTION
+    * ([[GraphOps.ssspPathsFrom]]) over the weighted symmetric
+    * part–supplier graph from the supplier root subset (the
+    * g_wcloseness graph/roots). Oracle: the round-synchronous
+    * Bellman-Ford with path carry UNROLLED stage by stage — each stage
+    * a window-min over extensions (struct-min (dist, path), the
+    * engine's within-round tie-break) followed by a strict-improvement
+    * merge (fewest-hops preference, the engine's acceptance rule) —
+    * because the per-round greedy path choice is not in general the
+    * global lexicographic minimum, so a "min over all walks" oracle
+    * would diverge on reconvergent tie shapes. */
+  def gWPaths(s: SparkSession, dir: String): DataFrame =
+    GraphOps.ssspPathsFrom(weightedSym(s, dir), supplierRoots(s, dir),
+        maxIter = 6, weightCol = "w")
+      .select(col("root"), col("id"), col("dist"), col("path"))
+      .orderBy(col("root"), col("id"))
+
   /** B12 — GDS-style node similarity: Jaccard over supplier neighbor
     * sets of the (sparsified) part—supplier graph. */
   def gNodesim(s: SparkSession, dir: String): DataFrame =

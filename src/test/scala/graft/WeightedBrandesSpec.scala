@@ -196,6 +196,86 @@ class WeightedBrandesSpec extends SparkSpec {
     assert(keyed == dist)
   }
 
+  test("ssspPathsFrom: reroute, fewest-hops preference, diamond tie-break, multi-root") {
+    // reroute: direct a→c costs 5, a→b→c costs 2 — the path follows
+    // the lighter two-hop route (the case hop-BFS paths cannot express)
+    val reroute = Seq(("a", "c", 5L), ("a", "b", 1L), ("b", "c", 1L))
+      .toDF("src", "dst", "w")
+    val p1 = GraphOps.ssspPathsFrom(reroute, Seq("a").toDF("id"), maxIter = 5)
+      .collect().map(r => r.getString(1) -> (r.getDouble(2), r.getString(3))).toMap
+    assert(p1("c") == (2.0, "a>b>c") && p1("b") == (1.0, "a>b"))
+    // fewest-hops preference: a→c direct costs 2, a→b→c also costs 2 —
+    // the 1-hop path is accepted first and the later equal-weight
+    // candidate never replaces it (strict-improvement acceptance)
+    val hops = Seq(("a", "c", 2L), ("a", "b", 1L), ("b", "c", 1L))
+      .toDF("src", "dst", "w")
+    val p2 = GraphOps.ssspPathsFrom(hops, Seq("a").toDF("id"), maxIter = 5)
+      .collect().map(r => r.getString(1) -> r.getString(3)).toMap
+    assert(p2("c") == "a>c")
+    // diamond: two tied minimal-weight 2-hop paths — the within-round
+    // struct-min keeps the lexicographically smaller path string
+    val diamond = Seq(("a", "b1", 1L), ("a", "b2", 1L), ("b1", "c", 1L),
+      ("b2", "c", 1L)).toDF("src", "dst", "w")
+    val p3 = GraphOps.ssspPathsFrom(diamond, Seq("a").toDF("id"), maxIter = 5)
+      .collect().map(r => r.getString(1) -> (r.getDouble(2), r.getString(3))).toMap
+    assert(p3("c") == (2.0, "a>b1>c"))
+    // multi-root: one keyed frontier, per-root results match per-root
+    // runs; dist agrees with ssspFrom on every (root, id) pair
+    val rnd = new scala.util.Random(47)
+    val g = Seq.fill(80)((s"v:${rnd.nextInt(15)}", s"v:${rnd.nextInt(15)}",
+        (rnd.nextInt(3) + 1).toLong))
+      .filter(t => t._1 != t._2).distinct.toDF("src", "dst", "w")
+    val roots = Seq("v:0", "v:7").toDF("id")
+    val keyed = GraphOps.ssspPathsFrom(g, roots, maxIter = 8)
+    val dists = GraphOps.ssspFrom(g, roots, maxIter = 8)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    val got = keyed.collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getDouble(2), r.getString(3)))
+      .toMap
+    assert(got.keySet == dists.keySet)
+    got.foreach { case (k, (d, path)) =>
+      assert(d == dists(k), s"dist mismatch at $k")
+      // the path must be a genuine walk of that exact weight
+      val hopsArr = path.split(">")
+      assert(hopsArr.head == k._1 && hopsArr.last == k._2)
+      // parallel edges can carry different weights — a minimal path
+      // always rides the lightest one
+      val wmap = g.collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+        .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).min }
+      val pw = hopsArr.sliding(2).filter(_.length == 2)
+        .map(p => wmap((p(0), p(1))).toDouble).sum
+      assert(pw == d, s"path $path costs $pw, state says $d")
+    }
+    // zero/negative weights refuse loudly (the sssp probe)
+    intercept[IllegalArgumentException](GraphOps.ssspPathsFrom(
+      Seq(("a", "b", 0L)).toDF("src", "dst", "w"), Seq("a").toDF("id")))
+  }
+
+  test("CALL graft.shortestPath: weighted path extraction through the GDS surface") {
+    val nodes = Seq("a", "b", "c").map(i => (i, "N")).toDF("id", "label")
+      .withColumn("props", map())
+    val edges = Seq(("a", "c", "5"), ("a", "b", "1"), ("b", "c", "1"))
+      .toDF("src", "dst", "cost")
+      .withColumn("etype", lit("E"))
+      .withColumn("props", map(lit("cost"), col("cost"))).drop("cost")
+    val got = CypherCall.run(nodes, edges,
+      """CALL graft.shortestPath({sourceNodes: 'a', weightProperty: 'cost'})
+        |YIELD root, id, distance, path ORDER BY id""".stripMargin)
+      .collect().map(r => r.getString(1) -> (r.getDouble(2), r.getString(3))).toMap
+    assert(got("c") == (2.0, "a>b>c"))
+    assert(got("b") == (1.0, "a>b"))
+    assert(got("a") == (0.0, "a"))
+    // no weightProperty: hop-count weights (w = 1), direct edge wins
+    val hop = CypherCall.run(nodes, edges,
+      """CALL graft.shortestPath({sourceNodes: 'a'})
+        |YIELD id, distance, path WHERE id = 'c' RETURN distance, path""".stripMargin)
+      .collect()
+    assert(hop.length == 1 && hop(0).getDouble(0) == 1.0 && hop(0).getString(1) == "a>c")
+    // a typo'd weight property is loud, not silent hop fallback
+    intercept[IllegalArgumentException](CypherCall.run(nodes, edges,
+      "CALL graft.shortestPath({sourceNodes: 'a', weightProperty: 'nope'}) YIELD id"))
+  }
+
   test("weighted closeness: hand-computed star and CALL-surface dispatch") {
     // undirected star, spokes weighted 2: closeness(hub) = 3/(2+2+2);
     // closeness(spoke) = 3/(2+4+4)
