@@ -247,6 +247,16 @@ object SparkEntry {
           |CALL { WITH q MATCH (q)-[:CONNECTED_TO]->(ip:Ip) RETURN count(ip) AS beacons }
           |RETURN p, q, beacons ORDER BY beacons DESC, p, q""".stripMargin)
     }),
+    "sg_cypher10"  -> ((s, _) => {
+      // r10: edge variables on VAR-LENGTH hops — the spawn-chain edge
+      // list bound as `r`, per-path rows (Neo4j multiplicity), the
+      // chain length read with size(r) and the first hop with head(r)
+      val (n, e) = graft.graph.SysmonGraph.buildCached(s, "/root/reference/malware/*.json")
+      graft.graph.CypherLite.run(n, e,
+        """MATCH (a:Process)-[r:SPAWNS*2..3]->(b:Process)
+          |RETURN a, b, size(r) AS hops, head(r) AS first_spawn
+          |ORDER BY a, b, hops LIMIT 200""".stripMargin)
+    }),
     "sg_spawntree" -> ((s, _) => {
       val (_, e) = graft.graph.SysmonGraph.buildCached(s, "/root/reference/malware/*.json")
       graft.graph.Detections.deepSpawnChains(e, minDepth = 1)

@@ -228,6 +228,19 @@ object CypherLite {
                            where: Option[Pred] = None) extends Term {
     def vars: Set[String] = Set(chain._1.head.v)
   }
+  /** `[(a)-[:T]->(x) [WHERE p] | expr]` — pattern COMPREHENSION (the
+    * list-building sibling of COUNT{}/size(<pattern>)): the list of
+    * `expr` over the pattern matches anchored at the row's chain-head
+    * value. Duplicates kept (a multiset, like Neo4j); elements SORTED
+    * — set-based execution has no row order and Neo4j's is
+    * unspecified, so the sorted list is this engine's deterministic
+    * choice. The inner WHERE and `expr` see the pattern's variables
+    * only (an enclosing-scope reference is a loud unbound error, not a
+    * silent rebind). */
+  final case class PatCompT(chain: (Seq[NodePat], Seq[EdgePat]),
+                            where: Option[Pred], proj: Term) extends Term {
+    def vars: Set[String] = Set(chain._1.head.v)
+  }
   /** Searched `CASE WHEN p THEN t [WHEN …]* [ELSE e] END` (null when no
     * branch matches and no ELSE — Cypher semantics). */
   final case class CaseT(branches: Seq[(Pred, Term)], els: Option[Term]) extends Term {
@@ -453,6 +466,64 @@ object CypherLite {
       } else if (rest.startsWith("[")) {
         rest = rest.substring(1)
         ws()
+        // pattern comprehension probe: a node pattern followed by an
+        // edge token right after the '[' — [(a)-[:T]->(x) … | expr]
+        val pcProbe = """^\((?:[^()']|'[^']*')*\)\s*(?:<-|-)\[""".r
+        if (pcProbe.findPrefixMatchOf(rest).isDefined) {
+          // matching ']' (the edge tokens nest one bracket deep)
+          var i = 0; var depth = 1; var inStr = false
+          while (i < rest.length && depth > 0) {
+            rest.charAt(i) match {
+              case '\'' => inStr = !inStr
+              case '[' if !inStr => depth += 1
+              case ']' if !inStr => depth -= 1
+              case _ => ()
+            }
+            i += 1
+          }
+          require(depth == 0, s"unbalanced pattern comprehension at: $rest")
+          val inner = rest.substring(0, i - 1).trim
+          val after = rest.substring(i)
+          // first top-level '|' separates pattern [WHERE] from the
+          // mandatory projection (edge-pattern '|'s sit inside
+          // brackets, never at depth 0)
+          var j = 0; var d2 = 0; var s2 = false; var bar = -1
+          while (j < inner.length && bar < 0) {
+            inner.charAt(j) match {
+              case '\'' => s2 = !s2
+              case '[' | '(' | '{' if !s2 => d2 += 1
+              case ']' | ')' | '}' if !s2 => d2 -= 1
+              case '|' if !s2 && d2 == 0 => bar = j
+              case _ => ()
+            }
+            j += 1
+          }
+          require(bar >= 0,
+            s"pattern comprehension needs a '| <expr>' projection: [$inner]")
+          val patPart = inner.substring(0, bar).trim
+          val projText = inner.substring(bar + 1).trim
+          // optional inner WHERE (quote-aware scan, the COUNT{} rule)
+          val up = patPart.toUpperCase
+          var w = -1; var k = 0
+          while (k < patPart.length && w < 0) {
+            patPart.charAt(k) match {
+              case '\'' => k = patPart.indexOf('\'', k + 1)
+              case _ => if (up.regionMatches(k, " WHERE ", 0, 7)) w = k
+            }
+            k += 1
+          }
+          val (chain, innerWhere) =
+            if (w < 0) (parsePatternChain(patPart, anon), None)
+            else (parsePatternChain(patPart.substring(0, w).trim, anon),
+              Some(new PredParser(patPart.substring(w + 7).trim, anon).parsePred()))
+          // nested term parse over the projection's own text
+          rest = projText
+          val proj = sumT(); ws()
+          require(rest.isEmpty,
+            s"trailing input in pattern comprehension projection: $rest")
+          rest = after
+          return PatCompT(chain, innerWhere, proj)
+        }
         val CompHead = """(?i)^(\w+)\s+IN\b""".r
         CompHead.findPrefixMatchOf(rest) match {
           case Some(m) =>
@@ -484,9 +555,21 @@ object CypherLite {
         }
       } else if (eat("CASE")) {
         // searched CASE: WHEN <pred> THEN <term> … [ELSE <term>] END
+        // simple CASE:   CASE <subject> WHEN <value> THEN … — desugars
+        // to searched CASE with `subject = value` branch predicates.
+        // Mixing is structurally impossible: with a subject every WHEN
+        // parses a TERM (a predicate there is a loud 'expected THEN'),
+        // without one every WHEN parses a predicate.
+        ws()
+        val subject: Option[Term] =
+          if ("""(?i)^WHEN\b""".r.findPrefixMatchOf(rest).isDefined) None
+          else Some(sumT())
         val branches = scala.collection.mutable.Buffer.empty[(Pred, Term)]
         while (eat("WHEN")) {
-          val p = orExpr()
+          val p = subject match {
+            case Some(s) => CmpLeaf(s, "=", sumT())
+            case None => orExpr()
+          }
           require(eat("THEN"), s"expected THEN at: $rest")
           branches += ((p, sumT()))
         }
@@ -971,10 +1054,6 @@ object CypherLite {
             Option(pm).map(parsePropsMap).getOrElse(Nil))
         case other => throw new IllegalArgumentException(s"bad edge pattern: $other")
       }.toSeq
-    hops.filter(h => h.v.isDefined && (h.min != 1 || h.max != 1)).foreach { h =>
-      throw new IllegalArgumentException(
-        s"edge variable '${h.v.get}' not supported on variable-length hops")
-    }
     require(nodes.nonEmpty && nodes.size == hops.size + 1,
       s"pattern must be a linear node chain: ${nodes.size} nodes, ${hops.size} hops")
     (nodes, hops)
@@ -1727,7 +1806,7 @@ object CypherLite {
       // edge (Cypher semantics)
       val e0 = propsCond(h.props).map(e1.filter).getOrElse(e1)
       h.v match {
-        case Some(ev) =>
+        case Some(ev) if h.min == 1 && h.max == 1 =>
           // merged edges are unique per (etype, src, dst) — no distinct;
           // the carried etype serves type(r) (constant when the hop is
           // typed, the real per-row type on an untyped -[r]-> hop)
@@ -1739,6 +1818,44 @@ object CypherLite {
             e0.select(col("src").as("_from"), col("dst").as("_to"),
               col("props").as(s"${ev}__props"), col("event_id").as(s"${ev}__event_id"),
               col("etype").as(s"${ev}__etype"))
+        case Some(ev) =>
+          // VAR-LENGTH named hop `-[r:T*1..3]->`: `r` binds as the LIST
+          // of traversed relationships — one row per DISTINCT PATH
+          // (Neo4j's multiplicity for named var-length matches; the
+          // unnamed hop keeps this engine's documented pair-dedup), with
+          // Neo4j's relationship-isomorphism enforced (an edge appears
+          // at most once per path — the array_contains guard — which
+          // also bounds enumeration on cyclic graphs). Elements render
+          // as "src-[TYPE]->dst" in GRAPH direction and traversal
+          // order — the same encoding relationships(p) yields on the
+          // shortestPath surface, so the two list shapes compose.
+          // Merged edges are unique per (etype, src, dst), so the
+          // string IS the relationship identity.
+          require(h.min >= 1 && h.max >= h.min && h.max <= 10,
+            s"variable-length bounds out of range: *${h.min}..${h.max}")
+          val estr = concat(col("src"), lit("-["), col("etype"), lit("]->"),
+            col("dst"))
+          val base = (if (h.reverse)
+              e0.select(col("dst").as("_from"), col("src").as("_to"), estr.as("_e"))
+            else
+              e0.select(col("src").as("_from"), col("dst").as("_to"), estr.as("_e")))
+            .distinct().persist()
+          var cur = base.select(col("_from"), col("_to"), array(col("_e")).as(ev))
+          var acc: DataFrame = if (h.min <= 1) cur else null
+          for (k <- 2 to h.max) {
+            cur = cur.join(
+                base.select(col("_from").as("_mid"), col("_to").as("_nxt"), col("_e")),
+                cur("_to") === col("_mid"))
+              .filter(!array_contains(col(ev), col("_e")))
+              .select(col("_from"), col("_nxt").as("_to"),
+                concat(col(ev), array(col("_e"))).as(ev))
+              .localCheckpoint()
+            // no distinct: a path list is reconstructible from exactly
+            // one (prefix, edge) decomposition, so rows stay unique
+            if (k >= h.min) acc = if (acc == null) cur else acc.unionByName(cur)
+          }
+          base.unpersist()
+          return acc
         case None => ()
       }
       val e = (if (h.reverse) e0.select(col("dst").as("_from"), col("src").as("_to"))
@@ -1777,7 +1894,10 @@ object CypherLite {
       hops.zipWithIndex.foreach { case (h, i) =>
         val from = pats(i).v
         val to = pats(i + 1).v
-        h.v.foreach { ev =>
+        // startNode()/endNode() need a SINGLE edge — a var-length
+        // edge variable is a relationship list, so it never registers
+        // here and those functions stay loud on it
+        if (h.min == 1 && h.max == 1) h.v.foreach { ev =>
           edgeEnds(ev) = if (h.reverse) (to, from) else (from, to)
         }
         val pairs = hopPairs(h)
@@ -1885,6 +2005,14 @@ object CypherLite {
       } else if (prop == "id") (df, v)
       else {
         require(df.columns.contains(v), s"unbound variable '$v'")
+        // a var-length edge variable is a relationship LIST — property
+        // access on it has no single referent; refuse loudly instead
+        // of silently joining an array against the nodes frame
+        require(!df.schema(v).dataType
+            .isInstanceOf[org.apache.spark.sql.types.ArrayType],
+          s"'$v.$prop': '$v' is a list (var-length edge variable?) — " +
+            "property access needs a single node/edge; use UNWIND or a " +
+            "list comprehension")
         val pn = nodes.select(col("id").as(v), element_at(col("props"), prop).as(cn))
         (df.join(pn, Seq(v), "left"), cn)
       }
@@ -2019,7 +2147,7 @@ object CypherLite {
           case "rtrim" => rtrim(raw)
           case "tostring" => raw.cast("string")
           case "size" => t0 match {
-            case _: ListT | _: RangeT | _: CompT | FuncN("split", _) => size(raw)
+            case _: ListT | _: RangeT | _: CompT | _: PatCompT | FuncN("split", _) => size(raw)
             case PropT(w, None) if binds.contains(w) =>
               // dispatch on the recorded element type: a list-typed
               // variable counts elements, a known scalar is Cypher's
@@ -2190,7 +2318,7 @@ object CypherLite {
           // otherwise string length
           val raw = go(t0, num = false)
           t0 match {
-            case _: ListT | _: RangeT | _: CompT | FuncN("split", _) => size(raw)
+            case _: ListT | _: RangeT | _: CompT | _: PatCompT | FuncN("split", _) => size(raw)
             case PropT(v, None) if df.columns.contains(v) &&
                 df.schema(v).dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType] =>
               size(raw)
@@ -2376,6 +2504,28 @@ object CypherLite {
           val cnt = matches.groupBy(col(anchor)).agg(count(lit(1)).as(cn))
           df = df.join(cnt, Seq(anchor), "left")
           coalesce(col(cn), lit(0L))
+        case PatCompT(chain @ (np, hops), innerWhere, proj) =>
+          // pattern comprehension: the SizePat aggregated-semi-join
+          // shape returning sort_array(collect_list(expr)) instead of
+          // a count; anchors with no match fill [] (Cypher). The
+          // projection compiles against the MATCHES frame, so it sees
+          // the pattern's variables (props bind there, not on the
+          // outer row).
+          val anchor = np.head.v
+          require(df.columns.contains(anchor),
+            s"pattern comprehension must start at a bound variable, got '$anchor'")
+          sizeSeq += 1
+          val cn = s"__pcomp$sizeSeq"
+          var matches = walk(
+            applyNodeFilter(df.select(col(anchor)).distinct(), np.head, anchor),
+            np, hops)
+          innerWhere.foreach { p => matches = applyPred(matches, p) }
+          val (m2, pc) = compileTerm(matches, proj, isNumericTerm(proj))
+          val lst = m2.groupBy(col(anchor))
+            .agg(sort_array(collect_list(pc)).as(cn))
+          val dt = lst.schema(cn).dataType
+          df = df.join(lst, Seq(anchor), "left")
+          when(col(cn).isNull, array().cast(dt)).otherwise(col(cn))
         case CaseT(bs, e) =>
           // searched CASE: branch predicates compile through the full
           // predicate grammar (prop binds / exists joins update `df`),

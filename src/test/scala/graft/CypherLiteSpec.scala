@@ -54,6 +54,144 @@ class CypherLiteSpec extends SparkSpec {
     assert(got == want && got.nonEmpty)
   }
 
+  test("var-length edge variable: r binds the relationship list, per-path rows") {
+    val (nodes, edges) = graph
+    // corpus cross-check: (a, b, r) for *1..2 ≡ the expanded join twin
+    val got = CypherLite.run(nodes, edges,
+      "MATCH (a:Process)-[r:SPAWNS*1..2]->(b:Process) RETURN a, b, r")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getSeq[String](2).toList))
+      .toSet
+    val sp = et("SPAWNS").select(col("src"), col("dst"),
+      concat(col("src"), lit("-[SPAWNS]->"), col("dst")).as("e")).distinct()
+    val one = sp.select(col("src").as("a"), col("dst").as("b"), array(col("e")).as("r"))
+    val two = sp.select(col("src").as("a"), col("dst").as("m"), col("e").as("e1"))
+      .join(sp.select(col("src").as("m"), col("dst").as("b"), col("e").as("e2")), Seq("m"))
+      .filter(col("e1") =!= col("e2"))
+      .select(col("a"), col("b"), array(col("e1"), col("e2")).as("r"))
+    val want = one.unionByName(two)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getSeq[String](2).toList))
+      .toSet
+    assert(got == want && got.nonEmpty)
+    // size(r) = path length; head(r) = first traversed relationship
+    val sized = CypherLite.run(nodes, edges,
+      "MATCH (a:Process)-[r:SPAWNS*1..2]->(b:Process) " +
+        "RETURN a, b, r, size(r) AS n, head(r) AS h")
+      .collect()
+    assert(sized.forall(r => r.getSeq[String](2).length == r.getAs[Number](3).intValue &&
+      r.getSeq[String](2).head == r.getString(4)))
+    // per-path multiplicity on a diamond: two tied 2-hop paths = 2 rows
+    import spark.implicits._
+    val dn = Seq("a", "b1", "b2", "c").map(i => (i, "N", Map.empty[String, String]))
+      .toDF("id", "label", "props")
+    val de = Seq(("T", "a", "b1"), ("T", "a", "b2"), ("T", "b1", "c"), ("T", "b2", "c"))
+      .map(t => (t._1, t._2, t._3, 1, Map.empty[String, String]))
+      .toDF("etype", "src", "dst", "event_id", "props")
+    val dia = CypherLite.run(dn, de,
+      "MATCH (a:N)-[r:T*2..2]->(c:N) WHERE a.id = 'a' AND c.id = 'c' RETURN r")
+      .collect().map(_.getSeq[String](0).toList).toSet
+    assert(dia == Set(
+      List("a-[T]->b1", "b1-[T]->c"),
+      List("a-[T]->b2", "b2-[T]->c")))
+    // relationship-isomorphism on a 2-cycle: an edge never repeats
+    // within one path, so *1..4 from 'a' stops at the 2-hop round trip
+    val cn = Seq(("a", "N", Map.empty[String, String]), ("b", "N", Map.empty[String, String]))
+      .toDF("id", "label", "props")
+    val ce = Seq(("T", "a", "b", 1, Map.empty[String, String]),
+        ("T", "b", "a", 1, Map.empty[String, String]))
+      .toDF("etype", "src", "dst", "event_id", "props")
+    val cyc = CypherLite.run(cn, ce,
+      "MATCH (a:N)-[r:T*1..4]->(x:N) WHERE a.id = 'a' RETURN x, r")
+      .collect().map(r => (r.getString(0), r.getSeq[String](1).toList)).toSet
+    assert(cyc == Set(
+      ("b", List("a-[T]->b")),
+      ("a", List("a-[T]->b", "b-[T]->a"))))
+    // composes with relationships(p): the shortestPath list equals the
+    // size(r)-minimal var-length list on the forest-shaped fixture
+    val spth = CypherLite.run(dn, de,
+      "MATCH p = shortestPath((a:N)-[:T*1..4]->(c:N)) WHERE a.id = 'a' " +
+        "RETURN c, relationships(p)")
+      .collect().map(r => (r.getString(0), r.getSeq[String](1).toList)).toMap
+    assert(spth("b1") == List("a-[T]->b1"))
+    // loud errors: single-edge accessors and property reads on a list
+    intercept[IllegalArgumentException](CypherLite.run(nodes, edges,
+      "MATCH (a:Process)-[r:SPAWNS*1..2]->(b:Process) RETURN type(r)"))
+    intercept[IllegalArgumentException](CypherLite.run(nodes, edges,
+      "MATCH (a:Process)-[r:SPAWNS*1..2]->(b:Process) RETURN startNode(r)"))
+    intercept[IllegalArgumentException](CypherLite.run(nodes, edges,
+      "MATCH (a:Process)-[r:SPAWNS*1..2]->(b:Process) RETURN r.pid"))
+  }
+
+  test("pattern comprehension: [(p)-[:T]->(x) | expr] vs OPTIONAL MATCH + collect twin") {
+    val (nodes, edges) = graph
+    val got = CypherLite.run(nodes, edges,
+      "MATCH (p:Process) RETURN p, [(p)-[:CREATED_FILE]->(f:File) | f] AS files " +
+        "ORDER BY p")
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1).toList).toMap
+    val want = CypherLite.run(nodes, edges,
+      "MATCH (p:Process) OPTIONAL MATCH (p)-[:CREATED_FILE]->(f:File) " +
+        "RETURN p, collect(f) AS files ORDER BY p")
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1).toList.sorted).toMap
+    assert(got == want && got.nonEmpty)
+    assert(got.values.exists(_.nonEmpty) && got.values.exists(_.isEmpty))
+    // inner WHERE filters matches; property projection; size() composes
+    val whed = CypherLite.run(nodes, edges,
+      "MATCH (t:Trace) RETURN t, " +
+        "[(t)-[:HAS_PROCESS]->(q:Process) WHERE q.image ENDS WITH '.exe' | q.image] " +
+        "AS exes, size([(t)-[:HAS_PROCESS]->(q:Process) | q]) AS np ORDER BY t")
+      .collect()
+    val nHp = et("HAS_PROCESS").count()
+    assert(whed.map(_.getAs[Number](2).longValue).sum == nHp)
+    assert(whed.forall(r => r.getSeq[String](1).forall(_.endsWith(".exe"))))
+    // projection duplicates kept (multiset): two distinct matches
+    // projecting the same property VALUE appear twice. (Edge-level
+    // multiplicity follows this engine's documented pair-dedup walk —
+    // two parallel edges to the same node are one match.)
+    import spark.implicits._
+    val mn = Seq(("a", "N", Map.empty[String, String]),
+      ("x1", "M", Map("name" -> "same")), ("x2", "M", Map("name" -> "same")))
+      .toDF("id", "label", "props")
+    val me = Seq(("T", "a", "x1", 1, Map.empty[String, String]),
+        ("T", "a", "x2", 2, Map.empty[String, String]))
+      .toDF("etype", "src", "dst", "event_id", "props")
+    val dup = CypherLite.run(mn, me,
+      "MATCH (a:N) RETURN [(a)-[:T]->(x:M) | x.name] AS xs").collect()
+    assert(dup.length == 1 && dup(0).getSeq[String](0).toList == List("same", "same"))
+    // unbound anchor is loud
+    intercept[IllegalArgumentException](CypherLite.run(nodes, edges,
+      "MATCH (p:Process) RETURN [(z)-[:CREATED_FILE]->(f:File) | f] AS fs"))
+  }
+
+  test("simple CASE form desugars to searched CASE; mixed form is loud") {
+    val (nodes, edges) = graph
+    val got = CypherLite.run(nodes, edges,
+      "MATCH (p:Process)-[r:CONNECTED_TO]->(ip:Ip) " +
+        "RETURN p, ip, CASE toInteger(r.dport) WHEN 443 THEN 'tls' " +
+        "WHEN 80 THEN 'http' ELSE 'other' END AS svc ORDER BY p, ip, svc")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    val want = CypherLite.run(nodes, edges,
+      "MATCH (p:Process)-[r:CONNECTED_TO]->(ip:Ip) " +
+        "RETURN p, ip, CASE WHEN toInteger(r.dport) = 443 THEN 'tls' " +
+        "WHEN toInteger(r.dport) = 80 THEN 'http' ELSE 'other' END AS svc " +
+        "ORDER BY p, ip, svc")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    assert(got.toSeq == want.toSeq && got.nonEmpty)
+    // branch coverage + no-ELSE → null (Cypher), pinned on a fixture
+    import spark.implicits._
+    val sn = Seq(("a", "S", Map("k" -> "1")), ("b", "S", Map("k" -> "2")),
+      ("c", "S", Map("k" -> "3"))).toDF("id", "label", "props")
+    val se = Seq.empty[(String, String, String, Int, Map[String, String])]
+      .toDF("etype", "src", "dst", "event_id", "props")
+    val fx = CypherLite.run(sn, se,
+      "MATCH (s:S) RETURN s, CASE toInteger(s.k) WHEN 1 THEN 'one' " +
+        "WHEN 2 THEN 'two' END AS w ORDER BY s").collect()
+      .map(r => r.getString(0) -> (if (r.isNullAt(1)) null else r.getString(1)))
+    assert(fx.toSeq == Seq("a" -> "one", "b" -> "two", "c" -> null))
+    // a predicate where a value belongs is a loud parse error
+    intercept[IllegalArgumentException](CypherLite.run(nodes, edges,
+      "MATCH (p:Process) RETURN CASE p.integrity WHEN p.integrity = 'High' " +
+        "THEN 1 END AS x"))
+  }
+
   test("reverse hop, id predicate, prop return and LIMIT") {
     val (nodes, edges) = graph
     val out = CypherLite.run(nodes, edges,
@@ -133,8 +271,12 @@ class CypherLiteSpec extends SparkSpec {
     // disconnected multi-pattern = cartesian product → rejected
     intercept[IllegalArgumentException](
       CypherLite.parse("MATCH (a)-[:X]->(b), (c)-[:Y]->(d) RETURN a"))
-    intercept[IllegalArgumentException](
-      CypherLite.parse("MATCH (a)-[r:X*1..3]->(b) RETURN a"))
+    // r10: edge variables on var-length hops PARSE now (r = the
+    // relationship list) — the old rejection is gone
+    CypherLite.parse("MATCH (a)-[r:X*1..3]->(b) RETURN a, r")
+    // …but out-of-range bounds stay loud
+    intercept[IllegalArgumentException](CypherLite.run(graph._1, graph._2,
+      "MATCH (a)-[r:SPAWNS*1..11]->(b) RETURN a, r"))
   }
 
   test("multi-pattern MATCH expresses the inject-and-beacon motif") {
