@@ -353,31 +353,51 @@ object CypherLite {
                          sp: Option[ShortestPat] = None)
 
   /** `{key: 'value', n: 42}` — quote-aware so a '}' inside a string
-    * literal doesn't close the map early; allows list values and one
-    * level of nested map (canonicalized via [[PropLiterals]]). */
-  private val PropsMap = """\{(?:[^{}']|'[^']*'|\{(?:[^}']|'[^']*')*\})*\}"""
+    * literal doesn't close the map early; allows list values and maps
+    * nested to depth 4 (canonicalized via [[PropLiterals]], which is
+    * depth-unbounded — the regex is the only bound, since regular
+    * expressions cannot express arbitrary nesting; a deeper literal
+    * fails the node/edge-pattern match loudly instead of truncating). */
+  private val PropsMap: String = {
+    def lvl(n: Int): String =
+      if (n == 0) """\{(?:[^{}']|'[^']*')*\}"""
+      else s"""\\{(?:[^{}']|'[^']*'|${lvl(n - 1)})*\\}"""
+    lvl(3)
+  }
   private val NodeRe = ("""\(\s*(\w+)?\s*(?::\s*(\w+))?\s*(""" + PropsMap + """)?\s*\)""").r
   private val FwdRe = ("""-\[\s*(\w+)?\s*(?::(\w+))?\s*(?:(\*)(?:(\d+)\.\.(\d+))?)?\s*(""" + PropsMap + """)?\s*\]->""").r
   private val RevRe = ("""<-\[\s*(\w+)?\s*(?::(\w+))?\s*(?:(\*)(?:(\d+)\.\.(\d+))?)?\s*(""" + PropsMap + """)?\s*\]-""").r
-  private val PropEntryRe =
-    ("""(\w+)\s*:\s*(?:'([^']*)'|(-?\d+(?:\.\d+)?)""" +
-      """|(\[(?:[^\]']|'[^']*')*\]|\{(?:[^}']|'[^']*')*\}))""").r
+  private val PropKeyRe = """(?s)^(\w+)\s*:\s*(.+)$""".r
+  private val PropStrRe = """^'([^']*)'$""".r
+  private val PropNumRe = """^-?\d+(?:\.\d+)?$""".r
   /** Parse a `{k: v, …}` property map (braces included) to
     * (key, literal, numeric) triples. Values are string / numeric
-    * literals, list literals, or one-level nested maps (composites
-    * compare as their canonical serialized text — the storage form
-    * CypherWrite uses); `$param` entries are not in the subset. */
+    * literals, or composite list/map literals of ANY nesting depth
+    * (each entry is already isolated by the depth-aware
+    * [[splitTopLevel]], and [[PropLiterals.canonical]] recurses —
+    * composites compare as their canonical serialized text, the
+    * storage form CypherWrite uses); `$param` entries are not in the
+    * subset. */
   private def parsePropsMap(s0: String): Seq[(String, String, Boolean)] = {
     val body = s0.trim.stripPrefix("{").stripSuffix("}").trim
     if (body.isEmpty) Nil
-    else splitTopLevel(body).map {
-      case PropEntryRe(k, str, num, composite) =>
-        if (str != null) (k, str, false)
-        else if (num != null) (k, num, true)
-        else (k, PropLiterals.canonical(composite), false)
-      case other => throw new IllegalArgumentException(
-        s"bad property-map entry '$other' (expected key: 'string', number, " +
-          "list, or one-level map)")
+    else splitTopLevel(body).map { ent =>
+      ent.trim match {
+        case PropKeyRe(k, vraw) =>
+          val v = vraw.trim
+          v match {
+            case PropStrRe(s) => (k, s, false)
+            case _ if PropNumRe.pattern.matcher(v).matches() => (k, v, true)
+            case _ if v.startsWith("[") || v.startsWith("{") =>
+              (k, PropLiterals.canonical(v), false)
+            case _ => throw new IllegalArgumentException(
+              s"bad property-map entry '$ent' (expected key: 'string', number, " +
+                "list, or map)")
+          }
+        case other => throw new IllegalArgumentException(
+          s"bad property-map entry '$other' (expected key: 'string', number, " +
+            "list, or map)")
+      }
     }
   }
   private val CondRe =

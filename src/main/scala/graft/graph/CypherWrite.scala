@@ -108,10 +108,16 @@ object CypherWrite {
 
   // ---------------------------------------------------------------- parse
 
-  // map bodies may contain list literals and ONE level of nested map
-  // (composite values canonicalize through PropLiterals); quote
+  // map bodies may contain list literals and nested maps to depth 4
+  // total (the regex bound — PropLiterals.canonical itself recurses
+  // unbounded; deeper literals fail the clause match loudly); quote
   // alternations keep '}' / ']' inside strings from closing early
-  private val InnerMap = """\{(?:[^}']|'[^']*')*\}"""
+  private val InnerMap: String = {
+    def lvl(n: Int): String =
+      if (n == 0) """\{(?:[^{}']|'[^']*')*\}"""
+      else s"""\\{(?:[^{}']|'[^']*'|${lvl(n - 1)})*\\}"""
+    lvl(2)
+  }
   private val ListLit = """\[(?:[^\]']|'[^']*')*\]"""
   private val MapBody = s"""(?:[^{}']|'[^']*'|$InnerMap)*"""
   private val NodePatRe =

@@ -313,6 +313,39 @@ class CypherWriteSpec extends SparkSpec {
       "MERGE (d:Doc {did: 'd3', bad: ['a' 'b']})"))
   }
 
+  test("deep nested map literals round-trip through write and read (r10)") {
+    val (n0, e0) = CypherWrite.emptyGraph(spark)
+    // depth-3 nesting (map in map in map) — beyond the old one-level
+    // scanner; canonical storage sorts keys at EVERY level
+    val (n1, e1) = CypherWrite.mergeOne(n0, e0,
+      "MERGE (d:Doc {did: 'd9', cfg: {net: {proxy: {host: 'h', port: 8080}, " +
+        "dns: '8.8.8.8'}, mode: 'on'}})")
+    assert(nodeMap(n1)(("Doc", "d9"))("cfg") ==
+      """{"mode":"on","net":{"dns":"8.8.8.8","proxy":{"host":"h","port":8080}}}""")
+    // read-back: key order insensitive at every level, value-sensitive
+    def hits(q: String): Long = CypherLite.run(n1, e1, q).count()
+    assert(hits("MATCH (d:Doc {cfg: {mode: 'on', net: {dns: '8.8.8.8', " +
+      "proxy: {port: 8080, host: 'h'}}}}) RETURN d") == 1)
+    assert(hits("MATCH (d:Doc {cfg: {mode: 'on', net: {dns: '8.8.8.8', " +
+      "proxy: {port: 9999, host: 'h'}}}}) RETURN d") == 0)
+    // SET v += with a nested map value
+    val (n2, _) = CypherWrite.mergeOne(n1, e1,
+      "MATCH (d:Doc {did: 'd9'}) SET d += {extra: {a: {b: '1'}}}")
+    assert(nodeMap(n2)(("Doc", "d9"))("extra") == """{"a":{"b":"1"}}""")
+    // edge property maps take nested values too
+    val (n3, e3) = CypherWrite.mergeOne(n1, e1,
+      "MERGE (x:Doc {did: 'd10'})")
+    val (_, e4) = CypherWrite.mergeOne(n3, e3,
+      "MATCH (d:Doc {did: 'd9'}) MATCH (x:Doc {did: 'd10'}) " +
+        "MERGE (d)-[:REL {meta: {k: {deep: 'v'}}}]->(x)")
+    val em = e4.filter(col("etype") === "REL").collect()
+    assert(em.length == 1 &&
+      em(0).getAs[Map[String, String]]("props")("meta") == """{"k":{"deep":"v"}}""")
+    // depth past the regex bound is LOUD, not truncated
+    intercept[IllegalArgumentException](CypherWrite.mergeOne(n0, e0,
+      "MERGE (d:Doc {did: 'd11', x: {a: {b: {c: {d: {e: '1'}}}}}})"))
+  }
+
   test("quote-aware keyword scan + MATCH extra props are real constraints") {
     val (n1, e1) = spawnedGraph()
     // keyword words inside string literals must not split the statement
