@@ -301,10 +301,16 @@ object CypherLite {
   final case class ShortestPat(pathVar: String, a: NodePat, hop: EdgePat, b: NodePat,
                                all: Boolean = false)
 
-  /** One MATCH stage: main chains + optional chains + WHERE. */
+  /** One MATCH stage: main chains + optional chains + WHERE.
+    * `paths` binds GENERIC path variables — `MATCH p = (a)-[:T*]->(b)`
+    * — as (pathVar → main-chain index); every hop of a path-bound
+    * chain gets an edge variable at parse time (fresh names for
+    * unnamed hops) so the walk carries the per-hop relationship data
+    * the `nodes(p)`/`relationships(p)`/`length(p)` accessors need. */
   final case class MatchStage(patterns: Seq[(Seq[NodePat], Seq[EdgePat])],
                               optChains: Seq[(Seq[NodePat], Seq[EdgePat])],
-                              where: Option[Pred])
+                              where: Option[Pred],
+                              paths: Seq[(String, Int)] = Nil)
   /** A pipeline stage between MATCH and RETURN: `WITH` or `UNWIND`. */
   sealed trait PipeStage
   /** One WITH pipeline stage: projection items (aggregates allowed),
@@ -1085,7 +1091,25 @@ object CypherLite {
     def parsePattern(pattern: String): (Seq[NodePat], Seq[EdgePat]) =
       parsePatternChain(pattern, anon)
     val segs = patternPart.split("(?i)\\s+OPTIONAL MATCH\\s+")
-    val patterns = splitTopLevel(segs.head).map(parsePattern)
+    // generic path variables: `p = <chain>` on a main chain binds p as
+    // a path; every hop gets an edge variable (fresh for unnamed hops)
+    // so the walk carries what nodes()/relationships()/length() need.
+    // (`p = shortestPath(...)` never reaches here — the whole-statement
+    // shortestPath route intercepts it first.)
+    val PathEq = """(?s)^(\w+)\s*=\s*(.+)$""".r
+    val paths = scala.collection.mutable.Buffer.empty[(String, Int)]
+    val patterns = splitTopLevel(segs.head).zipWithIndex.map {
+      case (PathEq(pv, chainText), i) =>
+        require(!chainText.trim.toLowerCase.startsWith("shortestpath") &&
+            !chainText.trim.toLowerCase.startsWith("allshortestpaths"),
+          "shortestPath path bindings are only supported as the whole " +
+            "statement (MATCH p = shortestPath(…) … RETURN …)")
+        val (np, hp0) = parsePattern(chainText)
+        val hp = hp0.map(h => if (h.v.isDefined) h else h.copy(v = Some(anon())))
+        paths += ((pv, i))
+        (np, hp)
+      case (c, _) => parsePattern(c)
+    }
     // connectivity: each chain must share a variable with the ones
     // before it (or an outer-bound one), or the product is a cartesian
     // blowup — reject
@@ -1102,7 +1126,12 @@ object CypherLite {
         s"OPTIONAL MATCH must start at a bound variable, got '${on.head.v}'")
       boundVars ++= on.map(_.v).toSet
     }
-    MatchStage(patterns, optChains, Option(whereOrNull).map(parseWhere(_, anon)))
+    paths.foreach { case (pv, _) =>
+      require(!boundVars.contains(pv),
+        s"path variable '$pv' collides with a pattern variable")
+    }
+    MatchStage(patterns, optChains, Option(whereOrNull).map(parseWhere(_, anon)),
+      paths.toSeq)
   }
 
   /** Collapse whitespace runs to single spaces OUTSIDE single-quoted
@@ -1906,6 +1935,48 @@ object CypherLite {
       * endNode(). */
     private val edgeEnds = scala.collection.mutable.Map.empty[String, (String, String)]
 
+    /** Generic path variable → its bound chain ([[MatchStage.paths]])
+      * — serves nodes()/relationships()/length() and bare-`p` RETURNs. */
+    private val pathBinds =
+      scala.collection.mutable.Map.empty[String, (Seq[NodePat], Seq[EdgePat])]
+
+    /** Compile a path accessor over a path-bound chain: per-hop
+      * relationship data comes from the walk's carried columns —
+      * single hops render "src-[TYPE]->dst" from the endpoint vars +
+      * the `__etype` column (graph direction; reverse hops swap ends),
+      * var-length hops ARE a relationship list already. nodes(p)
+      * splits traversal targets back out of the strings for
+      * var-length hops (forward: after "]->", reverse: before "-["). */
+    private def pathAccessor(pv: String, fn: String): Column = {
+      val (np, hops) = pathBinds(pv)
+      val relArrs: Seq[Column] = hops.map { h =>
+        val ev = h.v.get
+        if (h.min == 1 && h.max == 1) {
+          val (s, d) = edgeEnds(ev)
+          array(concat(col(s), lit("-["), col(s"${ev}__etype"), lit("]->"), col(d)))
+        } else col(ev)
+      }
+      val rels =
+        if (relArrs.isEmpty) expr("CAST(array() AS ARRAY<STRING>)")
+        else if (relArrs.size == 1) relArrs.head
+        else concat(relArrs: _*)
+      fn match {
+        case "relationships" => rels
+        case "length" => size(rels).cast("long")
+        case "nodes" =>
+          val stepArrs = hops.zipWithIndex.map { case (h, i) =>
+            if (h.min == 1 && h.max == 1) array(col(np(i + 1).v))
+            else if (h.reverse)
+              transform(col(h.v.get), x => regexp_extract(x, "^(.*?)-\\[", 1))
+            else
+              transform(col(h.v.get), x => regexp_extract(x, "\\]->(.*)$", 1))
+          }
+          concat(array(col(np.head.v)) +: stepArrs: _*)
+        case other => throw new IllegalArgumentException(
+          s"$other() is not a path accessor")
+      }
+    }
+
     /** Walk a chain: one join per hop, label semi-joins as we bind; a
       * hop into an ALREADY-bound variable becomes an equality join
       * (cycle/repeated-variable patterns). */
@@ -1936,6 +2007,7 @@ object CypherLite {
     /** Compile one MATCH stage, optionally continuing from a frame of
       * already-bound variables (the WITH carry). */
     def compileStage(start: Option[DataFrame], st: MatchStage): DataFrame = {
+      st.paths.foreach { case (pv, i) => pathBinds(pv) = st.patterns(i) }
       var bound = start.orNull
       st.patterns.foreach { case (np, hp) =>
         if (bound == null) bound = walk(seedOf(np.head), np, hp)
@@ -2725,14 +2797,27 @@ object CypherLite {
       * aggregates appear. */
     def project(bound0: DataFrame, items: Seq[RetItem], distinct: Boolean): DataFrame = {
       var bound = bound0
-      val (aggItems, plainItems) = items.partition(_.agg.isDefined)
+      // path-accessor items on GENERIC path bindings are plain columns
+      // (and grouping keys under implicit grouping), not aggregates —
+      // the shortestPath route keeps its own handling
+      def isPathAcc(it: RetItem): Boolean =
+        it.agg.exists(a => a == "nodes" || a == "relationships" || a == "length") &&
+          it.prop.isEmpty && pathBinds.contains(it.v)
+      val (aggItems, plainItems) =
+        items.partition(it => it.agg.isDefined && !isPathAcc(it))
       val plainCols = plainItems.map { it =>
-        it.term match {
+        if (isPathAcc(it)) pathAccessor(it.v, it.agg.get).as(it.outName)
+        else it.term match {
           case Some(t) =>
             val (df2, c) = compileTerm(bound, t, isNumericTerm(t))
             bound = df2
             c.as(it.outName)
           case None => it.prop match {
+            case None if it.agg.isEmpty && pathBinds.contains(it.v) &&
+                !bound.columns.contains(it.v) =>
+              // bare `p` on a generic path binding: render the
+              // '>'-joined node sequence, the shortestPath path format
+              concat_ws(">", pathAccessor(it.v, "nodes")).as(it.outName)
             case None =>
               require(bound.columns.contains(it.v), s"unbound variable '${it.v}'")
               if (it.outName == it.v) col(it.v) else col(it.v).as(it.outName)
@@ -2805,7 +2890,8 @@ object CypherLite {
                 ceil(lit(it.aggArg.get) * size(lst) - lit(1e-9)).cast("int")))
           }
           case "length" | "nodes" | "relationships" => throw new IllegalArgumentException(
-            s"${it.agg.get}() is only supported on a shortestPath variable")
+            s"${it.agg.get}() needs a path variable (shortestPath or a " +
+              "`MATCH p = <chain>` binding)")
           case a => throw new IllegalArgumentException(s"unsupported aggregate: $a")
         }).as(it.outName)
       }

@@ -121,6 +121,62 @@ class CypherLiteSpec extends SparkSpec {
       "MATCH (a:Process)-[r:SPAWNS*1..2]->(b:Process) RETURN r.pid"))
   }
 
+  test("generic path variables: MATCH p = <chain>, nodes/relationships/length, bare p") {
+    val (nodes, edges) = graph
+    // fixed two-hop chain: every accessor agrees with the endpoints
+    val got = CypherLite.run(nodes, edges,
+      "MATCH p = (t:Trace)-[:HAS_PROCESS]->(q:Process)-[:CREATED_FILE]->(f:File) " +
+        "RETURN t, f, p, nodes(p) AS ns, relationships(p) AS rs, length(p) AS n " +
+        "LIMIT 50")
+      .collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val (t, f) = (r.getString(0), r.getString(1))
+      val ns = r.getSeq[String](3)
+      assert(r.getString(2) == ns.mkString(">")) // bare p = the path string
+      assert(ns.head == t && ns.last == f && ns.length == 3)
+      val rs = r.getSeq[String](4)
+      assert(rs.length == 2 && r.getLong(5) == 2L)
+      assert(rs.head == s"$t-[HAS_PROCESS]->${ns(1)}")
+      assert(rs(1) == s"${ns(1)}-[CREATED_FILE]->$f")
+    }
+    // var-length binding: relationships(p) ≡ the named-hop r twin,
+    // nodes(p) walks the traversal targets
+    val vl = CypherLite.run(nodes, edges,
+      "MATCH p = (a:Process)-[:SPAWNS*1..2]->(b:Process) " +
+        "RETURN a, b, relationships(p) AS rs, nodes(p) AS ns, length(p) AS n")
+      .collect()
+    val twin = CypherLite.run(nodes, edges,
+      "MATCH (a:Process)-[r:SPAWNS*1..2]->(b:Process) RETURN a, b, r")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getSeq[String](2).toList))
+      .toSet
+    assert(vl.map(r => (r.getString(0), r.getString(1), r.getSeq[String](2).toList))
+      .toSet == twin)
+    vl.foreach { r =>
+      val rs = r.getSeq[String](2); val ns = r.getSeq[String](3)
+      assert(ns.length == rs.length + 1 && r.getLong(4) == rs.length.toLong)
+      assert(ns.head == r.getString(0) && ns.last == r.getString(1))
+    }
+    // reverse hop: relationship strings stay in GRAPH direction, node
+    // list stays in TRAVERSAL order
+    val rev = CypherLite.run(nodes, edges,
+      "MATCH p = (f:File)<-[:CREATED_FILE]-(q:Process) " +
+        "RETURN f, q, relationships(p) AS rs, nodes(p) AS ns LIMIT 5")
+      .collect()
+    assert(rev.nonEmpty)
+    rev.foreach { r =>
+      assert(r.getSeq[String](2).head ==
+        s"${r.getString(1)}-[CREATED_FILE]->${r.getString(0)}")
+      assert(r.getSeq[String](3).toList == List(r.getString(0), r.getString(1)))
+    }
+    // loud: path var colliding with a pattern variable; accessors on a
+    // non-path variable
+    intercept[IllegalArgumentException](CypherLite.run(nodes, edges,
+      "MATCH q = (q:Process)-[:SPAWNS]->(b:Process) RETURN q"))
+    intercept[IllegalArgumentException](CypherLite.run(nodes, edges,
+      "MATCH (a:Process)-[:SPAWNS]->(b:Process) RETURN length(b)"))
+  }
+
   test("pattern comprehension: [(p)-[:T]->(x) | expr] vs OPTIONAL MATCH + collect twin") {
     val (nodes, edges) = graph
     val got = CypherLite.run(nodes, edges,
