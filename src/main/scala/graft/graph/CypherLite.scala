@@ -241,6 +241,18 @@ object CypherLite {
                             where: Option[Pred], proj: Term) extends Term {
     def vars: Set[String] = Set(chain._1.head.v)
   }
+  /** Postfix list subscript `xs[i]` — Cypher 0-indexed, negatives from
+    * the end, null past either bound. */
+  final case class IndexT(src: Term, i: Int) extends Term {
+    def vars: Set[String] = src.vars
+  }
+  /** Postfix list slice `xs[a..b]` — start inclusive, end exclusive,
+    * 0-indexed, negatives from the end, either bound omissible
+    * (`xs[..2]`, `xs[1..]`); out-of-range clamps like Cypher. */
+  final case class SliceT(src: Term, from: Option[Int],
+                          to: Option[Int]) extends Term {
+    def vars: Set[String] = src.vars
+  }
   /** Searched `CASE WHEN p THEN t [WHEN …]* [ELSE e] END` (null when no
     * branch matches and no ELSE — Cypher semantics). */
   final case class CaseT(branches: Seq[(Pred, Term)], els: Option[Term]) extends Term {
@@ -760,11 +772,37 @@ object CypherLite {
         }
       }
     }
-    def prodT(): Term = {
+    /** Postfix list subscripts after any atom: `xs[0]` (element) and
+      * `xs[a..b]` (slice, either bound omissible) — chainable
+      * (`m[0..2][0]`). A '[' in ATOM position stays a literal list /
+      * pattern comprehension; only the postfix position subscripts. */
+    def postT(): Term = {
       var t = atomT(); ws()
+      val SliceRe = """^\[\s*(-?\d+)?\s*\.\.\s*(-?\d+)?\s*\]""".r
+      val IdxRe = """^\[\s*(-?\d+)\s*\]""".r
+      var go = true
+      while (go) {
+        SliceRe.findPrefixMatchOf(rest) match {
+          case Some(m) =>
+            rest = rest.substring(m.end)
+            t = SliceT(t, Option(m.group(1)).map(_.toInt),
+              Option(m.group(2)).map(_.toInt))
+          case None => IdxRe.findPrefixMatchOf(rest) match {
+            case Some(m) =>
+              rest = rest.substring(m.end)
+              t = IndexT(t, m.group(1).toInt)
+            case None => go = false
+          }
+        }
+        if (go) ws()
+      }
+      t
+    }
+    def prodT(): Term = {
+      var t = postT(); ws()
       while (rest.startsWith("*") || rest.startsWith("/") || rest.startsWith("%")) {
         val op = rest.substring(0, 1); rest = rest.substring(1)
-        t = ArithT(op, t, atomT()); ws()
+        t = ArithT(op, t, postT()); ws()
       }
       t
     }
@@ -1662,9 +1700,30 @@ object CypherLite {
       return c.runShortestPath(q, sp)
     }
     val bound = c.pipelineStages(start, q)
-    var out = c.project(bound, q.ret, q.distinct)
+    // `RETURN p ORDER BY p.image` — ordering by a PROPERTY of a
+    // returned variable that isn't itself projected is Neo4j-legal:
+    // project the sort keys as hidden items, sort, drop. Only for
+    // non-aggregate non-DISTINCT projections (with implicit grouping
+    // or DISTINCT the sort keys must be projected items — Cypher's own
+    // rule, and the loud unresolved-column error stands in for it).
+    val outNames = q.ret.map(_.outName)
+    val hidden: Seq[RetItem] =
+      if (q.distinct || q.ret.exists(_.agg.isDefined)) Nil
+      else q.orderBy.map(_._1).filterNot(outNames.contains).distinct.flatMap { name =>
+        val bareVars = q.ret
+          .filter(it => it.agg.isEmpty && it.prop.isEmpty && it.term.isEmpty)
+          .map(_.v).toSet
+        // sort name arrives as "v_prop" (parseOrder's outName form);
+        // resolve the split against the returned bare variables
+        name.zipWithIndex.collect { case ('_', i) => i }.collectFirst {
+          case i if bareVars.contains(name.substring(0, i)) && i + 1 < name.length =>
+            RetItem(None, name.substring(0, i), Some(name.substring(i + 1)))
+        }
+      }
+    var out = c.project(bound, q.ret ++ hidden, q.distinct)
     if (q.orderBy.nonEmpty)
       out = out.orderBy(sortCols(q.orderBy): _*)
+    if (hidden.nonEmpty) out = out.drop(hidden.map(_.outName): _*)
     q.skip.foreach(n => out = out.offset(n))
     q.limit.foreach(n => out = out.limit(n))
     out
@@ -2239,7 +2298,7 @@ object CypherLite {
           case "rtrim" => rtrim(raw)
           case "tostring" => raw.cast("string")
           case "size" => t0 match {
-            case _: ListT | _: RangeT | _: CompT | _: PatCompT | FuncN("split", _) => size(raw)
+            case _: ListT | _: RangeT | _: CompT | _: PatCompT | _: SliceT | FuncN("split", _) => size(raw)
             case PropT(w, None) if binds.contains(w) =>
               // dispatch on the recorded element type: a list-typed
               // variable counts elements, a known scalar is Cypher's
@@ -2285,6 +2344,15 @@ object CypherLite {
         s0.substr(start, len)
       case FuncN("round", Seq(x, NumT(p))) =>
         round(lambdaTerm(x, binds, num = true, outer, btypes), p.toInt)
+      case IndexT(s0, i) =>
+        try_element_at(lambdaTerm(s0, binds, num = false, outer, btypes),
+          lit(if (i >= 0) i + 1 else i))
+      case SliceT(s0, fOpt, tOpt) =>
+        val c0 = lambdaTerm(s0, binds, num = false, outer, btypes)
+        def norm(i: Int): Column = if (i >= 0) lit(i) else size(c0) + lit(i)
+        val from0 = fOpt.map(norm).getOrElse(lit(0))
+        val to0 = tOpt.map(norm).getOrElse(size(c0))
+        slice(c0, from0 + lit(1), greatest(lit(0), to0 - from0))
       case other => throw new IllegalArgumentException(
         s"unsupported term over a comprehension variable: $other")
     }
@@ -2410,7 +2478,7 @@ object CypherLite {
           // otherwise string length
           val raw = go(t0, num = false)
           t0 match {
-            case _: ListT | _: RangeT | _: CompT | _: PatCompT | FuncN("split", _) => size(raw)
+            case _: ListT | _: RangeT | _: CompT | _: PatCompT | _: SliceT | FuncN("split", _) => size(raw)
             case PropT(v, None) if df.columns.contains(v) &&
                 df.schema(v).dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType] =>
               size(raw)
@@ -2618,6 +2686,17 @@ object CypherLite {
           val dt = lst.schema(cn).dataType
           df = df.join(lst, Seq(anchor), "left")
           when(col(cn).isNull, array().cast(dt)).otherwise(col(cn))
+        case IndexT(s0, i) =>
+          // Cypher 0-indexed; element_at is 1-based with negatives
+          // already counting from the end; null past either bound
+          try_element_at(go(s0, num = false), lit(if (i >= 0) i + 1 else i))
+        case SliceT(s0, fOpt, tOpt) =>
+          val c0 = go(s0, num = false)
+          def norm(i: Int): Column =
+            if (i >= 0) lit(i) else size(c0) + lit(i)
+          val from0 = fOpt.map(norm).getOrElse(lit(0))
+          val to0 = tOpt.map(norm).getOrElse(size(c0))
+          slice(c0, from0 + lit(1), greatest(lit(0), to0 - from0))
         case CaseT(bs, e) =>
           // searched CASE: branch predicates compile through the full
           // predicate grammar (prop binds / exists joins update `df`),

@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, Row}
 import org.apache.spark.sql.functions._
 
 import graft.graph.{CypherLite, SysmonGraph, Traverse}
@@ -119,6 +119,57 @@ class CypherLiteSpec extends SparkSpec {
       "MATCH (a:Process)-[r:SPAWNS*1..2]->(b:Process) RETURN startNode(r)"))
     intercept[IllegalArgumentException](CypherLite.run(nodes, edges,
       "MATCH (a:Process)-[r:SPAWNS*1..2]->(b:Process) RETURN r.pid"))
+  }
+
+  test("ORDER BY on a non-returned property of a returned variable") {
+    val (nodes, edges) = graph
+    val got = CypherLite.run(nodes, edges,
+      "MATCH (t:Trace)-[:HAS_PROCESS]->(p:Process) " +
+        "RETURN p ORDER BY p.image, p LIMIT 20")
+    assert(got.columns.toSeq == Seq("p")) // the hidden sort key is dropped
+    val want = CypherLite.run(nodes, edges,
+      "MATCH (t:Trace)-[:HAS_PROCESS]->(p:Process) " +
+        "RETURN p, p.image AS img ORDER BY img, p LIMIT 20")
+      .select(col("p"))
+    assert(got.collect().map(_.getString(0)).toSeq ==
+      want.collect().map(_.getString(0)).toSeq)
+    assert(got.count() == 20)
+    // DISTINCT keeps Cypher's own rule: sort keys must be projected
+    intercept[Exception](CypherLite.run(nodes, edges,
+      "MATCH (p:Process) RETURN DISTINCT p ORDER BY p.image").collect())
+  }
+
+  test("list subscripts: xs[i] and xs[a..b], 0-indexed with negatives from the end") {
+    val (nodes, edges) = graph
+    import spark.implicits._
+    val sn = Seq(("a", "S", Map.empty[String, String])).toDF("id", "label", "props")
+    val se = Seq.empty[(String, String, String, Int, Map[String, String])]
+      .toDF("etype", "src", "dst", "event_id", "props")
+    def one(expr: String): Row = CypherLite.run(sn, se,
+      s"MATCH (s:S) RETURN $expr AS x").collect()(0)
+    // literal-list indexing (term-position '[' stays a literal)
+    assert(one("['a','b','c'][0]").getString(0) == "a")
+    assert(one("['a','b','c'][-1]").getString(0) == "c")
+    assert(one("['a','b','c'][5]").isNullAt(0)) // past the end → null
+    assert(one("['a','b','c'][1..3]").getSeq[String](0).toList == List("b", "c"))
+    assert(one("['a','b','c'][..2]").getSeq[String](0).toList == List("a", "b"))
+    assert(one("['a','b','c'][1..]").getSeq[String](0).toList == List("b", "c"))
+    assert(one("['a','b','c'][0..-1]").getSeq[String](0).toList == List("a", "b"))
+    assert(one("size(['a','b','c'][1..3])").getAs[Number](0).intValue == 2)
+    assert(one("range(0, 5)[2]").getAs[Number](0).longValue == 2L)
+    // chained: slice then index
+    assert(one("['a','b','c','d'][1..3][0]").getString(0) == "b")
+    // on a collect() alias through WITH, and inside a lambda
+    val viaCollect = CypherLite.run(nodes, edges,
+      "MATCH (t:Trace)-[:HAS_PROCESS]->(p:Process) " +
+        "WITH t, collect(p) AS ps RETURN t, ps[0] AS first, size(ps[1..]) AS rest " +
+        "ORDER BY t LIMIT 10").collect()
+    viaCollect.foreach { r =>
+      assert(r.getString(1) != null)
+      assert(r.getAs[Number](2).intValue >= 0)
+    }
+    val lam = one("[x IN [['a','b'],['c']] | x[0]]")
+    assert(lam.getSeq[String](0).toList == List("a", "c"))
   }
 
   test("generic path variables: MATCH p = <chain>, nodes/relationships/length, bare p") {
