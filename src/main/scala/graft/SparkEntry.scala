@@ -257,6 +257,19 @@ object SparkEntry {
           |RETURN a, b, size(r) AS hops, head(r) AS first_spawn
           |ORDER BY a, b, hops LIMIT 200""".stripMargin)
     }),
+    "sg_cypher11"  -> ((s, _) => {
+      // r10: pattern comprehension + simple CASE + list subscript in
+      // one corpus query — per-trace process list, its first element,
+      // and a CASE-classified beacon count
+      val (n, e) = graft.graph.SysmonGraph.buildCached(s, "/root/reference/malware/*.json")
+      graft.graph.CypherLite.run(n, e,
+        """MATCH (t:Trace)
+          |RETURN t, [(t)-[:HAS_PROCESS]->(q:Process) | q] AS procs,
+          |  [(t)-[:HAS_PROCESS]->(q:Process) | q][0] AS first_proc,
+          |  CASE size([(t)-[:HAS_PROCESS]->(q:Process)-[:CONNECTED_TO]->(ip:Ip) | ip])
+          |    WHEN 0 THEN 'quiet' ELSE 'beacons' END AS net
+          |ORDER BY t LIMIT 300""".stripMargin)
+    }),
     "sg_spawntree" -> ((s, _) => {
       val (_, e) = graft.graph.SysmonGraph.buildCached(s, "/root/reference/malware/*.json")
       graft.graph.Detections.deepSpawnChains(e, minDepth = 1)

@@ -97,6 +97,16 @@ import org.apache.spark.sql.functions._
   *    anti-join, `OPTIONAL MATCH … WITH … WHERE ip IS NULL` the
   *    Cypher anti-join idiom, both spec'd against hand-written
   *    semi/anti joins
+  *  - r10: pattern COMPREHENSIONS `[(a)-[:T]->(x) [WHERE p] | expr]`
+  *    (sorted collect_list over the matches, [] empty-fill), edge
+  *    variables on VAR-LENGTH hops (`-[r:T*1..3]->` binds `r` as the
+  *    relationship list, one row per distinct path, relationship-
+  *    isomorphism enforced), GENERIC PATH VARIABLES
+  *    (`MATCH p = <chain>` with nodes(p)/relationships(p)/length(p)
+  *    and bare `p` as the '>'-joined node string), SIMPLE CASE
+  *    (`CASE x WHEN v THEN …`), list subscripts `xs[i]`/`xs[a..b]`,
+  *    ORDER BY on non-returned properties of returned variables, and
+  *    property maps with nesting to depth 4
   *  - OPTIONAL MATCH (any number of chains, each starting at a bound
   *    variable — including one bound by an earlier optional chain)
   *    with Cypher semantics: WHERE conjuncts that reference only one

@@ -94,6 +94,22 @@ class JobCountAuditSpec extends SparkSpec {
     assert(jobs <= 260, s"weighted betweenness job count regressed: $jobs (r10 ~210)")
   }
 
+  test("ssspPathsFrom stays within its job budget") {
+    // one weight probe + per-round (cand join + struct-min shuffle,
+    // the improved count, the EAGER state-union checkpoint, and their
+    // AQE stage-jobs ≈ 10/round) — the ssspFrom shape plus a path
+    // column, no extra shuffle; r10 measured 86 on this fixture
+    val weighted = edges.withColumn("w",
+      (pmod(xxhash64(col("src"), col("dst")), lit(2)) + 5).cast("double"))
+    val roots = edges.select(col("src").as("id")).distinct().limit(20)
+      .localCheckpoint()
+    val jobs = countJobs("audit-ssspPaths") {
+      GraphOps.ssspPathsFrom(weighted, roots, maxIter = 8).count()
+    }
+    info(s"ssspPathsFrom jobs: $jobs")
+    assert(jobs <= 110, s"ssspPathsFrom job count regressed: $jobs (r10 ~86)")
+  }
+
   test("eigenvector and hits stay within their per-iteration job budgets") {
     // r9 measured: ~5 jobs/iteration either way — they are AQE
     // query-stage jobs from the round's join+agg shuffles, NOT the norm
