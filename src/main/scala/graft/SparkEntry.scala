@@ -332,63 +332,62 @@ object SparkEntry {
       |SELECT id, round(rank,4) AS rank FROM pr WHERE it=10
       |ORDER BY rank DESC, id LIMIT 20""".stripMargin
 
-  /** Hop-4 Brandes unrolled as level-by-level CTE stages — shared by
-    * the local-finisher gate (`g_betweenness_sql`) and the
-    * forced-distributed twin (`g_betweenness_dist_sql`): forward
-    * σ-levels l0..l4 (σ_v = Σ over depth-(d−1) predecessors,
-    * anti-joined against prior levels), backward δ sweep d3..d1
-    * (δ_u = σ_u·Σ (1+δ_w)/σ_w). Halved (undirected), tie-safe
-    * rounding. */
-  private val betweennessHop4Oracle: String =
-      """WITH e0 AS (
+  /** Level-unrolled Brandes oracle, GENERATED for any hop bound:
+    * forward σ-levels l0..lN (σ_v = Σ over depth-(d−1) predecessors,
+    * anti-joined against the two prior levels — the undirected-graph
+    * dedup rule), backward δ sweep dN−1..d1 (δ_u = σ_u·Σ (1+δ_w)/σ_w).
+    * Halved (undirected), tie-safe floor-nudge rounding. Every level
+    * is `AS MATERIALIZED` — DuckDB inlines plain CTEs, and each level
+    * references two prior levels, so un-materialized unrolling
+    * re-scans exponentially (hop-10 exhausted file handles before the
+    * r10 switch). Shared by the hop-4 gates (`g_betweenness_sql`,
+    * `g_betweenness_dist_sql`) and — r10 — the full hop-10 runs
+    * (`g_betweenness`, `g_betweenness_dist`), which moves the two
+    * last graph rows-only bench entries onto real hash gates. */
+  private def betweennessOracle(maxHops: Int): String = {
+    val header =
+      """WITH e0 AS MATERIALIZED (
         |  SELECT DISTINCT 'p:'||l_partkey AS src, 's:'||l_suppkey AS dst
         |  FROM lineitem WHERE l_partkey % 20 = 0),
-        |e AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
-        |v AS (SELECT DISTINCT src AS id FROM e),
-        |r AS (SELECT DISTINCT 'p:'||l_partkey AS id FROM lineitem WHERE l_partkey % 200 = 0),
-        |l0 AS (SELECT r.id AS root, r.id AS id, CAST(1 AS DOUBLE) AS sigma
-        |       FROM r JOIN v USING (id)),
-        |f1 AS (SELECT l.root, e.dst AS id, sum(l.sigma) AS sigma
-        |       FROM l0 l JOIN e ON e.src = l.id GROUP BY 1, 2),
-        |l1 AS (SELECT f.* FROM f1 f WHERE NOT EXISTS
-        |       (SELECT 1 FROM l0 p WHERE p.root = f.root AND p.id = f.id)),
-        |f2 AS (SELECT l.root, e.dst AS id, sum(l.sigma) AS sigma
-        |       FROM l1 l JOIN e ON e.src = l.id GROUP BY 1, 2),
-        |l2 AS (SELECT f.* FROM f2 f
-        |       WHERE NOT EXISTS (SELECT 1 FROM l0 p WHERE p.root = f.root AND p.id = f.id)
-        |         AND NOT EXISTS (SELECT 1 FROM l1 p WHERE p.root = f.root AND p.id = f.id)),
-        |f3 AS (SELECT l.root, e.dst AS id, sum(l.sigma) AS sigma
-        |       FROM l2 l JOIN e ON e.src = l.id GROUP BY 1, 2),
-        |l3 AS (SELECT f.* FROM f3 f
-        |       WHERE NOT EXISTS (SELECT 1 FROM l1 p WHERE p.root = f.root AND p.id = f.id)
-        |         AND NOT EXISTS (SELECT 1 FROM l2 p WHERE p.root = f.root AND p.id = f.id)),
-        |f4 AS (SELECT l.root, e.dst AS id, sum(l.sigma) AS sigma
-        |       FROM l3 l JOIN e ON e.src = l.id GROUP BY 1, 2),
-        |l4 AS (SELECT f.* FROM f4 f
-        |       WHERE NOT EXISTS (SELECT 1 FROM l2 p WHERE p.root = f.root AND p.id = f.id)
-        |         AND NOT EXISTS (SELECT 1 FROM l3 p WHERE p.root = f.root AND p.id = f.id)),
-        |d3 AS (SELECT u.root, u.id, u.sigma * sum(1.0 / w.sigma) AS delta
-        |       FROM l3 u JOIN e ON e.src = u.id
-        |       JOIN l4 w ON w.root = u.root AND w.id = e.dst
-        |       GROUP BY 1, 2, u.sigma),
-        |d2 AS (SELECT u.root, u.id,
-        |         u.sigma * sum((1.0 + coalesce(d.delta, 0.0)) / w.sigma) AS delta
-        |       FROM l2 u JOIN e ON e.src = u.id
-        |       JOIN l3 w ON w.root = u.root AND w.id = e.dst
-        |       LEFT JOIN d3 d ON d.root = u.root AND d.id = w.id
-        |       GROUP BY 1, 2, u.sigma),
-        |d1 AS (SELECT u.root, u.id,
-        |         u.sigma * sum((1.0 + coalesce(d.delta, 0.0)) / w.sigma) AS delta
-        |       FROM l1 u JOIN e ON e.src = u.id
-        |       JOIN l2 w ON w.root = u.root AND w.id = e.dst
-        |       LEFT JOIN d2 d ON d.root = u.root AND d.id = w.id
-        |       GROUP BY 1, 2, u.sigma),
-        |b AS (SELECT id, sum(delta) AS b FROM (
-        |        SELECT * FROM d1 UNION ALL SELECT * FROM d2 UNION ALL SELECT * FROM d3)
-        |      WHERE id <> root GROUP BY id)
-        |SELECT id, floor(b / 2 * 1000000 + 0.5) / 1000000 AS betweenness
-        |FROM b WHERE floor(b / 2 * 1000000 + 0.5) / 1000000 > 0
-        |ORDER BY id""".stripMargin
+        |e AS MATERIALIZED (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+        |v AS MATERIALIZED (SELECT DISTINCT src AS id FROM e),
+        |r AS MATERIALIZED (SELECT DISTINCT 'p:'||l_partkey AS id FROM lineitem WHERE l_partkey % 200 = 0),
+        |l0 AS MATERIALIZED (SELECT r.id AS root, r.id AS id, CAST(1 AS DOUBLE) AS sigma
+        |       FROM r JOIN v USING (id))""".stripMargin
+    val fwd = (1 to maxHops).map { k =>
+      val anti = Seq(k - 2, k - 1).filter(_ >= 0)
+        .map(j => s"NOT EXISTS (SELECT 1 FROM l$j p WHERE p.root = f.root AND p.id = f.id)")
+        .mkString("\n       WHERE ", "\n         AND ", "")
+      s"""f$k AS MATERIALIZED (SELECT l.root, e.dst AS id, sum(l.sigma) AS sigma
+         |       FROM l${k - 1} l JOIN e ON e.src = l.id GROUP BY 1, 2),
+         |l$k AS MATERIALIZED (SELECT f.* FROM f$k f$anti)""".stripMargin
+    }
+    val bwd = (maxHops - 1 to 1 by -1).map { k =>
+      if (k == maxHops - 1)
+        s"""d$k AS MATERIALIZED (SELECT u.root, u.id, u.sigma * sum(1.0 / w.sigma) AS delta
+           |       FROM l$k u JOIN e ON e.src = u.id
+           |       JOIN l${k + 1} w ON w.root = u.root AND w.id = e.dst
+           |       GROUP BY 1, 2, u.sigma)""".stripMargin
+      else
+        s"""d$k AS MATERIALIZED (SELECT u.root, u.id,
+           |         u.sigma * sum((1.0 + coalesce(d.delta, 0.0)) / w.sigma) AS delta
+           |       FROM l$k u JOIN e ON e.src = u.id
+           |       JOIN l${k + 1} w ON w.root = u.root AND w.id = e.dst
+           |       LEFT JOIN d${k + 1} d ON d.root = u.root AND d.id = w.id
+           |       GROUP BY 1, 2, u.sigma)""".stripMargin
+    }
+    val union = (1 until maxHops).map(k => s"SELECT * FROM d$k").mkString(" UNION ALL ")
+    val tail =
+      s"""b AS (SELECT id, sum(delta) AS b FROM (
+         |        $union)
+         |      WHERE id <> root GROUP BY id)
+         |SELECT id, floor(b / 2 * 1000000 + 0.5) / 1000000 AS betweenness
+         |FROM b WHERE floor(b / 2 * 1000000 + 0.5) / 1000000 > 0
+         |ORDER BY id""".stripMargin
+    (Seq(header) ++ fwd ++ bwd :+ tail).mkString(",\n")
+  }
+  private val betweennessHop4Oracle: String = betweennessOracle(4)
+  private val betweennessHop10Oracle: String = betweennessOracle(10)
 
   /** Modularity of the SQL-replayable LPA partition (Q = internal/2m −
     * Σtot²/(2m)² from exact integer counts) + the louvain≥lpa quality
@@ -794,6 +793,11 @@ object SparkEntry {
     // produce exactly what the local finisher produces
     "g_pagerank_dist" -> pagerankOracle,
     "g_betweenness_sql" -> betweennessHop4Oracle,
+    // r10: the FULL hop-10 runs (local-finisher and forced-distributed)
+    // gated on the generated 10-level unrolling — no more rows-only
+    // betweenness anywhere
+    "g_betweenness" -> betweennessHop10Oracle,
+    "g_betweenness_dist" -> betweennessHop10Oracle,
     // forced-distributed hop-4 Brandes: SAME oracle — the distributed
     // sweep must reproduce the local mirror's numbers exactly
     "g_betweenness_dist_sql" -> betweennessHop4Oracle,
