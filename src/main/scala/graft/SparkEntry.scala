@@ -110,6 +110,7 @@ object SparkEntry {
     // distributed Louvain vs the modularity quality floor
     "g_betweenness_dist_sql" -> (GraphQueries.gBetweennessDistSql _),
     "g_modularity_dist" -> (GraphQueries.gModularityDist _),
+    "g_modularity_leiden" -> (GraphQueries.gModularityLeiden _),
     "g_wcloseness"  -> (GraphQueries.gWCloseness _),
     "g_wbetweenness" -> (GraphQueries.gWBetweenness _),
     "g_wbetweenness_dist" -> (GraphQueries.gWBetweennessDist _),
@@ -888,6 +889,9 @@ object SparkEntry {
     // distributed-louvain quality gate: SAME oracle — q_lpa pins the
     // closed-form arithmetic, louvain_ge_lpa=1 pins the quality floor
     "g_modularity_dist" -> modularityOracle,
+    // Leiden quality floor: same oracle shape (column name kept so the
+    // SQL is shared verbatim; the flag means "leiden >= lpa" here)
+    "g_modularity_leiden" -> modularityOracle,
     "g_sssp" ->
       """WITH RECURSIVE base AS (
         |  SELECT DISTINCT 'p:'||l_partkey AS a, 's:'||l_suppkey AS b,

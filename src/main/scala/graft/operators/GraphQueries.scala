@@ -399,6 +399,20 @@ object GraphQueries {
       if (qLouvainDist >= qLpa) 1L else 0L)).toDF("q_lpa", "louvain_ge_lpa")
   }
 
+  /** r10 — Leiden quality gate, the [[gModularity]] pattern: Leiden =
+    * Louvain + connectivity refinement must still clear the LPA
+    * quality floor (its partitions aren't hash-comparable; its QUALITY
+    * is — the connectivity guarantee itself is pinned by the
+    * cut-vertex fixture spec). */
+  def gModularityLeiden(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = TestGraph.partSupplierEdges(s, dir)
+    val qLpa = GraphOps.modularity(e, GraphOps.labelPropagation(e, iters = 5))
+    val qLeiden = GraphOps.modularity(e, GraphOps.leiden(e))
+    Seq((math.floor(qLpa * 1e6 + 0.5) / 1e6,
+      if (qLeiden >= qLpa) 1L else 0L)).toDF("q_lpa", "louvain_ge_lpa")
+  }
+
   /** Forced-distributed Louvain twin (see [[gPagerankDist]]'s rationale):
     * every level runs the distributed move/contraction rounds. */
   def gLouvainDist(s: SparkSession, dir: String): DataFrame =
