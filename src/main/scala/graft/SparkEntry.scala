@@ -297,6 +297,7 @@ object SparkEntry {
     // IVF path (rows-only: nprobe < nlist trades recall by design;
     // recall + determinism are spec-bound, the Lloyd step plan-audited)
     "e3_ivf"       -> ((s, d) => Similarity.e3IvfTopK(s, d)),
+    "e_recall"     -> ((s, d) => Similarity.eRecallGate(s, d)),
     "e4_radius"    -> ((s, d) => Similarity.e4Radius(s, d)),
     // kNN majority-label prediction (weak labeling); exact-scan kNN is
     // oracle-checkable, the scale path swaps in the E2 candidate set
@@ -892,6 +893,11 @@ object SparkEntry {
     // Leiden quality floor: same oracle shape (column name kept so the
     // SQL is shared verbatim; the flag means "leiden >= lpa" here)
     "g_modularity_leiden" -> modularityOracle,
+    // ANN recall floors: the Spark side measures recall vs its exact
+    // twin and clamps to booleans; the oracle pins both to 1
+    "e_recall" ->
+      """SELECT CAST(1 AS BIGINT) AS e2_recall_ok,
+        |       CAST(1 AS BIGINT) AS e3_recall_ok""".stripMargin,
     "g_sssp" ->
       """WITH RECURSIVE base AS (
         |  SELECT DISTINCT 'p:'||l_partkey AS a, 's:'||l_suppkey AS b,

@@ -314,4 +314,25 @@ object Similarity {
       // serve the first run's cached result to later timed runs.
       graft.Borrow.reclaim(outRaw, all)
   }
+
+  /** E-suite recall gate (r10): per-round floors on the approximate
+    * paths vs the exact E1 top-k — the modularity quality-floor
+    * pattern applied to ANN. The approximate RESULTS are
+    * hash-family-dependent and legitimately un-oracle-able; their
+    * RECALL against the exact twin is deterministic per scale factor
+    * (no rand() anywhere in E1-E3), so a dip below the floor means a
+    * changed hash/pruning path, never noise. Floors sit just under the
+    * measured recalls (e2 0.30/0.375, e3 0.50/0.575 at sf0.01/sf0.1);
+    * the oracle pins (1, 1). */
+  def eRecallGate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select(col("q_id").cast("long"), col("neighbor").cast("long"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairSet(e1TopK(s, dir))
+    val r2 = (exact & pairSet(e2AnnTopK(s, dir))).size.toDouble / exact.size
+    val r3 = (exact & pairSet(e3IvfTopK(s, dir))).size.toDouble / exact.size
+    Seq((if (r2 >= 0.25) 1L else 0L, if (r3 >= 0.45) 1L else 0L))
+      .toDF("e2_recall_ok", "e3_recall_ok")
+  }
 }
