@@ -298,6 +298,7 @@ object SparkEntry {
     // recall + determinism are spec-bound, the Lloyd step plan-audited)
     "e3_ivf"       -> ((s, d) => Similarity.e3IvfTopK(s, d)),
     "e_recall"     -> ((s, d) => Similarity.eRecallGate(s, d)),
+    "d_recall"     -> ((s, d) => Dedup.dRecallGate(s, d)),
     "e4_radius"    -> ((s, d) => Similarity.e4Radius(s, d)),
     // kNN majority-label prediction (weak labeling); exact-scan kNN is
     // oracle-checkable, the scale path swaps in the E2 candidate set
@@ -898,6 +899,10 @@ object SparkEntry {
     "e_recall" ->
       """SELECT CAST(1 AS BIGINT) AS e2_recall_ok,
         |       CAST(1 AS BIGINT) AS e3_recall_ok""".stripMargin,
+    "d_recall" ->
+      """SELECT CAST(1 AS BIGINT) AS d2_recall_ok, CAST(1 AS BIGINT) AS d2_subset_ok,
+        |  CAST(1 AS BIGINT) AS d5lsh_recall_ok, CAST(1 AS BIGINT) AS d5lsh_subset_ok,
+        |  CAST(1 AS BIGINT) AS d5sim_recall_ok, CAST(1 AS BIGINT) AS d5sim_subset_ok""".stripMargin,
     "g_sssp" ->
       """WITH RECURSIVE base AS (
         |  SELECT DISTINCT 'p:'||l_partkey AS a, 's:'||l_suppkey AS b,

@@ -471,4 +471,36 @@ object Dedup {
       .select(col("id1"), col("id2"), round(col("cos"), 4).as("cos_sim"))
       .orderBy(col("id1"), col("id2"))
   }
+
+  /** D-suite recall/subset gate (r10): per-round floors on the
+    * LSH/banded near-dup paths vs their exact twins — the e_recall
+    * pattern for dedup. Each approximate path must (a) stay a SUBSET
+    * of its exact twin (banding only prunes, the verify step re-ranks
+    * exactly) and (b) clear a recall floor just under the measured
+    * values (d2 1.0/0.94, d5-LSH 0.88/0.90, d5-simhash-band 0.20/0.23
+    * at sf0.01/sf0.1 — the simhash-band variant is LOW by design at
+    * this θ, the pigeonhole bound only bites near θ=0.9). All paths
+    * are hash-deterministic, so a dip means a changed banding/pruning
+    * path, never noise. Oracle pins six 1s. */
+  def dRecallGate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    def pairSet(df: DataFrame): Set[(Long, Long)] =
+      df.select(col("id1").cast("long"), col("id2").cast("long"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val d4 = pairSet(d4Jaccard(s, dir))
+    val d2 = pairSet(d2MinhashLsh(s, dir))
+    val exact5 = pairSet(d5EmbDupExact(s, dir))
+    val lsh5 = pairSet(d5EmbDup(s, dir))
+    val sim5 = pairSet(d5EmbDupSimhash(s, dir))
+    def flags(approx: Set[(Long, Long)], exact: Set[(Long, Long)],
+              floor: Double): (Long, Long) = (
+      if (exact.nonEmpty && (approx & exact).size.toDouble / exact.size >= floor) 1L else 0L,
+      if (approx.subsetOf(exact)) 1L else 0L)
+    val (r2, s2) = flags(d2, d4, 0.85)
+    val (r5, s5) = flags(lsh5, exact5, 0.8)
+    val (r5s, s5s) = flags(sim5, exact5, 0.15)
+    Seq((r2, s2, r5, s5, r5s, s5s)).toDF(
+      "d2_recall_ok", "d2_subset_ok", "d5lsh_recall_ok", "d5lsh_subset_ok",
+      "d5sim_recall_ok", "d5sim_subset_ok")
+  }
 }
