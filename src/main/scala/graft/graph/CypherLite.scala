@@ -251,6 +251,14 @@ object CypherLite {
                             where: Option[Pred], proj: Term) extends Term {
     def vars: Set[String] = Set(chain._1.head.v)
   }
+  /** Map projection `n {.a, .b}` / `n {.*}` (Neo4j's property-subset
+    * idiom): a map of the listed properties (or the full props map for
+    * `.*`) of a bound node/edge variable. Star and listed items do not
+    * mix (loud) — the merge semantics differ between engines. */
+  final case class MapProjT(v: String, props: Seq[String],
+                            star: Boolean) extends Term {
+    def vars: Set[String] = Set(v)
+  }
   /** Postfix list subscript `xs[i]` — Cypher 0-indexed, negatives from
     * the end, null past either bound. */
   final case class IndexT(src: Term, i: Int) extends Term {
@@ -777,7 +785,29 @@ object CypherLite {
             rest = rest.substring(1)
             FuncN(m.group(1).toLowerCase, args.toSeq)
           case Some(m) =>
-            rest = rest.substring(m.end); PropT(m.group(1), Option(m.group(2)))
+            rest = rest.substring(m.end)
+            // map projection: `n {.a, .b}` / `n {.*}` — only a brace
+            // directly followed by a '.' item activates (no other
+            // term-position '{' exists, but stay conservative)
+            if (m.group(2) == null &&
+                """^\s*\{\s*\.""".r.findPrefixMatchOf(rest).isDefined) {
+              val close = rest.indexOf('}')
+              require(close > 0, s"unbalanced map projection at: $rest")
+              val body = rest.substring(rest.indexOf('{') + 1, close).trim
+              rest = rest.substring(close + 1)
+              var star = false
+              val props = scala.collection.mutable.Buffer.empty[String]
+              body.split(",").map(_.trim).filter(_.nonEmpty).foreach {
+                case ".*" => star = true
+                case it if it.startsWith(".") && it.substring(1).matches("\\w+") =>
+                  props += it.substring(1)
+                case other => throw new IllegalArgumentException(
+                  s"bad map-projection item '$other' (expected .prop or .*)")
+              }
+              require(!(star && props.nonEmpty),
+                "map projection cannot mix .* with listed properties")
+              MapProjT(m.group(1), props.toSeq, star)
+            } else PropT(m.group(1), Option(m.group(2)))
           case None => throw new IllegalArgumentException(s"bad term at: $rest")
         }
       }
@@ -2707,6 +2737,24 @@ object CypherLite {
           val from0 = fOpt.map(norm).getOrElse(lit(0))
           val to0 = tOpt.map(norm).getOrElse(size(c0))
           slice(c0, from0 + lit(1), greatest(lit(0), to0 - from0))
+        case MapProjT(v, props, star) =>
+          // the variable's full props map: edge vars carry it on the
+          // row, node vars join it once (the labels()/properties()
+          // metadata binding, shared guard column)
+          val pm: Column =
+            if (df.columns.contains(s"${v}__props")) col(s"${v}__props")
+            else {
+              require(df.columns.contains(v), s"unbound variable '$v'")
+              val meta = s"__meta_$v"
+              if (!df.columns.contains(s"${meta}_label")) {
+                val pn = nodes.select(col("id").as(v),
+                  col("label").as(s"${meta}_label"), col("props").as(s"${meta}_props"))
+                df = df.join(pn, Seq(v), "left")
+              }
+              col(s"${meta}_props")
+            }
+          if (star) pm
+          else map(props.flatMap(p => Seq(lit(p), element_at(pm, p))): _*)
         case CaseT(bs, e) =>
           // searched CASE: branch predicates compile through the full
           // predicate grammar (prop binds / exists joins update `df`),

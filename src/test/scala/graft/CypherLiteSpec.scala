@@ -121,6 +121,39 @@ class CypherLiteSpec extends SparkSpec {
       "MATCH (a:Process)-[r:SPAWNS*1..2]->(b:Process) RETURN r.pid"))
   }
 
+  test("map projections: n {.a, .b} and n {.*} on node and edge variables") {
+    val (nodes, edges) = graph
+    // listed properties ≡ hand-built map from the props column
+    val got = CypherLite.run(nodes, edges,
+      "MATCH (t:Trace)-[:HAS_PROCESS]->(p:Process) " +
+        "RETURN p, p {.image, .pid} AS m ORDER BY p LIMIT 20")
+      .collect().map(r => r.getString(0) -> r.getAs[Map[String, String]](1)).toMap
+    val want = nodes.filter(col("label") === "Process")
+      .select(col("id"),
+        map(lit("image"), element_at(col("props"), "image"),
+          lit("pid"), element_at(col("props"), "pid")).as("m"))
+      .collect().map(r => r.getString(0) -> r.getAs[Map[String, String]](1)).toMap
+    got.foreach { case (id, m) => assert(m == want(id), s"$id: $m vs ${want(id)}") }
+    assert(got.nonEmpty && got.values.exists(_.values.exists(_ != null)))
+    // .* ≡ properties(n)
+    val star = CypherLite.run(nodes, edges,
+      "MATCH (p:Process) RETURN p, p {.*} AS m, properties(p) AS pr LIMIT 10")
+      .collect()
+    star.foreach(r => assert(
+      r.getAs[Map[String, String]](1) == r.getAs[Map[String, String]](2)))
+    // edge variables read the carried props map
+    val em = CypherLite.run(nodes, edges,
+      "MATCH (p:Process)-[r:CONNECTED_TO]->(ip:Ip) " +
+        "RETURN r {.dport} AS m LIMIT 5").collect()
+    assert(em.nonEmpty && em.forall(r =>
+      r.getAs[Map[String, String]](0).keySet == Set("dport")))
+    // loud: mixing .* with listed items; unknown item shapes
+    intercept[IllegalArgumentException](CypherLite.run(nodes, edges,
+      "MATCH (p:Process) RETURN p {.*, .image} AS m"))
+    intercept[IllegalArgumentException](CypherLite.run(nodes, edges,
+      "MATCH (p:Process) RETURN p {image} AS m"))
+  }
+
   test("ORDER BY on a non-returned property of a returned variable") {
     val (nodes, edges) = graph
     val got = CypherLite.run(nodes, edges,
