@@ -255,8 +255,8 @@ object SparkEntry {
       val (n, e) = graft.graph.SysmonGraph.buildCached(s, "/root/reference/malware/*.json")
       graft.graph.CypherLite.run(n, e,
         """MATCH (a:Process)-[r:SPAWNS*2..3]->(b:Process)
-          |RETURN a, b, size(r) AS hops, head(r) AS first_spawn
-          |ORDER BY a, b, hops LIMIT 200""".stripMargin)
+          |RETURN a, b, size(r) AS hops, head(r) AS first_spawn, r
+          |ORDER BY a, b, hops, r LIMIT 200""".stripMargin)
     }),
     "sg_cypher11"  -> ((s, _) => {
       // r10: pattern comprehension + simple CASE + list subscript in

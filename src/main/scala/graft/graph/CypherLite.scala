@@ -1753,12 +1753,17 @@ object CypherLite {
         val bareVars = q.ret
           .filter(it => it.agg.isEmpty && it.prop.isEmpty && it.term.isEmpty)
           .map(_.v).toSet
-        // sort name arrives as "v_prop" (parseOrder's outName form);
-        // resolve the split against the returned bare variables
-        name.zipWithIndex.collect { case ('_', i) => i }.collectFirst {
-          case i if bareVars.contains(name.substring(0, i)) && i + 1 < name.length =>
-            RetItem(None, name.substring(0, i), Some(name.substring(i + 1)))
-        }
+        // an EXISTING pre-projection column wins (a carried `WITH …
+        // AS p_src` alias must not be reinterpreted as property 'src'
+        // of variable 'p'); otherwise the "v_prop" name splits at the
+        // LONGEST prefix matching a returned bare variable (so
+        // `ORDER BY a_b.c` resolves against variable a_b, not a.b_c)
+        if (bound.columns.contains(name)) Some(RetItem(None, name, None))
+        else name.zipWithIndex.collect { case ('_', i) => i }
+          .sortBy(-_).collectFirst {
+            case i if bareVars.contains(name.substring(0, i)) && i + 1 < name.length =>
+              RetItem(None, name.substring(0, i), Some(name.substring(i + 1)))
+          }
       }
     var out = c.project(bound, q.ret ++ hidden, q.distinct)
     if (q.orderBy.nonEmpty)
@@ -2284,6 +2289,18 @@ object CypherLite {
       * variable dispatches on it (element count for list-typed
       * variables, string length otherwise; a blanket length() would
       * mis-compute over list-of-list sources). */
+    /** Clamped Cypher list slice (shared by the term compiler and the
+      * lambda path): both bounds normalize negatives from the end and
+      * CLAMP into [0, size] — Cypher's out-of-range rule; Spark's raw
+      * slice() would reinterpret an underflowing negative start as
+      * from-the-end or throw at start 0. */
+    private def sliceCol(c0: Column, fOpt: Option[Int], tOpt: Option[Int]): Column = {
+      def norm(i: Int): Column = if (i >= 0) lit(i) else size(c0) + lit(i)
+      val from0 = greatest(lit(0), fOpt.map(norm).getOrElse(lit(0)))
+      val to0 = least(size(c0), tOpt.map(norm).getOrElse(size(c0)))
+      slice(c0, from0 + lit(1), greatest(lit(0), to0 - from0))
+    }
+
     private def lambdaTerm(t: Term, binds: Map[String, Column], num: Boolean,
                            outer: (Term, Boolean) => Column,
                            btypes: Map[String, org.apache.spark.sql.types.DataType] = Map.empty): Column = t match {
@@ -2388,11 +2405,7 @@ object CypherLite {
         try_element_at(lambdaTerm(s0, binds, num = false, outer, btypes),
           lit(if (i >= 0) i + 1 else i))
       case SliceT(s0, fOpt, tOpt) =>
-        val c0 = lambdaTerm(s0, binds, num = false, outer, btypes)
-        def norm(i: Int): Column = if (i >= 0) lit(i) else size(c0) + lit(i)
-        val from0 = fOpt.map(norm).getOrElse(lit(0))
-        val to0 = tOpt.map(norm).getOrElse(size(c0))
-        slice(c0, from0 + lit(1), greatest(lit(0), to0 - from0))
+        sliceCol(lambdaTerm(s0, binds, num = false, outer, btypes), fOpt, tOpt)
       case other => throw new IllegalArgumentException(
         s"unsupported term over a comprehension variable: $other")
     }
@@ -2721,22 +2734,25 @@ object CypherLite {
             np, hops)
           innerWhere.foreach { p => matches = applyPred(matches, p) }
           val (m2, pc) = compileTerm(matches, proj, isNumericTerm(proj))
+          // struct-wrap before collect_list: Cypher KEEPS null
+          // projections in the list (a match with a missing property
+          // still contributes an element) while collect_list silently
+          // drops bare nulls; the struct is non-null per match, sorts
+          // deterministically (nulls-first within the field), and
+          // unwraps after the aggregation
           val lst = m2.groupBy(col(anchor))
-            .agg(sort_array(collect_list(pc)).as(cn))
+            .agg(sort_array(collect_list(struct(pc.as("v")))).as(cn))
           val dt = lst.schema(cn).dataType
           df = df.join(lst, Seq(anchor), "left")
-          when(col(cn).isNull, array().cast(dt)).otherwise(col(cn))
+          transform(
+            when(col(cn).isNull, array().cast(dt)).otherwise(col(cn)),
+            x => x.getField("v"))
         case IndexT(s0, i) =>
           // Cypher 0-indexed; element_at is 1-based with negatives
           // already counting from the end; null past either bound
           try_element_at(go(s0, num = false), lit(if (i >= 0) i + 1 else i))
         case SliceT(s0, fOpt, tOpt) =>
-          val c0 = go(s0, num = false)
-          def norm(i: Int): Column =
-            if (i >= 0) lit(i) else size(c0) + lit(i)
-          val from0 = fOpt.map(norm).getOrElse(lit(0))
-          val to0 = tOpt.map(norm).getOrElse(size(c0))
-          slice(c0, from0 + lit(1), greatest(lit(0), to0 - from0))
+          sliceCol(go(s0, num = false), fOpt, tOpt)
         case MapProjT(v, props, star) =>
           // the variable's full props map: edge vars carry it on the
           // row, node vars join it once (the labels()/properties()

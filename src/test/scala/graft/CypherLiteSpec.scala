@@ -170,6 +170,18 @@ class CypherLiteSpec extends SparkSpec {
     // DISTINCT keeps Cypher's own rule: sort keys must be projected
     intercept[Exception](CypherLite.run(nodes, edges,
       "MATCH (p:Process) RETURN DISTINCT p ORDER BY p.image").collect())
+    // review r10: a CARRIED alias whose name looks like "v_prop" must
+    // sort by the alias column, never be reinterpreted as a property
+    // of the returned bare variable
+    val aliased = CypherLite.run(nodes, edges,
+      "MATCH (t:Trace)-[:HAS_PROCESS]->(p:Process) " +
+        "WITH p, t AS p_src RETURN p ORDER BY p_src, p LIMIT 10")
+    val aliasedWant = CypherLite.run(nodes, edges,
+      "MATCH (t:Trace)-[:HAS_PROCESS]->(p:Process) " +
+        "WITH p, t AS p_src RETURN p, p_src ORDER BY p_src, p LIMIT 10")
+      .select(col("p"))
+    assert(aliased.collect().map(_.getString(0)).toSeq ==
+      aliasedWant.collect().map(_.getString(0)).toSeq)
   }
 
   test("list subscripts: xs[i] and xs[a..b], 0-indexed with negatives from the end") {
@@ -188,6 +200,12 @@ class CypherLiteSpec extends SparkSpec {
     assert(one("['a','b','c'][..2]").getSeq[String](0).toList == List("a", "b"))
     assert(one("['a','b','c'][1..]").getSeq[String](0).toList == List("b", "c"))
     assert(one("['a','b','c'][0..-1]").getSeq[String](0).toList == List("a", "b"))
+    // out-of-range bounds CLAMP (review r10: Spark's raw slice() would
+    // reinterpret an underflowing negative start as from-the-end)
+    assert(one("['a','b','c'][-5..2]").getSeq[String](0).toList == List("a", "b"))
+    assert(one("['a','b','c'][-4..2]").getSeq[String](0).toList == List("a", "b"))
+    assert(one("['a','b','c'][1..9]").getSeq[String](0).toList == List("b", "c"))
+    assert(one("['a','b','c'][5..9]").getSeq[String](0).toList == Nil)
     assert(one("size(['a','b','c'][1..3])").getAs[Number](0).intValue == 2)
     assert(one("range(0, 5)[2]").getAs[Number](0).longValue == 2L)
     // chained: slice then index
@@ -296,6 +314,20 @@ class CypherLiteSpec extends SparkSpec {
     val dup = CypherLite.run(mn, me,
       "MATCH (a:N) RETURN [(a)-[:T]->(x:M) | x.name] AS xs").collect()
     assert(dup.length == 1 && dup(0).getSeq[String](0).toList == List("same", "same"))
+    // review r10: a match whose PROJECTION is null still contributes
+    // an element (Cypher keeps nulls; bare collect_list would drop)
+    val mn2 = Seq(("a", "N", Map.empty[String, String]),
+      ("x1", "M", Map("name" -> "n1")), ("x2", "M", Map.empty[String, String]))
+      .toDF("id", "label", "props")
+    val me2 = Seq(("T", "a", "x1", 1, Map.empty[String, String]),
+        ("T", "a", "x2", 2, Map.empty[String, String]))
+      .toDF("etype", "src", "dst", "event_id", "props")
+    val withNull = CypherLite.run(mn2, me2,
+      "MATCH (a:N) RETURN [(a)-[:T]->(x:M) | x.name] AS xs, " +
+        "size([(a)-[:T]->(x:M) | x.name]) AS n").collect()
+    assert(withNull.length == 1)
+    assert(withNull(0).getSeq[String](0).toList == List(null, "n1"))
+    assert(withNull(0).getAs[Number](1).intValue == 2)
     // unbound anchor is loud
     intercept[IllegalArgumentException](CypherLite.run(nodes, edges,
       "MATCH (p:Process) RETURN [(z)-[:CREATED_FILE]->(f:File) | f] AS fs"))
