@@ -188,4 +188,29 @@ class PlanAuditSpec extends SparkSpec {
     assert(winSpecs.exists(_.contains("pid")), s"no (pid, lang) stage-1 window:\n$p")
     assert(!p.contains("Exchange SinglePartition"), p)
   }
+
+  test("J5 r10: pattern comprehension compiles to the aggregated semi-join shape") {
+    // the [(p)-[:T]->(x) | expr] term must plan as walk → aggregate →
+    // equi-join-back (the COUNT{} shape) — never a nested-loop or
+    // cartesian pairing of the outer frame with the pattern matches
+    val (n, e) = graft.graph.SysmonGraph.buildCached(spark,
+      "/root/reference/malware/*.json")
+    val df = graft.graph.CypherLite.run(n, e,
+      "MATCH (p:Process) RETURN p, [(p)-[:CREATED_FILE]->(f:File) | f] AS fs")
+    val pl = plan(df)
+    assert(!pl.contains("CartesianProduct") &&
+      !pl.contains("BroadcastNestedLoopJoin"), pl)
+    assert(pl.linesIterator.count(_.contains("HashAggregate")) >= 2,
+      s"expected partial+final aggregation of the comprehension:\n$pl")
+  }
+
+  test("B13w r10: ssspPathsFrom round plan is equi-join + keyed struct-min, no cartesian") {
+    import spark.implicits._
+    val g = Seq(("a", "b", 1.0), ("b", "c", 2.0), ("a", "c", 5.0))
+      .toDF("src", "dst", "w")
+    val out = graft.graph.GraphOps.ssspPathsFrom(g, Seq("a").toDF("id"), maxIter = 3)
+    val pl = plan(out)
+    assert(!pl.contains("CartesianProduct") &&
+      !pl.contains("BroadcastNestedLoopJoin"), pl)
+  }
 }
