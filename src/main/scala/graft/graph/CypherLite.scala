@@ -698,7 +698,7 @@ object CypherLite {
           case Some(m) if Set("toInteger", "toFloat", "toLower", "toUpper", "size",
                 "labels", "keys", "properties", "head", "last",
                 "date", "datetime", "timestamp", "duration", "type", "id",
-                "startNode", "endNode",
+                "startNode", "endNode", "length", "nodes", "relationships",
                 "trim", "ltrim", "rtrim", "toString",
                 "abs", "round", "floor", "ceil", "sqrt", "sign")(m.group(1))
               && m.group(2) == null && rest.substring(m.end).trim.startsWith("(") =>
@@ -2237,6 +2237,7 @@ object CypherLite {
     private def isNumericTerm(t: Term): Boolean = t match {
       case _: NumT | _: CastT | _: ArithT => true
       case FuncT("size", _) => true
+      case FuncT("length", _) => true // path length
       // epoch millis / duration millis — numeric; date()/datetime()
       // stay non-numeric (they compare as DATE/TIMESTAMP, and a double
       // cast would null them)
@@ -2355,7 +2356,7 @@ object CypherLite {
           case "rtrim" => rtrim(raw)
           case "tostring" => raw.cast("string")
           case "size" => t0 match {
-            case _: ListT | _: RangeT | _: CompT | _: PatCompT | _: SliceT | FuncN("split", _) => size(raw)
+            case _: ListT | _: RangeT | _: CompT | _: PatCompT | _: SliceT | FuncN("split", _) | FuncT("nodes" | "relationships", _) => size(raw)
             case PropT(w, None) if binds.contains(w) =>
               // dispatch on the recorded element type: a list-typed
               // variable counts elements, a known scalar is Cypher's
@@ -2497,6 +2498,19 @@ object CypherLite {
           // 3.7 → 3) instead of null-ing on a non-integral string cast
           val raw = go(t0, num = true)
           if (fn == "tointeger") raw.cast("long") else raw.cast("double")
+        case FuncT(fn @ ("length" | "nodes" | "relationships"), t0) =>
+          // path accessors as TERMS (r10): usable anywhere the term
+          // grammar reaches — WHERE length(p) > 2, size(nodes(p)), …
+          // — on a GENERIC path binding (shortestPath's own RETURN
+          // route keeps its dist-backed handling)
+          val v = t0 match {
+            case PropT(vv, None) => vv
+            case _ => throw new IllegalArgumentException(
+              s"$fn() takes a bare path variable")
+          }
+          require(pathBinds.contains(v),
+            s"$fn() needs a path variable (a `MATCH $v = <chain>` binding), got '$v'")
+          pathAccessor(v, fn)
         case FuncT(fn @ ("labels" | "keys" | "properties"), t0) =>
           // node/edge accessors: the argument must be a bare variable;
           // node metadata binds lazily via ONE left join per variable
@@ -2531,7 +2545,7 @@ object CypherLite {
           // otherwise string length
           val raw = go(t0, num = false)
           t0 match {
-            case _: ListT | _: RangeT | _: CompT | _: PatCompT | _: SliceT | FuncN("split", _) => size(raw)
+            case _: ListT | _: RangeT | _: CompT | _: PatCompT | _: SliceT | FuncN("split", _) | FuncT("nodes" | "relationships", _) => size(raw)
             case PropT(v, None) if df.columns.contains(v) &&
                 df.schema(v).dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType] =>
               size(raw)

@@ -271,12 +271,23 @@ class CypherLiteSpec extends SparkSpec {
         s"${r.getString(1)}-[CREATED_FILE]->${r.getString(0)}")
       assert(r.getSeq[String](3).toList == List(r.getString(0), r.getString(1)))
     }
+    // path accessors as TERMS: WHERE length(p) filters, size(nodes(p))
+    // counts — the WHERE surface the RETURN-position accessors imply
+    val whereLen = CypherLite.run(nodes, edges,
+      "MATCH p = (a:Process)-[:SPAWNS*1..3]->(b:Process) " +
+        "WHERE length(p) >= 2 RETURN a, b, length(p) AS n, size(nodes(p)) AS nn")
+      .collect()
+    assert(whereLen.nonEmpty)
+    assert(whereLen.forall(r => r.getLong(2) >= 2 &&
+      r.getAs[Number](3).intValue == r.getLong(2) + 1))
     // loud: path var colliding with a pattern variable; accessors on a
     // non-path variable
     intercept[IllegalArgumentException](CypherLite.run(nodes, edges,
       "MATCH q = (q:Process)-[:SPAWNS]->(b:Process) RETURN q"))
     intercept[IllegalArgumentException](CypherLite.run(nodes, edges,
       "MATCH (a:Process)-[:SPAWNS]->(b:Process) RETURN length(b)"))
+    intercept[IllegalArgumentException](CypherLite.run(nodes, edges,
+      "MATCH (a:Process)-[:SPAWNS]->(b:Process) WHERE length(a) > 1 RETURN a"))
   }
 
   test("pattern comprehension: [(p)-[:T]->(x) | expr] vs OPTIONAL MATCH + collect twin") {
