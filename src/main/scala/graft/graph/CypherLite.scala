@@ -400,9 +400,14 @@ object CypherLite {
       else s"""\\{(?:[^{}']|'[^']*'|${lvl(n - 1)})*\\}"""
     lvl(3)
   }
-  private val NodeRe = ("""\(\s*(\w+)?\s*(?::\s*(\w+))?\s*(""" + PropsMap + """)?\s*\)""").r
-  private val FwdRe = ("""-\[\s*(\w+)?\s*(?::(\w+))?\s*(?:(\*)(?:(\d+)\.\.(\d+))?)?\s*(""" + PropsMap + """)?\s*\]->""").r
-  private val RevRe = ("""<-\[\s*(\w+)?\s*(?::(\w+))?\s*(?:(\*)(?:(\d+)\.\.(\d+))?)?\s*(""" + PropsMap + """)?\s*\]-""").r
+  // node labels accept Cypher-5 LABEL EXPRESSIONS (`:A|B`, `:A&B`,
+  // `:!A` — precedence ! > & > |); edge types accept disjunction only
+  // (`:A|B`). Parenthesized label expressions are out of scope: the
+  // charclass won't match them, so they fail the chain-arity check
+  // loudly instead of silently dropping the label.
+  private val NodeRe = ("""\(\s*(\w+)?\s*(?::\s*([\w|&!]+))?\s*(""" + PropsMap + """)?\s*\)""").r
+  private val FwdRe = ("""-\[\s*(\w+)?\s*(?::([\w|]+))?\s*(?:(\*)(?:(\d+)\.\.(\d+))?)?\s*(""" + PropsMap + """)?\s*\]->""").r
+  private val RevRe = ("""<-\[\s*(\w+)?\s*(?::([\w|]+))?\s*(?:(\*)(?:(\d+)\.\.(\d+))?)?\s*(""" + PropsMap + """)?\s*\]-""").r
   private val PropKeyRe = """(?s)^(\w+)\s*:\s*(.+)$""".r
   private val PropStrRe = """^'([^']*)'$""".r
   private val PropNumRe = """^-?\d+(?:\.\d+)?$""".r
@@ -1929,12 +1934,65 @@ object CypherLite {
       * scan; None when unconstrained. */
     private def nodeFilterIds(n: NodePat): Option[DataFrame] = {
       if (n.label.isEmpty && n.props.isEmpty) None
-      else {
-        var nf = nodes
-        n.label.foreach(l => nf = nf.filter(col("label") === l))
-        propsCond(n.props).foreach(c => nf = nf.filter(c))
-        Some(nf.select(col("id")))
+      else n.label match {
+        case Some(le) if le.exists(c => c == '|' || c == '&' || c == '!') =>
+          // Cypher-5 LABEL EXPRESSION — compiled at the ID-SET level
+          // because this model stores one row per (label, id): a
+          // conjunction can never hold on a single row, and a negation
+          // must clear EVERY row of the id. Inline props (node-level in
+          // Neo4j) gate on ANY row of the id; the single-positive-label
+          // case below keeps the historical same-row semantics (and the
+          // cheaper single-scan plan).
+          var ids = labelExprIds(le)
+          propsCond(n.props).foreach { c =>
+            ids = ids.join(nodes.filter(c).select(col("id")).distinct(),
+              Seq("id"), "left_semi")
+          }
+          Some(ids)
+        case _ =>
+          var nf = nodes
+          n.label.foreach(l => nf = nf.filter(col("label") === l))
+          propsCond(n.props).foreach(c => nf = nf.filter(c))
+          Some(nf.select(col("id")))
       }
+    }
+
+    /** Distinct node-id frame satisfying a label expression. Precedence
+      * ! > & > | on a flat string: split on `|`, each group on `&`,
+      * atoms optionally `!`-negated. Positives compose by semi-join,
+      * negatives by anti-join, groups union+distinct. */
+    private def labelExprIds(le: String): DataFrame = {
+      def labIds(l: String) = {
+        require(l.matches("\\w+"), s"bad label expression ':$le'")
+        nodes.filter(col("label") === l).select(col("id"))
+      }
+      val groups = le.split("\\|", -1).toSeq
+      require(groups.forall(_.nonEmpty), s"bad label expression ':$le'")
+      groups.map { grp =>
+        val atoms = grp.split("&", -1).toSeq
+        require(atoms.forall(_.nonEmpty), s"bad label expression ':$le'")
+        val (neg, pos) = atoms.partition(_.startsWith("!"))
+        var ids = pos match {
+          case head +: rest =>
+            rest.foldLeft(labIds(head))((acc, l) =>
+              acc.join(labIds(l), Seq("id"), "left_semi"))
+          case _ => nodes.select(col("id")).distinct()
+        }
+        neg.foreach(a => ids = ids.join(labIds(a.drop(1)), Seq("id"), "left_anti"))
+        ids
+      }.reduce(_ unionByName _).distinct()
+    }
+
+    /** Edge scan filtered to a hop's type spec — a single type or a
+      * Cypher `:A|B` disjunction (compiles to isin, same pushed scan
+      * filter shape). */
+    private def edgesOfType(t: Option[String]): DataFrame = t match {
+      case Some(tt) if tt.contains("|") =>
+        val parts = tt.split("\\|", -1).toSeq
+        require(parts.forall(_.matches("\\w+")), s"bad relationship type expression ':$tt'")
+        edges.filter(col("etype").isin(parts: _*))
+      case Some(tt) => edges.filter(col("etype") === tt)
+      case None => edges
     }
 
     /** Semi-join a frame's `as` column down to the ids matching the
@@ -1953,7 +2011,7 @@ object CypherLite {
     /** Bounded (from, to) pair set for a hop; a named single hop also
       * carries the edge's property map and event_id for WHERE/RETURN. */
     private def hopPairs(h: EdgePat): DataFrame = {
-      val e1 = h.etype.map(t => edges.filter(col("etype") === t)).getOrElse(edges)
+      val e1 = edgesOfType(h.etype)
       // inline edge property map `-[:T {k: 'v'}]->` filters at the edge
       // scan; on a variable-length hop it constrains EVERY traversed
       // edge (Cypher semantics)
@@ -3100,7 +3158,7 @@ object CypherLite {
         case _ => false
       }
       val h = sp.hop
-      val e1 = h.etype.map(t => edges.filter(col("etype") === t)).getOrElse(edges)
+      val e1 = edgesOfType(h.etype)
       val e0 = propsCond(h.props).map(e1.filter).getOrElse(e1)
       val e = if (h.reverse) e0.select(col("dst").as("src"), col("src").as("dst"))
               else e0.select(col("src"), col("dst"))
@@ -3153,6 +3211,10 @@ object CypherLite {
             // hop-bounded (≤ 10), so the per-element re-split is cheap
             val ns = split(col(sp.pathVar), ">")
             val t = sp.hop.etype.getOrElse("")
+            require(!t.contains("|"),
+              "relationships(p) on a type-disjunction shortestPath hop is " +
+                "unsupported (the BFS path carries node ids only, so the " +
+                "per-step type cannot be reconstructed)")
             when(size(ns) >= 2,
               transform(sequence(lit(1), size(ns) - 1),
                 i => concat(element_at(ns, i), lit(s"-[$t]->"), element_at(ns, i + 1))))

@@ -2239,4 +2239,59 @@ class CypherLiteSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       CypherLite.parse("MATCH (p:Process {image 'x'}) RETURN p"))
   }
+
+  test("label expressions: alternation and negation on the corpus") {
+    val (nodes, edges) = graph
+    // :File|RegistryKey ≡ union of the two label scans
+    val got = CypherLite.run(nodes, edges,
+      "MATCH (x:File|RegistryKey) RETURN DISTINCT x")
+      .collect().map(_.getString(0)).toSet
+    val want = nodes.filter(col("label").isin("File", "RegistryKey"))
+      .select("id").distinct().collect().map(_.getString(0)).toSet
+    assert(got == want && got.nonEmpty)
+    // :!Process ≡ all ids minus ids carrying a Process row
+    val neg = CypherLite.run(nodes, edges,
+      "MATCH (x:!Process) RETURN DISTINCT x").collect().map(_.getString(0)).toSet
+    val all = nodes.select("id").distinct().collect().map(_.getString(0)).toSet
+    val procs = nodes.filter(col("label") === "Process")
+      .select("id").collect().map(_.getString(0)).toSet
+    assert(neg == (all -- procs) && neg.nonEmpty)
+    // alternation composes with a hop: sources of CREATED_FILE|SPAWNS
+    val hop = CypherLite.run(nodes, edges,
+      "MATCH (p:Process)-[:CREATED_FILE|SPAWNS]->(x) RETURN DISTINCT p, x")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    val hopWant = graph._2.filter(col("etype").isin("CREATED_FILE", "SPAWNS"))
+      .select(col("src"), col("dst")).distinct()
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(hop == hopWant && hop.nonEmpty)
+  }
+
+  test("label expressions: conjunction, precedence, props, rejections") {
+    import spark.implicits._
+    // multi-label fixture: a is A+B, b is A only, c is B only, d is C
+    val n = Seq(("a", "A"), ("a", "B"), ("b", "A"), ("c", "B"), ("d", "C"))
+      .map { case (i, l) => (i, l, Map("k" -> i)) }
+      .toDF("id", "label", "props")
+    val e = Seq(("T", "a", "b", 1, Map.empty[String, String]))
+      .toDF("etype", "src", "dst", "event_id", "props")
+    def ids(q: String): Set[String] =
+      CypherLite.run(n, e, q).collect().map(_.getString(0)).toSet
+    assert(ids("MATCH (x:A&B) RETURN DISTINCT x") == Set("a"))
+    assert(ids("MATCH (x:A&!B) RETURN DISTINCT x") == Set("b"))
+    assert(ids("MATCH (x:!A&!B) RETURN DISTINCT x") == Set("d"))
+    // precedence ! > & > | : A&B|C = (A&B)|C
+    assert(ids("MATCH (x:A&B|C) RETURN DISTINCT x") == Set("a", "d"))
+    // alternation + inline props: props gate on ANY row of the id
+    assert(ids("MATCH (x:A|B {k: 'c'}) RETURN DISTINCT x") == Set("c"))
+    assert(ids("MATCH (x:A|C) RETURN DISTINCT x") == Set("a", "b", "d"))
+    // a node with both labels matches the alternation exactly once
+    val rows = CypherLite.run(n, e, "MATCH (x:A|B) RETURN x").collect()
+    assert(rows.map(_.getString(0)).sorted.toSeq == Seq("a", "b", "c"))
+    // malformed expressions are loud
+    intercept[IllegalArgumentException](ids("MATCH (x:A||B) RETURN x"))
+    intercept[IllegalArgumentException](ids("MATCH (x:A&) RETURN x"))
+    // type position takes | only; & fails the edge-token scan
+    intercept[IllegalArgumentException](
+      CypherLite.parse("MATCH (a)-[:A&B]->(b) RETURN a"))
+  }
 }
