@@ -248,7 +248,8 @@ object CypherLite {
     * only (an enclosing-scope reference is a loud unbound error, not a
     * silent rebind). */
   final case class PatCompT(chain: (Seq[NodePat], Seq[EdgePat]),
-                            where: Option[Pred], proj: Term) extends Term {
+                            where: Option[Pred], proj: Term,
+                            distinct: Boolean = false) extends Term {
     def vars: Set[String] = Set(chain._1.head.v)
   }
   /** Map projection `n {.a, .b}` / `n {.*}` (Neo4j's property-subset
@@ -455,6 +456,131 @@ object CypherLite {
   private[graph] def parseWhere(s: String, anon: () => String): Pred =
     new PredParser(s.trim, anon).parsePred()
 
+  /** AND-combine predicates, flattening nested Ands so downstream
+    * conjunct routers (OPTIONAL MATCH per-chain filtering) see a flat
+    * conjunct list. */
+  private def andAll(ps: Seq[Pred]): Option[Pred] = {
+    val flat = ps.flatMap { case And(xs) => xs; case p => Seq(p) }
+    flat match {
+      case Seq() => None
+      case Seq(p) => Some(p)
+      case many => Some(And(many))
+    }
+  }
+
+  /** Split `<pattern> [WHERE <pred>]` at the first ` WHERE ` that sits
+    * OUTSIDE quotes and outside any paren/bracket/brace nesting — an
+    * inline pattern predicate `(n:L WHERE …)` or a quantifier /
+    * COUNT{} body never splits here. */
+  private def splitTopWhere(s: String): (String, Option[String]) =
+    topLevelIndexOf(s, " WHERE ") match {
+      case -1 => (s.trim, None)
+      case i => (s.substring(0, i).trim, Some(s.substring(i + 7).trim))
+    }
+
+  /** First index of a ` KEYWORD `-shaped token (case-insensitive)
+    * outside quotes and any paren/bracket/brace nesting; -1 if none. */
+  private def topLevelIndexOf(s: String, kw: String): Int = {
+    var i = 0; var dp = 0; var db = 0; var dbr = 0; var inQ = false
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (inQ) { if (c == '\'') inQ = false }
+      else c match {
+        case '\'' => inQ = true
+        case '(' => dp += 1
+        case ')' => dp -= 1
+        case '[' => db += 1
+        case ']' => db -= 1
+        case '{' => dbr += 1
+        case '}' => dbr -= 1
+        case ' ' if dp == 0 && db == 0 && dbr == 0 &&
+            s.regionMatches(true, i, kw, 0, kw.length) =>
+          return i
+        case _ => ()
+      }
+      i += 1
+    }
+    -1
+  }
+
+  /** Strip Cypher-5 INLINE PATTERN PREDICATES — `(n:L WHERE p)` /
+    * `-[r:T WHERE p]->` — out of one chain's text. Returns the
+    * stripped chain plus the extracted predicate texts (token order);
+    * callers AND them into their clause predicate, which is exactly
+    * Neo4j's semantics for inner MATCH, and the per-chain conjunct
+    * router gives the pre-join semantics on OPTIONAL chains. Quote-
+    * and nesting-aware: the predicate runs from the group's first
+    * depth-0 WHERE to the group's close, so parenthesized predicates
+    * and quantifier bodies survive intact. */
+  private def stripInlineWheres(pattern: String): (String, Seq[String]) = {
+    val sb = new java.lang.StringBuilder(pattern.length)
+    val preds = scala.collection.mutable.Buffer.empty[String]
+    var i = 0
+    val n = pattern.length
+    while (i < n) {
+      val ch = pattern.charAt(i)
+      if (ch == '(' || ch == '[') {
+        val close = if (ch == '(') ')' else ']'
+        var dp = 0; var db = 0; var dbr = 0; var inQ = false
+        var wAt = -1; var end = -1
+        var j = i + 1
+        while (j < n && end < 0) {
+          val c = pattern.charAt(j)
+          if (inQ) { if (c == '\'') inQ = false }
+          else c match {
+            case '\'' => inQ = true
+            case '(' => dp += 1
+            case '[' => db += 1
+            case '{' => dbr += 1
+            case '}' => dbr -= 1
+            case ')' =>
+              if (dp == 0 && db == 0 && dbr == 0 && close == ')') end = j else dp -= 1
+            case ']' =>
+              if (dp == 0 && db == 0 && dbr == 0 && close == ']') end = j else db -= 1
+            case ' ' if dp == 0 && db == 0 && dbr == 0 && wAt < 0 &&
+                pattern.regionMatches(true, j, " WHERE ", 0, 7) => wAt = j
+            case _ => ()
+          }
+          j += 1
+        }
+        require(end > i, s"unbalanced '$ch' in pattern: $pattern")
+        if (wAt > 0) {
+          val pred = pattern.substring(wAt + 7, end).trim
+          require(pred.nonEmpty, s"empty inline WHERE in pattern: $pattern")
+          val stripped = pattern.substring(i, wAt)
+          if (ch == '[')
+            require(!hasTopLevelStar(stripped),
+              "inline WHERE on a variable-length relationship is " +
+                "unsupported (an inline property map applies per " +
+                "traversed edge instead)")
+          sb.append(stripped).append(close)
+          preds += pred
+        } else sb.append(pattern, i, end + 1)
+        i = end + 1
+      } else { sb.append(ch); i += 1 }
+    }
+    (sb.toString, preds.toSeq)
+  }
+
+  /** `*` at brace-depth 0 outside quotes — a var-length hop marker. */
+  private def hasTopLevelStar(s: String): Boolean = {
+    var inQ = false; var dbr = 0; var found = false
+    var i = 0
+    while (i < s.length && !found) {
+      val c = s.charAt(i)
+      if (inQ) { if (c == '\'') inQ = false }
+      else c match {
+        case '\'' => inQ = true
+        case '{' => dbr += 1
+        case '}' => dbr -= 1
+        case '*' => if (dbr == 0) found = true
+        case _ => ()
+      }
+      i += 1
+    }
+    found
+  }
+
   private final class PredParser(var rest: String,
                                  // fresh names per parser — a CONSTANT default would make two
                                  // anonymous nodes in one pattern collide into a repeated-
@@ -473,6 +599,7 @@ object CypherLite {
     val NumRe = """-?\d+(?:\.\d+)?""".r
     val IdRe = """(\w+)(?:\.(\w+))?""".r
     val CountBrace = """(?i)^COUNT\s*\{""".r
+    val CollectBrace = """(?i)^COLLECT\s*\{""".r
     /** Consume a `{ … }` subquery body (cursor just past the opening
       * brace): scan for the MATCHING close with a depth counter,
       * skipping string literals (an inner WHERE may compare against
@@ -497,21 +624,13 @@ object CypherLite {
       var inner = rest.substring(0, i - 1).trim
       rest = rest.substring(i)
       if (inner.toUpperCase.startsWith("MATCH ")) inner = inner.substring(6).trim
-      // first WHERE outside string literals splits pattern from predicate
-      val up = inner.toUpperCase
-      var w = -1
-      var j = 0
-      while (j < inner.length && w < 0) {
-        inner.charAt(j) match {
-          case '\'' => j = inner.indexOf('\'', j + 1)
-          case _ =>
-            if (up.regionMatches(j, " WHERE ", 0, 7)) w = j
-        }
-        j += 1
-      }
-      if (w < 0) (parsePatternChain(inner, anon), None)
-      else (parsePatternChain(inner.substring(0, w).trim, anon),
-        Some(new PredParser(inner.substring(w + 7).trim, anon).parsePred()))
+      // first TOP-LEVEL WHERE splits pattern from predicate (an inline
+      // `(n WHERE …)` sits inside parens and stays with the pattern —
+      // it merges into the returned predicate below)
+      val (patText, wText) = splitTopWhere(inner)
+      val (chain, inl) = parsePatternChainW(patText, anon)
+      (chain, andAll(wText.toSeq.map(t => new PredParser(t, anon).parsePred()) ++
+        inl.map(parseWhere(_, anon))))
     }
 
     def atomT(): Term = {
@@ -524,6 +643,59 @@ object CypherLite {
         rest = rest.substring(m.end)
         val (chain, innerWhere) = braceSubquery("COUNT")
         SizePat(chain, innerWhere)
+      } else if (CollectBrace.findPrefixMatchOf(rest).isDefined) {
+        // Cypher 5 COLLECT { [MATCH] <pattern> [WHERE <pred>] RETURN
+        // [DISTINCT] <expr> } subquery — the list-building sibling of
+        // COUNT{}/EXISTS{}, compiled onto the pattern-comprehension
+        // shape (sorted list, [] empty-fill — this engine's
+        // deterministic order; an inner ORDER BY is a loud error, not
+        // a silently different order)
+        val m = CollectBrace.findPrefixMatchOf(rest).get
+        rest = rest.substring(m.end)
+        var depth = 1; var i = 0
+        while (i < rest.length && depth > 0) {
+          rest.charAt(i) match {
+            case '{' => depth += 1
+            case '}' => depth -= 1
+            case '\'' =>
+              val e = rest.indexOf('\'', i + 1)
+              require(e > 0, s"unterminated string in COLLECT {{ at: $rest")
+              i = e
+            case _ => ()
+          }
+          i += 1
+        }
+        require(depth == 0, s"unbalanced COLLECT {{ at: $rest")
+        val inner = rest.substring(0, i - 1).trim
+        rest = rest.substring(i)
+        Seq(" ORDER BY ", " WITH ", " UNWIND ", " UNION ").foreach { kw =>
+          require(topLevelIndexOf(inner, kw) < 0,
+            s"COLLECT {{ }} supports the MATCH … WHERE … RETURN <expr> form " +
+              s"only (found${kw}— lists come back SORTED by this engine's " +
+              "deterministic-order rule)")
+        }
+        val rAt = topLevelIndexOf(inner, " RETURN ")
+        require(rAt >= 0 || inner.toUpperCase.startsWith("RETURN "),
+          s"COLLECT {{ }} needs a RETURN <expr>: $inner")
+        require(rAt >= 0, s"COLLECT {{ }} needs a pattern before RETURN: $inner")
+        val head0 = inner.substring(0, rAt).trim
+        var retText = inner.substring(rAt + 8).trim
+        val pcDistinct = retText.toUpperCase.startsWith("DISTINCT ")
+        if (pcDistinct) retText = retText.substring(9).trim
+        val head = if (head0.toUpperCase.startsWith("MATCH ")) head0.substring(6).trim
+                   else head0
+        val (patText, wText) = splitTopWhere(head)
+        val (chain, inl) = parsePatternChainW(patText, anon)
+        val innerWhere =
+          andAll(wText.toSeq.map(t => new PredParser(t, anon).parsePred()) ++
+            inl.map(parseWhere(_, anon)))
+        val save = rest
+        rest = retText
+        val proj = sumT(); ws()
+        require(rest.isEmpty,
+          s"COLLECT {{ }} RETURN must be a single expression, got trailing: $rest")
+        rest = save
+        PatCompT(chain, innerWhere, proj, pcDistinct)
       } else if (rest.startsWith("[")) {
         rest = rest.substring(1)
         ws()
@@ -563,20 +735,13 @@ object CypherLite {
             s"pattern comprehension needs a '| <expr>' projection: [$inner]")
           val patPart = inner.substring(0, bar).trim
           val projText = inner.substring(bar + 1).trim
-          // optional inner WHERE (quote-aware scan, the COUNT{} rule)
-          val up = patPart.toUpperCase
-          var w = -1; var k = 0
-          while (k < patPart.length && w < 0) {
-            patPart.charAt(k) match {
-              case '\'' => k = patPart.indexOf('\'', k + 1)
-              case _ => if (up.regionMatches(k, " WHERE ", 0, 7)) w = k
-            }
-            k += 1
-          }
-          val (chain, innerWhere) =
-            if (w < 0) (parsePatternChain(patPart, anon), None)
-            else (parsePatternChain(patPart.substring(0, w).trim, anon),
-              Some(new PredParser(patPart.substring(w + 7).trim, anon).parsePred()))
+          // optional inner WHERE (top-level split, the COUNT{} rule;
+          // inline `(n WHERE …)` predicates merge in)
+          val (patText, wText) = splitTopWhere(patPart)
+          val (chain, inl) = parsePatternChainW(patText, anon)
+          val innerWhere =
+            andAll(wText.toSeq.map(t => new PredParser(t, anon).parsePred()) ++
+              inl.map(parseWhere(_, anon)))
           // nested term parse over the projection's own text
           rest = projText
           val proj = sumT(); ws()
@@ -735,7 +900,8 @@ object CypherLite {
               require(depth == 0, s"unbalanced size(<pattern>) at: $rest")
               val inner = rest.substring(0, i - 1).trim
               rest = rest.substring(i)
-              SizePat(parsePatternChain(inner, anon))
+              val (szChain, szInl) = parsePatternChainW(inner, anon)
+              SizePat(szChain, andAll(szInl.map(parseWhere(_, anon))))
             } else if (fn == "duration" && { ws(); rest.startsWith("{") }) {
               // duration({years: 1, months: 2, days: 3, hours: 4, …}) —
               // the Cypher map form, normalized to the ISO-8601 string
@@ -891,8 +1057,8 @@ object CypherLite {
       require(close > open, s"unbalanced exists(...) at: $rest")
       val inner = rest.substring(open + 1, close).trim
       rest = rest.substring(close + 1)
-      val chain = parsePatternChain(inner, anon)
-      ExistsPat(chain, chain._1.head.v)
+      val (chain, inl) = parsePatternChainW(inner, anon)
+      ExistsPat(chain, chain._1.head.v, andAll(inl.map(parseWhere(_, anon))))
     }
     val QuantHead = """(?i)^(any|all|none|single)\s*\(\s*(\w+)\s+IN\b""".r
     val ExistsBrace = """(?i)^EXISTS\s*\{""".r
@@ -984,8 +1150,8 @@ object CypherLite {
         // bare pattern predicate: Neo4j's `WHERE (p)-[:T]->(x)` is
         // sugar for exists((p)-[:T]->(x)); `NOT (p)-[:T]->()` composes
         // through the NOT branch above into the anti shape
-        val chain = parsePatternChain(consumePattern(), anon)
-        ExistsPat(chain, chain._1.head.v)
+        val (chain, inl) = parsePatternChainW(consumePattern(), anon)
+        ExistsPat(chain, chain._1.head.v, andAll(inl.map(parseWhere(_, anon))))
       } else if (QuantHead.findPrefixMatchOf(rest).isDefined) {
         // any/all/none/single(x IN xs WHERE p)
         val m = QuantHead.findPrefixMatchOf(rest).get
@@ -1138,7 +1304,19 @@ object CypherLite {
   /** Parse one linear node-chain pattern ("(a:L)-[:T]->(b)") — shared
     * by MATCH stages and exists() pattern predicates. */
   private def parsePatternChain(pattern: String,
-                                anon: () => String): (Seq[NodePat], Seq[EdgePat]) = {
+                                anon: () => String): (Seq[NodePat], Seq[EdgePat]) =
+    parsePatternChainW(pattern, anon) match {
+      case (chain, Seq()) => chain
+      case _ => throw new IllegalArgumentException(
+        s"inline WHERE is not supported in this pattern position: $pattern")
+    }
+
+  /** parsePatternChain plus the chain's extracted inline pattern
+    * predicates (`(n WHERE …)` texts) for the caller to AND into its
+    * clause predicate. */
+  private def parsePatternChainW(pattern0: String,
+                                 anon: () => String): ((Seq[NodePat], Seq[EdgePat]), Seq[String]) = {
+    val (pattern, inlinePreds) = stripInlineWheres(pattern0)
     val nodes = NodeRe.findAllMatchIn(pattern).map { m =>
       val v = Option(m.group(1)).getOrElse(anon())
       NodePat(v, Option(m.group(2)),
@@ -1165,14 +1343,24 @@ object CypherLite {
       }.toSeq
     require(nodes.nonEmpty && nodes.size == hops.size + 1,
       s"pattern must be a linear node chain: ${nodes.size} nodes, ${hops.size} hops")
-    (nodes, hops)
+    ((nodes, hops), inlinePreds)
   }
 
-  private def parseMatchStage(patternPart: String, whereOrNull: String,
+  private def parseMatchStage(patternPart0: String, whereOrNull: String,
                               outerVars: Set[String],
                               anon: () => String): MatchStage = {
-    def parsePattern(pattern: String): (Seq[NodePat], Seq[EdgePat]) =
-      parsePatternChain(pattern, anon)
+    // clause regexes split `MATCH <pat> WHERE <pred>` at the FIRST
+    // ` WHERE ` — wrong when an INLINE pattern predicate `(n WHERE …)`
+    // fired first. Rejoin and re-split at the first TOP-LEVEL WHERE.
+    val (patternPart, whereOpt) =
+      if (whereOrNull == null) (patternPart0, None)
+      else splitTopWhere(patternPart0 + " WHERE " + whereOrNull)
+    val inlineTexts = scala.collection.mutable.Buffer.empty[String]
+    def parsePattern(pattern: String): (Seq[NodePat], Seq[EdgePat]) = {
+      val (c, ps) = parsePatternChainW(pattern, anon)
+      inlineTexts ++= ps
+      c
+    }
     val segs = patternPart.split("(?i)\\s+OPTIONAL MATCH\\s+")
     // generic path variables: `p = <chain>` on a main chain binds p as
     // a path; every hop gets an edge variable (fresh for unnamed hops)
@@ -1213,7 +1401,9 @@ object CypherLite {
       require(!boundVars.contains(pv),
         s"path variable '$pv' collides with a pattern variable")
     }
-    MatchStage(patterns, optChains, Option(whereOrNull).map(parseWhere(_, anon)),
+    MatchStage(patterns, optChains,
+      andAll(whereOpt.toSeq.map(parseWhere(_, anon)) ++
+        inlineTexts.map(parseWhere(_, anon))),
       paths.toSeq)
   }
 
@@ -2789,7 +2979,7 @@ object CypherLite {
           val cnt = matches.groupBy(col(anchor)).agg(count(lit(1)).as(cn))
           df = df.join(cnt, Seq(anchor), "left")
           coalesce(col(cn), lit(0L))
-        case PatCompT(chain @ (np, hops), innerWhere, proj) =>
+        case PatCompT(chain @ (np, hops), innerWhere, proj, pcDistinct) =>
           // pattern comprehension: the SizePat aggregated-semi-join
           // shape returning sort_array(collect_list(expr)) instead of
           // a count; anchors with no match fill [] (Cypher). The
@@ -2812,8 +3002,10 @@ object CypherLite {
           // drops bare nulls; the struct is non-null per match, sorts
           // deterministically (nulls-first within the field), and
           // unwraps after the aggregation
+          val collected = collect_list(struct(pc.as("v")))
           val lst = m2.groupBy(col(anchor))
-            .agg(sort_array(collect_list(struct(pc.as("v")))).as(cn))
+            .agg(sort_array(
+              if (pcDistinct) array_distinct(collected) else collected).as(cn))
           val dt = lst.schema(cn).dataType
           df = df.join(lst, Seq(anchor), "left")
           transform(

@@ -2240,6 +2240,115 @@ class CypherLiteSpec extends SparkSpec {
       CypherLite.parse("MATCH (p:Process {image 'x'}) RETURN p"))
   }
 
+  test("inline WHERE in node and relationship patterns") {
+    val (nodes, edges) = graph
+    def rows(q: String): Set[(String, String)] =
+      CypherLite.run(nodes, edges, q)
+        .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    // node inline WHERE ≡ the clause WHERE spelling
+    val inl = rows("MATCH (p:Process WHERE p.image ENDS WITH '.exe')" +
+      "-[:CONNECTED_TO]->(ip:Ip) RETURN DISTINCT p, ip")
+    val cls = rows("MATCH (p:Process)-[:CONNECTED_TO]->(ip:Ip) " +
+      "WHERE p.image ENDS WITH '.exe' RETURN DISTINCT p, ip")
+    assert(inl == cls && inl.nonEmpty)
+    // relationship inline WHERE ≡ the clause WHERE spelling
+    val einl = rows("MATCH (p:Process)-[r:CONNECTED_TO WHERE r.dport = '443']" +
+      "->(ip:Ip) RETURN DISTINCT p, ip")
+    val ecls = rows("MATCH (p:Process)-[r:CONNECTED_TO]->(ip:Ip) " +
+      "WHERE r.dport = '443' RETURN DISTINCT p, ip")
+    assert(einl == ecls && einl.nonEmpty)
+    // inline + clause WHERE compose (both filters apply)
+    val both = rows("MATCH (p:Process WHERE p.image ENDS WITH '.exe')" +
+      "-[r:CONNECTED_TO WHERE r.dport = '443']->(ip:Ip) " +
+      "WHERE NOT ip.id STARTS WITH '10.' RETURN DISTINCT p, ip")
+    val bothCls = rows("MATCH (p:Process)-[r:CONNECTED_TO]->(ip:Ip) " +
+      "WHERE p.image ENDS WITH '.exe' AND r.dport = '443' " +
+      "AND NOT ip.id STARTS WITH '10.' RETURN DISTINCT p, ip")
+    assert(both == bothCls && both.nonEmpty)
+    // inline WHERE inside EXISTS{} / COUNT{} bodies
+    val ex = CypherLite.run(nodes, edges,
+      "MATCH (p:Process) WHERE EXISTS { (p)-[:CONNECTED_TO]->" +
+        "(ip:Ip WHERE ip.id STARTS WITH '172.') } RETURN DISTINCT p")
+      .collect().map(_.getString(0)).toSet
+    val exCls = CypherLite.run(nodes, edges,
+      "MATCH (p:Process) WHERE EXISTS { (p)-[:CONNECTED_TO]->(ip:Ip) " +
+        "WHERE ip.id STARTS WITH '172.' } RETURN DISTINCT p")
+      .collect().map(_.getString(0)).toSet
+    assert(ex == exCls && ex.nonEmpty)
+  }
+
+  test("inline WHERE: OPTIONAL MATCH pre-join semantics and rejections") {
+    import spark.implicits._
+    val n = Seq(("a", "A", Map("k" -> "1")), ("b", "B", Map("k" -> "2")))
+      .toDF("id", "label", "props")
+    val e = Seq(("T", "a", "b", 1, Map.empty[String, String]))
+      .toDF("etype", "src", "dst", "event_id", "props")
+    // the inline predicate filters BEFORE the left join: x survives
+    // with a null y (Cypher's OPTIONAL WHERE semantics)
+    val kept = CypherLite.run(n, e,
+      "MATCH (x:A) OPTIONAL MATCH (x)-[:T]->(y:B WHERE y.k = '9') RETURN x, y")
+      .collect().map(r => (r.getString(0), Option(r.getString(1)))).toSet
+    assert(kept == Set(("a", None)))
+    val hit = CypherLite.run(n, e,
+      "MATCH (x:A) OPTIONAL MATCH (x)-[:T]->(y:B WHERE y.k = '2') RETURN x, y")
+      .collect().map(r => (r.getString(0), Option(r.getString(1)))).toSet
+    assert(hit == Set(("a", Some("b"))))
+    // var-length hop + inline WHERE is a loud error
+    val err = intercept[IllegalArgumentException] {
+      CypherLite.run(n, e,
+        "MATCH (x:A)-[r:T*1..2 WHERE r.w = '1']->(y) RETURN x, y").collect()
+    }
+    assert(err.getMessage.contains("variable-length"))
+    // empty inline WHERE is a loud error
+    intercept[IllegalArgumentException] {
+      CypherLite.parse("MATCH (x:A WHERE ) RETURN x")
+    }
+  }
+
+  test("COLLECT { } subqueries compile onto the pattern-comprehension shape") {
+    val (nodes, edges) = graph
+    // COLLECT { MATCH … RETURN expr } ≡ the pattern comprehension twin
+    val got = CypherLite.run(nodes, edges,
+      "MATCH (p:Process) RETURN p, COLLECT { MATCH (p)-[:CONNECTED_TO]->" +
+        "(ip:Ip) RETURN ip.id } AS ips")
+      .collect().map(r => (r.getString(0), r.getSeq[String](1).toList)).toSet
+    val twin = CypherLite.run(nodes, edges,
+      "MATCH (p:Process) RETURN p, [(p)-[:CONNECTED_TO]->(ip:Ip) | ip.id] AS ips")
+      .collect().map(r => (r.getString(0), r.getSeq[String](1).toList)).toSet
+    assert(got == twin && got.nonEmpty)
+    assert(got.exists(_._2.nonEmpty))
+    // inner WHERE filters matches; empty matches fill []
+    val filt = CypherLite.run(nodes, edges,
+      "MATCH (p:Process) RETURN p, COLLECT { MATCH (p)-[r:CONNECTED_TO]->" +
+        "(ip:Ip) WHERE r.dport = '443' RETURN ip.id } AS ips")
+      .collect().map(r => (r.getString(0), r.getSeq[String](1).toList)).toMap
+    val filtTwin = CypherLite.run(nodes, edges,
+      "MATCH (p:Process) RETURN p, [(p)-[r:CONNECTED_TO]->(ip:Ip) " +
+        "WHERE r.dport = '443' | ip.id] AS ips")
+      .collect().map(r => (r.getString(0), r.getSeq[String](1).toList)).toMap
+    assert(filt == filtTwin && filt.values.exists(_.isEmpty))
+    // DISTINCT dedups the list; size() composes
+    import spark.implicits._
+    val dn = Seq(("a", "A"), ("b", "B"), ("c", "B")).map(t => (t._1, t._2, Map("k" -> "v")))
+      .toDF("id", "label", "props")
+    val de = Seq(("T", "a", "b"), ("T", "a", "c"))
+      .map(t => (t._1, t._2, t._3, 1, Map.empty[String, String]))
+      .toDF("etype", "src", "dst", "event_id", "props")
+    val dis = CypherLite.run(dn, de,
+      "MATCH (x:A) RETURN x, COLLECT { MATCH (x)-[:T]->(y:B) " +
+        "RETURN DISTINCT y.k } AS ks, " +
+        "size(COLLECT { MATCH (x)-[:T]->(y:B) RETURN y.k }) AS n")
+      .collect().map(r => (r.getString(0), r.getSeq[String](1).toList,
+        r.getAs[Number](2).intValue)).toSet
+    assert(dis == Set(("a", List("v"), 2)))
+    // inner ORDER BY / pipelines are loud (sorted-list house rule)
+    intercept[IllegalArgumentException](CypherLite.run(dn, de,
+      "MATCH (x:A) RETURN COLLECT { MATCH (x)-[:T]->(y) RETURN y.k " +
+        "ORDER BY y.k } AS ks"))
+    intercept[IllegalArgumentException](CypherLite.run(dn, de,
+      "MATCH (x:A) RETURN COLLECT { MATCH (x)-[:T]->(y) WITH y RETURN y.k } AS ks"))
+  }
+
   test("label expressions: alternation and negation on the corpus") {
     val (nodes, edges) = graph
     // :File|RegistryKey ≡ union of the two label scans
