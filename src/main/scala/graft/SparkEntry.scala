@@ -70,6 +70,7 @@ object SparkEntry {
     "g_motif"      -> (GraphQueries.gMotif _),
     "g_tree"       -> (GraphQueries.gTree _),
     "g_reach"      -> (GraphQueries.gReach _),
+    "g_toposort"   -> (GraphQueries.gToposort _),
     "g_cc"         -> (GraphQueries.gCc _),
     "g_degree"     -> (GraphQueries.gDegree _),
     "g_topdeg"     -> (GraphQueries.gTopdeg _),
@@ -700,6 +701,28 @@ object SparkEntry {
         |  SELECT e.dst, b.dist+1 FROM bfs b JOIN edges e ON b.id=e.src WHERE b.dist<10
         |)
         |SELECT dist, count(*) AS n FROM (SELECT id, min(dist) AS dist FROM bfs GROUP BY 1) t
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "g_toposort" ->
+      // longest-path level from the DAG's sources: enumerate every
+      // root-anchored walk (the supply-chain DAG is stage-ordered, so
+      // walks are ≤ 5 hops) and take max(level) per vertex — an
+      // independent recomputation of the Kahn layering
+      """WITH RECURSIVE e AS (
+        |  SELECT 'r:'||n_regionkey AS src, 'n:'||n_nationkey AS dst FROM nation
+        |  UNION ALL SELECT 'n:'||c_nationkey, 'c:'||c_custkey FROM customer
+        |  UNION ALL SELECT 'c:'||o_custkey, 'o:'||o_orderkey FROM orders
+        |  UNION ALL SELECT DISTINCT 'o:'||l_orderkey, 'p:'||l_partkey
+        |    FROM lineitem WHERE l_partkey % 20 = 0
+        |  UNION ALL SELECT DISTINCT 'p:'||l_partkey, 's:'||l_suppkey
+        |    FROM lineitem WHERE l_partkey % 20 = 0
+        |), walk AS (
+        |  SELECT src AS id, 0 AS lvl
+        |  FROM (SELECT DISTINCT src FROM e WHERE src NOT IN (SELECT dst FROM e)) r
+        |  UNION ALL
+        |  SELECT e.dst, w.lvl + 1 FROM walk w JOIN e ON e.src = w.id
+        |  WHERE w.lvl < 10
+        |)
+        |SELECT id, CAST(max(lvl) AS BIGINT) AS level FROM walk
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "g_reach" ->
       """WITH RECURSIVE base AS (

@@ -2091,6 +2091,64 @@ object GraphOps {
     done.reduce(_ unionByName _)
   }
 
+  /** Topological layering of a DAG (GDS `gds.dag.topologicalSort`
+    * parity — the catalog's ordering procedure): returns (id, level)
+    * where level is the LONGEST-path distance from any source (GDS's
+    * `maxDistanceFromSource`), so sorting by (level, id) is a valid,
+    * deterministic topological order — every edge crosses strictly
+    * upward in level, and same-level vertices are never comparable.
+    *
+    * Vertices on or downstream of a CYCLE never settle and are
+    * EXCLUDED from the result — GDS's own contract for non-DAG input —
+    * so `result.count < |V|` is the cycle signal; `requireDag = true`
+    * turns it into a loud error naming the count instead.
+    *
+    * Round-synchronous Kahn: a vertex settles at round r (level = r)
+    * once NO in-edge starts at an unsettled vertex. Each round is one
+    * semi-join (|E| keyed on src) + one anti-join — the BFS family's
+    * scale shape: O(depth) rounds, O(|E|) shuffle each, severed level
+    * frames so the plan stays leaf-sized at any depth. Exact-or-loud:
+    * hitting `maxIter` while vertices are still settling raises
+    * (a cycle is NOT progress and exits quietly instead). */
+  def topologicalSort(edges: DataFrame, maxIter: Int = 50,
+                      requireDag: Boolean = false): DataFrame = {
+    val e = edges.select(col("src"), col("dst")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val verts = e.select(col("src").as("id"))
+      .unionByName(e.select(col("dst").as("id"))).distinct()
+    var unsettled = graft.Borrow.severLazy(verts)
+    var unsettledCount = unsettled.count()
+    val empty = unsettled.withColumn("level", lit(0L)).limit(0).localCheckpoint()
+    var settledParts = List.empty[DataFrame]
+    var round = 0
+    var progressing = true
+    while (unsettledCount > 0 && progressing) {
+      require(round < maxIter,
+        s"topologicalSort: depth exceeds maxIter=$maxIter with " +
+          s"$unsettledCount vertices still settling — raise maxIter")
+      val blocked = e
+        .join(unsettled.select(col("id").as("src")), Seq("src"), "left_semi")
+        .select(col("dst").as("id")).distinct()
+      val newly = graft.Borrow.severLazy(
+        unsettled.join(blocked, Seq("id"), "left_anti")
+          .withColumn("level", lit(round.toLong)))
+      val n = newly.count()
+      if (n == 0) progressing = false
+      else {
+        settledParts ::= newly
+        unsettled = graft.Borrow.severLazy(
+          unsettled.join(newly.select(col("id")), Seq("id"), "left_anti"))
+        unsettledCount -= n
+        round += 1
+      }
+    }
+    require(!requireDag || unsettledCount == 0,
+      s"topologicalSort(requireDag = true): $unsettledCount vertices sit " +
+        "on or downstream of a cycle")
+    val out = (empty +: settledParts).reduce(_ unionByName _)
+    graft.Borrow.reclaim(out, e)
+  }
+
   /** In/out/total degree per vertex. */
   def degrees(edges: DataFrame): DataFrame = {
     val out = edges.groupBy(col("src").as("id")).agg(count(lit(1)).as("out_deg"))

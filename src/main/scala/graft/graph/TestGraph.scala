@@ -53,6 +53,21 @@ object TestGraph {
       .distinct()
   }
 
+  /** Supply-chain DAG: region→nation→customer→order→part→supplier.
+    * Acyclic BY CONSTRUCTION (the six namespaces are stage-ordered and
+    * every edge crosses one stage forward), multi-parent from the
+    * order→part stage on (a part sits in many orders), so longest-path
+    * layering is non-trivial. The o→p/p→s stages reuse the
+    * `l_partkey % 20` sparsifier so closure oracles stay bounded. */
+  def supplyChainDagEdges(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir).filter(col("l_partkey") % 20 === 0)
+    hierarchyEdges(s, dir)
+      .unionByName(li.select(concat(lit("o:"), col("l_orderkey")).as("src"),
+        concat(lit("p:"), col("l_partkey")).as("dst")).distinct())
+      .unionByName(li.select(concat(lit("p:"), col("l_partkey")).as("src"),
+        concat(lit("s:"), col("l_suppkey")).as("dst")).distinct())
+  }
+
   /** Weighted part—supplier edges: weight is a deterministic small
     * integer derived from the endpoint keys (1..5), so hop-bounded
     * shortest-path oracles stay enumerable. */

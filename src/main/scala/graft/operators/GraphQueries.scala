@@ -66,6 +66,15 @@ object GraphQueries {
       .groupBy(col("component")).agg(count(lit(1)).as("size"))
       .orderBy(col("component"))
 
+  /** B27 — topological layering of the supply-chain DAG (Kahn levels =
+    * longest path from the sources; GDS `gds.dag.topologicalSort`
+    * parity — sorting by (level, id) is a valid deterministic
+    * topological order). */
+  def gToposort(s: SparkSession, dir: String): DataFrame =
+    GraphOps.topologicalSort(TestGraph.supplyChainDagEdges(s, dir), maxIter = 10)
+      .select(col("id"), col("level").cast("long").as("level"))
+      .orderBy(col("id"))
+
   /** B7 — degree per vertex of the part—supplier graph. */
   def gDegree(s: SparkSession, dir: String): DataFrame =
     GraphOps.degrees(TestGraph.partSupplierEdges(s, dir))

@@ -18,6 +18,40 @@ class GraphOpsSpec extends SparkSpec {
     assert(out == Map("a" -> 0, "b" -> 1, "c" -> 1, "d" -> 2))
   }
 
+  test("topologicalSort: longest-path levels, cycle exclusion, loud bounds") {
+    // diamond a->b, a->c, b->d, c->d plus a long way round a->e->f->d:
+    // d's level is the LONGEST path (3), not the BFS distance (2)
+    val dag = edgeDf("a" -> "b", "a" -> "c", "b" -> "d", "c" -> "d",
+      "a" -> "e", "e" -> "f", "f" -> "d")
+    val lv = GraphOps.topologicalSort(dag)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(lv == Map("a" -> 0L, "b" -> 1L, "c" -> 1L, "e" -> 1L,
+      "f" -> 2L, "d" -> 3L))
+    // every edge crosses strictly upward => (level, id) is a topo order
+    assert(dag.collect().forall(r => lv(r.getString(0)) < lv(r.getString(1))))
+    // a cycle and everything downstream of it are EXCLUDED (GDS
+    // contract); upstream and independent vertices still settle
+    val cyc = edgeDf("z" -> "x", "x" -> "y", "y" -> "x", "y" -> "t",
+      "p" -> "q")
+    val out = GraphOps.topologicalSort(cyc)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out == Map("z" -> 0L, "p" -> 0L, "q" -> 1L))
+    // requireDag turns the exclusion into a loud error
+    val err = intercept[IllegalArgumentException] {
+      GraphOps.topologicalSort(cyc, requireDag = true)
+    }
+    assert(err.getMessage.contains("cycle"))
+    // maxIter while still progressing is loud, never a silent truncation
+    val chain = edgeDf("a" -> "b", "b" -> "c", "c" -> "d", "d" -> "e")
+    val err2 = intercept[IllegalArgumentException] {
+      GraphOps.topologicalSort(chain, maxIter = 2)
+    }
+    assert(err2.getMessage.contains("maxIter"))
+    // empty input => empty output, correct schema
+    val empty = GraphOps.topologicalSort(edgeDf().limit(0))
+    assert(empty.columns.toSeq == Seq("id", "level") && empty.count() == 0)
+  }
+
   test("bfs respects maxIter") {
     val edges = edgeDf("a" -> "b", "b" -> "c", "c" -> "d")
     val out = GraphOps.bfs(edges, Seq("a").toDF("id"), maxIter = 2)
