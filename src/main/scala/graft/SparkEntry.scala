@@ -116,6 +116,7 @@ object SparkEntry {
     "g_wbetweenness" -> (GraphQueries.gWBetweenness _),
     "g_wbetweenness_dist" -> (GraphQueries.gWBetweennessDist _),
     "g_wpaths"     -> (GraphQueries.gWPaths _),
+    "g_kpaths"     -> (GraphQueries.gKPaths _),
     "g_kcore"      -> ((s, d) => GraphQueries.gKcore(s, d)),
     "n1_nodemerge" -> (GraphQueries.n1NodeMerge _),
     "n2_edgemerge" -> (GraphQueries.n2EdgeMerge _),
@@ -907,6 +908,29 @@ object SparkEntry {
     // forced-distributed four-phase Dijkstra-Brandes: SAME oracle
     "g_wbetweenness_dist" -> wBetweennessOracle,
     "g_wpaths" -> wPathsOracle,
+    // k shortest loopless paths: enumerate EVERY simple s:40-anchored
+    // walk within 3 hops (never through the target), keep the ones
+    // ending at p:20, rank by (dist, hops, path) — an independent
+    // recomputation of the Yen result set under the house total order
+    "g_kpaths" ->
+      """WITH RECURSIVE base AS (
+        |  SELECT DISTINCT 'p:'||l_partkey AS a, 's:'||l_suppkey AS b,
+        |    CAST((l_partkey + l_suppkey) % 5 + 1 AS BIGINT) AS w
+        |  FROM lineitem WHERE l_partkey % 20 = 0),
+        |e AS (SELECT a AS src, b AS dst, CAST(w AS DOUBLE) AS w FROM base
+        |      UNION SELECT b, a, CAST(w AS DOUBLE) FROM base),
+        |walk AS (
+        |  SELECT 's:40' AS id, CAST(0 AS DOUBLE) AS d, 0 AS hops, 's:40' AS path
+        |  UNION ALL
+        |  SELECT e.dst, wk.d + e.w, wk.hops + 1, wk.path || '>' || e.dst
+        |  FROM walk wk JOIN e ON wk.id = e.src
+        |  WHERE wk.hops < 3 AND wk.id <> 'p:20'
+        |    AND position('>' || e.dst || '>' IN '>' || wk.path || '>') = 0
+        |)
+        |SELECT CAST(row_number() OVER (ORDER BY d, hops, path) AS BIGINT) AS rank,
+        |       CAST(d AS BIGINT) AS dist, CAST(hops AS BIGINT) AS hops, path
+        |FROM walk WHERE id = 'p:20'
+        |ORDER BY rank LIMIT 7""".stripMargin,
     // modularity of the SQL-replayable LPA partition: Q = internal/2m −
     // Σtot²/(2m)² from exact integer counts (same double ops as the
     // Scala side); louvain_ge_lpa pinned 1 = the quality floor

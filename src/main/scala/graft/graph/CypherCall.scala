@@ -415,6 +415,43 @@ object CypherCall {
             cfg.int("maxIterations", 10))
           .select(col("root"), col("id"), col("dist").as("distance"), col("path"))
       }),
+    // GDS gds.shortestPath.yens parity: the k minimal-weight LOOPLESS
+    // paths between a pinned pair, ranked by the house total order
+    // (dist, hops, path). Weight resolution matches graft.shortestPath.
+    "yens" -> Proc(Seq("rank", "dist", "hops", "path"),
+      Set("sourceNode", "targetNode", "k", "maxHops", "weightProperty"),
+      (n, ed, cfg) => {
+        val srcN = cfg.str("sourceNode").getOrElse(
+          throw new IllegalArgumentException(
+            "yens: config key 'sourceNode' is required"))
+        val dstN = cfg.str("targetNode").getOrElse(
+          throw new IllegalArgumentException(
+            "yens: config key 'targetNode' is required"))
+        val edF = filterEdges(n, ed, cfg)
+        val ed2 = cfg.str("weightProperty") match {
+          case Some(p) =>
+            require(edF.columns.contains("props"),
+              "yens: weightProperty needs a 'props' column on the edge frame")
+            val withW = edF.withColumn("w",
+              element_at(col("props"), p).cast("double"))
+            require(withW.filter(col("w").isNull).limit(1).count() == 0,
+              s"graft.yens: weightProperty '$p' is missing or non-numeric " +
+                "on at least one edge")
+            withW
+          case None if edF.columns.contains("w") => edF
+          case None => edF.withColumn("w", lit(1L))
+        }
+        GraphOps.kShortestPaths(orientEdges(ed2, cfg), srcN, dstN,
+          cfg.int("k", 3), cfg.int("maxHops", 10), weightCol = Some("w"))
+      }),
+    // GDS gds.dag.topologicalSort parity: (id, level) with level =
+    // longest-path distance from the sources; cycle vertices excluded
+    // (requireDag = true raises instead)
+    "topologicalSort" -> Proc(Seq("id", "level"),
+      Set("maxIterations", "requireDag"),
+      (n, ed, cfg) =>
+        GraphOps.topologicalSort(selectEdges(n, ed, cfg),
+          cfg.int("maxIterations", 50), cfg.bool("requireDag", false))),
     "eigenvector" -> Proc(Seq("id", "score"),
       Set("maxIterations", "relationshipWeightProperty"),
       (n, ed, cfg) => {

@@ -2091,6 +2091,96 @@ object GraphOps {
     done.reduce(_ unionByName _)
   }
 
+  /** B28 — k shortest LOOPLESS paths between a pinned (source, target)
+    * pair (GDS `gds.shortestPath.yens` result parity: the k
+    * minimal-weight simple paths, deterministically ranked by
+    * (dist, hops, path) — Yen's output under the house total order, so
+    * the result is engine-reproducible and oracle-checkable).
+    *
+    * NOT Yen's spur recursion: that is k·|path| SEQUENTIAL SSSP runs —
+    * a driver-bound loop by construction. Instead ONE hop-bounded
+    * frontier walk enumerates the simple source→target paths (B21's
+    * documented per-path contract: combinatorial on diamond-dense
+    * graphs by design, finite under the hop bound + loop guard),
+    * pruned hard by a REVERSE hop-BFS from the target: a partial path
+    * whose head cannot reach the target within its remaining hop
+    * budget dies immediately, which collapses the walk to the
+    * target's corridor. Top-k at the end is one sort+limit over the
+    * finished paths. Returns (rank, dist, hops, path), rank 1..k.
+    *
+    * `weightCol = None` means every edge weighs 1 (dist = hops);
+    * parallel (src, dst) duplicates collapse to the lightest edge (the
+    * GDS projection rule). Paths are node-simple (loopless — Yen's
+    * contract), never pass THROUGH the target, and weights must be
+    * strictly positive (loud).
+    */
+  def kShortestPaths(edges: DataFrame, source: String, target: String,
+                     k: Int = 3, maxHops: Int = 10,
+                     weightCol: Option[String] = None): DataFrame = {
+    require(k >= 1, s"kShortestPaths: k must be >= 1, got $k")
+    require(maxHops >= 1 && maxHops <= 10,
+      s"kShortestPaths: maxHops must be in 1..10 (the path-surface bound), got $maxHops")
+    require(source != target,
+      "kShortestPaths: source == target (the empty path is not a path)")
+    val base = weightCol match {
+      case Some(wc) => edges.select(col("src").cast("string").as("src"),
+        col("dst").cast("string").as("dst"), col(wc).cast("double").as("w"))
+      case None => edges.select(col("src").cast("string").as("src"),
+        col("dst").cast("string").as("dst"), lit(1.0).as("w"))
+    }
+    val e = base.filter(col("w").isNotNull)
+      .groupBy(col("src"), col("dst")).agg(min(col("w")).as("w"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    require(e.filter(col("w") <= 0).limit(1).count() == 0,
+      "kShortestPaths: weights must be strictly positive (GDS dijkstra family rule)")
+    val spark = edges.sparkSession
+    // the pruning corridor: minimal hop count TO the target
+    val rev = bfs(e.select(col("dst").as("src"), col("src").as("dst")),
+        spark.range(1).select(lit(target).as("id")), maxIter = maxHops)
+      .select(col("id"), col("dist").as("rd"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    rev.count()
+    var frontier = spark.range(1)
+      .select(lit(source).as("id"), lit(0.0).as("dist"),
+        lit(source).as("path"), lit(0).as("hops"))
+      .join(rev, Seq("id"), "left_semi") // unreachable source => empty walk
+      .localCheckpoint()
+    var fin = List.empty[DataFrame]
+    var n = frontier.count()
+    var r = 0
+    while (r < maxHops && n > 0) {
+      r += 1
+      val cand = frontier.join(e, frontier("id") === e("src"))
+        // node-simple: an id never repeats within one path (ids are
+        // '>'-free by the path-surface contract, so the split is exact)
+        .filter(!array_contains(split(col("path"), ">"), col("dst")))
+        .select(col("dst").as("id"), (col("dist") + col("w")).as("dist"),
+          concat(col("path"), lit(">"), col("dst")).as("path"),
+          lit(r).as("hops"))
+      val pruned = cand.join(rev, Seq("id")) // drops target-unreachable heads
+        .filter(col("rd") <= maxHops - r)
+        .select(col("id"), col("dist"), col("path"), col("hops"))
+      val done = graft.Borrow.severLazy(pruned.filter(col("id") === target))
+      val next = graft.Borrow.severLazy(pruned.filter(col("id") =!= target))
+      if (done.count() > 0) fin ::= done
+      n = next.count()
+      frontier = next
+    }
+    val all = fin match {
+      case Nil => frontier.limit(0)
+      case fs => fs.reduce(_ unionByName _)
+    }
+    import org.apache.spark.sql.expressions.Window
+    // the window runs on <= k rows (post-limit), so the unpartitioned
+    // row_number is a single tiny task, not a global-sort hazard
+    val ranked = all.orderBy(col("dist"), col("hops"), col("path")).limit(k)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("dist"), col("hops"), col("path"))))
+      .select(col("rank").cast("long").as("rank"), col("dist"),
+        col("hops").cast("long").as("hops"), col("path"))
+    graft.Borrow.reclaim(ranked, e, rev)
+  }
+
   /** Topological layering of a DAG (GDS `gds.dag.topologicalSort`
     * parity — the catalog's ordering procedure): returns (id, level)
     * where level is the LONGEST-path distance from any source (GDS's

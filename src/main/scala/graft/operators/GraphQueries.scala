@@ -328,6 +328,16 @@ object GraphQueries {
       .select(col("root"), col("id"), col("dist"), col("path"))
       .orderBy(col("root"), col("id"))
 
+  /** B28 — k shortest loopless paths (gds.shortestPath.yens parity)
+    * on the weighted symmetric part—supplier graph, pinned pair
+    * s:40 → p:20, integral weights so dist compares exactly. */
+  def gKPaths(s: SparkSession, dir: String): DataFrame =
+    GraphOps.kShortestPaths(weightedSym(s, dir), source = "s:40",
+        target = "p:20", k = 7, maxHops = 3, weightCol = Some("w"))
+      .select(col("rank"), col("dist").cast("long").as("dist"),
+        col("hops"), col("path"))
+      .orderBy(col("rank"))
+
   /** B12 — GDS-style node similarity: Jaccard over supplier neighbor
     * sets of the (sparsified) part—supplier graph. */
   def gNodesim(s: SparkSession, dir: String): DataFrame =

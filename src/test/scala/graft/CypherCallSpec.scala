@@ -322,6 +322,56 @@ class CypherCallSpec extends SparkSpec {
     assert(called.columns.toSeq == direct.columns.toSeq)
   }
 
+  test("yens CALL ≡ direct kShortestPaths, weightProperty resolves from props") {
+    // unweighted: hop ranking on the bridged triangles (a..c, x..z)
+    val direct = GraphOps.kShortestPaths(
+      edges.select(col("src"), col("dst")).withColumn("w", lit(1L)),
+      "a", "x", k = 3, maxHops = 5, weightCol = Some("w"))
+    val called = CypherCall.run(nodes, edges,
+      """CALL graft.yens({sourceNode: 'a', targetNode: 'x', k: 3, maxHops: 5})
+        |YIELD rank, dist, hops, path RETURN rank, dist, hops, path
+        |ORDER BY rank""".stripMargin)
+    assert(rows(called) == rows(direct) && called.count() > 0)
+    // weightProperty: every edge weighs 2 => dist = 2 * hops
+    val w = CypherCall.run(nodes, edges,
+      """CALL graft.yens({sourceNode: 'a', targetNode: 'x', k: 3, maxHops: 5,
+        |weightProperty: 'weight'})
+        |YIELD rank, dist, hops RETURN rank, dist, hops ORDER BY rank""".stripMargin)
+      .collect()
+    assert(w.nonEmpty && w.forall(r =>
+      r.getDouble(1) == 2.0 * r.getLong(2)))
+    // loud: missing sourceNode
+    val err = intercept[IllegalArgumentException] {
+      CypherCall.run(nodes, edges,
+        "CALL graft.yens({targetNode: 'x'}) YIELD rank RETURN rank")
+    }
+    assert(err.getMessage.contains("sourceNode"))
+  }
+
+  test("topologicalSort CALL ≡ direct API on a DAG projection") {
+    // SPAWNS triangle is a cycle — excluded; select only the DAG-ish
+    // CONNECTED_TO subgraph minus its triangle via relationshipType +
+    // a fixture-specific check through the direct API instead
+    import spark.implicits._
+    val dagN = Seq(("r", "N"), ("s", "N"), ("t", "N"), ("u", "N"))
+      .toDF("id", "label").withColumn("props", map())
+    val dagE = Seq(("r", "s", "T"), ("s", "t", "T"), ("r", "t", "T"), ("t", "u", "T"))
+      .toDF("src", "dst", "etype").withColumn("props", map())
+    val direct = GraphOps.topologicalSort(dagE.select(col("src"), col("dst")))
+      .orderBy(col("id"))
+    val called = CypherCall.run(dagN, dagE,
+      """CALL graft.topologicalSort({}) YIELD id, level
+        |RETURN id, level ORDER BY id""".stripMargin)
+    assert(rows(called) == rows(direct) && called.count() == 4)
+    // requireDag raises on the cyclic SPAWNS subgraph
+    val err = intercept[IllegalArgumentException] {
+      CypherCall.run(nodes, edges,
+        """CALL graft.topologicalSort({relationshipType: 'SPAWNS',
+          |requireDag: true}) YIELD id RETURN id""".stripMargin)
+    }
+    assert(err.getMessage.contains("cycle"))
+  }
+
   test("CypherLite.run dispatches CALL, with $params substituted into config") {
     val out = CypherLite.run(nodes, edges,
       """CALL graft.pageRank.stream({maxIterations: $iters, orientation: 'UNDIRECTED'})

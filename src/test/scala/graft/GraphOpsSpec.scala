@@ -18,6 +18,40 @@ class GraphOpsSpec extends SparkSpec {
     assert(out == Map("a" -> 0, "b" -> 1, "c" -> 1, "d" -> 2))
   }
 
+  test("kShortestPaths: ranked loopless paths, reroute, pruning, bounds") {
+    // weighted diamond + a back edge d->a (proves looplessness) + a
+    // direct heavy edge: ranks must follow (dist, hops, path)
+    val e = Seq(("a", "b", 1.0), ("b", "d", 1.0), ("a", "c", 5.0),
+      ("c", "d", 1.0), ("a", "d", 10.0), ("d", "a", 1.0)).toDF("src", "dst", "w")
+    val out = GraphOps.kShortestPaths(e, "a", "d", k = 5, maxHops = 4,
+        weightCol = Some("w"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2), r.getString(3)))
+    assert(out.toSeq == Seq(
+      (1L, 2.0, 2L, "a>b>d"),
+      (2L, 6.0, 2L, "a>c>d"),
+      (3L, 10.0, 1L, "a>d")))
+    // unweighted: dist = hops, path string breaks ties
+    val u = GraphOps.kShortestPaths(e, "a", "d", k = 2, maxHops = 4)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getString(3)))
+    assert(u.toSeq == Seq((1L, 1.0, "a>d"), (2L, 2.0, "a>b>d")))
+    // the corridor pruning never drops a within-budget path
+    val two = GraphOps.kShortestPaths(e, "a", "d", k = 5, maxHops = 2,
+        weightCol = Some("w"))
+      .collect().map(_.getString(3))
+    assert(two.toSeq == Seq("a>b>d", "a>c>d", "a>d"))
+    // unreachable target => empty result, correct schema
+    val none = GraphOps.kShortestPaths(e, "a", "zz", k = 3, maxHops = 4)
+    assert(none.columns.toSeq == Seq("rank", "dist", "hops", "path") &&
+      none.count() == 0)
+    // loud contracts: source==target, non-positive weights, hop bound
+    intercept[IllegalArgumentException](GraphOps.kShortestPaths(e, "a", "a"))
+    intercept[IllegalArgumentException](
+      GraphOps.kShortestPaths(e.withColumn("w", lit(0.0)), "a", "d",
+        weightCol = Some("w")))
+    intercept[IllegalArgumentException](
+      GraphOps.kShortestPaths(e, "a", "d", maxHops = 11))
+  }
+
   test("topologicalSort: longest-path levels, cycle exclusion, loud bounds") {
     // diamond a->b, a->c, b->d, c->d plus a long way round a->e->f->d:
     // d's level is the LONGEST path (3), not the BFS distance (2)
