@@ -65,6 +65,8 @@ object SparkEntry {
     "p2_split"     -> (Curation.hashSplit _),
     "p3_sample"    -> ((s, d) => Curation.stratifiedSample(s, d)),
     "p4_shards"    -> ((s, d) => Curation.packShards(s, d)),
+    "p6_scale"     -> (Curation.p6Scale _),
+    "f4_fp_sql"    -> ((s, d) => TextAnalysis.f4FingerprintSql(s, d)),
     // B. graph
     "g_lookup"     -> (GraphQueries.gLookup _),
     "g_motif"      -> (GraphQueries.gMotif _),
@@ -1133,6 +1135,50 @@ object SparkEntry {
         | CAST(sum(n_tokens) AS BIGINT) AS shard_tokens,
         | min(doc_id) AS first_doc, max(doc_id) AS last_doc
         |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
+    // feature scaling: the same closed-form moments (min/max/Σx/Σx²/n,
+    // all exact for the integer-valued l_quantity) recomputed in SQL;
+    // every arithmetic step runs in DOUBLE on both engines
+    "p6_scale" ->
+      """WITH s AS (SELECT
+        |  CAST(min(l_quantity) AS DOUBLE) AS mn,
+        |  CAST(max(l_quantity) AS DOUBLE) AS mx,
+        |  sum(CAST(l_quantity AS DOUBLE)) AS sm,
+        |  sum(CAST(l_quantity AS DOUBLE) * CAST(l_quantity AS DOUBLE)) AS sq,
+        |  CAST(count(l_quantity) AS DOUBLE) AS n FROM lineitem)
+        |SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+        |  round(CASE WHEN mx = mn THEN 0
+        |    ELSE (CAST(l_quantity AS DOUBLE) - mn) / (mx - mn) END, 6) AS q_minmax,
+        |  round(CASE WHEN sq/n - (sm/n)*(sm/n) <= 0 THEN 0
+        |    ELSE (CAST(l_quantity AS DOUBLE) - sm/n)
+        |         / sqrt(sq/n - (sm/n)*(sm/n)) END, 6) AS q_std
+        |FROM lineitem, s WHERE l_orderkey % 50 = 0
+        |ORDER BY 1, 2""".stripMargin,
+    // winnowing fingerprints under the oracle-replicable base-31
+    // polynomial gram hash (exact 64-bit integer arithmetic both
+    // engines): the window min, the tail boundary guard, and the
+    // per-doc dedup are all independently recomputed here
+    "f4_fp_sql" ->
+      """WITH t AS (SELECT doc_id, lower(trim(text)) AS t FROM documents
+        |  WHERE len(lower(trim(text))) >= 8),
+        |p AS (SELECT doc_id, t, unnest(generate_series(1, len(t) - 7)) - 1 AS pos,
+        |  len(t) - 8 AS last_start FROM t),
+        |h AS (SELECT doc_id, pos, last_start,
+        |  (CAST(ord(substr(t, pos + 1, 1)) AS BIGINT) * 27512614111
+        |   + CAST(ord(substr(t, pos + 2, 1)) AS BIGINT) * 887503681
+        |   + CAST(ord(substr(t, pos + 3, 1)) AS BIGINT) * 28629151
+        |   + CAST(ord(substr(t, pos + 4, 1)) AS BIGINT) * 923521
+        |   + CAST(ord(substr(t, pos + 5, 1)) AS BIGINT) * 29791
+        |   + CAST(ord(substr(t, pos + 6, 1)) AS BIGINT) * 961
+        |   + CAST(ord(substr(t, pos + 7, 1)) AS BIGINT) * 31
+        |   + CAST(ord(substr(t, pos + 8, 1)) AS BIGINT)) % 1000003 AS h
+        |  FROM p),
+        |wm AS (SELECT doc_id,
+        |  CASE WHEN pos <= last_start - 15 THEN
+        |    min(h) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN CURRENT ROW AND 15 FOLLOWING) END AS wmin
+        |  FROM h)
+        |SELECT DISTINCT doc_id, CAST(wmin AS BIGINT) AS fp FROM wm
+        |WHERE wmin IS NOT NULL ORDER BY 1, 2""".stripMargin,
     "d1_exact" ->
       """SELECT md5(lower(trim(text))) AS text_hash, min(doc_id) AS keeper,
         | count(*) AS n_copies

@@ -444,6 +444,30 @@ object CypherCall {
         GraphOps.kShortestPaths(orientEdges(ed2, cfg), srcN, dstN,
           cfg.int("k", 3), cfg.int("maxHops", 10), weightCol = Some("w"))
       }),
+    // GDS gds.scaleProperties parity: numeric node properties scaled
+    // under one scaler, yielded as an array in nodeProperties order
+    // (GDS's scaledProperty). Multi-label ids collapse by min per
+    // property (deterministic); a missing/non-numeric property is loud.
+    "scaleProperties" -> Proc(Seq("id", "scaled"),
+      Set("nodeProperties", "scaler"),
+      (n, ed, cfg) => {
+        val props = cfg.strs("nodeProperties").getOrElse(
+          throw new IllegalArgumentException(
+            "scaleProperties: config key 'nodeProperties' is required"))
+        val scaler = cfg.str("scaler").getOrElse("minMax")
+        val perId = n.select(col("id") +: props.map(p =>
+            element_at(col("props"), p).cast("double").as(p)): _*)
+          .groupBy(col("id"))
+          .agg(min(col(props.head)).as(props.head),
+            props.tail.map(p => min(col(p)).as(p)): _*)
+        props.foreach(p => require(
+          perId.filter(col(p).isNull).limit(1).count() == 0,
+          s"graft.scaleProperties: node property '$p' is missing or " +
+            "non-numeric on at least one node"))
+        graft.operators.Curation.scaleProperties(perId, props, scaler)
+          .select(col("id"),
+            array(props.map(p => col(s"${p}_scaled")): _*).as("scaled"))
+      }),
     // GDS gds.dag.topologicalSort parity: (id, level) with level =
     // longest-path distance from the sources; cycle vertices excluded
     // (requireDag = true raises instead)

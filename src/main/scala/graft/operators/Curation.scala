@@ -197,6 +197,83 @@ object Curation {
     out
   }
 
+  /** P6 — feature scaling (GDS `gds.scaleProperties` parity, and the
+    * standard pre-training feature-normalization pass): appends
+    * `<col>_scaled` per input column under one scaler:
+    *
+    *   minMax   (x−min)/(max−min)        (0 when max = min)
+    *   max      x/max(|x|)               (0 when all-zero)
+    *   mean     (x−avg)/(max−min)        (0 when max = min)
+    *   center   x−avg
+    *   stdScore (x−avg)/σ_pop            (0 when σ = 0)
+    *   log      ln(x)
+    *
+    * ONE aggregation pass computes every column's moments together
+    * (min/max/Σx/Σx²/n — no per-column job), broadcast back as a
+    * 1-row literal join. FLOAT-DETERMINISM: σ comes from the moments
+    * formula over Σx/Σx² rather than a streaming stddev, so for
+    * integer-valued features every aggregate is EXACT in a double and
+    * the scaled value is bit-identical across engines (the oracle
+    * recomputes the same closed form); float features get engine-level
+    * determinism only (documented, same rule as the F2 score). */
+  def scaleProperties(df: DataFrame, cols: Seq[String],
+                      scaler: String): DataFrame = {
+    require(cols.nonEmpty, "scaleProperties: at least one column")
+    cols.foreach(c => require(df.columns.contains(c),
+      s"scaleProperties: no column '$c'"))
+    val aggs = cols.flatMap { c =>
+      val x = col(c).cast("double")
+      Seq(min(x).as(s"__min_$c"), max(x).as(s"__max_$c"),
+        max(abs(x)).as(s"__amax_$c"), sum(x).as(s"__sum_$c"),
+        sum(x * x).as(s"__sq_$c"), count(x).as(s"__n_$c"))
+    }
+    val stats = broadcast(df.agg(aggs.head, aggs.tail: _*))
+    val joined = df.crossJoin(stats)
+    val scaled = cols.foldLeft(joined) { (d, c) =>
+      val x = col(c).cast("double")
+      val mn = col(s"__min_$c"); val mx = col(s"__max_$c")
+      val avg = col(s"__sum_$c") / col(s"__n_$c")
+      val varP = col(s"__sq_$c") / col(s"__n_$c") - avg * avg
+      val expr = scaler match {
+        case "minMax" =>
+          when(mx === mn, lit(0.0)).otherwise((x - mn) / (mx - mn))
+        case "max" =>
+          when(col(s"__amax_$c") === 0.0, lit(0.0))
+            .otherwise(x / col(s"__amax_$c"))
+        case "mean" =>
+          when(mx === mn, lit(0.0)).otherwise((x - avg) / (mx - mn))
+        case "center" => x - avg
+        case "stdScore" =>
+          when(varP <= 0.0, lit(0.0)).otherwise((x - avg) / sqrt(varP))
+        case "log" => log(x)
+        case other => throw new IllegalArgumentException(
+          s"scaleProperties: unknown scaler '$other' (minMax, max, mean, " +
+            "center, stdScore, log)")
+      }
+      d.withColumn(s"${c}_scaled", expr)
+    }
+    scaled.drop(stats.columns: _*)
+  }
+
+  /** P6 gate query — minMax + stdScore over lineitem.l_quantity
+    * (integer-valued doubles, so every moment is exact — the oracle
+    * recomputes the identical closed form), deterministic 1-in-50
+    * order sample AFTER the full-table stats. */
+  def p6Scale(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+    val a = scaleProperties(li, Seq("l_quantity"), "minMax")
+      .withColumnRenamed("l_quantity_scaled", "q_minmax")
+    val b = scaleProperties(a, Seq("l_quantity"), "stdScore")
+      .withColumnRenamed("l_quantity_scaled", "q_std")
+    b.filter(col("l_orderkey") % 50 === 0)
+      .select(col("l_orderkey"),
+        col("l_linenumber").cast("long").as("l_linenumber"),
+        round(col("q_minmax"), 6).as("q_minmax"),
+        round(col("q_std"), 6).as("q_std"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+  }
+
   /** LSH candidate pairs for an arbitrary (doc_id, text) frame — the
     * D2 banding stage (INCLUDING the degenerate-bucket star-link
     * guard) exposed for pipeline composition. Star-linking is exactly

@@ -76,31 +76,58 @@ object TextAnalysis {
   /** F4 — 64-bit document fingerprints by winnowing: minimum of the
     * char 8-gram hashes in each window of 16, deduplicated — a compact,
     * shift-robust signature (Schleimer et al., MOSS). */
-  def f4Fingerprint(s: SparkSession, dir: String, gram: Int = 8, window: Int = 16): DataFrame = {
-    // winnowing as codegen'd window functions: explode char-k-gram
-    // positions to rows, take the min hash over each sliding window of
-    // 16 via min().over(rowsBetween), dedup, aggregate back per doc.
-    // (The array/HOF formulation interprets O(len × window) lambda
-    // calls per document — see SURVEY §5 on HOF traps.)
+  /** Winnowing core — (doc_id, wmin) distinct selected fingerprints:
+    * explode char-k-gram positions to rows, hash each gram with
+    * `hashOf`, take the min over each sliding window of `window` via
+    * min().over(rowsBetween), dedup. Codegen'd end to end. (The
+    * array/HOF formulation interprets O(len × window) lambda calls per
+    * document — see SURVEY §5 on HOF traps.) */
+  private def winnowRows(docs: DataFrame, gram: Int, window: Int,
+                         hashOf: Column => Column): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("pos"))
       .rowsBetween(0, window - 1)
-    Tables.documents(s, dir)
+    docs
       .select(col("doc_id"), lower(trim(col("text"))).as("t"))
       .filter(length(col("t")) >= gram)
       .select(col("doc_id"), col("t"),
         explode(sequence(lit(0), length(col("t")) - gram)).as("pos"))
       .select(col("doc_id"), col("pos"),
-        xxhash64(col("t").substr(col("pos") + 1, lit(gram))).as("h"),
+        hashOf(col("t").substr(col("pos") + 1, lit(gram))).as("h"),
         (length(col("t")) - gram).as("last_start"))
       .withColumn("wmin",
         when(col("pos") <= col("last_start") - (window - 1), min(col("h")).over(w)))
       .filter(col("wmin").isNotNull)
       .select(col("doc_id"), col("wmin")).distinct()
+  }
+
+  def f4Fingerprint(s: SparkSession, dir: String, gram: Int = 8, window: Int = 16): DataFrame =
+    winnowRows(Tables.documents(s, dir), gram, window, xxhash64(_))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).cast("int").as("n_fp"),
         xxhash64(to_json(struct(sort_array(collect_list(col("wmin")))))).as("fp_hash"))
       .orderBy(col("doc_id"))
+
+  /** F4 sql twin — the SAME winnowing pipeline under an ORACLE-
+    * REPLICABLE gram hash: the closed-form base-31 polynomial over
+    * code points mod 1000003, all in exact 64-bit integer arithmetic
+    * (8 chars × codepoint ≤ 0x10FFFF × 31⁷ stays far below 2⁶³), so
+    * DuckDB recomputes it bit-identically. Production keeps xxhash64
+    * (better dispersion, one native call); this twin hash-gates the
+    * winnowing MECHANICS — window min, boundary guard, dedup — every
+    * round. Emits the selected fingerprints themselves, one row each. */
+  def f4FingerprintSql(s: SparkSession, dir: String,
+                       gram: Int = 8, window: Int = 16): DataFrame = {
+    val polyHash: Column => Column = { g =>
+      val terms = (0 until gram).map { i =>
+        val pow = (0 until (gram - 1 - i)).foldLeft(1L)((a, _) => a * 31L)
+        ascii(substring(g, i + 1, 1)).cast("long") * lit(pow)
+      }
+      terms.reduce(_ + _) % lit(1000003L)
+    }
+    winnowRows(Tables.documents(s, dir), gram, window, polyHash)
+      .select(col("doc_id"), col("wmin").cast("long").as("fp"))
+      .orderBy(col("doc_id"), col("fp"))
   }
 
   /** Distinct word n-grams as rows (doc_id, g) — posexplode + window

@@ -84,4 +84,39 @@ class CurationSpec extends SparkSpec {
       .filter(col("n_chars") >= 400).collect().map(_.getAs[Long]("doc_id"))
     assert(longIds.forall(out.contains))
   }
+
+  test("scaleProperties: every scaler's closed form on a hand-checked column") {
+    import spark.implicits._
+    val df = Seq(1.0, 2.0, 3.0, 4.0).toDF("x")
+    def scaledOf(scaler: String): Seq[Double] =
+      Curation.scaleProperties(df, Seq("x"), scaler)
+        .orderBy(col("x")).collect().map(_.getAs[Double]("x_scaled")).toSeq
+    assert(scaledOf("minMax") == Seq(0.0, 1.0 / 3, 2.0 / 3, 1.0))
+    assert(scaledOf("max") == Seq(0.25, 0.5, 0.75, 1.0))
+    assert(scaledOf("center") == Seq(-1.5, -0.5, 0.5, 1.5))
+    // σ_pop of {1,2,3,4} = sqrt(1.25)
+    val sd = math.sqrt(1.25)
+    assert(scaledOf("stdScore").zip(Seq(-1.5, -0.5, 0.5, 1.5).map(_ / sd))
+      .forall { case (a, b) => math.abs(a - b) < 1e-12 })
+    assert(scaledOf("mean") == Seq(-0.5, -1.0 / 6, 1.0 / 6, 0.5))
+    assert(scaledOf("log").zip(Seq(1.0, 2.0, 3.0, 4.0).map(math.log))
+      .forall { case (a, b) => math.abs(a - b) < 1e-12 })
+    // constant column: minMax/stdScore degrade to 0, never NaN
+    val const = Seq(7.0, 7.0).toDF("x")
+    assert(Curation.scaleProperties(const, Seq("x"), "minMax")
+      .collect().forall(_.getAs[Double]("x_scaled") == 0.0))
+    assert(Curation.scaleProperties(const, Seq("x"), "stdScore")
+      .collect().forall(_.getAs[Double]("x_scaled") == 0.0))
+    // multi-column: one aggregation pass scales both
+    val two = Seq((1.0, 10.0), (3.0, 30.0)).toDF("a", "b")
+    val got = Curation.scaleProperties(two, Seq("a", "b"), "minMax")
+      .orderBy(col("a")).collect()
+      .map(r => (r.getAs[Double]("a_scaled"), r.getAs[Double]("b_scaled"))).toSeq
+    assert(got == Seq((0.0, 0.0), (1.0, 1.0)))
+    // unknown scaler / column are loud
+    intercept[IllegalArgumentException](
+      Curation.scaleProperties(df, Seq("x"), "robust"))
+    intercept[IllegalArgumentException](
+      Curation.scaleProperties(df, Seq("nope"), "minMax"))
+  }
 }

@@ -372,6 +372,27 @@ class CypherCallSpec extends SparkSpec {
     assert(err.getMessage.contains("cycle"))
   }
 
+  test("scaleProperties CALL: minMax over a numeric node property") {
+    import spark.implicits._
+    val sn = Seq(("a", "1"), ("b", "3"), ("c", "5")).map { case (i, v) =>
+      (i, "N", Map("score" -> v))
+    }.toDF("id", "label", "props")
+    val se = Seq(("a", "b", "T")).toDF("src", "dst", "etype")
+      .withColumn("props", map())
+    val out = CypherCall.run(sn, se,
+      """CALL graft.scaleProperties({nodeProperties: ['score'],
+        |scaler: 'minMax'}) YIELD id, scaled RETURN id, scaled
+        |ORDER BY id""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getSeq[Double](1).toList))
+    assert(out.toSeq == Seq(("a", List(0.0)), ("b", List(0.5)), ("c", List(1.0))))
+    // missing property is loud
+    val err = intercept[IllegalArgumentException] {
+      CypherCall.run(sn, se,
+        "CALL graft.scaleProperties({nodeProperties: ['nope']}) YIELD id RETURN id")
+    }
+    assert(err.getMessage.contains("nope"))
+  }
+
   test("CypherLite.run dispatches CALL, with $params substituted into config") {
     val out = CypherLite.run(nodes, edges,
       """CALL graft.pageRank.stream({maxIterations: $iters, orientation: 'UNDIRECTED'})
