@@ -119,6 +119,7 @@ object SparkEntry {
     "g_wbetweenness_dist" -> (GraphQueries.gWBetweennessDist _),
     "g_wpaths"     -> (GraphQueries.gWPaths _),
     "g_kpaths"     -> (GraphQueries.gKPaths _),
+    "g_randomwalk" -> (GraphQueries.gRandomWalk _),
     "g_kcore"      -> ((s, d) => GraphQueries.gKcore(s, d)),
     "n1_nodemerge" -> (GraphQueries.n1NodeMerge _),
     "n2_edgemerge" -> (GraphQueries.n2EdgeMerge _),
@@ -274,6 +275,19 @@ object SparkEntry {
           |  CASE size([(t)-[:HAS_PROCESS]->(q:Process)-[:CONNECTED_TO]->(ip:Ip) | ip])
           |    WHEN 0 THEN 'quiet' ELSE 'beacons' END AS net
           |ORDER BY t LIMIT 300""".stripMargin)
+    }),
+    "sg_cypher12"  -> ((s, _) => {
+      // r11: the Cypher-5 pattern-surface tail in one corpus query —
+      // label expression (File|RegistryKey), inline pattern predicate,
+      // type disjunction, COLLECT{} subquery, and a quantified path
+      // pattern spelling of the spawn chain
+      val (n, e) = graft.graph.SysmonGraph.buildCached(s, "/root/reference/malware/*.json")
+      graft.graph.CypherLite.run(n, e,
+        """MATCH (p:Process WHERE p.image ENDS WITH '.exe')-[:SPAWNS]->{1,2}(q:Process)
+          |RETURN p, q,
+          |  COLLECT { MATCH (q)-[:CREATED_FILE|SET_REG_VALUE]->(x:File|RegistryValue)
+          |            RETURN x } AS artifacts
+          |ORDER BY p, q LIMIT 300""".stripMargin)
     }),
     "sg_spawntree" -> ((s, _) => {
       val (_, e) = graft.graph.SysmonGraph.buildCached(s, "/root/reference/malware/*.json")

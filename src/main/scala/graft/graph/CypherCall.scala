@@ -444,6 +444,14 @@ object CypherCall {
         GraphOps.kShortestPaths(orientEdges(ed2, cfg), srcN, dstN,
           cfg.int("k", 3), cfg.int("maxHops", 10), weightCol = Some("w"))
       }),
+    // GDS gds.randomWalk shape, deterministic by the house rule (the
+    // per-step neighbor choice is hash(walk, step, seed) mod outdeg)
+    "randomWalk" -> Proc(Seq("walk_id", "start", "steps", "path"),
+      Set("walksPerNode", "walkLength", "randomSeed"),
+      (n, ed, cfg) =>
+        GraphOps.randomWalk(selectEdges(n, ed, cfg),
+          cfg.int("walksPerNode", 1), cfg.int("walkLength", 5),
+          cfg.int("randomSeed", 42).toLong)),
     // GDS gds.scaleProperties parity: numeric node properties scaled
     // under one scaler, yielded as an array in nodeProperties order
     // (GDS's scaledProperty). Multi-label ids collapse by min per

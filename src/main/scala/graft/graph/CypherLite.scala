@@ -1311,12 +1311,68 @@ object CypherLite {
         s"inline WHERE is not supported in this pattern position: $pattern")
     }
 
+  private val HopTok = """-\[(?:[^\]']|'[^']*')*\]->|<-\[(?:[^\]']|'[^']*')*\]-"""
+  private val QppHopRe = (s"""($HopTok)(?:\\{(\\d+)(?:,(\\d*))?\\}|(\\+))""").r
+  private val QppGroupRe = (s"""\\(\\(\\)($HopTok)\\(\\)\\)(?:\\{(\\d+)(?:,(\\d*))?\\}|(\\+))""").r
+
+  /** Cypher-5 QUANTIFIED PATH PATTERNS, the desugarable subset: the
+    * postfix-quantified hop `-[:T]->+` / `-[:T]->{m,n}` / `-[:T]->{m}`
+    * and the anonymous group forms `(()-[:T]->()){m,n}` / `+` rewrite
+    * to the engine's var-length hop `-[:T*m..n]->` (`+` and an open
+    * `{m,}` take the path surface's 10-hop ceiling). Everything the
+    * rewrite cannot express is LOUD, never silently different: bound
+    * or constrained inner nodes and multi-hop bodies (their node-
+    * unification semantics do not reduce to a var-length hop), and
+    * zero-repetition quantifiers (a 0-length path binds no
+    * relationship — this engine's hops start at 1). */
+  private def desugarQpp(pattern0: String): String = {
+    def bounds(lo: String, hiOrNull: String, plusOrNull: String): (Int, Int) = {
+      if (plusOrNull != null) (1, 10)
+      else {
+        val l = lo.toInt
+        val h = hiOrNull match {
+          case null => l // {m} = exactly m
+          case "" => 10 // {m,} = m up to the path ceiling
+          case s => s.toInt
+        }
+        require(l >= 1,
+          "zero-repetition quantified path patterns are unsupported " +
+            "(a 0-length path binds no relationship)")
+        (l, h)
+      }
+    }
+    def rewriteHop(hop: String, lo: Int, hi: Int): String = {
+      val close = hop.lastIndexOf(']')
+      val body = hop.substring(hop.indexOf('[') + 1, close)
+      require(!hasTopLevelStar(body),
+        s"cannot quantify an already variable-length hop: $hop")
+      java.util.regex.Matcher.quoteReplacement(
+        hop.substring(0, close) + s"*$lo..$hi" + hop.substring(close))
+    }
+    val grouped = QppGroupRe.replaceAllIn(pattern0, m => {
+      val (lo, hi) = bounds(m.group(2), m.group(3), m.group(4))
+      rewriteHop(m.group(1), lo, hi)
+    })
+    val out = QppHopRe.replaceAllIn(grouped, m => {
+      val (lo, hi) = bounds(m.group(2), m.group(3), m.group(4))
+      rewriteHop(m.group(1), lo, hi)
+    })
+    require("""\)\s*(\{\d|\+)""".r.findFirstIn(out).isEmpty,
+      "quantified path patterns support only an anonymous single-hop " +
+        "body — (()-[:T]->()){m,n} or -[:T]->{m,n} — got: " + pattern0)
+    out
+  }
+
   /** parsePatternChain plus the chain's extracted inline pattern
     * predicates (`(n WHERE …)` texts) for the caller to AND into its
     * clause predicate. */
   private def parsePatternChainW(pattern0: String,
                                  anon: () => String): ((Seq[NodePat], Seq[EdgePat]), Seq[String]) = {
-    val (pattern, inlinePreds) = stripInlineWheres(pattern0)
+    // strip inline predicates FIRST: a `)+` / `){2` inside a stripped
+    // WHERE expression (e.g. `size(x)+1`) must never trip the QPP
+    // guard, and the remaining text is then pure chain syntax
+    val (stripped, inlinePreds) = stripInlineWheres(pattern0)
+    val pattern = desugarQpp(stripped)
     val nodes = NodeRe.findAllMatchIn(pattern).map { m =>
       val v = Option(m.group(1)).getOrElse(anon())
       NodePat(v, Option(m.group(2)),

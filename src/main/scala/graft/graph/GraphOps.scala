@@ -2091,6 +2091,64 @@ object GraphOps {
     done.reduce(_ unionByName _)
   }
 
+  /** B29 — random walks (GDS `gds.randomWalk` shape): `walksPerNode`
+    * walks of up to `walkLength` steps from every vertex, stopping
+    * early at sinks. DETERMINISTIC by the house rule — step t of walk
+    * w takes out-neighbor number xxhash64(walk, t, seed) mod outdeg
+    * (neighbors ranked by dst id), so reruns and engines agree exactly
+    * where GDS would hand back a new sample; statistically it is the
+    * same uniform per-step choice node2vec's p=q=1 case uses.
+    *
+    * Scale shape: the neighbor index (rank within src, out-degree) is
+    * ONE window pass over the edge frame, then each step is a single
+    * equi-join frontier × index with the hash-rank filter — no
+    * per-walk driver loop, O(walkLength) rounds.
+    * Returns (walk_id, start, steps, path). */
+  def randomWalk(edges: DataFrame, walksPerNode: Int = 1,
+                 walkLength: Int = 5, seed: Long = 42L): DataFrame = {
+    require(walksPerNode >= 1 && walkLength >= 1 && walkLength <= 20,
+      s"randomWalk: walksPerNode >= 1 and walkLength in 1..20")
+    val e = edges.select(col("src").cast("string").as("src"),
+      col("dst").cast("string").as("dst")).distinct()
+    import org.apache.spark.sql.expressions.Window
+    val idx = e
+      .withColumn("rnk",
+        row_number().over(Window.partitionBy(col("src")).orderBy(col("dst"))) - 1)
+      .withColumn("odeg", count(lit(1)).over(Window.partitionBy(col("src"))))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val srcs = idx.select(col("src")).distinct()
+    var state = graft.Borrow.severLazy(
+      e.select(col("src").as("id")).unionByName(e.select(col("dst").as("id")))
+        .distinct()
+        .select(col("id"), explode(sequence(lit(0), lit(walksPerNode - 1))).as("wi"))
+        .select(concat(col("id"), lit("#"), col("wi")).as("walk_id"),
+          col("id").as("start"), col("id").as("cur"), col("id").as("path"),
+          lit(0).as("steps")))
+    var done = List.empty[DataFrame]
+    var step = 0
+    var n = state.count()
+    while (step < walkLength && n > 0) {
+      step += 1
+      // walks parked on a sink finish with their current path
+      val sunk = graft.Borrow.severLazy(
+        state.join(srcs.select(col("src").as("cur")), Seq("cur"), "left_anti"))
+      if (sunk.count() > 0) done ::= sunk
+      val next = graft.Borrow.severLazy(
+        state.join(idx, state("cur") === idx("src"))
+          .filter(col("rnk") ===
+            pmod(xxhash64(col("walk_id"), lit(step), lit(seed)), col("odeg")))
+          .select(col("walk_id"), col("start"), idx("dst").as("cur"),
+            concat(col("path"), lit(">"), idx("dst")).as("path"),
+            lit(step).as("steps")))
+      n = next.count()
+      state = next
+    }
+    val out = (state +: done).reduce(_ unionByName _)
+      .select(col("walk_id"), col("start"), col("steps").cast("long").as("steps"),
+        col("path"))
+    graft.Borrow.reclaim(out, idx)
+  }
+
   /** B28 — k shortest LOOPLESS paths between a pinned (source, target)
     * pair (GDS `gds.shortestPath.yens` result parity: the k
     * minimal-weight simple paths, deterministically ranked by

@@ -328,6 +328,15 @@ object GraphQueries {
       .select(col("root"), col("id"), col("dist"), col("path"))
       .orderBy(col("root"), col("id"))
 
+  /** B29 — deterministic random walks over the undirected part—supplier
+    * graph (rows-only: the xxhash64 step choice has no SQL oracle;
+    * GraphOpsSpec pins determinism + per-step edge validity). */
+  def gRandomWalk(s: SparkSession, dir: String): DataFrame =
+    GraphOps.randomWalk(
+        GraphOps.undirected(TestGraph.partSupplierEdges(s, dir)),
+        walksPerNode = 1, walkLength = 4)
+      .orderBy(col("walk_id"))
+
   /** B28 — k shortest loopless paths (gds.shortestPath.yens parity)
     * on the weighted symmetric part—supplier graph, pinned pair
     * s:40 → p:20, integral weights so dist compares exactly. */

@@ -2305,6 +2305,35 @@ class CypherLiteSpec extends SparkSpec {
     }
   }
 
+  test("quantified path patterns desugar to var-length hops") {
+    val (nodes, edges) = graph
+    def pairs(q: String): Set[(String, String)] =
+      CypherLite.run(nodes, edges, q)
+        .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    // -[:T]->{1,3} ≡ -[:T*1..3]->
+    val star = pairs("MATCH (a:Process)-[:SPAWNS*1..3]->(b:Process) RETURN DISTINCT a, b")
+    assert(pairs("MATCH (a:Process)-[:SPAWNS]->{1,3}(b:Process) RETURN DISTINCT a, b") == star)
+    // the anonymous group spelling and the + quantifier
+    assert(pairs("MATCH (a:Process)(()-[:SPAWNS]->()){1,3}(b:Process) RETURN DISTINCT a, b") == star)
+    val plus = pairs("MATCH (a:Process)-[:SPAWNS*1..10]->(b:Process) RETURN DISTINCT a, b")
+    assert(pairs("MATCH (a:Process)-[:SPAWNS]->+(b:Process) RETURN DISTINCT a, b") == plus)
+    // exact {2} and open {2,}
+    val two = pairs("MATCH (a:Process)-[:SPAWNS*2..2]->(b:Process) RETURN DISTINCT a, b")
+    assert(pairs("MATCH (a:Process)-[:SPAWNS]->{2}(b:Process) RETURN DISTINCT a, b") == two)
+    val open = pairs("MATCH (a:Process)-[:SPAWNS*2..10]->(b:Process) RETURN DISTINCT a, b")
+    assert(pairs("MATCH (a:Process)-[:SPAWNS]->{2,}(b:Process) RETURN DISTINCT a, b") == open)
+    // reverse-direction quantified hop
+    val rev = pairs("MATCH (a:Process)<-[:SPAWNS*1..2]-(b:Process) RETURN DISTINCT a, b")
+    assert(pairs("MATCH (a:Process)<-[:SPAWNS]-{1,2}(b:Process) RETURN DISTINCT a, b") == rev)
+    // loud: zero repetitions, bound inner nodes, already-var-length
+    intercept[IllegalArgumentException](
+      CypherLite.parse("MATCH (a)-[:SPAWNS]->{0,3}(b) RETURN a"))
+    intercept[IllegalArgumentException](
+      CypherLite.parse("MATCH (a)((x)-[:SPAWNS]->(y)){1,3}(b) RETURN a"))
+    intercept[IllegalArgumentException](
+      CypherLite.parse("MATCH (a)-[:SPAWNS*1..2]->{1,3}(b) RETURN a"))
+  }
+
   test("COLLECT { } subqueries compile onto the pattern-comprehension shape") {
     val (nodes, edges) = graph
     // COLLECT { MATCH … RETURN expr } ≡ the pattern comprehension twin

@@ -18,6 +18,28 @@ class GraphOpsSpec extends SparkSpec {
     assert(out == Map("a" -> 0, "b" -> 1, "c" -> 1, "d" -> 2))
   }
 
+  test("randomWalk: deterministic, edge-respecting, sink-stopping") {
+    val e = edgeDf("a" -> "b", "a" -> "c", "b" -> "c", "c" -> "a", "b" -> "z")
+    val edgeSet = e.collect().map(r => (r.getString(0), r.getString(1))).toSet
+    val w1 = GraphOps.randomWalk(e, walksPerNode = 2, walkLength = 4)
+      .collect().map(r => (r.getString(0), r.getString(3))).toMap
+    val w2 = GraphOps.randomWalk(e, walksPerNode = 2, walkLength = 4)
+      .collect().map(r => (r.getString(0), r.getString(3))).toMap
+    // bit-identical on rerun (the house determinism rule)
+    assert(w1 == w2 && w1.size == 4 * 2) // 4 vertices x walksPerNode
+    // every consecutive pair in every path is a real edge
+    assert(w1.values.forall { p =>
+      val ns = p.split(">")
+      ns.sliding(2).filter(_.length == 2).forall(s => edgeSet((s(0), s(1))))
+    })
+    // a different seed may pick different walks but stays valid
+    val w3 = GraphOps.randomWalk(e, walksPerNode = 2, walkLength = 4, seed = 7L)
+    assert(w3.count() == 8)
+    // z is a sink: its walks stop at step 0
+    assert(w1("z#0") == "z" && w1("z#1") == "z")
+    intercept[IllegalArgumentException](GraphOps.randomWalk(e, walkLength = 0))
+  }
+
   test("kShortestPaths: ranked loopless paths, reroute, pruning, bounds") {
     // weighted diamond + a back edge d->a (proves looplessness) + a
     // direct heavy edge: ranks must follow (dist, hops, path)

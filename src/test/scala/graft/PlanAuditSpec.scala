@@ -213,4 +213,15 @@ class PlanAuditSpec extends SparkSpec {
     assert(!pl.contains("CartesianProduct") &&
       !pl.contains("BroadcastNestedLoopJoin"), pl)
   }
+
+  test("P6 r11: scaleProperties is one moments pass broadcast back, no shuffle of the data") {
+    import spark.implicits._
+    val df = Seq(1.0, 2.0, 3.0).toDF("x")
+    val out = graft.operators.Curation.scaleProperties(df, Seq("x"), "stdScore")
+    val pl = plan(out)
+    // the 1-row stats join is the intended broadcast-nested-loop cross;
+    // the data side must NOT shuffle (no Exchange hashpartitioning)
+    assert(pl.linesIterator.count(_.contains("BroadcastNestedLoopJoin")) == 1, pl)
+    assert(!pl.contains("Exchange hashpartitioning"), pl)
+  }
 }
