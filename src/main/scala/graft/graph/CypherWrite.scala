@@ -93,10 +93,12 @@ object CypherWrite {
   private final case class SetItem(v: String, prop: String, value: Value,
                                    keepOldOnNull: Boolean)
   private final case class NodeClause(v: String, label: String,
-                                      props: Seq[(String, Value)], create: Boolean)
+                                      props: Seq[(String, Value)], create: Boolean,
+                                      mustCreate: Boolean = false)
   private final case class EdgeClause(rv: Option[String], etype: String,
                                       a: String, b: String,
-                                      props: Seq[(String, Value)], create: Boolean)
+                                      props: Seq[(String, Value)], create: Boolean,
+                                      mustCreate: Boolean = false)
   private final case class RemoveItem(v: String, prop: String)
   private final case class DeleteItem(v: String, detach: Boolean)
   private final case class LabelItem(v: String, label: String)
@@ -172,7 +174,7 @@ object CypherWrite {
   private def parseStatement(statement: String): Stmt = {
     val text = CypherLite.normalizeWs(statement)
     val kw = ("""(?i)\b(MERGE|MATCH|ON CREATE SET|ON MATCH SET|SET|WITH""" +
-      """|DETACH DELETE|DELETE|REMOVE)\b""").r
+      """|DETACH DELETE|DELETE|REMOVE|CREATE)\b""").r
     val inQuote = quotedMask(text)
     val ms = kw.findAllMatchIn(text).filterNot(m => inQuote(m.start)).toSeq
     require(ms.nonEmpty, s"no MERGE/MATCH clause in: $statement")
@@ -193,20 +195,26 @@ object CypherWrite {
       val body = text.substring(m.end,
         if (i + 1 < ms.size) ms(i + 1).start else text.length).trim
       m.group(1).toUpperCase match {
-        case "MERGE" | "MATCH" =>
-          val create = m.group(1).equalsIgnoreCase("MERGE")
+        case "MERGE" | "MATCH" | "CREATE" =>
+          // CREATE upserts like MERGE but REFUSES when the key already
+          // exists (probe at apply time): this model keys nodes by
+          // (label, id) and edges by (type, src, dst), so Neo4j's
+          // duplicate-creating CREATE cannot be represented — loud,
+          // never silently a second MERGE
+          val create = !m.group(1).equalsIgnoreCase("MATCH")
+          val mustCreate = m.group(1).equalsIgnoreCase("CREATE")
           body match {
             case EdgePatRe(a, rvOrNull, t, mapOrNull, b) =>
               require(bound(a) && bound(b),
                 s"edge endpoints '$a'/'$b' must be bound by earlier MERGE/MATCH clauses")
               edges += EdgeClause(Option(rvOrNull), t, a, b,
-                Option(mapOrNull).map(parseMap).getOrElse(Nil), create)
+                Option(mapOrNull).map(parseMap).getOrElse(Nil), create, mustCreate)
               Option(rvOrNull).foreach(bound += _)
             case NodePatRe(v, label, mapBody) =>
               val props = parseMap(mapBody)
               require(props.nonEmpty,
                 s"node pattern ($v:$label) needs at least an identity property")
-              nodes += NodeClause(v, label, props, create)
+              nodes += NodeClause(v, label, props, create, mustCreate)
               bound += v
             case other => throw new IllegalArgumentException(
               s"unsupported ${m.group(1)} pattern: $other")
@@ -349,6 +357,16 @@ object CypherWrite {
             foldMaps(collect_list(struct(col("_ord").as("ord"), col("mm").as("m")))).as("mm"))
         val keyed = cand.select(col("id"), lit(nc.label).as("label"),
           col("cm"), col("mm"))
+        if (nc.mustCreate) {
+          val dup = keyed.select(col("id"))
+            .join(outNodes.filter(col("label") === nc.label).select(col("id")),
+              Seq("id"), "left_semi")
+            .limit(1).collect()
+          if (dup.nonEmpty) throw new IllegalArgumentException(
+            s"CREATE (${nc.v}:${nc.label}): id '${dup.head.get(0)}' already " +
+              "exists — this model keys nodes by (label, id) and cannot " +
+              "represent duplicate nodes; use MERGE")
+        }
         val updated = outNodes.join(
             keyed.select(col("id"), col("label"), col("mm")), Seq("id", "label"), "left")
           .select(col("label"), col("id"),
@@ -436,6 +454,16 @@ object CypherWrite {
           when(col("mm").isNotNull, map_concat(col("props"), col("mm")))
             .otherwise(col("props")).as("props"))
       if (ec.create) {
+        if (ec.mustCreate) {
+          val dup = cand.select(col("etype"), col("src"), col("dst"))
+            .join(outEdges.select(col("etype"), col("src"), col("dst")),
+              Seq("etype", "src", "dst"), "left_semi")
+            .limit(1).collect()
+          if (dup.nonEmpty) throw new IllegalArgumentException(
+            s"CREATE [:${ec.etype}]: relationship (${dup.head.get(1)})-" +
+              s"[:${ec.etype}]->(${dup.head.get(2)}) already exists — edges " +
+              "key on (type, src, dst) and cannot duplicate; use MERGE")
+        }
         val created = cand
           .join(outEdges.select(col("etype"), col("src"), col("dst")),
             Seq("etype", "src", "dst"), "left_anti")

@@ -170,6 +170,42 @@ class CypherWriteSpec extends SparkSpec {
     assert(got == Seq((p0, "v1", "triage")))
   }
 
+  test("CREATE: creates like MERGE, refuses duplicates loudly") {
+    val (n0, e0) = CypherWrite.emptyGraph(spark)
+    // plain CREATE behaves like MERGE on fresh keys (nodes + edge)
+    val stmt =
+      """CREATE (a:User {name: $a})
+        |CREATE (b:User {name: $b})
+        |CREATE (a)-[:KNOWS {since: '2020'}]->(b)""".stripMargin
+    val (n1, e1) = CypherWrite.mergeOne(n0, e0, stmt,
+      Map("a" -> "alice", "b" -> "bob"))
+    assert(nodeMap(n1).keySet == Set(("User", "alice"), ("User", "bob")))
+    assert(e1.collect().map(r => (r.getAs[String]("etype"), r.getAs[String]("src"),
+      r.getAs[String]("dst"))).toSeq == Seq(("KNOWS", "alice", "bob")))
+    // CREATE on an existing node key refuses (the model cannot
+    // represent Neo4j's duplicate node) — MERGE remains the upsert
+    val dupN = intercept[IllegalArgumentException] {
+      CypherWrite.mergeOne(n1, e1, "CREATE (a:User {name: $a})",
+        Map("a" -> "alice"))
+    }
+    assert(dupN.getMessage.contains("use MERGE"))
+    // CREATE on an existing edge key refuses too
+    val dupE = intercept[IllegalArgumentException] {
+      CypherWrite.mergeOne(n1, e1,
+        """MATCH (a:User {name: $a}) MATCH (b:User {name: $b})
+          |CREATE (a)-[:KNOWS]->(b)""".stripMargin,
+        Map("a" -> "alice", "b" -> "bob"))
+    }
+    assert(dupE.getMessage.contains("use MERGE"))
+    // mixed statement: MERGE upserts, CREATE still guards its own key
+    val (n2, _) = CypherWrite.mergeOne(n1, e1,
+      """MERGE (a:User {name: $a}) CREATE (c:User {name: $c})
+        |SET c.role = 'new'""".stripMargin,
+      Map("a" -> "alice", "c" -> "carol"))
+    assert(nodeMap(n2)(("User", "carol")) ==
+      Map("name" -> "carol", "role" -> "new"))
+  }
+
   test("parser rejects unbound endpoints, garbage maps, bad SET items") {
     val (n0, e0) = CypherWrite.emptyGraph(spark)
     intercept[IllegalArgumentException](CypherWrite.mergeOne(n0, e0,
