@@ -110,6 +110,36 @@ class JobCountAuditSpec extends SparkSpec {
     assert(jobs <= 110, s"ssspPathsFrom job count regressed: $jobs (r10 ~86)")
   }
 
+  test("r11 ops (toposort, k-paths, random walks) stay within their job budgets") {
+    // topologicalSort on a layered DAG (id-ordered edges are acyclic):
+    // per round one blocked-set semi-join + the newly count + the
+    // shrink anti-join ≈ 3 actions + AQE stages
+    val dag = edges.filter(col("src") < col("dst")).localCheckpoint()
+    val topoJobs = countJobs("audit-toposort") {
+      GraphOps.topologicalSort(dag, maxIter = 30).count()
+    }
+    info(s"topologicalSort jobs: $topoJobs")
+    assert(topoJobs <= 75, s"topologicalSort job count regressed: $topoJobs (measured ~50)")
+    // kShortestPaths: one reverse BFS (≤ maxHops rounds) + maxHops walk
+    // rounds of (done count + next count) + the final top-k
+    val weighted = edges.withColumn("w",
+      (pmod(xxhash64(col("src"), col("dst")), lit(2)) + 5).cast("double"))
+    val pair = edges.limit(1).collect().head
+    val kpJobs = countJobs("audit-kpaths") {
+      GraphOps.kShortestPaths(weighted, pair.getString(0), pair.getString(1),
+        k = 3, maxHops = 4, weightCol = Some("w")).count()
+    }
+    info(s"kShortestPaths jobs: $kpJobs")
+    assert(kpJobs <= 75, s"kShortestPaths job count regressed: $kpJobs (measured ~50)")
+    // randomWalk: one neighbor-index window pass + walkLength rounds of
+    // (sunk count + next count)
+    val rwJobs = countJobs("audit-randomwalk") {
+      GraphOps.randomWalk(edges, walksPerNode = 1, walkLength = 5).count()
+    }
+    info(s"randomWalk jobs: $rwJobs")
+    assert(rwJobs <= 60, s"randomWalk job count regressed: $rwJobs (measured ~40)")
+  }
+
   test("eigenvector and hits stay within their per-iteration job budgets") {
     // r9 measured: ~5 jobs/iteration either way — they are AQE
     // query-stage jobs from the round's join+agg shuffles, NOT the norm
