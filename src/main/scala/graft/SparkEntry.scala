@@ -66,6 +66,7 @@ object SparkEntry {
     "p3_sample"    -> ((s, d) => Curation.stratifiedSample(s, d)),
     "p4_shards"    -> ((s, d) => Curation.packShards(s, d)),
     "p6_scale"     -> (Curation.p6Scale _),
+    "p1_curate_sql" -> (Curation.p1CurateSql _),
     "f4_fp_sql"    -> ((s, d) => TextAnalysis.f4FingerprintSql(s, d)),
     // B. graph
     "g_lookup"     -> (GraphQueries.gLookup _),
@@ -1167,6 +1168,30 @@ object SparkEntry {
         |         / sqrt(sq/n - (sm/n)*(sm/n)) END, 6) AS q_std
         |FROM lineitem, s WHERE l_orderkey % 50 = 0
         |ORDER BY 1, 2""".stripMargin,
+    // the curation pipeline prefix (quality gate + exact dedup — the
+    // LSH stage disabled, so every decision has a SQL closed form):
+    // low_quality = F2's integer-exact score under 0.3; exact_dup =
+    // not the min doc_id of its md5(normalized text) group; kept = the
+    // rest. The full pipeline stays rows-only (p1_curate) with its
+    // LSH stage carried by d_recall + specs.
+    "p1_curate_sql" ->
+      """WITH t AS (SELECT doc_id, lang, lower(trim(text)) AS lt,
+        |    string_split_regex(lower(trim(text)),'\s+') AS w FROM documents),
+        |q AS (SELECT doc_id, lang, lt,
+        |  floor(((4*least(len(w),100)*len(w) + 400*len(list_distinct(w))
+        |          + 200*len(list_filter(w, x -> x='the' OR x='a')))*20000
+        |         + 1000*len(w)) / (1000*len(w)*2)) / 10000.0 AS quality
+        |  FROM t),
+        |lab AS (SELECT doc_id, lang,
+        |    row_number() OVER (PARTITION BY md5(lt) ORDER BY doc_id) AS rn
+        |  FROM q WHERE quality >= 0.3)
+        |SELECT doc_id, lang, CAST(0 AS INT) AS keep, 'low_quality' AS reason
+        |  FROM q WHERE quality < 0.3
+        |UNION ALL
+        |SELECT doc_id, lang, CAST(0 AS INT), 'exact_dup' FROM lab WHERE rn > 1
+        |UNION ALL
+        |SELECT doc_id, lang, CAST(1 AS INT), 'kept' FROM lab WHERE rn = 1
+        |ORDER BY doc_id""".stripMargin,
     // winnowing fingerprints under the oracle-replicable base-31
     // polynomial gram hash (exact 64-bit integer arithmetic both
     // engines): the window min, the tail boundary guard, and the

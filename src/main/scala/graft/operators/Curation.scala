@@ -22,7 +22,8 @@ object Curation {
     * kept | low_quality | exact_dup | near_dup. */
   def curate(s: SparkSession, dir: String,
              minQuality: Double = 0.3,
-             nearDupThreshold: Double = 0.8): DataFrame = {
+             nearDupThreshold: Double = 0.8,
+             nearDup: Boolean = true): DataFrame = {
     val docs = Tables.documents(s, dir)
 
     // 1. quality gate (same integer-exact score as F2)
@@ -56,17 +57,27 @@ object Curation {
     // candidate docs — measured ~2× cheaper than sharing a persisted
     // shingle frame (see Dedup.d2MinhashLsh's persist-policy note);
     // reps reads the already-persisted `hashed` frame either way.
-    val cand = lshCandidates(reps.select(col("doc_id"), col("text")))
-    // verifyJaccard is eager (it reclaims its own shingle borrow), so
-    // the candidate cache can be released as soon as pairs exist
-    val pairs = Dedup.verifyJaccard(
-      reps.select(col("doc_id"), col("text")), cand, nearDupThreshold)
-    cand.unpersist()
-    val nearDupIds = pairs.select(col("id2").as("doc_id")).distinct()
-    val nearDups = reps.join(nearDupIds, Seq("doc_id"), "left_semi")
-      .select(col("doc_id"), col("lang"), lit(false).as("keep"), lit("near_dup").as("reason"))
-    val kept = reps.join(nearDupIds, Seq("doc_id"), "left_anti")
-      .select(col("doc_id"), col("lang"), lit(true).as("keep"), lit("kept").as("reason"))
+    // `nearDup = false` runs the quality + exact-dedup prefix only —
+    // every stage then has a SQL closed form, which is what the
+    // p1_curate_sql gate hash-checks (the LSH stage itself carries the
+    // d_recall gate + specs)
+    val (nearDups, kept) = if (nearDup) {
+      val cand = lshCandidates(reps.select(col("doc_id"), col("text")))
+      // verifyJaccard is eager (it reclaims its own shingle borrow), so
+      // the candidate cache can be released as soon as pairs exist
+      val pairs = Dedup.verifyJaccard(
+        reps.select(col("doc_id"), col("text")), cand, nearDupThreshold)
+      cand.unpersist()
+      val nearDupIds = pairs.select(col("id2").as("doc_id")).distinct()
+      (reps.join(nearDupIds, Seq("doc_id"), "left_semi")
+        .select(col("doc_id"), col("lang"), lit(false).as("keep"), lit("near_dup").as("reason")),
+       reps.join(nearDupIds, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("lang"), lit(true).as("keep"), lit("kept").as("reason")))
+    } else {
+      (reps.limit(0)
+        .select(col("doc_id"), col("lang"), lit(false).as("keep"), lit("near_dup").as("reason")),
+       reps.select(col("doc_id"), col("lang"), lit(true).as("keep"), lit("kept").as("reason")))
+    }
 
     val out = lowQ.unionByName(exactDups).unionByName(nearDups).unionByName(kept)
       .orderBy(col("doc_id"))
@@ -254,6 +265,16 @@ object Curation {
     }
     scaled.drop(stats.columns: _*)
   }
+
+  /** P1 sql-twin gate query: the curation pipeline with the LSH stage
+    * disabled — quality gate + exact dedup, every stage a SQL closed
+    * form (the F2 integer-exact score, md5 keeper ranking). keep cast
+    * to int so the type-strict hash compares across engines. */
+  def p1CurateSql(s: SparkSession, dir: String): DataFrame =
+    curate(s, dir, nearDup = false)
+      .select(col("doc_id"), col("lang"), col("keep").cast("int").as("keep"),
+        col("reason"))
+      .orderBy(col("doc_id"))
 
   /** P6 gate query — minMax + stdScore over lineitem.l_quantity
     * (integer-valued doubles, so every moment is exact — the oracle
