@@ -67,6 +67,7 @@ object SparkEntry {
     "p4_shards"    -> ((s, d) => Curation.packShards(s, d)),
     "p6_scale"     -> (Curation.p6Scale _),
     "p1_curate_sql" -> (Curation.p1CurateSql _),
+    "e6_knn"       -> ((s, d) => Similarity.e6Knn(s, d)),
     "f4_fp_sql"    -> ((s, d) => TextAnalysis.f4FingerprintSql(s, d)),
     // B. graph
     "g_lookup"     -> (GraphQueries.gLookup _),

@@ -500,6 +500,24 @@ object CypherCall {
         GraphOps.nodeSimilarity(selectEdges(n, ed, cfg),
             cfg.dbl("similarityCutoff", 0.1), cfg.int("hubCap", 1000).toLong)
           .select(col("id1"), col("id2"), col("sim").as("similarity"))),
+    // GDS gds.knn shape over GRAPH nodes: FastRP embeddings (the GDS
+    // fastRP.mutate → knn idiom in one call) → banded hyperplane
+    // candidates → exact cosine top-k per node. Approximate like GDS's
+    // NN-Descent; deterministic by the FastRP/LSH seeds.
+    "knn" -> Proc(Seq("id1", "id2", "rank", "similarity"),
+      Set("topK", "embeddingDimension", "iterationWeights", "randomSeed",
+        "nbits", "ntables"),
+      (n, ed, cfg) => {
+        val emb = FastRP.embed(selectEdges(n, ed, cfg),
+          dim = cfg.int("embeddingDimension", 64),
+          weights = cfg.dbls("iterationWeights").getOrElse(Seq(0.0, 1.0, 1.0)),
+          seed = cfg.int("randomSeed", 42).toLong,
+          nodes = Some(n.select(col("id"))))
+        graft.operators.Similarity.knnGraph(
+          emb.select(col("id"), col("embedding").as("v")),
+          k = cfg.int("topK", 5), nbits = cfg.int("nbits", 4),
+          ntables = cfg.int("ntables", 8))
+      }),
     "fastRP" -> Proc(Seq("id", "embedding"),
       Set("embeddingDimension", "iterationWeights", "randomSeed"),
       (n, ed, cfg) => {

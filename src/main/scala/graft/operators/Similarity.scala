@@ -187,6 +187,58 @@ object Similarity {
       .orderBy(col("q_id"), col("rank"))
   }
 
+  /** E6 — k-nearest-neighbor GRAPH (GDS `gds.knn` result shape): the
+    * top-k cosine neighbors for EVERY vector, as (id1, id2, rank,
+    * similarity) edges. The all-pairs self-join is the classic
+    * scale-killer, so candidates come from the E2 multi-table
+    * hyperplane index SELF-joined per (table, bucket) — ids only
+    * through the shuffle, vectors re-attach after the dedup — with a
+    * `bucketCap` that drops degenerate buckets entirely (the D2 guard:
+    * a bucket of b vectors contributes b² candidate pairs, and a
+    * bucket that big carries no locality signal anyway). Approximate,
+    * like GDS's own NN-Descent knn; recall pinned by spec on a planted
+    * corpus, symmetric-candidate property by construction (the index
+    * join is symmetric in id1/id2). */
+  def knnGraph(vectors: DataFrame, k: Int = 5, nbits: Int = 6,
+               ntables: Int = 8, bucketCap: Int = 1000): DataFrame = {
+    require(k >= 1, "knnGraph: k >= 1")
+    val base = vectors.select(col("id"), col("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val banded = base
+      .withColumn("tb", explode(array((0 until ntables).map(t =>
+        struct(lit(t).as("tbl"),
+          lshBucket(col("v"), nbits, planeSeed = t * 1000).as("bucket"))): _*)))
+      .select(col("id"), col("tb.tbl"), col("tb.bucket"))
+    val oversized = banded.groupBy(col("tbl"), col("bucket"))
+      .agg(count(lit(1)).as("bsz")).filter(col("bsz") > bucketCap)
+      .select(col("tbl"), col("bucket"))
+    val kept = banded.join(oversized, Seq("tbl", "bucket"), "left_anti")
+    val candIds = kept.select(col("tbl"), col("bucket"), col("id").as("id1"))
+      .join(kept.select(col("tbl"), col("bucket"), col("id").as("id2")),
+        Seq("tbl", "bucket"))
+      .filter(col("id1") =!= col("id2"))
+      .select(col("id1"), col("id2")).distinct()
+    val scored = candIds
+      .join(base.select(col("id").as("id1"), col("v").as("v1")), Seq("id1"))
+      .join(base.select(col("id").as("id2"), col("v").as("v2")), Seq("id2"))
+      .withColumn("cos", cos(vectors.sparkSession, col("v1"), col("v2")))
+      .select(col("id1").as("q_id"), col("id2"), col("cos"))
+    val out = perQueryTopK(scored, "id2", k, "rank")
+      .select(col("q_id").as("id1"), col("id2"), col("rank"),
+        round(col("cos"), 6).as("similarity"))
+    graft.Borrow.reclaim(out, base)
+  }
+
+  /** E6 driver row — knn graph over a deterministic embeddings subset
+    * (rows-only: LSH candidates, recall pinned by the planted spec). */
+  def e6Knn(s: SparkSession, dir: String, k: Int = 3): DataFrame =
+    knnGraph(
+      Tables.embeddings(s, dir).filter(col("vec_id") % 10 === 0)
+        .select(col("vec_id").as("id"),
+          col("embedding").cast("array<double>").as("v")),
+      k = k)
+      .orderBy(col("id1"), col("rank"))
+
   /** One distributed Lloyd refinement step: new centroid = element-wise
     * mean of each list's member vectors.
     *

@@ -372,6 +372,17 @@ class CypherCallSpec extends SparkSpec {
     assert(err.getMessage.contains("cycle"))
   }
 
+  test("knn CALL: FastRP -> top-k similarity edges, k bound per node") {
+    val out = CypherCall.run(nodes, edges,
+      """CALL graft.knn({topK: 2, embeddingDimension: 16, nbits: 1,
+        |ntables: 4}) YIELD id1, id2, rank, similarity
+        |RETURN id1, id2, rank ORDER BY id1, rank""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2)))
+    assert(out.nonEmpty)
+    assert(out.groupBy(_._1).values.forall(_.size <= 2))
+    assert(out.forall { case (a, b, _) => a != b })
+  }
+
   test("scaleProperties CALL: minMax over a numeric node property") {
     import spark.implicits._
     val sn = Seq(("a", "1"), ("b", "3"), ("c", "5")).map { case (i, v) =>

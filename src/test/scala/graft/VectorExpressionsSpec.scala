@@ -50,6 +50,34 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(hof(0) && hof(1) && !hof(2))
   }
 
+  test("knnGraph: planted clusters find each other, k respected, deterministic") {
+    import spark.implicits._
+    // two tight clusters around orthogonal axes + their jittered copies
+    def jit(base: Seq[Double], eps: Double): Seq[Double] =
+      base.zipWithIndex.map { case (x, i) => x + eps * (i % 3 - 1) / 100.0 }
+    val axis1 = Seq.fill(8)(0.0).updated(0, 1.0)
+    val axis2 = Seq.fill(8)(0.0).updated(4, 1.0)
+    val vecs = (0 until 6).map(i => (s"a$i", jit(axis1, i + 1))) ++
+      (0 until 6).map(i => (s"b$i", jit(axis2, i + 1)))
+    val df = vecs.toDF("id", "v")
+    val out = Similarity.knnGraph(df, k = 3, nbits = 2, ntables = 6)
+    val got = out.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSeq
+    // k respected per source id
+    assert(got.groupBy(_._1).values.forall(_.size <= 3) && got.nonEmpty)
+    // neighbors stay within the planted cluster (cosine across
+    // clusters ~0, within ~1)
+    assert(got.forall { case (a, b, _) => a.head == b.head })
+    // every id found its cluster mates (recall on the planted corpus)
+    assert(got.map(_._1).distinct.size == 12)
+    // deterministic rerun
+    val again = Similarity.knnGraph(df, k = 3, nbits = 2, ntables = 6)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSeq
+    assert(got.sorted == again.sorted)
+    // no self-pairs
+    assert(got.forall { case (a, b, _) => a != b })
+  }
+
   test("cosine_sim is codegen'd (appears inside WholeStageCodegen)") {
     val e = Tables.embeddings(spark, sf)
       .select(col("embedding").cast("array<double>").as("v"))
