@@ -963,7 +963,8 @@ object SparkEntry {
     // twin and clamps to booleans; the oracle pins both to 1
     "e_recall" ->
       """SELECT CAST(1 AS BIGINT) AS e2_recall_ok,
-        |       CAST(1 AS BIGINT) AS e3_recall_ok""".stripMargin,
+        |       CAST(1 AS BIGINT) AS e3_recall_ok,
+        |       CAST(1 AS BIGINT) AS e6_recall_ok""".stripMargin,
     "d_recall" ->
       """SELECT CAST(1 AS BIGINT) AS d2_recall_ok, CAST(1 AS BIGINT) AS d2_subset_ok,
         |  CAST(1 AS BIGINT) AS d5lsh_recall_ok, CAST(1 AS BIGINT) AS d5lsh_subset_ok,

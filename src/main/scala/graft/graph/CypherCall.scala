@@ -515,8 +515,8 @@ object CypherCall {
           nodes = Some(n.select(col("id"))))
         graft.operators.Similarity.knnGraph(
           emb.select(col("id"), col("embedding").as("v")),
-          k = cfg.int("topK", 5), nbits = cfg.int("nbits", 4),
-          ntables = cfg.int("ntables", 8))
+          k = cfg.int("topK", 5), nbits = cfg.int("nbits", 3),
+          ntables = cfg.int("ntables", 16))
       }),
     "fastRP" -> Proc(Seq("id", "embedding"),
       Set("embeddingDimension", "iterationWeights", "randomSeed"),
