@@ -306,6 +306,14 @@ object CypherLite {
                              where: Option[Pred] = None) extends Pred {
     def vars: Set[String] = Set(anchor)
   }
+  /** `n:Label` / `n:A|B&!C` in PREDICATE position (Neo4j's label
+    * test): does the variable's value carry the label (expression)?
+    * Set-based semantics — membership of the value in the label
+    * expression's node-id set, flag-joined so it composes under
+    * NOT/OR. Rejected inside list lambdas (no node binding there). */
+  final case class LabelPred(v: String, expr: String) extends Pred {
+    def vars: Set[String] = Set(v)
+  }
   final case class And(ps: Seq[Pred]) extends Pred { def vars: Set[String] = ps.flatMap(_.vars).toSet }
   final case class Or(ps: Seq[Pred]) extends Pred { def vars: Set[String] = ps.flatMap(_.vars).toSet }
 
@@ -867,13 +875,18 @@ object CypherLite {
             RangeT(a, b)
           case Some(m) if Set("toInteger", "toFloat", "toLower", "toUpper", "size",
                 "labels", "keys", "properties", "head", "last",
-                "date", "datetime", "timestamp", "duration", "type", "id",
+                "date", "datetime", "timestamp", "duration", "type", "id", "elementId",
                 "startNode", "endNode", "length", "nodes", "relationships",
                 "trim", "ltrim", "rtrim", "toString",
                 "abs", "round", "floor", "ceil", "sqrt", "sign")(m.group(1))
               && m.group(2) == null && rest.substring(m.end).trim.startsWith("(") =>
             rest = rest.substring(rest.indexOf('(', m.end) + 1)
-            val fn = m.group(1).toLowerCase
+            // Neo4j-5 elementId() is this engine's id() (ids ARE the
+            // element identity here — no internal numeric ids)
+            val fn = m.group(1).toLowerCase match {
+              case "elementid" => "id"
+              case f => f
+            }
             // size(<pattern>) — the inline-degree idiom: the argument is
             // a chain, not a scalar (a node group followed by a hop)
             val isPatternArg = fn == "size" && {
@@ -1061,6 +1074,10 @@ object CypherLite {
       ExistsPat(chain, chain._1.head.v, andAll(inl.map(parseWhere(_, anon))))
     }
     val QuantHead = """(?i)^(any|all|none|single)\s*\(\s*(\w+)\s+IN\b""".r
+    // label test: a bare identifier immediately followed by ':' and a
+    // label expression — nothing else in predicate-atom position
+    // starts that way (map literals live in term/pattern contexts)
+    val LabelTestRe = """^(\w+)\s*:\s*([\w|&!]+)""".r
     val ExistsBrace = """(?i)^EXISTS\s*\{""".r
     /** One-hop lookahead for a BARE pattern predicate — `(p)-[:T]->(x)`
       * in predicate position (Neo4j sugar for exists(...)). The full
@@ -1152,6 +1169,11 @@ object CypherLite {
         // through the NOT branch above into the anti shape
         val (chain, inl) = parsePatternChainW(consumePattern(), anon)
         ExistsPat(chain, chain._1.head.v, andAll(inl.map(parseWhere(_, anon))))
+      } else if (LabelTestRe.findPrefixMatchOf(rest).isDefined) {
+        // Neo4j label test `n:Label` (full label expressions allowed)
+        val m = LabelTestRe.findPrefixMatchOf(rest).get
+        rest = rest.substring(m.end)
+        LabelPred(m.group(1), m.group(2))
       } else if (QuantHead.findPrefixMatchOf(rest).isDefined) {
         // any/all/none/single(x IN xs WHERE p)
         val m = QuantHead.findPrefixMatchOf(rest).get
@@ -3258,6 +3280,21 @@ object CypherLite {
             .select(col(anchor)).distinct()
             .withColumn(flag, lit(true))
           df = df.join(sub, Seq(anchor), "left")
+          coalesce(col(flag), lit(false))
+        case LabelPred(v, le) =>
+          // membership of the row's value in the label expression's
+          // node-id set, as a flag-joined COLUMN (composes under
+          // NOT/OR like ExistsPat); a single positive label reuses the
+          // same shape — one labeled scan, one equi-join
+          require(df.columns.contains(v), s"unbound identifier '$v'")
+          existsSeq += 1
+          val flag = s"__exists$existsSeq"
+          val ids =
+            if (le.exists(c => c == '|' || c == '&' || c == '!')) labelExprIds(le)
+            else nodes.filter(col("label") === le).select(col("id"))
+          val sub = ids.distinct().select(col("id").as(v))
+            .withColumn(flag, lit(true))
+          df = df.join(sub, Seq(v), "left")
           coalesce(col(flag), lit(false))
         case And(ps) => ps.map(compile).reduce(_ && _)
         case Or(ps) => ps.map(compile).reduce(_ || _)

@@ -2305,6 +2305,39 @@ class CypherLiteSpec extends SparkSpec {
     }
   }
 
+  test("label predicates in WHERE and elementId()") {
+    val (nodes, edges) = graph
+    // WHERE x:Ip on an untyped pattern ≡ typing the pattern node
+    val got = CypherLite.run(nodes, edges,
+      "MATCH (p:Process)-[:CONNECTED_TO]->(x) WHERE x:Ip RETURN DISTINCT p, x")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    val want = CypherLite.run(nodes, edges,
+      "MATCH (p:Process)-[:CONNECTED_TO]->(x:Ip) RETURN DISTINCT p, x")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got == want && got.nonEmpty)
+    // NOT x:Label and label expressions compose in predicate position
+    import spark.implicits._
+    val n = Seq(("a", "A"), ("a", "B"), ("b", "A"), ("c", "C"))
+      .map(t => (t._1, t._2, Map.empty[String, String]))
+      .toDF("id", "label", "props")
+    val e = Seq(("T", "a", "b", 1, Map.empty[String, String]),
+        ("T", "a", "c", 1, Map.empty[String, String]))
+      .toDF("etype", "src", "dst", "event_id", "props")
+    def ids(q: String): Set[String] =
+      CypherLite.run(n, e, q).collect().map(_.getString(0)).toSet
+    assert(ids("MATCH (x) WHERE x:A&B RETURN DISTINCT x") == Set("a"))
+    assert(ids("MATCH (x) WHERE NOT x:A RETURN DISTINCT x") == Set("c"))
+    assert(ids("MATCH (x) WHERE x:C OR x:B RETURN DISTINCT x") == Set("a", "c"))
+    // elementId(v) ≡ id(v)
+    val eid = CypherLite.run(n, e,
+      "MATCH (x:A) RETURN elementId(x) AS i ORDER BY i")
+      .collect().map(_.getString(0)).toSeq
+    assert(eid == Seq("a", "b"))
+    // a label test inside a list lambda is a loud error
+    intercept[IllegalArgumentException](CypherLite.run(n, e,
+      "MATCH (x:A) RETURN [y IN ['a'] WHERE y:A | y] AS l").collect())
+  }
+
   test("quantified path patterns desugar to var-length hops") {
     val (nodes, edges) = graph
     def pairs(q: String): Set[(String, String)] =
