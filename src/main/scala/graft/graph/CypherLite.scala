@@ -873,7 +873,7 @@ object CypherLite {
             require(rest.startsWith(")"), s"expected ')' after range at: $rest")
             rest = rest.substring(1)
             RangeT(a, b)
-          case Some(m) if Set("toInteger", "toFloat", "toLower", "toUpper", "size",
+          case Some(m) if Set("toInteger", "toFloat", "toBoolean", "toLower", "toUpper", "size",
                 "labels", "keys", "properties", "head", "last",
                 "date", "datetime", "timestamp", "duration", "type", "id", "elementId",
                 "startNode", "endNode", "length", "nodes", "relationships",
@@ -953,11 +953,11 @@ object CypherLite {
               } else {
                 require(rest.startsWith(")"), s"expected ')' after ${m.group(1)} at: $rest")
                 rest = rest.substring(1)
-                if (fn == "tointeger" || fn == "tofloat") CastT(fn, inner)
+                if (fn == "tointeger" || fn == "tofloat" || fn == "toboolean") CastT(fn, inner)
                 else FuncT(fn, inner)
               }
             }
-          case Some(m) if Set("split", "replace", "substring")(m.group(1))
+          case Some(m) if Set("split", "replace", "substring", "left", "right")(m.group(1))
               && m.group(2) == null && rest.substring(m.end).trim.startsWith("(") =>
             rest = rest.substring(rest.indexOf('(', m.end) + 1)
             val args = scala.collection.mutable.Buffer(sumT())
@@ -2636,6 +2636,8 @@ object CypherLite {
       case PropT(w, Some(p)) if binds.contains(w) => throw new IllegalArgumentException(
         s"'$w.$p': a comprehension variable is a scalar, not a node (no properties)")
       case t0 if t0.vars.intersect(binds.keySet).isEmpty => outer(t0, num)
+      case CastT("toboolean", t0) =>
+        lambdaTerm(t0, binds, num = false, outer, btypes).try_cast("boolean")
       case CastT(fn, t0) =>
         val raw = lambdaTerm(t0, binds, num = true, outer, btypes)
         if (fn == "tointeger") raw.cast("long") else raw.cast("double")
@@ -2819,6 +2821,11 @@ object CypherLite {
           if (num) col(v).cast("double") else col(v)
         case NumT(x) => lit(x)
         case StrT(s0) => lit(s0)
+        case CastT("toboolean", t0) =>
+          // Cypher toBoolean: 'true'/'false' (case-insensitive) →
+          // boolean, anything else → null — try_cast, because the ANSI
+          // cast RAISES on malformed input where Cypher nulls
+          go(t0, num = false).try_cast("boolean")
         case CastT(fn, t0) =>
           // inner evaluates numerically so toInteger TRUNCATES ("3.7" →
           // 3.7 → 3) instead of null-ing on a non-integral string cast
@@ -2991,6 +2998,13 @@ object CypherLite {
           val start = go(ts(1), num = true).cast("int") + lit(1)
           val len = if (ts.size == 3) go(ts(2), num = true).cast("int") else length(s0)
           s0.substr(start, len)
+        case FuncN(lr @ ("left" | "right"), ts) =>
+          // Cypher left(s, n) / right(s, n) — prefix/suffix of length n
+          require(ts.size == 2, s"$lr(s, n) takes two arguments")
+          val s0 = go(ts.head, num = false)
+          val n0 = go(ts(1), num = true).cast("int")
+          if (lr == "left") s0.substr(lit(1), n0)
+          else s0.substr(greatest(length(s0) - n0 + 1, lit(1)), n0)
         case FuncN("round", Seq(x, p)) =>
           // round(value, precision): Spark's round takes a LITERAL scale
           val scale = p match {

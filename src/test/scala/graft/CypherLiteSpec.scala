@@ -2338,6 +2338,29 @@ class CypherLiteSpec extends SparkSpec {
       "MATCH (x:A) RETURN [y IN ['a'] WHERE y:A | y] AS l").collect())
   }
 
+  test("toBoolean, left and right string functions") {
+    import spark.implicits._
+    val n = Seq(("d1", "Doc", Map("flag" -> "true", "name" -> "abcdef")),
+        ("d2", "Doc", Map("flag" -> "nope", "name" -> "xy")))
+      .toDF("id", "label", "props")
+    val e = Seq(("T", "d1", "d2", 1, Map.empty[String, String]))
+      .toDF("etype", "src", "dst", "event_id", "props")
+    val rows = CypherLite.run(n, e,
+      "MATCH (d:Doc) RETURN d, toBoolean(d.flag) AS b, " +
+        "left(d.name, 3) AS l, right(d.name, 3) AS r ORDER BY d")
+      .collect().map(r => (r.getString(0), Option(r.get(1)), r.getString(2), r.getString(3)))
+    assert(rows.toSeq == Seq(
+      ("d1", Some(true), "abc", "def"),
+      // toBoolean('nope') → null (Cypher contract); right() of a
+      // too-short string returns the whole string
+      ("d2", None, "xy", "xy")))
+    // left/right compose with other term machinery
+    val t = CypherLite.run(n, e,
+      "MATCH (d:Doc) WHERE left(d.name, 2) = 'xy' RETURN d")
+      .collect().map(_.getString(0)).toSeq
+    assert(t == Seq("d2"))
+  }
+
   test("quantified path patterns desugar to var-length hops") {
     val (nodes, edges) = graph
     def pairs(q: String): Set[(String, String)] =
