@@ -464,6 +464,59 @@ object CypherLite {
   private[graph] def parseWhere(s: String, anon: () => String): Pred =
     new PredParser(s.trim, anon).parsePred()
 
+  /** Parse-scoped COLLECT { … } bodies: masked behind `COLLECTSEGn`
+    * identifier tokens before the clause regexes run (a COLLECT body
+    * contains MATCH/RETURN keywords that would mis-split the clause
+    * scanners — the CALLSEG precedent), resolved back in atomT().
+    * ThreadLocal because PredParsers are built throughout the compile
+    * and nested parses (CALL subquery parts) must see the outer
+    * parse's tokens — hence buffer-indexed and never cleared mid-
+    * thread (growth is bounded by the queries a thread parses). */
+  private val collectBodies =
+    new ThreadLocal[scala.collection.mutable.Buffer[String]] {
+      override def initialValue(): scala.collection.mutable.Buffer[String] =
+        scala.collection.mutable.Buffer.empty[String]
+    }
+
+  /** Mask every `COLLECT { … }` occurrence (quote-aware, brace-
+    * balanced) behind a COLLECTSEGn token. */
+  private def maskCollect(s: String): String = {
+    val out = new java.lang.StringBuilder(s.length)
+    val up = s.toUpperCase
+    var i = 0; var inQ = false
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (!inQ && up.startsWith("COLLECT", i) &&
+          (i == 0 || !Character.isLetterOrDigit(s.charAt(i - 1)))) {
+        var j = i + 7
+        while (j < s.length && s.charAt(j) == ' ') j += 1
+        if (j < s.length && s.charAt(j) == '{') {
+          var depth = 1; var k = j + 1; var q2 = false
+          while (k < s.length && depth > 0) {
+            val ch = s.charAt(k)
+            if (q2) { if (ch == '\'') q2 = false }
+            else ch match {
+              case '\'' => q2 = true
+              case '{' => depth += 1
+              case '}' => depth -= 1
+              case _ => ()
+            }
+            k += 1
+          }
+          require(depth == 0, s"unbalanced COLLECT {{ in: $s")
+          val buf = collectBodies.get()
+          buf += s.substring(j + 1, k - 1).trim
+          out.append("COLLECTSEG").append(buf.size - 1)
+          i = k
+        } else { out.append(c); i += 1 }
+      } else {
+        if (c == '\'') inQ = !inQ
+        out.append(c); i += 1
+      }
+    }
+    out.toString
+  }
+
   /** AND-combine predicates, flattening nested Ands so downstream
     * conjunct routers (OPTIONAL MATCH per-chain filtering) see a flat
     * conjunct list. */
@@ -608,6 +661,44 @@ object CypherLite {
     val IdRe = """(\w+)(?:\.(\w+))?""".r
     val CountBrace = """(?i)^COUNT\s*\{""".r
     val CollectBrace = """(?i)^COLLECT\s*\{""".r
+    val CollectSegRe = """^COLLECTSEG(\d+)\b""".r
+
+    /** Cypher 5 COLLECT { [MATCH] <pattern> [WHERE <pred>] RETURN
+      * [DISTINCT] <expr> } subquery — the list-building sibling of
+      * COUNT{}/EXISTS{}, compiled onto the pattern-comprehension shape
+      * (sorted list, [] empty-fill — this engine's deterministic
+      * order; an inner ORDER BY is a loud error, not a silently
+      * different order). `inner` is the brace body. */
+    def collectTerm(inner: String): Term = {
+      Seq(" ORDER BY ", " WITH ", " UNWIND ", " UNION ").foreach { kw =>
+        require(topLevelIndexOf(inner, kw) < 0,
+          s"COLLECT {{ }} supports the MATCH … WHERE … RETURN <expr> form " +
+            s"only (found${kw}— lists come back SORTED by this engine's " +
+            "deterministic-order rule)")
+      }
+      val rAt = topLevelIndexOf(inner, " RETURN ")
+      require(rAt >= 0 || inner.toUpperCase.startsWith("RETURN "),
+        s"COLLECT {{ }} needs a RETURN <expr>: $inner")
+      require(rAt >= 0, s"COLLECT {{ }} needs a pattern before RETURN: $inner")
+      val head0 = inner.substring(0, rAt).trim
+      var retText = inner.substring(rAt + 8).trim
+      val pcDistinct = retText.toUpperCase.startsWith("DISTINCT ")
+      if (pcDistinct) retText = retText.substring(9).trim
+      val head = if (head0.toUpperCase.startsWith("MATCH ")) head0.substring(6).trim
+                 else head0
+      val (patText, wText) = splitTopWhere(head)
+      val (chain, inl) = parsePatternChainW(patText, anon)
+      val innerWhere =
+        andAll(wText.toSeq.map(t => new PredParser(t, anon).parsePred()) ++
+          inl.map(parseWhere(_, anon)))
+      val save = rest
+      rest = retText
+      val proj = sumT(); ws()
+      require(rest.isEmpty,
+        s"COLLECT {{ }} RETURN must be a single expression, got trailing: $rest")
+      rest = save
+      PatCompT(chain, innerWhere, proj, pcDistinct)
+    }
     /** Consume a `{ … }` subquery body (cursor just past the opening
       * brace): scan for the MATCHING close with a depth counter,
       * skipping string literals (an inner WHERE may compare against
@@ -651,13 +742,14 @@ object CypherLite {
         rest = rest.substring(m.end)
         val (chain, innerWhere) = braceSubquery("COUNT")
         SizePat(chain, innerWhere)
+      } else if (CollectSegRe.findPrefixMatchOf(rest).isDefined) {
+        // a COLLECT { … } body masked by parse() — resolve and compile
+        val m = CollectSegRe.findPrefixMatchOf(rest).get
+        rest = rest.substring(m.end)
+        collectTerm(collectBodies.get()(m.group(1).toInt))
       } else if (CollectBrace.findPrefixMatchOf(rest).isDefined) {
-        // Cypher 5 COLLECT { [MATCH] <pattern> [WHERE <pred>] RETURN
-        // [DISTINCT] <expr> } subquery — the list-building sibling of
-        // COUNT{}/EXISTS{}, compiled onto the pattern-comprehension
-        // shape (sorted list, [] empty-fill — this engine's
-        // deterministic order; an inner ORDER BY is a loud error, not
-        // a silently different order)
+        // raw (unmasked) spelling — texts that never went through
+        // parse()'s masking, e.g. CALL-tail predicates
         val m = CollectBrace.findPrefixMatchOf(rest).get
         rest = rest.substring(m.end)
         var depth = 1; var i = 0
@@ -676,34 +768,7 @@ object CypherLite {
         require(depth == 0, s"unbalanced COLLECT {{ at: $rest")
         val inner = rest.substring(0, i - 1).trim
         rest = rest.substring(i)
-        Seq(" ORDER BY ", " WITH ", " UNWIND ", " UNION ").foreach { kw =>
-          require(topLevelIndexOf(inner, kw) < 0,
-            s"COLLECT {{ }} supports the MATCH … WHERE … RETURN <expr> form " +
-              s"only (found${kw}— lists come back SORTED by this engine's " +
-              "deterministic-order rule)")
-        }
-        val rAt = topLevelIndexOf(inner, " RETURN ")
-        require(rAt >= 0 || inner.toUpperCase.startsWith("RETURN "),
-          s"COLLECT {{ }} needs a RETURN <expr>: $inner")
-        require(rAt >= 0, s"COLLECT {{ }} needs a pattern before RETURN: $inner")
-        val head0 = inner.substring(0, rAt).trim
-        var retText = inner.substring(rAt + 8).trim
-        val pcDistinct = retText.toUpperCase.startsWith("DISTINCT ")
-        if (pcDistinct) retText = retText.substring(9).trim
-        val head = if (head0.toUpperCase.startsWith("MATCH ")) head0.substring(6).trim
-                   else head0
-        val (patText, wText) = splitTopWhere(head)
-        val (chain, inl) = parsePatternChainW(patText, anon)
-        val innerWhere =
-          andAll(wText.toSeq.map(t => new PredParser(t, anon).parsePred()) ++
-            inl.map(parseWhere(_, anon)))
-        val save = rest
-        rest = retText
-        val proj = sumT(); ws()
-        require(rest.isEmpty,
-          s"COLLECT {{ }} RETURN must be a single expression, got trailing: $rest")
-        rest = save
-        PatCompT(chain, innerWhere, proj, pcDistinct)
+        collectTerm(inner)
       } else if (rest.startsWith("[")) {
         rest = rest.substring(1)
         ws()
@@ -1292,7 +1357,9 @@ object CypherLite {
         RetItem(Some(f.toLowerCase), "", None, None, alias,
           Some(new PredParser(inner.trim).parseTerm()), adistinct = dist != null)
       case r => r.split("\\.") match {
-        case Array(v) if v.matches("\\w+") => RetItem(None, v, None, None, alias)
+        // a masked COLLECT{} token is a TERM, never a variable ref
+        case Array(v) if v.matches("\\w+") && !v.matches("COLLECTSEG\\d+") =>
+          RetItem(None, v, None, None, alias)
         case Array(v, p) if v.matches("\\w+") && p.matches("\\w+") =>
           RetItem(None, v, Some(p), None, alias)
         case _ =>
@@ -1561,7 +1628,10 @@ object CypherLite {
           i = close + 1
         } else { sb += ch; i += 1 }
       }
-      normalizeWs(sb.toString).trim
+      // COLLECT { … } bodies carry MATCH/RETURN keywords that would
+      // mis-split the clause regexes below (the WITH-position case) —
+      // mask them as identifier tokens; atomT() resolves them back
+      maskCollect(normalizeWs(sb.toString).trim)
     }
     var anonId = 0
     val anon = () => { anonId += 1; s"_anon$anonId" }

@@ -383,6 +383,17 @@ class CypherCallSpec extends SparkSpec {
     assert(out.forall { case (a, b, _) => a != b })
   }
 
+  test("randomWalk CALL ≡ direct API, config dispatch") {
+    val direct = GraphOps.randomWalk(edges.select(col("src"), col("dst")),
+        walksPerNode = 2, walkLength = 3, seed = 7L)
+      .orderBy(col("walk_id"))
+    val called = CypherCall.run(nodes, edges,
+      """CALL graft.randomWalk({walksPerNode: 2, walkLength: 3, randomSeed: 7})
+        |YIELD walk_id, start, steps, path
+        |RETURN walk_id, start, steps, path ORDER BY walk_id""".stripMargin)
+    assert(rows(called) == rows(direct) && called.count() > 0)
+  }
+
   test("scaleProperties CALL: minMax over a numeric node property") {
     import spark.implicits._
     val sn = Seq(("a", "1"), ("b", "3"), ("c", "5")).map { case (i, v) =>

@@ -2426,6 +2426,12 @@ class CypherLiteSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getSeq[String](1).toList,
         r.getAs[Number](2).intValue)).toSet
     assert(dis == Set(("a", List("v"), 2)))
+    // COLLECT{} in WITH position carries into the next stage
+    val viaWith = CypherLite.run(dn, de,
+      "MATCH (x:A) WITH x, COLLECT { MATCH (x)-[:T]->(y:B) RETURN y.k } AS ks " +
+        "RETURN x, size(ks) AS n")
+      .collect().map(r => (r.getString(0), r.getAs[Number](1).intValue)).toSet
+    assert(viaWith == Set(("a", 2)))
     // inner ORDER BY / pipelines are loud (sorted-list house rule)
     intercept[IllegalArgumentException](CypherLite.run(dn, de,
       "MATCH (x:A) RETURN COLLECT { MATCH (x)-[:T]->(y) RETURN y.k " +
