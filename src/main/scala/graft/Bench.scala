@@ -81,7 +81,22 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(line)
+    // r12: the driver's BENCH_r11.json recorded parsed:null — the JSON
+    // line only survived interleaved in the sbt log tail. Persist it to
+    // a file too so the artifact can be parsed structurally.
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+    try {
+      java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+        (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } catch { case e: Throwable =>
+      System.err.println(s"bench: could not write $outPath: $e")
+    }
     spark.stop()
+    // last stdout line after the Spark shutdown chatter, for log-tail
+    // parsers that take the final line
+    println(line)
   }
 }

@@ -19,6 +19,25 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     Relational.q3Join(spark, "/root/testdata/sf0.001")
 
+  /** Project LIST-valued result columns to JSON strings. The driver's
+    * rows-only check sorts result values with pandas, which cannot
+    * hash ndarray cells — so any driver row returning an array column
+    * records NO rows (r10/r11 artifacts: `unhashable type:
+    * numpy.ndarray` for sg_cypher10/11/12). The Cypher query still
+    * computes and orders on the real lists; only the driver-facing
+    * projection is stringified, so the gate records and hashes real
+    * rows. */
+  private def stringifyArrays(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, to_json}
+    df.select(df.schema.fields.map { f =>
+      f.dataType match {
+        case _: org.apache.spark.sql.types.ArrayType =>
+          to_json(col(f.name)).as(f.name)
+        case _ => col(f.name)
+      }
+    }.toIndexedSeq: _*)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // C. relational core
     "q1_agg"       -> (Relational.q1Agg _),
@@ -260,23 +279,23 @@ object SparkEntry {
       // list bound as `r`, per-path rows (Neo4j multiplicity), the
       // chain length read with size(r) and the first hop with head(r)
       val (n, e) = graft.graph.SysmonGraph.buildCached(s, "/root/reference/malware/*.json")
-      graft.graph.CypherLite.run(n, e,
+      stringifyArrays(graft.graph.CypherLite.run(n, e,
         """MATCH (a:Process)-[r:SPAWNS*2..3]->(b:Process)
           |RETURN a, b, size(r) AS hops, head(r) AS first_spawn, r
-          |ORDER BY a, b, hops, r LIMIT 200""".stripMargin)
+          |ORDER BY a, b, hops, r LIMIT 200""".stripMargin))
     }),
     "sg_cypher11"  -> ((s, _) => {
       // r10: pattern comprehension + simple CASE + list subscript in
       // one corpus query — per-trace process list, its first element,
       // and a CASE-classified beacon count
       val (n, e) = graft.graph.SysmonGraph.buildCached(s, "/root/reference/malware/*.json")
-      graft.graph.CypherLite.run(n, e,
+      stringifyArrays(graft.graph.CypherLite.run(n, e,
         """MATCH (t:Trace)
           |RETURN t, [(t)-[:HAS_PROCESS]->(q:Process) | q] AS procs,
           |  [(t)-[:HAS_PROCESS]->(q:Process) | q][0] AS first_proc,
           |  CASE size([(t)-[:HAS_PROCESS]->(q:Process)-[:CONNECTED_TO]->(ip:Ip) | ip])
           |    WHEN 0 THEN 'quiet' ELSE 'beacons' END AS net
-          |ORDER BY t LIMIT 300""".stripMargin)
+          |ORDER BY t LIMIT 300""".stripMargin))
     }),
     "sg_cypher12"  -> ((s, _) => {
       // r11: the Cypher-5 pattern-surface tail in one corpus query —
@@ -284,12 +303,12 @@ object SparkEntry {
       // type disjunction, COLLECT{} subquery, and a quantified path
       // pattern spelling of the spawn chain
       val (n, e) = graft.graph.SysmonGraph.buildCached(s, "/root/reference/malware/*.json")
-      graft.graph.CypherLite.run(n, e,
+      stringifyArrays(graft.graph.CypherLite.run(n, e,
         """MATCH (p:Process WHERE p.image ENDS WITH '.exe')-[:SPAWNS]->{1,2}(q:Process)
           |RETURN p, q,
           |  COLLECT { MATCH (q)-[:CREATED_FILE|SET_REG_VALUE]->(x:File|RegistryValue)
           |            RETURN x } AS artifacts
-          |ORDER BY p, q LIMIT 300""".stripMargin)
+          |ORDER BY p, q LIMIT 300""".stripMargin))
     }),
     "sg_spawntree" -> ((s, _) => {
       val (_, e) = graft.graph.SysmonGraph.buildCached(s, "/root/reference/malware/*.json")

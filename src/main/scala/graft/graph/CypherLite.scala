@@ -470,8 +470,11 @@ object CypherLite {
     * scanners — the CALLSEG precedent), resolved back in atomT().
     * ThreadLocal because PredParsers are built throughout the compile
     * and nested parses (CALL subquery parts) must see the outer
-    * parse's tokens — hence buffer-indexed and never cleared mid-
-    * thread (growth is bounded by the queries a thread parses). */
+    * parse's tokens — hence buffer-indexed. Each run() truncates the
+    * buffer back to its entry mark in a finally (r12): indices stay
+    * valid for the whole dynamic extent of one compile, and long-lived
+    * parser threads (a server reusing threads) no longer accumulate
+    * masked bodies without bound. */
   private val collectBodies =
     new ThreadLocal[scala.collection.mutable.Buffer[String]] {
       override def initialValue(): scala.collection.mutable.Buffer[String] =
@@ -482,11 +485,13 @@ object CypherLite {
     * balanced) behind a COLLECTSEGn token. */
   private def maskCollect(s: String): String = {
     val out = new java.lang.StringBuilder(s.length)
-    val up = s.toUpperCase
+    // regionMatches(ignoreCase), not an uppercased copy: locale-
+    // expanding mappings ('ß' -> "SS") would desync copy offsets from
+    // the original string and corrupt the masked text silently
     var i = 0; var inQ = false
     while (i < s.length) {
       val c = s.charAt(i)
-      if (!inQ && up.startsWith("COLLECT", i) &&
+      if (!inQ && s.regionMatches(true, i, "COLLECT", 0, 7) &&
           (i == 0 || !Character.isLetterOrDigit(s.charAt(i - 1)))) {
         var j = i + 7
         while (j < s.length && s.charAt(j) == ' ') j += 1
@@ -541,7 +546,12 @@ object CypherLite {
 
   /** First index of a ` KEYWORD `-shaped token (case-insensitive)
     * outside quotes and any paren/bracket/brace nesting; -1 if none. */
-  private def topLevelIndexOf(s: String, kw: String): Int = {
+  private def topLevelIndexOf(s: String, kw: String): Int =
+    topLevelIndexOf(s, kw, 0)
+
+  private def topLevelIndexOf(s: String, kw: String, from: Int): Int = {
+    // scan from 0 (quote/nesting state needs the full prefix), return
+    // the first top-level hit at or after `from`
     var i = 0; var dp = 0; var db = 0; var dbr = 0; var inQ = false
     while (i < s.length) {
       val c = s.charAt(i)
@@ -554,12 +564,37 @@ object CypherLite {
         case ']' => db -= 1
         case '{' => dbr += 1
         case '}' => dbr -= 1
-        case ' ' if dp == 0 && db == 0 && dbr == 0 &&
+        case ' ' if i >= from && dp == 0 && db == 0 && dbr == 0 &&
             s.regionMatches(true, i, kw, 0, kw.length) =>
           return i
         case _ => ()
       }
       i += 1
+    }
+    -1
+  }
+
+  /** [[topLevelIndexOf]] for CLAUSE keywords: a ` WITH ` hit whose
+    * preceding token is STARTS or ENDS is the tail of a string
+    * operator (`x STARTS WITH 'p'`), not a WITH clause — skip it. */
+  private def topLevelClauseIndexOf(s: String, kw: String): Int = {
+    val isWith = kw.equalsIgnoreCase(" WITH ")
+    var from = 0
+    while (from <= s.length) {
+      val i = topLevelIndexOf(s, kw, from)
+      if (i < 0) return -1
+      val stringOp = isWith && {
+        val head = s.substring(0, i).trim
+        val tokStart = {
+          var j = head.length - 1
+          while (j >= 0 && Character.isLetter(head.charAt(j))) j -= 1
+          j + 1
+        }
+        val tok = head.substring(tokStart)
+        tok.equalsIgnoreCase("STARTS") || tok.equalsIgnoreCase("ENDS")
+      }
+      if (!stringOp) return i
+      from = i + 1
     }
     -1
   }
@@ -671,7 +706,7 @@ object CypherLite {
       * different order). `inner` is the brace body. */
     def collectTerm(inner: String): Term = {
       Seq(" ORDER BY ", " WITH ", " UNWIND ", " UNION ").foreach { kw =>
-        require(topLevelIndexOf(inner, kw) < 0,
+        require(topLevelClauseIndexOf(inner, kw) < 0,
           s"COLLECT {{ }} supports the MATCH … WHERE … RETURN <expr> form " +
             s"only (found${kw}— lists come back SORTED by this engine's " +
             "deterministic-order rule)")
@@ -1401,8 +1436,12 @@ object CypherLite {
     }
 
   private val HopTok = """-\[(?:[^\]']|'[^']*')*\]->|<-\[(?:[^\]']|'[^']*')*\]-"""
-  private val QppHopRe = (s"""($HopTok)(?:\\{(\\d+)(?:,(\\d*))?\\}|(\\+))""").r
-  private val QppGroupRe = (s"""\\(\\(\\)($HopTok)\\(\\)\\)(?:\\{(\\d+)(?:,(\\d*))?\\}|(\\+))""").r
+  // \s* before the quantifier: `-[:T]-> {1,2}` and `-> +` are the same
+  // QPP as the adjacent spelling — without it the chain regexes would
+  // silently drop the stray quantifier text (a plain single hop plus
+  // ignored junk), violating the loud-or-exact rule
+  private val QppHopRe = (s"""($HopTok)\\s*(?:\\{(\\d+)(?:,(\\d*))?\\}|(\\+))""").r
+  private val QppGroupRe = (s"""\\(\\(\\)($HopTok)\\(\\)\\)\\s*(?:\\{(\\d+)(?:,(\\d*))?\\}|(\\+))""").r
 
   /** Cypher-5 QUANTIFIED PATH PATTERNS, the desugarable subset: the
     * postfix-quantified hop `-[:T]->+` / `-[:T]->{m,n}` / `-[:T]->{m}`
@@ -1446,7 +1485,7 @@ object CypherLite {
       val (lo, hi) = bounds(m.group(2), m.group(3), m.group(4))
       rewriteHop(m.group(1), lo, hi)
     })
-    require("""\)\s*(\{\d|\+)""".r.findFirstIn(out).isEmpty,
+    require("""[>)]\s*(\{\d|\+)""".r.findFirstIn(out).isEmpty,
       "quantified path patterns support only an anonymous single-hop " +
         "body — (()-[:T]->()){m,n} or -[:T]->{m,n} — got: " + pattern0)
     out
@@ -1994,6 +2033,16 @@ object CypherLite {
   }
 
   def run(nodes: DataFrame, edges: DataFrame, cypher: String): DataFrame = {
+    // COLLECT-mask hygiene: tokens created during this compile (incl.
+    // nested runs for CALL subqueries, which truncate to their own
+    // entry mark) are released when it finishes — resolution happens
+    // at parse time, so the returned frame never reads the buffer
+    val cb = collectBodies.get(); val mark = cb.size
+    try runImpl(nodes, edges, cypher)
+    finally if (cb.size > mark) cb.remove(mark, cb.size - mark)
+  }
+
+  private def runImpl(nodes: DataFrame, edges: DataFrame, cypher: String): DataFrame = {
     // Cypher-5 CALL SUBQUERY: `CALL { <full query> } <continuation>` —
     // the inner text runs through this same entry (so UNION, WITH
     // pipelines, nested CALLs, procedures all work inside the braces)

@@ -198,9 +198,15 @@ object Similarity {
     * bucket that big carries no locality signal anyway). Approximate,
     * like GDS's own NN-Descent knn; recall pinned by spec on a planted
     * corpus, symmetric-candidate property by construction (the index
-    * join is symmetric in id1/id2). */
-  def knnGraph(vectors: DataFrame, k: Int = 5, nbits: Int = 6,
-               ntables: Int = 8, bucketCap: Int = 1000): DataFrame = {
+    * join is symmetric in id1/id2).
+    *
+    * Defaults are the MEASURED operating point (3-bit buckets × 16
+    * tables: recall 0.96 @ sf0.01 on the real embedding space; the
+    * earlier 6×8 default read 0.2 — too selective for moderate-cosine
+    * neighbors) and match `CALL graft.knn`, so the direct API and the
+    * procedure surface hand back the same graph. */
+  def knnGraph(vectors: DataFrame, k: Int = 5, nbits: Int = 3,
+               ntables: Int = 16, bucketCap: Int = 1000): DataFrame = {
     require(k >= 1, "knnGraph: k >= 1")
     val base = vectors.select(col("id"), col("v"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -236,9 +242,9 @@ object Similarity {
       Tables.embeddings(s, dir).filter(col("vec_id") % 10 === 0)
         .select(col("vec_id").as("id"),
           col("embedding").cast("array<double>").as("v")),
-      // 3-bit buckets x 16 tables: measured recall 0.96 @ sf0.01 on
-      // the real embedding space (6x8 read 0.2 - too selective for
-      // moderate-cosine neighbors); the bucket cap bounds candidates
+      // API defaults (3-bit buckets x 16 tables, the measured-0.96
+      // operating point) — passed explicitly so the driver row pins
+      // the same configuration even if defaults evolve
       k = k, nbits = 3, ntables = 16)
       .orderBy(col("id1"), col("rank"))
 

@@ -2440,6 +2440,59 @@ class CypherLiteSpec extends SparkSpec {
       "MATCH (x:A) RETURN COLLECT { MATCH (x)-[:T]->(y) WITH y RETURN y.k } AS ks"))
   }
 
+  test("COLLECT { } accepts STARTS WITH / ENDS WITH in its WHERE body " +
+       "(the clause scan must not read the operator's WITH as a clause)") {
+    val (nodes, edges) = graph
+    // r12 ADVICE fix: the ' WITH ' keyword scan used to match inside
+    // STARTS WITH / ENDS WITH and reject the whole subquery
+    val got = CypherLite.run(nodes, edges,
+      "MATCH (p:Process) RETURN p, COLLECT { MATCH (p)-[:CREATED_FILE]->" +
+        "(f:File) WHERE f.id ENDS WITH '.exe' RETURN f.id } AS exes")
+      .collect().map(r => (r.getString(0), r.getSeq[String](1).toList)).toMap
+    val twin = CypherLite.run(nodes, edges,
+      "MATCH (p:Process) RETURN p, [(p)-[:CREATED_FILE]->(f:File) " +
+        "WHERE f.id ENDS WITH '.exe' | f.id] AS exes")
+      .collect().map(r => (r.getString(0), r.getSeq[String](1).toList)).toMap
+    assert(got == twin && got.nonEmpty)
+    val st = CypherLite.run(nodes, edges,
+      "MATCH (p:Process) RETURN p, COLLECT { MATCH (p)-[:CONNECTED_TO]->" +
+        "(ip:Ip) WHERE ip.id STARTS WITH '1' RETURN ip.id } AS ips")
+      .collect()
+    assert(st.nonEmpty)
+    // a REAL clause keyword in the body is still loud
+    intercept[IllegalArgumentException](CypherLite.run(nodes, edges,
+      "MATCH (p:Process) RETURN COLLECT { MATCH (p)-[:CONNECTED_TO]->(ip) " +
+        "WITH ip RETURN ip.id } AS ips"))
+    // masking survives locale-expanding characters in string literals
+    // ('ß'.toUpperCase = "SS" — offset-desync regression guard)
+    val sz = CypherLite.run(nodes, edges,
+      "MATCH (p:Process) WHERE p.id = 'straße' RETURN p, " +
+        "COLLECT { MATCH (p)-[:CONNECTED_TO]->(ip:Ip) RETURN ip.id } AS ips")
+      .collect()
+    assert(sz.isEmpty) // no such process; the point is it parses exactly
+  }
+
+  test("quantified path patterns tolerate whitespace before the quantifier " +
+       "and unconsumed quantifiers stay loud") {
+    val (nodes, edges) = graph
+    def pairs(q: String): Set[(String, String)] =
+      CypherLite.run(nodes, edges, q)
+        .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    // r12 ADVICE fix: '-> {1,2}' used to silently parse as a single
+    // hop with the stray '{1,2}' dropped
+    val star = pairs("MATCH (a:Process)-[:SPAWNS*1..3]->(b:Process) RETURN DISTINCT a, b")
+    assert(pairs("MATCH (a:Process)-[:SPAWNS]-> {1,3} (b:Process) RETURN DISTINCT a, b") == star)
+    val plus = pairs("MATCH (a:Process)-[:SPAWNS*1..10]->(b:Process) RETURN DISTINCT a, b")
+    assert(pairs("MATCH (a:Process)-[:SPAWNS]-> + (b:Process) RETURN DISTINCT a, b") == plus)
+    val grp = pairs("MATCH (a:Process)(()-[:SPAWNS]->()) {1,3} (b:Process) RETURN DISTINCT a, b")
+    assert(grp == star)
+    // a quantifier the rewrite cannot consume still fails loudly
+    intercept[IllegalArgumentException](
+      CypherLite.parse("MATCH (a)((x)-[:SPAWNS]->(y)) {1,3} (b) RETURN a"))
+    intercept[IllegalArgumentException](
+      CypherLite.parse("MATCH (a)-[:SPAWNS*1..2]-> {1,3} (b) RETURN a"))
+  }
+
   test("label expressions: alternation and negation on the corpus") {
     val (nodes, edges) = graph
     // :File|RegistryKey ≡ union of the two label scans

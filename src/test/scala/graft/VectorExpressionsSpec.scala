@@ -78,6 +78,35 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(got.forall { case (a, b, _) => a != b })
   }
 
+  test("knnGraph DEFAULT parameters sit at the measured operating point " +
+       "(recall >= the e6 gate floor vs exact top-k)") {
+    import spark.implicits._
+    // r12: the direct-API defaults used to be the recall-0.2 config
+    // (6 bits x 8 tables) while CALL graft.knn overrode to the
+    // measured-good 3x16; this pins API defaults == CALL defaults ==
+    // a recall above the e_recall gate's 0.6 e6 floor. Corpus: real
+    // embeddings subset (the same space the 0.96 was measured on).
+    val k = 3
+    val vecs = Tables.embeddings(spark, sf).filter(col("vec_id") % 7 === 0)
+      .select(col("vec_id").as("id"), col("embedding").cast("array<double>").as("v"))
+    val approx = Similarity.knnGraph(vecs, k = k) // defaults: nbits/ntables
+      .select(col("id1"), col("id2"))
+      .collect().map(r => (r.get(0).toString, r.get(1).toString)).toSet
+    val local = vecs.collect()
+      .map(r => (r.get(0).toString, r.getSeq[Double](1).toArray))
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / math.sqrt(na * nb)
+    }
+    val exact = local.flatMap { case (id, v) =>
+      local.filter(_._1 != id).map { case (id2, v2) => (id, id2, cos(v, v2)) }
+        .sortBy(-_._3).take(k).map(t => (t._1, t._2))
+    }.toSet
+    val recall = exact.count(approx.contains).toDouble / exact.size
+    assert(recall >= 0.6, s"default-parameter knnGraph recall $recall < 0.6 floor")
+  }
+
   test("cosine_sim is codegen'd (appears inside WholeStageCodegen)") {
     val e = Tables.embeddings(spark, sf)
       .select(col("embedding").cast("array<double>").as("v"))
