@@ -75,6 +75,7 @@ object SparkEntry {
           org.apache.spark.sql.functions.col("n_frames"))
     }),
     "q21_dates"    -> (Relational.q21Dates _),
+    "f9_redact"    -> (TextAnalysis.f9Redact _),
     "m2_mediasim"  -> ((s, d) => {
       val n = graft.Tables.documents(s, d).count().toInt.min(500)
       graft.multimodal.Multimodal.mediaTopK(
@@ -109,6 +110,8 @@ object SparkEntry {
     "g_triangles"  -> (GraphQueries.gTriangles _),
     "g_sssp"       -> (GraphQueries.gSssp _),
     "g_nodesim"    -> (GraphQueries.gNodesim _),
+    "g_nodesim_overlap" -> (GraphQueries.gNodesimOverlap _),
+    "g_nodesim_cosine"  -> (GraphQueries.gNodesimCosine _),
     "g_paths"      -> (GraphQueries.gPaths _),
     "g_allpaths"   -> (GraphQueries.gAllPaths _),
     "g_louvain"    -> (GraphQueries.gLouvain _),
@@ -117,6 +120,8 @@ object SparkEntry {
     "g_fastrp"     -> (GraphQueries.gFastrp _),
     "sg_merge"     -> (GraphQueries.sgMerge _),
     "sg_delete"    -> (GraphQueries.sgDelete _),
+    "sg_where"     -> (GraphQueries.sgWhere _),
+    "sg_compose"   -> (GraphQueries.sgCompose _),
     "g_call"       -> (GraphQueries.gCall _),
     "g_eigen"      -> (GraphQueries.gEigen _),
     "g_hits"       -> (GraphQueries.gHits _),
@@ -139,8 +144,11 @@ object SparkEntry {
     "g_wbetweenness" -> (GraphQueries.gWBetweenness _),
     "g_wbetweenness_dist" -> (GraphQueries.gWBetweennessDist _),
     "g_wpaths"     -> (GraphQueries.gWPaths _),
+    "g_astar"      -> (GraphQueries.gAstar _),
+    "g_conductance" -> (GraphQueries.gConductance _),
     "g_kpaths"     -> (GraphQueries.gKPaths _),
     "g_randomwalk" -> (GraphQueries.gRandomWalk _),
+    "g_node2vec"   -> (GraphQueries.gNode2vec _),
     "g_kcore"      -> ((s, d) => GraphQueries.gKcore(s, d)),
     "n1_nodemerge" -> (GraphQueries.n1NodeMerge _),
     "n2_edgemerge" -> (GraphQueries.n2EdgeMerge _),
@@ -448,7 +456,11 @@ object SparkEntry {
     * a plain "min over all walks" oracle would diverge on reconvergent
     * tie shapes where the per-round greedy path is not the global
     * lexicographic minimum. */
-  private val wPathsOracle: String = {
+  private val wPathsOracle: String = wPathsOracleSql("")
+
+  // r12: g_astar reuses the SAME unrolled Bellman-Ford replay filtered
+  // to its pinned pair — A*'s contract is a bit-identical dijkstra row
+  private def wPathsOracleSql(where: String): String = {
     val stages = (1 to 6).map { k =>
       s"""x$k AS (SELECT s.root, e.dst AS id, s.d + e.w AS d,
          |       s.path || '>' || e.dst AS path
@@ -469,7 +481,7 @@ object SparkEntry {
        |r AS (SELECT DISTINCT b AS id FROM base WHERE CAST(substr(b, 3) AS INT) % 40 = 0),
        |s0 AS (SELECT id AS root, id, CAST(0 AS DOUBLE) AS d, id AS path FROM r),
        |$stages
-       |SELECT root, id, d AS dist, path FROM s6 ORDER BY root, id""".stripMargin
+       |SELECT root, id, d AS dist, path FROM s6 $where ORDER BY root, id""".stripMargin
   }
 
   private val modularityOracle: String =
@@ -945,6 +957,27 @@ object SparkEntry {
     // forced-distributed four-phase Dijkstra-Brandes: SAME oracle
     "g_wbetweenness_dist" -> wBetweennessOracle,
     "g_wpaths" -> wPathsOracle,
+    "g_astar" -> wPathsOracleSql("WHERE root = 's:40' AND id = 'p:20'"),
+    // B32 (r12): conductance = cut / min(vol, total - vol) of the
+    // (key % 4) partition, unweighted symmetrized part—supplier graph
+    "g_conductance" ->
+      """WITH base AS (SELECT DISTINCT 'p:'||l_partkey AS a, 's:'||l_suppkey AS b
+        |  FROM lineitem WHERE l_partkey % 20 = 0),
+        |e AS (SELECT a AS src, b AS dst FROM base UNION SELECT b, a FROM base),
+        |asg AS (SELECT src AS id,
+        |    CAST(CAST(substr(src, 3) AS BIGINT) % 4 AS VARCHAR) AS c
+        |  FROM (SELECT src FROM e UNION SELECT dst FROM e) t(src)),
+        |deg AS (SELECT src AS id, CAST(count(*) AS DOUBLE) AS k FROM e GROUP BY 1),
+        |vols AS (SELECT c, sum(k) AS vol FROM deg JOIN asg USING (id) GROUP BY 1),
+        |m2 AS (SELECT sum(vol) AS tot FROM vols),
+        |cut AS (SELECT x.c AS c, CAST(count(*) AS DOUBLE) AS cut FROM e
+        |  JOIN asg x ON e.src = x.id JOIN asg y ON e.dst = y.id
+        |  WHERE x.c <> y.c GROUP BY 1)
+        |SELECT vols.c AS community,
+        |  floor(coalesce(cut, 0) / least(vol, tot - vol) * 1000000 + 0.5)
+        |    / 1000000 AS conductance
+        |FROM vols LEFT JOIN cut USING (c) CROSS JOIN m2
+        |WHERE least(vol, tot - vol) > 0 ORDER BY 1""".stripMargin,
     // k shortest loopless paths: enumerate EVERY simple s:40-anchored
     // walk within 3 hops (never through the target), keep the ones
     // ending at p:20, rank by (dist, hops, path) — an independent
@@ -1011,6 +1044,28 @@ object SparkEntry {
         |SELECT id1, id2, floor(CAST(i AS DOUBLE)/(x.n+y.n-i) * 10000 + 0.5) / 10000 AS sim
         |FROM i JOIN sz x ON id1=x.p JOIN sz y ON id2=y.p
         |WHERE CAST(i AS DOUBLE)/(x.n+y.n-i) >= 0.2 ORDER BY 1,2""".stripMargin,
+    // B12 metric variants (r12): one-formula changes of the g_nodesim
+    // twin — overlap i/min, set-cosine i/sqrt(n1*n2)
+    "g_nodesim_overlap" ->
+      """WITH e AS (SELECT DISTINCT 'p:'||l_partkey AS p, 's:'||l_suppkey AS s
+        |  FROM lineitem WHERE l_partkey%20=0),
+        |sz AS (SELECT p, count(*) AS n FROM e GROUP BY 1),
+        |i AS (SELECT a.p AS id1, b.p AS id2, count(*) AS i
+        |  FROM e a JOIN e b ON a.s=b.s AND a.p<b.p GROUP BY 1,2)
+        |SELECT id1, id2,
+        |  floor(CAST(i AS DOUBLE)/least(x.n, y.n) * 10000 + 0.5) / 10000 AS sim
+        |FROM i JOIN sz x ON id1=x.p JOIN sz y ON id2=y.p
+        |WHERE CAST(i AS DOUBLE)/least(x.n, y.n) >= 0.5 ORDER BY 1,2""".stripMargin,
+    "g_nodesim_cosine" ->
+      """WITH e AS (SELECT DISTINCT 'p:'||l_partkey AS p, 's:'||l_suppkey AS s
+        |  FROM lineitem WHERE l_partkey%20=0),
+        |sz AS (SELECT p, count(*) AS n FROM e GROUP BY 1),
+        |i AS (SELECT a.p AS id1, b.p AS id2, count(*) AS i
+        |  FROM e a JOIN e b ON a.s=b.s AND a.p<b.p GROUP BY 1,2)
+        |SELECT id1, id2,
+        |  floor(CAST(i AS DOUBLE)/sqrt(CAST(x.n AS DOUBLE)*y.n) * 10000 + 0.5) / 10000 AS sim
+        |FROM i JOIN sz x ON id1=x.p JOIN sz y ON id2=y.p
+        |WHERE CAST(i AS DOUBLE)/sqrt(CAST(x.n AS DOUBLE)*y.n) >= 0.35 ORDER BY 1,2""".stripMargin,
     "g_paths" ->
       """WITH RECURSIVE edges AS (
         |  SELECT 'r:'||n_regionkey AS src, 'n:'||n_nationkey AS dst FROM nation
@@ -1032,6 +1087,20 @@ object SparkEntry {
     "sg_delete" ->
       """SELECT event_type AS t, count(DISTINCT user_id) AS n FROM events
         |WHERE user_id % 7 <> 0 GROUP BY 1 ORDER BY 1""".stripMargin,
+    // J6 read→write composition (r12): per-user type breadth written
+    // back as a prop, read back with a numeric gate
+    "sg_compose" ->
+      """SELECT CAST(user_id AS VARCHAR) AS u,
+        |  CAST(count(DISTINCT event_type) AS VARCHAR) AS breadth
+        |FROM events GROUP BY user_id
+        |HAVING count(DISTINCT event_type) >= 2 ORDER BY 1""".stripMargin,
+    // J6 WHERE-in-write (r12): flag uids ENDS WITH '3', trim uids
+    // STARTS WITH '1', count flagged survivors per type
+    "sg_where" ->
+      """SELECT event_type AS t, count(DISTINCT user_id) AS n FROM events
+        |WHERE CAST(user_id AS VARCHAR) LIKE '%3'
+        |  AND CAST(user_id AS VARCHAR) NOT LIKE '1%'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // B6w weighted PageRank: rank·w/Σw contributions, the g_pagerank
     // recursive CTE with the weighted degree
     "g_wpagerank" ->
@@ -1316,6 +1385,19 @@ object SparkEntry {
         | SELECT *, row_number() OVER (PARTITION BY q_id
         |   ORDER BY votes DESC, label) AS vr FROM votes) t
         |WHERE vr = 1 ORDER BY q_id""".stripMargin,
+    // F9 (r12): identical synthetic-PII construction, RE2 replacements
+    // must equal Java's on these lookaround-free patterns
+    "f9_redact" ->
+      """SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(
+        |  text || ' contact user' || CAST(doc_id AS VARCHAR)
+        |    || '@mail-' || CAST(doc_id AS VARCHAR)
+        |    || '.example.com from 10.' || CAST(doc_id % 200 AS VARCHAR)
+        |    || '.0.' || CAST(doc_id % 250 AS VARCHAR)
+        |    || ' call +1 555 01' || CAST(doc_id AS VARCHAR),
+        |  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |  '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+        |  '\+\d[\d ()-]{6,}\d', '<PHONE>', 'g') AS red
+        |FROM documents ORDER BY doc_id LIMIT 300""".stripMargin,
     "f1_tokens" ->
       """SELECT doc_id,
         | CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS BIGINT) AS ws_tokens,

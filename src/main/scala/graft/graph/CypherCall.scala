@@ -415,6 +415,77 @@ object CypherCall {
             cfg.int("maxIterations", 10))
           .select(col("root"), col("id"), col("dist").as("distance"), col("path"))
       }),
+    // GDS gds.conductance parity (r12): per-community cut/min-volume
+    // quality over a node-property community assignment
+    "conductance" -> Proc(Seq("community", "conductance"),
+      Set("communityProperty", "weightProperty"),
+      (n, ed, cfg) => {
+        val cp = cfg.str("communityProperty").getOrElse(
+          throw new IllegalArgumentException(
+            "conductance: config key 'communityProperty' is required"))
+        val asg = n
+          .select(col("id").cast("string").as("id"),
+            element_at(col("props"), cp).as("community"))
+          .filter(col("community").isNotNull).distinct()
+        val edF = filterEdges(n, ed, cfg)
+        cfg.str("weightProperty") match {
+          case Some(p) =>
+            require(edF.columns.contains("props"),
+              "conductance: weightProperty needs a 'props' column on the edge frame")
+            val withW = edF.withColumn("w2",
+              element_at(col("props"), p).cast("double"))
+            require(withW.filter(col("w2").isNull).limit(1).count() == 0,
+              s"graft.conductance: weightProperty '$p' is missing or " +
+                "non-numeric on at least one edge")
+            GraphOps.conductance(withW, asg, Some("w2"))
+          case None => GraphOps.conductance(edF, asg)
+        }
+      }),
+    // GDS gds.shortestPath.astar parity (r12): goal-directed single-
+    // pair shortest path. latitudeProperty/longitudeProperty (node
+    // props, degrees) build the haversine heuristic exactly as GDS;
+    // omitting both runs plain dijkstra (empty heuristic). Result is
+    // bit-identical to graft.shortestPath's row for the pair — the
+    // heuristic only prunes, never changes the answer.
+    "shortestPath.astar" -> Proc(Seq("root", "id", "distance", "path"),
+      Set("sourceNode", "targetNode", "maxIterations", "weightProperty",
+        "latitudeProperty", "longitudeProperty"),
+      (n, ed, cfg) => {
+        val src = cfg.str("sourceNode").getOrElse(
+          throw new IllegalArgumentException(
+            "astar: config key 'sourceNode' is required"))
+        val tgt = cfg.str("targetNode").getOrElse(
+          throw new IllegalArgumentException(
+            "astar: config key 'targetNode' is required"))
+        val edF = filterEdges(n, ed, cfg)
+        val ed2 = cfg.str("weightProperty") match {
+          case Some(p) =>
+            require(edF.columns.contains("props"),
+              "astar: weightProperty needs a 'props' column on the edge frame")
+            val withW = edF.withColumn("w", element_at(col("props"), p).cast("double"))
+            require(withW.filter(col("w").isNull).limit(1).count() == 0,
+              s"graft.shortestPath.astar: weightProperty '$p' is missing or " +
+                "non-numeric on at least one edge")
+            withW
+          case None if edF.columns.contains("w") => edF
+          case None => edF.withColumn("w", lit(1L))
+        }
+        val e = orientEdges(ed2, cfg)
+        val heur = (cfg.str("latitudeProperty"), cfg.str("longitudeProperty")) match {
+          case (Some(la), Some(lo)) =>
+            GraphOps.haversineHeuristic(
+              n.select(col("id").cast("string").as("id"),
+                  element_at(col("props"), la).cast("double").as("lat"),
+                  element_at(col("props"), lo).cast("double").as("lon"))
+                .filter(col("lat").isNotNull && col("lon").isNotNull), tgt)
+          case (None, None) =>
+            n.select(col("id").cast("string").as("id"), lit(0.0).as("h")).limit(0)
+          case _ => throw new IllegalArgumentException(
+            "astar: latitudeProperty and longitudeProperty come together")
+        }
+        GraphOps.astarPath(e, src, tgt, heur, cfg.int("maxIterations", 10))
+          .select(col("root"), col("id"), col("dist").as("distance"), col("path"))
+      }),
     // GDS gds.shortestPath.yens parity: the k minimal-weight LOOPLESS
     // paths between a pinned pair, ranked by the house total order
     // (dist, hops, path). Weight resolution matches graft.shortestPath.
@@ -447,11 +518,23 @@ object CypherCall {
     // GDS gds.randomWalk shape, deterministic by the house rule (the
     // per-step neighbor choice is hash(walk, step, seed) mod outdeg)
     "randomWalk" -> Proc(Seq("walk_id", "start", "steps", "path"),
-      Set("walksPerNode", "walkLength", "randomSeed"),
-      (n, ed, cfg) =>
-        GraphOps.randomWalk(selectEdges(n, ed, cfg),
-          cfg.int("walksPerNode", 1), cfg.int("walkLength", 5),
-          cfg.int("randomSeed", 42).toLong)),
+      Set("walksPerNode", "walkLength", "randomSeed",
+        "returnFactor", "inOutFactor"),
+      (n, ed, cfg) => {
+        val p = cfg.dbl("returnFactor", 1.0)
+        val q = cfg.dbl("inOutFactor", 1.0)
+        // GDS's node2vec-biased sampling lives on this proc's
+        // returnFactor/inOutFactor keys; 1.0/1.0 keeps the unbiased
+        // rank-mod walk (and its r11 gate rows) byte-stable
+        if (p == 1.0 && q == 1.0)
+          GraphOps.randomWalk(selectEdges(n, ed, cfg),
+            cfg.int("walksPerNode", 1), cfg.int("walkLength", 5),
+            cfg.int("randomSeed", 42).toLong)
+        else
+          GraphOps.node2vecWalk(selectEdges(n, ed, cfg),
+            cfg.int("walksPerNode", 1), cfg.int("walkLength", 5),
+            p, q, cfg.int("randomSeed", 42).toLong)
+      }),
     // GDS gds.scaleProperties parity: numeric node properties scaled
     // under one scaler, yielded as an array in nodeProperties order
     // (GDS's scaledProperty). Multi-label ids collapse by min per
@@ -495,10 +578,13 @@ object CypherCall {
       (n, ed, cfg) =>
         GraphOps.hits(selectEdges(n, ed, cfg), cfg.int("maxIterations", 8))),
     "nodeSimilarity" -> Proc(Seq("id1", "id2", "similarity"),
-      Set("similarityCutoff", "hubCap"),
+      Set("similarityCutoff", "hubCap", "similarityMetric"),
       (n, ed, cfg) =>
         GraphOps.nodeSimilarity(selectEdges(n, ed, cfg),
-            cfg.dbl("similarityCutoff", 0.1), cfg.int("hubCap", 1000).toLong)
+            cfg.dbl("similarityCutoff", 0.1), cfg.int("hubCap", 1000).toLong,
+            // GDS's similarityMetric config (r12): JACCARD (default) |
+            // OVERLAP | COSINE, case-insensitive like GDS
+            cfg.str("similarityMetric").map(_.toLowerCase).getOrElse("jaccard"))
           .select(col("id1"), col("id2"), col("sim").as("similarity"))),
     // GDS gds.knn shape over GRAPH nodes: FastRP embeddings (the GDS
     // fastRP.mutate → knn idiom in one call) → banded hyperplane

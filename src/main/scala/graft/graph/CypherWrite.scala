@@ -32,6 +32,20 @@ import org.apache.spark.sql.functions._
   *     stored props, enforced per parameter row.
   *   - `MERGE (a)-[r:TYPE {…}]->(b)` — edge upsert keyed on
   *     (etype, src, dst); endpoints must be variables bound above.
+  *   - `MATCH (v:Label)` (mapless, r12) — bind the whole label scan,
+  *     or with `WHERE` the narrowed scan; SET-SCOPED: SET/REMOVE/
+  *     DELETE apply to every matched node (the triage idiom
+  *     `MATCH (p:Process) WHERE p.image CONTAINS 'x' SET p.flag = '1'`).
+  *     A mapless variable cannot anchor an edge clause (no per-row
+  *     identity), and MERGE/CREATE reject mapless patterns.
+  *   - `WHERE <pred>` (r12) — immediately after a MATCH clause (node
+  *     or edge): the FULL CypherLite predicate grammar (CONTAINS /
+  *     STARTS WITH / ENDS WITH / arithmetic / exists-patterns / label
+  *     tests), evaluated by ONE scoped read-run against the frames as
+  *     of the clause (edges pre-batch — the map-constraint
+  *     convention), then gating per-row candidates by id/key semi-
+  *     join. Literals only (no `$params`: the gate is per statement,
+  *     not per parameter row) and only that clause's own variables.
   *   - `MATCH (a)-[r:TYPE {…}]->(b)` — bind EXISTING edges (for
   *     `SET r.x`, `DELETE r`); map entries are per-row match
   *     CONSTRAINTS against the stored edge props (equality, evaluated
@@ -94,11 +108,13 @@ object CypherWrite {
                                    keepOldOnNull: Boolean)
   private final case class NodeClause(v: String, label: String,
                                       props: Seq[(String, Value)], create: Boolean,
-                                      mustCreate: Boolean = false)
+                                      mustCreate: Boolean = false,
+                                      where: Option[String] = None)
   private final case class EdgeClause(rv: Option[String], etype: String,
                                       a: String, b: String,
                                       props: Seq[(String, Value)], create: Boolean,
-                                      mustCreate: Boolean = false)
+                                      mustCreate: Boolean = false,
+                                      where: Option[String] = None)
   private final case class RemoveItem(v: String, prop: String)
   private final case class DeleteItem(v: String, detach: Boolean)
   private final case class LabelItem(v: String, label: String)
@@ -124,6 +140,9 @@ object CypherWrite {
   private val MapBody = s"""(?:[^{}']|'[^']*'|$InnerMap)*"""
   private val NodePatRe =
     (s"""\\(\\s*(\\w+)\\s*:\\s*(\\w+)\\s*\\{($MapBody)\\}\\s*\\)""").r
+  // mapless node pattern — legal on MATCH only (no identity to upsert
+  // by); binds the LABEL SCAN, optionally narrowed by a WHERE clause
+  private val NodeBareRe = """\(\s*(\w+)\s*:\s*(\w+)\s*\)""".r
   private val EdgePatRe =
     (s"""\\(\\s*(\\w+)\\s*\\)\\s*-\\s*\\[\\s*(\\w+)?\\s*:\\s*(\\w+)\\s*(\\{$MapBody\\})?\\s*\\]\\s*->\\s*\\(\\s*(\\w+)\\s*\\)""").r
   private val MapEntryRe =
@@ -173,10 +192,30 @@ object CypherWrite {
 
   private def parseStatement(statement: String): Stmt = {
     val text = CypherLite.normalizeWs(statement)
-    val kw = ("""(?i)\b(MERGE|MATCH|ON CREATE SET|ON MATCH SET|SET|WITH""" +
-      """|DETACH DELETE|DELETE|REMOVE|CREATE)\b""").r
     val inQuote = quotedMask(text)
-    val ms = kw.findAllMatchIn(text).filterNot(m => inQuote(m.start)).toSeq
+    // OPTIONAL MATCH has no write semantics here (a missed optional row
+    // would need null-tolerant SET/DELETE scoping) — loud, never a
+    // silently-required MATCH
+    """(?i)\bOPTIONAL\b""".r.findAllMatchIn(text)
+      .filterNot(m => inQuote(m.start)).foreach { _ =>
+        throw new IllegalArgumentException(
+          "OPTIONAL MATCH is not supported in write statements — " +
+            "write-MATCH is required-match (rows that miss drop out)")
+      }
+    val kw = ("""(?i)\b(MERGE|MATCH|ON CREATE SET|ON MATCH SET|SET|WITH""" +
+      """|DETACH DELETE|DELETE|REMOVE|CREATE|WHERE)\b""").r
+    // a WITH that is the tail of STARTS WITH / ENDS WITH (legal inside
+    // a WHERE predicate) is a string operator, not a clause keyword
+    def stringOpWith(m: scala.util.matching.Regex.Match): Boolean =
+      m.group(1).equalsIgnoreCase("WITH") && {
+        val head = text.substring(0, m.start).trim
+        var j = head.length - 1
+        while (j >= 0 && Character.isLetter(head.charAt(j))) j -= 1
+        val tok = head.substring(j + 1)
+        tok.equalsIgnoreCase("STARTS") || tok.equalsIgnoreCase("ENDS")
+      }
+    val ms = kw.findAllMatchIn(text)
+      .filterNot(m => inQuote(m.start)).filterNot(stringOpWith).toSeq
     require(ms.nonEmpty, s"no MERGE/MATCH clause in: $statement")
     require(ms.head.start == 0, s"statement must start with a clause keyword: $statement")
     val nodes = scala.collection.mutable.Buffer.empty[NodeClause]
@@ -191,6 +230,9 @@ object CypherWrite {
     val bound = scala.collection.mutable.Set.empty[String]
     val PlusEqRe = (s"""(\\w+)\\s*\\+=\\s*\\{($MapBody)\\}""").r
     val LabelRe = """(\w+)\s*:\s*(\w+)""".r
+    // a WHERE clause attaches to the IMMEDIATELY preceding MATCH
+    // (Cypher's own placement rule); Left = nodes index, Right = edges
+    var lastMatch: Option[Either[Int, Int]] = None
     ms.zipWithIndex.foreach { case (m, i) =>
       val body = text.substring(m.end,
         if (i + 1 < ms.size) ms(i + 1).start else text.length).trim
@@ -203,6 +245,7 @@ object CypherWrite {
           // never silently a second MERGE
           val create = !m.group(1).equalsIgnoreCase("MATCH")
           val mustCreate = m.group(1).equalsIgnoreCase("CREATE")
+          lastMatch = None
           body match {
             case EdgePatRe(a, rvOrNull, t, mapOrNull, b) =>
               require(bound(a) && bound(b),
@@ -210,22 +253,72 @@ object CypherWrite {
               edges += EdgeClause(Option(rvOrNull), t, a, b,
                 Option(mapOrNull).map(parseMap).getOrElse(Nil), create, mustCreate)
               Option(rvOrNull).foreach(bound += _)
+              if (!create) lastMatch = Some(Right(edges.size - 1))
             case NodePatRe(v, label, mapBody) =>
               val props = parseMap(mapBody)
               require(props.nonEmpty,
                 s"node pattern ($v:$label) needs at least an identity property")
               nodes += NodeClause(v, label, props, create, mustCreate)
               bound += v
+              if (!create) lastMatch = Some(Left(nodes.size - 1))
+            // mapless MATCH (v:Label): binds the label scan — the
+            // triage idiom's anchor (`MATCH (p:Process) WHERE … SET …`)
+            case NodeBareRe(v, label) =>
+              require(!create,
+                s"${m.group(1)} ($v:$label) needs a property map — an " +
+                  "upsert has no identity without one; mapless patterns " +
+                  "are MATCH-only")
+              nodes += NodeClause(v, label, Nil, create = false)
+              bound += v
+              lastMatch = Some(Left(nodes.size - 1))
             case other => throw new IllegalArgumentException(
               s"unsupported ${m.group(1)} pattern: $other")
           }
+        case "WHERE" =>
+          // full read-grammar predicate (CONTAINS / STARTS WITH /
+          // arithmetic / exists-patterns / label tests …): validated
+          // here by the CypherLite WHERE parser, EVALUATED at apply
+          // time by a scoped read-run against the live frames —
+          // write-WHERE is read-WHERE, one grammar
+          require(body.nonEmpty, "empty WHERE clause")
+          require(!body.contains("$"),
+            "WHERE in write statements takes literals only — the " +
+              "predicate gates the GRAPH side once per statement, not " +
+              "per parameter row; bind per-row values in the property map")
+          var anonI = 0
+          val pred = CypherLite.parseWhere(body,
+            () => { anonI += 1; s"__wa$anonI" })
+          val refs = pred.vars.filterNot(_.startsWith("__wa"))
+          lastMatch match {
+            case Some(Left(ni)) =>
+              val nc = nodes(ni)
+              require(nc.where.isEmpty, s"duplicate WHERE after MATCH (${nc.v})")
+              require(refs.subsetOf(Set(nc.v)),
+                s"WHERE after MATCH (${nc.v}) may reference only '${nc.v}' " +
+                  s"(got: ${refs.mkString(", ")}) — cross-clause predicates " +
+                  "need the read surface")
+              nodes(ni) = nc.copy(where = Some(body))
+            case Some(Right(ei)) =>
+              val ec = edges(ei)
+              require(ec.where.isEmpty, s"duplicate WHERE after MATCH [:${ec.etype}]")
+              val allowed = Set(ec.a, ec.b) ++ ec.rv
+              require(refs.subsetOf(allowed),
+                s"WHERE after MATCH [:${ec.etype}] may reference only " +
+                  s"${allowed.mkString("/")} (got: ${refs.mkString(", ")})")
+              edges(ei) = ec.copy(where = Some(body))
+            case None => throw new IllegalArgumentException(
+              "WHERE must immediately follow a MATCH clause (Neo4j's own " +
+                "placement rule; MERGE takes no WHERE)")
+          }
         case del @ ("DELETE" | "DETACH DELETE") =>
+          lastMatch = None
           body.split(",").map(_.trim).filter(_.nonEmpty).foreach { v =>
             require(v.matches("\\w+"), s"unsupported DELETE target: $v")
             require(bound(v), s"DELETE target '$v' is not bound")
             deletes += DeleteItem(v, del.startsWith("DETACH"))
           }
         case "REMOVE" =>
+          lastMatch = None
           body.split(",").map(_.trim).filter(_.nonEmpty).foreach {
             case s if s.matches("""\w+\.\w+""") =>
               val Array(v, p) = s.split("\\.", 2)
@@ -238,6 +331,7 @@ object CypherWrite {
               s"unsupported REMOVE item: $other (expected v.prop or v:Label)")
           }
         case setKw @ ("ON CREATE SET" | "ON MATCH SET" | "SET") =>
+          lastMatch = None
           // paren/brace/quote-aware comma split: coalesce($p, v.prop)
           // and v += {a: 1, b: 2} must not break at inner commas
           val parts = {
@@ -285,7 +379,7 @@ object CypherWrite {
             case "ON MATCH SET"  => onMatch ++= items
             case _               => always ++= items
           }
-        case "WITH" => () // scope carry — variables stay bound
+        case "WITH" => lastMatch = None // scope carry — variables stay bound
       }
     }
     Stmt(nodes.toSeq, edges.toSeq, onCreate.toSeq, onMatch.toSeq, always.toSeq,
@@ -332,8 +426,9 @@ object CypherWrite {
 
     // ---- node phase: one upsert per distinct merge/match variable ----
     var outNodes = nodes
-    // per-variable per-row id expr (needed again in the edge phase)
-    val idExprs: Map[String, Column] = st.nodes.map { nc =>
+    // per-variable per-row id expr (needed again in the edge phase);
+    // mapless MATCH vars have no per-row identity and stay out
+    val idExprs: Map[String, Column] = st.nodes.filter(_.props.nonEmpty).map { nc =>
       nc.v -> valueCol(nc.props.head._2)
     }.toMap
     val labels: Map[String, String] = st.nodes.map(nc => nc.v -> nc.label).toMap
@@ -341,6 +436,20 @@ object CypherWrite {
     // constraints, against the frame as of that clause) HIT — the
     // row-level gate every later clause referencing the var applies
     val matchedPm = scala.collection.mutable.Map.empty[String, DataFrame]
+    // mapless MATCH var → its id-set scope (the WHERE-narrowed label
+    // scan) — SET/REMOVE/DELETE over these vars apply set-wide, not
+    // per parameter row
+    val setScopes = scala.collection.mutable.Map.empty[String, DataFrame]
+    // WHERE gate: ONE scoped read-run through the full CypherLite
+    // grammar (CONTAINS / STARTS WITH / arithmetic / exists-patterns /
+    // label tests) against the frames as of the clause — write-WHERE
+    // IS read-WHERE, no second predicate compiler. Edges are pre-batch
+    // (same convention as edge-map match constraints).
+    def whereNodeIds(nc: NodeClause, curNodes: DataFrame): DataFrame =
+      CypherLite.run(curNodes, edges,
+          s"MATCH (${nc.v}:${nc.label}) WHERE ${nc.where.get} " +
+            s"RETURN DISTINCT ${nc.v}")
+        .select(col(nc.v).as("__wid"))
 
     st.nodes.foreach { nc =>
       if (nc.create) {
@@ -376,12 +485,17 @@ object CypherWrite {
           .join(outNodes.select(col("id"), col("label")), Seq("id", "label"), "left_anti")
           .select(col("label"), col("id"), col("cm").as("props"))
         outNodes = updated.unionByName(created)
-      } else {
+      } else if (nc.props.nonEmpty) {
         // MATCH: bind existing nodes; map entries past the identity are
-        // equality constraints against stored props, per parameter row
+        // equality constraints against stored props, per parameter row;
+        // a WHERE clause narrows the bindable id set first
         val extras = nc.props.tail
-        val g = outNodes.filter(col("label") === nc.label)
+        val g0 = outNodes.filter(col("label") === nc.label)
           .select(col("id").as("__mid"), col("props").as("__mprops"))
+        val g = nc.where.map { _ =>
+          val w = whereNodeIds(nc, outNodes)
+          g0.join(w, g0("__mid") === w("__wid"), "left_semi")
+        }.getOrElse(g0)
         val cond = extras.foldLeft(idExprs(nc.v) === col("__mid")) {
           case (c, (k, v)) => c && col("__mprops").getItem(k) === valueCol(v)
         }
@@ -401,6 +515,29 @@ object CypherWrite {
               when(col("mm").isNotNull, map_concat(col("props"), col("mm")))
                 .otherwise(col("props")).as("props"))
         }
+      } else {
+        // mapless MATCH: binds the (WHERE-narrowed) LABEL SCAN as a
+        // set scope — the triage idiom. Every parameter row's SET
+        // applies to every scope node (for the common literal-only
+        // statement the frame is one row); fold order is still batch
+        // row order per id.
+        val scope = nc.where.map(_ => whereNodeIds(nc, outNodes)).getOrElse(
+          outNodes.filter(col("label") === nc.label)
+            .select(col("id").as("__wid")).distinct())
+        setScopes(nc.v) = scope
+        val matchEntries = setsFor(nc.v, st.onMatch) ++ setsFor(nc.v, st.always)
+        if (matchEntries.nonEmpty) {
+          val mm = pm.crossJoin(scope)
+            .select(col("__wid").as("id"), col("_ord"), mapOf(matchEntries).as("mm"))
+            .groupBy(col("id"))
+            .agg(foldMaps(collect_list(
+              struct(col("_ord").as("ord"), col("mm").as("m")))).as("mm"))
+            .withColumn("label", lit(nc.label))
+          outNodes = outNodes.join(mm, Seq("id", "label"), "left")
+            .select(col("label"), col("id"),
+              when(col("mm").isNotNull, map_concat(col("props"), col("mm")))
+                .otherwise(col("props")).as("props"))
+        }
       }
     }
 
@@ -409,6 +546,12 @@ object CypherWrite {
     // edge var → its batch's (etype, src, dst) key frame (DELETE scope)
     val edgeKeys = scala.collection.mutable.Map.empty[String, DataFrame]
     st.edges.foreach { ec =>
+      Seq(ec.a, ec.b).foreach { v =>
+        require(idExprs.contains(v),
+          s"edge endpoint '$v' is bound by a mapless MATCH — edge clauses " +
+            "key per parameter row and need endpoints with an identity " +
+            "property map")
+      }
       val createEntries = ec.props ++
         ec.rv.toSeq.flatMap(v => setsFor(v, st.onCreate) ++ setsFor(v, st.always))
       val matchEntries =
@@ -439,6 +582,18 @@ object CypherWrite {
           .filter(size(map_filter(col("__km"), (k, v) =>
             coalesce(element_at(col("__eprops"), k) =!= v, lit(true)))) === 0)
           .drop("__km", "__eprops")
+      }
+      // WHERE on a MATCH edge clause: the qualifying (src, dst) key set
+      // from one scoped read-run (full grammar — r.props, endpoint
+      // props, patterns), against the pre-batch edges like the map
+      // constraints above
+      ec.where.foreach { w =>
+        require(!ec.create, s"WHERE cannot gate a MERGE edge clause")
+        val keys = CypherLite.run(outNodes, edges,
+            s"MATCH (${ec.a})-[${ec.rv.getOrElse("__wr")}:${ec.etype}]->" +
+              s"(${ec.b}) WHERE $w RETURN DISTINCT ${ec.a}, ${ec.b}")
+          .select(col(ec.a).as("src"), col(ec.b).as("dst"))
+        cand0 = cand0.join(keys, Seq("src", "dst"), "left_semi")
       }
       val cand = cand0
         .groupBy(col("src"), col("dst"))
@@ -482,13 +637,17 @@ object CypherWrite {
 
     // ---- REMOVE phase: drop properties, keep rows ----
     // scope of a node variable = the ids its clause touched this batch
-    def nodeScope(v: String): DataFrame = {
-      val ids = matchedPm.get(v) match {
-        case Some(matched) => matched.select(idExprs(v).as("id"))
-        case None          => pm.select(idExprs(v).as("id"))
-      }
-      ids.filter(col("id").isNotNull).distinct()
-        .withColumn("label", lit(labels(v)))
+    def nodeScope(v: String): DataFrame = setScopes.get(v) match {
+      // mapless MATCH: the WHERE-narrowed label scan IS the scope
+      case Some(scope) =>
+        scope.select(col("__wid").as("id")).withColumn("label", lit(labels(v)))
+      case None =>
+        val ids = matchedPm.get(v) match {
+          case Some(matched) => matched.select(idExprs(v).as("id"))
+          case None          => pm.select(idExprs(v).as("id"))
+        }
+        ids.filter(col("id").isNotNull).distinct()
+          .withColumn("label", lit(labels(v)))
     }
     val nodeVars = labels.keySet
     st.removes.groupBy(_.v).foreach { case (v, items) =>
@@ -582,6 +741,134 @@ object CypherWrite {
         .select(col("label"), col("id"), col("props"))
     }
     (outNodes, outEdges)
+  }
+
+  // ------------------------------------------------- read→write tail
+
+  /** Rewrite bare word references to read-frame columns into `$col`
+    * params (quote-aware; skips map-KEY/label positions — a word
+    * followed by ':' — and qualified tails `v.word`). The write
+    * grammar then binds them from the frame like any parameter. */
+  private def bindFrameRefs(text: String, cols: Set[String]): String = {
+    val sb = new StringBuilder
+    var i = 0; var inQ = false
+    while (i < text.length) {
+      val c = text.charAt(i)
+      if (inQ) { sb += c; if (c == '\'') inQ = false; i += 1 }
+      else if (c == '\'') { sb += c; inQ = true; i += 1 }
+      else if (Character.isJavaIdentifierStart(c) &&
+          (i == 0 || (!Character.isJavaIdentifierPart(text.charAt(i - 1)) &&
+            text.charAt(i - 1) != '$' && text.charAt(i - 1) != '.'))) {
+        var j = i
+        while (j < text.length && Character.isJavaIdentifierPart(text.charAt(j))) j += 1
+        val word = text.substring(i, j)
+        var k = j
+        while (k < text.length && text.charAt(k) == ' ') k += 1
+        val keyPos = k < text.length && text.charAt(k) == ':'
+        if (cols(word) && !keyPos) sb.append('$').append(word)
+        else sb.append(word)
+        i = j
+      } else { sb += c; i += 1 }
+    }
+    sb.toString
+  }
+
+  /** READ→WRITE COMPOSITION (r12) — one statement that enriches
+    * through the read pipeline and writes the result back, Neo4j's
+    * enrich-then-tag idiom:
+    *
+    * {{{
+    * MATCH (u:User)-[:DID]->(t:EType)
+    * WITH u AS uid, count(*) AS n
+    * MATCH (v:User {uid: uid}) SET v.breadth = n
+    * }}}
+    *
+    * Contract: the statement splits at the LAST top-level `WITH`
+    * before the FIRST write keyword (MERGE/CREATE/SET/DELETE/DETACH
+    * DELETE/REMOVE); the write tail starts at the first MATCH after
+    * that WITH (re-anchoring carried ids), or at the write keyword.
+    * Everything before runs through [[CypherLite]] with the boundary
+    * `WITH` rewritten to `RETURN` — the full read grammar (multi-hop
+    * patterns, aggregation, WHERE, subqueries) — and the resulting
+    * frame becomes the write tail's PARAMETER BATCH, one write
+    * application per row (exactly how `$param` frames drive
+    * [[merge]]). In the write tail, bare references to carried
+    * columns read as `$col` params; node variables do NOT carry
+    * across (a returned node is its id string — re-anchor with
+    * `MATCH/MERGE (v:Label {key: col})`). A trailing RETURN is not
+    * supported (the updated frames are the result). Returns the
+    * updated (nodes, edges). */
+  def runComposed(nodes: DataFrame, edges: DataFrame,
+                  cypher: String): (DataFrame, DataFrame) = {
+    val text = CypherLite.normalizeWs(cypher).trim
+    // quote/nesting-aware scan for top-level keyword positions
+    def topLevelHits(kws: Seq[String]): Seq[(Int, String)] = {
+      val out = scala.collection.mutable.Buffer.empty[(Int, String)]
+      var i = 0; var dp = 0; var inQ = false
+      while (i < text.length) {
+        val c = text.charAt(i)
+        if (inQ) { if (c == '\'') inQ = false }
+        else c match {
+          case '\'' => inQ = true
+          case '(' | '[' | '{' => dp += 1
+          case ')' | ']' | '}' => dp -= 1
+          case _ =>
+            if (dp == 0 &&
+                (i == 0 || !Character.isLetterOrDigit(text.charAt(i - 1)))) {
+              kws.find(k =>
+                text.regionMatches(true, i, k, 0, k.length) &&
+                  (i + k.length >= text.length ||
+                    !Character.isLetterOrDigit(text.charAt(i + k.length))))
+                .foreach(k => out += ((i, k)))
+            }
+        }
+        i += 1
+      }
+      out.toSeq
+    }
+    val writeKws = Seq("DETACH DELETE", "MERGE", "CREATE", "SET",
+      "DELETE", "REMOVE")
+    val wHits = topLevelHits(writeKws)
+    require(wHits.nonEmpty,
+      "runComposed needs a write tail (MERGE/CREATE/SET/DELETE/REMOVE) — " +
+        "use CypherLite.run for pure reads")
+    val wStart = wHits.head._1
+    val withHits = topLevelHits(Seq("WITH")).filter(_._1 < wStart)
+      // a WITH that tails STARTS WITH / ENDS WITH is a string operator
+      .filterNot { case (p, _) =>
+        val head = text.substring(0, p).trim
+        var j = head.length - 1
+        while (j >= 0 && Character.isLetter(head.charAt(j))) j -= 1
+        val tok = head.substring(j + 1)
+        tok.equalsIgnoreCase("STARTS") || tok.equalsIgnoreCase("ENDS")
+      }
+    require(withHits.nonEmpty,
+      "runComposed needs a WITH boundary before the write tail " +
+        "(MATCH … WITH cols MERGE/SET/… ) — a write statement without " +
+        "a read stage is CypherWrite.merge's surface")
+    val (withStart, _) = withHits.last
+    // the write tail starts at the first anchor clause after the
+    // boundary WITH: a MATCH (re-anchoring carried ids — the enrich-
+    // then-tag idiom `WITH uid, n MATCH (u:User {uid: uid}) SET …`)
+    // or, with no MATCH between, the write keyword itself
+    val tailStart = topLevelHits(Seq("MATCH"))
+      .collectFirst { case (p, _) if p > withStart && p < wStart => p }
+      .getOrElse(wStart)
+    val items = text.substring(withStart + 4, tailStart).trim
+    require(items.nonEmpty, "empty WITH item list before the write tail")
+    // the boundary WITH must carry ONLY its item list — a clause
+    // keyword here means the write tail did not directly follow it
+    val ClauseKw = """(?i)\b(UNWIND|WHERE|ORDER BY|CALL|UNION|RETURN|SKIP|LIMIT)\b""".r
+    ClauseKw.findFirstIn(items).foreach { k =>
+      throw new IllegalArgumentException(
+        s"the write tail must start right after the boundary WITH's item " +
+          s"list (found $k) — stage the read with an extra " +
+          "`WITH cols` projection before the write clauses")
+    }
+    val readText = text.substring(0, withStart) + " RETURN " + items
+    val frame = CypherLite.run(nodes, edges, readText)
+    val writeText = bindFrameRefs(text.substring(tailStart), frame.columns.toSet)
+    merge(nodes, edges, writeText, frame)
   }
 
   /** One-shot form: a literal statement, or one `$param` binding set. */

@@ -1,6 +1,6 @@
 package graft.graph
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
@@ -944,6 +944,43 @@ object GraphOps {
           .withColumn("w", lit(1.0))
     }
 
+  /** B32 — per-community CONDUCTANCE (r12):
+    * φ(C) = cut(C) / min(vol(C), vol(G) − vol(C)) over the
+    * symmetrized (optionally weighted) graph — the standard
+    * community-quality metric (the NCP definition, Leskovec et al.
+    * 2008; GDS ships it as `gds.conductance`). One pass: per-
+    * community volume (Σ degrees) + cut (Σ cross-community edge
+    * weight, counted from each side's perspective like GDS), the
+    * total volume attached via a broadcast 1-row literal join (the P6
+    * pattern — no driver scalar, no second data shuffle). Communities
+    * whose min(vol, rest) = 0 (all volume, or none) are OMITTED — φ
+    * is undefined there, and silence beats a NaN. Returns
+    * (community, conductance). */
+  def conductance(edges0: DataFrame, assign: DataFrame,
+                  weightCol: Option[String] = None): DataFrame = {
+    val e = weightedSymInput(edges0, weightCol)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val a = assign.select(col("id").cast("string").as("id"),
+      col("community").cast("string").as("c"))
+    val vols = e.groupBy(col("src").as("id")).agg(sum(col("w")).as("k"))
+      .join(a, Seq("id"))
+      .groupBy(col("c")).agg(sum(col("k")).as("vol"))
+    val cut = e
+      .join(a.select(col("id").as("src"), col("c").as("cs")), Seq("src"))
+      .join(a.select(col("id").as("dst"), col("c").as("cd")), Seq("dst"))
+      .filter(col("cs") =!= col("cd"))
+      .groupBy(col("cs").as("c")).agg(sum(col("w")).as("cut"))
+    val total = vols.agg(sum(col("vol")).as("tot"))
+    val out = vols.join(cut, Seq("c"), "left")
+      .join(broadcast(total))
+      .filter(least(col("vol"), col("tot") - col("vol")) > 0)
+      .select(col("c").as("community"),
+        graft.operators.Num.roundTies(
+          coalesce(col("cut"), lit(0.0)) /
+            least(col("vol"), col("tot") - col("vol")), 6).as("conductance"))
+    graft.Borrow.reclaim(out, e)
+  }
+
   def modularity(edges0: DataFrame, assign: DataFrame,
                  weightCol: Option[String] = None): Double = {
     // weighted Q uses the same formula over edge weights; the input
@@ -969,21 +1006,24 @@ object GraphOps {
     internal / m2 - sumTot2 / (m2 * m2)
   }
 
-  /** Neo4j-GDS-style node similarity: Jaccard over out-neighbor sets
-    * for every source pair sharing at least one neighbor. Delegates to
-    * [[graft.operators.JaccardJoin.exactPairs]] (items = neighbors):
-    * a hub destination of in-degree d — on telemetry graphs the COMMON
-    * case, e.g. every process loading the same system DLL — would emit
-    * d²/2 inverted-index rows; the df-cap + prefix-filter hybrid
-    * bounds that exactly as D4 does for boilerplate shingles, with
-    * recall-exact results. Returns (id1, id2, sim), id1 < id2,
-    * sim ≥ threshold. */
+  /** Neo4j-GDS-style node similarity over out-neighbor sets for every
+    * source pair sharing at least one neighbor, with GDS's
+    * `similarityMetric` config (r12): `jaccard` (default), `overlap`
+    * (i/min — subset detection), `cosine` (set-cosine i/√(n1·n2)).
+    * Delegates to [[graft.operators.JaccardJoin.exactPairsMetric]]
+    * (items = neighbors): a hub destination of in-degree d — on
+    * telemetry graphs the COMMON case, e.g. every process loading the
+    * same system DLL — would emit d²/2 inverted-index rows; the
+    * df-cap + per-metric prefix-filter hybrid bounds that exactly as
+    * D4 does for boilerplate shingles, with recall-exact results.
+    * Returns (id1, id2, sim), id1 < id2, sim ≥ threshold. */
   def nodeSimilarity(edges: DataFrame, threshold: Double,
-                     hubCap: Long = 1000L): DataFrame =
-    graft.operators.JaccardJoin.exactPairs(
+                     hubCap: Long = 1000L,
+                     metric: String = "jaccard"): DataFrame =
+    graft.operators.JaccardJoin.exactPairsMetric(
         edges.select(col("src").as("id"), col("dst").as("item")),
-        threshold, hubCap)
-      .withColumn("sim", graft.operators.Num.roundTies(col("jaccard"), 4))
+        threshold, hubCap, metric)
+      .withColumn("sim", graft.operators.Num.roundTies(col("sim"), 4))
       .select(col("id1"), col("id2"), col("sim"))
 
   /** BFS that also MATERIALIZES one shortest path per reached vertex —
@@ -1309,6 +1349,122 @@ object GraphOps {
     }
     e.unpersist()
     state
+  }
+
+  /** B30 — A* single-pair shortest path (`gds.shortestPath.astar`
+    * parity, r12): the [[ssspPathsFrom]] Bellman-Ford frontier with
+    * GOAL-DIRECTED PRUNING. `heuristic` is a per-node (id, h) frame of
+    * ADMISSIBLE remaining-cost lower bounds (the caller's contract,
+    * exactly as GDS leaves haversine-vs-weight consistency to the
+    * user); ids absent from it read h = 0, and an EMPTY heuristic is
+    * plain dijkstra. Each round, once a complete s→t path of cost B
+    * is known, every improved frontier row with g + h(v) > B is
+    * dropped: any completion costs ≥ g + h(v) > B, so it can affect
+    * neither the target's distance nor its tie-break (ties need
+    * total = B; pruning is STRICT for exactly that reason). The
+    * relaxation itself — min(struct(nd, npath)) candidate pick,
+    * strictly-improving state merge — is ssspPathsFrom's verbatim, so
+    * the returned target row is bit-identical to dijkstra's (the sql
+    * gate pins this against the unrolled Bellman-Ford oracle).
+    *
+    * Scale shape: per round one equi-join + one keyed agg + one
+    * left-anti merge, all pre-pruned by the broadcastable heuristic
+    * join; the target-distance probe is ONE bounded 1-row action per
+    * round (the house probe budget). Returns (root, id, dist, path)
+    * for the target — empty when unreachable within maxIter hops. */
+  def astarPath(edges: DataFrame, source: String, target: String,
+                heuristic: DataFrame, maxIter: Int = 10,
+                weightCol: String = "w"): DataFrame =
+    astarInstrumented(edges, source, target, heuristic, maxIter, weightCol)._1
+
+  /** [[astarPath]] plus the total improved-row count across rounds —
+    * the spec asserts goal-direction by comparing it against the
+    * h = 0 run on the same graph. */
+  private[graft] def astarInstrumented(
+      edges: DataFrame, source: String, target: String,
+      heuristic: DataFrame, maxIter: Int, weightCol: String)
+      : (DataFrame, Long) = {
+    val spark = edges.sparkSession
+    val e = edges.select(col("src").cast("string").as("src"),
+        col("dst").cast("string").as("dst"),
+        col(weightCol).cast("double").as("w"))
+      .filter(col("w").isNotNull).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    require(e.filter(col("w") <= 0).limit(1).count() == 0,
+      "astar: weights must be strictly positive (GDS contract)")
+    val h = heuristic.select(col("id").cast("string").as("id"),
+      col("h").cast("double").as("h"))
+    var state = spark.range(1)
+      .select(lit(source).as("root"), lit(source).as("id"),
+        lit(0.0).as("dist"), lit(source).as("path"))
+      .localCheckpoint()
+    var frontier = state
+    var n = frontier.count()
+    var best = Double.PositiveInfinity
+    var expanded = 0L
+    var iter = 0
+    while (iter < maxIter && n > 0) {
+      iter += 1
+      val cand = frontier.join(e, frontier("id") === e("src"))
+        .select(col("root"), e("dst").as("id"),
+          (col("dist") + col("w")).as("nd"),
+          concat(col("path"), lit(">"), e("dst")).as("npath"))
+        .groupBy(col("root"), col("id"))
+        .agg(min(struct(col("nd"), col("npath"))).as("b"))
+        .select(col("root"), col("id"), col("b.nd").as("nd"),
+          col("b.npath").as("npath"))
+      val improved0 = cand
+        .join(state.select(col("id").as("o_id"), col("dist").as("od")),
+          cand("id") === col("o_id"), "left")
+        .filter(col("od").isNull || col("nd") < col("od"))
+        .select(col("root"), col("id"), col("nd").as("dist"),
+          col("npath").as("path"))
+      // goal-directed prune: g + h(v) > best-known complete cost
+      val improved = (if (best.isPosInfinity) improved0
+        else improved0.join(h, Seq("id"), "left")
+          .filter(col("dist") + coalesce(col("h"), lit(0.0)) <= best)
+          .select(col("root"), col("id"), col("dist"), col("path")))
+        .localCheckpoint(false) // lazy: count below materializes
+      n = improved.count()
+      expanded += n
+      if (n > 0) {
+        state = state
+          .join(improved.select(col("id").as("i_id")),
+            state("id") === col("i_id"), "left_anti")
+          .unionByName(improved).localCheckpoint()
+        // bounded probe: the target's current best distance
+        val t = state.filter(col("id") === target)
+          .select(col("dist")).limit(1).collect()
+        if (t.nonEmpty) best = math.min(best, t.head.getDouble(0))
+      }
+      frontier = improved
+    }
+    e.unpersist()
+    (state.filter(col("id") === target)
+      .select(col("root"), col("id"), col("dist"), col("path")), expanded)
+  }
+
+  /** GDS-style haversine heuristic for [[astarPath]]: h(v) = great-
+    * circle distance from v to the target, from per-node latitude/
+    * longitude property columns (degrees). `earthRadius` sets the
+    * unit (default km, 6371.0) — ADMISSIBILITY requires edge weights
+    * in the same unit and ≥ the great-circle distance between their
+    * endpoints, the caller's contract exactly as in GDS's
+    * gds.shortestPath.astar. */
+  def haversineHeuristic(coords: DataFrame, target: String,
+                         earthRadius: Double = 6371.0): DataFrame = {
+    val t = coords.filter(col("id").cast("string") === target)
+      .select(col("lat").cast("double"), col("lon").cast("double"))
+      .limit(1).collect()
+    require(t.nonEmpty, s"astar: target '$target' has no coordinates row")
+    val (tLat, tLon) = (math.toRadians(t.head.getDouble(0)),
+      math.toRadians(t.head.getDouble(1)))
+    val lat = radians(col("lat").cast("double"))
+    val lon = radians(col("lon").cast("double"))
+    val a = pow(sin((lat - lit(tLat)) / 2), 2) +
+      cos(lat) * lit(math.cos(tLat)) * pow(sin((lon - lit(tLon)) / 2), 2)
+    coords.select(col("id").cast("string").as("id"),
+      (lit(2 * earthRadius) * asin(sqrt(a))).as("h"))
   }
 
   /** B18 — closeness centrality: closeness(v) = reached / Σ dist(v, u)
@@ -2111,10 +2267,29 @@ object GraphOps {
     val e = edges.select(col("src").cast("string").as("src"),
       col("dst").cast("string").as("dst")).distinct()
     import org.apache.spark.sql.expressions.Window
-    val idx = e
-      .withColumn("rnk",
-        row_number().over(Window.partitionBy(col("src")).orderBy(col("dst"))) - 1)
-      .withColumn("odeg", count(lit(1)).over(Window.partitionBy(col("src"))))
+    // TWO-STAGE rank (r12, the C12/P3 pattern): ranking a hub's whole
+    // out-neighborhood through one Window.partitionBy(src) task put a
+    // single-task ceiling of max-degree on the index build. Stage 1
+    // ranks within (src, hash-bucket of dst) — a hub's d rows spread
+    // over B tasks; stage 2 turns per-bucket counts into offsets with
+    // a window over ≤ B rows per src. Neighbor order becomes (bucket,
+    // dst) — still total, deterministic and engine-reproducible, which
+    // is all the step-choice hash needs.
+    val nWalkBuckets = 64
+    val bucketed = e.withColumn("bkt",
+      pmod(xxhash64(col("dst")), lit(nWalkBuckets)).cast("int"))
+    val within = bucketed.withColumn("r0",
+      row_number().over(
+        Window.partitionBy(col("src"), col("bkt")).orderBy(col("dst"))) - 1)
+    val offsets = bucketed.groupBy(col("src"), col("bkt"))
+      .agg(count(lit(1)).as("bn"))
+      .withColumn("off",
+        sum(col("bn")).over(
+          Window.partitionBy(col("src")).orderBy(col("bkt"))) - col("bn"))
+      .withColumn("odeg", sum(col("bn")).over(Window.partitionBy(col("src"))))
+    val idx = within.join(offsets, Seq("src", "bkt"))
+      .select(col("src"), col("dst"),
+        (col("r0") + col("off")).as("rnk"), col("odeg"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val srcs = idx.select(col("src")).distinct()
     var state = graft.Borrow.severLazy(
@@ -2147,6 +2322,87 @@ object GraphOps {
       .select(col("walk_id"), col("start"), col("steps").cast("long").as("steps"),
         col("path"))
     graft.Borrow.reclaim(out, idx)
+  }
+
+  /** B31 — node2vec-BIASED walks (r12): GDS's randomWalk
+    * returnFactor/inOutFactor surface (the node2vec 2nd-order bias).
+    * Step weights follow Grover & Leskovec's α: a candidate equal to
+    * the PREVIOUS node weighs 1/p (returnFactor), a candidate
+    * ADJACENT to it (an edge in either direction — node2vec's
+    * undirected d(prev, x) = 1) weighs 1, anything else 1/q
+    * (inOutFactor); the first step is uniform (no prev). The choice
+    * stays DETERMINISTIC by the house rule: u = xxhash64(walk, t,
+    * seed) mapped to [0,1), and the walk takes the candidate whose
+    * cumulative-weight interval (dst-ordered) contains u·total —
+    * p = q = 1 is exactly a uniform pick, and reruns/engines agree
+    * where GDS would hand back a new sample.
+    *
+    * Scale shape: per step one candidate equi-join + one adjacency
+    * LEFT join against the symmetrized edge set + one per-walk window
+    * (partition = ONE walk's candidate set, bounded by max
+    * out-degree — never a cross-walk funnel). O(walkLength) rounds,
+    * no per-walk driver loop. Returns (walk_id, start, steps, path). */
+  def node2vecWalk(edges: DataFrame, walksPerNode: Int = 1,
+                   walkLength: Int = 5, p: Double = 1.0, q: Double = 1.0,
+                   seed: Long = 42L): DataFrame = {
+    require(walksPerNode >= 1 && walkLength >= 1 && walkLength <= 20,
+      "node2vecWalk: walksPerNode >= 1 and walkLength in 1..20")
+    require(p > 0 && q > 0, "node2vecWalk: returnFactor p and inOutFactor q " +
+      "must be strictly positive")
+    import org.apache.spark.sql.expressions.Window
+    val e = edges.select(col("src").cast("string").as("src"),
+      col("dst").cast("string").as("dst")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val adj = e.unionByName(e.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().select(col("src").as("a_prev"), col("dst").as("a_dst"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val srcs = e.select(col("src")).distinct()
+    // u in [0,1): top 53 bits of the step hash (the double-precision
+    // mantissa width), engine-reproducible
+    def unit(stepNo: Int): Column =
+      (shiftrightunsigned(xxhash64(col("walk_id"), lit(stepNo), lit(seed)), 11)
+        .cast("double")) / lit(9007199254740992.0) // 2^53
+    var state = graft.Borrow.severLazy(
+      e.select(col("src").as("id")).unionByName(e.select(col("dst").as("id")))
+        .distinct()
+        .select(col("id"), explode(sequence(lit(0), lit(walksPerNode - 1))).as("wi"))
+        .select(concat(col("id"), lit("#"), col("wi")).as("walk_id"),
+          col("id").as("start"), lit(null).cast("string").as("prev"),
+          col("id").as("cur"), col("id").as("path"), lit(0).as("steps")))
+    var done = List.empty[DataFrame]
+    var step = 0
+    var n = state.count()
+    while (step < walkLength && n > 0) {
+      step += 1
+      val sunk = graft.Borrow.severLazy(
+        state.join(srcs.select(col("src").as("cur")), Seq("cur"), "left_anti"))
+      if (sunk.count() > 0) done ::= sunk
+      val cand = state.join(e, state("cur") === e("src"))
+        .join(adj, col("prev") === col("a_prev") && e("dst") === col("a_dst"),
+          "left")
+        .withColumn("wt",
+          when(col("prev").isNull, 1.0) // first step: uniform
+            .when(e("dst") === col("prev"), lit(1.0 / p))
+            .when(col("a_dst").isNotNull, 1.0)
+            .otherwise(lit(1.0 / q)))
+      val w = Window.partitionBy(col("walk_id"))
+      val next = graft.Borrow.severLazy(
+        cand
+          .withColumn("cum", sum(col("wt")).over(w.orderBy(e("dst"))))
+          .withColumn("tot", sum(col("wt")).over(w))
+          .withColumn("u", unit(step) * col("tot"))
+          .filter(col("u") < col("cum") && col("u") >= col("cum") - col("wt"))
+          .select(col("walk_id"), col("start"), col("cur").as("prev"),
+            e("dst").as("cur"),
+            concat(col("path"), lit(">"), e("dst")).as("path"),
+            lit(step).as("steps")))
+      n = next.count()
+      state = next
+    }
+    val out = (state +: done).reduce(_ unionByName _)
+      .select(col("walk_id"), col("start"), col("steps").cast("long").as("steps"),
+        col("path"))
+    graft.Borrow.reclaim(out, e, adj)
   }
 
   /** B28 — k shortest LOOPLESS paths between a pinned (source, target)

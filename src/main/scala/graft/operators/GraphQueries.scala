@@ -337,6 +337,46 @@ object GraphQueries {
         walksPerNode = 1, walkLength = 4)
       .orderBy(col("walk_id"))
 
+  /** B32 — per-community conductance (gds.conductance parity, r12) of
+    * the deterministic (key % 4) partition of the part—supplier
+    * graph; the DuckDB twin recomputes the cut/min-volume closed form
+    * directly. */
+  def gConductance(s: SparkSession, dir: String): DataFrame = {
+    val e = TestGraph.partSupplierEdges(s, dir)
+    val ids = e.select(col("src").as("id"))
+      .unionByName(e.select(col("dst").as("id"))).distinct()
+    val assign = ids.select(col("id"),
+      (col("id").substr(lit(3), lit(18)).cast("long") % 4)
+        .cast("string").as("community"))
+    GraphOps.conductance(e, assign).orderBy(col("community"))
+  }
+
+  /** B30 — A* single-pair shortest path (gds.shortestPath.astar
+    * parity, r12), pinned pair s:40 → p:20 on the weighted symmetric
+    * part—supplier graph. The gate runs the dijkstra-equivalent empty
+    * heuristic (TPC-H nodes carry no coordinates; an inadmissible
+    * synthetic h would change answers) — A*'s CONTRACT is a
+    * bit-identical dijkstra row, which this pins against the unrolled
+    * Bellman-Ford oracle; goal-directed pruning with a real euclidean/
+    * haversine heuristic is spec-pinned (GraphOpsSpec). */
+  def gAstar(s: SparkSession, dir: String): DataFrame = {
+    val empty = s.range(0)
+      .select(col("id").cast("string").as("id"),
+        org.apache.spark.sql.functions.lit(0.0).as("h"))
+    GraphOps.astarPath(weightedSym(s, dir), source = "s:40",
+        target = "p:20", heuristic = empty, maxIter = 6)
+      .select(col("root"), col("id"), col("dist"), col("path"))
+  }
+
+  /** B31 — node2vec-biased walks (GDS randomWalk returnFactor/
+    * inOutFactor; rows-only like B29: the weighted deterministic
+    * choice has no SQL oracle; GraphOpsSpec pins the α classes). */
+  def gNode2vec(s: SparkSession, dir: String): DataFrame =
+    GraphOps.node2vecWalk(
+        GraphOps.undirected(TestGraph.partSupplierEdges(s, dir)),
+        walksPerNode = 1, walkLength = 4, p = 2.0, q = 0.5)
+      .orderBy(col("walk_id"))
+
   /** B28 — k shortest loopless paths (gds.shortestPath.yens parity)
     * on the weighted symmetric part—supplier graph, pinned pair
     * s:40 → p:20, integral weights so dist compares exactly. */
@@ -351,6 +391,20 @@ object GraphQueries {
     * sets of the (sparsified) part—supplier graph. */
   def gNodesim(s: SparkSession, dir: String): DataFrame =
     GraphOps.nodeSimilarity(TestGraph.partSupplierEdges(s, dir), threshold = 0.2)
+      .orderBy(col("id1"), col("id2"))
+
+  /** B12 metric variants (r12, GDS similarityMetric): same candidate
+    * machinery, per-metric closed form — the DuckDB twins change one
+    * formula. Overlap's threshold sits higher (it dominates jaccard:
+    * i/min ≥ i/union) so the gate exercises real filtering. */
+  def gNodesimOverlap(s: SparkSession, dir: String): DataFrame =
+    GraphOps.nodeSimilarity(TestGraph.partSupplierEdges(s, dir),
+        threshold = 0.5, metric = "overlap")
+      .orderBy(col("id1"), col("id2"))
+
+  def gNodesimCosine(s: SparkSession, dir: String): DataFrame =
+    GraphOps.nodeSimilarity(TestGraph.partSupplierEdges(s, dir),
+        threshold = 0.35, metric = "cosine")
       .orderBy(col("id1"), col("id2"))
 
   /** B13 — shortest-path EXTRACTION (Cypher `shortestPath` parity):
@@ -519,6 +573,51 @@ object GraphQueries {
       "MATCH (u:User {uid: $uid}) DETACH DELETE u", expired)
     graft.graph.CypherLite.run(n2, e2,
       "MATCH (u:User)-[:DID]->(t:EType) RETURN t, count(*) AS n ORDER BY t")
+  }
+
+  /** J6 WHERE-in-write gate (r12) — the triage idiom hash-gated: build
+    * the user→event-type graph through CypherWrite MERGE, flag uids
+    * ending in '3' (mapless MATCH + WHERE + SET), retention-trim uids
+    * starting with '1' (WHERE + DETACH DELETE), read the flagged
+    * survivors back per type WITH a read-side predicate on the written
+    * prop. DuckDB twin applies the same string predicates
+    * relationally. */
+  def sgWhere(s: SparkSession, dir: String): DataFrame = {
+    val (n0, e0) = graft.graph.CypherWrite.emptyGraph(s)
+    val params = graft.Tables.events(s, dir)
+      .select(col("user_id").cast("string").as("uid"), col("event_type").as("et"))
+    val (n1, e1) = graft.graph.CypherWrite.merge(n0, e0,
+      """MERGE (u:User {uid: $uid})
+        |MERGE (t:EType {name: $et})
+        |MERGE (u)-[:DID]->(t)""".stripMargin, params)
+    val (n2, e2) = graft.graph.CypherWrite.mergeOne(n1, e1,
+      "MATCH (u:User) WHERE u.uid ENDS WITH '3' SET u.flagged = '1'")
+    val (n3, e3) = graft.graph.CypherWrite.mergeOne(n2, e2,
+      "MATCH (u:User) WHERE u.uid STARTS WITH '1' DETACH DELETE u")
+    graft.graph.CypherLite.run(n3, e3,
+      "MATCH (u:User)-[:DID]->(t:EType) WHERE u.flagged = '1' " +
+        "RETURN t, count(*) AS n ORDER BY t")
+  }
+
+  /** J6 read→write composition gate (r12) — one statement aggregates
+    * through the read pipeline and SETs the result back (the Neo4j
+    * enrich-then-tag idiom), then a read with a numeric predicate on
+    * the written prop. DuckDB twin: GROUP BY + HAVING. */
+  def sgCompose(s: SparkSession, dir: String): DataFrame = {
+    val (n0, e0) = graft.graph.CypherWrite.emptyGraph(s)
+    val params = graft.Tables.events(s, dir)
+      .select(col("user_id").cast("string").as("uid"), col("event_type").as("et"))
+    val (n1, e1) = graft.graph.CypherWrite.merge(n0, e0,
+      """MERGE (u:User {uid: $uid})
+        |MERGE (t:EType {name: $et})
+        |MERGE (u)-[:DID]->(t)""".stripMargin, params)
+    val (n2, e2) = graft.graph.CypherWrite.runComposed(n1, e1,
+      """MATCH (u:User)-[:DID]->(t:EType)
+        |WITH u AS uid, count(*) AS n
+        |MATCH (v:User {uid: uid}) SET v.breadth = n""".stripMargin)
+    graft.graph.CypherLite.run(n2, e2,
+      "MATCH (u:User) WHERE u.breadth >= 2 " +
+        "RETURN u, u.breadth AS breadth ORDER BY u")
   }
 
   /** A3 analog (N1) — MERGE first-non-null node semantics: one node per

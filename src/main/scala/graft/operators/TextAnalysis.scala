@@ -240,4 +240,34 @@ object TextAnalysis {
       .select(col("lang"), col("rk").cast("int").as("rk"), col("bigram"), col("n"))
       .orderBy(col("lang"), col("rk"))
   }
+
+  /** F9 — PII REDACTION (r12): email → `<EMAIL>`, IPv4 → `<IP>`,
+    * international-phone-ish → `<PHONE>`, applied in that fixed order.
+    * The patterns are deliberately ENGINE-PORTABLE — no lookaround, no
+    * backreferences — so Java regex (Spark codegen'd regexp_replace)
+    * and RE2 (the DuckDB oracle) replace identically, which is what
+    * lets the gate hash the exact redacted text. Curation-pipeline
+    * shape: one narrow projection, no shuffle, scales as a map. */
+  val piiPatterns: Seq[(String, String)] = Seq(
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}" -> "<EMAIL>",
+    "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b" -> "<IP>",
+    "\\+\\d[\\d ()-]{6,}\\d" -> "<PHONE>")
+
+  def redactPii(c: Column): Column =
+    piiPatterns.foldLeft(c) { case (acc, (p, r)) => regexp_replace(acc, p, r) }
+
+  /** F9 driver gate — the synthetic corpus carries no PII, so the gate
+    * SYNTHESIZES it deterministically from doc_id (identical
+    * construction in the DuckDB twin) and hash-compares the redacted
+    * text — mechanics non-vacuous, oracle exact. */
+  def f9Redact(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), concat(
+        col("text"), lit(" contact user"), col("doc_id").cast("string"),
+        lit("@mail-"), col("doc_id").cast("string"),
+        lit(".example.com from 10."), (col("doc_id") % 200).cast("string"),
+        lit(".0."), (col("doc_id") % 250).cast("string"),
+        lit(" call +1 555 01"), col("doc_id").cast("string")).as("synth"))
+      .select(col("doc_id"), redactPii(col("synth")).as("red"))
+      .orderBy(col("doc_id")).limit(300)
 }

@@ -459,4 +459,221 @@ class CypherWriteSpec extends SparkSpec {
       n.count()
     }
   }
+
+  // ---- r12 WHERE-in-write suite ----------------------------------
+
+  /** Four processes + network edges — the triage-fixture shape. */
+  private def triageGraph() = {
+    val (n0, e0) = CypherWrite.emptyGraph(spark)
+    var g = (n0, e0)
+    Seq(("p1", "powershell.exe"), ("p2", "cmd.exe"),
+        ("p3", "powershell_ise.exe"), ("p4", "svchost.dll")).foreach {
+      case (k, img) =>
+        g = CypherWrite.mergeOne(g._1, g._2,
+          "MERGE (p:Process {key: $key}) SET p.image = $image",
+          Map("key" -> k, "image" -> img))
+    }
+    g = CypherWrite.mergeOne(g._1, g._2,
+      "MERGE (ip:Ip {addr: '10.0.0.9'})")
+    g = CypherWrite.mergeOne(g._1, g._2,
+      """MATCH (p:Process {key: 'p2'}) MATCH (ip:Ip {addr: '10.0.0.9'})
+        |MERGE (p)-[r:CONNECTED_TO {dport: '443'}]->(ip)""".stripMargin)
+    g = CypherWrite.mergeOne(g._1, g._2,
+      """MATCH (p:Process {key: 'p1'}) MATCH (ip:Ip {addr: '10.0.0.9'})
+        |MERGE (p)-[r:CONNECTED_TO {dport: '8080'}]->(ip)""".stripMargin)
+    g
+  }
+
+  test("triage idiom: mapless MATCH + WHERE CONTAINS gates a SET") {
+    val (n1, e1) = triageGraph()
+    val (n2, _) = CypherWrite.mergeOne(n1, e1,
+      "MATCH (p:Process) WHERE p.image CONTAINS 'powershell' SET p.flag = '1'")
+    val flagged = nodeMap(n2).collect {
+      case ((l, id), pr) if pr.get("flag").contains("1") => id
+    }.toSet
+    assert(flagged == Set("p1", "p3"))
+    // everything else untouched
+    assert(nodeMap(n2)(("Process", "p2")) == nodeMap(n1)(("Process", "p2")))
+  }
+
+  test("mapless MATCH without WHERE binds the whole label scan") {
+    val (n1, e1) = triageGraph()
+    val (n2, _) = CypherWrite.mergeOne(n1, e1,
+      "MATCH (p:Process) SET p.scanned = '1'")
+    val scanned = nodeMap(n2).collect {
+      case ((l, _), pr) if pr.get("scanned").contains("1") => l
+    }
+    assert(scanned.size == 4 && scanned.forall(_ == "Process"))
+    assert(!nodeMap(n2)(("Ip", "10.0.0.9")).contains("scanned"))
+  }
+
+  test("map-bound MATCH + WHERE gates per parameter row") {
+    val (n1, e1) = triageGraph()
+    import spark.implicits._
+    val pmRows = Seq("p1", "p2", "p4").toDF("key")
+    val (n2, _) = CypherWrite.merge(n1, e1,
+      "MATCH (p:Process {key: $key}) WHERE p.image ENDS WITH '.exe' " +
+        "SET p.hit = '1'", pmRows)
+    val hit = nodeMap(n2).collect {
+      case ((_, id), pr) if pr.get("hit").contains("1") => id
+    }.toSet
+    // p1/p2 are .exe and in the batch; p3 matches WHERE but is not in
+    // the batch; p4 is in the batch but fails WHERE
+    assert(hit == Set("p1", "p2"))
+  }
+
+  test("WHERE-gated DETACH DELETE and edge-WHERE DELETE") {
+    val (n1, e1) = triageGraph()
+    import spark.implicits._
+    // edge WHERE: numeric compare over stored edge props, per-row
+    // endpoint binding (edge clauses need map-bound endpoints)
+    val pmRows = Seq("p1", "p2").toDF("key")
+    val (_, e2) = CypherWrite.merge(n1, e1,
+      """MATCH (p:Process {key: $key}) MATCH (ip:Ip {addr: '10.0.0.9'})
+        |MATCH (p)-[r:CONNECTED_TO]->(ip) WHERE r.dport > 1000
+        |DELETE r""".stripMargin, pmRows)
+    assert(e2.count() == 1)
+    assert(e2.collect().head.getAs[Map[String, String]]("props")("dport") == "443")
+    // node WHERE + DETACH DELETE: remove flagged processes and cascade
+    val (n3, e3) = CypherWrite.mergeOne(n1, e1,
+      "MATCH (p:Process) WHERE p.image STARTS WITH 'powershell' " +
+        "DETACH DELETE p")
+    assert(nodeMap(n3).keySet ==
+      Set(("Process", "p2"), ("Process", "p4"), ("Ip", "10.0.0.9")))
+    // p1's CONNECTED_TO edge cascaded away; p2's survives
+    assert(e3.collect().map(_.getString(1)).toSeq == Seq("p2"))
+  }
+
+  test("write-WHERE runs the full read grammar: exists-pattern predicate") {
+    val (n1, e1) = triageGraph()
+    val (n2, _) = CypherWrite.mergeOne(n1, e1,
+      "MATCH (p:Process) WHERE exists((p)-[:CONNECTED_TO]->()) " +
+        "SET p.net = '1'")
+    val net = nodeMap(n2).collect {
+      case ((_, id), pr) if pr.get("net").contains("1") => id
+    }.toSet
+    assert(net == Set("p1", "p2"))
+  }
+
+  test("sg_where driver gate matches the relational twin at sf0.001") {
+    val got = graft.operators.GraphQueries.sgWhere(spark, sf)
+      .collect().map(r => (r.getString(0), r.getAs[Number](1).longValue)).toSeq
+    val want = Tables.events(spark, sf)
+      .select(col("user_id").cast("string").as("uid"), col("event_type").as("t"))
+      .filter(col("uid").endsWith("3") && !col("uid").startsWith("1"))
+      .groupBy(col("t")).agg(countDistinct(col("uid")).as("n"))
+      .orderBy(col("t"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == want && got.nonEmpty)
+  }
+
+  test("runComposed: read pipeline enriches, write tail tags (one statement)") {
+    // users u1..u3 with 2/1/3 event types
+    val (n0, e0) = CypherWrite.emptyGraph(spark)
+    import spark.implicits._
+    val params = Seq(("u1", "a"), ("u1", "b"), ("u2", "a"),
+      ("u3", "a"), ("u3", "b"), ("u3", "c")).toDF("uid", "et")
+    val (n1, e1) = CypherWrite.merge(n0, e0,
+      """MERGE (u:User {uid: $uid})
+        |MERGE (t:EType {name: $et})
+        |MERGE (u)-[:DID]->(t)""".stripMargin, params)
+    // the enrich-then-tag idiom: aggregate through the read grammar,
+    // write the result back per row
+    val (n2, _) = CypherWrite.runComposed(n1, e1,
+      """MATCH (u:User)-[:DID]->(t:EType)
+        |WITH u AS uid, count(*) AS n
+        |MATCH (v:User {uid: uid}) SET v.breadth = n""".stripMargin)
+    val breadth = nodeMap(n2).collect {
+      case (("User", id), pr) => id -> pr.get("breadth")
+    }.toMap
+    assert(breadth == Map("u1" -> Some("2"), "u2" -> Some("1"), "u3" -> Some("3")))
+    // MERGE tail: materialize an aggregate as NEW nodes
+    val (n3, _) = CypherWrite.runComposed(n1, e1,
+      """MATCH (u:User)-[:DID]->(t:EType)
+        |WITH t AS name, count(*) AS uses
+        |MERGE (s:EStat {name: name}) SET s.uses = uses""".stripMargin)
+    val stats = nodeMap(n3).collect {
+      case (("EStat", id), pr) => id -> pr("uses")
+    }.toMap
+    assert(stats == Map("a" -> "3", "b" -> "2", "c" -> "1"))
+    // multi-stage read incl. WITH…WHERE, then a DETACH DELETE tail
+    val (n4, e4) = CypherWrite.runComposed(n1, e1,
+      """MATCH (u:User)-[:DID]->(t:EType)
+        |WITH u AS uid, count(*) AS n WHERE n >= 2
+        |WITH uid, n
+        |MATCH (v:User {uid: uid}) DETACH DELETE v""".stripMargin)
+    assert(nodeMap(n4).keySet.collect { case ("User", id) => id } == Set("u2"))
+    assert(e4.collect().map(_.getString(1)).toSet == Set("u2"))
+    // write-WHERE composes inside the tail too
+    val (n5, _) = CypherWrite.runComposed(n1, e1,
+      """MATCH (u:User)-[:DID]->(t:EType)
+        |WITH u AS uid, count(*) AS n
+        |MATCH (v:User {uid: uid}) WHERE v.uid ENDS WITH '3'
+        |SET v.big = n""".stripMargin)
+    val big = nodeMap(n5).collect {
+      case (("User", id), pr) if pr.contains("big") => id -> pr("big")
+    }.toMap
+    assert(big == Map("u3" -> "3"))
+    // loud: no WITH boundary / no write tail / clause kw at the boundary
+    intercept[IllegalArgumentException](CypherWrite.runComposed(n1, e1,
+      "MATCH (u:User) SET u.x = '1'"))
+    intercept[IllegalArgumentException](CypherWrite.runComposed(n1, e1,
+      "MATCH (u:User)-[:DID]->(t:EType) WITH u, count(*) AS n RETURN u"))
+    intercept[IllegalArgumentException](CypherWrite.runComposed(n1, e1,
+      """MATCH (u:User)-[:DID]->(t:EType)
+        |WITH u AS uid, count(*) AS n WHERE n >= 2
+        |MATCH (v:User {uid: uid}) SET v.x = '1'""".stripMargin))
+  }
+
+  test("sg_compose driver gate matches the relational twin at sf0.001") {
+    val got = graft.operators.GraphQueries.sgCompose(spark, sf)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    val want = Tables.events(spark, sf)
+      .groupBy(col("user_id").cast("string").as("u"))
+      .agg(countDistinct(col("event_type")).as("n"))
+      .filter(col("n") >= 2)
+      .select(col("u"), col("n").cast("string").as("breadth"))
+      .orderBy(col("u"))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(got == want && got.nonEmpty)
+  }
+
+  test("WHERE placement and scope violations are loud") {
+    val (n1, e1) = triageGraph()
+    // WHERE cannot follow MERGE
+    intercept[IllegalArgumentException](CypherWrite.mergeOne(n1, e1,
+      "MERGE (p:Process {key: 'p9'}) WHERE p.image = 'x' SET p.a = '1'"))
+    // OPTIONAL MATCH rejected outright (incl. its WHERE interaction)
+    intercept[IllegalArgumentException](CypherWrite.mergeOne(n1, e1,
+      "OPTIONAL MATCH (p:Process) WHERE p.image = 'x' SET p.a = '1'"))
+    intercept[IllegalArgumentException](CypherWrite.mergeOne(n1, e1,
+      "MATCH (p:Process {key: 'p1'}) OPTIONAL MATCH (q:Process) " +
+        "WHERE q.image = 'x' SET q.a = '1'"))
+    // cross-clause variable reference
+    intercept[IllegalArgumentException](CypherWrite.mergeOne(n1, e1,
+      "MATCH (a:Process {key: 'p1'}) MATCH (b:Process) " +
+        "WHERE b.image = a.image SET b.twin = '1'"))
+    // $params in WHERE
+    intercept[IllegalArgumentException](CypherWrite.mergeOne(n1, e1,
+      "MATCH (p:Process) WHERE p.image = $img SET p.a = '1'",
+      Map("img" -> "cmd.exe")))
+    // mapless MERGE has no identity
+    intercept[IllegalArgumentException](CypherWrite.mergeOne(n1, e1,
+      "MERGE (p:Process) SET p.a = '1'"))
+    // mapless var cannot anchor an edge clause
+    intercept[IllegalArgumentException] {
+      val (n, _) = CypherWrite.mergeOne(n1, e1,
+        """MATCH (p:Process) MATCH (ip:Ip {addr: '10.0.0.9'})
+          |MERGE (p)-[r:TOUCHED]->(ip)""".stripMargin)
+      n.count()
+    }
+    // duplicate WHERE
+    intercept[IllegalArgumentException](CypherWrite.mergeOne(n1, e1,
+      "MATCH (p:Process) WHERE p.image = 'x' WHERE p.image = 'y' " +
+        "SET p.a = '1'"))
+    // statement must still do something valid after the gate parses
+    val (n2, _) = CypherWrite.mergeOne(n1, e1,
+      "MATCH (p:Process) WHERE p.image = 'cmd.exe' SET p.ok = '1'")
+    assert(nodeMap(n2)(("Process", "p2"))("ok") == "1")
+  }
 }

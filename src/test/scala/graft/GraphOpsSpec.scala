@@ -40,6 +40,50 @@ class GraphOpsSpec extends SparkSpec {
     intercept[IllegalArgumentException](GraphOps.randomWalk(e, walkLength = 0))
   }
 
+  test("node2vecWalk: deterministic biased steps follow Grover-Leskovec α (r12)") {
+    // a's only out-neighbor is b; from b (prev = a) the candidates
+    // split exactly into node2vec's three α classes: a = RETURN (1/p),
+    // c = ADJACENT to prev (c→a exists; d(prev,c)=1 → weight 1),
+    // d = DISTANCE-2 (1/q)
+    val e = edgeDf("a" -> "b", "b" -> "a", "b" -> "c", "b" -> "d", "c" -> "a")
+    def walkOfA(p: Double, q: Double): String =
+      GraphOps.node2vecWalk(e, walksPerNode = 1, walkLength = 2, p = p, q = q)
+        .filter(col("walk_id") === "a#0").collect().head.getString(3)
+    // tiny p → the walk returns; huge p + huge q → stays near prev
+    // (adjacent c); huge p + tiny q → explores outward (d)
+    assert(walkOfA(p = 1e-9, q = 1.0) == "a>b>a")
+    assert(walkOfA(p = 1e9, q = 1e9) == "a>b>c")
+    assert(walkOfA(p = 1e9, q = 1e-9) == "a>b>d")
+    // deterministic rerun, every hop a real edge, sinks stop (d)
+    val edgeSet = e.collect().map(r => (r.getString(0), r.getString(1))).toSet
+    val w1 = GraphOps.node2vecWalk(e, walksPerNode = 2, walkLength = 4,
+        p = 2.0, q = 0.5)
+      .collect().map(r => (r.getString(0), r.getString(3))).toMap
+    val w2 = GraphOps.node2vecWalk(e, walksPerNode = 2, walkLength = 4,
+        p = 2.0, q = 0.5)
+      .collect().map(r => (r.getString(0), r.getString(3))).toMap
+    assert(w1 == w2 && w1.size == 2 * 4) // 4 vertices x walksPerNode
+    assert(w1.values.forall { pth =>
+      val ns = pth.split(">")
+      ns.sliding(2).filter(_.length == 2).forall(s => edgeSet((s(0), s(1))))
+    })
+    assert(w1("d#0") == "d") // sink
+    intercept[IllegalArgumentException](
+      GraphOps.node2vecWalk(e, p = 0.0, q = 1.0))
+    // CALL surface: returnFactor/inOutFactor route to the biased walk
+    import spark.implicits._
+    val nodes = Seq("a", "b", "c", "d").map(i => (i, "V", Map.empty[String, String]))
+      .toDF("id", "label", "props")
+    val eg = e.withColumn("etype", lit("T")).withColumn("event_id", lit(1))
+      .withColumn("props", typedLit(Map.empty[String, String]))
+      .select(col("etype"), col("src"), col("dst"), col("event_id"), col("props"))
+    val viaCall = graft.graph.CypherCall.run(nodes, eg,
+      "CALL graft.randomWalk({walkLength: 2, returnFactor: 0.000000001}) " +
+        "YIELD walk_id, path WHERE walk_id = 'a#0' RETURN path")
+      .collect().map(_.getString(0))
+    assert(viaCall.toSeq == Seq("a>b>a"))
+  }
+
   test("kShortestPaths: ranked loopless paths, reroute, pruning, bounds") {
     // weighted diamond + a back edge d->a (proves looplessness) + a
     // direct heavy edge: ranks must follow (dist, hops, path)
@@ -240,6 +284,144 @@ class GraphOpsSpec extends SparkSpec {
     val capped = GraphOps.nodeSimilarity(edges, 0.5, hubCap = 2L)
       .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2))).toSet
     assert(capped == Set(("pa", "pb", 1.0)))
+    // r12 metric variants on the same hub fixture, both cap regimes:
+    // each metric's capped result equals its own naive reference
+    for (metric <- Seq("overlap", "cosine"); cap <- Seq(2L, 1000L)) {
+      val thr = 0.4
+      val ref = e.alias("x").join(e.alias("y"),
+          col("x.dst") === col("y.dst") && col("x.src") < col("y.src"))
+        .groupBy(col("x.src").as("id1"), col("y.src").as("id2"))
+        .agg(count(lit(1)).as("i"))
+        .join(sizes.select(col("id").as("id1"), col("n").as("n1")), Seq("id1"))
+        .join(sizes.select(col("id").as("id2"), col("n").as("n2")), Seq("id2"))
+        .withColumn("s", if (metric == "overlap")
+            col("i").cast("double") / least(col("n1"), col("n2"))
+          else col("i").cast("double") / sqrt(col("n1").cast("double") * col("n2")))
+        .filter(col("s") >= thr)
+        .select(col("id1"), col("id2"))
+        .collect().map(r => (r.getString(0), r.getString(1))).toSet
+      val got = GraphOps.nodeSimilarity(edges, thr, hubCap = cap, metric = metric)
+        .select(col("id1"), col("id2"))
+        .collect().map(r => (r.getString(0), r.getString(1))).toSet
+      assert(got == ref, s"$metric hubCap=$cap diverged: got ${got.size}, " +
+        s"want ${ref.size}; missing=${(ref -- got).take(3)} extra=${(got -- ref).take(3)}")
+      assert(ref.nonEmpty, s"$metric fixture vacuous")
+    }
+  }
+
+  test("astar: result identical to dijkstra, admissible heuristic prunes (r12)") {
+    def wEdges(rows: (String, String, Double)*) = rows.toDF("src", "dst", "w")
+    // a line s=x0 → x1 → … → x5 = t (w=1 each, coords on a number
+    // line) plus a CHEAP decoy chain s → d1 → … → d8 leading AWAY
+    // (w=0.5: its g stays under the s→t cost, so distance-bound
+    // pruning alone never kills it — only g + h does). Euclidean
+    // |x − x(t)| is admissible (weights ≥ coord gaps), so A* must
+    // return dijkstra's row while pruning the decoy.
+    val line = (0 until 5).map(i => (s"x$i", s"x${i + 1}", 1.0))
+    val decoy = ("x0", "d1", 0.5) +: (1 until 8).map(i => (s"d$i", s"d${i + 1}", 0.5))
+    val edges = wEdges((line ++ decoy): _*)
+    val coords = ((0 to 5).map(i => (s"x$i", 0.0, i.toDouble)) ++
+      (1 to 8).map(i => (s"d$i", 0.0, -i.toDouble))).toDF("id", "lat", "lon")
+    // euclidean-on-a-line heuristic: |lon - lon(t)| (admissible here)
+    val h = coords.select(col("id"), abs(col("lon") - lit(5.0)).as("h"))
+    val (got, expandedH) = GraphOps.astarInstrumented(
+      edges, "x0", "x5", h, maxIter = 10, weightCol = "w")
+    val gotRow = got.collect()
+    assert(gotRow.length == 1)
+    assert(gotRow.head.getDouble(2) == 5.0)
+    assert(gotRow.head.getString(3) == "x0>x1>x2>x3>x4>x5")
+    // dijkstra twin (empty heuristic): identical row
+    val empty = Seq.empty[(String, Double)].toDF("id", "h")
+    val (dij, expandedDij) = GraphOps.astarInstrumented(
+      edges, "x0", "x5", empty, maxIter = 10, weightCol = "w")
+    assert(dij.collect().toSeq == gotRow.toSeq)
+    // ...and the plain ssspPathsFrom row agrees too
+    val sssp = GraphOps.ssspPathsFrom(edges, Seq("x0").toDF("id"), maxIter = 10)
+      .filter(col("id") === "x5").collect()
+    assert(sssp.head.getDouble(2) == 5.0 &&
+      sssp.head.getString(3) == "x0>x1>x2>x3>x4>x5")
+    // goal-direction is real: the heuristic run expands fewer rows
+    // (the decoy chain prunes once g + h exceeds the found best)
+    assert(expandedH < expandedDij,
+      s"astar expanded $expandedH rows vs dijkstra's $expandedDij — no pruning")
+    // unreachable target → empty frame
+    assert(GraphOps.astarPath(edges, "x5", "d1", h, maxIter = 10).count() == 0)
+    // haversine helper: zero at the target, admissible shape, and the
+    // CALL surface composes it end-to-end
+    val geo = Seq(("s", 48.85, 2.35), ("m", 50.0, 8.0), ("t", 52.52, 13.40))
+      .toDF("id", "lat", "lon")
+    val hh = GraphOps.haversineHeuristic(geo, "t").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(hh("t") == 0.0 && hh("m") > 0 && hh("s") > hh("m"))
+    // Paris→Berlin great-circle ≈ 878 km
+    assert(math.abs(hh("s") - 878.0) < 10.0, s"haversine off: ${hh("s")}")
+  }
+
+  test("CALL graft.shortestPath.astar ≡ the direct API (incl. haversine config)") {
+    // geo triangle with an admissible-weight detour: weights in km,
+    // >= great-circle distance between endpoints
+    val nodes = Seq(
+      ("City", "s", Map("lat" -> "48.85", "lon" -> "2.35")),
+      ("City", "m", Map("lat" -> "50.00", "lon" -> "8.00")),
+      ("City", "t", Map("lat" -> "52.52", "lon" -> "13.40")))
+      .toDF("label", "id", "props")
+    val edges = Seq(
+      ("ROAD", "s", "m", 1, Map("km" -> "480")),
+      ("ROAD", "m", "t", 1, Map("km" -> "560")),
+      ("ROAD", "s", "t", 1, Map("km" -> "1100")))
+      .toDF("etype", "src", "dst", "event_id", "props")
+    val viaCall = graft.graph.CypherCall.run(nodes, edges,
+      "CALL graft.shortestPath.astar({sourceNode: 's', targetNode: 't', " +
+        "weightProperty: 'km', latitudeProperty: 'lat', " +
+        "longitudeProperty: 'lon'})")
+      .collect().map(r => (r.getString(1), r.getDouble(2), r.getString(3)))
+    assert(viaCall.toSeq == Seq(("t", 1040.0, "s>m>t")))
+    // dijkstra fallback (no coordinates config) agrees
+    val noH = graft.graph.CypherCall.run(nodes, edges,
+      "CALL graft.shortestPath.astar({sourceNode: 's', targetNode: 't', " +
+        "weightProperty: 'km'})")
+      .collect().map(r => (r.getString(1), r.getDouble(2), r.getString(3)))
+    assert(noH.toSeq == viaCall.toSeq)
+    // lat without lon is loud
+    intercept[IllegalArgumentException](graft.graph.CypherCall.run(nodes, edges,
+      "CALL graft.shortestPath.astar({sourceNode: 's', targetNode: 't', " +
+        "latitudeProperty: 'lat'})"))
+  }
+
+  test("conductance: two bridged triangles score cut/min-volume exactly (r12)") {
+    // triangles {a,b,c} and {x,y,z} joined by c→x: sym vol = 7 each,
+    // cut = 1 → φ = 1/7 for both communities
+    val e = edgeDf("a" -> "b", "b" -> "c", "c" -> "a",
+      "x" -> "y", "y" -> "z", "z" -> "x", "c" -> "x")
+    val assign = Seq(("a", "A"), ("b", "A"), ("c", "A"),
+      ("x", "B"), ("y", "B"), ("z", "B")).toDF("id", "community")
+    val got = GraphOps.conductance(e, assign)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(got == Map("A" -> 0.142857, "B" -> 0.142857))
+    // weighted: bridge weight 3 → cut 3, vol(A) = 6 + 3 → φ = 3/9
+    val we = Seq(("a", "b", 1.0), ("b", "c", 1.0), ("c", "a", 1.0),
+      ("x", "y", 1.0), ("y", "z", 1.0), ("z", "x", 1.0), ("c", "x", 3.0))
+      .toDF("src", "dst", "w")
+    val wg = GraphOps.conductance(we, assign, Some("w"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(wg == Map("A" -> 0.333333, "B" -> 0.333333))
+    // a community holding ALL volume is omitted (φ undefined)
+    val one = assign.select(col("id"), lit("Z").as("community"))
+    assert(GraphOps.conductance(e, one).count() == 0)
+    // CALL surface with communityProperty from node props
+    val nodes = Seq(("a", "A"), ("b", "A"), ("c", "A"),
+      ("x", "B"), ("y", "B"), ("z", "B"))
+      .map { case (i, cm) => (i, "V", Map("cm" -> cm)) }
+      .toDF("id", "label", "props")
+    val eg = e.withColumn("etype", lit("T")).withColumn("event_id", lit(1))
+      .withColumn("props", typedLit(Map.empty[String, String]))
+      .select(col("etype"), col("src"), col("dst"), col("event_id"), col("props"))
+    val viaCall = graft.graph.CypherCall.run(nodes, eg,
+      "CALL graft.conductance({communityProperty: 'cm'}) " +
+        "YIELD community, conductance RETURN community, conductance " +
+        "ORDER BY community")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(viaCall == got)
   }
 
   test("label propagation: two cliques with one bridge settle into two communities") {

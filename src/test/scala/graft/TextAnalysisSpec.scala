@@ -91,4 +91,35 @@ class TextAnalysisSpec extends SparkSpec {
     assert(a.map(_.getLong(2)).sameElements(b.map(_.getLong(2))))
     assert(a.forall(_.getInt(1) > 0))
   }
+
+  test("F9 redactPii: emails, IPv4s and phone numbers fold to tokens (r12)") {
+    import spark.implicits._
+    val df = Seq(
+      ("reach me at jane.doe+spam@sub.example.co.uk today",
+       "reach me at <EMAIL> today"),
+      ("server 192.168.10.254 and 10.0.0.1 replied",
+       "server <IP> and <IP> replied"),
+      ("call +1 (415) 555-0132 or +44 20 7946 0958 now",
+       "call <PHONE> or <PHONE> now"),
+      // version strings are NOT IPv4 (word-boundary, 4 octets only)
+      ("upgrade to v2.3 now", "upgrade to v2.3 now"),
+      // all three in one string, order-stable
+      ("a@b.io at 8.8.8.8 tel +1 555 0100 end",
+       "<EMAIL> at <IP> tel <PHONE> end"))
+      .toDF("raw", "want")
+    val bad = df
+      .withColumn("got", TextAnalysis.redactPii(col("raw")))
+      .filter(col("got") =!= col("want"))
+      .collect()
+    assert(bad.isEmpty, bad.map(r => s"${r.getString(0)} -> ${r.getString(2)}")
+      .mkString("; "))
+    // the driver gate's synthetic construction is non-vacuous: every
+    // row redacts all three classes
+    val gate = TextAnalysis.f9Redact(spark, sf).collect()
+    assert(gate.nonEmpty && gate.forall { r =>
+      val t = r.getString(1)
+      t.contains("<EMAIL>") && t.contains("<IP>") && t.contains("<PHONE>") &&
+        !t.contains("@") && !t.contains("+1 555")
+    })
+  }
 }
