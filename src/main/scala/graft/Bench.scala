@@ -32,7 +32,11 @@ object Bench {
     "g_wbetweenness_dist",
     // the reference's core workload: full 1202-trace corpus → property
     // graph, rebuilt from the JSON every timed run
-    "sg_build")
+    "sg_build",
+    // r12 additions (accounting note in SURVEY §7): the three new
+    // shuffle/iteration-heavy operators — overlap-metric similarity
+    // (min-side-prefix × full join), goal-directed A*, biased walks
+    "g_nodesim_overlap", "g_astar", "g_node2vec")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

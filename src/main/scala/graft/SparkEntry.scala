@@ -345,6 +345,8 @@ object SparkEntry {
     // recall + determinism are spec-bound, the Lloyd step plan-audited)
     "e3_ivf"       -> ((s, d) => Similarity.e3IvfTopK(s, d)),
     "e_recall"     -> ((s, d) => Similarity.eRecallGate(s, d)),
+    "e7_kmeans"    -> ((s, d) => Similarity.e7Kmeans(s, d)),
+    "g_tri_enum"   -> (GraphQueries.gTriEnum _),
     "d_recall"     -> ((s, d) => Dedup.dRecallGate(s, d)),
     "e4_radius"    -> ((s, d) => Similarity.e4Radius(s, d)),
     // kNN majority-label prediction (weak labeling); exact-scan kNN is
@@ -851,6 +853,14 @@ object SparkEntry {
         |                  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
         |x AS (SELECT a AS id FROM tri UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri)
         |SELECT id AS l_partkey, count(*) AS n_tri FROM x GROUP BY 1 ORDER BY 1""".stripMargin,
+    // B33 (r12): the count oracle's own tri CTE, streamed
+    "g_tri_enum" ->
+      """WITH lp AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |e AS (SELECT DISTINCT a.p AS u, b.p AS v FROM lp a JOIN lp b ON a.o=b.o AND a.p<b.p),
+        |tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        |        FROM e e1 JOIN e e2 ON e2.u = e1.v
+        |                  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v)
+        |SELECT a, b, c FROM tri ORDER BY 1, 2, 3 LIMIT 5000""".stripMargin,
     "g_clustercoef" ->
       """WITH lp AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
         |e AS (SELECT DISTINCT a.p AS u, b.p AS v FROM lp a JOIN lp b ON a.o=b.o AND a.p<b.p),
@@ -1016,7 +1026,9 @@ object SparkEntry {
     "e_recall" ->
       """SELECT CAST(1 AS BIGINT) AS e2_recall_ok,
         |       CAST(1 AS BIGINT) AS e3_recall_ok,
-        |       CAST(1 AS BIGINT) AS e6_recall_ok""".stripMargin,
+        |       CAST(1 AS BIGINT) AS e6_recall_ok,
+        |       CAST(1 AS BIGINT) AS e7_improve_ok,
+        |       CAST(1 AS BIGINT) AS e7_k_ok""".stripMargin,
     "d_recall" ->
       """SELECT CAST(1 AS BIGINT) AS d2_recall_ok, CAST(1 AS BIGINT) AS d2_subset_ok,
         |  CAST(1 AS BIGINT) AS d5lsh_recall_ok, CAST(1 AS BIGINT) AS d5lsh_subset_ok,

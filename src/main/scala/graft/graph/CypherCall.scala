@@ -311,6 +311,13 @@ object CypherCall {
       (n, ed, cfg) =>
         GraphOps.triangles(selectEdges(n, ed, cfg))
           .select(col("id"), col("n_tri").as("triangles"))),
+    // GDS gds.triangles parity (r12): stream each triangle once,
+    // vertices id-sorted
+    "triangles" -> Proc(Seq("nodeA", "nodeB", "nodeC"), Set.empty,
+      (n, ed, cfg) =>
+        GraphOps.triangleEnumerate(selectEdges(n, ed, cfg))
+          .select(col("a").as("nodeA"), col("b").as("nodeB"),
+            col("c").as("nodeC"))),
     "kCore" -> Proc(Seq("id", "degree"), Set("k"),
       (n, ed, cfg) => {
         require(cfg.has("k"), "kCore: config key 'k' is required")

@@ -798,50 +798,70 @@ object CypherWrite {
     * `MATCH/MERGE (v:Label {key: col})`). A trailing RETURN is not
     * supported (the updated frames are the result). Returns the
     * updated (nodes, edges). */
+  /** Quote/nesting-aware scan for top-level keyword positions. */
+  private def topLevelHits(text: String, kws: Seq[String]): Seq[(Int, String)] = {
+    val out = scala.collection.mutable.Buffer.empty[(Int, String)]
+    var i = 0; var dp = 0; var inQ = false
+    while (i < text.length) {
+      val c = text.charAt(i)
+      if (inQ) { if (c == '\'') inQ = false }
+      else c match {
+        case '\'' => inQ = true
+        case '(' | '[' | '{' => dp += 1
+        case ')' | ']' | '}' => dp -= 1
+        case _ =>
+          if (dp == 0 &&
+              (i == 0 || !Character.isLetterOrDigit(text.charAt(i - 1)))) {
+            kws.find(k =>
+              text.regionMatches(true, i, k, 0, k.length) &&
+                (i + k.length >= text.length ||
+                  !Character.isLetterOrDigit(text.charAt(i + k.length))))
+              .foreach(k => out += ((i, k)))
+          }
+      }
+      i += 1
+    }
+    out.toSeq
+  }
+
+  private val writeKws = Seq("DETACH DELETE", "MERGE", "CREATE", "SET",
+    "DELETE", "REMOVE")
+
+  /** A WITH at position p that tails STARTS WITH / ENDS WITH is a
+    * string operator, not a clause boundary. */
+  private def stringOpAt(text: String, p: Int): Boolean = {
+    val head = text.substring(0, p).trim
+    var j = head.length - 1
+    while (j >= 0 && Character.isLetter(head.charAt(j))) j -= 1
+    val tok = head.substring(j + 1)
+    tok.equalsIgnoreCase("STARTS") || tok.equalsIgnoreCase("ENDS")
+  }
+
+  /** True when the statement is the [[runComposed]] shape — a
+    * top-level WITH boundary (not a STARTS/ENDS WITH operator) before
+    * the first write keyword. Lets callers (GraphStore.update)
+    * dispatch between [[merge]] and [[runComposed]] without
+    * duplicating the scan. */
+  def isComposed(statement: String): Boolean = {
+    val text = CypherLite.normalizeWs(statement).trim
+    val wHits = topLevelHits(text, writeKws)
+    wHits.nonEmpty && topLevelHits(text, Seq("WITH"))
+      .filter(_._1 < wHits.head._1)
+      .exists { case (p, _) => !stringOpAt(text, p) }
+  }
+
   def runComposed(nodes: DataFrame, edges: DataFrame,
                   cypher: String): (DataFrame, DataFrame) = {
     val text = CypherLite.normalizeWs(cypher).trim
-    // quote/nesting-aware scan for top-level keyword positions
-    def topLevelHits(kws: Seq[String]): Seq[(Int, String)] = {
-      val out = scala.collection.mutable.Buffer.empty[(Int, String)]
-      var i = 0; var dp = 0; var inQ = false
-      while (i < text.length) {
-        val c = text.charAt(i)
-        if (inQ) { if (c == '\'') inQ = false }
-        else c match {
-          case '\'' => inQ = true
-          case '(' | '[' | '{' => dp += 1
-          case ')' | ']' | '}' => dp -= 1
-          case _ =>
-            if (dp == 0 &&
-                (i == 0 || !Character.isLetterOrDigit(text.charAt(i - 1)))) {
-              kws.find(k =>
-                text.regionMatches(true, i, k, 0, k.length) &&
-                  (i + k.length >= text.length ||
-                    !Character.isLetterOrDigit(text.charAt(i + k.length))))
-                .foreach(k => out += ((i, k)))
-            }
-        }
-        i += 1
-      }
-      out.toSeq
-    }
-    val writeKws = Seq("DETACH DELETE", "MERGE", "CREATE", "SET",
-      "DELETE", "REMOVE")
+    def topLevelHits(kws: Seq[String]): Seq[(Int, String)] =
+      CypherWrite.topLevelHits(text, kws)
     val wHits = topLevelHits(writeKws)
     require(wHits.nonEmpty,
       "runComposed needs a write tail (MERGE/CREATE/SET/DELETE/REMOVE) — " +
         "use CypherLite.run for pure reads")
     val wStart = wHits.head._1
     val withHits = topLevelHits(Seq("WITH")).filter(_._1 < wStart)
-      // a WITH that tails STARTS WITH / ENDS WITH is a string operator
-      .filterNot { case (p, _) =>
-        val head = text.substring(0, p).trim
-        var j = head.length - 1
-        while (j >= 0 && Character.isLetter(head.charAt(j))) j -= 1
-        val tok = head.substring(j + 1)
-        tok.equalsIgnoreCase("STARTS") || tok.equalsIgnoreCase("ENDS")
-      }
+      .filterNot { case (p, _) => stringOpAt(text, p) }
     require(withHits.nonEmpty,
       "runComposed needs a WITH boundary before the write tail " +
         "(MATCH … WITH cols MERGE/SET/… ) — a write statement without " +

@@ -2002,7 +2002,10 @@ object GraphOps {
     if (df.storageLevel == StorageLevel.NONE) df.persist(StorageLevel.MEMORY_AND_DISK)
     else df
 
-  def triangles(edges: DataFrame): DataFrame = {
+  /** Each distinct triangle once, as (a, b, c) in DEGREE-orientation
+    * order — the shared core of [[triangles]] (count) and
+    * [[triangleEnumerate]] (stream). */
+  private def triangleTriples(edges: DataFrame): DataFrame = {
     // both persists deliberately stay registered for the session: the
     // returned frame is LAZY, so an unpersist here would run before the
     // caller materializes anything (the e3-style lifecycle bug), and an
@@ -2025,11 +2028,25 @@ object GraphOps {
       .select(col("e1.u").as("a"), col("e1.v").as("b"), col("e2.v").as("c"))
     val closure = orient.select(
       least(col("u"), col("v")).as("b"), greatest(col("u"), col("v")).as("c"))
-    val tris = wedges.join(closure, Seq("b", "c"), "left_semi")
-    tris
+    wedges.join(closure, Seq("b", "c"), "left_semi")
+  }
+
+  def triangles(edges: DataFrame): DataFrame =
+    triangleTriples(edges)
       .select(explode(array(col("a"), col("b"), col("c"))).as("id"))
       .groupBy(col("id")).agg(count(lit(1)).as("n_tri"))
-  }
+
+  /** B33 — triangle ENUMERATION (`gds.triangles` stream parity, r12):
+    * every distinct triangle once, vertices re-sorted to id order
+    * (a < b < c) so the output is engine-canonical and directly
+    * oracle-comparable. Same degree-oriented wedge join as the count —
+    * the join size carries the standard Σ min-degree enumeration
+    * bound, never the naive 3-way id-join blowup on hubs. */
+  def triangleEnumerate(edges: DataFrame): DataFrame =
+    triangleTriples(edges)
+      .select(array_sort(array(col("a"), col("b"), col("c"))).as("t"))
+      .select(col("t").getItem(0).as("a"), col("t").getItem(1).as("b"),
+        col("t").getItem(2).as("c"))
 
   /** Single-source shortest paths over weighted edges (src, dst, w),
     * hop-bounded Bellman-Ford: after `maxIter` rounds, dist(id) is the

@@ -58,6 +58,43 @@ object GraphStore {
             params: Map[String, Any] = Map.empty): DataFrame =
     CypherLite.run(nodes(spark, prefix), edges(spark, prefix), cypher, params)
 
+  /** WRITE counterpart of [[query]] (r12): run a write or read→write
+    * statement against the persisted graph and persist the result
+    * back. The reference user's triage statement runs against the
+    * stored tables in one call:
+    *
+    * {{{
+    * GraphStore.update(s, "g",
+    *   "MATCH (p:Process) WHERE p.image CONTAINS 'powershell' SET p.flag = '1'")
+    * }}}
+    *
+    * Statements with a read stage (`MATCH … WITH … SET/MERGE/…`)
+    * route through [[CypherWrite.runComposed]]; plain write
+    * statements through [[CypherWrite.mergeOne]] with `params` as the
+    * one-row batch. The updated frames are MATERIALIZED (eager
+    * localCheckpoint) before [[save]] drops and rewrites the bucketed
+    * tables — the lazy plans still read the tables being replaced.
+    * Rewrite-on-update is the honest trade in plain-parquet managed
+    * tables (upsert-in-place needs a table format this container
+    * doesn't ship); the bucketed layout is preserved for the next
+    * read. */
+  def update(spark: SparkSession, prefix: String, statement: String,
+             params: Map[String, String] = Map.empty,
+             buckets: Int = 8): Unit = {
+    val n0 = nodes(spark, prefix)
+    val e0 = edges(spark, prefix)
+    val (n1, e1) =
+      if (CypherWrite.isComposed(statement)) {
+        require(params.isEmpty,
+          "GraphStore.update: composed statements take no params " +
+            "(the read stage produces the parameter frame)")
+        CypherWrite.runComposed(n0, e0, statement)
+      } else CypherWrite.mergeOne(n0, e0, statement, params)
+    val nC = n1.localCheckpoint(true)
+    val eC = e1.localCheckpoint(true)
+    save(nC, eC, prefix, buckets)
+  }
+
   /** Declarative uniqueness validator — the migration aid for the
     * reference's constraint DDL (events.py:60-71 `CREATE CONSTRAINT …
     * REQUIRE n.key IS UNIQUE`). This engine enforces uniqueness BY

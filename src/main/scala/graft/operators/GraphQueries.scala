@@ -136,6 +136,13 @@ object GraphQueries {
       .select(col("id").as("l_partkey"), col("n_tri"))
       .orderBy(col("l_partkey"))
 
+  /** B33 — triangle ENUMERATION (gds.triangles stream parity, r12) on
+    * the co-purchase graph; the DuckDB twin is the same id-oriented
+    * 3-way join the count oracle already builds. */
+  def gTriEnum(s: SparkSession, dir: String): DataFrame =
+    GraphOps.triangleEnumerate(TestGraph.coPurchaseEdges(s, dir))
+      .orderBy(col("a"), col("b"), col("c")).limit(5000)
+
   /** B11 — weighted single-source shortest paths from s:1 over the
     * part—supplier graph (undirected, deterministic integer weights),
     * hop-bounded at 8 so the recursive-CTE oracle is enumerable. */

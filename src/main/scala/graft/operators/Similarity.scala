@@ -385,6 +385,69 @@ object Similarity {
     * changed hash/pruning path, never noise. Floors sit just under the
     * measured recalls (e2 0.30/0.375, e3 0.50/0.575 at sf0.01/sf0.1);
     * the oracle pins (1, 1). */
+  /** E7 — K-MEANS clustering over (id, v) vectors (`gds.kmeans`
+    * shape, r12): deterministic hash-order init (the k smallest
+    * xxhash64(id) vectors — partition-arrival-invariant, one bounded
+    * TakeOrdered), `iters` distributed Lloyd steps via [[lloydRefine]]
+    * (scalar-exploded means, no corpus-sized buffers), cosine
+    * nearest-centroid assignment through ONE array<struct> matrix
+    * literal (plan DATA, constant-size codegen — the E3 lesson).
+    * Returns (id, cluster, sim); sim = cosine to the assigned
+    * centroid. Fully deterministic — reruns and engines agree. */
+  def kmeans(vectors: DataFrame, k: Int, iters: Int = 2,
+             trainMod: Int = 1): DataFrame = {
+    require(k >= 1 && iters >= 0, "kmeans: k >= 1, iters >= 0")
+    val s = vectors.sparkSession
+    val all = vectors.select(col("id"), col("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val train = if (trainMod <= 1) all
+      else all.filter(pmod(xxhash64(col("id").cast("string")), lit(trainMod)) === 0)
+    var centroids: Array[(Int, Seq[Double])] = all
+      .orderBy(xxhash64(col("id").cast("string")), col("id").cast("string"))
+      .limit(k).select(col("v")).collect().zipWithIndex
+      .map { case (r, i) => i -> r.getSeq[Double](0) }
+    def centMatrix: Column = typedLit(centroids)
+    def best(v: Column): Column =
+      array_max(transform(centMatrix, c =>
+        struct(cos(s, v, c.getField("_2")).as("c"),
+          (-c.getField("_1")).as("ncid"))))
+    for (_ <- 1 to iters)
+      centroids = lloydRefine(train.select(
+          (-best(col("v")).getField("ncid")).cast("int").as("cid"), col("v")))
+        .collect().map(r => r.getInt(0) -> r.getSeq[Double](1)).sortBy(_._1)
+    val out = all.select(col("id"),
+      (-best(col("v")).getField("ncid")).cast("int").as("cluster"),
+      round(best(col("v")).getField("c"), 6).as("sim"))
+    graft.Borrow.reclaim(out, all)
+  }
+
+  /** E7 driver row — kmeans over the embeddings table. */
+  def e7Kmeans(s: SparkSession, dir: String, k: Int = 8): DataFrame =
+    kmeans(Tables.embeddings(s, dir)
+        .select(col("vec_id").as("id"),
+          col("embedding").cast("array<double>").as("v")),
+      k = k, iters = 2)
+      .orderBy(col("id"))
+
+  /** E7 gate terms: Lloyd refinement must not DEGRADE the mean
+    * assignment cosine vs the init centroids (deterministic — a dip
+    * means a changed code path, not sampling noise), and every
+    * requested cluster must be non-empty on this corpus. */
+  private[graft] def e7Quality(s: SparkSession, dir: String,
+                               k: Int = 8): (Double, Double, Long) = {
+    val vecs = Tables.embeddings(s, dir)
+      .select(col("vec_id").as("id"), col("embedding").cast("array<double>").as("v"))
+    def meanSim(df: DataFrame): Double =
+      df.agg(avg(col("sim"))).collect()(0).getDouble(0)
+    val init = meanSim(kmeans(vecs, k, iters = 0))
+    val fin = kmeans(vecs, k, iters = 2)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val finMean = meanSim(fin)
+    val nClusters = fin.select(col("cluster")).distinct().count()
+    fin.unpersist()
+    (init, finMean, nClusters)
+  }
+
   def eRecallGate(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
@@ -394,9 +457,14 @@ object Similarity {
     val r2 = (exact & pairSet(e2AnnTopK(s, dir))).size.toDouble / exact.size
     val r3 = (exact & pairSet(e3IvfTopK(s, dir))).size.toDouble / exact.size
     val r6 = e6Recall(s, dir)
+    // r12: kmeans quality terms — Lloyd must not degrade the init
+    // assignment, and all 8 clusters must land non-empty
+    val (e7i, e7f, e7n) = e7Quality(s, dir)
     Seq((if (r2 >= 0.25) 1L else 0L, if (r3 >= 0.45) 1L else 0L,
-        if (r6 >= 0.6) 1L else 0L))
-      .toDF("e2_recall_ok", "e3_recall_ok", "e6_recall_ok")
+        if (r6 >= 0.6) 1L else 0L,
+        if (e7f >= e7i - 1e-9) 1L else 0L, if (e7n == 8L) 1L else 0L))
+      .toDF("e2_recall_ok", "e3_recall_ok", "e6_recall_ok",
+        "e7_improve_ok", "e7_k_ok")
   }
 
   /** knnGraph recall vs the exact top-k on the same deterministic

@@ -388,6 +388,33 @@ class GraphOpsSpec extends SparkSpec {
         "latitudeProperty: 'lat'})"))
   }
 
+  test("triangleEnumerate: each triangle once, id-sorted, count-consistent (r12)") {
+    // K4 on {a,b,c,d} (4 triangles) + pendant d→e (none)
+    val e = edgeDf("a" -> "b", "a" -> "c", "a" -> "d", "b" -> "c",
+      "b" -> "d", "c" -> "d", "d" -> "e")
+    val tris = GraphOps.triangleEnumerate(e)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    assert(tris.toSet == Set(("a", "b", "c"), ("a", "b", "d"),
+      ("a", "c", "d"), ("b", "c", "d")) && tris.length == 4)
+    // per-vertex membership counts equal triangles()
+    val fromEnum = tris.flatMap(t => Seq(t._1, t._2, t._3))
+      .groupBy(identity).view.mapValues(_.size).toMap
+    val fromCount = GraphOps.triangles(e)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(fromCount == fromEnum.map { case (k, v) => k -> v.toLong })
+    // CALL stream parity
+    val nodes = Seq("a", "b", "c", "d", "e").map((_, "V", Map.empty[String, String]))
+      .toDF("id", "label", "props")
+    val eg = e.withColumn("etype", lit("T")).withColumn("event_id", lit(1))
+      .withColumn("props", typedLit(Map.empty[String, String]))
+      .select(col("etype"), col("src"), col("dst"), col("event_id"), col("props"))
+    val viaCall = graft.graph.CypherCall.run(nodes, eg,
+      "CALL graft.triangles({}) YIELD nodeA, nodeB, nodeC " +
+        "RETURN nodeA, nodeB, nodeC ORDER BY nodeA, nodeB, nodeC")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    assert(viaCall.toSet == tris.toSet)
+  }
+
   test("conductance: two bridged triangles score cut/min-volume exactly (r12)") {
     // triangles {a,b,c} and {x,y,z} joined by c→x: sym vol = 7 each,
     // cut = 1 → φ = 1/7 for both communities

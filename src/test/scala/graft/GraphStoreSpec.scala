@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.graph.{GraphStore, TestGraph}
+import graft.graph.{CypherWrite, GraphStore, TestGraph}
 
 class GraphStoreSpec extends SparkSpec {
 
@@ -47,6 +47,46 @@ class GraphStoreSpec extends SparkSpec {
       "CALL graft.degree YIELD id, degree ORDER BY id")
       .collect().map(r => (r.getString(0), r.getLong(1)))
     assert(deg.toSeq == Seq(("a", 1L), ("b", 2L), ("c", 1L)))
+  }
+
+  test("GraphStore.update: write and read→write statements persist back (r12)") {
+    import spark.implicits._
+    val nodes = Seq(("a", "Process", "powershell.exe"), ("b", "Process", "cmd.exe"),
+        ("c", "Process", "powershell_ise.exe"))
+      .toDF("id", "label", "img")
+      .withColumn("props", map(lit("image"), col("img"))).drop("img")
+      .select(col("label"), col("id"), col("props"))
+    val edges = Seq(("a", "b", "SPAWNS"), ("b", "c", "SPAWNS"))
+      .toDF("src", "dst", "etype").withColumn("props", map())
+      .withColumn("event_id", lit(1))
+    GraphStore.save(nodes, edges, "ug", buckets = 2)
+    // the triage statement (WHERE-gated SET) against the stored graph;
+    // ENDS WITH in the predicate must NOT route it to runComposed
+    assert(!CypherWrite.isComposed(
+      "MATCH (p:Process) WHERE p.image ENDS WITH '.exe' SET p.exe = '1'"))
+    GraphStore.update(spark, "ug",
+      "MATCH (p:Process) WHERE p.image CONTAINS 'powershell' SET p.flag = '1'")
+    val flagged = GraphStore.query(spark, "ug",
+      "MATCH (p:Process) WHERE p.flag = '1' RETURN p ORDER BY p")
+      .collect().map(_.getString(0))
+    assert(flagged.toSeq == Seq("a", "c"))
+    // read→write composition persists too (spawn counts written back)
+    assert(CypherWrite.isComposed(
+      """MATCH (p:Process)-[:SPAWNS]->(q:Process)
+        |WITH p AS pid, count(*) AS n
+        |MATCH (v:Process {id: pid}) SET v.kids = n""".stripMargin))
+    GraphStore.update(spark, "ug",
+      """MATCH (p:Process)-[:SPAWNS]->(q:Process)
+        |WITH p AS pid, count(*) AS n
+        |MATCH (v:Process {id: pid}) SET v.kids = n""".stripMargin)
+    val kids = GraphStore.query(spark, "ug",
+      "MATCH (p:Process) WHERE p.kids >= 1 RETURN p, p.kids AS kids ORDER BY p")
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(kids.toSeq == Seq(("a", "1"), ("b", "1")))
+    // composed statements refuse a params map loudly
+    intercept[IllegalArgumentException](GraphStore.update(spark, "ug",
+      "MATCH (p:Process) WITH p AS x MATCH (v:Process {id: x}) SET v.y = '1'",
+      Map("k" -> "v")))
   }
 
   test("assertUnique: holds on MERGE-built graphs, catches dup ids and key/id drift") {

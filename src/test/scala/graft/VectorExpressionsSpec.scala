@@ -107,6 +107,32 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(recall >= 0.6, s"default-parameter knnGraph recall $recall < 0.6 floor")
   }
 
+  test("kmeans: planted clusters separate, Lloyd refines, deterministic (r12)") {
+    import spark.implicits._
+    def jit(base: Seq[Double], eps: Double): Seq[Double] =
+      base.zipWithIndex.map { case (x, i) => x + eps * (i % 3 - 1) / 50.0 }
+    val axis1 = Seq.fill(6)(0.0).updated(0, 1.0)
+    val axis2 = Seq.fill(6)(0.0).updated(3, 1.0)
+    val vecs = ((0 until 8).map(i => (s"a$i", jit(axis1, i + 1))) ++
+      (0 until 8).map(i => (s"b$i", jit(axis2, i + 1)))).toDF("id", "v")
+    val out = Similarity.kmeans(vecs, k = 2, iters = 3)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getDouble(2)))
+    // the two planted clusters land in two distinct k-means clusters
+    val byCluster = out.groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+    assert(byCluster.size == 2)
+    assert(byCluster.values.toSet ==
+      Set((0 until 8).map(i => s"a$i").toSet, (0 until 8).map(i => s"b$i").toSet))
+    // sims near 1 within tight clusters; deterministic rerun
+    assert(out.forall(_._3 > 0.9))
+    val again = Similarity.kmeans(vecs, k = 2, iters = 3)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getDouble(2)))
+    assert(out.sortBy(_._1).sameElements(again.sortBy(_._1)))
+    // the e7 gate terms hold on the real embeddings at spec scale
+    val (ini, fin, nc) = Similarity.e7Quality(spark, sf)
+    assert(fin >= ini - 1e-9, s"Lloyd degraded mean cosine: $ini -> $fin")
+    assert(nc == 8L, s"expected 8 non-empty clusters, got $nc")
+  }
+
   test("cosine_sim is codegen'd (appears inside WholeStageCodegen)") {
     val e = Tables.embeddings(spark, sf)
       .select(col("embedding").cast("array<double>").as("v"))
