@@ -97,6 +97,7 @@ object SparkEntry {
     "g_toposort"   -> (GraphQueries.gToposort _),
     "g_cc"         -> (GraphQueries.gCc _),
     "g_degree"     -> (GraphQueries.gDegree _),
+    "g_wdegree"    -> (GraphQueries.gWDegree _),
     "g_topdeg"     -> (GraphQueries.gTopdeg _),
     "g_pagerank"   -> (GraphQueries.gPagerank _),
     // forced-distributed twins (localFinishEdges = 0): the plans that
@@ -146,6 +147,8 @@ object SparkEntry {
     "g_wpaths"     -> (GraphQueries.gWPaths _),
     "g_astar"      -> (GraphQueries.gAstar _),
     "g_conductance" -> (GraphQueries.gConductance _),
+    "g_k1coloring" -> (GraphQueries.gK1Coloring _),
+    "g_k1_valid"   -> (GraphQueries.gK1Valid _),
     "g_kpaths"     -> (GraphQueries.gKPaths _),
     "g_randomwalk" -> (GraphQueries.gRandomWalk _),
     "g_node2vec"   -> (GraphQueries.gNode2vec _),
@@ -853,6 +856,23 @@ object SparkEntry {
         |                  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
         |x AS (SELECT a AS id FROM tri UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri)
         |SELECT id AS l_partkey, count(*) AS n_tri FROM x GROUP BY 1 ORDER BY 1""".stripMargin,
+    // B34 (r12): coloring invariants — validity + greedy palette bound
+    "g_k1_valid" ->
+      """SELECT CAST(1 AS BIGINT) AS no_conflict_ok,
+        |       CAST(1 AS BIGINT) AS bound_ok""".stripMargin,
+    // B7w (r12): weighted degrees = weight sums over the shared
+    // weighted symmetric graph recipe
+    "g_wdegree" ->
+      """WITH base AS (SELECT DISTINCT 'p:'||l_partkey AS a, 's:'||l_suppkey AS b,
+        |    CAST((l_partkey + l_suppkey) % 5 + 1 AS BIGINT) AS w
+        |  FROM lineitem WHERE l_partkey % 20 = 0),
+        |e AS (SELECT a AS src, b AS dst, w FROM base UNION SELECT b, a, w FROM base),
+        |o AS (SELECT src AS id, CAST(sum(w) AS DOUBLE) AS out_deg FROM e GROUP BY 1),
+        |i AS (SELECT dst AS id, CAST(sum(w) AS DOUBLE) AS in_deg FROM e GROUP BY 1)
+        |SELECT coalesce(o.id, i.id) AS id, coalesce(out_deg, 0) AS out_deg,
+        |  coalesce(in_deg, 0) AS in_deg,
+        |  coalesce(out_deg, 0) + coalesce(in_deg, 0) AS deg
+        |FROM o FULL JOIN i ON o.id = i.id ORDER BY 1""".stripMargin,
     // B33 (r12): the count oracle's own tri CTE, streamed
     "g_tri_enum" ->
       """WITH lp AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),

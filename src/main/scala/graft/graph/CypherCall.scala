@@ -302,11 +302,20 @@ object CypherCall {
             weightCol = wcol)
           .select(col("id"), col("community").as("communityId"))
       }),
-    "degree" -> Proc(Seq("id", "inDegree", "outDegree", "degree"), Set.empty,
-      (n, ed, cfg) =>
-        GraphOps.degrees(selectEdges(n, ed, cfg))
-          .select(col("id"), col("in_deg").as("inDegree"),
-            col("out_deg").as("outDegree"), col("deg").as("degree"))),
+    "degree" -> Proc(Seq("id", "inDegree", "outDegree", "degree"),
+      Set("relationshipWeightProperty"),
+      (n, ed, cfg) => {
+        // GDS's relationshipWeightProperty (r12): degrees become
+        // weight sums; unweighted stays the count path (longs)
+        val (edW, wc) = resolveWeightProp(filterEdges(n, ed, cfg), cfg)
+        val e = orientEdges(edW, cfg)
+        val d = wc match {
+          case Some(w) => GraphOps.weightedDegrees(e, w)
+          case None => GraphOps.degrees(e)
+        }
+        d.select(col("id"), col("in_deg").as("inDegree"),
+          col("out_deg").as("outDegree"), col("deg").as("degree"))
+      }),
     "triangleCount" -> Proc(Seq("id", "triangles"), Set.empty,
       (n, ed, cfg) =>
         GraphOps.triangles(selectEdges(n, ed, cfg))
@@ -422,6 +431,11 @@ object CypherCall {
             cfg.int("maxIterations", 10))
           .select(col("root"), col("id"), col("dist").as("distance"), col("path"))
       }),
+    // GDS gds.k1coloring parity (r12): deterministic Jones-Plassmann
+    "k1coloring" -> Proc(Seq("id", "color"), Set("maxIterations"),
+      (n, ed, cfg) =>
+        GraphOps.k1Coloring(selectEdges(n, ed, cfg),
+          cfg.int("maxIterations", 50))),
     // GDS gds.conductance parity (r12): per-community cut/min-volume
     // quality over a node-property community assignment
     "conductance" -> Proc(Seq("community", "conductance"),

@@ -944,6 +944,59 @@ object GraphOps {
           .withColumn("w", lit(1.0))
     }
 
+  /** B34 — K-1 COLORING (GDS `gds.k1coloring` shape, r12): greedy
+    * distributed Jones-Plassmann over the symmetrized simple graph.
+    * Each round, every UNCOLORED vertex whose (xxhash64(id), id)
+    * priority is the strict maximum among its uncolored neighbors
+    * takes the smallest color its already-colored neighbors don't use
+    * — the mex of the COLLECTED DISTINCT neighbor-color set (bounded
+    * by #colors ≤ maxdeg+1, never degree-sized). Winners form an
+    * independent set of the uncolored subgraph by construction, so no
+    * two adjacent vertices ever take the same color — VALIDITY is
+    * structural, and the hash priority makes the whole coloring
+    * deterministic (reruns and engines agree where GDS would hand
+    * back a permutation). Expected O(log n) rounds; exact-or-loud on
+    * `maxIter`. Returns (id, color), colors 0-based. */
+  def k1Coloring(edges: DataFrame, maxIter: Int = 50): DataFrame = {
+    val sym = undirected(edges).filter(col("src") =!= col("dst"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val prio = struct(xxhash64(col("id")).as("h"), col("id").as("i"))
+    var uncolored = graft.Borrow.severLazy(
+      sym.select(col("src").as("id")).distinct().select(col("id"), prio.as("p")))
+    var colored = uncolored.select(col("id"), lit(0).as("color")).limit(0)
+    var n = uncolored.count()
+    var iter = 0
+    while (iter < maxIter && n > 0) {
+      iter += 1
+      // max uncolored-neighbor priority per uncolored vertex
+      val nbrMax = sym
+        .join(uncolored.select(col("id").as("dst"), col("p").as("np")), Seq("dst"))
+        .groupBy(col("src").as("id")).agg(max(col("np")).as("mx"))
+      // forbidden colors from already-colored neighbors
+      val nbrColors = sym
+        .join(colored.select(col("id").as("dst"), col("color")), Seq("dst"))
+        .groupBy(col("src").as("id")).agg(collect_set(col("color")).as("nc"))
+      val winners = graft.Borrow.severLazy(uncolored
+        .join(nbrMax, Seq("id"), "left")
+        .filter(col("mx").isNull || col("p") > col("mx"))
+        .join(nbrColors, Seq("id"), "left")
+        .select(col("id"),
+          aggregate(
+            array_sort(coalesce(col("nc"), array().cast("array<int>"))),
+            lit(0), (acc, x) => when(x === acc, acc + 1).otherwise(acc))
+            .as("color")))
+      colored = graft.Borrow.severLazy(
+        colored.unionByName(winners.select(col("id"), col("color"))))
+      uncolored = graft.Borrow.severLazy(
+        uncolored.join(winners.select(col("id")), Seq("id"), "left_anti"))
+      n = uncolored.count()
+    }
+    sym.unpersist()
+    require(n == 0,
+      s"k1Coloring: $n vertices uncolored after $maxIter rounds — raise maxIter")
+    colored
+  }
+
   /** B32 — per-community CONDUCTANCE (r12):
     * φ(C) = cut(C) / min(vol(C), vol(G) − vol(C)) over the
     * symmetrized (optionally weighted) graph — the standard
@@ -2578,6 +2631,26 @@ object GraphOps {
       .select(col("id"),
         coalesce(col("out_deg"), lit(0L)).as("out_deg"),
         coalesce(col("in_deg"), lit(0L)).as("in_deg"))
+      .withColumn("deg", col("out_deg") + col("in_deg"))
+  }
+
+  /** B7w — WEIGHTED degrees (GDS degree `relationshipWeightProperty`,
+    * r12): out/in/total degree = Σ edge weights instead of counts —
+    * the same two keyed aggregations + full-outer merge. Weights must
+    * be non-null (loud), negative allowed (GDS sums whatever the
+    * property holds). */
+  def weightedDegrees(edges: DataFrame, weightCol: String): DataFrame = {
+    val e = edges.select(col("src"), col("dst"),
+      col(weightCol).cast("double").as("w"))
+    require(e.filter(col("w").isNull).limit(1).count() == 0,
+      s"weightedDegrees: weight column '$weightCol' is null/non-numeric " +
+        "on at least one edge")
+    val out = e.groupBy(col("src").as("id")).agg(sum(col("w")).as("out_deg"))
+    val in = e.groupBy(col("dst").as("id")).agg(sum(col("w")).as("in_deg"))
+    out.join(in, Seq("id"), "full_outer")
+      .select(col("id"),
+        coalesce(col("out_deg"), lit(0.0)).as("out_deg"),
+        coalesce(col("in_deg"), lit(0.0)).as("in_deg"))
       .withColumn("deg", col("out_deg") + col("in_deg"))
   }
 }

@@ -81,6 +81,14 @@ object GraphQueries {
       .select(col("id"), col("out_deg"), col("in_deg"), col("deg"))
       .orderBy(col("id"))
 
+  /** B7w — WEIGHTED degrees (GDS degree relationshipWeightProperty,
+    * r12) over the weighted symmetric part—supplier graph; integral
+    * weights, so the double sums compare exactly. */
+  def gWDegree(s: SparkSession, dir: String): DataFrame =
+    GraphOps.weightedDegrees(weightedSym(s, dir), "w")
+      .select(col("id"), col("out_deg"), col("in_deg"), col("deg"))
+      .orderBy(col("id"))
+
   /** B8 — top-10 parts by distinct supplier count (graph aggregation +
     * top-k; ties broken by part id). */
   def gTopdeg(s: SparkSession, dir: String): DataFrame =
@@ -343,6 +351,35 @@ object GraphQueries {
         GraphOps.undirected(TestGraph.partSupplierEdges(s, dir)),
         walksPerNode = 1, walkLength = 4)
       .orderBy(col("walk_id"))
+
+  /** B34 — k1 coloring rows (gds.k1coloring shape, r12) on the
+    * undirected part—supplier graph (rows-only: the hash-priority
+    * rounds have no SQL oracle; `g_k1_valid` gates the invariants). */
+  def gK1Coloring(s: SparkSession, dir: String): DataFrame =
+    GraphOps.k1Coloring(TestGraph.partSupplierEdges(s, dir))
+      .orderBy(col("id"))
+
+  /** B34 validity gate — 1-row flags the oracle pins at 1: no
+    * monochrome edge exists (validity), and the palette respects the
+    * greedy bound (#colors ≤ maxdeg + 1). */
+  def gK1Valid(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e0 = TestGraph.partSupplierEdges(s, dir)
+    val sym = GraphOps.undirected(e0).filter(col("src") =!= col("dst"))
+      .persist()
+    val c = GraphOps.k1Coloring(e0).persist()
+    val conflicts = sym
+      .join(c.select(col("id").as("src"), col("color").as("cs")), Seq("src"))
+      .join(c.select(col("id").as("dst"), col("color").as("cd")), Seq("dst"))
+      .filter(col("cs") === col("cd")).count()
+    val maxDeg = sym.groupBy(col("src")).agg(count(lit(1)).as("d"))
+      .agg(max(col("d"))).collect()(0).getLong(0)
+    val nColors = c.select(col("color")).distinct().count()
+    sym.unpersist(); c.unpersist()
+    Seq((if (conflicts == 0) 1L else 0L,
+        if (nColors <= maxDeg + 1) 1L else 0L))
+      .toDF("no_conflict_ok", "bound_ok")
+  }
 
   /** B32 — per-community conductance (gds.conductance parity, r12) of
     * the deterministic (key % 4) partition of the part—supplier

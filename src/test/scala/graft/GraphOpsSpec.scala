@@ -388,6 +388,78 @@ class GraphOpsSpec extends SparkSpec {
         "latitudeProperty: 'lat'})"))
   }
 
+  test("k1Coloring: valid deterministic coloring within the greedy bound (r12)") {
+    def validate(edges: org.apache.spark.sql.DataFrame,
+                 colors: Map[String, Int]): Unit = {
+      val sym = GraphOps.undirected(edges).filter(col("src") =!= col("dst"))
+        .collect().map(r => (r.getString(0), r.getString(1)))
+      assert(sym.forall { case (u, v) => colors(u) != colors(v) },
+        s"monochrome edge in $colors")
+      val maxDeg = sym.groupBy(_._1).values.map(_.size).max
+      assert(colors.values.toSet.size <= maxDeg + 1)
+      assert(colors.values.min == 0)
+    }
+    // odd cycle C5: needs 3 colors, greedy bound allows <= 3
+    val c5 = edgeDf("a" -> "b", "b" -> "c", "c" -> "d", "d" -> "e", "e" -> "a")
+    val g5 = GraphOps.k1Coloring(c5)
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    validate(c5, g5)
+    assert(g5.values.toSet.size == 3)
+    // bipartite path: 2 colors suffice and greedy finds them
+    val path = edgeDf("p1" -> "p2", "p2" -> "p3", "p3" -> "p4")
+    val gp = GraphOps.k1Coloring(path)
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    validate(path, gp)
+    assert(gp.values.toSet.size == 2)
+    // star: hub + leaves = 2 colors even at high degree
+    val star = edgeDf((1 to 9).map(i => "hub" -> s"l$i"): _*)
+    val gs = GraphOps.k1Coloring(star)
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    validate(star, gs)
+    assert(gs.values.toSet.size == 2)
+    // deterministic rerun; exact-or-loud on maxIter
+    assert(GraphOps.k1Coloring(c5)
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap == g5)
+    intercept[IllegalArgumentException](GraphOps.k1Coloring(c5, maxIter = 1))
+    // CALL parity
+    import spark.implicits._
+    val nodes = Seq("a", "b", "c", "d", "e").map((_, "V", Map.empty[String, String]))
+      .toDF("id", "label", "props")
+    val eg = c5.withColumn("etype", lit("T")).withColumn("event_id", lit(1))
+      .withColumn("props", typedLit(Map.empty[String, String]))
+      .select(col("etype"), col("src"), col("dst"), col("event_id"), col("props"))
+    val viaCall = graft.graph.CypherCall.run(nodes, eg,
+      "CALL graft.k1coloring({}) YIELD id, color RETURN id, color ORDER BY id")
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(viaCall == g5)
+  }
+
+  test("weightedDegrees: weight sums match the unweighted shape (r12)") {
+    import spark.implicits._
+    val e = Seq(("a", "b", 2.0), ("a", "c", 3.0), ("b", "c", 1.5))
+      .toDF("src", "dst", "w")
+    val got = GraphOps.weightedDegrees(e, "w")
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2),
+        r.getDouble(3))).toSet
+    assert(got == Set(("a", 5.0, 0.0, 5.0), ("b", 1.5, 2.0, 3.5),
+      ("c", 0.0, 4.5, 4.5)))
+    // null weight is loud
+    val bad = Seq(("a", "b", null.asInstanceOf[java.lang.Double]))
+      .toDF("src", "dst", "w")
+    intercept[IllegalArgumentException](GraphOps.weightedDegrees(bad, "w"))
+    // CALL relationshipWeightProperty routes here
+    val nodes = Seq("a", "b", "c").map((_, "V", Map.empty[String, String]))
+      .toDF("id", "label", "props")
+    val eg = Seq(("T", "a", "b", 1, Map("w" -> "2")),
+        ("T", "a", "c", 1, Map("w" -> "3")))
+      .toDF("etype", "src", "dst", "event_id", "props")
+    val viaCall = graft.graph.CypherCall.run(nodes, eg,
+      "CALL graft.degree({relationshipWeightProperty: 'w'}) " +
+        "YIELD id, outDegree RETURN id, outDegree ORDER BY id")
+      .collect().map(r => (r.getString(0), r.getDouble(1)))
+    assert(viaCall.toSeq == Seq(("a", 5.0), ("b", 0.0), ("c", 0.0)))
+  }
+
   test("triangleEnumerate: each triangle once, id-sorted, count-consistent (r12)") {
     // K4 on {a,b,c,d} (4 triangles) + pendant d→e (none)
     val e = edgeDf("a" -> "b", "a" -> "c", "a" -> "d", "b" -> "c",
