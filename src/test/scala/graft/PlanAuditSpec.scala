@@ -224,4 +224,23 @@ class PlanAuditSpec extends SparkSpec {
     assert(pl.linesIterator.count(_.contains("BroadcastNestedLoopJoin")) == 1, pl)
     assert(!pl.contains("Exchange hashpartitioning"), pl)
   }
+
+  test("F9 r12: redaction is a pure projection — scans documents, no shuffle, no join") {
+    val out = graft.operators.TextAnalysis.f9Redact(spark, sf)
+    val pl = plan(out)
+    assert(!pl.contains("Exchange hashpartitioning"), pl)
+    assert(!pl.contains("Join"), pl)
+  }
+
+  test("B32 r12: conductance attaches the total via broadcast; no second data pass") {
+    import spark.implicits._
+    val e = Seq(("a", "b"), ("b", "c"), ("c", "a")).toDF("src", "dst")
+    val asg = Seq(("a", "x"), ("b", "x"), ("c", "y")).toDF("id", "community")
+    // reclaim = false keeps the full lazy plan for inspection (the
+    // JaccardJoin audit convention)
+    val out = graft.graph.GraphOps.conductance(e, asg, reclaim = false)
+    val pl = plan(out)
+    // the 1-row total joins as a broadcast nested loop (the P6 shape)
+    assert(pl.contains("BroadcastNestedLoopJoin"), pl)
+  }
 }

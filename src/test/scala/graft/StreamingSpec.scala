@@ -186,4 +186,33 @@ class StreamingSpec extends SparkSpec {
       assert(state((2L, "click")) == 1L)
     } finally q.stop()
   }
+
+  test("F9 PII redaction streams statelessly, bit-identical to batch (r12)") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rows = Seq(
+      (1L, "mail a@b.io now"), (2L, "srv 10.0.0.1 up"),
+      (3L, "call +1 555 0100 ok"), (4L, "plain words only"))
+    val mem = MemoryStream[(Long, String)]
+    val q = mem.toDF().toDF("doc_id", "text")
+      .select(col("doc_id"),
+        graft.operators.TextAnalysis.redactPii(col("text")).as("red"))
+      .writeStream.format("memory").queryName("f9s")
+      .outputMode("append").start()
+    try {
+      mem.addData(rows: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("f9s").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toMap
+      val batch = rows.toDF("doc_id", "text")
+        .select(col("doc_id"),
+          graft.operators.TextAnalysis.redactPii(col("text")).as("red"))
+        .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+      assert(streamed == batch)
+      assert(streamed(1L) == "mail <EMAIL> now" &&
+        streamed(2L) == "srv <IP> up" &&
+        streamed(3L) == "call <PHONE> ok" &&
+        streamed(4L) == "plain words only")
+    } finally q.stop()
+  }
 }
