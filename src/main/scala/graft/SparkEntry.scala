@@ -113,6 +113,7 @@ object SparkEntry {
     "g_nodesim"    -> (GraphQueries.gNodesim _),
     "g_nodesim_overlap" -> (GraphQueries.gNodesimOverlap _),
     "g_nodesim_cosine"  -> (GraphQueries.gNodesimCosine _),
+    "g_nodesim_topk"    -> (GraphQueries.gNodesimTopK _),
     "g_paths"      -> (GraphQueries.gPaths _),
     "g_allpaths"   -> (GraphQueries.gAllPaths _),
     "g_louvain"    -> (GraphQueries.gLouvain _),
@@ -1076,6 +1077,24 @@ object SparkEntry {
         |SELECT id1, id2, floor(CAST(i AS DOUBLE)/(x.n+y.n-i) * 10000 + 0.5) / 10000 AS sim
         |FROM i JOIN sz x ON id1=x.p JOIN sz y ON id2=y.p
         |WHERE CAST(i AS DOUBLE)/(x.n+y.n-i) >= 0.2 ORDER BY 1,2""".stripMargin,
+    // B12k (r12): GDS's default topK shape — rank the DIRECTED
+    // expansion of the qualifying pairs per node, keep 3
+    "g_nodesim_topk" ->
+      """WITH e AS (SELECT DISTINCT 'p:'||l_partkey AS p, 's:'||l_suppkey AS s
+        |  FROM lineitem WHERE l_partkey%20=0),
+        |sz AS (SELECT p, count(*) AS n FROM e GROUP BY 1),
+        |i AS (SELECT a.p AS id1, b.p AS id2, count(*) AS i
+        |  FROM e a JOIN e b ON a.s=b.s AND a.p<b.p GROUP BY 1,2),
+        |pr AS (SELECT id1, id2,
+        |    floor(CAST(i AS DOUBLE)/(x.n+y.n-i) * 10000 + 0.5) / 10000 AS sim
+        |  FROM i JOIN sz x ON id1=x.p JOIN sz y ON id2=y.p
+        |  WHERE CAST(i AS DOUBLE)/(x.n+y.n-i) >= 0.2),
+        |d AS (SELECT id1 AS id, id2 AS neighbor, sim FROM pr
+        |  UNION ALL SELECT id2, id1, sim FROM pr)
+        |SELECT id, neighbor, sim FROM d
+        |QUALIFY row_number() OVER (PARTITION BY id
+        |  ORDER BY sim DESC, neighbor) <= 3
+        |ORDER BY id, sim DESC, neighbor""".stripMargin,
     // B12 metric variants (r12): one-formula changes of the g_nodesim
     // twin — overlap i/min, set-cosine i/sqrt(n1*n2)
     "g_nodesim_overlap" ->

@@ -599,14 +599,27 @@ object CypherCall {
       (n, ed, cfg) =>
         GraphOps.hits(selectEdges(n, ed, cfg), cfg.int("maxIterations", 8))),
     "nodeSimilarity" -> Proc(Seq("id1", "id2", "similarity"),
-      Set("similarityCutoff", "hubCap", "similarityMetric"),
-      (n, ed, cfg) =>
-        GraphOps.nodeSimilarity(selectEdges(n, ed, cfg),
-            cfg.dbl("similarityCutoff", 0.1), cfg.int("hubCap", 1000).toLong,
-            // GDS's similarityMetric config (r12): JACCARD (default) |
-            // OVERLAP | COSINE, case-insensitive like GDS
-            cfg.str("similarityMetric").map(_.toLowerCase).getOrElse("jaccard"))
-          .select(col("id1"), col("id2"), col("sim").as("similarity"))),
+      Set("similarityCutoff", "hubCap", "similarityMetric", "topK"),
+      (n, ed, cfg) => {
+        val cut = cfg.dbl("similarityCutoff", 0.1)
+        val cap = cfg.int("hubCap", 1000).toLong
+        // GDS's similarityMetric config (r12): JACCARD (default) |
+        // OVERLAP | COSINE, case-insensitive like GDS
+        val metric = cfg.str("similarityMetric").map(_.toLowerCase)
+          .getOrElse("jaccard")
+        val k = cfg.int("topK", -1)
+        // GDS's own default shape: K best neighbors PER NODE as
+        // directed rows (r12) — opt-in here so the canonical-pair
+        // form (and its gate) stays the no-config default
+        if (k > 0)
+          GraphOps.nodeSimilarityTopK(selectEdges(n, ed, cfg), cut, k,
+              cap, metric)
+            .select(col("id").as("id1"), col("neighbor").as("id2"),
+              col("sim").as("similarity"))
+        else
+          GraphOps.nodeSimilarity(selectEdges(n, ed, cfg), cut, cap, metric)
+            .select(col("id1"), col("id2"), col("sim").as("similarity"))
+      }),
     // GDS gds.knn shape over GRAPH nodes: FastRP embeddings (the GDS
     // fastRP.mutate → knn idiom in one call) → banded hyperplane
     // candidates → exact cosine top-k per node. Approximate like GDS's

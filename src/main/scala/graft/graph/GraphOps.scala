@@ -960,9 +960,10 @@ object GraphOps {
     * stuck vertices after 50 rounds at sf0.1: on hub-heavy bipartite
     * graphs its dependency chains run long); still fully
     * deterministic — reruns and engines agree where GDS would hand
-    * back a permutation. Exact-or-loud on `maxIter`. Returns
-    * (id, color), colors 0-based. */
-  def k1Coloring(edges: DataFrame, maxIter: Int = 50): DataFrame = {
+    * back a permutation. Exact-or-loud on `maxIter` (default 100:
+    * Luby needs ~c·log n rounds and late rounds cost little — the
+    * frontier has shrunk). Returns (id, color), colors 0-based. */
+  def k1Coloring(edges: DataFrame, maxIter: Int = 100): DataFrame = {
     val sym = undirected(edges).filter(col("src") =!= col("dst"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     var uncolored = graft.Borrow.severLazy(
@@ -1085,6 +1086,32 @@ object GraphOps {
         threshold, hubCap, metric)
       .withColumn("sim", graft.operators.Num.roundTies(col("sim"), 4))
       .select(col("id1"), col("id2"), col("sim"))
+
+  /** B12k — nodeSimilarity's `topK` shape (r12): GDS's DEFAULT result
+    * form — each node with its K most similar neighbors as DIRECTED
+    * rows (node, neighbor, sim), both orientations of a pair
+    * considered from each endpoint. Built on [[nodeSimilarity]]'s
+    * recall-exact pair machinery: expand pairs to both directions,
+    * keep K per node by (sim DESC, neighbor ASC) — one window over
+    * per-node candidate sets (bounded by that node's qualifying
+    * pairs, the candidate cap again). Ties break deterministically. */
+  def nodeSimilarityTopK(edges: DataFrame, threshold: Double, topK: Int,
+                         hubCap: Long = 1000L,
+                         metric: String = "jaccard"): DataFrame = {
+    require(topK >= 1, "nodeSimilarityTopK: topK >= 1")
+    import org.apache.spark.sql.expressions.Window
+    val pairs = nodeSimilarity(edges, threshold, hubCap, metric)
+    val directed = pairs.select(col("id1").as("id"), col("id2").as("neighbor"),
+        col("sim"))
+      .unionByName(pairs.select(col("id2").as("id"), col("id1").as("neighbor"),
+        col("sim")))
+    directed
+      .withColumn("__rk", row_number().over(
+        Window.partitionBy(col("id"))
+          .orderBy(col("sim").desc, col("neighbor"))))
+      .filter(col("__rk") <= topK)
+      .select(col("id"), col("neighbor"), col("sim"))
+  }
 
   /** BFS that also MATERIALIZES one shortest path per reached vertex —
     * the Cypher `MATCH p = shortestPath((a)-[*]->(b)) RETURN p`

@@ -451,6 +451,14 @@ object GraphQueries {
         threshold = 0.35, metric = "cosine")
       .orderBy(col("id1"), col("id2"))
 
+  /** B12k — GDS's default topK result shape (r12): 3 best neighbors
+    * per node as directed rows; the DuckDB twin ranks the same
+    * directed expansion with QUALIFY. */
+  def gNodesimTopK(s: SparkSession, dir: String): DataFrame =
+    GraphOps.nodeSimilarityTopK(TestGraph.partSupplierEdges(s, dir),
+        threshold = 0.2, topK = 3)
+      .orderBy(col("id"), col("sim").desc, col("neighbor"))
+
   /** B13 — shortest-path EXTRACTION (Cypher `shortestPath` parity):
     * one materialized path per vertex reachable from r:0 down the
     * hierarchy forest, lexicographic tie-break. */

@@ -388,6 +388,36 @@ class GraphOpsSpec extends SparkSpec {
         "latitudeProperty: 'lat'})"))
   }
 
+  test("nodeSimilarityTopK: GDS's directed per-node top-k shape (r12)") {
+    // p1={x,y,z}, p2={x,y,w}, p3={x} — sims: (p1,p2)=0.5,
+    // (p1,p3)=1/3≈0.3333, (p2,p3)=1/3
+    val edges = edgeDf("p1" -> "x", "p1" -> "y", "p1" -> "z",
+      "p2" -> "x", "p2" -> "y", "p2" -> "w", "p3" -> "x")
+    val all = GraphOps.nodeSimilarityTopK(edges, threshold = 0.1, topK = 2)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
+    // every node keeps its best 2, DIRECTED (p3 sees both neighbors)
+    assert(all.toSet == Set(
+      ("p1", "p2", 0.5), ("p1", "p3", 0.3333),
+      ("p2", "p1", 0.5), ("p2", "p3", 0.3333),
+      ("p3", "p1", 0.3333), ("p3", "p2", 0.3333)))
+    // topK = 1 cuts to each node's single best (ties → smaller id)
+    val one = GraphOps.nodeSimilarityTopK(edges, threshold = 0.1, topK = 1)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(one == Set(("p1", "p2"), ("p2", "p1"), ("p3", "p1")))
+    // CALL topK config routes to the directed shape
+    import spark.implicits._
+    val nodes = Seq("p1", "p2", "p3", "x", "y", "z", "w")
+      .map((_, "V", Map.empty[String, String])).toDF("id", "label", "props")
+    val eg = edges.withColumn("etype", lit("T")).withColumn("event_id", lit(1))
+      .withColumn("props", typedLit(Map.empty[String, String]))
+      .select(col("etype"), col("src"), col("dst"), col("event_id"), col("props"))
+    val viaCall = graft.graph.CypherCall.run(nodes, eg,
+      "CALL graft.nodeSimilarity({similarityCutoff: 0.1, topK: 1}) " +
+        "YIELD id1, id2 RETURN id1, id2 ORDER BY id1")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(viaCall == one)
+  }
+
   test("k1Coloring: valid deterministic coloring within the greedy bound (r12)") {
     def validate(edges: org.apache.spark.sql.DataFrame,
                  colors: Map[String, Int]): Unit = {
