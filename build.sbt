@@ -11,6 +11,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Stream the forked JVM's stdout/stderr through UNPREFIXED (r13): the
+// default LoggedOutput wraps every line in sbt's "[info] " logger
+// prefix, which is why the bench driver's log-tail parser recorded
+// parsed:null through r12 — the JSON result line never appeared as a
+// bare line. With StdoutOutput the child's stdout passes through
+// verbatim, so the final line of `sbt "runMain graft.Bench"` IS the
+// JSON line.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -87,7 +87,10 @@ object Bench {
     val total = results.map(_._2).sum
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    println(line)
+    // pre-stop copy goes to STDERR (r13, advice): a consumer that greps
+    // every {"metric":"total"...} stdout line must see exactly ONE —
+    // the final post-stop line below — never a double-counted pair
+    System.err.println(line)
     // r12: the driver's BENCH_r11.json recorded parsed:null — the JSON
     // line only survived interleaved in the sbt log tail. Persist it to
     // a file too so the artifact can be parsed structurally.

@@ -765,7 +765,23 @@ object CypherWrite {
         var k = j
         while (k < text.length && text.charAt(k) == ' ') k += 1
         val keyPos = k < text.length && text.charAt(k) == ':'
-        if (cols(word) && !keyPos) sb.append('$').append(word)
+        // label/type position (r13, advice): a word PRECEDED by ':'
+        // is a node label or relationship type (`(v:User {...})`,
+        // `-[r:TYPE]->`) and must stay literal even when a read
+        // column shares the name — EXCEPT when that ':' belongs to a
+        // map entry (`{uid: uid}`), where the word is a VALUE and the
+        // rewrite is the whole point. Discriminate by what precedes
+        // the word BEFORE the ':': a map key follows '{' or ',',
+        // a label's variable follows '(' / '[' / an expression.
+        var b = i - 1
+        while (b >= 0 && text.charAt(b) == ' ') b -= 1
+        val labelPos = b >= 0 && text.charAt(b) == ':' && {
+          var k2 = b - 1 // back over the key/variable word
+          while (k2 >= 0 && Character.isJavaIdentifierPart(text.charAt(k2))) k2 -= 1
+          while (k2 >= 0 && text.charAt(k2) == ' ') k2 -= 1
+          !(k2 >= 0 && (text.charAt(k2) == '{' || text.charAt(k2) == ','))
+        }
+        if (cols(word) && !keyPos && !labelPos) sb.append('$').append(word)
         else sb.append(word)
         i = j
       } else { sb += c; i += 1 }

@@ -966,6 +966,14 @@ object GraphOps {
   def k1Coloring(edges: DataFrame, maxIter: Int = 100): DataFrame = {
     val sym = undirected(edges).filter(col("src") =!= col("dst"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // vertices whose ONLY incident edges are self-loops vanish from
+    // `sym` but are still projected nodes — GDS colors every projected
+    // node, and self-loops are conventionally ignored for coloring, so
+    // they take color 0 (r13, advice: they used to get no output row)
+    val loopOnly = edges.select(col("src").as("id"))
+      .unionByName(edges.select(col("dst").as("id"))).distinct()
+      .join(sym.select(col("src").as("id")), Seq("id"), "left_anti")
+      .select(col("id"), lit(0).as("color"))
     var uncolored = graft.Borrow.severLazy(
       sym.select(col("src").as("id")).distinct())
     var colored = uncolored.select(col("id"), lit(0).as("color")).limit(0)
@@ -998,10 +1006,10 @@ object GraphOps {
         uncolored.join(winners.select(col("id")), Seq("id"), "left_anti"))
       n = uncolored.count()
     }
-    sym.unpersist()
     require(n == 0,
       s"k1Coloring: $n vertices uncolored after $maxIter rounds — raise maxIter")
-    colored
+    val out = colored.unionByName(loopOnly)
+    graft.Borrow.reclaim(out, sym)
   }
 
   /** B32 — per-community CONDUCTANCE (r12):
@@ -1040,6 +1048,86 @@ object GraphOps {
           coalesce(col("cut"), lit(0.0)) /
             least(col("vol"), col("tot") - col("vol")), 6).as("conductance"))
     if (reclaim) graft.Borrow.reclaim(out, e) else out
+  }
+
+  /** B35 — minimum spanning FOREST by distributed Borůvka
+    * (`gds.spanningTree` capability; GDS runs Prim from a sourceNode —
+    * filter the forest to that node's component for the same tree).
+    * Deterministic and UNIQUE: effective edge weights are the total
+    * order (w, a, b) over canonicalized a < b endpoints, so ties can't
+    * create cycles and every engine computes the same forest — the
+    * classic Borůvka precondition (distinct weights) holds by
+    * construction.
+    *
+    * Scale shape: per round ONE keyed min-aggregation picks each
+    * component's lightest incident edge (map-side combinable — never a
+    * per-component sort), then components contract through
+    * [[connectedComponents]] over the PICKED edge set at COMPONENT
+    * level (≤ #components rows, geometrically shrinking; the CC local
+    * finisher absorbs the tail). Components at least halve per round →
+    * ≤ log₂(V) rounds. Labels stay min-member-id canonical.
+    *
+    * Input edges are treated UNDIRECTED; self-loops dropped; parallel
+    * (a, b) edges collapse to the minimum weight; `weightCol = None`
+    * weighs every edge 1 (the forest is then BFS-ish but still the
+    * unique (w, a, b)-minimal one). Null weights are loud. Returns
+    * (src, dst, w) with src < dst — the forest's edge set. */
+  def spanningTree(edges0: DataFrame, weightCol: Option[String] = None,
+                   maxIter: Int = 30): DataFrame = {
+    val base = weightCol match {
+      case Some(wc) => edges0.select(col("src").cast("string").as("s"),
+        col("dst").cast("string").as("d"), col(wc).cast("double").as("w"))
+      case None => edges0.select(col("src").cast("string").as("s"),
+        col("dst").cast("string").as("d"), lit(1.0).as("w"))
+    }
+    require(base.filter(col("w").isNull).limit(1).count() == 0,
+      "spanningTree: weight is null or non-numeric on at least one edge")
+    val e = base.filter(col("s") =!= col("d"))
+      .select(least(col("s"), col("d")).as("a"),
+        greatest(col("s"), col("d")).as("b"), col("w"))
+      .groupBy(col("a"), col("b")).agg(min(col("w")).as("w"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var comp = graft.Borrow.severLazy(
+      e.select(col("a").as("id")).unionByName(e.select(col("b").as("id")))
+        .distinct().select(col("id"), col("id").as("comp")))
+    var forest = List.empty[DataFrame]
+    var round = 0
+    var crossing = 1L
+    while (round < maxIter && crossing > 0) {
+      round += 1
+      val ce = e
+        .join(comp.select(col("id").as("a"), col("comp").as("ca")), Seq("a"))
+        .join(comp.select(col("id").as("b"), col("comp").as("cb")), Seq("b"))
+        .filter(col("ca") =!= col("cb"))
+      // each component's minimal incident edge under the (w, a, b)
+      // total order; ca/cb ride the struct tail (never tie-relevant —
+      // (w, a, b) is already unique) so contraction needs no re-join
+      val cand = struct(col("w"), col("a"), col("b"), col("ca"), col("cb"))
+      val picked = graft.Borrow.severLazy(
+        ce.select(col("ca").as("c"), cand.as("m"))
+          .unionByName(ce.select(col("cb").as("c"), cand.as("m")))
+          .groupBy(col("c")).agg(min(col("m")).as("m"))
+          .select(col("m.a").as("a"), col("m.b").as("b"), col("m.w").as("w"),
+            col("m.ca").as("ca"), col("m.cb").as("cb"))
+          .distinct())
+      crossing = picked.count()
+      if (crossing > 0) {
+        forest ::= picked.select(col("a"), col("b"), col("w"))
+        val merged = connectedComponents(
+          picked.select(col("ca").as("src"), col("cb").as("dst")))
+        comp = graft.Borrow.severLazy(
+          comp.join(merged.withColumnRenamed("id", "comp"), Seq("comp"), "left")
+            .select(col("id"), coalesce(col("component"), col("comp")).as("comp")))
+        comp.count()
+      }
+    }
+    require(crossing == 0,
+      s"spanningTree: components still merging after $maxIter rounds — raise maxIter")
+    val out =
+      if (forest.isEmpty) e.select(col("a").as("src"), col("b").as("dst"), col("w")).limit(0)
+      else forest.reduce(_ unionByName _).distinct()
+        .select(col("a").as("src"), col("b").as("dst"), col("w"))
+    graft.Borrow.reclaim(out, e)
   }
 
   def modularity(edges0: DataFrame, assign: DataFrame,
@@ -1092,9 +1180,18 @@ object GraphOps {
     * rows (node, neighbor, sim), both orientations of a pair
     * considered from each endpoint. Built on [[nodeSimilarity]]'s
     * recall-exact pair machinery: expand pairs to both directions,
-    * keep K per node by (sim DESC, neighbor ASC) — one window over
-    * per-node candidate sets (bounded by that node's qualifying
-    * pairs, the candidate cap again). Ties break deterministically. */
+    * keep K per node by (sim DESC, neighbor ASC). Ties break
+    * deterministically.
+    *
+    * r13 (the r12 watch item): the per-node top-k is TWO-STAGE (the
+    * C12/P3/randomWalk pattern) — rank within (id, neighbor-hash
+    * bucket) and prune to K, then rank the ≤ B·K survivors per id.
+    * At GDS's default similarityCutoff ≈ 0 a hub-ish node's candidate
+    * set is every pair it qualifies in; the old single
+    * Window.partitionBy(id) funneled that set through one task, the
+    * staged prune bounds every partition. Result identical (top-k is
+    * decomposable: the global top K is inside the union of per-bucket
+    * top Ks). */
   def nodeSimilarityTopK(edges: DataFrame, threshold: Double, topK: Int,
                          hubCap: Long = 1000L,
                          metric: String = "jaccard"): DataFrame = {
@@ -1105,12 +1202,73 @@ object GraphOps {
         col("sim"))
       .unionByName(pairs.select(col("id2").as("id"), col("id1").as("neighbor"),
         col("sim")))
-    directed
+    directedTopK(directed, topK)
+  }
+
+  /** Two-stage per-node top-k over a directed (id, neighbor, sim)
+    * frame — the shared finisher for [[nodeSimilarityTopK]] and
+    * [[nodeSimilarityFiltered]]. Exact: the global top K is contained
+    * in the union of per-bucket top Ks. */
+  private def directedTopK(directed: DataFrame, topK: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val nBuckets = 64
+    val pruned = directed
+      .withColumn("__bkt", pmod(xxhash64(col("neighbor")), lit(nBuckets)))
+      .withColumn("__rk", row_number().over(
+        Window.partitionBy(col("id"), col("__bkt"))
+          .orderBy(col("sim").desc, col("neighbor"))))
+      .filter(col("__rk") <= topK)
+    pruned
       .withColumn("__rk", row_number().over(
         Window.partitionBy(col("id"))
           .orderBy(col("sim").desc, col("neighbor"))))
       .filter(col("__rk") <= topK)
       .select(col("id"), col("neighbor"), col("sim"))
+  }
+
+  /** B12f — `gds.nodeSimilarity.filtered` parity (r13):
+    * sourceNodeFilter / targetNodeFilter restrict which node PAIRS are
+    * reported — similarity itself is still computed over the full
+    * neighbor sets (filters select result rows, they never change a
+    * node's neighborhood, exactly like GDS). Result is the DIRECTED
+    * shape (id ∈ source filter, neighbor ∈ target filter); an absent
+    * filter means "all nodes" on that side; `topK > 0` keeps the K
+    * best per source node (two-stage, [[directedTopK]]).
+    *
+    * Scale shape: when BOTH filters are present, pair GENERATION is
+    * pre-restricted to ids in S ∪ T before the candidate machinery
+    * runs — every reported pair has both endpoints there, and
+    * [[graft.operators.JaccardJoin.exactPairsMetric]] stays
+    * recall-exact on any id-subset (each id keeps its full item set;
+    * df/prefix orders are computed over the same restricted row set
+    * the joins use). With one side unrestricted the full pair set is
+    * the honest cost, as in GDS. */
+  def nodeSimilarityFiltered(edges: DataFrame, threshold: Double,
+                             sourceFilter: Option[DataFrame] = None,
+                             targetFilter: Option[DataFrame] = None,
+                             hubCap: Long = 1000L,
+                             metric: String = "jaccard",
+                             topK: Int = 0): DataFrame = {
+    val rows0 = edges.select(col("src").as("id"), col("dst").as("item"))
+    val sf = sourceFilter.map(_.select(col("id")).distinct())
+    val tf = targetFilter.map(_.select(col("id")).distinct())
+    val rows = (sf, tf) match {
+      case (Some(s), Some(t)) =>
+        rows0.join(s.unionByName(t).distinct(), Seq("id"), "left_semi")
+      case _ => rows0
+    }
+    val pairs = graft.operators.JaccardJoin
+      .exactPairsMetric(rows, threshold, hubCap, metric)
+      .withColumn("sim", graft.operators.Num.roundTies(col("sim"), 4))
+    val directed = pairs
+      .select(col("id1").as("id"), col("id2").as("neighbor"), col("sim"))
+      .unionByName(pairs
+        .select(col("id2").as("id"), col("id1").as("neighbor"), col("sim")))
+    val srcF = sf.fold(directed)(s => directed.join(s, Seq("id"), "left_semi"))
+    val out = tf.fold(srcF)(t => srcF.join(
+      t.select(col("id").as("neighbor")), Seq("neighbor"), "left_semi"))
+      .select(col("id"), col("neighbor"), col("sim"))
+    if (topK > 0) directedTopK(out, topK) else out
   }
 
   /** BFS that also MATERIALIZES one shortest path per reached vertex —
@@ -2437,15 +2595,26 @@ object GraphOps {
     * (inOutFactor); the first step is uniform (no prev). The choice
     * stays DETERMINISTIC by the house rule: u = xxhash64(walk, t,
     * seed) mapped to [0,1), and the walk takes the candidate whose
-    * cumulative-weight interval (dst-ordered) contains u·total —
-    * p = q = 1 is exactly a uniform pick, and reruns/engines agree
-    * where GDS would hand back a new sample.
+    * cumulative-weight interval — candidates in (dst-hash-bucket, dst)
+    * order, the same total order [[randomWalk]]'s r12 index uses —
+    * contains u·total; p = q = 1 is a uniform pick, and reruns/engines
+    * agree where GDS would hand back a new sample. If floating-point
+    * accumulation leaves u at or past the last cumulative value (the
+    * r12-advice silent-drop case: u·total can round up to exactly
+    * total), the walk CLAMPS to the last candidate — a walk can never
+    * vanish from the output.
     *
     * Scale shape: per step one candidate equi-join + one adjacency
-    * LEFT join against the symmetrized edge set + one per-walk window
-    * (partition = ONE walk's candidate set, bounded by max
-    * out-degree — never a cross-walk funnel). O(walkLength) rounds,
-    * no per-walk driver loop. Returns (walk_id, start, steps, path). */
+    * LEFT join against the symmetrized edge set; the cumulative weight
+    * is TWO-STAGE (r13, the randomWalk r12 pattern): a running sum
+    * within (walk, dst-hash-bucket) — a hub walk's d candidates spread
+    * over B bounded partitions — then bucket offsets chained over ≤ B
+    * rows per walk. Offsets chain off each bucket's LAST running value
+    * (not a re-aggregated sum), so consecutive intervals stay BITWISE
+    * adjacent across bucket boundaries — no FP gap can swallow or
+    * duplicate a walk. No window ever sees a whole hub neighborhood in
+    * one task. O(walkLength) rounds, no per-walk driver loop. Returns
+    * (walk_id, start, steps, path). */
   def node2vecWalk(edges: DataFrame, walksPerNode: Int = 1,
                    walkLength: Int = 5, p: Double = 1.0, q: Double = 1.0,
                    seed: Long = 42L): DataFrame = {
@@ -2454,6 +2623,7 @@ object GraphOps {
     require(p > 0 && q > 0, "node2vecWalk: returnFactor p and inOutFactor q " +
       "must be strictly positive")
     import org.apache.spark.sql.expressions.Window
+    val nBuckets = 64 // the randomWalk two-stage bucket count
     val e = edges.select(col("src").cast("string").as("src"),
       col("dst").cast("string").as("dst")).distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -2484,21 +2654,47 @@ object GraphOps {
       val cand = state.join(e, state("cur") === e("src"))
         .join(adj, col("prev") === col("a_prev") && e("dst") === col("a_dst"),
           "left")
+        .withColumn("cdst", e("dst"))
         .withColumn("wt",
           when(col("prev").isNull, 1.0) // first step: uniform
-            .when(e("dst") === col("prev"), lit(1.0 / p))
+            .when(col("cdst") === col("prev"), lit(1.0 / p))
             .when(col("a_dst").isNotNull, 1.0)
             .otherwise(lit(1.0 / q)))
-      val w = Window.partitionBy(col("walk_id"))
+        .withColumn("bkt",
+          pmod(xxhash64(col("cdst")), lit(nBuckets)).cast("int"))
+        .select(col("walk_id"), col("start"), col("cur"), col("path"),
+          col("cdst"), col("wt"), col("bkt"))
+      // stage 1: running weight within (walk, bucket) — partitions
+      // bounded by maxdeg/B; `bn` = the bucket's LAST running value
+      // (max of a strictly increasing sum), so stage 2 chains offsets
+      // off bitwise-identical numbers and intervals stay adjacent
+      val wBkt = Window.partitionBy(col("walk_id"), col("bkt"))
+      val staged = cand
+        .withColumn("cumb", sum(col("wt")).over(wBkt.orderBy(col("cdst"))))
+        .withColumn("bn", max(col("cumb")).over(wBkt))
+      // stage 2: per-walk bucket offsets + total over ≤ B rows
+      val wWalk = Window.partitionBy(col("walk_id"))
+      val offsets = staged.select(col("walk_id"), col("bkt"), col("bn")).distinct()
+        .withColumn("off",
+          sum(col("bn")).over(wWalk.orderBy(col("bkt"))) - col("bn"))
+        .withColumn("tot", sum(col("bn")).over(wWalk))
+        .withColumn("lastbkt", col("bkt") === max(col("bkt")).over(wWalk))
+        .select(col("walk_id"), col("bkt"), col("off"), col("tot"), col("lastbkt"))
+      val scored = staged.join(offsets, Seq("walk_id", "bkt"))
+        .withColumn("cum", col("off") + col("cumb"))
+        .withColumn("u", unit(step) * col("tot"))
+        // the clamp arm fires only when u lands at/past the last
+        // cumulative value (FP slop) — mutually exclusive with the
+        // interval arm (which needs u < cum), so exactly one candidate
+        // wins per walk
+        .withColumn("islast", col("lastbkt") && col("cumb") === col("bn"))
       val next = graft.Borrow.severLazy(
-        cand
-          .withColumn("cum", sum(col("wt")).over(w.orderBy(e("dst"))))
-          .withColumn("tot", sum(col("wt")).over(w))
-          .withColumn("u", unit(step) * col("tot"))
-          .filter(col("u") < col("cum") && col("u") >= col("cum") - col("wt"))
+        scored
+          .filter((col("u") < col("cum") && col("u") >= col("cum") - col("wt")) ||
+            (col("islast") && col("u") >= col("cum")))
           .select(col("walk_id"), col("start"), col("cur").as("prev"),
-            e("dst").as("cur"),
-            concat(col("path"), lit(">"), e("dst")).as("path"),
+            col("cdst").as("cur"),
+            concat(col("path"), lit(">"), col("cdst")).as("path"),
             lit(step).as("steps")))
       n = next.count()
       state = next

@@ -71,13 +71,20 @@ object GraphStore {
     * Statements with a read stage (`MATCH … WITH … SET/MERGE/…`)
     * route through [[CypherWrite.runComposed]]; plain write
     * statements through [[CypherWrite.mergeOne]] with `params` as the
-    * one-row batch. The updated frames are MATERIALIZED (eager
-    * localCheckpoint) before [[save]] drops and rewrites the bucketed
-    * tables — the lazy plans still read the tables being replaced.
-    * Rewrite-on-update is the honest trade in plain-parquet managed
-    * tables (upsert-in-place needs a table format this container
-    * doesn't ship); the bucketed layout is preserved for the next
-    * read. */
+    * one-row batch.
+    *
+    * STAGED swap (r13, advice — update used to drop-then-rewrite in
+    * place, so a crash mid-write lost the graph): the updated frames
+    * are written to `<prefix>__stage_*` tables FIRST — their lazy
+    * plans read the live tables, which stay untouched through the
+    * whole write — and only then swapped in (drop old, rename staged).
+    * The remaining crash window is the swap itself: a failure between
+    * drop and rename leaves the data intact under the stage names
+    * (recover by renaming manually); a failure any earlier leaves the
+    * live tables exactly as they were. Rewrite-on-update is still the
+    * honest trade in plain-parquet managed tables (upsert-in-place
+    * needs a table format this container doesn't ship); the bucketed
+    * layout is preserved for the next read. */
   def update(spark: SparkSession, prefix: String, statement: String,
              params: Map[String, String] = Map.empty,
              buckets: Int = 8): Unit = {
@@ -90,9 +97,18 @@ object GraphStore {
             "(the read stage produces the parameter frame)")
         CypherWrite.runComposed(n0, e0, statement)
       } else CypherWrite.mergeOne(n0, e0, statement, params)
-    val nC = n1.localCheckpoint(true)
-    val eC = e1.localCheckpoint(true)
-    save(nC, eC, prefix, buckets)
+    // persist (recomputable), not localCheckpoint: the edge frame is
+    // written twice (fwd + rev) and the source tables stay readable
+    // until the swap, so an executor loss mid-write can recompute
+    val nC = n1.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val eC = e1.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val stage = s"${prefix}__stage"
+    save(nC, eC, stage, buckets)
+    Seq("nodes", "edges", "edges_rev").foreach { sfx =>
+      spark.sql(s"DROP TABLE IF EXISTS ${prefix}_$sfx")
+      spark.sql(s"ALTER TABLE ${stage}_$sfx RENAME TO ${prefix}_$sfx")
+    }
+    nC.unpersist(); eC.unpersist()
   }
 
   /** Declarative uniqueness validator — the migration aid for the

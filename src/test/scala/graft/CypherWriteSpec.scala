@@ -625,6 +625,26 @@ class CypherWriteSpec extends SparkSpec {
         |MATCH (v:User {uid: uid}) SET v.x = '1'""".stripMargin))
   }
 
+  test("runComposed: a carried column named like a label stays a label (r13)") {
+    // the read stage carries a column literally named `User`; the write
+    // tail's `(v:User {...})` must keep the LABEL literal (r12-advice:
+    // it was rewritten to (v:$User), corrupting the pattern) while the
+    // same word in map-VALUE position still binds from the frame
+    val (n0, e0) = CypherWrite.emptyGraph(spark)
+    import spark.implicits._
+    val params = Seq(("u1", "x"), ("u2", "y")).toDF("uid", "et")
+    val (n1, e1) = CypherWrite.merge(n0, e0,
+      "MERGE (u:User {uid: $uid})", params)
+    val (n2, _) = CypherWrite.runComposed(n1, e1,
+      """MATCH (u:User)
+        |WITH u AS User
+        |MATCH (v:User {uid: User}) SET v.tag = User""".stripMargin)
+    val tags = nodeMap(n2).collect {
+      case (("User", id), pr) if pr.contains("tag") => id -> pr("tag")
+    }.toMap
+    assert(tags == Map("u1" -> "u1", "u2" -> "u2"))
+  }
+
   test("sg_compose driver gate matches the relational twin at sf0.001") {
     val got = graft.operators.GraphQueries.sgCompose(spark, sf)
       .collect().map(r => (r.getString(0), r.getString(1))).toSeq

@@ -84,6 +84,40 @@ class GraphOpsSpec extends SparkSpec {
     assert(viaCall.toSeq == Seq("a>b>a"))
   }
 
+  test("node2vecWalk: no walk ever vanishes (r13 clamp) across seeds; " +
+      "hub neighborhoods spread over bounded window partitions") {
+    // a hub with 40 out-neighbors that are themselves interconnected —
+    // candidate weights mix all three α classes, so the cumulative
+    // intervals exercise the two-stage offsets; every (vertex × walk)
+    // must yield exactly one output row for EVERY seed (the r12-advice
+    // silent-drop bug dropped a walk when u·total rounded to total)
+    val hubEdges = (1 to 40).map(i => ("hub", f"n$i%02d")) ++
+      (1 to 39).map(i => (f"n$i%02d", f"n${i + 1}%02d")) ++
+      (1 to 40).map(i => (f"n$i%02d", "hub"))
+    val e = hubEdges.toDF("src", "dst")
+    val nVerts = 41
+    Seq(1L, 7L, 42L, 999L).foreach { seed =>
+      val out = GraphOps.node2vecWalk(e, walksPerNode = 2, walkLength = 3,
+        p = 2.0, q = 0.5, seed = seed)
+      assert(out.count() == nVerts * 2L,
+        s"seed $seed: a walk vanished (expected ${nVerts * 2})")
+      // one row per walk_id — the clamp arm and the interval arm are
+      // mutually exclusive, so no walk may duplicate either
+      assert(out.select(col("walk_id")).distinct().count() == nVerts * 2L)
+    }
+  }
+
+  test("k1Coloring: self-loop-only and looped vertices still get a color (r13)") {
+    // z's only edge is a self-loop; a—b a real edge; b also carries a
+    // self-loop on top of its real edge (must NOT change its coloring)
+    val e = edgeDf("a" -> "b", "z" -> "z", "b" -> "b")
+    val out = GraphOps.k1Coloring(e).collect()
+      .map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(out.keySet == Set("a", "b", "z"))
+    assert(out("z") == 0) // loop-only: color 0 by convention
+    assert(out("a") != out("b")) // the real edge still constrains
+  }
+
   test("kShortestPaths: ranked loopless paths, reroute, pruning, bounds") {
     // weighted diamond + a back edge d->a (proves looplessness) + a
     // direct heavy edge: ranks must follow (dist, hops, path)
