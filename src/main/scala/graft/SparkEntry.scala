@@ -153,6 +153,15 @@ object SparkEntry {
     "g_kpaths"     -> (GraphQueries.gKPaths _),
     "g_randomwalk" -> (GraphQueries.gRandomWalk _),
     "g_node2vec"   -> (GraphQueries.gNode2vec _),
+    // r13: filtered nodeSimilarity, Borůvka MSF, cut structure,
+    // hashgnn embeddings, exact substring dedup
+    "g_nodesim_filtered" -> (GraphQueries.gNodesimFiltered _),
+    "g_mst"        -> (GraphQueries.gMst _),
+    "g_articulation" -> (GraphQueries.gArticulation _),
+    "g_bridges"    -> (GraphQueries.gBridges _),
+    "g_hashgnn"    -> (GraphQueries.gHashgnn _),
+    "g_hashgnn_ok" -> (GraphQueries.gHashgnnOk _),
+    "d8_substr"    -> (Dedup.d8Substr _),
     "g_kcore"      -> ((s, d) => GraphQueries.gKcore(s, d)),
     "n1_nodemerge" -> (GraphQueries.n1NodeMerge _),
     "n2_edgemerge" -> (GraphQueries.n2EdgeMerge _),
@@ -1009,6 +1018,96 @@ object SparkEntry {
         |    / 1000000 AS conductance
         |FROM vols LEFT JOIN cut USING (c) CROSS JOIN m2
         |WHERE least(vol, tot - vol) > 0 ORDER BY 1""".stripMargin,
+    // B35 (r13): the MSF via the CYCLE PROPERTY — an edge is in the
+    // unique (w,a,b)-minimal spanning forest iff its head is NOT
+    // reachable from its tail through strictly (w,a,b)-smaller edges.
+    // Genuinely independent of Borůvka: no rounds, no contraction.
+    "g_mst" ->
+      """WITH RECURSIVE base AS (
+        |  SELECT DISTINCT 'p:'||l_partkey AS a, 's:'||l_suppkey AS b,
+        |    CAST((l_partkey + l_suppkey) % 5 + 1 AS BIGINT) AS w
+        |  FROM lineitem WHERE l_partkey % 20 = 0 AND l_suppkey % 3 = 0),
+        |ed AS (SELECT a, b, min(w) AS w FROM base GROUP BY 1, 2),
+        |sym AS (SELECT a AS src, b AS dst, w, a AS ka, b AS kb FROM ed
+        |        UNION ALL SELECT b, a, w, a, b FROM ed),
+        |walk AS (
+        |  SELECT a AS ea, b AS eb, w AS ew, a AS node FROM ed
+        |  UNION
+        |  SELECT wk.ea, wk.eb, wk.ew, s.dst
+        |  FROM walk wk JOIN sym s ON s.src = wk.node
+        |  WHERE (s.w, s.ka, s.kb) < (wk.ew, wk.ea, wk.eb))
+        |SELECT e.a AS src, e.b AS dst, e.w AS w FROM ed e
+        |WHERE NOT EXISTS (SELECT 1 FROM walk
+        |  WHERE ea = e.a AND eb = e.b AND node = e.b)
+        |ORDER BY 1, 2""".stripMargin,
+    // B12f (r13): the g_nodesim directed expansion + the two filters
+    "g_nodesim_filtered" ->
+      """WITH e AS (SELECT DISTINCT 'p:'||l_partkey AS p, 's:'||l_suppkey AS s
+        |  FROM lineitem WHERE l_partkey%20=0),
+        |sz AS (SELECT p, count(*) AS n FROM e GROUP BY 1),
+        |i AS (SELECT a.p AS id1, b.p AS id2, count(*) AS i
+        |  FROM e a JOIN e b ON a.s=b.s AND a.p<b.p GROUP BY 1,2),
+        |pr AS (SELECT id1, id2,
+        |    floor(CAST(i AS DOUBLE)/(x.n+y.n-i) * 10000 + 0.5) / 10000 AS sim
+        |  FROM i JOIN sz x ON id1=x.p JOIN sz y ON id2=y.p
+        |  WHERE CAST(i AS DOUBLE)/(x.n+y.n-i) >= 0.2),
+        |d AS (SELECT id1 AS id, id2 AS neighbor, sim FROM pr
+        |  UNION ALL SELECT id2, id1, sim FROM pr)
+        |SELECT id, neighbor, sim FROM d
+        |WHERE CAST(substr(id, 3) AS INT) % 3 = 0
+        |  AND CAST(substr(neighbor, 3) AS INT) % 3 = 1
+        |ORDER BY id, neighbor""".stripMargin,
+    // B37 (r13): a vertex is an articulation point iff, walking from
+    // its minimum neighbor while AVOIDING the vertex, some neighbor
+    // stays unreached — an independent formulation of cut-ness (the
+    // Spark side computes it via Tarjan lowlinks).
+    "g_articulation" ->
+      """WITH RECURSIVE base AS (SELECT DISTINCT 'p:'||l_partkey AS a,
+        |    's:'||l_suppkey AS b
+        |  FROM lineitem WHERE l_partkey % 20 = 0 AND l_suppkey % 7 = 0),
+        |sym AS (SELECT a AS src, b AS dst FROM base UNION ALL SELECT b, a FROM base),
+        |seeds AS (SELECT src AS v, min(dst) AS node FROM sym GROUP BY 1),
+        |walk AS (
+        |  SELECT v, node FROM seeds
+        |  UNION
+        |  SELECT wk.v, s.dst FROM walk wk JOIN sym s ON s.src = wk.node
+        |  WHERE s.dst <> wk.v AND s.src <> wk.v)
+        |SELECT DISTINCT sym.src AS id FROM sym
+        |WHERE NOT EXISTS (SELECT 1 FROM walk WHERE v = sym.src AND node = sym.dst)
+        |ORDER BY 1""".stripMargin,
+    // B37b (r13): an edge is a bridge iff its head is unreachable from
+    // its tail when BOTH directions of the edge itself are forbidden
+    "g_bridges" ->
+      """WITH RECURSIVE base AS (SELECT DISTINCT 'p:'||l_partkey AS a,
+        |    's:'||l_suppkey AS b
+        |  FROM lineitem WHERE l_partkey % 20 = 0 AND l_suppkey % 7 = 0),
+        |sym AS (SELECT a AS src, b AS dst FROM base UNION ALL SELECT b, a FROM base),
+        |walk AS (
+        |  SELECT a AS ea, b AS eb, a AS node FROM base
+        |  UNION
+        |  SELECT wk.ea, wk.eb, s.dst FROM walk wk JOIN sym s ON s.src = wk.node
+        |  WHERE NOT (s.src = wk.ea AND s.dst = wk.eb)
+        |    AND NOT (s.src = wk.eb AND s.dst = wk.ea))
+        |SELECT e.a AS src, e.b AS dst FROM base e
+        |WHERE NOT EXISTS (SELECT 1 FROM walk
+        |  WHERE ea = e.a AND eb = e.b AND node = e.b)
+        |ORDER BY 1, 2""".stripMargin,
+    // B36 (r13): hashgnn quality flags — Spark-side deterministic
+    // invariants (homophily / rerun / coverage), oracle pins three 1s
+    // (the e_recall pattern for non-SQL-expressible checks)
+    "g_hashgnn_ok" ->
+      """SELECT CAST(1 AS BIGINT) AS homophily_ok,
+        |       CAST(1 AS BIGINT) AS rerun_ok,
+        |       CAST(1 AS BIGINT) AS coverage_ok""".stripMargin,
+    // D8 (r13): the planted-passage corpus is closed-form — the pair
+    // list (and exactly ONE passage-length span per pair) follows from
+    // the construction; the Spark side has to find them through the
+    // full winnow→align→extend→verify pipeline
+    "d8_substr" ->
+      """WITH p AS (SELECT doc_id FROM documents WHERE doc_id % 97 = 0)
+        |SELECT a.doc_id AS doc1, b.doc_id AS doc2, CAST(1 AS BIGINT) AS n_long
+        |FROM p a JOIN p b ON a.doc_id < b.doc_id
+        |ORDER BY 1, 2""".stripMargin,
     // k shortest loopless paths: enumerate EVERY simple s:40-anchored
     // walk within 3 hops (never through the target), keep the ones
     // ending at p:20, rank by (dist, hops, path) — an independent

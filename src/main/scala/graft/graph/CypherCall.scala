@@ -251,6 +251,24 @@ object CypherCall {
   private def allVertices(e: DataFrame): DataFrame =
     e.select(col("src").as("id")).union(e.select(col("dst").as("id"))).distinct()
 
+  /** GDS node-filter config (`sourceNodeFilter`/`targetNodeFilter`,
+    * r13): a SINGLE string that names an existing label filters by
+    * label (GDS's label spelling); anything else — a list, or a string
+    * matching no label — is a node-id set. The label probe is one
+    * limit-1 scan; ids cast to the edge frame's id type like
+    * [[seedFrame]]. */
+  private def nodeFilterFrame(nodes: DataFrame, edges: DataFrame,
+                              cfg: Cfg, key: String): Option[DataFrame] =
+    cfg.strs(key).map { vals =>
+      val asLabel = vals.size == 1 &&
+        nodes.filter(col("label") === vals.head).limit(1).count() > 0
+      if (asLabel)
+        nodes.filter(col("label") === vals.head)
+          .select(col("id").cast(edges.schema("src").dataType).as("id"))
+          .distinct()
+      else seedFrame(edges, vals)
+    }
+
   // ------------------------------------------------------------- registry
 
   private val procs: Map[String, Proc] = Map(
@@ -599,7 +617,8 @@ object CypherCall {
       (n, ed, cfg) =>
         GraphOps.hits(selectEdges(n, ed, cfg), cfg.int("maxIterations", 8))),
     "nodeSimilarity" -> Proc(Seq("id1", "id2", "similarity"),
-      Set("similarityCutoff", "hubCap", "similarityMetric", "topK"),
+      Set("similarityCutoff", "hubCap", "similarityMetric", "topK",
+        "sourceNodeFilter", "targetNodeFilter"),
       (n, ed, cfg) => {
         val cut = cfg.dbl("similarityCutoff", 0.1)
         val cap = cfg.int("hubCap", 1000).toLong
@@ -608,10 +627,20 @@ object CypherCall {
         val metric = cfg.str("similarityMetric").map(_.toLowerCase)
           .getOrElse("jaccard")
         val k = cfg.int("topK", -1)
+        val srcF = nodeFilterFrame(n, ed, cfg, "sourceNodeFilter")
+        val tgtF = nodeFilterFrame(n, ed, cfg, "targetNodeFilter")
+        // gds.nodeSimilarity.filtered (r13): either filter key routes
+        // to the filtered variant — DIRECTED rows (id1 ∈ source,
+        // id2 ∈ target), optional topK per source node
+        if (srcF.nonEmpty || tgtF.nonEmpty)
+          GraphOps.nodeSimilarityFiltered(selectEdges(n, ed, cfg), cut,
+              srcF, tgtF, cap, metric, topK = math.max(k, 0))
+            .select(col("id").as("id1"), col("neighbor").as("id2"),
+              col("sim").as("similarity"))
         // GDS's own default shape: K best neighbors PER NODE as
         // directed rows (r12) — opt-in here so the canonical-pair
         // form (and its gate) stays the no-config default
-        if (k > 0)
+        else if (k > 0)
           GraphOps.nodeSimilarityTopK(selectEdges(n, ed, cfg), cut, k,
               cap, metric)
             .select(col("id").as("id1"), col("neighbor").as("id2"),
@@ -620,6 +649,47 @@ object CypherCall {
           GraphOps.nodeSimilarity(selectEdges(n, ed, cfg), cut, cap, metric)
             .select(col("id1"), col("id2"), col("sim").as("similarity"))
       }),
+    // GDS gds.spanningTree parity (r13): minimum spanning forest by
+    // deterministic Borůvka; sourceNode filters to that node's
+    // component — Prim's tree, since the (w, src, dst)-minimal forest
+    // is unique
+    "spanningTree" -> Proc(Seq("src", "dst", "weight"),
+      Set("relationshipWeightProperty", "sourceNode", "maxIterations"),
+      (n, ed, cfg) => {
+        val (ed2, wcol) = resolveWeightProp(filterEdges(n, ed, cfg), cfg)
+        val forest = GraphOps.spanningTree(orientEdges(ed2, cfg), wcol,
+          cfg.int("maxIterations", 30))
+        val out = cfg.str("sourceNode") match {
+          case Some(s0) =>
+            val comps = GraphOps.connectedComponents(forest)
+            val mine = comps.filter(col("id") === s0)
+              .select(col("component"))
+            forest.join(comps.withColumnRenamed("id", "src"), Seq("src"))
+              .join(broadcast(mine), Seq("component"), "left_semi")
+              .select(col("src"), col("dst"), col("w"))
+          case None => forest
+        }
+        out.select(col("src"), col("dst"), col("w").as("weight"))
+      }),
+    // GDS gds.articulationPoints / gds.bridges parity (r13): the
+    // bounded-local-finisher cut-structure pass (loud above the bound)
+    "articulationPoints" -> Proc(Seq("id"), Set.empty,
+      (n, ed, cfg) => GraphOps.articulationPoints(selectEdges(n, ed, cfg))),
+    "bridges" -> Proc(Seq("src", "dst"), Set.empty,
+      (n, ed, cfg) => GraphOps.bridges(selectEdges(n, ed, cfg))),
+    // GDS gds.hashgnn parity (r13): hash-based deterministic embeddings
+    // (min-hash message passing — no floats anywhere, bit-stable)
+    "hashgnn" -> Proc(Seq("id", "features", "embedding"),
+      Set("dimension", "densityLevel", "iterations", "embeddingDensity",
+        "randomSeed"),
+      (n, ed, cfg) =>
+        HashGNN.embed(selectEdges(n, ed, cfg),
+          dimension = cfg.int("dimension", 64),
+          densityLevel = cfg.int("densityLevel", 4),
+          iterations = cfg.int("iterations", 2),
+          embeddingDensity = cfg.int("embeddingDensity", 8),
+          seed = cfg.int("randomSeed", 42).toLong,
+          nodes = Some(n.select(col("id"))))),
     // GDS gds.knn shape over GRAPH nodes: FastRP embeddings (the GDS
     // fastRP.mutate → knn idiom in one call) → banded hyperplane
     // candidates → exact cosine top-k per node. Approximate like GDS's

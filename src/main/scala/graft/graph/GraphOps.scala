@@ -1130,6 +1130,105 @@ object GraphOps {
     graft.Borrow.reclaim(out, e)
   }
 
+  /** B37 — ARTICULATION POINTS (`gds.articulationPoints`) and BRIDGES
+    * (`gds.bridges`): the cut vertices / cut edges of the undirected
+    * simple graph — on telemetry graphs the choke-point processes and
+    * single links in lateral-movement paths.
+    *
+    * Hopcroft-Tarjan lowlink needs a DFS — inherently sequential, no
+    * distributed formulation exists that keeps its O(V+E) bound — so
+    * this is the house BOUNDED LOCAL FINISHER contract made explicit
+    * (the CC/louvain pattern, but with no distributed fallback): under
+    * `maxLocalEdges` symmetric edge rows the exact driver-side
+    * algorithm runs (iterative, explicit stack — no recursion-depth
+    * ceiling; neighbor order sorted, so output is deterministic);
+    * ABOVE the bound the call fails LOUDLY rather than pretending to
+    * scale. Self-loops are ignored; parallel edges collapse (set
+    * semantics, like every operator here); ids compare as strings.
+    *
+    * [[articulationPoints]] returns (id); [[bridges]] returns
+    * (src, dst) with src < dst. */
+  def articulationPoints(edges: DataFrame, maxLocalEdges: Long = 250000L): DataFrame = {
+    val (aps, _) = cutStructure(edges, maxLocalEdges)
+    val spark = edges.sparkSession
+    import org.apache.spark.sql.types.{StringType, StructField, StructType}
+    spark.createDataFrame(
+      aps.sorted.map(org.apache.spark.sql.Row(_)).toSeq.asJava,
+      StructType(Seq(StructField("id", StringType))))
+  }
+
+  /** See [[articulationPoints]]. */
+  def bridges(edges: DataFrame, maxLocalEdges: Long = 250000L): DataFrame = {
+    val (_, brs) = cutStructure(edges, maxLocalEdges)
+    val spark = edges.sparkSession
+    import org.apache.spark.sql.types.{StringType, StructField, StructType}
+    spark.createDataFrame(
+      brs.sorted.map { case (a, b) => org.apache.spark.sql.Row(a, b) }.toSeq.asJava,
+      StructType(Seq(StructField("src", StringType), StructField("dst", StringType))))
+  }
+
+  /** Shared Hopcroft-Tarjan pass: (articulation points, bridges). */
+  private def cutStructure(edges: DataFrame,
+                           maxLocalEdges: Long): (Array[String], Array[(String, String)]) = {
+    val sym = undirected(edges.select(col("src").cast("string").as("src"),
+        col("dst").cast("string").as("dst")))
+      .filter(col("src") =!= col("dst"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val n = sym.count()
+    require(n <= maxLocalEdges,
+      s"articulationPoints/bridges: $n symmetric edge rows exceed the " +
+        s"bounded-local-finisher contract ($maxLocalEdges). Cut-vertex " +
+        "analysis is DFS-sequential; shard the graph by component " +
+        "(connectedComponents) and analyze components under the bound.")
+    val pairs = sym.collect().map(r => (r.getString(0), r.getString(1)))
+    sym.unpersist()
+    import scala.collection.mutable
+    val adj = mutable.HashMap.empty[String, mutable.ArrayBuffer[String]]
+    pairs.foreach { case (a, b) =>
+      adj.getOrElseUpdate(a, mutable.ArrayBuffer.empty) += b
+    }
+    val sortedAdj = adj.map { case (k, v) => k -> v.sorted.toArray }
+    val verts = sortedAdj.keys.toArray.sorted
+    val disc = mutable.HashMap.empty[String, Int]
+    val low = mutable.HashMap.empty[String, Int]
+    val aps = mutable.HashSet.empty[String]
+    val brs = mutable.ArrayBuffer.empty[(String, String)]
+    var time = 0
+    verts.foreach { root =>
+      if (!disc.contains(root)) {
+        var rootChildren = 0
+        // explicit stack of (vertex, parent, next-neighbor index)
+        val stack = mutable.ArrayBuffer((root, null: String, 0))
+        disc(root) = time; low(root) = time; time += 1
+        while (stack.nonEmpty) {
+          val (v, par, idx) = stack.last
+          val nbrs = sortedAdj(v)
+          if (idx < nbrs.length) {
+            stack(stack.length - 1) = (v, par, idx + 1)
+            val c = nbrs(idx)
+            if (!disc.contains(c)) {
+              if (v == root) rootChildren += 1
+              disc(c) = time; low(c) = time; time += 1
+              stack += ((c, v, 0))
+            } else if (c != par) {
+              low(v) = math.min(low(v), disc(c))
+            }
+          } else {
+            stack.remove(stack.length - 1)
+            if (par != null) {
+              low(par) = math.min(low(par), low(v))
+              if (low(v) > disc(par))
+                brs += ((if (par < v) par else v, if (par < v) v else par))
+              if (par != root && low(v) >= disc(par)) aps += par
+            }
+          }
+        }
+        if (rootChildren >= 2) aps += root
+      }
+    }
+    (aps.toArray, brs.toArray)
+  }
+
   def modularity(edges0: DataFrame, assign: DataFrame,
                  weightCol: Option[String] = None): Double = {
     // weighted Q uses the same formula over edge weights; the input

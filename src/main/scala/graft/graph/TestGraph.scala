@@ -79,4 +79,26 @@ object TestGraph {
               (pmod(col("l_partkey") + col("l_suppkey"), lit(5)) + 1)
                 .cast("bigint").as("w"))
       .distinct()
+
+  /** Sparser weighted part—supplier graph for the MST gate (r13): the
+    * cycle-property DuckDB oracle walks per-edge lighter-than
+    * reachability, so the gate graph adds a supplier sparsifier.
+    * `% 3` (not `% 5`): 20 and 5 share the factor 5, so a `% 5`
+    * supplier filter would collapse every (partkey + suppkey) % 5
+    * weight to the same residue — degenerate uniform weights. */
+  def mstEdges(s: SparkSession, dir: String): DataFrame =
+    weightedPartSupplierEdges(s, dir)
+      .filter(substring(col("dst"), 3, 100).cast("int") % 3 === 0)
+
+  /** Sparse part—supplier subgraph with real cut structure (r13): at
+    * `l_suppkey % 7` the graph develops articulation points and
+    * bridges (3 APs / 4 bridges at sf0.01, 56 / 70 at sf0.1 — the
+    * denser variants are 2-edge-connected, which would make the
+    * B37 gates vacuous). */
+  def cutEdges(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .filter(col("l_partkey") % 20 === 0 && col("l_suppkey") % 7 === 0)
+      .select(concat(lit("p:"), col("l_partkey")).as("src"),
+              concat(lit("s:"), col("l_suppkey")).as("dst"))
+      .distinct()
 }

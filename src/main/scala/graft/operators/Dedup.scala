@@ -503,4 +503,141 @@ object Dedup {
       "d2_recall_ok", "d2_subset_ok", "d5lsh_recall_ok", "d5lsh_subset_ok",
       "d5sim_recall_ok", "d5sim_subset_ok")
   }
+
+  /** D8 — EXACT cross-document SUBSTRING dedup (r13; Lee et al. 2022,
+    * "Deduplicating Training Data Makes Language Models Better" — the
+    * repeated-passage pass document-level dedup cannot see: two
+    * different documents sharing one verbatim paragraph). Their
+    * suffix-array formulation is a single-machine algorithm; the
+    * Spark-shaped equivalent here seeds candidates with the F4
+    * WINNOWING fingerprints and verifies/extends exactly:
+    *
+    *  1. char `gram`-gram hashes at every position (one explode, no
+    *     HOFs), winnowed with window `window` — any two documents
+    *     sharing a substring of length ≥ gram + window − 1 share a
+    *     selected fingerprint (the winnowing guarantee), so candidate
+    *     recall for matches ≥ `minLen` is EXACT when minLen ≥ that
+    *     bound (enforced);
+    *  2. fingerprints in more than `dfCap` documents are dropped from
+    *     SEEDING (boilerplate chrome — the D4 df-cap rule; Lee et al.
+    *     likewise drop super-frequent repeats), everything else joins
+    *     doc×doc per fingerprint — bounded by dfCap² per value;
+    *  3. candidate (doc1, doc2, offset-delta) alignments re-join the
+    *     full gram frames (equi-join on (doc, hash, aligned pos)) and
+    *     contiguous matched positions collapse to MAXIMAL spans via a
+    *     gaps-and-islands window per alignment (bounded by the match
+    *     length, never by the corpus);
+    *  4. every span is verified by ONE exact substring comparison
+    *     against the two normalized texts — hash collisions cannot
+    *     survive to the output.
+    *
+    * Returns (doc1, doc2, pos1, pos2, match_len): maximal shared
+    * substrings of length ≥ minLen, positions 0-based into the
+    * NORMALIZED (lower/trim) text. doc1 < doc2. */
+  def d8SubstringSpans(docs: DataFrame, gram: Int = 8, window: Int = 16,
+                       minLen: Int = 40, dfCap: Long = 100L): DataFrame = {
+    require(minLen >= gram + window - 1,
+      s"d8: minLen must be >= gram + window - 1 = ${gram + window - 1} " +
+        "(the winnowing recall guarantee)")
+    val texts = docs.select(col("doc_id"), norm(col("text")).as("t"))
+      .filter(length(col("t")) >= gram)
+      .persist()
+    val grams = texts
+      .select(col("doc_id"), col("t"),
+        explode(sequence(lit(0), length(col("t")) - gram)).as("pos"))
+      .select(col("doc_id"), col("pos"),
+        xxhash64(col("t").substr(col("pos") + 1, lit(gram))).as("h"),
+        (length(col("t")) - gram).as("last_start"))
+      .persist()
+    // winnowed fingerprint VALUES per doc (the F4 selection), then the
+    // df-cap over distinct docs per fingerprint
+    val wWin = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(0, window - 1)
+    val selected = grams
+      .withColumn("wmin",
+        when(col("pos") <= col("last_start") - (window - 1),
+          min(col("h")).over(wWin)))
+      .filter(col("wmin").isNotNull)
+      .select(col("doc_id"), col("wmin").as("h")).distinct()
+    // df counts documents CONTAINING the gram (the grams frame, not
+    // the winnow-selected sets): window alignment differs per doc, so
+    // a boilerplate gram might be SELECTED in only a few docs and slip
+    // a selected-set df-cap — corpus df is the principled bound
+    val df = grams.select(col("doc_id"), col("h")).distinct()
+      .groupBy(col("h")).agg(count(lit(1)).as("df"))
+    val seedable = selected.join(df.filter(col("df") <= dfCap), Seq("h"))
+      .select(col("doc_id"), col("h"))
+    // candidate alignments: all positions of a seed fingerprint in both
+    // docs → (doc1, doc2, delta); doc-unique grams never cross-join
+    val posOf = grams.join(seedable, Seq("doc_id", "h"), "left_semi")
+      .select(col("doc_id"), col("pos"), col("h"))
+    val aligns = posOf.alias("x").join(posOf.alias("y"),
+        col("x.h") === col("y.h") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc1"), col("y.doc_id").as("doc2"),
+        (col("y.pos") - col("x.pos")).as("delta"))
+      .distinct()
+      .persist()
+    // exact extension: every gram pair matching under the alignment,
+    // collapsed to contiguous runs (gaps-and-islands per alignment)
+    val g1 = grams.select(col("doc_id").as("doc1"), col("pos").as("pos1"), col("h"))
+    val g2 = grams.select(col("doc_id").as("doc2"), col("pos").as("pos2"),
+      col("h").as("h2"))
+    val matched = aligns
+      .join(g1, Seq("doc1"))
+      .join(g2, aligns("doc2") === g2("doc2") && col("h2") === col("h") &&
+        col("pos2") === col("pos1") + col("delta"))
+      .select(col("doc1"), aligns("doc2").as("doc2"), col("delta"), col("pos1"))
+    val wIsle = Window.partitionBy(col("doc1"), col("doc2"), col("delta"))
+      .orderBy(col("pos1"))
+    val spans = matched
+      .withColumn("grp", col("pos1") - row_number().over(wIsle))
+      .groupBy(col("doc1"), col("doc2"), col("delta"), col("grp"))
+      .agg(min(col("pos1")).as("pos1"), count(lit(1)).as("run"))
+      .withColumn("match_len", col("run") + lit(gram - 1))
+      .filter(col("match_len") >= minLen)
+      .select(col("doc1"), col("doc2"), col("pos1"),
+        (col("pos1") + col("delta")).as("pos2"), col("match_len"))
+    // collision guard: one exact substring comparison per span
+    val out = spans
+      .join(texts.select(col("doc_id").as("doc1"), col("t").as("t1")), Seq("doc1"))
+      .join(texts.select(col("doc_id").as("doc2"), col("t").as("t2")), Seq("doc2"))
+      .filter(col("t1").substr(col("pos1") + 1, col("match_len")) ===
+        col("t2").substr(col("pos2") + 1, col("match_len")))
+      .select(col("doc1"), col("doc2"), col("pos1").cast("long").as("pos1"),
+        col("pos2").cast("long").as("pos2"),
+        col("match_len").cast("long").as("match_len"))
+    graft.Borrow.reclaim(out, texts, grams, aligns)
+  }
+
+  /** The passage the D8 gate plants (shared with the oracle's closed
+    * form — its length is the span floor the gate filters on). */
+  private[graft] val d8Passage: String =
+    " the quick brown fox jumps over the lazy dog again and again across documents"
+
+  /** D8 driver gate — the synthetic corpus carries no cross-document
+    * repeats, so the gate SYNTHESIZES them (the f9 pattern): doc-unique
+    * filler (every 8-gram contains the doc_id, so fillers never match
+    * across documents) with a fixed passage planted into doc_id ≡ 0
+    * (mod 97). The full D8 pipeline — winnowing seeds, alignment,
+    * island extension, exact verify — then reports exactly one
+    * passage-length span per planted PAIR; the DuckDB twin recomputes
+    * the pair set from the construction (choose-2 over the planted
+    * ids). Span boundaries extend by the pairs' shared filler
+    * punctuation, so the gate compares the pair list + the
+    * span-count-at-threshold, which the construction fixes. */
+  def d8Substr(s: SparkSession, dir: String): DataFrame = {
+    val planted = col("doc_id") % 97 === 0
+    val filler = (m: String) =>
+      repeat(concat(lit(s" $m"), col("doc_id").cast("string"), lit("x ")), 6)
+    val synth = Tables.documents(s, dir)
+      .select(col("doc_id"), concat(
+        filler("f"),
+        when(planted, lit(d8Passage)).otherwise(lit("")),
+        filler("h")).as("text"))
+    d8SubstringSpans(synth, gram = 8, window = 16, minLen = 40)
+      .filter(col("match_len") >= d8Passage.length)
+      .groupBy(col("doc1"), col("doc2"))
+      .agg(count(lit(1)).as("n_long"))
+      .orderBy(col("doc1"), col("doc2"))
+  }
 }

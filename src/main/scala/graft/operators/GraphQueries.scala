@@ -459,6 +459,107 @@ object GraphQueries {
         threshold = 0.2, topK = 3)
       .orderBy(col("id"), col("sim").desc, col("neighbor"))
 
+  /** B12f — gds.nodeSimilarity.filtered parity (r13): directed rows
+    * (id ∈ source filter, neighbor ∈ target filter) over the same
+    * jaccard machinery; the DuckDB twin adds one WHERE to the
+    * g_nodesim directed expansion. Filters: parts with key % 3 = 0
+    * (sources) vs key % 3 = 1 (targets). */
+  def gNodesimFiltered(s: SparkSession, dir: String): DataFrame = {
+    val e = TestGraph.partSupplierEdges(s, dir)
+    val parts = e.select(col("src").as("id")).distinct()
+    val key = substring(col("id"), 3, 100).cast("int")
+    GraphOps.nodeSimilarityFiltered(e, threshold = 0.2,
+        sourceFilter = Some(parts.filter(key % 3 === 0)),
+        targetFilter = Some(parts.filter(key % 3 === 1)))
+      .orderBy(col("id"), col("neighbor"))
+  }
+
+  /** B35 — minimum spanning forest (gds.spanningTree parity, r13) on
+    * the sparse weighted part—supplier graph. The (w, src, dst) total
+    * order makes the forest UNIQUE, so the DuckDB twin recomputes it
+    * independently via the CYCLE PROPERTY: an edge is in the MSF iff
+    * its head is NOT reachable from its tail through strictly lighter
+    * edges. Integral weights compare exactly. */
+  def gMst(s: SparkSession, dir: String): DataFrame =
+    GraphOps.spanningTree(TestGraph.mstEdges(s, dir), weightCol = Some("w"))
+      .select(col("src"), col("dst"), col("w").cast("long").as("w"))
+      .orderBy(col("src"), col("dst"))
+
+  /** B37 — articulation points (gds.articulationPoints parity, r13) of
+    * the sparse cut-structure graph; the DuckDB twin recomputes each
+    * vertex's cut-ness by REACHABILITY AVOIDING THE VERTEX (from its
+    * min neighbor — any unreached neighbor ⟺ articulation point),
+    * an independent formulation of the same property the Tarjan
+    * lowlink pass computes. */
+  def gArticulation(s: SparkSession, dir: String): DataFrame =
+    GraphOps.articulationPoints(TestGraph.cutEdges(s, dir))
+      .orderBy(col("id"))
+
+  /** B37b — bridges: the twin walks reachability avoiding the EDGE
+    * (tail→head without using either direction of the edge itself). */
+  def gBridges(s: SparkSession, dir: String): DataFrame =
+    GraphOps.bridges(TestGraph.cutEdges(s, dir))
+      .orderBy(col("src"), col("dst"))
+
+  /** B36 — hashgnn embeddings (gds.hashgnn parity, r13) on the
+    * part—supplier graph. The embedding is hash-min selection only —
+    * NO floats — so the per-node feature-set fingerprint is
+    * bit-stable and the driver records/hashes real rows. */
+  def gHashgnn(s: SparkSession, dir: String): DataFrame =
+    graft.graph.HashGNN.embed(TestGraph.partSupplierEdges(s, dir))
+      .select(col("id"), size(col("features")).cast("long").as("n_feat"),
+        xxhash64(to_json(col("features"))).as("fp"))
+      .orderBy(col("id"))
+
+  /** B36 quality gate — 1-row flags the oracle pins at 1 (the
+    * e_recall/g_k1_valid pattern for non-SQL-expressible checks, all
+    * deterministic so a 0 is a code change, never noise):
+    * `homophily_ok` — adjacent nodes' feature sets are more similar
+    * (mean Jaccard) than a deterministic half-rotation pairing of the
+    * id space (the property hashgnn exists to produce);
+    * `rerun_ok` — a second embed run is bit-identical;
+    * `coverage_ok` — every vertex got ≥ 1 feature. */
+  def gHashgnnOk(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = TestGraph.partSupplierEdges(s, dir)
+    val emb = graft.graph.HashGNN.embed(e)
+      .select(col("id"), col("features")).persist()
+    val nv = GraphOps.undirected(e).select(col("src")).distinct().count()
+    val jac = (size(array_intersect(col("f1"), col("f2"))).cast("double") /
+      size(array_union(col("f1"), col("f2"))))
+    def meanJac(pairsDf: DataFrame): Double = {
+      val row = pairsDf
+        .join(emb.select(col("id").as("a"), col("features").as("f1")), Seq("a"))
+        .join(emb.select(col("id").as("b"), col("features").as("f2")), Seq("b"))
+        .agg(avg(jac)).collect()(0)
+      if (row.isNullAt(0)) 0.0 else row.getDouble(0)
+    }
+    val adjMean = meanJac(GraphOps.undirected(e)
+      .filter(col("src") < col("dst"))
+      .select(col("src").as("a"), col("dst").as("b")))
+    // deterministic non-adjacent baseline: pair rank r with rank
+    // r + n/2 (mod n) over the sorted id space, adjacency removed
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("id"))
+    val ranked = emb.select(col("id")).withColumn("r", row_number().over(w))
+    val half = (nv / 2).toInt
+    val rot = ranked.alias("x").join(ranked.alias("y"),
+        col("y.r") === (col("x.r") + half - 1) % nv.toInt + 1 &&
+          col("x.id") =!= col("y.id"))
+      .select(col("x.id").as("a"), col("y.id").as("b"))
+      .join(GraphOps.undirected(e).select(col("src").as("a"), col("dst").as("b")),
+        Seq("a", "b"), "left_anti")
+    val rotMean = meanJac(rot)
+    val emb2 = graft.graph.HashGNN.embed(e).select(col("id"), col("features"))
+    val rerunOk = emb.exceptAll(emb2).isEmpty && emb2.exceptAll(emb).isEmpty
+    val coverageOk = emb.count() == nv &&
+      emb.filter(size(col("features")) < 1).isEmpty
+    emb.unpersist()
+    Seq((if (adjMean > rotMean) 1L else 0L,
+        if (rerunOk) 1L else 0L,
+        if (coverageOk) 1L else 0L))
+      .toDF("homophily_ok", "rerun_ok", "coverage_ok")
+  }
+
   /** B13 — shortest-path EXTRACTION (Cypher `shortestPath` parity):
     * one materialized path per vertex reachable from r:0 down the
     * hierarchy forest, lexicographic tie-break. */

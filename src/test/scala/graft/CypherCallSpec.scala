@@ -415,6 +415,66 @@ class CypherCallSpec extends SparkSpec {
     assert(err.getMessage.contains("nope"))
   }
 
+  test("spanningTree CALL: weight from props, sourceNode = that component's tree (r13)") {
+    // two components: the Process 3-cycle and the Ip 3-cycle joined by
+    // c→x; sourceNode 'a' keeps only a's component of the forest
+    val forest = CypherCall.run(nodes, edges,
+      "CALL graft.spanningTree({relationshipWeightProperty: 'weight'}) " +
+        "YIELD src, dst, weight RETURN src, dst, weight ORDER BY src, dst")
+    val direct = GraphOps.spanningTree(
+        edges.withColumn("w", element_at(col("props"), "weight").cast("double")),
+        Some("w"))
+      .orderBy(col("src"), col("dst"))
+      .select(col("src"), col("dst"), col("w").as("weight"))
+    // 6 edge-bearing vertices ('lone' has no edges), one component → 5
+    assert(rows(forest) == rows(direct) && forest.count() == 5)
+    val fromA = CypherCall.run(nodes, edges,
+      "CALL graft.spanningTree({sourceNode: 'c', relationshipType: 'SPAWNS'}) " +
+        "YIELD src, dst RETURN src, dst ORDER BY src, dst")
+    // SPAWNS-only projection: the a-b-c cycle → its unique 2-edge tree
+    assert(rows(fromA).map(_.mkString(">")) == Seq("a>b", "a>c"))
+  }
+
+  test("articulationPoints + bridges CALLs dispatch the cut pass (r13)") {
+    // full graph: two cycles joined by the bridge c—x: APs = {c, x}
+    val aps = CypherCall.run(nodes, edges,
+      "CALL graft.articulationPoints({}) YIELD id RETURN id ORDER BY id")
+    assert(rows(aps).map(_.head) == Seq("c", "x"))
+    val brs = CypherCall.run(nodes, edges,
+      "CALL graft.bridges({}) YIELD src, dst RETURN src, dst")
+    assert(rows(brs) == Seq(Seq("c", "x")))
+  }
+
+  test("nodeSimilarity sourceNodeFilter/targetNodeFilter: label and id-list " +
+      "spellings route to the filtered variant (r13)") {
+    // co-out-neighbor graph: a,b both SPAWN/connect; use the full edge
+    // frame — sources a and b share dst-sets partially
+    val e2 = Seq(("a", "t1"), ("a", "t2"), ("b", "t1"), ("b", "t2"),
+      ("c", "t1"), ("c", "t3")).toDF("src", "dst")
+      .withColumn("etype", lit("T"))
+      .withColumn("props", typedLit(Map.empty[String, String]))
+    val n2 = Seq(("a", "Left"), ("b", "Right"), ("c", "Right"))
+      .toDF("id", "label")
+      .withColumn("props", typedLit(Map.empty[String, String]))
+    // id-list spelling
+    val byIds = CypherCall.run(n2, e2,
+      "CALL graft.nodeSimilarity({similarityCutoff: 0.1, " +
+        "sourceNodeFilter: ['a'], targetNodeFilter: ['b', 'c']}) " +
+        "YIELD id1, id2, similarity RETURN id1, id2 ORDER BY id2")
+    assert(rows(byIds) == Seq(Seq("a", "b"), Seq("a", "c")))
+    // label spelling: a single string naming an existing label
+    val byLabel = CypherCall.run(n2, e2,
+      "CALL graft.nodeSimilarity({similarityCutoff: 0.1, " +
+        "sourceNodeFilter: 'Left', targetNodeFilter: 'Right'}) " +
+        "YIELD id1, id2, similarity RETURN id1, id2 ORDER BY id2")
+    assert(rows(byLabel) == rows(byIds))
+    // a non-label single string is an id filter, not an error
+    val asId = CypherCall.run(n2, e2,
+      "CALL graft.nodeSimilarity({similarityCutoff: 0.1, " +
+        "sourceNodeFilter: 'b'}) YIELD id1, id2 RETURN id1, id2 ORDER BY id2")
+    assert(rows(asId).forall(_.head == "b") && asId.count() > 0)
+  }
+
   test("CypherLite.run dispatches CALL, with $params substituted into config") {
     val out = CypherLite.run(nodes, edges,
       """CALL graft.pageRank.stream({maxIterations: $iters, orientation: 'UNDIRECTED'})

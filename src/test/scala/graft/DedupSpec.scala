@@ -364,4 +364,78 @@ class DedupSpec extends SparkSpec {
     }
     assert(out.sameElements(want) && out.nonEmpty)
   }
+
+  /** Independent D8 oracle: O(n·m) dynamic-programming maximal common
+    * substrings between two strings — run lengths ending at (i, j),
+    * a span is maximal when the next diagonal cell breaks. */
+  private def maximalCommonSpans(t1: String, t2: String,
+                                 minLen: Int): Set[(Long, Long, Long)] = {
+    val L = Array.ofDim[Int](t1.length + 1, t2.length + 1)
+    val out = scala.collection.mutable.Set.empty[(Long, Long, Long)]
+    for (i <- 1 to t1.length; j <- 1 to t2.length)
+      if (t1.charAt(i - 1) == t2.charAt(j - 1)) L(i)(j) = L(i - 1)(j - 1) + 1
+    for (i <- 1 to t1.length; j <- 1 to t2.length) {
+      val len = L(i)(j)
+      val ends = i == t1.length || j == t2.length ||
+        t1.charAt(i) != t2.charAt(j)
+      if (len >= minLen && ends)
+        out += (((i - len).toLong, (j - len).toLong, len.toLong))
+    }
+    out.toSet
+  }
+
+  test("d8 substring dedup: exact maximal spans vs a DP replay (r13)") {
+    // unique surroundings, one shared passage at different offsets —
+    // plus a decoy short overlap that must stay under minLen
+    val passage = "sharedpassagexyz123456"
+    val t1 = s"qqqqqqqq $passage rrrrrrrr"
+    val t2 = s"zzzz $passage wwwwwwwwwww"
+    val t3 = "nothing in common here at all truly"
+    val docs = Seq((1L, t1), (2L, t2), (3L, t3)).toDF("doc_id", "text")
+    val got = Dedup.d8SubstringSpans(docs, gram = 4, window = 4, minLen = 7)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    // only the (1,2) pair, spans exactly the DP oracle's
+    assert(got.forall(t => t._1 == 1L && t._2 == 2L))
+    val want = maximalCommonSpans(t1.toLowerCase.trim, t2.toLowerCase.trim, 7)
+    assert(got.map(t => (t._3, t._4, t._5)).toSet == want && want.nonEmpty,
+      s"got=${got.toSeq} want=$want")
+    // the maximal span includes the flanking spaces: ' passage ' (+2)
+    assert(want.exists(_._3 == passage.length + 2L))
+    // three docs sharing the passage → all three pairs
+    val docs3 = Seq((1L, t1), (2L, t2),
+      (4L, s"mmmm $passage kkkkkkkkkkkk")).toDF("doc_id", "text")
+    val pairs3 = Dedup.d8SubstringSpans(docs3, gram = 4, window = 4, minLen = 7)
+      .select(col("doc1"), col("doc2")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs3 == Set((1L, 2L), (1L, 4L), (2L, 4L)))
+    // WITHIN-doc repeats are not cross-document spans
+    val selfRep = Seq((1L, s"$passage and $passage"),
+      (2L, "totally unrelated content words")).toDF("doc_id", "text")
+    assert(Dedup.d8SubstringSpans(selfRep, gram = 4, window = 4, minLen = 7)
+      .isEmpty)
+    // dfCap drops boilerplate-frequency passages from SEEDING (loudly
+    // documented recall bound): 5 docs share it, cap 2 → nothing seeds
+    val many = (1L to 5L).map(i => (i, s"u${i}u${i}u${i}u${i} $passage v${i}v${i}v${i}v${i}"))
+      .toDF("doc_id", "text")
+    assert(Dedup.d8SubstringSpans(many, gram = 4, window = 4, minLen = 7,
+      dfCap = 2L).isEmpty)
+    assert(Dedup.d8SubstringSpans(many, gram = 4, window = 4, minLen = 7,
+      dfCap = 100L).count() == 10L) // all C(5,2) pairs
+    // the winnowing recall guarantee is enforced, not assumed
+    intercept[IllegalArgumentException](
+      Dedup.d8SubstringSpans(docs, gram = 8, window = 16, minLen = 10))
+  }
+
+  test("d8 driver gate: planted pairs match the closed form at sf0.001") {
+    val got = Dedup.d8Substr(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val planted = Tables.documents(spark, sf)
+      .filter(col("doc_id") % 97 === 0)
+      .select(col("doc_id")).collect().map(_.getLong(0)).sorted
+    val want = (for {
+      i <- planted.indices; j <- (i + 1) until planted.length
+    } yield (planted(i), planted(j), 1L)).sortBy(t => (t._1, t._2))
+    assert(got == want && want.nonEmpty)
+  }
 }

@@ -343,6 +343,154 @@ class GraphOpsSpec extends SparkSpec {
     }
   }
 
+  test("nodeSimilarityFiltered: filters select pairs, never change " +
+      "similarities; hub fixture re-run filtered (r13)") {
+    val edges = edgeDf("p1" -> "x", "p1" -> "y", "p1" -> "z",
+      "p2" -> "x", "p2" -> "y", "p2" -> "w",
+      "p3" -> "x", "p3" -> "y", "p3" -> "z")
+    import spark.implicits._
+    def f(ids: String*) = Some(ids.toDF("id"))
+    // reference: full directed expansion post-filtered
+    val full = GraphOps.nodeSimilarity(edges, 0.1)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
+    val directedRef = (full.map(t => (t._1, t._2, t._3)) ++
+      full.map(t => (t._2, t._1, t._3))).toSet
+    val both = GraphOps.nodeSimilarityFiltered(edges, 0.1,
+        sourceFilter = f("p1"), targetFilter = f("p2", "p3"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2))).toSet
+    assert(both == directedRef.filter(t => t._1 == "p1" && t._2 != "p1"))
+    // one-sided source filter: similarity values match the unfiltered
+    // run exactly (restriction must not perturb the metric)
+    val src = GraphOps.nodeSimilarityFiltered(edges, 0.1, sourceFilter = f("p2"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2))).toSet
+    assert(src == directedRef.filter(_._1 == "p2"))
+    // topK composes: keep the best neighbor per source
+    val top1 = GraphOps.nodeSimilarityFiltered(edges, 0.1,
+        sourceFilter = f("p1", "p2", "p3"), topK = 1)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(top1 == Set(("p1", "p3"), ("p2", "p1"), ("p3", "p1")))
+    // hub fixture under capping (the B12 hub spec, filtered): capped
+    // filtered result == naive post-filtered reference
+    val hubby = (1 to 20).flatMap(i =>
+      Seq(s"s$i" -> "HUB", s"s$i" -> s"u${i}a", s"s$i" -> s"u${i}b", s"s$i" -> s"u${i}c"))
+    val planted = Seq("pa" -> "HUB", "pa" -> "r1", "pa" -> "r2", "pa" -> "r3",
+      "pb" -> "HUB", "pb" -> "r1", "pb" -> "r2", "pb" -> "r3")
+    val hubEdges2 = edgeDf((hubby ++ planted): _*)
+    val evens = (2 to 20 by 2).map(i => s"s$i") :+ "pa"
+    val odds = (1 to 19 by 2).map(i => s"s$i") :+ "pb"
+    val refPairs = GraphOps.nodeSimilarity(hubEdges2, 0.1, hubCap = 1000L)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
+    val refDirected = (refPairs ++ refPairs.map(t => (t._2, t._1, t._3)))
+      .filter(t => evens.contains(t._1) && odds.contains(t._2)).toSet
+    val gotF = GraphOps.nodeSimilarityFiltered(hubEdges2, 0.1,
+        sourceFilter = Some(evens.toDF("id")), targetFilter = Some(odds.toDF("id")),
+        hubCap = 2L)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2))).toSet
+    assert(gotF == refDirected && gotF.nonEmpty,
+      s"filtered+capped diverged: missing=${(refDirected -- gotF).take(3)} " +
+        s"extra=${(gotF -- refDirected).take(3)}")
+  }
+
+  test("spanningTree: unique Borůvka forest — reroute, ties, " +
+      "disconnected forest, loud nulls (r13)") {
+    import spark.implicits._
+    def wEdges(rows: (String, String, Double)*) = rows.toDF("src", "dst", "w")
+    // square a-b-c-d with a heavy diagonal: MST drops the heaviest
+    // cycle edge (c-d at 4), keeps a-b, a-c, b-d
+    val sq = wEdges(("a", "b", 1.0), ("a", "c", 2.0), ("b", "d", 2.0),
+      ("c", "d", 4.0))
+    val mst = GraphOps.spanningTree(sq, Some("w"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2))).toSet
+    assert(mst == Set(("a", "b", 1.0), ("a", "c", 2.0), ("b", "d", 2.0)))
+    // all-tied weights: the (w, a, b) order keeps the lexicographically
+    // smallest forest — a triangle keeps (a,b) and (a,c), drops (b,c)
+    val tri = wEdges(("a", "b", 1.0), ("b", "c", 1.0), ("a", "c", 1.0))
+    val tied = GraphOps.spanningTree(tri, Some("w"))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(tied == Set(("a", "b"), ("a", "c")))
+    // disconnected input → a forest, one tree per component; parallel
+    // edges collapse to the lightest; direction is ignored
+    val two = wEdges(("a", "b", 3.0), ("b", "a", 1.0), ("x", "y", 5.0))
+    val forest = GraphOps.spanningTree(two, Some("w"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2))).toSet
+    assert(forest == Set(("a", "b", 1.0), ("x", "y", 5.0)))
+    // total weight on a known graph: star beats chain where it should
+    val unw = GraphOps.spanningTree(edgeDf("a" -> "b", "b" -> "c", "a" -> "c"))
+    assert(unw.count() == 2) // n-1 edges, unweighted default w=1
+    intercept[IllegalArgumentException](GraphOps.spanningTree(
+      wEdges(("a", "b", 1.0)).withColumn("w", lit(null).cast("double")),
+      Some("w")))
+  }
+
+  test("articulationPoints/bridges: hand fixtures + component-delta " +
+      "cross-check against cc() (r13)") {
+    // path a—b—c: b is the cut vertex, both edges are bridges
+    val path = edgeDf("a" -> "b", "b" -> "c")
+    assert(GraphOps.articulationPoints(path).collect().map(_.getString(0)).toSeq
+      == Seq("b"))
+    assert(GraphOps.bridges(path).collect().map(r => (r.getString(0), r.getString(1))).toSeq
+      == Seq(("a", "b"), ("b", "c")))
+    // cycle: 2-edge-connected — no cut structure at all
+    val cyc = edgeDf("a" -> "b", "b" -> "c", "c" -> "a")
+    assert(GraphOps.articulationPoints(cyc).isEmpty)
+    assert(GraphOps.bridges(cyc).isEmpty)
+    // barbell: two triangles joined by one edge — the bridge, whose
+    // endpoints are the two articulation points
+    val barbell = edgeDf("a1" -> "a2", "a2" -> "a3", "a3" -> "a1",
+      "b1" -> "b2", "b2" -> "b3", "b3" -> "b1", "a1" -> "b1")
+    val aps = GraphOps.articulationPoints(barbell).collect().map(_.getString(0)).toSet
+    assert(aps == Set("a1", "b1"))
+    assert(GraphOps.bridges(barbell).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq == Seq(("a1", "b1")))
+    // two triangles SHARING a vertex: the shared vertex cuts, yet no
+    // edge does (every edge sits on a cycle)
+    val bowtie = edgeDf("a" -> "b", "b" -> "m", "m" -> "a",
+      "m" -> "x", "x" -> "y", "y" -> "m")
+    assert(GraphOps.articulationPoints(bowtie).collect()
+      .map(_.getString(0)).toSeq == Seq("m"))
+    assert(GraphOps.bridges(bowtie).isEmpty)
+    // component-count-delta cross-check on the sf0.001 cut graph: an
+    // INDEPENDENT in-memory replay of cut-ness (BFS component counting
+    // with each vertex excluded — no lowlinks anywhere): v is an AP ⟺
+    // its component splits into ≥ 2 parts without it
+    val cut = graft.graph.TestGraph.cutEdges(spark, sf)
+    val apSet = GraphOps.articulationPoints(cut).collect().map(_.getString(0)).toSet
+    val pairs = GraphOps.undirected(cut)
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    val adj = pairs.groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    def componentsOf(verts: Set[String]): Int = {
+      val seen = scala.collection.mutable.HashSet.empty[String]
+      var n = 0
+      verts.foreach { v0 =>
+        if (!seen(v0)) {
+          n += 1
+          val q = scala.collection.mutable.Queue(v0); seen += v0
+          while (q.nonEmpty) {
+            val v = q.dequeue()
+            adj.getOrElse(v, Set.empty).foreach { u =>
+              if (verts(u) && !seen(u)) { seen += u; q += u }
+            }
+          }
+        }
+      }
+      n
+    }
+    val allV = adj.keySet.toSet
+    val base = componentsOf(allV)
+    allV.foreach { v =>
+      val after = componentsOf(allV - v)
+      // removing v deletes one vertex from one component: AP ⟺ that
+      // component now counts as ≥ 2 (after >= base + 1); a leaf or a
+      // whole-component removal gives after <= base
+      assert((after > base) == apSet.contains(v),
+        s"vertex $v: components $base -> $after vs AP=${apSet.contains(v)}")
+    }
+    assert(apSet.nonEmpty, "cut-graph fixture vacuous: no APs at sf0.001")
+    // the bounded-local-finisher contract is loud, not silent
+    intercept[IllegalArgumentException](
+      GraphOps.articulationPoints(barbell, maxLocalEdges = 1L))
+  }
+
   test("astar: result identical to dijkstra, admissible heuristic prunes (r12)") {
     def wEdges(rows: (String, String, Double)*) = rows.toDF("src", "dst", "w")
     // a line s=x0 → x1 → … → x5 = t (w=1 each, coords on a number
