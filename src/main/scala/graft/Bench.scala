@@ -36,7 +36,11 @@ object Bench {
     // r12 additions (accounting note in SURVEY §7): the three new
     // shuffle/iteration-heavy operators — overlap-metric similarity
     // (min-side-prefix × full join), goal-directed A*, biased walks
-    "g_nodesim_overlap", "g_astar", "g_node2vec")
+    "g_nodesim_overlap", "g_astar", "g_node2vec",
+    // r13 additions: Borůvka forest (min-agg + contraction rounds),
+    // hashgnn (edge-join × K min-hash rounds), winnow-seeded
+    // substring dedup (the D8 full pipeline on the synthesized corpus)
+    "g_mst", "g_hashgnn", "d8_substr")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

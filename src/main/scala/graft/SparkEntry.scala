@@ -157,6 +157,7 @@ object SparkEntry {
     // hashgnn embeddings, exact substring dedup
     "g_nodesim_filtered" -> (GraphQueries.gNodesimFiltered _),
     "g_mst"        -> (GraphQueries.gMst _),
+    "g_steiner"    -> (GraphQueries.gSteiner _),
     "g_articulation" -> (GraphQueries.gArticulation _),
     "g_bridges"    -> (GraphQueries.gBridges _),
     "g_hashgnn"    -> (GraphQueries.gHashgnn _),
@@ -475,8 +476,8 @@ object SparkEntry {
 
   // r12: g_astar reuses the SAME unrolled Bellman-Ford replay filtered
   // to its pinned pair — A*'s contract is a bit-identical dijkstra row
-  private def wPathsOracleSql(where: String): String = {
-    val stages = (1 to 6).map { k =>
+  private def wPathsStages: String =
+    (1 to 6).map { k =>
       s"""x$k AS (SELECT s.root, e.dst AS id, s.d + e.w AS d,
          |       s.path || '>' || e.dst AS path
          |     FROM s${k - 1} s JOIN e ON s.id = e.src
@@ -488,6 +489,8 @@ object SparkEntry {
          |       CASE WHEN p.d IS NULL OR x.d < p.d THEN x.path ELSE p.path END AS path
          |     FROM s${k - 1} p FULL JOIN x$k x ON p.root = x.root AND p.id = x.id)""".stripMargin
     }.mkString(",\n")
+
+  private def wPathsOracleSql(where: String): String =
     s"""WITH base AS (
        |  SELECT DISTINCT 'p:'||l_partkey AS a, 's:'||l_suppkey AS b,
        |    CAST((l_partkey + l_suppkey) % 5 + 1 AS BIGINT) AS w
@@ -495,9 +498,32 @@ object SparkEntry {
        |e AS (SELECT a AS src, b AS dst, w FROM base UNION SELECT b, a, w FROM base),
        |r AS (SELECT DISTINCT b AS id FROM base WHERE CAST(substr(b, 3) AS INT) % 40 = 0),
        |s0 AS (SELECT id AS root, id, CAST(0 AS DOUBLE) AS d, id AS path FROM r),
-       |$stages
+       |$wPathsStages
        |SELECT root, id, d AS dist, path FROM s6 $where ORDER BY root, id""".stripMargin
-  }
+
+  // B38 (r13): the steiner oracle UNIONS the same tie-broken oracle
+  // paths (single root s:40, the three pinned targets) and explodes
+  // them to traversal edges — path-exact, so the edge set is forced
+  private def steinerOracleSql: String =
+    s"""WITH base AS (
+       |  SELECT DISTINCT 'p:'||l_partkey AS a, 's:'||l_suppkey AS b,
+       |    CAST((l_partkey + l_suppkey) % 5 + 1 AS BIGINT) AS w
+       |  FROM lineitem WHERE l_partkey % 20 = 0),
+       |e AS (SELECT a AS src, b AS dst, w FROM base UNION SELECT b, a, w FROM base),
+       |s0 AS (SELECT 's:40' AS root, 's:40' AS id, CAST(0 AS DOUBLE) AS d,
+       |       's:40' AS path),
+       |$wPathsStages,
+       |fin AS (SELECT path FROM s6 WHERE id IN ('p:20', 'p:40', 'p:60')),
+       |toks AS (SELECT path, unnest(string_split(path, '>')) AS node,
+       |    unnest(generate_series(1, len(string_split(path, '>')))) AS i
+       |  FROM fin),
+       |steps AS (SELECT path, node, i,
+       |    lead(node) OVER (PARTITION BY path ORDER BY i) AS nxt FROM toks),
+       |te AS (SELECT DISTINCT node AS src, nxt AS dst FROM steps
+       |  WHERE nxt IS NOT NULL)
+       |SELECT te.src, te.dst, e.w AS w
+       |FROM te JOIN e ON te.src = e.src AND te.dst = e.dst
+       |ORDER BY 1, 2""".stripMargin
 
   private val modularityOracle: String =
       """WITH RECURSIVE e AS (
@@ -998,6 +1024,7 @@ object SparkEntry {
     "g_wbetweenness_dist" -> wBetweennessOracle,
     "g_wpaths" -> wPathsOracle,
     "g_astar" -> wPathsOracleSql("WHERE root = 's:40' AND id = 'p:20'"),
+    "g_steiner" -> steinerOracleSql,
     // B32 (r12): conductance = cut / min(vol, total - vol) of the
     // (key % 4) partition, unweighted symmetrized part—supplier graph
     "g_conductance" ->

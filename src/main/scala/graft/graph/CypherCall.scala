@@ -671,6 +671,23 @@ object CypherCall {
         }
         out.select(col("src"), col("dst"), col("w").as("weight"))
       }),
+    // GDS gds.steinerTree parity (r13): shortest-path-tree heuristic
+    // from sourceNode to targetNodes; unreachable targets omitted
+    "steinerTree" -> Proc(Seq("src", "dst", "weight"),
+      Set("sourceNode", "targetNodes", "relationshipWeightProperty",
+        "maxIterations"),
+      (n, ed, cfg) => {
+        val src = cfg.str("sourceNode").getOrElse(
+          throw new IllegalArgumentException(
+            "steinerTree: config key 'sourceNode' is required"))
+        val tgts = cfg.strs("targetNodes").getOrElse(
+          throw new IllegalArgumentException(
+            "steinerTree: config key 'targetNodes' is required"))
+        val (ed2, wcol) = resolveWeightProp(filterEdges(n, ed, cfg), cfg)
+        GraphOps.steinerTree(orientEdges(ed2, cfg), src, tgts,
+            cfg.int("maxIterations", 10), wcol)
+          .select(col("src"), col("dst"), col("w").as("weight"))
+      }),
     // GDS gds.articulationPoints / gds.bridges parity (r13): the
     // bounded-local-finisher cut-structure pass (loud above the bound)
     "articulationPoints" -> Proc(Seq("id"), Set.empty,

@@ -1130,6 +1130,50 @@ object GraphOps {
     graft.Borrow.reclaim(out, e)
   }
 
+  /** B38 — STEINER TREE (`gds.steinerTree` shape; r13): a low-weight
+    * tree connecting `source` to every reachable target, by the
+    * SHORTEST-PATH-TREE heuristic GDS ships — the union of the
+    * source→target minimal-weight paths (GDS's base algorithm before
+    * its optional rerouting pass; a classic 2-approximation family).
+    * Deterministic: paths come from [[ssspPathsFrom]]'s tie-broken
+    * keyed Bellman-Ford, so the edge set is engine-reproducible and
+    * oracle-checkable. Unreachable targets (within `maxIter` hops) are
+    * OMITTED like GDS; weights must be strictly positive (loud, the
+    * dijkstra-family rule); parallel edges collapse to the lightest.
+    *
+    * Scale shape: ONE multi-target shortest-path run (the keyed
+    * frontier — never a per-target loop) + a path explosion over
+    * |targets| rows (bounded by the target list, not the graph) + one
+    * equi-join back to the edge frame for weights. Returns
+    * (src, dst, w) — tree edges in traversal direction. */
+  def steinerTree(edges: DataFrame, source: String, targets: Seq[String],
+                  maxIter: Int = 10, weightCol: Option[String] = None): DataFrame = {
+    require(targets.nonEmpty, "steinerTree: targets must be non-empty")
+    val spark = edges.sparkSession
+    val base = weightCol match {
+      case Some(wc) => edges.select(col("src").cast("string").as("src"),
+        col("dst").cast("string").as("dst"), col(wc).cast("double").as("w"))
+      case None => edges.select(col("src").cast("string").as("src"),
+        col("dst").cast("string").as("dst"), lit(1.0).as("w"))
+    }
+    val e = base.groupBy(col("src"), col("dst")).agg(min(col("w")).as("w"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val srcFrame = spark.range(1).select(lit(source).as("id"))
+    val paths = ssspPathsFrom(e, srcFrame, maxIter, "w")
+      .filter(col("id").isin(targets: _*))
+    val steps = paths
+      .select(split(col("path"), ">").as("ns"))
+      .filter(size(col("ns")) >= 2) // target == source: no edges
+      .select(explode(expr(
+        "transform(sequence(0, size(ns) - 2), " +
+          "i -> struct(ns[i] AS src, ns[i + 1] AS dst))")).as("st"))
+      .select(col("st.src").as("src"), col("st.dst").as("dst"))
+      .distinct()
+    val out = steps.join(e, Seq("src", "dst"))
+      .select(col("src"), col("dst"), col("w"))
+    graft.Borrow.reclaim(out, e)
+  }
+
   /** B37 — ARTICULATION POINTS (`gds.articulationPoints`) and BRIDGES
     * (`gds.bridges`): the cut vertices / cut edges of the undirected
     * simple graph — on telemetry graphs the choke-point processes and

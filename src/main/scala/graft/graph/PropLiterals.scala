@@ -22,6 +22,32 @@ private[graph] object PropLiterals {
     t.startsWith("[") || t.startsWith("{")
   }
 
+  /** Top-level ELEMENTS of a Cypher list literal as stored-form string
+    * values (strings unquoted, numbers verbatim, nested composites
+    * canonical JSON) — the FOREACH explode shape (r13). */
+  def elements(text: String): Seq[String] = {
+    val t = text.trim
+    require(t.startsWith("[") && t.endsWith("]"), s"not a list literal: $text")
+    val inner = t.substring(1, t.length - 1)
+    val parts = scala.collection.mutable.Buffer.empty[String]
+    var depth = 0; var inStr = false; var start = 0
+    for (i <- inner.indices) inner.charAt(i) match {
+      case '\'' => inStr = !inStr
+      case '[' | '{' if !inStr => depth += 1
+      case ']' | '}' if !inStr => depth -= 1
+      case ',' if !inStr && depth == 0 =>
+        parts += inner.substring(start, i); start = i + 1
+      case _ =>
+    }
+    parts += inner.substring(start)
+    parts.toSeq.map(_.trim).filter(_.nonEmpty).map {
+      case q if q.startsWith("'") && q.endsWith("'") && q.length >= 2 =>
+        q.substring(1, q.length - 1)
+      case c if isComposite(c) => canonical(c)
+      case n => n
+    }
+  }
+
   /** Canonical JSON text for a Cypher list/map literal. Loud
     * IllegalArgumentException on malformed input. */
   def canonical(text: String): String = {

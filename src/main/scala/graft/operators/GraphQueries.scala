@@ -485,6 +485,19 @@ object GraphQueries {
       .select(col("src"), col("dst"), col("w").cast("long").as("w"))
       .orderBy(col("src"), col("dst"))
 
+  /** B38 — Steiner tree (gds.steinerTree parity, r13): the
+    * shortest-path-tree heuristic from s:40 to three pinned part
+    * targets on the weighted symmetric graph; the DuckDB twin unions
+    * the SAME tie-broken oracle paths (the g_wpaths unrolled
+    * Bellman-Ford) and explodes them to edges — path-exact, so the
+    * edge sets must match bit-for-bit. */
+  def gSteiner(s: SparkSession, dir: String): DataFrame =
+    GraphOps.steinerTree(weightedSym(s, dir), source = "s:40",
+        targets = Seq("p:20", "p:40", "p:60"), maxIter = 6,
+        weightCol = Some("w"))
+      .select(col("src"), col("dst"), col("w").cast("long").as("w"))
+      .orderBy(col("src"), col("dst"))
+
   /** B37 — articulation points (gds.articulationPoints parity, r13) of
     * the sparse cut-structure graph; the DuckDB twin recomputes each
     * vertex's cut-ness by REACHABILITY AVOIDING THE VERTEX (from its

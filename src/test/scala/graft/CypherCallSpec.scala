@@ -435,6 +435,20 @@ class CypherCallSpec extends SparkSpec {
     assert(rows(fromA).map(_.mkString(">")) == Seq("a>b", "a>c"))
   }
 
+  test("steinerTree CALL: sourceNode + targetNodes required, weight from props (r13)") {
+    val tree = CypherCall.run(nodes, edges,
+      "CALL graft.steinerTree({sourceNode: 'a', targetNodes: ['c', 'y'], " +
+        "relationshipWeightProperty: 'weight'}) " +
+        "YIELD src, dst, weight RETURN src, dst ORDER BY src, dst")
+    // directed graph: a→b→c→x→y; both targets ride the same chain
+    assert(rows(tree).map(_.mkString(">")) ==
+      Seq("a>b", "b>c", "c>x", "x>y"))
+    intercept[IllegalArgumentException](CypherCall.run(nodes, edges,
+      "CALL graft.steinerTree({targetNodes: ['c']})"))
+    intercept[IllegalArgumentException](CypherCall.run(nodes, edges,
+      "CALL graft.steinerTree({sourceNode: 'a'})"))
+  }
+
   test("articulationPoints + bridges CALLs dispatch the cut pass (r13)") {
     // full graph: two cycles joined by the bridge c—x: APs = {c, x}
     val aps = CypherCall.run(nodes, edges,

@@ -645,6 +645,97 @@ class CypherWriteSpec extends SparkSpec {
     assert(tags == Map("u1" -> "u1", "u2" -> "u2"))
   }
 
+  test("FOREACH: list-prop loader idiom — explode a $param list into " +
+      "batch writes; empty lists contribute nothing (r13)") {
+    val (n0, e0) = CypherWrite.emptyGraph(spark)
+    import spark.implicits._
+    val params = Seq(
+      ("u1", Seq("red", "blue")),
+      ("u2", Seq("red")),
+      ("u3", Seq.empty[String])).toDF("uid", "tags")
+    val (n1, e1) = CypherWrite.merge(n0, e0,
+      """MERGE (u:User {uid: $uid})
+        |FOREACH (t IN $tags |
+        |  MERGE (g:Tag {name: t})
+        |  MERGE (u)-[:TAGGED]->(g))""".stripMargin, params)
+    // all three users exist (pass 1), tags only where lists were
+    val users = nodeMap(n1).keySet.collect { case ("User", id) => id }
+    assert(users == Set("u1", "u2", "u3"))
+    val tags = nodeMap(n1).keySet.collect { case ("Tag", id) => id }
+    assert(tags == Set("red", "blue"))
+    val tagged = e1.filter(col("etype") === "TAGGED")
+      .select(col("src"), col("dst"))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(tagged == Set(("u1", "red"), ("u1", "blue"), ("u2", "red")))
+  }
+
+  test("FOREACH: literal lists, SET bodies (row order wins), nesting, loud contracts") {
+    val (n0, e0) = CypherWrite.emptyGraph(spark)
+    import spark.implicits._
+    // literal list, no prefix
+    val (n1, _) = CypherWrite.merge(n0, e0,
+      "FOREACH (x IN ['a', 'b'] | MERGE (t:Tag {name: x}))",
+      Seq(Tuple1("row")).toDF("r"))
+    assert(nodeMap(n1).keySet.collect { case ("Tag", id) => id } == Set("a", "b"))
+    // SET body: exploded elements apply in list order — last wins
+    val params = Seq(("u1", Seq("first", "mid", "last"))).toDF("uid", "xs")
+    val (n2, _) = CypherWrite.merge(n0, e0,
+      "MERGE (u:User {uid: $uid}) FOREACH (x IN $xs | SET u.seen = x)", params)
+    assert(nodeMap(n2)(("User", "u1"))("seen") == "last")
+    // nested FOREACH: outer explodes users' lists, inner a literal list
+    val (n3, _) = CypherWrite.merge(n0, e0,
+      """FOREACH (x IN ['p', 'q'] |
+        |  MERGE (t:Tag {name: x})
+        |  FOREACH (y IN ['1'] | SET t.v = y))""".stripMargin,
+      Seq(Tuple1("row")).toDF("r"))
+    val tagProps = nodeMap(n3).collect { case (("Tag", id), pr) => id -> pr.get("v") }
+    assert(tagProps.toMap == Map("p" -> Some("1"), "q" -> Some("1")))
+    // loud: FOREACH must be last; prefix may only bind; list must be
+    // array-typed; variable must not collide with a param column
+    intercept[IllegalArgumentException](CypherWrite.merge(n0, e0,
+      "FOREACH (x IN ['a'] | MERGE (t:Tag {name: x})) MERGE (u:User {uid: 'z'})",
+      params))
+    intercept[IllegalArgumentException](CypherWrite.merge(n0, e0,
+      "MERGE (u:User {uid: $uid}) SET u.a = '1' FOREACH (x IN $xs | SET u.b = x)",
+      params))
+    intercept[IllegalArgumentException](CypherWrite.merge(n0, e0,
+      "FOREACH (x IN $uid | MERGE (t:Tag {name: x}))", params))
+    intercept[IllegalArgumentException](CypherWrite.merge(n0, e0,
+      "FOREACH (uid IN $xs | MERGE (t:Tag {name: uid}))", params))
+  }
+
+  test("CALL { … } IN TRANSACTIONS: chunked application — later chunks " +
+      "see earlier chunks' writes (r13)") {
+    val (n0, e0) = CypherWrite.emptyGraph(spark)
+    import spark.implicits._
+    // same key merged in rows 1 and 3, chunk size 1: with per-chunk
+    // created-vs-matched, row 1 CREATES (c='1') and row 3 MATCHES
+    // (m='3') — the one-batch form folds both into the creation
+    val params = Seq(("k1", "1"), ("k2", "2"), ("k1", "3")).toDF("id", "v")
+    val stmt =
+      """MERGE (n:Item {id: $id})
+        |ON CREATE SET n.c = $v
+        |ON MATCH SET n.m = $v""".stripMargin
+    val (nTx, _) = CypherWrite.merge(n0, e0,
+      s"CALL { $stmt } IN TRANSACTIONS OF 1 ROWS", params)
+    val k1 = nodeMap(nTx)(("Item", "k1"))
+    assert(k1.get("c") == Some("1") && k1.get("m") == Some("3"),
+      s"per-chunk semantics expected c=1, m=3 — got $k1")
+    // the one-batch divergence the class doc records, pinned: ON MATCH
+    // does not fire for keys created in the same batch
+    val (nOne, _) = CypherWrite.merge(n0, e0, stmt, params)
+    val k1One = nodeMap(nOne)(("Item", "k1"))
+    assert(k1One.get("m").isEmpty)
+    // default chunk size (1000) covers the whole frame in one pass —
+    // equal to the plain batch here (no re-merged keys across chunks)
+    val (nDef, _) = CypherWrite.merge(n0, e0,
+      s"CALL { $stmt } IN TRANSACTIONS", params)
+    assert(nodeMap(nDef)(("Item", "k2")) == nodeMap(nOne)(("Item", "k2")))
+    // loud chunk bound
+    intercept[IllegalArgumentException](CypherWrite.merge(n0, e0,
+      s"CALL { $stmt } IN TRANSACTIONS OF 0 ROWS", params))
+  }
+
   test("sg_compose driver gate matches the relational twin at sf0.001") {
     val got = graft.operators.GraphQueries.sgCompose(spark, sf)
       .collect().map(r => (r.getString(0), r.getString(1))).toSeq

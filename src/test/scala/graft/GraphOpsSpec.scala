@@ -422,6 +422,26 @@ class GraphOpsSpec extends SparkSpec {
       Some("w")))
   }
 
+  test("steinerTree: shared segments counted once, unreachable targets " +
+      "omitted, direct-edge decoy loses (r13)") {
+    import spark.implicits._
+    val e = Seq(("s", "a", 1.0), ("a", "t1", 1.0), ("a", "t2", 1.0),
+      ("s", "t1", 5.0), ("q", "z", 1.0)).toDF("src", "dst", "w")
+    val tree = GraphOps.steinerTree(e, "s", Seq("t1", "t2", "z"),
+        maxIter = 5, weightCol = Some("w"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2))).toSet
+    // s>a>t1 (2) beats the direct s>t1 (5); the s>a segment is shared
+    // with s>a>t2 and appears once; z is unreachable → omitted
+    assert(tree == Set(("s", "a", 1.0), ("a", "t1", 1.0), ("a", "t2", 1.0)))
+    // target == source contributes no edges; unweighted default w = 1
+    val self = GraphOps.steinerTree(e.select(col("src"), col("dst")), "s", Seq("s"))
+    assert(self.isEmpty)
+    intercept[IllegalArgumentException](GraphOps.steinerTree(e, "s", Seq.empty))
+    // strictly-positive weights are loud (the dijkstra-family rule)
+    intercept[IllegalArgumentException](GraphOps.steinerTree(
+      e.withColumn("w", lit(0.0)), "s", Seq("t1"), weightCol = Some("w")))
+  }
+
   test("articulationPoints/bridges: hand fixtures + component-delta " +
       "cross-check against cc() (r13)") {
     // path a—b—c: b is the cut vertex, both edges are bridges

@@ -243,4 +243,19 @@ class PlanAuditSpec extends SparkSpec {
     // the 1-row total joins as a broadcast nested loop (the P6 shape)
     assert(pl.contains("BroadcastNestedLoopJoin"), pl)
   }
+
+  test("B12k r13: nodeSimilarityTopK is two-stage — the first rank window " +
+      "partitions on (id, bucket), never id alone") {
+    import spark.implicits._
+    val e = Seq(("p1", "x"), ("p1", "y"), ("p2", "x"), ("p2", "y"),
+      ("p3", "y")).toDF("src", "dst")
+    val pl = plan(graft.graph.GraphOps.nodeSimilarityTopK(e, 0.1, topK = 2))
+    val windows = pl.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(windows.nonEmpty, pl)
+    // the staged prune: at least one window keyed on the hash bucket;
+    // the r12 single Window.partitionBy(id) had none
+    assert(windows.exists(_.contains("__bkt")),
+      s"expected a (id, __bkt) pruning window:\n$pl")
+  }
+
 }
