@@ -2738,29 +2738,38 @@ object GraphOps {
     * (inOutFactor); the first step is uniform (no prev). The choice
     * stays DETERMINISTIC by the house rule: u = xxhash64(walk, t,
     * seed) mapped to [0,1), and the walk takes the candidate whose
-    * cumulative-weight interval — candidates in (dst-hash-bucket, dst)
-    * order, the same total order [[randomWalk]]'s r12 index uses —
-    * contains u·total; p = q = 1 is a uniform pick, and reruns/engines
-    * agree where GDS would hand back a new sample. If floating-point
-    * accumulation leaves u at or past the last cumulative value (the
-    * r12-advice silent-drop case: u·total can round up to exactly
-    * total), the walk CLAMPS to the last candidate — a walk can never
-    * vanish from the output.
+    * cumulative-weight interval contains u·total; p = q = 1 is a
+    * uniform pick, and reruns/engines agree where GDS would hand back
+    * a new sample. A walk can NEVER silently vanish (the r12-advice
+    * FP-drop case — u·total rounding up to exactly total): u carries a
+    * 1e-6 multiplicative margin that provably lands it strictly below
+    * the last cumulative value for any degree under ~2·10⁹ (see
+    * `unit`), so interval membership matches exactly one candidate.
     *
     * Scale shape: per step one candidate equi-join + one adjacency
     * LEFT join against the symmetrized edge set; the cumulative weight
-    * is TWO-STAGE (r13, the randomWalk r12 pattern): a running sum
-    * within (walk, dst-hash-bucket) — a hub walk's d candidates spread
-    * over B bounded partitions — then bucket offsets chained over ≤ B
-    * rows per walk. Offsets chain off each bucket's LAST running value
-    * (not a re-aggregated sum), so consecutive intervals stay BITWISE
-    * adjacent across bucket boundaries — no FP gap can swallow or
-    * duplicate a walk. No window ever sees a whole hub neighborhood in
-    * one task. O(walkLength) rounds, no per-walk driver loop. Returns
+    * is ADAPTIVE (r13, the JaccardJoin probe pattern — the measured
+    * bench cost of unconditional staging was +73% on a hub-free
+    * graph): under `bucketDegreeThreshold` max out-degree (measured
+    * once) the per-walk window is already bounded and runs single-
+    * stage in dst order; above it the sum goes TWO-STAGE (the
+    * randomWalk r12 pattern) — a running sum within (walk,
+    * dst-hash-bucket) spreading a hub walk's d candidates over B
+    * bounded partitions, then bucket offsets chained over ≤ B rows per
+    * walk off each bucket's LAST running value (not a re-aggregated
+    * sum), so consecutive intervals stay BITWISE adjacent across
+    * bucket boundaries — no FP gap can swallow or duplicate a walk,
+    * and no window ever sees a whole hub neighborhood in one task.
+    * The candidate order differs between paths (dst vs (bucket, dst) —
+    * both total and deterministic), so walks SAMPLE differently across
+    * the threshold; GDS's sampling contract allows any sample, and
+    * validity/α-class/clamp invariants hold on both (spec-forced).
+    * O(walkLength) rounds, no per-walk driver loop. Returns
     * (walk_id, start, steps, path). */
   def node2vecWalk(edges: DataFrame, walksPerNode: Int = 1,
                    walkLength: Int = 5, p: Double = 1.0, q: Double = 1.0,
-                   seed: Long = 42L): DataFrame = {
+                   seed: Long = 42L,
+                   bucketDegreeThreshold: Long = 4096L): DataFrame = {
     require(walksPerNode >= 1 && walkLength >= 1 && walkLength <= 20,
       "node2vecWalk: walksPerNode >= 1 and walkLength in 1..20")
     require(p > 0 && q > 0, "node2vecWalk: returnFactor p and inOutFactor q " +
@@ -2770,15 +2779,37 @@ object GraphOps {
     val e = edges.select(col("src").cast("string").as("src"),
       col("dst").cast("string").as("dst")).distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // ADAPTIVE de-skew (the JaccardJoin max-df probe pattern): the
+    // two-stage cumulative weight costs two extra candidate shuffles
+    // per step, which only buys anything when some window partition is
+    // hub-sized — measured once. Below the threshold the single
+    // per-walk window (bounded by max out-degree) is the cheaper plan;
+    // above it, buckets bound every partition. The candidate ORDER
+    // differs between paths (dst vs (bucket, dst) — both total and
+    // deterministic), so the sampled walks differ across the
+    // threshold, which GDS's own sampling contract allows; validity,
+    // α-class behavior and the never-drop clamp hold on both.
+    val maxDegRow = e.groupBy(col("src")).agg(count(lit(1)).as("d"))
+      .agg(max(col("d"))).collect()(0)
+    val twoStage = !maxDegRow.isNullAt(0) &&
+      maxDegRow.getLong(0) > bucketDegreeThreshold
     val adj = e.unionByName(e.select(col("dst").as("src"), col("src").as("dst")))
       .distinct().select(col("src").as("a_prev"), col("dst").as("a_dst"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val srcs = e.select(col("src")).distinct()
-    // u in [0,1): top 53 bits of the step hash (the double-precision
-    // mantissa width), engine-reproducible
+    // u in [0, 1 − 1e-6]: top 53 bits of the step hash (the double-
+    // precision mantissa width), engine-reproducible; the 1e-6 margin
+    // is the NEVER-DROP guarantee (r13, advice) — u·total must land
+    // strictly below the last cumulative value even under accumulated
+    // FP error. Both cum and tot err ≤ n·ε relative to the true sum
+    // (n = candidate count, ε = 2⁻⁵²), so u ≤ (1−1e-6)(1+nε)·S <
+    // (1−nε)·S ≤ cum_last for any n < ~2·10⁹ — far beyond any degree —
+    // and the consecutive intervals (bitwise-adjacent by construction
+    // in both paths) then contain exactly one match per walk. The
+    // margin distorts sampling by ≤ 1e-6 relative, deterministically.
     def unit(stepNo: Int): Column =
       (shiftrightunsigned(xxhash64(col("walk_id"), lit(stepNo), lit(seed)), 11)
-        .cast("double")) / lit(9007199254740992.0) // 2^53
+        .cast("double")) / lit(9007199254740992.0) * lit(1.0 - 1e-6) // 2^53
     var state = graft.Borrow.severLazy(
       e.select(col("src").as("id")).unionByName(e.select(col("dst").as("id")))
         .distinct()
@@ -2807,34 +2838,40 @@ object GraphOps {
           pmod(xxhash64(col("cdst")), lit(nBuckets)).cast("int"))
         .select(col("walk_id"), col("start"), col("cur"), col("path"),
           col("cdst"), col("wt"), col("bkt"))
-      // stage 1: running weight within (walk, bucket) — partitions
-      // bounded by maxdeg/B; `bn` = the bucket's LAST running value
-      // (max of a strictly increasing sum), so stage 2 chains offsets
-      // off bitwise-identical numbers and intervals stay adjacent
-      val wBkt = Window.partitionBy(col("walk_id"), col("bkt"))
-      val staged = cand
-        .withColumn("cumb", sum(col("wt")).over(wBkt.orderBy(col("cdst"))))
-        .withColumn("bn", max(col("cumb")).over(wBkt))
-      // stage 2: per-walk bucket offsets + total over ≤ B rows
-      val wWalk = Window.partitionBy(col("walk_id"))
-      val offsets = staged.select(col("walk_id"), col("bkt"), col("bn")).distinct()
-        .withColumn("off",
-          sum(col("bn")).over(wWalk.orderBy(col("bkt"))) - col("bn"))
-        .withColumn("tot", sum(col("bn")).over(wWalk))
-        .withColumn("lastbkt", col("bkt") === max(col("bkt")).over(wWalk))
-        .select(col("walk_id"), col("bkt"), col("off"), col("tot"), col("lastbkt"))
-      val scored = staged.join(offsets, Seq("walk_id", "bkt"))
-        .withColumn("cum", col("off") + col("cumb"))
-        .withColumn("u", unit(step) * col("tot"))
-        // the clamp arm fires only when u lands at/past the last
-        // cumulative value (FP slop) — mutually exclusive with the
-        // interval arm (which needs u < cum), so exactly one candidate
-        // wins per walk
-        .withColumn("islast", col("lastbkt") && col("cumb") === col("bn"))
+      val scored = if (twoStage) {
+        // stage 1: running weight within (walk, bucket) — partitions
+        // bounded by maxdeg/B; `bn` = the bucket's LAST running value
+        // (max of a strictly increasing sum), so stage 2 chains offsets
+        // off bitwise-identical numbers and intervals stay adjacent
+        val wBkt = Window.partitionBy(col("walk_id"), col("bkt"))
+        val staged = cand
+          .withColumn("cumb", sum(col("wt")).over(wBkt.orderBy(col("cdst"))))
+          .withColumn("bn", max(col("cumb")).over(wBkt))
+        // stage 2: per-walk bucket offsets + total over ≤ B rows
+        val wWalk = Window.partitionBy(col("walk_id"))
+        val offsets = staged.select(col("walk_id"), col("bkt"), col("bn")).distinct()
+          .withColumn("off",
+            sum(col("bn")).over(wWalk.orderBy(col("bkt"))) - col("bn"))
+          .withColumn("tot", sum(col("bn")).over(wWalk))
+          .select(col("walk_id"), col("bkt"), col("off"), col("tot"))
+        staged.join(offsets, Seq("walk_id", "bkt"))
+          .withColumn("cum", col("off") + col("cumb"))
+          .withColumn("u", unit(step) * col("tot"))
+      } else {
+        // fast path (maxdeg ≤ threshold): one per-walk window, dst
+        // order — the r12 plan (ordered running sum + unordered
+        // total, two specs in one exchange, nothing extra: the
+        // never-drop guarantee lives in unit()'s margin, not in a
+        // clamp arm)
+        val w = Window.partitionBy(col("walk_id"))
+        cand
+          .withColumn("cum", sum(col("wt")).over(w.orderBy(col("cdst"))))
+          .withColumn("tot", sum(col("wt")).over(w))
+          .withColumn("u", unit(step) * col("tot"))
+      }
       val next = graft.Borrow.severLazy(
         scored
-          .filter((col("u") < col("cum") && col("u") >= col("cum") - col("wt")) ||
-            (col("islast") && col("u") >= col("cum")))
+          .filter(col("u") < col("cum") && col("u") >= col("cum") - col("wt"))
           .select(col("walk_id"), col("start"), col("cur").as("prev"),
             col("cdst").as("cur"),
             concat(col("path"), lit(">"), col("cdst")).as("path"),

@@ -96,15 +96,28 @@ class GraphOpsSpec extends SparkSpec {
       (1 to 40).map(i => (f"n$i%02d", "hub"))
     val e = hubEdges.toDF("src", "dst")
     val nVerts = 41
-    Seq(1L, 7L, 42L, 999L).foreach { seed =>
+    // BOTH adaptive paths (r13): threshold 1 forces the two-stage
+    // bucketed sum, the default takes the single-window fast path —
+    // each must emit exactly one row per walk for every seed
+    for (seed <- Seq(1L, 7L, 42L, 999L); thr <- Seq(1L, 4096L)) {
       val out = GraphOps.node2vecWalk(e, walksPerNode = 2, walkLength = 3,
-        p = 2.0, q = 0.5, seed = seed)
+        p = 2.0, q = 0.5, seed = seed, bucketDegreeThreshold = thr)
       assert(out.count() == nVerts * 2L,
-        s"seed $seed: a walk vanished (expected ${nVerts * 2})")
+        s"seed $seed thr $thr: a walk vanished (expected ${nVerts * 2})")
       // one row per walk_id — the clamp arm and the interval arm are
       // mutually exclusive, so no walk may duplicate either
       assert(out.select(col("walk_id")).distinct().count() == nVerts * 2L)
     }
+    // α classes hold on the forced two-stage path too (the fast path's
+    // classes are the r12 spec above)
+    val aEdges = edgeDf("a" -> "b", "b" -> "a", "b" -> "c", "b" -> "d", "c" -> "a")
+    def walkOfA(p0: Double, q0: Double): String =
+      GraphOps.node2vecWalk(aEdges, walksPerNode = 1, walkLength = 2,
+          p = p0, q = q0, bucketDegreeThreshold = 1L)
+        .filter(col("walk_id") === "a#0").collect().head.getString(3)
+    assert(walkOfA(1e-9, 1.0) == "a>b>a")
+    assert(walkOfA(1e9, 1e9) == "a>b>c")
+    assert(walkOfA(1e9, 1e-9) == "a>b>d")
   }
 
   test("k1Coloring: self-loop-only and looped vertices still get a color (r13)") {
