@@ -158,6 +158,7 @@ object SparkEntry {
     "g_nodesim_filtered" -> (GraphQueries.gNodesimFiltered _),
     "g_mst"        -> (GraphQueries.gMst _),
     "g_steiner"    -> (GraphQueries.gSteiner _),
+    "g_bellman"    -> (GraphQueries.gBellman _),
     "g_articulation" -> (GraphQueries.gArticulation _),
     "g_bridges"    -> (GraphQueries.gBridges _),
     "g_hashgnn"    -> (GraphQueries.gHashgnn _),
@@ -1025,6 +1026,29 @@ object SparkEntry {
     "g_wpaths" -> wPathsOracle,
     "g_astar" -> wPathsOracleSql("WHERE root = 's:40' AND id = 'p:20'"),
     "g_steiner" -> steinerOracleSql,
+    // B39 (r13): negative-weight shortest distances on the supply-chain
+    // DAG — min over every enumerated r:0-anchored walk (the DAG is
+    // stage-ordered, walks ≤ 5 hops; negative-safe by construction)
+    "g_bellman" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT src, dst,
+        |    (CAST(substr(src, 3) AS INT) + CAST(substr(dst, 3) AS INT)) % 5 - 2 AS w
+        |  FROM (
+        |    SELECT 'r:'||n_regionkey AS src, 'n:'||n_nationkey AS dst FROM nation
+        |    UNION ALL SELECT 'n:'||c_nationkey, 'c:'||c_custkey FROM customer
+        |    UNION ALL SELECT 'c:'||o_custkey, 'o:'||o_orderkey FROM orders
+        |    UNION ALL SELECT DISTINCT 'o:'||l_orderkey, 'p:'||l_partkey
+        |      FROM lineitem WHERE l_partkey % 20 = 0
+        |    UNION ALL SELECT DISTINCT 'p:'||l_partkey, 's:'||l_suppkey
+        |      FROM lineitem WHERE l_partkey % 20 = 0)
+        |), walk AS (
+        |  SELECT 'r:0' AS id, 0 AS d, 0 AS hops
+        |  UNION ALL
+        |  SELECT e.dst, w.d + e.w, w.hops + 1 FROM walk w JOIN e ON e.src = w.id
+        |  WHERE w.hops < 6
+        |)
+        |SELECT id, CAST(min(d) AS BIGINT) AS dist FROM walk
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // B32 (r12): conductance = cut / min(vol, total - vol) of the
     // (key % 4) partition, unweighted symmetrized part—supplier graph
     "g_conductance" ->

@@ -671,6 +671,26 @@ object CypherCall {
         }
         out.select(col("src"), col("dst"), col("w").as("weight"))
       }),
+    // GDS gds.bellmanFord parity (r13): negative weights allowed,
+    // negative cycles loud. Weight resolution matches graft.sssp.
+    "bellmanFord" -> Proc(Seq("id", "distance", "path"),
+      Set("sourceNode", "weightProperty"),
+      (n, ed, cfg) => {
+        val src = cfg.str("sourceNode").getOrElse(
+          throw new IllegalArgumentException(
+            "bellmanFord: config key 'sourceNode' is required"))
+        val edF = filterEdges(n, ed, cfg)
+        val ed2 = cfg.str("weightProperty") match {
+          case Some(p) =>
+            require(edF.columns.contains("props"),
+              "bellmanFord: weightProperty needs a 'props' column on the edge frame")
+            edF.withColumn("w", element_at(col("props"), p).cast("double"))
+          case None if edF.columns.contains("w") => edF
+          case None => edF.withColumn("w", lit(1.0))
+        }
+        GraphOps.bellmanFord(orientEdges(ed2, cfg), src)
+          .select(col("id"), col("dist").as("distance"), col("path"))
+      }),
     // GDS gds.steinerTree parity (r13): shortest-path-tree heuristic
     // from sourceNode to targetNodes; unreachable targets omitted
     "steinerTree" -> Proc(Seq("src", "dst", "weight"),

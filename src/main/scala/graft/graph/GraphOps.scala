@@ -1739,6 +1739,72 @@ object GraphOps {
     state
   }
 
+  /** B39 — BELLMAN-FORD with NEGATIVE weights (`gds.bellmanFord`;
+    * r13): single-source shortest paths where edge weights may be
+    * negative — the GDS catalog's dijkstra escape hatch — with
+    * NEGATIVE-CYCLE detection. The relaxation loop is
+    * [[ssspPathsFrom]]'s verbatim (per round one candidate equi-join +
+    * keyed struct-min + strictly-improving merge — round-synchronous
+    * Bellman-Ford is exactly what that frontier already is; only the
+    * positivity probe differs), and in a negative-cycle-free graph
+    * shortest walks are simple, so it settles in < |V| rounds. An
+    * improvement in round |V| proves a shortest walk with ≥ |V| edges
+    * — necessarily a repeated vertex on a NEGATIVE cycle — and raises
+    * LOUDLY (GDS streams the cycle; exact-or-loud is the house rule,
+    * and the message says which). Deterministic tie-breaks as in
+    * ssspPathsFrom (fewest-hops-first among equal-weight walks, struct
+    * (dist, path) min within a round). Returns (id, dist, path) for
+    * every vertex reachable from `source`. */
+  def bellmanFord(edges: DataFrame, source: String,
+                  weightCol: String = "w"): DataFrame = {
+    val spark = edges.sparkSession
+    val e = edges.select(col("src").cast("string").as("src"),
+        col("dst").cast("string").as("dst"),
+        col(weightCol).cast("double").as("w"))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    require(e.filter(col("w").isNull).limit(1).count() == 0,
+      s"bellmanFord: weight column '$weightCol' is null or non-numeric " +
+        "on at least one edge")
+    val nV = e.select(col("src").as("id"))
+      .unionByName(e.select(col("dst").as("id"))).distinct().count()
+    var state = spark.range(1)
+      .select(lit(source).as("id"), lit(0.0).as("dist"),
+        lit(source).as("path"))
+      .localCheckpoint()
+    var frontier = state
+    var n = frontier.count()
+    var round = 0L
+    while (n > 0) {
+      round += 1
+      require(round <= nV, // improvement in round |V| ⇒ non-simple walk
+        s"bellmanFord: still improving after $nV rounds — a NEGATIVE " +
+          s"CYCLE is reachable from '$source' (shortest paths are " +
+          "undefined on it)")
+      val cand = frontier.join(e, frontier("id") === e("src"))
+        .select(e("dst").as("id"), (col("dist") + col("w")).as("nd"),
+          concat(col("path"), lit(">"), e("dst")).as("npath"))
+        .groupBy(col("id"))
+        .agg(min(struct(col("nd"), col("npath"))).as("b"))
+        .select(col("id"), col("b.nd").as("nd"), col("b.npath").as("npath"))
+      val improved = cand
+        .join(state.select(col("id").as("o_id"), col("dist").as("od")),
+          cand("id") === col("o_id"), "left")
+        .filter(col("od").isNull || col("nd") < col("od"))
+        .select(col("id"), col("nd").as("dist"), col("npath").as("path"))
+        .localCheckpoint(false) // lazy: count below materializes
+      n = improved.count()
+      if (n > 0)
+        state = state
+          .join(improved.select(col("id").as("i_id")),
+            state("id") === col("i_id"), "left_anti")
+          .unionByName(improved).localCheckpoint()
+      frontier = improved
+    }
+    val out = state
+    graft.Borrow.reclaim(out, e)
+  }
+
   /** B30 — A* single-pair shortest path (`gds.shortestPath.astar`
     * parity, r12): the [[ssspPathsFrom]] Bellman-Ford frontier with
     * GOAL-DIRECTED PRUNING. `heuristic` is a per-node (id, h) frame of

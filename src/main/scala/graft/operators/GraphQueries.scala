@@ -485,6 +485,25 @@ object GraphQueries {
       .select(col("src"), col("dst"), col("w").cast("long").as("w"))
       .orderBy(col("src"), col("dst"))
 
+  /** B39 — Bellman-Ford with NEGATIVE weights (gds.bellmanFord parity,
+    * r13) from r:0 over the supply-chain DAG, weights
+    * (key(src) + key(dst)) % 5 − 2 ∈ {−2..2} — a DAG is negative-safe
+    * by construction, so distances are well-defined and the DuckDB
+    * twin recomputes them as min over the enumerated root-anchored
+    * walks (the g_toposort oracle's walk, summed). Integral weights →
+    * exact longs. Distances only: path tie-breaks are round-greedy
+    * (the g_wpaths UNROLLING story), and the distance objective is
+    * tie-free. */
+  def gBellman(s: SparkSession, dir: String): DataFrame = {
+    val key = (c: org.apache.spark.sql.Column) => substring(c, 3, 100).cast("int")
+    val e = TestGraph.supplyChainDagEdges(s, dir)
+      .withColumn("w", (pmod(key(col("src")) + key(col("dst")), lit(5)) - 2)
+        .cast("double"))
+    GraphOps.bellmanFord(e, source = "r:0")
+      .select(col("id"), col("dist").cast("long").as("dist"))
+      .orderBy(col("id"))
+  }
+
   /** B38 — Steiner tree (gds.steinerTree parity, r13): the
     * shortest-path-tree heuristic from s:40 to three pinned part
     * targets on the weighted symmetric graph; the DuckDB twin unions

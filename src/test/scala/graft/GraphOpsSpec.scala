@@ -435,6 +435,53 @@ class GraphOpsSpec extends SparkSpec {
       Some("w")))
   }
 
+  test("bellmanFord: negative-weight reroute, negative-cycle loud, " +
+      "unreachable omitted (r13)") {
+    import spark.implicits._
+    def wEdges(rows: (String, String, Double)*) = rows.toDF("src", "dst", "w")
+    // the longer path wins BECAUSE of a negative edge: s→a→b→t costs
+    // 1+1−3 = −1, beating the direct s→t at 0.5 — dijkstra-family
+    // positivity would have refused this graph outright
+    val e = wEdges(("s", "a", 1.0), ("a", "b", 1.0), ("b", "t", -3.0),
+      ("s", "t", 0.5), ("q", "z", 1.0))
+    val out = GraphOps.bellmanFord(e, "s")
+      .collect().map(r => r.getString(0) -> ((r.getDouble(1), r.getString(2))))
+      .toMap
+    assert(out("t") == ((-1.0, "s>a>b>t")))
+    assert(out("a") == ((1.0, "s>a")) && out("b") == ((2.0, "s>a>b")))
+    assert(!out.contains("z")) // unreachable from s
+    // a NEGATIVE CYCLE reachable from the source is loud, with the
+    // cycle named in the contract (never a silent -inf spiral)
+    val cyc = wEdges(("s", "a", 1.0), ("a", "b", 1.0), ("b", "a", -2.0),
+      ("b", "t", 1.0))
+    val ex = intercept[IllegalArgumentException](GraphOps.bellmanFord(cyc, "s"))
+    assert(ex.getMessage.contains("NEGATIVE CYCLE"))
+    // a negative cycle NOT reachable from the source does not disturb
+    // the run (GDS's own scoping)
+    val off = wEdges(("s", "a", 1.0), ("x", "y", -2.0), ("y", "x", 1.0))
+    assert(GraphOps.bellmanFord(off, "s").count() == 2)
+    // zero-weight edges are legal here (the dijkstra family refuses)
+    val zero = wEdges(("s", "a", 0.0), ("a", "t", 0.0))
+    assert(GraphOps.bellmanFord(zero, "s")
+      .filter(col("id") === "t").collect().head.getDouble(1) == 0.0)
+    // null weight loud
+    intercept[IllegalArgumentException](GraphOps.bellmanFord(
+      e.withColumn("w", lit(null).cast("double")), "s"))
+    // CALL surface parity
+    val nodes = Seq("s", "a", "b", "t").map(i => (i, "V", Map.empty[String, String]))
+      .toDF("id", "label", "props")
+    val eg = e.filter(col("src") =!= "q")
+      .withColumn("etype", lit("T")).withColumn("event_id", lit(1))
+      .withColumn("props", map(lit("cost"), col("w").cast("string")))
+      .select(col("etype"), col("src"), col("dst"), col("event_id"),
+        col("props"), col("w"))
+    val viaCall = graft.graph.CypherCall.run(nodes, eg.drop("w"),
+      "CALL graft.bellmanFord({sourceNode: 's', weightProperty: 'cost'}) " +
+        "YIELD id, distance WHERE id = 't' RETURN id, distance")
+      .collect().map(r => (r.getString(0), r.getDouble(1)))
+    assert(viaCall.toSeq == Seq(("t", -1.0)))
+  }
+
   test("steinerTree: shared segments counted once, unreachable targets " +
       "omitted, direct-edge decoy loses (r13)") {
     import spark.implicits._
