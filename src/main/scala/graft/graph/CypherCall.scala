@@ -95,6 +95,9 @@ object CypherCall {
       case v => fail(k, v, "a list of numbers")
     }
     def has(k: String): Boolean = m.contains(k)
+    /** True iff the raw value was spelled as a list — the spelling
+      * that forces node-ID semantics in [[nodeFilterFrame]] (r14). */
+    def isList(k: String): Boolean = m.get(k).exists(_.isInstanceOf[Seq[_]])
     private def fail(k: String, v: Any, want: String): Nothing =
       throw new IllegalArgumentException(
         s"$name: config key '$k' must be $want, got $v")
@@ -254,19 +257,28 @@ object CypherCall {
   /** GDS node-filter config (`sourceNodeFilter`/`targetNodeFilter`,
     * r13): a SINGLE string that names an existing label filters by
     * label (GDS's label spelling); anything else — a list, or a string
-    * matching no label — is a node-id set. The label probe is one
-    * limit-1 scan; ids cast to the edge frame's id type like
-    * [[seedFrame]]. */
+    * matching no label — is a node-id set. PRECEDENCE (r14, advice):
+    * a single string matching BOTH a label and a node id is AMBIGUOUS
+    * and raises loudly — the list spelling `['x']` always forces id
+    * semantics, so every node stays addressable and adding a label
+    * later can never silently change an existing query. The label and
+    * ambiguity probes are one limit-1 scan each; ids cast to the edge
+    * frame's id type like [[seedFrame]]. */
   private def nodeFilterFrame(nodes: DataFrame, edges: DataFrame,
                               cfg: Cfg, key: String): Option[DataFrame] =
     cfg.strs(key).map { vals =>
-      val asLabel = vals.size == 1 &&
+      val asLabel = vals.size == 1 && !cfg.isList(key) &&
         nodes.filter(col("label") === vals.head).limit(1).count() > 0
-      if (asLabel)
+      if (asLabel) {
+        require(nodes.filter(col("id").cast("string") === vals.head)
+            .limit(1).count() == 0,
+          s"${cfg.name}: $key '${vals.head}' matches both a label and a " +
+            "node id — use the list spelling ['" + vals.head + "'] to " +
+            "force node-id semantics (a single string means label)")
         nodes.filter(col("label") === vals.head)
           .select(col("id").cast(edges.schema("src").dataType).as("id"))
           .distinct()
-      else seedFrame(edges, vals)
+      } else seedFrame(edges, vals)
     }
 
   // ------------------------------------------------------------- registry

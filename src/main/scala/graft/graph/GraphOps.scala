@@ -1006,8 +1006,12 @@ object GraphOps {
         uncolored.join(winners.select(col("id")), Seq("id"), "left_anti"))
       n = uncolored.count()
     }
-    require(n == 0,
-      s"k1Coloring: $n vertices uncolored after $maxIter rounds — raise maxIter")
+    if (n != 0) { // release the borrow BEFORE raising (r14, advice):
+      sym.unpersist() // the reclaim below never runs on this path
+      throw new IllegalArgumentException(
+        s"requirement failed: k1Coloring: $n vertices uncolored after " +
+          s"$maxIter rounds — raise maxIter")
+    }
     val out = colored.unionByName(loopOnly)
     graft.Borrow.reclaim(out, sym)
   }
@@ -1159,8 +1163,20 @@ object GraphOps {
     val e = base.groupBy(col("src"), col("dst")).agg(min(col("w")).as("w"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val srcFrame = spark.range(1).select(lit(source).as("id"))
-    val paths = ssspPathsFrom(e, srcFrame, maxIter, "w")
-      .filter(col("id").isin(targets: _*))
+    val (allPaths, truncated) = ssspPathsFromImpl(e, srcFrame, maxIter, "w")
+    val paths = allPaths.filter(col("id").isin(targets: _*))
+    // exact-or-loud (r14, advice): when the hop bound cut an ACTIVE
+    // frontier, a missing target is UNPROVEN-unreachable — GDS omits
+    // only truly unreachable targets, so silence here would diverge
+    if (truncated) {
+      val missing = targets.toSet --
+        paths.select(col("id")).collect().map(_.getString(0)).toSet
+      require(missing.isEmpty,
+        s"steinerTree: targets ${missing.toSeq.sorted.mkString(", ")} were " +
+          s"not reached within maxIter = $maxIter hops while paths were " +
+          "still extending — they may be reachable; raise maxIter (GDS " +
+          "omits only PROVEN-unreachable targets)")
+    }
     val steps = paths
       .select(split(col("path"), ">").as("ns"))
       .filter(size(col("ns")) >= 2) // target == source: no edges
@@ -1690,7 +1706,17 @@ object GraphOps {
     * anti-join — the [[ssspFrom]] plan plus a path column, no extra
     * shuffle. */
   def ssspPathsFrom(edges: DataFrame, roots: DataFrame, maxIter: Int = 10,
-                    weightCol: String = "w"): DataFrame = {
+                    weightCol: String = "w"): DataFrame =
+    ssspPathsFromImpl(edges, roots, maxIter, weightCol)._1
+
+  /** [[ssspPathsFrom]] plus a TRUNCATION flag (r14): true iff the
+    * relaxation loop hit `maxIter` while the frontier was still
+    * improving — i.e. distances past the hop bound are UNPROVEN, so a
+    * caller that would otherwise treat absent ids as unreachable
+    * ([[steinerTree]]) must raise instead of silently dropping them. */
+  private[graph] def ssspPathsFromImpl(edges: DataFrame, roots: DataFrame,
+                                       maxIter: Int = 10,
+                                       weightCol: String = "w"): (DataFrame, Boolean) = {
     val e = edges.select(col("src").cast("string").as("src"),
         col("dst").cast("string").as("dst"),
         col(weightCol).cast("double").as("w"))
@@ -1736,7 +1762,7 @@ object GraphOps {
       frontier = improved
     }
     e.unpersist()
-    state
+    (state, n > 0) // n > 0 here ⇔ the hop bound cut an active frontier
   }
 
   /** B39 — BELLMAN-FORD with NEGATIVE weights (`gds.bellmanFord`;
@@ -1766,8 +1792,11 @@ object GraphOps {
     require(e.filter(col("w").isNull).limit(1).count() == 0,
       s"bellmanFord: weight column '$weightCol' is null or non-numeric " +
         "on at least one edge")
-    val nV = e.select(col("src").as("id"))
-      .unionByName(e.select(col("dst").as("id"))).distinct().count()
+    // the source is a vertex even when the edge frame is empty (or
+    // doesn't mention it) — without the floor, nV = 0 would trip the
+    // round-1 negative-cycle require on a trivially cycle-free input
+    val nV = math.max(1L, e.select(col("src").as("id"))
+      .unionByName(e.select(col("dst").as("id"))).distinct().count())
     var state = spark.range(1)
       .select(lit(source).as("id"), lit(0.0).as("dist"),
         lit(source).as("path"))
@@ -2824,8 +2853,11 @@ object GraphOps {
     * bounded partitions, then bucket offsets chained over ≤ B rows per
     * walk off each bucket's LAST running value (not a re-aggregated
     * sum), so consecutive intervals stay BITWISE adjacent across
-    * bucket boundaries — no FP gap can swallow or duplicate a walk,
-    * and no window ever sees a whole hub neighborhood in one task.
+    * bucket boundaries (and selection is the struct-min of cum > u,
+    * r14 — structurally exactly one winner per walk regardless of
+    * ulp-level boundary arithmetic), so no FP gap can swallow or
+    * duplicate a walk, and no window ever sees a whole hub
+    * neighborhood in one task.
     * The candidate order differs between paths (dst vs (bucket, dst) —
     * both total and deterministic), so walks SAMPLE differently across
     * the threshold; GDS's sampling contract allows any sample, and
@@ -2854,7 +2886,7 @@ object GraphOps {
     // differs between paths (dst vs (bucket, dst) — both total and
     // deterministic), so the sampled walks differ across the
     // threshold, which GDS's own sampling contract allows; validity,
-    // α-class behavior and the never-drop clamp hold on both.
+    // α-class behavior and the never-drop struct-min hold on both.
     val maxDegRow = e.groupBy(col("src")).agg(count(lit(1)).as("d"))
       .agg(max(col("d"))).collect()(0)
     val twoStage = !maxDegRow.isNullAt(0) &&
@@ -2864,15 +2896,19 @@ object GraphOps {
       .persist(StorageLevel.MEMORY_AND_DISK)
     val srcs = e.select(col("src")).distinct()
     // u in [0, 1 − 1e-6]: top 53 bits of the step hash (the double-
-    // precision mantissa width), engine-reproducible; the 1e-6 margin
-    // is the NEVER-DROP guarantee (r13, advice) — u·total must land
-    // strictly below the last cumulative value even under accumulated
-    // FP error. Both cum and tot err ≤ n·ε relative to the true sum
-    // (n = candidate count, ε = 2⁻⁵²), so u ≤ (1−1e-6)(1+nε)·S <
-    // (1−nε)·S ≤ cum_last for any n < ~2·10⁹ — far beyond any degree —
-    // and the consecutive intervals (bitwise-adjacent by construction
-    // in both paths) then contain exactly one match per walk. The
-    // margin distorts sampling by ≤ 1e-6 relative, deterministically.
+    // precision mantissa width), engine-reproducible. Candidate
+    // selection (r14, advice) is the STRUCT-MIN of cum > u — the
+    // smallest running sum strictly above the draw — so exactly-one-
+    // match is STRUCTURAL (an argmin over a nonempty set always has
+    // exactly one winner under the (cum, dst) total order; interior
+    // interval boundaries, where per-row `cum − wt` arithmetic could
+    // open 1-ulp gaps or overlaps, no longer participate at all). The
+    // 1e-6 margin then carries only NONEMPTINESS: both cum and tot err
+    // ≤ n·ε relative to the true sum (n = candidate count, ε = 2⁻⁵²),
+    // so u ≤ (1−1e-6)(1+nε)·S < (1−nε)·S ≤ cum_last for any
+    // n < ~2·10⁹ — far beyond any degree — i.e. the last candidate
+    // always satisfies cum > u and no walk ever vanishes. The margin
+    // distorts sampling by ≤ 1e-6 relative, deterministically.
     def unit(stepNo: Int): Column =
       (shiftrightunsigned(xxhash64(col("walk_id"), lit(stepNo), lit(seed)), 11)
         .cast("double")) / lit(9007199254740992.0) * lit(1.0 - 1e-6) // 2^53
@@ -2935,12 +2971,20 @@ object GraphOps {
           .withColumn("tot", sum(col("wt")).over(w))
           .withColumn("u", unit(step) * col("tot"))
       }
+      // struct-min of cum > u (r14): on adjacent intervals this picks
+      // the SAME candidate as the former [cum − wt, cum) interval
+      // filter (min cum above u IS the interval containing u), and at
+      // an interior 1-ulp boundary gap/overlap it still picks exactly
+      // one — the argmin is total, never empty (margin), never forked
       val next = graft.Borrow.severLazy(
         scored
-          .filter(col("u") < col("cum") && col("u") >= col("cum") - col("wt"))
-          .select(col("walk_id"), col("start"), col("cur").as("prev"),
-            col("cdst").as("cur"),
-            concat(col("path"), lit(">"), col("cdst")).as("path"),
+          .filter(col("cum") > col("u"))
+          .groupBy(col("walk_id"))
+          .agg(min(struct(col("cum"), col("cdst"), col("start"),
+            col("cur"), col("path"))).as("m"))
+          .select(col("walk_id"), col("m.start").as("start"),
+            col("m.cur").as("prev"), col("m.cdst").as("cur"),
+            concat(col("m.path"), lit(">"), col("m.cdst")).as("path"),
             lit(step).as("steps")))
       n = next.count()
       state = next

@@ -487,6 +487,23 @@ class CypherCallSpec extends SparkSpec {
       "CALL graft.nodeSimilarity({similarityCutoff: 0.1, " +
         "sourceNodeFilter: 'b'}) YIELD id1, id2 RETURN id1, id2 ORDER BY id2")
     assert(rows(asId).forall(_.head == "b") && asId.count() > 0)
+    // r14 (advice): a single string matching BOTH a label and a node id
+    // is ambiguous and raises loudly; the list spelling forces id
+    // semantics and keeps the collided node addressable
+    val n3 = Seq(("a", "Left"), ("b", "Right"), ("Right", "Left"))
+      .toDF("id", "label")
+      .withColumn("props", typedLit(Map.empty[String, String]))
+    val e3 = e2.unionByName(Seq(("Right", "t1"), ("Right", "t2"))
+      .toDF("src", "dst").withColumn("etype", lit("T"))
+      .withColumn("props", typedLit(Map.empty[String, String])))
+    val ex = intercept[IllegalArgumentException](CypherCall.run(n3, e3,
+      "CALL graft.nodeSimilarity({similarityCutoff: 0.1, " +
+        "sourceNodeFilter: 'Right'}) YIELD id1, id2 RETURN id1, id2"))
+    assert(ex.getMessage.contains("both a label and a node id"))
+    val forced = CypherCall.run(n3, e3,
+      "CALL graft.nodeSimilarity({similarityCutoff: 0.1, " +
+        "sourceNodeFilter: ['Right']}) YIELD id1, id2 RETURN id1, id2 ORDER BY id2")
+    assert(rows(forced).forall(_.head == "Right") && forced.count() > 0)
   }
 
   test("CypherLite.run dispatches CALL, with $params substituted into config") {

@@ -502,6 +502,38 @@ class GraphOpsSpec extends SparkSpec {
       e.withColumn("w", lit(0.0)), "s", Seq("t1"), weightCol = Some("w")))
   }
 
+  test("bellmanFord: empty edge frame returns just the source row (r14)") {
+    import spark.implicits._
+    // nV = 0 without the floor — round 1 used to raise a spurious
+    // NEGATIVE CYCLE on a trivially cycle-free (empty) input
+    val empty = Seq.empty[(String, String, Double)].toDF("src", "dst", "w")
+    val out = GraphOps.bellmanFord(empty, "s").collect()
+    assert(out.length == 1 && out.head.getString(0) == "s" &&
+      out.head.getDouble(1) == 0.0)
+    // a source absent from a NONEMPTY edge frame behaves the same
+    val off = Seq(("x", "y", 1.0)).toDF("src", "dst", "w")
+    assert(GraphOps.bellmanFord(off, "s").count() == 1)
+  }
+
+  test("steinerTree: maxIter-truncated targets raise instead of silently " +
+      "vanishing; proven-unreachable targets still omit (r14)") {
+    import spark.implicits._
+    val e = Seq(("s", "a", 1.0), ("a", "b", 1.0), ("b", "t", 1.0))
+      .toDF("src", "dst", "w")
+    // t sits 3 hops out; maxIter = 2 cuts an ACTIVE frontier, so t is
+    // UNPROVEN-unreachable — exact-or-loud, with the target named
+    val ex = intercept[IllegalArgumentException](
+      GraphOps.steinerTree(e, "s", Seq("t"), maxIter = 2, weightCol = Some("w")))
+    assert(ex.getMessage.contains("t") && ex.getMessage.contains("maxIter"))
+    // reached exactly AT the bound (frontier still active) → no raise
+    assert(GraphOps.steinerTree(e, "s", Seq("t"), maxIter = 3,
+      weightCol = Some("w")).count() == 3)
+    // frontier exhausts naturally → a missing target is PROVEN
+    // unreachable and omits silently (GDS semantics)
+    assert(GraphOps.steinerTree(e, "s", Seq("b", "zz"), maxIter = 10,
+      weightCol = Some("w")).count() == 2)
+  }
+
   test("articulationPoints/bridges: hand fixtures + component-delta " +
       "cross-check against cc() (r13)") {
     // path a—b—c: b is the cut vertex, both edges are bridges
