@@ -40,7 +40,11 @@ object Bench {
     // r13 additions: Borůvka forest (min-agg + contraction rounds),
     // hashgnn (edge-join × K min-hash rounds), winnow-seeded
     // substring dedup (the D8 full pipeline on the synthesized corpus)
-    "g_mst", "g_hashgnn", "d8_substr")
+    "g_mst", "g_hashgnn", "d8_substr",
+    // r14 additions: weighted LPA (always-distributed rounds), the
+    // SemDeDup composition (kmeans + within-cluster pairs + CC), and
+    // the BPE replace-chain scan (12 chained replaces per word)
+    "g_wlpa", "d9_semdedup", "f10_bpe")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

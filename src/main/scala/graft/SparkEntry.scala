@@ -76,6 +76,11 @@ object SparkEntry {
     }),
     "q21_dates"    -> (Relational.q21Dates _),
     "f9_redact"    -> (TextAnalysis.f9Redact _),
+    "f9_luhn"      -> (TextAnalysis.f9Luhn _), // r14: SSN + Luhn cards
+    // r14 — F10: BPE-true token counts under the fixed merge table
+    // (sql) + the distributed trainer's learned merges (rows)
+    "f10_bpe"      -> ((s, d) => TextAnalysis.f10Bpe(s, d)),
+    "f10_bpe_train" -> ((s, d) => TextAnalysis.f10BpeTrain(s, d)),
     "m2_mediasim"  -> ((s, d) => {
       val n = graft.Tables.documents(s, d).count().toInt.min(500)
       graft.multimodal.Multimodal.mediaTopK(
@@ -129,6 +134,7 @@ object SparkEntry {
     "g_hits"       -> (GraphQueries.gHits _),
     "g_wpagerank"  -> (GraphQueries.gWPagerank _),
     "g_lpa"        -> (GraphQueries.gLpa _),
+    "g_wlpa"       -> (GraphQueries.gWLpa _), // r14: weighted LPA
     "g_clustercoef" -> (GraphQueries.gClusterCoef _),
     "g_closeness"  -> (GraphQueries.gCloseness _),
     "g_harmonic"   -> (GraphQueries.gHarmonic _),
@@ -157,6 +163,8 @@ object SparkEntry {
     // hashgnn embeddings, exact substring dedup
     "g_nodesim_filtered" -> (GraphQueries.gNodesimFiltered _),
     "g_mst"        -> (GraphQueries.gMst _),
+    "g_maxst"      -> (GraphQueries.gMaxst _), // r14: objective=maximum
+    "g_kmst"       -> (GraphQueries.gKmst _),  // r14: kSpanningTree
     "g_steiner"    -> (GraphQueries.gSteiner _),
     "g_bellman"    -> (GraphQueries.gBellman _),
     "g_articulation" -> (GraphQueries.gArticulation _),
@@ -165,6 +173,7 @@ object SparkEntry {
     "g_hashgnn_ok" -> (GraphQueries.gHashgnnOk _),
     "d8_substr"    -> (Dedup.d8Substr _),
     "g_kcore"      -> ((s, d) => GraphQueries.gKcore(s, d)),
+    "g_dfs"        -> (GraphQueries.gDfs _), // r14: gds.dfs preorder
     "n1_nodemerge" -> (GraphQueries.n1NodeMerge _),
     "n2_edgemerge" -> (GraphQueries.n2EdgeMerge _),
     // reference-corpus graph queries (rows-only: the trace corpus is
@@ -353,6 +362,12 @@ object SparkEntry {
     // sketch-banded candidate variant (deterministic pigeonhole recall
     // condition on the 64-bit sign sketch); rows-only like d5_lsh
     "d5_simhash"   -> ((s, d) => Dedup.d5EmbDupSimhash(s, d)),
+    // r14 — D9 SemDeDup: the kmeans-composed pass on the real corpus
+    // (rows-only), the closed-form planted twin (hash-gated end to
+    // end), and the invariant flags (oracle pins 1s)
+    "d9_semdedup"  -> ((s, d) => Dedup.d9SemDedup(s, d)),
+    "d9_planted"   -> ((s, d) => Dedup.d9Planted(s, d)),
+    "d9_gate"      -> ((s, d) => Dedup.d9SoundGate(s, d)),
     // E. similarity search
     "e1_topk"      -> ((s, d) => Similarity.e1TopK(s, d)),
     "e2_ann"       -> ((s, d) => Similarity.e2AnnTopK(s, d)),
@@ -525,6 +540,29 @@ object SparkEntry {
        |SELECT te.src, te.dst, e.w AS w
        |FROM te JOIN e ON te.src = e.src AND te.dst = e.dst
        |ORDER BY 1, 2""".stripMargin
+
+  /** F10 oracle (r14): GENERATED from the same
+    * [[TextAnalysis.f10Merges]] table the Spark side applies, so the
+    * two can't drift — per word the identical chr(1)-separator encode,
+    * the identical replace chain in rank order, the identical
+    * symbol-count, summed per document. */
+  private val f10BpeOracle: String = {
+    val enc =
+      "chr(1) || array_to_string(string_split(w, ''), chr(1)||chr(1)) || chr(1)"
+    val merged = graft.operators.TextAnalysis.f10Merges.foldLeft(enc) {
+      case (acc, (a, b)) =>
+        s"replace($acc, chr(1)||'$a'||chr(1)||chr(1)||'$b'||chr(1), " +
+          s"chr(1)||'$a$b'||chr(1))"
+    }
+    s"""WITH w AS (SELECT doc_id,
+       |    unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
+       |  FROM documents),
+       |t AS (SELECT doc_id,
+       |    len(string_split($merged, chr(1)||chr(1))) AS t
+       |  FROM w WHERE w <> '')
+       |SELECT doc_id, CAST(sum(t) AS BIGINT) AS n_tokens
+       |FROM t GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
 
   private val modularityOracle: String =
       """WITH RECURSIVE e AS (
@@ -1002,6 +1040,30 @@ object SparkEntry {
         |  QUALIFY row_number() OVER (PARTITION BY it, dst ORDER BY cnt DESC, community) = 1)
         |SELECT community, count(*) AS size FROM lp WHERE it = 5
         |GROUP BY 1 ORDER BY size DESC, community""".stripMargin,
+    // r14 — weighted LPA: the g_lpa CTE with votes weighted by
+    // edgeWeight((p+s)%5+1) × voterNodeWeight(key%3+1); all-BIGINT vote
+    // sums, so the (cnt DESC, community) winner is tie-safe exact
+    "g_wlpa" ->
+      """WITH RECURSIVE base AS (
+        |  SELECT DISTINCT 'p:'||l_partkey AS a, 's:'||l_suppkey AS b,
+        |    CAST((l_partkey + l_suppkey) % 5 + 1 AS BIGINT) AS w
+        |  FROM lineitem WHERE l_partkey % 20 = 0),
+        |e AS (SELECT a AS src, b AS dst, w FROM base
+        |      UNION ALL SELECT b, a, w FROM base),
+        |nw AS (SELECT id, CAST(CAST(substr(id, 3) AS INT) % 3 + 1 AS BIGINT) AS nw
+        |  FROM (SELECT DISTINCT src AS id FROM e) t),
+        |v AS (SELECT DISTINCT src AS id FROM e),
+        |lp AS (
+        |  SELECT 0 AS it, id, id AS community FROM v
+        |  UNION ALL
+        |  SELECT it+1 AS it, dst AS id, community FROM (
+        |    SELECT p.it AS it, e.dst AS dst, p.community AS community,
+        |      sum(e.w * nw.nw) AS cnt
+        |    FROM lp p JOIN e ON e.src = p.id JOIN nw ON nw.id = e.src
+        |    WHERE p.it < 5 GROUP BY 1,2,3) c
+        |  QUALIFY row_number() OVER (PARTITION BY it, dst ORDER BY cnt DESC, community) = 1)
+        |SELECT community, count(*) AS size FROM lp WHERE it = 5
+        |GROUP BY 1 ORDER BY size DESC, community""".stripMargin,
     // weighted closeness: multi-root state-dedup walk CTE distances →
     // reached / Σ weighted dist, tie-safe rounded
     "g_wcloseness" ->
@@ -1090,6 +1152,77 @@ object SparkEntry {
         |SELECT e.a AS src, e.b AS dst, e.w AS w FROM ed e
         |WHERE NOT EXISTS (SELECT 1 FROM walk
         |  WHERE ea = e.a AND eb = e.b AND node = e.b)
+        |ORDER BY 1, 2""".stripMargin,
+    // B40 (r14): DFS preorder on a forest ≡ component-wise root-path
+    // order — the oracle enumerates paths and sorts their SPLIT lists
+    // (never runs a DFS; a parent's list is a strict prefix of its
+    // children's, siblings order by first differing id)
+    "g_dfs" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT 'r:'||n_regionkey AS src, 'n:'||n_nationkey AS dst FROM nation
+        |  UNION ALL SELECT 'n:'||c_nationkey, 'c:'||c_custkey FROM customer
+        |  UNION ALL SELECT 'c:'||o_custkey, 'o:'||o_orderkey FROM orders),
+        |walk AS (
+        |  SELECT 'r:0' AS id, 'r:0' AS path
+        |  UNION ALL
+        |  SELECT e.dst, w.path || '>' || e.dst FROM walk w JOIN e ON e.src = w.id)
+        |SELECT id,
+        |  CAST(row_number() OVER (ORDER BY string_split(path, '>')) - 1
+        |    AS BIGINT) AS ord
+        |FROM walk ORDER BY ord""".stripMargin,
+    // B35 objective=maximum (r14): the INVERTED cycle property — an
+    // edge is in the max-forest iff its endpoints are NOT connected
+    // via edges strictly greater under the (−w, a, b) total order
+    "g_maxst" ->
+      """WITH RECURSIVE base AS (
+        |  SELECT DISTINCT 'p:'||l_partkey AS a, 's:'||l_suppkey AS b,
+        |    CAST((l_partkey + l_suppkey) % 5 + 1 AS BIGINT) AS w
+        |  FROM lineitem WHERE l_partkey % 20 = 0 AND l_suppkey % 3 = 0),
+        |ed AS (SELECT a, b, max(w) AS w FROM base GROUP BY 1, 2),
+        |sym AS (SELECT a AS src, b AS dst, w, a AS ka, b AS kb FROM ed
+        |        UNION ALL SELECT b, a, w, a, b FROM ed),
+        |walk AS (
+        |  SELECT a AS ea, b AS eb, w AS ew, a AS node FROM ed
+        |  UNION
+        |  SELECT wk.ea, wk.eb, wk.ew, s.dst
+        |  FROM walk wk JOIN sym s ON s.src = wk.node
+        |  WHERE (-s.w, s.ka, s.kb) < (-wk.ew, wk.ea, wk.eb))
+        |SELECT e.a AS src, e.b AS dst, e.w AS w FROM ed e
+        |WHERE NOT EXISTS (SELECT 1 FROM walk
+        |  WHERE ea = e.a AND eb = e.b AND node = e.b)
+        |ORDER BY 1, 2""".stripMargin,
+    // B35k (r14): the g_mst forest → the min-vertex source's component
+    // by reachability over FOREST edges → minus the 2 heaviest under
+    // (w, src, dst) — tree and cut both independently recomputed
+    "g_kmst" ->
+      """WITH RECURSIVE base AS (
+        |  SELECT DISTINCT 'p:'||l_partkey AS a, 's:'||l_suppkey AS b,
+        |    CAST((l_partkey + l_suppkey) % 5 + 1 AS BIGINT) AS w
+        |  FROM lineitem WHERE l_partkey % 20 = 0 AND l_suppkey % 3 = 0),
+        |ed AS (SELECT a, b, min(w) AS w FROM base GROUP BY 1, 2),
+        |sym AS (SELECT a AS src, b AS dst, w, a AS ka, b AS kb FROM ed
+        |        UNION ALL SELECT b, a, w, a, b FROM ed),
+        |walk AS (
+        |  SELECT a AS ea, b AS eb, w AS ew, a AS node FROM ed
+        |  UNION
+        |  SELECT wk.ea, wk.eb, wk.ew, s.dst
+        |  FROM walk wk JOIN sym s ON s.src = wk.node
+        |  WHERE (s.w, s.ka, s.kb) < (wk.ew, wk.ea, wk.eb)),
+        |mst AS (SELECT e.a AS src, e.b AS dst, e.w AS w FROM ed e
+        |  WHERE NOT EXISTS (SELECT 1 FROM walk
+        |    WHERE ea = e.a AND eb = e.b AND node = e.b)),
+        |msym AS (SELECT src, dst FROM mst UNION ALL SELECT dst, src FROM mst),
+        |reach AS (
+        |  SELECT min(a) AS node FROM ed
+        |  UNION
+        |  SELECT m.dst FROM reach r JOIN msym m ON m.src = r.node),
+        |tree AS (SELECT mst.src, mst.dst, mst.w FROM mst
+        |  JOIN reach ON reach.node = mst.src),
+        |cut AS (SELECT src, dst FROM tree
+        |  ORDER BY w DESC, src DESC, dst DESC LIMIT 2)
+        |SELECT t.src, t.dst, t.w FROM tree t
+        |WHERE NOT EXISTS (SELECT 1 FROM cut c
+        |  WHERE c.src = t.src AND c.dst = t.dst)
         |ORDER BY 1, 2""".stripMargin,
     // B12f (r13): the g_nodesim directed expansion + the two filters
     "g_nodesim_filtered" ->
@@ -1204,6 +1337,48 @@ object SparkEntry {
       """SELECT CAST(1 AS BIGINT) AS d2_recall_ok, CAST(1 AS BIGINT) AS d2_subset_ok,
         |  CAST(1 AS BIGINT) AS d5lsh_recall_ok, CAST(1 AS BIGINT) AS d5lsh_subset_ok,
         |  CAST(1 AS BIGINT) AS d5sim_recall_ok, CAST(1 AS BIGINT) AS d5sim_subset_ok""".stripMargin,
+    // D9 planted twin (r14): the oracle recomputes EVERYTHING with
+    // zero knowledge of the Spark path — same synthesized vectors,
+    // within-(id%2)-cluster pairs, list_cosine_similarity >= 0.9,
+    // transitive min-id closure over the near-dup graph, keeper =
+    // smallest group member. Comparisons sit >= 0.05 from the
+    // threshold by construction, so FP representation can't flip them.
+    "d9_planted" ->
+      """WITH RECURSIVE ids AS (SELECT vec_id AS id FROM embeddings),
+        |cl AS (SELECT id,
+        |  CAST(CASE WHEN id % 97 = 0 THEN id + 2 ELSE id % 2 END AS BIGINT)
+        |    AS cluster FROM ids),
+        |vecs AS (SELECT id,
+        |  [CAST((CASE WHEN id % 4 = j THEN 1.0 ELSE 0.0 END)
+        |     + ((id*31 + j*17) % 7 - 3) / 1000.0 AS DOUBLE)
+        |   FOR j IN [0,1,2,3,4,5,6,7]] AS v FROM ids),
+        |pairs AS (
+        |  SELECT a.id AS id1, b.id AS id2
+        |  FROM vecs a, cl ca, vecs b, cl cb
+        |  WHERE ca.id = a.id AND cb.id = b.id
+        |    AND ca.cluster = cb.cluster AND a.id < b.id
+        |    AND list_cosine_similarity(a.v, b.v) >= 0.9),
+        |nbr AS (SELECT id1 AS id, id2 AS nb FROM pairs
+        |        UNION ALL SELECT id2, id1 FROM pairs),
+        |reach AS (
+        |  SELECT id, id AS lbl FROM ids
+        |  UNION
+        |  SELECT n.id, r.lbl FROM nbr n JOIN reach r ON r.id = n.nb),
+        |comp AS (SELECT id, min(lbl) AS keeper, count(*) AS cnt
+        |         FROM reach GROUP BY id)
+        |SELECT c.id, cl.cluster,
+        |  CASE WHEN cnt = 1 THEN 'unique'
+        |       WHEN keeper = c.id THEN 'kept' ELSE 'dropped' END AS action,
+        |  keeper
+        |FROM comp c JOIN cl ON cl.id = c.id ORDER BY c.id""".stripMargin,
+    // D9 invariant flags: Spark-side independent recomputations
+    // (exact-twin soundness, kept-pair validity, unique iff unpaired,
+    // coverage); the oracle pins 1s (the e_recall pattern)
+    "d9_gate" ->
+      """SELECT CAST(1 AS BIGINT) AS d9_sound_ok,
+        |       CAST(1 AS BIGINT) AS d9_kept_ok,
+        |       CAST(1 AS BIGINT) AS d9_unique_ok,
+        |       CAST(1 AS BIGINT) AS d9_cover_ok""".stripMargin,
     "g_sssp" ->
       """WITH RECURSIVE base AS (
         |  SELECT DISTINCT 'p:'||l_partkey AS a, 's:'||l_suppkey AS b,
@@ -1599,6 +1774,39 @@ object SparkEntry {
         |  '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
         |  '\+\d[\d ()-]{6,}\d', '<PHONE>', 'g') AS red
         |FROM documents ORDER BY doc_id LIMIT 300""".stripMargin,
+    // F9+ (r14): the oracle recomputes the LUHN SUM itself (integer
+    // arithmetic over reversed substr positions) from the same
+    // synthesized card — an independent checksum recomputation, so a
+    // broken doubling rule or position parity goes red here
+    "f9_luhn" ->
+      """WITH syn AS (SELECT doc_id,
+        |    '4532' || lpad(CAST(doc_id * 7919 % 1000000000000 AS VARCHAR), 12, '0') AS num,
+        |    text || ' ssn ' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-'
+        |      || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') || '-'
+        |      || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+        |      || ' card 4532'
+        |      || lpad(CAST(doc_id * 7919 % 1000000000000 AS VARCHAR), 12, '0')
+        |      || ' end' AS synth
+        |  FROM documents),
+        |base AS (SELECT doc_id, num,
+        |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(synth,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+        |    '\+\d[\d ()-]{6,}\d', '<PHONE>', 'g'),
+        |    '\b\d{3}-\d{2}-\d{4}\b', '<SSN>', 'g') AS red0
+        |  FROM syn),
+        |luhn AS (SELECT doc_id, num, red0,
+        |  list_sum([CASE WHEN i % 2 = 0 THEN
+        |      CASE WHEN 2*CAST(substr(reverse(num), i, 1) AS INT) > 9
+        |           THEN 2*CAST(substr(reverse(num), i, 1) AS INT) - 9
+        |           ELSE 2*CAST(substr(reverse(num), i, 1) AS INT) END
+        |    ELSE CAST(substr(reverse(num), i, 1) AS INT) END
+        |   FOR i IN [1,2,3,4,5,6,7,8,9,10,11,12,13,14,15,16]]) % 10 = 0 AS ok
+        |  FROM base)
+        |SELECT doc_id, CASE WHEN ok THEN replace(red0, num, '<CARD>')
+        |                    ELSE red0 END AS red
+        |FROM luhn ORDER BY doc_id LIMIT 300""".stripMargin,
+    "f10_bpe" -> f10BpeOracle,
     "f1_tokens" ->
       """SELECT doc_id,
         | CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS BIGINT) AS ws_tokens,

@@ -238,6 +238,27 @@ object CypherCall {
         (withW, Some("w"))
     }
 
+  /** GDS `nodeWeightProperty` (r14): resolve a per-node weight from
+    * the NODES frame — an existing column of that name wins, else a
+    * props-map entry — as an (id, nw) frame for
+    * [[GraphOps.labelPropagation]]. Loud on null/non-numeric (the
+    * [[resolveWeightProp]] probe, same rationale). */
+  private def resolveNodeWeightProp(n: DataFrame, cfg: Cfg): Option[DataFrame] =
+    cfg.str("nodeWeightProperty").map { p =>
+      val withW =
+        if (n.columns.contains(p)) n.withColumn("nw", col(p).cast("double"))
+        else {
+          require(n.columns.contains("props"),
+            s"${cfg.name}: nodeWeightProperty '$p' needs a matching node " +
+              "column or a 'props' column on the node frame")
+          n.withColumn("nw", element_at(col("props"), p).cast("double"))
+        }
+      require(withW.filter(col("nw").isNull).limit(1).count() == 0,
+        s"${cfg.name}: nodeWeightProperty '$p' is missing or non-numeric " +
+          "on at least one node")
+      withW.select(col("id"), col("nw"))
+    }
+
   /** `sourceNodes` as a seeds frame, CAST to the edge frame's id type
     * (config values arrive as strings; a Long-id graph needs Long
     * seeds or the local finishers' exact-equality lookups miss and
@@ -310,10 +331,18 @@ object CypherCall {
       (n, ed, cfg) =>
         GraphOps.sccDataFrame(selectEdges(n, ed, cfg), cfg.int("maxIterations", 15))
           .select(col("id"), col("component").as("componentId"))),
-    "labelPropagation" -> Proc(Seq("id", "communityId"), Set("maxIterations"),
-      (n, ed, cfg) =>
-        GraphOps.labelPropagation(selectEdges(n, ed, cfg), cfg.int("maxIterations", 5))
-          .select(col("id"), col("community").as("communityId"))),
+    "labelPropagation" -> Proc(Seq("id", "communityId"),
+      Set("maxIterations", "relationshipWeightProperty", "nodeWeightProperty"),
+      (n, ed, cfg) => {
+        // GDS parity (r14): votes scale with the edge weight and the
+        // voting node's weight — the last community proc to grow its
+        // weighted twin (louvain/leiden already have theirs)
+        val (ed2, wcol) = resolveWeightProp(filterEdges(n, ed, cfg), cfg)
+        GraphOps.labelPropagation(orientEdges(ed2, cfg),
+            cfg.int("maxIterations", 5), weightCol = wcol,
+            nodeWeights = resolveNodeWeightProp(n, cfg))
+          .select(col("id"), col("community").as("communityId"))
+      }),
     "louvain" -> Proc(Seq("id", "communityId"),
       Set("maxLevels", "maxIterations", "relationshipWeightProperty"),
       (n, ed, cfg) => {
@@ -380,16 +409,34 @@ object CypherCall {
           .select(col("id"), col("harmonic").as("score"))
       }),
     "betweenness" -> Proc(Seq("id", "score"),
-      Set("sourceNodes", "maxDepth", "undirectedInput", "relationshipWeightProperty"),
+      Set("sourceNodes", "maxDepth", "undirectedInput",
+        "relationshipWeightProperty", "samplingSize"),
       (n, ed, cfg) => {
         val (ed2, wcol) = resolveWeightProp(filterEdges(n, ed, cfg), cfg)
         val e = orientEdges(ed2, cfg)
-        // sourceNodes = GDS's samplingSize idea made explicit: Brandes
-        // roots. halve pairs with the symmetrized-input fast path
-        // (weighted path does its own pair dedup — undirectedInput is
-        // only the unweighted BFS shortcut, halve applies to both).
+        // sourceNodes = explicit Brandes roots; samplingSize (r14) =
+        // GDS's own scale escape hatch — full-root Brandes is the one
+        // plan nobody runs at 100×. The sample is DETERMINISTIC: the k
+        // smallest (xxhash64(id), id) vertices (the P3/E7 init
+        // pattern — partition-arrival-invariant, one bounded
+        // TakeOrderedAndProject, reruns and engines agree where GDS
+        // would hand back a random subset). halve pairs with the
+        // symmetrized-input fast path (weighted path does its own pair
+        // dedup — undirectedInput is only the unweighted BFS shortcut,
+        // halve applies to both).
         val undirected = cfg.bool("undirectedInput", false)
-        val roots = cfg.strs("sourceNodes").map(seedFrame(ed, _)).getOrElse(allVertices(e))
+        require(!(cfg.has("sourceNodes") && cfg.has("samplingSize")),
+          s"${cfg.name}: sourceNodes and samplingSize are mutually " +
+            "exclusive (explicit roots vs a deterministic sample)")
+        val roots = cfg.strs("sourceNodes").map(seedFrame(ed, _))
+          .orElse(if (!cfg.has("samplingSize")) None else Some {
+            val k = cfg.int("samplingSize", 0)
+            require(k >= 1, s"${cfg.name}: samplingSize must be >= 1")
+            allVertices(e)
+              .orderBy(xxhash64(col("id").cast("string")), col("id").cast("string"))
+              .limit(k)
+          })
+          .getOrElse(allVertices(e))
         GraphOps.betweenness(e, roots, cfg.int("maxDepth", 20),
             halve = undirected, undirectedInput = undirected && wcol.isEmpty,
             weightCol = wcol)
@@ -400,6 +447,17 @@ object CypherCall {
         val seeds = cfg.strs("sourceNodes").getOrElse(
           throw new IllegalArgumentException("bfs: config key 'sourceNodes' is required"))
         GraphOps.bfs(selectEdges(n, ed, cfg), seedFrame(ed, seeds), cfg.int("maxDepth", 20))
+      }),
+    // GDS gds.dfs parity (r14): deterministic sorted-adjacency
+    // depth-first preorder — the bounded-local-finisher contract
+    // (a DFS order is sequential by definition; loud above the bound)
+    "dfs" -> Proc(Seq("id", "ord"), Set("sourceNode", "maxDepth"),
+      (n, ed, cfg) => {
+        val src = cfg.str("sourceNode").getOrElse(
+          throw new IllegalArgumentException(
+            "dfs: config key 'sourceNode' is required"))
+        GraphOps.dfs(selectEdges(n, ed, cfg), src,
+          cfg.int("maxDepth", Int.MaxValue))
       }),
     "sssp" -> Proc(Seq("id", "distance"),
       Set("sourceNodes", "maxIterations", "weightProperty"),
@@ -666,11 +724,13 @@ object CypherCall {
     // component — Prim's tree, since the (w, src, dst)-minimal forest
     // is unique
     "spanningTree" -> Proc(Seq("src", "dst", "weight"),
-      Set("relationshipWeightProperty", "sourceNode", "maxIterations"),
+      Set("relationshipWeightProperty", "sourceNode", "maxIterations",
+        "objective"),
       (n, ed, cfg) => {
         val (ed2, wcol) = resolveWeightProp(filterEdges(n, ed, cfg), cfg)
         val forest = GraphOps.spanningTree(orientEdges(ed2, cfg), wcol,
-          cfg.int("maxIterations", 30))
+          cfg.int("maxIterations", 30),
+          cfg.str("objective").getOrElse("minimum"))
         val out = cfg.str("sourceNode") match {
           case Some(s0) =>
             val comps = GraphOps.connectedComponents(forest)
@@ -682,6 +742,22 @@ object CypherCall {
           case None => forest
         }
         out.select(col("src"), col("dst"), col("w").as("weight"))
+      }),
+    // GDS gds.kSpanningTree parity (r14): the sourceNode tree split
+    // into k sub-trees by cutting the k−1 objective-far edges
+    "kSpanningTree" -> Proc(Seq("src", "dst", "weight"),
+      Set("k", "sourceNode", "relationshipWeightProperty",
+        "maxIterations", "objective"),
+      (n, ed, cfg) => {
+        require(cfg.has("k"), "kSpanningTree: config key 'k' is required")
+        val src = cfg.str("sourceNode").getOrElse(
+          throw new IllegalArgumentException(
+            "kSpanningTree: config key 'sourceNode' is required"))
+        val (ed2, wcol) = resolveWeightProp(filterEdges(n, ed, cfg), cfg)
+        GraphOps.kSpanningTree(orientEdges(ed2, cfg), cfg.int("k", 1), src,
+            wcol, cfg.int("maxIterations", 30),
+            cfg.str("objective").getOrElse("minimum"))
+          .select(col("src"), col("dst"), col("w").as("weight"))
       }),
     // GDS gds.bellmanFord parity (r13): negative weights allowed,
     // negative cycles loud. Weight resolution matches graft.sssp.

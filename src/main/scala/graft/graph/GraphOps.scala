@@ -415,32 +415,86 @@ object GraphOps {
 
   /** Synchronous label-propagation community detection (Neo4j GDS LPA),
     * made DETERMINISTIC: each round every vertex adopts its neighbors'
-    * most frequent label, ties broken by the smaller label — so runs
-    * are reproducible (async LPA, the textbook version, is not). Fixed
-    * round count; one join + two aggregations per round. Returns
-    * (id, community). */
+    * strongest label — the most frequent one unweighted, the largest
+    * Σ edgeWeight·nodeWeight(voter) weighted — ties broken by the
+    * smaller label, so runs are reproducible (async LPA, the textbook
+    * version, is not). Fixed round count; one join + two aggregations
+    * per round. Returns (id, community).
+    *
+    * GDS parity (r14): `weightCol` is `relationshipWeightProperty`
+    * (votes scale with the edge weight; input contract like
+    * [[louvain]] — a directed edge list whose undirected weight is
+    * the sum of its directed occurrences after triple-dedup, self-
+    * loops dropped), `nodeWeights` is `nodeWeightProperty` as an
+    * (id, nw) frame (a voter's label counts nw-fold; vertices absent
+    * from the frame weigh 1). Both must be strictly positive — a
+    * zero/negative weight would silently erase or invert votes, so
+    * it's loud (one limit-1 probe each, the house rule).
+    *
+    * The weighted path always runs the DISTRIBUTED rounds (the local
+    * finisher mirrors the unweighted vote only), so its sql gate
+    * doubles as the forced-distributed check the unweighted twin gets
+    * from `localFinishEdges = 0`. Weighted determinism matches the
+    * oracle exactly when weight products are integer-representable
+    * (the gate's fixtures are); arbitrary floats follow the standard
+    * FP-sum caveat. */
   def labelPropagation(edges: DataFrame, iters: Int = 5,
-                       localFinishEdges: Long = 250000L): DataFrame = {
-    val sym = undirected(edges).persist(StorageLevel.MEMORY_AND_DISK)
+                       localFinishEdges: Long = 250000L,
+                       weightCol: Option[String] = None,
+                       nodeWeights: Option[DataFrame] = None): DataFrame = {
+    val weighted = weightCol.nonEmpty || nodeWeights.nonEmpty
+    // unweighted input is EXACTLY the r12 construction (id type and
+    // self-loop semantics preserved); weighted goes through the louvain
+    // contract (string ids, self-loops dropped, directed weights sum)
+    val sym = (
+      if (!weighted) undirected(edges).withColumn("w", lit(1.0))
+      else if (weightCol.nonEmpty) weightedSymInput(edges, weightCol)
+      else weightedSymInput(edges.select(col("src").cast("string").as("src"),
+        col("dst").cast("string").as("dst")), None) // node-weights-only:
+      // string ids so the nw join below matches (the louvain contract)
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    if (weighted) {
+      require(sym.filter(col("w").isNull || col("w") <= 0).limit(1).count() == 0,
+        s"labelPropagation: weight column '${weightCol.getOrElse("w")}' must " +
+          "be strictly positive on every edge (zero/negative weights " +
+          "silently erase or invert votes)")
+    }
+    val nwFrame = nodeWeights.map { nw0 =>
+      val nw = nw0.select(col("id").cast("string").as("id"),
+        col("nw").cast("double").as("nw"))
+      require(nw.filter(col("nw").isNull || col("nw") <= 0).limit(1).count() == 0,
+        "labelPropagation: nodeWeights.nw must be strictly positive on " +
+          "every row (zero/negative weights silently erase or invert votes)")
+      nw.persist(StorageLevel.MEMORY_AND_DISK)
+    }
     val idType = sym.schema("src").dataType
     LocalGraph.orderingFor(idType) match {
-      case Some(lt) if sym.count() <= localFinishEdges =>
+      case Some(lt) if !weighted && sym.count() <= localFinishEdges =>
         val pairs = sym.collect().map(r => (r.get(0), r.get(1)))
         sym.unpersist()
         return LocalGraph.labelPropagation(edges.sparkSession, pairs, iters, idType, lt)
       case _ =>
+    }
+    // voter-side weight rider: edge weight × the SOURCE vertex's node
+    // weight (the voter's), defaulting to 1 when absent
+    val symW = nwFrame match {
+      case Some(nw) =>
+        sym.join(nw.select(col("id").as("src"), col("nw")), Seq("src"), "left")
+          .select(col("src"), col("dst"),
+            (col("w") * coalesce(col("nw"), lit(1.0))).as("w"))
+      case None => sym
     }
     var labels = sym.select(col("src").as("id")).union(sym.select(col("dst").as("id")))
       .distinct()
       .select(col("id"), col("id").as("community"))
       .localCheckpoint()
     for (_ <- 1 to iters) {
-      val counted = sym.join(labels, sym("src") === labels("id"))
-        .groupBy(sym("dst").as("v"), col("community"))
-        .agg(count(lit(1)).as("cnt"))
-      // max count, then min label: max_by on (cnt, negated-order label)
-      // isn't expressible generically for strings, so use min_by over
-      // (-cnt, label) lexicographic struct ordering
+      val counted = symW.join(labels, symW("src") === labels("id"))
+        .groupBy(symW("dst").as("v"), col("community"))
+        .agg(sum(col("w")).as("cnt"))
+      // max vote weight, then min label: max_by on (cnt, negated-order
+      // label) isn't expressible generically for strings, so use
+      // min_by over (-cnt, label) lexicographic struct ordering
       val next = counted
         .groupBy(col("v").as("id"))
         .agg(min_by(col("community"),
@@ -453,6 +507,7 @@ object GraphOps {
         .localCheckpoint()
     }
     sym.unpersist()
+    nwFrame.foreach(_.unpersist())
     labels
   }
 
@@ -1075,17 +1130,32 @@ object GraphOps {
     * (a, b) edges collapse to the minimum weight; `weightCol = None`
     * weighs every edge 1 (the forest is then BFS-ish but still the
     * unique (w, a, b)-minimal one). Null weights are loud. Returns
-    * (src, dst, w) with src < dst — the forest's edge set. */
+    * (src, dst, w) with src < dst — the forest's edge set.
+    *
+    * `objective` (r14, GDS's own config key): `minimum` (default) or
+    * `maximum`. Maximum runs the SAME Borůvka on negated weights —
+    * the effective total order becomes (−w, a, b), still unique, so
+    * the maximum forest is deterministic too; parallel edges then
+    * collapse to the MAXIMUM weight (min of negated), and equal-weight
+    * ties still break to the smaller (a, b) in both objectives. */
   def spanningTree(edges0: DataFrame, weightCol: Option[String] = None,
-                   maxIter: Int = 30): DataFrame = {
-    val base = weightCol match {
+                   maxIter: Int = 30, objective: String = "minimum"): DataFrame = {
+    val maxObj = objective.toLowerCase match {
+      case "minimum" => false
+      case "maximum" => true
+      case other => throw new IllegalArgumentException(
+        s"spanningTree: objective must be 'minimum' or 'maximum', got '$other'")
+    }
+    val base0 = weightCol match {
       case Some(wc) => edges0.select(col("src").cast("string").as("s"),
         col("dst").cast("string").as("d"), col(wc).cast("double").as("w"))
       case None => edges0.select(col("src").cast("string").as("s"),
         col("dst").cast("string").as("d"), lit(1.0).as("w"))
     }
-    require(base.filter(col("w").isNull).limit(1).count() == 0,
+    require(base0.filter(col("w").isNull).limit(1).count() == 0,
       "spanningTree: weight is null or non-numeric on at least one edge")
+    // maximum = Borůvka on negated weights; weights un-negate on output
+    val base = if (maxObj) base0.withColumn("w", -col("w")) else base0
     val e = base.filter(col("s") =!= col("d"))
       .select(least(col("s"), col("d")).as("a"),
         greatest(col("s"), col("d")).as("b"), col("w"))
@@ -1127,11 +1197,55 @@ object GraphOps {
     }
     require(crossing == 0,
       s"spanningTree: components still merging after $maxIter rounds — raise maxIter")
+    val wOut = if (maxObj) (-col("w")).as("w") else col("w")
     val out =
-      if (forest.isEmpty) e.select(col("a").as("src"), col("b").as("dst"), col("w")).limit(0)
+      if (forest.isEmpty) e.select(col("a").as("src"), col("b").as("dst"), wOut).limit(0)
       else forest.reduce(_ unionByName _).distinct()
-        .select(col("a").as("src"), col("b").as("dst"), col("w"))
+        .select(col("a").as("src"), col("b").as("dst"), wOut)
     graft.Borrow.reclaim(out, e)
+  }
+
+  /** B35k — K-SPANNING-TREE (`gds.kSpanningTree`, r14): split the
+    * sourceNode's spanning tree into k sub-trees by removing the k−1
+    * edges at the objective's FAR end (heaviest for minimum, lightest
+    * for maximum) — GDS's k-clustering-by-tree-cutting. Deterministic:
+    * the tree is the unique [[spanningTree]] forest filtered to the
+    * source's component, and removal ranks by the inverse of the
+    * construction's (effective-w, src, dst) total order, so the cut
+    * set is unique too. k ≥ #tree-edges + 1 removes everything
+    * (every vertex its own cluster). Returns (src, dst, w) — the
+    * surviving tree edges.
+    *
+    * Scale shape: the forest + one CC pass (component lookup), a
+    * broadcast semi-join for the component filter, and a bounded
+    * TakeOrdered(k−1) for the cut — no new shuffle patterns on top of
+    * [[spanningTree]]. */
+  def kSpanningTree(edges: DataFrame, k: Int, source: String,
+                    weightCol: Option[String] = None, maxIter: Int = 30,
+                    objective: String = "minimum"): DataFrame = {
+    require(k >= 1, s"kSpanningTree: k must be >= 1, got $k")
+    val forest = spanningTree(edges, weightCol, maxIter, objective)
+    val comps = connectedComponents(forest)
+    val mine = comps.filter(col("id").cast("string") === source)
+      .select(col("component"))
+    require(mine.limit(1).count() > 0,
+      s"kSpanningTree: sourceNode '$source' has no spanning-tree edges " +
+        "(absent from the graph, or self-loop-only) — nothing to split")
+    val tree = forest
+      .join(comps.withColumnRenamed("id", "src"), Seq("src"))
+      .join(broadcast(mine), Seq("component"), "left_semi")
+      .select(col("src"), col("dst"), col("w"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // cut rank = inverse construction order: minimum drops the
+    // (w, src, dst)-largest, maximum the (−w, src, dst)-largest
+    val ord =
+      if (objective.toLowerCase == "maximum")
+        Seq(col("w").asc, col("src").desc, col("dst").desc)
+      else Seq(col("w").desc, col("src").desc, col("dst").desc)
+    val drop = tree.orderBy(ord: _*).limit(k - 1)
+      .select(col("src"), col("dst"))
+    val out = tree.join(drop, Seq("src", "dst"), "left_anti")
+    graft.Borrow.reclaim(out, tree)
   }
 
   /** B38 — STEINER TREE (`gds.steinerTree` shape; r13): a low-weight
@@ -1287,6 +1401,63 @@ object GraphOps {
       }
     }
     (aps.toArray, brs.toArray)
+  }
+
+  /** B40 — DFS (`gds.dfs`, r14): depth-first PREORDER from `source`
+    * over the directed edge frame, neighbors explored in sorted-id
+    * order so the order is deterministic and engine-reproducible
+    * (GDS's is traversal-dependent; a fixed order is the house rule).
+    * A DFS's entire OUTPUT is a visitation order — inherently
+    * sequential, like the B37 cut pass — so this is the explicit
+    * BOUNDED LOCAL FINISHER contract again: under `maxLocalEdges` edge
+    * rows the exact iterative driver-side DFS runs (explicit stack, no
+    * recursion-depth ceiling); above it the call fails LOUDLY (shard
+    * by component, or use [[bfs]] — frontier BFS is the distributed
+    * traversal). `maxDepth` bounds the descent (GDS parity); vertices
+    * deeper than it are not visited. On a FOREST the preorder equals
+    * ordering root-paths component-wise — which is exactly how the
+    * g_dfs DuckDB oracle recomputes it. Returns (id, ord), preorder
+    * index from 0 at the source; only vertices reachable from
+    * `source` within `maxDepth` appear. */
+  def dfs(edges: DataFrame, source: String, maxDepth: Int = Int.MaxValue,
+          maxLocalEdges: Long = 250000L): DataFrame = {
+    val spark = edges.sparkSession
+    val e = edges.select(col("src").cast("string").as("src"),
+        col("dst").cast("string").as("dst"))
+      .distinct().persist(StorageLevel.MEMORY_AND_DISK)
+    val n = e.count()
+    require(n <= maxLocalEdges,
+      s"dfs: $n edge rows exceed the bounded-local-finisher contract " +
+        s"($maxLocalEdges). A DFS order is sequential by definition; " +
+        "shard the graph by component and walk components under the " +
+        "bound, or use bfs() for a distributed traversal.")
+    val pairs = e.collect().map(r => (r.getString(0), r.getString(1)))
+    e.unpersist()
+    import scala.collection.mutable
+    val adj = mutable.HashMap.empty[String, mutable.ArrayBuffer[String]]
+    pairs.foreach { case (a, b) =>
+      adj.getOrElseUpdate(a, mutable.ArrayBuffer.empty) += b
+    }
+    val sortedAdj = adj.map { case (k, v) => k -> v.sorted.toArray }
+    val visited = mutable.LinkedHashSet.empty[String]
+    // stack of (vertex, depth); push children REVERSED so the smallest
+    // id pops (and is visited) first
+    val stack = mutable.ArrayBuffer((source, 0))
+    while (stack.nonEmpty) {
+      val (v, d) = stack.remove(stack.length - 1)
+      if (!visited.contains(v)) {
+        visited += v
+        if (d < maxDepth)
+          sortedAdj.getOrElse(v, Array.empty).reverseIterator
+            .filterNot(visited.contains).foreach(c => stack += ((c, d + 1)))
+      }
+    }
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    spark.createDataFrame(
+      visited.iterator.zipWithIndex
+        .map { case (id, i) => org.apache.spark.sql.Row(id, i.toLong) }
+        .toSeq.asJava,
+      StructType(Seq(StructField("id", StringType), StructField("ord", LongType))))
   }
 
   def modularity(edges0: DataFrame, assign: DataFrame,

@@ -504,6 +504,159 @@ object Dedup {
       "d5sim_recall_ok", "d5sim_subset_ok")
   }
 
+  /** D9 — SEMANTIC dedup (r14; SemDeDup, Abbas et al. 2023
+    * "SemDeDup: Data-efficient learning at web-scale through semantic
+    * deduplication"): cluster the embedding space, then treat
+    * WITHIN-CLUSTER cosine near-duplicates as one semantic group and
+    * keep a single representative per group. The standard
+    * embedding-level curation pass document-level dedup cannot see —
+    * paraphrases and re-renderings share no shingles but sit on top of
+    * each other in embedding space.
+    *
+    * `vectors` is (id, v: array<double>); `assign` is (id, cluster) —
+    * typically [[Similarity.kmeans]]'s output, but pluggable so the
+    * dedup half is independently oracle-checkable (the d9_planted
+    * gate feeds a closed-form assignment). Groups are the CONNECTED
+    * COMPONENTS of the within-cluster ≥ threshold cosine graph (the
+    * keep-one-per-group rule needs a canonical group — pairwise
+    * greedy orders aren't engine-reproducible); the representative is
+    * the smallest id (deterministic, the D1 keeper rule). Returns one
+    * row per input id: (id, cluster, action, keeper) with action ∈
+    * kept (group representative) | dropped (non-representative group
+    * member) | unique (no within-cluster near-dup).
+    *
+    * Scale shape: candidate pairs are WITHIN-CLUSTER only — exactly
+    * SemDeDup's own cost model (the clustering exists to break the
+    * O(n²) pair space; k scales with corpus size so clusters stay
+    * bounded). The per-cluster pair join is quadratic in the cluster
+    * size BY DESIGN, so an oversized cluster is LOUD (`clusterCap`,
+    * one groupBy-count probe): the fix is a larger k, never a silent
+    * quadratic blowup. Components run on the near-dup pair list
+    * (tiny relative to the corpus), ids only. */
+  def semDedup(vectors: DataFrame, assign: DataFrame, threshold: Double,
+               clusterCap: Long = 100000L): DataFrame = {
+    val s = vectors.sparkSession
+    val withC = vectors.select(col("id"), col("v"))
+      .join(assign.select(col("id"), col("cluster")), Seq("id"))
+      .persist()
+    val biggest = withC.groupBy(col("cluster")).agg(count(lit(1)).as("n"))
+      .agg(max(col("n"))).collect()(0)
+    require(biggest.isNullAt(0) || biggest.getLong(0) <= clusterCap,
+      s"semDedup: largest cluster has ${biggest.getLong(0)} members, over " +
+        s"the quadratic-pair bound ($clusterCap) — raise k on the " +
+        "clustering (SemDeDup's own scale lever), not this cap")
+    val a = withC.select(col("cluster"), col("id").as("id1"), col("v").as("v1"))
+    val b = withC.select(col("cluster"), col("id").as("id2"), col("v").as("v2"))
+    val dup = a.join(b, Seq("cluster")).filter(col("id1") < col("id2"))
+      .filter(graft.functions.VectorFunctions.cosine_sim(s, col("v1"), col("v2"))
+        >= threshold)
+      .select(col("id1"), col("id2"))
+      .persist()
+    dup.count()
+    // component = smallest member id (the CC contract) = the keeper
+    val comp = graft.graph.GraphOps.connectedComponents(
+      dup.select(col("id1").as("src"), col("id2").as("dst")))
+    val out = withC.select(col("id"), col("cluster"))
+      .join(comp.select(col("id"), col("component").as("keeper")), Seq("id"), "left")
+      .select(col("id"), col("cluster"),
+        when(col("keeper").isNull, lit("unique"))
+          .when(col("keeper") === col("id"), lit("kept"))
+          .otherwise(lit("dropped")).as("action"),
+        coalesce(col("keeper"), col("id")).as("keeper"))
+    graft.Borrow.reclaim(out, withC, dup)
+  }
+
+  /** D9 driver row — the full SemDeDup composition on the real
+    * embeddings table: [[Similarity.kmeans]] (k = 8, the E7 recipe) →
+    * within-cluster cosine groups at the corpus' d5 operating point.
+    * Rows-only (kmeans partitions aren't oracle-replayable); the
+    * dedup half is hash-gated by [[d9Planted]] and the composition's
+    * invariants by [[d9SoundGate]]. */
+  def d9SemDedup(s: SparkSession, dir: String, k: Int = 8,
+                 threshold: Double = 0.4): DataFrame = {
+    val vecs = Tables.embeddings(s, dir)
+      .select(col("vec_id").as("id"), col("embedding").cast("array<double>").as("v"))
+    val assign = Similarity.kmeans(vecs, k = k, iters = 2)
+      .select(col("id"), col("cluster"))
+    semDedup(vecs, assign, threshold).orderBy(col("id"))
+  }
+
+  /** D9 planted gate — DuckDB-ORACLE-GATED end-to-end check of the
+    * dedup half (the d8 synthesis pattern): vectors are SYNTHESIZED
+    * from vec_id with closed-form structure — 4 orthogonal one-hot
+    * groups (id % 4) plus a tiny deterministic perturbation
+    * ((id·31 + j·17) % 7 − 3)/1000, so every same-group cosine is
+    * ≥ 0.95 and every cross-group cosine is ≤ 0.05 (margins ~0.05 vs
+    * the 0.9 threshold — float-representation differences can't flip
+    * a comparison). The assignment is id % 2, which puts TWO groups in
+    * each cluster: the θ filter is non-vacuous (cross-group pairs are
+    * candidates and fail), groups never span clusters, and the oracle
+    * can recompute everything — same vectors, within-cluster pairs,
+    * `list_cosine_similarity`, transitive min-id closure — with zero
+    * knowledge of the Spark path. Ids with id % 97 = 0 get SINGLETON
+    * clusters (id + 2), so the `unique` action is non-vacuous too —
+    * guaranteed closed-form, not perturbation-luck. */
+  def d9Planted(s: SparkSession, dir: String): DataFrame = {
+    val ids = Tables.embeddings(s, dir).select(col("vec_id").as("id"))
+    val vecs = ids.select(col("id"),
+      array((0 until 8).map { j =>
+        when(pmod(col("id"), lit(4)) === lit(j), lit(1.0)).otherwise(lit(0.0)) +
+          ((col("id") * 31 + lit(j * 17)) % 7 - 3).cast("double") / lit(1000.0)
+      }: _*).as("v"))
+    val assign = ids.select(col("id"),
+      when(pmod(col("id"), lit(97)) === 0, col("id") + 2)
+        .otherwise(pmod(col("id"), lit(2))).as("cluster"))
+    semDedup(vecs, assign, threshold = 0.9)
+      .orderBy(col("id"))
+  }
+
+  /** D9 invariant gate (the dRecallGate pattern — flags computed
+    * Spark-side from INDEPENDENT recomputations, oracle pins 1s):
+    * on the real-corpus composition ([[d9SemDedup]]),
+    * (a) every dropped id has a ≥ θ cosine pair in the EXACT all-pairs
+    * twin — soundness independent of the clustering;
+    * (b) no two kept ids in one cluster are ≥ θ near-dups;
+    * (c) an id is unique iff it has NO within-cluster ≥ θ neighbor;
+    * (d) exactly one action row per embedding. */
+  def d9SoundGate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val theta = 0.4
+    val out = d9SemDedup(s, dir, threshold = theta)
+      .persist()
+    val vecs = Tables.embeddings(s, dir)
+      .select(col("vec_id").as("id"), col("embedding").cast("array<double>").as("v"))
+    val n = vecs.count()
+    // exact all-pairs ≥ θ ids (clustering-independent recomputation)
+    val exactIds = d5EmbDupExact(s, dir, theta)
+      .select(col("id1").as("id")).unionByName(
+        d5EmbDupExact(s, dir, theta).select(col("id2").as("id")))
+      .distinct().collect().map(_.getLong(0)).toSet
+    val acts = out.select(col("id"), col("cluster"), col("action"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+    val dropped = acts.filter(_._3 == "dropped").map(_._1).toSet
+    val soundDrop = dropped.forall(exactIds.contains)
+    // within-cluster ≥ θ pairs, recomputed from the raw table
+    val withC = vecs.join(out.select(col("id"), col("cluster")), Seq("id"))
+    val wcPairs = withC.select(col("cluster"), col("id").as("id1"), col("v").as("v1"))
+      .join(withC.select(col("cluster"), col("id").as("id2"), col("v").as("v2")),
+        Seq("cluster"))
+      .filter(col("id1") < col("id2"))
+      .filter(graft.functions.VectorFunctions.cosine_sim(s, col("v1"), col("v2"))
+        >= theta)
+      .select(col("id1"), col("id2"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val kept = acts.filter(_._3 == "kept").map(_._1).toSet
+    val keptValid = !wcPairs.exists(p => kept(p._1) && kept(p._2))
+    val paired = wcPairs.flatMap(p => Seq(p._1, p._2)).toSet
+    val uniqueIffUnpaired = acts.forall { case (id, _, act) =>
+      (act == "unique") == !paired(id) }
+    val coverage = acts.length.toLong == n && acts.map(_._1).distinct.length == acts.length
+    out.unpersist()
+    Seq((if (soundDrop) 1L else 0L, if (keptValid) 1L else 0L,
+      if (uniqueIffUnpaired) 1L else 0L, if (coverage) 1L else 0L))
+      .toDF("d9_sound_ok", "d9_kept_ok", "d9_unique_ok", "d9_cover_ok")
+  }
+
   /** D8 — EXACT cross-document SUBSTRING dedup (r13; Lee et al. 2022,
     * "Deduplicating Training Data Makes Language Models Better" — the
     * repeated-passage pass document-level dedup cannot see: two

@@ -485,6 +485,31 @@ object GraphQueries {
       .select(col("src"), col("dst"), col("w").cast("long").as("w"))
       .orderBy(col("src"), col("dst"))
 
+  /** B35 objective=maximum gate (r14) — the MAXIMUM spanning forest on
+    * the same graph, DuckDB-ORACLE-GATED by the INVERTED cycle
+    * property: an edge is in the maximum forest iff its endpoints are
+    * NOT connected using only edges strictly greater in the
+    * (−w, a, b) total order. */
+  def gMaxst(s: SparkSession, dir: String): DataFrame =
+    GraphOps.spanningTree(TestGraph.mstEdges(s, dir), weightCol = Some("w"),
+        objective = "maximum")
+      .select(col("src"), col("dst"), col("w").cast("long").as("w"))
+      .orderBy(col("src"), col("dst"))
+
+  /** B35k gate (r14) — `gds.kSpanningTree`: the deterministic
+    * min-vertex source's minimum spanning tree cut into k = 3
+    * sub-trees. Oracle: the g_mst cycle-property forest, restricted to
+    * the source's component by reachability over the FOREST edges,
+    * minus the 2 heaviest under (w, src, dst) — a fully independent
+    * recomputation of both the tree and the cut. */
+  def gKmst(s: SparkSession, dir: String): DataFrame = {
+    val e = TestGraph.mstEdges(s, dir)
+    val source = e.agg(min(least(col("src"), col("dst")))).collect()(0).getString(0)
+    GraphOps.kSpanningTree(e, k = 3, source, weightCol = Some("w"))
+      .select(col("src"), col("dst"), col("w").cast("long").as("w"))
+      .orderBy(col("src"), col("dst"))
+  }
+
   /** B39 — Bellman-Ford with NEGATIVE weights (gds.bellmanFord parity,
     * r13) from r:0 over the supply-chain DAG, weights
     * (key(src) + key(dst)) % 5 − 2 ∈ {−2..2} — a DAG is negative-safe
@@ -613,6 +638,18 @@ object GraphQueries {
       .orderBy(col("root"), col("id"), col("path"))
   }
 
+  /** B40 gate (r14) — `gds.dfs`: depth-first preorder from r:0 over
+    * the region→nation→customer→order FOREST, DuckDB-ORACLE-GATED: on
+    * a forest the sorted-adjacency preorder equals ordering the
+    * enumerated root paths COMPONENT-WISE (a parent's path-list is a
+    * strict prefix of its children's, and sibling subtrees order by
+    * the first differing id), which the oracle does with
+    * `ORDER BY string_split(path, '>')` — an independent
+    * recomputation that never runs a DFS. */
+  def gDfs(s: SparkSession, dir: String): DataFrame =
+    GraphOps.dfs(TestGraph.hierarchyEdges(s, dir), "r:0")
+      .orderBy(col("ord"))
+
   /** B14 — deterministic label-propagation communities on the
     * part—supplier graph: community sizes, largest first (rows-only:
     * iterative mode-of-neighbors has no tractable SQL twin; the
@@ -621,6 +658,27 @@ object GraphQueries {
     GraphOps.labelPropagation(TestGraph.partSupplierEdges(s, dir), iters = 5)
       .groupBy(col("community")).agg(count(lit(1)).as("size"))
       .orderBy(col("size").desc, col("community"))
+
+  /** B14w gate (r14) — WEIGHTED label propagation, DuckDB-ORACLE-GATED
+    * (the `g_lpa` recursive CTE with weighted votes): edge weights from
+    * the deterministic (key-sum % 5 + 1) construction, node weights
+    * (key % 3 + 1) — a voter's label counts edgeWeight·nodeWeight-fold,
+    * tie to the smaller label. All vote sums are small-integer products
+    * (exact in FP on the Spark side, BIGINT on the oracle side), so the
+    * winner comparison is tie-safe. This path always runs the
+    * DISTRIBUTED rounds (the local finisher is unweighted-only), so
+    * the gate is also the forced-distributed check. */
+  def gWLpa(s: SparkSession, dir: String): DataFrame = {
+    val e = TestGraph.weightedPartSupplierEdges(s, dir)
+    val nw = e.select(col("src").as("id"))
+      .unionByName(e.select(col("dst").as("id"))).distinct()
+      .select(col("id"),
+        (substring(col("id"), 3, 100).cast("int") % 3 + 1).cast("double").as("nw"))
+    GraphOps.labelPropagation(e, iters = 5, weightCol = Some("w"),
+        nodeWeights = Some(nw))
+      .groupBy(col("community")).agg(count(lit(1)).as("size"))
+      .orderBy(col("size").desc, col("community"))
+  }
 
   /** B21 — Louvain modularity communities on the part—supplier graph:
     * community sizes, largest first (rows-only: local-move +

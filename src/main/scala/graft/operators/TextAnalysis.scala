@@ -270,4 +270,180 @@ object TextAnalysis {
         lit(" call +1 555 01"), col("doc_id").cast("string")).as("synth"))
       .select(col("doc_id"), redactPii(col("synth")).as("red"))
       .orderBy(col("doc_id")).limit(300)
+
+  /** F9+ (r14) — SSN and credit-card redaction, the first PII classes
+    * a curation user greps for after email/IP/phone. SSN is one more
+    * engine-portable pattern; credit cards are pattern + CHECKSUM —
+    * a 16-digit run is only a card if Luhn-valid, so blind pattern
+    * replacement would eat order numbers. Candidates come from
+    * `regexp_extract_all` (the card pattern, optional space/dash
+    * groups), each is Luhn-tested by [[luhnOk]] — pure integer column
+    * arithmetic inside whole-stage codegen, no UDF — and only valid
+    * ones are replaced. Curation-pipeline shape: one narrow
+    * projection, no shuffle, scales as a map. */
+  val ssnPattern: String = "\\b\\d{3}-\\d{2}-\\d{4}\\b"
+  val cardPattern: String = "\\b\\d{4}[ -]?\\d{4}[ -]?\\d{4}[ -]?\\d{4}\\b"
+
+  /** Luhn checksum validity of a digit string (ISO/IEC 7812): from the
+    * RIGHTMOST digit, double every second digit, subtract 9 above 9,
+    * valid iff the sum is ≡ 0 (mod 10). HOF-only (zip_with positions +
+    * aggregate sum) — expressible identically in the DuckDB oracle as
+    * integer arithmetic over substr positions. */
+  def luhnOk(num: Column): Column = {
+    val ds = filter(split(reverse(num), ""), d => length(d) === 1)
+    val total = aggregate(
+      zip_with(ds, sequence(lit(1), size(ds)), (d, i) => {
+        val v = d.cast("int")
+        when(i % 2 === 0,
+          when(v * 2 > 9, v * 2 - 9).otherwise(v * 2)).otherwise(v)
+      }),
+      lit(0), (acc, x) => acc + x)
+    total % 10 === 0
+  }
+
+  /** The full r14 redaction chain: email/IP/phone ([[redactPii]]) →
+    * SSN → Luhn-gated card replacement. */
+  def redactPiiFull(c: Column): Column = {
+    val ssn = regexp_replace(redactPii(c), ssnPattern, "<SSN>")
+    val cands = regexp_extract_all(ssn, lit(cardPattern), lit(0))
+    aggregate(cands, ssn, (acc, cand) =>
+      when(luhnOk(regexp_replace(cand, "[ -]", "")),
+        replace(acc, cand, lit("<CARD>"))).otherwise(acc))
+  }
+
+  /** F9+ driver gate — synthesized SSN + 16-digit card per doc (the
+    * f9Redact pattern): the card digits vary with doc_id (4532 +
+    * 12 digits of doc_id·7919), so Luhn validity varies across the
+    * corpus and BOTH branches (replaced / kept) are exercised; the
+    * DuckDB twin recomputes the Luhn sum itself from the same
+    * construction — an independent checksum recomputation, not a
+    * pinned flag. */
+  // ------------------------------------------------------------ F10: BPE
+
+  /** F10 — BPE-TRUE token counting (r14; Sennrich et al. 2016). F1's
+    * regex count is "BPE-ish"; real pipelines budget shards (P4) with
+    * the actual tokenizer, so this is the actual merge machinery: a
+    * word becomes its character symbols, and each merge rule (a, b) —
+    * applied in rank order — fuses every adjacent (a, b) pair
+    * left-to-right, exactly the reference BPE apply loop.
+    *
+    * The Spark shape is a SINGLE codegen'd projection per document —
+    * no UDF, no driver loop: symbols are encoded into one string with
+    * a \u0001 separator OWNING both symbol boundaries
+    * (`␁sym␁␁sym␁…`), so each merge is ONE literal `replace` of
+    * `␁a␁␁b␁` → `␁ab␁`. The double separator makes matches
+    * boundary-exact: a pattern can neither start mid-symbol (symbol
+    * interiors never contain ␁) nor swallow a longer symbol's prefix
+    * (the trailing ␁ anchors the symbol END — `␁a␁␁b␁` cannot touch
+    * `…␁a␁␁bc␁`), and left-to-right non-overlapping replacement over
+    * runs (`aaaa` → `aa aa`) is exactly BPE's greedy pass in both
+    * engines — DuckDB `replace` scans the same way, which is what
+    * makes the gate hashable. Token count = symbols left after all
+    * merges, summed per document (one map-side-combinable shuffle).
+    *
+    * At 100 TB the merges TABLE is tokenizer metadata (a few 10k
+    * rules) compiled into the plan — the kmeans-centroid pattern —
+    * and the scan stays embarrassingly parallel. */
+  private val Sep = "\u0001"
+
+  /** `␁c₁␁␁c₂␁…` symbol encoding of one word (see [[bpeTokenCount]]). */
+  def bpeEncode(word: Column): Column =
+    concat(lit(Sep), concat_ws(Sep + Sep, split(word, "")), lit(Sep))
+
+  /** Token count of one word after applying `merges` in rank order. */
+  def bpeApplyTokens(word: Column, merges: Seq[(String, String)]): Column = {
+    val merged = merges.foldLeft(bpeEncode(word)) { case (acc, (a, b)) =>
+      replace(acc, lit(Sep + a + Sep + Sep + b + Sep), lit(Sep + a + b + Sep)) }
+    size(split(merged, Sep + Sep))
+  }
+
+  /** (doc_id, n_tokens) under the given merge table. */
+  def bpeTokenCount(docs: DataFrame, merges: Seq[(String, String)]): DataFrame =
+    docs.select(col("doc_id"), explode(words(col("text"))).as("w"))
+      .filter(col("w") =!= "")
+      .select(col("doc_id"), bpeApplyTokens(col("w"), merges).cast("long").as("t"))
+      .groupBy(col("doc_id")).agg(sum(col("t")).as("n_tokens"))
+
+  /** F10 trainer — distributed BPE merge learning: per round ONE
+    * adjacent-pair count (explode + map-side-combinable groupBy) and
+    * ONE bounded TakeOrdered(1) argmax (count desc, then (a, b) asc —
+    * deterministic where the reference breaks ties arbitrarily), then
+    * the winning merge applies as the same single literal replace.
+    * nMerges sequential rounds is the honest BPE training cost; at
+    * corpus scale one trains on a sample (the P3 pattern) — the merge
+    * table, not the corpus, is the artifact. */
+  def bpeTrain(docs: DataFrame, nMerges: Int): Seq[(String, String)] = {
+    require(nMerges >= 1, "bpeTrain: nMerges must be >= 1")
+    var cur = docs.select(explode(words(col("text"))).as("w"))
+      .filter(col("w") =!= "")
+      .select(bpeEncode(col("w")).as("enc"))
+      .persist()
+    cur.count()
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var exhausted = false
+    var i = 0
+    while (i < nMerges && !exhausted) {
+      i += 1
+      val top = cur
+        .select(transform(split(col("enc"), Sep + Sep),
+          s => replace(s, lit(Sep), lit(""))).as("a"))
+        .filter(size(col("a")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(0, size(a) - 2), i -> struct(a[i] AS x, a[i + 1] AS y))")).as("p"))
+        .groupBy(col("p.x").as("x"), col("p.y").as("y")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("x"), col("y")).limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (a, b) = (top(0).getString(0), top(0).getString(1))
+        out += ((a, b))
+        val next = cur.select(replace(col("enc"),
+          lit(Sep + a + Sep + Sep + b + Sep), lit(Sep + a + b + Sep)).as("enc"))
+          .persist()
+        next.count()
+        cur.unpersist()
+        cur = next
+      }
+    }
+    cur.unpersist()
+    out.toList
+  }
+
+  /** The fixed gate merge table: common-English fusions the lorem-ish
+    * corpus actually exercises, in a rank order where later merges
+    * consume earlier ones (t+h → th+e). */
+  val f10Merges: Seq[(String, String)] = Seq(
+    "t" -> "h", "th" -> "e", "i" -> "n", "e" -> "r", "a" -> "n",
+    "o" -> "n", "r" -> "e", "in" -> "g", "e" -> "s", "o" -> "r",
+    "an" -> "d", "a" -> "t")
+
+  /** F10 driver gate — BPE-true token counts under [[f10Merges]]; the
+    * DuckDB twin replays the identical encode → replace-chain → count
+    * per word (generated from the same merge table, so the two can't
+    * drift). */
+  def f10Bpe(s: SparkSession, dir: String): DataFrame =
+    bpeTokenCount(Tables.documents(s, dir), f10Merges)
+      .orderBy(col("doc_id"))
+
+  /** F10 trainer driver row — the learned merge table on the corpus
+    * (rows-only: the trainer's argmax loop has no tractable SQL twin;
+    * its semantics are pinned by the hand-computed fixture spec). */
+  def f10BpeTrain(s: SparkSession, dir: String, nMerges: Int = 8): DataFrame = {
+    import s.implicits._
+    bpeTrain(Tables.documents(s, dir), nMerges).zipWithIndex
+      .map { case ((a, b), i) => (i + 1L, a, b) }
+      .toDF("rank", "x", "y")
+  }
+
+  def f9Luhn(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), concat(
+        col("text"), lit(" ssn "),
+        lpad((col("doc_id") % 1000).cast("string"), 3, "0"), lit("-"),
+        lpad((col("doc_id") % 100).cast("string"), 2, "0"), lit("-"),
+        lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+        lit(" card 4532"),
+        lpad((col("doc_id") * 7919 % 1000000000000L).cast("string"), 12, "0"),
+        lit(" end")).as("synth"))
+      .select(col("doc_id"), redactPiiFull(col("synth")).as("red"))
+      .orderBy(col("doc_id")).limit(300)
 }

@@ -127,6 +127,42 @@ class CypherCallSpec extends SparkSpec {
     assert(rows(called) == rows(direct))
   }
 
+  test("betweenness samplingSize: deterministic hash-ordered root sample " +
+      "≡ direct API on the same roots; full-size ≡ full-root (r14)") {
+    val pathEdges = Seq(("p1", "p2"), ("p2", "p3"), ("p3", "p4"), ("p4", "p5"))
+      .toDF("src", "dst")
+    val pn = Seq("p1", "p2", "p3", "p4", "p5").toDF("id")
+      .withColumn("label", lit("N")).withColumn("props", map())
+    val sym = GraphOps.undirected(pathEdges)
+    def called(k: Int) = CypherCall.run(pn, pathEdges,
+      s"""CALL graft.betweenness({orientation: 'UNDIRECTED',
+         |undirectedInput: true, samplingSize: $k})
+         |YIELD id, score ORDER BY id""".stripMargin)
+    // the sample is the k smallest (xxhash64(id), id) vertices — replay
+    // it directly and the CALL must match exactly
+    def sample(k: Int) = sym.select(col("src").as("id")).distinct()
+      .orderBy(xxhash64(col("id").cast("string")), col("id").cast("string"))
+      .limit(k)
+    for (k <- Seq(2, 3)) {
+      val direct = GraphOps.betweenness(sym, sample(k),
+          halve = true, undirectedInput = true)
+        .select(col("id"), col("betweenness").as("score")).orderBy(col("id"))
+      assert(rows(called(k)) == rows(direct), s"samplingSize $k diverged")
+    }
+    // samplingSize = |V| degenerates to the full-root run
+    val full = GraphOps.betweenness(sym,
+        sym.select(col("src").as("id")).distinct(),
+        halve = true, undirectedInput = true)
+      .select(col("id"), col("betweenness").as("score")).orderBy(col("id"))
+    assert(rows(called(5)) == rows(full))
+    // deterministic: identical rerun; loud on conflicts and bad sizes
+    assert(rows(called(2)) == rows(called(2)))
+    intercept[IllegalArgumentException](CypherCall.run(pn, pathEdges,
+      "CALL graft.betweenness({samplingSize: 2, sourceNodes: ['p1']}) YIELD id, score"))
+    intercept[IllegalArgumentException](CypherCall.run(pn, pathEdges,
+      "CALL graft.betweenness({samplingSize: 0}) YIELD id, score"))
+  }
+
   test("harmonic with sourceNodes restricts the root set") {
     val out = CypherCall.run(nodes, edges,
       """CALL graft.harmonic({sourceNodes: ['a'], orientation: 'UNDIRECTED'})

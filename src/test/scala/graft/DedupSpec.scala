@@ -427,6 +427,53 @@ class DedupSpec extends SparkSpec {
       Dedup.d8SubstringSpans(docs, gram = 8, window = 16, minLen = 10))
   }
 
+  test("d9 semDedup: within-cluster transitive groups, keeper = min id, " +
+      "cross-cluster near-dups untouched, oversized cluster loud (r14)") {
+    import spark.implicits._
+    // e1 ≈ e2 ≈ e3 (one semantic group, chain-transitive via e2),
+    // u1 orthogonal (unique), x1 ≈ e1 but in ANOTHER cluster — SemDeDup
+    // by design does NOT see cross-cluster near-dups
+    val vecs = Seq(
+      (1L, Seq(1.0, 0.0, 0.01)), (2L, Seq(1.0, 0.01, 0.0)),
+      (3L, Seq(0.99, 0.02, 0.0)), (4L, Seq(0.0, 1.0, 0.0)),
+      (5L, Seq(1.0, 0.0, 0.02))).toDF("id", "v")
+    val assign = Seq((1L, 0), (2L, 0), (3L, 0), (4L, 0), (5L, 1))
+      .toDF("id", "cluster")
+    val out = Dedup.semDedup(vecs, assign, threshold = 0.95)
+      .collect().map(r => r.getLong(0) -> ((r.getString(2), r.getLong(3)))).toMap
+    assert(out(1L) == (("kept", 1L)))
+    assert(out(2L) == (("dropped", 1L)) && out(3L) == (("dropped", 1L)))
+    assert(out(4L) == (("unique", 4L)))
+    assert(out(5L) == (("unique", 5L))) // near-dup of 1 but other cluster
+    // determinism: bitwise rerun
+    val again = Dedup.semDedup(vecs, assign, threshold = 0.95)
+      .collect().map(r => r.getLong(0) -> ((r.getString(2), r.getLong(3)))).toMap
+    assert(out == again)
+    // quadratic-pair guard is loud, names the fix
+    val ex = intercept[IllegalArgumentException](
+      Dedup.semDedup(vecs, assign, threshold = 0.95, clusterCap = 3L))
+    assert(ex.getMessage.contains("raise k"))
+  }
+
+  test("d9 planted gate: groups resolve to min-id keepers, singleton " +
+      "clusters come out unique (r14, sf0.001)") {
+    val got = Dedup.d9Planted(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getString(2), r.getLong(3)))
+    assert(got.nonEmpty)
+    val ids = got.map(_._1)
+    // closed form: singleton-cluster ids (id % 97 == 0) are unique;
+    // everyone else groups by (cluster = id % 2, group = id % 4) with
+    // keeper = the smallest non-singleton member of that group
+    got.foreach { case (id, action, keeper) =>
+      if (id % 97 == 0) assert(action == "unique" && keeper == id, s"id $id")
+      else {
+        val groupMin = ids.filter(i => i % 97 != 0 && i % 4 == id % 4).min
+        assert(keeper == groupMin, s"id $id keeper $keeper != $groupMin")
+        assert(action == (if (id == groupMin) "kept" else "dropped"), s"id $id")
+      }
+    }
+  }
+
   test("d8 driver gate: planted pairs match the closed form at sf0.001") {
     val got = Dedup.d8Substr(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq

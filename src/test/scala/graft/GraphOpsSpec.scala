@@ -435,6 +435,105 @@ class GraphOpsSpec extends SparkSpec {
       Some("w")))
   }
 
+  test("dfs: sorted-adjacency preorder on hand fixtures, depth bound, " +
+      "cycles, loud above the local bound (r14)") {
+    // a→{b,c}, b→d, c→d: preorder dives b's subtree first — a,b,d,c
+    val g = edgeDf("a" -> "b", "a" -> "c", "b" -> "d", "c" -> "d")
+    def orderOf(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.orderBy(col("ord")).collect().map(_.getString(0)).toSeq
+    assert(orderOf(GraphOps.dfs(g, "a")) == Seq("a", "b", "d", "c"))
+    // a cycle terminates and revisits nothing
+    val cyc = edgeDf("a" -> "b", "b" -> "c", "c" -> "a")
+    assert(orderOf(GraphOps.dfs(cyc, "a")) == Seq("a", "b", "c"))
+    // depth bound: maxDepth 1 stops below a's children
+    assert(orderOf(GraphOps.dfs(g, "a", maxDepth = 1)) == Seq("a", "b", "c"))
+    // unreachable vertices never appear; unknown source = just itself
+    assert(orderOf(GraphOps.dfs(g, "b")) == Seq("b", "d"))
+    assert(orderOf(GraphOps.dfs(g, "zz")) == Seq("zz"))
+    // deterministic rerun
+    assert(orderOf(GraphOps.dfs(g, "a")) == orderOf(GraphOps.dfs(g, "a")))
+    // the bounded-local-finisher contract is loud, names the fallback
+    val ex = intercept[IllegalArgumentException](
+      GraphOps.dfs(g, "a", maxLocalEdges = 2L))
+    assert(ex.getMessage.contains("bfs"))
+    // CALL surface (orientation applies before the walk)
+    import spark.implicits._
+    val nodes = Seq("a", "b", "c", "d").map(i => (i, "V", Map.empty[String, String]))
+      .toDF("id", "label", "props")
+    val eg = g.withColumn("etype", lit("T")).withColumn("event_id", lit(1))
+      .withColumn("props", typedLit(Map.empty[String, String]))
+      .select(col("etype"), col("src"), col("dst"), col("event_id"), col("props"))
+    val viaCall = graft.graph.CypherCall.run(nodes, eg,
+      "CALL graft.dfs({sourceNode: 'a', maxDepth: 1}) " +
+        "YIELD id, ord RETURN id ORDER BY ord")
+      .collect().map(_.getString(0)).toSeq
+    assert(viaCall == Seq("a", "b", "c"))
+  }
+
+  test("spanningTree objective=maximum and kSpanningTree cuts (r14)") {
+    import spark.implicits._
+    def wEdges(rows: (String, String, Double)*) = rows.toDF("src", "dst", "w")
+    // the r13 square inverted: MAX forest keeps c-d (4) and drops the
+    // lightest cycle edge a-b (1)
+    val sq = wEdges(("a", "b", 1.0), ("a", "c", 2.0), ("b", "d", 2.0),
+      ("c", "d", 4.0))
+    val maxst = GraphOps.spanningTree(sq, Some("w"), objective = "maximum")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2))).toSet
+    assert(maxst == Set(("a", "c", 2.0), ("b", "d", 2.0), ("c", "d", 4.0)))
+    // ties still break to the smaller (a, b) under maximum too
+    val tri = wEdges(("a", "b", 1.0), ("b", "c", 1.0), ("a", "c", 1.0))
+    assert(GraphOps.spanningTree(tri, Some("w"), objective = "maximum")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+      == Set(("a", "b"), ("a", "c")))
+    // parallel edges collapse to the MAXIMUM weight under maximum
+    val par = wEdges(("a", "b", 3.0), ("b", "a", 1.0))
+    assert(GraphOps.spanningTree(par, Some("w"), objective = "maximum")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2))).toSet
+      == Set(("a", "b", 3.0)))
+    intercept[IllegalArgumentException](
+      GraphOps.spanningTree(sq, Some("w"), objective = "median"))
+    // kSpanningTree: path a-b-c-d with weights 1,5,2 — k=2 cuts the
+    // heaviest tree edge (b-c), leaving {a-b}, {c-d}
+    val path = wEdges(("a", "b", 1.0), ("b", "c", 5.0), ("c", "d", 2.0))
+    val k2 = GraphOps.kSpanningTree(path, k = 2, "a", Some("w"))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(k2 == Set(("a", "b"), ("c", "d")))
+    // k=1 is the whole tree; k > edges+1 empties it; maximum cuts the
+    // LIGHTEST edge instead
+    assert(GraphOps.kSpanningTree(path, k = 1, "a", Some("w")).count() == 3)
+    assert(GraphOps.kSpanningTree(path, k = 9, "a", Some("w")).count() == 0)
+    assert(GraphOps.kSpanningTree(path, k = 2, "a", Some("w"),
+        objective = "maximum")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+      == Set(("b", "c"), ("c", "d")))
+    // the source picks ITS component's tree only
+    val two = wEdges(("a", "b", 1.0), ("x", "y", 5.0), ("y", "z", 2.0))
+    assert(GraphOps.kSpanningTree(two, k = 1, "x", Some("w"))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+      == Set(("x", "y"), ("y", "z")))
+    // absent source is loud
+    intercept[IllegalArgumentException](
+      GraphOps.kSpanningTree(path, k = 2, "zz", Some("w")))
+    // CALL surface: objective + kSpanningTree dispatch
+    val nodes = Seq("a", "b", "c", "d").map(i => (i, "V", Map.empty[String, String]))
+      .toDF("id", "label", "props")
+    val eg = path.withColumn("etype", lit("T")).withColumn("event_id", lit(1))
+      .withColumn("props", map(lit("wt"), col("w").cast("string")))
+      .select(col("etype"), col("src"), col("dst"), col("event_id"), col("props"))
+    val viaCall = graft.graph.CypherCall.run(nodes, eg,
+      "CALL graft.kSpanningTree({k: 2, sourceNode: 'a', " +
+        "relationshipWeightProperty: 'wt'}) " +
+        "YIELD src, dst, weight RETURN src, dst ORDER BY src")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(viaCall == k2)
+    val viaMax = graft.graph.CypherCall.run(nodes, eg,
+      "CALL graft.spanningTree({relationshipWeightProperty: 'wt', " +
+        "objective: 'maximum'}) YIELD src, dst, weight " +
+        "RETURN src, dst ORDER BY src")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(viaMax == Set(("b", "c"), ("c", "d"), ("a", "b")))
+  }
+
   test("bellmanFord: negative-weight reroute, negative-cycle loud, " +
       "unreachable omitted (r13)") {
     import spark.implicits._
@@ -862,6 +961,62 @@ class GraphOpsSpec extends SparkSpec {
     val again = GraphOps.labelPropagation(edges, iters = 5)
       .collect().map(r => r.getString(0) -> r.getString(1)).toMap
     assert(out == again)
+  }
+
+  test("weighted label propagation: edge and node weights steer votes; " +
+      "uniform weights ≡ unweighted (r14)") {
+    import spark.implicits._
+    // edge weights flip b's vote: a—b (w 1) vs b—c (w 3) → after one
+    // round b adopts c (vote 3 beats 1); unweighted it ties → a
+    val e = Seq(("a", "b", 1.0), ("b", "c", 3.0)).toDF("src", "dst", "w")
+    def comms(df: org.apache.spark.sql.DataFrame): Map[String, String] =
+      df.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val w1 = comms(GraphOps.labelPropagation(e, iters = 1, weightCol = Some("w")))
+    assert(w1("b") == "c" && w1("a") == "b" && w1("c") == "b", w1.toString)
+    val u1 = comms(GraphOps.labelPropagation(e.drop("w"), iters = 1))
+    assert(u1("b") == "a", u1.toString) // tie → smaller label
+    // node weights flip the same vote: star a—b, c—b; voter a weighing
+    // 5 beats voter c; flipping the weights flips b's community
+    val star = Seq(("a", "b", 1.0), ("c", "b", 1.0)).toDF("src", "dst", "w")
+    val nwA = Seq(("a", 5.0), ("b", 1.0), ("c", 1.0)).toDF("id", "nw")
+    val nwC = Seq(("a", 1.0), ("b", 1.0), ("c", 5.0)).toDF("id", "nw")
+    assert(comms(GraphOps.labelPropagation(star, iters = 1,
+      weightCol = Some("w"), nodeWeights = Some(nwA)))("b") == "a")
+    assert(comms(GraphOps.labelPropagation(star, iters = 1,
+      weightCol = Some("w"), nodeWeights = Some(nwC)))("b") == "c")
+    // vertices absent from the node-weight frame weigh 1 (the default)
+    assert(comms(GraphOps.labelPropagation(star, iters = 1,
+      weightCol = Some("w"),
+      nodeWeights = Some(Seq(("c", 5.0)).toDF("id", "nw"))))("b") == "c")
+    // uniform weights ≡ unweighted on a one-direction edge list (the
+    // weighted path is also the forced-distributed path, so this pins
+    // distributed ≡ local-finisher votes too)
+    def clique(pfx: String, n: Int) =
+      for (i <- 0 until n; j <- i + 1 until n) yield (s"$pfx$i", s"$pfx$j")
+    val edges = (clique("a", 5) ++ clique("b", 5) :+ ("a0" -> "b0"))
+      .toDF("src", "dst")
+    val uw = comms(GraphOps.labelPropagation(edges, iters = 5))
+    val wu = comms(GraphOps.labelPropagation(
+      edges.withColumn("w", lit(1.0)), iters = 5, weightCol = Some("w")))
+    assert(uw == wu)
+    // zero/negative weights are loud, never silent vote erasure
+    intercept[IllegalArgumentException](GraphOps.labelPropagation(
+      e.withColumn("w", lit(0.0)), iters = 1, weightCol = Some("w")).count())
+    intercept[IllegalArgumentException](GraphOps.labelPropagation(
+      star, iters = 1, weightCol = Some("w"),
+      nodeWeights = Some(Seq(("a", -1.0)).toDF("id", "nw"))).count())
+    // CALL surface: relationshipWeightProperty + nodeWeightProperty
+    val nodes = Seq(("a", "V", Map("m" -> "5.0")), ("b", "V", Map("m" -> "1.0")),
+      ("c", "V", Map("m" -> "1.0"))).toDF("id", "label", "props")
+    val eg = star.withColumn("etype", lit("T")).withColumn("event_id", lit(1))
+      .withColumn("props", map(lit("wt"), col("w").cast("string")))
+      .select(col("etype"), col("src"), col("dst"), col("event_id"), col("props"))
+    val viaCall = graft.graph.CypherCall.run(nodes, eg,
+      "CALL graft.labelPropagation({maxIterations: 1, " +
+        "relationshipWeightProperty: 'wt', nodeWeightProperty: 'm'}) " +
+        "YIELD id, communityId WHERE id = 'b' RETURN communityId")
+      .collect().map(_.getString(0))
+    assert(viaCall.toSeq == Seq("a"))
   }
 
   test("personalized pagerank: zero mass outside the seeds' component") {

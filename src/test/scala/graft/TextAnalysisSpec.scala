@@ -122,4 +122,87 @@ class TextAnalysisSpec extends SparkSpec {
         !t.contains("@") && !t.contains("+1 555")
     })
   }
+
+  test("F9+ luhnOk and card/SSN redaction: checksum gates replacement (r14)") {
+    import spark.implicits._
+    // classic Luhn vectors: 4111111111111111 and 79927398713 are valid,
+    // flipping the check digit breaks them
+    val nums = Seq("4111111111111111", "4111111111111112", "79927398713",
+      "79927398710", "4532015112830366").toDF("num")
+      .select(col("num"), TextAnalysis.luhnOk(col("num")).as("ok"))
+      .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    assert(nums("4111111111111111") && !nums("4111111111111112"))
+    assert(nums("79927398713") && !nums("79927398710"))
+    assert(nums("4532015112830366")) // a Luhn-valid 4532… 16-digit
+    // redaction: a VALID card folds (space- and dash-separated too), an
+    // INVALID 16-digit run survives (it's an order number, not a card);
+    // SSNs fold; the earlier classes still fold
+    val docs = Seq(
+      ("pay 4111111111111111 now", true),
+      ("pay 4111 1111 1111 1111 now", true),
+      ("pay 4111-1111-1111-1111 now", true),
+      ("order 4111111111111112 shipped", false),
+      ("ssn 123-45-6789 on file", false)).toDF("text", "hasCard")
+      .select(col("text"), col("hasCard"),
+        TextAnalysis.redactPiiFull(col("text")).as("red"))
+      .collect().map(r => (r.getString(0), r.getBoolean(1), r.getString(2)))
+    docs.foreach { case (t, hasCard, red) =>
+      if (hasCard) assert(red.contains("<CARD>") && !red.exists(_.isDigit), red)
+      else assert(!red.contains("<CARD>"), red)
+    }
+    assert(docs.find(_._1.startsWith("ssn")).get._3 == "ssn <SSN> on file")
+    assert(docs.find(_._1.startsWith("order")).get._3
+      == "order 4111111111111112 shipped")
+    // driver gate: both branches exercised across the corpus, every SSN
+    // folded, every REMAINING 16-digit run is Luhn-invalid
+    val gate = TextAnalysis.f9Luhn(spark, sf).collect().map(_.getString(1))
+    assert(gate.nonEmpty && gate.forall(t => t.contains("<SSN>")))
+    val (carded, kept) = gate.partition(_.contains("<CARD>"))
+    assert(carded.nonEmpty && kept.nonEmpty) // Luhn varies with doc_id
+    assert(kept.forall(_.contains(" card 4532")))
+  }
+
+  test("F10 BPE: merge application is boundary-exact and left-to-right " +
+      "greedy; the trainer learns hand-computable merges (r14)") {
+    import spark.implicits._
+    def countOf(text: String, merges: Seq[(String, String)]): Long =
+      TextAnalysis.bpeTokenCount(Seq((1L, text)).toDF("doc_id", "text"), merges)
+        .collect().head.getLong(1)
+    // rank order chains: t+h then th+e → 'the' is ONE token, 'then' two
+    val m = Seq("t" -> "h", "th" -> "e")
+    assert(countOf("the", m) == 1L && countOf("then", m) == 2L)
+    assert(countOf("the then", m) == 3L)
+    // left-to-right greedy on runs: aaaa + (a,a) → [aa][aa]; aaa → [aa][a]
+    assert(countOf("aaaa", Seq("a" -> "a")) == 2L)
+    assert(countOf("aaa", Seq("a" -> "a")) == 2L)
+    // boundary exactness: merge (a,b) must not fire inside symbol "aa"
+    // (aab → [aa][b], NOT [a][ab] or a corrupted [aab]) nor swallow a
+    // longer symbol's prefix (after (b,c): a+b must not touch [a][bc])
+    assert(countOf("aab", Seq("a" -> "a", "a" -> "b")) == 2L)
+    assert(countOf("abc", Seq("b" -> "c", "a" -> "b")) == 2L) // [a][bc]
+    // trainer: counts then ties-lexicographic — corpus 'aaab aab':
+    // (a,a) wins 3-2, then the 1-1-1 tie resolves to (a,b), then the
+    // remaining tie to (aa,ab)
+    val docs = Seq((1L, "aaab"), (2L, "aab")).toDF("doc_id", "text")
+    assert(TextAnalysis.bpeTrain(docs, 3)
+      == Seq("a" -> "a", "a" -> "b", "aa" -> "ab"))
+    // trainer stops early when no pairs remain; determinism
+    assert(TextAnalysis.bpeTrain(Seq((1L, "ab")).toDF("doc_id", "text"), 5)
+      == Seq("a" -> "b"))
+    assert(TextAnalysis.bpeTrain(docs, 3) == TextAnalysis.bpeTrain(docs, 3))
+    // learned merges compress: corpus-trained counts < character counts
+    val corpus = Tables.documents(spark, sf)
+    val learned = TextAnalysis.bpeTrain(corpus, 4)
+    assert(learned.size == 4)
+    val nChars = corpus.select(
+        sum(length(regexp_replace(lower(trim(col("text"))), "\\s+", ""))))
+      .collect().head.getLong(0)
+    val nTokens = TextAnalysis.bpeTokenCount(corpus, learned)
+      .agg(sum(col("n_tokens"))).collect().head.getLong(0)
+    assert(nTokens < nChars, s"$nTokens !< $nChars")
+    // the fixed gate table compresses the corpus too (non-vacuous gate)
+    val nGate = TextAnalysis.f10Bpe(spark, sf)
+      .agg(sum(col("n_tokens"))).collect().head.getLong(0)
+    assert(nGate < nChars)
+  }
 }
