@@ -44,7 +44,12 @@ object Bench {
     // r14 additions: weighted LPA (always-distributed rounds), the
     // SemDeDup composition (kmeans + within-cluster pairs + CC), and
     // the BPE replace-chain scan (12 chained replaces per word)
-    "g_wlpa", "d9_semdedup", "f10_bpe")
+    "g_wlpa", "d9_semdedup", "f10_bpe",
+    // r14: distributed Tarjan-Vishkin biconnectivity (Borůvka forest +
+    // Euler tour + list ranking + RMQ + aux-graph CC — the log-round
+    // join stack that replaces the r13 local-only cut pass at scale)
+    // and SLLPA overlapping communities (5 edge×memory join rounds)
+    "g_bicc", "g_sllpa")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -169,8 +169,13 @@ object SparkEntry {
     "g_bellman"    -> (GraphQueries.gBellman _),
     "g_articulation" -> (GraphQueries.gArticulation _),
     "g_bridges"    -> (GraphQueries.gBridges _),
+    "g_articulation_dist" -> (GraphQueries.gArticulationDist _), // r14: B41
+    "g_bridges_dist" -> (GraphQueries.gBridgesDist _),           // r14: B41
+    "g_bicc"       -> (GraphQueries.gBicc _),                    // r14: B41
     "g_hashgnn"    -> (GraphQueries.gHashgnn _),
     "g_hashgnn_ok" -> (GraphQueries.gHashgnnOk _),
+    "g_sllpa"      -> (GraphQueries.gSllpa _),   // r14: B42 overlapping
+    "g_sllpa_ok"   -> (GraphQueries.gSllpaOk _), // r14: B42 invariants
     "d8_substr"    -> (Dedup.d8Substr _),
     "g_kcore"      -> ((s, d) => GraphQueries.gKcore(s, d)),
     "g_dfs"        -> (GraphQueries.gDfs _), // r14: gds.dfs preorder
@@ -635,6 +640,43 @@ object SparkEntry {
         |SELECT id, floor(b / 2 * 1000000 + 0.5) / 1000000 AS betweenness
         |FROM bb WHERE floor(b / 2 * 1000000 + 0.5) / 1000000 > 0
         |ORDER BY id""".stripMargin
+
+  /** B37/B41 shared avoidance oracles: vertex cut-ness by walking from
+    * the min neighbor while avoiding the vertex; edge bridge-ness by
+    * tail→head reachability with both directions of the edge itself
+    * forbidden. Used verbatim for the local (g_articulation/g_bridges)
+    * and forced-distributed (…_dist) gates — the two Spark paths share
+    * no machinery, the oracle is independent of both. */
+  private val articulationOracle: String =
+    """WITH RECURSIVE base AS (SELECT DISTINCT 'p:'||l_partkey AS a,
+      |    's:'||l_suppkey AS b
+      |  FROM lineitem WHERE l_partkey % 20 = 0 AND l_suppkey % 7 = 0),
+      |sym AS (SELECT a AS src, b AS dst FROM base UNION ALL SELECT b, a FROM base),
+      |seeds AS (SELECT src AS v, min(dst) AS node FROM sym GROUP BY 1),
+      |walk AS (
+      |  SELECT v, node FROM seeds
+      |  UNION
+      |  SELECT wk.v, s.dst FROM walk wk JOIN sym s ON s.src = wk.node
+      |  WHERE s.dst <> wk.v AND s.src <> wk.v)
+      |SELECT DISTINCT sym.src AS id FROM sym
+      |WHERE NOT EXISTS (SELECT 1 FROM walk WHERE v = sym.src AND node = sym.dst)
+      |ORDER BY 1""".stripMargin
+
+  private val bridgesOracle: String =
+    """WITH RECURSIVE base AS (SELECT DISTINCT 'p:'||l_partkey AS a,
+      |    's:'||l_suppkey AS b
+      |  FROM lineitem WHERE l_partkey % 20 = 0 AND l_suppkey % 7 = 0),
+      |sym AS (SELECT a AS src, b AS dst FROM base UNION ALL SELECT b, a FROM base),
+      |walk AS (
+      |  SELECT a AS ea, b AS eb, a AS node FROM base
+      |  UNION
+      |  SELECT wk.ea, wk.eb, s.dst FROM walk wk JOIN sym s ON s.src = wk.node
+      |  WHERE NOT (s.src = wk.ea AND s.dst = wk.eb)
+      |    AND NOT (s.src = wk.eb AND s.dst = wk.ea))
+      |SELECT e.a AS src, e.b AS dst FROM base e
+      |WHERE NOT EXISTS (SELECT 1 FROM walk
+      |  WHERE ea = e.a AND eb = e.b AND node = e.b)
+      |ORDER BY 1, 2""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q1_agg" ->
@@ -1245,37 +1287,16 @@ object SparkEntry {
     // its minimum neighbor while AVOIDING the vertex, some neighbor
     // stays unreached — an independent formulation of cut-ness (the
     // Spark side computes it via Tarjan lowlinks).
-    "g_articulation" ->
-      """WITH RECURSIVE base AS (SELECT DISTINCT 'p:'||l_partkey AS a,
-        |    's:'||l_suppkey AS b
-        |  FROM lineitem WHERE l_partkey % 20 = 0 AND l_suppkey % 7 = 0),
-        |sym AS (SELECT a AS src, b AS dst FROM base UNION ALL SELECT b, a FROM base),
-        |seeds AS (SELECT src AS v, min(dst) AS node FROM sym GROUP BY 1),
-        |walk AS (
-        |  SELECT v, node FROM seeds
-        |  UNION
-        |  SELECT wk.v, s.dst FROM walk wk JOIN sym s ON s.src = wk.node
-        |  WHERE s.dst <> wk.v AND s.src <> wk.v)
-        |SELECT DISTINCT sym.src AS id FROM sym
-        |WHERE NOT EXISTS (SELECT 1 FROM walk WHERE v = sym.src AND node = sym.dst)
-        |ORDER BY 1""".stripMargin,
+    "g_articulation" -> articulationOracle,
     // B37b (r13): an edge is a bridge iff its head is unreachable from
     // its tail when BOTH directions of the edge itself are forbidden
-    "g_bridges" ->
-      """WITH RECURSIVE base AS (SELECT DISTINCT 'p:'||l_partkey AS a,
-        |    's:'||l_suppkey AS b
-        |  FROM lineitem WHERE l_partkey % 20 = 0 AND l_suppkey % 7 = 0),
-        |sym AS (SELECT a AS src, b AS dst FROM base UNION ALL SELECT b, a FROM base),
-        |walk AS (
-        |  SELECT a AS ea, b AS eb, a AS node FROM base
-        |  UNION
-        |  SELECT wk.ea, wk.eb, s.dst FROM walk wk JOIN sym s ON s.src = wk.node
-        |  WHERE NOT (s.src = wk.ea AND s.dst = wk.eb)
-        |    AND NOT (s.src = wk.eb AND s.dst = wk.ea))
-        |SELECT e.a AS src, e.b AS dst FROM base e
-        |WHERE NOT EXISTS (SELECT 1 FROM walk
-        |  WHERE ea = e.a AND eb = e.b AND node = e.b)
-        |ORDER BY 1, 2""".stripMargin,
+    "g_bridges" -> bridgesOracle,
+    // B41 (r14): the SAME avoidance oracles, with the Spark side
+    // FORCED through the distributed Tarjan-Vishkin pass — the oracle
+    // knows nothing about spanning trees, Euler tours or RMQs, so this
+    // is a full independent recomputation of the distributed path
+    "g_articulation_dist" -> articulationOracle,
+    "g_bridges_dist" -> bridgesOracle,
     // B36 (r13): hashgnn quality flags — Spark-side deterministic
     // invariants (homophily / rerun / coverage), oracle pins three 1s
     // (the e_recall pattern for non-SQL-expressible checks)
@@ -1283,6 +1304,14 @@ object SparkEntry {
       """SELECT CAST(1 AS BIGINT) AS homophily_ok,
         |       CAST(1 AS BIGINT) AS rerun_ok,
         |       CAST(1 AS BIGINT) AS coverage_ok""".stripMargin,
+    // B42 (r14): sllpa invariant flags — coverage (every vertex holds
+    // >= 1 membership), same-component labels (propagation can't leak
+    // across components), overlap non-vacuity; Spark-side
+    // deterministic, oracle pins three 1s (the g_hashgnn_ok pattern)
+    "g_sllpa_ok" ->
+      """SELECT CAST(1 AS BIGINT) AS coverage_ok,
+        |       CAST(1 AS BIGINT) AS samecomp_ok,
+        |       CAST(1 AS BIGINT) AS overlap_ok""".stripMargin,
     // D8 (r13): the planted-passage corpus is closed-form — the pair
     // list (and exactly ONE passage-length span per pair) follows from
     // the construction; the Spark side has to find them through the

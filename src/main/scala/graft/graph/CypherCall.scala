@@ -796,12 +796,18 @@ object CypherCall {
             cfg.int("maxIterations", 10), wcol)
           .select(col("src"), col("dst"), col("w").as("weight"))
       }),
-    // GDS gds.articulationPoints / gds.bridges parity (r13): the
-    // bounded-local-finisher cut-structure pass (loud above the bound)
+    // GDS gds.articulationPoints / gds.bridges parity (r13): exact
+    // local Hopcroft-Tarjan under the bound; r14 — ABOVE it the
+    // distributed Tarjan-Vishkin pass (B41) takes over, so the procs
+    // no longer refuse at scale. biconnectedComponents exposes the
+    // full block partition TV computes (beyond the GDS catalog — the
+    // capability its articulationPoints/bridges derive from).
     "articulationPoints" -> Proc(Seq("id"), Set.empty,
       (n, ed, cfg) => GraphOps.articulationPoints(selectEdges(n, ed, cfg))),
     "bridges" -> Proc(Seq("src", "dst"), Set.empty,
       (n, ed, cfg) => GraphOps.bridges(selectEdges(n, ed, cfg))),
+    "biconnectedComponents" -> Proc(Seq("src", "dst", "component"), Set.empty,
+      (n, ed, cfg) => GraphOps.biconnectedComponents(selectEdges(n, ed, cfg))),
     // GDS gds.hashgnn parity (r13): hash-based deterministic embeddings
     // (min-hash message passing — no floats anywhere, bit-stable)
     "hashgnn" -> Proc(Seq("id", "features", "embedding"),
@@ -832,6 +838,55 @@ object CypherCall {
           emb.select(col("id"), col("embedding").as("v")),
           k = cfg.int("topK", 5), nbits = cfg.int("nbits", 3),
           ntables = cfg.int("ntables", 16))
+      }),
+    // GDS gds.alpha.sllpa parity (r14): speaker-listener label
+    // propagation — OVERLAPPING communities (a vertex may yield
+    // several rows), the shape the disjoint community procs can't
+    // express; deterministic integer-exact draws (see [[Sllpa]])
+    "sllpa" -> Proc(Seq("id", "communityId"),
+      Set("maxIterations", "minAssociationStrength", "randomSeed"),
+      (n, ed, cfg) => Sllpa.run(selectEdges(n, ed, cfg),
+        cfg.int("maxIterations", 10),
+        cfg.dbl("minAssociationStrength", 0.2),
+        cfg.int("randomSeed", 42).toLong)),
+    // GDS gds.kmeans parity (r14): GDS clusters on an array node
+    // property; this engine's graphs carry no array node properties
+    // (same divergence knn documents), so the vectors come from the
+    // FastRP embedding knn already composes — then the E7 machinery
+    // (deterministic hash-order init, distributed Lloyd, cosine
+    // assignment). Yields (id, communityId, similarity).
+    "kmeans" -> Proc(Seq("id", "communityId", "similarity"),
+      Set("k", "maxIterations", "embeddingDimension", "iterationWeights",
+        "randomSeed"),
+      (n, ed, cfg) => {
+        val emb = FastRP.embed(selectEdges(n, ed, cfg),
+          dim = cfg.int("embeddingDimension", 64),
+          weights = cfg.dbls("iterationWeights").getOrElse(Seq(0.0, 1.0, 1.0)),
+          seed = cfg.int("randomSeed", 42).toLong,
+          nodes = Some(n.select(col("id"))))
+        graft.operators.Similarity.kmeans(
+            emb.select(col("id"), col("embedding").as("v")),
+            k = cfg.int("k", 10), iters = cfg.int("maxIterations", 2))
+          .select(col("id"), col("cluster").cast("long").as("communityId"),
+            col("sim").as("similarity"))
+      }),
+    // GDS gds.localClusteringCoefficient parity (r14): 2·Δ(v) /
+    // (deg(v)·(deg(v)−1)) over the undirected simple projection —
+    // B10's triangle core + a degree agg; degree-<2 vertices yield 0
+    // (GDS convention), vertices appear iff they have an edge.
+    "localClusteringCoefficient" ->
+      Proc(Seq("id", "localClusteringCoefficient"), Set.empty,
+      (n, ed, cfg) => {
+        val e = selectEdges(n, ed, cfg)
+        val sym = GraphOps.undirected(e).filter(col("src") =!= col("dst"))
+        val deg = sym.groupBy(col("src").as("id"))
+          .agg(countDistinct(col("dst")).as("deg"))
+        deg.join(GraphOps.triangles(e), Seq("id"), "left")
+          .select(col("id"),
+            when(col("deg") < 2, lit(0.0))
+              .otherwise(lit(2.0) * coalesce(col("n_tri"), lit(0L)) /
+                (col("deg") * (col("deg") - 1)))
+              .as("localClusteringCoefficient"))
       }),
     "fastRP" -> Proc(Seq("id", "embedding"),
       Set("embeddingDimension", "iterationWeights", "randomSeed"),
@@ -882,11 +937,33 @@ object CypherCall {
   private val TailKeywords =
     Set("WHERE", "MATCH", "WITH", "UNWIND", "RETURN", "ORDER", "SKIP", "LIMIT")
 
+  /** GDS variant spellings (r14): the catalog names several procs
+    * `<name>.<algorithm>` where the suffix picks Neo4j's INTERNAL
+    * algorithm (delta-stepping vs dijkstra). This engine keeps ONE
+    * scale-shaped implementation per semantic — the keyed Bellman-Ford
+    * frontier ([[GraphOps.ssspPathsFrom]]) serves both spellings, the
+    * way AQE picks a physical join for a logical one — so the variant
+    * names alias to it rather than failing as typos. `shortestPath.
+    * astar` stays a REAL proc (different semantics: a heuristic
+    * frame), and `.stream` strips before aliasing. */
+  private val ProcAliases = Map(
+    "allShortestPaths.delta" -> "shortestPath",
+    "allShortestPaths.dijkstra" -> "shortestPath",
+    "shortestPath.dijkstra" -> "shortestPath",
+    "shortestPath.yens" -> "yens",
+    "closeness.harmonic" -> "harmonic") // GDS's dotted spelling
+
   def run(nodes: DataFrame, edges: DataFrame, cypher: String): DataFrame = {
     val text = CypherLite.normalizeWs(cypher)
     text match {
       case PrefixRe(name0, cfgOrNull, tail0) =>
-        val name = name0.stripSuffix(".stream")
+        // GDS catalog habits, in order: the `.stream` mode suffix and
+        // the `alpha.`/`beta.` tier prefixes strip (a migrating user's
+        // `gds.alpha.sllpa.stream` is spelled `graft.alpha.sllpa.
+        // stream` and lands on sllpa), then variant spellings alias
+        val stripped = name0.stripSuffix(".stream")
+          .stripPrefix("alpha.").stripPrefix("beta.")
+        val name = ProcAliases.getOrElse(stripped, stripped)
         val proc = procs.getOrElse(name, throw new IllegalArgumentException(
           s"unknown procedure graft.$name — available: " +
             procs.keys.toSeq.sorted.mkString(", ")))

@@ -1309,53 +1309,95 @@ object GraphOps {
     * simple graph — on telemetry graphs the choke-point processes and
     * single links in lateral-movement paths.
     *
-    * Hopcroft-Tarjan lowlink needs a DFS — inherently sequential, no
-    * distributed formulation exists that keeps its O(V+E) bound — so
-    * this is the house BOUNDED LOCAL FINISHER contract made explicit
-    * (the CC/louvain pattern, but with no distributed fallback): under
-    * `maxLocalEdges` symmetric edge rows the exact driver-side
-    * algorithm runs (iterative, explicit stack — no recursion-depth
-    * ceiling; neighbor order sorted, so output is deterministic);
-    * ABOVE the bound the call fails LOUDLY rather than pretending to
-    * scale. Self-loops are ignored; parallel edges collapse (set
-    * semantics, like every operator here); ids compare as strings.
+    * Under `maxLocalEdges` symmetric edge rows the exact driver-side
+    * Hopcroft-Tarjan runs (iterative, explicit stack — no
+    * recursion-depth ceiling; neighbor order sorted, so output is
+    * deterministic). ABOVE the bound — where r13 refused loudly,
+    * DFS lowlinks being inherently sequential — the r14 DISTRIBUTED
+    * Tarjan-Vishkin pass ([[Biconnectivity]], B41) takes over: no DFS,
+    * O(log V) rounds of equi-joins, the same answers (equivalence
+    * spec-pinned on fixtures and seeded random graphs). Self-loops are
+    * ignored; parallel edges collapse (set semantics, like every
+    * operator here); ids compare as strings.
     *
     * [[articulationPoints]] returns (id); [[bridges]] returns
-    * (src, dst) with src < dst. */
-  def articulationPoints(edges: DataFrame, maxLocalEdges: Long = 250000L): DataFrame = {
-    val (aps, _) = cutStructure(edges, maxLocalEdges)
-    val spark = edges.sparkSession
-    import org.apache.spark.sql.types.{StringType, StructField, StructType}
-    spark.createDataFrame(
-      aps.sorted.map(org.apache.spark.sql.Row(_)).toSeq.asJava,
-      StructType(Seq(StructField("id", StringType))))
+    * (src, dst) with src < dst; [[biconnectedComponents]] returns
+    * (src, dst, component) — component = the biconnected component's
+    * min canonical edge key rendered `a|b`. `forceDistributed` pins
+    * the Tarjan-Vishkin path regardless of size (gates and specs). */
+  def articulationPoints(edges: DataFrame, maxLocalEdges: Long = 250000L,
+                         forceDistributed: Boolean = false): DataFrame = {
+    cutLocal(edges, maxLocalEdges, forceDistributed) match {
+      case Some((aps, _, _)) =>
+        val spark = edges.sparkSession
+        import org.apache.spark.sql.types.{StringType, StructField, StructType}
+        spark.createDataFrame(
+          aps.sorted.map(org.apache.spark.sql.Row(_)).toSeq.asJava,
+          StructType(Seq(StructField("id", StringType))))
+      case None => Biconnectivity.articulationPoints(edges).orderBy(col("id"))
+    }
   }
 
   /** See [[articulationPoints]]. */
-  def bridges(edges: DataFrame, maxLocalEdges: Long = 250000L): DataFrame = {
-    val (_, brs) = cutStructure(edges, maxLocalEdges)
-    val spark = edges.sparkSession
-    import org.apache.spark.sql.types.{StringType, StructField, StructType}
-    spark.createDataFrame(
-      brs.sorted.map { case (a, b) => org.apache.spark.sql.Row(a, b) }.toSeq.asJava,
-      StructType(Seq(StructField("src", StringType), StructField("dst", StringType))))
+  def bridges(edges: DataFrame, maxLocalEdges: Long = 250000L,
+              forceDistributed: Boolean = false): DataFrame = {
+    cutLocal(edges, maxLocalEdges, forceDistributed) match {
+      case Some((_, brs, _)) =>
+        val spark = edges.sparkSession
+        import org.apache.spark.sql.types.{StringType, StructField, StructType}
+        spark.createDataFrame(
+          brs.sorted.map { case (a, b) => org.apache.spark.sql.Row(a, b) }.toSeq.asJava,
+          StructType(Seq(StructField("src", StringType), StructField("dst", StringType))))
+      case None => Biconnectivity.bridges(edges).orderBy(col("src"), col("dst"))
+    }
   }
 
-  /** Shared Hopcroft-Tarjan pass: (articulation points, bridges). */
-  private def cutStructure(edges: DataFrame,
-                           maxLocalEdges: Long): (Array[String], Array[(String, String)]) = {
+  /** See [[articulationPoints]]: the full biconnected-component
+    * partition (r14, B41) — one row per undirected simple edge. */
+  def biconnectedComponents(edges: DataFrame, maxLocalEdges: Long = 250000L,
+                            forceDistributed: Boolean = false): DataFrame = {
+    cutLocal(edges, maxLocalEdges, forceDistributed) match {
+      case Some((_, _, comps)) =>
+        val spark = edges.sparkSession
+        import org.apache.spark.sql.types.{StringType, StructField, StructType}
+        spark.createDataFrame(
+          comps.sortBy(t => (t._1, t._2))
+            .map { case (a, b, c) => org.apache.spark.sql.Row(a, b, c) }.toSeq.asJava,
+          StructType(Seq(StructField("src", StringType),
+            StructField("dst", StringType), StructField("component", StringType))))
+      case None =>
+        Biconnectivity.biconnectedComponents(edges).orderBy(col("src"), col("dst"))
+    }
+  }
+
+  /** Local-finisher dispatch: Some(result) when the graph fits under
+    * the bound (and the caller didn't force the distributed path),
+    * None to hand over to [[Biconnectivity]]. */
+  private def cutLocal(edges: DataFrame, maxLocalEdges: Long, forceDistributed: Boolean)
+      : Option[(Array[String], Array[(String, String)], Array[(String, String, String)])] = {
+    if (forceDistributed) return None
     val sym = undirected(edges.select(col("src").cast("string").as("src"),
         col("dst").cast("string").as("dst")))
       .filter(col("src") =!= col("dst"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val n = sym.count()
-    require(n <= maxLocalEdges,
-      s"articulationPoints/bridges: $n symmetric edge rows exceed the " +
-        s"bounded-local-finisher contract ($maxLocalEdges). Cut-vertex " +
-        "analysis is DFS-sequential; shard the graph by component " +
-        "(connectedComponents) and analyze components under the bound.")
+    if (n > maxLocalEdges) { sym.unpersist(); return None }
     val pairs = sym.collect().map(r => (r.getString(0), r.getString(1)))
     sym.unpersist()
+    Some(cutStructure(pairs))
+  }
+
+  /** Shared Hopcroft-Tarjan pass: (articulation points, bridges,
+    * biconnected components). The component pass is the textbook edge
+    * stack: push tree and upward back edges; when a child's lowlink
+    * cannot climb above its parent, pop through the tree edge — those
+    * edges are one biconnected component. Labels = min canonical edge
+    * key per component, computed over the SAME U+0001-joined keys the
+    * distributed twin orders by (a '|'-joined min can order
+    * differently when ids contain characters above '|'), rendered
+    * `a|b`. */
+  private def cutStructure(pairs: Array[(String, String)])
+      : (Array[String], Array[(String, String)], Array[(String, String, String)]) = {
     import scala.collection.mutable
     val adj = mutable.HashMap.empty[String, mutable.ArrayBuffer[String]]
     pairs.foreach { case (a, b) =>
@@ -1367,6 +1409,8 @@ object GraphOps {
     val low = mutable.HashMap.empty[String, Int]
     val aps = mutable.HashSet.empty[String]
     val brs = mutable.ArrayBuffer.empty[(String, String)]
+    val estack = mutable.ArrayBuffer.empty[(String, String)]
+    val comps = mutable.ArrayBuffer.empty[Array[(String, String)]]
     var time = 0
     verts.foreach { root =>
       if (!disc.contains(root)) {
@@ -1383,9 +1427,13 @@ object GraphOps {
             if (!disc.contains(c)) {
               if (v == root) rootChildren += 1
               disc(c) = time; low(c) = time; time += 1
+              estack += ((v, c))
               stack += ((c, v, 0))
             } else if (c != par) {
               low(v) = math.min(low(v), disc(c))
+              // upward back edge only — the downward sighting of the
+              // same edge was already pushed from the other side
+              if (disc(c) < disc(v)) estack += ((v, c))
             }
           } else {
             stack.remove(stack.length - 1)
@@ -1394,13 +1442,29 @@ object GraphOps {
               if (low(v) > disc(par))
                 brs += ((if (par < v) par else v, if (par < v) v else par))
               if (par != root && low(v) >= disc(par)) aps += par
+              if (low(v) >= disc(par)) {
+                // pop one biconnected component, through (par, v)
+                val comp = mutable.ArrayBuffer.empty[(String, String)]
+                var done = false
+                while (!done) {
+                  val e = estack.remove(estack.length - 1)
+                  comp += e
+                  done = e == ((par, v))
+                }
+                comps += comp.toArray
+              }
             }
           }
         }
         if (rootChildren >= 2) aps += root
       }
     }
-    (aps.toArray, brs.toArray)
+    val labeled = comps.toArray.flatMap { comp =>
+      val canon = comp.map { case (x, y) => if (x < y) (x, y) else (y, x) }.distinct
+      val label = canon.map { case (x, y) => x + "\u0001" + y }.min.replace('\u0001', '|')
+      canon.map { case (x, y) => (x, y, label) }
+    }
+    (aps.toArray, brs.toArray, labeled)
   }
 
   /** B40 — DFS (`gds.dfs`, r14): depth-first PREORDER from `source`

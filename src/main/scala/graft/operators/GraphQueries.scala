@@ -558,6 +558,73 @@ object GraphQueries {
     GraphOps.bridges(TestGraph.cutEdges(s, dir))
       .orderBy(col("src"), col("dst"))
 
+  /** B41 (r14) — the same articulation points, FORCED through the
+    * distributed Tarjan-Vishkin pass (Borůvka forest → Euler tour →
+    * list ranking → RMQ → auxiliary-graph CC; no DFS anywhere),
+    * hash-gated against the SAME independent reachability-avoidance
+    * oracle as `g_articulation` — the r13 local-finisher bound is no
+    * longer a scale ceiling, and the gate proves it on real data. */
+  def gArticulationDist(s: SparkSession, dir: String): DataFrame =
+    GraphOps.articulationPoints(TestGraph.cutEdges(s, dir),
+        forceDistributed = true)
+      .orderBy(col("id"))
+
+  /** B41b (r14) — distributed bridges, vs the edge-avoidance oracle. */
+  def gBridgesDist(s: SparkSession, dir: String): DataFrame =
+    GraphOps.bridges(TestGraph.cutEdges(s, dir), forceDistributed = true)
+      .orderBy(col("src"), col("dst"))
+
+  /** B41c (r14) — the full biconnected-component partition (one row
+    * per edge, component = min canonical edge key). Rows-recorded; the
+    * partition itself is spec-gated (distributed ≡ local Hopcroft-
+    * Tarjan edge stack on fixtures + seeded random graphs), and its
+    * two reductions are the hash gates above. */
+  def gBicc(s: SparkSession, dir: String): DataFrame =
+    GraphOps.biconnectedComponents(TestGraph.cutEdges(s, dir),
+        forceDistributed = true)
+      .orderBy(col("src"), col("dst"))
+
+  /** B42 (r14) — SLLPA overlapping communities (gds.alpha.sllpa) on
+    * the part—supplier graph: one (id, communityId) row per
+    * membership — possibly several per vertex, which is the point.
+    * Rows-recorded (an 11-round stochastic-process replay has no
+    * tractable SQL twin; the draws are deterministic so rows are
+    * stable); semantics spec-pinned, invariants hash-gated below. */
+  def gSllpa(s: SparkSession, dir: String): DataFrame =
+    graft.graph.Sllpa.run(TestGraph.partSupplierEdges(s, dir),
+        maxIterations = 5)
+      .orderBy(col("id"), col("communityId"))
+
+  /** B42 quality gate — 1-row flags the oracle pins at 1 (the
+    * g_hashgnn_ok pattern; all deterministic, a 0 is a code change):
+    * `coverage_ok` — every vertex of the graph holds ≥ 1 membership
+    * (the keep-strongest fallback contract);
+    * `samecomp_ok` — every communityId is a real vertex id in the SAME
+    * connected component as its member (labels can only propagate
+    * along edges — a violation means the join plumbing leaked);
+    * `overlap_ok` — at least one vertex belongs to ≥ 2 communities
+    * (the overlapping-output non-vacuity witness on this graph). */
+  def gSllpaOk(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = TestGraph.partSupplierEdges(s, dir)
+    val m = graft.graph.Sllpa.run(e, maxIterations = 5)
+      .persist()
+    val verts = GraphOps.undirected(e).select(col("src").as("id")).distinct()
+    val coverageOk = verts.join(m, Seq("id"), "left_anti").isEmpty
+    val cc = GraphOps.connectedComponents(e)
+    val sameCompOk = m
+      .join(cc, Seq("id"))
+      .join(cc.select(col("id").as("communityId"), col("component").as("c2")),
+        Seq("communityId"))
+      .filter(col("component") =!= col("c2")).isEmpty
+    val overlapOk = m.groupBy(col("id")).agg(count(lit(1)).as("n"))
+      .filter(col("n") >= 2).limit(1).count() > 0
+    m.unpersist()
+    Seq((if (coverageOk) 1L else 0L, if (sameCompOk) 1L else 0L,
+        if (overlapOk) 1L else 0L))
+      .toDF("coverage_ok", "samecomp_ok", "overlap_ok")
+  }
+
   /** B36 — hashgnn embeddings (gds.hashgnn parity, r13) on the
     * part—supplier graph. The embedding is hash-min selection only —
     * NO floats — so the per-node feature-set fingerprint is

@@ -1,0 +1,166 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.graph.{Biconnectivity, GraphOps}
+
+/** B41 — distributed Tarjan-Vishkin biconnectivity vs the exact local
+  * Hopcroft-Tarjan edge-stack finisher: the two implementations share
+  * NOTHING (Borůvka forest + Euler tour + list ranking + RMQ vs a
+  * sequential DFS), so equality of the full component PARTITION on
+  * hand fixtures and seeded random graphs is a genuine cross-check. */
+class BiconnectivitySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def edgeDf(pairs: (String, String)*) =
+    pairs.toDF("src", "dst")
+
+  /** (src, dst) -> component label, both paths. */
+  private def partL(pairs: Seq[(String, String)]): Map[(String, String), String] =
+    GraphOps.biconnectedComponents(edgeDf(pairs: _*))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getString(2)).toMap
+
+  private def partD(pairs: Seq[(String, String)]): Map[(String, String), String] =
+    GraphOps.biconnectedComponents(edgeDf(pairs: _*), forceDistributed = true)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getString(2)).toMap
+
+  test("biconnectedComponents: hand fixtures, local ≡ distributed") {
+    // path a—b—c: two singleton components (both bridges)
+    val path = Seq("a" -> "b", "b" -> "c")
+    val pl = partL(path)
+    assert(pl == Map(("a", "b") -> "a|b", ("b", "c") -> "b|c"))
+    assert(partD(path) == pl)
+
+    // triangle: one component, labeled by its min edge key
+    val tri = Seq("a" -> "b", "b" -> "c", "c" -> "a")
+    val tl = partL(tri)
+    assert(tl.values.toSet == Set("a|b") && tl.size == 3)
+    assert(partD(tri) == tl)
+
+    // barbell: the two triangles are separate components; the joining
+    // edge is its own (the bridge)
+    val barbell = Seq("a1" -> "a2", "a2" -> "a3", "a3" -> "a1",
+      "b1" -> "b2", "b2" -> "b3", "b3" -> "b1", "a1" -> "b1")
+    val bl = partL(barbell)
+    assert(bl(("a1", "b1")) == "a1|b1")
+    assert(bl.filterKeys(_._1.startsWith("a")).values.toSet.size == 2) // tri + bridge
+    assert(Set(bl(("b1", "b2")), bl(("b2", "b3")), bl(("b1", "b3"))).size == 1)
+    assert(partD(barbell) == bl)
+
+    // bowtie: two triangle components sharing vertex m — m is the AP,
+    // no bridges, exactly two labels
+    val bowtie = Seq("a" -> "b", "b" -> "m", "m" -> "a",
+      "m" -> "x", "x" -> "y", "y" -> "m")
+    val wl = partL(bowtie)
+    assert(wl.values.toSet.size == 2)
+    assert(partD(bowtie) == wl)
+
+    // theta graph (two vertices joined by three disjoint 2-paths):
+    // one biconnected component, nothing cuts
+    val theta = Seq("s" -> "p1", "p1" -> "t", "s" -> "p2", "p2" -> "t",
+      "s" -> "p3", "p3" -> "t")
+    val hl = partL(theta)
+    assert(hl.values.toSet.size == 1)
+    assert(partD(theta) == hl)
+    assert(GraphOps.articulationPoints(edgeDf(theta: _*),
+      forceDistributed = true).isEmpty)
+
+    // disconnected mix: a triangle plus a far-away path — components
+    // never bleed across connected components
+    val mix = Seq("a" -> "b", "b" -> "c", "c" -> "a", "q" -> "r", "r" -> "s")
+    val ml = partL(mix)
+    assert(ml.values.toSet.size == 3)
+    assert(partD(mix) == ml)
+  }
+
+  test("biconnectedComponents: self-loops/parallels/direction fold; determinism") {
+    // directed duplicates, reversed spellings and self-loops all
+    // collapse to the same undirected simple graph
+    val messy = edgeDf("a" -> "b", "b" -> "a", "a" -> "a", "b" -> "c",
+      "c" -> "b", "c" -> "a")
+    val clean = edgeDf("a" -> "b", "b" -> "c", "a" -> "c")
+    val m = GraphOps.biconnectedComponents(messy, forceDistributed = true)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    val c = GraphOps.biconnectedComponents(clean, forceDistributed = true)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(m == c && m.size == 3)
+    // bit-identical rerun (the house determinism rule)
+    val again = GraphOps.biconnectedComponents(messy, forceDistributed = true)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(again == m)
+    // empty input: empty output, correct schema
+    val empty = GraphOps.biconnectedComponents(edgeDf(), forceDistributed = true)
+    assert(empty.columns.toSeq == Seq("src", "dst", "component") && empty.isEmpty)
+  }
+
+  test("distributed ≡ local on seeded random graphs (the cross-check)") {
+    // Erdős–Rényi-ish graphs in the sparse regime, where bridges, APs
+    // and nontrivial blocks all occur; 4 seeds × 60 vertices. The two
+    // sides share no algorithmic machinery.
+    (1 to 4).foreach { seed =>
+      val rnd = new scala.util.Random(seed * 7919)
+      val vs = (0 until 60).map(i => f"v$i%02d")
+      val pairs = (for {
+        i <- vs.indices; j <- (i + 1) until vs.length
+        if rnd.nextDouble() < 0.045
+      } yield (vs(i), vs(j)))
+      val loc = partL(pairs)
+      val dist = partD(pairs)
+      assert(dist == loc, s"seed $seed: partition mismatch " +
+        s"(${loc.size} local rows, ${dist.size} distributed rows)")
+      // derived surfaces agree too (they reduce the same partition)
+      val e = edgeDf(pairs: _*)
+      val apsL = GraphOps.articulationPoints(e).collect().map(_.getString(0)).toSet
+      val apsD = GraphOps.articulationPoints(e, forceDistributed = true)
+        .collect().map(_.getString(0)).toSet
+      assert(apsD == apsL, s"seed $seed: AP mismatch")
+      val brL = GraphOps.bridges(e).collect()
+        .map(r => (r.getString(0), r.getString(1))).toSet
+      val brD = GraphOps.bridges(e, forceDistributed = true).collect()
+        .map(r => (r.getString(0), r.getString(1))).toSet
+      assert(brD == brL, s"seed $seed: bridge mismatch")
+      // partition sanity: bridges are exactly the singleton components
+      val sizes = loc.groupBy(_._2).map { case (lbl, m) => lbl -> m.size }
+      assert(brL == loc.filter { case (_, lbl) => sizes(lbl) == 1 }.keySet)
+    }
+  }
+
+  test("sf0.001 cut graph: distributed ≡ local (the driver-gate shape)") {
+    val cut = graft.graph.TestGraph.cutEdges(spark, sf)
+    val apsL = GraphOps.articulationPoints(cut).collect().map(_.getString(0)).toSet
+    val apsD = GraphOps.articulationPoints(cut, forceDistributed = true)
+      .collect().map(_.getString(0)).toSet
+    assert(apsD == apsL && apsL.nonEmpty)
+    val brL = GraphOps.bridges(cut).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    val brD = GraphOps.bridges(cut, forceDistributed = true).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(brD == brL && brL.nonEmpty)
+    val pL = GraphOps.biconnectedComponents(cut).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getString(2)).toMap
+    val pD = GraphOps.biconnectedComponents(cut, forceDistributed = true)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getString(2)).toMap
+    assert(pD == pL)
+  }
+
+  test("star and deep path: skew and depth extremes") {
+    // star: every edge a bridge (own component), hub is the one AP —
+    // the hub-adjacency shapes (Euler tour around one vertex) and the
+    // O(log) list-ranking path both get exercised
+    val star = (1 to 40).map(i => "hub" -> f"leaf$i%02d")
+    val sl = partL(star)
+    assert(sl.values.toSet.size == 40 && partD(star) == sl)
+    assert(GraphOps.articulationPoints(edgeDf(star: _*), forceDistributed = true)
+      .collect().map(_.getString(0)).toSeq == Seq("hub"))
+    // deep path: list ranking over a long chain (depth ≫ log rounds);
+    // a DFS-free pass must still number it correctly
+    val chain = (0 until 50).map(i => f"n$i%02d" -> f"n${i + 1}%02d")
+    val cl = partL(chain)
+    assert(cl.values.toSet.size == 50 && partD(chain) == cl)
+    // cycle with a tail: one block + tail bridges
+    val lasso = (0 until 10).map(i => s"c$i" -> s"c${(i + 1) % 10}") ++
+      Seq("c0" -> "t1", "t1" -> "t2")
+    val ll = partL(lasso)
+    assert(ll.values.toSet.size == 3 && partD(lasso) == ll)
+  }
+}

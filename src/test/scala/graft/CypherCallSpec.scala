@@ -384,6 +384,62 @@ class CypherCallSpec extends SparkSpec {
     assert(err.getMessage.contains("sourceNode"))
   }
 
+  test("localClusteringCoefficient CALL: hand-computed coefficients (r14)") {
+    val got = CypherCall.run(nodes, edges,
+      "CALL graft.localClusteringCoefficient({}) YIELD id, " +
+        "localClusteringCoefficient AS c RETURN id, round(c, 4) AS c ORDER BY id")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // triangle corners: 1.0; the bridge endpoints c/x have deg 3 and
+    // one closed wedge of three: 2·1/(3·2) = 1/3; lone has no edges
+    assert(got == Map("a" -> 1.0, "b" -> 1.0, "y" -> 1.0, "z" -> 1.0,
+      "c" -> 0.3333, "x" -> 0.3333))
+  }
+
+  test("kmeans CALL: FastRP-composed clustering, deterministic coverage (r14)") {
+    val q = "CALL graft.kmeans({k: 2, maxIterations: 2}) YIELD id, " +
+      "communityId, similarity RETURN id, communityId, similarity ORDER BY id"
+    val got = CypherCall.run(nodes, edges, q).collect()
+    // every node (incl. the isolated one — the nodes frame rides the
+    // embed call) gets exactly one cluster in [0, k)
+    assert(got.length == 7)
+    assert(got.forall(r => r.getLong(1) >= 0 && r.getLong(1) < 2))
+    assert(got.map(_.getLong(1)).distinct.length == 2) // both clusters used
+    // bit-identical rerun (hash init + deterministic Lloyd)
+    val again = CypherCall.run(nodes, edges, q).collect()
+    assert(got.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+  }
+
+  test("GDS variant spellings alias to the single implementation (r14)") {
+    // delta/dijkstra are Neo4j-internal ALGORITHM picks; the engine
+    // has one scale-shaped shortest-path frontier — all spellings hit it
+    val base = CypherCall.run(nodes, edges,
+      "CALL graft.shortestPath({sourceNodes: 'a'}) YIELD root, id, distance, path " +
+        "RETURN root, id, distance, path ORDER BY id")
+    Seq("allShortestPaths.delta", "allShortestPaths.dijkstra",
+        "shortestPath.dijkstra").foreach { alias =>
+      val got = CypherCall.run(nodes, edges,
+        s"CALL graft.$alias({sourceNodes: 'a'}) YIELD root, id, distance, path " +
+          "RETURN root, id, distance, path ORDER BY id")
+      assert(rows(got) == rows(base), s"alias $alias diverges")
+    }
+    // .stream strips BEFORE aliasing (the GDS full spelling works)
+    val streamed = CypherCall.run(nodes, edges,
+      "CALL graft.allShortestPaths.delta.stream({sourceNodes: 'a'}) " +
+        "YIELD root, id, distance RETURN root, id, distance ORDER BY id")
+    assert(streamed.count() == base.count())
+    // shortestPath.yens routes to the yens proc (its own yield schema)
+    val y = CypherCall.run(nodes, edges,
+      "CALL graft.shortestPath.yens({sourceNode: 'a', targetNode: 'x', k: 2, " +
+        "maxHops: 5}) YIELD rank, dist, hops, path RETURN rank ORDER BY rank")
+    assert(y.count() > 0)
+    // astar stays its own proc, never aliased away
+    val known = intercept[IllegalArgumentException] {
+      CypherCall.run(nodes, edges,
+        "CALL graft.shortestPath.astar({}) YIELD root RETURN root")
+    }
+    assert(known.getMessage.contains("sourceNode")) // astar's OWN error
+  }
+
   test("topologicalSort CALL ≡ direct API on a DAG projection") {
     // SPAWNS triangle is a cycle — excluded; select only the DAG-ish
     // CONNECTED_TO subgraph minus its triangle via relationshipType +
@@ -493,6 +549,13 @@ class CypherCallSpec extends SparkSpec {
     val brs = CypherCall.run(nodes, edges,
       "CALL graft.bridges({}) YIELD src, dst RETURN src, dst")
     assert(rows(brs) == Seq(Seq("c", "x")))
+    // r14: the full block partition — two cycle components plus the
+    // singleton bridge component, labels = min canonical edge key
+    val bcc = CypherCall.run(nodes, edges,
+      "CALL graft.biconnectedComponents({}) YIELD src, dst, component " +
+        "RETURN src, dst, component")
+    val byComp = rows(bcc).groupBy(_(2)).map { case (k, v) => k -> v.size }
+    assert(byComp(("c|x")) == 1 && byComp.size == 3)
   }
 
   test("nodeSimilarity sourceNodeFilter/targetNodeFilter: label and id-list " +

@@ -697,9 +697,12 @@ class GraphOpsSpec extends SparkSpec {
         s"vertex $v: components $base -> $after vs AP=${apSet.contains(v)}")
     }
     assert(apSet.nonEmpty, "cut-graph fixture vacuous: no APs at sf0.001")
-    // the bounded-local-finisher contract is loud, not silent
-    intercept[IllegalArgumentException](
-      GraphOps.articulationPoints(barbell, maxLocalEdges = 1L))
+    // r14: above the local bound the DISTRIBUTED Tarjan-Vishkin pass
+    // takes over (B41) — same answers, no loud refusal anymore
+    assert(GraphOps.articulationPoints(barbell, maxLocalEdges = 1L)
+      .collect().map(_.getString(0)).toSet == Set("a1", "b1"))
+    assert(GraphOps.bridges(barbell, maxLocalEdges = 1L).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq == Seq(("a1", "b1")))
   }
 
   test("astar: result identical to dijkstra, admissible heuristic prunes (r12)") {
