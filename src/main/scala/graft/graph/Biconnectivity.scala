@@ -104,7 +104,6 @@ object Biconnectivity {
     val comp = GraphOps
       .connectedComponents(forest.select(col("a").as("src"), col("b").as("dst")))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    comp.count()
 
     // ---- 2. Euler tour: hub-safe adjacency index + successor arcs
     val arcs = forest.select(col("a").as("f"), col("b").as("t"))
@@ -126,7 +125,6 @@ object Biconnectivity {
     val adj = within.join(offsets, Seq("f", "bkt"))
       .select(col("f"), col("t"), (col("r0") + col("off")).as("rnk"), col("odeg"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    adj.count()
 
     // next(u→v) = (v, adj(v)[(pos of u in adj(v)) + 1 mod deg(v)])
     val pos = adj.select(col("f").as("v0"), col("t").as("u0"),
@@ -147,28 +145,43 @@ object Biconnectivity {
       .filter(col("rnk") === col("odeg") - 1)
       .select(col("t").as("f"), col("f").as("t"), lit(true).as("isTerm"))
 
-    // ---- 3. list ranking by pointer doubling: d = #arcs strictly after
+    // component sizes drive BOTH the list-ranking round count (lists
+    // have 2(size−1) arcs) and the RMQ level count — one 1-row collect
+    val sizes = comp.groupBy(col("component")).agg(count(lit(1)).as("n"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val maxSz = sizes.agg(max(col("n"))).collect()(0).getLong(0)
+
+    // ---- 3. list ranking by pointer doubling: d = #arcs strictly
+    // after. The round count is CLOSED-FORM (after r rounds every
+    // pointer has jumped 2^r arcs, so ceil(log2 maxListLen) rounds
+    // finish every list) — no per-round convergence count, the rounds
+    // chain as lazy severed frames and materialize in one job cascade
+    // at the first downstream action (the r14 bench round-trip: the
+    // count-per-round first cut spent ~2 scheduling jobs per round on
+    // gate-sized graphs)
+    val maxListLen = math.max(2L * (maxSz - 1L), 1L)
+    val rounds = 64 - java.lang.Long.numberOfLeadingZeros(maxListLen - 1).toInt
+    require(rounds <= maxIter,
+      s"biconnectedComponents: $rounds pointer-doubling rounds needed " +
+        s"(max component size $maxSz) exceeds maxIter=$maxIter")
     var lr = graft.Borrow.severLazy(
       nxt.join(term, Seq("f", "t"), "left")
         .select(col("f"), col("t"),
           when(col("isTerm"), lit(null)).otherwise(col("nf")).as("pf"),
           when(col("isTerm"), lit(null)).otherwise(col("nt")).as("pt"),
           when(col("isTerm"), lit(0L)).otherwise(lit(1L)).as("d")))
-    var live = lr.filter(col("pf").isNotNull).count()
-    var round = 0
-    while (live > 0) {
-      round += 1
-      require(round <= maxIter,
-        s"biconnectedComponents: list ranking still active after $maxIter " +
-          "pointer-doubling rounds — raise maxIter")
+    for (r <- 1 to rounds) {
       val ptr = lr.select(col("f").as("pf"), col("t").as("pt"),
         col("pf").as("ppf"), col("pt").as("ppt"), col("d").as("pd"))
-      lr = graft.Borrow.severLazy(
-        lr.join(ptr, Seq("pf", "pt"), "left")
-          .select(col("f"), col("t"),
-            col("ppf").as("pf"), col("ppt").as("pt"),
-            (col("d") + coalesce(col("pd"), lit(0L))).as("d")))
-      live = lr.filter(col("pf").isNotNull).count()
+      val stepped = lr.join(ptr, Seq("pf", "pt"), "left")
+        .select(col("f"), col("t"),
+          col("ppf").as("pf"), col("ppt").as("pt"),
+          (col("d") + coalesce(col("pd"), lit(0L))).as("d"))
+      // sever every SECOND round: severLazy plans its input eagerly
+      // (toRdd), and on gate-sized graphs that planning dominated the
+      // actual execution — plans stay <= 2 joins deep either way
+      lr = if (r % 2 == 0 || r == rounds) graft.Borrow.severLazy(stepped)
+           else stepped
     }
 
     // rank within the tree's list, from 0 at the root's first arc
@@ -182,7 +195,6 @@ object Biconnectivity {
     val rev = ranked.select(col("f").as("t"), col("t").as("f"), col("rk").as("rrk"))
     val both = ranked.join(rev, Seq("f", "t"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    both.count()
 
     // preorder = prefix count of advance arcs over (comp, rank) order —
     // the P4 two-pass distributed prefix sum, never a global window
@@ -201,7 +213,6 @@ object Biconnectivity {
     val cum = flagged.join(offDf, Seq("pid"))
       .withColumn("cumIncl", col("offset") + sum(col("adv")).over(wCum))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    cum.count()
 
     // non-root: pre(v) = inclusive prefix at its advance arc; subtree
     // size from the advance/retreat rank pair. root: pre = (prefix at
@@ -211,7 +222,6 @@ object Biconnectivity {
         col("rk").as("ark"), col("rrk").as("rtk"), col("cumIncl").as("pre"))
     val ndNonRoot = advArcs.select(col("c"), col("v"), col("par"), col("pre"),
       ((col("rtk") - col("ark") + 1) / 2).cast("long").as("nd"))
-    val sizes = comp.groupBy(col("component")).agg(count(lit(1)).as("n"))
     val rootPre = cum.filter(col("rk") === 0)
       .select(col("c"), col("f").as("v"), (col("cumIncl") - 1).as("pre"))
       .join(sizes.withColumnRenamed("component", "c"), Seq("c"))
@@ -220,7 +230,6 @@ object Biconnectivity {
     val info = ndNonRoot.select(col("c"), col("v"), col("par"), col("pre"), col("nd"))
       .unionByName(rootPre)
       .persist(StorageLevel.MEMORY_AND_DISK)
-    info.count()
     graft.Borrow.release(lr)
 
     // ---- 5. m0/M0 per vertex, then low/high by sparse-table RMQ
@@ -237,7 +246,6 @@ object Biconnectivity {
         least(col("pre"), coalesce(col("ntmn"), col("pre"))).as("mn"),
         greatest(col("pre"), coalesce(col("ntmx"), col("pre"))).as("mx"))
 
-    val maxSz = sizes.agg(max(col("n"))).collect()(0).getLong(0)
     val kMax = 63 - java.lang.Long.numberOfLeadingZeros(math.max(maxSz, 1L)).toInt
     var level = graft.Borrow.severLazy(m0.withColumn("k", lit(0)))
     var table = level
@@ -245,12 +253,13 @@ object Biconnectivity {
       val shift = 1L << (k - 1)
       val right = level.select(col("c"), (col("i") - shift).as("i"),
         col("mn").as("rmn"), col("mx").as("rmx"))
-      level = graft.Borrow.severLazy(
-        level.join(right, Seq("c", "i"))
-          .select(col("c"), col("i"),
-            least(col("mn"), col("rmn")).as("mn"),
-            greatest(col("mx"), col("rmx")).as("mx"),
-            lit(k).as("k")))
+      val nxtLvl = level.join(right, Seq("c", "i"))
+        .select(col("c"), col("i"),
+          least(col("mn"), col("rmn")).as("mn"),
+          greatest(col("mx"), col("rmx")).as("mx"),
+          lit(k).as("k"))
+      // sever alternate levels only (the lr-loop planning trade)
+      level = if (k % 2 == 0 || k == kMax) graft.Borrow.severLazy(nxtLvl) else nxtLvl
       table = table.unionByName(level)
     }
     val tableP = table.persist(StorageLevel.MEMORY_AND_DISK)
@@ -265,9 +274,10 @@ object Biconnectivity {
       .groupBy(col("v")).agg(min(col("mn")).as("low"), max(col("mx")).as("high"))
 
     // ---- 6. auxiliary graph
-    val full = info.join(lowHigh, Seq("v"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    full.count()
+    // eager checkpoint: downstream the aux rules join `full` six ways,
+    // and a persisted-but-unsevered frame still re-PLANS its whole
+    // lineage at every reference — a leaf does not
+    val full = info.join(lowHigh, Seq("v")).localCheckpoint()
 
     // tree edge (v,w) ~ tree edge (p(v),v): some non-tree edge escapes
     // subtree(w) outside v's subtree interval
@@ -307,14 +317,18 @@ object Biconnectivity {
 
     // ---- 7. components of the auxiliary graph; isolated edges keep
     // their own key (singleton biconnected components = bridges)
-    val cc = GraphOps.connectedComponents(aux)
+    // eager checkpoint: CC symmetrizes via undirected(), which would
+    // otherwise compute (and re-plan) the whole aux join tree TWICE
+    val auxC = aux.localCheckpoint()
+    val cc = GraphOps.connectedComponents(auxC)
     val allKeys = eCanon.select(col("a"), col("b"), ekey(col("a"), col("b")).as("id"))
     val out = allKeys.join(cc, Seq("id"), "left")
       .select(col("a").as("src"), col("b").as("dst"),
         translate(coalesce(col("component"), col("id")), Sep, "|").as("component"))
 
-    val res = graft.Borrow.reclaim(out, eCanon, forest, comp, adj, both,
-      flagged, cum, info, nt, tableP, full)
+    val res = graft.Borrow.reclaim(out, eCanon, forest, comp, sizes, adj,
+      both, flagged, cum, info, nt, tableP)
+    graft.Borrow.release(full, auxC)
     graft.Borrow.release(table)
     res
   }

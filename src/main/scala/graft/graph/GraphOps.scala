@@ -1137,9 +1137,20 @@ object GraphOps {
     * the effective total order becomes (−w, a, b), still unique, so
     * the maximum forest is deterministic too; parallel edges then
     * collapse to the MAXIMUM weight (min of negated), and equal-weight
-    * ties still break to the smaller (a, b) in both objectives. */
+    * ties still break to the smaller (a, b) in both objectives.
+    *
+    * r14 (the CC/louvain pattern): under `localFinishEdges` simple
+    * canonical edges the forest comes from an exact driver-side
+    * KRUSKAL over the same (w, a, b) strict total order — the minimal
+    * spanning forest under a strict total order is UNIQUE, so Kruskal
+    * and Borůvka return the identical edge set by construction
+    * (forced-path equivalence spec-pinned); at that size a Borůvka
+    * round is pure AQE scheduling (the r14 bicc profile measured the
+    * distributed forest at 10 s on a 4k-edge gate graph). Above the
+    * bound the distributed rounds run unchanged. */
   def spanningTree(edges0: DataFrame, weightCol: Option[String] = None,
-                   maxIter: Int = 30, objective: String = "minimum"): DataFrame = {
+                   maxIter: Int = 30, objective: String = "minimum",
+                   localFinishEdges: Long = 250000L): DataFrame = {
     val maxObj = objective.toLowerCase match {
       case "minimum" => false
       case "maximum" => true
@@ -1161,6 +1172,34 @@ object GraphOps {
         greatest(col("s"), col("d")).as("b"), col("w"))
       .groupBy(col("a"), col("b")).agg(min(col("w")).as("w"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    val nE = e.count()
+    if (nE <= localFinishEdges) {
+      // exact local Kruskal on the (w, a, b) strict total order — the
+      // same unique forest the distributed rounds compute
+      val rows = e.collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
+        .sortBy { case (a, b, w) => (w, a, b) }
+      val parent = scala.collection.mutable.Map.empty[String, String]
+      def find(x: String): String = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent(r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) { val nx = parent(c); parent(c) = r; c = nx }
+        r
+      }
+      val picked = rows.filter { case (a, b, _) =>
+        val ra = find(a); val rb = find(b)
+        if (ra == rb) false else { parent(rb) = ra; true }
+      }
+      val spark = edges0.sparkSession
+      import org.apache.spark.sql.types.{DoubleType, StringType, StructField, StructType}
+      val wOutL: Double => Double = if (maxObj) w => -w else w => w
+      val out = spark.createDataFrame(
+        picked.map { case (a, b, w) =>
+          org.apache.spark.sql.Row(a, b, wOutL(w)) }.toSeq.asJava,
+        StructType(Seq(StructField("src", StringType),
+          StructField("dst", StringType), StructField("w", DoubleType))))
+      return graft.Borrow.reclaim(out, e)
+    }
     var comp = graft.Borrow.severLazy(
       e.select(col("a").as("id")).unionByName(e.select(col("b").as("id")))
         .distinct().select(col("id"), col("id").as("comp")))
@@ -3087,12 +3126,15 @@ object GraphOps {
     * dst-hash-bucket) spreading a hub walk's d candidates over B
     * bounded partitions, then bucket offsets chained over ≤ B rows per
     * walk off each bucket's LAST running value (not a re-aggregated
-    * sum), so consecutive intervals stay BITWISE adjacent across
-    * bucket boundaries (and selection is the struct-min of cum > u,
-    * r14 — structurally exactly one winner per walk regardless of
-    * ulp-level boundary arithmetic), so no FP gap can swallow or
-    * duplicate a walk, and no window ever sees a whole hub
-    * neighborhood in one task.
+    * sum); selection there is the struct-min of cum > u (r14 —
+    * structurally exactly one winner regardless of ulp-level offset
+    * arithmetic). On the FAST path selection is the interval filter
+    * with lower = lag(cum) — the previous running value verbatim, so
+    * intervals are bitwise adjacent BY CONSTRUCTION and exactly one
+    * matches with zero extra exchange (the struct-min's aggregation
+    * measured +64% on g_node2vec at sf0.1; the chosen candidate is
+    * identical). Either way no FP gap can swallow or duplicate a walk,
+    * and no window ever sees a whole hub neighborhood in one task.
     * The candidate order differs between paths (dst vs (bucket, dst) —
     * both total and deterministic), so walks SAMPLE differently across
     * the threshold; GDS's sampling contract allows any sample, and
@@ -3175,7 +3217,7 @@ object GraphOps {
           pmod(xxhash64(col("cdst")), lit(nBuckets)).cast("int"))
         .select(col("walk_id"), col("start"), col("cur"), col("path"),
           col("cdst"), col("wt"), col("bkt"))
-      val scored = if (twoStage) {
+      val chosen = if (twoStage) {
         // stage 1: running weight within (walk, bucket) — partitions
         // bounded by maxdeg/B; `bn` = the bucket's LAST running value
         // (max of a strictly increasing sum), so stage 2 chains offsets
@@ -3191,28 +3233,13 @@ object GraphOps {
             sum(col("bn")).over(wWalk.orderBy(col("bkt"))) - col("bn"))
           .withColumn("tot", sum(col("bn")).over(wWalk))
           .select(col("walk_id"), col("bkt"), col("off"), col("tot"))
+        // struct-min of cum > u: on this path the cross-bucket offset
+        // arithmetic can open 1-ulp seams, so selection must not rely
+        // on interval adjacency — the argmin over a nonempty set is
+        // total (never empty by the margin, never forked)
         staged.join(offsets, Seq("walk_id", "bkt"))
           .withColumn("cum", col("off") + col("cumb"))
           .withColumn("u", unit(step) * col("tot"))
-      } else {
-        // fast path (maxdeg ≤ threshold): one per-walk window, dst
-        // order — the r12 plan (ordered running sum + unordered
-        // total, two specs in one exchange, nothing extra: the
-        // never-drop guarantee lives in unit()'s margin, not in a
-        // clamp arm)
-        val w = Window.partitionBy(col("walk_id"))
-        cand
-          .withColumn("cum", sum(col("wt")).over(w.orderBy(col("cdst"))))
-          .withColumn("tot", sum(col("wt")).over(w))
-          .withColumn("u", unit(step) * col("tot"))
-      }
-      // struct-min of cum > u (r14): on adjacent intervals this picks
-      // the SAME candidate as the former [cum − wt, cum) interval
-      // filter (min cum above u IS the interval containing u), and at
-      // an interior 1-ulp boundary gap/overlap it still picks exactly
-      // one — the argmin is total, never empty (margin), never forked
-      val next = graft.Borrow.severLazy(
-        scored
           .filter(col("cum") > col("u"))
           .groupBy(col("walk_id"))
           .agg(min(struct(col("cum"), col("cdst"), col("start"),
@@ -3220,7 +3247,34 @@ object GraphOps {
           .select(col("walk_id"), col("m.start").as("start"),
             col("m.cur").as("prev"), col("m.cdst").as("cur"),
             concat(col("m.path"), lit(">"), col("m.cdst")).as("path"),
-            lit(step).as("steps")))
+            lit(step).as("steps"))
+      } else {
+        // fast path (maxdeg ≤ threshold): one per-walk window, dst
+        // order. Selection (r14, the bench round-trip): the interval
+        // filter with lower = lag(cum) — the previous row's running
+        // sum VERBATIM, so consecutive intervals are bitwise adjacent
+        // BY CONSTRUCTION (no per-row `cum − wt` re-derivation, the
+        // r13-advice ulp case) and [0, cum_last) partitions gap-free:
+        // exactly one candidate matches, structurally, with ZERO extra
+        // exchange (lag rides the same window pass as the running
+        // sum, where the r14 first cut's struct-min groupBy added an
+        // aggregation exchange per step — measured +64% on g_node2vec
+        // at sf0.1). u < cum_last by unit()'s margin, u ≥ 0 ≥ first
+        // lower; selection equals the struct-min rule on these
+        // adjacent intervals, so sampling is unchanged.
+        val wo = Window.partitionBy(col("walk_id")).orderBy(col("cdst"))
+        val w = Window.partitionBy(col("walk_id"))
+        cand
+          .withColumn("cum", sum(col("wt")).over(wo))
+          .withColumn("lower", coalesce(lag(col("cum"), 1).over(wo), lit(0.0)))
+          .withColumn("u", unit(step) * sum(col("wt")).over(w))
+          .filter(col("lower") <= col("u") && col("u") < col("cum"))
+          .select(col("walk_id"), col("start"), col("cur").as("prev"),
+            col("cdst").as("cur"),
+            concat(col("path"), lit(">"), col("cdst")).as("path"),
+            lit(step).as("steps"))
+      }
+      val next = graft.Borrow.severLazy(chosen)
       n = next.count()
       state = next
     }

@@ -86,10 +86,14 @@ object Sllpa {
         .agg(min(struct((-col("n")).as("nn"), col("label"))).as("m"))
         .select(col("listener").as("id"), col("m.label").as("label"),
           lit(1L).as("cnt"))
-      mem = graft.Borrow.severLazy(
-        mem.unionByName(adopted)
-          .groupBy(col("id"), col("label")).agg(sum(col("cnt")).as("cnt")))
-      mem.count()
+      val merged = mem.unionByName(adopted)
+        .groupBy(col("id"), col("label")).agg(sum(col("cnt")).as("cnt"))
+      // sever alternate rounds (the B41 planning trade: severLazy
+      // plans eagerly, and under AQE that runs the round's shuffles —
+      // halving the sever points halves the scheduling floor while
+      // plans stay two rounds deep at most)
+      mem = if (t % 2 == 0 || t == maxIterations) graft.Borrow.severLazy(merged)
+            else merged
     }
     // post-process: the paper's frequency floor, with the strongest
     // label as the keep-one fallback

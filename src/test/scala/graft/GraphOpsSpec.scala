@@ -433,6 +433,26 @@ class GraphOpsSpec extends SparkSpec {
     intercept[IllegalArgumentException](GraphOps.spanningTree(
       wEdges(("a", "b", 1.0)).withColumn("w", lit(null).cast("double")),
       Some("w")))
+    // r14: the local Kruskal finisher and the distributed Borůvka
+    // rounds compute the SAME unique forest — force the distributed
+    // path (localFinishEdges = 0) on every fixture above plus the
+    // sf0.001 mst gate graph (both objectives)
+    Seq(sq, tri, two).foreach { g =>
+      val loc = GraphOps.spanningTree(g, Some("w"))
+        .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2))).toSet
+      val dist = GraphOps.spanningTree(g, Some("w"), localFinishEdges = 0L)
+        .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2))).toSet
+      assert(dist == loc, s"kruskal/borůvka divergence on ${g.collect().toSeq}")
+    }
+    val gate = graft.graph.TestGraph.mstEdges(spark, sf)
+    Seq("minimum", "maximum").foreach { obj =>
+      val loc = GraphOps.spanningTree(gate, Some("w"), objective = obj)
+        .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2))).toSet
+      val dist = GraphOps.spanningTree(gate, Some("w"), objective = obj,
+          localFinishEdges = 0L)
+        .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2))).toSet
+      assert(dist == loc && loc.nonEmpty, s"objective=$obj gate-graph divergence")
+    }
   }
 
   test("dfs: sorted-adjacency preorder on hand fixtures, depth bound, " +
