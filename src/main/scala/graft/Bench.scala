@@ -47,9 +47,10 @@ object Bench {
     "g_wlpa", "d9_semdedup", "f10_bpe",
     // r14: distributed Tarjan-Vishkin biconnectivity (Borůvka forest +
     // Euler tour + list ranking + RMQ + aux-graph CC — the log-round
-    // join stack that replaces the r13 local-only cut pass at scale)
-    // and SLLPA overlapping communities (5 edge×memory join rounds)
-    "g_bicc", "g_sllpa")
+    // join stack that replaces the r13 local-only cut pass at scale),
+    // SLLPA overlapping communities (5 edge×memory join rounds), and
+    // the forced-distributed H-index coreness fixpoint
+    "g_bicc", "g_sllpa", "g_kcoredec")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

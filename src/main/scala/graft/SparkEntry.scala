@@ -176,6 +176,8 @@ object SparkEntry {
     "g_hashgnn_ok" -> (GraphQueries.gHashgnnOk _),
     "g_sllpa"      -> (GraphQueries.gSllpa _),   // r14: B42 overlapping
     "g_sllpa_ok"   -> (GraphQueries.gSllpaOk _), // r14: B42 invariants
+    "g_kcoredec"   -> (GraphQueries.gKcoreDec _),   // r14: B43 coreness
+    "g_kcoredec_ok" -> (GraphQueries.gKcoreDecOk _), // r14: B43 invariants
     "d8_substr"    -> (Dedup.d8Substr _),
     "g_kcore"      -> ((s, d) => GraphQueries.gKcore(s, d)),
     "g_dfs"        -> (GraphQueries.gDfs _), // r14: gds.dfs preorder
@@ -1312,6 +1314,13 @@ object SparkEntry {
       """SELECT CAST(1 AS BIGINT) AS coverage_ok,
         |       CAST(1 AS BIGINT) AS samecomp_ok,
         |       CAST(1 AS BIGINT) AS overlap_ok""".stripMargin,
+    // B43 (r14): coreness invariant flags — level-3 set equality vs
+    // the hash-gated g_kcore operator (a transitive DuckDB check),
+    // core <= degree, local peel == distributed H-index; oracle pins 1s
+    "g_kcoredec_ok" ->
+      """SELECT CAST(1 AS BIGINT) AS level_ok,
+        |       CAST(1 AS BIGINT) AS bound_ok,
+        |       CAST(1 AS BIGINT) AS paths_ok""".stripMargin,
     // D8 (r13): the planted-passage corpus is closed-form — the pair
     // list (and exactly ONE passage-length span per pair) follows from
     // the construction; the Spark side has to find them through the

@@ -323,10 +323,37 @@ object CypherCall {
         }
         out.select(col("id"), col("rank").as("score"))
       }),
-    "wcc" -> Proc(Seq("id", "componentId"), Set("maxIterations"),
-      (n, ed, cfg) =>
-        GraphOps.connectedComponents(selectEdges(n, ed, cfg), cfg.int("maxIterations", 30))
-          .select(col("id"), col("component").as("componentId"))),
+    // r14: GDS's weighted-wcc config pair — `threshold` keeps only
+    // edges whose resolved weight is > the value (GDS semantics:
+    // relationshipWeightProperty + threshold prune the projection
+    // before the component run; vertices keep their row even if all
+    // their edges prune away... in GDS pruned-to-isolated vertices
+    // become singletons, and the edge-derived vertex set here comes
+    // from the UNPRUNED graph for exactly that parity)
+    "wcc" -> Proc(Seq("id", "componentId"),
+      Set("maxIterations", "relationshipWeightProperty", "threshold"),
+      (n, ed, cfg) => {
+        val (ed2, wcol) = resolveWeightProp(filterEdges(n, ed, cfg), cfg)
+        val thr = cfg.dbl("threshold", 0.0)
+        require(wcol.isDefined || !cfg.has("threshold"),
+          "graft.wcc: threshold needs relationshipWeightProperty")
+        val oriented = orientEdges(ed2, cfg)
+        wcol match {
+          case Some(w) =>
+            val kept = oriented.filter(col(w) > thr)
+            val allV = oriented.select(col("src").as("id"))
+              .unionByName(oriented.select(col("dst").as("id"))).distinct()
+            val comps = GraphOps.connectedComponents(kept,
+              cfg.int("maxIterations", 30))
+            // pruned-to-isolated vertices are singleton components
+            allV.join(comps, Seq("id"), "left")
+              .select(col("id"),
+                coalesce(col("component"), col("id")).as("componentId"))
+          case None =>
+            GraphOps.connectedComponents(oriented, cfg.int("maxIterations", 30))
+              .select(col("id"), col("component").as("componentId"))
+        }
+      }),
     "scc" -> Proc(Seq("id", "componentId"), Set("maxIterations"),
       (n, ed, cfg) =>
         GraphOps.sccDataFrame(selectEdges(n, ed, cfg), cfg.int("maxIterations", 15))
@@ -386,6 +413,13 @@ object CypherCall {
         GraphOps.triangleEnumerate(selectEdges(n, ed, cfg))
           .select(col("a").as("nodeA"), col("b").as("nodeB"),
             col("c").as("nodeC"))),
+    // GDS gds.kcore parity (r14): the proc GDS actually ships streams
+    // the full DECOMPOSITION (nodeId, coreValue), no k argument —
+    // B43's H-index fixpoint / local peel. kCore (below) keeps the
+    // graft-ism of extracting one level's subgraph.
+    "kcore" -> Proc(Seq("id", "coreValue"), Set("maxIterations"),
+      (n, ed, cfg) => GraphOps.coreDecomposition(selectEdges(n, ed, cfg),
+        cfg.int("maxIterations", 100))),
     "kCore" -> Proc(Seq("id", "degree"), Set("k"),
       (n, ed, cfg) => {
         require(cfg.has("k"), "kCore: config key 'k' is required")
@@ -550,6 +584,35 @@ object CypherCall {
           case None => GraphOps.conductance(edF, asg)
         }
       }),
+    // GDS gds.modularity.stream parity (r14): per-community Newman
+    // modularity for a GIVEN assignment (communityProperty node prop,
+    // the conductance pattern); Σ over communities = the global Q
+    // louvain optimizes (spec-pinned)
+    "modularity" -> Proc(Seq("communityId", "modularity"),
+      Set("communityProperty", "weightProperty"),
+      (n, ed, cfg) => {
+        val cp = cfg.str("communityProperty").getOrElse(
+          throw new IllegalArgumentException(
+            "modularity: config key 'communityProperty' is required"))
+        val asg = n
+          .select(col("id").cast("string").as("id"),
+            element_at(col("props"), cp).as("community"))
+          .filter(col("community").isNotNull).distinct()
+        val edF = filterEdges(n, ed, cfg)
+        val out = cfg.str("weightProperty") match {
+          case Some(p) =>
+            require(edF.columns.contains("props"),
+              "modularity: weightProperty needs a 'props' column on the edge frame")
+            val withW = edF.withColumn("w2",
+              element_at(col("props"), p).cast("double"))
+            require(withW.filter(col("w2").isNull).limit(1).count() == 0,
+              s"graft.modularity: weightProperty '$p' is missing or " +
+                "non-numeric on at least one edge")
+            GraphOps.modularityByCommunity(withW, asg, Some("w2"))
+          case None => GraphOps.modularityByCommunity(edF, asg)
+        }
+        out.select(col("community").as("communityId"), col("modularity"))
+      }),
     // GDS gds.shortestPath.astar parity (r12): goal-directed single-
     // pair shortest path. latitudeProperty/longitudeProperty (node
     // props, degrees) build the haversine heuristic exactly as GDS;
@@ -628,21 +691,24 @@ object CypherCall {
     // per-step neighbor choice is hash(walk, step, seed) mod outdeg)
     "randomWalk" -> Proc(Seq("walk_id", "start", "steps", "path"),
       Set("walksPerNode", "walkLength", "randomSeed",
-        "returnFactor", "inOutFactor"),
+        "returnFactor", "inOutFactor", "relationshipWeightProperty"),
       (n, ed, cfg) => {
         val p = cfg.dbl("returnFactor", 1.0)
         val q = cfg.dbl("inOutFactor", 1.0)
         // GDS's node2vec-biased sampling lives on this proc's
-        // returnFactor/inOutFactor keys; 1.0/1.0 keeps the unbiased
-        // rank-mod walk (and its r11 gate rows) byte-stable
-        if (p == 1.0 && q == 1.0)
-          GraphOps.randomWalk(selectEdges(n, ed, cfg),
+        // returnFactor/inOutFactor keys; 1.0/1.0 without a weight
+        // keeps the unbiased rank-mod walk (and its r11 gate rows)
+        // byte-stable. r14: relationshipWeightProperty routes to the
+        // biased walker too — steps sample ∝ weight × α
+        val (ed2, wcol) = resolveWeightProp(filterEdges(n, ed, cfg), cfg)
+        if (p == 1.0 && q == 1.0 && wcol.isEmpty)
+          GraphOps.randomWalk(orientEdges(ed2, cfg),
             cfg.int("walksPerNode", 1), cfg.int("walkLength", 5),
             cfg.int("randomSeed", 42).toLong)
         else
-          GraphOps.node2vecWalk(selectEdges(n, ed, cfg),
+          GraphOps.node2vecWalk(orientEdges(ed2, cfg),
             cfg.int("walksPerNode", 1), cfg.int("walkLength", 5),
-            p, q, cfg.int("randomSeed", 42).toLong)
+            p, q, cfg.int("randomSeed", 42).toLong, weightCol = wcol)
       }),
     // GDS gds.scaleProperties parity: numeric node properties scaled
     // under one scaler, yielded as an array in nodeProperties order
@@ -951,7 +1017,12 @@ object CypherCall {
     "allShortestPaths.dijkstra" -> "shortestPath",
     "shortestPath.dijkstra" -> "shortestPath",
     "shortestPath.yens" -> "yens",
-    "closeness.harmonic" -> "harmonic") // GDS's dotted spelling
+    "closeness.harmonic" -> "harmonic", // GDS's dotted spelling
+    // GDS names the filtered variants as distinct procs; here the
+    // filters are config keys on the base proc (absent keys = the
+    // unfiltered run, unknown keys stay loud)
+    "nodeSimilarity.filtered" -> "nodeSimilarity",
+    "knn.filtered" -> "knn")
 
   def run(nodes: DataFrame, edges: DataFrame, cypher: String): DataFrame = {
     val text = CypherLite.normalizeWs(cypher)

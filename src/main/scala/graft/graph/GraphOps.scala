@@ -1588,6 +1588,44 @@ object GraphOps {
     internal / m2 - sumTot2 / (m2 * m2)
   }
 
+  /** PER-COMMUNITY modularity (`gds.modularity.stream` shape, r14):
+    * Q_c = in_c/2m − (tot_c/2m)² over the symmetric weighted list
+    * (in_c = within-community weight counted in both directions, so
+    * the divisor is the symmetric total m2 — exactly [[modularity]]'s
+    * terms split by community: Σ_c Q_c = Newman Q, spec-pinned).
+    * Same weighted-input contract as louvain/modularity. Returns
+    * (community, modularity), one row per community holding ≥ 1
+    * vertex with an incident edge; ONE edge join + two keyed
+    * aggregations, all map-side combinable. */
+  def modularityByCommunity(edges0: DataFrame, assign: DataFrame,
+                            weightCol: Option[String] = None): DataFrame = {
+    val e = weightedSymInput(edges0, weightCol)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val a = assign.select(col("id").cast("string").as("id"),
+      col("community").cast("string").as("c"))
+    val m2row = e.agg(sum(col("w"))).collect()(0)
+    if (m2row.isNullAt(0)) {
+      val out = a.select(col("c").as("community"),
+        lit(0.0).as("modularity")).limit(0)
+      return graft.Borrow.reclaim(out, e)
+    }
+    val m2 = m2row.getDouble(0)
+    val inC = e
+      .join(a.select(col("id").as("src"), col("c").as("cs")), Seq("src"))
+      .join(a.select(col("id").as("dst"), col("c").as("cd")), Seq("dst"))
+      .filter(col("cs") === col("cd"))
+      .groupBy(col("cs").as("c")).agg(sum(col("w")).as("in2"))
+    val tot = e.groupBy(col("src").as("id")).agg(sum(col("w")).as("k"))
+      .join(a, Seq("id"))
+      .groupBy(col("c")).agg(sum(col("k")).as("tot"))
+    val out = tot.join(inC, Seq("c"), "left")
+      .select(col("c").as("community"),
+        graft.operators.Num.roundTies(
+          coalesce(col("in2"), lit(0.0)) / m2 -
+            (col("tot") / m2) * (col("tot") / m2), 6).as("modularity"))
+    graft.Borrow.reclaim(out, e)
+  }
+
   /** Neo4j-GDS-style node similarity over out-neighbor sets for every
     * source pair sharing at least one neighbor, with GDS's
     * `similarityMetric` config (r12): `jaccard` (default), `overlap`
@@ -2874,6 +2912,112 @@ object GraphOps {
     deg.filter(col("deg") >= k)
   }
 
+  /** B43 — K-CORE DECOMPOSITION (`gds.kcore` proper, r14): the
+    * CORENESS of every vertex — the largest k such that it survives
+    * in the k-core. [[kCore]] extracts ONE level's subgraph (a
+    * graft-ism); GDS's actual kcore proc streams (nodeId, coreValue),
+    * which is this.
+    *
+    * Distributed path: the H-INDEX fixpoint (Lü et al. 2016, Nature
+    * Communications — "The H-index of a network node and its relation
+    * to degree and coreness"): c₀(v) = deg(v); per round c(v) ← the
+    * H-index of its neighbors' current values (the largest h with
+    * ≥ h neighbors valued ≥ h); c is pointwise non-increasing and
+    * converges EXACTLY to coreness. H computes WITHOUT per-neighbor
+    * ranking: group neighbors by value — H = max over DISTINCT values
+    * of min(value, #neighbors ≥ value), so the per-vertex window sees
+    * one row per distinct value (≤ current max coreness, usually ≪
+    * degree), the cumulative count rides a value-desc window, and the
+    * value grouping itself is a map-side-combinable aggregation.
+    * Convergence probe: Σc, one 1-row agg per round — monotone, so an
+    * unchanged sum IS the fixpoint. Rounds are graph-dependent (a
+    * path propagates one hop per round — the honest worst case, the
+    * bellmanFord |V|-bound analog); `maxIter` exhaustion is LOUD.
+    *
+    * Under `localFinishEdges` symmetric rows the exact driver-side
+    * min-degree peel runs instead (the CC/louvain pattern);
+    * forced-path equivalence spec-pinned on fixtures and seeded
+    * random graphs. Returns (id, coreValue); isolated vertices are
+    * absent (edge-derived vertex set, house rule). */
+  def coreDecomposition(edges: DataFrame, maxIter: Int = 100,
+                        localFinishEdges: Long = 250000L,
+                        forceDistributed: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = edges.sparkSession
+    val sym = undirected(edges.select(col("src").cast("string").as("src"),
+        col("dst").cast("string").as("dst")))
+      .filter(col("src") =!= col("dst"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nSym = sym.count()
+    if (!forceDistributed && nSym <= localFinishEdges) {
+      // exact O(E log V) peel: repeatedly take the minimum-degree
+      // vertex; its coreness is the running maximum of the degrees
+      // seen at removal time
+      val pairs = sym.collect().map(r => (r.getString(0), r.getString(1)))
+      sym.unpersist()
+      import scala.collection.mutable
+      val adj = mutable.HashMap.empty[String, mutable.HashSet[String]]
+      pairs.foreach { case (a, b) =>
+        adj.getOrElseUpdate(a, mutable.HashSet.empty) += b
+      }
+      val deg = mutable.HashMap(adj.map { case (v, s) => v -> s.size }.toSeq: _*)
+      val queue = mutable.TreeSet.empty[(Int, String)](
+        Ordering.Tuple2(Ordering.Int, Ordering.String))
+      deg.foreach { case (v, d) => queue += ((d, v)) }
+      val core = mutable.HashMap.empty[String, Int]
+      var k = 0
+      while (queue.nonEmpty) {
+        val (d, v) = queue.head; queue -= ((d, v))
+        k = math.max(k, d)
+        core(v) = k
+        adj(v).foreach { u =>
+          if (!core.contains(u)) {
+            val du = deg(u)
+            queue -= ((du, u)); deg(u) = du - 1; queue += ((du - 1, u))
+          }
+        }
+      }
+      import org.apache.spark.sql.types.{IntegerType, StringType, StructField, StructType}
+      return spark.createDataFrame(
+        core.toSeq.sortBy(_._1)
+          .map { case (v, c) => org.apache.spark.sql.Row(v, c) }.asJava,
+        StructType(Seq(StructField("id", StringType),
+          StructField("coreValue", IntegerType))))
+    }
+    var c = graft.Borrow.severLazy(
+      sym.groupBy(col("src").as("id")).agg(count(lit(1)).cast("int").as("c")))
+    var prevSum = -1L
+    var sum = c.agg(coalesce(org.apache.spark.sql.functions.sum(col("c")), lit(0L)))
+      .collect()(0).getLong(0)
+    var iter = 0
+    while (sum != prevSum) {
+      iter += 1
+      require(iter <= maxIter,
+        s"coreDecomposition: H-index fixpoint still moving after $maxIter " +
+          "rounds — deep peel cascades (path-like graphs) need a larger " +
+          "maxIter; the bound is the honest propagation cost, like " +
+          "bellmanFord's")
+      // neighbors' values, grouped by value: (v, val, n); H = max over
+      // distinct vals of min(val, cumulative count from the top)
+      val nbrVals = sym.select(col("src").as("v"), col("dst").as("u"))
+        .join(c.select(col("id").as("u"), col("c").as("val")), Seq("u"))
+        .groupBy(col("v"), col("val")).agg(count(lit(1)).as("n"))
+      val wDesc = Window.partitionBy(col("v")).orderBy(col("val").desc)
+      val h = nbrVals
+        .withColumn("cumge", org.apache.spark.sql.functions.sum(col("n")).over(wDesc))
+        .select(col("v"),
+          least(col("val").cast("long"), col("cumge")).as("hc"))
+        .groupBy(col("v")).agg(max(col("hc")).cast("int").as("c"))
+        .select(col("v").as("id"), col("c"))
+      c = graft.Borrow.severLazy(h)
+      prevSum = sum
+      sum = c.agg(coalesce(org.apache.spark.sql.functions.sum(col("c")), lit(0L)))
+        .collect()(0).getLong(0)
+    }
+    val out = c.select(col("id"), col("c").as("coreValue"))
+    graft.Borrow.reclaim(out, sym)
+  }
+
   /** Personalized PageRank: the random walk teleports back to the
     * `sources` set (uniformly) instead of to all vertices — rank
     * becomes relevance TO THE SEEDS, the GDS-style primitive for
@@ -3144,16 +3288,35 @@ object GraphOps {
   def node2vecWalk(edges: DataFrame, walksPerNode: Int = 1,
                    walkLength: Int = 5, p: Double = 1.0, q: Double = 1.0,
                    seed: Long = 42L,
-                   bucketDegreeThreshold: Long = 4096L): DataFrame = {
+                   bucketDegreeThreshold: Long = 4096L,
+                   weightCol: Option[String] = None): DataFrame = {
     require(walksPerNode >= 1 && walkLength >= 1 && walkLength <= 20,
       "node2vecWalk: walksPerNode >= 1 and walkLength in 1..20")
     require(p > 0 && q > 0, "node2vecWalk: returnFactor p and inOutFactor q " +
       "must be strictly positive")
     import org.apache.spark.sql.expressions.Window
     val nBuckets = 64 // the randomWalk two-stage bucket count
-    val e = edges.select(col("src").cast("string").as("src"),
-      col("dst").cast("string").as("dst")).distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    // r14 — GDS relationshipWeightProperty: the step distribution
+    // becomes weight × α (node2vec's own weighted formulation);
+    // parallel (src, dst) edges ADD their weights (their probability
+    // mass combines — the random-walk semantics of a multi-edge),
+    // weights must be strictly positive (loud — a zero would make
+    // walk intervals degenerate, a negative is meaningless mass)
+    val e = (weightCol match {
+      case Some(wc) =>
+        val w0 = edges.select(col("src").cast("string").as("src"),
+            col("dst").cast("string").as("dst"),
+            col(wc).cast("double").as("ew"))
+          .groupBy(col("src"), col("dst")).agg(sum(col("ew")).as("ew"))
+        require(w0.filter(col("ew").isNull || col("ew") <= 0).limit(1).count() == 0,
+          s"node2vecWalk: weight column '$wc' is null or non-positive " +
+            "on at least one edge")
+        w0
+      case None =>
+        edges.select(col("src").cast("string").as("src"),
+          col("dst").cast("string").as("dst")).distinct()
+          .withColumn("ew", lit(1.0))
+    }).persist(StorageLevel.MEMORY_AND_DISK)
     // ADAPTIVE de-skew (the JaccardJoin max-df probe pattern): the
     // two-stage cumulative weight costs two extra candidate shuffles
     // per step, which only buys anything when some window partition is
@@ -3168,7 +3331,8 @@ object GraphOps {
       .agg(max(col("d"))).collect()(0)
     val twoStage = !maxDegRow.isNullAt(0) &&
       maxDegRow.getLong(0) > bucketDegreeThreshold
-    val adj = e.unionByName(e.select(col("dst").as("src"), col("src").as("dst")))
+    val adj = e.select(col("src"), col("dst"))
+      .unionByName(e.select(col("dst").as("src"), col("src").as("dst")))
       .distinct().select(col("src").as("a_prev"), col("dst").as("a_dst"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val srcs = e.select(col("src")).distinct()
@@ -3208,11 +3372,13 @@ object GraphOps {
         .join(adj, col("prev") === col("a_prev") && e("dst") === col("a_dst"),
           "left")
         .withColumn("cdst", e("dst"))
+        // wt = α × edge weight (ew = 1 unweighted); first step has no
+        // prev → α = 1, i.e. weight-proportional (GDS's rule)
         .withColumn("wt",
-          when(col("prev").isNull, 1.0) // first step: uniform
+          when(col("prev").isNull, 1.0) // first step: α = 1
             .when(col("cdst") === col("prev"), lit(1.0 / p))
             .when(col("a_dst").isNotNull, 1.0)
-            .otherwise(lit(1.0 / q)))
+            .otherwise(lit(1.0 / q)) * col("ew"))
         .withColumn("bkt",
           pmod(xxhash64(col("cdst")), lit(nBuckets)).cast("int"))
         .select(col("walk_id"), col("start"), col("cur"), col("path"),

@@ -584,6 +584,44 @@ object GraphQueries {
         forceDistributed = true)
       .orderBy(col("src"), col("dst"))
 
+  /** B43 (r14) — k-core DECOMPOSITION (the real gds.kcore shape:
+    * coreValue per vertex) on the part—supplier graph, FORCED through
+    * the distributed H-index fixpoint. Rows-recorded; the invariant
+    * gate below cross-checks it against the independently HASH-GATED
+    * g_kcore level query. */
+  def gKcoreDec(s: SparkSession, dir: String): DataFrame =
+    GraphOps.coreDecomposition(TestGraph.partSupplierEdges(s, dir),
+        forceDistributed = true)
+      .orderBy(col("id"))
+
+  /** B43 quality gate — 1-row flags the oracle pins at 1:
+    * `level_ok` — {v : coreValue ≥ 3} equals the vertex set of the
+    * SQL-HASH-GATED kCore(3) extraction (g_kcore's own operator), so
+    * the decomposition is transitively checked against g_kcore's
+    * DuckDB recursive-CTE peeling oracle;
+    * `bound_ok` — coreValue ≤ degree everywhere;
+    * `paths_ok` — local peel ≡ distributed H-index on this graph. */
+  def gKcoreDecOk(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = TestGraph.partSupplierEdges(s, dir)
+    val dec = GraphOps.coreDecomposition(e, forceDistributed = true)
+      .persist()
+    val atLeast3 = dec.filter(col("coreValue") >= 3).select(col("id"))
+    val level3 = GraphOps.kCore(e, 3).select(col("id"))
+    val levelOk = atLeast3.exceptAll(level3).isEmpty &&
+      level3.exceptAll(atLeast3).isEmpty
+    val deg = GraphOps.undirected(e).filter(col("src") =!= col("dst"))
+      .groupBy(col("src").as("id")).agg(countDistinct(col("dst")).as("deg"))
+    val boundOk = dec.join(deg, Seq("id"))
+      .filter(col("coreValue") > col("deg")).isEmpty
+    val local = GraphOps.coreDecomposition(e)
+    val pathsOk = dec.exceptAll(local).isEmpty && local.exceptAll(dec).isEmpty
+    dec.unpersist()
+    Seq((if (levelOk) 1L else 0L, if (boundOk) 1L else 0L,
+        if (pathsOk) 1L else 0L))
+      .toDF("level_ok", "bound_ok", "paths_ok")
+  }
+
   /** B42 (r14) — SLLPA overlapping communities (gds.alpha.sllpa) on
     * the part—supplier graph: one (id, communityId) row per
     * membership — possibly several per vertex, which is the point.

@@ -384,6 +384,60 @@ class CypherCallSpec extends SparkSpec {
     assert(err.getMessage.contains("sourceNode"))
   }
 
+  test("wcc relationshipWeightProperty + threshold prune edges; pruned-" +
+      "isolated vertices stay as singletons (r14)") {
+    // every fixture edge weighs 2: threshold 1 keeps the graph intact,
+    // threshold 5 prunes everything — each vertex becomes a singleton
+    val base = CypherCall.run(nodes, edges,
+      "CALL graft.wcc({}) YIELD id, componentId RETURN id, componentId ORDER BY id")
+      .collect().map(r => (r.getString(0), r.getString(1))).toMap
+    val kept = CypherCall.run(nodes, edges,
+      "CALL graft.wcc({relationshipWeightProperty: 'weight', threshold: 1.0}) " +
+        "YIELD id, componentId RETURN id, componentId ORDER BY id")
+      .collect().map(r => (r.getString(0), r.getString(1))).toMap
+    assert(kept == base)
+    val pruned = CypherCall.run(nodes, edges,
+      "CALL graft.wcc({relationshipWeightProperty: 'weight', threshold: 5.0}) " +
+        "YIELD id, componentId RETURN id, componentId ORDER BY id")
+      .collect().map(r => (r.getString(0), r.getString(1))).toMap
+    assert(pruned.size == base.size && pruned.forall { case (v, c) => v == c })
+    // loud: threshold without a weight
+    val err = intercept[IllegalArgumentException] {
+      CypherCall.run(nodes, edges,
+        "CALL graft.wcc({threshold: 1.0}) YIELD id RETURN id")
+    }
+    assert(err.getMessage.contains("relationshipWeightProperty"))
+  }
+
+  test("modularity CALL: per-community Q sums to the global Newman Q (r14)") {
+    // the two triangles as communities; the c—x bridge is the only
+    // inter-community edge
+    val n2 = Seq(("a", "1"), ("b", "1"), ("c", "1"), ("x", "2"),
+      ("y", "2"), ("z", "2")).toDF("id", "cm")
+      .select(col("id"), lit("P").as("label"),
+        map(lit("community"), col("cm")).as("props"))
+    val got = CypherCall.run(n2, edges,
+      "CALL graft.modularity({communityProperty: 'community', " +
+        "orientation: 'UNDIRECTED'}) YIELD communityId, modularity " +
+        "RETURN communityId, modularity ORDER BY communityId")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(got.keySet == Set("1", "2"))
+    val globalQ = GraphOps.modularity(
+      GraphOps.undirected(edges.select(col("src"), col("dst"))),
+      Seq(("a", "1"), ("b", "1"), ("c", "1"), ("x", "2"), ("y", "2"),
+        ("z", "2")).toDF("id", "community"))
+    assert(math.abs(got.values.sum - globalQ) < 1e-6,
+      s"sum ${got.values.sum} != global $globalQ")
+    // hand value: 7 undirected edges, m2 = 14; community 1 has
+    // in = 6 (3 edges both ways), tot = 7 → 6/14 − (7/14)² = 0.178571
+    assert(math.abs(got("1") - (6.0 / 14 - 0.25)) < 1e-5)
+    val err = intercept[IllegalArgumentException] {
+      CypherCall.run(n2, edges, "CALL graft.modularity({}) YIELD communityId " +
+        "RETURN communityId")
+    }
+    assert(err.getMessage.contains("communityProperty"))
+  }
+
   test("localClusteringCoefficient CALL: hand-computed coefficients (r14)") {
     val got = CypherCall.run(nodes, edges,
       "CALL graft.localClusteringCoefficient({}) YIELD id, " +

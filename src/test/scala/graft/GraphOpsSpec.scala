@@ -84,6 +84,59 @@ class GraphOpsSpec extends SparkSpec {
     assert(viaCall.toSeq == Seq("a>b>a"))
   }
 
+  test("node2vecWalk: relationshipWeightProperty — steps sample " +
+      "∝ weight × α (r14)") {
+    import spark.implicits._
+    // dominance: s's two out-edges weigh 1000 : 1 — every one of the
+    // 8 deterministic draws lands on the heavy edge (P(light) ≈ 1e-3
+    // per draw; the fixed hash draws here all pick heavy, pinned)
+    val wE = Seq(("s", "hv", 1000.0), ("s", "lt", 1.0)).toDF("src", "dst", "w")
+    val walks = GraphOps.node2vecWalk(wE, walksPerNode = 8, walkLength = 1,
+        weightCol = Some("w"))
+      .filter(col("start") === "s")
+      .collect().map(_.getString(3))
+    assert(walks.length == 8 && walks.forall(_ == "s>hv"))
+    // uniform weights ≡ unweighted, bit-identically: scaling every wt
+    // by c scales cum/tot/u together, so every interval test is
+    // unchanged
+    val e = edgeDf("a" -> "b", "b" -> "a", "b" -> "c", "b" -> "d", "c" -> "a")
+    val e5 = e.withColumn("w", lit(5.0))
+    val un = GraphOps.node2vecWalk(e, walksPerNode = 2, walkLength = 4,
+        p = 2.0, q = 0.5)
+      .collect().map(r => (r.getString(0), r.getString(3))).toMap
+    val uw = GraphOps.node2vecWalk(e5, walksPerNode = 2, walkLength = 4,
+        p = 2.0, q = 0.5, weightCol = Some("w"))
+      .collect().map(r => (r.getString(0), r.getString(3))).toMap
+    assert(uw == un)
+    // parallel edges ADD mass: s→t twice at 500 each ≡ once at 1000
+    val par = Seq(("s", "hv", 500.0), ("s", "hv", 500.0), ("s", "lt", 1.0))
+      .toDF("src", "dst", "w")
+    val parWalks = GraphOps.node2vecWalk(par, walksPerNode = 8,
+        walkLength = 1, weightCol = Some("w"))
+      .filter(col("start") === "s").collect().map(_.getString(3))
+    assert(parWalks.forall(_ == "s>hv"))
+    // loud: non-positive weight
+    intercept[IllegalArgumentException](
+      GraphOps.node2vecWalk(Seq(("a", "b", 0.0)).toDF("src", "dst", "w"),
+        weightCol = Some("w")).count())
+    // CALL: relationshipWeightProperty routes to the biased walker
+    // even at p = q = 1; uniform weights ≡ the direct unweighted
+    // node2vec sampler (NOT the rank-mod randomWalk)
+    val nodes = Seq("a", "b", "c", "d").map(i => (i, "V", Map.empty[String, String]))
+      .toDF("id", "label", "props")
+    val eg = e.withColumn("etype", lit("T")).withColumn("event_id", lit(1))
+      .withColumn("props", typedLit(Map("wp" -> "3")))
+      .select(col("etype"), col("src"), col("dst"), col("event_id"), col("props"))
+    val viaCall = graft.graph.CypherCall.run(nodes, eg,
+      "CALL graft.randomWalk({walksPerNode: 2, walkLength: 4, " +
+        "relationshipWeightProperty: 'wp'}) YIELD walk_id, path " +
+        "RETURN walk_id, path")
+      .collect().map(r => (r.getString(0), r.getString(1))).toMap
+    val direct = GraphOps.node2vecWalk(e, walksPerNode = 2, walkLength = 4)
+      .collect().map(r => (r.getString(0), r.getString(3))).toMap
+    assert(viaCall == direct)
+  }
+
   test("node2vecWalk: no walk ever vanishes (r13 clamp) across seeds; " +
       "hub neighborhoods spread over bounded window partitions") {
     // a hub with 40 out-neighbors that are themselves interconnected —
@@ -723,6 +776,60 @@ class GraphOpsSpec extends SparkSpec {
       .collect().map(_.getString(0)).toSet == Set("a1", "b1"))
     assert(GraphOps.bridges(barbell, maxLocalEdges = 1L).collect()
       .map(r => (r.getString(0), r.getString(1))).toSeq == Seq(("a1", "b1")))
+  }
+
+  test("coreDecomposition: coreness on fixtures; local peel ≡ " +
+      "distributed H-index; kCore cross-check (r14)") {
+    def cores(e: org.apache.spark.sql.DataFrame, forced: Boolean = false) =
+      GraphOps.coreDecomposition(e, forceDistributed = forced)
+        .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    // K5: everyone coreness 4
+    val k5 = edgeDf((for { i <- 1 to 5; j <- (i + 1) to 5 }
+      yield (s"v$i", s"v$j")): _*)
+    val ck5 = cores(k5)
+    assert(ck5.values.toSet == Set(4) && ck5.size == 5)
+    assert(cores(k5, forced = true) == ck5)
+    // path: all 1 (deep-cascade shape — the H-index worst case)
+    val path = edgeDf((0 until 12).map(i => s"p$i" -> s"p${i + 1}"): _*)
+    val cp = cores(path)
+    assert(cp.values.toSet == Set(1) && cp.size == 13)
+    assert(cores(path, forced = true) == cp)
+    // K4 with a tail: clique 3, tail vertex 1, attach vertex keeps 3
+    val k4t = edgeDf("a" -> "b", "a" -> "c", "a" -> "d", "b" -> "c",
+      "b" -> "d", "c" -> "d", "a" -> "t")
+    val ct = cores(k4t)
+    assert(ct == Map("a" -> 3, "b" -> 3, "c" -> 3, "d" -> 3, "t" -> 1))
+    assert(cores(k4t, forced = true) == ct)
+    // seeded random graphs: forced ≡ local AND the level sets match
+    // the independent kCore() extraction at k = 2 and 3
+    (1 to 3).foreach { seed =>
+      val rnd = new scala.util.Random(seed * 104729)
+      val vs = (0 until 40).map(i => f"r$i%02d")
+      val pairs = for { i <- vs.indices; j <- (i + 1) until vs.length
+        if rnd.nextDouble() < 0.09 } yield (vs(i), vs(j))
+      val e = edgeDf(pairs: _*)
+      val loc = cores(e)
+      assert(cores(e, forced = true) == loc, s"seed $seed: path divergence")
+      Seq(2, 3).foreach { k =>
+        val level = GraphOps.kCore(e, k).collect().map(_.getString(0)).toSet
+        assert(loc.filter(_._2 >= k).keySet == level,
+          s"seed $seed k=$k: decomposition/level mismatch")
+      }
+    }
+    // loud: distributed fixpoint must not silently stop early
+    intercept[IllegalArgumentException](
+      GraphOps.coreDecomposition(path, maxIter = 1, forceDistributed = true))
+    // CALL: the GDS-spelled kcore proc streams the decomposition
+    import spark.implicits._
+    val nodes = Seq("a", "b", "c", "d", "t").map((_, "V", Map.empty[String, String]))
+      .toDF("id", "label", "props")
+    val eg = k4t.withColumn("etype", lit("T")).withColumn("event_id", lit(1))
+      .withColumn("props", typedLit(Map.empty[String, String]))
+      .select(col("etype"), col("src"), col("dst"), col("event_id"), col("props"))
+    val viaCall = graft.graph.CypherCall.run(nodes, eg,
+      "CALL graft.kcore({}) YIELD id, coreValue RETURN id, coreValue ORDER BY id")
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(viaCall == ct)
   }
 
   test("astar: result identical to dijkstra, admissible heuristic prunes (r12)") {
