@@ -58,6 +58,12 @@ object Bench {
     // an explicit query list as args = micro-bench mode (iterating on
     // one operator without paying for the whole headline set)
     val queries = if (args.nonEmpty) args.toSeq else headline
+    val loadAtStart =
+      try new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get("/proc/loadavg")),
+          java.nio.charset.StandardCharsets.UTF_8)
+        .split("\\s+").headOption.getOrElse("-1")
+      catch { case _: Throwable => "-1" }
     val spark = GraftSession.configure(
       SparkSession.builder().master(s"local[$cpus]"), cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -99,8 +105,28 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    // host fingerprint (r15, verdict task 8): the r13→r14 comparison
+    // had to be adjudicated by diffstat argument because nothing
+    // recorded the box state — emit cpu model hash, core count, and
+    // the loadavg sampled at START (captured before the warmup pass
+    // below would pollute it) so cross-round shifts are mechanically
+    // attributable to environment vs code
+    val host = {
+      def slurp(p: String): String =
+        try new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(p)), java.nio.charset.StandardCharsets.UTF_8)
+        catch { case _: Throwable => "" }
+      val model = slurp("/proc/cpuinfo").linesIterator
+        .find(_.startsWith("model name")).map(_.split(":", 2).last.trim)
+        .getOrElse("unknown")
+      val cores = Runtime.getRuntime.availableProcessors()
+      val load = slurp("/proc/loadavg").split("\\s+").headOption.getOrElse("-1")
+      val memGb = Runtime.getRuntime.maxMemory() / (1024L * 1024 * 1024)
+      s"""{"cpuModelHash":"${Integer.toHexString(model.hashCode)}","cores":$cores,""" +
+        s""""loadavgAtStart":$loadAtStart,"loadavgAtEnd":$load,"heapGb":$memGb}"""
+    }
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","host":$host}"""
     // pre-stop copy goes to STDERR (r13, advice): a consumer that greps
     // every {"metric":"total"...} stdout line must see exactly ONE —
     // the final post-stop line below — never a double-counted pair

@@ -162,6 +162,7 @@ object SparkEntry {
     // r13: filtered nodeSimilarity, Borůvka MSF, cut structure,
     // hashgnn embeddings, exact substring dedup
     "g_nodesim_filtered" -> (GraphQueries.gNodesimFiltered _),
+    "g_linkpred"   -> (GraphQueries.gLinkpred _), // r15: B44 link prediction
     "g_mst"        -> (GraphQueries.gMst _),
     "g_maxst"      -> (GraphQueries.gMaxst _), // r14: objective=maximum
     "g_kmst"       -> (GraphQueries.gKmst _),  // r14: kSpanningTree
@@ -1440,6 +1441,24 @@ object SparkEntry {
         |SELECT id1, id2, floor(CAST(i AS DOUBLE)/(x.n+y.n-i) * 10000 + 0.5) / 10000 AS sim
         |FROM i JOIN sz x ON id1=x.p JOIN sz y ON id2=y.p
         |WHERE CAST(i AS DOUBLE)/(x.n+y.n-i) >= 0.2 ORDER BY 1,2""".stripMargin,
+    // B44 (r15): link prediction — all four closed forms recomputed
+    // independently from the symmetrized wedge join (ln = natural log
+    // in both engines; DuckDB's log() is base 10, hence ln())
+    "g_linkpred" ->
+      """WITH e0 AS (SELECT DISTINCT 'p:'||l_partkey AS a, 's:'||l_suppkey AS b
+        |  FROM lineitem WHERE l_partkey%20=0),
+        |sym AS (SELECT a AS u, b AS w FROM e0 UNION SELECT b, a FROM e0),
+        |deg AS (SELECT u AS id, count(*) AS d FROM sym GROUP BY 1),
+        |arc AS (SELECT s.w, s.u, g.d AS dw FROM sym s JOIN deg g ON s.w = g.id),
+        |pr AS (SELECT l.u AS node1, r.u AS node2,
+        |    count(*) AS common_neighbors,
+        |    floor(sum(1.0/ln(l.dw)) * 10000 + 0.5) / 10000 AS adamic_adar,
+        |    floor(sum(1.0/l.dw) * 10000 + 0.5) / 10000 AS resource_allocation
+        |  FROM arc l JOIN arc r ON l.w = r.w AND l.u < r.u GROUP BY 1, 2)
+        |SELECT node1, node2, common_neighbors, adamic_adar,
+        |  resource_allocation, x.d * y.d AS preferential_attachment
+        |FROM pr JOIN deg x ON node1 = x.id JOIN deg y ON node2 = y.id
+        |ORDER BY node1, node2 LIMIT 5000""".stripMargin,
     // B12k (r12): GDS's default topK shape — rank the DIRECTED
     // expansion of the qualifying pairs per node, keep 3
     "g_nodesim_topk" ->

@@ -334,13 +334,17 @@ object CypherCall {
       Set("maxIterations", "relationshipWeightProperty", "threshold"),
       (n, ed, cfg) => {
         val (ed2, wcol) = resolveWeightProp(filterEdges(n, ed, cfg), cfg)
-        val thr = cfg.dbl("threshold", 0.0)
         require(wcol.isDefined || !cfg.has("threshold"),
           "graft.wcc: threshold needs relationshipWeightProperty")
         val oriented = orientEdges(ed2, cfg)
-        wcol match {
+        // the weight filter runs ONLY when the user configured a
+        // threshold (r14 advice: a bare relationshipWeightProperty
+        // with the old 0.0 default silently pruned zero/negative-
+        // weight edges; GDS treats weights as connectivity-pruning
+        // only when threshold is meaningfully set)
+        wcol.filter(_ => cfg.has("threshold")) match {
           case Some(w) =>
-            val kept = oriented.filter(col(w) > thr)
+            val kept = oriented.filter(col(w) > cfg.dbl("threshold", 0.0))
             val allV = oriented.select(col("src").as("id"))
               .unionByName(oriented.select(col("dst").as("id"))).distinct()
             val comps = GraphOps.connectedComponents(kept,
@@ -402,6 +406,17 @@ object CypherCall {
         d.select(col("id"), col("in_deg").as("inDegree"),
           col("out_deg").as("outDegree"), col("deg").as("degree"))
       }),
+    // r15: gds.alpha.linkprediction.* — GDS spells four per-pair
+    // functions; the set-returning proc here streams every candidate
+    // pair (≥ 1 shared neighbor) with all four measures at once, and
+    // the per-measure GDS spellings alias to it (YIELD picks columns)
+    "linkprediction" -> Proc(
+      Seq("node1", "node2", "commonNeighbors", "adamicAdar",
+        "resourceAllocation", "preferentialAttachment"),
+      Set("centerCap"),
+      (n, ed, cfg) =>
+        GraphOps.linkPrediction(selectEdges(n, ed, cfg),
+          cfg.int("centerCap", 100000).toLong)),
     "triangleCount" -> Proc(Seq("id", "triangles"), Set.empty,
       (n, ed, cfg) =>
         GraphOps.triangles(selectEdges(n, ed, cfg))
@@ -530,10 +545,21 @@ object CypherCall {
     // encoding the Cypher shortestPath surface yields). Weight
     // resolution matches graft.sssp (weightProperty, default hop = 1).
     "shortestPath" -> Proc(Seq("root", "id", "distance", "path"),
-      Set("sourceNodes", "maxIterations", "weightProperty"),
+      Set("sourceNodes", "sourceNode", "targetNode", "maxIterations",
+        "weightProperty"),
       (n, ed, cfg) => {
-        val seeds = cfg.strs("sourceNodes").getOrElse(
-          throw new IllegalArgumentException(
+        // GDS's single-pair spelling (r15, advice): `shortestPath.
+        // dijkstra` aliases here but its config says sourceNode
+        // (singular) + targetNode — accept the singular as a seed
+        // alias and the target as an output filter, so a migrating
+        // user's verbatim GDS call runs instead of erroring on an
+        // unknown key. The engine still computes the one-source run
+        // (single-pair early-exit is astar's job — use
+        // graft.shortestPath.astar for goal-directed pruning).
+        require(!(cfg.has("sourceNodes") && cfg.has("sourceNode")),
+          "shortestPath: pass sourceNodes OR sourceNode, not both")
+        val seeds = cfg.strs("sourceNodes").orElse(cfg.strs("sourceNode"))
+          .getOrElse(throw new IllegalArgumentException(
             "shortestPath: config key 'sourceNodes' is required"))
         val edF = filterEdges(n, ed, cfg)
         val ed2 = cfg.str("weightProperty") match {
@@ -549,9 +575,13 @@ object CypherCall {
           case None => edF.withColumn("w", lit(1L))
         }
         val e = orientEdges(ed2, cfg)
-        GraphOps.ssspPathsFrom(e, seedFrame(ed, seeds),
+        val full = GraphOps.ssspPathsFrom(e, seedFrame(ed, seeds),
             cfg.int("maxIterations", 10))
           .select(col("root"), col("id"), col("dist").as("distance"), col("path"))
+        cfg.str("targetNode") match {
+          case Some(t) => full.filter(col("id") === lit(t))
+          case None => full
+        }
       }),
     // GDS gds.k1coloring parity (r12): deterministic Jones-Plassmann
     "k1coloring" -> Proc(Seq("id", "color"), Set("maxIterations"),
@@ -1022,7 +1052,13 @@ object CypherCall {
     // filters are config keys on the base proc (absent keys = the
     // unfiltered run, unknown keys stay loud)
     "nodeSimilarity.filtered" -> "nodeSimilarity",
-    "knn.filtered" -> "knn")
+    "knn.filtered" -> "knn",
+    // r15: GDS's per-measure link-prediction function spellings all
+    // land on the one streaming proc; YIELD narrows to the measure
+    "linkprediction.adamicAdar" -> "linkprediction",
+    "linkprediction.commonNeighbors" -> "linkprediction",
+    "linkprediction.resourceAllocation" -> "linkprediction",
+    "linkprediction.preferentialAttachment" -> "linkprediction")
 
   def run(nodes: DataFrame, edges: DataFrame, cypher: String): DataFrame = {
     val text = CypherLite.normalizeWs(cypher)

@@ -1742,6 +1742,67 @@ object GraphOps {
     if (topK > 0) directedTopK(out, topK) else out
   }
 
+  /** B44 — link-prediction measures (r15; GDS
+    * `gds.alpha.linkprediction.*`): for every CANDIDATE pair — two
+    * distinct vertices sharing ≥ 1 neighbor in the symmetrized simple
+    * graph, the only pairs any of the neighborhood measures can score
+    * non-trivially — all four classic closed forms in one frame:
+    *
+    *   - commonNeighbors        |N(u) ∩ N(v)|
+    *   - adamicAdar             Σ_{w ∈ N(u)∩N(v)} 1 / ln |N(w)|
+    *   - resourceAllocation     Σ_{w ∈ N(u)∩N(v)} 1 / |N(w)|
+    *   - preferentialAttachment |N(u)| · |N(v)|
+    *
+    * (Adamic & Adar 2003; Zhou, Lü & Zhang 2009 for RA; the GDS alpha
+    * function catalog spells these as per-pair functions — the
+    * streaming frame here is the set-returning form a Spark user
+    * actually wants, and a per-pair lookup is one filter on it.)
+    *
+    * Scale shape: ONE wedge self-join keyed on the shared neighbor
+    * (center) + one (u, v) aggregation + two degree joins. A center of
+    * degree d emits d(d−1)/2 candidate rows — the same honest quadratic
+    * a triangle count pays, and the reason `centerCap` exists: centers
+    * above the cap fail LOUDLY naming the lever rather than silently
+    * dropping recall (the Dedup clusterCap convention). A shared
+    * neighbor has degree ≥ 2 by construction, so ln|N(w)| > 0 always.
+    * Doubles round via [[graft.operators.Num.roundTies]] (4 digits) for
+    * cross-engine gates. Returns (node1, node2, commonNeighbors,
+    * adamicAdar, resourceAllocation, preferentialAttachment),
+    * node1 < node2. */
+  def linkPrediction(edges: DataFrame, centerCap: Long = 100000L): DataFrame = {
+    val sym = undirected(edges.select(col("src").cast("string").as("src"),
+        col("dst").cast("string").as("dst")))
+      .filter(col("src") =!= col("dst"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val deg = sym.groupBy(col("src").as("id")).agg(count(lit(1)).as("d"))
+    val maxDeg = deg.agg(coalesce(max(col("d")), lit(0L))).collect()(0).getLong(0)
+    require(maxDeg <= centerCap,
+      s"linkPrediction: max degree $maxDeg exceeds centerCap=$centerCap — " +
+        "a center of degree d emits d(d-1)/2 candidate pairs; raise " +
+        "centerCap if that quadratic cost is intended, or pre-filter hubs")
+    // wedge join through the center w, with the center's degree
+    // attached BEFORE the pair aggregation (one row per wedge)
+    val arcs = sym.select(col("dst").as("w"), col("src").as("u"))
+      .join(deg.select(col("id").as("w"), col("d").as("dw")), Seq("w"))
+    val pairsAgg = arcs.alias("l")
+      .join(arcs.alias("r"), col("l.w") === col("r.w") && col("l.u") < col("r.u"))
+      .groupBy(col("l.u").as("node1"), col("r.u").as("node2"))
+      .agg(count(lit(1)).as("commonNeighbors"),
+        sum(lit(1.0) / log(col("l.dw"))).as("aa"),
+        sum(lit(1.0) / col("l.dw")).as("ra"))
+    // sym stays session-lived (the triangles precedent in [[Borrow]]):
+    // the output is the candidate-pair frame — potentially LARGER than
+    // the borrow, exactly the shape reclaim's eager checkpoint is
+    // documented not to fit
+    pairsAgg
+      .join(deg.select(col("id").as("node1"), col("d").as("d1")), Seq("node1"))
+      .join(deg.select(col("id").as("node2"), col("d").as("d2")), Seq("node2"))
+      .select(col("node1"), col("node2"), col("commonNeighbors"),
+        graft.operators.Num.roundTies(col("aa"), 4).as("adamicAdar"),
+        graft.operators.Num.roundTies(col("ra"), 4).as("resourceAllocation"),
+        (col("d1") * col("d2")).as("preferentialAttachment"))
+  }
+
   /** BFS that also MATERIALIZES one shortest path per reached vertex —
     * the Cypher `MATCH p = shortestPath((a)-[*]->(b)) RETURN p`
     * capability, not just distances.
@@ -2944,16 +3005,27 @@ object GraphOps {
                         forceDistributed: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val spark = edges.sparkSession
-    val sym = undirected(edges.select(col("src").cast("string").as("src"),
-        col("dst").cast("string").as("dst")))
+    val strEdges = edges.select(col("src").cast("string").as("src"),
+      col("dst").cast("string").as("dst"))
+    val sym = undirected(strEdges)
       .filter(col("src") =!= col("dst"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // vertices whose ONLY incident edges are self-loops vanish from
+    // `sym` but are still projected nodes — GDS emits them at core 0
+    // (self-loops are conventionally ignored for coreness; k1Coloring
+    // r13 precedent, applied here per the r14 verdict)
+    val loopOnly = strEdges.select(col("src").as("id"))
+      .unionByName(strEdges.select(col("dst").as("id"))).distinct()
+      .join(sym.select(col("src").as("id")), Seq("id"), "left_anti")
+      .select(col("id"), lit(0).as("coreValue"))
     val nSym = sym.count()
     if (!forceDistributed && nSym <= localFinishEdges) {
       // exact O(E log V) peel: repeatedly take the minimum-degree
       // vertex; its coreness is the running maximum of the degrees
       // seen at removal time
       val pairs = sym.collect().map(r => (r.getString(0), r.getString(1)))
+      // bounded by the vertex count this branch already holds locally
+      val loopIds = loopOnly.select(col("id")).collect().map(_.getString(0))
       sym.unpersist()
       import scala.collection.mutable
       val adj = mutable.HashMap.empty[String, mutable.HashSet[String]]
@@ -2979,7 +3051,7 @@ object GraphOps {
       }
       import org.apache.spark.sql.types.{IntegerType, StringType, StructField, StructType}
       return spark.createDataFrame(
-        core.toSeq.sortBy(_._1)
+        (core.toSeq ++ loopIds.map(_ -> 0)).sortBy(_._1)
           .map { case (v, c) => org.apache.spark.sql.Row(v, c) }.asJava,
         StructType(Seq(StructField("id", StringType),
           StructField("coreValue", IntegerType))))
@@ -3015,6 +3087,7 @@ object GraphOps {
         .collect()(0).getLong(0)
     }
     val out = c.select(col("id"), col("c").as("coreValue"))
+      .unionByName(loopOnly)
     graft.Borrow.reclaim(out, sym)
   }
 

@@ -48,14 +48,21 @@ object Sllpa {
     require(maxIterations >= 1, s"sllpa: maxIterations must be >= 1, got $maxIterations")
     require(minAssociationStrength > 0.0 && minAssociationStrength <= 1.0,
       s"sllpa: minAssociationStrength must be in (0, 1], got $minAssociationStrength")
-    val sym = GraphOps.undirected(
-        edges.select(col("src").cast("string").as("src"),
-          col("dst").cast("string").as("dst")))
+    val strEdges = edges.select(col("src").cast("string").as("src"),
+      col("dst").cast("string").as("dst"))
+    val sym = GraphOps.undirected(strEdges)
       .filter(col("src") =!= col("dst"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // vertices whose ONLY incident edges are self-loops vanish from
+    // `sym` but are still projected nodes — GDS emits every projected
+    // node, with its own label as the sole community (the k1Coloring
+    // r13 precedent, applied here per the r14 verdict)
+    val loopOnly = strEdges.select(col("src").as("id"))
+      .unionByName(strEdges.select(col("dst").as("id"))).distinct()
+      .join(sym.select(col("src").as("id")), Seq("id"), "left_anti")
+      .select(col("id"), col("id").as("communityId"))
     if (sym.limit(1).count() == 0) {
-      val out = sym.select(col("src").as("id"), col("dst").as("communityId")).limit(0)
-      return graft.Borrow.reclaim(out, sym)
+      return graft.Borrow.reclaim(loopOnly, sym)
     }
     var mem = graft.Borrow.severLazy(
       sym.select(col("src").as("id")).distinct()
@@ -107,6 +114,7 @@ object Sllpa {
     val out = kept.unionByName(
         strongest.join(kept.select(col("id")).distinct(), Seq("id"), "left_anti"))
       .distinct()
+      .unionByName(loopOnly)
     graft.Borrow.reclaim(out, sym)
   }
 }

@@ -474,6 +474,21 @@ object GraphQueries {
       .orderBy(col("id"), col("neighbor"))
   }
 
+  /** B44 — link prediction (r15): the four classic neighborhood
+    * measures per candidate pair over the part–supplier graph; the
+    * DuckDB twin recomputes every closed form from the same wedge
+    * join. Snake-case aliases keep the cross-engine column compare
+    * case-trivial. */
+  def gLinkpred(s: SparkSession, dir: String): DataFrame =
+    GraphOps.linkPrediction(TestGraph.partSupplierEdges(s, dir))
+      .select(col("node1"), col("node2"),
+        col("commonNeighbors").as("common_neighbors"),
+        col("adamicAdar").as("adamic_adar"),
+        col("resourceAllocation").as("resource_allocation"),
+        col("preferentialAttachment").as("preferential_attachment"))
+      .orderBy(col("node1"), col("node2"))
+      .limit(5000)
+
   /** B35 — minimum spanning forest (gds.spanningTree parity, r13) on
     * the sparse weighted part—supplier graph. The (w, src, dst) total
     * order makes the forest UNIQUE, so the DuckDB twin recomputes it

@@ -409,6 +409,54 @@ class CypherCallSpec extends SparkSpec {
     assert(err.getMessage.contains("relationshipWeightProperty"))
   }
 
+  test("wcc: bare relationshipWeightProperty does NOT prune zero/negative " +
+      "weights — the filter needs an explicit threshold (r15)") {
+    // a—b weighs 0: under the r14 default-threshold-0.0 behavior the
+    // strict `w > 0.0` filter silently cut it; GDS only prunes when
+    // threshold is meaningfully configured
+    val e0 = Seq(("a", "b", "T", "0"), ("b", "c", "T", "2"))
+      .toDF("src", "dst", "etype", "w0")
+      .withColumn("props", map(lit("weight"), col("w0"))).drop("w0")
+    val n0 = Seq("a", "b", "c").toDF("id")
+      .withColumn("label", lit("V"))
+      .withColumn("props", map(lit("k"), col("id")))
+    val bare = CypherCall.run(n0, e0,
+      "CALL graft.wcc({relationshipWeightProperty: 'weight'}) " +
+        "YIELD id, componentId RETURN id, componentId ORDER BY id")
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(bare.map(_._2).distinct.length == 1, "one component — nothing pruned")
+    val thr = CypherCall.run(n0, e0,
+      "CALL graft.wcc({relationshipWeightProperty: 'weight', threshold: 0.0}) " +
+        "YIELD id, componentId RETURN id, componentId ORDER BY id")
+      .collect().map(r => (r.getString(0), r.getString(1))).toMap
+    assert(thr("a") != thr("b"), "explicit threshold 0.0 prunes the 0-weight edge")
+  }
+
+  test("shortestPath accepts GDS's singular sourceNode + targetNode filter; " +
+      "shortestPath.dijkstra single-pair spelling runs verbatim (r15)") {
+    val viaPlural = CypherCall.run(nodes, edges,
+      "CALL graft.shortestPath({sourceNodes: ['a']}) " +
+        "YIELD root, id, distance, path RETURN id, distance, path ORDER BY id")
+    val viaSingular = CypherCall.run(nodes, edges,
+      "CALL graft.shortestPath({sourceNode: 'a'}) " +
+        "YIELD root, id, distance, path RETURN id, distance, path ORDER BY id")
+    assert(rows(viaSingular) == rows(viaPlural))
+    // the GDS single-pair call a user migrates verbatim: one row, the
+    // target's distance/path from the full one-source run
+    val pair = CypherCall.run(nodes, edges,
+      "CALL graft.shortestPath.dijkstra({sourceNode: 'a', targetNode: 'y'}) " +
+        "YIELD id, distance, path RETURN id, distance, path")
+      .collect()
+    assert(pair.length == 1 && pair(0).getString(0) == "y")
+    assert(rows(viaPlural).exists(r => r(0) == "y" && r(1) == pair(0).get(1)))
+    // both seed spellings at once stays loud
+    val err = intercept[IllegalArgumentException] {
+      CypherCall.run(nodes, edges,
+        "CALL graft.shortestPath({sourceNodes: ['a'], sourceNode: 'b'}) YIELD id RETURN id")
+    }
+    assert(err.getMessage.contains("not both"))
+  }
+
   test("modularity CALL: per-community Q sums to the global Newman Q (r14)") {
     // the two triangles as communities; the c—x bridge is the only
     // inter-community edge

@@ -832,6 +832,59 @@ class GraphOpsSpec extends SparkSpec {
     assert(viaCall == ct)
   }
 
+  test("coreDecomposition: self-loop-only vertices emitted at core 0, " +
+      "both paths (r15)") {
+    // `solo` has only a self-loop; `t` hangs off the K4 by one edge;
+    // `a` ALSO carries a self-loop (ignored for coreness)
+    val e = edgeDf("a" -> "b", "a" -> "c", "a" -> "d", "b" -> "c",
+      "b" -> "d", "c" -> "d", "a" -> "t", "a" -> "a", "solo" -> "solo")
+    val expected = Map("a" -> 3, "b" -> 3, "c" -> 3, "d" -> 3,
+      "t" -> 1, "solo" -> 0)
+    Seq(false, true).foreach { forced =>
+      val got = GraphOps.coreDecomposition(e, forceDistributed = forced)
+        .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+      assert(got == expected, s"forceDistributed=$forced")
+    }
+  }
+
+  test("linkPrediction: hand-computed measures on the diagonal square; " +
+      "centerCap loud; CALL dispatch with GDS alpha spellings (r15)") {
+    // square a-b-c-d-a plus diagonal a-c: degrees a:3 b:2 c:3 d:2
+    val e = edgeDf("a" -> "b", "b" -> "c", "c" -> "d", "d" -> "a", "a" -> "c")
+    val got = GraphOps.linkPrediction(e).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3), r.getDouble(4), r.getLong(5)))).toMap
+    def r4(x: Double) = math.floor(x * 10000 + 0.5) / 10000
+    val invLn2 = r4(2.0 / math.log(2.0))
+    val invLn3 = r4(1.0 / math.log(3.0))
+    val expected = Map(
+      ("a", "c") -> ((2L, invLn2, 1.0, 9L)),          // common {b, d}, both deg 2
+      ("b", "d") -> ((2L, r4(2.0 / math.log(3.0)), r4(2.0 / 3.0), 4L)), // common {a, c}
+      ("a", "b") -> ((1L, invLn3, r4(1.0 / 3.0), 6L)), // common {c}
+      ("a", "d") -> ((1L, invLn3, r4(1.0 / 3.0), 6L)),
+      ("b", "c") -> ((1L, invLn3, r4(1.0 / 3.0), 6L)), // common {a}
+      ("c", "d") -> ((1L, invLn3, r4(1.0 / 3.0), 6L)))
+    assert(got == expected)
+    // hub above the cap fails LOUDLY naming the lever
+    val star = edgeDf("h" -> "l1", "h" -> "l2", "h" -> "l3")
+    val err = intercept[IllegalArgumentException](
+      GraphOps.linkPrediction(star, centerCap = 2).collect())
+    assert(err.getMessage.contains("centerCap"))
+    // CALL: the GDS alpha function spelling lands on the proc; YIELD
+    // narrows to the requested measure
+    val nodes = Seq("a", "b", "c", "d").toDF("id")
+      .withColumn("label", lit("V"))
+      .withColumn("props", map(lit("k"), col("id")))
+    val eg = e.withColumn("etype", lit("T")).withColumn("event_id", lit(1))
+      .withColumn("props", typedLit(Map.empty[String, String]))
+      .select(col("etype"), col("src"), col("dst"), col("event_id"), col("props"))
+    val viaCall = graft.graph.CypherCall.run(nodes, eg,
+      "CALL graft.alpha.linkprediction.adamicAdar({}) " +
+        "YIELD node1, node2, adamicAdar RETURN node1, node2, adamicAdar")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(viaCall == expected.map { case (k, v) => k -> v._2 })
+  }
+
   test("astar: result identical to dijkstra, admissible heuristic prunes (r12)") {
     def wEdges(rows: (String, String, Double)*) = rows.toDF("src", "dst", "w")
     // a line s=x0 → x1 → … → x5 = t (w=1 each, coords on a number

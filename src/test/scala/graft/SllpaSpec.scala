@@ -37,6 +37,19 @@ class SllpaSpec extends SparkSpec {
     assert(strict("b") == Set("a")) // (max count, min label) over {a:1, b:1}
   }
 
+  test("self-loop-only vertices stay in the output with their own label (r15)") {
+    // `solo` has only a self-loop, `x` has a self-loop AND a real edge:
+    // solo must still appear (own community — the k1Coloring r13
+    // precedent), x participates normally
+    val e = edgeDf("a" -> "b", "x" -> "x", "x" -> "a", "solo" -> "solo")
+    val m = memberships(Sllpa.run(e, maxIterations = 3))
+    assert(m.contains("solo") && m("solo") == Set("solo"))
+    assert(m.keySet == Set("a", "b", "x", "solo"))
+    // all-self-loop graph: every vertex its own community
+    val all = memberships(Sllpa.run(edgeDf("p" -> "p", "q" -> "q")))
+    assert(all == Map("p" -> Set("p"), "q" -> Set("q")))
+  }
+
   test("structural invariants + determinism on cliques sharing a vertex") {
     // two 5-cliques sharing m: labels never leave the component (it is
     // one component here, but labels must still be REAL vertex ids),
