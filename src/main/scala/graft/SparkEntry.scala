@@ -80,6 +80,7 @@ object SparkEntry {
     // r14 — F10: BPE-true token counts under the fixed merge table
     // (sql) + the distributed trainer's learned merges (rows)
     "f10_bpe"      -> ((s, d) => TextAnalysis.f10Bpe(s, d)),
+    "f11_ppl"      -> (TextAnalysis.f11Ppl _), // r15: KN n-gram perplexity
     "f10_bpe_train" -> ((s, d) => TextAnalysis.f10BpeTrain(s, d)),
     "m2_mediasim"  -> ((s, d) => {
       val n = graft.Tables.documents(s, d).count().toInt.min(500)
@@ -91,6 +92,7 @@ object SparkEntry {
     "p3_sample"    -> ((s, d) => Curation.stratifiedSample(s, d)),
     "p4_shards"    -> ((s, d) => Curation.packShards(s, d)),
     "p6_scale"     -> (Curation.p6Scale _),
+    "p7_dsir"      -> (Curation.p7Dsir _), // r15: DSIR importance weights
     "p1_curate_sql" -> (Curation.p1CurateSql _),
     "e6_knn"       -> ((s, d) => Similarity.e6Knn(s, d)),
     "f4_fp_sql"    -> ((s, d) => TextAnalysis.f4FingerprintSql(s, d)),
@@ -180,6 +182,7 @@ object SparkEntry {
     "g_kcoredec"   -> (GraphQueries.gKcoreDec _),   // r14: B43 coreness
     "g_kcoredec_ok" -> (GraphQueries.gKcoreDecOk _), // r14: B43 invariants
     "d8_substr"    -> (Dedup.d8Substr _),
+    "d8_apply"     -> (Dedup.d8ApplyGate _), // r15: substring-dedup apply
     "g_kcore"      -> ((s, d) => GraphQueries.gKcore(s, d)),
     "g_dfs"        -> (GraphQueries.gDfs _), // r14: gds.dfs preorder
     "n1_nodemerge" -> (GraphQueries.n1NodeMerge _),
@@ -1331,6 +1334,27 @@ object SparkEntry {
         |SELECT a.doc_id AS doc1, b.doc_id AS doc2, CAST(1 AS BIGINT) AS n_long
         |FROM p a JOIN p b ON a.doc_id < b.doc_id
         |ORDER BY 1, 2""".stripMargin,
+    // D8a (r15): the apply pass — the oracle rebuilds the guarded
+    // corpus and cuts the passage from every planted doc except the
+    // earliest (the Lee et al. keep-first policy, closed-form because
+    // the unique guard chars pin each span to exactly the passage)
+    "d8_apply" ->
+      s"""WITH b AS (
+        |  SELECT doc_id,
+        |    repeat(' f' || CAST(doc_id AS VARCHAR) || 'x ', 6) AS f,
+        |    repeat(' h' || CAST(doc_id AS VARCHAR) || 'x ', 6) AS h,
+        |    (doc_id % 97 = 0 AND doc_id < 2522) AS planted,
+        |    chr(97 + CAST(doc_id // 97 AS INT)) AS g
+        |  FROM documents),
+        |t AS (SELECT doc_id, planted, lower(trim(
+        |    f || CASE WHEN planted THEN g || '${Dedup.d8Passage}' || g
+        |              ELSE '' END || h)) AS t
+        |  FROM b),
+        |mn AS (SELECT min(doc_id) AS keeper FROM t WHERE planted)
+        |SELECT doc_id,
+        |  md5(CASE WHEN planted AND doc_id > (SELECT keeper FROM mn)
+        |      THEN replace(t, '${Dedup.d8Passage}', '') ELSE t END) AS text_hash
+        |FROM t ORDER BY doc_id""".stripMargin,
     // k shortest loopless paths: enumerate EVERY simple s:40-anchored
     // walk within 3 hops (never through the target), keep the ones
     // ending at p:20, rank by (dist, hops, path) — an independent
@@ -1676,6 +1700,30 @@ object SparkEntry {
     // feature scaling: the same closed-form moments (min/max/Σx/Σx²/n,
     // all exact for the integer-valued l_quantity) recomputed in SQL;
     // every arithmetic step runs in DOUBLE on both engines
+    // P7 (r15): DSIR — the oracle refits BOTH add-1-smoothed hashed
+    // n-gram models (target = English subset) and re-derives every
+    // document's log importance weight with the same 4-ln-term
+    // decomposition the Spark side uses (term-for-term FP parity)
+    "p7_dsir" ->
+      """WITH toks AS (SELECT doc_id, lang,
+        |    regexp_split_to_array(lower(trim(text)), '\s+') AS a FROM documents),
+        |uni AS (SELECT doc_id, lang, a[i] AS g
+        |  FROM toks, UNNEST(generate_series(1, len(a))) AS t(i)),
+        |bi AS (SELECT doc_id, lang, a[i] || ' ' || a[i+1] AS g
+        |  FROM toks, UNNEST(generate_series(1, len(a) - 1)) AS t(i)),
+        |grams AS (SELECT doc_id, lang, substring(md5(g), 1, 2) AS b
+        |  FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)),
+        |rc AS (SELECT b, count(*) AS cr FROM grams GROUP BY 1),
+        |tc AS (SELECT b, count(*) AS ct FROM grams WHERE lang = 'en' GROUP BY 1),
+        |tot AS (SELECT (SELECT count(*) FROM grams) AS tr,
+        |               (SELECT count(*) FROM grams WHERE lang = 'en') AS tt),
+        |model AS (SELECT rc.b,
+        |    ln(coalesce(tc.ct, 0) + 1.0) - ln(tt + 256.0)
+        |    - ln(rc.cr + 1.0) + ln(tr + 256.0) AS llr
+        |  FROM rc LEFT JOIN tc ON rc.b = tc.b, tot)
+        |SELECT doc_id, floor(sum(llr) * 10000 + 0.5) / 10000 AS log_weight
+        |FROM grams JOIN model USING (b)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "p6_scale" ->
       """WITH s AS (SELECT
         |  CAST(min(l_quantity) AS DOUBLE) AS mn,
@@ -1864,6 +1912,50 @@ object SparkEntry {
         |                    ELSE red0 END AS red
         |FROM luhn ORDER BY doc_id LIMIT 300""".stripMargin,
     "f10_bpe" -> f10BpeOracle,
+    // F11 (r15): interpolated Kneser-Ney trigram perplexity — the
+    // oracle refits every count table (raw trigram counts, distinct-
+    // type continuation counts, unigram scalars) and re-derives each
+    // token's probability with the SAME expression shape (operation-
+    // for-operation FP parity with the Spark column arithmetic)
+    "f11_ppl" ->
+      """WITH toks AS (SELECT doc_id,
+        |    list_concat([chr(1), chr(1)],
+        |      regexp_split_to_array(lower(trim(text)), '\s+')) AS a
+        |  FROM documents),
+        |pos AS (SELECT doc_id, a, i
+        |  FROM toks, UNNEST(generate_series(3, len(a))) AS t(i)),
+        |s AS (SELECT doc_id, a[i-2] || ' ' || a[i-1] AS c3, a[i-1] AS c2,
+        |      a[i-2] AS x3, a[i] AS w FROM pos),
+        |n3 AS (SELECT c3, w, CAST(count(*) AS DOUBLE) AS cnt3 FROM s GROUP BY 1,2),
+        |d3 AS (SELECT c3, CAST(count(*) AS DOUBLE) AS den3,
+        |       CAST(count(DISTINCT w) AS DOUBLE) AS fol3 FROM s GROUP BY 1),
+        |t3 AS (SELECT DISTINCT x3, c2, w FROM s),
+        |n2 AS (SELECT c2, w, CAST(count(*) AS DOUBLE) AS cnt2 FROM t3 GROUP BY 1,2),
+        |d2 AS (SELECT c2, CAST(count(*) AS DOUBLE) AS den2,
+        |       CAST(count(DISTINCT w) AS DOUBLE) AS fol2 FROM t3 GROUP BY 1),
+        |b2 AS (SELECT DISTINCT a[i-1] AS x, a[i] AS w FROM pos),
+        |n1 AS (SELECT w, CAST(count(*) AS DOUBLE) AS cnt1 FROM b2 GROUP BY 1),
+        |sc AS (SELECT CAST((SELECT count(*) FROM b2) AS DOUBLE) AS den1,
+        |              CAST((SELECT count(*) FROM n1) AS DOUBLE) AS v1,
+        |              CAST((SELECT count(DISTINCT w) FROM s) AS DOUBLE) AS v),
+        |q1 AS (SELECT s.doc_id, s.c3, s.c2, s.w,
+        |    greatest(coalesce(n1.cnt1, 0) - 0.75, 0) / sc.den1
+        |      + 0.75 * sc.v1 / sc.den1 * (1.0 / (sc.v + 1.0)) AS p1
+        |  FROM s LEFT JOIN n1 USING (w), sc),
+        |q2 AS (SELECT q1.doc_id, q1.c3, q1.w,
+        |    CASE WHEN d2.den2 IS NULL THEN p1
+        |         ELSE greatest(coalesce(n2.cnt2, 0) - 0.75, 0) / d2.den2
+        |              + 0.75 * d2.fol2 / d2.den2 * p1 END AS p2
+        |  FROM q1 LEFT JOIN n2 USING (c2, w) LEFT JOIN d2 USING (c2)),
+        |q3 AS (SELECT q2.doc_id,
+        |    CASE WHEN d3.den3 IS NULL THEN p2
+        |         ELSE greatest(coalesce(n3.cnt3, 0) - 0.75, 0) / d3.den3
+        |              + 0.75 * d3.fol3 / d3.den3 * p2 END AS p3
+        |  FROM q2 LEFT JOIN n3 USING (c3, w) LEFT JOIN d3 USING (c3))
+        |SELECT doc_id, count(*) AS n_scored,
+        |  floor(-avg(ln(p3)) * 10000 + 0.5) / 10000 AS avg_nll,
+        |  floor(exp(-avg(ln(p3))) * 100 + 0.5) / 100 AS ppl
+        |FROM q3 GROUP BY 1 ORDER BY 1""".stripMargin,
     "f1_tokens" ->
       """SELECT doc_id,
         | CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS BIGINT) AS ws_tokens,

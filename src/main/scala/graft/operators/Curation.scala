@@ -1,8 +1,9 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 import graft.Tables
 
@@ -161,6 +162,90 @@ object Curation {
     Tables.documents(s, dir)
       .filter(col("n_chars") >= cap || u < thr)
       .select(col("doc_id"), col("lang"), col("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** P7 — DSIR importance weights (r15; Xie et al. 2023, "Data
+    * Selection for Language Models via Importance Resampling"): score
+    * every raw document by how target-like it looks under two
+    * bag-of-hashed-n-grams unigram models,
+    *
+    *   log w(x) = Σ_features c_b(x) · (ln p̂_target(b) − ln p̂_raw(b)),
+    *
+    * features = word unigrams + bigrams hashed into `buckets` buckets,
+    * both models add-α smoothed ((c_b + α) / (total + α·buckets)).
+    * Selection then resamples by weight ([[dsirResample]]).
+    *
+    * Scale shape: one explode over corpus tokens (linear), two
+    * bounded aggregations (≤ `buckets` rows each — the model is a
+    * FIXED-SIZE frame by construction, broadcast-joined back), one
+    * per-doc sum. No shuffle keyed on anything unbounded except the
+    * doc_id aggregation the result itself requires.
+    *
+    * `bucketOf` defaults to xxhash64 mod buckets (codegen, fast path);
+    * the sql gate passes an md5-hex-prefix bucketing both engines
+    * spell identically (the P5 convention). α defaults to 1 (Laplace). */
+  def dsirLogWeights(docs: DataFrame, targetDocs: DataFrame,
+                     buckets: Int = 8192, alpha: Double = 1.0,
+                     bucketOf: Option[Column => Column] = None): DataFrame = {
+    val bucket = bucketOf.getOrElse((g: Column) => pmod(xxhash64(g), lit(buckets)))
+    def grams(d: DataFrame): DataFrame = {
+      val toks = split(lower(trim(col("text"))), "\\s+")
+      val uni = d.select(col("doc_id"), explode(toks).as("g"))
+      val bi = d.select(col("doc_id"),
+        explode(zip_with(slice(toks, lit(1), greatest(size(toks) - 1, lit(0))),
+          slice(toks, lit(2), greatest(size(toks) - 1, lit(0))),
+          (a, b) => concat(a, lit(" "), b))).as("g"))
+      uni.unionByName(bi).select(col("doc_id"), bucket(col("g")).as("b"))
+    }
+    val raw = grams(docs).persist(StorageLevel.MEMORY_AND_DISK)
+    val tgt = grams(targetDocs)
+    val rc = raw.groupBy(col("b")).agg(count(lit(1)).as("cr"))
+    val tc = tgt.groupBy(col("b")).agg(count(lit(1)).as("ct"))
+    // model = one fixed-size frame; totals attach as 1-row literal
+    // cross joins (the P6 pattern — no driver scalar, no extra shuffle)
+    val totR = raw.count().toDouble
+    val totT = tgt.count().toDouble
+    val denomR = math.log(totR + alpha * buckets)
+    val denomT = math.log(totT + alpha * buckets)
+    val model = rc.join(tc, Seq("b"), "left")
+      .select(col("b"),
+        (log(coalesce(col("ct"), lit(0L)) + alpha) - lit(denomT)
+          - log(col("cr") + alpha) + lit(denomR)).as("llr"))
+    val out = raw.join(broadcast(model), Seq("b"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("llr")).as("log_weight"))
+    graft.Borrow.reclaim(out, raw)
+  }
+
+  /** P7 resampling tail: deterministic Gumbel top-k over the DSIR
+    * log-weights — the paper's sampling-without-replacement trick
+    * (key = log w + Gumbel noise; top-k by key ≡ weighted sampling),
+    * with the noise derived from md5(doc_id, seed) instead of rand()
+    * (the P5 house rule: partitioning can never change the draw).
+    * u ∈ (0,1) from a 4-hex slice (midpoint-offset so u is never 0 or
+    * 1); key = logw − ln(−ln u). Returns the k kept (doc_id,
+    * log_weight) rows. */
+  def dsirResample(logWeights: DataFrame, k: Int, seed: Long = 42L): DataFrame = {
+    val u = (conv(substring(md5(concat(col("doc_id").cast("string"),
+        lit(":"), lit(seed))), 1, 4), 16, 10).cast("double") + 0.5) / 65536.0
+    logWeights
+      .withColumn("gkey", col("log_weight") - log(-log(u)))
+      .orderBy(col("gkey").desc, col("doc_id"))
+      .limit(k)
+      .select(col("doc_id"), col("log_weight"))
+  }
+
+  /** P7 driver gate: weights over the testdata corpus with target =
+    * the English subset, md5-hex bucketing (256 buckets) so DuckDB
+    * replays the exact model arithmetic. */
+  def p7Dsir(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val out = dsirLogWeights(docs, docs.filter(col("lang") === "en"),
+      buckets = 256, alpha = 1.0,
+      bucketOf = Some((g: Column) => substring(md5(g), 1, 2)))
+    out.select(col("doc_id"),
+        graft.operators.Num.roundTies(col("log_weight"), 4).as("log_weight"))
       .orderBy(col("doc_id"))
   }
 

@@ -762,6 +762,55 @@ object Dedup {
     graft.Borrow.reclaim(out, texts, grams, aligns)
   }
 
+  /** D8a — substring-dedup APPLY (r15): compose [[d8SubstringSpans]]
+    * into the actual deduplicated corpus — the Lee et al. 2022 output
+    * the span finder alone never produced. Policy (theirs): for every
+    * cross-document repeated span, KEEP the earliest document's copy
+    * (doc1 < doc2 canonical, so doc1's occurrence survives) and CUT
+    * the later document's. A document repeated against several earlier
+    * ones loses the UNION of its matched intervals.
+    *
+    * Plan shape: spans → per-doc removal intervals → one
+    * gaps-and-islands merge (running max end per doc — interval count
+    * is span count, never corpus size) → ONE codegen'd HOF pass
+    * (`aggregate` over the sorted interval array) that splices each
+    * text, cursor-style, in a single projection — no UDF, no
+    * per-interval string rebuilds. Returns (doc_id, text) over the
+    * NORMALIZED text (the span positions' coordinate system). Every
+    * input document appears exactly once. */
+  def d8Apply(docs: DataFrame, gram: Int = 8, window: Int = 16,
+              minLen: Int = 40, dfCap: Long = 100L): DataFrame = {
+    val spans = d8SubstringSpans(docs, gram, window, minLen, dfCap)
+    val ivs = spans.select(col("doc2").as("doc_id"), col("pos2").as("s"),
+      (col("pos2") + col("match_len")).as("e"))
+    // merge overlapping/touching intervals per doc
+    val wOrd = Window.partitionBy(col("doc_id")).orderBy(col("s"), col("e"))
+    val wPrev = wOrd.rowsBetween(Window.unboundedPreceding, -1)
+    val isles = ivs
+      .withColumn("pmax", max(col("e")).over(wPrev))
+      .withColumn("fresh",
+        when(col("pmax").isNull || col("s") > col("pmax"), 1).otherwise(0))
+      .withColumn("isle", sum(col("fresh")).over(wOrd))
+      .groupBy(col("doc_id"), col("isle"))
+      .agg(min(col("s")).as("s"), max(col("e")).as("e"))
+    val cutLists = isles.groupBy(col("doc_id"))
+      .agg(array_sort(collect_list(struct(col("s"), col("e")))).as("cuts"))
+    // splice: walk the sorted intervals once, emitting the kept slices
+    val spliced = aggregate(col("cuts"),
+      struct(lit(0L).as("cur"), lit("").as("acc")),
+      (acc, iv) => struct(
+        iv.getField("e").as("cur"),
+        concat(acc.getField("acc"),
+          col("t").substr((acc.getField("cur") + 1).cast("int"),
+            (iv.getField("s") - acc.getField("cur")).cast("int"))).as("acc")),
+      acc => concat(acc.getField("acc"),
+        col("t").substr((acc.getField("cur") + 1).cast("int"), length(col("t")))))
+    docs.select(col("doc_id"), norm(col("text")).as("t"))
+      .join(cutLists, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("cuts").isNull, col("t")).otherwise(spliced).as("text"))
+  }
+
   /** The passage the D8 gate plants (shared with the oracle's closed
     * form — its length is the span floor the gate filters on). */
   private[graft] val d8Passage: String =
@@ -792,5 +841,30 @@ object Dedup {
       .groupBy(col("doc1"), col("doc2"))
       .agg(count(lit(1)).as("n_long"))
       .orderBy(col("doc1"), col("doc2"))
+  }
+
+  /** D8a driver gate (r15) — the d8Substr corpus with one change that
+    * makes the OUTPUT TEXT closed-form: a per-doc GUARD char
+    * (chr(97 + doc_id/97), unique while doc_id/97 < 26 — hence the
+    * plant cap) flanks the passage on both sides, so no planted pair
+    * shares a boundary char and the maximal cross-doc span is EXACTLY
+    * the passage. Lee et al. policy then fixes the whole corpus: the
+    * earliest planted doc keeps its copy, every other planted doc has
+    * precisely the passage cut, everything else is untouched — which
+    * the DuckDB twin recomputes with one replace(). Hashes keep the
+    * row payload small. */
+  def d8ApplyGate(s: SparkSession, dir: String): DataFrame = {
+    val planted = col("doc_id") % 97 === 0 && col("doc_id") < lit(97 * 26)
+    val guard = expr("chr(97 + CAST(doc_id / 97 AS INT))")
+    val filler = (m: String) =>
+      repeat(concat(lit(s" $m"), col("doc_id").cast("string"), lit("x ")), 6)
+    val synth = Tables.documents(s, dir)
+      .select(col("doc_id"), concat(
+        filler("f"),
+        when(planted, concat(guard, lit(d8Passage), guard)).otherwise(lit("")),
+        filler("h")).as("text"))
+    d8Apply(synth, gram = 8, window = 16, minLen = 40)
+      .select(col("doc_id"), md5(col("text")).as("text_hash"))
+      .orderBy(col("doc_id"))
   }
 }

@@ -434,6 +434,126 @@ object TextAnalysis {
       .toDF("rank", "x", "y")
   }
 
+  /** F11 — n-gram LM PERPLEXITY scoring (r15; the CCNet quality
+    * signal — Wenzek et al. 2020 rank Common Crawl documents by the
+    * perplexity of a KenLM n-gram model; Kneser & Ney 1995 / Chen &
+    * Goodman 1999 for the smoothing): a count-based INTERPOLATED
+    * KNESER-NEY model fit distributed (one groupBy per count table
+    * over the training token stream) and scored as closed-form column
+    * arithmetic — no model binary, no UDF, the whole score inside
+    * codegen.
+    *
+    * Model (single absolute discount D; c = the order's context):
+    *   p_n(w|c) = max(c(cw)−D,0)/c(c) + D·N1+(c·)/c(c) · p_{n−1}
+    *   p_k(w|c) = max(N1+(·cw)−D,0)/N1+(·c·)
+    *              + D·N1+(c·)/N1+(·c·) · p_{k−1}          (1 < k < n)
+    *   p_1(w)   = max(N1+(·w)−D,0)/N1+(··) + D·V1/N1+(··) · 1/(V+1)
+    * where N1+ are continuation type counts (distinct-extension
+    * counts from the next order's distinct gram types), an UNSEEN
+    * context backs off to the lower order entirely, and the uniform
+    * 1/(V+1) floor keeps every token — including OOV — finite.
+    * Documents are BOS-padded with U+0001 (the house separator; never
+    * in ingested text) so every position has a full context.
+    *
+    * Scale shape: count tables are |distinct grams|-bounded frames
+    * from map-side-combining groupBys; scoring is (n−1) numerator +
+    * (n−1) denominator equi-joins keyed on context strings + one
+    * per-doc aggregation. The three unigram scalars (N1+(··), V1, V)
+    * are 1-row probes. Returns (doc_id, n_scored, avg_nll, ppl) with
+    * avg_nll = −mean ln p and ppl = exp(avg_nll). */
+  def kneserNeyPerplexity(docs: DataFrame, trainDocs: DataFrame,
+                          n: Int = 3, discount: Double = 0.75): DataFrame = {
+    require(n >= 2 && n <= 6, s"kneserNeyPerplexity: order n in [2,6], got $n")
+    require(discount > 0.0 && discount < 1.0,
+      s"kneserNeyPerplexity: discount in (0,1), got $discount")
+    val D = discount
+    val bos = "\u0001"
+    def stream(d: DataFrame): DataFrame =
+      d.select(col("doc_id"),
+          concat(array_repeat(lit(bos), n - 1), words(col("text"))).as("a"))
+        .select(col("doc_id"), col("a"),
+          explode(sequence(lit(n), size(col("a")))).as("i"))
+    def ctxOf(k: Int): Column =
+      array_join(slice(col("a"), col("i") - (k - 1), lit(k - 1)), " ")
+    val wCol = element_at(col("a"), col("i"))
+
+    val ts = stream(trainDocs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // highest order: raw counts
+    val hi = ts.select(ctxOf(n).as("c"), wCol.as("w"))
+    val numN = hi.groupBy(col("c"), col("w"))
+      .agg(count(lit(1)).cast("double").as(s"cnt$n"))
+    val denN = hi.groupBy(col("c"))
+      .agg(count(lit(1)).cast("double").as(s"den$n"),
+        countDistinct(col("w")).cast("double").as(s"fol$n"))
+    // middle orders: continuation counts from distinct (k+1)-gram types
+    val mids = (2 until n).map { k =>
+      val types = ts.select(element_at(col("a"), col("i") - k).as("x"),
+        ctxOf(k).as("c"), wCol.as("w")).distinct()
+      val num = types.groupBy(col("c"), col("w"))
+        .agg(count(lit(1)).cast("double").as(s"cnt$k"))
+      val den = types.groupBy(col("c"))
+        .agg(count(lit(1)).cast("double").as(s"den$k"),
+          countDistinct(col("w")).cast("double").as(s"fol$k"))
+      k -> (num, den)
+    }.toMap
+    // unigram: continuation counts from distinct bigram types + scalars
+    val bity = ts.select(element_at(col("a"), col("i") - 1).as("x"), wCol.as("w"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val num1 = bity.groupBy(col("w"))
+      .agg(count(lit(1)).cast("double").as("cnt1"))
+    val den1 = bity.count().toDouble           // N1+(··)
+    val v1 = num1.count().toDouble             // types with a continuation
+    val vocab = hi.select(col("w")).distinct().count().toDouble
+
+    // scoring: one stream, (n−1)+(n−1)+1 broadcast-eligible left joins
+    var scored = stream(docs)
+      .select(Seq(col("doc_id"), wCol.as("w")) ++
+        (2 to n).map(k => ctxOf(k).as(s"c$k")): _*)
+    scored = scored.join(num1, Seq("w"), "left")
+    for (k <- 2 until n) {
+      val (num, den) = mids(k)
+      scored = scored
+        .join(num.withColumnRenamed("c", s"c$k").withColumnRenamed("w", "w"),
+          Seq(s"c$k", "w"), "left")
+        .join(den.withColumnRenamed("c", s"c$k"), Seq(s"c$k"), "left")
+    }
+    scored = scored
+      .join(numN.withColumnRenamed("c", s"c$n"), Seq(s"c$n", "w"), "left")
+      .join(denN.withColumnRenamed("c", s"c$n"), Seq(s"c$n"), "left")
+
+    // nested interpolation, built bottom-up with the SAME operation
+    // shape the DuckDB twin spells (FP-parity by construction)
+    var p: Column = lit(1.0 / (vocab + 1.0))
+    p = greatest(coalesce(col("cnt1"), lit(0.0)) - D, lit(0.0)) / den1 +
+      lit(D) * v1 / den1 * p
+    for (k <- 2 to n) {
+      val pk = greatest(coalesce(col(s"cnt$k"), lit(0.0)) - D, lit(0.0)) /
+          col(s"den$k") +
+        lit(D) * col(s"fol$k") / col(s"den$k") * p
+      p = when(col(s"den$k").isNull, p).otherwise(pk)
+    }
+    val out = scored
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_scored"), avg(log(p)).as("mll"))
+      .select(col("doc_id"), col("n_scored"),
+        (-col("mll")).as("avg_nll"), exp(-col("mll")).as("ppl"))
+    graft.Borrow.reclaim(out, ts, bity)
+  }
+
+  /** F11 driver gate: trigram KN perplexity of every corpus document
+    * under the corpus's own model — the DuckDB twin refits all count
+    * tables and re-derives every token probability. */
+  def f11Ppl(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    kneserNeyPerplexity(docs, docs, n = 3, discount = 0.75)
+      .select(col("doc_id"), col("n_scored"),
+        Num.roundTies(col("avg_nll"), 4).as("avg_nll"),
+        Num.roundTies(col("ppl"), 2).as("ppl"))
+      .orderBy(col("doc_id"))
+  }
+
   def f9Luhn(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
       .select(col("doc_id"), concat(

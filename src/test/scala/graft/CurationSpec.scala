@@ -85,6 +85,34 @@ class CurationSpec extends SparkSpec {
     assert(longIds.forall(out.contains))
   }
 
+  test("p7 dsir: target-like docs up-weighted, smoothing covers unseen " +
+      "grams, gumbel resample deterministic (r15)") {
+    import spark.implicits._
+    // corpus in two dialects; target = the 'alpha' dialect docs
+    val docs = Seq(
+      (1L, "alpha beta alpha beta alpha"),
+      (2L, "alpha beta beta alpha alpha"),
+      (3L, "gamma delta gamma delta gamma"),
+      (4L, "gamma delta delta gamma gamma"),
+      (5L, "alpha delta gamma beta alpha")).toDF("doc_id", "text")
+    val target = docs.filter(col("doc_id") <= 2)
+    val w = Curation.dsirLogWeights(docs, target, buckets = 8192)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(w.keySet == Set(1L, 2L, 3L, 4L, 5L))
+    // alpha-dialect docs must dominate gamma-dialect docs; the mixed
+    // doc sits between
+    assert(w(1L) > w(5L) && w(2L) > w(5L), s"w=$w")
+    assert(w(5L) > w(3L) && w(5L) > w(4L), s"w=$w")
+    // smoothing: a doc made ONLY of grams unseen in the target still
+    // gets a finite weight (add-alpha never yields ln 0)
+    assert(!w(3L).isNaN && !w(3L).isInfinite)
+    // resample: k rows, deterministic under rerun, seed changes the draw
+    val lw = Curation.dsirLogWeights(docs, target, buckets = 8192)
+    val s1 = Curation.dsirResample(lw, k = 3).collect().map(_.getLong(0)).toSeq
+    val s2 = Curation.dsirResample(lw, k = 3).collect().map(_.getLong(0)).toSeq
+    assert(s1 == s2 && s1.length == 3)
+  }
+
   test("scaleProperties: every scaler's closed form on a hand-checked column") {
     import spark.implicits._
     val df = Seq(1.0, 2.0, 3.0, 4.0).toDF("x")

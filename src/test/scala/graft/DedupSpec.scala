@@ -427,6 +427,34 @@ class DedupSpec extends SparkSpec {
       Dedup.d8SubstringSpans(docs, gram = 8, window = 16, minLen = 10))
   }
 
+  test("d8 apply: keep-first policy cuts later copies; overlapping " +
+      "intervals merge; untouched docs pass through (r15)") {
+    // a 30-char random-letter string S; doc1 carries S[0:18], doc2
+    // S[12:30], doc3 (the LATEST) all of S, doc4 nothing shared.
+    // Guards: the char adjacent to each planted part is the doc's own
+    // digit, so no pair shares a boundary char and spans are exact.
+    val rnd = new scala.util.Random(11)
+    val s30 = (1 to 30).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+    def mk(id: Int, part: String) =
+      s"j${id}j${id}j${id}j${id} g$id" + part + s"${id}g k${id}k${id}k${id}k${id}"
+    val docs = Seq(
+      (1L, mk(1, s30.substring(0, 18))),
+      (2L, mk(2, s30.substring(12))),
+      (3L, mk(3, s30)),
+      (4L, mk(4, ""))).toDF("doc_id", "text")
+    val out = Dedup.d8Apply(docs, gram = 4, window = 4, minLen = 7)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out.keySet == Set(1L, 2L, 3L, 4L))
+    // docs 1 and 2 are each the EARLIER side of their pair: kept whole
+    assert(out(1L) == mk(1, s30.substring(0, 18)))
+    assert(out(2L) == mk(2, s30.substring(12)))
+    assert(out(4L) == mk(4, ""))
+    // doc3 loses [0,18) from the doc1 pair and [12,30) from the doc2
+    // pair — the overlap merges, the whole of S is cut (doc1/doc2's
+    // 6-char overlap S[12:18) is below minLen, so THEY never pair)
+    assert(out(3L) == mk(3, ""))
+  }
+
   test("d9 semDedup: within-cluster transitive groups, keeper = min id, " +
       "cross-cluster near-dups untouched, oversized cluster loud (r14)") {
     import spark.implicits._

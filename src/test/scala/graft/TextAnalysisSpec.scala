@@ -82,6 +82,41 @@ class TextAnalysisSpec extends SparkSpec {
       r.getDouble(i) >= 0.0 && r.getDouble(i) <= 1.0)))
   }
 
+  test("f11 KN perplexity: gibberish scores worse than in-domain text, " +
+      "OOV stays finite, probabilities sum sanely (r15)") {
+    import spark.implicits._
+    // a tiny in-domain corpus with strong local structure
+    val train = (1L to 20L).map(i =>
+      (i, "the cat sat on the mat and the dog sat on the rug"))
+      .toDF("doc_id", "text")
+    val score = Seq(
+      (100L, "the cat sat on the mat"),               // in-domain
+      (101L, "zq xv plk wrm qqj zzt ashx vnb"),       // gibberish: all OOV
+      (102L, "the dog sat on the mat")                // in-domain recombined
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.kneserNeyPerplexity(score, train, n = 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      .toMap
+    assert(out.keySet == Set(100L, 101L, 102L))
+    val (n100, nll100, ppl100) = out(100L)
+    val (_, nll101, ppl101) = out(101L)
+    val (_, nll102, ppl102) = out(102L)
+    assert(n100 == 6L)
+    // the planted-gibberish quality floor: far worse than corpus text
+    assert(ppl101 > 5 * ppl100, s"gibberish ppl $ppl101 vs in-domain $ppl100")
+    assert(ppl101 > 5 * ppl102)
+    // OOV + unseen contexts back off to the uniform floor — finite
+    assert(!nll101.isInfinite && !nll101.isNaN && nll101 > nll100 && nll101 > nll102)
+    // rerun determinism (the house rule)
+    val again = TextAnalysis.kneserNeyPerplexity(score, train, n = 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(again == out.map { case (k, v) => k -> v._3 })
+    // bigram order exercises the generic table loop's empty-middle case
+    val bi = TextAnalysis.kneserNeyPerplexity(score, train, n = 2)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(bi(101L) > bi(100L) && bi.values.forall(p => p > 0 && !p.isInfinite))
+  }
+
   test("f4 fingerprints: identical docs agree, different docs differ") {
     import spark.implicits._
     // fingerprint the corpus; doc_id distinct texts should mostly get
