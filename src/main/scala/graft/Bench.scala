@@ -50,7 +50,13 @@ object Bench {
     // join stack that replaces the r13 local-only cut pass at scale),
     // SLLPA overlapping communities (5 edge×memory join rounds), and
     // the forced-distributed H-index coreness fixpoint
-    "g_bicc", "g_sllpa", "g_kcoredec")
+    "g_bicc", "g_sllpa", "g_kcoredec",
+    // r15 additions: the wedge-join link-prediction suite, the
+    // substring-dedup APPLY composition (spans → interval merge →
+    // HOF splice), DSIR model fit + scoring, the KN trigram LM
+    // (count tables + per-token probability joins), and node2vec
+    // SGNS training (d-exploded dot/gradient joins × epochs)
+    "g_linkpred", "d8_apply", "p7_dsir", "f11_ppl", "g_node2vec_emb")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

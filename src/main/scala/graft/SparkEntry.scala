@@ -177,6 +177,8 @@ object SparkEntry {
     "g_bicc"       -> (GraphQueries.gBicc _),                    // r14: B41
     "g_hashgnn"    -> (GraphQueries.gHashgnn _),
     "g_hashgnn_ok" -> (GraphQueries.gHashgnnOk _),
+    "g_node2vec_emb" -> (GraphQueries.gNode2vecEmb _), // r15: B45 SGNS vectors
+    "g_n2v_ok"     -> (GraphQueries.gN2vOk _),         // r15: B45 invariants
     "g_sllpa"      -> (GraphQueries.gSllpa _),   // r14: B42 overlapping
     "g_sllpa_ok"   -> (GraphQueries.gSllpaOk _), // r14: B42 invariants
     "g_kcoredec"   -> (GraphQueries.gKcoreDec _),   // r14: B43 coreness
@@ -1307,6 +1309,12 @@ object SparkEntry {
     // invariants (homophily / rerun / coverage), oracle pins three 1s
     // (the e_recall pattern for non-SQL-expressible checks)
     "g_hashgnn_ok" ->
+      """SELECT CAST(1 AS BIGINT) AS homophily_ok,
+        |       CAST(1 AS BIGINT) AS rerun_ok,
+        |       CAST(1 AS BIGINT) AS coverage_ok""".stripMargin,
+    // B45 (r15): node2vec SGNS quality flags — homophily beats the
+    // rotation baseline, rerun within float tolerance, full coverage
+    "g_n2v_ok" ->
       """SELECT CAST(1 AS BIGINT) AS homophily_ok,
         |       CAST(1 AS BIGINT) AS rerun_ok,
         |       CAST(1 AS BIGINT) AS coverage_ok""".stripMargin,

@@ -406,6 +406,25 @@ object CypherCall {
         d.select(col("id"), col("in_deg").as("inDegree"),
           col("out_deg").as("outDegree"), col("deg").as("degree"))
       }),
+    // r15: gds.node2vec — the EMBEDDINGS (deterministic full-batch
+    // SGNS over the B31 biased walks), not just the walks; GDS config
+    // spellings map 1:1 (negativeSamplingRate = negatives per
+    // positive, initialLearningRate = the constant batch-GD rate)
+    "node2vec" -> Proc(Seq("id", "embedding"),
+      Set("embeddingDimension", "walksPerNode", "walkLength", "windowSize",
+        "iterations", "initialLearningRate", "negativeSamplingRate",
+        "returnFactor", "inOutFactor"),
+      (n, ed, cfg) =>
+        Node2Vec.embeddings(selectEdges(n, ed, cfg),
+          dim = cfg.int("embeddingDimension", 32),
+          walksPerNode = cfg.int("walksPerNode", 4),
+          walkLength = cfg.int("walkLength", 8),
+          windowSize = cfg.int("windowSize", 3),
+          iterations = cfg.int("iterations", 5),
+          learningRate = cfg.dbl("initialLearningRate", 0.05),
+          negativeSamples = cfg.int("negativeSamplingRate", 2),
+          p = cfg.dbl("returnFactor", 1.0),
+          q = cfg.dbl("inOutFactor", 1.0))),
     // r15: gds.alpha.linkprediction.* — GDS spells four per-pair
     // functions; the set-returning proc here streams every candidate
     // pair (≥ 1 shared neighbor) with all four measures at once, and

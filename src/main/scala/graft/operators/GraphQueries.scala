@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -733,6 +733,80 @@ object GraphQueries {
     emb.unpersist()
     Seq((if (adjMean > rotMean) 1L else 0L,
         if (rerunOk) 1L else 0L,
+        if (coverageOk) 1L else 0L))
+      .toDF("homophily_ok", "rerun_ok", "coverage_ok")
+  }
+
+  /** B45 (r15) — node2vec EMBEDDINGS over the part–supplier graph
+    * (rows-only: SGNS floats have no SQL twin; semantics are pinned by
+    * the g_n2v_ok flags below and the Node2VecSpec fixtures). */
+  def gNode2vecEmb(s: SparkSession, dir: String): DataFrame =
+    graft.graph.Node2Vec.embeddings(TestGraph.partSupplierEdges(s, dir),
+        dim = 16, walksPerNode = 2, walkLength = 5, iterations = 3)
+      .select(col("id"), size(col("embedding")).as("d"))
+      .orderBy(col("id"))
+
+  /** B45 quality flags — PLANTED-CLIQUE homophily (the judge-specified
+    * bar; the HashGNN-gate pattern with cosine): a partition graph of
+    * 40 cliques over the part keys, ring-linked so walks can cross,
+    * must embed with intra-clique cosine beating a deterministic
+    * cross-clique baseline BY MARGIN (not just noise — SGNS's
+    * first-order objective makes planted communities separate hard;
+    * the real part–supplier graph is bipartite, where U·U similarity
+    * is second-order and the test would be vacuous). Plus rerun
+    * agreement within float-sum tolerance (bit-exactness is not
+    * promised for float aggregation — FastRP's documented class) and
+    * full coverage at the configured dimension. */
+  def gN2vOk(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // planted partition: part keys < 320, clique = key mod 40 (all
+    // pairs within a clique), one ring edge between consecutive
+    // clique minima — derived from the testdata table, deterministic
+    val mem = Tables.part(s, dir).select(col("p_partkey").as("k"))
+      .filter(col("k") < 320)
+      .select(concat(lit("n:"), col("k")).as("id"), (col("k") % 40).as("grp"))
+      .persist()
+    val intra = mem.alias("x").join(mem.alias("y"),
+        col("x.grp") === col("y.grp") && col("x.id") < col("y.id"))
+      .select(col("x.id").as("src"), col("y.id").as("dst"))
+    val minima = mem.groupBy(col("grp")).agg(min(col("id")).as("id"))
+    val ring = minima.alias("x").join(minima.alias("y"),
+        col("y.grp") === (col("x.grp") + 1) % 40)
+      .select(col("x.id").as("src"), col("y.id").as("dst"))
+    val e = intra.unionByName(ring)
+    def run() = graft.graph.Node2Vec.embeddings(e,
+      dim = 16, walksPerNode = 4, walkLength = 6, windowSize = 3,
+      iterations = 8, learningRate = 0.1)
+    val emb = run().persist()
+    val nv = mem.count()
+    val dot = aggregate(zip_with(col("f1"), col("f2"), (x, y) => x * y),
+      lit(0.0), (acc, x) => acc + x)
+    def nrm(c: Column) = sqrt(aggregate(zip_with(c, c, (x, y) => x * y),
+      lit(0.0), (acc, x) => acc + x))
+    val cosine = dot / (nrm(col("f1")) * nrm(col("f2")))
+    def meanCos(pairsDf: DataFrame): Double = {
+      val row = pairsDf
+        .join(emb.select(col("id").as("a"), col("embedding").as("f1")), Seq("a"))
+        .join(emb.select(col("id").as("b"), col("embedding").as("f2")), Seq("b"))
+        .agg(avg(cosine)).collect()(0)
+      if (row.isNullAt(0)) 0.0 else row.getDouble(0)
+    }
+    val intraMean = meanCos(intra.select(col("src").as("a"), col("dst").as("b")))
+    // cross baseline: every pair between a clique and the clique 20
+    // steps around the ring (maximally distant) — deterministic
+    val crossMean = meanCos(
+      mem.alias("x").join(mem.alias("y"), col("y.grp") === (col("x.grp") + 20) % 40)
+        .select(col("x.id").as("a"), col("y.id").as("b")))
+    // rerun: per-node cosine between the two runs within tolerance
+    val emb2 = run().select(col("id"), col("embedding").as("f2"))
+    val minSelfCos = emb.select(col("id"), col("embedding").as("f1"))
+      .join(emb2, Seq("id"))
+      .agg(min(cosine)).collect()(0).getDouble(0)
+    val coverageOk = emb.count() == nv &&
+      emb.filter(size(col("embedding")) =!= 16).isEmpty
+    emb.unpersist(); mem.unpersist()
+    Seq((if (intraMean > crossMean + 0.05) 1L else 0L,
+        if (minSelfCos > 1.0 - 1e-6) 1L else 0L,
         if (coverageOk) 1L else 0L))
       .toDF("homophily_ok", "rerun_ok", "coverage_ok")
   }
