@@ -179,6 +179,7 @@ object SparkEntry {
     "g_hashgnn_ok" -> (GraphQueries.gHashgnnOk _),
     "g_node2vec_emb" -> (GraphQueries.gNode2vecEmb _), // r15: B45 SGNS vectors
     "g_n2v_ok"     -> (GraphQueries.gN2vOk _),         // r15: B45 invariants
+    "g_rwr"        -> (GraphQueries.gRwr _),           // r15: B46 RWR sampling
     "g_sllpa"      -> (GraphQueries.gSllpa _),   // r14: B42 overlapping
     "g_sllpa_ok"   -> (GraphQueries.gSllpaOk _), // r14: B42 invariants
     "g_kcoredec"   -> (GraphQueries.gKcoreDec _),   // r14: B43 coreness

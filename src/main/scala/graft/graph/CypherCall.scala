@@ -406,6 +406,22 @@ object CypherCall {
         d.select(col("id"), col("in_deg").as("inDegree"),
           col("out_deg").as("outDegree"), col("deg").as("degree"))
       }),
+    // r15: gds.graph.sample.rwr — RWR subgraph sampling; GDS returns
+    // a catalog graph name, this engine's natural surface is the
+    // sampled edge stream itself (the induced edges on the visited
+    // vertex set), which is what the catalog graph contains
+    "graph.sample.rwr" -> Proc(Seq("src", "dst"),
+      Set("samplingRatio", "restartProbability", "startNodes",
+        "walkersPerStart", "maxSteps"),
+      (n, ed, cfg) => {
+        val ed2 = selectEdges(n, ed, cfg)
+        GraphOps.sampleRwr(ed2,
+          samplingRatio = cfg.dbl("samplingRatio", 0.15),
+          restartProbability = cfg.dbl("restartProbability", 0.1),
+          startNodes = cfg.strs("startNodes").map(seedFrame(ed, _)),
+          walkersPerStart = cfg.int("walkersPerStart", 8),
+          maxSteps = cfg.int("maxSteps", 200))
+      }),
     // r15: gds.node2vec — the EMBEDDINGS (deterministic full-batch
     // SGNS over the B31 biased walks), not just the walks; GDS config
     // spellings map 1:1 (negativeSamplingRate = negatives per

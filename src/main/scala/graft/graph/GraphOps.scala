@@ -3238,6 +3238,116 @@ object GraphOps {
     done.reduce(_ unionByName _)
   }
 
+  /** B46 — `gds.graph.sample.rwr` (r15): random-walk-with-restart
+    * graph sampling (Leskovec & Faloutsos 2006, "Sampling from Large
+    * Graphs" — their RWR sampler is the GDS catalog proc's method):
+    * grow a visited set by walkers that at each step RESTART to their
+    * start node with probability `restartProbability`, else step to a
+    * uniform out-neighbor, until `samplingRatio` of the vertices are
+    * visited; the sample is the INDUCED edge set on the visited
+    * vertices. Deterministic the house way: the restart draw and the
+    * neighbor choice both derive from xxhash64(walker, step) — reruns
+    * and engines agree exactly where GDS hands back a fresh sample.
+    *
+    * Scale shape: the hub-safe two-stage neighbor index is built once
+    * (the B29 pattern — no single-task hub window); each step is ONE
+    * frontier×index equi-join (the rank filter keeps one row per
+    * walker) plus one distinct-union into the severed visited frame;
+    * the stop check is one count per step, bounded by `maxSteps` and
+    * LOUD on exhaustion — a start set whose component holds fewer
+    * than ratio·|V| vertices can never finish, and silence would ship
+    * an undersized sample. Walkers never die: sinks restart.
+    *
+    * Returns the sampled edges (src, dst) ⊆ the input edge set. */
+  def sampleRwr(edges: DataFrame, samplingRatio: Double = 0.15,
+                restartProbability: Double = 0.1,
+                startNodes: Option[DataFrame] = None,
+                walkersPerStart: Int = 8, maxSteps: Int = 200,
+                seed: Long = 42L): DataFrame = {
+    require(samplingRatio > 0 && samplingRatio <= 1,
+      s"sampleRwr: samplingRatio in (0,1], got $samplingRatio")
+    require(restartProbability >= 0 && restartProbability < 1,
+      s"sampleRwr: restartProbability in [0,1), got $restartProbability")
+    require(walkersPerStart >= 1 && maxSteps >= 1,
+      "sampleRwr: walkersPerStart and maxSteps must be >= 1")
+    import org.apache.spark.sql.expressions.Window
+    val e = edges.select(col("src").cast("string").as("src"),
+        col("dst").cast("string").as("dst")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val verts = e.select(col("src").as("id"))
+      .unionByName(e.select(col("dst").as("id"))).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nV = verts.count()
+    if (nV == 0) {
+      val out = e.limit(0)
+      return graft.Borrow.reclaim(out, e, verts)
+    }
+    val target = math.max(1L, math.ceil(samplingRatio * nV).toLong)
+    // default start: the min-hash vertex (GDS picks one uniformly at
+    // random; the hash-argmin is the deterministic twin)
+    val starts = startNodes
+      .map(_.select(col("id").cast("string").as("id")).distinct())
+      .getOrElse(verts
+        .agg(min(struct(xxhash64(col("id"), lit(seed)).as("h"),
+          col("id").as("i"))).as("m"))
+        .select(col("m.i").as("id")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // hub-safe neighbor index (the B29 two-stage rank)
+    val nB = 64
+    val bucketed = e.withColumn("bkt",
+      pmod(xxhash64(col("dst")), lit(nB)).cast("int"))
+    val within = bucketed.withColumn("r0",
+      row_number().over(
+        Window.partitionBy(col("src"), col("bkt")).orderBy(col("dst"))) - 1)
+    val offsets = bucketed.groupBy(col("src"), col("bkt"))
+      .agg(count(lit(1)).as("bn"))
+      .withColumn("off",
+        sum(col("bn")).over(
+          Window.partitionBy(col("src")).orderBy(col("bkt"))) - col("bn"))
+      .withColumn("odeg", sum(col("bn")).over(Window.partitionBy(col("src"))))
+    val idx = within.join(offsets, Seq("src", "bkt"))
+      .select(col("src").as("cur"), col("dst"),
+        (col("r0") + col("off")).as("rnk"), col("odeg"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    var state = graft.Borrow.severLazy(starts
+      .select(col("id").as("start"),
+        explode(sequence(lit(0), lit(walkersPerStart - 1))).as("wi"))
+      .select(concat(col("start"), lit("#"), col("wi")).as("wid"),
+        col("start"), col("start").as("cur")))
+    var visited = graft.Borrow.severLazy(starts.select(col("id")))
+    var nVis = visited.count()
+    var step = 0
+    while (nVis < target && step < maxSteps) {
+      step += 1
+      // one row per walker survives: the rank filter picks the hashed
+      // neighbor; a sink (no index match) keeps its single null row
+      val u = shiftrightunsigned(xxhash64(col("wid"), lit(step), lit(seed)), 11)
+        .cast("double") / lit(9007199254740992.0)
+      val next = graft.Borrow.severLazy(
+        state.join(idx, Seq("cur"), "left")
+          .filter(col("rnk").isNull || col("rnk") ===
+            pmod(xxhash64(col("wid"), lit(step), lit(seed + 1)), col("odeg")))
+          .select(col("wid"), col("start"),
+            when(u < restartProbability || col("rnk").isNull, col("start"))
+              .otherwise(col("dst")).as("cur")))
+      state = next
+      visited = graft.Borrow.severLazy(
+        visited.unionByName(next.select(col("cur").as("id"))).distinct())
+      nVis = visited.count()
+    }
+    require(nVis >= target,
+      s"sampleRwr: visited $nVis of target $target vertices after " +
+        s"$maxSteps steps — the start set's component may hold fewer than " +
+        "samplingRatio*|V| vertices; lower samplingRatio, pass more " +
+        "startNodes, or raise maxSteps")
+    val out = e
+      .join(visited.select(col("id").as("src")), Seq("src"), "left_semi")
+      .join(visited.select(col("id").as("dst")), Seq("dst"), "left_semi")
+      .select(col("src"), col("dst"))
+    graft.Borrow.reclaim(out, e, verts, starts, idx)
+  }
+
   /** B29 — random walks (GDS `gds.randomWalk` shape): `walksPerNode`
     * walks of up to `walkLength` steps from every vertex, stopping
     * early at sinks. DETERMINISTIC by the house rule — step t of walk

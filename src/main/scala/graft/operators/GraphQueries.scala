@@ -811,6 +811,20 @@ object GraphQueries {
       .toDF("homophily_ok", "rerun_ok", "coverage_ok")
   }
 
+  /** B46 (r15) — RWR graph sampling over the undirected part–supplier
+    * graph (rows-only; the invariants — sample ⊆ graph, seed
+    * determinism, loud under-coverage — are spec-pinned). Starts at a
+    * deterministic supplier subset so the giant component covers the
+    * ratio. */
+  def gRwr(s: SparkSession, dir: String): DataFrame = {
+    val e = GraphOps.undirected(TestGraph.partSupplierEdges(s, dir))
+    val starts = e.select(col("src").as("id")).distinct()
+      .filter(col("id").startsWith("s:") &&
+        substring(col("id"), 3, 100).cast("int") % 10 === 0)
+    GraphOps.sampleRwr(e, samplingRatio = 0.2, startNodes = Some(starts))
+      .orderBy(col("src"), col("dst"))
+  }
+
   /** B13 — shortest-path EXTRACTION (Cypher `shortestPath` parity):
     * one materialized path per vertex reachable from r:0 down the
     * hierarchy forest, lexicographic tie-break. */

@@ -139,6 +139,71 @@ object EventStreams {
       .withWatermark("ts", "10 minutes")
       .dropDuplicatesWithinWatermark("simhash")
 
+  case class DocEv(doc_id: Long, ts: Timestamp, text: String)
+
+  /** H8 — streaming EXACT dedup at ingest with BOUNDED membership
+    * (r15): the streaming twin of D1 (md5-of-normalized-text keeper
+    * semantics) whose memory NEVER grows with the stream — unlike
+    * H3's `dropDuplicatesWithinWatermark`, which forgets once the
+    * watermark passes, this remembers every text hash it has ever
+    * admitted, in a fixed-size BLOOM FILTER per hash bucket
+    * (`buckets` × `bitsPerBucket` bits total, e.g. 64 × 2¹⁶ = 512 KiB
+    * for the defaults, forever).
+    *
+    * Mechanics: the text hash (xxhash64 of lower/trim — computed as a
+    * COLUMN so the batch twin D1 and the spec share the projection)
+    * routes each document to a bucket = hash mod `buckets`;
+    * `flatMapGroupsWithState` keeps one bit array per bucket, probes
+    * `hashes` double-hashed positions, admits on any-zero and drops
+    * on all-ones. Within a micro-batch rows process in (ts, doc_id)
+    * order, so the keeper is deterministic (first by event time, the
+    * D1 min-id analog).
+    *
+    * The bloom trade, disclosed: false positives DROP a novel
+    * document (rate ≈ (1 − e^(−kn/m))^k — at the defaults, under 1e-4
+    * through ~4k docs per bucket); false negatives never happen, so a
+    * true duplicate is always dropped. Size `bitsPerBucket` to the
+    * expected corpus, or shard `buckets` up — both are the named
+    * levers. At 1000 executors each bucket's state lives on one task;
+    * more buckets = more parallelism AND more capacity. */
+  def bloomDedupStream(docs: Dataset[DocEv], buckets: Int = 64,
+                       bitsPerBucket: Int = 1 << 16,
+                       hashes: Int = 4): Dataset[DocEv] = {
+    require(buckets >= 1 && hashes >= 1, "bloomDedupStream: buckets/hashes >= 1")
+    require(bitsPerBucket >= 64 && (bitsPerBucket & (bitsPerBucket - 1)) == 0,
+      s"bloomDedupStream: bitsPerBucket must be a power of two >= 64")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val m = bitsPerBucket
+    val hashed = docs.toDF()
+      .withColumn("__h", xxhash64(lower(trim(col("text")))))
+      .withColumn("__b", pmod(col("__h"), lit(buckets)).cast("int"))
+      .as[(Long, Timestamp, String, Long, Int)]
+    hashed
+      .groupByKey(_._5)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (_: Int, rows: Iterator[(Long, Timestamp, String, Long, Int)],
+         state: GroupState[Array[Long]]) => {
+          val bits = state.getOption.getOrElse(new Array[Long](m / 64))
+          def positions(h: Long): Seq[Int] = {
+            val h2 = java.lang.Long.rotateLeft(h, 31) | 1L
+            (0 until hashes).map(j =>
+              java.lang.Math.floorMod(h + j.toLong * h2, m.toLong).toInt)
+          }
+          val kept = rows.toSeq.sortBy(r => (r._2.getTime, r._1)).flatMap { r =>
+            val pos = positions(r._4)
+            val seen = pos.forall(i => (bits(i >> 6) & (1L << (i & 63))) != 0L)
+            if (seen) None
+            else {
+              pos.foreach(i => bits(i >> 6) |= (1L << (i & 63)))
+              Some(DocEv(r._1, r._2, r._3))
+            }
+          }
+          state.update(bits)
+          kept.iterator
+        })
+  }
+
   /** H5 — stream-stream interval join (purchase attribution): each
     * purchase joins the same user's clicks from the preceding hour.
     * Watermarks on BOTH inputs plus the two-sided time-range predicate

@@ -847,6 +847,51 @@ class GraphOpsSpec extends SparkSpec {
     }
   }
 
+  test("sampleRwr: sample is induced subgraph, deterministic, covers the " +
+      "ratio; disconnected under-coverage fails loudly; CALL dispatch (r15)") {
+    // two K4s joined by a bridge — connected, 8 vertices
+    val k4a = for { i <- 0 until 4; j <- (i + 1) until 4 } yield (s"a$i", s"a$j")
+    val k4b = for { i <- 0 until 4; j <- (i + 1) until 4 } yield (s"b$i", s"b$j")
+    val conn = edgeDf((k4a ++ k4b ++ Seq("a0" -> "b0")): _*)
+    val und = GraphOps.undirected(conn)
+    val inputSet = und.collect().map(r => (r.getString(0), r.getString(1))).toSet
+    val s1 = GraphOps.sampleRwr(und, samplingRatio = 0.5).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(s1.nonEmpty && s1.subsetOf(inputSet), "sample must be induced edges")
+    // visited ≥ ratio·|V|: the sample's endpoint set witnesses it
+    assert(s1.flatMap(t => Seq(t._1, t._2)).size >= 4)
+    // bit-exact rerun (hash-only draws, no floats in the output)
+    val s2 = GraphOps.sampleRwr(und, samplingRatio = 0.5).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(s2 == s1)
+    // ratio 1 on a connected graph: the full edge set comes back
+    val all = GraphOps.sampleRwr(und, samplingRatio = 1.0, maxSteps = 300)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(all == inputSet)
+    // disconnected: a start pinned in the triangle component can never
+    // reach 90% of vertices — loud, naming the lever
+    val disc = GraphOps.undirected(edgeDf(
+      "t0" -> "t1", "t1" -> "t2", "t2" -> "t0",
+      "z0" -> "z1", "z1" -> "z2", "z2" -> "z3", "z3" -> "z0"))
+    val err = intercept[IllegalArgumentException] {
+      GraphOps.sampleRwr(disc, samplingRatio = 0.9, maxSteps = 20,
+        startNodes = Some(Seq("t0").toDF("id")))
+    }
+    assert(err.getMessage.contains("samplingRatio"))
+    // CALL: the GDS proc name dispatches and matches the direct API
+    val nodes = (0 until 4).flatMap(i => Seq(s"a$i", s"b$i")).toDF("id")
+      .withColumn("label", lit("V"))
+      .withColumn("props", map(lit("k"), col("id")))
+    val eg = und.withColumn("etype", lit("T")).withColumn("event_id", lit(1))
+      .withColumn("props", typedLit(Map.empty[String, String]))
+      .select(col("etype"), col("src"), col("dst"), col("event_id"), col("props"))
+    val viaCall = graft.graph.CypherCall.run(nodes, eg,
+      "CALL graft.graph.sample.rwr({samplingRatio: 0.5}) " +
+        "YIELD src, dst RETURN src, dst ORDER BY src, dst")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(viaCall == s1)
+  }
+
   test("linkPrediction: hand-computed measures on the diagonal square; " +
       "centerCap loud; CALL dispatch with GDS alpha spellings (r15)") {
     // square a-b-c-d-a plus diagonal a-c: degrees a:3 b:2 c:3 d:2

@@ -79,6 +79,42 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("H8 bloom exact-dedup: batch-equivalent keeper set, membership " +
+      "survives across micro-batches without a watermark (r15)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[EventStreams.DocEv]
+    val q = EventStreams.bloomDedupStream(mem.toDS()).writeStream
+      .format("memory").queryName("h8_bloom").outputMode("append").start()
+    try {
+      // batch 1: two distinct texts + one duplicate (lower/trim folds
+      // case and OUTER whitespace — the D1 normalization exactly);
+      // ts order picks the keeper
+      val rows1 = Seq(
+        EventStreams.DocEv(1L, ts(0), "alpha document text"),
+        EventStreams.DocEv(2L, ts(1), "beta document text"),
+        EventStreams.DocEv(3L, ts(2), "  ALPHA Document Text  "))
+      mem.addData(rows1: _*)
+      q.processAllAvailable()
+      // batch 2: a duplicate of batch 1 arrives MUCH later — H3's
+      // watermark dedup would have forgotten; the bloom remembers —
+      // plus one novel text
+      val rows2 = Seq(
+        EventStreams.DocEv(4L, ts(100000), "Beta Document Text"),
+        EventStreams.DocEv(5L, ts(100001), "gamma entirely new"))
+      mem.addData(rows2: _*)
+      q.processAllAvailable()
+      val kept = spark.table("h8_bloom").collect()
+        .map(_.getAs[Long]("doc_id")).toSet
+      // batch-equivalence: the D1 rule (one keeper per distinct
+      // normalized text, first by (ts, doc_id)) over the same rows
+      val batchKeepers = (rows1 ++ rows2)
+        .groupBy(_.text.trim.toLowerCase)
+        .values.map(_.minBy(r => (r.ts.getTime, r.doc_id)).doc_id).toSet
+      assert(kept == batchKeepers && kept == Set(1L, 2L, 5L), s"kept=$kept")
+    } finally q.stop()
+  }
+
   test("H6 trending bigrams: per-window counts over a document stream") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
