@@ -180,6 +180,10 @@ object SparkEntry {
     "g_node2vec_emb" -> (GraphQueries.gNode2vecEmb _), // r15: B45 SGNS vectors
     "g_n2v_ok"     -> (GraphQueries.gN2vOk _),         // r15: B45 invariants
     "g_rwr"        -> (GraphQueries.gRwr _),           // r15: B46 RWR sampling
+    "g_celf"       -> (GraphQueries.gCelf _),          // r15: B47 influence max
+    "g_celf_ok"    -> (GraphQueries.gCelfOk _),        // r15: B47 invariants
+    "g_maxkcut"    -> (GraphQueries.gMaxkcut _),       // r15: B48 max-k-cut
+    "g_maxkcut_ok" -> (GraphQueries.gMaxkcutOk _),     // r15: B48 invariants
     "g_sllpa"      -> (GraphQueries.gSllpa _),   // r14: B42 overlapping
     "g_sllpa_ok"   -> (GraphQueries.gSllpaOk _), // r14: B42 invariants
     "g_kcoredec"   -> (GraphQueries.gKcoreDec _),   // r14: B43 coreness
@@ -1319,6 +1323,19 @@ object SparkEntry {
       """SELECT CAST(1 AS BIGINT) AS homophily_ok,
         |       CAST(1 AS BIGINT) AS rerun_ok,
         |       CAST(1 AS BIGINT) AS coverage_ok""".stripMargin,
+    // B47 (r15): influence-maximization invariants — k ranked seeds,
+    // monotone bounded spread, real distinct vertices, bit-exact rerun
+    "g_celf_ok" ->
+      """SELECT CAST(1 AS BIGINT) AS k_ok,
+        |       CAST(1 AS BIGINT) AS monotone_ok,
+        |       CAST(1 AS BIGINT) AS seeds_ok,
+        |       CAST(1 AS BIGINT) AS rerun_ok""".stripMargin,
+    // B48 (r15): max-k-cut invariants — coverage in [0,k), the gated
+    // local search never loses to its own init, bit-exact rerun
+    "g_maxkcut_ok" ->
+      """SELECT CAST(1 AS BIGINT) AS cover_ok,
+        |       CAST(1 AS BIGINT) AS monotone_ok,
+        |       CAST(1 AS BIGINT) AS rerun_ok""".stripMargin,
     // B42 (r14): sllpa invariant flags — coverage (every vertex holds
     // >= 1 membership), same-component labels (propagation can't leak
     // across components), overlap non-vacuity; Spark-side

@@ -406,6 +406,32 @@ object CypherCall {
         d.select(col("id"), col("in_deg").as("inDegree"),
           col("out_deg").as("outDegree"), col("deg").as("degree"))
       }),
+    // r15: gds.influenceMaximization.celf — the same IC-model greedy
+    // objective, computed by reverse influence sampling (the
+    // distributed standard; CELF's lazy queue is driver-sequential)
+    "influenceMaximization.celf" -> Proc(Seq("rank", "id", "spread"),
+      Set("seedSetSize", "monteCarloSimulations", "propagationProbability",
+        "maxDepth"),
+      (n, ed, cfg) => {
+        val k = cfg.int("seedSetSize", -1)
+        require(k >= 1,
+          "influenceMaximization.celf: config key 'seedSetSize' is required")
+        Influence.influenceMaximization(selectEdges(n, ed, cfg),
+          seedSetSize = k,
+          monteCarloSimulations = cfg.int("monteCarloSimulations", 100),
+          propagationProbability = cfg.dbl("propagationProbability", 0.1),
+          maxDepth = cfg.int("maxDepth", 30))
+      }),
+    // r15: gds.maxkcut — deterministic gated local search over the
+    // same objective (GDS runs randomized VNS)
+    "maxkcut" -> Proc(Seq("id", "communityId"),
+      Set("k", "iterations", "relationshipWeightProperty"),
+      (n, ed, cfg) => {
+        val (ed2, wcol) = resolveWeightProp(filterEdges(n, ed, cfg), cfg)
+        MaxKCut.maxKCut(orientEdges(ed2, cfg),
+          k = cfg.int("k", 2), iterations = cfg.int("iterations", 8),
+          weightCol = wcol)
+      }),
     // r15: gds.graph.sample.rwr — RWR subgraph sampling; GDS returns
     // a catalog graph name, this engine's natural surface is the
     // sampled edge stream itself (the induced edges on the visited

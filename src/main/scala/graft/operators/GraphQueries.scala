@@ -825,6 +825,68 @@ object GraphQueries {
       .orderBy(col("src"), col("dst"))
   }
 
+  /** B47 (r15) — influence maximization over the undirected
+    * part–supplier graph (rows-only; the invariants are the flags
+    * below and the InfluenceSpec fixtures). */
+  def gCelf(s: SparkSession, dir: String): DataFrame =
+    graft.graph.Influence.influenceMaximization(
+        GraphOps.undirected(TestGraph.partSupplierEdges(s, dir)),
+        seedSetSize = 5, monteCarloSimulations = 50)
+      .orderBy(col("rank"))
+
+  /** B47 invariant flags (oracle pins 1s): exactly k seeds in rank
+    * order, spread monotone non-decreasing and ≤ |V| (the estimate is
+    * a coverage fraction times |V|), seeds are real vertices, and a
+    * rerun is BIT-EXACT (integer counts + hash draws end to end). */
+  def gCelfOk(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = GraphOps.undirected(TestGraph.partSupplierEdges(s, dir))
+    def run() = graft.graph.Influence.influenceMaximization(
+      e, seedSetSize = 5, monteCarloSimulations = 50)
+    val r1 = run().collect().map(r => (r.getInt(0), r.getString(1), r.getDouble(2)))
+    val nv = e.select(col("src")).distinct().count()
+    val vset = e.select(col("src")).distinct().collect().map(_.getString(0)).toSet
+    val kOk = r1.length == 5 && r1.map(_._1).toSeq == (1 to 5)
+    val monoOk = r1.sliding(2).forall(p =>
+      p.length < 2 || p(1)._3 >= p(0)._3) && r1.forall(t => t._3 <= nv + 1e-9)
+    val realOk = r1.forall(t => vset(t._2)) && r1.map(_._2).distinct.length == 5
+    val rerunOk = run().collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getDouble(2))).sameElements(r1)
+    Seq((if (kOk) 1L else 0L, if (monoOk) 1L else 0L,
+        if (realOk) 1L else 0L, if (rerunOk) 1L else 0L))
+      .toDF("k_ok", "monotone_ok", "seeds_ok", "rerun_ok")
+  }
+
+  /** B48 (r15) — approx max-k-cut communities (rows-only; flags below
+    * + MaxKCutSpec). */
+  def gMaxkcut(s: SparkSession, dir: String): DataFrame =
+    graft.graph.MaxKCut.maxKCut(TestGraph.partSupplierEdges(s, dir), k = 3)
+      .orderBy(col("id"))
+
+  /** B48 invariant flags (oracle pins 1s): full coverage with
+    * communityId ∈ [0, k), the local search never loses to its own
+    * hash init (move gating accepts strict improvements only, so the
+    * cut is monotone), and a rerun is bit-exact (unit weights →
+    * integer sums). */
+  def gMaxkcutOk(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = TestGraph.partSupplierEdges(s, dir)
+    val nv = GraphOps.undirected(e).select(col("src")).distinct().count()
+    val out = graft.graph.MaxKCut.maxKCut(e, k = 3).persist()
+    val coverOk = out.count() == nv &&
+      out.filter(col("communityId") < 0 || col("communityId") >= 3).isEmpty
+    val init = graft.graph.MaxKCut.maxKCut(e, k = 3, iterations = 0)
+    val cutInit = graft.graph.MaxKCut.cutWeight(e, init)
+    val cutFinal = graft.graph.MaxKCut.cutWeight(e, out)
+    val monoOk = cutFinal >= cutInit - 1e-9 && cutFinal > 0
+    val again = graft.graph.MaxKCut.maxKCut(e, k = 3)
+    val rerunOk = out.exceptAll(again).isEmpty && again.exceptAll(out).isEmpty
+    out.unpersist()
+    Seq((if (coverOk) 1L else 0L, if (monoOk) 1L else 0L,
+        if (rerunOk) 1L else 0L))
+      .toDF("cover_ok", "monotone_ok", "rerun_ok")
+  }
+
   /** B13 — shortest-path EXTRACTION (Cypher `shortestPath` parity):
     * one materialized path per vertex reachable from r:0 down the
     * hierarchy forest, lexicographic tie-break. */
