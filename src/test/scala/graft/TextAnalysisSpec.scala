@@ -115,6 +115,15 @@ class TextAnalysisSpec extends SparkSpec {
     val bi = TextAnalysis.kneserNeyPerplexity(score, train, n = 2)
       .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
     assert(bi(101L) > bi(100L) && bi.values.forall(p => p > 0 && !p.isInfinite))
+    // 5-gram order exercises THREE middle continuation orders (the
+    // CCNet order) — same quality ordering, all probabilities sane
+    val five = TextAnalysis.kneserNeyPerplexity(score, train, n = 5)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    // the verbatim doc keeps the 5× margin; the RECOMBINED doc's
+    // 5-gram contexts are unseen, so it backs off and its own ppl
+    // rises — a 3× margin is the honest high-order bar
+    assert(five(101L) > 5 * five(100L) && five(101L) > 3 * five(102L))
+    assert(five.values.forall(p => p > 0 && !p.isInfinite && !p.isNaN))
   }
 
   test("f4 fingerprints: identical docs agree, different docs differ") {
