@@ -15,12 +15,16 @@ import org.apache.spark.storage.StorageLevel
   *     (one edge×assignment equi-join + one (v, community) sum) and
   *     the best move = the community minimizing internal weight
   *     ((min weight, min community) struct tie-break);
-  *   - MOVE GATING, the determinism-vs-oscillation trade: only the
-  *     hash-selected half of the vertices (xxhash64(id, round) parity
-  *     — Luby-style desynchronization, the k1Coloring move) may move
-  *     each round, and only on STRICT improvement, so the cut weight
-  *     is monotone non-decreasing and two adjacent vertices don't
-  *     swap forever;
+  *   - MOVE GATING makes monotonicity STRUCTURAL, not empirical: a
+  *     vertex wanting to move (strict improvement only) actually
+  *     moves iff its fresh round priority (xxhash64(id, round), id)
+  *     beats every ADJACENT vertex that also wants to move — the
+  *     k1Coloring/Luby independent-set rule. Movers are pairwise
+  *     non-adjacent, so each mover's improvement is computed against
+  *     a neighborhood that truly stays put, and the total cut gains
+  *     Σ(strict improvements) > 0 — synchronous oscillation (two
+  *     adjacent vertices swapping on each other's stale assignment)
+  *     cannot happen at all;
   *   - fixed `iterations` rounds (GDS's own contract — VNS also runs
   *     a budget, not to optimality).
   *
@@ -80,12 +84,23 @@ object MaxKCut {
           nbrC.select(col("id"), col("nc").as("c"), col("win").as("cw")),
           Seq("id", "c"), "left")
         .select(col("id"), col("c"), coalesce(col("cw"), lit(0.0)).as("cw"))
-      val gate = pmod(xxhash64(col("id"), lit(round), lit(seed)), lit(2)) === 0
+      // movers = the priority-maxima independent set among the
+      // vertices with a strict improvement (fresh priorities per
+      // round — the k1Coloring machinery)
+      val want = curW.join(best, Seq("id"))
+        .filter(col("bw") < col("cw"))
+        .select(col("id"), col("c"), col("bc"),
+          struct(xxhash64(col("id"), lit(round), lit(seed)).as("h"),
+            col("id").as("i")).as("p"))
+      val nbrMax = und.select(col("src"), col("dst"))
+        .join(want.select(col("id").as("dst"), col("p").as("np")), Seq("dst"))
+        .groupBy(col("src").as("id")).agg(max(col("np")).as("mx"))
+      val movers = want.join(nbrMax, Seq("id"), "left")
+        .filter(col("mx").isNull || col("p") > col("mx"))
+        .select(col("id"), col("bc"))
       assign = graft.Borrow.severLazy(
-        curW.join(best, Seq("id"))
-          .select(col("id"),
-            when(gate && col("bw") < col("cw"), col("bc"))
-              .otherwise(col("c")).as("c")))
+        assign.join(movers, Seq("id"), "left")
+          .select(col("id"), coalesce(col("bc"), col("c")).as("c")))
     }
     val out = assign.select(col("id"), col("c").as("communityId"))
     graft.Borrow.reclaim(out, und)
