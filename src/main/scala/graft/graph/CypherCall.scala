@@ -337,12 +337,13 @@ object CypherCall {
         require(wcol.isDefined || !cfg.has("threshold"),
           "graft.wcc: threshold needs relationshipWeightProperty")
         val oriented = orientEdges(ed2, cfg)
-        // the weight filter runs ONLY when the user configured a
-        // threshold (r14 advice: a bare relationshipWeightProperty
-        // with the old 0.0 default silently pruned zero/negative-
-        // weight edges; GDS treats weights as connectivity-pruning
-        // only when threshold is meaningfully set)
-        wcol.filter(_ => cfg.has("threshold")) match {
+        // the weight filter runs ONLY when the configured threshold is
+        // meaningful — gate on the VALUE, not key presence (r15
+        // advice: an explicit `threshold: 0.0` must behave exactly
+        // like the omitted default; GDS's own gate is threshold > 0,
+        // and `weight > 0.0` prunes zero/negative edges)
+        wcol.filter(_ => cfg.has("threshold") &&
+            cfg.dbl("threshold", 0.0) > 0.0) match {
           case Some(w) =>
             val kept = oriented.filter(col(w) > cfg.dbl("threshold", 0.0))
             val allV = oriented.select(col("src").as("id"))

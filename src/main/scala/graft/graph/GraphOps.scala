@@ -3024,9 +3024,6 @@ object GraphOps {
       // vertex; its coreness is the running maximum of the degrees
       // seen at removal time
       val pairs = sym.collect().map(r => (r.getString(0), r.getString(1)))
-      // bounded by the vertex count this branch already holds locally
-      val loopIds = loopOnly.select(col("id")).collect().map(_.getString(0))
-      sym.unpersist()
       import scala.collection.mutable
       val adj = mutable.HashMap.empty[String, mutable.HashSet[String]]
       pairs.foreach { case (a, b) =>
@@ -3050,11 +3047,16 @@ object GraphOps {
         }
       }
       import org.apache.spark.sql.types.{IntegerType, StringType, StructField, StructType}
-      return spark.createDataFrame(
-        (core.toSeq ++ loopIds.map(_ -> 0)).sortBy(_._1)
+      // loopOnly stays a DataFrame on BOTH branches: its cardinality is
+      // independent of nSym (10⁹ self-loop-only vertices pass the local
+      // gate), so it must never be collected — union it, exactly like
+      // the distributed branch below
+      val localCores = spark.createDataFrame(
+        core.toSeq.sortBy(_._1)
           .map { case (v, c) => org.apache.spark.sql.Row(v, c) }.asJava,
         StructType(Seq(StructField("id", StringType),
           StructField("coreValue", IntegerType))))
+      return graft.Borrow.reclaim(localCores.unionByName(loopOnly), sym)
     }
     var c = graft.Borrow.severLazy(
       sym.groupBy(col("src").as("id")).agg(count(lit(1)).cast("int").as("c")))

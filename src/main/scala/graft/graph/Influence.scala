@@ -61,7 +61,11 @@ object Influence {
       .persist(StorageLevel.MEMORY_AND_DISK)
     val nV = dict.count()
     if (nV == 0) {
-      val out = dict.select(col("id"), lit(0.0).as("spread")).limit(0)
+      // schema must match the normal path (rank, id, spread) so a
+      // CALL ... YIELD rank on an edgeless projection resolves and
+      // Verify writes a consistent parquet schema (r15 advice)
+      val out = dict.select(lit(1).as("rank"), col("id"),
+        lit(0.0).as("spread")).limit(0)
       return graft.Borrow.reclaim(out, e, dict)
     }
     val k = math.min(seedSetSize.toLong, nV).toInt

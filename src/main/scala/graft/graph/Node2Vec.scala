@@ -90,8 +90,13 @@ object Node2Vec {
       .agg(count(lit(1)).cast("double").as("w"))
     // negatives: fixed per positive pair; a hash collision with the
     // true context (or t itself) just carries its tiny opposing
-    // gradient, as in word2vec's own resample-free implementations
-    val negPairs = posPairs
+    // gradient, as in word2vec's own resample-free implementations.
+    // negativeSamples == 0 must SKIP this branch: sequence(1, 0) in
+    // Spark is the DESCENDING [1, 0], which would silently emit two
+    // draws instead of none (r15 advice)
+    val negPairs = if (negativeSamples == 0) {
+      posPairs.select(col("t"), col("c"), col("w")).limit(0)
+    } else posPairs
       .select(col("t"), col("c"), col("w"),
         explode(sequence(lit(1), lit(negativeSamples))).as("j"))
       .select(col("t"),

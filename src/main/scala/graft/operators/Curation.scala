@@ -202,8 +202,10 @@ object Curation {
     val tgt = grams(targetDocs)
     val rc = raw.groupBy(col("b")).agg(count(lit(1)).as("cr"))
     val tc = tgt.groupBy(col("b")).agg(count(lit(1)).as("ct"))
-    // model = one fixed-size frame; totals attach as 1-row literal
-    // cross joins (the P6 pattern — no driver scalar, no extra shuffle)
+    // model = one fixed-size (≤ `buckets`-row) frame; the two corpus
+    // totals are driver scalars read via count() and folded into the
+    // llr as literals — two 1-row actions against the cached gram
+    // frames, deterministic, no extra shuffle
     val totR = raw.count().toDouble
     val totT = tgt.count().toDouble
     val denomR = math.log(totR + alpha * buckets)

@@ -409,27 +409,30 @@ class CypherCallSpec extends SparkSpec {
     assert(err.getMessage.contains("relationshipWeightProperty"))
   }
 
-  test("wcc: bare relationshipWeightProperty does NOT prune zero/negative " +
-      "weights — the filter needs an explicit threshold (r15)") {
-    // a—b weighs 0: under the r14 default-threshold-0.0 behavior the
-    // strict `w > 0.0` filter silently cut it; GDS only prunes when
-    // threshold is meaningfully configured
+  test("wcc: threshold gates on VALUE, not key presence — bare weight " +
+      "property and explicit threshold 0.0 both leave edges unpruned (r16)") {
+    // a—b weighs 0: GDS's own gate is threshold > 0, so spelling the
+    // 0.0 default explicitly must be identical to omitting the key
+    // (r15 advice — key-presence gating made them diverge)
     val e0 = Seq(("a", "b", "T", "0"), ("b", "c", "T", "2"))
       .toDF("src", "dst", "etype", "w0")
       .withColumn("props", map(lit("weight"), col("w0"))).drop("w0")
     val n0 = Seq("a", "b", "c").toDF("id")
       .withColumn("label", lit("V"))
       .withColumn("props", map(lit("k"), col("id")))
-    val bare = CypherCall.run(n0, e0,
-      "CALL graft.wcc({relationshipWeightProperty: 'weight'}) " +
-        "YIELD id, componentId RETURN id, componentId ORDER BY id")
+    def comps(call: String): Array[(String, String)] = CypherCall.run(n0, e0,
+      s"CALL graft.wcc($call) YIELD id, componentId " +
+        "RETURN id, componentId ORDER BY id")
       .collect().map(r => (r.getString(0), r.getString(1)))
+    val bare = comps("{relationshipWeightProperty: 'weight'}")
     assert(bare.map(_._2).distinct.length == 1, "one component — nothing pruned")
-    val thr = CypherCall.run(n0, e0,
-      "CALL graft.wcc({relationshipWeightProperty: 'weight', threshold: 0.0}) " +
-        "YIELD id, componentId RETURN id, componentId ORDER BY id")
-      .collect().map(r => (r.getString(0), r.getString(1))).toMap
-    assert(thr("a") != thr("b"), "explicit threshold 0.0 prunes the 0-weight edge")
+    val zero = comps("{relationshipWeightProperty: 'weight', threshold: 0.0}")
+    assert(zero.sameElements(bare),
+      "explicit threshold 0.0 ≡ omitted (the documented default)")
+    val pos = comps("{relationshipWeightProperty: 'weight', threshold: 1.0}")
+      .toMap
+    assert(pos("a") != pos("b"), "threshold 1.0 prunes the 0-weight edge")
+    assert(pos("b") == pos("c"), "the weight-2 edge survives")
   }
 
   test("shortestPath accepts GDS's singular sourceNode + targetNode filter; " +

@@ -847,6 +847,23 @@ class GraphOpsSpec extends SparkSpec {
     }
   }
 
+  test("coreDecomposition: LOCAL path with self-loop-only vertices " +
+      "outnumbering symmetric edges — loopOnly stays distributed (r16)") {
+    // 1 real edge (2 symmetric rows) + 7 self-loop-only vertices: the
+    // local-finisher gate sees nSym=2 but loopOnly is 7 — the r15 code
+    // collected loopOnly onto the driver here; r16 unions it as a
+    // frame on both paths (loopOnly cardinality is independent of nSym)
+    val loops = (0 until 7).map(i => s"L$i" -> s"L$i")
+    val e = edgeDf((Seq("x" -> "y") ++ loops): _*)
+    val expected = Map("x" -> 1, "y" -> 1) ++
+      (0 until 7).map(i => s"L$i" -> 0).toMap
+    Seq(false, true).foreach { forced =>
+      val got = GraphOps.coreDecomposition(e, forceDistributed = forced)
+        .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+      assert(got == expected, s"forceDistributed=$forced")
+    }
+  }
+
   test("sampleRwr: sample is induced subgraph, deterministic, covers the " +
       "ratio; disconnected under-coverage fails loudly; CALL dispatch (r15)") {
     // two K4s joined by a bridge — connected, 8 vertices

@@ -91,4 +91,24 @@ class Node2VecSpec extends SparkSpec {
     val out = Node2Vec.embeddings(edgeDf(), iterations = 1)
     assert(out.columns.toSeq == Seq("id", "embedding") && out.isEmpty)
   }
+
+  test("negativeSamples = 0: attraction-only training (r16 advice fix — " +
+      "sequence(1, 0) must not emit phantom negative draws)") {
+    // single edge: the ONLY pairs are the positive (x,y)/(y,x); with
+    // zero negatives every epoch's coefficient is (σ(u·v)−1)·w ≤ 0,
+    // so u_x·v_y strictly increases with epochs — a structural
+    // invariant phantom hash-drawn negatives have no right to share
+    val e = edgeDf("x" -> "y")
+    def dot(iters: Int): Double = {
+      val m = Node2Vec.embeddings(e, dim = 8, walksPerNode = 4,
+          walkLength = 4, windowSize = 2, iterations = iters,
+          learningRate = 0.1, negativeSamples = 0)
+        .collect().map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+      assert(m.keySet == Set("x", "y"))
+      m("x").zip(m("y")).map { case (a, b) => a * b }.sum
+    }
+    val d1 = dot(1); val d4 = dot(4); val d8 = dot(8)
+    assert(d1 < d4 && d4 < d8,
+      s"attraction-only dots must increase monotonically: $d1, $d4, $d8")
+  }
 }
