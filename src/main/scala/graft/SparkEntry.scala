@@ -107,6 +107,7 @@ object SparkEntry {
     "g_wdegree"    -> (GraphQueries.gWDegree _),
     "g_topdeg"     -> (GraphQueries.gTopdeg _),
     "g_pagerank"   -> (GraphQueries.gPagerank _),
+    "g_articlerank" -> (GraphQueries.gArticlerank _),
     // forced-distributed twins (localFinishEdges = 0): the plans that
     // run at 100 TB, bench-guarded now that sf0.1 graphs all fall
     // under the local-finisher gate; g_pagerank_dist shares
@@ -428,6 +429,28 @@ object SparkEntry {
       |  SELECT it+1, dst AS id, 0.15 + 0.85*msum AS rank FROM (
       |    SELECT p.it AS it, e.dst AS dst, sum(p.rank/deg.deg) AS msum
       |    FROM pr p JOIN e ON e.src = p.id JOIN deg ON deg.src = e.src
+      |    WHERE p.it < 10 GROUP BY 1,2) s)
+      |SELECT id, round(rank,4) AS rank FROM pr WHERE it=10
+      |ORDER BY rank DESC, id LIMIT 20""".stripMargin
+
+  /** B49 articleRank twin: the pagerank oracle with the GDS divisor
+    * `deg + avg_out_degree` (avg = |E|/|V| over the distinct
+    * symmetrized edge set — every vertex counts, danglers included). */
+  private val articlerankOracle: String =
+    """WITH RECURSIVE e AS (
+      |  SELECT DISTINCT src, dst FROM (
+      |    SELECT 'p:'||l_partkey AS src, 's:'||l_suppkey AS dst FROM lineitem WHERE l_partkey % 20 = 0
+      |    UNION ALL
+      |    SELECT 's:'||l_suppkey, 'p:'||l_partkey FROM lineitem WHERE l_partkey % 20 = 0)),
+      |v AS (SELECT DISTINCT src AS id FROM e),
+      |avgdeg AS (SELECT count(*)*1.0/(SELECT count(*) FROM v) AS a FROM e),
+      |deg AS (SELECT src, count(*) AS deg FROM e GROUP BY 1),
+      |pr AS (
+      |  SELECT 0 AS it, id, CAST(1.0 AS DOUBLE) AS rank FROM v
+      |  UNION ALL
+      |  SELECT it+1, dst AS id, 0.15 + 0.85*msum AS rank FROM (
+      |    SELECT p.it AS it, e.dst AS dst, sum(p.rank/(deg.deg + avgdeg.a)) AS msum
+      |    FROM pr p JOIN e ON e.src = p.id JOIN deg ON deg.src = e.src CROSS JOIN avgdeg
       |    WHERE p.it < 10 GROUP BY 1,2) s)
       |SELECT id, round(rank,4) AS rank FROM pr WHERE it=10
       |ORDER BY rank DESC, id LIMIT 20""".stripMargin
@@ -1025,6 +1048,7 @@ object SparkEntry {
         | floor(2.0*n_tri/(deg*(deg-1)) * 10000 + 0.5) / 10000 AS coef
         |FROM nt JOIN deg ON nt.id = deg.id ORDER BY 1""".stripMargin,
     "g_pagerank" -> pagerankOracle,
+    "g_articlerank" -> articlerankOracle,
     // forced-distributed twin: SAME oracle — the distributed plan must
     // produce exactly what the local finisher produces
     "g_pagerank_dist" -> pagerankOracle,

@@ -323,6 +323,16 @@ object CypherCall {
         }
         out.select(col("id"), col("rank").as("score"))
       }),
+    // r16: gds.articleRank — the PageRank variant with the
+    // deg + avgOutDeg divisor; same yield shape as pageRank
+    "articleRank" -> Proc(Seq("id", "score"),
+      Set("maxIterations", "dampingFactor"),
+      (n, ed, cfg) => {
+        val e = orientEdges(filterEdges(n, ed, cfg), cfg)
+        GraphOps.articleRank(e, cfg.int("maxIterations", 10),
+            cfg.dbl("dampingFactor", 0.85))
+          .select(col("id"), col("rank").as("score"))
+      }),
     // r14: GDS's weighted-wcc config pair — `threshold` keeps only
     // edges whose resolved weight is > the value (GDS semantics:
     // relationshipWeightProperty + threshold prune the projection

@@ -309,6 +309,49 @@ object GraphOps {
     ranks
   }
 
+  /** B49 — ArticleRank (gds.articleRank): the PageRank variant that
+    * damps low-out-degree amplification by dividing each contribution
+    * by `outDeg(u) + avgOutDeg` instead of `outDeg(u)` (avgOutDeg =
+    * |E|/|V| over the distinct edge set — dangling vertices count in
+    * |V|, exactly the GDS average). Same house conventions as [[pageRank]]
+    * (init 1.0, base `1−d`, no dangling redistribution, edge-derived
+    * vertex set); the DuckDB twin replays the iteration verbatim, so
+    * the convention is oracle-pinned rather than GDS-number-matched.
+    * Per round: one equi-join + one aggregation on (src)-keyed frames
+    * — the avg is a single scalar folded as a literal, so the 100 TB
+    * plan is exactly pageRank's. Returns (id, rank). */
+  def articleRank(edges: DataFrame, iters: Int = 10,
+                  damping: Double = 0.85): DataFrame = {
+    val spark = edges.sparkSession
+    val e = edges.select(col("src"), col("dst")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val vertices = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id")))
+      .distinct().persist(StorageLevel.MEMORY_AND_DISK)
+    val nV = vertices.count()
+    if (nV == 0) {
+      val out = vertices.select(col("id"), lit(1.0).as("rank")).limit(0)
+      return graft.Borrow.reclaim(out, e, vertices)
+    }
+    val avgOutDeg = e.count().toDouble / nV
+    val outDeg = e.groupBy(col("src")).count().withColumnRenamed("count", "deg")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var ranks = vertices.withColumn("rank", lit(1.0)).localCheckpoint()
+    for (_ <- 1 to iters) {
+      val contribs = e.join(ranks, e("src") === ranks("id"))
+        .join(outDeg, Seq("src"))
+        .select(col("dst").as("id"),
+          (col("rank") / (col("deg") + lit(avgOutDeg))).as("contrib"))
+      val sums = contribs.groupBy(col("id")).agg(sum(col("contrib")).as("msum"))
+      ranks = vertices.join(sums, Seq("id"), "left")
+        .select(col("id"),
+          (lit(1 - damping) + lit(damping) * coalesce(col("msum"), lit(0.0))).as("rank"))
+        .localCheckpoint()
+    }
+    e.unpersist(); vertices.unpersist(); outDeg.unpersist()
+    ranks
+  }
+
   /** B25 — eigenvector centrality (Neo4j GDS catalog staple): power
     * iteration x_{t+1} = normalize(A x_t) over the SYMMETRIZED graph,
     * L2-normalized per iteration (keeps magnitudes bounded at any

@@ -120,6 +120,16 @@ object GraphQueries {
       .orderBy(col("rank").desc, col("id"))
       .limit(20)
 
+  /** B49 — ArticleRank on the part–supplier graph, DuckDB-gated: the
+    * recursive-CTE twin replays the exact iteration with the
+    * `deg + avgdeg` divisor, so the whole convention (init, base,
+    * average over the distinct symmetrized edge set) is hash-pinned. */
+  def gArticlerank(s: SparkSession, dir: String): DataFrame =
+    GraphOps.articleRank(GraphOps.undirected(TestGraph.partSupplierEdges(s, dir)), iters = 10)
+      .select(col("id"), round(col("rank"), 4).as("rank"))
+      .orderBy(col("rank").desc, col("id"))
+      .limit(20)
+
   /** B16 — personalized PageRank on the testdata graph, DuckDB-gated
     * (the corpus-graph `sg_ppr` stays rows-only — DuckDB never sees
     * that graph). Seeds: every 5th part node; fixed 10 iterations so

@@ -46,6 +46,26 @@ class CypherCallSpec extends SparkSpec {
     assert(rows(called) == rows(direct))
   }
 
+  test("articleRank CALL ≡ direct API; differs from pageRank on " +
+      "degree-skewed graphs (r16)") {
+    val direct = GraphOps.articleRank(
+        GraphOps.undirected(edges.select(col("src"), col("dst"))), iters = 5)
+      .select(col("id"), round(col("rank"), 6).as("score"))
+      .orderBy(col("score").desc, col("id"))
+    val called = CypherCall.run(nodes, edges,
+      """CALL graft.articleRank({maxIterations: 5, orientation: 'UNDIRECTED'})
+        |YIELD id, score RETURN id, round(score, 6) AS score
+        |ORDER BY score DESC, id""".stripMargin)
+    assert(rows(called) == rows(direct))
+    // the avg-degree divisor must actually bite: scores are NOT the
+    // pageRank scores on this degree-skewed fixture
+    val pr = CypherCall.run(nodes, edges,
+      """CALL graft.pageRank({maxIterations: 5, orientation: 'UNDIRECTED'})
+        |YIELD id, score RETURN id, round(score, 6) AS score
+        |ORDER BY score DESC, id""".stripMargin)
+    assert(rows(called) != rows(pr))
+  }
+
   test("pageRank sourceNodes config = personalized pageRank") {
     val seeds = Seq("a").toDF("id")
     val direct = GraphOps.personalizedPageRank(

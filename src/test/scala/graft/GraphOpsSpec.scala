@@ -313,6 +313,28 @@ class GraphOpsSpec extends SparkSpec {
     assert(math.abs(ranks("a") - ranks("b")) < 1e-9)
   }
 
+  test("articleRank: hand-computed 2-iteration values; regular graphs " +
+      "stay uniform; empty graph empty (r16)") {
+    // a→b, a→c, b→c: |E|=3, |V|=3, avg=1; outdeg a=2, b=1
+    // it1: b = .15+.85·(1/3) ; c = .15+.85·(1/3 + 1/2) ; a = .15
+    // it2: b = .15+.85·(.15/3) = .1925
+    //      c = .15+.85·(.15/3 + (.15+.85/3)/2) = .3766…
+    val e = edgeDf("a" -> "b", "a" -> "c", "b" -> "c")
+    val r2 = GraphOps.articleRank(e, iters = 2)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(math.abs(r2("a") - 0.15) < 1e-12)
+    assert(math.abs(r2("b") - 0.1925) < 1e-12)
+    val cExp = 0.15 + 0.85 * (0.15 / 3.0 + (0.15 + 0.85 / 3.0) / 2.0)
+    assert(math.abs(r2("c") - cExp) < 1e-12)
+    // directed 4-cycle: every vertex outdeg 1, avg 1 — uniform ranks,
+    // and LOWER than pageRank's uniform 1.0 (divisor 2 instead of 1)
+    val cyc = edgeDf("w" -> "x", "x" -> "y", "y" -> "z", "z" -> "w")
+    val rc = GraphOps.articleRank(cyc, iters = 15)
+      .collect().map(_.getDouble(1))
+    assert(rc.max - rc.min < 1e-12 && rc.head < 1.0)
+    assert(GraphOps.articleRank(edgeDf()).isEmpty)
+  }
+
   test("degrees") {
     val edges = edgeDf("a" -> "b", "a" -> "c", "b" -> "c")
     val d = GraphOps.degrees(edges)
