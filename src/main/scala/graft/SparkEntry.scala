@@ -125,6 +125,8 @@ object SparkEntry {
     "g_paths"      -> (GraphQueries.gPaths _),
     "g_allpaths"   -> (GraphQueries.gAllPaths _),
     "g_louvain"    -> (GraphQueries.gLouvain _),
+    "g_modopt"     -> (GraphQueries.gModopt _),
+    "g_modopt_ok"  -> (GraphQueries.gModoptOk _),
     "g_modularity" -> (GraphQueries.gModularity _),
     "g_leiden"     -> (GraphQueries.gLeiden _),
     "g_fastrp"     -> (GraphQueries.gFastrp _),
@@ -1438,6 +1440,9 @@ object SparkEntry {
     // Leiden quality floor: same oracle shape (column name kept so the
     // SQL is shared verbatim; the flag means "leiden >= lpa" here)
     "g_modularity_leiden" -> modularityOracle,
+    // modularityOptimization quality floor: same oracle shape again
+    // (the flag means "flat move phase >= lpa" here)
+    "g_modopt_ok" -> modularityOracle,
     // ANN recall floors: the Spark side measures recall vs its exact
     // twin and clamps to booleans; the oracle pins both to 1
     "e_recall" ->

@@ -394,6 +394,16 @@ object CypherCall {
             weightCol = wcol)
           .select(col("id"), col("community").as("communityId"))
       }),
+    // r16: gds.modularityOptimization — louvain's flat move phase,
+    // no contraction (GraphOps delegates at maxLevels = 1)
+    "modularityOptimization" -> Proc(Seq("id", "communityId"),
+      Set("maxIterations", "relationshipWeightProperty"),
+      (n, ed, cfg) => {
+        val (ed2, wcol) = resolveWeightProp(filterEdges(n, ed, cfg), cfg)
+        GraphOps.modularityOptimization(orientEdges(ed2, cfg),
+            maxIterations = cfg.int("maxIterations", 10), weightCol = wcol)
+          .select(col("id"), col("community").as("communityId"))
+      }),
     "leiden" -> Proc(Seq("id", "communityId"),
       Set("maxLevels", "maxIterations", "relationshipWeightProperty"),
       (n, ed, cfg) => {

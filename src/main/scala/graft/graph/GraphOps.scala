@@ -951,6 +951,22 @@ object GraphOps {
     * every edge leaves their community become singletons. Returns
     * (id, community), community = smallest member id — same contract
     * as [[louvain]]. */
+  /** B50 — gds.modularityOptimization: the standalone modularity
+    * local-move procedure — exactly [[louvain]]'s level-1 move phase
+    * (same gain formula, ε margin, direction-alternating simultaneous
+    * rounds, smallest-member canonical labels) with contraction OFF:
+    * nodes start as singletons, run up to `maxIterations` move rounds,
+    * and the flat partition is returned without building a hierarchy.
+    * Delegates to the louvain machinery at `maxLevels = 1` so the two
+    * procs can never drift (the GDS pair has the same relationship);
+    * the bounded local finisher and the weighted variant ride along.
+    * Returns (id, community) for every non-isolated vertex. */
+  def modularityOptimization(edges0: DataFrame, maxIterations: Int = 10,
+                             localFinishEdges: Long = 250000L,
+                             weightCol: Option[String] = None): DataFrame =
+    louvain(edges0, maxLevels = 1, moveIters = maxIterations,
+      localFinishEdges = localFinishEdges, refine = false, weightCol = weightCol)
+
   def leidenRefine(edges0: DataFrame, assign: DataFrame,
                    localFinishEdges: Long = 250000L): DataFrame = {
     val e = undirected(edges0.select(col("src").cast("string").as("src"),

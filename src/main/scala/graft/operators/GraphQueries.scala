@@ -969,6 +969,27 @@ object GraphQueries {
       .groupBy(col("community")).agg(count(lit(1)).as("size"))
       .orderBy(col("size").desc, col("community"))
 
+  /** B50 — modularityOptimization community-size profile (rows gate;
+    * partitions aren't hash-comparable across implementations, the
+    * quality gate is [[gModoptOk]]). */
+  def gModopt(s: SparkSession, dir: String): DataFrame =
+    GraphOps.modularityOptimization(TestGraph.partSupplierEdges(s, dir))
+      .groupBy(col("community")).agg(count(lit(1)).as("size"))
+      .orderBy(col("size").desc, col("community"))
+
+  /** B50 quality gate — the [[gModularity]] pattern: q_lpa pins the
+    * closed-form Q arithmetic against the DuckDB replay, and the flag
+    * pins that ONE flat move phase (no contraction) already clears the
+    * LPA quality floor. Shares the modularity oracle verbatim. */
+  def gModoptOk(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = TestGraph.partSupplierEdges(s, dir)
+    val qLpa = GraphOps.modularity(e, GraphOps.labelPropagation(e, iters = 5))
+    val qModopt = GraphOps.modularity(e, GraphOps.modularityOptimization(e))
+    Seq((math.floor(qLpa * 1e6 + 0.5) / 1e6,
+      if (qModopt >= qLpa) 1L else 0L)).toDF("q_lpa", "louvain_ge_lpa")
+  }
+
   /** B22 gate — modularity() DuckDB-ORACLE-GATED: Q of the LPA
     * partition (the partition DuckDB can replay exactly — g_lpa's
     * recursive CTE), computed by [[GraphOps.modularity]] on the Spark

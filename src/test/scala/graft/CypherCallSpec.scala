@@ -66,6 +66,22 @@ class CypherCallSpec extends SparkSpec {
     assert(rows(called) != rows(pr))
   }
 
+  test("modularityOptimization CALL ≡ direct API (r16)") {
+    val direct = GraphOps.modularityOptimization(
+        GraphOps.undirected(edges.select(col("src"), col("dst"))),
+        maxIterations = 5)
+      .select(col("id"), col("community").as("communityId"))
+      .orderBy(col("id"))
+    val called = CypherCall.run(nodes, edges,
+      """CALL graft.modularityOptimization({maxIterations: 5, orientation: 'UNDIRECTED'})
+        |YIELD id, communityId RETURN id, communityId ORDER BY id""".stripMargin)
+    assert(rows(called) == rows(direct))
+    // each fixture triangle collapses into one community
+    val m = called.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(Seq("a", "b", "c").map(m).distinct.size == 1)
+    assert(Seq("x", "y", "z").map(m).distinct.size == 1)
+  }
+
   test("pageRank sourceNodes config = personalized pageRank") {
     val seeds = Seq("a").toDF("id")
     val direct = GraphOps.personalizedPageRank(

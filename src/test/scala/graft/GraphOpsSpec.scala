@@ -1472,6 +1472,40 @@ class GraphOpsSpec extends SparkSpec {
     assert(got("a") == "a" && got("e") == "e")
   }
 
+  test("modularityOptimization: flat move phase ≡ louvain level 1; " +
+      "resolves bridged cliques; both paths agree (r16)") {
+    def clique(ids: Seq[String]): Seq[(String, String)] =
+      for (i <- ids.indices; j <- i + 1 until ids.size) yield ids(i) -> ids(j)
+    val left = Seq("a", "b", "c", "d")
+    val right = Seq("e", "f", "g", "h")
+    val e = edgeDf(clique(left) ++ clique(right) :+ ("d" -> "e"): _*)
+    val got = GraphOps.modularityOptimization(e)
+      .collect().map(r => (r.getString(0), r.getString(1))).toMap
+    assert(got.keySet == (left ++ right).toSet)
+    assert(left.map(got).distinct.size == 1 && right.map(got).distinct.size == 1)
+    assert(got("a") != got("e"))
+    // structural contract: identical to louvain capped at one level
+    // (the GDS pair relationship), on local AND forced-dist paths
+    val lv1 = GraphOps.louvain(e, maxLevels = 1, moveIters = 10)
+      .collect().map(r => (r.getString(0), r.getString(1))).toMap
+    assert(got == lv1)
+    val dist = GraphOps.modularityOptimization(e, localFinishEdges = 0L)
+      .collect().map(r => (r.getString(0), r.getString(1))).toMap
+    assert(dist == got)
+    // seeded noisy graph: local ≡ dist and Q clears the LPA floor
+    val rnd = new scala.util.Random(424243)
+    val vs = (0 until 30).map(i => f"m$i%02d")
+    val pairs = for { i <- vs.indices; j <- (i + 1) until vs.length
+      if rnd.nextDouble() < 0.12 } yield (vs(i), vs(j))
+    val g = edgeDf(pairs: _*)
+    val a = GraphOps.modularityOptimization(g)
+    val b = GraphOps.modularityOptimization(g, localFinishEdges = 0L)
+    assert(a.collect().map(r => (r.getString(0), r.getString(1))).toSet ==
+      b.collect().map(r => (r.getString(0), r.getString(1))).toSet)
+    val qLpa = GraphOps.modularity(g, GraphOps.labelPropagation(g, iters = 5))
+    assert(GraphOps.modularity(g, a) >= qLpa)
+  }
+
   test("louvain: local finisher ≡ forced-distributed path, incl. empty input") {
     // two-clique fixture PLUS a noisier seeded graph: xxhash-derived
     // pseudo-random edges over 40 nodes so both paths cross a real
