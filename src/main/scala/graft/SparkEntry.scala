@@ -102,6 +102,7 @@ object SparkEntry {
     "g_tree"       -> (GraphQueries.gTree _),
     "g_reach"      -> (GraphQueries.gReach _),
     "g_toposort"   -> (GraphQueries.gToposort _),
+    "g_longestpath" -> (GraphQueries.gLongestpath _),
     "g_cc"         -> (GraphQueries.gCc _),
     "g_degree"     -> (GraphQueries.gDegree _),
     "g_wdegree"    -> (GraphQueries.gWDegree _),
@@ -934,6 +935,29 @@ object SparkEntry {
         |)
         |SELECT id, CAST(max(lvl) AS BIGINT) AS level FROM walk
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "g_longestpath" ->
+      // the toposort walk CTE carrying path strings: per vertex the
+      // argmax walk (max level, then lex-smallest path) — an
+      // independent recomputation of the DP's dist AND critical path
+      """WITH RECURSIVE e AS (
+        |  SELECT 'r:'||n_regionkey AS src, 'n:'||n_nationkey AS dst FROM nation
+        |  UNION ALL SELECT 'n:'||c_nationkey, 'c:'||c_custkey FROM customer
+        |  UNION ALL SELECT 'c:'||o_custkey, 'o:'||o_orderkey FROM orders
+        |  UNION ALL SELECT DISTINCT 'o:'||l_orderkey, 'p:'||l_partkey
+        |    FROM lineitem WHERE l_partkey % 20 = 0
+        |  UNION ALL SELECT DISTINCT 'p:'||l_partkey, 's:'||l_suppkey
+        |    FROM lineitem WHERE l_partkey % 20 = 0
+        |), walk AS (
+        |  SELECT src AS id, 0 AS lvl, src AS path
+        |  FROM (SELECT DISTINCT src FROM e WHERE src NOT IN (SELECT dst FROM e)) r
+        |  UNION ALL
+        |  SELECT e.dst, w.lvl + 1, w.path || '>' || e.dst
+        |  FROM walk w JOIN e ON e.src = w.id
+        |  WHERE w.lvl < 10
+        |)
+        |SELECT id, CAST(lvl AS BIGINT) AS dist, path FROM walk
+        |QUALIFY row_number() OVER (PARTITION BY id ORDER BY lvl DESC, path) = 1
+        |ORDER BY id""".stripMargin,
     "g_reach" ->
       """WITH RECURSIVE base AS (
         |  SELECT DISTINCT 'p:'||l_partkey AS a, 's:'||l_suppkey AS b

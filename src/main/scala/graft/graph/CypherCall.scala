@@ -854,6 +854,18 @@ object CypherCall {
       (n, ed, cfg) =>
         GraphOps.topologicalSort(selectEdges(n, ed, cfg),
           cfg.int("maxIterations", 50), cfg.bool("requireDag", false))),
+    // r16: gds.dag.longestPath — critical path to every vertex of a
+    // DAG (GDS yields per-path rows; here the path rides as a string
+    // column, the house shortestPath convention — YIELD renames cover
+    // the targetNode/totalCost spellings)
+    "dag.longestPath" -> Proc(Seq("id", "distance", "path"),
+      Set("maxIterations", "relationshipWeightProperty"),
+      (n, ed, cfg) => {
+        val (ed2, wcol) = resolveWeightProp(filterEdges(n, ed, cfg), cfg)
+        GraphOps.dagLongestPath(orientEdges(ed2, cfg), wcol,
+            cfg.int("maxIterations", 50))
+          .select(col("id"), col("dist").as("distance"), col("path"))
+      }),
     "eigenvector" -> Proc(Seq("id", "score"),
       Set("maxIterations", "relationshipWeightProperty"),
       (n, ed, cfg) => {

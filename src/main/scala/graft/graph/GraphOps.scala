@@ -3842,6 +3842,61 @@ object GraphOps {
     graft.Borrow.reclaim(out, e)
   }
 
+  /** B51 — gds.dag.longestPath: longest (critical) path from any
+    * source to every vertex of a DAG, with the argmax path itself.
+    *
+    * DP over the Kahn layering [[topologicalSort]] already computes:
+    * a vertex at level L has every predecessor at a lower level, so
+    * one pass L = 1..depth settles dist(v) = max over in-edges of
+    * dist(u) + w — two equi-joins per level, frontier-bounded, with
+    * severed frames (constant plans; depth ≤ the toposort maxIter
+    * bound, LOUD beyond). Ties break to the lexicographically
+    * smallest path string — globally correct for the DP because two
+    * distinct DAG paths to the same vertex can never be string
+    * prefixes of each other (both end with that vertex, which a DAG
+    * path visits once), so prefix-order and full-path order agree.
+    * Parallel edges keep their MAX weight (the longest-path analog of
+    * the shortest-path min rule). Cycles are loud (`requireDag`).
+    * Returns (id, dist, path): dist 0.0 and path = id for sources. */
+  def dagLongestPath(edges: DataFrame, weightCol: Option[String] = None,
+                     maxIter: Int = 50): DataFrame = {
+    val e0 = weightCol match {
+      case Some(wc) => edges.select(col("src").cast("string").as("src"),
+        col("dst").cast("string").as("dst"), col(wc).cast("double").as("w"))
+      case None => edges.select(col("src").cast("string").as("src"),
+        col("dst").cast("string").as("dst"), lit(1.0).as("w"))
+    }
+    val e = e0.groupBy(col("src"), col("dst")).agg(max(col("w")).as("w"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val lv = topologicalSort(e, maxIter, requireDag = true)
+    val maxLvlRow = lv.agg(max(col("level"))).collect()(0)
+    if (maxLvlRow.isNullAt(0)) {
+      val out = lv.select(col("id"), lit(0.0).as("dist"),
+        col("id").as("path")).limit(0)
+      return graft.Borrow.reclaim(out, e)
+    }
+    val maxLvl = maxLvlRow.getLong(0)
+    var settled = graft.Borrow.severLazy(lv.filter(col("level") === 0L)
+      .select(col("id"), lit(0.0).as("dist"), col("id").as("path")))
+    var l = 1L
+    while (l <= maxLvl) {
+      val frontier = lv.filter(col("level") === l)
+        .select(col("id").as("dst"))
+      val cand = e.join(frontier, Seq("dst"), "left_semi")
+        .join(settled.select(col("id").as("src"), col("dist").as("pd"),
+          col("path").as("pp")), Seq("src"))
+        .select(col("dst").as("id"), (col("pd") + col("w")).as("d"),
+          concat(col("pp"), lit(">"), col("dst")).as("pth"))
+      val newly = cand.groupBy(col("id"))
+        .agg(min_by(struct(col("d"), col("pth")),
+          struct((-col("d")).as("nd"), col("pth").as("tp"))).as("b"))
+        .select(col("id"), col("b.d").as("dist"), col("b.pth").as("path"))
+      settled = graft.Borrow.severLazy(settled.unionByName(newly))
+      l += 1
+    }
+    graft.Borrow.reclaim(settled, e)
+  }
+
   /** In/out/total degree per vertex. */
   def degrees(edges: DataFrame): DataFrame = {
     val out = edges.groupBy(col("src").as("id")).agg(count(lit(1)).as("out_deg"))

@@ -75,6 +75,15 @@ object GraphQueries {
       .select(col("id"), col("level").cast("long").as("level"))
       .orderBy(col("id"))
 
+  /** B51 — DAG longest path over the supply-chain DAG, DuckDB-gated:
+    * the g_toposort walk oracle extended to carry path strings and
+    * pick the per-vertex argmax (max level, then lexicographically
+    * smallest path) — pins dist AND the critical path itself. */
+  def gLongestpath(s: SparkSession, dir: String): DataFrame =
+    GraphOps.dagLongestPath(TestGraph.supplyChainDagEdges(s, dir), maxIter = 10)
+      .select(col("id"), col("dist").cast("long").as("dist"), col("path"))
+      .orderBy(col("id"))
+
   /** B7 — degree per vertex of the part—supplier graph. */
   def gDegree(s: SparkSession, dir: String): DataFrame =
     GraphOps.degrees(TestGraph.partSupplierEdges(s, dir))

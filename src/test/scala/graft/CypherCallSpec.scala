@@ -66,6 +66,34 @@ class CypherCallSpec extends SparkSpec {
     assert(rows(called) != rows(pr))
   }
 
+  test("dag.longestPath CALL ≡ direct API on a DAG projection; weight " +
+      "from props (r16)") {
+    // the SPAWNS triangle is a cycle — project the acyclic subset via
+    // relationshipTypes plus the bridge: c→x→(y,z) after dropping the
+    // closing z→x edge with a dst filter is not expressible, so build
+    // a dedicated DAG fixture instead
+    val n = Seq("p", "q", "r", "t").toDF("id")
+      .withColumn("label", lit("V"))
+      .withColumn("props", map(lit("k"), col("id")))
+    val e = Seq(("p", "q", "2"), ("p", "r", "5"), ("q", "t", "4"), ("r", "t", "1"))
+      .toDF("src", "dst", "w0")
+      .withColumn("etype", lit("T"))
+      .withColumn("props", map(lit("weight"), col("w0"))).drop("w0")
+    val direct = GraphOps.dagLongestPath(
+        e.select(col("src"), col("dst"),
+          element_at(col("props"), "weight").cast("double").as("w")),
+        weightCol = Some("w"))
+      .select(col("id"), col("dist").as("distance"), col("path"))
+      .orderBy(col("id"))
+    val called = CypherCall.run(n, e,
+      """CALL graft.dag.longestPath({relationshipWeightProperty: 'weight'})
+        |YIELD id, distance, path RETURN id, distance, path ORDER BY id""".stripMargin)
+    assert(rows(called) == rows(direct))
+    // p→q→t = 6 beats p→r→t = 6? no: 2+4=6 vs 5+1=6 — tie, lex-min
+    val m = called.collect().map(r => r.getString(0) -> r.getString(2)).toMap
+    assert(m("t") == "p>q>t")
+  }
+
   test("modularityOptimization CALL ≡ direct API (r16)") {
     val direct = GraphOps.modularityOptimization(
         GraphOps.undirected(edges.select(col("src"), col("dst"))),

@@ -313,6 +313,32 @@ class GraphOpsSpec extends SparkSpec {
     assert(math.abs(ranks("a") - ranks("b")) < 1e-9)
   }
 
+  test("dagLongestPath: critical paths with lex tie-break; weighted ties; " +
+      "parallel edges keep max weight; cycles loud (r16)") {
+    // diamond + tail: s→{a,b}→t→u — unweighted both s>a>t and s>b>t
+    // reach t at dist 2; lex-min s>a>t must win and propagate to u
+    val e = edgeDf("s" -> "a", "s" -> "b", "a" -> "t", "b" -> "t", "t" -> "u")
+    val got = GraphOps.dagLongestPath(e)
+      .collect().map(r => r.getString(0) -> ((r.getDouble(1), r.getString(2)))).toMap
+    assert(got("s") == ((0.0, "s")))
+    assert(got("a") == ((1.0, "s>a")) && got("b") == ((1.0, "s>b")))
+    assert(got("t") == ((2.0, "s>a>t")))
+    assert(got("u") == ((3.0, "s>a>t>u")))
+    // weighted: s→a:1, s→b:3, a→t:3, b→t:1 — dist(t)=4 both ways,
+    // lex-min path wins the tie; duplicate parallel edge keeps MAX w
+    val ew = Seq(("s", "a", 1L), ("s", "b", 1L), ("s", "b", 3L),
+      ("a", "t", 3L), ("b", "t", 1L), ("t", "u", 2L)).toDF("src", "dst", "w")
+    val gw = GraphOps.dagLongestPath(ew, weightCol = Some("w"))
+      .collect().map(r => r.getString(0) -> ((r.getDouble(1), r.getString(2)))).toMap
+    assert(gw("b") == ((3.0, "s>b")))
+    assert(gw("t") == ((4.0, "s>a>t")))
+    assert(gw("u") == ((6.0, "s>a>t>u")))
+    // cycles are loud, empty graph is empty
+    intercept[IllegalArgumentException](
+      GraphOps.dagLongestPath(edgeDf("x" -> "y", "y" -> "x")).collect())
+    assert(GraphOps.dagLongestPath(edgeDf()).isEmpty)
+  }
+
   test("articleRank: hand-computed 2-iteration values; regular graphs " +
       "stay uniform; empty graph empty (r16)") {
     // a→b, a→c, b→c: |E|=3, |V|=3, avg=1; outdeg a=2, b=1
