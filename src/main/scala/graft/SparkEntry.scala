@@ -1559,7 +1559,11 @@ object SparkEntry {
         |    floor(sum(1.0/l.dw) * 10000 + 0.5) / 10000 AS resource_allocation
         |  FROM arc l JOIN arc r ON l.w = r.w AND l.u < r.u GROUP BY 1, 2)
         |SELECT node1, node2, common_neighbors, adamic_adar,
-        |  resource_allocation, x.d * y.d AS preferential_attachment
+        |  resource_allocation, x.d * y.d AS preferential_attachment,
+        |  x.d + y.d - common_neighbors AS total_neighbors,
+        |  CAST(CASE WHEN CAST(split_part(node1, ':', 2) AS BIGINT) % 7
+        |          = CAST(split_part(node2, ':', 2) AS BIGINT) % 7
+        |       THEN 1 ELSE 0 END AS BIGINT) AS same_community
         |FROM pr JOIN deg x ON node1 = x.id JOIN deg y ON node2 = y.id
         |ORDER BY node1, node2 LIMIT 5000""".stripMargin,
     // B12k (r12): GDS's default topK shape — rank the DIRECTED

@@ -494,11 +494,23 @@ object CypherCall {
     // the per-measure GDS spellings alias to it (YIELD picks columns)
     "linkprediction" -> Proc(
       Seq("node1", "node2", "commonNeighbors", "adamicAdar",
-        "resourceAllocation", "preferentialAttachment"),
-      Set("centerCap"),
-      (n, ed, cfg) =>
-        GraphOps.linkPrediction(selectEdges(n, ed, cfg),
-          cfg.int("centerCap", 100000).toLong)),
+        "resourceAllocation", "preferentialAttachment",
+        "totalNeighbors", "sameCommunity"),
+      Set("centerCap", "communityProperty"),
+      (n, ed, cfg) => {
+        // r16: sameCommunity reads a node-prop assignment (the
+        // conductance pattern); without communityProperty the column
+        // is NULL — the measure is undefined, not zero
+        val comm = cfg.str("communityProperty").map { cp =>
+          n.select(col("id").cast("string").as("id"),
+              element_at(col("props"), cp).as("community"))
+            .filter(col("community").isNotNull)
+        }
+        val out = GraphOps.linkPrediction(selectEdges(n, ed, cfg),
+          cfg.int("centerCap", 100000).toLong, comm)
+        if (out.columns.contains("sameCommunity")) out
+        else out.withColumn("sameCommunity", lit(null).cast("long"))
+      }),
     "triangleCount" -> Proc(Seq("id", "triangles"), Set.empty,
       (n, ed, cfg) =>
         GraphOps.triangles(selectEdges(n, ed, cfg))
@@ -1152,7 +1164,10 @@ object CypherCall {
     "linkprediction.adamicAdar" -> "linkprediction",
     "linkprediction.commonNeighbors" -> "linkprediction",
     "linkprediction.resourceAllocation" -> "linkprediction",
-    "linkprediction.preferentialAttachment" -> "linkprediction")
+    "linkprediction.preferentialAttachment" -> "linkprediction",
+    // r16: the two remaining alpha linkprediction function spellings
+    "linkprediction.totalNeighbors" -> "linkprediction",
+    "linkprediction.sameCommunity" -> "linkprediction")
 
   def run(nodes: DataFrame, edges: DataFrame, cypher: String): DataFrame = {
     val text = CypherLite.normalizeWs(cypher)

@@ -1828,7 +1828,8 @@ object GraphOps {
     * cross-engine gates. Returns (node1, node2, commonNeighbors,
     * adamicAdar, resourceAllocation, preferentialAttachment),
     * node1 < node2. */
-  def linkPrediction(edges: DataFrame, centerCap: Long = 100000L): DataFrame = {
+  def linkPrediction(edges: DataFrame, centerCap: Long = 100000L,
+                     communities: Option[DataFrame] = None): DataFrame = {
     val sym = undirected(edges.select(col("src").cast("string").as("src"),
         col("dst").cast("string").as("dst")))
       .filter(col("src") =!= col("dst"))
@@ -1853,13 +1854,35 @@ object GraphOps {
     // the output is the candidate-pair frame — potentially LARGER than
     // the borrow, exactly the shape reclaim's eager checkpoint is
     // documented not to fit
-    pairsAgg
+    val base = pairsAgg
       .join(deg.select(col("id").as("node1"), col("d").as("d1")), Seq("node1"))
       .join(deg.select(col("id").as("node2"), col("d").as("d2")), Seq("node2"))
       .select(col("node1"), col("node2"), col("commonNeighbors"),
         graft.operators.Num.roundTies(col("aa"), 4).as("adamicAdar"),
         graft.operators.Num.roundTies(col("ra"), 4).as("resourceAllocation"),
-        (col("d1") * col("d2")).as("preferentialAttachment"))
+        (col("d1") * col("d2")).as("preferentialAttachment"),
+        // r16: |Γ(u) ∪ Γ(v)| — union degree, closed-form on columns
+        // the frame already carries
+        (col("d1") + col("d2") - col("commonNeighbors")).as("totalNeighbors"))
+    // r16: gds.alpha.linkprediction.sameCommunity — 1 iff both
+    // endpoints carry the SAME non-null community label (two
+    // broadcast-shaped equi-joins against the ≤|V|-row assignment)
+    communities match {
+      case Some(cs) =>
+        val c = cs.select(col("id").cast("string").as("id"),
+          col("community")).distinct()
+        base
+          .join(c.select(col("id").as("node1"), col("community").as("c1")),
+            Seq("node1"), "left")
+          .join(c.select(col("id").as("node2"), col("community").as("c2")),
+            Seq("node2"), "left")
+          .select(col("node1"), col("node2"), col("commonNeighbors"),
+            col("adamicAdar"), col("resourceAllocation"),
+            col("preferentialAttachment"), col("totalNeighbors"),
+            when(col("c1").isNotNull && col("c1") === col("c2"), lit(1L))
+              .otherwise(lit(0L)).as("sameCommunity"))
+      case None => base
+    }
   }
 
   /** BFS that also MATERIALIZES one shortest path per reached vertex —

@@ -498,15 +498,25 @@ object GraphQueries {
     * DuckDB twin recomputes every closed form from the same wedge
     * join. Snake-case aliases keep the cross-engine column compare
     * case-trivial. */
-  def gLinkpred(s: SparkSession, dir: String): DataFrame =
-    GraphOps.linkPrediction(TestGraph.partSupplierEdges(s, dir))
+  def gLinkpred(s: SparkSession, dir: String): DataFrame = {
+    val e = TestGraph.partSupplierEdges(s, dir)
+    // r16: sameCommunity needs an assignment DuckDB can replay in
+    // closed form — community = numeric key part mod 7
+    val verts = e.select(col("src").as("id"))
+      .unionByName(e.select(col("dst").as("id"))).distinct()
+    val comm = verts.select(col("id"),
+      (substring_index(col("id"), ":", -1).cast("long") % 7).as("community"))
+    GraphOps.linkPrediction(e, communities = Some(comm))
       .select(col("node1"), col("node2"),
         col("commonNeighbors").as("common_neighbors"),
         col("adamicAdar").as("adamic_adar"),
         col("resourceAllocation").as("resource_allocation"),
-        col("preferentialAttachment").as("preferential_attachment"))
+        col("preferentialAttachment").as("preferential_attachment"),
+        col("totalNeighbors").as("total_neighbors"),
+        col("sameCommunity").as("same_community"))
       .orderBy(col("node1"), col("node2"))
       .limit(5000)
+  }
 
   /** B35 — minimum spanning forest (gds.spanningTree parity, r13) on
     * the sparse weighted part—supplier graph. The (w, src, dst) total

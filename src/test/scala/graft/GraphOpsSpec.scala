@@ -993,6 +993,37 @@ class GraphOpsSpec extends SparkSpec {
         "YIELD node1, node2, adamicAdar RETURN node1, node2, adamicAdar")
       .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
     assert(viaCall == expected.map { case (k, v) => k -> v._2 })
+
+    // r16: totalNeighbors = d1 + d2 − cn on the same frame
+    val tn = GraphOps.linkPrediction(e).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(6)).toMap
+    assert(tn == Map(("a", "c") -> 4L, ("b", "d") -> 2L, ("a", "b") -> 4L,
+      ("a", "d") -> 4L, ("b", "c") -> 4L, ("c", "d") -> 4L))
+    // r16: sameCommunity — a,c share g1; b is g2; d carries NO
+    // assignment (missing ⇒ 0, the measure needs both labels)
+    val comm = Seq(("a", "g1"), ("c", "g1"), ("b", "g2")).toDF("id", "community")
+    val sc = GraphOps.linkPrediction(e, communities = Some(comm)).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(7)).toMap
+    assert(sc == Map(("a", "c") -> 1L, ("b", "d") -> 0L, ("a", "b") -> 0L,
+      ("a", "d") -> 0L, ("b", "c") -> 0L, ("c", "d") -> 0L))
+    // CALL: sameCommunity spelling + communityProperty config; without
+    // the config the column is NULL (undefined, not zero)
+    val nodesC = Seq(("a", "g1"), ("b", "g2"), ("c", "g1"), ("d", "g1"))
+      .toDF("id", "cm").withColumn("label", lit("V"))
+      .withColumn("props", map(lit("cm"), col("cm"))).drop("cm")
+    val viaSc = graft.graph.CypherCall.run(nodesC, eg,
+      "CALL graft.alpha.linkprediction.sameCommunity({communityProperty: 'cm'}) " +
+        "YIELD node1, node2, sameCommunity RETURN node1, node2, sameCommunity")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(viaSc == Map(("a", "c") -> 1L, ("b", "d") -> 0L, ("a", "b") -> 0L,
+      ("a", "d") -> 1L, ("b", "c") -> 0L, ("c", "d") -> 1L))
+    val viaTn = graft.graph.CypherCall.run(nodes, eg,
+      "CALL graft.alpha.linkprediction.totalNeighbors({}) " +
+        "YIELD node1, node2, totalNeighbors, sameCommunity " +
+        "RETURN node1, node2, totalNeighbors, sameCommunity")
+      .collect()
+    assert(viaTn.map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap == tn)
+    assert(viaTn.forall(_.isNullAt(3)), "sameCommunity without config is NULL")
   }
 
   test("astar: result identical to dijkstra, admissible heuristic prunes (r12)") {
