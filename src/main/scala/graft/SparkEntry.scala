@@ -184,6 +184,7 @@ object SparkEntry {
     "g_node2vec_emb" -> (GraphQueries.gNode2vecEmb _), // r15: B45 SGNS vectors
     "g_n2v_ok"     -> (GraphQueries.gN2vOk _),         // r15: B45 invariants
     "g_rwr"        -> (GraphQueries.gRwr _),           // r15: B46 RWR sampling
+    "g_cnarw"      -> (GraphQueries.gCnarw _),         // r16: B52 CNARW sampling
     "g_celf"       -> (GraphQueries.gCelf _),          // r15: B47 influence max
     "g_celf_ok"    -> (GraphQueries.gCelfOk _),        // r15: B47 invariants
     "g_maxkcut"    -> (GraphQueries.gMaxkcut _),       // r15: B48 max-k-cut

@@ -469,6 +469,21 @@ object CypherCall {
           walkersPerStart = cfg.int("walkersPerStart", 8),
           maxSteps = cfg.int("maxSteps", 200))
       }),
+    // r16: gds.graph.sample.cnarw — common-neighbour-aware walk
+    // sampling, the second GDS sampling proc; same yield/config shape
+    // as rwr
+    "graph.sample.cnarw" -> Proc(Seq("src", "dst"),
+      Set("samplingRatio", "restartProbability", "startNodes",
+        "walkersPerStart", "maxSteps"),
+      (n, ed, cfg) => {
+        val ed2 = selectEdges(n, ed, cfg)
+        GraphOps.sampleCnarw(ed2,
+          samplingRatio = cfg.dbl("samplingRatio", 0.15),
+          restartProbability = cfg.dbl("restartProbability", 0.1),
+          startNodes = cfg.strs("startNodes").map(seedFrame(ed, _)),
+          walkersPerStart = cfg.int("walkersPerStart", 8),
+          maxSteps = cfg.int("maxSteps", 200))
+      }),
     // r15: gds.node2vec — the EMBEDDINGS (deterministic full-batch
     // SGNS over the B31 biased walks), not just the walks; GDS config
     // spellings map 1:1 (negativeSamplingRate = negatives per

@@ -3432,6 +3432,142 @@ object GraphOps {
     graft.Borrow.reclaim(out, e, verts, starts, idx)
   }
 
+  /** B52 — gds.graph.sample.cnarw: common-neighbour-aware random walk
+    * sampling (Li et al., WWW 2019 — the bias-reducing walker GDS
+    * ships next to rwr). Same contract as [[sampleRwr]] — walk until
+    * `samplingRatio·|V|` vertices are visited, LOUD under-coverage,
+    * return the induced edge subgraph — but each step draws the next
+    * neighbor v of u with probability ∝ 1 − |CN(u,v)| / min(d(u),
+    * d(v)) (floored at 1e-6 so a fully-overlapping neighborhood keeps
+    * an interval), de-prioritizing neighbors that see the same part of
+    * the graph.
+    *
+    * Scale shape: CN per edge = triangles through the edge, computed
+    * ONCE from the degree-oriented [[triangleTriples]] wedge join (the
+    * B10 machinery — never an all-pairs join); the weighted choice is
+    * a STATIC per-source interval index built with the B31 two-stage
+    * bucketed cumulative sum (hub partitions bounded by maxdeg/64),
+    * with bucket offsets chained by `lag` over the running sum — the
+    * bitwise-adjacency construction of node2vecWalk's fast path, so
+    * [0, tot) partitions gap-free and each step is ONE equi-join with
+    * an interval filter, no per-step aggregation. Draws are hash-only
+    * (xxhash64 of walker×step), bit-reproducible across runs. */
+  def sampleCnarw(edges: DataFrame, samplingRatio: Double = 0.15,
+                  restartProbability: Double = 0.1,
+                  startNodes: Option[DataFrame] = None,
+                  walkersPerStart: Int = 8, maxSteps: Int = 200,
+                  seed: Long = 42L): DataFrame = {
+    require(samplingRatio > 0 && samplingRatio <= 1,
+      s"sampleCnarw: samplingRatio in (0,1], got $samplingRatio")
+    require(restartProbability >= 0 && restartProbability < 1,
+      s"sampleCnarw: restartProbability in [0,1), got $restartProbability")
+    require(walkersPerStart >= 1 && maxSteps >= 1,
+      "sampleCnarw: walkersPerStart and maxSteps must be >= 1")
+    import org.apache.spark.sql.expressions.Window
+    val e = edges.select(col("src").cast("string").as("src"),
+        col("dst").cast("string").as("dst")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val verts = e.select(col("src").as("id"))
+      .unionByName(e.select(col("dst").as("id"))).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nV = verts.count()
+    if (nV == 0) {
+      val out = e.limit(0)
+      return graft.Borrow.reclaim(out, e, verts)
+    }
+    val target = math.max(1L, math.ceil(samplingRatio * nV).toLong)
+    val starts = startNodes
+      .map(_.select(col("id").cast("string").as("id")).distinct())
+      .getOrElse(verts
+        .agg(min(struct(xxhash64(col("id"), lit(seed)).as("h"),
+          col("id").as("i"))).as("m"))
+        .select(col("m.i").as("id")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // CN(u,v) per canonical undirected edge = triangles through it;
+    // each (a,b,c) triple contributes to its three edges
+    val sym = undirected(e).filter(col("src") =!= col("dst"))
+    val tri = triangleTriples(e)
+    def pair(p: Column, q: Column) =
+      Seq(least(p, q).as("x"), greatest(p, q).as("y"))
+    val cn = tri.select(pair(col("a"), col("b")): _*)
+      .unionByName(tri.select(pair(col("a"), col("c")): _*))
+      .unionByName(tri.select(pair(col("b"), col("c")): _*))
+      .groupBy(col("x"), col("y")).agg(count(lit(1)).as("cn"))
+    val sdeg = sym.groupBy(col("src").as("id")).agg(count(lit(1)).as("sd"))
+    val wEdge = e
+      .join(sdeg.select(col("id").as("src"), col("sd").as("du")), Seq("src"), "left")
+      .join(sdeg.select(col("id").as("dst"), col("sd").as("dv")), Seq("dst"), "left")
+      .join(cn, least(col("src"), col("dst")) === col("x") &&
+        greatest(col("src"), col("dst")) === col("y"), "left")
+      .select(col("src"), col("dst"),
+        greatest(lit(1.0) - coalesce(col("cn"), lit(0L)).cast("double") /
+          least(coalesce(col("du"), lit(1L)), coalesce(col("dv"), lit(1L))),
+          lit(1e-6)).as("wt"))
+    // static two-stage interval index: [lo, hi) per neighbor, gap-free
+    // by lag-chained construction (see Scaladoc)
+    val nB = 64
+    val bucketed = wEdge.withColumn("bkt",
+      pmod(xxhash64(col("dst")), lit(nB)).cast("int"))
+    val wBktO = Window.partitionBy(col("src"), col("bkt")).orderBy(col("dst"))
+    val wBkt = Window.partitionBy(col("src"), col("bkt"))
+    val staged = bucketed
+      .withColumn("cumb", sum(col("wt")).over(wBktO))
+      .withColumn("lob", coalesce(lag(col("cumb"), 1).over(wBktO), lit(0.0)))
+      .withColumn("bn", max(col("cumb")).over(wBkt))
+    val wSrcO = Window.partitionBy(col("src")).orderBy(col("bkt"))
+    val wSrc = Window.partitionBy(col("src"))
+    val offsets = staged.select(col("src"), col("bkt"), col("bn")).distinct()
+      .withColumn("s", sum(col("bn")).over(wSrcO))
+      .withColumn("off", coalesce(lag(col("s"), 1).over(wSrcO), lit(0.0)))
+      .withColumn("tot", max(col("s")).over(wSrc))
+      .select(col("src"), col("bkt"), col("off"), col("tot"))
+    val idx = staged.join(offsets, Seq("src", "bkt"))
+      .select(col("src").as("cur"), col("dst"),
+        (col("off") + col("lob")).as("lo"),
+        (col("off") + col("cumb")).as("hi"), col("tot"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    var state = graft.Borrow.severLazy(starts
+      .select(col("id").as("start"),
+        explode(sequence(lit(0), lit(walkersPerStart - 1))).as("wi"))
+      .select(concat(col("start"), lit("#"), col("wi")).as("wid"),
+        col("start"), col("start").as("cur")))
+    var visited = graft.Borrow.severLazy(starts.select(col("id")))
+    var nVis = visited.count()
+    var step = 0
+    while (nVis < target && step < maxSteps) {
+      step += 1
+      val uRestart = shiftrightunsigned(
+        xxhash64(col("wid"), lit(step), lit(seed)), 11)
+        .cast("double") / lit(9007199254740992.0)
+      val uStep = shiftrightunsigned(
+        xxhash64(col("wid"), lit(step), lit(seed + 1)), 11)
+        .cast("double") / lit(9007199254740992.0) * lit(1.0 - 1e-6)
+      val next = graft.Borrow.severLazy(
+        state.join(idx, Seq("cur"), "left")
+          .withColumn("u", uStep * col("tot"))
+          .filter(col("lo").isNull ||
+            (col("lo") <= col("u") && col("u") < col("hi")))
+          .select(col("wid"), col("start"),
+            when(uRestart < restartProbability || col("lo").isNull, col("start"))
+              .otherwise(col("dst")).as("cur")))
+      state = next
+      visited = graft.Borrow.severLazy(
+        visited.unionByName(next.select(col("cur").as("id"))).distinct())
+      nVis = visited.count()
+    }
+    require(nVis >= target,
+      s"sampleCnarw: visited $nVis of target $target vertices after " +
+        s"$maxSteps steps — the start set's component may hold fewer than " +
+        "samplingRatio*|V| vertices; lower samplingRatio, pass more " +
+        "startNodes, or raise maxSteps")
+    val out = e
+      .join(visited.select(col("id").as("src")), Seq("src"), "left_semi")
+      .join(visited.select(col("id").as("dst")), Seq("dst"), "left_semi")
+      .select(col("src"), col("dst"))
+    graft.Borrow.reclaim(out, e, verts, starts, idx)
+  }
+
   /** B29 — random walks (GDS `gds.randomWalk` shape): `walksPerNode`
     * walks of up to `walkLength` steps from every vertex, stopping
     * early at sinks. DETERMINISTIC by the house rule — step t of walk

@@ -854,6 +854,18 @@ object GraphQueries {
       .orderBy(col("src"), col("dst"))
   }
 
+  /** B52 (r16) — CNARW sampling over the same graph and start set as
+    * [[gRwr]] (rows-only; subset/determinism/under-coverage invariants
+    * are spec-pinned like B46's). */
+  def gCnarw(s: SparkSession, dir: String): DataFrame = {
+    val e = GraphOps.undirected(TestGraph.partSupplierEdges(s, dir))
+    val starts = e.select(col("src").as("id")).distinct()
+      .filter(col("id").startsWith("s:") &&
+        substring(col("id"), 3, 100).cast("int") % 10 === 0)
+    GraphOps.sampleCnarw(e, samplingRatio = 0.2, startNodes = Some(starts))
+      .orderBy(col("src"), col("dst"))
+  }
+
   /** B47 (r15) — influence maximization over the undirected
     * part–supplier graph (rows-only; the invariants are the flags
     * below and the InfluenceSpec fixtures). */

@@ -957,6 +957,55 @@ class GraphOpsSpec extends SparkSpec {
     assert(viaCall == s1)
   }
 
+  test("sampleCnarw: induced subgraph, deterministic, ratio-1 full " +
+      "coverage; loud under-coverage; CALL dispatch (r16)") {
+    // the B46 fixture: two K4s joined by a bridge
+    val k4a = for { i <- 0 until 4; j <- (i + 1) until 4 } yield (s"a$i", s"a$j")
+    val k4b = for { i <- 0 until 4; j <- (i + 1) until 4 } yield (s"b$i", s"b$j")
+    val conn = edgeDf((k4a ++ k4b ++ Seq("a0" -> "b0")): _*)
+    val und = GraphOps.undirected(conn)
+    val inputSet = und.collect().map(r => (r.getString(0), r.getString(1))).toSet
+    val s1 = GraphOps.sampleCnarw(und, samplingRatio = 0.5).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(s1.nonEmpty && s1.subsetOf(inputSet), "sample must be induced edges")
+    assert(s1.flatMap(t => Seq(t._1, t._2)).size >= 4)
+    // bit-exact rerun (hash-only draws)
+    val s2 = GraphOps.sampleCnarw(und, samplingRatio = 0.5).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(s2 == s1)
+    // ratio 1 on a connected graph: every edge comes back
+    val all = GraphOps.sampleCnarw(und, samplingRatio = 1.0, maxSteps = 400)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(all == inputSet)
+    // triangle-free graph (CN = 0 everywhere): weights uniform 1,
+    // walker still covers — the formula's floor never bites
+    val path = GraphOps.undirected(
+      edgeDf((0 until 6).map(i => s"p$i" -> s"p${i + 1}"): _*))
+    val ps = GraphOps.sampleCnarw(path, samplingRatio = 1.0, maxSteps = 400,
+        startNodes = Some(Seq("p3").toDF("id"))).collect()
+    assert(ps.length == 12)
+    // disconnected start: loud under-coverage naming the lever
+    val disc = GraphOps.undirected(edgeDf("t0" -> "t1", "u0" -> "u1",
+      "u1" -> "u2", "u2" -> "u3"))
+    val err = intercept[IllegalArgumentException] {
+      GraphOps.sampleCnarw(disc, samplingRatio = 0.9, maxSteps = 20,
+        startNodes = Some(Seq("t0").toDF("id")))
+    }
+    assert(err.getMessage.contains("samplingRatio"))
+    // CALL: GDS proc name dispatches ≡ direct API
+    val nodes = (0 until 4).flatMap(i => Seq(s"a$i", s"b$i")).toDF("id")
+      .withColumn("label", lit("V"))
+      .withColumn("props", map(lit("k"), col("id")))
+    val eg = und.withColumn("etype", lit("T")).withColumn("event_id", lit(1))
+      .withColumn("props", typedLit(Map.empty[String, String]))
+      .select(col("etype"), col("src"), col("dst"), col("event_id"), col("props"))
+    val viaCall = graft.graph.CypherCall.run(nodes, eg,
+      "CALL graft.graph.sample.cnarw({samplingRatio: 0.5}) " +
+        "YIELD src, dst RETURN src, dst ORDER BY src, dst")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(viaCall == s1)
+  }
+
   test("linkPrediction: hand-computed measures on the diagonal square; " +
       "centerCap loud; CALL dispatch with GDS alpha spellings (r15)") {
     // square a-b-c-d-a plus diagonal a-c: degrees a:3 b:2 c:3 d:2
