@@ -397,6 +397,9 @@ object SparkEntry {
     // IVF path (rows-only: nprobe < nlist trades recall by design;
     // recall + determinism are spec-bound, the Lloyd step plan-audited)
     "e3_ivf"       -> ((s, d) => Similarity.e3IvfTopK(s, d)),
+    // r16: IVF-PQ — codes-only ADC scoring (rows-only: float-order
+    // sums; the e8_recall_ok floor in e_recall is the quality gate)
+    "e8_pq"        -> ((s, d) => Similarity.e8PqIvf(s, d)),
     "e_recall"     -> ((s, d) => Similarity.eRecallGate(s, d)),
     "e7_kmeans"    -> ((s, d) => Similarity.e7Kmeans(s, d)),
     "g_tri_enum"   -> (GraphQueries.gTriEnum _),
@@ -1475,7 +1478,8 @@ object SparkEntry {
         |       CAST(1 AS BIGINT) AS e3_recall_ok,
         |       CAST(1 AS BIGINT) AS e6_recall_ok,
         |       CAST(1 AS BIGINT) AS e7_improve_ok,
-        |       CAST(1 AS BIGINT) AS e7_k_ok""".stripMargin,
+        |       CAST(1 AS BIGINT) AS e7_k_ok,
+        |       CAST(1 AS BIGINT) AS e8_recall_ok""".stripMargin,
     "d_recall" ->
       """SELECT CAST(1 AS BIGINT) AS d2_recall_ok, CAST(1 AS BIGINT) AS d2_subset_ok,
         |  CAST(1 AS BIGINT) AS d5lsh_recall_ok, CAST(1 AS BIGINT) AS d5lsh_subset_ok,

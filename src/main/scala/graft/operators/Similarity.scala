@@ -460,11 +460,228 @@ object Similarity {
     // r12: kmeans quality terms — Lloyd must not degrade the init
     // assignment, and all 8 clusters must land non-empty
     val (e7i, e7f, e7n) = e7Quality(s, dir)
+    // r16: the IVF-PQ path must keep ≥ half the exact neighbors —
+    // codes are 64× narrower than the vectors, so this is the
+    // compression-vs-recall contract, per-round gated
+    val r8 = e8Recall(s, dir)
     Seq((if (r2 >= 0.25) 1L else 0L, if (r3 >= 0.45) 1L else 0L,
         if (r6 >= 0.6) 1L else 0L,
-        if (e7f >= e7i - 1e-9) 1L else 0L, if (e7n == 8L) 1L else 0L))
+        if (e7f >= e7i - 1e-9) 1L else 0L, if (e7n == 8L) 1L else 0L,
+        if (r8 >= 0.5) 1L else 0L))
       .toDF("e2_recall_ok", "e3_recall_ok", "e6_recall_ok",
-        "e7_improve_ok", "e7_k_ok")
+        "e7_improve_ok", "e7_k_ok", "e8_recall_ok")
+  }
+
+  // ------------------------------------------------------------------
+  // E8 — product quantization (r16): THE storage/IO lever at 10⁹+
+  // vectors. A dim-D unit vector becomes m tinyint codes (one per
+  // D/m-dim subspace, ksub centroids each) — 64 doubles → 8 bytes at
+  // the defaults, a 64× scan-width reduction — and queries score
+  // candidates by ASYMMETRIC DISTANCE: cos(q, x) ≈ Σ_j ⟨q_j,
+  // c_{j,code_j(x)}⟩, a lookup-table sum that never touches the full
+  // vectors. Composed with the E3 coarse quantizer (IVF restricts the
+  // candidate lists, PQ scores them from codes — the IVF-PQ layout,
+  // without residual encoding, disclosed). Everything deterministic:
+  // stride init, fixed Lloyd rounds, no sampling.
+
+  /** −‖a − b‖²: HOF fold, sequential order (codebooks are tiny — this
+    * runs ksub× per subvector row only during train/encode). */
+  private def negSqDist(a: Column, b: Column): Column =
+    -aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, x) => acc + x)
+
+  private def dotHof(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  /** L2-normalize (zero-guarded); PQ trains and scores on unit vectors
+    * so ADC inner products ARE approximate cosines. */
+  private def unitV(v: Column): Column = {
+    val norm = sqrt(aggregate(transform(v, x => x * x),
+      lit(0.0), (acc, x) => acc + x))
+    transform(v, x => x / greatest(norm, lit(1e-12)))
+  }
+
+  /** (id, sub, sv): each vector exploded into its m subvectors. */
+  private def subFrame(vectors: DataFrame, m: Int, d: Int): DataFrame =
+    vectors
+      .select(col("id"), explode(sequence(lit(0), lit(m - 1))).as("sub"),
+        col("v"))
+      .select(col("id"), col("sub"),
+        slice(col("v"), col("sub") * lit(d) + lit(1), lit(d)).as("sv"))
+
+  /** Nearest sub-centroid: the E3 matrix-literal rule — the codebook
+    * rides as ONE array<struct<_1:sub,_2:cid,_3:cv>> literal (plan
+    * DATA, constant-size codegen), filtered per row to its subspace;
+    * ties break to the smallest cid via the (negdist, −cid) struct
+    * max. */
+  private def nearestSubCid(codebook: Array[(Int, Int, Seq[Double])],
+                            sv: Column, sub: Column): Column = {
+    val cands = filter(typedLit(codebook), e => e.getField("_1") === sub)
+    val best = array_max(transform(cands, e =>
+      struct(negSqDist(sv, e.getField("_3")).as("nd"),
+        (-e.getField("_2")).as("nc"))))
+    (-best.getField("nc")).cast("int")
+  }
+
+  /** Train the PQ codebook: deterministic stride init per subspace
+    * (the E3 pick — sub-centroid c = subvector of the vector at
+    * id = c·stride), then `lloydIters` distributed refits over ALL
+    * subspaces in one keyed frame (scalar-exploded means, the
+    * [[lloydRefine]] rule — no corpus-sized buffers). Clusters that
+    * lose every member keep their previous centroid. The codebook is
+    * m·ksub·(D/m) = ksub·D doubles — driver-resident by construction
+    * at any corpus size. Input must be (id dense-from-0, v UNIT). */
+  private[graft] def pqTrain(vectors: DataFrame, m: Int, ksub: Int,
+                             lloydIters: Int = 2,
+                             trainMod: Int = 1): Array[(Int, Int, Seq[Double])] = {
+    val d = vectors.select(size(col("v"))).limit(1).collect()(0).getInt(0)
+    require(d % m == 0, s"pqTrain: dim $d not divisible by m=$m")
+    val dSub = d / m
+    val train = if (trainMod <= 1) vectors
+      else vectors.filter(pmod(xxhash64(col("id")), lit(trainMod)) === 0)
+    val n = vectors.count()
+    require(n >= ksub, s"pqTrain: need at least ksub=$ksub vectors, got $n")
+    val stride = math.max(n / ksub, 1L)
+    var codebook = subFrame(vectors
+        .filter(col("id") % stride === 0 && col("id") < lit(stride * ksub)),
+        m, dSub)
+      .select(col("sub"), (col("id") / stride).cast("int").as("cid"), col("sv"))
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2)))
+      .sortBy(t => (t._1, t._2))
+    if (codebook.length < m * ksub) {
+      // sparse/offset ids: bounded ordered fallback (the E3 rule)
+      val first = vectors.orderBy(col("id")).limit(ksub)
+        .select(col("v")).collect().map(_.getSeq[Double](0))
+      codebook = (for { sub <- 0 until m; c <- 0 until ksub } yield
+        (sub, c, first(c).slice(sub * dSub, (sub + 1) * dSub))).toArray
+    }
+    val trainSub = subFrame(train, m, dSub)
+    for (_ <- 1 to lloydIters) {
+      val cb = codebook
+      val refit = trainSub
+        .select(col("sub"), nearestSubCid(cb, col("sv"), col("sub")).as("cid"),
+          col("sv"))
+        .select(col("sub"), col("cid"), posexplode(col("sv")).as(Seq("dim", "x")))
+        .groupBy(col("sub"), col("cid"), col("dim")).agg(avg(col("x")).as("mn"))
+        .groupBy(col("sub"), col("cid"))
+        .agg(array_sort(collect_list(struct(col("dim"), col("mn")))).as("dm"))
+        .select(col("sub"), col("cid"), expr("transform(dm, e -> e.mn)").as("cv"))
+        .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Double](2))
+        .toMap
+      codebook = codebook.map { case (sub, c, cv) =>
+        (sub, c, refit.getOrElse((sub, c), cv)) }
+    }
+    codebook
+  }
+
+  /** Encode: (id, codes array<tinyint>) — codes[j] = nearest
+    * sub-centroid of subvector j. 8·D bytes → m bytes per vector. */
+  private[graft] def pqCodes(vectors: DataFrame,
+                             codebook: Array[(Int, Int, Seq[Double])],
+                             m: Int): DataFrame = {
+    val d = codebook(0)._3.length
+    subFrame(vectors, m, d)
+      .select(col("id"), col("sub"),
+        nearestSubCid(codebook, col("sv"), col("sub")).as("cid"))
+      .groupBy(col("id"))
+      .agg(array_sort(collect_list(struct(col("sub"), col("cid")))).as("sc"))
+      .select(col("id"), expr("transform(sc, e -> CAST(e.cid AS TINYINT))").as("codes"))
+  }
+
+  /** E8 gate — IVF-PQ top-k with exact re-ranking (the FAISS refine
+    * layout): E3's coarse quantizer picks `nprobe` candidate lists per
+    * query; candidates are scored by ADC from their CODES (explode
+    * codes → equi-join the per-query LUT frame → one (q_id, vec_id)-
+    * keyed sum — full vectors never touched); the ADC top-`rerank`
+    * survivors per query are re-scored with the exact cosine and the
+    * final top-k returned. At 10⁹+ vectors this is the IO contract:
+    * the scan reads m-byte codes, full vectors load for only
+    * |q|·rerank rows. The LUT is |q|·m·ksub rows — broadcast by
+    * construction. Output (q_id, rank, neighbor, cos_sim); rows-gated
+    * (the ADC cut is float-order-sensitive at ties), recall-floored
+    * via [[eRecallGate]]'s e8 term. */
+  def e8PqIvf(s: SparkSession, dir: String, k: Int = 5, m: Int = 16,
+              ksub: Int = 16, nlist: Int = 16, nprobe: Int = 8,
+              lloydIters: Int = 2, rerank: Int = 50): DataFrame = {
+    val all = Tables.embeddings(s, dir)
+      .select(col("vec_id"), unitV(col("embedding").cast("array<double>")).as("v"))
+      .persist()
+    val n = all.count()
+    val d = all.select(size(col("v"))).limit(1).collect()(0).getInt(0)
+    val dSub = d / m
+    // coarse quantizer — the E3 stride-init + Lloyd + matrix-literal
+    // assignment, verbatim (unit vectors, so cosine ranking is dot)
+    val stride = math.max(n / nlist, 1L)
+    var centroids = all
+      .filter(col("vec_id") % stride === 0 && col("vec_id") < lit(stride * nlist))
+      .select((col("vec_id") / stride).cast("int").as("cid"), col("v").as("cv"))
+      .collect().map(r => r.getInt(0) -> r.getSeq[Double](1)).sortBy(_._1)
+    def nearestCid(v: Column): Column = {
+      val best = array_max(transform(typedLit(centroids), c =>
+        struct(cos(s, v, c.getField("_2")).as("c"),
+          (-c.getField("_1")).as("ncid"))))
+      (-best.getField("ncid")).cast("int")
+    }
+    for (_ <- 1 to lloydIters)
+      centroids = lloydRefine(all.select(nearestCid(col("v")).as("cid"), col("v")))
+        .collect().map(r => r.getInt(0) -> r.getSeq[Double](1)).sortBy(_._1)
+    val assigned = all.select(col("vec_id"), nearestCid(col("v")).as("cid"))
+    // PQ codebook + codes over the same unit vectors
+    val cb = pqTrain(all.select(col("vec_id").as("id"), col("v")), m, ksub,
+      lloydIters)
+    val codes = pqCodes(all.select(col("vec_id").as("id"), col("v")), cb, m)
+    // per-query LUT frame: ⟨q_j, c_{j,cid}⟩ for every (sub, cid)
+    val cbDf = s.createDataFrame(cb.toIndexedSeq).toDF("sub", "ccid", "cv")
+    val queries = all.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val qsub = queries
+      .select(col("q_id"), explode(sequence(lit(0), lit(m - 1))).as("sub"),
+        slice(col("qv"), col("sub") * lit(dSub) + lit(1), lit(dSub)).as("qsv"))
+    val lut = broadcast(qsub.join(cbDf, Seq("sub"))
+      .select(col("q_id"), col("sub"), col("ccid").as("cid"),
+        dotHof(col("qsv"), col("cv")).as("pdot")))
+    // probe lists per query (the E3 expression shape)
+    val probes = transform(typedLit(centroids), c =>
+      struct((-cos(s, col("qv"), c.getField("_2"))).as("negc"),
+        c.getField("_1").as("cid")))
+    val qProbes = broadcast(queries
+      .select(col("q_id"),
+        explode(slice(array_sort(probes), 1, nprobe)).as("p"))
+      .select(col("q_id"), col("p.cid").as("cid")))
+    val cand = qProbes.join(assigned, Seq("cid"))
+      .filter(col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("vec_id"))
+    // ADC: codes → (vec_id, sub, cid) rows, LUT equi-join, keyed sum
+    val codesEx = codes.select(col("id").as("vec_id"),
+      posexplode(col("codes")).as(Seq("sub", "code")))
+      .select(col("vec_id"), col("sub").cast("int").as("sub"),
+        col("code").cast("int").as("cid"))
+    val scored = cand.join(codesEx, Seq("vec_id"))
+      .join(lut, Seq("q_id", "sub", "cid"))
+      .groupBy(col("q_id"), col("vec_id"))
+      .agg(sum(col("pdot")).as("cos"))
+    // refine: exact cosine over the |q|·rerank ADC survivors only
+    val survivors = perQueryTopK(scored, "vec_id", rerank, "arank")
+      .select(col("q_id"), col("vec_id"))
+    val exactScored = survivors
+      .join(all, Seq("vec_id"))
+      .join(broadcast(queries), Seq("q_id"))
+      .withColumn("cos", cos(s, col("qv"), col("v")))
+      .select(col("q_id"), col("vec_id"), col("cos"))
+    val out = perQueryTopK(exactScored, "vec_id", k, "rank")
+      .select(col("q_id"), col("rank"), col("vec_id").as("neighbor"),
+        round(col("cos"), 4).as("cos_sim"))
+      .orderBy(col("q_id"), col("rank"))
+    graft.Borrow.reclaim(out, all)
+  }
+
+  /** IVF-PQ recall vs the exact E1 top-k (deterministic per SF). */
+  private[graft] def e8Recall(s: SparkSession, dir: String): Double = {
+    def pairSet(df: DataFrame): Set[(Long, Long)] =
+      df.select(col("q_id").cast("long"), col("neighbor").cast("long"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairSet(e1TopK(s, dir))
+    (exact & pairSet(e8PqIvf(s, dir))).size.toDouble / exact.size
   }
 
   /** knnGraph recall vs the exact top-k on the same deterministic
