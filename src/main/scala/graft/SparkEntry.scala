@@ -93,6 +93,7 @@ object SparkEntry {
     "p4_shards"    -> ((s, d) => Curation.packShards(s, d)),
     "p6_scale"     -> (Curation.p6Scale _),
     "p7_dsir"      -> (Curation.p7Dsir _), // r15: DSIR importance weights
+    "p8_ccnet"     -> (Curation.p8Ccnet _), // r16: CCNet-composed pass
     "p1_curate_sql" -> (Curation.p1CurateSql _),
     "e6_knn"       -> ((s, d) => Similarity.e6Knn(s, d)),
     "f4_fp_sql"    -> ((s, d) => TextAnalysis.f4FingerprintSql(s, d)),
@@ -1812,6 +1813,100 @@ object SparkEntry {
         |SELECT doc_id, floor(sum(llr) * 10000 + 0.5) / 10000 AS log_weight
         |FROM grams JOIN model USING (b)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // r16: the CCNet composition — langid (f3 closed form) + KN
+    // perplexity (the f11 CTEs verbatim) + value-level tercile
+    // thresholds + the p7 DSIR model, one decision row per doc
+    "p8_ccnet" ->
+      """WITH toks AS (SELECT doc_id,
+        |    list_concat([chr(1), chr(1)],
+        |      regexp_split_to_array(lower(trim(text)), '\s+')) AS a
+        |  FROM documents),
+        |pos AS (SELECT doc_id, a, i
+        |  FROM toks, UNNEST(generate_series(3, len(a))) AS t(i)),
+        |s AS (SELECT doc_id, a[i-2] || ' ' || a[i-1] AS c3, a[i-1] AS c2,
+        |      a[i-2] AS x3, a[i] AS w FROM pos),
+        |n3 AS (SELECT c3, w, CAST(count(*) AS DOUBLE) AS cnt3 FROM s GROUP BY 1,2),
+        |d3 AS (SELECT c3, CAST(count(*) AS DOUBLE) AS den3,
+        |       CAST(count(DISTINCT w) AS DOUBLE) AS fol3 FROM s GROUP BY 1),
+        |t3 AS (SELECT DISTINCT x3, c2, w FROM s),
+        |n2 AS (SELECT c2, w, CAST(count(*) AS DOUBLE) AS cnt2 FROM t3 GROUP BY 1,2),
+        |d2 AS (SELECT c2, CAST(count(*) AS DOUBLE) AS den2,
+        |       CAST(count(DISTINCT w) AS DOUBLE) AS fol2 FROM t3 GROUP BY 1),
+        |b2 AS (SELECT DISTINCT a[i-1] AS x, a[i] AS w FROM pos),
+        |n1 AS (SELECT w, CAST(count(*) AS DOUBLE) AS cnt1 FROM b2 GROUP BY 1),
+        |sc AS (SELECT CAST((SELECT count(*) FROM b2) AS DOUBLE) AS den1,
+        |              CAST((SELECT count(*) FROM n1) AS DOUBLE) AS v1,
+        |              CAST((SELECT count(DISTINCT w) FROM s) AS DOUBLE) AS v),
+        |q1 AS (SELECT s.doc_id, s.c3, s.c2, s.w,
+        |    greatest(coalesce(n1.cnt1, 0) - 0.75, 0) / sc.den1
+        |      + 0.75 * sc.v1 / sc.den1 * (1.0 / (sc.v + 1.0)) AS p1
+        |  FROM s LEFT JOIN n1 USING (w), sc),
+        |q2 AS (SELECT q1.doc_id, q1.c3, q1.w,
+        |    CASE WHEN d2.den2 IS NULL THEN p1
+        |         ELSE greatest(coalesce(n2.cnt2, 0) - 0.75, 0) / d2.den2
+        |              + 0.75 * d2.fol2 / d2.den2 * p1 END AS p2
+        |  FROM q1 LEFT JOIN n2 USING (c2, w) LEFT JOIN d2 USING (c2)),
+        |q3 AS (SELECT q2.doc_id,
+        |    CASE WHEN d3.den3 IS NULL THEN p2
+        |         ELSE greatest(coalesce(n3.cnt3, 0) - 0.75, 0) / d3.den3
+        |              + 0.75 * d3.fol3 / d3.den3 * p2 END AS p3
+        |  FROM q2 LEFT JOIN n3 USING (c3, w) LEFT JOIN d3 USING (c3)),
+        |ppl AS (SELECT doc_id,
+        |  floor(exp(-avg(ln(p3))) * 100 + 0.5) / 100 AS ppl
+        |  FROM q3 GROUP BY 1),
+        |lw AS (SELECT doc_id, string_split_regex(lower(trim(text)),'\s+') AS w
+        |  FROM documents),
+        |lid AS (SELECT doc_id,
+        |  len(list_filter(w, x->x='the')) AS en, len(list_filter(w, x->x='data')) AS de,
+        |  len(list_filter(w, x->x='spark')) AS es, len(list_filter(w, x->x='query')) AS fr,
+        |  len(list_filter(w, x->x='vector')) AS zh FROM lw),
+        |lp AS (SELECT doc_id,
+        |  CASE WHEN en=greatest(en,de,es,fr,zh) THEN 'en'
+        |       WHEN de=greatest(en,de,es,fr,zh) THEN 'de'
+        |       WHEN es=greatest(en,de,es,fr,zh) THEN 'es'
+        |       WHEN fr=greatest(en,de,es,fr,zh) THEN 'fr'
+        |       ELSE 'zh' END AS pred_lang,
+        |  CASE WHEN greatest(en,de,es,fr,zh) > 0 THEN 1 ELSE 0 END AS lang_known
+        |  FROM lid),
+        |dt AS (SELECT doc_id, lang,
+        |    regexp_split_to_array(lower(trim(text)), '\s+') AS a FROM documents),
+        |uni AS (SELECT doc_id, lang, a[i] AS g
+        |  FROM dt, UNNEST(generate_series(1, len(a))) AS t(i)),
+        |bi AS (SELECT doc_id, lang, a[i] || ' ' || a[i+1] AS g
+        |  FROM dt, UNNEST(generate_series(1, len(a) - 1)) AS t(i)),
+        |grams AS (SELECT doc_id, lang, substring(md5(g), 1, 2) AS b
+        |  FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)),
+        |rc AS (SELECT b, count(*) AS cr FROM grams GROUP BY 1),
+        |tc AS (SELECT b, count(*) AS ct FROM grams WHERE lang = 'en' GROUP BY 1),
+        |tot AS (SELECT (SELECT count(*) FROM grams) AS tr,
+        |               (SELECT count(*) FROM grams WHERE lang = 'en') AS tt),
+        |model AS (SELECT rc.b,
+        |    ln(coalesce(tc.ct, 0) + 1.0) - ln(tt + 256.0)
+        |    - ln(rc.cr + 1.0) + ln(tr + 256.0) AS llr
+        |  FROM rc LEFT JOIN tc ON rc.b = tc.b, tot),
+        |dsir AS (SELECT doc_id, floor(sum(llr) * 10000 + 0.5) / 10000 AS log_weight
+        |  FROM grams JOIN model USING (b) GROUP BY 1),
+        |j AS (SELECT lp.doc_id, lp.pred_lang, lp.lang_known, ppl.ppl,
+        |      dsir.log_weight
+        |  FROM lp JOIN ppl USING (doc_id) JOIN dsir USING (doc_id)),
+        |vals AS (SELECT pred_lang, ppl, count(*) AS c FROM j GROUP BY 1, 2),
+        |cum AS (SELECT pred_lang, ppl,
+        |    sum(c) OVER (PARTITION BY pred_lang ORDER BY ppl) AS cm,
+        |    sum(c) OVER (PARTITION BY pred_lang) AS n FROM vals),
+        |th AS (SELECT pred_lang,
+        |    min(CASE WHEN cm * 3 >= n THEN ppl END) AS t1,
+        |    min(CASE WHEN cm * 3 >= n * 2 THEN ppl END) AS t2
+        |  FROM cum GROUP BY 1)
+        |SELECT j.doc_id, j.pred_lang, j.ppl,
+        |  CASE WHEN j.ppl <= th.t1 THEN 'head'
+        |       WHEN j.ppl <= th.t2 THEN 'middle' ELSE 'tail' END AS ppl_bucket,
+        |  j.log_weight,
+        |  CAST(CASE WHEN j.lang_known = 0 THEN 0
+        |       WHEN j.ppl > th.t2 THEN 0 ELSE 1 END AS INT) AS keep,
+        |  CASE WHEN j.lang_known = 0 THEN 'lang_unknown'
+        |       WHEN j.ppl > th.t2 THEN 'ppl_tail' ELSE 'kept' END AS reason
+        |FROM j JOIN th USING (pred_lang)
+        |ORDER BY j.doc_id""".stripMargin,
     "p6_scale" ->
       """WITH s AS (SELECT
         |  CAST(min(l_quantity) AS DOUBLE) AS mn,

@@ -251,6 +251,72 @@ object Curation {
       .orderBy(col("doc_id"))
   }
 
+  /** P8 (r16) — the CCNet-composed curation pass (Wenzek et al. 2020):
+    * language-ID (F3's closed-form marker heuristic) → per-language
+    * perplexity bucketing under the F11 Kneser-Ney LM (head / middle /
+    * tail terciles — CCNet's actual quality signal) → the P7 DSIR
+    * log-weight riding along for downstream resampling. One decision
+    * row per document: drop reasons `lang_unknown` (no marker fired)
+    * then `ppl_tail` (worst tercile); everything else keeps.
+    *
+    * Bucketing is VALUE-threshold based (all docs sharing the boundary
+    * perplexity land in the same bucket — deterministic and
+    * partition-invariant): the tercile thresholds come from a
+    * VALUE-LEVEL cumulative count (group by (lang, rounded ppl), then
+    * a window over the distinct-value rows — the B43 H-index
+    * value-grouping trick), never a per-language window over the
+    * corpus (the low-cardinality-window trap); distinct rounded
+    * perplexities bound the window input at any corpus size. */
+  def p8Ccnet(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    // F3's marker heuristic, per doc (closed form, oracle-replayable)
+    val w = split(lower(trim(col("text"))), "\\s+")
+    def mk(m: String) = size(filter(w, x => x === m)).cast("long")
+    val en = mk("the"); val de = mk("data"); val es = mk("spark")
+    val fr = mk("query"); val zh = mk("vector")
+    val top = greatest(en, de, es, fr, zh)
+    val pred = when(en === top, "en").when(de === top, "de")
+      .when(es === top, "es").when(fr === top, "fr").otherwise("zh")
+    val lid = docs.select(col("doc_id"), pred.as("pred_lang"),
+      (top > 0).cast("int").as("lang_known"))
+    // F11 perplexity (corpus-trained KN, order 3 — the f11 recipe)
+    val ppl = graft.operators.TextAnalysis
+      .kneserNeyPerplexity(docs, docs, n = 3, discount = 0.75)
+      .select(col("doc_id"), Num.roundTies(col("ppl"), 2).as("ppl"))
+    // P7 DSIR log-weight (target = English subset, md5 buckets)
+    val llw = dsirLogWeights(docs, docs.filter(col("lang") === "en"),
+        buckets = 256, alpha = 1.0,
+        bucketOf = Some((g: Column) => substring(md5(g), 1, 2)))
+      .select(col("doc_id"), Num.roundTies(col("log_weight"), 4).as("log_weight"))
+    val joined = lid.join(ppl, Seq("doc_id")).join(llw, Seq("doc_id"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // per-language tercile thresholds from value-level cumulative
+    // counts: t1 = smallest ppl with cum ≥ ⌈n/3⌉, t2 with ⌈2n/3⌉
+    val vals = joined.groupBy(col("pred_lang"), col("ppl"))
+      .agg(count(lit(1)).as("c"))
+    val wl = Window.partitionBy(col("pred_lang")).orderBy(col("ppl"))
+    val wn = Window.partitionBy(col("pred_lang"))
+    val cum = vals.withColumn("cum", sum(col("c")).over(wl))
+      .withColumn("n", sum(col("c")).over(wn))
+    val th = cum.groupBy(col("pred_lang")).agg(
+      min(when(col("cum") * 3 >= col("n"), col("ppl"))).as("t1"),
+      min(when(col("cum") * 3 >= col("n") * 2, col("ppl"))).as("t2"))
+    val out = joined.join(broadcast(th), Seq("pred_lang"))
+      .withColumn("ppl_bucket",
+        when(col("ppl") <= col("t1"), "head")
+          .when(col("ppl") <= col("t2"), "middle").otherwise("tail"))
+      .withColumn("keep",
+        when(col("lang_known") === 0, 0)
+          .when(col("ppl_bucket") === "tail", 0).otherwise(1).cast("int"))
+      .withColumn("reason",
+        when(col("lang_known") === 0, "lang_unknown")
+          .when(col("ppl_bucket") === "tail", "ppl_tail").otherwise("kept"))
+      .select(col("doc_id"), col("pred_lang"), col("ppl"), col("ppl_bucket"),
+        col("log_weight"), col("keep"), col("reason"))
+      .orderBy(col("doc_id"))
+    graft.Borrow.reclaim(out, joined)
+  }
+
   /** P4 — token-budget shard packing: documents in doc_id order are
     * packed greedily into shards of ~`budget` whitespace tokens
     * (shard = exclusive-prefix-sum div budget — a document starting

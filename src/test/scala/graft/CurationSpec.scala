@@ -113,6 +113,52 @@ class CurationSpec extends SparkSpec {
     assert(s1 == s2 && s1.length == 3)
   }
 
+  test("p8 ccnet composition: buckets are per-language terciles by " +
+      "value threshold, reasons compose with precedence, signals match " +
+      "the standalone F11/P7 gates (r16)") {
+    import spark.implicits._
+    val out = Curation.p8Ccnet(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getDouble(2),
+        r.getString(3), r.getDouble(4), r.getInt(5), r.getString(6)))).toMap
+    assert(out.nonEmpty)
+    // composition contract: ppl column == the standalone f11 gate's
+    // ppl, log_weight == the standalone p7 gate's, doc for doc
+    val f11 = graft.operators.TextAnalysis.f11Ppl(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    val p7 = Curation.p7Dsir(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    out.foreach { case (id, (_, ppl, _, lw, _, _)) =>
+      assert(ppl == f11(id), s"doc $id ppl diverges from f11")
+      assert(lw == p7(id), s"doc $id log_weight diverges from p7")
+    }
+    // bucket semantics: within each predicted language, every head ppl
+    // ≤ every middle ppl ≤ every tail ppl, and heads are ≥ 1/3 − ties
+    out.values.groupBy(_._1).foreach { case (lang, rows) =>
+      val byBucket = rows.groupBy(_._3).view.mapValues(_.map(_._2)).toMap
+      val hMax = byBucket.get("head").map(_.max).getOrElse(Double.MinValue)
+      val mMax = byBucket.get("middle").map(_.max).getOrElse(hMax)
+      byBucket.get("middle").foreach(m => assert(m.min >= hMax || m.min == hMax,
+        s"$lang: middle below head max"))
+      byBucket.get("middle").foreach(m => assert(m.forall(_ >= hMax - 1e-9)))
+      byBucket.get("tail").foreach(t => assert(t.forall(_ >= mMax - 1e-9)))
+      // value-threshold rule: equal ppl ⇒ equal bucket
+      rows.groupBy(_._2).foreach { case (_, same) =>
+        assert(same.map(_._3).toSet.size == 1, s"$lang: tie split buckets")
+      }
+    }
+    // reasons: keep=1 ⟺ kept; tail docs dropped as ppl_tail
+    out.values.foreach { case (_, _, bucket, _, keep, reason) =>
+      if (reason == "kept") assert(keep == 1 && bucket != "tail")
+      if (reason == "ppl_tail") assert(keep == 0 && bucket == "tail")
+      if (reason == "lang_unknown") assert(keep == 0)
+    }
+    // deterministic rerun
+    val out2 = Curation.p8Ccnet(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getDouble(2),
+        r.getString(3), r.getDouble(4), r.getInt(5), r.getString(6)))).toMap
+    assert(out2 == out)
+  }
+
   test("scaleProperties: every scaler's closed form on a hand-checked column") {
     import spark.implicits._
     val df = Seq(1.0, 2.0, 3.0, 4.0).toDF("x")
