@@ -91,6 +91,7 @@ object SparkEntry {
     "p2_split"     -> (Curation.hashSplit _),
     "p3_sample"    -> ((s, d) => Curation.stratifiedSample(s, d)),
     "p4_shards"    -> ((s, d) => Curation.packShards(s, d)),
+    "p4_shards_bpe" -> ((s, d) => Curation.p4ShardsBpe(s, d)), // r16
     "p6_scale"     -> (Curation.p6Scale _),
     "p7_dsir"      -> (Curation.p7Dsir _), // r15: DSIR importance weights
     "p8_ccnet"     -> (Curation.p8Ccnet _), // r16: CCNet-composed pass
@@ -611,6 +612,37 @@ object SparkEntry {
        |  FROM w WHERE w <> '')
        |SELECT doc_id, CAST(sum(t) AS BIGINT) AS n_tokens
        |FROM t GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
+  /** r16: the f10 merge-chain counts COMPOSED with the p4 prefix-sum
+    * pack — tokenizer-true shard budgets, generated from the same
+    * merge table so the two sides cannot drift. */
+  private val p4ShardsBpeOracle: String = {
+    val enc =
+      "chr(1) || array_to_string(string_split(w, ''), chr(1)||chr(1)) || chr(1)"
+    val merged = graft.operators.TextAnalysis.f10Merges.foldLeft(enc) {
+      case (acc, (a, b)) =>
+        s"replace($acc, chr(1)||'$a'||chr(1)||chr(1)||'$b'||chr(1), " +
+          s"chr(1)||'$a$b'||chr(1))"
+    }
+    s"""WITH w AS (SELECT doc_id,
+       |    unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
+       |  FROM documents),
+       |bt AS (SELECT doc_id,
+       |    len(string_split($merged, chr(1)||chr(1))) AS t
+       |  FROM w WHERE w <> ''),
+       |t0 AS (SELECT doc_id, CAST(sum(t) AS BIGINT) AS n_tokens
+       |  FROM bt GROUP BY doc_id),
+       |t AS (SELECT d.doc_id, coalesce(t0.n_tokens, 0) AS n_tokens
+       |  FROM (SELECT doc_id FROM documents) d LEFT JOIN t0 USING (doc_id)),
+       |c AS (SELECT doc_id, n_tokens,
+       |  coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 2000 AS shard
+       |  FROM t)
+       |SELECT CAST(shard AS BIGINT) AS shard, count(*) AS n_docs,
+       | CAST(sum(n_tokens) AS BIGINT) AS shard_tokens,
+       | min(doc_id) AS first_doc, max(doc_id) AS last_doc
+       |FROM c GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
   private val modularityOracle: String =
@@ -2095,6 +2127,7 @@ object SparkEntry {
         |                    ELSE red0 END AS red
         |FROM luhn ORDER BY doc_id LIMIT 300""".stripMargin,
     "f10_bpe" -> f10BpeOracle,
+    "p4_shards_bpe" -> p4ShardsBpeOracle,
     // F11 (r15): interpolated Kneser-Ney trigram perplexity — the
     // oracle refits every count table (raw trigram counts, distinct-
     // type continuation counts, unigram scalars) and re-derives each

@@ -335,8 +335,32 @@ object Curation {
     * output cannot). */
   def packShards(s: SparkSession, dir: String, budget: Long = 2000L): DataFrame = {
     val toks = size(split(lower(trim(col("text"))), "\\s+")).cast("long")
-    val sorted = Tables.documents(s, dir)
-      .select(col("doc_id"), toks.as("n_tokens"))
+    packShardsFrom(s, Tables.documents(s, dir)
+      .select(col("doc_id"), toks.as("n_tokens")), budget)
+  }
+
+  /** P4bpe (r16) — TOKENIZER-TRUE shard packing: the P4 prefix-sum
+    * pack over F10's BPE token counts (the [[graft.operators
+    * .TextAnalysis.f10Merges]] table) instead of whitespace counts —
+    * the budget a training run actually meters. Docs whose text yields
+    * no BPE tokens pack at weight 0 (they still occupy their doc_id
+    * slot). Same two-pass distributed prefix sum; the oracle replays
+    * the per-word merge chain AND the pack. */
+  def p4ShardsBpe(s: SparkSession, dir: String, budget: Long = 2000L): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val counts = graft.operators.TextAnalysis
+      .bpeTokenCount(docs, graft.operators.TextAnalysis.f10Merges)
+    packShardsFrom(s, docs.select(col("doc_id"))
+      .join(counts, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("n_tokens"), lit(0L)).as("n_tokens")),
+      budget)
+  }
+
+  /** Shared P4 pack core over a (doc_id, n_tokens) frame (see
+    * [[packShards]] for the two-pass prefix-sum design notes). */
+  private def packShardsFrom(s: SparkSession, tokens: DataFrame,
+                             budget: Long): DataFrame = {
+    val sorted = tokens
       .repartitionByRange(col("doc_id"))
       .withColumn("pid", spark_partition_id())
       .persist()

@@ -113,6 +113,21 @@ class CurationSpec extends SparkSpec {
     assert(s1 == s2 && s1.length == 3)
   }
 
+  test("p4 bpe pack: shard totals are the F10 BPE counts, every doc " +
+      "packed once, differs from the whitespace budget (r16)") {
+    val bpe = Curation.p4ShardsBpe(spark, sf).collect()
+    val ws = Curation.packShards(spark, sf).collect()
+    val f10Total = graft.operators.TextAnalysis.f10Bpe(spark, sf)
+      .agg(org.apache.spark.sql.functions.sum("n_tokens")).collect()(0).getLong(0)
+    assert(bpe.map(_.getLong(2)).sum == f10Total,
+      "packed token mass must equal the BPE gate's total")
+    val nDocs = graft.Tables.documents(spark, sf).count()
+    assert(bpe.map(_.getLong(1)).sum == nDocs, "every doc packed exactly once")
+    // BPE counts exceed whitespace counts (subword splits), so the
+    // tokenizer-true pack needs more shards on the same corpus
+    assert(bpe.map(_.getLong(2)).sum > ws.map(_.getLong(2)).sum)
+  }
+
   test("p8 ccnet composition: buckets are per-language terciles by " +
       "value threshold, reasons compose with precedence, signals match " +
       "the standalone F11/P7 gates (r16)") {
