@@ -56,7 +56,14 @@ object Bench {
     // HOF splice), DSIR model fit + scoring, the KN trigram LM
     // (count tables + per-token probability joins), and node2vec
     // SGNS training (d-exploded dot/gradient joins × epochs)
-    "g_linkpred", "d8_apply", "p7_dsir", "f11_ppl", "g_node2vec_emb")
+    "g_linkpred", "d8_apply", "p7_dsir", "f11_ppl", "g_node2vec_emb",
+    // r16 additions: articleRank power iteration, the flat modularity
+    // move phase, the longest-path level DP, CN-weighted walk sampling
+    // (triangle join + static interval index), IVF-PQ (subspace Lloyd
+    // + ADC join + exact refine), and the CCNet composition (KN LM +
+    // langid + DSIR + tercile thresholds)
+    "g_articlerank", "g_modopt", "g_longestpath", "g_cnarw", "e8_pq",
+    "p8_ccnet")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -128,8 +135,17 @@ object Bench {
       val cores = Runtime.getRuntime.availableProcessors()
       val load = slurp("/proc/loadavg").split("\\s+").headOption.getOrElse("-1")
       val memGb = Runtime.getRuntime.maxMemory() / (1024L * 1024 * 1024)
+      // r16 (verdict task 10): `loaded` flags a noisy run so
+      // cross-round tables can auto-exclude it instead of adjudicating
+      // in prose — true when the box already carried more than
+      // cores/4 runnable tasks BEFORE the warmup pass (r15 ran at
+      // loadavg 6.85 on 32 cores and the verdict spent a paragraph on
+      // it). SURVEY §8 documents the convention.
+      val loaded =
+        try loadAtStart.toDouble > cores / 4.0 catch { case _: Throwable => false }
       s"""{"cpuModelHash":"${Integer.toHexString(model.hashCode)}","cores":$cores,""" +
-        s""""loadavgAtStart":$loadAtStart,"loadavgAtEnd":$load,"heapGb":$memGb}"""
+        s""""loadavgAtStart":$loadAtStart,"loadavgAtEnd":$load,"heapGb":$memGb,""" +
+        s""""loaded":$loaded}"""
     }
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","host":$host}"""
