@@ -79,6 +79,12 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Exchange SinglePartition"), p)
   }
 
+  test("P4bpe r16: the tokenizer-true pack keeps the two-pass prefix-sum " +
+      "shape (no single-partition funnel)") {
+    val p = plan(graft.operators.Curation.p4ShardsBpe(spark, sf))
+    assert(!p.contains("Exchange SinglePartition"), p)
+  }
+
   test("C12: percentile rank windows partition on (pid, group), never group alone") {
     // a Window.partitionBy(l_returnflag) would sort the whole table
     // through ~|groups| tasks; the distributed-rank formulation windows
