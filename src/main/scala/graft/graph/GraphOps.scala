@@ -321,10 +321,20 @@ object GraphOps {
     * — the avg is a single scalar folded as a literal, so the 100 TB
     * plan is exactly pageRank's. Returns (id, rank). */
   def articleRank(edges: DataFrame, iters: Int = 10,
-                  damping: Double = 0.85): DataFrame = {
+                  damping: Double = 0.85,
+                  localFinishEdges: Long = 250000L): DataFrame = {
     val spark = edges.sparkSession
     val e = edges.select(col("src"), col("dst")).distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // bounded local finisher (the pageRank rule — below the gate the
+    // power iteration is pure AQE scheduling overhead distributed)
+    if (LocalGraph.equatableId(e.schema("src").dataType) &&
+        e.count() <= localFinishEdges) {
+      val idType = e.schema("src").dataType
+      val pairs = e.collect().map(r => (r.get(0), r.get(1)))
+      e.unpersist()
+      return LocalGraph.articleRank(spark, pairs, iters, damping, idType)
+    }
     val vertices = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id")))
       .distinct().persist(StorageLevel.MEMORY_AND_DISK)

@@ -61,6 +61,35 @@ private[graft] object LocalGraph {
   private def frame(spark: SparkSession, rows: Seq[Row], fields: StructField*): DataFrame =
     spark.createDataFrame(rows.asJava, StructType(fields))
 
+  /** [[GraphOps.articleRank]] mirror (r16): the pageRank iteration
+    * with contributions divided by `deg(u) + avgOutDeg`
+    * (avg = |pairs|/|V| — pairs are the distinct edge set, exactly the
+    * distributed scalar). Deterministic summation in dense-id order;
+    * agrees with the distributed path within float-sum tolerance
+    * (spec-pinned, the pageRank rule). */
+  def articleRank(spark: SparkSession, pairs: Array[(Any, Any)], iters: Int,
+                  damping: Double, idType: DataType): DataFrame = {
+    val g = new Dense(pairs)
+    val avg = pairs.length.toDouble / g.n
+    var rank = Array.fill(g.n)(1.0)
+    for (_ <- 1 to iters) {
+      val msum = new Array[Double](g.n)
+      var u = 0
+      while (u < g.n) {
+        val out = g.adj(u)
+        if (out.nonEmpty) {
+          val c = rank(u) / (out.length + avg)
+          var j = 0
+          while (j < out.length) { msum(out(j)) += c; j += 1 }
+        }
+        u += 1
+      }
+      rank = Array.tabulate(g.n)(v => (1 - damping) + damping * msum(v))
+    }
+    frame(spark, (0 until g.n).map(v => Row(g.ids(v), rank(v))),
+      StructField("id", idType), StructField("rank", DoubleType))
+  }
+
   /** [[GraphOps.pageRank]] mirror: iters rounds of
     * rank = (1−d) + d·Σ rank(u)/deg(u); dangling vertices receive
     * (1−d) (the distributed left-join/coalesce). Deterministic

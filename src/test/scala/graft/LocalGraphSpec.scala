@@ -41,6 +41,20 @@ class LocalGraphSpec extends SparkSpec {
     }
   }
 
+  test("articleRank: local ≡ distributed after rounding, on random + star " +
+      "graphs (r16)") {
+    for (edges <- Seq(randomEdges(60, 7),
+        Seq(("hub", "a"), ("hub", "b"), ("a", "hub"), ("b", "hub")).toDF("src", "dst"))) {
+      val local = GraphOps.articleRank(edges, iters = 8)
+      val dist = GraphOps.articleRank(edges, iters = 8, localFinishEdges = 0L)
+      val j = local.select(col("id"), col("rank").as("lr"))
+        .join(dist.select(col("id"), col("rank").as("dr")), Seq("id"), "full_outer")
+      assert(j.filter(col("lr").isNull || col("dr").isNull).count() == 0)
+      val maxDiff = j.agg(max(abs(col("lr") - col("dr")))).collect()(0).getDouble(0)
+      assert(maxDiff < 1e-9, s"articleRank local vs distributed drift: $maxDiff")
+    }
+  }
+
   test("bfsDistancesFrom: bitwise equal (root, id, dist) sets; off-graph sources keep self rows") {
     val edges = GraphOps.undirected(randomEdges(50, 11))
     val roots = (Seq("v:0", "v:7", "v:13") :+ "ghost").toDF("id")
