@@ -4028,7 +4028,9 @@ object GraphOps {
     * the shortest-path min rule). Cycles are loud (`requireDag`).
     * Returns (id, dist, path): dist 0.0 and path = id for sources. */
   def dagLongestPath(edges: DataFrame, weightCol: Option[String] = None,
-                     maxIter: Int = 50): DataFrame = {
+                     maxIter: Int = 50,
+                     localFinishEdges: Long = 250000L): DataFrame = {
+    val spark = edges.sparkSession
     val e0 = weightCol match {
       case Some(wc) => edges.select(col("src").cast("string").as("src"),
         col("dst").cast("string").as("dst"), col(wc).cast("double").as("w"))
@@ -4037,6 +4039,15 @@ object GraphOps {
     }
     val e = e0.groupBy(col("src"), col("dst")).agg(max(col("w")).as("w"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // bounded local finisher: each dist is built by the SAME sequential
+    // additions along the SAME tie-broken path on either engine, so
+    // local ≡ distributed BITWISE (unlike the float-SUM operators) —
+    // spec-pinned on fixtures and a seeded random DAG
+    if (e.count() <= localFinishEdges) {
+      val rows = e.collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
+      e.unpersist()
+      return localDagLongestPath(spark, rows, maxIter)
+    }
     val lv = topologicalSort(e, maxIter, requireDag = true)
     val maxLvlRow = lv.agg(max(col("level"))).collect()(0)
     if (maxLvlRow.isNullAt(0)) {
@@ -4064,6 +4075,57 @@ object GraphOps {
       l += 1
     }
     graft.Borrow.reclaim(settled, e)
+  }
+
+  /** Driver-side mirror of [[dagLongestPath]]: Kahn order + the same
+    * DP and (max dist, lex-min path) tie-break; cycles and
+    * depth > maxIter stay loud with the distributed path's classes. */
+  private def localDagLongestPath(spark: org.apache.spark.sql.SparkSession,
+      rows: Array[(String, String, Double)], maxIter: Int): DataFrame = {
+    import scala.collection.mutable
+    val adj = mutable.HashMap.empty[String, mutable.ArrayBuffer[(String, Double)]]
+    val indeg = mutable.HashMap.empty[String, Int]
+    val verts = mutable.LinkedHashSet.empty[String]
+    rows.foreach { case (u, v, w) =>
+      adj.getOrElseUpdate(u, mutable.ArrayBuffer.empty) += ((v, w))
+      indeg(v) = indeg.getOrElse(v, 0) + 1
+      indeg.getOrElseUpdate(u, indeg.getOrElse(u, 0))
+      verts += u; verts += v
+    }
+    val dist = mutable.HashMap.empty[String, Double]
+    val path = mutable.HashMap.empty[String, String]
+    val level = mutable.HashMap.empty[String, Int]
+    val queue = mutable.Queue.empty[String]
+    verts.foreach { v =>
+      if (indeg.getOrElse(v, 0) == 0) {
+        dist(v) = 0.0; path(v) = v; level(v) = 0; queue += v
+      }
+    }
+    var processed = 0
+    while (queue.nonEmpty) {
+      val u = queue.dequeue(); processed += 1
+      require(level(u) < maxIter,
+        s"dagLongestPath: depth exceeds maxIter=$maxIter — raise maxIter")
+      adj.get(u).foreach(_.foreach { case (v, w) =>
+        val cand = dist(u) + w
+        val cpath = path(u) + ">" + v
+        val better = !dist.contains(v) || cand > dist(v) ||
+          (cand == dist(v) && cpath < path(v))
+        if (better) { dist(v) = cand; path(v) = cpath }
+        level(v) = math.max(level.getOrElse(v, 0), level(u) + 1)
+        indeg(v) -= 1
+        if (indeg(v) == 0) queue += v
+      })
+    }
+    require(processed == verts.size,
+      s"dagLongestPath: ${verts.size - processed} vertices sit on or " +
+        "downstream of a cycle")
+    import org.apache.spark.sql.types.{DoubleType, StringType, StructField, StructType}
+    spark.createDataFrame(
+      verts.toSeq.sorted.map(v =>
+        org.apache.spark.sql.Row(v, dist(v), path(v))).asJava,
+      StructType(Seq(StructField("id", StringType),
+        StructField("dist", DoubleType), StructField("path", StringType))))
   }
 
   /** In/out/total degree per vertex. */

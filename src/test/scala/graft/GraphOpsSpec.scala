@@ -333,10 +333,28 @@ class GraphOpsSpec extends SparkSpec {
     assert(gw("b") == ((3.0, "s>b")))
     assert(gw("t") == ((4.0, "s>a>t")))
     assert(gw("u") == ((6.0, "s>a>t>u")))
-    // cycles are loud, empty graph is empty
+    // cycles are loud on BOTH paths, empty graph is empty
     intercept[IllegalArgumentException](
       GraphOps.dagLongestPath(edgeDf("x" -> "y", "y" -> "x")).collect())
+    intercept[IllegalArgumentException](
+      GraphOps.dagLongestPath(edgeDf("x" -> "y", "y" -> "x"),
+        localFinishEdges = 0L).collect())
     assert(GraphOps.dagLongestPath(edgeDf()).isEmpty)
+    // local ≡ forced-distributed BITWISE (each dist is the same
+    // sequential additions along the same tie-broken path), on the
+    // fixtures and a seeded random layered DAG
+    def rowsOf(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getDouble(1), r.getString(2))).toSet
+    val rnd = new scala.util.Random(777)
+    val layers = (0 until 5).map(l => (0 until 6).map(i => s"L$l-$i"))
+    val rndPairs = for { l <- 0 until 4; i <- 0 until 6; j <- 0 until 6
+      if rnd.nextDouble() < 0.3 } yield (layers(l)(i), layers(l + 1)(j), (rnd.nextInt(5) + 1).toLong)
+    val rdag = rndPairs.toDF("src", "dst", "w")
+    for ((g, wc) <- Seq((e, None), (ew, Some("w")), (rdag, Some("w")))) {
+      assert(rowsOf(GraphOps.dagLongestPath(g, weightCol = wc)) ==
+        rowsOf(GraphOps.dagLongestPath(g, weightCol = wc, localFinishEdges = 0L)),
+        "local/distributed divergence")
+    }
   }
 
   test("articleRank: hand-computed 2-iteration values; regular graphs " +
