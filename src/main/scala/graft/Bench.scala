@@ -63,7 +63,7 @@ object Bench {
     // + ADC join + exact refine), and the CCNet composition (KN LM +
     // langid + DSIR + tercile thresholds)
     "g_articlerank", "g_modopt", "g_longestpath", "g_cnarw", "e8_pq",
-    "p8_ccnet")
+    "p8_ccnet", "p9_pack")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -95,6 +95,7 @@ object SparkEntry {
     "p6_scale"     -> (Curation.p6Scale _),
     "p7_dsir"      -> (Curation.p7Dsir _), // r15: DSIR importance weights
     "p8_ccnet"     -> (Curation.p8Ccnet _), // r16: CCNet-composed pass
+    "p9_pack"      -> ((s, d) => Curation.packSequences(s, d)), // r16
     "p1_curate_sql" -> (Curation.p1CurateSql _),
     "e6_knn"       -> ((s, d) => Similarity.e6Knn(s, d)),
     "f4_fp_sql"    -> ((s, d) => TextAnalysis.f4FingerprintSql(s, d)),
@@ -2128,6 +2129,24 @@ object SparkEntry {
         |FROM luhn ORDER BY doc_id LIMIT 300""".stripMargin,
     "f10_bpe" -> f10BpeOracle,
     "p4_shards_bpe" -> p4ShardsBpeOracle,
+    // r16 P9: fixed-length sequence packing — the same exclusive
+    // prefix sum, each doc's token interval split at seqLen multiples
+    "p9_pack" ->
+      """WITH t AS (SELECT doc_id,
+        |  CAST(len(string_split_regex(lower(trim(text)),'\s+')) AS BIGINT) AS n
+        |  FROM documents),
+        |c AS (SELECT doc_id, n,
+        |  CAST(coalesce(sum(n) OVER (ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum
+        |  FROM t),
+        |spans AS (SELECT doc_id, n, cum, seq_id
+        |  FROM c, UNNEST(generate_series(cum // 512, (cum + n - 1) // 512)) AS u(seq_id)
+        |  WHERE n > 0)
+        |SELECT doc_id, CAST(seq_id AS BIGINT) AS seq_id,
+        |  CAST(greatest(cum, seq_id * 512) - cum AS BIGINT) AS doc_offset,
+        |  CAST(greatest(cum, seq_id * 512) - seq_id * 512 AS BIGINT) AS seq_offset,
+        |  CAST(least(cum + n, (seq_id + 1) * 512) - greatest(cum, seq_id * 512) AS BIGINT) AS len
+        |FROM spans ORDER BY doc_id, seq_id""".stripMargin,
     // F11 (r15): interpolated Kneser-Ney trigram perplexity — the
     // oracle refits every count table (raw trigram counts, distinct-
     // type continuation counts, unigram scalars) and re-derives each

@@ -358,8 +358,20 @@ object Curation {
 
   /** Shared P4 pack core over a (doc_id, n_tokens) frame (see
     * [[packShards]] for the two-pass prefix-sum design notes). */
-  private def packShardsFrom(s: SparkSession, tokens: DataFrame,
-                             budget: Long): DataFrame = {
+  /** The P4 two-pass distributed exclusive prefix sum over a
+    * (doc_id, n_tokens) frame: returns a PERSISTED (doc_id, n_tokens,
+    * cum_excl) frame — caller must unpersist. Partitioning-invariant
+    * (the prefix sum is a pure function of doc_id order). */
+  /** The P4 two-pass distributed exclusive prefix sum over a
+    * (doc_id, n_tokens) frame. Returns (derived, cache): `derived`
+    * carries (doc_id, n_tokens, cum_excl); `cache` is the persisted
+    * repartitioned frame the pid→offset map was computed against —
+    * the caller unpersists it AFTER materializing its result (pids
+    * must not be recomputed under a different range sampling). The
+    * prefix sum itself is a pure function of doc_id order, so the
+    * OUTPUT is partitioning-invariant. */
+  private def prefixSums(s: SparkSession,
+                         tokens: DataFrame): (DataFrame, DataFrame) = {
     val sorted = tokens
       .repartitionByRange(col("doc_id"))
       .withColumn("pid", spark_partition_id())
@@ -371,9 +383,16 @@ object Curation {
     val offDf = broadcast(s.createDataFrame(offsets.toSeq).toDF("pid", "offset"))
     val w = Window.partitionBy(col("pid")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val out = sorted.join(offDf, Seq("pid"))
+    val derived = sorted.join(offDf, Seq("pid"))
       .withColumn("cum_excl",
         col("offset") + coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+    (derived, sorted)
+  }
+
+  private def packShardsFrom(s: SparkSession, tokens: DataFrame,
+                             budget: Long): DataFrame = {
+    val (sums, cache) = prefixSums(s, tokens)
+    val out = sums
       .withColumn("shard", (col("cum_excl") / budget).cast("long"))
       .groupBy(col("shard"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("shard_tokens"),
@@ -381,7 +400,51 @@ object Curation {
       .orderBy(col("shard"))
       .persist()
     out.count()
-    sorted.unpersist()
+    cache.unpersist()
+    out
+  }
+
+  /** P9 (r16) — FIXED-LENGTH SEQUENCE PACKING: the layout an LLM
+    * pretraining loader actually consumes — the concatenated token
+    * stream (doc_id order) chopped into length-`seqLen` sequences,
+    * with documents SPLITTING across sequence boundaries (sample
+    * packing; the remainder carries into the next sequence). Output
+    * is one SPAN per (document × sequence it touches): (doc_id,
+    * seq_id, doc_offset, seq_offset, len) — exactly the index a
+    * packed-batch reader needs to place each document slice.
+    *
+    * Shape: the P4 two-pass prefix sum gives each doc its global
+    * token interval [cum, cum+n); its spans are the interval split at
+    * seqLen multiples — an explode over sequence(firstSeq, lastSeq),
+    * ≤ ⌈n/seqLen⌉+1 rows per doc (linear in tokens/seqLen, never
+    * corpus-quadratic); every token lands in exactly one span by
+    * construction. Zero-token docs emit no span. The whole layout is
+    * a pure function of doc_id order — partitioning-invariant,
+    * DuckDB-replayable in closed form. */
+  def packSequences(s: SparkSession, dir: String,
+                    seqLen: Long = 512L): DataFrame = {
+    require(seqLen >= 1, s"packSequences: seqLen >= 1, got $seqLen")
+    val toks = size(split(lower(trim(col("text"))), "\\s+")).cast("long")
+    val (sums, cache) = prefixSums(s, Tables.documents(s, dir)
+      .select(col("doc_id"), toks.as("n_tokens")))
+    val out = sums.filter(col("n_tokens") > 0)
+      .withColumn("first_seq", (col("cum_excl") / seqLen).cast("long"))
+      .withColumn("last_seq",
+        ((col("cum_excl") + col("n_tokens") - 1) / seqLen).cast("long"))
+      .select(col("doc_id"), col("n_tokens"), col("cum_excl"),
+        explode(sequence(col("first_seq"), col("last_seq"))).as("seq_id"))
+      .withColumn("start_tok",
+        greatest(col("cum_excl"), col("seq_id") * seqLen))
+      .withColumn("end_tok",
+        least(col("cum_excl") + col("n_tokens"), (col("seq_id") + 1) * seqLen))
+      .select(col("doc_id"), col("seq_id"),
+        (col("start_tok") - col("cum_excl")).as("doc_offset"),
+        (col("start_tok") - col("seq_id") * seqLen).as("seq_offset"),
+        (col("end_tok") - col("start_tok")).as("len"))
+      .orderBy(col("doc_id"), col("seq_id"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    cache.unpersist()
     out
   }
 

@@ -128,6 +128,52 @@ class CurationSpec extends SparkSpec {
     assert(bpe.map(_.getLong(2)).sum > ws.map(_.getLong(2)).sum)
   }
 
+  test("p9 sequence packing: every token in exactly one span, sequences " +
+      "fill to seqLen, docs split across boundaries, deterministic (r16)") {
+    val out = Curation.packSequences(spark, sf, seqLen = 512L).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(out.nonEmpty)
+    // token-mass conservation: Σ len == Σ per-doc whitespace tokens
+    val totalTokens = graft.Tables.documents(spark, sf)
+      .select(org.apache.spark.sql.functions.size(
+        split(lower(trim(col("text"))), "\\s+")).cast("long").as("n"))
+      .agg(org.apache.spark.sql.functions.sum("n")).collect()(0).getLong(0)
+    assert(out.map(_._5).sum == totalTokens)
+    // per-document coverage: spans tile [0, n) contiguously
+    out.groupBy(_._1).foreach { case (_, spans) =>
+      val sorted = spans.sortBy(_._2)
+      assert(sorted.head._3 == 0L, "first span starts at doc_offset 0")
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a._3 + a._5 == b._3, "doc spans contiguous")
+          assert(b._2 == a._2 + 1, "split docs touch consecutive sequences")
+        case _ => ()
+      }
+    }
+    // per-sequence fill: every sequence except the last holds exactly
+    // seqLen tokens, tiled contiguously from offset 0
+    val bySeq = out.groupBy(_._2)
+    val lastSeq = bySeq.keys.max
+    bySeq.foreach { case (seq, spans) =>
+      val sorted = spans.sortBy(_._4)
+      assert(sorted.head._4 == 0L, s"seq $seq starts at offset 0")
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(a._4 + a._5 == b._4, s"seq $seq gap")
+        case _ => ()
+      }
+      val fill = sorted.map(_._5).sum
+      if (seq != lastSeq) assert(fill == 512L, s"seq $seq holds $fill")
+      else assert(fill > 0 && fill <= 512L)
+    }
+    // a doc longer than seqLen splits into > 1 span
+    assert(out.groupBy(_._1).exists(_._2.length > 1) ||
+      totalTokens <= 512L)
+    // deterministic rerun
+    val out2 = Curation.packSequences(spark, sf, seqLen = 512L).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(out2.toSeq == out.toSeq)
+  }
+
   test("p8 ccnet composition: buckets are per-language terciles by " +
       "value threshold, reasons compose with precedence, signals match " +
       "the standalone F11/P7 gates (r16)") {
