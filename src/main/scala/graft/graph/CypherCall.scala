@@ -526,6 +526,43 @@ object CypherCall {
         if (out.columns.contains("sameCommunity")) out
         else out.withColumn("sameCommunity", lit(null).cast("long"))
       }),
+    // r17: gds.similarity.* function spellings — GDS spells cosine /
+    // euclidean / pearson as per-pair Cypher FUNCTIONS over two vector
+    // properties; the set-returning proc here streams every unordered
+    // pair of property-bearing nodes with all four measures at once
+    // (the linkprediction-function precedent — YIELD narrows to the
+    // measure, the per-metric spellings alias here). Vectors parse
+    // from the props map as comma-separated numbers; the input is
+    // required BOUNDED (pairCap, loud) — corpus-scale similarity is
+    // the knn/E-suite's job.
+    "similarity" -> Proc(
+      Seq("node1", "node2", "cosine", "euclidean", "euclideanDistance",
+        "pearson"),
+      Set("nodeProperty", "pairCap"),
+      (n, ed, cfg) => {
+        val p = cfg.str("nodeProperty").getOrElse(
+          throw new IllegalArgumentException(
+            "graft.similarity: config key 'nodeProperty' is required"))
+        require(n.columns.contains("props"),
+          "graft.similarity: nodeProperty needs a 'props' column on the " +
+            "node frame")
+        val vecs = n
+          .select(col("id").cast("string").as("id"),
+            element_at(col("props"), p).as("s"))
+          .filter(col("s").isNotNull)
+          .select(col("id"),
+            // try_cast: ANSI mode would throw mid-fold on a malformed
+            // entry; nulling it lets the probe below name the property
+            transform(split(col("s"), ","), x => x.try_cast("double")).as("v"))
+        // loud, not silent: a non-numeric entry would null-poison every
+        // fold the measures run (one limit-1 probe)
+        require(vecs.filter(exists(col("v"), x => x.isNull))
+            .limit(1).count() == 0,
+          s"graft.similarity: nodeProperty '$p' has a non-numeric entry " +
+            "on at least one node")
+        graft.operators.Similarity.pairwiseMetrics(vecs,
+          cfg.int("pairCap", 10000).toLong)
+      }),
     "triangleCount" -> Proc(Seq("id", "triangles"), Set.empty,
       (n, ed, cfg) =>
         GraphOps.triangles(selectEdges(n, ed, cfg))
@@ -1114,6 +1151,63 @@ object CypherCall {
           weights = ws,
           seed = cfg.int("randomSeed", 42).toLong,
           nodes = Some(n.select(col("id"))))
+      }),
+    // r17: gds.beta.graphSage — inductive property-aware embeddings
+    // (B53). GDS splits train (model catalog) from stream; this engine
+    // binds the graph at run() and keeps no catalog (the J7
+    // divergence), so the proc trains AND streams in one call —
+    // `graphSage.train`/`.stream` spellings both land here. Features
+    // come from `featureProperties` (props-map keys, numeric, loud on
+    // null) and/or `degreeAsProperty`; `sampleSizes` sets the LAYER
+    // COUNT only (aggregation is full-neighborhood — deterministic
+    // full-batch, no sampling; disclosed like the node2vec negative
+    // table). Only the mean aggregator / relu activation exist —
+    // other spellings fail loudly rather than silently approximating.
+    "graphSage" -> Proc(Seq("id", "embedding"),
+      Set("featureProperties", "degreeAsProperty", "embeddingDimension",
+        "sampleSizes", "epochs", "learningRate", "searchDepth",
+        "negativeSamplingRate", "aggregator", "activationFunction",
+        "randomSeed"),
+      (n, ed, cfg) => {
+        cfg.str("aggregator").foreach(a => require(a.toLowerCase == "mean",
+          s"graft.graphSage: only the 'mean' aggregator is implemented, got '$a'"))
+        cfg.str("activationFunction").foreach(a =>
+          require(a.toLowerCase == "relu",
+            s"graft.graphSage: only the 'relu' activation is implemented, got '$a'"))
+        val e = selectEdges(n, ed, cfg)
+        val props = cfg.strs("featureProperties").getOrElse(Seq.empty)
+        val useDeg = cfg.bool("degreeAsProperty", false)
+        require(props.nonEmpty || useDeg,
+          "graft.graphSage: featureProperties (or degreeAsProperty: true) " +
+            "is required — GraphSAGE is a node-property embedding")
+        val perId = n.select(col("id").cast("string").as("id") +: props.map(p =>
+            element_at(col("props"), p).try_cast("double").as(p)): _*)
+          .groupBy(col("id"))
+          .agg(count(lit(1)).as("__n"),
+            props.map(p => min(col(p)).as(p)): _*)
+          .drop("__n")
+        props.foreach(p => require(
+          perId.join(allVertices(e).select(col("id").cast("string").as("id")),
+              Seq("id"), "left_semi")
+            .filter(col(p).isNull).limit(1).count() == 0,
+          s"graft.graphSage: featureProperty '$p' is missing or " +
+            "non-numeric on at least one node"))
+        val withDeg = if (!useDeg) perId
+          else perId.join(
+            e.select(col("src").as("id")).unionAll(e.select(col("dst").as("id")))
+              .groupBy(col("id")).agg(count(lit(1)).cast("double").as("__deg")),
+            Seq("id"), "left")
+            .withColumn("__deg", coalesce(col("__deg"), lit(0.0)))
+        val featCols = props.map(col) ++ (if (useDeg) Seq(col("__deg")) else Nil)
+        val feat = withDeg.select(col("id"), array(featCols: _*).as("feat"))
+        GraphSage.embeddings(e, feat,
+          hiddenDim = cfg.int("embeddingDimension", 16),
+          layers = cfg.dbls("sampleSizes").map(_.length).getOrElse(2),
+          epochs = cfg.int("epochs", 5),
+          learningRate = cfg.dbl("learningRate", 0.05),
+          walkLength = cfg.int("searchDepth", 5),
+          negativeSamples = cfg.int("negativeSamplingRate", 2),
+          seed = cfg.int("randomSeed", 42).toLong)
       }))
 
   // ------------------------------------------------------------------ run
@@ -1182,7 +1276,17 @@ object CypherCall {
     "linkprediction.preferentialAttachment" -> "linkprediction",
     // r16: the two remaining alpha linkprediction function spellings
     "linkprediction.totalNeighbors" -> "linkprediction",
-    "linkprediction.sameCommunity" -> "linkprediction")
+    "linkprediction.sameCommunity" -> "linkprediction",
+    // r17: the gds.similarity.* per-metric function spellings land on
+    // the one streaming proc; YIELD narrows to the measure
+    "similarity.cosine" -> "similarity",
+    "similarity.euclidean" -> "similarity",
+    "similarity.euclideanDistance" -> "similarity",
+    "similarity.pearson" -> "similarity",
+    // r17: graphSage's train spelling (the .stream suffix strips
+    // before aliasing, so both GDS modes land on the one stateless
+    // proc — see the graphSage registry comment)
+    "graphSage.train" -> "graphSage")
 
   def run(nodes: DataFrame, edges: DataFrame, cypher: String): DataFrame = {
     val text = CypherLite.normalizeWs(cypher)

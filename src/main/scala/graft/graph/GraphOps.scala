@@ -3347,10 +3347,14 @@ object GraphOps {
     * (the B29 pattern — no single-task hub window); each step is ONE
     * frontier×index equi-join (the rank filter keeps one row per
     * walker) plus one distinct-union into the severed visited frame;
-    * the stop check is one count per step, bounded by `maxSteps` and
-    * LOUD on exhaustion — a start set whose component holds fewer
-    * than ratio·|V| vertices can never finish, and silence would ship
-    * an undersized sample. Walkers never die: sinks restart.
+    * the stop check is one count per 4-step batch (r17 — steps chain
+    * lazily inside a batch and first-visit stamps reconstruct the
+    * EXACT per-step stop, so the sample is identical to a per-step
+    * probe at a quarter of the driver scheduling), bounded by
+    * `maxSteps` and LOUD on exhaustion — a start set whose component
+    * holds fewer than ratio·|V| vertices can never finish, and silence
+    * would ship an undersized sample. Walkers never die: sinks
+    * restart.
     *
     * Returns the sampled edges (src, dst) ⊆ the input edge set. */
   def sampleRwr(edges: DataFrame, samplingRatio: Double = 0.15,
@@ -3409,25 +3413,43 @@ object GraphOps {
         explode(sequence(lit(0), lit(walkersPerStart - 1))).as("wi"))
       .select(concat(col("start"), lit("#"), col("wi")).as("wid"),
         col("start"), col("start").as("cur")))
-    var visited = graft.Borrow.severLazy(starts.select(col("id")))
+    // visited carries (id, fs = FIRST step that reached it) so the
+    // batched probe below can reconstruct the exact per-step stop
+    var visited = graft.Borrow.severLazy(
+      starts.select(col("id"), lit(0).as("fs")))
     var nVis = visited.count()
     var step = 0
+    // r17 (the r16 advice): the coverage probe runs every `probeEvery`
+    // steps, not every step — the per-step driver action pair (sever +
+    // count) was ~all of g_rwr's toy-scale cost. Within a batch the
+    // step joins chain LAZILY (≤ probeEvery equi-joins of walker rows
+    // against the cached index — a bounded plan); one sever + one
+    // count per batch. The walk may overshoot the target by at most
+    // probeEvery−1 steps; the fs stamps make the final sample
+    // IDENTICAL to the per-step-probe loop (reconstruction below).
+    val probeEvery = 4
     while (nVis < target && step < maxSteps) {
-      step += 1
-      // one row per walker survives: the rank filter picks the hashed
-      // neighbor; a sink (no index match) keeps its single null row
-      val u = shiftrightunsigned(xxhash64(col("wid"), lit(step), lit(seed)), 11)
-        .cast("double") / lit(9007199254740992.0)
-      val next = graft.Borrow.severLazy(
-        state.join(idx, Seq("cur"), "left")
+      var batchState = state
+      var batchVis = List.empty[DataFrame]
+      var b = 0
+      while (b < probeEvery && step < maxSteps) {
+        b += 1; step += 1
+        // one row per walker survives: the rank filter picks the hashed
+        // neighbor; a sink (no index match) keeps its single null row
+        val u = shiftrightunsigned(xxhash64(col("wid"), lit(step), lit(seed)), 11)
+          .cast("double") / lit(9007199254740992.0)
+        batchState = batchState.join(idx, Seq("cur"), "left")
           .filter(col("rnk").isNull || col("rnk") ===
             pmod(xxhash64(col("wid"), lit(step), lit(seed + 1)), col("odeg")))
           .select(col("wid"), col("start"),
             when(u < restartProbability || col("rnk").isNull, col("start"))
-              .otherwise(col("dst")).as("cur")))
-      state = next
+              .otherwise(col("dst")).as("cur"))
+        batchVis ::= batchState.select(col("cur").as("id"), lit(step).as("fs"))
+      }
+      state = graft.Borrow.severLazy(batchState)
       visited = graft.Borrow.severLazy(
-        visited.unionByName(next.select(col("cur").as("id"))).distinct())
+        batchVis.foldLeft(visited)(_ unionByName _)
+          .groupBy(col("id")).agg(min(col("fs")).as("fs")))
       nVis = visited.count()
     }
     require(nVis >= target,
@@ -3435,9 +3457,18 @@ object GraphOps {
         s"$maxSteps steps — the start set's component may hold fewer than " +
         "samplingRatio*|V| vertices; lower samplingRatio, pass more " +
         "startNodes, or raise maxSteps")
+    // exact stop reconstruction: t* = the first step whose cumulative
+    // visited count reaches the target — precisely where the per-step
+    // probe would have stopped; vertices first reached after t* drop.
+    // The per-step census is ≤ maxSteps+1 rows — a bounded collect.
+    val perStep = visited.groupBy(col("fs")).agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val tStar = perStep.scanLeft((0, 0L)) { case ((_, acc), (fs, c)) =>
+      (fs, acc + c) }.tail.find(_._2 >= target).get._1
+    val vKeep = visited.filter(col("fs") <= tStar)
     val out = e
-      .join(visited.select(col("id").as("src")), Seq("src"), "left_semi")
-      .join(visited.select(col("id").as("dst")), Seq("dst"), "left_semi")
+      .join(vKeep.select(col("id").as("src")), Seq("src"), "left_semi")
+      .join(vKeep.select(col("id").as("dst")), Seq("dst"), "left_semi")
       .select(col("src"), col("dst"))
     graft.Borrow.reclaim(out, e, verts, starts, idx)
   }
@@ -3542,28 +3573,42 @@ object GraphOps {
         explode(sequence(lit(0), lit(walkersPerStart - 1))).as("wi"))
       .select(concat(col("start"), lit("#"), col("wi")).as("wid"),
         col("start"), col("start").as("cur")))
-    var visited = graft.Borrow.severLazy(starts.select(col("id")))
+    // (id, fs = first step that reached it) — see sampleRwr: the
+    // batched probe reconstructs the exact per-step stop from fs
+    var visited = graft.Borrow.severLazy(
+      starts.select(col("id"), lit(0).as("fs")))
     var nVis = visited.count()
     var step = 0
+    // r17: coverage probed every `probeEvery` steps (the r16 advice —
+    // the per-step sever+count action pair dominated g_cnarw's
+    // toy-scale cost); lazily-chained batch steps, one count per
+    // batch, exact-output reconstruction below
+    val probeEvery = 4
     while (nVis < target && step < maxSteps) {
-      step += 1
-      val uRestart = shiftrightunsigned(
-        xxhash64(col("wid"), lit(step), lit(seed)), 11)
-        .cast("double") / lit(9007199254740992.0)
-      val uStep = shiftrightunsigned(
-        xxhash64(col("wid"), lit(step), lit(seed + 1)), 11)
-        .cast("double") / lit(9007199254740992.0) * lit(1.0 - 1e-6)
-      val next = graft.Borrow.severLazy(
-        state.join(idx, Seq("cur"), "left")
+      var batchState = state
+      var batchVis = List.empty[DataFrame]
+      var b = 0
+      while (b < probeEvery && step < maxSteps) {
+        b += 1; step += 1
+        val uRestart = shiftrightunsigned(
+          xxhash64(col("wid"), lit(step), lit(seed)), 11)
+          .cast("double") / lit(9007199254740992.0)
+        val uStep = shiftrightunsigned(
+          xxhash64(col("wid"), lit(step), lit(seed + 1)), 11)
+          .cast("double") / lit(9007199254740992.0) * lit(1.0 - 1e-6)
+        batchState = batchState.join(idx, Seq("cur"), "left")
           .withColumn("u", uStep * col("tot"))
           .filter(col("lo").isNull ||
             (col("lo") <= col("u") && col("u") < col("hi")))
           .select(col("wid"), col("start"),
             when(uRestart < restartProbability || col("lo").isNull, col("start"))
-              .otherwise(col("dst")).as("cur")))
-      state = next
+              .otherwise(col("dst")).as("cur"))
+        batchVis ::= batchState.select(col("cur").as("id"), lit(step).as("fs"))
+      }
+      state = graft.Borrow.severLazy(batchState)
       visited = graft.Borrow.severLazy(
-        visited.unionByName(next.select(col("cur").as("id"))).distinct())
+        batchVis.foldLeft(visited)(_ unionByName _)
+          .groupBy(col("id")).agg(min(col("fs")).as("fs")))
       nVis = visited.count()
     }
     require(nVis >= target,
@@ -3571,9 +3616,14 @@ object GraphOps {
         s"$maxSteps steps — the start set's component may hold fewer than " +
         "samplingRatio*|V| vertices; lower samplingRatio, pass more " +
         "startNodes, or raise maxSteps")
+    val perStep = visited.groupBy(col("fs")).agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val tStar = perStep.scanLeft((0, 0L)) { case ((_, acc), (fs, c)) =>
+      (fs, acc + c) }.tail.find(_._2 >= target).get._1
+    val vKeep = visited.filter(col("fs") <= tStar)
     val out = e
-      .join(visited.select(col("id").as("src")), Seq("src"), "left_semi")
-      .join(visited.select(col("id").as("dst")), Seq("dst"), "left_semi")
+      .join(vKeep.select(col("id").as("src")), Seq("src"), "left_semi")
+      .join(vKeep.select(col("id").as("dst")), Seq("dst"), "left_semi")
       .select(col("src"), col("dst"))
     graft.Borrow.reclaim(out, e, verts, starts, idx)
   }

@@ -356,12 +356,6 @@ object Curation {
       budget)
   }
 
-  /** Shared P4 pack core over a (doc_id, n_tokens) frame (see
-    * [[packShards]] for the two-pass prefix-sum design notes). */
-  /** The P4 two-pass distributed exclusive prefix sum over a
-    * (doc_id, n_tokens) frame: returns a PERSISTED (doc_id, n_tokens,
-    * cum_excl) frame — caller must unpersist. Partitioning-invariant
-    * (the prefix sum is a pure function of doc_id order). */
   /** The P4 two-pass distributed exclusive prefix sum over a
     * (doc_id, n_tokens) frame. Returns (derived, cache): `derived`
     * carries (doc_id, n_tokens, cum_excl); `cache` is the persisted

@@ -597,12 +597,16 @@ object Similarity {
     * final top-k returned. At 10⁹+ vectors this is the IO contract:
     * the scan reads m-byte codes, full vectors load for only
     * |q|·rerank rows. The LUT is |q|·m·ksub rows — broadcast by
-    * construction. Output (q_id, rank, neighbor, cos_sim); rows-gated
+    * construction. `trainMod` bounds CODEBOOK training the E3 way
+    * (xxhash64(id) ≡ 0 mod trainMod — at 10⁹ vectors a 1/256 hash
+    * sample is the standard Lloyd cost; encoding still covers every
+    * vector). Output (q_id, rank, neighbor, cos_sim); rows-gated
     * (the ADC cut is float-order-sensitive at ties), recall-floored
     * via [[eRecallGate]]'s e8 term. */
   def e8PqIvf(s: SparkSession, dir: String, k: Int = 5, m: Int = 16,
               ksub: Int = 16, nlist: Int = 16, nprobe: Int = 8,
-              lloydIters: Int = 2, rerank: Int = 50): DataFrame = {
+              lloydIters: Int = 2, rerank: Int = 50,
+              trainMod: Int = 1): DataFrame = {
     val all = Tables.embeddings(s, dir)
       .select(col("vec_id"), unitV(col("embedding").cast("array<double>")).as("v"))
       .persist()
@@ -626,9 +630,14 @@ object Similarity {
       centroids = lloydRefine(all.select(nearestCid(col("v")).as("cid"), col("v")))
         .collect().map(r => r.getInt(0) -> r.getSeq[Double](1)).sortBy(_._1)
     val assigned = all.select(col("vec_id"), nearestCid(col("v")).as("cid"))
-    // PQ codebook + codes over the same unit vectors
+    // PQ codebook + codes over the same unit vectors. `trainMod` is
+    // the honest 10⁹-vector training cost (the E3 lever, r16 advice):
+    // both Lloyd refits scan only vectors with xxhash64(id) ≡ 0
+    // (mod trainMod) — deterministic, partition-invariant; default 1
+    // trains on everything (right at gate scale). ENCODING always
+    // covers the full corpus.
     val cb = pqTrain(all.select(col("vec_id").as("id"), col("v")), m, ksub,
-      lloydIters)
+      lloydIters, trainMod)
     val codes = pqCodes(all.select(col("vec_id").as("id"), col("v")), cb, m)
     // per-query LUT frame: ⟨q_j, c_{j,cid}⟩ for every (sub, cid)
     val cbDf = s.createDataFrame(cb.toIndexedSeq).toDF("sub", "ccid", "cv")
@@ -673,6 +682,66 @@ object Similarity {
         round(col("cos"), 4).as("cos_sim"))
       .orderBy(col("q_id"), col("rank"))
     graft.Borrow.reclaim(out, all)
+  }
+
+  /** E9 (r17) — per-pair vector similarity metrics over a BOUNDED
+    * (id, v: array<double>) frame: every unordered pair (node1 <
+    * node2) with the classic function-catalog measures at once —
+    *
+    *   cosine             a·b / (‖a‖‖b‖)           (0 on a zero norm)
+    *   euclideanDistance  ‖a − b‖
+    *   euclidean          1 / (1 + ‖a − b‖)         (the GDS form)
+    *   pearson            cov(a,b) / (σ_a σ_b)      (0 on zero variance)
+    *
+    * This is the `gds.similarity.*` per-pair FUNCTION surface (GDS
+    * spells these as Cypher functions over two vector properties), not
+    * an ANN engine: the all-pairs product is the point, so the input
+    * is required BOUNDED — `pairCap` fails loudly naming the lever
+    * (the linkPrediction centerCap convention). Corpus-scale
+    * similarity goes through the E1-E8 candidate-bounded paths.
+    * Mixed-dimension inputs fail loudly (zip_with would silently
+    * null-pad). All measures sequential-fold HOFs (the [[cosine]]
+    * rule), rounded 4 for cross-engine determinism. */
+  def pairwiseMetrics(vecs: DataFrame, pairCap: Long = 10000L): DataFrame = {
+    // input is cap-bounded and usually a cheap projection — the two
+    // probe actions recompute it rather than pinning a cache the
+    // (possibly large) pair output would then have to outlive
+    val base = vecs.select(col("id"), col("v"))
+    val n = base.count()
+    require(n <= pairCap,
+      s"pairwiseMetrics: $n vectors make ${n * (n - 1) / 2} pairs — " +
+        s"exceeds pairCap=$pairCap; raise pairCap if the quadratic cost " +
+        "is intended, or use the knn/ANN operators for corpus-scale input")
+    val nDims = base.select(size(col("v")).as("d")).distinct().count()
+    require(nDims <= 1,
+      s"pairwiseMetrics: vectors must share one dimension ($nDims found)")
+    val pairs = base.select(col("id").as("node1"), col("v").as("va"))
+      .join(broadcast(base.select(col("id").as("node2"), col("v").as("vb"))),
+        col("node1") < col("node2"))
+    def fold(c: Column): Column = aggregate(c, lit(0.0), (acc, x) => acc + x)
+    val dot = fold(zip_with(col("va"), col("vb"), (x, y) => x * y))
+    val na = sqrt(fold(transform(col("va"), x => x * x)))
+    val nb = sqrt(fold(transform(col("vb"), x => x * x)))
+    val dist = sqrt(fold(zip_with(col("va"), col("vb"),
+      (x, y) => (x - y) * (x - y))))
+    val d = size(col("va")).cast("double")
+    val out = pairs
+      .withColumn("ma", fold(col("va")) / d)
+      .withColumn("mb", fold(col("vb")) / d)
+      .withColumn("cov", fold(zip_with(col("va"), col("vb"),
+        (x, y) => (x - col("ma")) * (y - col("mb")))))
+      .withColumn("sa", sqrt(fold(transform(col("va"),
+        x => (x - col("ma")) * (x - col("ma"))))))
+      .withColumn("sb", sqrt(fold(transform(col("vb"),
+        x => (x - col("mb")) * (x - col("mb"))))))
+      .select(col("node1"), col("node2"),
+        Num.roundTies(when(na * nb === 0.0, lit(0.0))
+          .otherwise(dot / (na * nb)), 4).as("cosine"),
+        Num.roundTies(lit(1.0) / (lit(1.0) + dist), 4).as("euclidean"),
+        Num.roundTies(dist, 4).as("euclideanDistance"),
+        Num.roundTies(when(col("sa") * col("sb") === 0.0, lit(0.0))
+          .otherwise(col("cov") / (col("sa") * col("sb"))), 4).as("pearson"))
+    out
   }
 
   /** IVF-PQ recall vs the exact E1 top-k (deterministic per SF). */

@@ -774,6 +774,57 @@ class CypherCallSpec extends SparkSpec {
     assert(rows(forced).forall(_.head == "Right") && forced.count() > 0)
   }
 
+  test("similarity CALL: hand-computed pairwise metrics over a vector " +
+      "node property; per-metric GDS spellings alias; loud guards (r17)") {
+    // va=(1,0) vb=(0,1) vd=(2,0) ve=(3,3); 'lone' carries no vec prop
+    val n = Seq(
+      ("a", "V", "1,0"), ("b", "V", "0,1"), ("d", "V", "2,0"),
+      ("e", "V", "3,3"))
+      .toDF("id", "label", "vec")
+      .withColumn("props", map(lit("vec"), col("vec"))).drop("vec")
+      .unionByName(Seq(("lone", "Host")).toDF("id", "label")
+        .withColumn("props", map(lit("k"), col("id"))))
+    val got = CypherCall.run(n, edges,
+      "CALL graft.similarity({nodeProperty: 'vec'}) " +
+        "YIELD node1, node2, cosine, euclidean, euclideanDistance, pearson " +
+        "RETURN node1, node2, cosine, euclidean, euclideanDistance, pearson " +
+        "ORDER BY node1, node2")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5)))).toMap
+    def r4(x: Double) = math.floor(x * 10000 + 0.5) / 10000
+    val s2 = math.sqrt(2.0)
+    assert(got.size == 6, "4 vec-bearing nodes -> 6 pairs; lone excluded")
+    // a-(1,0) vs b-(0,1): orthogonal, anti-correlated
+    assert(got(("a", "b")) ==
+      ((0.0, r4(1 / (1 + s2)), r4(s2), -1.0)))
+    // a-(1,0) vs d-(2,0): parallel, perfectly correlated
+    assert(got(("a", "d")) == ((1.0, r4(1.0 / 2.0), 1.0, 1.0)))
+    // e-(3,3) has zero variance: pearson guards to 0; cos(a,e)=3/√18
+    assert(got(("a", "e"))._1 == r4(3.0 / math.sqrt(18.0)))
+    assert(got(("a", "e"))._4 == 0.0)
+    // the per-metric GDS function spellings land on the proc
+    val viaAlias = CypherCall.run(n, edges,
+      "CALL graft.similarity.pearson({nodeProperty: 'vec'}) " +
+        "YIELD node1, node2, pearson RETURN node1, node2, pearson " +
+        "ORDER BY node1, node2")
+    assert(viaAlias.columns.toSeq == Seq("node1", "node2", "pearson"))
+    assert(viaAlias.count() == 6)
+    // loud: non-numeric vector entry
+    val bad = Seq(("a", "V", "1,oops")).toDF("id", "label", "vec")
+      .withColumn("props", map(lit("vec"), col("vec"))).drop("vec")
+    val e1 = intercept[IllegalArgumentException](CypherCall.run(bad, edges,
+      "CALL graft.similarity({nodeProperty: 'vec'})").collect())
+    assert(e1.getMessage.contains("non-numeric"))
+    // loud: pairCap names the lever
+    val e2 = intercept[IllegalArgumentException](CypherCall.run(n, edges,
+      "CALL graft.similarity({nodeProperty: 'vec', pairCap: 2})").collect())
+    assert(e2.getMessage.contains("pairCap"))
+    // loud: the config key is required
+    val e3 = intercept[IllegalArgumentException](CypherCall.run(n, edges,
+      "CALL graft.similarity({})").collect())
+    assert(e3.getMessage.contains("nodeProperty"))
+  }
+
   test("CypherLite.run dispatches CALL, with $params substituted into config") {
     val out = CypherLite.run(nodes, edges,
       """CALL graft.pageRank.stream({maxIterations: $iters, orientation: 'UNDIRECTED'})
