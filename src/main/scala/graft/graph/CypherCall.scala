@@ -1151,63 +1151,6 @@ object CypherCall {
           weights = ws,
           seed = cfg.int("randomSeed", 42).toLong,
           nodes = Some(n.select(col("id"))))
-      }),
-    // r17: gds.beta.graphSage — inductive property-aware embeddings
-    // (B53). GDS splits train (model catalog) from stream; this engine
-    // binds the graph at run() and keeps no catalog (the J7
-    // divergence), so the proc trains AND streams in one call —
-    // `graphSage.train`/`.stream` spellings both land here. Features
-    // come from `featureProperties` (props-map keys, numeric, loud on
-    // null) and/or `degreeAsProperty`; `sampleSizes` sets the LAYER
-    // COUNT only (aggregation is full-neighborhood — deterministic
-    // full-batch, no sampling; disclosed like the node2vec negative
-    // table). Only the mean aggregator / relu activation exist —
-    // other spellings fail loudly rather than silently approximating.
-    "graphSage" -> Proc(Seq("id", "embedding"),
-      Set("featureProperties", "degreeAsProperty", "embeddingDimension",
-        "sampleSizes", "epochs", "learningRate", "searchDepth",
-        "negativeSamplingRate", "aggregator", "activationFunction",
-        "randomSeed"),
-      (n, ed, cfg) => {
-        cfg.str("aggregator").foreach(a => require(a.toLowerCase == "mean",
-          s"graft.graphSage: only the 'mean' aggregator is implemented, got '$a'"))
-        cfg.str("activationFunction").foreach(a =>
-          require(a.toLowerCase == "relu",
-            s"graft.graphSage: only the 'relu' activation is implemented, got '$a'"))
-        val e = selectEdges(n, ed, cfg)
-        val props = cfg.strs("featureProperties").getOrElse(Seq.empty)
-        val useDeg = cfg.bool("degreeAsProperty", false)
-        require(props.nonEmpty || useDeg,
-          "graft.graphSage: featureProperties (or degreeAsProperty: true) " +
-            "is required — GraphSAGE is a node-property embedding")
-        val perId = n.select(col("id").cast("string").as("id") +: props.map(p =>
-            element_at(col("props"), p).try_cast("double").as(p)): _*)
-          .groupBy(col("id"))
-          .agg(count(lit(1)).as("__n"),
-            props.map(p => min(col(p)).as(p)): _*)
-          .drop("__n")
-        props.foreach(p => require(
-          perId.join(allVertices(e).select(col("id").cast("string").as("id")),
-              Seq("id"), "left_semi")
-            .filter(col(p).isNull).limit(1).count() == 0,
-          s"graft.graphSage: featureProperty '$p' is missing or " +
-            "non-numeric on at least one node"))
-        val withDeg = if (!useDeg) perId
-          else perId.join(
-            e.select(col("src").as("id")).unionAll(e.select(col("dst").as("id")))
-              .groupBy(col("id")).agg(count(lit(1)).cast("double").as("__deg")),
-            Seq("id"), "left")
-            .withColumn("__deg", coalesce(col("__deg"), lit(0.0)))
-        val featCols = props.map(col) ++ (if (useDeg) Seq(col("__deg")) else Nil)
-        val feat = withDeg.select(col("id"), array(featCols: _*).as("feat"))
-        GraphSage.embeddings(e, feat,
-          hiddenDim = cfg.int("embeddingDimension", 16),
-          layers = cfg.dbls("sampleSizes").map(_.length).getOrElse(2),
-          epochs = cfg.int("epochs", 5),
-          learningRate = cfg.dbl("learningRate", 0.05),
-          walkLength = cfg.int("searchDepth", 5),
-          negativeSamples = cfg.int("negativeSamplingRate", 2),
-          seed = cfg.int("randomSeed", 42).toLong)
       }))
 
   // ------------------------------------------------------------------ run
@@ -1282,11 +1225,7 @@ object CypherCall {
     "similarity.cosine" -> "similarity",
     "similarity.euclidean" -> "similarity",
     "similarity.euclideanDistance" -> "similarity",
-    "similarity.pearson" -> "similarity",
-    // r17: graphSage's train spelling (the .stream suffix strips
-    // before aliasing, so both GDS modes land on the one stateless
-    // proc — see the graphSage registry comment)
-    "graphSage.train" -> "graphSage")
+    "similarity.pearson" -> "similarity")
 
   def run(nodes: DataFrame, edges: DataFrame, cypher: String): DataFrame = {
     val text = CypherLite.normalizeWs(cypher)
