@@ -34,6 +34,11 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+  // r17: extra -D flags for config A/B experiments (e.g.
+  // SPARK_GRAFT_EXTRA_OPTS="-Dspark.sql.adaptive...=false"); empty by
+  // default, so the shipped configuration is unchanged
+  ) ++ sys.env.get("SPARK_GRAFT_EXTRA_OPTS").toSeq
+    .flatMap(_.trim.split("\\s+").filter(_.nonEmpty)) ++ Seq(
   // 16g default: the test JVM runs every suite against one shared
   // session; at 8g the accumulated broadcasts/caches of 19 suites
   // could flake a late broadcast build (host has 128g)

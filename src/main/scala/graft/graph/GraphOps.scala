@@ -286,27 +286,51 @@ object GraphOps {
     val vertices = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id")))
       .distinct().persist(StorageLevel.MEMORY_AND_DISK)
-    val outDeg = (weightCol match {
-      case Some(_) => e.groupBy(col("src")).agg(sum(col("w")).as("deg"))
-      case None => e.groupBy(col("src")).count().withColumnRenamed("count", "deg")
-    }).persist(StorageLevel.MEMORY_AND_DISK)
+    // r17 (guide §2.4 — remove per-round work, measured first; a
+    // full-chain rewrite was tried and REGRESSED ~25%: under AQE every
+    // stage re-optimizes the remaining plan, so one 50-stage query
+    // costs more than ten 5-stage ones. What stays:)
+    //  1. out-degrees PRE-JOINED into the cached edge frame — the
+    //     per-round outDeg join (one exchange + SMJ × iters) drops;
+    //     arithmetic is untouched (still rank/deg per edge row).
+    //  2. the per-round |V|-row fill JOIN replaced by a UNION with the
+    //     constant no-in-edge frame: sums covers exactly the vertices
+    //     with ≥1 in-edge every round (every src holds a rank, so every
+    //     dst receives a contribution), and a vertex with no in-edge
+    //     has msum ≡ 0, i.e. the CONSTANT rank 1−d — same value, now a
+    //     cached 0-exchange union instead of a join. Per-round plan:
+    //     one equi-join + one aggregation, nothing else.
+    val eod = e.join(
+        (weightCol match {
+          case Some(_) => e.groupBy(col("src")).agg(sum(col("w")).as("deg"))
+          case None => e.groupBy(col("src")).count().withColumnRenamed("count", "deg")
+        }), Seq("src"))
+      .repartition(col("src")) // cached pre-partitioned on the join key:
+      // the per-round join shuffles only the (tiny next to |E|) rank side
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val noIn = vertices.join(e.select(col("dst").as("id")).distinct(),
+        Seq("id"), "left_anti")
+      .select(col("id"), lit(1 - damping).as("rank"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     var ranks = vertices.withColumn("rank", lit(1.0)).localCheckpoint()
     for (_ <- 1 to iters) {
-      val contribs = e.join(ranks, e("src") === ranks("id"))
-        .join(outDeg, Seq("src"))
+      val contribs = eod.join(ranks, eod("src") === ranks("id"))
         .select(col("dst").as("id"),
           (weightCol match {
             case Some(_) => col("rank") * col("w") / col("deg")
             case None => col("rank") / col("deg")
           }).as("contrib"))
       val sums = contribs.groupBy(col("id")).agg(sum(col("contrib")).as("msum"))
-      ranks = vertices.join(sums, Seq("id"), "left")
+      // coalesce stays: on the WEIGHTED path a vertex whose every
+      // in-contribution is null (all-null weights) sums to NULL and
+      // must land on the base 1−d, exactly as the fill join did
+      ranks = sums
         .select(col("id"),
           (lit(1 - damping) + lit(damping) * coalesce(col("msum"), lit(0.0))).as("rank"))
+        .unionByName(noIn)
         .localCheckpoint()
     }
-    e.unpersist(); vertices.unpersist(); outDeg.unpersist()
-    ranks
+    graft.Borrow.reclaim(ranks, e, vertices, eod, noIn)
   }
 
   /** B49 — ArticleRank (gds.articleRank): the PageRank variant that
@@ -344,22 +368,33 @@ object GraphOps {
       return graft.Borrow.reclaim(out, e, vertices)
     }
     val avgOutDeg = e.count().toDouble / nV
-    val outDeg = e.groupBy(col("src")).count().withColumnRenamed("count", "deg")
+    // r17 — the pageRank per-round shape: out-degrees pre-joined into
+    // the cached (src-partitioned) edge frame, the per-round fill join
+    // replaced by the constant no-in-edge union (msum ≡ 0 there ⇒ rank
+    // ≡ 1−d). One equi-join + one aggregation per round; arithmetic
+    // unchanged, oracle-pinned.
+    val eod = e.join(
+        e.groupBy(col("src")).count().withColumnRenamed("count", "deg"),
+        Seq("src"))
+      .repartition(col("src"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val noIn = vertices.join(e.select(col("dst").as("id")).distinct(),
+        Seq("id"), "left_anti")
+      .select(col("id"), lit(1 - damping).as("rank"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     var ranks = vertices.withColumn("rank", lit(1.0)).localCheckpoint()
     for (_ <- 1 to iters) {
-      val contribs = e.join(ranks, e("src") === ranks("id"))
-        .join(outDeg, Seq("src"))
+      val contribs = eod.join(ranks, eod("src") === ranks("id"))
         .select(col("dst").as("id"),
           (col("rank") / (col("deg") + lit(avgOutDeg))).as("contrib"))
       val sums = contribs.groupBy(col("id")).agg(sum(col("contrib")).as("msum"))
-      ranks = vertices.join(sums, Seq("id"), "left")
+      ranks = sums
         .select(col("id"),
-          (lit(1 - damping) + lit(damping) * coalesce(col("msum"), lit(0.0))).as("rank"))
+          (lit(1 - damping) + lit(damping) * col("msum")).as("rank"))
+        .unionByName(noIn)
         .localCheckpoint()
     }
-    e.unpersist(); vertices.unpersist(); outDeg.unpersist()
-    ranks
+    graft.Borrow.reclaim(ranks, e, vertices, eod, noIn)
   }
 
   /** B25 — eigenvector centrality (Neo4j GDS catalog staple): power
@@ -505,7 +540,11 @@ object GraphOps {
       else weightedSymInput(edges.select(col("src").cast("string").as("src"),
         col("dst").cast("string").as("dst")), None) // node-weights-only:
       // string ids so the nw join below matches (the louvain contract)
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    ).repartition(col("src")) // r17: cached pre-partitioned on the
+      // per-round vote-join key — the round's join shuffles only the
+      // (|V|-row) label side, not the edge frame (the broadcast nw
+      // join below preserves this partitioning on the weighted path)
+      .persist(StorageLevel.MEMORY_AND_DISK)
     if (weighted) {
       require(sym.filter(col("w").isNull || col("w") <= 0).limit(1).count() == 0,
         s"labelPropagation: weight column '${weightCol.getOrElse("w")}' must " +
@@ -547,16 +586,17 @@ object GraphOps {
         .agg(sum(col("w")).as("cnt"))
       // max vote weight, then min label: max_by on (cnt, negated-order
       // label) isn't expressible generically for strings, so use
-      // min_by over (-cnt, label) lexicographic struct ordering
-      val next = counted
+      // min_by over (-cnt, label) lexicographic struct ordering.
+      // r17: the per-round isolated-vertex fill JOIN is gone — the
+      // input is ALWAYS symmetrized (undirected()/weightedSymInput),
+      // so every vertex is a dst and receives votes every round; the
+      // vote aggregation's id set IS the vertex set, and the old
+      // left-join + coalesce was a structural no-op costing one join +
+      // exchange per round.
+      labels = counted
         .groupBy(col("v").as("id"))
         .agg(min_by(col("community"),
           struct((-col("cnt")).as("nc"), col("community").as("l"))).as("community"))
-      // isolated vertices (no in-messages under symmetrized edges can't
-      // happen, but keep the contract total) retain their own label
-      labels = labels.select(col("id"))
-        .join(next, Seq("id"), "left")
-        .select(col("id"), coalesce(col("community"), col("id")).as("community"))
         .localCheckpoint()
     }
     sym.unpersist()
@@ -3201,29 +3241,42 @@ object GraphOps {
     val seeds = broadcast(sources.select(col("id")).distinct()).persist()
     val nSeeds = seeds.count().toDouble
     require(nSeeds > 0, "personalizedPageRank needs a non-empty source set")
-    val outDeg = e.groupBy(col("src")).count().withColumnRenamed("count", "deg")
-      .persist(StorageLevel.MEMORY_AND_DISK)
     val teleport = (1 - damping) / nSeeds
+    // r17 — the pageRank per-round shape: out-degrees pre-joined into
+    // the cached (src-partitioned) edge frame; the per-round fill join
+    // over ALL vertices replaced by a broadcast seed-flag join on the
+    // (in-edge-covering) sums plus the constant no-in-edge union
+    // (msum ≡ 0 there ⇒ rank ≡ teleport·is_seed). Values unchanged.
+    val eod = e.join(
+        e.groupBy(col("src")).count().withColumnRenamed("count", "deg"),
+        Seq("src"))
+      .repartition(col("src"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val seedFlag = seeds.select(col("id"), lit(true).as("is_seed"))
+    val noIn = vertices.join(e.select(col("dst").as("id")).distinct(),
+        Seq("id"), "left_anti")
+      .join(seedFlag, Seq("id"), "left")
+      .select(col("id"),
+        when(col("is_seed"), lit(teleport)).otherwise(lit(0.0)).as("rank"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     var ranks = vertices
-      .join(seeds.select(col("id"), lit(true).as("is_seed")), Seq("id"), "left")
+      .join(seedFlag, Seq("id"), "left")
       .select(col("id"),
         when(col("is_seed"), lit(1.0 / nSeeds)).otherwise(lit(0.0)).as("rank"))
       .localCheckpoint()
     for (_ <- 1 to iters) {
-      val contribs = e.join(ranks, e("src") === ranks("id"))
-        .join(outDeg, Seq("src"))
+      val contribs = eod.join(ranks, eod("src") === ranks("id"))
         .select(col("dst").as("id"), (col("rank") / col("deg")).as("contrib"))
       val sums = contribs.groupBy(col("id")).agg(sum(col("contrib")).as("msum"))
-      ranks = vertices
-        .join(seeds.select(col("id"), lit(true).as("is_seed")), Seq("id"), "left")
-        .join(sums, Seq("id"), "left")
+      ranks = sums
+        .join(seedFlag, Seq("id"), "left")
         .select(col("id"),
           (when(col("is_seed"), lit(teleport)).otherwise(lit(0.0)) +
-            lit(damping) * coalesce(col("msum"), lit(0.0))).as("rank"))
+            lit(damping) * col("msum")).as("rank"))
+        .unionByName(noIn)
         .localCheckpoint()
     }
-    e.unpersist(); vertices.unpersist(); outDeg.unpersist(); seeds.unpersist()
-    ranks
+    graft.Borrow.reclaim(ranks, e, vertices, eod, noIn, seeds)
   }
 
   /** Strongly connected components, DataFrame-native (B15's default is
@@ -3347,10 +3400,10 @@ object GraphOps {
     * (the B29 pattern — no single-task hub window); each step is ONE
     * frontier×index equi-join (the rank filter keeps one row per
     * walker) plus one distinct-union into the severed visited frame;
-    * the stop check is one count per 4-step batch (r17 — steps chain
-    * lazily inside a batch and first-visit stamps reconstruct the
+    * the stop check is one count per 4-step batch (r17 — steps sever
+    * per step, count per batch; first-visit stamps reconstruct the
     * EXACT per-step stop, so the sample is identical to a per-step
-    * probe at a quarter of the driver scheduling), bounded by
+    * probe at half the driver scheduling), bounded by
     * `maxSteps` and LOUD on exhaustion — a start set whose component
     * holds fewer than ratio·|V| vertices can never finish, and silence
     * would ship an undersized sample. Walkers never die: sinks
@@ -3420,16 +3473,18 @@ object GraphOps {
     var nVis = visited.count()
     var step = 0
     // r17 (the r16 advice): the coverage probe runs every `probeEvery`
-    // steps, not every step — the per-step driver action pair (sever +
-    // count) was ~all of g_rwr's toy-scale cost. Within a batch the
-    // step joins chain LAZILY (≤ probeEvery equi-joins of walker rows
-    // against the cached index — a bounded plan); one sever + one
-    // count per batch. The walk may overshoot the target by at most
+    // steps, not every step — the per-step COUNT job was the driver
+    // half of g_rwr's toy-scale cost. Each step still SEVERS its state
+    // (one eager plan per step, no count): the per-step visited
+    // projections must reference LEAF frames — an unsevered chain puts
+    // step k's whole plan inside every later projection and the batch
+    // union recomputes the chain quadratically (measured: g_cnarw 8 →
+    // 18 s on the first, unsevered cut of this batching). One count
+    // per batch. The walk may overshoot the target by at most
     // probeEvery−1 steps; the fs stamps make the final sample
     // IDENTICAL to the per-step-probe loop (reconstruction below).
     val probeEvery = 4
     while (nVis < target && step < maxSteps) {
-      var batchState = state
       var batchVis = List.empty[DataFrame]
       var b = 0
       while (b < probeEvery && step < maxSteps) {
@@ -3438,15 +3493,14 @@ object GraphOps {
         // neighbor; a sink (no index match) keeps its single null row
         val u = shiftrightunsigned(xxhash64(col("wid"), lit(step), lit(seed)), 11)
           .cast("double") / lit(9007199254740992.0)
-        batchState = batchState.join(idx, Seq("cur"), "left")
+        state = graft.Borrow.severLazy(state.join(idx, Seq("cur"), "left")
           .filter(col("rnk").isNull || col("rnk") ===
             pmod(xxhash64(col("wid"), lit(step), lit(seed + 1)), col("odeg")))
           .select(col("wid"), col("start"),
             when(u < restartProbability || col("rnk").isNull, col("start"))
-              .otherwise(col("dst")).as("cur"))
-        batchVis ::= batchState.select(col("cur").as("id"), lit(step).as("fs"))
+              .otherwise(col("dst")).as("cur")))
+        batchVis ::= state.select(col("cur").as("id"), lit(step).as("fs"))
       }
-      state = graft.Borrow.severLazy(batchState)
       visited = graft.Borrow.severLazy(
         batchVis.foldLeft(visited)(_ unionByName _)
           .groupBy(col("id")).agg(min(col("fs")).as("fs")))
@@ -3580,12 +3634,13 @@ object GraphOps {
     var nVis = visited.count()
     var step = 0
     // r17: coverage probed every `probeEvery` steps (the r16 advice —
-    // the per-step sever+count action pair dominated g_cnarw's
-    // toy-scale cost); lazily-chained batch steps, one count per
-    // batch, exact-output reconstruction below
+    // the per-step COUNT job was the driver half of g_cnarw's
+    // toy-scale cost). Steps still sever per step — see sampleRwr: an
+    // unsevered batch chain recomputes quadratically through the
+    // per-step visited projections (measured 8 → 18 s on the first
+    // cut). One count per batch, exact-output reconstruction below.
     val probeEvery = 4
     while (nVis < target && step < maxSteps) {
-      var batchState = state
       var batchVis = List.empty[DataFrame]
       var b = 0
       while (b < probeEvery && step < maxSteps) {
@@ -3596,16 +3651,15 @@ object GraphOps {
         val uStep = shiftrightunsigned(
           xxhash64(col("wid"), lit(step), lit(seed + 1)), 11)
           .cast("double") / lit(9007199254740992.0) * lit(1.0 - 1e-6)
-        batchState = batchState.join(idx, Seq("cur"), "left")
+        state = graft.Borrow.severLazy(state.join(idx, Seq("cur"), "left")
           .withColumn("u", uStep * col("tot"))
           .filter(col("lo").isNull ||
             (col("lo") <= col("u") && col("u") < col("hi")))
           .select(col("wid"), col("start"),
             when(uRestart < restartProbability || col("lo").isNull, col("start"))
-              .otherwise(col("dst")).as("cur"))
-        batchVis ::= batchState.select(col("cur").as("id"), lit(step).as("fs"))
+              .otherwise(col("dst")).as("cur")))
+        batchVis ::= state.select(col("cur").as("id"), lit(step).as("fs"))
       }
-      state = graft.Borrow.severLazy(batchState)
       visited = graft.Borrow.severLazy(
         batchVis.foldLeft(visited)(_ unionByName _)
           .groupBy(col("id")).agg(min(col("fs")).as("fs")))
@@ -3672,34 +3726,37 @@ object GraphOps {
       .select(col("src"), col("dst"),
         (col("r0") + col("off")).as("rnk"), col("odeg"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val srcs = idx.select(col("src")).distinct()
-    var state = graft.Borrow.severLazy(
+    // r17 (the sampleRwr batched shape): walks at a sink PARK in place
+    // — the step join goes LEFT, a no-match row keeps its (cur, path,
+    // steps) unchanged — so the fixed-length loop needs no per-step
+    // sink split, no per-step sever and no per-step count. Each step
+    // references the previous state exactly once, the plan grows
+    // linearly in walkLength (≤ 20), and the whole walk materializes
+    // as ONE terminal job (before: 2 severs + 2 counts per step). A
+    // parked row joins no idx row on later steps either (its cur has
+    // no out-edges), so outputs are row-identical to the split loop.
+    var state =
       e.select(col("src").as("id")).unionByName(e.select(col("dst").as("id")))
         .distinct()
         .select(col("id"), explode(sequence(lit(0), lit(walksPerNode - 1))).as("wi"))
         .select(concat(col("id"), lit("#"), col("wi")).as("walk_id"),
           col("id").as("start"), col("id").as("cur"), col("id").as("path"),
-          lit(0).as("steps")))
-    var done = List.empty[DataFrame]
-    var step = 0
-    var n = state.count()
-    while (step < walkLength && n > 0) {
-      step += 1
-      // walks parked on a sink finish with their current path
-      val sunk = graft.Borrow.severLazy(
-        state.join(srcs.select(col("src").as("cur")), Seq("cur"), "left_anti"))
-      if (sunk.count() > 0) done ::= sunk
-      val next = graft.Borrow.severLazy(
-        state.join(idx, state("cur") === idx("src"))
-          .filter(col("rnk") ===
-            pmod(xxhash64(col("walk_id"), lit(step), lit(seed)), col("odeg")))
-          .select(col("walk_id"), col("start"), idx("dst").as("cur"),
-            concat(col("path"), lit(">"), idx("dst")).as("path"),
-            lit(step).as("steps")))
-      n = next.count()
-      state = next
+          lit(0).as("steps"))
+    for (step <- 1 to walkLength) {
+      // fresh aliases per step: the chained plan joins idx walkLength
+      // times, and re-used attribute ids would be ambiguous self-joins
+      val stepIdx = idx.select(col("src").as("cur"), col("dst").as("nxt"),
+        col("rnk").as("srnk"), col("odeg").as("sodeg"))
+      state = state.join(stepIdx, Seq("cur"), "left")
+        .filter(col("srnk").isNull || col("srnk") ===
+          pmod(xxhash64(col("walk_id"), lit(step), lit(seed)), col("sodeg")))
+        .select(col("walk_id"), col("start"),
+          coalesce(col("nxt"), col("cur")).as("cur"),
+          when(col("nxt").isNull, col("path"))
+            .otherwise(concat(col("path"), lit(">"), col("nxt"))).as("path"),
+          when(col("nxt").isNull, col("steps")).otherwise(lit(step)).as("steps"))
     }
-    val out = (state +: done).reduce(_ unionByName _)
+    val out = state
       .select(col("walk_id"), col("start"), col("steps").cast("long").as("steps"),
         col("path"))
     graft.Borrow.reclaim(out, idx)
@@ -3823,14 +3880,21 @@ object GraphOps {
         .select(concat(col("id"), lit("#"), col("wi")).as("walk_id"),
           col("id").as("start"), lit(null).cast("string").as("prev"),
           col("id").as("cur"), col("id").as("path"), lit(0).as("steps")))
-    var done = List.empty[DataFrame]
-    var step = 0
-    var n = state.count()
-    while (step < walkLength && n > 0) {
-      step += 1
-      val sunk = graft.Borrow.severLazy(
-        state.join(srcs.select(col("src").as("cur")), Seq("cur"), "left_anti"))
-      if (sunk.count() > 0) done ::= sunk
+    // r17 (the randomWalk change): walks at a sink PARK — the anti-join
+    // rows rejoin the state each step instead of splitting into counted
+    // per-step `done` frames, so the loop runs its fixed length with
+    // ONE sever per step and ZERO per-step count jobs (before: 2
+    // severs + 2 counts). The sever stays (unlike randomWalk's pure
+    // chain) because each step references the previous state twice —
+    // candidates AND the parked anti-join — and a leaf keeps that
+    // double reference from doubling the plan per step. Parked rows
+    // never re-enter `cand` (their cur has no out-edges), so the
+    // output rows are identical to the split loop's.
+    for (step <- 1 to walkLength) {
+      val parked = state
+        .join(srcs.select(col("src").as("cur")), Seq("cur"), "left_anti")
+        .select(col("walk_id"), col("start"), col("prev"), col("cur"),
+          col("path"), col("steps"))
       val cand = state.join(e, state("cur") === e("src"))
         .join(adj, col("prev") === col("a_prev") && e("dst") === col("a_dst"),
           "left")
@@ -3903,11 +3967,9 @@ object GraphOps {
             concat(col("path"), lit(">"), col("cdst")).as("path"),
             lit(step).as("steps"))
       }
-      val next = graft.Borrow.severLazy(chosen)
-      n = next.count()
-      state = next
+      state = graft.Borrow.severLazy(chosen.unionByName(parked))
     }
-    val out = (state +: done).reduce(_ unionByName _)
+    val out = state
       .select(col("walk_id"), col("start"), col("steps").cast("long").as("steps"),
         col("path"))
     graft.Borrow.reclaim(out, e, adj)

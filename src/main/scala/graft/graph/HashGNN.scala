@@ -88,7 +88,9 @@ object HashGNN {
         .agg(min(struct(col("h"), col("f"))).as("m"))
         .select(col("id"), col("m.f").as("f"))
         .distinct())
-      feats.count()
+      // r17: no per-round count — severLazy already plans (and under
+      // AQE runs) the round's shuffles; the final stage materializes
+      // lazily as the next round's (or the output's) parent
     }
     val out = feats
       .groupBy(col("id"))

@@ -149,8 +149,10 @@ object Node2Vec {
           .select(col("vid"), col("pos"),
             (col("val") - lit(lr) * coalesce(col("gv"), lit(0.0))).as("val")))
       // severLazy plans eagerly: both epoch frames exist before the
-      // shared gradient cache is dropped
-      u2.count(); v2.count()
+      // shared gradient cache is dropped. ONE materializing action for
+      // both severed frames (r17 — halves the per-epoch driver
+      // barriers; the union is two leaf scans, nothing recomputes)
+      u2.select(col("vid")).unionByName(v2.select(col("vid"))).count()
       g.unpersist()
       u = u2; v = v2
     }
